@@ -1,0 +1,125 @@
+package graft.client
+
+import graft.engine.{Builder, EventTime, Registry, TemporalJoin}
+import graft.expr.SparkCompiler
+import graft.table._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** User-facing facade mirroring the reference client's three entry points
+  * (ref: python/feathub/feathub_client.py:92-187): offline read
+  * (`getFeatures`), ETL write (`materialize`), and online serving
+  * (`getOnlineFeatures` via [[MemoryOnlineStore]]).
+  */
+final class GraftClient(val spark: SparkSession) {
+
+  private val builder = new Builder(spark)
+
+  def registerTable(desc: TableDescriptor): Unit = Registry.register(desc)
+
+  /** Offline read; optional key-filter and event-time range
+    * (ref: python/feathub/processors/spark/
+    * spark_dataframe_builder.py:136-148, 360-382).
+    */
+  def getFeatures(
+      desc: TableDescriptor,
+      keysDf: Option[DataFrame] = None,
+      startMillis: Option[Long] = None,
+      endMillis: Option[Long] = None): DataFrame = {
+    Registry.register(desc)
+    var df = builder.buildWithTime(desc)
+    keysDf.foreach(k => df = TemporalJoin.filterByKeys(df, k))
+    startMillis.foreach(s => df = df.filter(col(EventTime.Col) >= s))
+    endMillis.foreach(e => df = df.filter(col(EventTime.Col) < e))
+    EventTime.drop(df)
+  }
+
+  /** ETL write (ref: python/feathub/processors/spark/
+    * dataframe_builder/source_sink_utils.py:96-123).
+    */
+  def materialize(desc: TableDescriptor, sink: Sink): Unit = {
+    val df = getFeatures(desc)
+    sink match {
+      case FileSink(path, format, mode) =>
+        df.write.format(format).mode(mode).save(path)
+      case PrintSink(n)   => df.show(n, truncate = false)
+      case BlackHoleSink  => df.foreach(_ => ())
+      case MemoryStoreSink(tableName) =>
+        MemoryOnlineStore.put(
+          tableName,
+          df,
+          desc.keys.getOrElse(throw new IllegalArgumentException(
+            "MemoryStoreSink requires table keys")),
+          desc.timestampField)
+    }
+  }
+
+  /** Online serving: evaluate an OnDemand-style request — per-request
+    * lookups against the online store plus row-level expressions — without
+    * launching a Spark job (ref: python/feathub/feature_service/
+    * local_feature_service.py:36-146).
+    */
+  def getOnlineFeatures(
+      requestRows: Seq[Map[String, Any]],
+      storeTable: String,
+      lookupFeatures: Seq[String],
+      exprFeatures: Seq[(String, String)] = Nil): Seq[Map[String, Any]] = {
+    requestRows.map { req =>
+      val enriched = req ++ MemoryOnlineStore
+        .get(storeTable, req)
+        .map(found => lookupFeatures.flatMap(f => found.get(f).map(f -> _)).toMap)
+        .getOrElse(Map.empty)
+      enriched ++ exprFeatures.map { case (name, e) =>
+        name -> graft.expr.RowInterpreter.eval(e, enriched)
+      }
+    }
+  }
+}
+
+/** In-process online store with latest-per-key upsert semantics
+  * (ref: python/feathub/online_stores/memory_online_store.py:51-184 — per
+  * key, the row with the max event time wins).
+  */
+object MemoryOnlineStore {
+  private final case class Entry(timeMillis: Long, row: Map[String, Any])
+  private val tables = mutable.Map.empty[String, mutable.Map[Seq[Any], Entry]]
+
+  def put(name: String, df: DataFrame, keys: Seq[String], timestampField: Option[String]): Unit = {
+    val table = tables.getOrElseUpdate(name, mutable.Map.empty)
+    val cols = df.columns
+    val withT = timestampField match {
+      case Some(tf) => df.withColumn("__t__", unix_millis(col(tf).cast("timestamp")))
+      case None     => df.withColumn("__t__", lit(0L))
+    }
+    withT.collect().foreach { r =>
+      val keyVals = keys.map(k => r.getAs[Any](k))
+      val t = if (r.isNullAt(r.fieldIndex("__t__"))) 0L else r.getAs[Long]("__t__")
+      val m = cols.map(c => c -> r.getAs[Any](c)).toMap
+      table.get(keyVals) match {
+        case Some(e) if e.timeMillis > t => ()
+        case _                           => table(keyVals) = Entry(t, m)
+      }
+    }
+  }
+
+  def get(name: String, keyedRequest: Map[String, Any]): Option[Map[String, Any]] =
+    tables.get(name).flatMap { table =>
+      table.collectFirst {
+        case (k, e) if matchesKeys(name, k, keyedRequest) => e.row
+      }
+    }
+
+  private val keyFields = mutable.Map.empty[String, Seq[String]]
+  def registerKeys(name: String, keys: Seq[String]): Unit = keyFields(name) = keys
+
+  private def matchesKeys(name: String, storedKey: Seq[Any], req: Map[String, Any]): Boolean =
+    keyFields.get(name) match {
+      case Some(ks) => ks.map(req.get(_).orNull) == storedKey
+      case None     => false
+    }
+
+  def clear(): Unit = { tables.clear(); keyFields.clear() }
+}

@@ -1,0 +1,189 @@
+package graft.engine
+
+import graft.expr.SparkCompiler
+import graft.table._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.api.java.UDF1
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Compiles a resolved descriptor tree into a Spark DataFrame (logical
+  * plan); Catalyst takes over from there. Phase structure mirrors the
+  * reference's builder (ref: python/feathub/processors/spark/
+  * spark_dataframe_builder.py:150-358):
+  *   source → phase-1 per-row transforms → all temporal joins → all
+  *   over-windows → trailing per-row transforms → filter → output select.
+  * Ordering rule preserved exactly: a per-row feature listed after the
+  * first join/window feature is evaluated after all joins/windows
+  * (spark_dataframe_builder.py:218-244).
+  *
+  * Subplans are memoized by table name (spark_dataframe_builder.py:75-77) so
+  * a view feeding several consumers is built once.
+  */
+final class Builder(spark: SparkSession) {
+
+  private val built = mutable.Map.empty[String, DataFrame]
+
+  /** Build with the engine event-time metadata column still attached. */
+  def buildWithTime(desc: TableDescriptor): DataFrame =
+    built.getOrElseUpdate(desc.name, doBuild(desc))
+
+  /** Build the user-facing output (metadata columns dropped). */
+  def build(desc: TableDescriptor): DataFrame =
+    EventTime.drop(buildWithTime(desc))
+
+  private def doBuild(desc: TableDescriptor): DataFrame = desc match {
+    case s: FileSource         => Sources.read(spark, s)
+    case s: DataGenSource      => Sources.generate(spark, s)
+    case v: DerivedFeatureView => buildDerived(v)
+    case v: SlidingFeatureView => buildSliding(v)
+    case v: SqlFeatureView     => buildSql(v)
+  }
+
+  // ---------------------------------------------------------------- derived
+
+  private def buildDerived(v: DerivedFeatureView): DataFrame = {
+    val source = buildWithTime(v.source)
+
+    // Partition features into the reference's phases.
+    val phase1 = mutable.ArrayBuffer.empty[Feature]
+    val joins = mutable.ArrayBuffer.empty[Feature]
+    val windows = mutable.ArrayBuffer.empty[Feature]
+    val trailing = mutable.ArrayBuffer.empty[Feature]
+    var sawJoinOrWindow = false
+    v.features.foreach { f =>
+      f.transform match {
+        case _: JoinTransform       => joins += f; sawJoinOrWindow = true
+        case _: OverWindowTransform => windows += f; sawJoinOrWindow = true
+        case _: ExpressionTransform | _: UdfTransform =>
+          if (sawJoinOrWindow) trailing += f else phase1 += f
+        case other =>
+          throw new IllegalArgumentException(s"DerivedFeatureView does not accept $other")
+      }
+    }
+
+    var df = phase1.foldLeft(source)(applyRowFeature)
+
+    // All temporal joins, deduplicated per (table, keys)
+    // (ref: spark_dataframe_builder.py:210-216,284-322).
+    val joinGroups = joins.groupBy { f =>
+      val jt = f.transform.asInstanceOf[JoinTransform]
+      val keys = f.resolvedKeys.getOrElse(
+        throw new IllegalArgumentException(s"Join feature ${f.name} requires keys"))
+      (jt.tableName, keys)
+    }
+    joinGroups.foreach { case ((tableName, keys), fs) =>
+      val rightDesc = Registry.get(tableName)
+      val right0 = buildWithTime(rightDesc)
+      // Evaluate each joined feature expression on the right table.
+      val withVals = fs.zipWithIndex.foldLeft(right0) { case (r, (f, i)) =>
+        val jt = f.transform.asInstanceOf[JoinTransform]
+        r.withColumn(s"__jv_$i", SparkCompiler.compile(jt.featureExpr))
+      }
+      val right = withVals.select(
+        (keys.map(col) :+ col(EventTime.Col)) ++
+          fs.indices.map(i => col(s"__jv_$i")): _*)
+      df = TemporalJoin.pointInTime(
+        df, right, keys,
+        fs.toSeq.zipWithIndex.map { case (f, i) => (s"__jv_$i", f.name) })
+      fs.foreach { f =>
+        f.dtype.foreach(dt => df = df.withColumn(f.name, col(f.name).cast(dt.toSpark)))
+      }
+    }
+
+    // All over-windows in one select; identical WindowSpecs collapse into a
+    // single Window operator under Catalyst.
+    windows.foreach { f =>
+      val tr = f.transform.asInstanceOf[OverWindowTransform]
+      val c0 = OverWindows.aggColumn(tr, Nil)
+      val c = f.dtype.map(dt => c0.cast(dt.toSpark)).getOrElse(c0)
+      df = df.withColumn(f.name, c)
+    }
+
+    df = trailing.foldLeft(df)(applyRowFeature)
+
+    // Filter applied after all transforms (ref: derived_feature_view.py:79-83).
+    v.filterExpr.foreach(f => df = df.filter(SparkCompiler.compile(f)))
+
+    val outFields: Seq[String] =
+      if (v.keepSourceFields)
+        (source.columns.filterNot(_ == EventTime.Col) ++ v.features.map(_.name)).distinct.toSeq
+      else {
+        val keyCols = v.keys.orElse(v.source.keys).getOrElse(Nil)
+        (keyCols ++ v.timestampField.toSeq ++ v.features.map(_.name)).distinct
+      }
+    df.select((outFields.map(col) :+ col(EventTime.Col)): _*)
+  }
+
+  private def applyRowFeature(df: DataFrame, f: Feature): DataFrame = f.transform match {
+    case ExpressionTransform(e) =>
+      val c0 = SparkCompiler.compile(e)
+      val c = f.dtype.map(dt => c0.cast(dt.toSpark)).getOrElse(c0)
+      df.withColumn(f.name, c)
+    case UdfTransform(fn, resultType, failOnException, valueOnException) =>
+      val call: Row => Any =
+        if (failOnException) fn
+        else r => try fn(r) catch { case _: Exception => valueOnException }
+      val u = udf(new UDF1[Row, Any] { def call(r: Row): Any = call(r) }, resultType.toSpark)
+      df.withColumn(f.name, u(struct(df.columns.map(col): _*)))
+    case other => throw new IllegalArgumentException(s"not a per-row transform: $other")
+  }
+
+  // ---------------------------------------------------------------- sliding
+
+  private def buildSliding(v: SlidingFeatureView): DataFrame = {
+    val source = buildWithTime(v.source)
+    val pre = mutable.ArrayBuffer.empty[Feature]
+    val sliding = mutable.ArrayBuffer.empty[Feature]
+    val post = mutable.ArrayBuffer.empty[(String, String)]
+    var sawSliding = false
+    v.features.foreach { f =>
+      f.transform match {
+        case _: SlidingWindowTransform => sliding += f; sawSliding = true
+        case ExpressionTransform(e) =>
+          if (sawSliding) post += ((f.name, e)) else pre += f
+        case t: UdfTransform =>
+          require(!sawSliding, "UDF features must precede sliding windows")
+          pre += f
+        case other =>
+          throw new IllegalArgumentException(s"SlidingFeatureView does not accept $other")
+      }
+    }
+    val input = pre.foldLeft(source)(applyRowFeature)
+    var out = SlidingWindows(
+      input,
+      sliding.toSeq.map(f =>
+        SlidingWindows.SlidingFeature(f.name, f.transform.asInstanceOf[SlidingWindowTransform])),
+      v.enableEmptyWindowOutput,
+      v.skipSameWindowOutput,
+      post.toSeq)
+    v.filterExpr.foreach(f => out = out.filter(SparkCompiler.compile(f)))
+    // Output timestamp: the window close time (epoch millis), exposed as
+    // `window_time` (ref: sliding_feature_view.py:200-231).
+    out
+      .withColumnRenamed(SparkCompiler.WindowTimeCol, "window_time")
+      .withColumn(EventTime.Col, col("window_time"))
+  }
+
+  // -------------------------------------------------------------------- sql
+
+  private def buildSql(v: SqlFeatureView): DataFrame = {
+    v.dependencies.foreach { dep =>
+      build(dep).createOrReplaceTempView(dep.name)
+    }
+    val df = spark.sql(v.sqlStatement)
+    EventTime.append(df, v.timestampField, v.timestampFormat)
+  }
+}
+
+/** Process-local name → descriptor registry
+  * (ref: python/feathub/registries/local_registry.py:44-104).
+  */
+object Registry {
+  private val tables = mutable.Map.empty[String, TableDescriptor]
+  def register(desc: TableDescriptor): Unit = tables(desc.name) = desc
+  def get(name: String): TableDescriptor =
+    tables.getOrElse(name, throw new NoSuchElementException(s"Table $name not registered"))
+  def clear(): Unit = tables.clear()
+}

@@ -1,0 +1,115 @@
+package graft.engine
+
+import graft.expr.SparkCompiler
+import graft.table.{AggFunc, OverWindowTransform}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Per-row trailing-window aggregation
+  * (ref: python/feathub/processors/spark/dataframe_builder/
+  * over_window_utils.py:99-180):
+  *  - `limit=n`            → ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW
+  *  - `window_size=d`      → RANGE BETWEEN d ms PRECEDING AND CURRENT ROW
+  *                           over the epoch-millis event-time column
+  *  - neither              → UNBOUNDED PRECEDING .. CURRENT ROW
+  *  - both                 → rows frame + in-frame time filter via
+  *                           higher-order functions (the reference's Spark
+  *                           processor rejects this combination; Flink
+  *                           supports it via AggFuncWithLimit — we close the
+  *                           gap relationally).
+  *
+  * Per-agg `filter_expr` (Flink-only in the reference,
+  * over_window_utils.py:87-91) compiles to `agg(CASE WHEN filter THEN e END)`.
+  * Windows sharing (size, limit, keys) reuse one sort/partition; Catalyst
+  * collapses identical WindowSpecs into a single Window operator, so no
+  * extra shuffle per feature.
+  */
+object OverWindows {
+
+  private val t = EventTime.Col
+
+  def aggColumn(tr: OverWindowTransform, tieBreaks: Seq[String]): Column = {
+    val e = SparkCompiler.compile(tr.expr)
+    val v = tr.filterExpr match {
+      case Some(f) => when(SparkCompiler.compile(f), e)
+      case None    => e
+    }
+    val orderCols = col(t).asc +: tieBreaks.map(c => col(c).asc)
+    val base =
+      if (tr.groupByKeys.nonEmpty) Window.partitionBy(tr.groupByKeys.map(col): _*)
+      else Window.partitionBy()
+
+    (tr.windowSize, tr.limit) match {
+      case (None, None) =>
+        applyAgg(tr.aggFunc, v, tr,
+          base.orderBy(orderCols: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      case (None, Some(n)) =>
+        applyAgg(tr.aggFunc, v, tr,
+          base.orderBy(orderCols: _*).rowsBetween(1L - n, Window.currentRow))
+      case (Some(d), None) =>
+        // RANGE frames require a single numeric order column.
+        applyAgg(tr.aggFunc, v, tr,
+          base.orderBy(col(t)).rangeBetween(-d.toMillis, Window.currentRow))
+      case (Some(d), Some(n)) =>
+        // Last n rows, then keep those within the trailing time window.
+        val spec = base.orderBy(orderCols: _*).rowsBetween(1L - n, Window.currentRow)
+        val pairs = collect_list(when(v.isNotNull, struct(col(t).as("t"), v.as("v"))))
+          .over(spec)
+        val inWindow = filter(pairs, p => p("t") >= col(t) - lit(d.toMillis))
+        hofAgg(tr.aggFunc, inWindow)
+    }
+  }
+
+  private def applyAgg(a: AggFunc, v: Column, tr: OverWindowTransform, w: WindowSpec): Column =
+    a match {
+      case AggFunc.Avg        => avg(v).over(w)
+      case AggFunc.Sum        => sum(v).over(w)
+      case AggFunc.Max        => max(v).over(w)
+      case AggFunc.Min        => min(v).over(w)
+      case AggFunc.Count      => count(v).over(w)
+      case AggFunc.FirstValue => first(v, ignoreNulls = tr.filterExpr.nonEmpty).over(w)
+      case AggFunc.LastValue  => last(v, ignoreNulls = tr.filterExpr.nonEmpty).over(w)
+      case AggFunc.RowNumber  => row_number().over(w)
+      case AggFunc.CollectList => collect_list(v).over(w)
+      case AggFunc.ValueCounts => valueCounts(collect_list(v).over(w))
+    }
+
+  /** VALUE_COUNTS: map of value → occurrence count
+    * (ref: java/feathub-udf/flink-udf/src/main/java/com/alibaba/feathub/
+    * flink/udf/aggregation/ValueCountsAggFunc.java:29-95). Built from the
+    * collected window values with codegen'd higher-order functions — the
+    * reference's Spark processor leaves this unimplemented
+    * (over_window_utils.py:165-174).
+    */
+  def valueCounts(list: Column): Column =
+    when(size(list) > 0,
+      map_from_entries(
+        transform(array_distinct(list),
+          x => struct(x, size(filter(list, y => y === x)).cast("long")))))
+
+  /** Aggregate an array of (t, v) structs — used when limit and window_size
+    * combine, and by sliding windows with limit.
+    */
+  def hofAgg(a: AggFunc, pairs: Column): Column = {
+    val vals = transform(pairs, p => p("v"))
+    a match {
+      case AggFunc.Count => size(pairs).cast("long")
+      case AggFunc.Min   => array_min(vals)
+      case AggFunc.Max   => array_max(vals)
+      case AggFunc.Sum   =>
+        when(size(pairs) > 0,
+          aggregate(slice(vals, 2, Int.MaxValue), element_at(vals, 1), (acc, x) => acc + x))
+      case AggFunc.Avg =>
+        when(size(pairs) > 0,
+          aggregate(slice(vals, 2, Int.MaxValue), element_at(vals, 1).cast("double"),
+            (acc, x) => acc + x) / size(pairs))
+      case AggFunc.FirstValue  => element_at(vals, 1)
+      case AggFunc.LastValue   => element_at(vals, -1)
+      case AggFunc.CollectList => vals
+      case AggFunc.ValueCounts => valueCounts(vals)
+      case AggFunc.RowNumber =>
+        throw new IllegalArgumentException("ROW_NUMBER is not valid with window_size+limit")
+    }
+  }
+}

@@ -1,0 +1,213 @@
+package graft.engine
+
+import graft.expr.SparkCompiler
+import graft.table._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sliding (hopping) window aggregation.
+  *
+  * Semantics (ref: python/feathub/feature_views/transforms/
+  * sliding_window_transform.py:23-101 and the golden suites in
+  * feature_views/transforms/tests/test_sliding_window_transform.py):
+  *  - event-time window (end-size, end], emitted per step; the emitted
+  *    `window_time` is the inclusive last millisecond of the step
+  *    (…23:59:59.999 convention, sliding_feature_view.py:146-151);
+  *  - `enable_empty_window_output`: when a window becomes empty, emit one
+  *    row with SUM/COUNT=0 and NULL for other aggs, then stop
+  *    (sliding_feature_view.py:34-42; defaults per
+  *    processors/flink/table_builder/aggregation_utils.py:93-118);
+  *  - `skip_same_window_output`: suppress steps whose aggregated values are
+  *    unchanged from the previously emitted row (sliding_feature_view.py:44-49).
+  *
+  * Physical plan mirrors the reference's two-phase design
+  * (java/feathub-udf/.../SlidingWindowUtils.java:66-170: tumbling pre-agg
+  * into step buckets, then a shared multi-size merge) re-expressed
+  * relationally: groupBy(keys, bucket) partial aggregation (map-side combine
+  * for free), then one RANGE window per window size over the bucket index —
+  * all window sizes share the single shuffle+sort on the keys, the analogue
+  * of the reference's shared state buffer. The per-key step grid (a
+  * `sequence` + `explode`, no cross join) supplies the empty-window rows the
+  * reference produces with Flink timers.
+  *
+  * Scale: one shuffle for the pre-agg, one for the merge window; both keyed
+  * by the group keys. Buckets bound intermediate size at
+  * rows_per_key × (span/step), independent of window size count.
+  */
+object SlidingWindows {
+
+  private val t = EventTime.Col
+  private val B = "__bucket"
+
+  final case class SlidingFeature(name: String, tr: SlidingWindowTransform)
+
+  def apply(
+      input: DataFrame,
+      feats: Seq[SlidingFeature],
+      enableEmptyWindowOutput: Boolean,
+      skipSameWindowOutput: Boolean,
+      postExprs: Seq[(String, String)] = Nil): DataFrame = {
+    require(feats.nonEmpty, "no sliding features")
+    val step = feats.head.tr.stepSize.toMillis
+    val keys = feats.head.tr.groupByKeys
+    require(feats.forall(_.tr.stepSize.toMillis == step), "step_size must match")
+    require(feats.forall(_.tr.groupByKeys == keys), "group_by_keys must match")
+
+    if (step == 0) return perRecord(input, feats, keys, skipSameWindowOutput, postExprs)
+
+    // ---- Phase 1: per-feature value columns + step bucket -------------
+    val withVals = feats.zipWithIndex.foldLeft(
+      input.withColumn(B, floor(col(t) / step))
+    ) { case (df, (f, i)) =>
+      val e = SparkCompiler.compile(f.tr.expr)
+      val v = f.tr.filterExpr match {
+        case Some(fe) => when(SparkCompiler.compile(fe), e)
+        case None     => e
+      }
+      df.withColumn(s"__v_$i", v)
+    }
+
+    def needsList(f: SlidingFeature): Boolean =
+      f.tr.limit.isDefined ||
+        f.tr.aggFunc == AggFunc.CollectList || f.tr.aggFunc == AggFunc.ValueCounts
+
+    // ---- Phase 2: tumbling pre-aggregation into step buckets ----------
+    val partials: Seq[Column] = feats.zipWithIndex.flatMap { case (f, i) =>
+      val v = col(s"__v_$i")
+      val cnt = count(v).as(s"__cnt_$i")
+      if (needsList(f))
+        Seq(sort_array(collect_list(when(v.isNotNull, struct(col(t).as("t"), v.as("v")))))
+          .as(s"__list_$i"), cnt)
+      else f.tr.aggFunc match {
+        case AggFunc.Sum   => Seq(sum(v).as(s"__sum_$i"), cnt)
+        case AggFunc.Count => Seq(cnt)
+        case AggFunc.Min   => Seq(min(v).as(s"__min_$i"), cnt)
+        case AggFunc.Max   => Seq(max(v).as(s"__max_$i"), cnt)
+        case AggFunc.Avg   => Seq(sum(v).as(s"__sum_$i"), cnt)
+        case AggFunc.FirstValue =>
+          Seq(min(when(v.isNotNull, struct(col(t).as("t"), v.as("v")))).as(s"__first_$i"), cnt)
+        case AggFunc.LastValue =>
+          Seq(max(when(v.isNotNull, struct(col(t).as("t"), v.as("v")))).as(s"__last_$i"), cnt)
+        case other =>
+          throw new IllegalArgumentException(s"Unsupported sliding agg $other")
+      }
+    }
+    val groupCols = (keys :+ B).map(col)
+    val preAgg = withVals.groupBy(groupCols: _*).agg(partials.head, partials.tail: _*)
+
+    // ---- Phase 3: per-key step grid (supplies empty-window steps) -----
+    val maxSpanBuckets = feats.map(f => f.tr.windowSize.toMillis / step).max
+    val bounds = preAgg
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(B)).as("__b0"), max(col(B)).as("__b1"))
+    val grid = bounds.select(
+      keys.map(col) :+
+        explode(sequence(col("__b0"), col("__b1") + lit(maxSpanBuckets))).as(B): _*)
+    val joined = grid.join(preAgg, keys :+ B, "left")
+
+    // ---- Phase 4: one RANGE window per window size over bucket index --
+    val keyWin =
+      if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*) else Window.partitionBy()
+    val merged = feats.zipWithIndex.foldLeft(joined) { case (df, (f, i)) =>
+      val span = f.tr.windowSize.toMillis / step // buckets per window
+      val w = keyWin.orderBy(col(B)).rangeBetween(1L - span, Window.currentRow)
+      val cnt = coalesce(sum(col(s"__cnt_$i")).over(w), lit(0L))
+      val raw: Column = f.tr.aggFunc match {
+        case _ if needsList(f) =>
+          val flat = flatten(collect_list(col(s"__list_$i")).over(w))
+          val lim = f.tr.limit match {
+            case Some(l) => slice(flat, greatest(size(flat) - l + 1, lit(1)), lit(l))
+            case None    => flat
+          }
+          OverWindows.hofAgg(f.tr.aggFunc, lim)
+        case AggFunc.Sum   => sum(col(s"__sum_$i")).over(w)
+        case AggFunc.Count => cnt
+        case AggFunc.Min   => min(col(s"__min_$i")).over(w)
+        case AggFunc.Max   => max(col(s"__max_$i")).over(w)
+        case AggFunc.Avg =>
+          when(cnt > 0, sum(col(s"__sum_$i")).over(w).cast("double") / cnt)
+        case AggFunc.FirstValue => first(col(s"__first_$i"), ignoreNulls = true).over(w)("v")
+        case AggFunc.LastValue  => last(col(s"__last_$i"), ignoreNulls = true).over(w)("v")
+        case other => throw new IllegalArgumentException(s"Unsupported sliding agg $other")
+      }
+      // Empty-window defaults: SUM/COUNT → 0, others NULL
+      // (ref: flink table_builder/aggregation_utils.py:93-118).
+      val value = f.tr.aggFunc match {
+        case AggFunc.Sum   => when(cnt > 0, raw).otherwise(lit(0).cast(valueType(withVals, i)))
+        case AggFunc.Count => cnt
+        case _             => when(cnt > 0, raw)
+      }
+      df.withColumn(f.name, value).withColumn(s"__wcnt_$i", cnt)
+    }
+
+    // ---- Phase 5: emission rules --------------------------------------
+    val anyData = feats.indices.map(i => col(s"__wcnt_$i") > 0).reduce(_ || _)
+    val orderW = keyWin.orderBy(col(B))
+    val withAny = merged.withColumn("__any", anyData)
+    val kept =
+      if (enableEmptyWindowOutput)
+        // keep data rows plus the single step where the window became empty
+        withAny.filter(col("__any") || lag(col("__any"), 1, false).over(orderW))
+      else withAny.filter(col("__any"))
+
+    val windowTime = ((col(B) + 1) * step - 1).as(SparkCompiler.WindowTimeCol)
+    val featCols = feats.map(f => col(f.name))
+    val withTime = kept.withColumn(SparkCompiler.WindowTimeCol, windowTime)
+    val withPost = postExprs.foldLeft(withTime) { case (df, (n, e)) =>
+      df.withColumn(n, SparkCompiler.compile(e))
+    }
+
+    val outCols = keys.map(col) ++ Seq(col(SparkCompiler.WindowTimeCol)) ++
+      featCols ++ postExprs.map { case (n, _) => col(n) }
+    val out = withPost.select(outCols :+ col(B): _*)
+
+    val result =
+      if (skipSameWindowOutput) {
+        val sig = struct(featCols: _*)
+        out
+          .withColumn("__sig", sig)
+          .withColumn("__prev", lag(col("__sig"), 1).over(keyWin.orderBy(col(B))))
+          .filter(col("__prev").isNull || !(col("__sig") <=> col("__prev")))
+          .drop("__sig", "__prev")
+      } else out
+    result.drop(B)
+  }
+
+  private def valueType(df: DataFrame, i: Int) = df.schema(s"__v_$i").dataType
+
+  /** step_size=0: infinite window, emit an updated aggregate per input record
+    * (ref: java/feathub-udf/.../GlobalWindowKeyedProcessFunction.java, wired
+    * at processors/flink/table_builder/sliding_window_utils.py:82-123).
+    */
+  private def perRecord(
+      input: DataFrame,
+      feats: Seq[SlidingFeature],
+      keys: Seq[String],
+      skipSame: Boolean,
+      postExprs: Seq[(String, String)]): DataFrame = {
+    val keyWin =
+      if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*) else Window.partitionBy()
+    val w = keyWin.orderBy(col(t)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agged = feats.foldLeft(input) { case (df, f) =>
+      val tr = OverWindowTransform(
+        f.tr.expr, f.tr.aggFunc, None, f.tr.groupByKeys, f.tr.filterExpr, None)
+      df.withColumn(f.name, OverWindows.aggColumn(tr, Nil))
+    }
+    val withTime = agged.withColumn(SparkCompiler.WindowTimeCol, col(t))
+    val withPost = postExprs.foldLeft(withTime) { case (df, (n, e)) =>
+      df.withColumn(n, SparkCompiler.compile(e))
+    }
+    val outCols = keys.map(col) ++ Seq(col(SparkCompiler.WindowTimeCol)) ++
+      feats.map(f => col(f.name)) ++ postExprs.map { case (n, _) => col(n) }
+    val out = withPost.select(outCols: _*)
+    if (skipSame) {
+      val sig = struct(feats.map(f => col(f.name)): _*)
+      out
+        .withColumn("__sig", sig)
+        .withColumn("__prev", lag(col("__sig"), 1).over(keyWin.orderBy(col(SparkCompiler.WindowTimeCol))))
+        .filter(col("__prev").isNull || !(col("__sig") <=> col("__prev")))
+        .drop("__sig", "__prev")
+    } else out
+  }
+}

@@ -1,0 +1,55 @@
+package graft.engine
+
+import graft.table.{DataGenSource, FileSource, RandomField, SequenceField}
+import graft.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical sources (ref: python/feathub/processors/spark/
+  * dataframe_builder/source_sink_utils.py:41-71 and
+  * feature_tables/sources/datagen_source.py).
+  */
+object Sources {
+
+  def read(spark: SparkSession, s: FileSource): DataFrame = {
+    val reader = spark.read.format(s.format)
+    val withSchema = s.schema match {
+      case Some(sc) => reader.schema(sc.toSpark)
+      case None =>
+        if (s.format == "csv") reader.option("header", "true").option("inferSchema", "true")
+        else reader
+    }
+    val df = withSchema.load(s.path)
+    EventTime.append(df, s.timestampField, s.timestampFormat)
+  }
+
+  /** Deterministic data generator: sequence fields count from `start`;
+    * random fields derive from a seeded hash of (seed, row id, field name)
+    * so results are reproducible regardless of parallelism — unlike
+    * `rand()`, whose output depends on partitioning
+    * (ref behavior: python/feathub/processors/spark/dataframe_builder/
+    * datagen_utils.py:36-169 uses deterministic per-field seeds).
+    */
+  def generate(spark: SparkSession, s: DataGenSource): DataFrame = {
+    val base = spark.range(s.numberOfRows)
+    val cols = s.fields.map {
+      case SequenceField(name, dtype, start, _) =>
+        (lit(start) + col("id")).cast(dtype.toSpark).as(name)
+      case RandomField(name, dtype, minimum, maximum, length) =>
+        // xxhash64 → uniform in [0,1) → scaled; strings from hex digest.
+        val h = xxhash64(lit(s.seed), col("id"), lit(name))
+        val u = (pmod(h, lit(1000000007L)).cast("double") / lit(1000000007.0))
+        dtype match {
+          case DString =>
+            substring(md5(concat_ws("-", lit(s.seed), col("id"), lit(name))), 0, length).as(name)
+          case DBool => (pmod(h, lit(2)) === 0).as(name)
+          case DTimestamp =>
+            timestamp_millis((lit(minimum) + u * (lit(maximum) - lit(minimum))).cast("bigint")).as(name)
+          case _ =>
+            (lit(minimum) + u * (lit(maximum) - lit(minimum))).cast(dtype.toSpark).as(name)
+        }
+    }
+    val df = base.select(cols: _*)
+    EventTime.append(df, s.timestampField, s.timestampFormat)
+  }
+}

@@ -1,0 +1,221 @@
+package graft.table
+
+import graft.types.{DType, Schema}
+import org.apache.spark.sql.Row
+
+import scala.concurrent.duration.Duration
+
+/** Aggregation functions supported by window transforms
+  * (ref: python/feathub/feature_views/transforms/agg_func.py:21-53).
+  */
+sealed abstract class AggFunc(val name: String)
+object AggFunc {
+  case object Avg extends AggFunc("AVG")
+  case object Sum extends AggFunc("SUM")
+  case object Max extends AggFunc("MAX")
+  case object Min extends AggFunc("MIN")
+  case object FirstValue extends AggFunc("FIRST_VALUE")
+  case object LastValue extends AggFunc("LAST_VALUE")
+  case object RowNumber extends AggFunc("ROW_NUMBER")
+  case object Count extends AggFunc("COUNT")
+  case object ValueCounts extends AggFunc("VALUE_COUNTS")
+  case object CollectList extends AggFunc("COLLECT_LIST")
+
+  val all: Seq[AggFunc] =
+    Seq(Avg, Sum, Max, Min, FirstValue, LastValue, RowNumber, Count, ValueCounts, CollectList)
+
+  def apply(name: String): AggFunc =
+    all.find(_.name == name.toUpperCase).getOrElse(
+      throw new IllegalArgumentException(s"Unknown agg func $name"))
+}
+
+/** Transformations a Feature can carry
+  * (ref: python/feathub/feature_views/transforms/).
+  */
+sealed trait Transformation
+
+/** Per-row derived column from a DSL expression
+  * (ref: expression_transform.py:20-39). */
+final case class ExpressionTransform(expr: String) extends Transformation
+
+/** Row → scalar Scala function over the whole input row; the Scala-native
+  * analogue of the reference's PythonUdfTransform
+  * (ref: python_udf_transform.py:24-87). `resultType` declares the output.
+  * If `valueOnException` is set, errors map to that value instead of failing
+  * (ref: python_udf_transform.py:61-70).
+  */
+final case class UdfTransform(
+    udf: Row => Any,
+    resultType: DType,
+    failOnException: Boolean = true,
+    valueOnException: Any = null) extends Transformation
+
+/** Point-in-time join of one feature from another table, keyed by the host
+  * feature's keys (ref: join_transform.py:20-56). `featureExpr` is usually a
+  * feature name; it may be a map subscript like `m['k']`.
+  */
+final case class JoinTransform(tableName: String, featureExpr: String) extends Transformation
+
+/** Per-input-row aggregation over a trailing time window and/or last-N rows
+  * (ref: over_window_transform.py:22-88).
+  */
+final case class OverWindowTransform(
+    expr: String,
+    aggFunc: AggFunc,
+    windowSize: Option[Duration] = None,
+    groupByKeys: Seq[String] = Nil,
+    filterExpr: Option[String] = None,
+    limit: Option[Int] = None) extends Transformation {
+  require(
+    aggFunc != AggFunc.RowNumber || (windowSize.isEmpty && limit.isEmpty),
+    "ROW_NUMBER is only valid without window_size and limit")
+}
+
+/** Hopping event-time window aggregation emitting at each step
+  * (ref: sliding_window_transform.py:23-101). Zero window size ⇒ infinite
+  * (cumulative) window; zero step ⇒ emit per record.
+  */
+final case class SlidingWindowTransform(
+    expr: String,
+    aggFunc: AggFunc,
+    windowSize: Duration,
+    stepSize: Duration,
+    groupByKeys: Seq[String] = Nil,
+    filterExpr: Option[String] = None,
+    limit: Option[Int] = None) extends Transformation {
+  require(
+    !(windowSize.toMillis == 0 && stepSize.toMillis != 0),
+    "zero window size with non-zero step size is not supported")
+  require(
+    !(windowSize.toMillis != 0 && stepSize.toMillis == 0),
+    "non-zero window size must have non-zero step size")
+  if (windowSize.toMillis > 0 && stepSize.toMillis > 0)
+    require(
+      windowSize.toMillis % stepSize.toMillis == 0,
+      "window_size must be a multiple of step_size")
+}
+
+/** A named column of a table: either a physical field or a derived feature
+  * (ref: python/feathub/feature_views/feature.py:42-110). Keys default to
+  * the window transform's group-by keys (feature.py:93-103).
+  */
+final case class Feature(
+    name: String,
+    transform: Transformation,
+    dtype: Option[DType] = None,
+    keys: Option[Seq[String]] = None) {
+  def resolvedKeys: Option[Seq[String]] = keys.orElse(transform match {
+    case t: OverWindowTransform if t.groupByKeys.nonEmpty    => Some(t.groupByKeys)
+    case t: SlidingWindowTransform if t.groupByKeys.nonEmpty => Some(t.groupByKeys)
+    case _                                                   => None
+  })
+}
+
+object Feature {
+  /** Convenience: a feature defined by a DSL expression string. */
+  def expr(name: String, e: String, dtype: Option[DType] = None): Feature =
+    Feature(name, ExpressionTransform(e), dtype)
+}
+
+/** Timestamp formats: "epoch" (seconds), "epoch_millis", "auto" (native
+  * TIMESTAMP column), or a strftime pattern
+  * (ref: python/feathub/table/table_descriptor.py:37-50).
+  */
+sealed trait TableDescriptor {
+  def name: String
+  def keys: Option[Seq[String]]
+  def timestampField: Option[String]
+  def timestampFormat: String
+}
+
+/** Batch/stream file scan (ref: python/feathub/feature_tables/sources/
+  * file_system_source.py:22-105). `format` ∈ csv/json/parquet.
+  */
+final case class FileSource(
+    name: String,
+    path: String,
+    format: String,
+    schema: Option[Schema] = None,
+    keys: Option[Seq[String]] = None,
+    timestampField: Option[String] = None,
+    timestampFormat: String = "auto",
+    maxOutOfOrderness: Duration = Duration.Zero) extends TableDescriptor
+
+/** Deterministic data generator (ref: python/feathub/feature_tables/
+  * sources/datagen_source.py:27-232). Fields are either random in
+  * [minimum, maximum] or a sequence [start, end].
+  */
+sealed trait GenField { def name: String }
+final case class RandomField(name: String, dtype: DType, minimum: Double = 0, maximum: Double = 1, length: Int = 17) extends GenField
+final case class SequenceField(name: String, dtype: DType, start: Long = 0, end: Long = Long.MaxValue) extends GenField
+
+final case class DataGenSource(
+    name: String,
+    numberOfRows: Long,
+    fields: Seq[GenField],
+    seed: Long = 42L,
+    keys: Option[Seq[String]] = None,
+    timestampField: Option[String] = None,
+    timestampFormat: String = "auto") extends TableDescriptor
+
+/** Derived view: per-row exprs + over windows + PIT joins, row-count
+  * preserving (minus filter)
+  * (ref: python/feathub/feature_views/derived_feature_view.py:39-297).
+  */
+final case class DerivedFeatureView(
+    name: String,
+    source: TableDescriptor,
+    features: Seq[Feature],
+    keepSourceFields: Boolean = false,
+    filterExpr: Option[String] = None,
+    keys: Option[Seq[String]] = None) extends TableDescriptor {
+  def timestampField: Option[String] = source.timestampField
+  def timestampFormat: String = source.timestampFormat
+}
+
+/** Sliding view: only expression + sliding-window transforms; all windows
+  * share step and keys; output = keys + window_time + agg features
+  * (ref: python/feathub/feature_views/sliding_feature_view.py:77-298).
+  */
+final case class SlidingFeatureView(
+    name: String,
+    source: TableDescriptor,
+    features: Seq[Feature],
+    filterExpr: Option[String] = None,
+    enableEmptyWindowOutput: Boolean = true,
+    skipSameWindowOutput: Boolean = true) extends TableDescriptor {
+  require(
+    !(enableEmptyWindowOutput == false && skipSameWindowOutput == true) ||
+      features.forall(!_.transform.isInstanceOf[SlidingWindowTransform]) ||
+      true,
+    "")
+  private val sliding = features.map(_.transform).collect { case t: SlidingWindowTransform => t }
+  require(sliding.nonEmpty, "SlidingFeatureView requires at least one SlidingWindowTransform feature")
+  require(sliding.map(_.stepSize).distinct.size == 1, "all sliding windows must share step_size")
+  require(sliding.map(_.groupByKeys).distinct.size == 1, "all sliding windows must share group_by_keys")
+
+  def stepSize: Duration = sliding.head.stepSize
+  def groupByKeys: Seq[String] = sliding.head.groupByKeys
+  def keys: Option[Seq[String]] = Some(groupByKeys)
+  def timestampField: Option[String] = Some("window_time")
+  def timestampFormat: String = "epoch_millis"
+}
+
+/** Passthrough SQL executed on Spark's SQL interface with upstream tables
+  * registered as temp views
+  * (ref: python/feathub/feature_views/sql_feature_view.py:25-160).
+  */
+final case class SqlFeatureView(
+    name: String,
+    sqlStatement: String,
+    dependencies: Seq[TableDescriptor] = Nil,
+    keys: Option[Seq[String]] = None,
+    timestampField: Option[String] = None,
+    timestampFormat: String = "auto") extends TableDescriptor
+
+/** Sinks (ref: python/feathub/feature_tables/sinks/). */
+sealed trait Sink
+final case class FileSink(path: String, format: String = "parquet", mode: String = "overwrite") extends Sink
+final case class PrintSink(numRows: Int = 20) extends Sink
+case object BlackHoleSink extends Sink
+final case class MemoryStoreSink(tableName: String) extends Sink

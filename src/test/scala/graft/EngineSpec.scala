@@ -1,0 +1,170 @@
+package graft
+
+import graft.client.GraftClient
+import graft.engine.{EventTime, Registry}
+import graft.table._
+import graft.types._
+import org.apache.spark.sql.Row
+
+import scala.concurrent.duration._
+
+class EngineSpec extends SparkSuite {
+
+  private lazy val client = new GraftClient(spark)
+
+  private lazy val purchaseSource: FileSource = {
+    val path = writeTempParquet(purchases, "purchases")
+    FileSource(
+      "purchases", path, "parquet",
+      keys = Some(Seq("name")),
+      timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S")
+  }
+
+  test("derived view: expression + filter + output fields") {
+    val view = DerivedFeatureView(
+      "v_expr", purchaseSource,
+      features = Seq(
+        Feature.expr("cost_per_mile", "cost / distance", Some(DFloat64)),
+        Feature.expr("total", "cost + distance")),
+      keepSourceFields = true,
+      filterExpr = Some("cost > 150"))
+    val got = client.getFeatures(view).orderBy("time").collect()
+    assert(got.map(_.getAs[Long]("total")).toSeq == Seq(650L, 500L, 450L, 1000L, 1400L))
+    assert(got.head.getAs[Double]("cost_per_mile") == 1.6)
+  }
+
+  test("over window: trailing aggs per row") {
+    val view = DerivedFeatureView(
+      "v_over", purchaseSource,
+      features = Seq(
+        Feature(
+          "total_cost",
+          OverWindowTransform("cost", AggFunc.Sum, groupByKeys = Seq("name"))),
+        Feature(
+          "cnt_2d",
+          OverWindowTransform("cost", AggFunc.Count, windowSize = Some(2.days), groupByKeys = Seq("name"))),
+        Feature(
+          "last_2",
+          OverWindowTransform("cost", AggFunc.Sum, limit = Some(2), groupByKeys = Seq("name")))),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("time").collect()
+    // Alex rows: 100 -> 400 -> 1000 running totals
+    val alex = got.filter(_.getAs[String]("name") == "Alex")
+    assert(alex.map(_.getAs[Long]("total_cost")).toSeq == Seq(100L, 400L, 1000L))
+    assert(alex.map(_.getAs[Long]("cnt_2d")).toSeq == Seq(1L, 2L, 3L))
+    assert(alex.map(_.getAs[Long]("last_2")).toSeq == Seq(100L, 400L, 900L))
+  }
+
+  test("over window: value_counts and collect_list") {
+    val view = DerivedFeatureView(
+      "v_vc", purchaseSource,
+      features = Seq(
+        Feature(
+          "dist_counts",
+          OverWindowTransform("distance", AggFunc.ValueCounts, groupByKeys = Seq("name"))),
+        Feature(
+          "costs",
+          OverWindowTransform("cost", AggFunc.CollectList, groupByKeys = Seq("name")))),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("time").collect()
+    val emma2 = got.filter(_.getAs[String]("name") == "Emma").last
+    assert(emma2.getAs[Map[Long, Long]]("dist_counts") == Map(250L -> 2L))
+    assert(emma2.getAs[Seq[Long]]("costs") == Seq(400L, 200L))
+  }
+
+  test("point-in-time join picks latest right row ≤ left time") {
+    // F3 fixture (ref: test_join_transform.py semantics)
+    val dim = spark.createDataFrame(Seq(
+      ("Alex", 100.0, "2022-01-01 08:01:00"),
+      ("Alex", 200.0, "2022-01-02 08:03:00"),
+      ("Emma", 300.0, "2022-01-01 08:02:00")))
+      .toDF("name", "avg_cost", "time")
+    val dimSrc = FileSource(
+      "dim_table", writeTempParquet(dim, "dim"), "parquet",
+      keys = Some(Seq("name")),
+      timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S")
+    Registry.register(dimSrc)
+
+    val view = DerivedFeatureView(
+      "v_join", purchaseSource,
+      features = Seq(
+        Feature("avg_cost", JoinTransform("dim_table", "avg_cost"), keys = Some(Seq("name")))),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("time").collect()
+    val expected = Seq(100.0, 300.0, 200.0, 300.0, null, 200.0)
+    assert(got.map(r => r.getAs[Any]("avg_cost")).toSeq == expected)
+  }
+
+  test("sliding window matches the reference golden (size=2d step=1d)") {
+    // Golden from test_sliding_window_transform.py:75-141: SUM(cost) values
+    // 500, 1000, 1600, 1100, 0 at window close times 23:59:59.999.
+    val view = SlidingFeatureView(
+      "v_slide", purchaseSource,
+      features = Seq(
+        Feature(
+          "total_cost",
+          SlidingWindowTransform("cost", AggFunc.Sum, windowSize = 2.days, stepSize = 1.day))))
+    val got = client.getFeatures(view).orderBy("window_time").collect()
+    assert(got.map(_.getAs[Long]("total_cost")).toSeq == Seq(500L, 1000L, 1600L, 1100L, 0L))
+    val day = 86400000L
+    val expectTimes = (1 to 5).map(d => (19358L + d) * day - 1) // 2022-01-01 = epoch day 18993... computed below
+    val t0 = java.time.LocalDate.parse("2022-01-01").toEpochDay * day
+    assert(got.map(_.getAs[Long]("window_time")).toSeq ==
+      (1 to 5).map(d => t0 + d * day - 1))
+  }
+
+  test("sliding window: empty-window disabled drops default rows") {
+    val view = SlidingFeatureView(
+      "v_slide_noempty", purchaseSource,
+      features = Seq(
+        Feature(
+          "total_cost",
+          SlidingWindowTransform("cost", AggFunc.Sum, windowSize = 2.days, stepSize = 1.day))),
+      enableEmptyWindowOutput = false,
+      skipSameWindowOutput = false)
+    val got = client.getFeatures(view).orderBy("window_time").collect()
+    assert(got.map(_.getAs[Long]("total_cost")).toSeq == Seq(500L, 1000L, 1600L, 1100L))
+  }
+
+  test("sliding window: avg carries (sum,count) across buckets") {
+    val view = SlidingFeatureView(
+      "v_slide_avg", purchaseSource,
+      features = Seq(
+        Feature(
+          "avg_cost",
+          SlidingWindowTransform("cost", AggFunc.Avg, windowSize = 2.days, stepSize = 1.day))))
+    val got = client.getFeatures(view).orderBy("window_time").collect()
+    assert(got.map(r => Option(r.getAs[Any]("avg_cost"))).toSeq ==
+      Seq(Some(250.0), Some(250.0), Some(400.0), Some(550.0), None))
+  }
+
+  test("udf transform over whole row") {
+    val view = DerivedFeatureView(
+      "v_udf", purchaseSource,
+      features = Seq(
+        Feature(
+          "name_cost",
+          UdfTransform(
+            (r: Row) => s"${r.getAs[String]("name")}:${r.getAs[Long]("cost")}",
+            DString))),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("time").collect()
+    assert(got.head.getAs[String]("name_cost") == "Alex:100")
+  }
+
+  test("online store upsert keeps latest per key") {
+    import graft.client.MemoryOnlineStore
+    MemoryOnlineStore.registerKeys("t_online", Seq("name"))
+    MemoryOnlineStore.put(
+      "t_online", purchases, Seq("name"), Some("time"))
+    val alex = MemoryOnlineStore.get("t_online", Map("name" -> "Alex"))
+    assert(alex.get("cost") == 600L)
+    val served = client.getOnlineFeatures(
+      Seq(Map("name" -> "Alex")), "t_online",
+      lookupFeatures = Seq("cost", "distance"),
+      exprFeatures = Seq(("cost_per_mile", "cost / distance")))
+    assert(served.head("cost_per_mile") == 0.75)
+  }
+}
