@@ -1,0 +1,764 @@
+package graft
+
+import graft.client.{GraftClient, Metrics}
+import graft.engine.{EventTime, TemporalJoin}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.table._
+import graft.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.concurrent.duration._
+
+/** The driver-facing query inventory: one entry per operator from
+  * SURVEY.md §2 plus the training-data-pipeline operators (dedup,
+  * similarity search, text analysis, multimodal). Every oracle is ANSI SQL
+  * runnable by DuckDB on the same parquet tables; every aggregate/computed
+  * column is aliased identically on both sides.
+  *
+  * Floating-point policy: per-row arithmetic is left raw (bit-identical
+  * across engines); ORDER-DEPENDENT aggregates of doubles (sums/avgs over
+  * many rows) are rounded on BOTH sides so partial-aggregation order cannot
+  * flip the comparison.
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      build: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def pq(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  private def fileSrc(
+      name: String,
+      dir: String,
+      table: String,
+      keys: Seq[String] = Nil,
+      ts: Option[String] = None,
+      tsFormat: String = "auto"): FileSource =
+    FileSource(
+      name, s"$dir/$table.parquet", "parquet",
+      keys = if (keys.isEmpty) None else Some(keys),
+      timestampField = ts,
+      timestampFormat = tsFormat)
+
+  /** The events table stores TIMESTAMP(NANOS) — Spark reads it as int64
+    * nanos (spark.sql.legacy.parquet.nanosAsLong), declared here as an
+    * epoch_nanos event time.
+    */
+  private def eventsSrc(name: String, dir: String): FileSource =
+    fileSrc(name, dir, "events", Seq("user_id"), Some("ts"), "epoch_nanos")
+
+  // ------------------------------------------------------------------
+  // Feature-store core (SURVEY.md §2.1-2.8)
+  // ------------------------------------------------------------------
+
+  private val q01 = Q(
+    "q01_derived_expr",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val src = fileSrc("q01_li", dir, "lineitem", Seq("l_orderkey", "l_linenumber"), Some("l_shipdate"))
+      cl.getFeatures(DerivedFeatureView(
+        "q01", src,
+        features = Seq(
+          Feature.expr("revenue", "l_extendedprice * (1 - l_discount)"),
+          Feature.expr("charge", "l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+          Feature.expr("qty_class",
+            "CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END"))))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_shipdate,
+      l_extendedprice * (1 - l_discount) AS revenue,
+      l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+      CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_class
+      FROM lineitem"""))
+
+  private val q02 = Q(
+    "q02_derived_filter",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val src = fileSrc("q02_li", dir, "lineitem", Seq("l_orderkey", "l_linenumber"), Some("l_shipdate"))
+      cl.getFeatures(DerivedFeatureView(
+        "q02", src,
+        features = Seq(
+          Feature.expr("double_qty", "l_quantity * 2"),
+          Feature.expr("is_heavy", "l_quantity >= 45")),
+        keepSourceFields = true,
+        filterExpr = Some("l_returnflag = 'R' AND l_quantity > 30")))
+    },
+    Some("""SELECT lineitem.*, l_quantity * 2 AS double_qty, l_quantity >= 45 AS is_heavy
+      FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30"""))
+
+  private val q03 = Q(
+    "q03_expr_functions",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val src = fileSrc("q03_part", dir, "part", Seq("p_partkey"))
+      cl.getFeatures(DerivedFeatureView(
+        "q03", src,
+        features = Seq(
+          Feature.expr("name_lower", "LOWER(p_name)"),
+          Feature.expr("brand_type", "CONCAT_WS('-', p_brand, p_type)"),
+          Feature.expr("size_str", "CAST(p_size AS STRING)"),
+          Feature.expr("bad_int", "TRY_CAST(p_brand AS INTEGER)"),
+          Feature.expr("size_from_map", "MAP('a', p_size)['a']"),
+          Feature.expr("arr_second", "ARRAY(p_brand, p_type)[2]"),
+          Feature.expr("name_json", "JSON_STRING(p_name)"))))
+    },
+    Some("""SELECT p_partkey, lower(p_name) AS name_lower,
+      concat_ws('-', p_brand, p_type) AS brand_type,
+      CAST(p_size AS VARCHAR) AS size_str,
+      TRY_CAST(p_brand AS INTEGER) AS bad_int,
+      p_size AS size_from_map,
+      p_type AS arr_second,
+      to_json(p_name)::VARCHAR AS name_json
+      FROM part"""))
+
+  private val q04 = Q(
+    "q04_expr_unixts",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val src = fileSrc("q04_ord", dir, "orders", Seq("o_orderkey"), Some("o_orderdate"))
+      cl.getFeatures(DerivedFeatureView(
+        "q04", src,
+        features = Seq(
+          Feature.expr("ts_sec", "UNIX_TIMESTAMP(CAST(o_orderdate AS STRING))"),
+          Feature.expr("ts_plus_day", "UNIX_TIMESTAMP(CAST(o_orderdate AS STRING)) + 86400"))))
+    },
+    Some("""SELECT o_orderkey, o_orderdate, epoch(o_orderdate)::BIGINT AS ts_sec,
+      epoch(o_orderdate)::BIGINT + 86400 AS ts_plus_day FROM orders"""))
+
+  private val q05 = Q(
+    "q05_udf_row",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val src = fileSrc("q05_ord", dir, "orders", Seq("o_orderkey"), Some("o_orderdate"))
+      cl.getFeatures(DerivedFeatureView(
+        "q05", src,
+        features = Seq(Feature(
+          "prio_len",
+          UdfTransform(
+            (r: Row) => r.getAs[String]("o_orderpriority").length.toLong +
+              r.getAs[Long]("o_orderkey") % 7,
+            DInt64)))))
+    },
+    Some("""SELECT o_orderkey, o_orderdate,
+      length(o_orderpriority)::BIGINT + o_orderkey % 7 AS prio_len FROM orders"""))
+
+  private val q06 = Q(
+    "q06_pit_join",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val ev = eventsSrc("q06_events", dir)
+      cl.registerTable(DerivedFeatureView(
+        "q06_ev", ev,
+        features = Seq(
+          Feature.expr("o_custkey", "user_id"),
+          Feature.expr("ev_value", "value")),
+        keys = Some(Seq("o_custkey"))))
+      val orders = fileSrc("q06_ord", dir, "orders", Seq("o_custkey"), Some("o_orderdate"))
+      cl.getFeatures(DerivedFeatureView(
+        "q06", orders,
+        features = Seq(Feature(
+          "ev_value", JoinTransform("q06_ev", "ev_value"), keys = Some(Seq("o_custkey")))),
+        keepSourceFields = true))
+    },
+    Some("""WITH e1 AS (SELECT user_id, epoch_ms(ts) AS tms, MAX(value) AS value
+        FROM events GROUP BY 1, 2)
+      SELECT o.*, e1.value AS ev_value FROM orders o
+      ASOF LEFT JOIN e1 ON o.o_custkey = e1.user_id AND epoch_ms(o.o_orderdate) >= e1.tms"""))
+
+  private val q07 = Q(
+    "q07_over_window_range",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val ev = eventsSrc("q07_events", dir)
+      val inner = DerivedFeatureView(
+        "q07_inner", ev,
+        features = Seq(
+          Feature("avg_1h_raw", OverWindowTransform("value", AggFunc.Avg, Some(1.hour), Seq("user_id"))),
+          Feature("sum_1h_raw", OverWindowTransform("value", AggFunc.Sum, Some(1.hour), Seq("user_id"))),
+          Feature("cnt_1h", OverWindowTransform("value", AggFunc.Count, Some(1.hour), Seq("user_id"))),
+          Feature("first_type", OverWindowTransform("event_type", AggFunc.FirstValue, Some(1.hour), Seq("user_id"))),
+          Feature("rn", OverWindowTransform("value", AggFunc.RowNumber, None, Seq("user_id")), dtype = Some(DInt64))),
+        keepSourceFields = true)
+      cl.registerTable(inner)
+      cl.getFeatures(DerivedFeatureView(
+        "q07", inner,
+        features = Seq(
+          Feature.expr("avg_1h", "ROUND(avg_1h_raw, 4)"),
+          Feature.expr("sum_1h", "ROUND(sum_1h_raw, 3)"),
+          Feature.expr("cnt_1h", "cnt_1h"),
+          Feature.expr("first_type", "first_type"),
+          Feature.expr("rn", "rn")),
+        keys = Some(Seq("event_id", "user_id")))).drop("ts")
+    },
+    Some("""SELECT event_id, user_id,
+      round(avg(value) OVER w, 4) AS avg_1h,
+      round(sum(value) OVER w, 3) AS sum_1h,
+      count(value) OVER w AS cnt_1h,
+      first_value(event_type) OVER w AS first_type,
+      (row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)))::BIGINT AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)"""))
+
+  private val q08 = Q(
+    "q08_over_window_rows",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val ev = eventsSrc("q08_events", dir)
+      val inner = DerivedFeatureView(
+        "q08_inner", ev,
+        features = Seq(
+          Feature("sum5_raw", OverWindowTransform("value", AggFunc.Sum, None, Seq("user_id"), limit = Some(5))),
+          Feature("min_5", OverWindowTransform("value", AggFunc.Min, None, Seq("user_id"), limit = Some(5))),
+          Feature("first_5", OverWindowTransform("value", AggFunc.FirstValue, None, Seq("user_id"), limit = Some(5))),
+          Feature("types3_raw", OverWindowTransform("event_type", AggFunc.CollectList, None, Seq("user_id"), limit = Some(3)))),
+        keepSourceFields = true)
+      cl.registerTable(inner)
+      cl.getFeatures(DerivedFeatureView(
+        "q08", inner,
+        features = Seq(
+          Feature.expr("sum_5", "ROUND(sum5_raw, 3)"),
+          Feature.expr("min_5", "min_5"),
+          Feature.expr("first_5", "first_5"),
+          Feature.expr("types_3", "ARRAY_JOIN(types3_raw, ',')")),
+        keys = Some(Seq("event_id", "user_id")))).drop("ts")
+    },
+    Some("""SELECT event_id, user_id,
+      round(sum(value) OVER w5, 3) AS sum_5,
+      min(value) OVER w5 AS min_5,
+      first_value(value) OVER w5 AS first_5,
+      string_agg(event_type, ',') OVER w3 AS types_3
+      FROM events
+      WINDOW
+        w5 AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        w3 AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""))
+
+  private val q09 = Q(
+    "q09_over_window_filter",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val ev = eventsSrc("q09_events", dir)
+      val inner = DerivedFeatureView(
+        "q09_inner", ev,
+        features = Seq(
+          Feature("clicks_cnt10", OverWindowTransform(
+            "value", AggFunc.Count, None, Seq("user_id"),
+            filterExpr = Some("event_type = 'click'"), limit = Some(10))),
+          Feature("clicks_sum10_raw", OverWindowTransform(
+            "value", AggFunc.Sum, None, Seq("user_id"),
+            filterExpr = Some("event_type = 'click'"), limit = Some(10))),
+          Feature("err_first", OverWindowTransform(
+            "value", AggFunc.FirstValue, None, Seq("user_id"),
+            filterExpr = Some("event_type = 'error'"))),
+          Feature("sum_1h3_raw", OverWindowTransform(
+            "value", AggFunc.Sum, Some(1.hour), Seq("user_id"), limit = Some(3)))),
+        keepSourceFields = true)
+      cl.registerTable(inner)
+      cl.getFeatures(DerivedFeatureView(
+        "q09", inner,
+        features = Seq(
+          Feature.expr("clicks_cnt10", "clicks_cnt10"),
+          Feature.expr("clicks_sum10", "ROUND(clicks_sum10_raw, 3)"),
+          Feature.expr("err_first", "err_first"),
+          Feature.expr("sum_1h3", "ROUND(sum_1h3_raw, 3)")),
+        keys = Some(Seq("event_id", "user_id")))).drop("ts")
+    },
+    Some("""WITH x AS (SELECT event_id, user_id, epoch_ms(ts) ms, value, event_type FROM events),
+      w AS (SELECT event_id, user_id,
+        count(CASE WHEN event_type = 'click' THEN value END) OVER w10 AS clicks_cnt10,
+        round(sum(CASE WHEN event_type = 'click' THEN value END) OVER w10, 3) AS clicks_sum10,
+        first_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS) OVER wu AS err_first
+        FROM x WINDOW
+        w10 AS (PARTITION BY user_id ORDER BY ms ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+        wu AS (PARTITION BY user_id ORDER BY ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      p AS (SELECT e.event_id, r.ms rms, r.value rv, e.ms ems,
+        ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY r.ms DESC) rn
+        FROM x e JOIN x r ON r.user_id = e.user_id AND r.ms <= e.ms),
+      c AS (SELECT event_id,
+        round(SUM(CASE WHEN rn <= 3 AND rms >= ems - 3600000 THEN rv END), 3) AS sum_1h3
+        FROM p GROUP BY 1)
+      SELECT w.event_id, w.user_id, w.clicks_cnt10, w.clicks_sum10, w.err_first, c.sum_1h3
+      FROM w JOIN c ON w.event_id = c.event_id"""))
+
+  private val q10 = Q(
+    "q10_value_counts",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val ev = eventsSrc("q10_events", dir)
+      val df = cl.getFeatures(DerivedFeatureView(
+        "q10_inner", ev,
+        features = Seq(
+          Feature("type_counts", OverWindowTransform("event_type", AggFunc.ValueCounts, None, Seq("user_id")))),
+        keepSourceFields = true))
+      df.withColumn("__rn",
+          row_number().over(Window.partitionBy(col("user_id")).orderBy(col("ts").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), explode(col("type_counts")).as(Seq("v", "cnt")))
+    },
+    Some("SELECT user_id, event_type AS v, COUNT(*) AS cnt FROM events GROUP BY 1, 2"))
+
+  private val q11 = Q(
+    "q11_sliding_multi_size",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val ev = eventsSrc("q11_events", dir)
+      val slide = SlidingFeatureView(
+        "q11_slide", ev,
+        features = Seq(
+          Feature("sum_7d_raw", SlidingWindowTransform("value", AggFunc.Sum, 7.days, 1.day, Seq("user_id"))),
+          Feature("cnt_7d", SlidingWindowTransform("value", AggFunc.Count, 7.days, 1.day, Seq("user_id"))),
+          Feature("cnt_1d", SlidingWindowTransform("value", AggFunc.Count, 1.day, 1.day, Seq("user_id"))),
+          Feature.expr("day_idx", "CAST((GET_WINDOW_TIME() + 1) / 86400000 AS BIGINT)")),
+        enableEmptyWindowOutput = false,
+        skipSameWindowOutput = false)
+      cl.registerTable(slide)
+      cl.getFeatures(DerivedFeatureView(
+        "q11", slide,
+        features = Seq(
+          Feature.expr("sum_7d", "ROUND(sum_7d_raw, 3)"),
+          Feature.expr("cnt_7d", "cnt_7d"),
+          Feature.expr("cnt_1d", "cnt_1d"),
+          Feature.expr("day_idx", "day_idx"))))
+    },
+    Some("""WITH pre AS (SELECT user_id, CAST(FLOOR(epoch_ms(ts)/86400000.0) AS BIGINT) AS b,
+        SUM(value) AS s, COUNT(*) AS c FROM events GROUP BY 1, 2),
+      ends AS (SELECT DISTINCT user_id, b + g AS b
+        FROM (SELECT user_id, b, unnest(generate_series(0, 6)) g FROM pre))
+      SELECT e.user_id, (e.b + 1) * 86400000 - 1 AS window_time,
+        ROUND(SUM(p.s), 3) AS sum_7d,
+        SUM(p.c)::BIGINT AS cnt_7d,
+        COALESCE(SUM(p.c) FILTER (p.b = e.b), 0)::BIGINT AS cnt_1d,
+        (e.b + 1)::BIGINT AS day_idx
+      FROM ends e JOIN pre p ON p.user_id = e.user_id AND p.b BETWEEN e.b - 6 AND e.b
+      GROUP BY e.user_id, e.b"""))
+
+  private val q12 = Q(
+    "q12_sliding_empty_skip",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val ev = eventsSrc("q12_events", dir)
+      cl.getFeatures(SlidingFeatureView(
+        "q12", ev,
+        features = Seq(
+          Feature("cnt_3d", SlidingWindowTransform("value", AggFunc.Count, 3.days, 1.day, Seq("user_id"))),
+          Feature("max_3d", SlidingWindowTransform("value", AggFunc.Max, 3.days, 1.day, Seq("user_id"))))))
+    },
+    Some("""WITH pre AS (SELECT user_id, CAST(FLOOR(epoch_ms(ts)/86400000.0) AS BIGINT) AS b,
+        COUNT(*) c, MAX(value) m FROM events GROUP BY 1, 2),
+      grid AS (SELECT DISTINCT user_id, b + g AS gb
+        FROM (SELECT user_id, b, unnest(generate_series(0, 3)) g FROM pre)),
+      win AS (SELECT g.user_id, g.gb AS b, COALESCE(SUM(p.c), 0)::BIGINT cnt, MAX(p.m) mx
+        FROM grid g LEFT JOIN pre p ON p.user_id = g.user_id AND p.b BETWEEN g.gb - 2 AND g.gb
+        GROUP BY 1, 2),
+      flag AS (SELECT *, cnt > 0 AS isany,
+        COALESCE(LAG(cnt > 0) OVER (PARTITION BY user_id ORDER BY b), false) AS prev_any FROM win),
+      kept AS (SELECT * FROM flag WHERE isany OR prev_any),
+      dedup AS (SELECT *, ROW_NUMBER() OVER w rn, LAG(cnt) OVER w pc, LAG(mx) OVER w pm
+        FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY b))
+      SELECT user_id, (b + 1) * 86400000 - 1 AS window_time, cnt AS cnt_3d, mx AS max_3d
+      FROM dedup WHERE rn = 1 OR (cnt IS DISTINCT FROM pc) OR (mx IS DISTINCT FROM pm)"""))
+
+  private val q13 = Q(
+    "q13_sliding_cumulative",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val ev = eventsSrc("q13_events", dir)
+      cl.getFeatures(SlidingFeatureView(
+        "q13", ev,
+        features = Seq(
+          Feature("cum_cnt", SlidingWindowTransform("value", AggFunc.Count, Duration.Zero, Duration.Zero, Seq("user_id"))),
+          Feature("cum_max", SlidingWindowTransform("value", AggFunc.Max, Duration.Zero, Duration.Zero, Seq("user_id"))))))
+    },
+    Some("""SELECT user_id, epoch_ms(ts) AS window_time,
+      COUNT(value) OVER w AS cum_cnt, MAX(value) OVER w AS cum_max FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
+
+  private val tpchQ1 = """SELECT l_returnflag, l_linestatus,
+      CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      ROUND(SUM(l_extendedprice), 2) AS sum_base,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+      ROUND(AVG(l_quantity), 4) AS avg_qty,
+      COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+  private val q14 = Q(
+    "q14_sql_view",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      cl.getFeatures(SqlFeatureView(
+        "q14", tpchQ1,
+        dependencies = Seq(fileSrc("lineitem", dir, "lineitem"))))
+    },
+    Some(tpchQ1))
+
+  private val q15 = Q(
+    "q15_join_expiry",
+    (spark, dir) => {
+      val left = EventTime.append(
+        pq(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        Some("o_orderdate"), "auto")
+      val ev = EventTime.append(
+        pq(spark, dir, "events")
+          .select(col("user_id").as("o_custkey"), col("ts"), col("value")),
+        Some("ts"), "epoch_nanos")
+      val right = ev.select(
+        col("o_custkey"), col(EventTime.Col),
+        col("value").as("ev_value"), col(EventTime.Col).as("ev_t"))
+      val joined = TemporalJoin.pointInTime(
+        left, right, Seq("o_custkey"),
+        Seq(("ev_value", "ev_value"), ("ev_t", "ev_t")))
+      TemporalJoin
+        .withExpiry(joined, "ev_t", "ev_value", 3L * 86400000L,
+          lit(null).cast("double"))
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          col(EventTime.Col).as("t_ms"), col("ev_value"))
+    },
+    Some("""WITH e1 AS (SELECT user_id, epoch_ms(ts) tms, MAX(value) AS v FROM events GROUP BY 1, 2),
+      j AS (SELECT o.o_orderkey, o.o_custkey, epoch_ms(o.o_orderdate) t_ms, e1.v, e1.tms
+        FROM orders o ASOF LEFT JOIN e1
+        ON o.o_custkey = e1.user_id AND epoch_ms(o.o_orderdate) >= e1.tms)
+      SELECT o_orderkey, o_custkey, t_ms,
+        CASE WHEN t_ms < tms + 259200000 THEN v END AS ev_value FROM j"""))
+
+  private val q16 = Q(
+    "q16_keyfilter_timerange",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val src = fileSrc("q16_li", dir, "lineitem", Seq("l_orderkey"), Some("l_shipdate"))
+      val keysDf = pq(spark, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_orderkey").as("l_orderkey"))
+      cl.getFeatures(
+        src,
+        keysDf = Some(keysDf),
+        startMillis = Some(820454400000L), // 1996-01-01 UTC
+        endMillis = Some(915148800000L))   // 1999-01-01 UTC
+    },
+    Some("""SELECT * FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+      AND epoch_ms(l_shipdate) >= 820454400000 AND epoch_ms(l_shipdate) < 915148800000"""))
+
+  private val q17 = Q(
+    "q17_datagen",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val gen = DataGenSource(
+        "q17_gen", 1000,
+        Seq(
+          SequenceField("uid", DInt64, start = 1),
+          RandomField("tag", DString, length = 12)),
+        seed = 42L)
+      cl.getFeatures(DerivedFeatureView(
+        "q17", gen,
+        features = Seq(Feature.expr("tag_up", "UPPER(tag)")),
+        keepSourceFields = true))
+    },
+    Some("""SELECT (g + 1)::BIGINT AS uid,
+      substr(md5(concat_ws('-', '42', g::VARCHAR, 'tag')), 1, 12) AS tag,
+      upper(substr(md5(concat_ws('-', '42', g::VARCHAR, 'tag')), 1, 12)) AS tag_up
+      FROM generate_series(0, 999) t(g)"""))
+
+  private val q18 = Q(
+    "q18_metrics",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val ev = eventsSrc("q18_events", dir)
+      cl.getFeatures(SlidingFeatureView(
+        "q18", ev,
+        features = Seq(
+          Metrics.count("err_cnt", Some("event_type = 'error'"), 1.day),
+          Metrics.ratio("err_ratio", "event_type = 'error'", 1.day)),
+        enableEmptyWindowOutput = false,
+        skipSameWindowOutput = false))
+    },
+    Some("""WITH pre AS (SELECT CAST(FLOOR(epoch_ms(ts)/86400000.0) AS BIGINT) b,
+        COUNT(CASE WHEN event_type = 'error' THEN 1 END) ec,
+        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) es, COUNT(*) c
+        FROM events GROUP BY 1)
+      SELECT (b + 1) * 86400000 - 1 AS window_time, ec::BIGINT AS err_cnt,
+        es::DOUBLE / c AS err_ratio FROM pre"""))
+
+  // ------------------------------------------------------------------
+  // Training-data pipeline: dedup / similarity / text / multimodal
+  // ------------------------------------------------------------------
+
+  private val q20 = Q(
+    "q20_dedup_exact",
+    (spark, dir) => Dedup.exactGroups(pq(spark, dir, "documents"), "doc_id", "text"),
+    Some("""SELECT md5(text) AS text_hash, MIN(doc_id)::BIGINT AS keep_id,
+      COUNT(*) AS n_copies FROM documents GROUP BY 1"""))
+
+  private val q21 = Q(
+    "q21_dedup_jaccard",
+    (spark, dir) =>
+      Dedup.ngramJaccardPairs(pq(spark, dir, "documents"), "doc_id", "text", 3, 0.5),
+    Some("""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS s
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) g FROM toks)),
+      sz AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+      common AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c FROM sh a
+        JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b, ROUND(c::DOUBLE / (x.sz + y.sz - c), 4) AS jaccard
+      FROM common JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      WHERE ROUND(c::DOUBLE / (x.sz + y.sz - c), 4) >= 0.5"""))
+
+  private val q22 = Q(
+    "q22_dedup_minhash_lsh",
+    (spark, dir) =>
+      Dedup.minhashLshPairs(pq(spark, dir, "documents"), "doc_id", "text"),
+    Some {
+      val mins = (0 until 16).map(i => s"MIN(md5('$i:' || s)) m$i").mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val cols = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $b band, md5(concat_ws('|', $cols)) bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS s
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) g FROM toks)),
+      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      bands AS ($bands)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+    })
+
+  private val q23 = Q(
+    "q23_dedup_simhash",
+    (spark, dir) =>
+      Dedup.simhash(pq(spark, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) tok FROM documents),
+      h AS (SELECT doc_id, md5(tok) h FROM toks),
+      bits AS (SELECT doc_id, g,
+        CASE WHEN ((instr('0123456789abcdef', substr(h, g//4 + 1, 1)) - 1)
+          // CAST(POWER(2, g%4) AS INT)) % 2 = 1 THEN 1 ELSE -1 END w
+        FROM (SELECT doc_id, h, unnest(generate_series(0, 63)) g FROM h)),
+      s AS (SELECT doc_id, g, SUM(w) sw FROM bits GROUP BY 1, 2)
+      SELECT doc_id, string_agg(CASE WHEN sw > 0 THEN '1' ELSE '0' END, '' ORDER BY g) AS simhash
+      FROM s GROUP BY doc_id"""))
+
+  private val q24 = Q(
+    "q24_embed_neardup",
+    (spark, dir) =>
+      Dedup.embeddingNearDupPairs(pq(spark, dir, "embeddings"), "vec_id", "embedding", 0.45),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+      SELECT a.vec_id id_a, b.vec_id id_b,
+        ROUND(list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45"""))
+
+  private val q25 = Q(
+    "q25_ann_topk",
+    (spark, dir) => {
+      val emb = pq(spark, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] cv FROM embeddings),
+      s AS (SELECT query_id, nbr_id,
+        ROUND(list_dot_product(cv, qv) /
+          (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS score
+        FROM c, q WHERE nbr_id <> query_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rnk FROM s)
+      SELECT query_id, rnk::INT AS rank, nbr_id, score FROM r WHERE rnk <= 5"""))
+
+  private val q26 = Q(
+    "q26_text_tokens",
+    (spark, dir) =>
+      TextOps.tokenStats(pq(spark, dir, "documents"), "text", Seq("doc_id")),
+    Some("""SELECT doc_id, length(text)::BIGINT AS n_chars,
+      len(string_split(trim(text), ' '))::BIGINT AS n_tokens_ws,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_tokens_re,
+      ROUND(length(text)::DOUBLE / len(string_split(trim(text), ' ')), 4) AS chars_per_token
+      FROM documents"""))
+
+  private val q27 = Q(
+    "q27_text_quality",
+    (spark, dir) =>
+      TextOps.qualitySignals(pq(spark, dir, "documents"), "text", Seq("doc_id")),
+    Some("""WITH q AS (SELECT doc_id,
+        length(text)::DOUBLE nc,
+        len(string_split(trim(text), ' '))::DOUBLE nw,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE na,
+        length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE np,
+        len(list_filter(string_split(lower(trim(text)), ' '),
+          x -> list_contains(['the','a','of','and','in','to','is','for','on','with'], x)))::DOUBLE ns
+        FROM documents)
+      SELECT doc_id, nw::BIGINT AS n_words,
+        ROUND(na / GREATEST(nc, 1), 4) AS alpha_ratio,
+        ROUND(ns / GREATEST(nw, 1), 4) AS stopword_ratio,
+        ROUND(np / GREATEST(nc, 1), 4) AS punct_ratio,
+        ROUND(0.4 * LEAST(nw / 64, 1.0) + 0.3 * (na / GREATEST(nc, 1)) +
+          0.2 * LEAST(ns / GREATEST(nw, 1) * 4, 1.0) +
+          0.1 * (1.0 - LEAST(np / GREATEST(nc, 1) * 10, 1.0)), 4) AS quality_score
+      FROM q"""))
+
+  private val q28 = Q(
+    "q28_text_langid_fp",
+    (spark, dir) => {
+      val d = pq(spark, dir, "documents")
+      d.select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.fingerprint(col("text")).as("fp"))
+    },
+    Some {
+      val markers = TextOps.LangMarkers
+        .map { case (l, ws) => s"('$l', [${ws.map(w => s"'$w'").mkString(",")}])" }
+        .mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') toks, text FROM documents),
+      s AS (SELECT t.doc_id, m.lang mlang,
+        len(list_filter(t.toks, x -> list_contains(m.words, x))) score
+        FROM t, (VALUES $markers) m(lang, words)),
+      r AS (SELECT doc_id, mlang, ROW_NUMBER() OVER
+        (PARTITION BY doc_id ORDER BY score DESC, mlang DESC) rn FROM s)
+      SELECT d.doc_id, d.lang, r.mlang AS lang_pred,
+        md5(array_to_string(list_sort(list_distinct(string_split(trim(d.text), ' '))), ' ')) AS fp
+      FROM documents d JOIN r ON r.doc_id = d.doc_id AND r.rn = 1"""
+    })
+
+  private val q29 = Q(
+    "q29_text_sketch",
+    (spark, dir) =>
+      pq(spark, dir, "documents").select(
+        col("doc_id"),
+        TextOps.shingleSketch(col("text"), 8, 4).as("sketch")),
+    Some("""WITH g AS (SELECT doc_id, md5(substr(text, gg::INT, 8)) AS h
+        FROM (SELECT doc_id, text,
+          unnest(generate_series(1, greatest(length(text) - 7, 1))) gg FROM documents)),
+      r AS (SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) rn FROM g)
+      SELECT doc_id, string_agg(h, '|' ORDER BY h) AS sketch FROM r WHERE rn <= 4 GROUP BY doc_id"""))
+
+  private val q30 = Q(
+    "q30_multimodal_meta",
+    (spark, dir) => {
+      val d = pq(spark, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      Multimodal.withMeta(d, "payload", "image/fake")
+        .select(
+          col("doc_id"),
+          col("meta.mime").as("mime"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"))
+    },
+    Some("""SELECT doc_id, 'image/fake' AS mime, octet_length(text::BLOB)::BIGINT AS n_bytes,
+      ((16 * (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+        + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) % 240 + 16)::INT AS width,
+      ((16 * (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1)
+        + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1)) % 240 + 16)::INT AS height
+      FROM documents"""))
+
+  private val q31 = Q(
+    "q31_multimodal_frames",
+    (spark, dir) => {
+      val d = pq(spark, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      Multimodal.sampleFrames(d, "doc_id", "payload", 64, 2)
+        .select(
+          col("id").as("doc_id"), col("frame_idx"),
+          md5(col("frame_bytes")).as("frame_md5"))
+    },
+    Some("""SELECT doc_id, (g // 2)::INT AS frame_idx,
+      md5(substr(text, (g * 64 + 1)::INT, 64)) AS frame_md5
+      FROM (SELECT doc_id, text,
+        unnest(generate_series(0, greatest((length(text) // 64) - 1, 0), 2)) g FROM documents)"""))
+
+  /** Stubbed media feature extraction — no SQL equivalent (partition-wise
+    * Scala codec stub), so the driver records a rows-only check.
+    */
+  private val q32 = Q(
+    "q32_multimodal_features",
+    (spark, dir) => {
+      val d = pq(spark, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      Multimodal.extractFeatures(d, "doc_id", "payload", dim = 8)
+        .select(
+          col("id").as("doc_id"),
+          size(col("features")).as("dim"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+    },
+    None)
+
+  /** SimHash blocking pairs — exercised without an oracle (the Hamming
+    * verify is array-lambda logic with no clean DuckDB v1.0 equivalent);
+    * correctness of the underlying signatures is oracle-checked by q23.
+    */
+  private val q33 = Q(
+    "q33_simhash_pairs",
+    (spark, dir) => {
+      val sim = Dedup.simhash(pq(spark, dir, "documents"), "doc_id", "text")
+      Dedup.simhashPairs(sim, prefixBits = 16, maxHamming = 8)
+        .withColumn("hamming", col("hamming").cast("int"))
+    },
+    None)
+
+  /** LSH-bucketed approximate top-k — rows-only; exactness baseline is q25. */
+  private val q34 = Q(
+    "q34_ann_lsh",
+    (spark, dir) => {
+      val emb = pq(spark, dir, "embeddings")
+      Similarity.lshTopK(
+        emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, planes = 4)
+    },
+    None)
+
+  private val q35 = Q(
+    "q35_csv_source",
+    (spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q35").toString
+      pq(spark, dir, "events")
+        .filter(col("event_id") < 100)
+        .select("event_id", "user_id", "event_type", "value")
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val cl = new GraftClient(spark)
+      cl.getFeatures(FileSource(
+        "q35_csv", tmp, "csv",
+        schema = Some(Schema(
+          Seq("event_id", "user_id", "event_type", "value"),
+          Seq(DInt64, DInt64, DString, DFloat64)))))
+    },
+    Some("SELECT event_id, user_id, event_type, value FROM events WHERE event_id < 100"))
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18,
+    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
+    q30, q31, q32, q33, q34, q35)
+
+  /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
+    * point-in-time self-join + filter, through the full client path.
+    * Avoids the nanos-timestamped events table — the driver smoke-checks
+    * this with its own SparkSession, whose parquet reader config we don't
+    * control.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val cl = new GraftClient(spark)
+    val hist = fileSrc("entry_hist_src", dir, "orders", Seq("o_custkey"), Some("o_orderdate"))
+    cl.registerTable(DerivedFeatureView(
+      "entry_hist", hist,
+      features = Seq(Feature.expr("prev_price", "o_totalprice")),
+      keys = Some(Seq("o_custkey"))))
+    val orders = fileSrc("entry_ord", dir, "orders", Seq("o_custkey"), Some("o_orderdate"))
+    cl.getFeatures(DerivedFeatureView(
+      "entry", orders,
+      features = Seq(
+        Feature.expr("price_k", "o_totalprice / 1000"),
+        Feature("prev_price", JoinTransform("entry_hist", "prev_price"), keys = Some(Seq("o_custkey"))),
+        Feature("cnt_30d", OverWindowTransform(
+          "o_totalprice", AggFunc.Count, Some(30.days), Seq("o_custkey")))),
+      keepSourceFields = true,
+      filterExpr = Some("o_totalprice > 1000")))
+  }
+}

@@ -41,19 +41,22 @@ final class GraftClient(val spark: SparkSession) {
     * dataframe_builder/source_sink_utils.py:96-123).
     */
   def materialize(desc: TableDescriptor, sink: Sink): Unit = {
-    val df = getFeatures(desc)
+    Registry.register(desc)
     sink match {
       case FileSink(path, format, mode) =>
-        df.write.format(format).mode(mode).save(path)
-      case PrintSink(n)   => df.show(n, truncate = false)
-      case BlackHoleSink  => df.foreach(_ => ())
+        getFeatures(desc).write.format(format).mode(mode).save(path)
+      case PrintSink(n)   => getFeatures(desc).show(n, truncate = false)
+      case BlackHoleSink  => getFeatures(desc).foreach(_ => ())
       case MemoryStoreSink(tableName) =>
+        // Keep the engine event-time column so upsert order uses the
+        // descriptor's declared timestampFormat (epoch/epoch_millis/auto/
+        // strftime), matching the reference's to_unix_timestamp-based order
+        // (ref: python/feathub/online_stores/memory_online_store.py:51-123).
         MemoryOnlineStore.put(
           tableName,
-          df,
+          builder.buildWithTime(desc),
           desc.keys.getOrElse(throw new IllegalArgumentException(
-            "MemoryStoreSink requires table keys")),
-          desc.timestampField)
+            "MemoryStoreSink requires table keys")))
     }
   }
 
@@ -87,13 +90,19 @@ object MemoryOnlineStore {
   private final case class Entry(timeMillis: Long, row: Map[String, Any])
   private val tables = mutable.Map.empty[String, mutable.Map[Seq[Any], Entry]]
 
-  def put(name: String, df: DataFrame, keys: Seq[String], timestampField: Option[String]): Unit = {
+  /** Upsert latest-per-key rows. `df` should carry the engine's epoch-millis
+    * event-time column ([[EventTime.Col]], appended by the builder from the
+    * descriptor's timestampFormat); rows without it upsert at t=0. Key fields
+    * are registered here so the materialize → serve path works without a
+    * separate manual registration.
+    */
+  def put(name: String, df: DataFrame, keys: Seq[String]): Unit = {
+    registerKeys(name, keys)
     val table = tables.getOrElseUpdate(name, mutable.Map.empty)
-    val cols = df.columns
-    val withT = timestampField match {
-      case Some(tf) => df.withColumn("__t__", unix_millis(col(tf).cast("timestamp")))
-      case None     => df.withColumn("__t__", lit(0L))
-    }
+    val cols = df.columns.filterNot(_ == EventTime.Col)
+    val withT =
+      if (df.columns.contains(EventTime.Col)) df.withColumn("__t__", col(EventTime.Col))
+      else df.withColumn("__t__", lit(0L))
     withT.collect().foreach { r =>
       val keyVals = keys.map(k => r.getAs[Any](k))
       val t = if (r.isNullAt(r.fieldIndex("__t__"))) 0L else r.getAs[Long]("__t__")

@@ -113,7 +113,10 @@ final class Builder(spark: SparkSession) {
         val keyCols = v.keys.orElse(v.source.keys).getOrElse(Nil)
         (keyCols ++ v.timestampField.toSeq ++ v.features.map(_.name)).distinct
       }
-    df.select((outFields.map(col) :+ col(EventTime.Col)): _*)
+    // Untimestamped sources (e.g. a DataGen dimension) have no event-time
+    // metadata column to carry through.
+    val metaCols = if (df.columns.contains(EventTime.Col)) Seq(col(EventTime.Col)) else Nil
+    df.select(outFields.map(col) ++ metaCols: _*)
   }
 
   private def applyRowFeature(df: DataFrame, f: Feature): DataFrame = f.transform match {
@@ -122,10 +125,10 @@ final class Builder(spark: SparkSession) {
       val c = f.dtype.map(dt => c0.cast(dt.toSpark)).getOrElse(c0)
       df.withColumn(f.name, c)
     case UdfTransform(fn, resultType, failOnException, valueOnException) =>
-      val call: Row => Any =
+      val wrapped: Row => Any =
         if (failOnException) fn
         else r => try fn(r) catch { case _: Exception => valueOnException }
-      val u = udf(new UDF1[Row, Any] { def call(r: Row): Any = call(r) }, resultType.toSpark)
+      val u = udf(new UDF1[Row, Any] { def call(r: Row): Any = wrapped(r) }, resultType.toSpark)
       df.withColumn(f.name, u(struct(df.columns.map(col): _*)))
     case other => throw new IllegalArgumentException(s"not a per-row transform: $other")
   }

@@ -22,6 +22,10 @@ object EventTime {
         val c = timestampFormat match {
           case "epoch"        => col(field).cast("bigint") * lit(1000L)
           case "epoch_millis" => col(field).cast("bigint")
+          // int64 nanoseconds (e.g. parquet TIMESTAMP(NANOS) read with
+          // spark.sql.legacy.parquet.nanosAsLong=true); integer division —
+          // a double roundtrip would lose precision above 2^53.
+          case "epoch_nanos"  => expr(s"`$field` DIV 1000000")
           case "auto"         =>
             df.schema(field).dataType match {
               case TimestampType => unix_millis(col(field))

@@ -97,15 +97,20 @@ object OverWindows {
       case AggFunc.Count => size(pairs).cast("long")
       case AggFunc.Min   => array_min(vals)
       case AggFunc.Max   => array_max(vals)
+      // Fold the tail onto the head so the accumulator keeps the element
+      // type. The tail length must be computed — slice with an Int.MaxValue
+      // length overflows (start + length) and silently yields an empty tail.
       case AggFunc.Sum   =>
         when(size(pairs) > 0,
-          aggregate(slice(vals, 2, Int.MaxValue), element_at(vals, 1), (acc, x) => acc + x))
+          aggregate(slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+            element_at(vals, 1), (acc, x) => acc + x))
       case AggFunc.Avg =>
         when(size(pairs) > 0,
-          aggregate(slice(vals, 2, Int.MaxValue), element_at(vals, 1).cast("double"),
+          aggregate(slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+            element_at(vals, 1).cast("double"),
             (acc, x) => acc + x) / size(pairs))
-      case AggFunc.FirstValue  => element_at(vals, 1)
-      case AggFunc.LastValue   => element_at(vals, -1)
+      case AggFunc.FirstValue  => when(size(vals) > 0, element_at(vals, 1))
+      case AggFunc.LastValue   => when(size(vals) > 0, element_at(vals, -1))
       case AggFunc.CollectList => vals
       case AggFunc.ValueCounts => valueCounts(vals)
       case AggFunc.RowNumber =>

@@ -97,13 +97,22 @@ object SlidingWindows {
     val preAgg = withVals.groupBy(groupCols: _*).agg(partials.head, partials.tail: _*)
 
     // ---- Phase 3: per-key step grid (supplies empty-window steps) -----
+    // Generate grid buckets only NEAR DATA: each pre-agg bucket b feeds the
+    // windows ending at b..b+span-1 plus the became-empty step b+span, so
+    // exploding b..b+span per data bucket (then distinct) covers exactly the
+    // steps the reference's Flink timers would fire. Densifying the full
+    // min..max range per key (the naive formulation) explodes row counts for
+    // sparse keys with long histories and overflows sequence()'s max array
+    // length — this stays proportional to the data instead.
     val maxSpanBuckets = feats.map(f => f.tr.windowSize.toMillis / step).max
-    val bounds = preAgg
-      .groupBy(keys.map(col): _*)
-      .agg(min(col(B)).as("__b0"), max(col(B)).as("__b1"))
-    val grid = bounds.select(
-      keys.map(col) :+
-        explode(sequence(col("__b0"), col("__b1") + lit(maxSpanBuckets))).as(B): _*)
+    require(
+      maxSpanBuckets < 10_000_000,
+      s"window_size/step_size ratio $maxSpanBuckets too large; every input " +
+        "row would feed that many output windows")
+    val grid = preAgg
+      .select(keys.map(col) :+
+        explode(sequence(col(B), col(B) + lit(maxSpanBuckets))).as(B): _*)
+      .distinct()
     val joined = grid.join(preAgg, keys :+ B, "left")
 
     // ---- Phase 4: one RANGE window per window size over bucket index --
@@ -147,8 +156,14 @@ object SlidingWindows {
     val withAny = merged.withColumn("__any", anyData)
     val kept =
       if (enableEmptyWindowOutput)
-        // keep data rows plus the single step where the window became empty
-        withAny.filter(col("__any") || lag(col("__any"), 1, false).over(orderW))
+        // keep data rows plus the single step where the window became empty;
+        // the lag must be materialized via withColumn first — window
+        // functions are not allowed directly inside filter().
+        withAny
+          .withColumn("__keep",
+            col("__any") || lag(col("__any"), 1, false).over(orderW))
+          .filter(col("__keep"))
+          .drop("__keep")
       else withAny.filter(col("__any"))
 
     val windowTime = ((col(B) + 1) * step - 1).as(SparkCompiler.WindowTimeCol)

@@ -13,11 +13,13 @@ object Sources {
 
   def read(spark: SparkSession, s: FileSource): DataFrame = {
     val reader = spark.read.format(s.format)
+    val withHeader =
+      if (s.format == "csv") reader.option("header", "true") else reader
     val withSchema = s.schema match {
-      case Some(sc) => reader.schema(sc.toSpark)
+      case Some(sc) => withHeader.schema(sc.toSpark)
       case None =>
-        if (s.format == "csv") reader.option("header", "true").option("inferSchema", "true")
-        else reader
+        if (s.format == "csv") withHeader.option("inferSchema", "true")
+        else withHeader
     }
     val df = withSchema.load(s.path)
     EventTime.append(df, s.timestampField, s.timestampFormat)
@@ -41,7 +43,7 @@ object Sources {
         val u = (pmod(h, lit(1000000007L)).cast("double") / lit(1000000007.0))
         dtype match {
           case DString =>
-            substring(md5(concat_ws("-", lit(s.seed), col("id"), lit(name))), 0, length).as(name)
+            substring(md5(concat_ws("-", lit(s.seed), col("id"), lit(name))), 1, length).as(name)
           case DBool => (pmod(h, lit(2)) === 0).as(name)
           case DTimestamp =>
             timestamp_millis((lit(minimum) + u * (lit(maximum) - lit(minimum))).cast("bigint")).as(name)

@@ -28,17 +28,30 @@ object RowInterpreter {
         case d: Double => -d
       }
     case BinaryOp(op, l, r) =>
-      (num(eval(l, row)), num(eval(r, row))) match {
+      // Evaluate each operand exactly once; keep exact Long arithmetic when
+      // both operands are integral (int64 beyond 2^53 must not round-trip
+      // through Double), falling back to Double for floating-point inputs
+      // and for division, which is always FLOAT64 in the DSL.
+      (eval(l, row), eval(r, row)) match {
         case (null, _) | (_, null) => null
-        case (a: Double, b: Double) =>
-          val isInt = intLike(l, row) && intLike(r, row) && op != "/"
-          val d = op match {
-            case "+" => a + b
-            case "-" => a - b
-            case "*" => a * b
-            case "/" => a / b
+        case (lv, rv) =>
+          (asLong(lv), asLong(rv)) match {
+            case (Some(a), Some(b)) if op != "/" =>
+              op match {
+                case "+" => a + b
+                case "-" => a - b
+                case "*" => a * b
+              }
+            case _ =>
+              val a = num(lv).asInstanceOf[Double]
+              val b = num(rv).asInstanceOf[Double]
+              op match {
+                case "+" => a + b
+                case "-" => a - b
+                case "*" => a * b
+                case "/" => a / b
+              }
           }
-          if (isInt) d.toLong else d
       }
     case CompareOp(op, l, r) =>
       (eval(l, row), eval(r, row)) match {
@@ -128,6 +141,21 @@ object RowInterpreter {
           case s: Seq[_]    => s.size
           case _            => null
         }
+      case "ROUND" =>
+        a(0) match {
+          case null => null
+          case v =>
+            val scale = if (args.length > 1) num(eval(args(1), row)).asInstanceOf[Double].toInt else 0
+            // Match Spark's HALF_UP decimal rounding of the double value.
+            BigDecimal(num(v).asInstanceOf[Double])
+              .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      case "ARRAY_JOIN" =>
+        (a(0), a(1)) match {
+          case (null, _) => null
+          case (s: Seq[_], sep) => s.filter(_ != null).mkString(sep.toString)
+          case _ => null
+        }
       case other => throw new IllegalArgumentException(s"Unknown function $other")
     }
   }
@@ -143,9 +171,12 @@ object RowInterpreter {
     case other => throw new IllegalArgumentException(s"not numeric: $other")
   }
 
-  private def intLike(n: ExprNode, row: Map[String, Any]): Boolean = eval(n, row) match {
-    case _: Int | _: Long | _: Short | _: Byte => true
-    case _                                     => false
+  private def asLong(v: Any): Option[Long] = v match {
+    case i: Int   => Some(i.toLong)
+    case l: Long  => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte  => Some(b.toLong)
+    case _        => None
   }
 
   private def cmp(a: Any, b: Any): Int = (a, b) match {

@@ -39,7 +39,10 @@ object SparkCompiler {
         case "+" => cl + cr
         case "-" => cl - cr
         case "*" => cl * cr
-        case "/" => cl / cr
+        // try_divide: NULL on integer division-by-zero (the reference's
+        // non-ANSI Spark behavior) instead of an ANSI error; float division
+        // still follows IEEE (Infinity).
+        case "/" => try_divide(cl, cr)
       }
     case CompareOp(op, l, r) =>
       val (cl, cr) = (compile(l), compile(r))
@@ -64,7 +67,12 @@ object SparkCompiler {
     case CastOp(c, to, exceptionOnFailure) =>
       if (exceptionOnFailure) compile(c).cast(to.toSpark)
       else compile(c).try_cast(to.toSpark)
-    case BracketOp(coll, key) => element_at(compile(coll), compile(key))
+    // try_element_at: missing map key / out-of-range index yields NULL (the
+    // reference's lookup semantics) even under ANSI mode. Integer-literal
+    // subscripts compile as INT — array indices reject BIGINT.
+    case BracketOp(coll, IntLit(v)) if v >= Int.MinValue && v <= Int.MaxValue =>
+      try_element_at(compile(coll), lit(v.toInt))
+    case BracketOp(coll, key) => try_element_at(compile(coll), compile(key))
     case FuncCall(name, args) => compileFunc(name, args)
   }
 
@@ -100,6 +108,18 @@ object SparkCompiler {
       require(args.nonEmpty, "ARRAY requires at least one arg")
       array(args.map(compile): _*)
     case "SIZE" => size(compile(args.head))
+    case "ROUND" =>
+      val scale = if (args.length > 1) args(1) match {
+        case IntLit(n) => n.toInt
+        case other => throw new IllegalArgumentException(s"ROUND scale must be an integer literal, got $other")
+      } else 0
+      round(compile(args.head), scale)
+    case "ARRAY_JOIN" =>
+      val sep = args(1) match {
+        case StringLit(s) => s
+        case other => throw new IllegalArgumentException(s"ARRAY_JOIN separator must be a string literal, got $other")
+      }
+      array_join(compile(args.head), sep)
     case "GET_WINDOW_TIME" => col(WindowTimeCol)
     case other => throw new IllegalArgumentException(s"Unknown function $other")
   }
@@ -144,6 +164,8 @@ object SparkCompiler {
       case "LOWER" | "UPPER" | "CONCAT" | "CONCAT_WS" | "JSON_STRING" => DString
       case "UNIX_TIMESTAMP" => DInt64
       case "SIZE"           => DInt32
+      case "ROUND"          => DFloat64
+      case "ARRAY_JOIN"     => DString
       case "MAP" =>
         DMap(inferType(args.head, lookup), inferType(args(1), lookup))
       case "ARRAY"           => DVector(inferType(args.head, lookup))

@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Design for 100 TB:
+  *  - every candidate-generation step is a hash-bucket shuffle on a derived
+  *    key (never an all-pairs cross join);
+  *  - hot shingles/buckets are frequency-capped (`maxDf`) so a stopword
+  *    shingle can't create a quadratic bucket;
+  *  - all hashing is md5-based and engine-portable, so a SQL oracle can
+  *    reproduce every pair decision bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct text hash with the canonical
+    * (minimum) id and the duplicate count. Plain hash groupBy — one shuffle,
+    * map-side partial agg.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Distinct word `n`-gram shingles per document: (id, shingle). */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val ws = TextOps.tokens(col(textCol))
+    val grams = transform(
+      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+      // get() is 0-based and NULL out-of-range (ANSI-safe); concat_ws skips
+      // NULLs, so a doc shorter than n yields one shingle of all its words.
+      i => concat_ws(" ", (0 until n).map(j => get(ws, i + lit(j - 1))): _*))
+    df.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** All-pairs n-gram Jaccard similarity ≥ `threshold`, computed by joining
+    * documents through shared shingles (inverted-index join): only pairs with
+    * at least one common shingle are ever materialized. `maxDf` drops
+    * shingles occurring in more documents — the skew guard that keeps a
+    * stopword shingle from producing |bucket|² pairs.
+    *
+    * Threshold is applied to the ROUNDED (4 dp) similarity so the decision
+    * is reproducible across engines.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Long = 10000L): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, n)
+    val kept = sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val common = kept.as("a")
+      .join(kept.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn(
+        "jaccard",
+        round(col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature columns `mh_0..mh_{numHashes-1}` per id: the i-th
+    * hash is the lexicographic minimum of md5(i ':' shingle) over the
+    * document's shingle set (string-min MinHash — portable, no integer hash
+    * mixing needed). One shuffle (groupBy id).
+    */
+  def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh_$i"))
+    shingles.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band buckets from minhash signatures: `bands` buckets per doc, each
+    * the md5 of `rowsPerBand` consecutive signature entries. Docs agreeing on
+    * any full band land in the same bucket.
+    */
+  def lshBands(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("bucket"))
+    }
+    signatures.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** MinHash+LSH candidate pairs: distinct (id_a < id_b) sharing at least one
+    * band bucket. Shuffles on (band, bucket); `maxBucket` caps pathological
+    * buckets (identical boilerplate docs) the same way `maxDf` caps shingles.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucket: Long = 10000L): DataFrame = {
+    val sigs = minhashSignatures(wordShingles(df, idCol, textCol, shingleLen), numHashes)
+    val bb = lshBands(sigs, numHashes, bands)
+    val capped = bb.withColumn(
+        "n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("n") <= maxBucket)
+      .drop("n")
+    capped.as("a")
+      .join(
+        capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash as a '0'/'1' bit string (avoids BIGINT sign overflow and
+    * stays engine-portable). Bit b of a token = bit (b%4) of hex digit
+    * (b/4 + 1) of md5(token); document bit b = majority vote over all token
+    * occurrences (sum of ±1 > 0). Computed as 64 map-side partial sums in a
+    * single groupBy — one shuffle.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val hexIdx: Column => Column = d => instr(lit("0123456789abcdef"), d) - 1
+    val bitSums = (0 until 64).map { b =>
+      val digit = hexIdx(substring(col("h"), b / 4 + 1, 1))
+      val bit = floor(digit / math.pow(2, b % 4).toInt).cast("long") % 2
+      sum(bit * 2 - 1).as(s"s_$b")
+    }
+    val sums = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    sums.select(
+      col("id"),
+      concat((0 until 64).map(b => when(col(s"s_$b") > 0, "1").otherwise("0")): _*)
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: pairs agreeing on a `prefixBits`-bit prefix
+    * with Hamming distance ≤ `maxHamming` over the full 64 bits. Prefix
+    * blocking keeps the join bucketed; for guaranteed recall at distance d,
+    * run 64/prefixBits rotated-prefix passes (standard SimHash table
+    * rotation) — this single-pass variant is the building block.
+    */
+  def simhashPairs(
+      sim: DataFrame,
+      prefixBits: Int = 16,
+      maxHamming: Int = 3): DataFrame = {
+    val withPrefix = sim.withColumn("pfx", substring(col("simhash"), 1, prefixBits))
+    val hamming = {
+      val a = split(col("a.simhash"), "")
+      val b = split(col("b.simhash"), "")
+      size(filter(zip_with(a, b, (x, y) => x =!= y), d => d))
+    }
+    withPrefix.as("a")
+      .join(withPrefix.as("b"),
+        col("a.pfx") === col("b.pfx") && col("a.id") < col("b.id"))
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+  }
+
+  /** Embedding near-duplicates: pairs with cosine ≥ `threshold` (rounded to
+    * 6 dp for cross-engine determinism). Candidates come from sign-random-
+    * projection buckets (`planes` bits) instead of an all-pairs join; with
+    * `planes = 0` it degrades to exact all-pairs (test scale only).
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 0): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed =
+      if (planes > 0) base.withColumn("bk", Similarity.srpBucket(col("v"), planes))
+      else base.withColumn("bk", lit(0))
+    val joined = bucketed.as("a")
+      .join(bucketed.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .withColumn("cosine", round(Similarity.cosine(col("a.v"), col("b.v")), 6))
+    joined.filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

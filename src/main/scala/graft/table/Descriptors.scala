@@ -184,11 +184,13 @@ final case class SlidingFeatureView(
     filterExpr: Option[String] = None,
     enableEmptyWindowOutput: Boolean = true,
     skipSameWindowOutput: Boolean = true) extends TableDescriptor {
+  // Skip-same without empty-window rows would drop legitimate outputs
+  // (ref: python/feathub/feature_views/sliding_feature_view.py:188-195).
   require(
-    !(enableEmptyWindowOutput == false && skipSameWindowOutput == true) ||
-      features.forall(!_.transform.isInstanceOf[SlidingWindowTransform]) ||
-      true,
-    "")
+    enableEmptyWindowOutput || !skipSameWindowOutput,
+    "SlidingFeatureView: enable_empty_window_output=false with " +
+      "skip_same_window_output=true is not supported — without empty-window " +
+      "rows the skip-same comparison drops legitimate outputs")
   private val sliding = features.map(_.transform).collect { case t: SlidingWindowTransform => t }
   require(sliding.nonEmpty, "SlidingFeatureView requires at least one SlidingWindowTransform feature")
   require(sliding.map(_.stepSize).distinct.size == 1, "all sliding windows must share step_size")

@@ -49,10 +49,12 @@ class EngineSpec extends SparkSuite {
           OverWindowTransform("cost", AggFunc.Sum, limit = Some(2), groupByKeys = Seq("name")))),
       keepSourceFields = true)
     val got = client.getFeatures(view).orderBy("time").collect()
-    // Alex rows: 100 -> 400 -> 1000 running totals
+    // Alex rows: 100 -> 400 -> 1000 running totals; the 2-day range window
+    // at day-3 08:06 excludes day-1 08:01 (reference golden
+    // test_over_window_transform.py:100: total_cost 100,400,900).
     val alex = got.filter(_.getAs[String]("name") == "Alex")
     assert(alex.map(_.getAs[Long]("total_cost")).toSeq == Seq(100L, 400L, 1000L))
-    assert(alex.map(_.getAs[Long]("cnt_2d")).toSeq == Seq(1L, 2L, 3L))
+    assert(alex.map(_.getAs[Long]("cnt_2d")).toSeq == Seq(1L, 2L, 2L))
     assert(alex.map(_.getAs[Long]("last_2")).toSeq == Seq(100L, 400L, 900L))
   }
 
@@ -70,7 +72,7 @@ class EngineSpec extends SparkSuite {
     val got = client.getFeatures(view).orderBy("time").collect()
     val emma2 = got.filter(_.getAs[String]("name") == "Emma").last
     assert(emma2.getAs[Map[Long, Long]]("dist_counts") == Map(250L -> 2L))
-    assert(emma2.getAs[Seq[Long]]("costs") == Seq(400L, 200L))
+    assert(emma2.getAs[scala.collection.Seq[Long]]("costs").toSeq == Seq(400L, 200L))
   }
 
   test("point-in-time join picks latest right row ≤ left time") {
@@ -135,9 +137,13 @@ class EngineSpec extends SparkSuite {
         Feature(
           "avg_cost",
           SlidingWindowTransform("cost", AggFunc.Avg, windowSize = 2.days, stepSize = 1.day))))
+    // Day-2's window avg equals day-1's (250.0), so the default
+    // skip_same_window_output=true suppresses it — the reference drops
+    // value-repeat steps the same way (test_sliding_window_transform.py:264-
+    // 279: Alex 900@d3 kept, 900@d4 dropped under ENABLE_EMPTY+SKIP_SAME).
     val got = client.getFeatures(view).orderBy("window_time").collect()
     assert(got.map(r => Option(r.getAs[Any]("avg_cost"))).toSeq ==
-      Seq(Some(250.0), Some(250.0), Some(400.0), Some(550.0), None))
+      Seq(Some(250.0), Some(400.0), Some(550.0), None))
   }
 
   test("udf transform over whole row") {
@@ -156,9 +162,10 @@ class EngineSpec extends SparkSuite {
 
   test("online store upsert keeps latest per key") {
     import graft.client.MemoryOnlineStore
-    MemoryOnlineStore.registerKeys("t_online", Seq("name"))
-    MemoryOnlineStore.put(
-      "t_online", purchases, Seq("name"), Some("time"))
+    // materialize → serve with NO manual registerKeys: put must register the
+    // key fields itself, and upsert order must honor the descriptor's
+    // strftime timestampFormat.
+    client.materialize(purchaseSource, MemoryStoreSink("t_online"))
     val alex = MemoryOnlineStore.get("t_online", Map("name" -> "Alex"))
     assert(alex.get("cost") == 600L)
     val served = client.getOnlineFeatures(
