@@ -175,9 +175,13 @@ object Dedup {
   }
 
   /** Embedding near-duplicates: pairs with cosine ≥ `threshold` (rounded to
-    * 6 dp for cross-engine determinism). Candidates come from sign-random-
-    * projection buckets (`planes` bits) instead of an all-pairs join; with
-    * `planes = 0` it degrades to exact all-pairs (test scale only).
+    * 6 dp for cross-engine determinism).
+    *
+    * `planes = 0` → exact all-pairs via the broadcast primitive kernel
+    * ([[Similarity.allPairsCosine]]) — requires the table to be
+    * broadcastable. `planes > 0` → sign-random-projection blocking first
+    * (the 100 TB route): only same-bucket pairs are scored, shuffling on
+    * the bucket key.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -185,13 +189,15 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       planes: Int = 0): DataFrame = {
+    if (planes == 0)
+      return Similarity.allPairsCosine(df, idCol, vecCol, threshold)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bucketed =
-      if (planes > 0) base.withColumn("bk", Similarity.srpBucket(col("v"), planes))
-      else base.withColumn("bk", lit(0))
+    val bucketed = base.withColumn("bk", Similarity.srpBucket(col("v"), planes))
     val joined = bucketed.as("a")
       .join(bucketed.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .withColumn("cosine", round(Similarity.cosine(col("a.v"), col("b.v")), 6))
+      .withColumn("cosine",
+        round(Similarity.dot(col("a.v"), col("b.v")) /
+          (Similarity.norm(col("a.v")) * Similarity.norm(col("b.v"))), 6))
     joined.filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
