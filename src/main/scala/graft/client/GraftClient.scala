@@ -60,6 +60,35 @@ final class GraftClient(val spark: SparkSession) {
     }
   }
 
+  /** ETL write for unbounded descriptors: starts a Structured Streaming
+    * query and returns its handle (the reference returns a ProcessorJob,
+    * ref: python/feathub/processors/processor_job.py). PrintSink → console,
+    * BlackHoleSink → noop, MemoryStoreSink → per-batch upsert via
+    * foreachBatch.
+    */
+  def materializeStream(
+      desc: TableDescriptor,
+      sink: Sink,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    Registry.register(desc)
+    val df = builder.buildWithTime(desc)
+    require(df.isStreaming, s"${desc.name} is bounded; use materialize")
+    val base = EventTime.drop(df).writeStream.option("checkpointLocation", checkpointDir)
+    sink match {
+      case FileSink(path, format, _) =>
+        base.format(format).option("path", path).start()
+      case PrintSink(n)  => base.format("console").option("numRows", n).start()
+      case BlackHoleSink => base.format("noop").start()
+      case MemoryStoreSink(tableName) =>
+        val keys = desc.keys.getOrElse(throw new IllegalArgumentException(
+          "MemoryStoreSink requires table keys"))
+        df.writeStream.option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            MemoryOnlineStore.put(tableName, batch, keys)
+          }.start()
+    }
+  }
+
   /** Online serving: evaluate an OnDemand-style request — per-request
     * lookups against the online store plus row-level expressions — without
     * launching a Spark job (ref: python/feathub/feature_service/

@@ -36,6 +36,7 @@ final class Builder(spark: SparkSession) {
   private def doBuild(desc: TableDescriptor): DataFrame = desc match {
     case s: FileSource         => Sources.read(spark, s)
     case s: DataGenSource      => Sources.generate(spark, s)
+    case s: DataFrameSource    => EventTime.append(s.df, s.timestampField, s.timestampFormat)
     case v: DerivedFeatureView => buildDerived(v)
     case v: SlidingFeatureView => buildSliding(v)
     case v: SqlFeatureView     => buildSql(v)
@@ -154,6 +155,7 @@ final class Builder(spark: SparkSession) {
       }
     }
     val input = pre.foldLeft(source)(applyRowFeature)
+    if (input.isStreaming) return buildSlidingStream(v, input, sliding.toSeq, post.toSeq)
     var out = SlidingWindows(
       input,
       sliding.toSeq.map(f =>
@@ -166,6 +168,47 @@ final class Builder(spark: SparkSession) {
     // `window_time` (ref: sliding_feature_view.py:200-231).
     out
       .withColumnRenamed(SparkCompiler.WindowTimeCol, "window_time")
+      .withColumn(EventTime.Col, col("window_time"))
+  }
+
+  /** Unbounded path: same SlidingFeatureView semantics via the stateful
+    * streaming operator (graft.streaming.StreamingSlidingWindows).
+    */
+  private def buildSlidingStream(
+      v: SlidingFeatureView,
+      input: DataFrame,
+      sliding: Seq[Feature],
+      post: Seq[(String, String)]): DataFrame = {
+    import graft.streaming.StreamingSlidingWindows
+    val trs = sliding.map(f => (f, f.transform.asInstanceOf[SlidingWindowTransform]))
+    val withVals = trs.zipWithIndex.foldLeft(input) { case (df, ((_, tr), i)) =>
+      val e = SparkCompiler.compile(tr.expr)
+      val vcol = tr.filterExpr match {
+        case Some(fe) => when(SparkCompiler.compile(fe), e)
+        case None     => e
+      }
+      df.withColumn(s"__v_$i", vcol)
+    }
+    val maxOoo = v.source match {
+      case s: FileSource      => s.maxOutOfOrderness.toMillis
+      case s: DataFrameSource => s.maxOutOfOrderness.toMillis
+      case _                  => 0L
+    }
+    var out = StreamingSlidingWindows(
+      withVals,
+      v.groupByKeys,
+      trs.map { case (f, tr) =>
+        StreamingSlidingWindows.FeatureSpec(f.name, tr.aggFunc, tr.windowSize.toMillis) },
+      v.stepSize.toMillis,
+      v.enableEmptyWindowOutput,
+      v.skipSameWindowOutput,
+      maxOoo)
+    out = out.withColumn(SparkCompiler.WindowTimeCol, col("window_time"))
+    out = post.foldLeft(out) { case (df, (n, e)) =>
+      df.withColumn(n, SparkCompiler.compile(e))
+    }
+    v.filterExpr.foreach(f => out = out.filter(SparkCompiler.compile(f)))
+    out.drop(SparkCompiler.WindowTimeCol)
       .withColumn(EventTime.Col, col("window_time"))
   }
 

@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
 object Sources {
 
   def read(spark: SparkSession, s: FileSource): DataFrame = {
+    if (!s.isBounded) return readStream(spark, s)
     val reader = spark.read.format(s.format)
     val withHeader =
       if (s.format == "csv") reader.option("header", "true") else reader
@@ -22,6 +23,17 @@ object Sources {
         else withHeader
     }
     val df = withSchema.load(s.path)
+    EventTime.append(df, s.timestampField, s.timestampFormat)
+  }
+
+  /** Unbounded scan via Structured Streaming; Spark's streaming file source
+    * requires an explicit schema (no inference on a moving directory).
+    */
+  private def readStream(spark: SparkSession, s: FileSource): DataFrame = {
+    val schema = s.schema.getOrElse(throw new IllegalArgumentException(
+      s"streaming FileSource ${s.name} requires an explicit schema"))
+    val reader = spark.readStream.format(s.format).schema(schema.toSpark)
+    val df = (if (s.format == "csv") reader.option("header", "true") else reader).load(s.path)
     EventTime.append(df, s.timestampField, s.timestampFormat)
   }
 

@@ -1,0 +1,249 @@
+package graft.streaming
+
+import graft.engine.EventTime
+import graft.table.AggFunc
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import scala.collection.immutable.TreeMap
+
+/** Structured-Streaming sliding (hopping) window aggregation with the
+  * reference's full emission semantics — the Spark analogue of the Flink
+  * `SlidingWindowKeyedProcessFunction`
+  * (ref: java/feathub-udf/flink-udf/src/main/java/com/alibaba/feathub/
+  * flink/udf/processfunction/SlidingWindowKeyedProcessFunction.java:64-554):
+  *
+  *  - per-key state holds ONE time-ordered buffer of step-bucket partial
+  *    aggregates sized to the LARGEST window; every window size is served
+  *    from it (optimizations.md §1 — state shared across window sizes);
+  *  - `enableEmptyWindowOutput`: one defaults row (SUM/COUNT=0, others
+  *    NULL) when a window empties, then silence;
+  *  - `skipSameWindowOutput`: steps whose aggregate tuple equals the last
+  *    emitted tuple are suppressed;
+  *  - rows older than watermark − maxWindowSize are dropped (late-data rule,
+  *    SlidingWindowKeyedProcessFunction.java:128-132).
+  *
+  * Scale: state per key is O(maxWindow/step) partial aggregates —
+  * independent of row rate (rows fold into their bucket on arrival);
+  * emission is driven by event-time timeouts, so idle keys cost nothing per
+  * microbatch. The only shuffle is the groupByKey on the group keys.
+  *
+  * Supported aggs: SUM/COUNT/AVG/MIN/MAX/FIRST_VALUE/LAST_VALUE.
+  * VALUE_COUNTS/COLLECT_LIST/limit remain batch-only for now.
+  */
+object StreamingSlidingWindows {
+
+  final case class FeatureSpec(name: String, agg: AggFunc, windowMs: Long)
+
+  /** Per-bucket partial aggregate for one feature. Sums are carried both as
+    * Long and Double so integral inputs stay exact past 2^53.
+    */
+  final case class Partial(
+      cnt: Long,
+      sumD: Double,
+      sumL: Long,
+      min: Any,
+      max: Any,
+      firstT: Long, firstV: Any,
+      lastT: Long, lastV: Any) extends Serializable
+
+  object Partial {
+    val empty: Partial =
+      Partial(0L, 0.0, 0L, null, null, Long.MaxValue, null, Long.MinValue, null)
+  }
+
+  final case class KeyState(
+      keyVals: List[Any],
+      buckets: TreeMap[Long, Array[Partial]],
+      lastEmittedStep: Long,
+      lastSig: Option[List[Any]],
+      emptyEmitted: Boolean) extends Serializable
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y: Number)   => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: String, y: String)   => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => x.compareTo(y)
+    case _                        => 0
+  }
+
+  private def mergeValue(p: Partial, t: Long, v: Any): Partial = {
+    if (v == null) return p
+    val d = v match { case n: Number => n.doubleValue(); case _ => 0.0 }
+    val l = v match { case n: Number => n.longValue(); case _ => 0L }
+    Partial(
+      p.cnt + 1,
+      p.sumD + d,
+      p.sumL + l,
+      if (p.min == null || cmp(v, p.min) < 0) v else p.min,
+      if (p.max == null || cmp(v, p.max) > 0) v else p.max,
+      math.min(t, p.firstT),
+      if (t < p.firstT) v else p.firstV,
+      math.max(t, p.lastT),
+      if (t > p.lastT) v else p.lastV)
+  }
+
+  private def combine(a: Partial, b: Partial): Partial =
+    Partial(
+      a.cnt + b.cnt,
+      a.sumD + b.sumD,
+      a.sumL + b.sumL,
+      if (a.min == null) b.min else if (b.min == null) a.min
+      else if (cmp(a.min, b.min) <= 0) a.min else b.min,
+      if (a.max == null) b.max else if (b.max == null) a.max
+      else if (cmp(a.max, b.max) >= 0) a.max else b.max,
+      math.min(a.firstT, b.firstT),
+      if (a.firstT <= b.firstT) a.firstV else b.firstV,
+      math.max(a.lastT, b.lastT),
+      if (a.lastT >= b.lastT) a.lastV else b.lastV)
+
+  /** Final value of one feature from its combined window partial; empty
+    * windows default to SUM/COUNT=0 and NULL otherwise
+    * (ref: processors/flink/table_builder/aggregation_utils.py:93-118).
+    */
+  private def result(agg: AggFunc, p: Partial, integral: Boolean): Any = agg match {
+    case AggFunc.Count => p.cnt
+    case AggFunc.Sum =>
+      if (p.cnt == 0) { if (integral) 0L else 0.0 }
+      else if (integral) p.sumL else p.sumD
+    case AggFunc.Avg        => if (p.cnt == 0) null else p.sumD / p.cnt
+    case AggFunc.Min        => p.min
+    case AggFunc.Max        => p.max
+    case AggFunc.FirstValue => p.firstV
+    case AggFunc.LastValue  => p.lastV
+    case other =>
+      throw new IllegalArgumentException(s"streaming sliding does not support $other")
+  }
+
+  /** @param input streaming DataFrame carrying [[EventTime.Col]] (epoch ms)
+    *              and one `__v_i` column per feature (expression and filter
+    *              already applied).
+    * @return streaming DataFrame in append mode: keys ++ window_time ++ features.
+    */
+  def apply(
+      input: DataFrame,
+      keys: Seq[String],
+      feats: Seq[FeatureSpec],
+      stepMs: Long,
+      enableEmptyWindowOutput: Boolean,
+      skipSameWindowOutput: Boolean,
+      maxOutOfOrdernessMs: Long): DataFrame = {
+    require(input.isStreaming, "use SlidingWindows for batch inputs")
+    require(stepMs > 0, "streaming sliding requires step_size > 0")
+    val spark = input.sparkSession
+    val span = feats.map(f => f.windowMs / stepMs).max
+    val maxWindowMs = feats.map(_.windowMs).max
+
+    val schema = input.schema
+    val keyIdx = keys.map(schema.fieldIndex)
+    val tIdx = schema.fieldIndex(EventTime.Col)
+    val vIdx = feats.indices.map(i => schema.fieldIndex(s"__v_$i"))
+    val integral = feats.indices.map { i =>
+      schema(s"__v_$i").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    val valueTypes = feats.indices.map(i => schema(s"__v_$i").dataType)
+    val outSchema = StructType(
+      keys.map(schema(_)).toSeq ++
+        Seq(StructField("window_time", LongType, nullable = false)) ++
+        feats.zipWithIndex.map { case (f, i) =>
+          val dt = f.agg match {
+            case AggFunc.Count => LongType
+            case AggFunc.Avg   => DoubleType
+            case AggFunc.Sum   => if (integral(i)) LongType else DoubleType
+            case _             => valueTypes(i)
+          }
+          StructField(f.name, dt)
+        })
+
+    val withTs = input
+      .withColumn("__event_ts__", timestamp_millis(col(EventTime.Col)))
+      .withWatermark("__event_ts__", s"$maxOutOfOrdernessMs milliseconds")
+
+    val grouped = withTs.groupByKey { r: Row =>
+      keyIdx.map(i => String.valueOf(r.get(i))).mkString("")
+    }(Encoders.STRING)
+
+    val nFeats = feats.length
+
+    val flat = grouped.flatMapGroupsWithState[KeyState, Row](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (_: String, rows: Iterator[Row], state: GroupState[KeyState]) =>
+
+        var st = state.getOption.getOrElse(
+          KeyState(Nil, TreeMap.empty, Long.MinValue, None, emptyEmitted = false))
+        val watermark = state.getCurrentWatermarkMs()
+
+        // ---- merge incoming rows into step buckets ---------------------
+        rows.foreach { r =>
+          if (st.keyVals.isEmpty) st = st.copy(keyVals = keyIdx.map(r.get).toList)
+          val t = r.getLong(tIdx)
+          if (t + maxWindowMs > watermark) { // late-data drop rule
+            val b = Math.floorDiv(t, stepMs)
+            val arr = st.buckets.getOrElse(b, Array.fill(nFeats)(Partial.empty))
+            val merged = Array.tabulate(nFeats)(i => mergeValue(arr(i), t, r.get(vIdx(i))))
+            st = st.copy(buckets = st.buckets.updated(b, merged))
+          }
+        }
+
+        // ---- emit every step the watermark has finalized ---------------
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        if (st.buckets.nonEmpty) {
+          val firstB = st.buckets.firstKey
+          val lastB = st.buckets.lastKey
+          // bucket b is final once watermark >= (b+1)*step
+          val maxFinal = Math.floorDiv(watermark, stepMs) - 1
+          var s = if (st.lastEmittedStep == Long.MinValue) firstB
+                  else math.max(st.lastEmittedStep + 1, firstB)
+          val stop = math.min(maxFinal, lastB + span)
+          while (s <= stop) {
+            val combined = Array.tabulate(nFeats) { i =>
+              val fspan = feats(i).windowMs / stepMs
+              var acc = Partial.empty
+              st.buckets.rangeImpl(Some(s - fspan + 1), Some(s + 1))
+                .valuesIterator.foreach(arr => acc = combine(acc, arr(i)))
+              acc
+            }
+            val any = combined.exists(_.cnt > 0)
+            val values = feats.indices.map(i => result(feats(i).agg, combined(i), integral(i)))
+            val emit =
+              if (any) { st = st.copy(emptyEmitted = false); true }
+              else if (enableEmptyWindowOutput && !st.emptyEmitted) {
+                st = st.copy(emptyEmitted = true); true
+              } else false
+            val sig = values.toList
+            if (emit && !(skipSameWindowOutput && st.lastSig.contains(sig))) {
+              out += Row.fromSeq(st.keyVals ++ Seq((s + 1) * stepMs - 1) ++ values)
+              st = st.copy(lastSig = Some(sig))
+            }
+            st = st.copy(
+              lastEmittedStep = s,
+              // buckets older than any window ending after s are dead
+              buckets = st.buckets.rangeImpl(Some(s - span + 2), None))
+            s += 1
+          }
+        }
+
+        val drained =
+          st.buckets.isEmpty ||
+            st.lastEmittedStep >= st.buckets.lastKey + span
+        if (drained && (st.emptyEmitted || !enableEmptyWindowOutput)) {
+          state.remove()
+        } else {
+          state.update(st)
+          // wake when the watermark passes the next unemitted step's end
+          val nextStep =
+            if (st.lastEmittedStep == Long.MinValue)
+              st.buckets.headOption.map(_._1).getOrElse(Math.floorDiv(watermark, stepMs))
+            else st.lastEmittedStep + 1
+          state.setTimeoutTimestamp(math.max((nextStep + 1) * stepMs, watermark + 1))
+        }
+        out.iterator
+    }(Encoders.kryo[KeyState], Encoders.row(outSchema))
+
+    flat.toDF()
+  }
+}

@@ -130,12 +130,27 @@ sealed trait TableDescriptor {
 
 /** Batch/stream file scan (ref: python/feathub/feature_tables/sources/
   * file_system_source.py:22-105). `format` ∈ csv/json/parquet.
+  * `isBounded = false` reads via Structured Streaming (readStream; requires
+  * an explicit schema, per Spark's streaming file source).
   */
 final case class FileSource(
     name: String,
     path: String,
     format: String,
     schema: Option[Schema] = None,
+    keys: Option[Seq[String]] = None,
+    timestampField: Option[String] = None,
+    timestampFormat: String = "auto",
+    maxOutOfOrderness: Duration = Duration.Zero,
+    isBounded: Boolean = true) extends TableDescriptor
+
+/** A pre-built (possibly streaming) DataFrame wrapped as a table — the
+  * programmatic source for tests and embedding apps (e.g. a MemoryStream or
+  * an already-loaded frame). Not JSON round-trippable by design.
+  */
+final case class DataFrameSource(
+    name: String,
+    df: org.apache.spark.sql.DataFrame,
     keys: Option[Seq[String]] = None,
     timestampField: Option[String] = None,
     timestampFormat: String = "auto",

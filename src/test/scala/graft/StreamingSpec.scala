@@ -1,0 +1,131 @@
+package graft
+
+import graft.client.GraftClient
+import graft.table._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import scala.concurrent.duration._
+
+/** Streaming sliding windows must match the batch goldens on the canonical
+  * fixture (ref: test_sliding_window_transform.py:75-141 — the same rows
+  * produce 500/1000/1600/1100/0 for SUM over 2d windows stepped daily).
+  */
+class StreamingSpec extends SparkSuite {
+
+  private def ms(s: String): Long =
+    java.time.LocalDateTime.parse(s.replace(" ", "T"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  test("streaming sliding window matches the batch golden") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(String, Long, Long)]
+    val df = stream.toDF().toDF("name", "cost", "t_ms")
+
+    val src = DataFrameSource(
+      "s_purchases", df,
+      keys = Some(Seq("name")),
+      timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis")
+    val view = SlidingFeatureView(
+      "s_slide", src,
+      features = Seq(
+        Feature(
+          "total_cost",
+          SlidingWindowTransform("cost", AggFunc.Sum, 2.days, 1.day))))
+
+    val cl = new GraftClient(spark)
+    val out = cl.getFeatures(view)
+    val query = out.writeStream.format("memory").queryName("s_slide_out")
+      .outputMode("append").start()
+    try {
+      // F1 fixture rows (no group keys → single global group)
+      stream.addData(
+        ("Alex", 100L, ms("2022-01-01 08:01:00")),
+        ("Emma", 400L, ms("2022-01-01 08:02:00")),
+        ("Alex", 300L, ms("2022-01-02 08:03:00")),
+        ("Emma", 200L, ms("2022-01-02 08:04:00")),
+        ("Jack", 500L, ms("2022-01-03 08:05:00")),
+        ("Alex", 600L, ms("2022-01-03 08:06:00")))
+      query.processAllAvailable()
+      // sentinel advances the watermark past every real window
+      stream.addData(("zz", 0L, ms("2022-03-01 00:00:00")))
+      query.processAllAvailable()
+      stream.addData(("zz", 0L, ms("2022-04-01 00:00:00")))
+      query.processAllAvailable()
+
+      val got = spark.sql(
+        "SELECT window_time, total_cost FROM s_slide_out " +
+          s"WHERE window_time < ${ms("2022-02-01 00:00:00")} ORDER BY window_time")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val day = 86400000L
+      val t0 = java.time.LocalDate.parse("2022-01-01").toEpochDay * day
+      val expected = Seq(500L, 1000L, 1600L, 1100L, 0L).zipWithIndex.map {
+        case (v, i) => (t0 + (i + 1) * day - 1, v)
+      }
+      assert(got == expected)
+    } finally query.stop()
+  }
+
+  test("streaming keyed multi-size windows match the batch engine") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Seq(
+      ("Alex", 100L, ms("2022-01-01 08:01:00")),
+      ("Emma", 400L, ms("2022-01-01 08:02:00")),
+      ("Alex", 300L, ms("2022-01-02 08:03:00")),
+      ("Emma", 200L, ms("2022-01-02 08:04:00")),
+      ("Jack", 500L, ms("2022-01-03 08:05:00")),
+      ("Alex", 600L, ms("2022-01-03 08:06:00")))
+
+    def view(src: TableDescriptor, name: String) = SlidingFeatureView(
+      name, src,
+      features = Seq(
+        Feature("sum_1d", SlidingWindowTransform("cost", AggFunc.Sum, 1.day, 1.day, Seq("name"))),
+        Feature("max_2d", SlidingWindowTransform("cost", AggFunc.Max, 2.days, 1.day, Seq("name"))),
+        Feature("avg_2d", SlidingWindowTransform("cost", AggFunc.Avg, 2.days, 1.day, Seq("name")))),
+      enableEmptyWindowOutput = true,
+      skipSameWindowOutput = true)
+
+    val cl = new GraftClient(spark)
+
+    // batch reference result
+    val batchSrc = DataFrameSource(
+      "k_batch", rows.toDF("name", "cost", "t_ms"),
+      keys = Some(Seq("name")), timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis")
+    val expected = cl.getFeatures(view(batchSrc, "k_batch_view"))
+      .orderBy("name", "window_time")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Any]("sum_1d"),
+        r.getAs[Any]("max_2d"), r.getAs[Any]("avg_2d"))).toSeq
+
+    // streaming result over the same rows
+    val stream = MemoryStream[(String, Long, Long)]
+    val streamSrc = DataFrameSource(
+      "k_stream", stream.toDF().toDF("name", "cost", "t_ms"),
+      keys = Some(Seq("name")), timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis")
+    val query = cl.getFeatures(view(streamSrc, "k_stream_view"))
+      .writeStream.format("memory").queryName("k_stream_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      query.processAllAvailable()
+      stream.addData(("Alex", 0L, ms("2022-03-01 00:00:00")))
+      query.processAllAvailable()
+      stream.addData(("Alex", 0L, ms("2022-04-01 00:00:00")))
+      query.processAllAvailable()
+      val got = spark.sql(
+        "SELECT name, window_time, sum_1d, max_2d, avg_2d FROM k_stream_out " +
+          s"WHERE window_time < ${ms("2022-02-01 00:00:00")} " +
+          "ORDER BY name, window_time")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Any]("sum_1d"),
+          r.getAs[Any]("max_2d"), r.getAs[Any]("avg_2d"))).toSeq
+      assert(got == expected)
+    } finally query.stop()
+  }
+}
