@@ -57,6 +57,13 @@ final class GraftClient(val spark: SparkSession) {
           builder.buildWithTime(desc),
           desc.keys.getOrElse(throw new IllegalArgumentException(
             "MemoryStoreSink requires table keys")))
+      case KafkaSink(server, topic) =>
+        graft.engine.Sources
+          .toKafkaRecords(getFeatures(desc), desc.keys.getOrElse(Nil))
+          .write.format("kafka")
+          .option("kafka.bootstrap.servers", server)
+          .option("topic", topic)
+          .save()
     }
   }
 
@@ -86,6 +93,14 @@ final class GraftClient(val spark: SparkSession) {
           .foreachBatch { (batch: DataFrame, _: Long) =>
             MemoryOnlineStore.put(tableName, batch, keys)
           }.start()
+      case KafkaSink(server, topic) =>
+        graft.engine.Sources
+          .toKafkaRecords(EventTime.drop(df), desc.keys.getOrElse(Nil))
+          .writeStream.option("checkpointLocation", checkpointDir)
+          .format("kafka")
+          .option("kafka.bootstrap.servers", server)
+          .option("topic", topic)
+          .start()
     }
   }
 
@@ -107,6 +122,36 @@ final class GraftClient(val spark: SparkSession) {
       enriched ++ exprFeatures.map { case (name, e) =>
         name -> graft.expr.RowInterpreter.eval(e, enriched)
       }
+    }
+  }
+
+  /** Serve an [[OnDemandFeatureView]]: features evaluate in declaration
+    * order over the request row — expressions via the row interpreter,
+    * joins as keyed lookups into the online store (ref: python/feathub/
+    * feature_service/local_feature_service.py:51-145). Pure in-process; no
+    * Spark job per request.
+    */
+  def getOnlineFeatures(
+      requestRows: Seq[Map[String, Any]],
+      view: OnDemandFeatureView): Seq[Map[String, Any]] = {
+    requestRows.map { req =>
+      var row = req
+      view.features.foreach { f =>
+        f.transform match {
+          case ExpressionTransform(e) =>
+            row += f.name -> graft.expr.RowInterpreter.eval(e, row)
+          case JoinTransform(table, featureExpr) =>
+            val value = MemoryOnlineStore.get(table, row)
+              .map(found => graft.expr.RowInterpreter.eval(featureExpr, found))
+              .orNull
+            row += f.name -> value
+          case other =>
+            throw new IllegalArgumentException(s"OnDemandFeatureView does not accept $other")
+        }
+      }
+      if (view.keepSourceFields) row
+      else row.view.filterKeys(k =>
+        view.requestFields.contains(k) || view.features.exists(_.name == k)).toMap
     }
   }
 }

@@ -36,7 +36,11 @@ final class Builder(spark: SparkSession) {
   private def doBuild(desc: TableDescriptor): DataFrame = desc match {
     case s: FileSource         => Sources.read(spark, s)
     case s: DataGenSource      => Sources.generate(spark, s)
+    case s: KafkaSource        => Sources.readKafka(spark, s)
     case s: DataFrameSource    => EventTime.append(s.df, s.timestampField, s.timestampFormat)
+    case v: OnDemandFeatureView =>
+      throw new IllegalArgumentException(
+        s"OnDemandFeatureView ${v.name} is served per-request via getOnlineFeatures, not built as a table")
     case v: DerivedFeatureView => buildDerived(v)
     case v: SlidingFeatureView => buildSliding(v)
     case v: SqlFeatureView     => buildSql(v)
@@ -192,6 +196,7 @@ final class Builder(spark: SparkSession) {
     val maxOoo = v.source match {
       case s: FileSource      => s.maxOutOfOrderness.toMillis
       case s: DataFrameSource => s.maxOutOfOrderness.toMillis
+      case s: KafkaSource     => s.maxOutOfOrderness.toMillis
       case _                  => 0L
     }
     var out = StreamingSlidingWindows(

@@ -1,6 +1,6 @@
 package graft.engine
 
-import graft.table.{DataGenSource, FileSource, RandomField, SequenceField}
+import graft.table.{DataGenSource, FileSource, KafkaSource, RandomField, SequenceField}
 import graft.types._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -35,6 +35,40 @@ object Sources {
     val reader = spark.readStream.format(s.format).schema(schema.toSpark)
     val df = (if (s.format == "csv") reader.option("header", "true") else reader).load(s.path)
     EventTime.append(df, s.timestampField, s.timestampFormat)
+  }
+
+  /** Kafka scan: JSON values decoded with the declared schema
+    * (ref: python/feathub/feature_tables/sources/kafka_source.py:25-131 —
+    * startup_mode ∈ earliest-offset/latest-offset/timestamp). Bounded mode
+    * uses Spark's batch Kafka reader, which the reference had to hand-build
+    * for Flink (BoundedKafkaDynamicSource.java).
+    */
+  def readKafka(spark: SparkSession, s: KafkaSource): DataFrame = {
+    val opts = Map(
+      "kafka.bootstrap.servers" -> s.bootstrapServer,
+      "subscribe" -> s.topic) ++ (s.startupMode match {
+      case "earliest-offset" => Map("startingOffsets" -> "earliest")
+      case "latest-offset"   => Map("startingOffsets" -> "latest")
+      case "timestamp" => Map("startingTimestamp" ->
+        s.startupTimestampMillis.getOrElse(throw new IllegalArgumentException(
+          "startupMode=timestamp requires startupTimestampMillis")).toString)
+      case other => throw new IllegalArgumentException(s"Unknown startup mode $other")
+    })
+    val raw =
+      if (s.isBounded) spark.read.format("kafka").options(opts).load()
+      else spark.readStream.format("kafka").options(opts).load()
+    val parsed = raw
+      .select(from_json(col("value").cast("string"), s.schema.toSpark).as("__v"))
+      .select(col("__v.*"))
+    EventTime.append(parsed, s.timestampField, s.timestampFormat)
+  }
+
+  /** Kafka write shape: key = joined key columns, value = JSON row. */
+  def toKafkaRecords(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val keyCol =
+      if (keys.nonEmpty) concat_ws("|", keys.map(k => col(k).cast("string")): _*)
+      else lit(null).cast("string")
+    df.select(keyCol.as("key"), to_json(struct(df.columns.map(col): _*)).as("value"))
   }
 
   /** Deterministic data generator: sequence fields count from `start`;

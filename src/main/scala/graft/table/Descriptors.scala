@@ -218,6 +218,46 @@ final case class SlidingFeatureView(
   def timestampFormat: String = "epoch_millis"
 }
 
+/** Online-serving view: features computed per request — expression
+  * transforms over the request row plus lookup joins into online-store
+  * tables (ref: python/feathub/feature_views/on_demand_feature_view.py:
+  * 31-178; its source is the implicit request "table"). Evaluated by
+  * [[graft.client.GraftClient.getOnlineFeatures]] without a Spark job.
+  */
+final case class OnDemandFeatureView(
+    name: String,
+    features: Seq[Feature],
+    requestFields: Seq[String],
+    keepSourceFields: Boolean = true) extends TableDescriptor {
+  features.foreach { f =>
+    require(
+      f.transform.isInstanceOf[ExpressionTransform] || f.transform.isInstanceOf[JoinTransform],
+      s"OnDemandFeatureView only accepts Expression/Join features, got ${f.transform}")
+  }
+  def keys: Option[Seq[String]] = None
+  def timestampField: Option[String] = None
+  def timestampFormat: String = "auto"
+}
+
+/** Kafka scan/write (ref: python/feathub/feature_tables/sources/
+  * kafka_source.py:25-131). Values are JSON-encoded with the declared
+  * schema; bounded mode uses the batch Kafka reader (Spark has this built
+  * in — the reference needed a custom BoundedKafkaDynamicSource on Flink).
+  * `startupMode` ∈ earliest-offset / latest-offset / timestamp.
+  */
+final case class KafkaSource(
+    name: String,
+    bootstrapServer: String,
+    topic: String,
+    schema: Schema,
+    keys: Option[Seq[String]] = None,
+    timestampField: Option[String] = None,
+    timestampFormat: String = "auto",
+    startupMode: String = "earliest-offset",
+    startupTimestampMillis: Option[Long] = None,
+    maxOutOfOrderness: Duration = Duration.Zero,
+    isBounded: Boolean = false) extends TableDescriptor
+
 /** Passthrough SQL executed on Spark's SQL interface with upstream tables
   * registered as temp views
   * (ref: python/feathub/feature_views/sql_feature_view.py:25-160).
@@ -236,3 +276,5 @@ final case class FileSink(path: String, format: String = "parquet", mode: String
 final case class PrintSink(numRows: Int = 20) extends Sink
 case object BlackHoleSink extends Sink
 final case class MemoryStoreSink(tableName: String) extends Sink
+/** Rows JSON-encoded into the value; key columns concatenated into the key. */
+final case class KafkaSink(bootstrapServer: String, topic: String) extends Sink

@@ -1,0 +1,146 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Unit-level checks of the training-data-pipeline operators on small
+  * hand-built frames (the sf0.01 oracle gate covers them at scale).
+  */
+class OpsSpec extends SparkSuite {
+
+  private lazy val docs = {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "a completely different sentence about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (5L, "der hund und die katze und der vogel")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups collapse identical texts") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 4)
+    val dup = g.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ngram jaccard finds the near-dup pair and not the unrelated one") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash lsh recovers exact duplicates") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical docs share signatures; hamming pairs found") {
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    val byId = sim.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("simhash")).toMap
+    assert(byId(1L) == byId(4L))
+    assert(byId(1L).length == 64 && byId(1L).forall(c => c == '0' || c == '1'))
+    assert(byId(1L) != byId(5L))
+    val pairs = Dedup.simhashPairs(sim, prefixBits = 16, maxHamming = 0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 4L)))
+  }
+
+  test("langId picks the marker-heavy language") {
+    val got = docs.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(5L) == "de")
+  }
+
+  test("fingerprint is order- and duplication-insensitive") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha alpha")).toDF("doc_id", "text")
+    val fps = d.select(TextOps.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("brute-force topk ranks the self-similar vector first") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("nbr_id")).toSeq == Seq(1L, 2L))
+  }
+
+  test("allPairsCosine matches the relational formulation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f)), (1L, Array(2.0f, 4.0f)),
+      (2L, Array(-1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val kernel = Similarity.allPairsCosine(vecs, "vec_id", "embedding", -2.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(kernel((0L, 1L)) == 1.0)
+    assert(math.abs(kernel((0L, 2L)) - 0.316228) < 1e-6)
+    assert(kernel.size == 3)
+  }
+
+  test("multimodal: meta derivation and frame sampling shapes") {
+    val d = docs.withColumn("payload", encode(col("text"), "UTF-8"))
+    val meta = Multimodal.withMeta(d, "payload", "image/png")
+      .select("doc_id", "meta.mime", "meta.n_bytes", "meta.width", "meta.height")
+      .collect()
+    assert(meta.forall(_.getAs[String]("mime") == "image/png"))
+    assert(meta.find(_.getAs[Long]("doc_id") == 1L).get.getAs[Long]("n_bytes") == 43L)
+    assert(meta.forall { r =>
+      val w = r.getAs[Int]("width"); w >= 16 && w < 256 })
+
+    val frames = Multimodal.sampleFrames(d, "doc_id", "payload", 10, 2)
+    val f1 = frames.filter(col("id") === 1L).orderBy("frame_idx").collect()
+    // 43 bytes → 4 full frames (0..3), stride 2 → indices 0,1 = chunks 0,2
+    assert(f1.length == 2)
+    assert(new String(f1(0).getAs[Array[Byte]]("frame_bytes")) == "the quick ")
+
+    val feat = Multimodal.extractFeatures(d, "doc_id", "payload", dim = 4).collect()
+    assert(feat.forall(_.getAs[scala.collection.Seq[Float]]("features").length == 4))
+    // deterministic: same payload → same features
+    val m = feat.map(r => r.getAs[Long]("id") -> r.getAs[scala.collection.Seq[Float]]("features").toSeq).toMap
+    assert(m(1L) == m(4L))
+  }
+
+  test("on-demand view serves expressions + store lookups per request") {
+    import graft.client.{GraftClient, MemoryOnlineStore}
+    import graft.table._
+    MemoryOnlineStore.clear()
+    val cl = new GraftClient(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    val dim = Seq((7L, 3.5), (8L, 4.5)).toDF("uid", "rate")
+    cl.materialize(
+      DataFrameSource("od_dim", dim, keys = Some(Seq("uid"))),
+      MemoryStoreSink("od_dim"))
+    val view = OnDemandFeatureView(
+      "od_view",
+      features = Seq(
+        Feature("rate", JoinTransform("od_dim", "rate"), keys = Some(Seq("uid"))),
+        Feature.expr("scaled", "rate * amount")),
+      requestFields = Seq("uid", "amount"))
+    val got = cl.getOnlineFeatures(Seq(Map("uid" -> 7L, "amount" -> 2L)), view)
+    assert(got.head("rate") == 3.5)
+    assert(got.head("scaled") == 7.0)
+  }
+}
