@@ -84,11 +84,17 @@ object Queries {
         "q02", src,
         features = Seq(
           Feature.expr("double_qty", "l_quantity * 2"),
+          Feature.expr("neg_qty", "-l_quantity"),
+          Feature.expr("bad_cast", "TRY_CAST(l_returnflag AS INTEGER)"),
+          Feature.expr("bad_is_null", "TRY_CAST(l_returnflag AS INTEGER) IS NULL"),
           Feature.expr("is_heavy", "l_quantity >= 45")),
         keepSourceFields = true,
         filterExpr = Some("l_returnflag = 'R' AND l_quantity > 30")))
     },
-    Some("""SELECT lineitem.*, l_quantity * 2 AS double_qty, l_quantity >= 45 AS is_heavy
+    Some("""SELECT lineitem.*, l_quantity * 2 AS double_qty, -l_quantity AS neg_qty,
+      TRY_CAST(l_returnflag AS INTEGER) AS bad_cast,
+      TRY_CAST(l_returnflag AS INTEGER) IS NULL AS bad_is_null,
+      l_quantity >= 45 AS is_heavy
       FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30"""))
 
   private val q03 = Q(
@@ -105,6 +111,7 @@ object Queries {
           Feature.expr("bad_int", "TRY_CAST(p_brand AS INTEGER)"),
           Feature.expr("size_from_map", "MAP('a', p_size)['a']"),
           Feature.expr("arr_second", "ARRAY(p_brand, p_type)[2]"),
+          Feature.expr("size_arr", "SIZE(ARRAY(p_brand, p_type))"),
           Feature.expr("name_json", "JSON_STRING(p_name)"))))
     },
     Some("""SELECT p_partkey, lower(p_name) AS name_lower,
@@ -113,6 +120,7 @@ object Queries {
       TRY_CAST(p_brand AS INTEGER) AS bad_int,
       p_size AS size_from_map,
       p_type AS arr_second,
+      2::INT AS size_arr,
       to_json(p_name)::VARCHAR AS name_json
       FROM part"""))
 
@@ -125,10 +133,12 @@ object Queries {
         "q04", src,
         features = Seq(
           Feature.expr("ts_sec", "UNIX_TIMESTAMP(CAST(o_orderdate AS STRING))"),
-          Feature.expr("ts_plus_day", "UNIX_TIMESTAMP(CAST(o_orderdate AS STRING)) + 86400"))))
+          Feature.expr("ts_plus_day", "UNIX_TIMESTAMP(CAST(o_orderdate AS STRING)) + 86400"),
+          Feature.expr("const_ts", "UNIX_TIMESTAMP('02/01/2024', '%d/%m/%Y')"))))
     },
     Some("""SELECT o_orderkey, o_orderdate, epoch(o_orderdate)::BIGINT AS ts_sec,
-      epoch(o_orderdate)::BIGINT + 86400 AS ts_plus_day FROM orders"""))
+      epoch(o_orderdate)::BIGINT + 86400 AS ts_plus_day,
+      1704153600::BIGINT AS const_ts FROM orders"""))
 
   private val q05 = Q(
     "q05_udf_row",
@@ -254,6 +264,9 @@ object Queries {
           Feature("err_first", OverWindowTransform(
             "value", AggFunc.FirstValue, None, Seq("user_id"),
             filterExpr = Some("event_type = 'error'"))),
+          Feature("err_last", OverWindowTransform(
+            "value", AggFunc.LastValue, None, Seq("user_id"),
+            filterExpr = Some("event_type = 'error'"))),
           Feature("sum_1h3_raw", OverWindowTransform(
             "value", AggFunc.Sum, Some(1.hour), Seq("user_id"), limit = Some(3)))),
         keepSourceFields = true)
@@ -264,6 +277,7 @@ object Queries {
           Feature.expr("clicks_cnt10", "clicks_cnt10"),
           Feature.expr("clicks_sum10", "ROUND(clicks_sum10_raw, 3)"),
           Feature.expr("err_first", "err_first"),
+          Feature.expr("err_last", "err_last"),
           Feature.expr("sum_1h3", "ROUND(sum_1h3_raw, 3)")),
         keys = Some(Seq("event_id", "user_id")))).drop("ts")
     },
@@ -271,7 +285,8 @@ object Queries {
       w AS (SELECT event_id, user_id,
         count(CASE WHEN event_type = 'click' THEN value END) OVER w10 AS clicks_cnt10,
         round(sum(CASE WHEN event_type = 'click' THEN value END) OVER w10, 3) AS clicks_sum10,
-        first_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS) OVER wu AS err_first
+        first_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS) OVER wu AS err_first,
+        last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS) OVER wu AS err_last
         FROM x WINDOW
         w10 AS (PARTITION BY user_id ORDER BY ms ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
         wu AS (PARTITION BY user_id ORDER BY ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
@@ -281,7 +296,7 @@ object Queries {
       c AS (SELECT event_id,
         round(SUM(CASE WHEN rn <= 3 AND rms >= ems - 3600000 THEN rv END), 3) AS sum_1h3
         FROM p GROUP BY 1)
-      SELECT w.event_id, w.user_id, w.clicks_cnt10, w.clicks_sum10, w.err_first, c.sum_1h3
+      SELECT w.event_id, w.user_id, w.clicks_cnt10, w.clicks_sum10, w.err_first, w.err_last, c.sum_1h3
       FROM w JOIN c ON w.event_id = c.event_id"""))
 
   private val q10 = Q(
@@ -312,6 +327,9 @@ object Queries {
           Feature("sum_7d_raw", SlidingWindowTransform("value", AggFunc.Sum, 7.days, 1.day, Seq("user_id"))),
           Feature("cnt_7d", SlidingWindowTransform("value", AggFunc.Count, 7.days, 1.day, Seq("user_id"))),
           Feature("cnt_1d", SlidingWindowTransform("value", AggFunc.Count, 1.day, 1.day, Seq("user_id"))),
+          Feature("min_7d", SlidingWindowTransform("value", AggFunc.Min, 7.days, 1.day, Seq("user_id"))),
+          Feature("first_7d", SlidingWindowTransform("value", AggFunc.FirstValue, 7.days, 1.day, Seq("user_id"))),
+          Feature("last_7d", SlidingWindowTransform("value", AggFunc.LastValue, 7.days, 1.day, Seq("user_id"))),
           Feature.expr("day_idx", "CAST((GET_WINDOW_TIME() + 1) / 86400000 AS BIGINT)")),
         enableEmptyWindowOutput = false,
         skipSameWindowOutput = false)
@@ -322,16 +340,24 @@ object Queries {
           Feature.expr("sum_7d", "ROUND(sum_7d_raw, 3)"),
           Feature.expr("cnt_7d", "cnt_7d"),
           Feature.expr("cnt_1d", "cnt_1d"),
+          Feature.expr("min_7d", "min_7d"),
+          Feature.expr("first_7d", "first_7d"),
+          Feature.expr("last_7d", "last_7d"),
           Feature.expr("day_idx", "day_idx"))))
     },
     Some("""WITH pre AS (SELECT user_id, CAST(FLOOR(epoch_ms(ts)/86400000.0) AS BIGINT) AS b,
-        SUM(value) AS s, COUNT(*) AS c FROM events GROUP BY 1, 2),
+        SUM(value) AS s, COUNT(*) AS c, MIN(value) AS mn,
+        arg_min(value, epoch_ms(ts)) AS fm, arg_max(value, epoch_ms(ts)) AS lm
+        FROM events GROUP BY 1, 2),
       ends AS (SELECT DISTINCT user_id, b + g AS b
         FROM (SELECT user_id, b, unnest(generate_series(0, 6)) g FROM pre))
       SELECT e.user_id, (e.b + 1) * 86400000 - 1 AS window_time,
         ROUND(SUM(p.s), 3) AS sum_7d,
         SUM(p.c)::BIGINT AS cnt_7d,
         COALESCE(SUM(p.c) FILTER (p.b = e.b), 0)::BIGINT AS cnt_1d,
+        MIN(p.mn) AS min_7d,
+        arg_min(p.fm, p.b) AS first_7d,
+        arg_max(p.lm, p.b) AS last_7d,
         (e.b + 1)::BIGINT AS day_idx
       FROM ends e JOIN pre p ON p.user_id = e.user_id AND p.b BETWEEN e.b - 6 AND e.b
       GROUP BY e.user_id, e.b"""))
@@ -730,11 +756,28 @@ object Queries {
     },
     Some("SELECT event_id, user_id, event_type, value FROM events WHERE event_id < 100"))
 
+  private val q36 = Q(
+    "q36_json_source",
+    (spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q36").toString
+      pq(spark, dir, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .coalesce(1)
+        .write.mode("overwrite").json(tmp)
+      val cl = new GraftClient(spark)
+      cl.getFeatures(FileSource(
+        "q36_json", tmp, "json",
+        schema = Some(Schema(
+          Seq("doc_id", "lang", "source", "n_chars"),
+          Seq(DInt64, DString, DString, DInt64)))))
+    },
+    Some("SELECT doc_id, lang, source, n_chars FROM documents"))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35)
+    q30, q31, q32, q33, q34, q35, q36)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -64,6 +64,11 @@ final class GraftClient(val spark: SparkSession) {
           .option("kafka.bootstrap.servers", server)
           .option("topic", topic)
           .save()
+      case JdbcSink(url, table, user, password, mode) =>
+        getFeatures(desc).write.format("jdbc")
+          .option("url", url).option("dbtable", table)
+          .option("user", user).option("password", password)
+          .mode(mode).save()
     }
   }
 

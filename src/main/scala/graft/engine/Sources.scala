@@ -63,6 +63,20 @@ object Sources {
     EventTime.append(parsed, s.timestampField, s.timestampFormat)
   }
 
+  /** JDBC scan (ref: python/feathub/feature_tables/sources/
+    * mysql_source.py:22-61 — Spark's jdbc reader replaces the reference's
+    * custom connector).
+    */
+  def readJdbc(spark: SparkSession, s: graft.table.JdbcSource): DataFrame = {
+    val df = spark.read.format("jdbc")
+      .option("url", s.url)
+      .option("dbtable", s.table)
+      .option("user", s.user)
+      .option("password", s.password)
+      .load()
+    EventTime.append(df, s.timestampField, s.timestampFormat)
+  }
+
   /** Kafka write shape: key = joined key columns, value = JSON row. */
   def toKafkaRecords(df: DataFrame, keys: Seq[String]): DataFrame = {
     val keyCol =

@@ -258,6 +258,20 @@ final case class KafkaSource(
     maxOutOfOrderness: Duration = Duration.Zero,
     isBounded: Boolean = false) extends TableDescriptor
 
+/** JDBC table scan — the reference's MySQLSource generalized to any JDBC
+  * URL (ref: python/feathub/feature_tables/sources/mysql_source.py:22-61;
+  * Spark's built-in jdbc reader replaces the reference's custom connector).
+  */
+final case class JdbcSource(
+    name: String,
+    url: String,
+    table: String,
+    user: String = "",
+    password: String = "",
+    keys: Option[Seq[String]] = None,
+    timestampField: Option[String] = None,
+    timestampFormat: String = "auto") extends TableDescriptor
+
 /** Passthrough SQL executed on Spark's SQL interface with upstream tables
   * registered as temp views
   * (ref: python/feathub/feature_views/sql_feature_view.py:25-160).
@@ -278,3 +292,5 @@ case object BlackHoleSink extends Sink
 final case class MemoryStoreSink(tableName: String) extends Sink
 /** Rows JSON-encoded into the value; key columns concatenated into the key. */
 final case class KafkaSink(bootstrapServer: String, topic: String) extends Sink
+/** JDBC append/overwrite (the reference's MySQLSink, generalized). */
+final case class JdbcSink(url: String, table: String, user: String = "", password: String = "", mode: String = "append") extends Sink
