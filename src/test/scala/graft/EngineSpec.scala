@@ -146,6 +146,49 @@ class EngineSpec extends SparkSuite {
       Seq(Some(250.0), Some(400.0), Some(550.0), None))
   }
 
+  test("sliding window with limit keeps the newest N within the window") {
+    // Reference golden (test_sliding_window_transform.py:264-279, with the
+    // plain name key): SUM of the newest 2 costs within a 3-day window.
+    val view = SlidingFeatureView(
+      "v_slide_limit", purchaseSource,
+      features = Seq(
+        Feature(
+          "total_cost",
+          SlidingWindowTransform(
+            "cost", AggFunc.Sum, windowSize = 3.days, stepSize = 1.day,
+            groupByKeys = Seq("name"), limit = Some(2)))))
+    val day = 86400000L
+    val t0 = java.time.LocalDate.parse("2022-01-01").toEpochDay * day
+    def wt(d: Int): Long = t0 + d * day - 1
+    val got = client.getFeatures(view).orderBy("name", "window_time").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("window_time"), r.getAs[Long]("total_cost")))
+      .toSeq
+    val expected = Seq(
+      ("Alex", wt(1), 100L), ("Alex", wt(2), 400L), ("Alex", wt(3), 900L),
+      ("Alex", wt(5), 600L), ("Alex", wt(6), 0L),
+      ("Emma", wt(1), 400L), ("Emma", wt(2), 600L), ("Emma", wt(4), 200L),
+      ("Emma", wt(5), 0L),
+      ("Jack", wt(3), 500L), ("Jack", wt(6), 0L))
+    assert(got == expected)
+  }
+
+  test("sliding window value_counts merges maps across buckets") {
+    val view = SlidingFeatureView(
+      "v_slide_vc", purchaseSource,
+      features = Seq(
+        Feature(
+          "dist_counts",
+          SlidingWindowTransform(
+            "distance", AggFunc.ValueCounts, windowSize = 2.days, stepSize = 1.day,
+            groupByKeys = Seq("name")))),
+      enableEmptyWindowOutput = false,
+      skipSameWindowOutput = false)
+    val got = client.getFeatures(view).orderBy("name", "window_time").collect()
+    val emmaD2 = got.filter(r => r.getAs[String]("name") == "Emma")(1)
+    // Emma distances 250 (d1) + 250 (d2) → {250: 2} in the 2-day window
+    assert(emmaD2.getAs[Map[Long, Long]]("dist_counts") == Map(250L -> 2L))
+  }
+
   test("udf transform over whole row") {
     val view = DerivedFeatureView(
       "v_udf", purchaseSource,
