@@ -87,12 +87,35 @@ final class Builder(spark: SparkSession) {
         val jt = f.transform.asInstanceOf[JoinTransform]
         r.withColumn(s"__jv_$i", SparkCompiler.compile(jt.featureExpr))
       }
+      // Join expiry ("valid time interval"): when the right table is a
+      // SlidingFeatureView with enable_empty_window_output=false, no row is
+      // emitted for empty windows, so a joined value older than one step
+      // must revert to the aggregation default (SUM/COUNT→0, others NULL)
+      // (ref: python/feathub/processors/flink/table_builder/
+      // join_utils.py:57-142, 293-326; defaults per flink
+      // aggregation_utils.py:93-118).
+      val expiry: Option[Long] = rightDesc match {
+        case sv: SlidingFeatureView if !sv.enableEmptyWindowOutput =>
+          Some(sv.stepSize.toMillis)
+        case _ => None
+      }
+      val needsRightTime = expiry.isDefined
       val right = withVals.select(
         (keys.map(col) :+ col(EventTime.Col)) ++
-          fs.indices.map(i => col(s"__jv_$i")): _*)
+          fs.indices.map(i => col(s"__jv_$i")) ++
+          (if (needsRightTime) Seq(col(EventTime.Col).as("__rt")) else Nil): _*)
       df = TemporalJoin.pointInTime(
         df, right, keys,
-        fs.toSeq.zipWithIndex.map { case (f, i) => (s"__jv_$i", f.name) })
+        fs.toSeq.zipWithIndex.map { case (f, i) => (s"__jv_$i", f.name) } ++
+          (if (needsRightTime) Seq(("__rt", "__rt")) else Nil))
+      expiry.foreach { validMs =>
+        fs.foreach { f =>
+          val default = slidingDefault(rightDesc.asInstanceOf[SlidingFeatureView],
+            f.transform.asInstanceOf[JoinTransform].featureExpr)
+          df = TemporalJoin.withExpiry(df, "__rt", f.name, validMs, default)
+        }
+        df = df.drop("__rt")
+      }
       fs.foreach { f =>
         f.dtype.foreach(dt => df = df.withColumn(f.name, col(f.name).cast(dt.toSpark)))
       }
@@ -123,6 +146,21 @@ final class Builder(spark: SparkSession) {
     // metadata column to carry through.
     val metaCols = if (df.columns.contains(EventTime.Col)) Seq(col(EventTime.Col)) else Nil
     df.select(outFields.map(col) ++ metaCols: _*)
+  }
+
+  /** Expiry default for a feature joined from a sliding view: SUM/COUNT → 0,
+    * everything else NULL (ref: flink aggregation_utils.py:93-118).
+    */
+  private def slidingDefault(sv: SlidingFeatureView, featureExpr: String): Column = {
+    val agg = sv.features
+      .find(_.name == featureExpr)
+      .map(_.transform)
+      .collect { case t: SlidingWindowTransform => t.aggFunc }
+    agg match {
+      case Some(AggFunc.Sum)   => lit(0)
+      case Some(AggFunc.Count) => lit(0L)
+      case _                   => lit(null)
+    }
   }
 
   private def applyRowFeature(df: DataFrame, f: Feature): DataFrame = f.transform match {

@@ -189,6 +189,42 @@ class EngineSpec extends SparkSuite {
     assert(emmaD2.getAs[Map[Long, Long]]("dist_counts") == Map(250L -> 2L))
   }
 
+  test("join against no-empty-output sliding view expires after one step") {
+    // Ref: flink join_utils.py:57-142 "valid time interval" — a value joined
+    // from a SlidingFeatureView with enable_empty_window_output=false
+    // reverts to the agg default (SUM→0) once it is older than step_size.
+    val slide = SlidingFeatureView(
+      "j_slide", purchaseSource,
+      features = Seq(
+        Feature(
+          "daily_cost",
+          SlidingWindowTransform(
+            "cost", AggFunc.Sum, windowSize = 1.day, stepSize = 1.day,
+            groupByKeys = Seq("name")))),
+      enableEmptyWindowOutput = false,
+      skipSameWindowOutput = false)
+    Registry.register(slide)
+
+    val probes = spark.createDataFrame(Seq(
+      ("Alex", "2022-01-02 08:00:00"), // d1 window still valid → 100
+      ("Alex", "2022-01-05 08:00:00"), // d3 window expired → 0
+      ("Jack", "2022-01-01 08:00:00")  // nothing yet → 0 (no match → default)
+    )).toDF("name", "time")
+    val probeSrc = FileSource(
+      "j_probes", writeTempParquet(probes, "j_probes"), "parquet",
+      keys = Some(Seq("name")),
+      timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S")
+    val view = DerivedFeatureView(
+      "j_view", probeSrc,
+      features = Seq(
+        Feature("daily_cost", JoinTransform("j_slide", "daily_cost"), keys = Some(Seq("name")))),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("name", "time").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Any]("daily_cost"))).toSeq
+    assert(got == Seq(("Alex", 100L), ("Alex", 0L), ("Jack", 0L)))
+  }
+
   test("udf transform over whole row") {
     val view = DerivedFeatureView(
       "v_udf", purchaseSource,
