@@ -538,7 +538,9 @@ object Queries {
     (spark, dir) =>
       Dedup.minhashLshPairs(pq(spark, dir, "documents"), "doc_id", "text"),
     Some {
-      val mins = (0 until 16).map(i => s"MIN(md5('$i:' || s)) m$i").mkString(", ")
+      val mins = (0 until 16)
+        .map(i => s"MIN(substr(h, ${i + 1}, 32) || substr(h, 1, $i)) m$i")
+        .mkString(", ")
       val bands = (0 until 4).map { b =>
         val cols = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
         s"SELECT doc_id, $b band, md5(concat_ws('|', $cols)) bucket FROM sig"
@@ -546,7 +548,8 @@ object Queries {
       s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
       sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS s
         FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) g FROM toks)),
-      sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+      hh AS (SELECT doc_id, md5(s) h FROM sh),
+      sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
       bands AS ($bands)
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
       JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
@@ -27,15 +28,22 @@ object Dedup {
         min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Distinct word `n`-gram shingles per document: (id, shingle). */
+  /** Distinct word `n`-gram shingles per document: (id, shingle).
+    *
+    * Built by zipping n shifted slices of the token array — zip_with walks
+    * the arrays directly, ~10× faster than per-index element_at/get lambdas,
+    * which pay interpreted ordinal resolution per element. A doc shorter
+    * than n words yields one shingle of all its words. Distinct is
+    * relational (map-side-combined hash distinct after the explode).
+    */
   def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val ws = TextOps.tokens(col(textCol))
-    val grams = transform(
-      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
-      // get() is 0-based and NULL out-of-range (ANSI-safe); concat_ws skips
-      // NULLs, so a doc shorter than n yields one shingle of all its words.
-      i => concat_ws(" ", (0 until n).map(j => get(ws, i + lit(j - 1))): _*))
-    df.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
+    val m = greatest(size(ws) - (n - 1), lit(1))
+    var acc = slice(ws, lit(1), m)
+    for (j <- 1 until n)
+      acc = zip_with(acc, slice(ws, lit(j + 1), m), (a, b) => concat(a, lit(" "), b))
+    val grams = when(size(ws) >= n, acc).otherwise(array(array_join(ws, " ")))
+    df.select(col(idCol).as("id"), explode(grams).as("shingle")).distinct()
   }
 
   /** All-pairs n-gram Jaccard similarity ≥ `threshold`, computed by joining
@@ -55,9 +63,12 @@ object Dedup {
       threshold: Double,
       maxDf: Long = 10000L): DataFrame = {
     val sh = wordShingles(df, idCol, textCol, n)
+    // Persisted: consumed three times (size table + both self-join sides) —
+    // without it Spark re-runs the explode+distinct pipeline per consumer.
     val kept = sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") <= maxDf)
       .drop("df")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = kept.as("a")
       .join(kept.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -74,14 +85,23 @@ object Dedup {
   }
 
   /** MinHash signature columns `mh_0..mh_{numHashes-1}` per id: the i-th
-    * hash is the lexicographic minimum of md5(i ':' shingle) over the
-    * document's shingle set (string-min MinHash — portable, no integer hash
-    * mixing needed). One shuffle (groupBy id).
+    * hash is the lexicographic minimum of ROTATE_i(md5(shingle)) over the
+    * document's shingle set. One md5 per shingle; the i-th family member is
+    * a string rotation (the min under rotation i is decided by hex digits
+    * from offset i — independent across offsets), so the per-row hash cost
+    * is constant in numHashes instead of linear. Portable: any engine with
+    * md5 + substr reproduces it. One shuffle (groupBy id).
     */
   def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh_$i"))
-    shingles.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    require(numHashes <= 32, "rotation family supports at most 32 hashes")
+    val withH = shingles.withColumn("__h", md5(col("shingle")))
+    val aggs = (0 until numHashes).map { i =>
+      val rot =
+        if (i == 0) col("__h")
+        else concat(substring(col("__h"), i + 1, 32), substring(col("__h"), 1, i))
+      min(rot).as(s"mh_$i")
+    }
+    withH.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band buckets from minhash signatures: `bands` buckets per doc, each
@@ -117,6 +137,7 @@ object Dedup {
         "n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("n") <= maxBucket)
       .drop("n")
+      .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides
     capped.as("a")
       .join(
         capped.as("b"),
@@ -161,6 +182,7 @@ object Dedup {
       prefixBits: Int = 16,
       maxHamming: Int = 3): DataFrame = {
     val withPrefix = sim.withColumn("pfx", substring(col("simhash"), 1, prefixBits))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides
     val hamming = {
       val a = split(col("a.simhash"), "")
       val b = split(col("b.simhash"), "")
