@@ -1,0 +1,84 @@
+package graft
+
+import graft.table._
+import graft.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.concurrent.duration._
+
+/** Descriptor JSON round-trip — the registry serialization contract the
+  * reference enforces on every test (RegistryWithJsonCheck,
+  * ref: python/feathub/tests/feathub_it_test_base.py:55-95).
+  */
+class JsonSpec extends AnyFunSuite {
+
+  private def roundTrip(d: TableDescriptor): Unit =
+    assert(Json.fromJson(Json.toJson(d)) == d)
+
+  private val fileSrc = FileSource(
+    "src", "/data/t.parquet", "parquet",
+    schema = Some(Schema(Seq("k", "v", "m"), Seq(DInt64, DFloat64, DMap(DString, DInt32)))),
+    keys = Some(Seq("k")),
+    timestampField = Some("ts"),
+    timestampFormat = "epoch_millis",
+    maxOutOfOrderness = 5.seconds)
+
+  test("sources round-trip") {
+    roundTrip(fileSrc)
+    roundTrip(FileSource("s2", "/d", "csv", isBounded = false,
+      schema = Some(Schema(Seq("a"), Seq(DString)))))
+    roundTrip(DataGenSource(
+      "gen", 1000,
+      Seq(
+        SequenceField("id", DInt64, 1, 1000),
+        RandomField("x", DFloat64, 0.5, 2.5, 8)),
+      seed = 7, keys = Some(Seq("id")), timestampField = Some("id"),
+      timestampFormat = "epoch"))
+    roundTrip(KafkaSource(
+      "k", "broker:9092", "topic",
+      Schema(Seq("a", "b"), Seq(DString, DVector(DFloat32))),
+      keys = Some(Seq("a")), timestampField = Some("b"),
+      startupMode = "timestamp", startupTimestampMillis = Some(123L),
+      maxOutOfOrderness = 1.minute, isBounded = true))
+    roundTrip(JdbcSource("j", "jdbc:mysql://h/db", "tbl", "u", "p",
+      keys = Some(Seq("id"))))
+  }
+
+  test("views round-trip") {
+    val derived = DerivedFeatureView(
+      "v", fileSrc,
+      features = Seq(
+        Feature.expr("e", "v * 2", Some(DFloat64)),
+        Feature("j", JoinTransform("dim", "price"), keys = Some(Seq("k"))),
+        Feature("w", OverWindowTransform(
+          "v", AggFunc.Avg, Some(1.hour), Seq("k"), Some("v > 0"), Some(10)))),
+      keepSourceFields = true,
+      filterExpr = Some("v IS NOT NULL"))
+    roundTrip(derived)
+    roundTrip(SlidingFeatureView(
+      "sv", fileSrc,
+      features = Seq(
+        Feature("s", SlidingWindowTransform(
+          "v", AggFunc.Sum, 7.days, 1.day, Seq("k"), None, Some(5))),
+        Feature.expr("t", "GET_WINDOW_TIME()")),
+      enableEmptyWindowOutput = false,
+      skipSameWindowOutput = false))
+    roundTrip(SqlFeatureView(
+      "q", "SELECT k, sum(v) AS s FROM src GROUP BY k",
+      dependencies = Seq(fileSrc), keys = Some(Seq("k"))))
+    roundTrip(OnDemandFeatureView(
+      "od",
+      features = Seq(
+        Feature("r", JoinTransform("dim", "rate"), keys = Some(Seq("uid"))),
+        Feature.expr("x", "r * amount")),
+      requestFields = Seq("uid", "amount"),
+      keepSourceFields = false))
+  }
+
+  test("live-object descriptors refuse serialization") {
+    val udfView = DerivedFeatureView(
+      "u", fileSrc,
+      features = Seq(Feature("f", UdfTransform((r: org.apache.spark.sql.Row) => 1, DInt32))))
+    assertThrows[IllegalArgumentException](Json.toJson(udfView))
+  }
+}

@@ -69,6 +69,54 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming late data: merged within lateness, dropped past watermark - maxWindow") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(String, Long, Long)]
+    val src = DataFrameSource(
+      "late_src", stream.toDF().toDF("name", "cost", "t_ms"),
+      keys = Some(Seq("name")), timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis",
+      maxOutOfOrderness = 2.days)
+    val view = SlidingFeatureView(
+      "late_view", src,
+      features = Seq(
+        Feature("total", SlidingWindowTransform("cost", AggFunc.Sum, 2.days, 1.day, Seq("name")))),
+      enableEmptyWindowOutput = false,
+      skipSameWindowOutput = false)
+    val cl = new GraftClient(spark)
+    val query = cl.getFeatures(view)
+      .writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      def d(n: Int) = ms("2022-01-01 08:00:00") + (n - 1) * 86400000L
+      stream.addData(("Alex", 100L, d(1)), ("Alex", 300L, d(2)), ("Alex", 600L, d(3)))
+      query.processAllAvailable()
+      // late by a day but within the 2d lateness bound → merged into d2
+      stream.addData(("Alex", 50L, d(2) - 3600000L))
+      query.processAllAvailable()
+      stream.addData(("zz", 0L, d(30)))
+      query.processAllAvailable()
+      // beyond watermark - maxWindow → dropped per the reference rule
+      stream.addData(("Alex", 999L, d(1)))
+      query.processAllAvailable()
+      stream.addData(("zz", 0L, d(60)))
+      query.processAllAvailable()
+
+      val got = spark.sql(
+        "SELECT window_time, total FROM late_out WHERE name = 'Alex' ORDER BY window_time")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val day = 86400000L
+      val t0 = java.time.LocalDate.parse("2022-01-01").toEpochDay * day
+      // d1: 100; d2: 100+300+50; d3: 300+50+600; d4: 600 — the 999 never lands
+      val expected = Seq(100L, 450L, 950L, 600L).zipWithIndex.map {
+        case (v, i) => (t0 + (i + 1) * day - 1, v)
+      }
+      assert(got == expected)
+    } finally query.stop()
+  }
+
   test("streaming keyed multi-size windows match the batch engine") {
     val spark2 = spark
     import spark2.implicits._
