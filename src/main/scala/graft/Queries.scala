@@ -717,10 +717,6 @@ object Queries {
     },
     None)
 
-  /** SimHash blocking pairs — exercised without an oracle (the Hamming
-    * verify is array-lambda logic with no clean DuckDB v1.0 equivalent);
-    * correctness of the underlying signatures is oracle-checked by q23.
-    */
   private val q33 = Q(
     "q33_simhash_pairs",
     (spark, dir) => {
@@ -728,7 +724,21 @@ object Queries {
       Dedup.simhashPairs(sim, prefixBits = 16, maxHamming = 8)
         .withColumn("hamming", col("hamming").cast("int"))
     },
-    None)
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) tok FROM documents),
+      h AS (SELECT doc_id, md5(tok) h FROM toks),
+      bits AS (SELECT doc_id, g,
+        CASE WHEN ((instr('0123456789abcdef', substr(h, g//4 + 1, 1)) - 1)
+          // CAST(POWER(2, g%4) AS INT)) % 2 = 1 THEN 1 ELSE -1 END w
+        FROM (SELECT doc_id, h, unnest(generate_series(0, 63)) g FROM h)),
+      s AS (SELECT doc_id, g, SUM(w) sw FROM bits GROUP BY 1, 2),
+      sim AS (SELECT doc_id, string_agg(CASE WHEN sw > 0 THEN '1' ELSE '0' END, '' ORDER BY g) AS simhash
+        FROM s GROUP BY doc_id),
+      p AS (SELECT a.doc_id ia, a.simhash sa, b.doc_id ib, b.simhash sb FROM sim a
+        JOIN sim b ON substr(a.simhash, 1, 16) = substr(b.simhash, 1, 16) AND a.doc_id < b.doc_id)
+      SELECT ia AS id_a, ib AS id_b,
+        len(list_filter(generate_series(1, 64), g -> substr(sa, g::INT, 1) <> substr(sb, g::INT, 1)))::INT AS hamming
+      FROM p
+      WHERE len(list_filter(generate_series(1, 64), g -> substr(sa, g::INT, 1) <> substr(sb, g::INT, 1))) <= 8"""))
 
   /** LSH-bucketed approximate top-k — rows-only; exactness baseline is q25. */
   private val q34 = Q(

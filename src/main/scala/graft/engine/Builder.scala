@@ -242,7 +242,7 @@ final class Builder(spark: SparkSession) {
       withVals,
       v.groupByKeys,
       trs.map { case (f, tr) =>
-        StreamingSlidingWindows.FeatureSpec(f.name, tr.aggFunc, tr.windowSize.toMillis) },
+        StreamingSlidingWindows.FeatureSpec(f.name, tr.aggFunc, tr.windowSize.toMillis, tr.limit) },
       v.stepSize.toMillis,
       v.enableEmptyWindowOutput,
       v.skipSameWindowOutput,

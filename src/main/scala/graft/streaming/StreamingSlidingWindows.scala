@@ -35,10 +35,17 @@ import scala.collection.immutable.TreeMap
   */
 object StreamingSlidingWindows {
 
-  final case class FeatureSpec(name: String, agg: AggFunc, windowMs: Long)
+  final case class FeatureSpec(
+      name: String,
+      agg: AggFunc,
+      windowMs: Long,
+      limit: Option[Int] = None)
 
   /** Per-bucket partial aggregate for one feature. Sums are carried both as
-    * Long and Double so integral inputs stay exact past 2^53.
+    * Long and Double so integral inputs stay exact past 2^53. `vc` (value →
+    * count) is kept only for VALUE_COUNTS; `vals` ((t, v) pairs, time-
+    * ordered at combine time) only for COLLECT_LIST and limited aggs — the
+    * Flink AggFuncWithLimit equivalent, which also keeps raw pairs.
     */
   final case class Partial(
       cnt: Long,
@@ -47,11 +54,13 @@ object StreamingSlidingWindows {
       min: Any,
       max: Any,
       firstT: Long, firstV: Any,
-      lastT: Long, lastV: Any) extends Serializable
+      lastT: Long, lastV: Any,
+      vc: Map[Any, Long],
+      vals: List[(Long, Any)]) extends Serializable
 
   object Partial {
     val empty: Partial =
-      Partial(0L, 0.0, 0L, null, null, Long.MaxValue, null, Long.MinValue, null)
+      Partial(0L, 0.0, 0L, null, null, Long.MaxValue, null, Long.MinValue, null, null, null)
   }
 
   final case class KeyState(
@@ -68,7 +77,7 @@ object StreamingSlidingWindows {
     case _                        => 0
   }
 
-  private def mergeValue(p: Partial, t: Long, v: Any): Partial = {
+  private def mergeValue(p: Partial, t: Long, v: Any, keepVc: Boolean, keepVals: Boolean): Partial = {
     if (v == null) return p
     val d = v match { case n: Number => n.doubleValue(); case _ => 0.0 }
     val l = v match { case n: Number => n.longValue(); case _ => 0L }
@@ -81,7 +90,12 @@ object StreamingSlidingWindows {
       math.min(t, p.firstT),
       if (t < p.firstT) v else p.firstV,
       math.max(t, p.lastT),
-      if (t > p.lastT) v else p.lastV)
+      if (t > p.lastT) v else p.lastV,
+      if (!keepVc) null
+      else { val m = if (p.vc == null) Map.empty[Any, Long] else p.vc
+             m.updated(v, m.getOrElse(v, 0L) + 1L) },
+      if (!keepVals) null
+      else (t, v) :: (if (p.vals == null) Nil else p.vals))
   }
 
   private def combine(a: Partial, b: Partial): Partial =
@@ -96,24 +110,47 @@ object StreamingSlidingWindows {
       math.min(a.firstT, b.firstT),
       if (a.firstT <= b.firstT) a.firstV else b.firstV,
       math.max(a.lastT, b.lastT),
-      if (a.lastT >= b.lastT) a.lastV else b.lastV)
+      if (a.lastT >= b.lastT) a.lastV else b.lastV,
+      if (a.vc == null && b.vc == null) null
+      else {
+        val am = if (a.vc == null) Map.empty[Any, Long] else a.vc
+        val bm = if (b.vc == null) Map.empty[Any, Long] else b.vc
+        bm.foldLeft(am) { case (m, (k, c)) => m.updated(k, m.getOrElse(k, 0L) + c) }
+      },
+      if (a.vals == null && b.vals == null) null
+      else (if (a.vals == null) Nil else a.vals) ::: (if (b.vals == null) Nil else b.vals))
 
   /** Final value of one feature from its combined window partial; empty
     * windows default to SUM/COUNT=0 and NULL otherwise
     * (ref: processors/flink/table_builder/aggregation_utils.py:93-118).
     */
-  private def result(agg: AggFunc, p: Partial, integral: Boolean): Any = agg match {
-    case AggFunc.Count => p.cnt
-    case AggFunc.Sum =>
-      if (p.cnt == 0) { if (integral) 0L else 0.0 }
-      else if (integral) p.sumL else p.sumD
-    case AggFunc.Avg        => if (p.cnt == 0) null else p.sumD / p.cnt
-    case AggFunc.Min        => p.min
-    case AggFunc.Max        => p.max
-    case AggFunc.FirstValue => p.firstV
-    case AggFunc.LastValue  => p.lastV
-    case other =>
-      throw new IllegalArgumentException(s"streaming sliding does not support $other")
+  private def result(agg: AggFunc, p0: Partial, integral: Boolean, limit: Option[Int]): Any = {
+    // With a limit, re-aggregate the newest N raw pairs (the reference's
+    // AggFuncWithLimit.java:27 keeps raw (value, time) pairs the same way).
+    val p = limit match {
+      case Some(n) if p0.vals != null =>
+        p0.vals.sortBy(_._1).takeRight(n)
+          .foldLeft(Partial.empty) { case (acc, (t, v)) =>
+            mergeValue(acc, t, v, keepVc = true, keepVals = true) }
+      case _ => p0
+    }
+    agg match {
+      case AggFunc.Count => p.cnt
+      case AggFunc.Sum =>
+        if (p.cnt == 0) { if (integral) 0L else 0.0 }
+        else if (integral) p.sumL else p.sumD
+      case AggFunc.Avg        => if (p.cnt == 0) null else p.sumD / p.cnt
+      case AggFunc.Min        => p.min
+      case AggFunc.Max        => p.max
+      case AggFunc.FirstValue => p.firstV
+      case AggFunc.LastValue  => p.lastV
+      case AggFunc.ValueCounts =>
+        if (p.cnt == 0) null else p.vc
+      case AggFunc.CollectList =>
+        if (p.cnt == 0) null else p.vals.sortBy(_._1).map(_._2)
+      case other =>
+        throw new IllegalArgumentException(s"streaming sliding does not support $other")
+    }
   }
 
   /** @param input streaming DataFrame carrying [[EventTime.Col]] (epoch ms)
@@ -146,6 +183,10 @@ object StreamingSlidingWindows {
       }
     }
     val valueTypes = feats.indices.map(i => schema(s"__v_$i").dataType)
+    val keepVc = feats.map(_.agg == AggFunc.ValueCounts)
+    val keepVals = feats.zip(keepVc).map { case (f, vc) =>
+      vc || f.agg == AggFunc.CollectList || f.limit.isDefined
+    }
     val outSchema = StructType(
       keys.map(schema(_)).toSeq ++
         Seq(StructField("window_time", LongType, nullable = false)) ++
@@ -154,6 +195,8 @@ object StreamingSlidingWindows {
             case AggFunc.Count => LongType
             case AggFunc.Avg   => DoubleType
             case AggFunc.Sum   => if (integral(i)) LongType else DoubleType
+            case AggFunc.ValueCounts => MapType(valueTypes(i), LongType)
+            case AggFunc.CollectList => ArrayType(valueTypes(i))
             case _             => valueTypes(i)
           }
           StructField(f.name, dt)
@@ -184,7 +227,8 @@ object StreamingSlidingWindows {
           if (t + maxWindowMs > watermark) { // late-data drop rule
             val b = Math.floorDiv(t, stepMs)
             val arr = st.buckets.getOrElse(b, Array.fill(nFeats)(Partial.empty))
-            val merged = Array.tabulate(nFeats)(i => mergeValue(arr(i), t, r.get(vIdx(i))))
+            val merged = Array.tabulate(nFeats)(i =>
+              mergeValue(arr(i), t, r.get(vIdx(i)), keepVc(i), keepVals(i)))
             st = st.copy(buckets = st.buckets.updated(b, merged))
           }
         }
@@ -208,7 +252,8 @@ object StreamingSlidingWindows {
               acc
             }
             val any = combined.exists(_.cnt > 0)
-            val values = feats.indices.map(i => result(feats(i).agg, combined(i), integral(i)))
+            val values = feats.indices.map(i =>
+              result(feats(i).agg, combined(i), integral(i), feats(i).limit))
             val emit =
               if (any) { st = st.copy(emptyEmitted = false); true }
               else if (enableEmptyWindowOutput && !st.emptyEmitted) {

@@ -117,6 +117,65 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming limit + value_counts match the batch engine") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Seq(
+      ("Alex", 100L, ms("2022-01-01 08:01:00")),
+      ("Emma", 400L, ms("2022-01-01 08:02:00")),
+      ("Alex", 300L, ms("2022-01-02 08:03:00")),
+      ("Emma", 200L, ms("2022-01-02 08:04:00")),
+      ("Jack", 500L, ms("2022-01-03 08:05:00")),
+      ("Alex", 600L, ms("2022-01-03 08:06:00")))
+
+    def view(src: TableDescriptor, name: String) = SlidingFeatureView(
+      name, src,
+      features = Seq(
+        Feature("newest2", SlidingWindowTransform(
+          "cost", AggFunc.Sum, 3.days, 1.day, Seq("name"), limit = Some(2))),
+        Feature("counts", SlidingWindowTransform(
+          "cost", AggFunc.ValueCounts, 2.days, 1.day, Seq("name"))),
+        Feature("lst", SlidingWindowTransform(
+          "cost", AggFunc.CollectList, 2.days, 1.day, Seq("name")))),
+      enableEmptyWindowOutput = false,
+      skipSameWindowOutput = false)
+
+    val cl = new GraftClient(spark)
+    val batchSrc = DataFrameSource(
+      "lv_batch", rows.toDF("name", "cost", "t_ms"),
+      keys = Some(Seq("name")), timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis")
+    def normalize(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getAs[Long]("newest2"),
+        Option(r.getAs[Map[Long, Long]]("counts")),
+        Option(r.getAs[scala.collection.Seq[Long]]("lst")).map(_.toSeq))
+    val expected = cl.getFeatures(view(batchSrc, "lv_batch_view"))
+      .orderBy("name", "window_time").collect().map(normalize).toSeq
+
+    val stream = MemoryStream[(String, Long, Long)]
+    val streamSrc = DataFrameSource(
+      "lv_stream", stream.toDF().toDF("name", "cost", "t_ms"),
+      keys = Some(Seq("name")), timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis")
+    val query = cl.getFeatures(view(streamSrc, "lv_stream_view"))
+      .writeStream.format("memory").queryName("lv_out").outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      query.processAllAvailable()
+      stream.addData(("zz", 0L, ms("2022-03-01 00:00:00")))
+      query.processAllAvailable()
+      stream.addData(("zz", 0L, ms("2022-04-01 00:00:00")))
+      query.processAllAvailable()
+      val got = spark.sql(
+        "SELECT name, window_time, newest2, counts, lst FROM lv_out " +
+          s"WHERE window_time < ${ms("2022-02-01 00:00:00")} ORDER BY name, window_time")
+        .collect().map(normalize).toSeq
+      assert(got == expected)
+    } finally query.stop()
+  }
+
   test("streaming keyed multi-size windows match the batch engine") {
     val spark2 = spark
     import spark2.implicits._
