@@ -58,6 +58,40 @@ class EngineSpec extends SparkSuite {
     assert(alex.map(_.getAs[Long]("last_2")).toSeq == Seq(100L, 400L, 900L))
   }
 
+  test("over window: reference golden (2-day windows, expr composition)") {
+    // Ref: test_over_window_transform.py:96-113 — cost_per_mile = cost /
+    // distance + 10; SUM/AVG/MAX/MIN over 2-day windows keyed by name.
+    val view = DerivedFeatureView(
+      "v_ref_over", purchaseSource,
+      features = Seq(
+        Feature.expr("cost_per_mile", "cost / distance + 10"),
+        Feature("total_cost", OverWindowTransform("cost", AggFunc.Sum, Some(2.days), Seq("name"))),
+        Feature("avg_cost", OverWindowTransform("cost", AggFunc.Avg, Some(2.days), Seq("name"))),
+        Feature("max_cost", OverWindowTransform("cost", AggFunc.Max, Some(2.days), Seq("name"))),
+        Feature("min_cost", OverWindowTransform("cost", AggFunc.Min, Some(2.days), Seq("name")))),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("time").collect()
+    assert(got.map(_.getAs[Double]("cost_per_mile")).toSeq ==
+      Seq(11.0, 11.6, 11.5, 10.8, 11.0, 10.75))
+    assert(got.map(_.getAs[Long]("total_cost")).toSeq == Seq(100L, 400L, 400L, 600L, 500L, 900L))
+    assert(got.map(_.getAs[Double]("avg_cost")).toSeq ==
+      Seq(100.0, 400.0, 200.0, 300.0, 500.0, 450.0))
+    assert(got.map(_.getAs[Long]("max_cost")).toSeq == Seq(100L, 400L, 300L, 400L, 500L, 600L))
+    assert(got.map(_.getAs[Long]("min_cost")).toSeq == Seq(100L, 400L, 100L, 200L, 500L, 300L))
+  }
+
+  test("over window: reference limit golden (last 2 rows)") {
+    // Ref: test_over_window_transform.py:190-212.
+    val view = DerivedFeatureView(
+      "v_ref_limit", purchaseSource,
+      features = Seq(
+        Feature("total_cost", OverWindowTransform(
+          "cost", AggFunc.Sum, None, Seq("name"), limit = Some(2)))),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("time").collect()
+    assert(got.map(_.getAs[Long]("total_cost")).toSeq == Seq(100L, 400L, 400L, 600L, 500L, 900L))
+  }
+
   test("over window: value_counts and collect_list") {
     val view = DerivedFeatureView(
       "v_vc", purchaseSource,

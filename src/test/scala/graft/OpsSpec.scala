@@ -122,6 +122,33 @@ class OpsSpec extends SparkSuite {
     assert(m(1L) == m(4L))
   }
 
+  test("metric store writes prometheus exposition text") {
+    import graft.client.{GraftClient, MetricStore, Metrics}
+    import graft.table._
+    import scala.concurrent.duration._
+    val spark2 = spark
+    import spark2.implicits._
+    val events = Seq(
+      (1L, "error", 86400000L * 10 + 100),
+      (2L, "click", 86400000L * 10 + 200),
+      (3L, "error", 86400000L * 11 + 100)).toDF("id", "etype", "t_ms")
+    val src = DataFrameSource(
+      "m_src", events, keys = Some(Seq("id")),
+      timestampField = Some("t_ms"), timestampFormat = "epoch_millis")
+    val out = java.nio.file.Files.createTempFile("graft_metrics", ".prom").toString
+    val cl = new GraftClient(spark)
+    new MetricStore(cl, out).materializeWithMetrics(
+      src, BlackHoleSink,
+      Seq(
+        Metrics.count("event_cnt", None, 1.day),
+        Metrics.ratio("error_ratio", "etype = 'error'", 1.day)))
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)))
+    assert(text.contains("# TYPE graft_event_cnt gauge"))
+    assert(text.contains("graft_event_cnt{table=\"m_src\"} 2"))
+    assert(text.contains("graft_error_ratio{table=\"m_src\"} 0.5"))
+    assert(text.contains("graft_error_ratio{table=\"m_src\"} 1.0"))
+  }
+
   test("on-demand view serves expressions + store lookups per request") {
     import graft.client.{GraftClient, MemoryOnlineStore}
     import graft.table._
