@@ -43,8 +43,9 @@ final class GraftClient(val spark: SparkSession) {
   def materialize(desc: TableDescriptor, sink: Sink): Unit = {
     Registry.register(desc)
     sink match {
-      case FileSink(path, format, mode) =>
-        getFeatures(desc).write.format(format).mode(mode).save(path)
+      case FileSink(path, format, mode, partCols) =>
+        val w = getFeatures(desc).write.format(format).mode(mode)
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).save(path)
       case PrintSink(n)   => getFeatures(desc).show(n, truncate = false)
       case BlackHoleSink  => getFeatures(desc).foreach(_ => ())
       case MemoryStoreSink(tableName) =>
@@ -87,8 +88,9 @@ final class GraftClient(val spark: SparkSession) {
     require(df.isStreaming, s"${desc.name} is bounded; use materialize")
     val base = EventTime.drop(df).writeStream.option("checkpointLocation", checkpointDir)
     sink match {
-      case FileSink(path, format, _) =>
-        base.format(format).option("path", path).start()
+      case FileSink(path, format, _, partCols) =>
+        val b = base.format(format).option("path", path)
+        (if (partCols.nonEmpty) b.partitionBy(partCols: _*) else b).start()
       case PrintSink(n)  => base.format("console").option("numRows", n).start()
       case BlackHoleSink => base.format("noop").start()
       case MemoryStoreSink(tableName) =>
@@ -192,6 +194,10 @@ object MemoryOnlineStore {
       }
     }
   }
+
+  /** Latest-per-key snapshot of a store table (for [[graft.table.MemoryStoreSource]]). */
+  def snapshotRows(name: String): Seq[Map[String, Any]] =
+    tables.get(name).map(_.values.map(_.row).toSeq).getOrElse(Nil)
 
   def get(name: String, keyedRequest: Map[String, Any]): Option[Map[String, Any]] =
     tables.get(name).flatMap { table =>

@@ -258,6 +258,18 @@ final case class KafkaSource(
     maxOutOfOrderness: Duration = Duration.Zero,
     isBounded: Boolean = false) extends TableDescriptor
 
+/** Scan of an in-process online-store table (latest-per-key snapshot) —
+  * the serving-store read-back path
+  * (ref: python/feathub/feature_tables/sources/memory_store_source.py:24-40).
+  */
+final case class MemoryStoreSource(
+    name: String,
+    tableName: String,
+    keys: Option[Seq[String]] = None) extends TableDescriptor {
+  def timestampField: Option[String] = None
+  def timestampFormat: String = "auto"
+}
+
 /** JDBC table scan — the reference's MySQLSource generalized to any JDBC
   * URL (ref: python/feathub/feature_tables/sources/mysql_source.py:22-61;
   * Spark's built-in jdbc reader replaces the reference's custom connector).
@@ -284,9 +296,17 @@ final case class SqlFeatureView(
     timestampField: Option[String] = None,
     timestampFormat: String = "auto") extends TableDescriptor
 
-/** Sinks (ref: python/feathub/feature_tables/sinks/). */
+/** Sinks (ref: python/feathub/feature_tables/sinks/).
+  * FileSink.partitionColumns hive-partitions the output directory — the
+  * layout that lets downstream time/key-range reads prune whole partitions
+  * at 100 TB.
+  */
 sealed trait Sink
-final case class FileSink(path: String, format: String = "parquet", mode: String = "overwrite") extends Sink
+final case class FileSink(
+    path: String,
+    format: String = "parquet",
+    mode: String = "overwrite",
+    partitionColumns: Seq[String] = Nil) extends Sink
 final case class PrintSink(numRows: Int = 20) extends Sink
 case object BlackHoleSink extends Sink
 final case class MemoryStoreSink(tableName: String) extends Sink

@@ -273,6 +273,22 @@ class EngineSpec extends SparkSuite {
     assert(got.head.getAs[String]("name_cost") == "Alex:100")
   }
 
+  test("partitioned file sink writes hive layout; memory store source reads back") {
+    val dir = s"${SparkSuite.tmpDir}/part_sink"
+    client.materialize(
+      purchaseSource, FileSink(dir, partitionColumns = Seq("name")))
+    assert(new java.io.File(s"$dir/name=Alex").isDirectory)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 6)
+
+    client.materialize(purchaseSource, MemoryStoreSink("ms_roundtrip"))
+    val snap = client.getFeatures(
+      MemoryStoreSource("ms_src", "ms_roundtrip", keys = Some(Seq("name"))))
+    assert(snap.count() == 3) // latest row per name
+    val alex = snap.filter(org.apache.spark.sql.functions.col("name") === "Alex").collect().head
+    assert(alex.getAs[Long]("cost") == 600L)
+  }
+
   test("online store upsert keeps latest per key") {
     import graft.client.MemoryOnlineStore
     // materialize → serve with NO manual registerKeys: put must register the

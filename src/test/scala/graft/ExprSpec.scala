@@ -28,6 +28,32 @@ class ExprSpec extends AnyFunSuite {
     assert(Parser.parse("-2.5e3") == UminusOp(FloatLit(2500.0)))
   }
 
+  test("lexer edge cases: backticks, case-insensitivity, quote styles") {
+    assert(Parser.parse("`weird col name`") == Ident("weird col name"))
+    assert(Parser.parse("case WHEN tRuE then 1 End") ==
+      CaseOp(Seq((BoolLit(true), IntLit(1))), None))
+    assert(Parser.parse("\"double\" = 'single'") ==
+      CompareOp("=", StringLit("double"), StringLit("single")))
+    assert(Parser.parse("a AND NOT b") ==
+      LogicalOp("AND", Ident("a"), NotOp(Ident("b"))))
+    assert(Parser.parse("m['a'][2]") ==
+      BracketOp(BracketOp(Ident("m"), StringLit("a")), IntLit(2)))
+    assert(Parser.parse("round(x, 2)") == FuncCall("ROUND", Seq(Ident("x"), IntLit(2))))
+    // integer and exponent literal forms
+    assert(Parser.parse("1e3") == FloatLit(1000.0))
+    assert(Parser.parse(".5") == FloatLit(0.5))
+    assertThrows[IllegalArgumentException](Parser.parse("a +"))
+    assertThrows[IllegalArgumentException](Parser.parse("`unterminated"))
+  }
+
+  test("row interpreter: long arithmetic stays exact past 2^53") {
+    val big = 9007199254740993L // 2^53 + 1 — not representable as Double
+    val row = Map[String, Any]("x" -> big)
+    assert(RowInterpreter.eval("x + 0", row) == big)
+    assert(RowInterpreter.eval("x * 1", row) == big)
+    assert(RowInterpreter.eval("x - 1", row) == big - 1)
+  }
+
   test("strftime conversion matches the reference mapping") {
     assert(TimeFormats.toJavaDateFormat("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss")
     assert(TimeFormats.toJavaDateFormat("%Y-%m-%d %H:%M:%S.%f") == "yyyy-MM-dd HH:mm:ss.SSS")
