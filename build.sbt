@@ -23,6 +23,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Pass forked-run stdout through UNPREFIXED: the driver parses Bench's JSON
+// line from stdout, and sbt's default LoggedOutput would wrap it as
+// "[info] {...}", which json.loads rejects.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
