@@ -19,8 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two numeric arrays as a sequential double fold. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two numeric arrays: a native codegen'd Catalyst
+    * expression ([[graft.functions.VectorDot]]) — same sequential-double
+    * semantics as the composable `aggregate(zip_with(...))` fold, but a
+    * primitive loop inside whole-stage codegen instead of per-element
+    * interpreted lambdas.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorDot(a, b)
+
+  /** The composable formulation, kept as the differential-test reference. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

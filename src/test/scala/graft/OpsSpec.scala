@@ -86,6 +86,27 @@ class OpsSpec extends SparkSuite {
     assert(top.map(_.getAs[Long]("nbr_id")).toSeq == Seq(1L, 2L))
   }
 
+  test("native VectorDot matches the HOF fold bit-for-bit") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(k => ((i * 31 + k * 17) % 97).toFloat / 9.7f - 4.5f))
+    }.toDF("id", "v")
+    val paired = vecs.as("a").join(vecs.as("b"), col("a.id") < col("b.id")).limit(5000)
+    val diff = paired.select(
+      (Similarity.dot(col("a.v"), col("b.v")) -
+        graft.ops.Similarity.dotHof(col("a.v"), col("b.v"))).as("d"))
+      .agg(max(abs(col("d")))).collect().head.getDouble(0)
+    assert(diff == 0.0)
+    // null / length-mismatch contract
+    val edge = Seq(
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      (Array(1.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val got = edge.select(Similarity.dot(col("a"), col("b"))).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(got(0) == 11.0 && got(1) == null)
+  }
+
   test("allPairsCosine matches the relational formulation") {
     val spark2 = spark
     import spark2.implicits._
