@@ -63,11 +63,16 @@ object Dedup {
       threshold: Double,
       maxDf: Long = 10000L): DataFrame = {
     val sh = wordShingles(df, idCol, textCol, n)
+    // Hot-shingle guard as a broadcast anti-join: the set of shingles with
+    // df > maxDf has at most |rows|/maxDf members — broadcastable by
+    // definition — so this costs one aggregation instead of a full
+    // shuffle+sort window over every shingle row.
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("shingle"))
     // Persisted: consumed three times (size table + both self-join sides) —
     // without it Spark re-runs the explode+distinct pipeline per consumer.
-    val kept = sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+    val kept = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = kept.as("a")
@@ -133,10 +138,10 @@ object Dedup {
       maxBucket: Long = 10000L): DataFrame = {
     val sigs = minhashSignatures(wordShingles(df, idCol, textCol, shingleLen), numHashes)
     val bb = lshBands(sigs, numHashes, bands)
-    val capped = bb.withColumn(
-        "n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("n") <= maxBucket)
-      .drop("n")
+    val hot = bb.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val capped = bb.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides
     capped.as("a")
       .join(

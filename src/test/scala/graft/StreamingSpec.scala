@@ -194,6 +194,9 @@ class StreamingSpec extends SparkSuite {
       features = Seq(
         Feature("sum_1d", SlidingWindowTransform("cost", AggFunc.Sum, 1.day, 1.day, Seq("name"))),
         Feature("max_2d", SlidingWindowTransform("cost", AggFunc.Max, 2.days, 1.day, Seq("name"))),
+        Feature("min_2d", SlidingWindowTransform("cost", AggFunc.Min, 2.days, 1.day, Seq("name"))),
+        Feature("first_2d", SlidingWindowTransform("cost", AggFunc.FirstValue, 2.days, 1.day, Seq("name"))),
+        Feature("last_2d", SlidingWindowTransform("cost", AggFunc.LastValue, 2.days, 1.day, Seq("name"))),
         Feature("avg_2d", SlidingWindowTransform("cost", AggFunc.Avg, 2.days, 1.day, Seq("name")))),
       enableEmptyWindowOutput = true,
       skipSameWindowOutput = true)
@@ -205,10 +208,13 @@ class StreamingSpec extends SparkSuite {
       "k_batch", rows.toDF("name", "cost", "t_ms"),
       keys = Some(Seq("name")), timestampField = Some("t_ms"),
       timestampFormat = "epoch_millis")
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getAs[Any]("sum_1d"), r.getAs[Any]("max_2d"),
+        r.getAs[Any]("min_2d"), r.getAs[Any]("first_2d"), r.getAs[Any]("last_2d"),
+        r.getAs[Any]("avg_2d"))
     val expected = cl.getFeatures(view(batchSrc, "k_batch_view"))
       .orderBy("name", "window_time")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Any]("sum_1d"),
-        r.getAs[Any]("max_2d"), r.getAs[Any]("avg_2d"))).toSeq
+      .collect().map(norm).toSeq
 
     // streaming result over the same rows
     val stream = MemoryStream[(String, Long, Long)]
@@ -227,11 +233,10 @@ class StreamingSpec extends SparkSuite {
       stream.addData(("Alex", 0L, ms("2022-04-01 00:00:00")))
       query.processAllAvailable()
       val got = spark.sql(
-        "SELECT name, window_time, sum_1d, max_2d, avg_2d FROM k_stream_out " +
+        "SELECT * FROM k_stream_out " +
           s"WHERE window_time < ${ms("2022-02-01 00:00:00")} " +
           "ORDER BY name, window_time")
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Any]("sum_1d"),
-          r.getAs[Any]("max_2d"), r.getAs[Any]("avg_2d"))).toSeq
+        .collect().map(norm).toSeq
       assert(got == expected)
     } finally query.stop()
   }
