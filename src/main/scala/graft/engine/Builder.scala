@@ -207,6 +207,11 @@ final class Builder(spark: SparkSession) {
       v.enableEmptyWindowOutput,
       v.skipSameWindowOutput,
       post.toSeq)
+    // Declared feature dtypes (ref: sliding Feature dtype casts applied to
+    // the aggregation results).
+    sliding.foreach { f =>
+      f.dtype.foreach(dt => out = out.withColumn(f.name, col(f.name).cast(dt.toSpark)))
+    }
     v.filterExpr.foreach(f => out = out.filter(SparkCompiler.compile(f)))
     // Output timestamp: the window close time (epoch millis), exposed as
     // `window_time` (ref: sliding_feature_view.py:200-231).
@@ -248,6 +253,9 @@ final class Builder(spark: SparkSession) {
       v.enableEmptyWindowOutput,
       v.skipSameWindowOutput,
       maxOoo)
+    sliding.foreach { f =>
+      f.dtype.foreach(dt => out = out.withColumn(f.name, col(f.name).cast(dt.toSpark)))
+    }
     out = out.withColumn(SparkCompiler.WindowTimeCol, col("window_time"))
     out = post.foldLeft(out) { case (df, (n, e)) =>
       df.withColumn(n, SparkCompiler.compile(e))

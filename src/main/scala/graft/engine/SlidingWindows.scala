@@ -179,15 +179,29 @@ object SlidingWindows {
 
     val result =
       if (skipSameWindowOutput) {
-        val sig = struct(featCols: _*)
         out
-          .withColumn("__sig", sig)
+          .withColumn("__sig", comparableSig(out, feats.map(_.name)))
           .withColumn("__prev", lag(col("__sig"), 1).over(keyWin.orderBy(col(B))))
           .filter(col("__prev").isNull || !(col("__sig") <=> col("__prev")))
           .drop("__sig", "__prev")
       } else out
     result.drop(B)
   }
+
+  /** Signature struct for the skip-same comparison. `<=>` cannot compare
+    * MAP-typed fields (maps are unordered), so map features are encoded as
+    * their key-sorted entry arrays — deterministic and equatable, matching
+    * the reference's per-field Objects.equals
+    * (processfunction/WindowUtils.java:29-46).
+    */
+  private def comparableSig(df: DataFrame, featNames: Seq[String]): Column =
+    struct(featNames.map { n =>
+      df.schema(n).dataType match {
+        case _: org.apache.spark.sql.types.MapType =>
+          sort_array(map_entries(col(n))).as(n)
+        case _ => col(n)
+      }
+    }: _*)
 
   private def valueType(df: DataFrame, i: Int) = df.schema(s"__v_$i").dataType
 
@@ -217,9 +231,8 @@ object SlidingWindows {
       feats.map(f => col(f.name)) ++ postExprs.map { case (n, _) => col(n) }
     val out = withPost.select(outCols: _*)
     if (skipSame) {
-      val sig = struct(feats.map(f => col(f.name)): _*)
       out
-        .withColumn("__sig", sig)
+        .withColumn("__sig", comparableSig(out, feats.map(_.name)))
         .withColumn("__prev", lag(col("__sig"), 1).over(keyWin.orderBy(col(SparkCompiler.WindowTimeCol))))
         .filter(col("__prev").isNull || !(col("__sig") <=> col("__prev")))
         .drop("__sig", "__prev")

@@ -223,6 +223,53 @@ class EngineSpec extends SparkSuite {
     assert(emmaD2.getAs[Map[Long, Long]]("dist_counts") == Map(250L -> 2L))
   }
 
+  test("sliding multi-size golden: shared step, empty/skip interaction") {
+    // Ref: test_sliding_window_transform.py:2241-2525
+    // (test_multiple_window_size_with_same_step, ENABLE_EMPTY+SKIP_SAME):
+    // 2-day aggs + a 3-day AVG share one step; a step where only the longer
+    // window has data still emits (any-window rule); the all-empty row
+    // appears once; a value-identical step (Jack d4) is skipped.
+    val view = SlidingFeatureView(
+      "v_multi_golden", purchaseSource,
+      features = Seq(
+        Feature("total_2d", SlidingWindowTransform("cost", AggFunc.Sum, 2.days, 1.day, Seq("name")), dtype = Some(DInt64)),
+        Feature("avg_3d", SlidingWindowTransform("cost", AggFunc.Avg, 3.days, 1.day, Seq("name")), dtype = Some(DFloat64)),
+        Feature("min_2d", SlidingWindowTransform("cost", AggFunc.Min, 2.days, 1.day, Seq("name")), dtype = Some(DFloat64)),
+        Feature("max_2d", SlidingWindowTransform("cost", AggFunc.Max, 2.days, 1.day, Seq("name")), dtype = Some(DFloat64)),
+        Feature("first_2d", SlidingWindowTransform("cost", AggFunc.FirstValue, 2.days, 1.day, Seq("name")), dtype = Some(DFloat64)),
+        Feature("last_2d", SlidingWindowTransform("cost", AggFunc.LastValue, 2.days, 1.day, Seq("name")), dtype = Some(DFloat64)),
+        Feature("cnt_2d", SlidingWindowTransform("cost", AggFunc.Count, 2.days, 1.day, Seq("name")), dtype = Some(DFloat64)),
+        Feature("vc_2d", SlidingWindowTransform("cost", AggFunc.ValueCounts, 2.days, 1.day, Seq("name")))))
+    val day = 86400000L
+    val t0 = java.time.LocalDate.parse("2022-01-01").toEpochDay * day
+    def wt(d: Int): Long = t0 + d * day - 1
+    val got = client.getFeatures(view).orderBy("name", "window_time").collect()
+      .map(r => (
+        r.getAs[String]("name"), r.getAs[Long]("window_time"),
+        r.getAs[Long]("total_2d"), Option(r.getAs[Any]("avg_3d")),
+        Option(r.getAs[Any]("min_2d")), Option(r.getAs[Any]("max_2d")),
+        Option(r.getAs[Any]("first_2d")), Option(r.getAs[Any]("last_2d")),
+        r.getAs[Double]("cnt_2d"), Option(r.getAs[Map[Long, Long]]("vc_2d"))))
+      .toSeq
+    def s(v: Double) = Some(v)
+    val expected = Seq(
+      ("Alex", wt(1), 100L, s(100.0), s(100.0), s(100.0), s(100.0), s(100.0), 1.0, Some(Map(100L -> 1L))),
+      ("Alex", wt(2), 400L, s(200.0), s(100.0), s(300.0), s(100.0), s(300.0), 2.0, Some(Map(100L -> 1L, 300L -> 1L))),
+      ("Alex", wt(3), 900L, s(1000.0 / 3), s(300.0), s(600.0), s(300.0), s(600.0), 2.0, Some(Map(300L -> 1L, 600L -> 1L))),
+      ("Alex", wt(4), 600L, s(450.0), s(600.0), s(600.0), s(600.0), s(600.0), 1.0, Some(Map(600L -> 1L))),
+      ("Alex", wt(5), 0L, s(600.0), None, None, None, None, 0.0, None),
+      ("Alex", wt(6), 0L, None, None, None, None, None, 0.0, None),
+      ("Emma", wt(1), 400L, s(400.0), s(400.0), s(400.0), s(400.0), s(400.0), 1.0, Some(Map(400L -> 1L))),
+      ("Emma", wt(2), 600L, s(300.0), s(200.0), s(400.0), s(400.0), s(200.0), 2.0, Some(Map(400L -> 1L, 200L -> 1L))),
+      ("Emma", wt(3), 200L, s(300.0), s(200.0), s(200.0), s(200.0), s(200.0), 1.0, Some(Map(200L -> 1L))),
+      ("Emma", wt(4), 0L, s(200.0), None, None, None, None, 0.0, None),
+      ("Emma", wt(5), 0L, None, None, None, None, None, 0.0, None),
+      ("Jack", wt(3), 500L, s(500.0), s(500.0), s(500.0), s(500.0), s(500.0), 1.0, Some(Map(500L -> 1L))),
+      ("Jack", wt(5), 0L, s(500.0), None, None, None, None, 0.0, None),
+      ("Jack", wt(6), 0L, None, None, None, None, None, 0.0, None))
+    assert(got == expected)
+  }
+
   test("join against no-empty-output sliding view expires after one step") {
     // Ref: flink join_utils.py:57-142 "valid time interval" — a value joined
     // from a SlidingFeatureView with enable_empty_window_output=false
