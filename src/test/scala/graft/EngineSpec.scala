@@ -270,6 +270,98 @@ class EngineSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("sliding filter_expr golden: per-feature filters with zero defaults") {
+    // Ref: test_sliding_window_transform.py:344-447 (ENABLE_EMPTY+SKIP_SAME):
+    // 2-minute windows stepped per minute; pay/receive sums filtered per
+    // feature; a window with data but no filter matches reports the SUM
+    // default 0, not NULL; non-consecutive repeats of (0,0,0) both emit.
+    val pays = spark.createDataFrame(Seq(
+      ("Alex", "pay", 100.0, "2022-01-01 09:01:00"),
+      ("Alex", "receive", 300.0, "2022-01-01 09:01:30"),
+      ("Alex", "pay", 200.0, "2022-01-01 09:01:20"),
+      ("Emma", "receive", 500.0, "2022-01-01 09:02:30"),
+      ("Emma", "pay", 400.0, "2022-01-01 09:02:00"),
+      ("Alex", "receive", 200.0, "2022-01-01 09:03:00"),
+      ("Emma", "pay", 300.0, "2022-01-01 09:04:00"),
+      ("Jack", "receive", 500.0, "2022-01-01 09:05:00"),
+      ("Alex", "pay", 450.0, "2022-01-01 09:06:00")
+    )).toDF("name", "action", "cost", "time")
+    val src = FileSource(
+      "pays_src", writeTempParquet(pays, "pays"), "parquet",
+      keys = Some(Seq("name")),
+      timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S")
+    val view = SlidingFeatureView(
+      "v_filter_golden", src,
+      features = Seq(
+        Feature("pay_2m", SlidingWindowTransform(
+          "cost", AggFunc.Sum, 2.minutes, 1.minute, Seq("name"),
+          filterExpr = Some("action = 'pay'"))),
+        Feature("recv_2m", SlidingWindowTransform(
+          "cost", AggFunc.Sum, 2.minutes, 1.minute, Seq("name"),
+          filterExpr = Some("action = 'receive'")), dtype = Some(DFloat32)),
+        Feature("pay_cnt", SlidingWindowTransform(
+          "0", AggFunc.Count, 2.minutes, 1.minute, Seq("name"),
+          filterExpr = Some("action = 'pay'")))))
+    def wt(hm: String): Long =
+      java.time.LocalDateTime.parse(s"2022-01-01T$hm:59.999")
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val got = client.getFeatures(view).orderBy("name", "window_time").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("window_time"),
+        r.getAs[Double]("pay_2m"), r.getAs[Float]("recv_2m"), r.getAs[Long]("pay_cnt")))
+      .toSeq
+    val expected = Seq(
+      ("Alex", wt("09:01"), 300.0, 300.0f, 2L),
+      ("Alex", wt("09:03"), 0.0, 200.0f, 0L),
+      ("Alex", wt("09:05"), 0.0, 0.0f, 0L),
+      ("Alex", wt("09:06"), 450.0, 0.0f, 1L),
+      ("Alex", wt("09:08"), 0.0, 0.0f, 0L),
+      ("Emma", wt("09:02"), 400.0, 500.0f, 1L),
+      ("Emma", wt("09:04"), 300.0, 0.0f, 1L),
+      ("Emma", wt("09:06"), 0.0, 0.0f, 0L),
+      ("Jack", wt("09:05"), 0.0, 500.0f, 0L),
+      ("Jack", wt("09:07"), 0.0, 0.0f, 0L))
+    assert(got == expected)
+  }
+
+  test("sliding post-expression golden: exprs over window results") {
+    // Ref: test_sliding_window_transform.py:742-1140
+    // (test_transform_with_expr_feature_after_sliding_feature,
+    // ENABLE_EMPTY+SKIP_SAME): FIRST/LAST of the raw time string per 2-day
+    // window, then post-expressions UNIX_TIMESTAMP deltas and per-trip avg —
+    // NULL-propagating through the empty rows.
+    val view = SlidingFeatureView(
+      "v_post_golden", purchaseSource,
+      features = Seq(
+        Feature("first_time", SlidingWindowTransform("`time`", AggFunc.FirstValue, 2.days, 1.day, Seq("name"))),
+        Feature("last_time", SlidingWindowTransform("`time`", AggFunc.LastValue, 2.days, 1.day, Seq("name"))),
+        Feature.expr("total_time", "(UNIX_TIMESTAMP(last_time) - UNIX_TIMESTAMP(first_time))", Some(DFloat64)),
+        Feature("cnt", SlidingWindowTransform("0", AggFunc.Count, 2.days, 1.day, Seq("name"))),
+        Feature.expr("avg_time_per_trip", "(UNIX_TIMESTAMP(last_time) - UNIX_TIMESTAMP(first_time)) / cnt", Some(DFloat64))))
+    val day = 86400000L
+    val t0 = java.time.LocalDate.parse("2022-01-01").toEpochDay * day
+    def wt(d: Int): Long = t0 + d * day - 1
+    val got = client.getFeatures(view).orderBy("name", "window_time").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("window_time"),
+        Option(r.getAs[String]("first_time")), Option(r.getAs[String]("last_time")),
+        Option(r.getAs[Any]("total_time")), r.getAs[Long]("cnt"),
+        Option(r.getAs[Any]("avg_time_per_trip"))))
+      .toSeq
+    val expected = Seq(
+      ("Alex", wt(1), Some("2022-01-01 08:01:00"), Some("2022-01-01 08:01:00"), Some(0.0), 1L, Some(0.0)),
+      ("Alex", wt(2), Some("2022-01-01 08:01:00"), Some("2022-01-02 08:03:00"), Some(86520.0), 2L, Some(43260.0)),
+      ("Alex", wt(3), Some("2022-01-02 08:03:00"), Some("2022-01-03 08:06:00"), Some(86580.0), 2L, Some(43290.0)),
+      ("Alex", wt(4), Some("2022-01-03 08:06:00"), Some("2022-01-03 08:06:00"), Some(0.0), 1L, Some(0.0)),
+      ("Alex", wt(5), None, None, None, 0L, None),
+      ("Emma", wt(1), Some("2022-01-01 08:02:00"), Some("2022-01-01 08:02:00"), Some(0.0), 1L, Some(0.0)),
+      ("Emma", wt(2), Some("2022-01-01 08:02:00"), Some("2022-01-02 08:04:00"), Some(86520.0), 2L, Some(43260.0)),
+      ("Emma", wt(3), Some("2022-01-02 08:04:00"), Some("2022-01-02 08:04:00"), Some(0.0), 1L, Some(0.0)),
+      ("Emma", wt(4), None, None, None, 0L, None),
+      ("Jack", wt(3), Some("2022-01-03 08:05:00"), Some("2022-01-03 08:05:00"), Some(0.0), 1L, Some(0.0)),
+      ("Jack", wt(5), None, None, None, 0L, None))
+    assert(got == expected)
+  }
+
   test("join against no-empty-output sliding view expires after one step") {
     // Ref: flink join_utils.py:57-142 "valid time interval" — a value joined
     // from a SlidingFeatureView with enable_empty_window_output=false
@@ -304,6 +396,56 @@ class EngineSpec extends SparkSuite {
     val got = client.getFeatures(view).orderBy("name", "time").collect()
       .map(r => (r.getAs[String]("name"), r.getAs[Any]("daily_cost"))).toSeq
     assert(got == Seq(("Alex", 100L), ("Alex", 0L), ("Jack", 0L)))
+  }
+
+  test("join sliding feature golden: both emission configs") {
+    // Ref: test_sliding_window_transform.py:1140-1265 (test_join_sliding_
+    // feature). With empty rows enabled the PIT join reads them directly
+    // (no expiry); with empty output disabled the valid-time-interval
+    // rewrite replaces stale values with SUM→0.0 / COUNT→0 defaults.
+    val srcDf = spark.createDataFrame(Seq(
+      ("Alex", 100.0, "2022-01-01 09:01:00"),
+      ("Alex", 200.0, "2022-01-01 09:01:20"),
+      ("Alex", 450.0, "2022-01-01 09:06:00"))).toDF("name", "cost", "time")
+    val probesDf = spark.createDataFrame(Seq(
+      ("Alex", "2022-01-01 09:01:00"),
+      ("Alex", "2022-01-01 09:02:00"),
+      ("Alex", "2022-01-01 09:05:00"),
+      ("Alex", "2022-01-01 09:07:00"),
+      ("Alex", "2022-01-01 09:09:00"))).toDF("name", "time")
+    val src = FileSource(
+      "jsf_src", writeTempParquet(srcDf, "jsf_src"), "parquet",
+      keys = Some(Seq("name")), timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S")
+    val probes = FileSource(
+      "jsf_probes", writeTempParquet(probesDf, "jsf_probes"), "parquet",
+      keys = Some(Seq("name")), timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S")
+
+    def run(enableEmpty: Boolean, skipSame: Boolean, tag: String) = {
+      Registry.register(SlidingFeatureView(
+        s"jsf_view_$tag", src,
+        features = Seq(
+          Feature("total_2m", SlidingWindowTransform("cost", AggFunc.Sum, 2.minutes, 1.minute, Seq("name"))),
+          Feature("cnt", SlidingWindowTransform("1", AggFunc.Count, 2.minutes, 1.minute, Seq("name")))),
+        enableEmptyWindowOutput = enableEmpty,
+        skipSameWindowOutput = skipSame))
+      client.getFeatures(DerivedFeatureView(
+        s"jsf_joined_$tag", probes,
+        features = Seq(
+          Feature("total_2m", JoinTransform(s"jsf_view_$tag", "total_2m"), keys = Some(Seq("name"))),
+          Feature("cnt", JoinTransform(s"jsf_view_$tag", "cnt"), keys = Some(Seq("name")))),
+        keepSourceFields = true))
+        .orderBy("time").collect()
+        .map(r => (Option(r.getAs[Any]("total_2m")), Option(r.getAs[Any]("cnt")))).toSeq
+    }
+
+    assert(run(enableEmpty = true, skipSame = true, "es") == Seq(
+      (None, None), (Some(300.0), Some(2L)), (Some(0.0), Some(0L)),
+      (Some(450.0), Some(1L)), (Some(0.0), Some(0L))))
+    assert(run(enableEmpty = false, skipSame = false, "nene") == Seq(
+      (Some(0.0), Some(0L)), (Some(300.0), Some(2L)), (Some(0.0), Some(0L)),
+      (Some(450.0), Some(1L)), (Some(0.0), Some(0L))))
   }
 
   test("udf transform over whole row") {
