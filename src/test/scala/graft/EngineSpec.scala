@@ -133,6 +133,34 @@ class EngineSpec extends SparkSuite {
     assert(got.map(r => r.getAs[Any]("avg_cost")).toSeq == expected)
   }
 
+  test("join with map subscript golden (static map lookup)") {
+    // Ref: test_join_transform.py:374-428 — the joined feature is a map
+    // subscript over the right table's map column; missing keys and rows
+    // with no point-in-time match yield NULL.
+    val dim = spark.createDataFrame(Seq(
+      ("Alex", Map("Alex" -> 100.0), "2022-01-01,09:01:00"),
+      ("Emma", Map("Emma" -> 400.0), "2022-01-01,09:02:00"),
+      ("Alex", Map("Alex" -> 200.0), "2022-01-02,07:03:00"),
+      ("Emma", Map("Emma" -> 300.0), "2022-01-02,09:04:00"),
+      ("Jack", Map("Jack" -> 500.0), "2022-01-03,09:05:00"),
+      ("Alex", Map("Alex" -> 450.0), "2022-01-03,09:06:00")
+    )).toDF("name", "avg_cost_map", "time")
+    Registry.register(FileSource(
+      "map_dim", writeTempParquet(dim, "map_dim"), "parquet",
+      keys = Some(Seq("name")),
+      timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d,%H:%M:%S"))
+    val view = DerivedFeatureView(
+      "v_map_join", purchaseSource,
+      features = Seq(
+        Feature("avg_alex", JoinTransform("map_dim", "avg_cost_map['Alex']"),
+          keys = Some(Seq("name")))),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("name", "time").collect()
+      .map(r => Option(r.getAs[Any]("avg_alex"))).toSeq
+    assert(got == Seq(None, Some(200.0), Some(200.0), None, None, None))
+  }
+
   test("sliding window matches the reference golden (size=2d step=1d)") {
     // Golden from test_sliding_window_transform.py:75-141: SUM(cost) values
     // 500, 1000, 1600, 1100, 0 at window close times 23:59:59.999.
@@ -446,6 +474,27 @@ class EngineSpec extends SparkSuite {
     assert(run(enableEmpty = false, skipSame = false, "nene") == Seq(
       (Some(0.0), Some(0L)), (Some(300.0), Some(2L)), (Some(0.0), Some(0L)),
       (Some(450.0), Some(1L)), (Some(0.0), Some(0L))))
+  }
+
+  test("sliding zero window size golden: cumulative emit per record") {
+    // Ref: test_sliding_window_transform.py:2844-2878 — window_size=0 and
+    // step_size=0 means an infinite window emitting the running total at
+    // every input record (no keys → one global stream).
+    val view = SlidingFeatureView(
+      "v_zero_golden", purchaseSource,
+      features = Seq(
+        Feature("total_cost", SlidingWindowTransform(
+          "cost", AggFunc.Sum, Duration.Zero, Duration.Zero))))
+    def t(s: String): Long =
+      java.time.LocalDateTime.parse(s.replace(" ", "T"))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val got = client.getFeatures(view).orderBy("window_time").collect()
+      .map(r => (r.getAs[Long]("window_time"), r.getAs[Long]("total_cost"))).toSeq
+    val expected = Seq(
+      (t("2022-01-01 08:01:00"), 100L), (t("2022-01-01 08:02:00"), 500L),
+      (t("2022-01-02 08:03:00"), 800L), (t("2022-01-02 08:04:00"), 1000L),
+      (t("2022-01-03 08:05:00"), 1500L), (t("2022-01-03 08:06:00"), 2100L))
+    assert(got == expected)
   }
 
   test("udf transform over whole row") {
