@@ -152,6 +152,60 @@ object Similarity {
     pairs.toDF("id_a", "id_b", "cosine")
   }
 
+  /** IVF-style approximate top-k: a coarse quantizer of `nlist` centroids
+    * partitions the corpus; each query probes its `nprobe` nearest
+    * centroids and reranks only those inverted lists. This is the classic
+    * big-corpus ANN layout: the corpus shuffles once on its centroid id,
+    * queries broadcast, and cost per query is Σ probed-list sizes instead
+    * of |corpus|.
+    *
+    * The quantizer here picks the `nlist` lowest-id corpus vectors as
+    * centroids — deterministic and training-free (swap in k-means centroids
+    * for better balance; the plan shape is identical).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = corpus
+      .select(col(corpusId).cast("long").as("cid"), col(corpusVec).as("cv"))
+      .orderBy(col("cid")).limit(nlist).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val centDf = broadcast(spark.createDataFrame(
+      centroids.toSeq.map { case (id, v) => (id, v) }).toDF("cent_id", "cent_v"))
+
+    // nearest-n centroids per vector: cross-join against the broadcast
+    // centroid table, rank by cosine (the vector's own norm is rank-neutral)
+    def assignN(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy((dot(col(vecCol), col("cent_v")) / norm(col("cent_v"))).desc, col("cent_id"))
+      df.crossJoin(centDf)
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= n)
+        .drop("__cr", "cent_v")
+    }
+    val bucketedCorpus = assignN(
+      corpus.select(col(corpusId).as("nbr_id"), col(corpusVec).as("cv")), "nbr_id", "cv", 1)
+    val probes = assignN(
+      queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")), "query_id", "qv", nprobe)
+    val scored = bucketedCorpus.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("score", round(dot(col("cv"), col("qv")) / (norm(col("cv")) * norm(col("qv"))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("score"))
+  }
+
   /** Approximate top-k: rank only within the query's SRP bucket. Recall
     * improves with fewer planes (bigger buckets) or multi-probe; exactness
     * is [[bruteForceTopK]]. One shuffle on the bucket key.

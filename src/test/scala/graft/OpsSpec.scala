@@ -120,6 +120,22 @@ class OpsSpec extends SparkSuite {
     assert(kernel.size == 3)
   }
 
+  test("ivf topk: high recall vs brute force on clustered vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(
+      emb, queries, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val ivf = Similarity.ivfTopK(
+      emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    // probing half the lists should recover a solid share of the exact top-5
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ivf recall $recall")
+    assert(ivf.size == exact.size) // k results per query either way
+  }
+
   test("multimodal: meta derivation and frame sampling shapes") {
     val d = docs.withColumn("payload", encode(col("text"), "UTF-8"))
     val meta = Multimodal.withMeta(d, "payload", "image/png")
