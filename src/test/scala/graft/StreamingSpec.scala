@@ -176,6 +176,34 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming file source feeds a derived view") {
+    val dir = writeTempParquet(purchases, "stream_files")
+    val src = FileSource(
+      "sf_src", dir, "parquet",
+      schema = Some(graft.types.Schema(
+        Seq("name", "cost", "distance", "time"),
+        Seq(graft.types.DString, graft.types.DInt64, graft.types.DInt64, graft.types.DString))),
+      keys = Some(Seq("name")),
+      timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S",
+      isBounded = false)
+    val view = DerivedFeatureView(
+      "sf_view", src,
+      features = Seq(Feature.expr("cost_2x", "cost * 2")),
+      keepSourceFields = true)
+    val cl = new GraftClient(spark)
+    val out = cl.getFeatures(view)
+    assert(out.isStreaming)
+    val query = out.writeStream.format("memory").queryName("sf_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val got = spark.sql("SELECT name, cost, cost_2x FROM sf_out ORDER BY cost").collect()
+      assert(got.length == 6)
+      assert(got.head.getAs[Long]("cost_2x") == 200L)
+    } finally query.stop()
+  }
+
   test("streaming keyed multi-size windows match the batch engine") {
     val spark2 = spark
     import spark2.implicits._
