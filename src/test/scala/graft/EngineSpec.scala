@@ -161,6 +161,44 @@ class EngineSpec extends SparkSuite {
     assert(got == Seq(None, Some(200.0), Some(200.0), None, None, None))
   }
 
+  test("join with zoned timestamps normalizes mixed offsets") {
+    // Ref: test_join_transform.py:217-330 — the right table's strftime
+    // format carries %z; rows at +0800 and +0000 must land on the same
+    // instant axis as the zoneless left table.
+    val left = spark.createDataFrame(Seq(
+      ("Alex", "2022-01-01 00:00:00.000"),
+      ("Emma", "2022-01-01 00:00:00.002"),
+      ("Alex", "2022-01-01 00:00:00.004"),
+      ("Emma", "2022-01-01 00:00:00.006"),
+      ("Jack", "2022-01-01 00:00:00.008"),
+      ("Alex", "2022-01-01 00:00:00.010"))).toDF("name", "time")
+    val right = spark.createDataFrame(Seq(
+      ("Alex", 100.0, "2022-01-01 08:00:00.001 +0800"),
+      ("Emma", 400.0, "2022-01-01 00:00:00.003 +0000"),
+      ("Alex", 200.0, "2022-01-01 08:00:00.005 +0800"),
+      ("Emma", 300.0, "2022-01-01 00:00:00.007 +0000"),
+      ("Jack", 500.0, "2022-01-01 08:00:00.009 +0800"),
+      ("Alex", 450.0, "2022-01-01 00:00:00.011 +0000"))).toDF("name", "avg_cost", "time")
+    Registry.register(FileSource(
+      "zoned_dim", writeTempParquet(right, "zoned_dim"), "parquet",
+      keys = Some(Seq("name")),
+      timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S.%f %z"))
+    val probeSrc = FileSource(
+      "zoned_probes", writeTempParquet(left, "zoned_probes"), "parquet",
+      keys = Some(Seq("name")),
+      timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S.%f")
+    val view = DerivedFeatureView(
+      "v_zoned", probeSrc,
+      features = Seq(
+        Feature("avg_cost", JoinTransform("zoned_dim", "avg_cost"), keys = Some(Seq("name")))),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("name", "time").collect()
+      .map(r => Option(r.getAs[Any]("avg_cost"))).toSeq
+    assert(got == Seq(None, Some(100.0), Some(200.0), None, Some(400.0), None))
+  }
+
   test("sliding window matches the reference golden (size=2d step=1d)") {
     // Golden from test_sliding_window_transform.py:75-141: SUM(cost) values
     // 500, 1000, 1600, 1100, 0 at window close times 23:59:59.999.
@@ -525,6 +563,36 @@ class EngineSpec extends SparkSuite {
     assert(snap.count() == 3) // latest row per name
     val alex = snap.filter(org.apache.spark.sql.functions.col("name") === "Alex").collect().head
     assert(alex.getAs[Long]("cost") == 600L)
+  }
+
+  test("view validations reject invalid compositions") {
+    // Ref: derived_feature_view.py:61-74 (join features need keys),
+    // sliding_feature_view.py:83-90 (shared step/keys),
+    // :188-195 (empty=false + skip=true forbidden).
+    Registry.register(purchaseSource)
+    val joinNoKeys = DerivedFeatureView(
+      "v_bad_join", purchaseSource,
+      features = Seq(Feature("x", JoinTransform("purchases", "cost"))))
+    assertThrows[IllegalArgumentException](client.getFeatures(joinNoKeys).collect())
+
+    assertThrows[IllegalArgumentException](SlidingFeatureView(
+      "v_bad_step", purchaseSource,
+      features = Seq(
+        Feature("a", SlidingWindowTransform("cost", AggFunc.Sum, 2.days, 1.day)),
+        Feature("b", SlidingWindowTransform("cost", AggFunc.Sum, 2.days, 2.days)))))
+
+    assertThrows[IllegalArgumentException](SlidingFeatureView(
+      "v_bad_combo", purchaseSource,
+      features = Seq(
+        Feature("a", SlidingWindowTransform("cost", AggFunc.Sum, 2.days, 1.day))),
+      enableEmptyWindowOutput = false,
+      skipSameWindowOutput = true))
+
+    assertThrows[IllegalArgumentException](OverWindowTransform(
+      "cost", AggFunc.RowNumber, windowSize = Some(2.days)))
+
+    assertThrows[IllegalArgumentException](SlidingWindowTransform(
+      "cost", AggFunc.Sum, 2.days, 2.hours + 30.minutes)) // not a divisor
   }
 
   test("online store upsert keeps latest per key") {
