@@ -70,6 +70,12 @@ final class GraftClient(val spark: SparkSession) {
           .option("url", url).option("dbtable", table)
           .option("user", user).option("password", password)
           .mode(mode).save()
+      case BucketedTableSink(table, n, bucketCols, sortCols, path, format) =>
+        var w = getFeatures(desc).write.format(format).mode("overwrite")
+          .bucketBy(n, bucketCols.head, bucketCols.tail: _*)
+        if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+        path.foreach(p => w = w.option("path", p))
+        w.saveAsTable(table)
     }
   }
 

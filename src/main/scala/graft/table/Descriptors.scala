@@ -314,3 +314,14 @@ final case class MemoryStoreSink(tableName: String) extends Sink
 final case class KafkaSink(bootstrapServer: String, topic: String) extends Sink
 /** JDBC append/overwrite (the reference's MySQLSink, generalized). */
 final case class JdbcSink(url: String, table: String, user: String = "", password: String = "", mode: String = "append") extends Sink
+/** Bucketed managed/external table write: tables bucketed on their join key
+  * with the same bucket count join WITHOUT a shuffle — the co-location
+  * strategy for repeatedly-joined 100 TB fact tables.
+  */
+final case class BucketedTableSink(
+    table: String,
+    numBuckets: Int,
+    bucketColumns: Seq[String],
+    sortColumns: Seq[String] = Nil,
+    path: Option[String] = None,
+    format: String = "parquet") extends Sink

@@ -565,6 +565,28 @@ class EngineSpec extends SparkSuite {
     assert(alex.getAs[Long]("cost") == 600L)
   }
 
+  test("bucketed tables join without a shuffle") {
+    import org.apache.spark.sql.functions.col
+    client.materialize(purchaseSource, BucketedTableSink(
+      "b_purchases", 4, Seq("name"),
+      path = Some(s"${SparkSuite.tmpDir}/b_purchases")))
+    val dim = spark.createDataFrame(Seq(
+      ("Alex", "gold"), ("Emma", "silver"), ("Jack", "bronze"))).toDF("name", "tier")
+    Registry.register(DataFrameSource("b_dim_src", dim, keys = Some(Seq("name"))))
+    client.materialize(
+      Registry.get("b_dim_src"),
+      BucketedTableSink("b_dim", 4, Seq("name"),
+        path = Some(s"${SparkSuite.tmpDir}/b_dim")))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_purchases").join(spark.table("b_dim"), "name")
+      assert(joined.count() == 6)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("view validations reject invalid compositions") {
     // Ref: derived_feature_view.py:61-74 (join features need keys),
     // sliding_feature_view.py:83-90 (shared step/keys),
