@@ -92,6 +92,19 @@ class EngineSpec extends SparkSuite {
     assert(got.map(_.getAs[Long]("total_cost")).toSeq == Seq(100L, 400L, 400L, 600L, 500L, 900L))
   }
 
+  test("over window: keyless global window golden") {
+    // Ref: test_over_window_transform.py:124-155 — no group keys means one
+    // global trailing 2-day window over all rows.
+    val view = DerivedFeatureView(
+      "v_global_over", purchaseSource,
+      features = Seq(
+        Feature("total_cost", OverWindowTransform("cost", AggFunc.Sum, Some(2.days)))),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("time").collect()
+    assert(got.map(_.getAs[Long]("total_cost")).toSeq ==
+      Seq(100L, 500L, 800L, 1000L, 1000L, 1600L))
+  }
+
   test("over window: value_counts and collect_list") {
     val view = DerivedFeatureView(
       "v_vc", purchaseSource,
