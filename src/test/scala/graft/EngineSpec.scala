@@ -105,6 +105,31 @@ class EngineSpec extends SparkSuite {
       Seq(100L, 500L, 800L, 1000L, 1000L, 1600L))
   }
 
+  test("over window: first/last with window_size AND limit golden") {
+    // Ref: test_over_window_transform.py:615-645 — FIRST/LAST of the time
+    // string over the newest-2 rows that also fall inside a 2-day window
+    // (the combination the reference's Spark processor rejects; Flink
+    // semantics are the spec).
+    val view = DerivedFeatureView(
+      "v_fl_combo", purchaseSource,
+      features = Seq(
+        Feature("first_time", OverWindowTransform(
+          "`time`", AggFunc.FirstValue, Some(2.days), Seq("name"), limit = Some(2))),
+        Feature("last_time", OverWindowTransform(
+          "`time`", AggFunc.LastValue, Some(2.days), Seq("name"), limit = Some(2)))),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("time").collect()
+      .map(r => (r.getAs[String]("first_time"), r.getAs[String]("last_time"))).toSeq
+    val expected = Seq(
+      ("2022-01-01 08:01:00", "2022-01-01 08:01:00"),
+      ("2022-01-01 08:02:00", "2022-01-01 08:02:00"),
+      ("2022-01-01 08:01:00", "2022-01-02 08:03:00"),
+      ("2022-01-01 08:02:00", "2022-01-02 08:04:00"),
+      ("2022-01-03 08:05:00", "2022-01-03 08:05:00"),
+      ("2022-01-02 08:03:00", "2022-01-03 08:06:00"))
+    assert(got == expected)
+  }
+
   test("over window: value_counts and collect_list") {
     val view = DerivedFeatureView(
       "v_vc", purchaseSource,
