@@ -54,10 +54,17 @@ object OverWindows {
       case (Some(d), Some(n)) =>
         // Last n rows, then keep those within the trailing time window.
         val spec = base.orderBy(orderCols: _*).rowsBetween(1L - n, Window.currentRow)
-        val pairs = collect_list(when(v.isNotNull, struct(col(t).as("t"), v.as("v"))))
-          .over(spec)
-        val inWindow = filter(pairs, p => p("t") >= col(t) - lit(d.toMillis))
-        hofAgg(tr.aggFunc, inWindow)
+        if (tr.aggFunc == AggFunc.RowNumber) {
+          // position within the bounded frame = rows of the frame that fall
+          // inside the window (ordering ends at the current row)
+          val times = collect_list(col(t)).over(spec)
+          size(filter(times, x => x >= col(t) - lit(d.toMillis))).cast("long")
+        } else {
+          val pairs = collect_list(when(v.isNotNull, struct(col(t).as("t"), v.as("v"))))
+            .over(spec)
+          val inWindow = filter(pairs, p => p("t") >= col(t) - lit(d.toMillis))
+          hofAgg(tr.aggFunc, inWindow)
+        }
     }
   }
 
@@ -70,7 +77,11 @@ object OverWindows {
       case AggFunc.Count      => count(v).over(w)
       case AggFunc.FirstValue => first(v, ignoreNulls = tr.filterExpr.nonEmpty).over(w)
       case AggFunc.LastValue  => last(v, ignoreNulls = tr.filterExpr.nonEmpty).over(w)
-      case AggFunc.RowNumber  => row_number().over(w)
+      case AggFunc.RowNumber =>
+        // ROW_NUMBER result type is Int64 (agg_func.py:35-51); with a
+        // bounded frame the position equals the frame's row count.
+        if (tr.windowSize.isEmpty && tr.limit.isEmpty) row_number().over(w).cast("long")
+        else count(lit(1)).over(w)
       case AggFunc.CollectList => collect_list(v).over(w)
       case AggFunc.ValueCounts => valueCounts(collect_list(v).over(w))
     }

@@ -65,11 +65,11 @@ final case class OverWindowTransform(
     windowSize: Option[Duration] = None,
     groupByKeys: Seq[String] = Nil,
     filterExpr: Option[String] = None,
-    limit: Option[Int] = None) extends Transformation {
-  require(
-    aggFunc != AggFunc.RowNumber || (windowSize.isEmpty && limit.isEmpty),
-    "ROW_NUMBER is only valid without window_size and limit")
-}
+    limit: Option[Int] = None) extends Transformation
+// Note: ROW_NUMBER with window_size/limit is supported (the row's position
+// within the bounded frame — Flink semantics per
+// test_over_window_transform.py:646-680; the reference's Spark processor
+// rejects the combination, a gap this engine closes).
 
 /** Hopping event-time window aggregation emitting at each step
   * (ref: sliding_window_transform.py:23-101). Zero window size ⇒ infinite

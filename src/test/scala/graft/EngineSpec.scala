@@ -130,6 +130,20 @@ class EngineSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("over window: row_number with window_size and limit golden") {
+    // Ref: test_over_window_transform.py:646-680 — position within the
+    // (2-day, newest-2) frame; the reference's Spark processor rejects this
+    // combination, Flink semantics are the spec.
+    val view = DerivedFeatureView(
+      "v_rownum_combo", purchaseSource,
+      features = Seq(
+        Feature("row_num", OverWindowTransform(
+          "cost", AggFunc.RowNumber, Some(2.days), Seq("name"), limit = Some(2)))),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("time").collect()
+    assert(got.map(_.getAs[Long]("row_num")).toSeq == Seq(1L, 1L, 2L, 2L, 1L, 2L))
+  }
+
   test("over window: value_counts and collect_list") {
     val view = DerivedFeatureView(
       "v_vc", purchaseSource,
@@ -647,9 +661,6 @@ class EngineSpec extends SparkSuite {
         Feature("a", SlidingWindowTransform("cost", AggFunc.Sum, 2.days, 1.day))),
       enableEmptyWindowOutput = false,
       skipSameWindowOutput = true))
-
-    assertThrows[IllegalArgumentException](OverWindowTransform(
-      "cost", AggFunc.RowNumber, windowSize = Some(2.days)))
 
     assertThrows[IllegalArgumentException](SlidingWindowTransform(
       "cost", AggFunc.Sum, 2.days, 2.hours + 30.minutes)) // not a divisor
