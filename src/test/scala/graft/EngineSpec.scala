@@ -161,6 +161,45 @@ class EngineSpec extends SparkSuite {
     assert(emma2.getAs[scala.collection.Seq[Long]]("costs").toSeq == Seq(400L, 200L))
   }
 
+  test("over window: value_counts golden with window_size and limit") {
+    // Ref: test_over_window_transform.py:682-757 — VALUE_COUNTS over a
+    // 2-day window, with and without a newest-2 limit; duplicate timestamps
+    // within the same second distinguish the two.
+    val data = spark.createDataFrame(Seq(
+      ("Alex", 100L, "2022-01-01 08:01:00"),
+      ("Alex", 100L, "2022-01-01 08:01:01"),
+      ("Emma", 400L, "2022-01-01 08:02:00"),
+      ("Alex", 100L, "2022-01-02 08:03:00"),
+      ("Emma", 200L, "2022-01-02 08:04:00"),
+      ("Jack", 500L, "2022-01-03 08:05:00"),
+      ("Alex", 600L, "2022-01-03 08:06:00"))).toDF("name", "cost", "time")
+    val src = FileSource(
+      "vc_src", writeTempParquet(data, "vc_src"), "parquet",
+      keys = Some(Seq("name")),
+      timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S")
+    val view = DerivedFeatureView(
+      "v_vc_golden", src,
+      features = Seq(
+        Feature("vc_limit", OverWindowTransform(
+          "cost", AggFunc.ValueCounts, Some(2.days), Seq("name"), limit = Some(2))),
+        Feature("vc", OverWindowTransform(
+          "cost", AggFunc.ValueCounts, Some(2.days), Seq("name")))),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("name", "time").collect()
+      .map(r => (r.getAs[Map[Long, Long]]("vc_limit"), r.getAs[Map[Long, Long]]("vc")))
+      .toSeq
+    val expected = Seq(
+      (Map(100L -> 1L), Map(100L -> 1L)),
+      (Map(100L -> 2L), Map(100L -> 2L)),
+      (Map(100L -> 2L), Map(100L -> 3L)),
+      (Map(100L -> 1L, 600L -> 1L), Map(100L -> 1L, 600L -> 1L)),
+      (Map(400L -> 1L), Map(400L -> 1L)),
+      (Map(200L -> 1L, 400L -> 1L), Map(200L -> 1L, 400L -> 1L)),
+      (Map(500L -> 1L), Map(500L -> 1L)))
+    assert(got == expected)
+  }
+
   test("point-in-time join picks latest right row ≤ left time") {
     // F3 fixture (ref: test_join_transform.py semantics)
     val dim = spark.createDataFrame(Seq(
