@@ -283,21 +283,26 @@ object Queries {
     },
     Some("""WITH x AS (SELECT event_id, user_id, epoch_ms(ts) ms, value, event_type FROM events),
       w AS (SELECT event_id, user_id,
-        count(CASE WHEN event_type = 'click' THEN value END) OVER w10 AS clicks_cnt10,
-        round(sum(CASE WHEN event_type = 'click' THEN value END) OVER w10, 3) AS clicks_sum10,
         first_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS) OVER wu AS err_first,
         last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS) OVER wu AS err_last
         FROM x WINDOW
-        w10 AS (PARTITION BY user_id ORDER BY ms ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
         wu AS (PARTITION BY user_id ORDER BY ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       p AS (SELECT e.event_id, r.ms rms, r.value rv, e.ms ems,
         ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY r.ms DESC) rn
         FROM x e JOIN x r ON r.user_id = e.user_id AND r.ms <= e.ms),
       c AS (SELECT event_id,
         round(SUM(CASE WHEN rn <= 3 AND rms >= ems - 3600000 THEN rv END), 3) AS sum_1h3
-        FROM p GROUP BY 1)
-      SELECT w.event_id, w.user_id, w.clicks_cnt10, w.clicks_sum10, w.err_first, w.err_last, c.sum_1h3
-      FROM w JOIN c ON w.event_id = c.event_id"""))
+        FROM p GROUP BY 1),
+      pc AS (SELECT e.event_id, r.value rv,
+        ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY r.ms DESC) crn
+        FROM x e LEFT JOIN x r
+        ON r.user_id = e.user_id AND r.ms <= e.ms AND r.event_type = 'click'),
+      cc AS (SELECT event_id,
+        COUNT(CASE WHEN crn <= 10 AND rv IS NOT NULL THEN 1 END) AS clicks_cnt10,
+        ROUND(COALESCE(SUM(CASE WHEN crn <= 10 THEN rv END), 0), 3) AS clicks_sum10
+        FROM pc GROUP BY 1)
+      SELECT w.event_id, w.user_id, cc.clicks_cnt10, cc.clicks_sum10, w.err_first, w.err_last, c.sum_1h3
+      FROM w JOIN c ON w.event_id = c.event_id JOIN cc ON w.event_id = cc.event_id"""))
 
   private val q10 = Q(
     "q10_value_counts",

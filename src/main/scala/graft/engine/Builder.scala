@@ -123,12 +123,18 @@ final class Builder(spark: SparkSession) {
     }
 
     // All over-windows in one select; identical WindowSpecs collapse into a
-    // single Window operator under Catalyst.
+    // single Window operator under Catalyst. filter+limit features take the
+    // filtered-subset propagation path (limit counts matching rows).
     windows.foreach { f =>
       val tr = f.transform.asInstanceOf[OverWindowTransform]
-      val c0 = OverWindows.aggColumn(tr, Nil)
-      val c = f.dtype.map(dt => c0.cast(dt.toSpark)).getOrElse(c0)
-      df = df.withColumn(f.name, c)
+      if (tr.filterExpr.isDefined && tr.limit.isDefined) {
+        df = OverWindows.filteredLimit(df, f.name, tr)
+        f.dtype.foreach(dt => df = df.withColumn(f.name, col(f.name).cast(dt.toSpark)))
+      } else {
+        val c0 = OverWindows.aggColumn(tr, Nil)
+        val c = f.dtype.map(dt => c0.cast(dt.toSpark)).getOrElse(c0)
+        df = df.withColumn(f.name, c)
+      }
     }
 
     df = trailing.foldLeft(df)(applyRowFeature)

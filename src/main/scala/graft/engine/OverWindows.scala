@@ -71,7 +71,12 @@ object OverWindows {
   private def applyAgg(a: AggFunc, v: Column, tr: OverWindowTransform, w: WindowSpec): Column =
     a match {
       case AggFunc.Avg        => avg(v).over(w)
-      case AggFunc.Sum        => sum(v).over(w)
+      case AggFunc.Sum        =>
+        // Filtered SUM over a window with zero matching rows yields the
+        // aggregation default 0, not NULL (ref: Flink SumAggFunc + the
+        // filter goldens test_over_window_transform.py:838-850).
+        if (tr.filterExpr.isDefined) coalesce(sum(v).over(w), lit(0))
+        else sum(v).over(w)
       case AggFunc.Max        => max(v).over(w)
       case AggFunc.Min        => min(v).over(w)
       case AggFunc.Count      => count(v).over(w)
@@ -85,6 +90,44 @@ object OverWindows {
       case AggFunc.CollectList => collect_list(v).over(w)
       case AggFunc.ValueCounts => valueCounts(collect_list(v).over(w))
     }
+
+  /** Over-window with BOTH filter_expr and limit: the limit counts
+    * filter-MATCHING rows — "newest n rows where filter holds", per the
+    * reference's local spec (local_processor.py:562-591: filter before agg)
+    * and the filter+limit goldens. Not expressible as a single frame over
+    * raw rows, so: compute the aggregate on the filtered subset (where the
+    * rows frame IS the matching-rows frame), then propagate each row's
+    * latest filtered aggregate with a running last-value — the same
+    * union+running-last shape as the temporal join, one extra shuffle per
+    * filtered-limit feature group and no quadratic state.
+    */
+  def filteredLimit(df: DataFrame, name: String, tr: OverWindowTransform): DataFrame = {
+    require(tr.filterExpr.isDefined && tr.limit.isDefined)
+    val filterC = SparkCompiler.compile(tr.filterExpr.get)
+    val carrierAgg = aggColumn(tr.copy(filterExpr = None), Nil)
+    val carrier0 = df.filter(filterC).withColumn("__flv", carrierAgg)
+    val flvType = carrier0.schema("__flv").dataType
+    val carrier = carrier0.withColumn("__isf", lit(1))
+    val left = df
+      .withColumn("__flv", lit(null).cast(flvType))
+      .withColumn("__isf", lit(0))
+    val base =
+      if (tr.groupByKeys.nonEmpty) Window.partitionBy(tr.groupByKeys.map(col): _*)
+      else Window.partitionBy()
+    // carrier sorts before the plain copy at equal time so a matching row
+    // sees its own contribution
+    val w = base.orderBy(col(t).asc, col("__isf").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val propagated = left.unionByName(carrier)
+      .withColumn("__p", last(col("__flv"), ignoreNulls = true).over(w))
+      .filter(col("__isf") === 0)
+    val withDefault = tr.aggFunc match {
+      case AggFunc.Sum | AggFunc.Count | AggFunc.RowNumber =>
+        coalesce(col("__p"), lit(0))
+      case _ => col("__p")
+    }
+    propagated.withColumn(name, withDefault).drop("__flv", "__isf", "__p")
+  }
 
   /** VALUE_COUNTS: map of value → occurrence count
     * (ref: java/feathub-udf/flink-udf/src/main/java/com/alibaba/feathub/

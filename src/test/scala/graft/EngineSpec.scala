@@ -144,6 +144,45 @@ class EngineSpec extends SparkSuite {
     assert(got.map(_.getAs[Long]("row_num")).toSeq == Seq(1L, 1L, 2L, 2L, 1L, 2L))
   }
 
+  test("over window filter_expr goldens: limit counts matching rows; SUM default 0") {
+    // Ref: test_over_window_transform.py:838-876 + helper :1130-1178 —
+    // three variants of a filtered SUM: window-only, limit-only (newest 2
+    // PAY rows), and both. Windows with no matching rows report 0.0.
+    val data = spark.createDataFrame(Seq(
+      ("Alex", "pay", 100.0, "2022-01-01 09:01:00"),
+      ("Alex", "receive", 300.0, "2022-01-01 09:01:30"),
+      ("Alex", "pay", 200.0, "2022-01-01 09:01:20"),
+      ("Emma", "receive", 500.0, "2022-01-01 09:02:30"),
+      ("Emma", "pay", 400.0, "2022-01-01 09:02:00"),
+      ("Alex", "receive", 200.0, "2022-01-01 09:03:00"),
+      ("Emma", "pay", 300.0, "2022-01-01 09:04:00"),
+      ("Jack", "receive", 500.0, "2022-01-01 09:05:00"),
+      ("Alex", "pay", 450.0, "2022-01-01 09:06:00"))).toDF("name", "action", "cost", "time")
+    val src = FileSource(
+      "owf_src", writeTempParquet(data, "owf_src"), "parquet",
+      keys = Some(Seq("name")),
+      timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S")
+    def run(windowSize: Option[scala.concurrent.duration.Duration], limit: Option[Int], tag: String) = {
+      client.getFeatures(DerivedFeatureView(
+        s"v_owf_$tag", src,
+        features = Seq(Feature("total", OverWindowTransform(
+          "cost", AggFunc.Sum, windowSize, Seq("name"),
+          filterExpr = Some("action = 'pay'"), limit = limit))),
+        keepSourceFields = true))
+        .orderBy("time").collect().map(_.getAs[Double]("total")).toSeq
+    }
+    // original-row-order goldens resorted by time:
+    // time order = rows (Alex 09:01:00, Alex 09:01:20, Alex 09:01:30,
+    //   Emma 09:02:00, Emma 09:02:30, Alex 09:03, Emma 09:04, Jack 09:05, Alex 09:06)
+    assert(run(Some(2.minutes), None, "w") ==
+      Seq(100.0, 300.0, 300.0, 400.0, 400.0, 300.0, 700.0, 0.0, 450.0))
+    assert(run(None, Some(2), "l") ==
+      Seq(100.0, 300.0, 300.0, 400.0, 400.0, 300.0, 700.0, 0.0, 650.0))
+    assert(run(Some(2.minutes), Some(2), "wl") ==
+      Seq(100.0, 300.0, 300.0, 400.0, 400.0, 300.0, 700.0, 0.0, 450.0))
+  }
+
   test("over window: value_counts and collect_list") {
     val view = DerivedFeatureView(
       "v_vc", purchaseSource,
