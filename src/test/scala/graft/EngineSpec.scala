@@ -239,6 +239,44 @@ class EngineSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("over window: collect_list golden with window_size and limit") {
+    // Ref: test_over_window_transform.py:758-836 — COLLECT_LIST over a
+    // 2-day window keeps arrival order; the limit keeps the newest 2.
+    val data = spark.createDataFrame(Seq(
+      ("Alex", 100L, "2022-01-01 08:01:00"),
+      ("Alex", 100L, "2022-01-01 08:01:01"),
+      ("Emma", 400L, "2022-01-01 08:02:00"),
+      ("Alex", 100L, "2022-01-02 08:03:00"),
+      ("Emma", 200L, "2022-01-02 08:04:00"),
+      ("Jack", 500L, "2022-01-03 08:05:00"),
+      ("Alex", 600L, "2022-01-03 08:06:00"))).toDF("name", "cost", "time")
+    val src = FileSource(
+      "cl_src", writeTempParquet(data, "cl_src"), "parquet",
+      keys = Some(Seq("name")),
+      timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S")
+    val view = DerivedFeatureView(
+      "v_cl_golden", src,
+      features = Seq(
+        Feature("cl_limit", OverWindowTransform(
+          "cost", AggFunc.CollectList, Some(2.days), Seq("name"), limit = Some(2))),
+        Feature("cl", OverWindowTransform(
+          "cost", AggFunc.CollectList, Some(2.days), Seq("name")))),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("name", "time").collect()
+      .map(r => (r.getAs[scala.collection.Seq[Long]]("cl_limit").toSeq,
+        r.getAs[scala.collection.Seq[Long]]("cl").toSeq)).toSeq
+    val expected = Seq(
+      (Seq(100L), Seq(100L)),
+      (Seq(100L, 100L), Seq(100L, 100L)),
+      (Seq(100L, 100L), Seq(100L, 100L, 100L)),
+      (Seq(100L, 600L), Seq(100L, 600L)),
+      (Seq(400L), Seq(400L)),
+      (Seq(400L, 200L), Seq(400L, 200L)),
+      (Seq(500L), Seq(500L)))
+    assert(got == expected)
+  }
+
   test("point-in-time join picks latest right row ≤ left time") {
     // F3 fixture (ref: test_join_transform.py semantics)
     val dim = spark.createDataFrame(Seq(
