@@ -124,18 +124,31 @@ final class Builder(spark: SparkSession) {
 
     // All over-windows in one select; identical WindowSpecs collapse into a
     // single Window operator under Catalyst. filter+limit features take the
-    // filtered-subset propagation path (limit counts matching rows).
-    windows.foreach { f =>
+    // filtered-subset propagation path (limit counts matching rows),
+    // grouped so features sharing (keys, filter, window, limit) ride one
+    // union (the reference's OverWindowDescriptor fusion).
+    val (flFeats, plainFeats) = windows.partition { f =>
       val tr = f.transform.asInstanceOf[OverWindowTransform]
-      if (tr.filterExpr.isDefined && tr.limit.isDefined) {
-        df = OverWindows.filteredLimit(df, f.name, tr)
-        f.dtype.foreach(dt => df = df.withColumn(f.name, col(f.name).cast(dt.toSpark)))
-      } else {
-        val c0 = OverWindows.aggColumn(tr, Nil)
-        val c = f.dtype.map(dt => c0.cast(dt.toSpark)).getOrElse(c0)
-        df = df.withColumn(f.name, c)
-      }
+      tr.filterExpr.isDefined && tr.limit.isDefined
     }
+    plainFeats.foreach { f =>
+      val tr = f.transform.asInstanceOf[OverWindowTransform]
+      val c0 = OverWindows.aggColumn(tr, Nil)
+      val c = f.dtype.map(dt => c0.cast(dt.toSpark)).getOrElse(c0)
+      df = df.withColumn(f.name, c)
+    }
+    flFeats
+      .groupBy { f =>
+        val tr = f.transform.asInstanceOf[OverWindowTransform]
+        (tr.groupByKeys, tr.filterExpr, tr.windowSize, tr.limit)
+      }
+      .foreach { case (_, fs) =>
+        df = OverWindows.filteredLimitGroup(
+          df, fs.toSeq.map(f => (f.name, f.transform.asInstanceOf[OverWindowTransform])))
+        fs.foreach { f =>
+          f.dtype.foreach(dt => df = df.withColumn(f.name, col(f.name).cast(dt.toSpark)))
+        }
+      }
 
     df = trailing.foldLeft(df)(applyRowFeature)
 

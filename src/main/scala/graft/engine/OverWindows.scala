@@ -101,32 +101,53 @@ object OverWindows {
     * union+running-last shape as the temporal join, one extra shuffle per
     * filtered-limit feature group and no quadratic state.
     */
-  def filteredLimit(df: DataFrame, name: String, tr: OverWindowTransform): DataFrame = {
-    require(tr.filterExpr.isDefined && tr.limit.isDefined)
-    val filterC = SparkCompiler.compile(tr.filterExpr.get)
-    val carrierAgg = aggColumn(tr.copy(filterExpr = None), Nil)
-    val carrier0 = df.filter(filterC).withColumn("__flv", carrierAgg)
-    val flvType = carrier0.schema("__flv").dataType
+  def filteredLimit(df: DataFrame, name: String, tr: OverWindowTransform): DataFrame =
+    filteredLimitGroup(df, Seq((name, tr)))
+
+  /** Grouped variant: features sharing (keys, filter, window, limit) ride
+    * one filtered-subset union — the same fusion the reference applies to
+    * identical over-window descriptors (OverWindowDescriptor grouping,
+    * spark_dataframe_builder.py:184-186).
+    */
+  def filteredLimitGroup(df: DataFrame, feats: Seq[(String, OverWindowTransform)]): DataFrame = {
+    require(feats.nonEmpty)
+    val tr0 = feats.head._2
+    require(feats.forall { case (_, tr) =>
+      tr.filterExpr == tr0.filterExpr && tr.limit == tr0.limit &&
+        tr.windowSize == tr0.windowSize && tr.groupByKeys == tr0.groupByKeys
+    })
+    val filterC = SparkCompiler.compile(tr0.filterExpr.get)
+    val carrier0 = feats.zipWithIndex.foldLeft(df.filter(filterC)) {
+      case (d, ((_, tr), i)) =>
+        d.withColumn(s"__flv_$i", aggColumn(tr.copy(filterExpr = None), Nil))
+    }
+    val flvTypes = feats.indices.map(i => carrier0.schema(s"__flv_$i").dataType)
     val carrier = carrier0.withColumn("__isf", lit(1))
-    val left = df
-      .withColumn("__flv", lit(null).cast(flvType))
-      .withColumn("__isf", lit(0))
+    val left = feats.indices.foldLeft(df) { (d, i) =>
+      d.withColumn(s"__flv_$i", lit(null).cast(flvTypes(i)))
+    }.withColumn("__isf", lit(0))
     val base =
-      if (tr.groupByKeys.nonEmpty) Window.partitionBy(tr.groupByKeys.map(col): _*)
+      if (tr0.groupByKeys.nonEmpty) Window.partitionBy(tr0.groupByKeys.map(col): _*)
       else Window.partitionBy()
     // carrier sorts before the plain copy at equal time so a matching row
     // sees its own contribution
     val w = base.orderBy(col(t).asc, col("__isf").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val propagated = left.unionByName(carrier)
-      .withColumn("__p", last(col("__flv"), ignoreNulls = true).over(w))
-      .filter(col("__isf") === 0)
-    val withDefault = tr.aggFunc match {
-      case AggFunc.Sum | AggFunc.Count | AggFunc.RowNumber =>
-        coalesce(col("__p"), lit(0))
-      case _ => col("__p")
+    var out = left.unionByName(carrier)
+    feats.zipWithIndex.foreach { case (_, i) =>
+      out = out.withColumn(s"__p_$i", last(col(s"__flv_$i"), ignoreNulls = true).over(w))
     }
-    propagated.withColumn(name, withDefault).drop("__flv", "__isf", "__p")
+    out = out.filter(col("__isf") === 0)
+    feats.zipWithIndex.foreach { case ((name, tr), i) =>
+      val withDefault = tr.aggFunc match {
+        case AggFunc.Sum | AggFunc.Count | AggFunc.RowNumber =>
+          coalesce(col(s"__p_$i"), lit(0))
+        case _ => col(s"__p_$i")
+      }
+      out = out.withColumn(name, withDefault)
+        .drop(s"__flv_$i", s"__p_$i")
+    }
+    out.drop("__isf")
   }
 
   /** VALUE_COUNTS: map of value → occurrence count
