@@ -114,6 +114,18 @@ final class GraftClient(val spark: SparkSession) {
           .option("kafka.bootstrap.servers", server)
           .option("topic", topic)
           .start()
+      case JdbcSink(url, table, user, password, mode) =>
+        // streaming JDBC goes through foreachBatch (no native jdbc stream sink)
+        EventTime.drop(df).writeStream.option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.format("jdbc")
+              .option("url", url).option("dbtable", table)
+              .option("user", user).option("password", password)
+              .mode(mode).save()
+          }.start()
+      case s: BucketedTableSink =>
+        throw new IllegalArgumentException(
+          s"BucketedTableSink(${s.table}) is batch-only — bucketBy requires a table write")
     }
   }
 

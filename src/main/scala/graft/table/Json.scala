@@ -99,6 +99,9 @@ object Json {
         ("table" -> s.table) ~ ("user" -> s.user) ~ ("password" -> s.password) ~
         ("keys" -> s.keys) ~ ("ts_field" -> s.timestampField) ~
         ("ts_format" -> s.timestampFormat)
+    case s: MemoryStoreSource =>
+      ("kind" -> "memory_store_source") ~ ("name" -> s.name) ~
+        ("table" -> s.tableName) ~ ("keys" -> s.keys)
     case v: DerivedFeatureView =>
       ("kind" -> "derived_view") ~ ("name" -> v.name) ~
         ("source" -> toJValue(v.source)) ~
@@ -238,6 +241,8 @@ object Json {
         str(j, "name"), str(j, "url"), str(j, "table"),
         str(j, "user"), str(j, "password"), strSeqOpt(j, "keys"),
         strOpt(j, "ts_field"), str(j, "ts_format"))
+    case "memory_store_source" =>
+      MemoryStoreSource(str(j, "name"), str(j, "table"), strSeqOpt(j, "keys"))
     case "derived_view" =>
       DerivedFeatureView(
         str(j, "name"), fromJValue(j \ "source"), featuresFrom(j),
