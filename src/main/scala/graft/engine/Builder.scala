@@ -193,7 +193,7 @@ final class Builder(spark: SparkSession) {
         if (failOnException) fn
         else r => try fn(r) catch { case _: Exception => valueOnException }
       val u = udf(new UDF1[Row, Any] { def call(r: Row): Any = wrapped(r) }, resultType.toSpark)
-      df.withColumn(f.name, u(struct(df.columns.map(col): _*)))
+      df.withColumn(f.name, u(struct(df.columns.toIndexedSeq.map(col): _*)))
     case other => throw new IllegalArgumentException(s"not a per-row transform: $other")
   }
 

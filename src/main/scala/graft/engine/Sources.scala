@@ -111,7 +111,7 @@ object Sources {
     val keyCol =
       if (keys.nonEmpty) concat_ws("|", keys.map(k => col(k).cast("string")): _*)
       else lit(null).cast("string")
-    df.select(keyCol.as("key"), to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(keyCol.as("key"), to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
   }
 
   /** Deterministic data generator: sequence fields count from `start`;
