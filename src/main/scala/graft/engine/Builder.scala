@@ -224,19 +224,44 @@ final class Builder(spark: SparkSession) {
       sliding.toSeq.map(f =>
         SlidingWindows.SlidingFeature(f.name, f.transform.asInstanceOf[SlidingWindowTransform])),
       v.enableEmptyWindowOutput,
-      v.skipSameWindowOutput,
-      post.toSeq)
+      v.skipSameWindowOutput)
     // Declared feature dtypes (ref: sliding Feature dtype casts applied to
     // the aggregation results).
     sliding.foreach { f =>
       f.dtype.foreach(dt => out = out.withColumn(f.name, col(f.name).cast(dt.toSpark)))
     }
+    finishSliding(v, out, sliding.toSeq, post.toSeq)
+  }
+
+  /** Shared tail of the sliding build: expose the window-close time under
+    * the view's declared timestamp field/format (ref: sliding_feature_view
+    * .py:146-151, 200-231 — the default is `window_time` in epoch_millis,
+    * but any field name and strftime output format may be declared), then
+    * apply post-expressions (which may reference both the formatted field
+    * and GET_WINDOW_TIME()) and the view filter.
+    */
+  private def finishSliding(
+      v: SlidingFeatureView,
+      df0: DataFrame,
+      sliding: Seq[Feature],
+      post: Seq[(String, String)]): DataFrame = {
+    val wt = col(SparkCompiler.WindowTimeCol)
+    val tsCol = v.outputTimestampFormat match {
+      case "epoch_millis" => wt
+      case "epoch"        => (wt / 1000L).cast("bigint")
+      case strftime =>
+        date_format(
+          timestamp_millis(wt),
+          graft.expr.TimeFormats.toJavaDateFormat(strftime))
+    }
+    var out = df0.withColumn(v.timestampFieldName, tsCol)
+    post.foreach { case (n, e) => out = out.withColumn(n, SparkCompiler.compile(e)) }
     v.filterExpr.foreach(f => out = out.filter(SparkCompiler.compile(f)))
-    // Output timestamp: the window close time (epoch millis), exposed as
-    // `window_time` (ref: sliding_feature_view.py:200-231).
+    val outCols = (v.groupByKeys :+ v.timestampFieldName) ++
+      sliding.map(_.name) ++ post.map(_._1)
     out
-      .withColumnRenamed(SparkCompiler.WindowTimeCol, "window_time")
-      .withColumn(EventTime.Col, col("window_time"))
+      .withColumn(EventTime.Col, wt)
+      .select(outCols.distinct.map(col) :+ col(EventTime.Col): _*)
   }
 
   /** Unbounded path: same SlidingFeatureView semantics via the stateful
@@ -275,13 +300,10 @@ final class Builder(spark: SparkSession) {
     sliding.foreach { f =>
       f.dtype.foreach(dt => out = out.withColumn(f.name, col(f.name).cast(dt.toSpark)))
     }
-    out = out.withColumn(SparkCompiler.WindowTimeCol, col("window_time"))
-    out = post.foldLeft(out) { case (df, (n, e)) =>
-      df.withColumn(n, SparkCompiler.compile(e))
-    }
-    v.filterExpr.foreach(f => out = out.filter(SparkCompiler.compile(f)))
-    out.drop(SparkCompiler.WindowTimeCol)
-      .withColumn(EventTime.Col, col("window_time"))
+    out = out
+      .withColumn(SparkCompiler.WindowTimeCol, col("window_time"))
+      .drop("window_time")
+    finishSliding(v, out, sliding, post)
   }
 
   // -------------------------------------------------------------------- sql

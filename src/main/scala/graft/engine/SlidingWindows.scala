@@ -141,10 +141,11 @@ object SlidingWindows {
         case other => throw new IllegalArgumentException(s"Unsupported sliding agg $other")
       }
       // Empty-window defaults: SUM/COUNT → 0, others NULL
-      // (ref: flink table_builder/aggregation_utils.py:93-118).
+      // (ref: flink table_builder/aggregation_utils.py:93-118). A COUNT
+      // with a limit counts the limited list, not the whole window.
       val value = f.tr.aggFunc match {
         case AggFunc.Sum   => when(cnt > 0, raw).otherwise(lit(0).cast(valueType(withVals, i)))
-        case AggFunc.Count => cnt
+        case AggFunc.Count => if (f.tr.limit.isEmpty) cnt else raw
         case _             => when(cnt > 0, raw)
       }
       df.withColumn(f.name, value).withColumn(s"__wcnt_$i", cnt)

@@ -198,7 +198,9 @@ final case class SlidingFeatureView(
     features: Seq[Feature],
     filterExpr: Option[String] = None,
     enableEmptyWindowOutput: Boolean = true,
-    skipSameWindowOutput: Boolean = true) extends TableDescriptor {
+    skipSameWindowOutput: Boolean = true,
+    timestampFieldName: String = "window_time",
+    outputTimestampFormat: String = "epoch_millis") extends TableDescriptor {
   // Skip-same without empty-window rows would drop legitimate outputs
   // (ref: python/feathub/feature_views/sliding_feature_view.py:188-195).
   require(
@@ -214,8 +216,8 @@ final case class SlidingFeatureView(
   def stepSize: Duration = sliding.head.stepSize
   def groupByKeys: Seq[String] = sliding.head.groupByKeys
   def keys: Option[Seq[String]] = Some(groupByKeys)
-  def timestampField: Option[String] = Some("window_time")
-  def timestampFormat: String = "epoch_millis"
+  def timestampField: Option[String] = Some(timestampFieldName)
+  def timestampFormat: String = outputTimestampFormat
 }
 
 /** Online-serving view: features computed per request — expression

@@ -114,7 +114,9 @@ object Json {
         ("features" -> JArray(v.features.map(featureJson).toList)) ~
         ("filter" -> v.filterExpr) ~
         ("enable_empty_window_output" -> v.enableEmptyWindowOutput) ~
-        ("skip_same_window_output" -> v.skipSameWindowOutput)
+        ("skip_same_window_output" -> v.skipSameWindowOutput) ~
+        ("ts_field" -> v.timestampFieldName) ~
+        ("ts_format" -> v.outputTimestampFormat)
     case v: SqlFeatureView =>
       ("kind" -> "sql_view") ~ ("name" -> v.name) ~ ("sql" -> v.sqlStatement) ~
         ("dependencies" -> JArray(v.dependencies.map(toJValue).toList)) ~
@@ -253,7 +255,9 @@ object Json {
         str(j, "name"), fromJValue(j \ "source"), featuresFrom(j),
         strOpt(j, "filter"),
         boolF(j, "enable_empty_window_output", dflt = true),
-        boolF(j, "skip_same_window_output", dflt = true))
+        boolF(j, "skip_same_window_output", dflt = true),
+        strOpt(j, "ts_field").getOrElse("window_time"),
+        strOpt(j, "ts_format").getOrElse("epoch_millis"))
     case "sql_view" =>
       SqlFeatureView(
         str(j, "name"), str(j, "sql"),

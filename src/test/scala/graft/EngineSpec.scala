@@ -504,6 +504,69 @@ class EngineSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("sliding golden: UDF-derived column as group-by key") {
+    // Ref: test_sliding_window_transform.py:240-279 — a pre-window UDF
+    // feature (name repeated) keys the sliding windows (3d window, newest-2
+    // limit, ENABLE_EMPTY+SKIP_SAME).
+    val view = SlidingFeatureView(
+      "v_udfkey_golden", purchaseSource,
+      features = Seq(
+        Feature("name_name", UdfTransform(
+          (r: Row) => { val n = r.getAs[String]("name"); s"${n}_$n" }, DString)),
+        Feature("total_cost", SlidingWindowTransform(
+          "cost", AggFunc.Sum, 3.days, 1.day, Seq("name_name"), limit = Some(2)))))
+    val day = 86400000L
+    val t0 = java.time.LocalDate.parse("2022-01-01").toEpochDay * day
+    def wt(d: Int): Long = t0 + d * day - 1
+    val got = client.getFeatures(view).orderBy("name_name", "window_time").collect()
+      .map(r => (r.getAs[String]("name_name"), r.getAs[Long]("window_time"),
+        r.getAs[Long]("total_cost"))).toSeq
+    val expected = Seq(
+      ("Alex_Alex", wt(1), 100L), ("Alex_Alex", wt(2), 400L), ("Alex_Alex", wt(3), 900L),
+      ("Alex_Alex", wt(5), 600L), ("Alex_Alex", wt(6), 0L),
+      ("Emma_Emma", wt(1), 400L), ("Emma_Emma", wt(2), 600L),
+      ("Emma_Emma", wt(4), 200L), ("Emma_Emma", wt(5), 0L),
+      ("Jack_Jack", wt(3), 500L), ("Jack_Jack", wt(6), 0L))
+    assert(got == expected)
+  }
+
+  test("sliding golden: formatted string output timestamp field") {
+    // Ref: test_sliding_window_transform.py:1789-1905 — the view declares a
+    // custom timestamp field rendered with a millisecond strftime format;
+    // a post-expression parses it back with UNIX_TIMESTAMP.
+    val data = spark.createDataFrame(Seq(
+      ("Alex", 100.0, "2022-01-01 09:01:00"),
+      ("Alex", 100.0, "2022-01-01 09:01:20"),
+      ("Alex", 200.0, "2022-01-01 09:02:00"),
+      ("Alex", 200.0, "2022-01-01 09:02:30"))).toDF("name", "cost", "time")
+    val src = FileSource(
+      "msfmt_src", writeTempParquet(data, "msfmt_src"), "parquet",
+      keys = Some(Seq("name")),
+      timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S")
+    val view = SlidingFeatureView(
+      "v_msfmt_golden", src,
+      features = Seq(
+        Feature("cnt", SlidingWindowTransform(
+          "1", AggFunc.Count, 2.minutes, 1.minute, Seq("name"), limit = Some(3))),
+        Feature.expr("epoch_window_time",
+          "UNIX_TIMESTAMP(sliding_window_timestamp, '%Y-%m-%d %H:%M:%S.%f')")),
+      timestampFieldName = "sliding_window_timestamp",
+      outputTimestampFormat = "%Y-%m-%d %H:%M:%S.%f")
+    def sec(s: String): Long =
+      java.time.LocalDateTime.parse(s.replace(" ", "T"))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli / 1000
+    val got = client.getFeatures(view).orderBy("sliding_window_timestamp").collect()
+      .map(r => (r.getAs[String]("sliding_window_timestamp"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("epoch_window_time"))).toSeq
+    val expected = Seq(
+      ("2022-01-01 09:01:59.999", 2L, sec("2022-01-01 09:01:59")),
+      ("2022-01-01 09:02:59.999", 3L, sec("2022-01-01 09:02:59")),
+      ("2022-01-01 09:03:59.999", 2L, sec("2022-01-01 09:03:59")),
+      ("2022-01-01 09:04:59.999", 0L, sec("2022-01-01 09:04:59")))
+    assert(got == expected)
+  }
+
   test("sliding filter_expr golden: per-feature filters with zero defaults") {
     // Ref: test_sliding_window_transform.py:344-447 (ENABLE_EMPTY+SKIP_SAME):
     // 2-minute windows stepped per minute; pay/receive sums filtered per
