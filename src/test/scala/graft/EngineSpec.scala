@@ -766,6 +766,52 @@ class EngineSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("sliding view as join-left source golden") {
+    // Ref: test_sliding_window_transform.py:1389-1483 — a derived view
+    // whose SOURCE is a sliding view point-in-time joins another table at
+    // each window-close time (including the became-empty rows).
+    val srcDf = spark.createDataFrame(Seq(
+      ("Alex", 100.0, "2022-01-01 09:01:00"),
+      ("Alex", 200.0, "2022-01-01 09:01:20"),
+      ("Alex", 450.0, "2022-01-01 09:06:00"))).toDF("name", "cost", "time")
+    val dimDf = spark.createDataFrame(Seq(
+      ("Alex", "a", "2022-01-01 09:01:00"),
+      ("Alex", "b", "2022-01-01 09:02:00"),
+      ("Alex", "c", "2022-01-01 09:05:00"),
+      ("Alex", "d", "2022-01-01 09:07:00"),
+      ("Alex", "e", "2022-01-01 09:09:00"))).toDF("name", "feature", "time")
+    val src = FileSource(
+      "sjs_src", writeTempParquet(srcDf, "sjs_src"), "parquet",
+      keys = Some(Seq("name")), timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S")
+    Registry.register(FileSource(
+      "sjs_dim", writeTempParquet(dimDf, "sjs_dim"), "parquet",
+      keys = Some(Seq("name")), timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S"))
+    val slide = SlidingFeatureView(
+      "sjs_slide", src,
+      features = Seq(
+        Feature("total_2m", SlidingWindowTransform("cost", AggFunc.Sum, 2.minutes, 1.minute, Seq("name"))),
+        Feature("cnt", SlidingWindowTransform("1", AggFunc.Count, 2.minutes, 1.minute, Seq("name")))))
+    val joined = DerivedFeatureView(
+      "sjs_joined", slide,
+      features = Seq(
+        Feature("feature", JoinTransform("sjs_dim", "feature"), keys = Some(Seq("name")))),
+      keepSourceFields = true)
+    def wt(hm: String): Long =
+      java.time.LocalDateTime.parse(s"2022-01-01T$hm:59.999")
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val got = client.getFeatures(joined).orderBy("window_time").collect()
+      .map(r => (r.getAs[Long]("window_time"), r.getAs[Double]("total_2m"),
+        r.getAs[Long]("cnt"), r.getAs[String]("feature"))).toSeq
+    val expected = Seq(
+      (wt("09:01"), 300.0, 2L, "a"),
+      (wt("09:03"), 0.0, 0L, "b"),
+      (wt("09:06"), 450.0, 1L, "c"),
+      (wt("09:08"), 0.0, 0L, "d"))
+    assert(got == expected)
+  }
+
   test("udf transform over whole row") {
     val view = DerivedFeatureView(
       "v_udf", purchaseSource,
