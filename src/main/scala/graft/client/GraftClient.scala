@@ -37,6 +37,11 @@ final class GraftClient(val spark: SparkSession) {
     EventTime.drop(df)
   }
 
+  /** Offline read by registered name (ref: the reference accepts either a
+    * descriptor or a registry name, feathub_client.py:158-187).
+    */
+  def getFeatures(name: String): DataFrame = getFeatures(Registry.get(name))
+
   /** ETL write (ref: python/feathub/processors/spark/
     * dataframe_builder/source_sink_utils.py:96-123).
     */

@@ -440,6 +440,40 @@ class EngineSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("sliding value_counts golden: limit=3 over 2-minute windows") {
+    // Ref: test_sliding_window_transform.py:1485-1610 (ENABLE_EMPTY+
+    // SKIP_SAME): VALUE_COUNTS of the newest 3 costs per 2-minute window;
+    // an all-empty window reports NULL map + COUNT 0 once.
+    val data = spark.createDataFrame(Seq(
+      ("Alex", 100.0, "2022-01-01 09:01:00"),
+      ("Alex", 100.0, "2022-01-01 09:01:20"),
+      ("Alex", 200.0, "2022-01-01 09:02:00"),
+      ("Alex", 200.0, "2022-01-01 09:02:30"))).toDF("name", "cost", "time")
+    val src = FileSource(
+      "svc_src", writeTempParquet(data, "svc_src"), "parquet",
+      keys = Some(Seq("name")), timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S")
+    val view = SlidingFeatureView(
+      "v_svc_golden", src,
+      features = Seq(
+        Feature("vc3", SlidingWindowTransform(
+          "cost", AggFunc.ValueCounts, 2.minutes, 1.minute, Seq("name"), limit = Some(3))),
+        Feature("cnt", SlidingWindowTransform(
+          "1", AggFunc.Count, 2.minutes, 1.minute, Seq("name"), limit = Some(3)))))
+    def wt(hm: String): Long =
+      java.time.LocalDateTime.parse(s"2022-01-01T$hm:59.999")
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val got = client.getFeatures(view).orderBy("window_time").collect()
+      .map(r => (r.getAs[Long]("window_time"),
+        Option(r.getAs[Map[Double, Long]]("vc3")), r.getAs[Long]("cnt"))).toSeq
+    val expected = Seq(
+      (wt("09:01"), Some(Map(100.0 -> 2L)), 2L),
+      (wt("09:02"), Some(Map(200.0 -> 2L, 100.0 -> 1L)), 3L),
+      (wt("09:03"), Some(Map(200.0 -> 2L)), 2L),
+      (wt("09:04"), None, 0L))
+    assert(got == expected)
+  }
+
   test("sliding window value_counts merges maps across buckets") {
     val view = SlidingFeatureView(
       "v_slide_vc", purchaseSource,
