@@ -474,6 +474,41 @@ class EngineSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("sliding collect_list golden: limit=3, time order, NULL when empty") {
+    // Ref: test_sliding_window_transform.py:1637-1789 (ENABLE_EMPTY+
+    // SKIP_SAME): COLLECT_LIST of the newest 3 costs in time order; the
+    // became-empty row reports NULL list + COUNT 0.
+    val data = spark.createDataFrame(Seq(
+      ("Alex", 100.0, "2022-01-01 09:01:00"),
+      ("Alex", 100.0, "2022-01-01 09:01:20"),
+      ("Alex", 200.0, "2022-01-01 09:02:00"),
+      ("Alex", 200.0, "2022-01-01 09:02:30"))).toDF("name", "cost", "time")
+    val src = FileSource(
+      "scl_src", writeTempParquet(data, "scl_src"), "parquet",
+      keys = Some(Seq("name")), timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S")
+    val view = SlidingFeatureView(
+      "v_scl_golden", src,
+      features = Seq(
+        Feature("cl3", SlidingWindowTransform(
+          "cost", AggFunc.CollectList, 2.minutes, 1.minute, Seq("name"), limit = Some(3))),
+        Feature("cnt", SlidingWindowTransform(
+          "1", AggFunc.Count, 2.minutes, 1.minute, Seq("name"), limit = Some(3)))))
+    def wt(hm: String): Long =
+      java.time.LocalDateTime.parse(s"2022-01-01T$hm:59.999")
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val got = client.getFeatures(view).orderBy("window_time").collect()
+      .map(r => (r.getAs[Long]("window_time"),
+        Option(r.getAs[scala.collection.Seq[Double]]("cl3")).map(_.toSeq),
+        r.getAs[Long]("cnt"))).toSeq
+    val expected = Seq(
+      (wt("09:01"), Some(Seq(100.0, 100.0)), 2L),
+      (wt("09:02"), Some(Seq(100.0, 200.0, 200.0)), 3L),
+      (wt("09:03"), Some(Seq(200.0, 200.0)), 2L),
+      (wt("09:04"), None, 0L))
+    assert(got == expected)
+  }
+
   test("sliding window value_counts merges maps across buckets") {
     val view = SlidingFeatureView(
       "v_slide_vc", purchaseSource,
