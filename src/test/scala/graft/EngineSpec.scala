@@ -881,6 +881,25 @@ class EngineSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("filter on IS NOT NULL over a null-returning UDF golden") {
+    // Ref: test_derived_feature_view.py:165-210 — a UDF returning NULL for
+    // some rows, filtered with IS NOT NULL after the transform.
+    val view = DerivedFeatureView(
+      "v_nullfilter", purchaseSource,
+      features = Seq(
+        Feature(
+          "name_without_alex",
+          UdfTransform(
+            (r: Row) => { val n = r.getAs[String]("name"); if (n == "Alex") null else n },
+            DString,
+            failOnException = true))),
+      keepSourceFields = true,
+      filterExpr = Some("name_without_alex IS NOT NULL"))
+    val got = client.getFeatures(view).orderBy("time").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("name_without_alex"))).toSeq
+    assert(got == Seq(("Emma", "Emma"), ("Emma", "Emma"), ("Jack", "Jack")))
+  }
+
   test("udf transform over whole row") {
     val view = DerivedFeatureView(
       "v_udf", purchaseSource,
