@@ -900,6 +900,33 @@ class EngineSpec extends SparkSuite {
     assert(got == Seq(("Emma", "Emma"), ("Emma", "Emma"), ("Jack", "Jack")))
   }
 
+  test("JSON_STRING golden across all value kinds") {
+    // Ref: test_expression_transform.py:466-528 — scalars render bare,
+    // strings quoted, vectors/maps as JSON, NULL stays NULL.
+    val data = spark.createDataFrame(Seq(
+      (1L, true, "Hello", Seq(1L, 2L, 3L), Map("a" -> 1L, "b" -> 2L))
+    )).toDF("int_v", "bool_v", "string_v", "list_v", "map_v")
+    val src = FileSource(
+      "json_src", writeTempParquet(data, "json_src"), "parquet")
+    val view = DerivedFeatureView(
+      "v_json_golden", src,
+      features = Seq(
+        Feature.expr("null_json_str", "JSON_STRING(CAST(NULL AS INTEGER))"),
+        Feature.expr("int_json_str", "JSON_STRING(int_v)"),
+        Feature.expr("bool_json_str", "JSON_STRING(bool_v)"),
+        Feature.expr("string_json_str", "JSON_STRING(string_v)"),
+        Feature.expr("list_json_str", "JSON_STRING(list_v)"),
+        Feature.expr("map_json_str", "JSON_STRING(map_v)")),
+      keepSourceFields = true)
+    val r = client.getFeatures(view).collect().head
+    assert(r.getAs[String]("null_json_str") == null)
+    assert(r.getAs[String]("int_json_str") == "1")
+    assert(r.getAs[String]("bool_json_str") == "true")
+    assert(r.getAs[String]("string_json_str") == "\"Hello\"")
+    assert(r.getAs[String]("list_json_str") == "[1,2,3]")
+    assert(r.getAs[String]("map_json_str") == "{\"a\":1,\"b\":2}")
+  }
+
   test("udf transform over whole row") {
     val view = DerivedFeatureView(
       "v_udf", purchaseSource,
