@@ -121,8 +121,14 @@ object RowInterpreter {
             val fmt = if (args.length > 1) eval(args(1), row).toString else "%Y-%m-%d %H:%M:%S"
             val jfmt = TimeFormats.toJavaDateFormat(fmt)
             val f = java.time.format.DateTimeFormatter.ofPattern(jfmt)
-            java.time.LocalDateTime.parse(s.toString, f)
-              .toEpochSecond(java.time.ZoneOffset.UTC)
+            val parsed = f.parse(s.toString)
+            // honor an explicit zone offset (%z); zoneless strings are UTC
+            try java.time.OffsetDateTime.from(parsed).toEpochSecond
+            catch {
+              case _: java.time.DateTimeException =>
+                java.time.LocalDateTime.from(parsed)
+                  .toEpochSecond(java.time.ZoneOffset.UTC)
+            }
         }
       case "JSON_STRING" =>
         a(0) match {

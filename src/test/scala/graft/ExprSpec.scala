@@ -54,6 +54,18 @@ class ExprSpec extends AnyFunSuite {
     assert(RowInterpreter.eval("x - 1", row) == big - 1)
   }
 
+  test("row interpreter UNIX_TIMESTAMP handles zoned formats") {
+    // Ref: test_expression_transform.py:122-171 — %z parses explicit
+    // offsets onto the instant axis.
+    val row = Map[String, Any](
+      "t8" -> "2022-01-01 08:00:00.001 +0800",
+      "t0" -> "2022-01-01 00:00:00.001 +0000")
+    val a = RowInterpreter.eval("UNIX_TIMESTAMP(t8, '%Y-%m-%d %H:%M:%S.%f %z')", row)
+    val b = RowInterpreter.eval("UNIX_TIMESTAMP(t0, '%Y-%m-%d %H:%M:%S.%f %z')", row)
+    assert(a == b) // same instant
+    assert(a == 1640995200L)
+  }
+
   test("strftime conversion matches the reference mapping") {
     assert(TimeFormats.toJavaDateFormat("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss")
     assert(TimeFormats.toJavaDateFormat("%Y-%m-%d %H:%M:%S.%f") == "yyyy-MM-dd HH:mm:ss.SSS")
