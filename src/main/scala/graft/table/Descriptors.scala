@@ -212,6 +212,22 @@ final case class SlidingFeatureView(
   require(sliding.nonEmpty, "SlidingFeatureView requires at least one SlidingWindowTransform feature")
   require(sliding.map(_.stepSize).distinct.size == 1, "all sliding windows must share step_size")
   require(sliding.map(_.groupByKeys).distinct.size == 1, "all sliding windows must share group_by_keys")
+  // Pre-window per-row features must serve as grouping keys — anything else
+  // would be dropped by the keys+window_time+aggregates output contract
+  // (ref: sliding_feature_view.py:478-488 "not used as grouping key").
+  locally {
+    val keys = sliding.head.groupByKeys.toSet
+    val preNonKey = features
+      .takeWhile(f => !f.transform.isInstanceOf[SlidingWindowTransform])
+      .filter(f => f.transform.isInstanceOf[ExpressionTransform] ||
+        f.transform.isInstanceOf[UdfTransform])
+      .map(_.name)
+      .filterNot(keys.contains)
+    require(
+      preNonKey.isEmpty,
+      s"SlidingFeatureView: ${preNonKey.mkString(", ")} are not used as grouping " +
+        "key of the sliding windows")
+  }
 
   def stepSize: Duration = sliding.head.stepSize
   def groupByKeys: Seq[String] = sliding.head.groupByKeys

@@ -1004,6 +1004,14 @@ class EngineSpec extends SparkSuite {
 
     assertThrows[IllegalArgumentException](SlidingWindowTransform(
       "cost", AggFunc.Sum, 2.days, 2.hours + 30.minutes)) // not a divisor
+
+    // pre-window expression feature must serve as a grouping key
+    // (ref: test_sliding_feature_view.py:106-134)
+    assertThrows[IllegalArgumentException](SlidingFeatureView(
+      "v_bad_prefeat", purchaseSource,
+      features = Seq(
+        Feature.expr("not_a_key", "cost + 1"),
+        Feature("s", SlidingWindowTransform("cost", AggFunc.Sum, 2.days, 1.day, Seq("name"))))))
   }
 
   test("online store upsert keeps latest per key") {
