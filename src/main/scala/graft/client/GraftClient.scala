@@ -155,6 +155,23 @@ final class GraftClient(val spark: SparkSession) {
     }
   }
 
+  /** Batch lookup into an online-store table: one row per key row, with the
+    * selected features (ref: python/feathub/online_stores/
+    * memory_online_store.py:125-184 — `get(table, input_data,
+    * feature_names)`). Snapshot semi-join keyed on the store's registered
+    * key fields.
+    */
+  def getOnlineFeatures(
+      keysDf: DataFrame,
+      storeTable: String,
+      featureNames: Seq[String]): DataFrame = {
+    val snapshot = graft.engine.Sources.fromMemoryStore(
+      spark, MemoryStoreSource(s"${storeTable}_snapshot", storeTable))
+    val keyCols = keysDf.columns.toSeq
+    keysDf.join(snapshot, keyCols, "left")
+      .select((keyCols ++ featureNames).map(col): _*)
+  }
+
   /** Serve an [[OnDemandFeatureView]]: features evaluate in declaration
     * order over the request row — expressions via the row interpreter,
     * joins as keyed lookups into the online store (ref: python/feathub/

@@ -186,6 +186,28 @@ class OpsSpec extends SparkSuite {
     assert(text.contains("graft_error_ratio{table=\"m_src\"} 1.0"))
   }
 
+  test("batch online lookup joins keys against the store snapshot") {
+    import graft.client.{GraftClient, MemoryOnlineStore}
+    import graft.table._
+    MemoryOnlineStore.clear()
+    val cl = new GraftClient(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    val data = Seq(
+      ("Alex", 100L, 1L), ("Alex", 600L, 3L), ("Emma", 400L, 2L))
+      .toDF("name", "cost", "t_ms")
+    cl.materialize(
+      DataFrameSource("bol_src", data, keys = Some(Seq("name")),
+        timestampField = Some("t_ms"), timestampFormat = "epoch_millis"),
+      MemoryStoreSink("bol_tbl"))
+    val got = cl.getOnlineFeatures(
+      Seq("Alex", "Emma", "Nobody").toDF("name"), "bol_tbl", Seq("cost"))
+      .orderBy("name").collect()
+      .map(r => (r.getString(0), Option(r.getAs[Any]("cost")))).toSeq
+    assert(got == Seq(
+      ("Alex", Some(600L)), ("Emma", Some(400L)), ("Nobody", None)))
+  }
+
   test("on-demand view serves expressions + store lookups per request") {
     import graft.client.{GraftClient, MemoryOnlineStore}
     import graft.table._
