@@ -183,6 +183,31 @@ class EngineSpec extends SparkSuite {
       Seq(100.0, 300.0, 300.0, 400.0, 400.0, 300.0, 700.0, 0.0, 450.0))
   }
 
+  test("over window: five distinct criteria in one view golden") {
+    // Ref: test_over_window_transform.py:878-962 — global, unbounded-keyed,
+    // range-keyed, limit-keyed, and range+limit-keyed sums side by side.
+    val view = DerivedFeatureView(
+      "v_criteria_golden", purchaseSource,
+      features = Seq(
+        Feature("all_total", OverWindowTransform("cost", AggFunc.Sum, Some(2.days))),
+        Feature("unranged", OverWindowTransform("cost", AggFunc.Sum, None, Seq("name"))),
+        Feature("ranged", OverWindowTransform("cost", AggFunc.Sum, Some(2.days), Seq("name"))),
+        Feature("limited", OverWindowTransform("cost", AggFunc.Sum, None, Seq("name"), limit = Some(2))),
+        Feature("both", OverWindowTransform("cost", AggFunc.Sum, Some(2.days), Seq("name"), limit = Some(2)))),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("time").collect()
+      .map(r => (r.getAs[Long]("all_total"), r.getAs[Long]("unranged"),
+        r.getAs[Long]("ranged"), r.getAs[Long]("limited"), r.getAs[Long]("both"))).toSeq
+    val expected = Seq(
+      (100L, 100L, 100L, 100L, 100L),
+      (500L, 400L, 400L, 400L, 400L),
+      (800L, 400L, 400L, 400L, 400L),
+      (1000L, 600L, 600L, 600L, 600L),
+      (1000L, 500L, 500L, 500L, 500L),
+      (1600L, 1000L, 900L, 900L, 900L))
+    assert(got == expected)
+  }
+
   test("over window: value_counts and collect_list") {
     val view = DerivedFeatureView(
       "v_vc", purchaseSource,
