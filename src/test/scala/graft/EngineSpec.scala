@@ -392,6 +392,45 @@ class EngineSpec extends SparkSuite {
     assert(got == Seq(None, Some(100.0), Some(200.0), None, Some(400.0), None))
   }
 
+  test("over window on a joined field golden (phase ordering)") {
+    // Ref: test_over_window_transform.py:963-1045 — a window aggregates the
+    // point-in-time-joined column; expressions after the join evaluate in
+    // the trailing phase over both join and window outputs.
+    val dim = spark.createDataFrame(Seq(
+      ("Alex", 100.0, "2022-01-01,09:01:00"),
+      ("Emma", 400.0, "2022-01-01,09:02:00"),
+      ("Alex", 200.0, "2022-01-02,09:03:00"),
+      ("Emma", 300.0, "2022-01-02,09:04:00"),
+      ("Jack", 500.0, "2022-01-03,09:05:00"),
+      ("Alex", 450.0, "2022-01-03,09:06:00"))).toDF("name", "avg_cost", "time")
+    Registry.register(FileSource(
+      "ojf_dim", writeTempParquet(dim, "ojf_dim"), "parquet",
+      keys = Some(Seq("name")),
+      timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d,%H:%M:%S"))
+    val view = DerivedFeatureView(
+      "v_ojf_golden", purchaseSource,
+      features = Seq(
+        Feature("avg_cost", JoinTransform("ojf_dim", "avg_cost"), keys = Some(Seq("name"))),
+        Feature.expr("derived_cost", "avg_cost * distance"),
+        Feature("last_avg_cost", OverWindowTransform(
+          "avg_cost", AggFunc.LastValue, Some(2.days), Seq("name"), limit = Some(2))),
+        Feature.expr("double_last_avg_cost", "last_avg_cost * 2")),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("name", "time").collect()
+      .map(r => (Option(r.getAs[Any]("avg_cost")), Option(r.getAs[Any]("derived_cost")),
+        Option(r.getAs[Any]("last_avg_cost")), Option(r.getAs[Any]("double_last_avg_cost"))))
+      .toSeq
+    val expected = Seq(
+      (None, None, None, None),
+      (Some(100.0), Some(20000.0), Some(100.0), Some(200.0)),
+      (Some(200.0), Some(160000.0), Some(200.0), Some(400.0)),
+      (None, None, None, None),
+      (Some(400.0), Some(100000.0), Some(400.0), Some(800.0)),
+      (None, None, None, None))
+    assert(got == expected)
+  }
+
   test("sliding window matches the reference golden (size=2d step=1d)") {
     // Golden from test_sliding_window_transform.py:75-141: SUM(cost) values
     // 500, 1000, 1600, 1100, 0 at window close times 23:59:59.999.
