@@ -991,6 +991,38 @@ class EngineSpec extends SparkSuite {
     assert(r.getAs[String]("map_json_str") == "{\"a\":1,\"b\":2}")
   }
 
+  test("udf valueOnException golden; key-filter read golden") {
+    // Ref: test_python_udf_transform.py:103-143 — a throwing UDF with
+    // fail_on_exception=False substitutes the default value;
+    // test_get_features.py:37-67 — get_features(keys=df) restricts rows to
+    // the given keys (missing keys contribute nothing).
+    val view = DerivedFeatureView(
+      "v_udf_default", purchaseSource,
+      features = Seq(
+        Feature(
+          "new_name",
+          UdfTransform(
+            (r: Row) => {
+              if (r.getAs[String]("name") == "Alex") throw new RuntimeException()
+              r.getAs[String]("name")
+            },
+            DString,
+            failOnException = false,
+            valueOnException = "Bad Name"))),
+      keepSourceFields = true)
+    val got = client.getFeatures(view).orderBy("time").collect()
+      .map(_.getAs[String]("new_name")).toSeq
+    assert(got == Seq("Bad Name", "Emma", "Bad Name", "Emma", "Jack", "Bad Name"))
+
+    val keys = spark.createDataFrame(Seq(
+      Tuple1("Alex"), Tuple1("Jack"), Tuple1("Dummy"))).toDF("name")
+    val filtered = client.getFeatures(purchaseSource, keysDf = Some(keys))
+      .orderBy("time").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("cost"))).toSeq
+    assert(filtered == Seq(
+      ("Alex", 100L), ("Alex", 300L), ("Jack", 500L), ("Alex", 600L)))
+  }
+
   test("udf transform over whole row") {
     val view = DerivedFeatureView(
       "v_udf", purchaseSource,
