@@ -30,8 +30,9 @@ import scala.collection.immutable.TreeMap
   * emission is driven by event-time timeouts, so idle keys cost nothing per
   * microbatch. The only shuffle is the groupByKey on the group keys.
   *
-  * Supported aggs: SUM/COUNT/AVG/MIN/MAX/FIRST_VALUE/LAST_VALUE.
-  * VALUE_COUNTS/COLLECT_LIST/limit remain batch-only for now.
+  * Supported aggs: SUM/COUNT/AVG/MIN/MAX/FIRST_VALUE/LAST_VALUE/
+  * VALUE_COUNTS/COLLECT_LIST, each optionally with `limit` (last-N rows,
+  * re-aggregated from retained raw pairs like Flink's AggFuncWithLimit).
   */
 object StreamingSlidingWindows {
 
