@@ -176,6 +176,63 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming composite keys that concatenate equally stay distinct") {
+    // Regression: the state key was built by concatenating key parts, so
+    // ("ab","c")/("a","bc") and ("12","3")/("1","23") shared one state
+    // entry and emitted merged aggregates under the first-seen key values.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Seq(
+      ("ab", "c", 100L, ms("2022-01-01 08:01:00")),
+      ("a", "bc", 200L, ms("2022-01-01 08:02:00")),
+      ("12", "3", 400L, ms("2022-01-01 08:03:00")),
+      ("1", "23", 800L, ms("2022-01-01 08:04:00")))
+
+    def view(src: TableDescriptor, name: String) = SlidingFeatureView(
+      name, src,
+      features = Seq(
+        Feature("total", SlidingWindowTransform(
+          "cost", AggFunc.Sum, 1.day, 1.day, Seq("k1", "k2")))),
+      enableEmptyWindowOutput = false,
+      skipSameWindowOutput = false)
+
+    val cl = new GraftClient(spark)
+    val batchSrc = DataFrameSource(
+      "ck_batch", rows.toDF("k1", "k2", "cost", "t_ms"),
+      keys = Some(Seq("k1", "k2")), timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis")
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val expected = cl.getFeatures(view(batchSrc, "ck_batch_view"))
+      .selectExpr("k1", "k2", "window_time", "total")
+      .orderBy("k1", "k2").collect().map(norm).toSeq
+    assert(expected.map(e => (e._1, e._2, e._4)) ==
+      Seq(("1", "23", 800L), ("12", "3", 400L), ("a", "bc", 200L), ("ab", "c", 100L)))
+
+    val stream = MemoryStream[(String, String, Long, Long)]
+    val streamSrc = DataFrameSource(
+      "ck_stream", stream.toDF().toDF("k1", "k2", "cost", "t_ms"),
+      keys = Some(Seq("k1", "k2")), timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis")
+    val query = cl.getFeatures(view(streamSrc, "ck_stream_view"))
+      .writeStream.format("memory").queryName("ck_out").outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      query.processAllAvailable()
+      stream.addData(("zz", "zz", 0L, ms("2022-03-01 00:00:00")))
+      query.processAllAvailable()
+      stream.addData(("zz", "zz", 0L, ms("2022-04-01 00:00:00")))
+      query.processAllAvailable()
+      val got = spark.sql(
+        "SELECT k1, k2, window_time, total FROM ck_out " +
+          s"WHERE window_time < ${ms("2022-02-01 00:00:00")} ORDER BY k1, k2")
+        .collect().map(norm).toSeq
+      assert(got == expected)
+    } finally query.stop()
+  }
+
   test("streaming file source feeds a derived view") {
     val dir = writeTempParquet(purchases, "stream_files")
     val src = FileSource(
