@@ -575,17 +575,44 @@ object Queries {
       SELECT doc_id, string_agg(CASE WHEN sw > 0 THEN '1' ELSE '0' END, '' ORDER BY g) AS simhash
       FROM s GROUP BY doc_id"""))
 
+  /** DuckDB mirror of [[graft.ops.Similarity.srpBucket]]: one '0'/'1' char
+    * per plane, sign of the sequential left-fold sum of ±element weights
+    * from md5 hex-digit parity of (plane, dim). `list_reduce` is a
+    * left-fold like Spark's `aggregate`, so the float sums agree bitwise.
+    */
+  private def srpBucketSql(planes: Int, vcol: String): String =
+    (0 until planes).map { j =>
+      val weighted = s"list_transform(generate_series(1, len($vcol)), i -> " +
+        s"CASE WHEN (instr('0123456789abcdef', substr(md5('p$j-' || (i-1)::VARCHAR), 1, 1)) - 1) % 2 = 0 " +
+        s"THEN $vcol[i] ELSE -$vcol[i] END)"
+      s"CASE WHEN list_reduce($weighted, (a,b) -> a+b) > 0 THEN '1' ELSE '0' END"
+    }.mkString(" || ")
+
+  /** Banded-SRP near-dup (the 100 TB path; the exact all-pairs kernel stays
+    * as the ScalaTest differential baseline).
+    */
   private val q24 = Q(
     "q24_embed_neardup",
     (spark, dir) =>
-      Dedup.embeddingNearDupPairs(pq(spark, dir, "embeddings"), "vec_id", "embedding", 0.45),
-    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
-      SELECT a.vec_id id_a, b.vec_id id_b,
-        ROUND(list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
-      WHERE ROUND(list_dot_product(a.v, b.v) /
-        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45"""))
+      Dedup.embeddingNearDupPairs(
+        pq(spark, dir, "embeddings"), "vec_id", "embedding", 0.45,
+        planes = 8, bands = 4),
+    Some {
+      val bandsSql = (0 until 4)
+        .map(b => s"SELECT vec_id, $b band, substr(bk, ${b * 2 + 1}, 2) bucket FROM bk")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      bk AS (SELECT vec_id, ${srpBucketSql(8, "v")} bk FROM e),
+      bands AS ($bandsSql),
+      cand AS (SELECT DISTINCT a.vec_id ia, b.vec_id ib FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT c.ia id_a, c.ib id_b,
+        ROUND(list_dot_product(x.v, y.v) /
+          (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+      FROM cand c JOIN e x ON x.vec_id = c.ia JOIN e y ON y.vec_id = c.ib
+      WHERE ROUND(list_dot_product(x.v, y.v) /
+        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.45"""
+    })
 
   private val q25 = Q(
     "q25_ann_topk",
@@ -706,8 +733,10 @@ object Queries {
       FROM (SELECT doc_id, text,
         unnest(generate_series(0, greatest((length(text) // 64) - 1, 0), 2)) g FROM documents)"""))
 
-  /** Stubbed media feature extraction — no SQL equivalent (partition-wise
-    * Scala codec stub), so the driver records a rows-only check.
+  /** Media feature extraction through the partition-wise codec stub. The
+    * stub derives features from md5(payload ++ "-i") quantized to k/10000,
+    * so the first feature is exactly reproducible in SQL over `text` (the
+    * payload is the UTF-8 encoding of `text`).
     */
   private val q32 = Q(
     "q32_multimodal_features",
@@ -720,7 +749,14 @@ object Queries {
           size(col("features")).as("dim"),
           round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
     },
-    None)
+    Some {
+      val hexVal = (1 to 6)
+        .map(k => s"(instr('0123456789abcdef', substr(m, $k, 1)) - 1) * ${1L << (4 * (6 - k))}")
+        .mkString(" + ")
+      s"""WITH f AS (SELECT doc_id, md5(text || '-0') m FROM documents),
+      h AS (SELECT doc_id, ($hexVal)::BIGINT h FROM f)
+      SELECT doc_id, 8 AS dim, ROUND(((h % 20001) - 10000) / 10000.0, 4) AS f0 FROM h"""
+    })
 
   private val q33 = Q(
     "q33_simhash_pairs",
@@ -745,7 +781,10 @@ object Queries {
       FROM p
       WHERE len(list_filter(generate_series(1, 64), g -> substr(sa, g::INT, 1) <> substr(sb, g::INT, 1))) <= 8"""))
 
-  /** LSH-bucketed approximate top-k — rows-only; exactness baseline is q25. */
+  /** LSH-bucketed approximate top-k; exactness baseline is q25. The SRP
+    * bucket is md5-reproducible, so the approximate result has an exact
+    * oracle.
+    */
   private val q34 = Q(
     "q34_ann_lsh",
     (spark, dir) => {
@@ -754,7 +793,15 @@ object Queries {
         emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", "vec_id", "embedding", k = 5, planes = 4)
     },
-    None)
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      b AS (SELECT vec_id, ${srpBucketSql(4, "v")} bk, v FROM e),
+      q AS (SELECT vec_id AS query_id, bk, v qv FROM b WHERE vec_id < 10),
+      s AS (SELECT q.query_id, c.vec_id nbr_id,
+        ROUND(list_dot_product(c.v, q.qv) /
+          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+        FROM b c JOIN q ON c.bk = q.bk AND c.vec_id <> q.query_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rnk FROM s)
+      SELECT query_id, rnk::INT AS rank, nbr_id, score FROM r WHERE rnk <= 5"""))
 
   private val q35 = Q(
     "q35_csv_source",

@@ -206,26 +206,50 @@ object Dedup {
     *
     * `planes = 0` → exact all-pairs via the broadcast primitive kernel
     * ([[Similarity.allPairsCosine]]) — requires the table to be
-    * broadcastable. `planes > 0` → sign-random-projection blocking first
-    * (the 100 TB route): only same-bucket pairs are scored, shuffling on
-    * the bucket key.
+    * broadcastable; kept as the small-data exactness baseline.
+    *
+    * `planes > 0` → sign-random-projection blocking (the 100 TB route):
+    * the `planes`-bit SRP signature is split into `bands` bands (same
+    * OR-of-ANDs amplification as [[minhashLshPairs]]); a pair is a
+    * candidate iff it agrees on ALL bits of SOME band, so recall at a
+    * given threshold is tuned by (planes/bands, bands) instead of being
+    * stuck at agree-on-everything. Only candidates are scored; the one
+    * data shuffle is the self-join on (band, bucket), and a final
+    * `distinct` collapses pairs that collide in several bands. Vectors
+    * ride along the band explode so no join back to the base table is
+    * needed.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planes: Int = 0): DataFrame = {
+      planes: Int = 0,
+      bands: Int = 1): DataFrame = {
     if (planes == 0)
       return Similarity.allPairsCosine(df, idCol, vecCol, threshold)
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bucketed = base.withColumn("bk", Similarity.srpBucket(col("v"), planes))
-    val joined = bucketed.as("a")
-      .join(bucketed.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+    require(bands > 0 && planes % bands == 0, s"bands=$bands must divide planes=$planes")
+    val bitsPerBand = planes / bands
+    val banded = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      // norm once per ROW here, not per candidate PAIR after the join
+      .withColumn("nm", Similarity.norm(col("v")))
+      .withColumn("bk",
+        Similarity.srpBucket(col("v"), planes, Similarity.sniffDim(df, vecCol)))
+      .select(col("id"), col("v"), col("nm"),
+        explode(array((0 until bands).map(b => struct(
+          lit(b).as("band"),
+          substring(col("bk"), b * bitsPerBand + 1, bitsPerBand).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("v"), col("nm"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
       .withColumn("cosine",
-        round(Similarity.dot(col("a.v"), col("b.v")) /
-          (Similarity.norm(col("a.v")) * Similarity.norm(col("b.v"))), 6))
-    joined.filter(col("cosine") >= threshold)
+        round(Similarity.dot(col("a.v"), col("b.v")) / (col("a.nm") * col("b.nm")), 6))
+      .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+      .distinct()
   }
 }

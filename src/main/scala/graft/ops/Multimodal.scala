@@ -45,16 +45,21 @@ object Multimodal {
       hx(3).as("height")))
   }
 
-  /** Deterministic fake image-embedding from raw bytes: `dim` floats derived
-    * from crc32 of (payload, index). Replace with a real model runtime.
+  /** Deterministic fake image-embedding from raw bytes: feature `i` is
+    * derived from the first 6 hex digits of md5(payload ++ "-i"), quantized
+    * to the grid k/10000 with k ∈ [-10000, 10000] so every feature is
+    * engine-reproducible (the md5 recipe is plain SQL for the oracle, and
+    * the quantized value round-trips float→double→round(4) exactly).
+    * Replace with a real model runtime.
     */
   private def fakeEmbed(payload: Array[Byte], dim: Int): Array[Float] = {
-    val crc = new java.util.zip.CRC32
+    val md = java.security.MessageDigest.getInstance("MD5")
     (0 until dim).map { i =>
-      crc.reset()
-      crc.update(payload)
-      crc.update(i)
-      ((crc.getValue % 2000003L).toFloat / 1000001.5f) - 1.0f
+      md.reset()
+      md.update(payload)
+      md.update(s"-$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = md.digest().take(3).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      ((h % 20001L) - 10000L).toFloat / 10000.0f
     }.toArray
   }
 

@@ -44,23 +44,55 @@ object Similarity {
     * hyperplane. Plane weights are ±1 derived from md5 hex-digit parity of
     * (plane, dim) — deterministic, engine-portable, no stored model. Bit j =
     * 1 iff Σ_i w(j,i)·v_i > 0.
+    *
+    * When `dim > 0` the ±1 weights are precomputed driver-side (same md5
+    * recipe) and the per-plane sum runs through the codegen'd
+    * [[graft.functions.VectorDot]] against a literal weight vector — the
+    * generic path recomputes one md5 PER ELEMENT PER PLANE PER ROW in
+    * interpreted lambdas, which dominated near-dup runtime. Multiplying by
+    * ±1.0 is bit-identical to the conditional negation, and both paths fold
+    * left from 0.0, so bucket strings agree exactly (spec-asserted).
     */
-  def srpBucket(vec: Column, planes: Int): Column = {
+  def srpBucket(vec: Column, planes: Int, dim: Int = -1): Column = {
     val bits = (0 until planes).map { j =>
-      val weighted = zip_with(
-        vec,
-        sequence(lit(0), size(vec) - 1),
-        (x, i) => {
-          val parity =
-            (instr(lit("0123456789abcdef"),
-              substring(md5(concat(lit(s"p$j-"), i.cast("string"))), 1, 1)) - 1) % 2
-          when(parity === 0, x.cast("double")).otherwise(-x.cast("double"))
-        })
-      val s = aggregate(weighted, lit(0.0), (acc, x) => acc + x)
+      val s =
+        if (dim > 0)
+          dot(vec, typedLit(Array.tabulate(dim)(i => if (planeParity(j, i)) 1.0 else -1.0)))
+        else {
+          val weighted = zip_with(
+            vec,
+            sequence(lit(0), size(vec) - 1),
+            (x, i) => {
+              val parity =
+                (instr(lit("0123456789abcdef"),
+                  substring(md5(concat(lit(s"p$j-"), i.cast("string"))), 1, 1)) - 1) % 2
+              when(parity === 0, x.cast("double")).otherwise(-x.cast("double"))
+            })
+          aggregate(weighted, lit(0.0), (acc, x) => acc + x)
+        }
       when(s > 0, "1").otherwise("0")
     }
     concat(bits: _*)
   }
+
+  /** Driver-side mirror of the in-plan weight derivation: true iff the
+    * first hex digit of md5("p<plane>-<dim>") is even (→ weight +1).
+    */
+  private def planeParity(plane: Int, i: Int): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"p$plane-$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) >> 4) & 0xf) % 2 == 0
+  }
+
+  /** Embedding dimensionality sniffed from the first row (one-row job; at
+    * scale this reads a single row group). Returns -1 for an empty/null
+    * column, which falls back to the generic per-row srpBucket path.
+    */
+  private[graft] def sniffDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).take(1) match {
+      case Array(r) if !r.isNullAt(0) => r.getInt(0)
+      case _ => -1
+    }
 
   /** Exact top-k cosine neighbors per query row (brute force): ranks the
     * full corpus per query by (rounded score desc, corpus id asc). The query
@@ -219,16 +251,19 @@ object Similarity {
       queryVec: String,
       k: Int,
       planes: Int = 8): DataFrame = {
+    val dim = sniffDim(corpus, corpusVec)
     val c = corpus.select(
       col(corpusId).as("nbr_id"), col(corpusVec).as("cv"),
-      srpBucket(col(corpusVec), planes).as("bk"))
+      norm(col(corpusVec)).as("cn"),
+      srpBucket(col(corpusVec), planes, dim).as("bk"))
     val q = queries.select(
       col(queryId).as("query_id"), col(queryVec).as("qv"),
-      srpBucket(col(queryVec), planes).as("bk"))
+      norm(col(queryVec)).as("qn"),
+      srpBucket(col(queryVec), planes, dim).as("bk"))
     val scored = c.join(broadcast(q), Seq("bk"))
       .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("score",
-        round(dot(col("cv"), col("qv")) / (norm(col("cv")) * norm(col("qv"))), 6))
+        round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("nbr_id").asc)
     scored

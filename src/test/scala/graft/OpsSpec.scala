@@ -120,6 +120,29 @@ class OpsSpec extends SparkSuite {
     assert(kernel.size == 3)
   }
 
+  test("srpBucket literal-weights fast path matches the generic md5 path") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val mismatch = emb.select(
+        Similarity.srpBucket(col("embedding"), 8).as("slow"),
+        Similarity.srpBucket(col("embedding"), 8, dim = 64).as("fast"))
+      .filter(col("slow") =!= col("fast")).count()
+    assert(mismatch == 0)
+  }
+
+  test("banded SRP near-dup pairs are a subset of exact all-pairs with equal scores") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val srp = Dedup
+      .embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4, planes = 8, bands = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.nonEmpty && srp.nonEmpty && srp.size <= exact.size)
+    // every blocked pair is a true pair with a bitwise-identical score
+    srp.foreach { case (k, c) => assert(exact.get(k).contains(c), s"pair $k") }
+    // banding at 2 bits/band keeps a solid share of true pairs at this threshold
+    assert(srp.size.toDouble / exact.size >= 0.5, s"recall ${srp.size}/${exact.size}")
+  }
+
   test("ivf topk: high recall vs brute force on clustered vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
