@@ -37,6 +37,16 @@ final class MetricStore(client: GraftClient, reportPath: String) {
   private def sanitize(s: String): String =
     s.replaceAll("[^a-zA-Z0-9_]", "_")
 
+  /** Escape a label VALUE per the Prometheus text exposition format:
+    * backslash, double-quote, and line-feed must be escaped; anything else
+    * passes through verbatim.
+    */
+  private def escapeLabel(v: Any): String =
+    String.valueOf(v)
+      .replace("\\", "\\\\")
+      .replace("\"", "\\\"")
+      .replace("\n", "\\n")
+
   private def report(
       table: String,
       view: SlidingFeatureView,
@@ -49,8 +59,8 @@ final class MetricStore(client: GraftClient, reportPath: String) {
     }
     rows.foreach { r =>
       val labels =
-        (Seq(s"""table="${table}"""") ++
-          keys.map(k => s"""${sanitize(k)}="${r.getAs[Any](k)}"""")).mkString(",")
+        (Seq(s"""table="${escapeLabel(table)}"""") ++
+          keys.map(k => s"""${sanitize(k)}="${escapeLabel(r.getAs[Any](k))}"""")).mkString(",")
       val wt = r.getAs[Long]("window_time")
       metricNames.foreach { m =>
         val v = r.getAs[Any](m)

@@ -117,9 +117,31 @@ object OverWindows {
         tr.windowSize == tr0.windowSize && tr.groupByKeys == tr0.groupByKeys
     })
     val filterC = SparkCompiler.compile(tr0.filterExpr.get)
+    val winMs = tr0.windowSize.map(_.toMillis)
+    // Carrier columns. Without window_size the final aggregate propagates
+    // as-is (the last-n-matching frame is the same from any later row).
+    // WITH window_size the time cut depends on the OUTPUT row's time, so
+    // the carrier holds the raw last-n (t, v) pairs (times for ROW_NUMBER)
+    // and the cut + aggregation happen after propagation, per row —
+    // propagating the finished aggregate would freeze the cut at the last
+    // MATCHING row's time and leak expired rows into later output rows.
     val carrier0 = feats.zipWithIndex.foldLeft(df.filter(filterC)) {
       case (d, ((_, tr), i)) =>
-        d.withColumn(s"__flv_$i", aggColumn(tr.copy(filterExpr = None), Nil))
+        val c = winMs match {
+          case None => aggColumn(tr.copy(filterExpr = None), Nil)
+          case Some(_) =>
+            val spec =
+              (if (tr.groupByKeys.nonEmpty) Window.partitionBy(tr.groupByKeys.map(col): _*)
+               else Window.partitionBy())
+                .orderBy(col(t).asc)
+                .rowsBetween(1L - tr.limit.get, Window.currentRow)
+            if (tr.aggFunc == AggFunc.RowNumber) collect_list(col(t)).over(spec)
+            else {
+              val e = SparkCompiler.compile(tr.expr)
+              collect_list(when(e.isNotNull, struct(col(t).as("t"), e.as("v")))).over(spec)
+            }
+        }
+        d.withColumn(s"__flv_$i", c)
     }
     val flvTypes = feats.indices.map(i => carrier0.schema(s"__flv_$i").dataType)
     val carrier = carrier0.withColumn("__isf", lit(1))
@@ -139,10 +161,18 @@ object OverWindows {
     }
     out = out.filter(col("__isf") === 0)
     feats.zipWithIndex.foreach { case ((name, tr), i) =>
+      val valueC = winMs match {
+        case None => col(s"__p_$i")
+        case Some(ms) =>
+          if (tr.aggFunc == AggFunc.RowNumber)
+            size(filter(col(s"__p_$i"), x => x >= col(t) - lit(ms))).cast("long")
+          else
+            hofAgg(tr.aggFunc, filter(col(s"__p_$i"), p => p("t") >= col(t) - lit(ms)))
+      }
       val withDefault = tr.aggFunc match {
         case AggFunc.Sum | AggFunc.Count | AggFunc.RowNumber =>
-          coalesce(col(s"__p_$i"), lit(0))
-        case _ => col(s"__p_$i")
+          coalesce(valueC, lit(0))
+        case _ => valueC
       }
       out = out.withColumn(name, withDefault)
         .drop(s"__flv_$i", s"__p_$i")

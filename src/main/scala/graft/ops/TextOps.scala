@@ -42,7 +42,7 @@ object TextOps {
 
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. Deterministic and tiny by design — real pipelines plug in a
-    * fastText-style model via [[Multimodal.mapBatches]]; the heuristic is the
+    * fastText-style model via [[Multimodal.extractFeatures]]; the heuristic is the
     * engine-native fallback.
     */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -183,6 +183,41 @@ class EngineSpec extends SparkSuite {
       Seq(100.0, 300.0, 300.0, 400.0, 400.0, 300.0, 700.0, 0.0, 450.0))
   }
 
+  test("over window filter+limit+window_size: expiry at the OUTPUT row's time") {
+    // Regression: the propagated aggregate was frozen at the last MATCHING
+    // row's time, so a later non-matching row could still see matching rows
+    // that had already expired out of window_size relative to its own time.
+    val data = spark.createDataFrame(Seq(
+      ("Alex", "pay", 100.0, "2022-01-01 09:01:00"),
+      ("Alex", "pay", 200.0, "2022-01-01 09:02:00"),
+      ("Alex", "receive", 1.0, "2022-01-01 09:03:00"), // both pays in window
+      ("Alex", "receive", 2.0, "2022-01-01 09:10:00")) // both pays expired
+    ).toDF("name", "action", "cost", "time")
+    val src = FileSource(
+      "owx_src", writeTempParquet(data, "owx_src"), "parquet",
+      keys = Some(Seq("name")),
+      timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S")
+    val got = client.getFeatures(DerivedFeatureView(
+        "v_owx", src,
+        features = Seq(
+          Feature("total", OverWindowTransform(
+            "cost", AggFunc.Sum, Some(2.minutes), Seq("name"),
+            filterExpr = Some("action = 'pay'"), limit = Some(2))),
+          Feature("last_pay", OverWindowTransform(
+            "cost", AggFunc.LastValue, Some(2.minutes), Seq("name"),
+            filterExpr = Some("action = 'pay'"), limit = Some(2)))),
+        keepSourceFields = true))
+      .orderBy("time").collect()
+      .map(r => (r.getAs[Double]("total"),
+        Option(r.get(r.fieldIndex("last_pay"))).map(_.asInstanceOf[Double]))).toSeq
+    assert(got == Seq(
+      (100.0, Some(100.0)),
+      (300.0, Some(200.0)),
+      (300.0, Some(200.0)),
+      (0.0, None)))
+  }
+
   test("over window: five distinct criteria in one view golden") {
     // Ref: test_over_window_transform.py:878-962 — global, unbounded-keyed,
     // range-keyed, limit-keyed, and range+limit-keyed sums side by side.

@@ -207,6 +207,20 @@ class OpsSpec extends SparkSuite {
     assert(text.contains("graft_event_cnt{table=\"m_src\"} 2"))
     assert(text.contains("graft_error_ratio{table=\"m_src\"} 0.5"))
     assert(text.contains("graft_error_ratio{table=\"m_src\"} 1.0"))
+
+    // label VALUES with ", \, and newline must escape per the Prometheus
+    // text exposition spec (they previously interpolated raw)
+    val weird = Seq(("a\"b\\c\nd", 10L, 86400000L * 10 + 100)).toDF("k", "v", "t_ms")
+    val wsrc = DataFrameSource(
+      "w_src", weird, keys = Some(Seq("k")),
+      timestampField = Some("t_ms"), timestampFormat = "epoch_millis")
+    val wout = java.nio.file.Files.createTempFile("graft_metrics_w", ".prom").toString
+    new MetricStore(cl, wout).materializeWithMetrics(
+      wsrc, BlackHoleSink,
+      Seq(Metrics.count("w_cnt", None, 1.day, keys = Seq("k"))), keys = Seq("k"))
+    val wtext = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(wout)))
+    assert(wtext.contains("k=\"a\\\"b\\\\c\\nd\""))
+    assert(!wtext.contains("\nd\"")) // no literal line break inside a label
   }
 
   test("batch online lookup joins keys against the store snapshot") {
