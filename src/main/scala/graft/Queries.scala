@@ -514,6 +514,39 @@ object Queries {
       SELECT (b + 1) * 86400000 - 1 AS window_time, ec::BIGINT AS err_cnt,
         es::DOUBLE / c AS err_ratio FROM pre"""))
 
+  /** String feature/source references resolved at build() — the
+    * reference's primary ergonomic surface (derived_feature_view.py:
+    * 123-169): source by registered name, `"field"` passthrough,
+    * `"table.feature"` PIT join, and a string-shorthand expression
+    * feature depending on both.
+    */
+  private val q19 = Q(
+    "q19_string_refs",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      cl.registerTable(DerivedFeatureView(
+        "q19_ev", eventsSrc("q19_events", dir),
+        features = Seq(
+          Feature.expr("o_custkey", "user_id"),
+          Feature.expr("ev_value", "value")),
+        keys = Some(Seq("o_custkey"))))
+      cl.registerTable(fileSrc("q19_ord", dir, "orders", Seq("o_custkey"), Some("o_orderdate")))
+      cl.getFeatures(UnresolvedDerivedFeatureView(
+        "q19", "q19_ord",
+        Seq[FeatureRef](
+          "o_orderstatus",
+          "q19_ev.ev_value",
+          Feature("double_price", "o_totalprice * 2"),
+          Feature("price_and_ev", "double_price + ev_value"))).build())
+    },
+    Some("""WITH e1 AS (SELECT user_id, epoch_ms(ts) AS tms, MAX(value) AS value
+        FROM events GROUP BY 1, 2)
+      SELECT o.o_custkey, o.o_orderdate, o.o_orderstatus, e1.value AS ev_value,
+        o.o_totalprice * 2 AS double_price,
+        o.o_totalprice * 2 + e1.value AS price_and_ev
+      FROM orders o
+      ASOF LEFT JOIN e1 ON o.o_custkey = e1.user_id AND epoch_ms(o.o_orderdate) >= e1.tms"""))
+
   // ------------------------------------------------------------------
   // Training-data pipeline: dedup / similarity / text / multimodal
   // ------------------------------------------------------------------
@@ -840,7 +873,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36)
 

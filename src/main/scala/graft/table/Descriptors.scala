@@ -4,6 +4,7 @@ import graft.types.{DType, Schema}
 import org.apache.spark.sql.Row
 
 import scala.concurrent.duration.Duration
+import scala.language.implicitConversions
 
 /** Aggregation functions supported by window transforms
   * (ref: python/feathub/feature_views/transforms/agg_func.py:21-53).
@@ -117,6 +118,38 @@ object Feature {
     Feature(name, ExpressionTransform(e), dtype)
 }
 
+object Transformation {
+  /** A bare string as a transform is ExpressionTransform shorthand
+    * (ref: feature.py:60-66 accepts `transform="a + b"`).
+    */
+  implicit def fromString(expr: String): Transformation = ExpressionTransform(expr)
+}
+
+/** A table referenced by descriptor or by registered name — the reference's
+  * `source: Union[str, TableDescriptor]` surface
+  * (ref: derived_feature_view.py:52-60, 138-143).
+  */
+sealed trait TableRef
+final case class TableDesc(desc: TableDescriptor) extends TableRef
+final case class TableName(tableName: String) extends TableRef
+object TableRef {
+  implicit def fromDesc(d: TableDescriptor): TableRef = TableDesc(d)
+  implicit def fromName(s: String): TableRef = TableName(s)
+}
+
+/** A feature given as a full [[Feature]] or as a string reference
+  * (ref: derived_feature_view.py:61-75): `"f"` passes a source feature
+  * through, `"table.f"` point-in-time-joins `f` from a registered table,
+  * and `"table.m['k']"` joins a static map-entry lookup.
+  */
+sealed trait FeatureRef
+final case class FeatureDef(feature: Feature) extends FeatureRef
+final case class FeatureStr(ref: String) extends FeatureRef
+object FeatureRef {
+  implicit def fromFeature(f: Feature): FeatureRef = FeatureDef(f)
+  implicit def fromString(s: String): FeatureRef = FeatureStr(s)
+}
+
 /** Timestamp formats: "epoch" (seconds), "epoch_millis", "auto" (native
   * TIMESTAMP column), or a strftime pattern
   * (ref: python/feathub/table/table_descriptor.py:37-50).
@@ -186,6 +219,23 @@ final case class DerivedFeatureView(
     keys: Option[Seq[String]] = None) extends TableDescriptor {
   def timestampField: Option[String] = source.timestampField
   def timestampFormat: String = source.timestampFormat
+}
+
+/** Derived view whose source and/or features are still string references —
+  * the reference's primary ergonomic surface
+  * (ref: derived_feature_view.py:39-169). `build()` resolves the strings
+  * against the [[graft.engine.Registry]], validates that every feature only
+  * depends on features declared earlier or source fields, registers the
+  * resolved view, and returns it.
+  */
+final case class UnresolvedDerivedFeatureView(
+    name: String,
+    source: TableRef,
+    features: Seq[FeatureRef],
+    keepSourceFields: Boolean = false,
+    filterExpr: Option[String] = None,
+    keys: Option[Seq[String]] = None) {
+  def build(): DerivedFeatureView = Resolver.resolveDerived(this)
 }
 
 /** Sliding view: only expression + sliding-window transforms; all windows
