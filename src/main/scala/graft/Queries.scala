@@ -871,11 +871,40 @@ object Queries {
     },
     Some("SELECT doc_id, lang, source, n_chars FROM documents"))
 
+  /** Generic lookup join against the in-process KV store with static
+    * map-entry pushdown: customers materialize into the store with a
+    * map-typed feature; orders lookup-join `m['bal']` (only entry 'bal' is
+    * fetched) plus a scalar field. Unique customer keys keep the
+    * latest-per-key upsert deterministic for the oracle.
+    */
+  private val q37 = Q(
+    "q37_lookup_join",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      graft.client.MemoryOnlineStore.clear()
+      val cust = fileSrc("q37_cust", dir, "customer", Seq("c_custkey"))
+      cl.materialize(
+        DerivedFeatureView(
+          "q37_custm", cust,
+          features = Seq(
+            Feature.expr("balmap", "MAP('bal', c_acctbal)"),
+            Feature.expr("mktseg", "c_mktsegment")),
+          keys = Some(Seq("c_custkey"))),
+        MemoryStoreSink("q37_store"))
+      val orders = pq(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      cl.lookupJoin(orders, "q37_store",
+        Seq("bal" -> "balmap['bal']", "mktseg" -> "mktseg"))
+    },
+    Some("""SELECT o.o_orderkey, o.o_custkey AS c_custkey,
+        c.c_acctbal AS bal, c.c_mktsegment AS mktseg
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36)
+    q30, q31, q32, q33, q34, q35, q36, q37)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

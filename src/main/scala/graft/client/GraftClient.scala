@@ -155,6 +155,19 @@ final class GraftClient(val spark: SparkSession) {
     }
   }
 
+  /** Generic processing-time lookup join against a pluggable [[KvStore]]
+    * table: each feature is a DSL expression over the store row, with
+    * static map-entry pushdown — `m['k']` literals fetch only those entries
+    * (ref: flink table_builder/redis_utils.py:109-210;
+    * docs/content/deep-dive/optimizations.md §3).
+    */
+  def lookupJoin(
+      left: DataFrame,
+      storeTable: String,
+      features: Seq[(String, String)],
+      store: KvStore = MemoryKvStore): DataFrame =
+    graft.engine.LookupJoin(spark, left, store, storeTable, features)
+
   /** Batch lookup into an online-store table: one row per key row, with the
     * selected features (ref: python/feathub/online_stores/
     * memory_online_store.py:125-184 — `get(table, input_data,
@@ -248,6 +261,9 @@ object MemoryOnlineStore {
 
   private val keyFields = mutable.Map.empty[String, Seq[String]]
   def registerKeys(name: String, keys: Seq[String]): Unit = keyFields(name) = keys
+  def keyFieldsOf(name: String): Seq[String] =
+    keyFields.getOrElse(name, throw new NoSuchElementException(
+      s"online store table $name has no registered keys"))
 
   private def matchesKeys(name: String, storedKey: Seq[Any], req: Map[String, Any]): Boolean =
     keyFields.get(name) match {

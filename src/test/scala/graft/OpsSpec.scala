@@ -223,6 +223,51 @@ class OpsSpec extends SparkSuite {
     assert(!wtext.contains("\nd\"")) // no literal line break inside a label
   }
 
+  test("lookup join pushes static map-entry fetches into the KV store") {
+    import graft.client.{FieldRequest, GraftClient, MemoryKvStore, MemoryOnlineStore}
+    import graft.table._
+    MemoryOnlineStore.clear()
+    val spark2 = spark
+    import spark2.implicits._
+    val cl = new GraftClient(spark)
+    val dim = Seq(
+      (1L, Map("bal" -> 10.0, "lim" -> 99.0), "gold", 100L),
+      (2L, Map("bal" -> 20.0, "lim" -> 88.0), "silver", 100L))
+      .toDF("uid", "m", "tier", "t_ms")
+    cl.materialize(
+      DataFrameSource("lkp_src", dim, keys = Some(Seq("uid")),
+        timestampField = Some("t_ms"), timestampFormat = "epoch_millis"),
+      MemoryStoreSink("lkp_tbl"))
+    val left = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("uid", "tag")
+
+    // only m['bal'] + the scalar tier are used → the store is asked for
+    // entry 'bal' only, not the whole map
+    val got = cl.lookupJoin(left, "lkp_tbl",
+        Seq("bal" -> "m['bal']", "tier" -> "tier"))
+      .orderBy("uid")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(r.fieldIndex("bal"))), Option(r.get(r.fieldIndex("tier")))))
+      .toSeq
+    assert(got == Seq(
+      (1L, Some(10.0), Some("gold")),
+      (2L, Some(20.0), Some("silver")),
+      (3L, None, None)))
+    val req = MemoryKvStore.lastRequest("lkp_tbl").get
+    assert(req.contains(FieldRequest("m", Some(Seq("bal")))))
+    assert(req.contains(FieldRequest("tier", None)))
+    // the store really projected: fetched rows carry only the requested entry
+    val fetched = MemoryKvStore.fetch("lkp_tbl", Seq(FieldRequest("m", Some(Seq("bal")))))
+    assert(fetched.forall(_.get("m").exists(_ == Map("bal" -> 10.0)) ||
+      fetched.forall(_.get("m").exists(m => m.asInstanceOf[Map[String, Any]].keySet == Set("bal")))))
+
+    // a full use of the map anywhere disables the projection for that field
+    cl.lookupJoin(left, "lkp_tbl", Seq("bal" -> "m['bal']", "whole" -> "m"))
+    assert(MemoryKvStore.lastRequest("lkp_tbl").get.contains(FieldRequest("m", None)))
+
+    // non-string subscript: whole-field fetch (redis_utils.py:124-133)
+    assert(graft.engine.LookupJoin.analyze(Seq("m[1]")) == Seq(FieldRequest("m", None)))
+  }
+
   test("batch online lookup joins keys against the store snapshot") {
     import graft.client.{GraftClient, MemoryOnlineStore}
     import graft.table._
