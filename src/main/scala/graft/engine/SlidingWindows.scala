@@ -40,6 +40,22 @@ object SlidingWindows {
   private val t = EventTime.Col
   private val B = "__bucket"
 
+  /** Timezone-aligned window offset: step boundaries align to the session
+    * time zone's local midnight instead of UTC, mirroring the reference's
+    * `TumblingEventTimeWindows.of(step, offset)` with
+    * `offset = getModdedOffset(step, -rawOffset(localZone))`
+    * (ref: java/feathub-udf/flink-udf/src/main/java/com/alibaba/feathub/
+    * flink/udf/SlidingWindowUtils.java:113-114, 281-287). The raw (non-DST)
+    * offset is used, exactly as the reference does. UTC ⇒ 0, preserving
+    * the default epoch-aligned bucketing.
+    */
+  def zoneOffsetMs(zoneId: String, stepMs: Long): Long = {
+    if (stepMs <= 0) return 0L
+    val raw = java.util.TimeZone.getTimeZone(zoneId).getRawOffset.toLong
+    val m = (-raw) % stepMs
+    if (m < 0) m + stepMs else m
+  }
+
   final case class SlidingFeature(name: String, tr: SlidingWindowTransform)
 
   def apply(
@@ -57,8 +73,10 @@ object SlidingWindows {
     if (step == 0) return perRecord(input, feats, keys, skipSameWindowOutput, postExprs)
 
     // ---- Phase 1: per-feature value columns + step bucket -------------
+    val offset = zoneOffsetMs(
+      input.sparkSession.conf.get("spark.sql.session.timeZone", "UTC"), step)
     val withVals = feats.zipWithIndex.foldLeft(
-      input.withColumn(B, floor(col(t) / step))
+      input.withColumn(B, floor((col(t) - offset) / step))
     ) { case (df, (f, i)) =>
       val e = SparkCompiler.compile(f.tr.expr)
       val v = f.tr.filterExpr match {
@@ -167,7 +185,7 @@ object SlidingWindows {
           .drop("__keep")
       else withAny.filter(col("__any"))
 
-    val windowTime = ((col(B) + 1) * step - 1).as(SparkCompiler.WindowTimeCol)
+    val windowTime = ((col(B) + 1) * step + offset - 1).as(SparkCompiler.WindowTimeCol)
     val featCols = feats.map(f => col(f.name))
     val withTime = kept.withColumn(SparkCompiler.WindowTimeCol, windowTime)
     val withPost = postExprs.foldLeft(withTime) { case (df, (n, e)) =>

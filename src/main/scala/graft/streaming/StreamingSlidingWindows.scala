@@ -171,6 +171,10 @@ object StreamingSlidingWindows {
     require(stepMs > 0, "streaming sliding requires step_size > 0")
     val spark = input.sparkSession
     val span = feats.map(f => f.windowMs / stepMs).max
+    // Timezone-aligned step boundaries, same derivation as the batch path
+    // (ref: SlidingWindowUtils.java:113-114; zero for UTC sessions).
+    val offsetMs = graft.engine.SlidingWindows.zoneOffsetMs(
+      spark.conf.get("spark.sql.session.timeZone", "UTC"), stepMs)
     val maxWindowMs = feats.map(_.windowMs).max
 
     val schema = input.schema
@@ -233,7 +237,7 @@ object StreamingSlidingWindows {
           if (st.keyVals.isEmpty) st = st.copy(keyVals = keyIdx.map(r.get).toList)
           val t = r.getLong(tIdx)
           if (t + maxWindowMs > watermark) { // late-data drop rule
-            val b = Math.floorDiv(t, stepMs)
+            val b = Math.floorDiv(t - offsetMs, stepMs)
             val arr = st.buckets.getOrElse(b, Array.fill(nFeats)(Partial.empty))
             val merged = Array.tabulate(nFeats)(i =>
               mergeValue(arr(i), t, r.get(vIdx(i)), keepVc(i), keepVals(i)))
@@ -247,7 +251,7 @@ object StreamingSlidingWindows {
           val firstB = st.buckets.firstKey
           val lastB = st.buckets.lastKey
           // bucket b is final once watermark >= (b+1)*step
-          val maxFinal = Math.floorDiv(watermark, stepMs) - 1
+          val maxFinal = Math.floorDiv(watermark - offsetMs, stepMs) - 1
           var s = if (st.lastEmittedStep == Long.MinValue) firstB
                   else math.max(st.lastEmittedStep + 1, firstB)
           val stop = math.min(maxFinal, lastB + span)
@@ -269,7 +273,7 @@ object StreamingSlidingWindows {
               } else false
             val sig = values.toList
             if (emit && !(skipSameWindowOutput && st.lastSig.contains(sig))) {
-              out += Row.fromSeq(st.keyVals ++ Seq((s + 1) * stepMs - 1) ++ values)
+              out += Row.fromSeq(st.keyVals ++ Seq((s + 1) * stepMs + offsetMs - 1) ++ values)
               st = st.copy(lastSig = Some(sig))
             }
             st = st.copy(
@@ -290,9 +294,9 @@ object StreamingSlidingWindows {
           // wake when the watermark passes the next unemitted step's end
           val nextStep =
             if (st.lastEmittedStep == Long.MinValue)
-              st.buckets.headOption.map(_._1).getOrElse(Math.floorDiv(watermark, stepMs))
+              st.buckets.headOption.map(_._1).getOrElse(Math.floorDiv(watermark - offsetMs, stepMs))
             else st.lastEmittedStep + 1
-          state.setTimeoutTimestamp(math.max((nextStep + 1) * stepMs, watermark + 1))
+          state.setTimeoutTimestamp(math.max((nextStep + 1) * stepMs + offsetMs, watermark + 1))
         }
         out.iterator
     }(Encoders.kryo[KeyState], Encoders.row(outSchema))

@@ -484,6 +484,42 @@ class EngineSpec extends SparkSuite {
       (1 to 5).map(d => t0 + d * day - 1))
   }
 
+  test("sliding window: session timezone aligns day-window boundaries") {
+    // Ref: SlidingWindowUtils.java:113-114 — the window offset comes from
+    // the local time zone's raw offset, so a GMT+8 session closes day
+    // windows at local midnight (16:00 UTC), not UTC midnight.
+    val spark2 = spark
+    import spark2.implicits._
+    val day = 86400000L
+    val jan1 = java.time.LocalDate.parse("2022-01-01").toEpochDay * day
+    val rows = Seq(
+      ("a", 100L, jan1 + 8 * 3600000L),  // 08:00 UTC = 16:00 GMT+8 (local Jan 1)
+      ("a", 200L, jan1 + 20 * 3600000L)) // 20:00 UTC = 04:00 GMT+8 (local Jan 2)
+      .toDF("k", "cost", "t_ms")
+    def run() = client.getFeatures(SlidingFeatureView(
+        s"v_tz_${spark.conf.get("spark.sql.session.timeZone")}",
+        DataFrameSource(
+          s"tz_src_${spark.conf.get("spark.sql.session.timeZone")}", rows,
+          keys = Some(Seq("k")), timestampField = Some("t_ms"),
+          timestampFormat = "epoch_millis"),
+        features = Seq(Feature("total", SlidingWindowTransform(
+          "cost", AggFunc.Sum, 1.day, 1.day, Seq("k")))),
+        enableEmptyWindowOutput = false, skipSameWindowOutput = false))
+      .orderBy("window_time").collect()
+      .map(r => (r.getAs[Long]("window_time"), r.getAs[Long]("total"))).toSeq
+    val utc = run()
+    assert(utc == Seq((jan1 + day - 1, 300L))) // one UTC day holds both
+    spark.conf.set("spark.sql.session.timeZone", "GMT+8")
+    try {
+      val local = run()
+      // local midnights at 16:00 UTC: Jan 1 (local) ends jan1+16h, Jan 2
+      // (local) ends jan1+40h
+      assert(local == Seq(
+        (jan1 + 16 * 3600000L - 1, 100L),
+        (jan1 + 40 * 3600000L - 1, 200L)))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("sliding window: empty-window disabled drops default rows") {
     val view = SlidingFeatureView(
       "v_slide_noempty", purchaseSource,

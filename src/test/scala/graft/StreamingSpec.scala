@@ -233,6 +233,47 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming sliding windows honor the session timezone offset") {
+    // Parity with the batch tz golden: GMT+8 day windows close at local
+    // midnight (16:00 UTC) in the streaming operator too.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400000L
+    val jan1 = java.time.LocalDate.parse("2022-01-01").toEpochDay * day
+    val rows = Seq(
+      ("a", 100L, jan1 + 8 * 3600000L),
+      ("a", 200L, jan1 + 20 * 3600000L))
+    def view(src: TableDescriptor, name: String) = SlidingFeatureView(
+      name, src,
+      features = Seq(Feature("total", SlidingWindowTransform(
+        "cost", AggFunc.Sum, 1.day, 1.day, Seq("k")))),
+      enableEmptyWindowOutput = false, skipSameWindowOutput = false)
+    val cl = new GraftClient(spark)
+    spark.conf.set("spark.sql.session.timeZone", "GMT+8")
+    try {
+      val stream = MemoryStream[(String, Long, Long)]
+      val src = DataFrameSource(
+        "tzs_stream", stream.toDF().toDF("k", "cost", "t_ms"),
+        keys = Some(Seq("k")), timestampField = Some("t_ms"),
+        timestampFormat = "epoch_millis")
+      val query = cl.getFeatures(view(src, "tzs_view"))
+        .writeStream.format("memory").queryName("tzs_out").outputMode("append").start()
+      try {
+        stream.addData(rows: _*)
+        query.processAllAvailable()
+        stream.addData(("zz", 0L, jan1 + 40 * day)) // advance the watermark
+        query.processAllAvailable()
+        val got = spark.sql(
+            s"SELECT window_time, total FROM tzs_out WHERE k = 'a' ORDER BY window_time")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got == Seq(
+          (jan1 + 16 * 3600000L - 1, 100L),
+          (jan1 + 40 * 3600000L - 1, 200L)))
+      } finally query.stop()
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("streaming file source feeds a derived view") {
     val dir = writeTempParquet(purchases, "stream_files")
     val src = FileSource(
