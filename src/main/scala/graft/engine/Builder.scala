@@ -122,6 +122,40 @@ final class Builder(spark: SparkSession) {
       }
     }
 
+    if (df.isStreaming && windows.nonEmpty) {
+      // Unbounded over-windows: the stateful per-row operator (the batch
+      // Window-function plan is not runnable on a stream). Same frame
+      // semantics; one groupByKey state per shared key set.
+      require(joins.isEmpty,
+        s"streaming DerivedFeatureView ${v.name} does not support join features")
+      val specs = windows.toSeq.map(f => (f, f.transform.asInstanceOf[OverWindowTransform]))
+      val keySets = specs.map(_._2.groupByKeys).distinct
+      require(keySets.size == 1,
+        s"streaming over-windows in ${v.name} must share group_by_keys, got $keySets")
+      var prepped = df
+      specs.zipWithIndex.foreach { case ((_, tr), i) =>
+        val e = SparkCompiler.compile(tr.expr)
+        prepped = prepped
+          .withColumn(s"__v_$i",
+            tr.filterExpr.map(fe => when(SparkCompiler.compile(fe), e)).getOrElse(e))
+          .withColumn(s"__m_$i",
+            tr.filterExpr
+              .map(fe => coalesce(SparkCompiler.compile(fe), lit(false)))
+              .getOrElse(lit(true)))
+      }
+      df = graft.streaming.StreamingOverWindows(
+        prepped,
+        keySets.head,
+        specs.map { case (f, tr) =>
+          graft.streaming.StreamingOverWindows.FeatureSpec(
+            f.name, tr.aggFunc, tr.windowSize.map(_.toMillis), tr.limit,
+            tr.filterExpr.isDefined)
+        },
+        maxOutOfOrderness(v.source))
+      windows.foreach { f =>
+        f.dtype.foreach(dt => df = df.withColumn(f.name, col(f.name).cast(dt.toSpark)))
+      }
+    } else {
     // All over-windows in one select; identical WindowSpecs collapse into a
     // single Window operator under Catalyst. filter+limit features take the
     // filtered-subset propagation path (limit counts matching rows),
@@ -149,6 +183,7 @@ final class Builder(spark: SparkSession) {
           f.dtype.foreach(dt => df = df.withColumn(f.name, col(f.name).cast(dt.toSpark)))
         }
       }
+    }
 
     df = trailing.foldLeft(df)(applyRowFeature)
 
@@ -282,12 +317,7 @@ final class Builder(spark: SparkSession) {
       }
       df.withColumn(s"__v_$i", vcol)
     }
-    val maxOoo = v.source match {
-      case s: FileSource      => s.maxOutOfOrderness.toMillis
-      case s: DataFrameSource => s.maxOutOfOrderness.toMillis
-      case s: KafkaSource     => s.maxOutOfOrderness.toMillis
-      case _                  => 0L
-    }
+    val maxOoo = maxOutOfOrderness(v.source)
     var out = StreamingSlidingWindows(
       withVals,
       v.groupByKeys,
@@ -304,6 +334,13 @@ final class Builder(spark: SparkSession) {
       .withColumn(SparkCompiler.WindowTimeCol, col("window_time"))
       .drop("window_time")
     finishSliding(v, out, sliding, post)
+  }
+
+  private def maxOutOfOrderness(desc: TableDescriptor): Long = desc match {
+    case s: FileSource      => s.maxOutOfOrderness.toMillis
+    case s: DataFrameSource => s.maxOutOfOrderness.toMillis
+    case s: KafkaSource     => s.maxOutOfOrderness.toMillis
+    case _                  => 0L
   }
 
   // -------------------------------------------------------------------- sql

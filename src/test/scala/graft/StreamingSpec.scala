@@ -274,6 +274,75 @@ class StreamingSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  test("streaming over-windows match the batch engine (range/rows/unbounded/filtered)") {
+    // The streaming analogue of the batch q07/q08 shapes: RANGE window AVG/
+    // SUM/COUNT, rows-limit SUM and COLLECT_LIST, unbounded ROW_NUMBER, and
+    // a filtered SUM with limit — all asserted equal to the batch engine on
+    // the same rows.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600000L
+    // fed to the stream in two batches split at 2h — later batches may only
+    // carry rows above the first batch's watermark (late rows drop, as in
+    // Flink OVER)
+    val rows = Seq(
+      ("u1", "pay", 100L, 1 * h),
+      ("u2", "pay", 10L, 1 * h),
+      ("u1", "view", 50L, 2 * h),
+      ("u1", "pay", 200L, 4 * h),
+      ("u1", "view", 75L, 5 * h),
+      ("u2", "view", 20L, 7 * h))
+
+    def view(src: TableDescriptor, name: String) = DerivedFeatureView(
+      name, src,
+      features = Seq(
+        Feature("avg_3h", OverWindowTransform("value", AggFunc.Avg, Some(3.hours), Seq("uid"))),
+        Feature("sum_3h", OverWindowTransform("value", AggFunc.Sum, Some(3.hours), Seq("uid"))),
+        Feature("cnt_3h", OverWindowTransform("value", AggFunc.Count, Some(3.hours), Seq("uid"))),
+        Feature("sum_2r", OverWindowTransform("value", AggFunc.Sum, None, Seq("uid"), limit = Some(2))),
+        Feature("vals_2r", OverWindowTransform("value", AggFunc.CollectList, None, Seq("uid"), limit = Some(2))),
+        Feature("rn", OverWindowTransform("value", AggFunc.RowNumber, None, Seq("uid"))),
+        Feature("pay_sum_2", OverWindowTransform(
+          "value", AggFunc.Sum, None, Seq("uid"),
+          filterExpr = Some("etype = 'pay'"), limit = Some(2))),
+        Feature("first_3h", OverWindowTransform("etype", AggFunc.FirstValue, Some(3.hours), Seq("uid")))),
+      keepSourceFields = true)
+
+    val cl = new GraftClient(spark)
+    def norm(r: org.apache.spark.sql.Row) = (
+      r.getAs[String]("uid"), r.getAs[Long]("t_ms"),
+      r.getAs[Double]("avg_3h"), r.getAs[Long]("sum_3h"), r.getAs[Long]("cnt_3h"),
+      r.getAs[Long]("sum_2r"),
+      r.getAs[scala.collection.Seq[Long]]("vals_2r").toList,
+      r.getAs[Long]("rn"), r.getAs[Long]("pay_sum_2"), r.getAs[String]("first_3h"))
+    val batchSrc = DataFrameSource(
+      "owb_src", rows.toDF("uid", "etype", "value", "t_ms"),
+      keys = Some(Seq("uid")), timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis")
+    val expected = cl.getFeatures(view(batchSrc, "owb_view"))
+      .orderBy("uid", "t_ms").collect().map(norm).toSeq
+
+    val stream = MemoryStream[(String, String, Long, Long)]
+    val streamSrc = DataFrameSource(
+      "ows_src", stream.toDF().toDF("uid", "etype", "value", "t_ms"),
+      keys = Some(Seq("uid")), timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis")
+    val query = cl.getFeatures(view(streamSrc, "ows_view"))
+      .writeStream.format("memory").queryName("ows_out").outputMode("append").start()
+    try {
+      stream.addData(rows.take(3): _*)
+      query.processAllAvailable()
+      stream.addData(rows.drop(3): _*)
+      query.processAllAvailable()
+      stream.addData(("zz", "x", 0L, 100 * h)) // advance watermark past all rows
+      query.processAllAvailable()
+      val got = spark.sql("SELECT * FROM ows_out WHERE uid <> 'zz' ORDER BY uid, t_ms")
+        .collect().map(norm).toSeq
+      assert(got == expected)
+    } finally query.stop()
+  }
+
   test("streaming file source feeds a derived view") {
     val dir = writeTempParquet(purchases, "stream_files")
     val src = FileSource(
