@@ -81,6 +81,19 @@ final class GraftClient(val spark: SparkSession) {
         if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
         path.foreach(p => w = w.option("path", p))
         w.saveAsTable(table)
+      case ps: PrometheusSink =>
+        // Numeric non-key columns push as gauges, keys become labels, and
+        // the table's timestamp field (when numeric) the sample timestamp
+        // (ref: prometheus_sink.py — the reference pushes each row the
+        // same way via the Flink Prometheus reporter).
+        val df = getFeatures(desc)
+        val keys = desc.keys.getOrElse(Nil)
+        val numeric = df.schema.fields.collect {
+          case f if !keys.contains(f.name) && !desc.timestampField.contains(f.name) &&
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+        }.toSeq
+        PrometheusPush.push(ps, MetricStore.exposition(
+          df.collect().toSeq, numeric, keys, desc.name, desc.timestampField))
     }
   }
 
@@ -131,6 +144,17 @@ final class GraftClient(val spark: SparkSession) {
       case s: BucketedTableSink =>
         throw new IllegalArgumentException(
           s"BucketedTableSink(${s.table}) is batch-only — bucketBy requires a table write")
+      case ps: PrometheusSink =>
+        val keys = desc.keys.getOrElse(Nil)
+        EventTime.drop(df).writeStream.option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val numeric = batch.schema.fields.collect {
+              case f if !keys.contains(f.name) && !desc.timestampField.contains(f.name) &&
+                f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+            }.toSeq
+            PrometheusPush.push(ps, MetricStore.exposition(
+              batch.collect().toSeq, numeric, keys, desc.name, desc.timestampField))
+          }.start()
     }
   }
 

@@ -9,13 +9,17 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * [[Metrics]]) compile into a sliding view over the sink-bound table and
   * are written in Prometheus text exposition format
   * (ref: python/feathub/metric_stores/metric_store.py:89-140 +
-  * prometheus_metric_store.py — the reference pushes to a gateway; this
-  * writes the same exposition text to a file, the network-free equivalent).
+  * prometheus_metric_store.py). The target is either a local file (the
+  * network-free equivalent) or a PushGateway group via
+  * [[graft.table.PrometheusSink]] ([[PrometheusPush]]).
   *
   * Output: one gauge line per metric feature per final window per key,
   * `graft_<metric>{key="v", ...} <value> <window_time_ms>`.
   */
-final class MetricStore(client: GraftClient, reportPath: String) {
+final class MetricStore private (client: GraftClient, target: Either[String, PrometheusSink]) {
+
+  def this(client: GraftClient, reportPath: String) = this(client, Left(reportPath))
+  def this(client: GraftClient, prometheus: PrometheusSink) = this(client, Right(prometheus))
 
   /** Materialize `desc` into `sink`, then compute and report `metricFeatures`
     * over the same table (ref: metric_store.py:89-140 wraps every sink this
@@ -31,8 +35,31 @@ final class MetricStore(client: GraftClient, reportPath: String) {
       s"${desc.name}_metrics", desc, metricFeatures,
       enableEmptyWindowOutput = false,
       skipSameWindowOutput = false)
-    report(desc.name, metricsView, metricFeatures.map(_.name), keys)
+    val rows = client.getFeatures(metricsView).collect().toSeq
+    emit(MetricStore.exposition(
+      rows, metricFeatures.map(_.name), keys, desc.name, Some("window_time")))
   }
+
+  /** Best-effort cleanup: deletes the PushGateway group when the sink asked
+    * for it (ref: prometheus_sink.py `delete_on_shutdown`). No-op for file
+    * targets.
+    */
+  def shutdown(): Unit = target match {
+    case Right(ps) if ps.deleteOnShutdown => PrometheusPush.delete(ps)
+    case _                                => ()
+  }
+
+  private def emit(text: String): Unit = target match {
+    case Left(path) =>
+      Files.write(
+        Paths.get(path), text.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.WRITE)
+    case Right(ps) => PrometheusPush.push(ps, text)
+  }
+}
+
+object MetricStore {
 
   private def sanitize(s: String): String =
     s.replaceAll("[^a-zA-Z0-9_]", "_")
@@ -47,12 +74,15 @@ final class MetricStore(client: GraftClient, reportPath: String) {
       .replace("\"", "\\\"")
       .replace("\n", "\\n")
 
-  private def report(
-      table: String,
-      view: SlidingFeatureView,
+  /** Rows → gauge lines. `tsField` (epoch-millis long), when present and
+    * non-null, becomes the sample timestamp.
+    */
+  def exposition(
+      rows: Seq[Row],
       metricNames: Seq[String],
-      keys: Seq[String]): Unit = {
-    val rows = client.getFeatures(view).collect()
+      keys: Seq[String],
+      table: String,
+      tsField: Option[String]): String = {
     val sb = new StringBuilder
     metricNames.foreach { m =>
       sb.append(s"# TYPE graft_${sanitize(m)} gauge\n")
@@ -61,16 +91,54 @@ final class MetricStore(client: GraftClient, reportPath: String) {
       val labels =
         (Seq(s"""table="${escapeLabel(table)}"""") ++
           keys.map(k => s"""${sanitize(k)}="${escapeLabel(r.getAs[Any](k))}"""")).mkString(",")
-      val wt = r.getAs[Long]("window_time")
+      val ts = tsField
+        .filter(f => r.schema.fieldNames.contains(f))
+        .flatMap(f => Option(r.getAs[Any](f)))
+        .collect { case n: Number => s" $n" } // non-numeric ts: no sample timestamp
+        .getOrElse("")
       metricNames.foreach { m =>
         val v = r.getAs[Any](m)
         if (v != null)
-          sb.append(s"graft_${sanitize(m)}{$labels} $v $wt\n")
+          sb.append(s"graft_${sanitize(m)}{$labels} $v$ts\n")
       }
     }
-    Files.write(
-      Paths.get(reportPath), sb.toString.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
-      StandardOpenOption.WRITE)
+    sb.toString
+  }
+}
+
+/** Minimal PushGateway client over java.net (ref: prometheus_sink.py —
+  * metrics group at `/metrics/job/<job>[/<label>/<value>...]`; PUT replaces
+  * the group, DELETE drops it).
+  */
+object PrometheusPush {
+
+  private def groupUrl(ps: PrometheusSink): java.net.URL = {
+    val enc: String => String = s => java.net.URLEncoder.encode(s, "UTF-8")
+    new java.net.URL(
+      ps.serverUrl.stripSuffix("/") + "/metrics/job/" + enc(ps.jobName) +
+        ps.extraLabels.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"/${enc(k)}/${enc(v)}" }.mkString)
+  }
+
+  def push(ps: PrometheusSink, body: String): Unit = http("PUT", ps, Some(body))
+
+  def delete(ps: PrometheusSink): Unit = http("DELETE", ps, None)
+
+  private def http(method: String, ps: PrometheusSink, body: Option[String]): Unit = {
+    val conn = groupUrl(ps).openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod(method)
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(10000)
+      body.foreach { b =>
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+        val os = conn.getOutputStream
+        try os.write(b.getBytes("UTF-8")) finally os.close()
+      }
+      val code = conn.getResponseCode
+      require(code >= 200 && code < 300,
+        s"PushGateway $method ${groupUrl(ps)} returned HTTP $code")
+    } finally conn.disconnect()
   }
 }

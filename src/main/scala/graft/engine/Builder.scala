@@ -38,6 +38,7 @@ final class Builder(spark: SparkSession) {
     case s: DataGenSource      => Sources.generate(spark, s)
     case s: KafkaSource        => Sources.readKafka(spark, s)
     case s: JdbcSource         => Sources.readJdbc(spark, s)
+    case s: HiveSource         => Sources.readHive(spark, s)
     case s: MemoryStoreSource  => Sources.fromMemoryStore(spark, s)
     case s: DataFrameSource    => EventTime.append(s.df, s.timestampField, s.timestampFormat)
     case v: OnDemandFeatureView =>

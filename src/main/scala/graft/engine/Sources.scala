@@ -1,6 +1,6 @@
 package graft.engine
 
-import graft.table.{DataGenSource, FileSource, KafkaSource, RandomField, SequenceField}
+import graft.table.{DataGenSource, FileSource, HiveSource, KafkaSource, RandomField, SequenceField}
 import graft.types._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -35,6 +35,24 @@ object Sources {
     val reader = spark.readStream.format(s.format).schema(schema.toSpark)
     val df = (if (s.format == "csv") reader.option("header", "true") else reader).load(s.path)
     EventTime.append(df, s.timestampField, s.timestampFormat)
+  }
+
+  /** Catalog table scan (ref: feature_tables/sources/hive_source.py:47-140).
+    * The session catalog already speaks to the metastore, so this is a
+    * plain `spark.table` — partition pruning and column pruning on the
+    * underlying Hive/parquet layout come from Catalyst as usual. A declared
+    * schema projects and casts to exactly those columns.
+    */
+  def readHive(spark: SparkSession, s: HiveSource): DataFrame = {
+    val df = spark.table(s"${s.database}.${s.table}")
+    val projected = s.schema match {
+      case Some(sc) =>
+        df.select(sc.fieldNames.zip(sc.fieldTypes).map {
+          case (n, t) => col(n).cast(t.toSpark).as(n)
+        }: _*)
+      case None => df
+    }
+    EventTime.append(projected, s.timestampField, s.timestampFormat)
   }
 
   /** Kafka scan: JSON values decoded with the declared schema

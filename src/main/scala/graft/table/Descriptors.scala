@@ -338,6 +338,21 @@ final case class MemoryStoreSource(
   def timestampFormat: String = "auto"
 }
 
+/** Catalog (Hive) table scan (ref: python/feathub/feature_tables/sources/
+  * hive_source.py:47-140). On Spark the session's catalog IS the Hive
+  * metastore connection, so `spark.table(database.table)` replaces the
+  * reference's per-source hive-site.xml catalog wiring; an optional schema
+  * prunes/casts the scan to the declared columns.
+  */
+final case class HiveSource(
+    name: String,
+    database: String,
+    table: String,
+    schema: Option[Schema] = None,
+    keys: Option[Seq[String]] = None,
+    timestampField: Option[String] = None,
+    timestampFormat: String = "auto") extends TableDescriptor
+
 /** JDBC table scan — the reference's MySQLSource generalized to any JDBC
   * URL (ref: python/feathub/feature_tables/sources/mysql_source.py:22-61;
   * Spark's built-in jdbc reader replaces the reference's custom connector).
@@ -382,6 +397,17 @@ final case class MemoryStoreSink(tableName: String) extends Sink
 final case class KafkaSink(bootstrapServer: String, topic: String) extends Sink
 /** JDBC append/overwrite (the reference's MySQLSink, generalized). */
 final case class JdbcSink(url: String, table: String, user: String = "", password: String = "", mode: String = "append") extends Sink
+/** Prometheus PushGateway sink (ref: python/feathub/feature_tables/sinks/
+  * prometheus_sink.py:21-74): numeric columns push as gauges in text
+  * exposition format, grouped by `jobName` plus `extraLabels`;
+  * `deleteOnShutdown` issues a best-effort DELETE of the group when the
+  * owning metric store shuts down.
+  */
+final case class PrometheusSink(
+    serverUrl: String,
+    jobName: String,
+    deleteOnShutdown: Boolean = false,
+    extraLabels: Map[String, String] = Map.empty) extends Sink
 /** Bucketed managed/external table write: tables bucketed on their join key
   * with the same bucket count join WITHOUT a shuffle — the co-location
   * strategy for repeatedly-joined 100 TB fact tables.

@@ -102,6 +102,11 @@ object Json {
     case s: MemoryStoreSource =>
       ("kind" -> "memory_store_source") ~ ("name" -> s.name) ~
         ("table" -> s.tableName) ~ ("keys" -> s.keys)
+    case s: HiveSource =>
+      ("kind" -> "hive_source") ~ ("name" -> s.name) ~
+        ("database" -> s.database) ~ ("table" -> s.table) ~
+        ("schema" -> s.schema.map(schemaJson)) ~ ("keys" -> s.keys) ~
+        ("ts_field" -> s.timestampField) ~ ("ts_format" -> s.timestampFormat)
     case v: DerivedFeatureView =>
       ("kind" -> "derived_view") ~ ("name" -> v.name) ~
         ("source" -> toJValue(v.source)) ~
@@ -245,6 +250,11 @@ object Json {
         strOpt(j, "ts_field"), str(j, "ts_format"))
     case "memory_store_source" =>
       MemoryStoreSource(str(j, "name"), str(j, "table"), strSeqOpt(j, "keys"))
+    case "hive_source" =>
+      HiveSource(
+        str(j, "name"), str(j, "database"), str(j, "table"),
+        (j \ "schema") match { case JNothing | JNull => None; case s => Some(schemaFrom(s)) },
+        strSeqOpt(j, "keys"), strOpt(j, "ts_field"), str(j, "ts_format"))
     case "derived_view" =>
       DerivedFeatureView(
         str(j, "name"), fromJValue(j \ "source"), featuresFrom(j),

@@ -223,6 +223,76 @@ class OpsSpec extends SparkSuite {
     assert(!wtext.contains("\nd\"")) // no literal line break inside a label
   }
 
+  test("hive source reads a catalog table and round-trips through JSON") {
+    import graft.client.GraftClient
+    import graft.table._
+    import graft.types._
+    val spark2 = spark
+    import spark2.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test_db")
+    Seq((1L, "a", 100L), (2L, "b", 200L)).toDF("id", "tag", "t_ms")
+      .write.mode("overwrite").saveAsTable("graft_test_db.hs_tbl")
+    val src = HiveSource(
+      "hs_src", "graft_test_db", "hs_tbl",
+      schema = Some(Schema(Seq("id", "tag", "t_ms"), Seq(DInt64, DString, DInt64))),
+      keys = Some(Seq("id")),
+      timestampField = Some("t_ms"), timestampFormat = "epoch_millis")
+    val cl = new GraftClient(spark)
+    val got = cl.getFeatures(src).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+    assert(Json.fromJson(Json.toJson(src)) == src)
+  }
+
+  test("prometheus sink pushes exposition text to a push gateway") {
+    import graft.client.{GraftClient, MetricStore, Metrics}
+    import graft.table._
+    import scala.concurrent.duration._
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val spark2 = spark
+    import spark2.implicits._
+
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        calls.synchronized {
+          calls += ((ex.getRequestMethod, ex.getRequestURI.getPath, body))
+        }
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val ps = PrometheusSink(
+        url, "graft job", deleteOnShutdown = true,
+        extraLabels = Map("env" -> "test"))
+      val events = Seq(
+        (1L, "error", 86400000L * 10 + 100),
+        (2L, "click", 86400000L * 10 + 200)).toDF("id", "etype", "t_ms")
+      val src = DataFrameSource(
+        "pm_src", events, keys = Some(Seq("id")),
+        timestampField = Some("t_ms"), timestampFormat = "epoch_millis")
+      val cl = new GraftClient(spark)
+      val store = new MetricStore(cl, ps)
+      store.materializeWithMetrics(
+        src, BlackHoleSink, Seq(Metrics.count("ev_cnt", None, 1.day)))
+      store.shutdown()
+
+      val (putMethod, putPath, putBody) = calls.head
+      assert(putMethod == "PUT")
+      assert(putPath == "/metrics/job/graft+job/env/test") // URL-encoded job name
+      assert(putBody.contains("# TYPE graft_ev_cnt gauge"))
+      assert(putBody.contains("graft_ev_cnt{table=\"pm_src\"} 2"))
+      val (delMethod, delPath, _) = calls.last
+      assert(delMethod == "DELETE" && delPath == putPath && calls.size == 2)
+    } finally server.stop(0)
+  }
+
   test("lookup join pushes static map-entry fetches into the KV store") {
     import graft.client.{FieldRequest, GraftClient, MemoryKvStore, MemoryOnlineStore}
     import graft.table._
