@@ -230,6 +230,15 @@ class OpsSpec extends SparkSuite {
     val spark2 = spark
     import spark2.implicits._
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_test_db")
+    spark.sql("DROP TABLE IF EXISTS graft_test_db.hs_tbl")
+    // a fresh in-memory catalog does not know about a previous run's
+    // managed-table directory — remove the leftover location too
+    val loc = new java.io.File("spark-warehouse/graft_test_db.db/hs_tbl")
+    if (loc.exists()) {
+      java.nio.file.Files.walk(loc.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     Seq((1L, "a", 100L), (2L, "b", 200L)).toDF("id", "tag", "t_ms")
       .write.mode("overwrite").saveAsTable("graft_test_db.hs_tbl")
     val src = HiveSource(
