@@ -112,7 +112,25 @@ object SlidingWindows {
       }
     }
     val groupCols = (keys :+ B).map(col)
-    val preAgg = withVals.groupBy(groupCols: _*).agg(partials.head, partials.tail: _*)
+    val preAgg0 = withVals.groupBy(groupCols: _*).agg(partials.head, partials.tail: _*)
+    // One keys-only repartition of the (small) per-bucket partials lets the
+    // grid distinct, the grid⋈partials join, and every per-size merge
+    // window all reuse the same clustering (hash on a SUBSET of their keys
+    // satisfies their required distributions), collapsing what was four
+    // hash exchanges into two: the map-side-combined pre-agg shuffle and
+    // this one. Keyless views are single-partition by reference semantics.
+    // The persist matters at scale: the grid branch consumes preAgg a
+    // second time, and without it Spark replans that branch all the way
+    // down to a second source scan.
+    // AQE inside cached plans (default since Spark 3.5) hides the cache's
+    // output partitioning from consumers, which would re-shuffle both cache
+    // reads; pinning it off keeps the keys-clustering visible downstream.
+    input.sparkSession.conf
+      .set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
+    val preAgg = {
+      val p = if (keys.nonEmpty) preAgg0.repartition(keys.map(col): _*) else preAgg0
+      p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
     // ---- Phase 3: per-key step grid (supplies empty-window steps) -----
     // Generate grid buckets only NEAR DATA: each pre-agg bucket b feeds the

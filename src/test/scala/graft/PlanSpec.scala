@@ -1,0 +1,84 @@
+package graft
+
+import graft.engine.Registry
+import graft.table._
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+
+import scala.concurrent.duration._
+
+/** Plan-shape regression locks: the properties that make the engine hold
+  * at 100 TB are asserted on the plans themselves, so a refactor that
+  * silently degrades them fails CI rather than the cluster.
+  */
+class PlanSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("no inventory query plans a CartesianProduct") {
+    // BroadcastNestedLoopJoin against a broadcast side is fine (brute-force
+    // topk / IVF probes do this deliberately); an unbroadcast cartesian
+    // product is never acceptable.
+    graft.client.MemoryOnlineStore.clear()
+    Registry.clear()
+    Queries.all.foreach { q =>
+      val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a CartesianProduct:\n$plan")
+    }
+  }
+
+  test("over-window features sharing a frame fuse into one Window operator") {
+    val src = FileSource(
+      "plan_ev", s"$sfDir/events.parquet", "parquet",
+      keys = Some(Seq("user_id")),
+      timestampField = Some("ts"), timestampFormat = "epoch_nanos")
+    val cl = new graft.client.GraftClient(spark)
+    val df = cl.getFeatures(DerivedFeatureView(
+      "plan_fused", src,
+      features = Seq(
+        Feature("a", OverWindowTransform("value", AggFunc.Avg, Some(1.hour), Seq("user_id"))),
+        Feature("s", OverWindowTransform("value", AggFunc.Sum, Some(1.hour), Seq("user_id"))),
+        Feature("c", OverWindowTransform("value", AggFunc.Count, Some(1.hour), Seq("user_id"))),
+        Feature("f", OverWindowTransform("event_type", AggFunc.FirstValue, Some(1.hour), Seq("user_id")))),
+      keepSourceFields = true))
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LogicalWindow => w }
+    assert(windows.size == 1,
+      s"4 same-frame features should share one Window operator, got ${windows.size}")
+  }
+
+  test("sliding windows: shuffles and scans are independent of window-size count") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def build(tag: String, sizes: Seq[scala.concurrent.duration.Duration]) = {
+      val src = FileSource(
+        s"plan_ev_$tag", s"$sfDir/events.parquet", "parquet",
+        keys = Some(Seq("user_id")),
+        timestampField = Some("ts"), timestampFormat = "epoch_nanos")
+      val cl = new graft.client.GraftClient(spark)
+      cl.getFeatures(SlidingFeatureView(
+        s"plan_sliding_$tag", src,
+        features = sizes.zipWithIndex.map { case (d, i) =>
+          Feature(s"s$i", SlidingWindowTransform("value", AggFunc.Sum, d, 1.day, Seq("user_id"))) },
+        enableEmptyWindowOutput = false, skipSameWindowOutput = false))
+        .queryExecution.executedPlan
+    }
+    // tree-based counts: the cached-partials plan is NOT a tree child, so
+    // these see only the post-cache work (the cache itself holds the one
+    // source scan + the map-side-combined pre-agg shuffle + the keys
+    // repartition, shared by every consumer)
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect { case e: ShuffleExchangeExec => e }.size
+    def scans(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.collect { case s: FileSourceScanExec => s }.size
+
+    val one = build("one", Seq(2.days))
+    val three = build("three", Seq(1.day, 2.days, 7.days))
+    // every window size is served from the SAME cached partials: adding
+    // sizes must not add exchanges, and no source scan may escape the cache
+    assert(scans(three) == 0, "a source scan escaped the cached partials")
+    assert(exchanges(three) == exchanges(one),
+      s"exchange count grew with window sizes: ${exchanges(one)} -> ${exchanges(three)}")
+    assert(exchanges(three) <= 2,
+      s"expected <=2 post-cache exchanges, got ${exchanges(three)}:\n$three")
+  }
+}
