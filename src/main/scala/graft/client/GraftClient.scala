@@ -81,6 +81,33 @@ final class GraftClient(val spark: SparkSession) {
         if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
         path.foreach(p => w = w.option("path", p))
         w.saveAsTable(table)
+      case HiveSink(database, table, format, mode, partCols) =>
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+        val w = getFeatures(desc).write.format(format).mode(mode)
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+          .saveAsTable(s"$database.$table")
+      case rs: RedisSink =>
+        // One SET per (row, feature) under the key_expr-derived physical
+        // key, executed per partition through the pluggable client
+        // (ref: redis_sink.py + flink table_builder/redis_utils.py:80-107).
+        val df = getFeatures(desc)
+        val keys = desc.keys.getOrElse(throw new IllegalArgumentException(
+          "RedisSink requires table keys"))
+        val featureNames = df.columns.toSeq
+          .filterNot(keys.contains).filterNot(desc.timestampField.contains)
+        val (withKeys, keyCols) = graft.engine.RedisKeys
+          .appendPhysicalKeyColumns(df, rs.keyExpr, rs.namespace, keys, featureNames)
+        val pairs = featureNames.zip(keyCols)
+        withKeys.foreachPartition { (it: Iterator[Row]) =>
+          val store = RedisClients.provider(rs)
+          it.foreach { r =>
+            pairs.foreach { case (f, kc) =>
+              val v = r.getAs[Any](f)
+              val k = r.getAs[String](kc)
+              if (v != null && k != null) store.put(k, String.valueOf(v))
+            }
+          }
+        }
       case ps: PrometheusSink =>
         // Numeric non-key columns push as gauges, keys become labels, and
         // the table's timestamp field (when numeric) the sample timestamp
@@ -144,6 +171,35 @@ final class GraftClient(val spark: SparkSession) {
       case s: BucketedTableSink =>
         throw new IllegalArgumentException(
           s"BucketedTableSink(${s.table}) is batch-only — bucketBy requires a table write")
+      case HiveSink(database, table, format, _, partCols) =>
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+        EventTime.drop(df).writeStream.option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val w = batch.write.format(format).mode("append")
+            (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+              .saveAsTable(s"$database.$table")
+          }.start()
+      case rs: RedisSink =>
+        val keys = desc.keys.getOrElse(throw new IllegalArgumentException(
+          "RedisSink requires table keys"))
+        EventTime.drop(df).writeStream.option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val featureNames = batch.columns.toSeq
+              .filterNot(keys.contains).filterNot(desc.timestampField.contains)
+            val (withKeys, keyCols) = graft.engine.RedisKeys
+              .appendPhysicalKeyColumns(batch, rs.keyExpr, rs.namespace, keys, featureNames)
+            val pairs = featureNames.zip(keyCols)
+            withKeys.foreachPartition { (it: Iterator[Row]) =>
+              val store = RedisClients.provider(rs)
+              it.foreach { r =>
+                pairs.foreach { case (f, kc) =>
+                  val v = r.getAs[Any](f)
+                  val k = r.getAs[String](kc)
+                  if (v != null && k != null) store.put(k, String.valueOf(v))
+                }
+              }
+            }
+          }.start()
       case ps: PrometheusSink =>
         val keys = desc.keys.getOrElse(Nil)
         EventTime.drop(df).writeStream.option("checkpointLocation", checkpointDir)
@@ -191,6 +247,58 @@ final class GraftClient(val spark: SparkSession) {
       features: Seq[(String, String)],
       store: KvStore = MemoryKvStore): DataFrame =
     graft.engine.LookupJoin(spark, left, store, storeTable, features)
+
+  /** Per-row lookup join against a [[graft.table.RedisSource]]: each left
+    * row computes the physical key for every requested feature from the
+    * source's `key_expr` and GETs it through the pluggable client — the
+    * Spark analogue of the reference's Flink lookup function over
+    * RedisSource (redis_utils.py:170-210). Values parse back by the
+    * source's declared schema. Runs partition-wise (a real client pipelines
+    * per partition); the left side never shuffles.
+    */
+  def redisLookupJoin(
+      left: DataFrame,
+      src: RedisSource,
+      featureNames: Seq[String]): DataFrame = {
+    import graft.types._
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val keys = src.keys.getOrElse(throw new IllegalArgumentException(
+      s"RedisSource ${src.name} requires keys"))
+    val (withKeys, keyCols) = graft.engine.RedisKeys
+      .appendPhysicalKeyColumns(left, src.keyExpr, src.namespace, keys, featureNames)
+    val dtypes = featureNames.map { f =>
+      val i = src.schema.fieldNames.indexOf(f)
+      require(i >= 0, s"feature $f is not in RedisSource ${src.name}'s schema")
+      src.schema.fieldTypes(i)
+    }
+    val outSchema = StructType(
+      left.schema.fields.toSeq ++
+        featureNames.zip(dtypes).map { case (f, t) => StructField(f, t.toSpark) })
+    val leftWidth = left.schema.size
+    val kIdx = keyCols.map(withKeys.schema.fieldIndex)
+    def parse(t: DType, s: String): Any = t match {
+      case DString  => s
+      case DInt64   => s.toLong
+      case DInt32   => s.toInt
+      case DFloat64 => s.toDouble
+      case DFloat32 => s.toFloat
+      case DBool    => s.toBoolean
+      case other =>
+        throw new IllegalArgumentException(s"RedisSource value type $other not supported")
+    }
+    val srcCopy = src
+    withKeys.mapPartitions { it =>
+      val store = RedisClients.forSource(srcCopy)
+      it.map { r =>
+        val vals = dtypes.zipWithIndex.map { case (t, i) =>
+          val k = if (r.isNullAt(kIdx(i))) null else r.getString(kIdx(i))
+          (if (k == null) None else store.get(k)).map(parse(t, _)).orNull
+        }
+        Row.fromSeq(r.toSeq.take(leftWidth) ++ vals)
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** Batch lookup into an online-store table: one row per key row, with the
     * selected features (ref: python/feathub/online_stores/

@@ -44,6 +44,12 @@ final class Builder(spark: SparkSession) {
     case v: OnDemandFeatureView =>
       throw new IllegalArgumentException(
         s"OnDemandFeatureView ${v.name} is served per-request via getOnlineFeatures, not built as a table")
+    case s: RedisSource =>
+      // Lookup-only, like the reference ("can only read feature values
+      // written with RedisSink"): physical keys are opaque key_expr
+      // outputs, so there is no table scan to build.
+      throw new IllegalArgumentException(
+        s"RedisSource ${s.name} is lookup-only; probe it with redisLookupJoin")
     case v: DerivedFeatureView => buildDerived(v)
     case v: SlidingFeatureView => buildSliding(v)
     case v: SqlFeatureView     => buildSql(v)

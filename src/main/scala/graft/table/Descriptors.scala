@@ -353,6 +353,38 @@ final case class HiveSource(
     timestampField: Option[String] = None,
     timestampFormat: String = "auto") extends TableDescriptor
 
+/** Redis-backed feature table (ref: python/feathub/feature_tables/sources/
+  * redis_source.py:40-120). Lookup-only, like the reference ("can only
+  * read feature values written with RedisSink"): probe it with
+  * [[graft.client.GraftClient.redisLookupJoin]]. `keyExpr` is a DSL
+  * expression over the key fields plus the `__NAMESPACE__` / `__KEYS__` /
+  * `__FEATURE_NAME__` keywords, resolved at compile time. The physical
+  * client behind it is the pluggable [[graft.client.RedisStringStore]]
+  * seam (in-process map here; a Jedis-style client plugs in at deploy).
+  */
+final case class RedisSource(
+    name: String,
+    schema: Schema,
+    keys: Option[Seq[String]],
+    host: String,
+    port: Int = 6379,
+    mode: String = "standalone",
+    username: String = "",
+    password: String = "",
+    dbNum: Int = 0,
+    namespace: String = "default",
+    timestampField: Option[String] = None,
+    keyExpr: String = RedisDefaults.KeyExpr) extends TableDescriptor {
+  def timestampFormat: String = "auto"
+}
+
+object RedisDefaults {
+  /** Default physical-key recipe (redis_source.py:60):
+    * namespace:key1:key2:...:feature.
+    */
+  val KeyExpr = """CONCAT_WS(":", __NAMESPACE__, __KEYS__, __FEATURE_NAME__)"""
+}
+
 /** JDBC table scan — the reference's MySQLSource generalized to any JDBC
   * URL (ref: python/feathub/feature_tables/sources/mysql_source.py:22-61;
   * Spark's built-in jdbc reader replaces the reference's custom connector).
@@ -397,6 +429,30 @@ final case class MemoryStoreSink(tableName: String) extends Sink
 final case class KafkaSink(bootstrapServer: String, topic: String) extends Sink
 /** JDBC append/overwrite (the reference's MySQLSink, generalized). */
 final case class JdbcSink(url: String, table: String, user: String = "", password: String = "", mode: String = "append") extends Sink
+/** Managed-catalog (Hive) table write (ref: python/feathub/feature_tables/
+  * sinks/hive_sink.py — saveAsTable replaces the reference's Flink Hive
+  * connector; partition columns hive-partition the layout for downstream
+  * pruning).
+  */
+final case class HiveSink(
+    database: String,
+    table: String,
+    format: String = "parquet",
+    mode: String = "overwrite",
+    partitionColumns: Seq[String] = Nil) extends Sink
+/** Per-feature KV write into Redis under keys computed by `keyExpr`
+  * (ref: python/feathub/feature_tables/sinks/redis_sink.py:25-90; same
+  * keyword substitution as [[RedisSource]]).
+  */
+final case class RedisSink(
+    host: String,
+    port: Int = 6379,
+    mode: String = "standalone",
+    username: String = "",
+    password: String = "",
+    dbNum: Int = 0,
+    namespace: String = "default",
+    keyExpr: String = RedisDefaults.KeyExpr) extends Sink
 /** Prometheus PushGateway sink (ref: python/feathub/feature_tables/sinks/
   * prometheus_sink.py:21-74): numeric columns push as gauges in text
   * exposition format, grouped by `jobName` plus `extraLabels`;

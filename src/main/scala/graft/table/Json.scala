@@ -107,6 +107,13 @@ object Json {
         ("database" -> s.database) ~ ("table" -> s.table) ~
         ("schema" -> s.schema.map(schemaJson)) ~ ("keys" -> s.keys) ~
         ("ts_field" -> s.timestampField) ~ ("ts_format" -> s.timestampFormat)
+    case s: RedisSource =>
+      ("kind" -> "redis_source") ~ ("name" -> s.name) ~
+        ("schema" -> schemaJson(s.schema)) ~ ("keys" -> s.keys) ~
+        ("host" -> s.host) ~ ("port" -> s.port) ~ ("mode" -> s.mode) ~
+        ("username" -> s.username) ~ ("password" -> s.password) ~
+        ("db_num" -> s.dbNum) ~ ("namespace" -> s.namespace) ~
+        ("ts_field" -> s.timestampField) ~ ("key_expr" -> s.keyExpr)
     case v: DerivedFeatureView =>
       ("kind" -> "derived_view") ~ ("name" -> v.name) ~
         ("source" -> toJValue(v.source)) ~
@@ -255,6 +262,13 @@ object Json {
         str(j, "name"), str(j, "database"), str(j, "table"),
         (j \ "schema") match { case JNothing | JNull => None; case s => Some(schemaFrom(s)) },
         strSeqOpt(j, "keys"), strOpt(j, "ts_field"), str(j, "ts_format"))
+    case "redis_source" =>
+      RedisSource(
+        str(j, "name"), schemaFrom(j \ "schema"), strSeqOpt(j, "keys"),
+        str(j, "host"), intOpt(j, "port").getOrElse(6379), str(j, "mode"),
+        str(j, "username"), str(j, "password"),
+        intOpt(j, "db_num").getOrElse(0), str(j, "namespace"),
+        strOpt(j, "ts_field"), str(j, "key_expr"))
     case "derived_view" =>
       DerivedFeatureView(
         str(j, "name"), fromJValue(j \ "source"), featuresFrom(j),

@@ -1,0 +1,108 @@
+package graft
+
+import graft.client._
+import graft.engine.Registry
+import graft.table._
+import graft.types._
+import org.apache.spark.sql.functions._
+
+/** JDBC-backed registry (Derby stands in for MySQL), HiveSink writes, and
+  * the Redis sink/lookup surface.
+  */
+class StoreSpec extends SparkSuite {
+
+  test("jdbc registry: digest-idempotent register, cache and DB fallback") {
+    val reg = new JdbcRegistry("jdbc:derby:memory:graftreg;create=true", "reg_t")
+    try {
+      val src = FileSource(
+        "jr_src", "/tmp/x.parquet", "parquet",
+        schema = Some(Schema(Seq("id", "v"), Seq(DInt64, DFloat64))),
+        keys = Some(Seq("id")))
+      assert(reg.register(src))
+      assert(!reg.register(src)) // same digest → no new row
+      val changed = src.copy(keys = Some(Seq("id", "v")))
+      assert(reg.register(changed)) // digest differs → new row
+      assert(reg.get("jr_src") == changed)
+
+      // a second registry over the same database sees the newest row and
+      // loads it into the in-process registry too
+      Registry.clear()
+      val reg2 = new JdbcRegistry("jdbc:derby:memory:graftreg;create=true", "reg_t")
+      try {
+        assert(reg2.get("jr_src") == changed)
+        assert(Registry.get("jr_src") == changed)
+      } finally reg2.close()
+
+      assertThrows[NoSuchElementException](reg.get("nope"))
+      assertThrows[IllegalArgumentException](
+        reg.register(src.copy(name = "x" * 65)))
+    } finally reg.close()
+  }
+
+  test("hive sink writes a catalog table a HiveSource reads back") {
+    val spark2 = spark
+    import spark2.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_test_db.hsink_tbl")
+    val loc = new java.io.File("spark-warehouse/graft_test_db.db/hsink_tbl")
+    if (loc.exists()) {
+      java.nio.file.Files.walk(loc.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val cl = new GraftClient(spark)
+    val data = Seq((1L, "a", 100L), (2L, "b", 200L)).toDF("id", "tag", "t_ms")
+    cl.materialize(
+      DataFrameSource("hsink_src", data, keys = Some(Seq("id")),
+        timestampField = Some("t_ms"), timestampFormat = "epoch_millis"),
+      HiveSink("graft_test_db", "hsink_tbl"))
+    val got = cl.getFeatures(HiveSource(
+        "hsink_read", "graft_test_db", "hsink_tbl", keys = Some(Seq("id"))))
+      .orderBy("id").collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("tag"))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("redis sink computes key_expr physical keys; lookup join reads them back") {
+    val spark2 = spark
+    import spark2.implicits._
+    MemoryRedis.clear()
+    val cl = new GraftClient(spark)
+    val data = Seq(
+      ("Alex", 100L, 1.5, 10L),
+      ("Emma", 400L, 2.5, 20L)).toDF("name", "cost", "score", "t_ms")
+    cl.materialize(
+      DataFrameSource("rs_src", data, keys = Some(Seq("name")),
+        timestampField = Some("t_ms"), timestampFormat = "epoch_millis"),
+      RedisSink(host = "localhost", namespace = "ns1"))
+    // default key recipe: namespace:key...:feature (redis_source.py:60)
+    assert(MemoryRedis.get("ns1:Alex:cost").contains("100"))
+    assert(MemoryRedis.get("ns1:Emma:score").contains("2.5"))
+
+    val src = RedisSource(
+      "rs_lookup",
+      Schema(Seq("name", "cost", "score"), Seq(DString, DInt64, DFloat64)),
+      keys = Some(Seq("name")), host = "localhost", namespace = "ns1")
+    val left = Seq("Alex", "Emma", "Nobody").toDF("name")
+    val got = cl.redisLookupJoin(left, src, Seq("cost", "score"))
+      .orderBy("name").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(got == Seq(
+      ("Alex", Some(100L), Some(1.5)),
+      ("Emma", Some(400L), Some(2.5)),
+      ("Nobody", None, None)))
+
+    // a RedisSource cannot be built as a table (lookup-only)
+    assertThrows[IllegalArgumentException](cl.getFeatures(src))
+
+    // custom key_expr: keyword substitution feeds the DSL compiler
+    MemoryRedis.clear()
+    cl.materialize(
+      DataFrameSource("rs_src2", data, keys = Some(Seq("name")),
+        timestampField = Some("t_ms"), timestampFormat = "epoch_millis"),
+      RedisSink(host = "localhost", namespace = "ns2",
+        keyExpr = """CONCAT_WS("/", __NAMESPACE__, LOWER(__KEYS__), __FEATURE_NAME__)"""))
+    assert(MemoryRedis.get("ns2/alex/cost").contains("100"))
+
+    // JSON round-trip
+    assert(Json.fromJson(Json.toJson(src)) == src)
+  }
+}
