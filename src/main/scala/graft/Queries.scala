@@ -900,11 +900,39 @@ object Queries {
         c.c_acctbal AS bal, c.c_mktsegment AS mktseg
       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"""))
 
+  /** Redis round-trip: customers SET per-feature under key_expr-derived
+    * keys, orders probe them back with per-row GETs (the in-process client
+    * stands in for Redis; the plumbing — key derivation, partition-wise
+    * lookups, schema-typed parsing — is the real path).
+    */
+  private val q38 = Q(
+    "q38_redis_lookup",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      graft.client.MemoryRedis.clear()
+      cl.materialize(
+        fileSrc("q38_cust", dir, "customer", Seq("c_custkey")),
+        RedisSink(host = "localhost", namespace = "q38"))
+      val src = RedisSource(
+        "q38_redis",
+        Schema(Seq("c_custkey", "c_acctbal", "c_mktsegment"),
+          Seq(DInt64, DFloat64, DString)),
+        keys = Some(Seq("c_custkey")), host = "localhost", namespace = "q38")
+      val orders = pq(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      cl.redisLookupJoin(orders, src, Seq("c_acctbal", "c_mktsegment"))
+        .withColumnRenamed("c_acctbal", "bal")
+        .withColumnRenamed("c_mktsegment", "mktseg")
+    },
+    Some("""SELECT o.o_orderkey, o.o_custkey AS c_custkey,
+        c.c_acctbal AS bal, c.c_mktsegment AS mktseg
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

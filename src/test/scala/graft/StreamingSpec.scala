@@ -343,6 +343,57 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming over-windows: min/max/value_counts parity and late-row drop") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600000L
+    val rows = Seq(
+      ("u1", 30L, 1 * h),
+      ("u1", 10L, 2 * h),
+      ("u1", 20L, 4 * h))
+
+    def view(src: TableDescriptor, name: String) = DerivedFeatureView(
+      name, src,
+      features = Seq(
+        Feature("min_3h", OverWindowTransform("value", AggFunc.Min, Some(3.hours), Seq("uid"))),
+        Feature("max_all", OverWindowTransform("value", AggFunc.Max, None, Seq("uid"))),
+        Feature("vc_2r", OverWindowTransform("value", AggFunc.ValueCounts, None, Seq("uid"), limit = Some(2)))),
+      keepSourceFields = true)
+
+    val cl = new GraftClient(spark)
+    def norm(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("t_ms"), r.getAs[Long]("min_3h"), r.getAs[Long]("max_all"),
+      r.getAs[Map[Long, Long]]("vc_2r"))
+    val expected = cl.getFeatures(view(DataFrameSource(
+        "owm_b", rows.toDF("uid", "value", "t_ms"),
+        keys = Some(Seq("uid")), timestampField = Some("t_ms"),
+        timestampFormat = "epoch_millis"), "owm_bv"))
+      .orderBy("t_ms").collect().map(norm).toSeq
+    assert(expected.map(_._4) == Seq(
+      Map(30L -> 1L), Map(30L -> 1L, 10L -> 1L), Map(10L -> 1L, 20L -> 1L)))
+
+    val stream = MemoryStream[(String, Long, Long)]
+    val src = DataFrameSource(
+      "owm_s", stream.toDF().toDF("uid", "value", "t_ms"),
+      keys = Some(Seq("uid")), timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis")
+    val query = cl.getFeatures(view(src, "owm_sv"))
+      .writeStream.format("memory").queryName("owm_out").outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      query.processAllAvailable()
+      stream.addData(("zz", 0L, 100 * h)) // watermark to 100h
+      query.processAllAvailable()
+      stream.addData(("u1", 999L, 3 * h)) // below watermark → dropped
+      stream.addData(("zz", 0L, 101 * h))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT * FROM owm_out WHERE uid = 'u1' ORDER BY t_ms")
+        .collect().map(norm).toSeq
+      assert(got == expected) // late 999 row emitted nothing
+    } finally query.stop()
+  }
+
   test("streaming file source feeds a derived view") {
     val dir = writeTempParquet(purchases, "stream_files")
     val src = FileSource(
