@@ -89,6 +89,12 @@ final class Builder(spark: SparkSession) {
     }
     joinGroups.foreach { case ((tableName, keys), fs) =>
       val rightDesc = Registry.get(tableName)
+      // Point-in-time semantics need a right-side event time
+      // (ref: test_join_transform.py:331-373 — joining a table without a
+      // timestamp field is an error, not an implicit latest-row join).
+      require(rightDesc.timestampField.isDefined,
+        s"Join right table '$tableName' has no timestamp field; " +
+          "point-in-time join requires one")
       val right0 = buildWithTime(rightDesc)
       // Evaluate each joined feature expression on the right table.
       val withVals = fs.zipWithIndex.foldLeft(right0) { case (r, (f, i)) =>
@@ -201,7 +207,7 @@ final class Builder(spark: SparkSession) {
       if (v.keepSourceFields)
         (source.columns.filterNot(_ == EventTime.Col) ++ v.features.map(_.name)).distinct.toSeq
       else {
-        val keyCols = v.keys.orElse(v.source.keys).getOrElse(Nil)
+        val keyCols = v.resolvedKeys.getOrElse(Nil)
         (keyCols ++ v.timestampField.toSeq ++ v.features.map(_.name)).distinct
       }
     // Untimestamped sources (e.g. a DataGen dimension) have no event-time

@@ -219,6 +219,14 @@ final case class DerivedFeatureView(
     keys: Option[Seq[String]] = None) extends TableDescriptor {
   def timestampField: Option[String] = source.timestampField
   def timestampFormat: String = source.timestampFormat
+  /** Declared keys, inherited through a chain of derived views when not
+    * declared here (the reference inherits keys from the source the same
+    * way, feature_view.py keys resolution).
+    */
+  def resolvedKeys: Option[Seq[String]] = keys.orElse(source match {
+    case dv: DerivedFeatureView => dv.resolvedKeys
+    case other                  => other.keys
+  })
 }
 
 /** Derived view whose source and/or features are still string references —

@@ -132,7 +132,7 @@ object Resolver {
       if (v.keepSourceFields)
         outputFields(v.source).map(_ ++ v.features.map(_.name))
       else
-        Some((v.keys.orElse(v.source.keys).getOrElse(Nil) ++
+        Some((v.resolvedKeys.getOrElse(Nil) ++
           v.timestampField.toSeq ++ v.features.map(_.name)).toSet)
     case v: SlidingFeatureView =>
       Some((v.groupByKeys ++ Seq(v.timestampFieldName) ++ v.features.map(_.name)).toSet)

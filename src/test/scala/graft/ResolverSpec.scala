@@ -110,6 +110,82 @@ class ResolverSpec extends SparkSuite {
       Feature("_0", JoinTransform("map_table", "m['k']"), keys = Some(Seq("id")))))
   }
 
+  test("joining a right table without a timestamp field is an error") {
+    // Ref: test_join_transform.py:331-373 — no implicit latest-row join.
+    Registry.clear()
+    val spark2 = spark
+    import spark2.implicits._
+    val cl = new graft.client.GraftClient(spark)
+    Registry.register(DataFrameSource(
+      "no_ts_right", Seq(("Alex", 100.0)).toDF("name", "avg_cost"),
+      keys = Some(Seq("name"))))
+    val left = DataFrameSource(
+      "ts_left", Seq(("Alex", 100L, 1000L)).toDF("name", "cost", "t_ms"),
+      keys = Some(Seq("name")),
+      timestampField = Some("t_ms"), timestampFormat = "epoch_millis")
+    val e = intercept[IllegalArgumentException] {
+      cl.getFeatures(UnresolvedDerivedFeatureView(
+        "bad_join_no_ts", left, Seq[FeatureRef]("no_ts_right.avg_cost")).build())
+    }
+    Seq("join", "timestamp", "field").foreach(w =>
+      assert(e.getMessage.toLowerCase.contains(w), s"message missing '$w': ${e.getMessage}"))
+  }
+
+  test("chained string-ref views: join key declared as feature golden") {
+    // Ref: test_join_transform.py:487-560 — three chained views; the third
+    // re-declares the join key as a passthrough feature and derives over
+    // the joined value.
+    Registry.clear()
+    val spark2 = spark
+    import spark2.implicits._
+    val cl = new graft.client.GraftClient(spark)
+    val df1 = Seq(
+      ("Alex", 100L, 100L, "2022-01-01 08:01:00"),
+      ("Emma", 400L, 250L, "2022-01-01 08:02:00"),
+      ("Alex", 300L, 200L, "2022-01-02 08:03:00"),
+      ("Emma", 200L, 250L, "2022-01-02 08:04:00"),
+      ("Jack", 500L, 500L, "2022-01-03 08:05:00"),
+      ("Alex", 600L, 800L, "2022-01-03 08:06:00")).toDF("name", "cost", "distance", "time")
+    val source = DataFrameSource(
+      "cj_src", df1, keys = Some(Seq("name")),
+      timestampField = Some("time"), timestampFormat = "%Y-%m-%d %H:%M:%S")
+    val view1 = UnresolvedDerivedFeatureView(
+      "cj_view1", source,
+      Seq[FeatureRef](Feature("cost", "cost"), Feature("distance", "distance")),
+      keepSourceFields = true).build()
+    Registry.register(DataFrameSource(
+      "cj_src2",
+      Seq(
+        ("Alex", 100.0, "2022-01-01 09:01:00"),
+        ("Emma", 400.0, "2022-01-01 09:02:00"),
+        ("Alex", 200.0, "2022-01-02 07:03:00"),
+        ("Emma", 300.0, "2022-01-02 09:04:00"),
+        ("Jack", 500.0, "2022-01-03 09:05:00"),
+        ("Alex", 450.0, "2022-01-03 09:06:00")).toDF("name", "avg_cost", "time"),
+      keys = Some(Seq("name")),
+      timestampField = Some("time"), timestampFormat = "%Y-%m-%d %H:%M:%S"))
+    val view2 = UnresolvedDerivedFeatureView(
+      "cj_view2", view1,
+      Seq[FeatureRef](Feature("cost", "cost"), "distance", "cj_src2.avg_cost")).build()
+    val view3 = UnresolvedDerivedFeatureView(
+      "cj_view3", view2,
+      Seq[FeatureRef]("name", Feature("derived_cost", "avg_cost * distance")),
+      keepSourceFields = true).build()
+    val got = cl.getFeatures(view3)
+      .orderBy("time")
+      .collect()
+      .map(r => (r.getAs[String]("name"),
+        Option(r.get(r.fieldIndex("avg_cost"))).map(_.asInstanceOf[Double]),
+        Option(r.get(r.fieldIndex("derived_cost"))).map(_.asInstanceOf[Double]))).toSeq
+    assert(got == Seq(
+      ("Alex", None, None),
+      ("Emma", None, None),
+      ("Alex", Some(200.0), Some(40000.0)),
+      ("Emma", Some(400.0), Some(100000.0)),
+      ("Jack", None, None),
+      ("Alex", Some(200.0), Some(160000.0))))
+  }
+
   test("string references execute end-to-end") {
     Registry.clear()
     val spark2 = spark
