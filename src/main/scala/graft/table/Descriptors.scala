@@ -246,6 +246,24 @@ final case class UnresolvedDerivedFeatureView(
   def build(): DerivedFeatureView = Resolver.resolveDerived(this)
 }
 
+/** Sliding view with unresolved string references: strings must name
+  * source fields (join references are invalid in a sliding view, ref:
+  * test_sliding_feature_view.py:90-105); resolution then constructs the
+  * [[SlidingFeatureView]], whose own validations (grouping-key rule,
+  * shared step/keys, emission-config combos) apply.
+  */
+final case class UnresolvedSlidingFeatureView(
+    name: String,
+    source: TableRef,
+    features: Seq[FeatureRef],
+    filterExpr: Option[String] = None,
+    enableEmptyWindowOutput: Boolean = true,
+    skipSameWindowOutput: Boolean = true,
+    timestampFieldName: String = "window_time",
+    outputTimestampFormat: String = "epoch_millis") {
+  def build(): SlidingFeatureView = Resolver.resolveSliding(this)
+}
+
 /** Sliding view: only expression + sliding-window transforms; all windows
   * share step and keys; output = keys + window_time + agg features
   * (ref: python/feathub/feature_views/sliding_feature_view.py:77-298).
@@ -266,6 +284,13 @@ final case class SlidingFeatureView(
     "SlidingFeatureView: enable_empty_window_output=false with " +
       "skip_same_window_output=true is not supported — without empty-window " +
       "rows the skip-same comparison drops legitimate outputs")
+  // Join features are invalid in a sliding view — rejected at construction
+  // like the reference's build() (test_sliding_feature_view.py:90-105).
+  locally {
+    val bad = features.filter(_.transform.isInstanceOf[JoinTransform]).map(_.name)
+    require(bad.isEmpty,
+      s"SlidingFeatureView does not accept join features: ${bad.mkString(", ")}")
+  }
   private val sliding = features.map(_.transform).collect { case t: SlidingWindowTransform => t }
   require(sliding.nonEmpty, "SlidingFeatureView requires at least one SlidingWindowTransform feature")
   require(sliding.map(_.stepSize).distinct.size == 1, "all sliding windows must share step_size")

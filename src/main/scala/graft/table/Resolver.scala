@@ -33,6 +33,35 @@ object Resolver {
     resolved
   }
 
+  /** Sliding-view resolution: string features must name SOURCE fields
+    * (join references are invalid here); the constructed view then runs
+    * its own validations (ref: sliding_feature_view.py:160-231).
+    */
+  def resolveSliding(v: UnresolvedSlidingFeatureView): SlidingFeatureView = {
+    val source = v.source match {
+      case TableName(n) => Registry.get(n)
+      case TableDesc(d) => d
+    }
+    val sourceFields = outputFields(source)
+    val feats = v.features.map {
+      case FeatureDef(f) => f
+      case FeatureStr(s) =>
+        require(s.indexOf('.') < 0 && ExprUtils.isId(s),
+          s"SlidingFeatureView feature string '$s' must name a source field " +
+            "(join references are not supported in a sliding view)")
+        sourceFields.foreach { fields =>
+          require(fields.contains(s), s"Feature '$s' is not an output of source ${source.name}")
+        }
+        Feature(s, ExpressionTransform(s"`$s`"), keys = source.keys)
+    }
+    val resolved = SlidingFeatureView(
+      v.name, source, feats, v.filterExpr,
+      v.enableEmptyWindowOutput, v.skipSameWindowOutput,
+      v.timestampFieldName, v.outputTimestampFormat)
+    Registry.register(resolved)
+    resolved
+  }
+
   /** `"f"` → passthrough of a source feature; `"table.f"` → PIT join of a
     * keyed feature from a registered table; `"table.m['k']"` → PIT join of
     * a static map-entry lookup under a generated name

@@ -186,6 +186,41 @@ class ResolverSpec extends SparkSuite {
       ("Alex", Some(200.0), Some(160000.0))))
   }
 
+  test("sliding view: join features rejected; string feature must be a grouping key") {
+    // Refs: test_sliding_feature_view.py:90-105 (join rejected) and
+    // :209-234 (string passthrough that is not a grouping key errors).
+    Registry.clear()
+    import scala.concurrent.duration._
+    val slide = Feature("feature_2", SlidingWindowTransform(
+      "fare_amount + 1", AggFunc.Sum, 30.seconds, 10.seconds, Seq("id")))
+
+    assertThrows[IllegalArgumentException] {
+      SlidingFeatureView(
+        "sv_join", source1,
+        Seq(Feature("feature_1", JoinTransform("t1", "f1")), slide))
+    }
+
+    val e = intercept[IllegalArgumentException] {
+      UnresolvedSlidingFeatureView(
+        "sv_badkey", source1, Seq[FeatureRef]("fare_amount", slide)).build()
+    }
+    assert(e.getMessage.contains("not used as grouping key"))
+
+    // a string feature that IS the grouping key resolves fine
+    val ok = UnresolvedSlidingFeatureView(
+      "sv_ok", source1, Seq[FeatureRef]("id", slide)).build()
+    assert(ok.features.head ==
+      Feature("id", ExpressionTransform("`id`"), keys = Some(Seq("id"))))
+    assert(Registry.get("sv_ok") == ok)
+
+    // join-shaped string reference is invalid in a sliding view
+    Registry.register(source2)
+    assertThrows[IllegalArgumentException] {
+      UnresolvedSlidingFeatureView(
+        "sv_joinref", source1, Seq[FeatureRef]("source_2.distance", slide)).build()
+    }
+  }
+
   test("string references execute end-to-end") {
     Registry.clear()
     val spark2 = spark
