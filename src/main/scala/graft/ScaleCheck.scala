@@ -64,12 +64,60 @@ object ScaleCheck {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Embeddings replicated with disjoint ids and per-replica Walsh sign
+    // flips (popcount(dim & replica) parity) so cross-replica vectors are
+    // decorrelated — near-dup DENSITY stays constant as data scales, the
+    // realistic shape (identical replicas would quadratically inflate true
+    // pairs, a data property rather than an algorithmic one).
+    val em1 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emN = (0 until mult).map { i =>
+      val flips = Array.tabulate(64)(j =>
+        if (java.lang.Integer.bitCount(j & i) % 2 == 1) -1.0 else 1.0)
+      em1.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+        .withColumn("embedding",
+          zip_with(col("embedding"), typedLit(flips.toSeq), (x, w) => x * w))
+    }.reduce(_ unionByName _)
+
+    // Bits per band grow with log2(data) so bucket SIZE stays constant —
+    // the standard LSH scaling knob (fixed planes would let candidate
+    // pairs grow quadratically; that is a parameter choice, not a plan
+    // property).
+    def srpTime(df: DataFrame, planes: Int): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.embeddingNearDupPairs(
+          df, "vec_id", "embedding", 0.45, planes = planes, bands = 4)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def lookupTime(df: DataFrame, tag: String): Double = {
+      graft.client.MemoryOnlineStore.clear()
+      val cl = new GraftClient(spark)
+      cl.materialize(
+        DataFrameSource(s"lk_dim_$tag",
+          spark.range(1000).select(
+            col("id").as("user_id"), (col("id") % 7).as("tier"), lit(0L).as("t_ms")),
+          keys = Some(Seq("user_id")),
+          timestampField = Some("t_ms"), timestampFormat = "epoch_millis"),
+        MemoryStoreSink(s"lk_tbl_$tag"))
+      val left = df.select(col("event_id"), (col("user_id") % 1000).as("user_id"))
+      val t0 = System.nanoTime()
+      cl.lookupJoin(left, s"lk_tbl_$tag", Seq("tier" -> "tier"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     for ((name, f) <- Seq(
-      ("sliding", slidingTime _), ("over", overTime _), ("pit", pitTime _))) {
+      ("sliding", slidingTime _), ("over", overTime _), ("pit", pitTime _),
+      ("lookup", lookupTime _))) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
-      println(f"$name%-8s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+      println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
+    val log2 = 31 - Integer.numberOfLeadingZeros(mult)
+    val s1 = srpTime(em1, 8)
+    val sN = srpTime(emN, 8 + 4 * log2)
+    println(f"srp_neardup  1x=${s1}%6.2fs  ${mult}x=${sN}%6.2fs  ratio=${sN / s1}%.1f " +
+      f"(linear=$mult.0; ${8 + 4 * log2} planes at ${mult}x keep bucket size constant)")
     spark.stop()
   }
 }

@@ -108,6 +108,20 @@ final class JdbcRegistry(
     desc
   }
 
+  /** Delete every stored row for `name` (and the caches); false when the
+    * registry had no such table (ref: mysql_registry delete path /
+    * test_registry.py:158-186).
+    */
+  def delete(name: String): Boolean = {
+    cache.remove(name)
+    Registry.delete(name)
+    val ps = conn.prepareStatement(s"DELETE FROM $table WHERE name = ?")
+    try {
+      ps.setString(1, name)
+      ps.executeUpdate() > 0
+    } finally ps.close()
+  }
+
   private def latestRow(name: String): Option[(Timestamp, String, String)] = {
     val ps = conn.prepareStatement(
       s"SELECT ts, digest, descriptor FROM $table WHERE name = ? ORDER BY ts DESC")

@@ -375,5 +375,9 @@ object Registry {
   def register(desc: TableDescriptor): Unit = tables(desc.name) = desc
   def get(name: String): TableDescriptor =
     tables.getOrElse(name, throw new NoSuchElementException(s"Table $name not registered"))
+  /** Remove a registered descriptor; false when absent
+    * (ref: local_registry.py delete_features / test_registry.py:158-186).
+    */
+  def delete(name: String): Boolean = tables.remove(name).isDefined
   def clear(): Unit = tables.clear()
 }

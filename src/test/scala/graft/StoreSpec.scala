@@ -36,6 +36,12 @@ class StoreSpec extends SparkSuite {
       assertThrows[NoSuchElementException](reg.get("nope"))
       assertThrows[IllegalArgumentException](
         reg.register(src.copy(name = "x" * 65)))
+
+      // delete removes all rows + caches; idempotent second call is false
+      assert(reg.delete("jr_src"))
+      assert(!reg.delete("jr_src"))
+      assertThrows[NoSuchElementException](reg.get("jr_src"))
+      assertThrows[NoSuchElementException](Registry.get("jr_src"))
     } finally reg.close()
   }
 
