@@ -685,15 +685,18 @@ object Queries {
         length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE np,
         len(list_filter(string_split(lower(trim(text)), ' '),
           x -> list_contains(['the','a','of','and','in','to','is','for','on','with'], x)))::DOUBLE ns
-        FROM documents)
+        FROM documents),
+      r AS (SELECT doc_id, nw,
+        ROUND(LEAST(nw / 64, 1.0), 4) ws,
+        ROUND(na / GREATEST(nc, 1), 4) ar,
+        ROUND(ns / GREATEST(nw, 1), 4) sr,
+        ROUND(np / GREATEST(nc, 1), 4) pr
+        FROM q)
       SELECT doc_id, nw::BIGINT AS n_words,
-        ROUND(na / GREATEST(nc, 1), 4) AS alpha_ratio,
-        ROUND(ns / GREATEST(nw, 1), 4) AS stopword_ratio,
-        ROUND(np / GREATEST(nc, 1), 4) AS punct_ratio,
-        ROUND(0.4 * LEAST(nw / 64, 1.0) + 0.3 * (na / GREATEST(nc, 1)) +
-          0.2 * LEAST(ns / GREATEST(nw, 1) * 4, 1.0) +
-          0.1 * (1.0 - LEAST(np / GREATEST(nc, 1) * 10, 1.0)), 4) AS quality_score
-      FROM q"""))
+        ar AS alpha_ratio, sr AS stopword_ratio, pr AS punct_ratio,
+        ROUND(0.4 * ws + 0.3 * ar + 0.2 * LEAST(sr * 4, 1.0) +
+          0.1 * (1.0 - LEAST(pr * 10, 1.0)), 5) AS quality_score
+      FROM r"""))
 
   private val q28 = Q(
     "q28_text_langid_fp",

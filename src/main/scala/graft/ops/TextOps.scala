@@ -81,20 +81,26 @@ object TextOps {
     val nPunct = length(regexp_replace(t, "[^.,!?;:]", "")).cast("double")
     val nStop = hitCount(tokens(lower(t)), EnglishStopwords).cast("double")
     val wordSat = least(nWords / lit(64.0), lit(1.0))
-    val alphaRatio = nAlpha / greatest(nChars, lit(1.0))
-    val stopRatio = nStop / greatest(nWords, lit(1.0))
-    val punctRatio = nPunct / greatest(nChars, lit(1.0))
+    // The composite score combines the ROUNDED ratios: raw ratio doubles
+    // can differ by one ulp across engines, flipping the rounded score on
+    // boundary rows (observed at sf0.1). With 4-dp inputs and 1-digit
+    // weights the weighted sum is a TRUE 5-dp decimal, so it rounds at 5
+    // decimals — the value lands exactly on the grid, never halfway, and
+    // every engine's rounding mechanism recovers the same digits.
+    val alphaRatio = round(nAlpha / greatest(nChars, lit(1.0)), 4)
+    val stopRatio = round(nStop / greatest(nWords, lit(1.0)), 4)
+    val punctRatio = round(nPunct / greatest(nChars, lit(1.0)), 4)
     df.select(
       idCols.map(col) ++ Seq(
         nWords.cast("long").as("n_words"),
-        round(alphaRatio, 4).as("alpha_ratio"),
-        round(stopRatio, 4).as("stopword_ratio"),
-        round(punctRatio, 4).as("punct_ratio"),
+        alphaRatio.as("alpha_ratio"),
+        stopRatio.as("stopword_ratio"),
+        punctRatio.as("punct_ratio"),
         round(
-          lit(0.4) * wordSat + lit(0.3) * alphaRatio +
+          lit(0.4) * round(wordSat, 4) + lit(0.3) * alphaRatio +
             lit(0.2) * least(stopRatio * 4, lit(1.0)) +
             lit(0.1) * (lit(1.0) - least(punctRatio * 10, lit(1.0))),
-          4).as("quality_score")): _*)
+          5).as("quality_score")): _*)
   }
 
   /** Order/duplication-insensitive content fingerprint: md5 of the sorted
