@@ -75,6 +75,14 @@ object Sources {
     val raw =
       if (s.isBounded) spark.read.format("kafka").options(opts).load()
       else spark.readStream.format("kafka").options(opts).load()
+    decodeKafkaRecords(raw, s)
+  }
+
+  /** Decode Kafka-shaped records (binary `value` column of JSON) into the
+    * declared schema — split out so the decode contract is testable without
+    * a broker; it is the exact inverse of [[toKafkaRecords]].
+    */
+  def decodeKafkaRecords(raw: DataFrame, s: KafkaSource): DataFrame = {
     val parsed = raw
       .select(from_json(col("value").cast("string"), s.schema.toSpark).as("__v"))
       .select(col("__v.*"))

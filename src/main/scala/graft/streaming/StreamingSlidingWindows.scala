@@ -128,6 +128,8 @@ object StreamingSlidingWindows {
   private def result(agg: AggFunc, p0: Partial, integral: Boolean, limit: Option[Int]): Any = {
     // With a limit, re-aggregate the newest N raw pairs (the reference's
     // AggFuncWithLimit.java:27 keeps raw (value, time) pairs the same way).
+    // Same-timestamp ties at the cutoff resolve by buffer order (sortBy is
+    // stable), matching the batch engine's collect order.
     val p = limit match {
       case Some(n) if p0.vals != null =>
         p0.vals.sortBy(_._1).takeRight(n)

@@ -45,6 +45,47 @@ class StoreSpec extends SparkSuite {
     } finally reg.close()
   }
 
+  test("jdbc sink writes a table a JdbcSource reads back (Derby)") {
+    // Derby stands in for MySQL: Spark's built-in jdbc reader/writer (with
+    // its DerbyDialect) covers the reference's MySQLSource/MySQLSink.
+    val spark2 = spark
+    import spark2.implicits._
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val cl = new GraftClient(spark)
+    val data = Seq((1L, "a", 100L), (2L, "b", 200L)).toDF("id", "tag", "t_ms")
+    cl.materialize(
+      DataFrameSource("jd_src", data, keys = Some(Seq("id")),
+        timestampField = Some("t_ms"), timestampFormat = "epoch_millis"),
+      JdbcSink(url, "jd_tbl", mode = "overwrite"))
+    val got = cl.getFeatures(JdbcSource(
+        "jd_read", url, "jd_tbl", keys = Some(Seq("id")),
+        timestampField = Some("t_ms"), timestampFormat = "epoch_millis"))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("tag"))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("kafka record encode/decode round-trips without a broker") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, "a", 100L), (2L, "b", 200L)).toDF("id", "tag", "t_ms")
+    val records = graft.engine.Sources.toKafkaRecords(df, Seq("id", "tag"))
+    assert(records.columns.toSeq == Seq("key", "value"))
+    assert(records.orderBy("key").collect().map(_.getString(0)).toSeq ==
+      Seq("1|a", "2|b"))
+    // the decode path is the exact inverse given the declared schema
+    val src = KafkaSource(
+      "kd_src", "unused:9092", "t",
+      Schema(Seq("id", "tag", "t_ms"), Seq(DInt64, DString, DInt64)),
+      keys = Some(Seq("id")),
+      timestampField = Some("t_ms"), timestampFormat = "epoch_millis")
+    val decoded = graft.engine.Sources
+      .decodeKafkaRecords(records.select(col("value").cast("binary").as("value")), src)
+    val got = decoded.orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("tag"), r.getAs[Long]("t_ms"))).toSeq
+    assert(got == Seq((1L, "a", 100L), (2L, "b", 200L)))
+  }
+
   test("hive sink writes a catalog table a HiveSource reads back") {
     val spark2 = spark
     import spark2.implicits._
