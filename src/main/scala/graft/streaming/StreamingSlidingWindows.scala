@@ -248,16 +248,38 @@ object StreamingSlidingWindows {
         }
 
         // ---- emit every step the watermark has finalized ---------------
+        // The loop also runs with EMPTY buckets when a became-empty row is
+        // still owed: the last data step can finalize (and its bucket
+        // evict) in one microbatch while the empty step only becomes final
+        // in a later one (caught by DifferentialSpec seed 3).
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        if (st.buckets.nonEmpty) {
-          val firstB = st.buckets.firstKey
-          val lastB = st.buckets.lastKey
+        val owesEmpty = st.lastEmittedStep != Long.MinValue &&
+          !st.emptyEmitted && enableEmptyWindowOutput
+        if (st.buckets.nonEmpty || owesEmpty) {
           // bucket b is final once watermark >= (b+1)*step
           val maxFinal = Math.floorDiv(watermark - offsetMs, stepMs) - 1
-          var s = if (st.lastEmittedStep == Long.MinValue) firstB
-                  else math.max(st.lastEmittedStep + 1, firstB)
-          val stop = math.min(maxFinal, lastB + span)
+          // Resume at the step after the last processed one — NOT at
+          // firstKey: buckets already emitted are evicted, so firstKey can
+          // sit PAST the became-empty step, and jumping to it would skip
+          // the empty-window default row owed for the first silent step
+          // (caught by DifferentialSpec seed 2).
+          var s = if (st.lastEmittedStep == Long.MinValue) st.buckets.firstKey
+                  else st.lastEmittedStep + 1
+          val stop =
+            if (st.buckets.nonEmpty) math.min(maxFinal, st.buckets.lastKey + span)
+            else math.min(maxFinal, st.lastEmittedStep + 1)
           while (s <= stop) {
+            if (st.emptyEmitted && (st.buckets.isEmpty || st.buckets.firstKey > s)) {
+              // window (s-span, s] is empty (all buckets lie beyond s) and
+              // the became-empty row is already out — every step before
+              // the next data bucket emits nothing, so fast-forward
+              // instead of looping a potentially huge silent gap
+              val jump =
+                if (st.buckets.isEmpty) stop + 1
+                else math.min(st.buckets.firstKey, stop + 1)
+              st = st.copy(lastEmittedStep = jump - 1)
+              s = jump
+            } else {
             val combined = Array.tabulate(nFeats) { i =>
               val fspan = feats(i).windowMs / stepMs
               var acc = Partial.empty
@@ -283,6 +305,7 @@ object StreamingSlidingWindows {
               // buckets older than any window ending after s are dead
               buckets = st.buckets.rangeImpl(Some(s - span + 2), None))
             s += 1
+            }
           }
         }
 

@@ -1,0 +1,151 @@
+package graft
+
+import graft.client.GraftClient
+import graft.table._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import scala.concurrent.duration._
+import scala.util.Random
+
+/** Randomized batch-vs-streaming differential tests: the batch engine is
+  * the oracle (itself DuckDB-verified), the streaming operators must agree
+  * on the same rows for randomized keys/timestamps/values and varied
+  * window configurations. Seeds are fixed so failures reproduce.
+  */
+class DifferentialSpec extends SparkSuite {
+
+  private val minute = 60000L
+  private def cl = new GraftClient(spark)
+
+  private def randomRows(rnd: Random, n: Int): Seq[(String, Long, Long)] = {
+    val keys = Seq("a", "b", "c")
+    // distinct (key, t) pairs: same-timestamp same-key merge order within a
+    // micro-batch is unspecified in both engines
+    rnd.shuffle(
+      (for (k <- keys; t <- 1 to 30) yield (k, t)).toList
+    ).take(n).map { case (k, t) =>
+      (k, (rnd.nextInt(100) + 1).toLong, t * minute)
+    }.sortBy(_._3)
+  }
+
+  test("sliding windows: streaming equals batch on randomized inputs") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val aggs = Seq(
+      ("sum", AggFunc.Sum), ("cnt", AggFunc.Count), ("avg", AggFunc.Avg),
+      ("min", AggFunc.Min), ("mx", AggFunc.Max),
+      ("fst", AggFunc.FirstValue), ("lst", AggFunc.LastValue))
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val rows = randomRows(rnd, 25)
+      val win = (rnd.nextInt(4) + 1).toLong
+      val (empty, skip) = Seq((true, true), (true, false), (false, false))(rnd.nextInt(3))
+      def view(src: TableDescriptor, name: String) = SlidingFeatureView(
+        name, src,
+        features = aggs.map { case (n, a) =>
+          Feature(n, SlidingWindowTransform("v", a, (win * 60).seconds, 1.minute, Seq("k")))
+        },
+        enableEmptyWindowOutput = empty, skipSameWindowOutput = skip)
+      def norm(r: Row) = r.toSeq.map {
+        case d: Double => math.round(d * 1e9) // avg association-order noise
+        case x => x
+      }.toList
+
+      val batchSrc = DataFrameSource(
+        s"dsb_$seed", rows.toDF("k", "v", "t_ms"),
+        keys = Some(Seq("k")), timestampField = Some("t_ms"),
+        timestampFormat = "epoch_millis")
+      val cols = Seq("k", "window_time") ++ aggs.map(_._1)
+      val expected = cl.getFeatures(view(batchSrc, s"dsbv_$seed"))
+        .selectExpr(cols: _*).orderBy("k", "window_time")
+        .collect().map(norm).toSeq
+
+      val stream = MemoryStream[(String, Long, Long)]
+      val streamSrc = DataFrameSource(
+        s"dss_$seed", stream.toDF().toDF("k", "v", "t_ms"),
+        keys = Some(Seq("k")), timestampField = Some("t_ms"),
+        timestampFormat = "epoch_millis")
+      val query = cl.getFeatures(view(streamSrc, s"dssv_$seed"))
+        .writeStream.format("memory").queryName(s"ds_out_$seed")
+        .outputMode("append").start()
+      try {
+        // split on a STRICT time boundary: a second-batch row at or below
+        // the first batch's watermark would be dropped as late (reference
+        // semantics), which the batch engine cannot see
+        val tMid = rows(rows.size / 2)._3
+        val (first, rest) = rows.partition(_._3 <= tMid)
+        stream.addData(first: _*)
+        query.processAllAvailable()
+        stream.addData(rest: _*)
+        query.processAllAvailable()
+        stream.addData(("zz", 1L, 10000L * minute)) // drain all windows
+        query.processAllAvailable()
+        val got = spark.sql(
+            s"SELECT ${cols.mkString(", ")} FROM ds_out_$seed WHERE k <> 'zz' " +
+              "ORDER BY k, window_time")
+          .collect().map(norm).toSeq
+        assert(got == expected, s"seed=$seed win=${win}m empty=$empty skip=$skip")
+      } finally query.stop()
+    }
+  }
+
+  test("over windows: streaming equals batch on randomized inputs") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed + 100)
+      val rows = randomRows(rnd, 25)
+      val win = (rnd.nextInt(5) + 1).toLong
+      val lim = rnd.nextInt(3) + 1
+      def view(src: TableDescriptor, name: String) = DerivedFeatureView(
+        name, src,
+        features = Seq(
+          Feature("s_w", OverWindowTransform("v", AggFunc.Sum, Some((win * 60).seconds), Seq("k"))),
+          Feature("c_l", OverWindowTransform("v", AggFunc.Count, None, Seq("k"), limit = Some(lim))),
+          Feature("m_wl", OverWindowTransform("v", AggFunc.Max, Some((win * 60).seconds), Seq("k"), limit = Some(lim))),
+          Feature("f_flt", OverWindowTransform(
+            "v", AggFunc.Sum, None, Seq("k"),
+            filterExpr = Some("v > 50"), limit = Some(lim))),
+          Feature("rn", OverWindowTransform("v", AggFunc.RowNumber, None, Seq("k")))),
+        keepSourceFields = true)
+      def norm(r: Row) = r.toSeq.toList
+
+      val cols = Seq("k", "t_ms", "s_w", "c_l", "m_wl", "f_flt", "rn")
+      val batchSrc = DataFrameSource(
+        s"dob_$seed", rows.toDF("k", "v", "t_ms"),
+        keys = Some(Seq("k")), timestampField = Some("t_ms"),
+        timestampFormat = "epoch_millis")
+      val expected = cl.getFeatures(view(batchSrc, s"dobv_$seed"))
+        .selectExpr(cols: _*).orderBy("k", "t_ms")
+        .collect().map(norm).toSeq
+
+      val stream = MemoryStream[(String, Long, Long)]
+      val streamSrc = DataFrameSource(
+        s"dos_$seed", stream.toDF().toDF("k", "v", "t_ms"),
+        keys = Some(Seq("k")), timestampField = Some("t_ms"),
+        timestampFormat = "epoch_millis")
+      val query = cl.getFeatures(view(streamSrc, s"dosv_$seed"))
+        .writeStream.format("memory").queryName(s"do_out_$seed")
+        .outputMode("append").start()
+      try {
+        // strict time-boundary split — see the sliding test's comment
+        val tMid = rows(rows.size / 2)._3
+        val (first, rest) = rows.partition(_._3 <= tMid)
+        stream.addData(first: _*)
+        query.processAllAvailable()
+        stream.addData(rest: _*)
+        query.processAllAvailable()
+        stream.addData(("zz", 1L, 10000L * minute))
+        query.processAllAvailable()
+        val got = spark.sql(
+            s"SELECT ${cols.mkString(", ")} FROM do_out_$seed WHERE k <> 'zz' " +
+              "ORDER BY k, t_ms")
+          .collect().map(norm).toSeq
+        assert(got == expected, s"seed=$seed win=${win}m limit=$lim")
+      } finally query.stop()
+    }
+  }
+}
