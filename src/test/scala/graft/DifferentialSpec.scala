@@ -29,6 +29,21 @@ class DifferentialSpec extends SparkSuite {
     }.sortBy(_._3)
   }
 
+  /** Split into 2-4 chunks on STRICT time boundaries: a later-chunk row at
+    * or below an earlier chunk's watermark would be dropped as late
+    * (reference semantics), which the batch engine cannot see. More chunks
+    * = more microbatch boundaries, where emission-edge bugs live.
+    */
+  private def timeChunks(
+      rnd: Random, rows: Seq[(String, Long, Long)]): Seq[Seq[(String, Long, Long)]] = {
+    val nChunks = rnd.nextInt(3) + 2
+    val cuts = rnd.shuffle(rows.map(_._3).distinct.toList).take(nChunks - 1).sorted
+    val bounds = cuts :+ Long.MaxValue
+    bounds.zip(Long.MinValue +: cuts).map { case (hi, lo) =>
+      rows.filter(r => r._3 > lo && r._3 <= hi)
+    }.filter(_.nonEmpty)
+  }
+
   test("sliding windows: streaming equals batch on randomized inputs") {
     val spark2 = spark
     import spark2.implicits._
@@ -36,16 +51,23 @@ class DifferentialSpec extends SparkSuite {
     val aggs = Seq(
       ("sum", AggFunc.Sum), ("cnt", AggFunc.Count), ("avg", AggFunc.Avg),
       ("min", AggFunc.Min), ("mx", AggFunc.Max),
-      ("fst", AggFunc.FirstValue), ("lst", AggFunc.LastValue))
+      ("fst", AggFunc.FirstValue), ("lst", AggFunc.LastValue),
+      ("vc", AggFunc.ValueCounts), ("cli", AggFunc.CollectList))
     for (seed <- 1 to 6) {
       val rnd = new Random(seed)
       val rows = randomRows(rnd, 25)
       val win = (rnd.nextInt(4) + 1).toLong
       val (empty, skip) = Seq((true, true), (true, false), (false, false))(rnd.nextInt(3))
+      // randomized limit on some features (last-N re-aggregation path) —
+      // drawn ONCE per seed: view() runs for both engines and must build
+      // the identical configuration
+      val lims = aggs.map(_ =>
+        if (rnd.nextBoolean()) Some(rnd.nextInt(2) + 1) else None)
       def view(src: TableDescriptor, name: String) = SlidingFeatureView(
         name, src,
-        features = aggs.map { case (n, a) =>
-          Feature(n, SlidingWindowTransform("v", a, (win * 60).seconds, 1.minute, Seq("k")))
+        features = aggs.zip(lims).map { case ((n, a), lim) =>
+          Feature(n, SlidingWindowTransform(
+            "v", a, (win * 60).seconds, 1.minute, Seq("k"), limit = lim))
         },
         enableEmptyWindowOutput = empty, skipSameWindowOutput = skip)
       def norm(r: Row) = r.toSeq.map {
@@ -71,15 +93,10 @@ class DifferentialSpec extends SparkSuite {
         .writeStream.format("memory").queryName(s"ds_out_$seed")
         .outputMode("append").start()
       try {
-        // split on a STRICT time boundary: a second-batch row at or below
-        // the first batch's watermark would be dropped as late (reference
-        // semantics), which the batch engine cannot see
-        val tMid = rows(rows.size / 2)._3
-        val (first, rest) = rows.partition(_._3 <= tMid)
-        stream.addData(first: _*)
-        query.processAllAvailable()
-        stream.addData(rest: _*)
-        query.processAllAvailable()
+        timeChunks(rnd, rows).foreach { chunk =>
+          stream.addData(chunk: _*)
+          query.processAllAvailable()
+        }
         stream.addData(("zz", 1L, 10000L * minute)) // drain all windows
         query.processAllAvailable()
         val got = spark.sql(
@@ -131,13 +148,10 @@ class DifferentialSpec extends SparkSuite {
         .writeStream.format("memory").queryName(s"do_out_$seed")
         .outputMode("append").start()
       try {
-        // strict time-boundary split — see the sliding test's comment
-        val tMid = rows(rows.size / 2)._3
-        val (first, rest) = rows.partition(_._3 <= tMid)
-        stream.addData(first: _*)
-        query.processAllAvailable()
-        stream.addData(rest: _*)
-        query.processAllAvailable()
+        timeChunks(rnd, rows).foreach { chunk =>
+          stream.addData(chunk: _*)
+          query.processAllAvailable()
+        }
         stream.addData(("zz", 1L, 10000L * minute))
         query.processAllAvailable()
         val got = spark.sql(
