@@ -23,9 +23,15 @@ object RowInterpreter {
     case NotOp(c) =>
       eval(c, row) match { case null => null; case b: Boolean => !b }
     case UminusOp(c) =>
-      num(eval(c, row)) match {
-        case null      => null
-        case d: Double => -d
+      eval(c, row) match {
+        case null => null
+        case v =>
+          // preserve exact int64 (negating through Double would round
+          // beyond 2^53), matching Spark's typed unary minus
+          asLong(v) match {
+            case Some(l) => -l
+            case None    => -num(v).asInstanceOf[Double]
+          }
       }
     case BinaryOp(op, l, r) =>
       // Evaluate each operand exactly once; keep exact Long arithmetic when
@@ -49,7 +55,9 @@ object RowInterpreter {
                 case "+" => a + b
                 case "-" => a - b
                 case "*" => a * b
-                case "/" => a / b
+                // division by zero is NULL, matching the engine's
+                // try_divide (ANSI DSL semantics) — not Infinity
+                case "/" => if (b == 0.0) null else a / b
               }
           }
       }
