@@ -1,0 +1,57 @@
+package graft
+
+import graft.engine.{EventTime, TemporalJoin}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Differential fuzzing of the point-in-time join: the union+running-last
+  * plan must match a brute-force per-left-row scan (max right time ≤ left
+  * time; ties on time keep the greatest value tuple) across randomized
+  * keys, duplicate timestamps, and missing-key cases.
+  */
+class JoinFuzzSpec extends SparkSuite {
+
+  test("point-in-time join matches brute force on randomized inputs") {
+    val spark2 = spark
+    import spark2.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val keys = Seq("k1", "k2", "k3", "k4")
+      // left: (key, t); right: (key, t, v) with deliberate duplicate
+      // (key, t) pairs and keys absent from either side
+      val left = (1 to 40).map { _ =>
+        (keys(rnd.nextInt(3)), (rnd.nextInt(20) + 1).toLong * 1000)
+      }
+      val right = (1 to 40).map { _ =>
+        (keys(rnd.nextInt(4)), (rnd.nextInt(20) + 1).toLong * 1000,
+          (rnd.nextInt(50) + 1).toLong)
+      }
+
+      val expected = left.map { case (k, t) =>
+        val candidates = right.filter(r => r._1 == k && r._2 <= t)
+        val v =
+          if (candidates.isEmpty) null
+          else {
+            val tMax = candidates.map(_._2).max
+            candidates.filter(_._2 == tMax).map(_._3).max // tie: greatest value
+          }
+        (k, t, v)
+      }.sortBy(r => (r._1, r._2)).map(r => (r._1, r._2, Option(r._3)))
+
+      val leftDf = EventTime.append(
+        left.toDF("k", "t_ms"), Some("t_ms"), "epoch_millis")
+      val rightDf = EventTime.append(
+        right.toDF("k", "t_ms", "v"), Some("t_ms"), "epoch_millis")
+        .select(col("k"), col(EventTime.Col), col("v"))
+      val got = TemporalJoin.pointInTime(leftDf, rightDf, Seq("k"), Seq(("v", "pit_v")))
+        .select("k", "t_ms", "pit_v")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .sortBy(r => (r._1, r._2)).toSeq
+      // duplicate left rows produce duplicate outputs; compare as sorted seqs
+      assert(got == expected.map(e => (e._1, e._2, e._3)), s"seed=$seed")
+    }
+  }
+}
