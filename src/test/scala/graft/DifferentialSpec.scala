@@ -126,11 +126,19 @@ class DifferentialSpec extends SparkSuite {
           Feature("f_flt", OverWindowTransform(
             "v", AggFunc.Sum, None, Seq("k"),
             filterExpr = Some("v > 50"), limit = Some(lim))),
+          // the triple combo: filter + limit + window_size (expiry at the
+          // output row's own time)
+          Feature("f_3", OverWindowTransform(
+            "v", AggFunc.Sum, Some((win * 60).seconds), Seq("k"),
+            filterExpr = Some("v > 30"), limit = Some(lim))),
+          Feature("l_3", OverWindowTransform(
+            "v", AggFunc.LastValue, Some((win * 60).seconds), Seq("k"),
+            filterExpr = Some("v > 30"), limit = Some(lim))),
           Feature("rn", OverWindowTransform("v", AggFunc.RowNumber, None, Seq("k")))),
         keepSourceFields = true)
       def norm(r: Row) = r.toSeq.toList
 
-      val cols = Seq("k", "t_ms", "s_w", "c_l", "m_wl", "f_flt", "rn")
+      val cols = Seq("k", "t_ms", "s_w", "c_l", "m_wl", "f_flt", "f_3", "l_3", "rn")
       val batchSrc = DataFrameSource(
         s"dob_$seed", rows.toDF("k", "v", "t_ms"),
         keys = Some(Seq("k")), timestampField = Some("t_ms"),
