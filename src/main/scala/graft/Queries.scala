@@ -931,11 +931,43 @@ object Queries {
         c.c_acctbal AS bal, c.c_mktsegment AS mktseg
       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"""))
 
+  /** IVF-style ANN: deterministic coarse quantizer (lowest-id vectors as
+    * centroids), corpus assigned to its nearest centroid, queries probing
+    * their nprobe nearest lists — exactly reproducible in SQL, so the
+    * approximate result gets an exact oracle (exactness baseline is q25).
+    */
+  private val q39 = Q(
+    "q39_ann_ivf",
+    (spark, dir) => {
+      val emb = pq(spark, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+      ca AS (SELECT a.vec_id, c.cent_id, ROW_NUMBER() OVER (PARTITION BY a.vec_id
+          ORDER BY list_dot_product(a.v, c.cv) / sqrt(list_dot_product(c.cv, c.cv)) DESC, c.cent_id) rn
+        FROM e a CROSS JOIN cent c),
+      corpus AS (SELECT e.vec_id AS nbr_id, e.v AS cv2, ca.cent_id
+        FROM e JOIN ca ON ca.vec_id = e.vec_id AND ca.rn = 1),
+      qa AS (SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          ORDER BY list_dot_product(q.v, c.cv) / sqrt(list_dot_product(c.cv, c.cv)) DESC, c.cent_id) rn
+        FROM e q CROSS JOIN cent c WHERE q.vec_id < 10),
+      probes AS (SELECT query_id, qv, cent_id FROM qa WHERE rn <= 4),
+      s AS (SELECT p.query_id, c.nbr_id,
+          ROUND(list_dot_product(c.cv2, p.qv) /
+            (sqrt(list_dot_product(c.cv2, c.cv2)) * sqrt(list_dot_product(p.qv, p.qv))), 6) AS score
+        FROM corpus c JOIN probes p ON c.cent_id = p.cent_id AND c.nbr_id <> p.query_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rnk FROM s)
+      SELECT query_id, rnk::INT AS rank, nbr_id, score FROM r WHERE rnk <= 5"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.
