@@ -218,6 +218,31 @@ class EngineSpec extends SparkSuite {
       (0.0, None)))
   }
 
+  test("over window: millisecond window size golden (%f fractional seconds)") {
+    // Ref: test_over_window_transform.py:222-259 — 3 ms trailing SUM over
+    // millisecond-spaced events with a %Y-%m-%d %H:%M:%S.%f timestamp.
+    val data = spark.createDataFrame(Seq(
+      ("Alex", 100L, "2022-01-01 08:00:00.001"),
+      ("Emma", 400L, "2022-01-01 08:00:00.002"),
+      ("Alex", 300L, "2022-01-01 08:00:00.003"),
+      ("Emma", 200L, "2022-01-01 08:00:00.004"),
+      ("Jack", 500L, "2022-01-01 08:00:00.005"),
+      ("Alex", 600L, "2022-01-01 08:00:00.006"))).toDF("name", "cost", "time")
+    val src = FileSource(
+      "ms_src", writeTempParquet(data, "ms_src"), "parquet",
+      keys = Some(Seq("name")),
+      timestampField = Some("time"),
+      timestampFormat = "%Y-%m-%d %H:%M:%S.%f")
+    val got = client.getFeatures(DerivedFeatureView(
+        "v_ms", src,
+        features = Seq(Feature("cost_sum", OverWindowTransform(
+          "cost", AggFunc.Sum, Some(3.millis), Seq("name")))),
+        keepSourceFields = true))
+      .orderBy("name", "time").collect()
+      .map(_.getAs[Long]("cost_sum")).toSeq
+    assert(got == Seq(100L, 400L, 900L, 400L, 600L, 500L))
+  }
+
   test("over window: five distinct criteria in one view golden") {
     // Ref: test_over_window_transform.py:878-962 — global, unbounded-keyed,
     // range-keyed, limit-keyed, and range+limit-keyed sums side by side.

@@ -208,6 +208,23 @@ class OpsSpec extends SparkSuite {
     assert(text.contains("graft_error_ratio{table=\"m_src\"} 0.5"))
     assert(text.contains("graft_error_ratio{table=\"m_src\"} 1.0"))
 
+    // Average and CountMap rewrites (ref: metric.py:196-258)
+    val avgOut = java.nio.file.Files.createTempFile("graft_metrics_a", ".prom").toString
+    val events2 = Seq(
+      (1L, "error", 10.0, 86400000L * 10 + 100),
+      (2L, "click", 30.0, 86400000L * 10 + 200)).toDF("id", "etype", "score", "t_ms")
+    new MetricStore(cl, avgOut).materializeWithMetrics(
+      DataFrameSource("m_src2", events2, keys = Some(Seq("id")),
+        timestampField = Some("t_ms"), timestampFormat = "epoch_millis"),
+      BlackHoleSink,
+      Seq(
+        Metrics.average("score_avg", "score", 1.day),
+        Metrics.countMap("etype_counts", "etype", 1.day)))
+    val atext = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(avgOut)))
+    assert(atext.contains("graft_score_avg{table=\"m_src2\"} 20.0"))
+    assert(atext.contains("graft_etype_counts{table=\"m_src2\"} Map(error -> 1, click -> 1)")
+      || atext.contains("graft_etype_counts{table=\"m_src2\"} Map(click -> 1, error -> 1)"))
+
     // label VALUES with ", \, and newline must escape per the Prometheus
     // text exposition spec (they previously interpolated raw)
     val weird = Seq(("a\"b\\c\nd", 10L, 86400000L * 10 + 100)).toDF("k", "v", "t_ms")
