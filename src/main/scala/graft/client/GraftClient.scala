@@ -354,6 +354,9 @@ final class GraftClient(val spark: SparkSession) {
   */
 object MemoryOnlineStore {
   private final case class Entry(timeMillis: Long, row: Map[String, Any])
+  // All access synchronizes on `tables`: the store is process-shared
+  // (parallel test suites, concurrent foreachBatch sinks) and an
+  // unsynchronized HashMap corrupts under concurrent upserts.
   private val tables = mutable.Map.empty[String, mutable.Map[Seq[Any], Entry]]
 
   /** Upsert latest-per-key rows. `df` should carry the engine's epoch-millis
@@ -364,38 +367,46 @@ object MemoryOnlineStore {
     */
   def put(name: String, df: DataFrame, keys: Seq[String]): Unit = {
     registerKeys(name, keys)
-    val table = tables.getOrElseUpdate(name, mutable.Map.empty)
     val cols = df.columns.filterNot(_ == EventTime.Col)
     val withT =
       if (df.columns.contains(EventTime.Col)) df.withColumn("__t__", col(EventTime.Col))
       else df.withColumn("__t__", lit(0L))
-    withT.collect().foreach { r =>
-      val keyVals = keys.map(k => r.getAs[Any](k))
-      val t = if (r.isNullAt(r.fieldIndex("__t__"))) 0L else r.getAs[Long]("__t__")
-      val m = cols.map(c => c -> r.getAs[Any](c)).toMap
-      table.get(keyVals) match {
-        case Some(e) if e.timeMillis > t => ()
-        case _                           => table(keyVals) = Entry(t, m)
+    val collected = withT.collect() // outside the lock: runs a Spark job
+    tables.synchronized {
+      val table = tables.getOrElseUpdate(name, mutable.Map.empty)
+      collected.foreach { r =>
+        val keyVals = keys.map(k => r.getAs[Any](k))
+        val t = if (r.isNullAt(r.fieldIndex("__t__"))) 0L else r.getAs[Long]("__t__")
+        val m = cols.map(c => c -> r.getAs[Any](c)).toMap
+        table.get(keyVals) match {
+          case Some(e) if e.timeMillis > t => ()
+          case _                           => table(keyVals) = Entry(t, m)
+        }
       }
     }
   }
 
   /** Latest-per-key snapshot of a store table (for [[graft.table.MemoryStoreSource]]). */
-  def snapshotRows(name: String): Seq[Map[String, Any]] =
+  def snapshotRows(name: String): Seq[Map[String, Any]] = tables.synchronized {
     tables.get(name).map(_.values.map(_.row).toSeq).getOrElse(Nil)
+  }
 
   def get(name: String, keyedRequest: Map[String, Any]): Option[Map[String, Any]] =
-    tables.get(name).flatMap { table =>
-      table.collectFirst {
-        case (k, e) if matchesKeys(name, k, keyedRequest) => e.row
+    tables.synchronized {
+      tables.get(name).flatMap { table =>
+        table.collectFirst {
+          case (k, e) if matchesKeys(name, k, keyedRequest) => e.row
+        }
       }
     }
 
   private val keyFields = mutable.Map.empty[String, Seq[String]]
-  def registerKeys(name: String, keys: Seq[String]): Unit = keyFields(name) = keys
-  def keyFieldsOf(name: String): Seq[String] =
+  def registerKeys(name: String, keys: Seq[String]): Unit =
+    tables.synchronized { keyFields(name) = keys }
+  def keyFieldsOf(name: String): Seq[String] = tables.synchronized {
     keyFields.getOrElse(name, throw new NoSuchElementException(
       s"online store table $name has no registered keys"))
+  }
 
   private def matchesKeys(name: String, storedKey: Seq[Any], req: Map[String, Any]): Boolean =
     keyFields.get(name) match {
@@ -403,5 +414,5 @@ object MemoryOnlineStore {
       case None     => false
     }
 
-  def clear(): Unit = { tables.clear(); keyFields.clear() }
+  def clear(): Unit = tables.synchronized { tables.clear(); keyFields.clear() }
 }

@@ -371,13 +371,18 @@ final class Builder(spark: SparkSession) {
   * (ref: python/feathub/registries/local_registry.py:44-104).
   */
 object Registry {
+  // synchronized: the registry is process-shared and registrations can
+  // race (parallel suites, concurrent clients)
   private val tables = mutable.Map.empty[String, TableDescriptor]
-  def register(desc: TableDescriptor): Unit = tables(desc.name) = desc
-  def get(name: String): TableDescriptor =
+  def register(desc: TableDescriptor): Unit =
+    tables.synchronized { tables(desc.name) = desc }
+  def get(name: String): TableDescriptor = tables.synchronized {
     tables.getOrElse(name, throw new NoSuchElementException(s"Table $name not registered"))
+  }
   /** Remove a registered descriptor; false when absent
     * (ref: local_registry.py delete_features / test_registry.py:158-186).
     */
-  def delete(name: String): Boolean = tables.remove(name).isDefined
-  def clear(): Unit = tables.clear()
+  def delete(name: String): Boolean =
+    tables.synchronized { tables.remove(name).isDefined }
+  def clear(): Unit = tables.synchronized { tables.clear() }
 }

@@ -229,7 +229,7 @@ class EngineSpec extends SparkSuite {
       ("Jack", 500L, "2022-01-01 08:00:00.005"),
       ("Alex", 600L, "2022-01-01 08:00:00.006"))).toDF("name", "cost", "time")
     val src = FileSource(
-      "ms_src", writeTempParquet(data, "ms_src"), "parquet",
+      "msw_src", writeTempParquet(data, "msw_src"), "parquet",
       keys = Some(Seq("name")),
       timestampField = Some("time"),
       timestampFormat = "%Y-%m-%d %H:%M:%S.%f")
