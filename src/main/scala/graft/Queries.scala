@@ -842,7 +842,7 @@ object Queries {
   private val q35 = Q(
     "q35_csv_source",
     (spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q35").toString
+      val tmp = SparkEnv.scratchDir("graft_q35")
       pq(spark, dir, "events")
         .filter(col("event_id") < 100)
         .select("event_id", "user_id", "event_type", "value")
@@ -860,7 +860,7 @@ object Queries {
   private val q36 = Q(
     "q36_json_source",
     (spark, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q36").toString
+      val tmp = SparkEnv.scratchDir("graft_q36")
       pq(spark, dir, "documents")
         .select("doc_id", "lang", "source", "n_chars")
         .coalesce(1)

@@ -16,6 +16,7 @@ object Verify {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // events.parquet stores TIMESTAMP(NANOS): read as int64 nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.local.dir", SparkEnv.localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

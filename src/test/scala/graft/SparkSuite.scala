@@ -30,7 +30,7 @@ trait SparkSuite extends AnyFunSuite {
 
 object SparkSuite {
   lazy val tmpDir: String =
-    java.nio.file.Files.createTempDirectory("graft-test").toString
+    SparkEnv.scratchDir("graft-test")
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -38,6 +38,7 @@ object SparkSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.local.dir", SparkEnv.localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
