@@ -486,4 +486,49 @@ class StreamingSpec extends SparkSuite {
       assert(got == expected)
     } finally query.stop()
   }
+
+  test("streaming metric report: batch emit, periodic re-emit, endInput flush") {
+    import graft.client.{MetricStore, Metrics}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val day = 86400000L
+    val stream = MemoryStream[(String, Long)]
+    val src = DataFrameSource(
+      "sm_src", stream.toDF().toDF("etype", "t_ms"),
+      timestampField = Some("t_ms"), timestampFormat = "epoch_millis")
+    val out = java.nio.file.Files.createTempFile("graft_metrics_s", ".prom").toString
+    val cl = new GraftClient(spark)
+    val report = new MetricStore(cl, out).reportStream(
+      src,
+      Seq(Metrics.count("ev_cnt", None, 1.day)),
+      SparkEnv.scratchDir("sm_ckpt"),
+      reportInterval = 200.millis)
+    def text(): String =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)))
+    try {
+      stream.addData(("a", day * 10 + 100), ("b", day * 10 + 200))
+      report.query.processAllAvailable()
+      // adjacent-day event advances the watermark past day 10's window end,
+      // finalizing it without intervening empty windows
+      stream.addData(("c", day * 11 + 100))
+      report.query.processAllAvailable()
+      assert(text().contains("graft_ev_cnt{table=\"sm_src\"} 2"))
+
+      // periodic re-emission: wipe the target; the timer must repopulate it
+      // with the cached last value, no new data required (the reference's
+      // PeriodicEmitLastValueOperator timer loop)
+      java.nio.file.Files.write(java.nio.file.Paths.get(out), Array.empty[Byte])
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!text().contains("graft_ev_cnt") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(text().contains("graft_ev_cnt{table=\"sm_src\"} 2"))
+    } finally {
+      // endInput parity: stop() re-emits the final value after the timer dies
+      java.nio.file.Files.write(java.nio.file.Paths.get(out), Array.empty[Byte])
+      report.stop()
+    }
+    assert(text().contains("graft_ev_cnt{table=\"sm_src\"} 2"))
+  }
 }
