@@ -81,4 +81,41 @@ class PlanSpec extends SparkSuite {
     assert(exchanges(three) <= 2,
       s"expected <=2 post-cache exchanges, got ${exchanges(three)}:\n$three")
   }
+
+  private def shuffles(plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+
+  test("lookup join never shuffles the fact side") {
+    graft.client.MemoryOnlineStore.clear()
+    Registry.clear()
+    val plan = Queries.all.find(_.name == "q37_lookup_join").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    // the KV snapshot is dimension-sized by contract: it broadcasts, the
+    // fact side flows map-only — at 100 TB fact scale this is the
+    // difference between a lookup and a full shuffle join
+    assert(shuffles(plan) == 0, s"lookup join shuffled:\n$plan")
+    assert(plan.toString.contains("BroadcastHashJoin"), s"not a broadcast join:\n$plan")
+  }
+
+  test("text and multimodal operators are map-only, UDF-free plans") {
+    // pure column expressions: whole-stage codegen end to end, no shuffle,
+    // no black-box UDF the optimizer can't see through
+    Seq("q26_text_tokens", "q27_text_quality", "q28_text_langid_fp",
+      "q29_text_sketch", "q30_multimodal_meta").foreach { name =>
+      val plan = Queries.all.find(_.name == name).get
+        .build(spark, sfDir).queryExecution.executedPlan
+      assert(shuffles(plan) == 0, s"$name shuffles:\n$plan")
+      assert(!plan.toString.contains("UDF"), s"$name uses a UDF:\n$plan")
+    }
+  }
+
+  test("key-filter read stays a broadcast left-semi join") {
+    Registry.clear()
+    val plan = Queries.all.find(_.name == "q16_keyfilter_timerange").get
+      .build(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"key filter is not a broadcast semi join:\n$plan")
+  }
 }
