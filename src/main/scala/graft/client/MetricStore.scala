@@ -56,6 +56,33 @@ final class MetricStore private (client: GraftClient, target: Either[String, Pro
       rows, metricFeatures.map(_.name), keys, desc.name, Some("window_time")))
   }
 
+  /** Materialize `desc` into `sink` and report the metrics ATTACHED to its
+    * features ([[graft.table.Metric]]): each metric rewrites to a
+    * sliding-window reporting feature, grouped into one view per distinct
+    * window size, each reported with its feature/metric tags as labels
+    * (ref: metric_store.py:88-141
+    * `create_metric_materialization_descriptors` — one materialization per
+    * window size — and :126-174 for names and tags).
+    */
+  def materializeWithMetrics(desc: TableDescriptor, sink: Sink): Unit = {
+    client.materialize(desc, sink)
+    val entries = Metric.expand(MetricStore.hostFeatures(desc))
+    if (entries.isEmpty) return
+    val text = entries.groupBy(_.windowSize).toSeq.sortBy(_._1.toMillis)
+      .map { case (w, group) =>
+        // plain sliding defaults, as the reference's _get_metrics_view:
+        // empty-window output ON zero-fills idle windows
+        val view = SlidingFeatureView(
+          s"${desc.name}_metrics_${w.toMillis}", desc,
+          group.flatMap(_.features))
+        val rows = client.getFeatures(view).collect().toSeq
+        MetricStore.taggedExposition(
+          rows, group.map(e => e.name -> e.tags), Nil, desc.name,
+          Some(view.timestampFieldName))
+      }.mkString
+    emit(text)
+  }
+
   /** Streaming metric reporting with steady re-emission: the metric
     * features compile to a sliding view over the unbounded source
     * (empty-window output ON, so idle windows report zeros), each
@@ -75,19 +102,50 @@ final class MetricStore private (client: GraftClient, target: Either[String, Pro
       metricFeatures: Seq[Feature],
       checkpointDir: String,
       keys: Seq[String] = Nil,
-      reportInterval: Duration = Duration(10, "s")): StreamingMetricReport = {
+      reportInterval: Duration = Duration(10, "s")): StreamingMetricReport =
+    reportStreamView(
+      SlidingFeatureView(
+        s"${desc.name}_metrics", desc, metricFeatures,
+        skipSameWindowOutput = false),
+      metricFeatures.map(_.name -> Seq.empty[(String, String)]),
+      desc.name, checkpointDir, keys, reportInterval)
+
+  /** Streaming report of the metrics ATTACHED to `desc`'s features: one
+    * streaming query per distinct metric window size, each with steady
+    * re-emission (the streaming face of the attached-metrics
+    * [[materializeWithMetrics]]).
+    */
+  def reportStreamAttached(
+      desc: TableDescriptor,
+      checkpointDir: String,
+      reportInterval: Duration = Duration(10, "s")): Seq[StreamingMetricReport] =
+    Metric.expand(MetricStore.hostFeatures(desc))
+      .groupBy(_.windowSize).toSeq.sortBy(_._1.toMillis)
+      .map { case (w, group) =>
+        reportStreamView(
+          SlidingFeatureView(
+            s"${desc.name}_metrics_${w.toMillis}", desc,
+            group.flatMap(_.features),
+            skipSameWindowOutput = false),
+          group.map(e => e.name -> e.tags),
+          desc.name, s"$checkpointDir/w${w.toMillis}", Nil, reportInterval)
+      }
+
+  private def reportStreamView(
+      metricsView: SlidingFeatureView,
+      metrics: Seq[(String, Seq[(String, String)])],
+      table: String,
+      checkpointDir: String,
+      keys: Seq[String],
+      reportInterval: Duration): StreamingMetricReport = {
     import org.apache.spark.sql.DataFrame
-    val metricsView = SlidingFeatureView(
-      s"${desc.name}_metrics", desc, metricFeatures,
-      skipSameWindowOutput = false)
     val mdf = client.getFeatures(metricsView)
-    val metricNames = metricFeatures.map(_.name)
     val latest = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], (Long, Row)]
     def emitNow(): Unit = {
       val rows = latest.synchronized { latest.values.toSeq.sortBy(_._1).map(_._2) }
       if (rows.nonEmpty)
-        emit(MetricStore.exposition(
-          rows, metricNames, keys, desc.name, Some(metricsView.timestampFieldName)))
+        emit(MetricStore.taggedExposition(
+          rows, metrics, keys, table, Some(metricsView.timestampFieldName)))
     }
     val query = mdf.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -157,27 +215,48 @@ object MetricStore {
       metricNames: Seq[String],
       keys: Seq[String],
       table: String,
+      tsField: Option[String]): String =
+    taggedExposition(rows, metricNames.map(_ -> Seq.empty[(String, String)]), keys, table, tsField)
+
+  /** As above, with constant extra labels per metric (the reference's
+    * metric tags — feature_name, filter_expr, …; metric_store.py:142-174).
+    */
+  def taggedExposition(
+      rows: Seq[Row],
+      metrics: Seq[(String, Seq[(String, String)])],
+      keys: Seq[String],
+      table: String,
       tsField: Option[String]): String = {
     val sb = new StringBuilder
-    metricNames.foreach { m =>
+    metrics.foreach { case (m, _) =>
       sb.append(s"# TYPE graft_${sanitize(m)} gauge\n")
     }
     rows.foreach { r =>
-      val labels =
-        (Seq(s"""table="${escapeLabel(table)}"""") ++
-          keys.map(k => s"""${sanitize(k)}="${escapeLabel(r.getAs[Any](k))}"""")).mkString(",")
+      val rowLabels =
+        Seq(s"""table="${escapeLabel(table)}"""") ++
+          keys.map(k => s"""${sanitize(k)}="${escapeLabel(r.getAs[Any](k))}"""")
       val ts = tsField
         .filter(f => r.schema.fieldNames.contains(f))
         .flatMap(f => Option(r.getAs[Any](f)))
         .collect { case n: Number => s" $n" } // non-numeric ts: no sample timestamp
         .getOrElse("")
-      metricNames.foreach { m =>
+      metrics.foreach { case (m, tags) =>
         val v = r.getAs[Any](m)
+        val labels =
+          (rowLabels ++ tags.map { case (k, tv) => s"""${sanitize(k)}="${escapeLabel(tv)}"""" })
+            .mkString(",")
         if (v != null)
           sb.append(s"graft_${sanitize(m)}{$labels} $v$ts\n")
       }
     }
     sb.toString
+  }
+
+  /** The features whose attached metrics report when `desc` materializes. */
+  def hostFeatures(desc: TableDescriptor): Seq[Feature] = desc match {
+    case v: DerivedFeatureView => v.features
+    case v: SlidingFeatureView => v.features
+    case _                     => Nil
   }
 }
 

@@ -104,7 +104,8 @@ final case class Feature(
     name: String,
     transform: Transformation,
     dtype: Option[DType] = None,
-    keys: Option[Seq[String]] = None) {
+    keys: Option[Seq[String]] = None,
+    metrics: Seq[Metric] = Nil) {
   def resolvedKeys: Option[Seq[String]] = keys.orElse(transform match {
     case t: OverWindowTransform if t.groupByKeys.nonEmpty    => Some(t.groupByKeys)
     case t: SlidingWindowTransform if t.groupByKeys.nonEmpty => Some(t.groupByKeys)

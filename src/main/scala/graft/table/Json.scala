@@ -60,9 +60,30 @@ object Json {
         "UdfTransform carries a JVM function and cannot be serialized to JSON")
   }
 
+  private def metricJson(m: Metric): JValue = m match {
+    case Metric.Count(fe, w) =>
+      ("type" -> "count") ~ ("filter" -> fe) ~ ("window_ms" -> durJson(w))
+    case Metric.Ratio(fe, w) =>
+      ("type" -> "ratio") ~ ("filter" -> fe) ~ ("window_ms" -> durJson(w))
+    case Metric.Average(fe, w) =>
+      ("type" -> "average") ~ ("filter" -> fe) ~ ("window_ms" -> durJson(w))
+    case Metric.CountMap(fe, w) =>
+      ("type" -> "count_map") ~ ("filter" -> fe) ~ ("window_ms" -> durJson(w))
+  }
+
+  private def metricFrom(j: JValue): Metric = str(j, "type") match {
+    case "count"     => Metric.Count(strOpt(j, "filter"), durF(j, "window_ms"))
+    case "ratio"     => Metric.Ratio(str(j, "filter"), durF(j, "window_ms"))
+    case "average"   => Metric.Average(strOpt(j, "filter"), durF(j, "window_ms"))
+    case "count_map" => Metric.CountMap(strOpt(j, "filter"), durF(j, "window_ms"))
+    case other => throw new IllegalArgumentException(s"unknown metric type $other")
+  }
+
   private def featureJson(f: Feature): JValue =
     ("name" -> f.name) ~ ("transform" -> transformJson(f.transform)) ~
-      ("dtype" -> f.dtype.map(dtypeJson)) ~ ("keys" -> f.keys)
+      ("dtype" -> f.dtype.map(dtypeJson)) ~ ("keys" -> f.keys) ~
+      ("metrics" -> (if (f.metrics.isEmpty) JNothing: JValue
+                     else JArray(f.metrics.toList.map(metricJson))))
 
   def toJValue(d: TableDescriptor): JValue = d match {
     case s: FileSource =>
@@ -213,7 +234,8 @@ object Json {
     Feature(
       str(j, "name"), transformFrom(j \ "transform"),
       (j \ "dtype") match { case JNothing | JNull => None; case d => Some(dtypeFrom(d)) },
-      strSeqOpt(j, "keys"))
+      strSeqOpt(j, "keys"),
+      (j \ "metrics") match { case JArray(xs) => xs.map(metricFrom); case _ => Nil })
 
   private def featuresFrom(j: JValue): Seq[Feature] =
     (j \ "features") match { case JArray(xs) => xs.map(featureFrom); case _ => Nil }

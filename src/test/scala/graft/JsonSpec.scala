@@ -75,6 +75,18 @@ class JsonSpec extends AnyFunSuite {
       keepSourceFields = false))
   }
 
+  test("feature-attached metrics round-trip") {
+    roundTrip(DerivedFeatureView(
+      "vm", fileSrc,
+      features = Seq(
+        Feature.expr("v", "v").copy(metrics = Seq(
+          Metric.Count(Some("IS NULL"), 1.day),
+          Metric.Ratio("> 0", 1.day),
+          Metric.Average(None),
+          Metric.CountMap(Some("IS NOT NULL"), 12.hours)))),
+      keepSourceFields = true))
+  }
+
   test("live-object descriptors refuse serialization") {
     val udfView = DerivedFeatureView(
       "u", fileSrc,

@@ -407,4 +407,59 @@ class OpsSpec extends SparkSuite {
     assert(got.head("rate") == 3.5)
     assert(got.head("scaled") == 7.0)
   }
+
+  test("feature-attached metrics match the reference transformation golden") {
+    // ref: metric_stores/tests/test_metric_store.py test_metric_transformation
+    // — int64_v [1, -1] with Count/Ratio/Average("> 0", 1d) and string_v
+    // "abc" with CountMap(1d): window 1 → (1, 0.5, 1.0, {abc: 2}),
+    // trailing empty window → (0, 0.0, null, null)
+    import graft.client.{GraftClient, MetricStore}
+    import graft.table._
+    import scala.concurrent.duration._
+    val spark2 = spark
+    import spark2.implicits._
+    def ms(s: String): Long =
+      java.time.LocalDateTime.parse(s.replace(" ", "T"))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val rows = Seq(
+      (ms("2022-01-01 08:01:00"), "abc", 1L),
+      (ms("2022-01-01 08:02:00"), "abc", -1L)).toDF("t_ms", "string_v", "int64_v")
+    val view = DerivedFeatureView(
+      "mgold", DataFrameSource(
+        "mgold_src", rows,
+        timestampField = Some("t_ms"), timestampFormat = "epoch_millis"),
+      features = Seq(
+        Feature.expr("int64_v", "int64_v").copy(metrics = Seq(
+          Metric.Count(Some("> 0"), 1.day),
+          Metric.Ratio("> 0", 1.day),
+          Metric.Average(Some("> 0"), 1.day))),
+        Feature.expr("string_v", "string_v").copy(metrics = Seq(
+          Metric.CountMap(windowSize = 1.day)))),
+      keepSourceFields = true)
+
+    val out = java.nio.file.Files.createTempFile("graft_metrics_g", ".prom").toString
+    val cl = new GraftClient(spark)
+    new MetricStore(cl, out).materializeWithMetrics(view, BlackHoleSink)
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)))
+
+    val t1 = ms("2022-01-02 00:00:00") - 1 // window 1 end
+    val t2 = ms("2022-01-03 00:00:00") - 1 // trailing empty window end
+    def line(metric: String, tags: String, v: String, t: Long): String =
+      s"""graft_$metric{table="mgold",$tags} $v $t"""
+    assert(text.contains(line(
+      "int64_v_count", """feature_name="int64_v",filter_expr="> 0"""", "1", t1)))
+    assert(text.contains(line(
+      "int64_v_count", """feature_name="int64_v",filter_expr="> 0"""", "0", t2)))
+    assert(text.contains(line(
+      "int64_v_ratio", """feature_name="int64_v",filter_expr="> 0"""", "0.5", t1)))
+    assert(text.contains(line(
+      "int64_v_ratio", """feature_name="int64_v",filter_expr="> 0"""", "0.0", t2)))
+    assert(text.contains(line(
+      "int64_v_average", """feature_name="int64_v",filter_expr="> 0"""", "1.0", t1)))
+    // empty-window average is NULL → exactly one sample line (window 1)
+    assert(text.linesIterator.count(_.startsWith("graft_int64_v_average{")) == 1)
+    assert(text.contains(line(
+      "string_v_count_map", """feature_name="string_v",value="null",filter_expr=""""",
+      "Map(abc -> 2)", t1)))
+  }
 }

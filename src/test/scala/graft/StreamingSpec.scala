@@ -531,4 +531,37 @@ class StreamingSpec extends SparkSuite {
     }
     assert(text().contains("graft_ev_cnt{table=\"sm_src\"} 2"))
   }
+
+  test("attached metrics report on a stream with feature tags as labels") {
+    import graft.client.{MetricStore, Metrics}
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val day = 86400000L
+    val stream = MemoryStream[(Long, Long)]
+    val src = DataFrameSource(
+      "sma_src", stream.toDF().toDF("v", "t_ms"),
+      timestampField = Some("t_ms"), timestampFormat = "epoch_millis")
+    val view = DerivedFeatureView(
+      "sma", src,
+      features = Seq(Feature.expr("v", "v").copy(metrics = Seq(
+        Metric.Count(Some("> 0"), 1.day)))),
+      keepSourceFields = true)
+    val out = java.nio.file.Files.createTempFile("graft_metrics_sa", ".prom").toString
+    val cl = new GraftClient(spark)
+    val reports = new MetricStore(cl, out).reportStreamAttached(
+      view, SparkEnv.scratchDir("sma_ckpt"), reportInterval = 10.seconds)
+    assert(reports.size == 1)
+    try {
+      stream.addData((5L, day * 10 + 100), (-3L, day * 10 + 200))
+      reports.foreach(_.query.processAllAvailable())
+      stream.addData((7L, day * 11 + 100))
+      reports.foreach(_.query.processAllAvailable())
+      val text = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)))
+      assert(text.contains(
+        """graft_v_count{table="sma",feature_name="v",filter_expr="> 0"} 1"""))
+    } finally reports.foreach(_.stop())
+  }
 }
