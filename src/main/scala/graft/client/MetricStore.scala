@@ -252,11 +252,16 @@ object MetricStore {
     sb.toString
   }
 
-  /** The features whose attached metrics report when `desc` materializes. */
+  /** The features whose attached metrics report when `desc` materializes —
+    * recursing into the source chain when `keepSourceMetrics` is set
+    * (ref: metric_store.py:131-139; feature_view.py:72-76).
+    */
   def hostFeatures(desc: TableDescriptor): Seq[Feature] = desc match {
-    case v: DerivedFeatureView => v.features
-    case v: SlidingFeatureView => v.features
-    case _                     => Nil
+    case v: DerivedFeatureView =>
+      v.features ++ (if (v.keepSourceMetrics) hostFeatures(v.source) else Nil)
+    case v: SlidingFeatureView =>
+      v.features ++ (if (v.keepSourceMetrics) hostFeatures(v.source) else Nil)
+    case _ => Nil
   }
 }
 

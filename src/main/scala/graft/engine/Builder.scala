@@ -23,11 +23,23 @@ import scala.collection.mutable
   */
 final class Builder(spark: SparkSession) {
 
-  private val built = mutable.Map.empty[String, DataFrame]
+  private val built = mutable.Map.empty[String, (TableDescriptor, DataFrame)]
 
-  /** Build with the engine event-time metadata column still attached. */
-  def buildWithTime(desc: TableDescriptor): DataFrame =
-    built.getOrElseUpdate(desc.name, doBuild(desc))
+  /** Build with the engine event-time metadata column still attached.
+    * Reusing a name for a DIFFERENT descriptor within one builder is an
+    * error, not a silent reuse of the first plan
+    * (ref: spark_dataframe_builder.py:156-161).
+    */
+  def buildWithTime(desc: TableDescriptor): DataFrame = built.get(desc.name) match {
+    case Some((d0, df)) =>
+      require(d0 == desc,
+        s"Encountered different TableDescriptor with same name '${desc.name}'")
+      df
+    case None =>
+      val df = doBuild(desc)
+      built(desc.name) = (desc, df)
+      df
+  }
 
   /** Build the user-facing output (metadata columns dropped). */
   def build(desc: TableDescriptor): DataFrame =

@@ -217,7 +217,11 @@ final case class DerivedFeatureView(
     features: Seq[Feature],
     keepSourceFields: Boolean = false,
     filterExpr: Option[String] = None,
-    keys: Option[Seq[String]] = None) extends TableDescriptor {
+    keys: Option[Seq[String]] = None,
+    /** Report the SOURCE view chain's attached metrics too when this view
+      * materializes (ref: feature_view.py:48-82 `keep_source_metrics`).
+      */
+    keepSourceMetrics: Boolean = false) extends TableDescriptor {
   def timestampField: Option[String] = source.timestampField
   def timestampFormat: String = source.timestampFormat
   /** Declared keys, inherited through a chain of derived views when not
@@ -277,7 +281,11 @@ final case class SlidingFeatureView(
     enableEmptyWindowOutput: Boolean = true,
     skipSameWindowOutput: Boolean = true,
     timestampFieldName: String = "window_time",
-    outputTimestampFormat: String = "epoch_millis") extends TableDescriptor {
+    outputTimestampFormat: String = "epoch_millis",
+    /** Report the SOURCE view chain's attached metrics too when this view
+      * materializes (ref: feature_view.py:48-82 `keep_source_metrics`).
+      */
+    keepSourceMetrics: Boolean = false) extends TableDescriptor {
   // Skip-same without empty-window rows would drop legitimate outputs
   // (ref: python/feathub/feature_views/sliding_feature_view.py:188-195).
   require(

@@ -140,7 +140,8 @@ object Json {
         ("source" -> toJValue(v.source)) ~
         ("features" -> JArray(v.features.map(featureJson).toList)) ~
         ("keep_source_fields" -> v.keepSourceFields) ~
-        ("filter" -> v.filterExpr) ~ ("keys" -> v.keys)
+        ("filter" -> v.filterExpr) ~ ("keys" -> v.keys) ~
+        ("keep_source_metrics" -> v.keepSourceMetrics)
     case v: SlidingFeatureView =>
       ("kind" -> "sliding_view") ~ ("name" -> v.name) ~
         ("source" -> toJValue(v.source)) ~
@@ -149,7 +150,8 @@ object Json {
         ("enable_empty_window_output" -> v.enableEmptyWindowOutput) ~
         ("skip_same_window_output" -> v.skipSameWindowOutput) ~
         ("ts_field" -> v.timestampFieldName) ~
-        ("ts_format" -> v.outputTimestampFormat)
+        ("ts_format" -> v.outputTimestampFormat) ~
+        ("keep_source_metrics" -> v.keepSourceMetrics)
     case v: SqlFeatureView =>
       ("kind" -> "sql_view") ~ ("name" -> v.name) ~ ("sql" -> v.sqlStatement) ~
         ("dependencies" -> JArray(v.dependencies.map(toJValue).toList)) ~
@@ -295,7 +297,8 @@ object Json {
       DerivedFeatureView(
         str(j, "name"), fromJValue(j \ "source"), featuresFrom(j),
         boolF(j, "keep_source_fields", dflt = false),
-        strOpt(j, "filter"), strSeqOpt(j, "keys"))
+        strOpt(j, "filter"), strSeqOpt(j, "keys"),
+        boolF(j, "keep_source_metrics", dflt = false))
     case "sliding_view" =>
       SlidingFeatureView(
         str(j, "name"), fromJValue(j \ "source"), featuresFrom(j),
@@ -303,7 +306,8 @@ object Json {
         boolF(j, "enable_empty_window_output", dflt = true),
         boolF(j, "skip_same_window_output", dflt = true),
         strOpt(j, "ts_field").getOrElse("window_time"),
-        strOpt(j, "ts_format").getOrElse("epoch_millis"))
+        strOpt(j, "ts_format").getOrElse("epoch_millis"),
+        boolF(j, "keep_source_metrics", dflt = false))
     case "sql_view" =>
       SqlFeatureView(
         str(j, "name"), str(j, "sql"),

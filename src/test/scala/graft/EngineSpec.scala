@@ -1206,6 +1206,20 @@ class EngineSpec extends SparkSuite {
         Feature("s", SlidingWindowTransform("cost", AggFunc.Sum, 2.days, 1.day, Seq("name"))))))
   }
 
+  test("same-name different-descriptor build is an error, same is memoized") {
+    // ref: spark_dataframe_builder.py:156-161 — name reuse must not
+    // silently serve the first plan
+    val cl = new graft.client.GraftClient(spark)
+    val v1 = DerivedFeatureView(
+      "memo_v", purchaseSource,
+      features = Seq(Feature.expr("c2", "cost * 2")), keepSourceFields = true)
+    cl.getFeatures(v1).collect()
+    cl.getFeatures(v1.copy()).collect() // equal descriptor: served from memo
+    val v2 = v1.copy(features = Seq(Feature.expr("c2", "cost * 3")))
+    val e = intercept[IllegalArgumentException](cl.getFeatures(v2).collect())
+    assert(e.getMessage.contains("same name"))
+  }
+
   test("online store upsert keeps latest per key") {
     import graft.client.MemoryOnlineStore
     // materialize → serve with NO manual registerKeys: put must register the

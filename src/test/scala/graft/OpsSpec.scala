@@ -461,5 +461,23 @@ class OpsSpec extends SparkSuite {
     assert(text.contains(line(
       "string_v_count_map", """feature_name="string_v",value="null",filter_expr=""""",
       "Map(abc -> 2)", t1)))
+
+    // keep_source_metrics: a downstream view reports the chain's metrics
+    // (ref: metric_store.py:131-139 recursion)
+    val wrapped = DerivedFeatureView(
+      "mgold_outer", view,
+      features = Seq(Feature.expr("doubled", "int64_v * 2")),
+      keepSourceFields = true, keepSourceMetrics = true)
+    val out2 = java.nio.file.Files.createTempFile("graft_metrics_g2", ".prom").toString
+    new MetricStore(cl, out2).materializeWithMetrics(wrapped, BlackHoleSink)
+    val t2text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out2)))
+    assert(t2text.contains(
+      s"""graft_int64_v_count{table="mgold_outer",feature_name="int64_v",filter_expr="> 0"} 1 $t1"""))
+    // without the flag, upstream metrics stay silent
+    val out3 = java.nio.file.Files.createTempFile("graft_metrics_g3", ".prom").toString
+    new MetricStore(cl, out3).materializeWithMetrics(
+      wrapped.copy(name = "mgold_outer2", keepSourceMetrics = false), BlackHoleSink)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out3))).isEmpty)
   }
 }
