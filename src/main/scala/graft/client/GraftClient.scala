@@ -45,14 +45,28 @@ final class GraftClient(val spark: SparkSession) {
   /** ETL write (ref: python/feathub/processors/spark/
     * dataframe_builder/source_sink_utils.py:96-123).
     */
-  def materialize(desc: TableDescriptor, sink: Sink): Unit = {
+  def materialize(
+      desc: TableDescriptor,
+      sink: Sink,
+      startMillis: Option[Long] = None,
+      endMillis: Option[Long] = None): Unit = {
     Registry.register(desc)
+    // Time-bounded ETL writes: only features with start <= event time < end
+    // reach the sink (ref: feathub_client.py:92-116 materialize_features
+    // start_datetime/end_datetime).
+    def read(): DataFrame = getFeatures(desc, None, startMillis, endMillis)
+    def readWithTime(): DataFrame = {
+      var df = builder.buildWithTime(desc)
+      startMillis.foreach(s => df = df.filter(col(EventTime.Col) >= s))
+      endMillis.foreach(e => df = df.filter(col(EventTime.Col) < e))
+      df
+    }
     sink match {
       case FileSink(path, format, mode, partCols) =>
-        val w = getFeatures(desc).write.format(format).mode(mode)
+        val w = read().write.format(format).mode(mode)
         (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).save(path)
-      case PrintSink(n)   => getFeatures(desc).show(n, truncate = false)
-      case BlackHoleSink  => getFeatures(desc).foreach(_ => ())
+      case PrintSink(n)   => read().show(n, truncate = false)
+      case BlackHoleSink  => read().foreach(_ => ())
       case MemoryStoreSink(tableName) =>
         // Keep the engine event-time column so upsert order uses the
         // descriptor's declared timestampFormat (epoch/epoch_millis/auto/
@@ -60,37 +74,37 @@ final class GraftClient(val spark: SparkSession) {
         // (ref: python/feathub/online_stores/memory_online_store.py:51-123).
         MemoryOnlineStore.put(
           tableName,
-          builder.buildWithTime(desc),
+          readWithTime(),
           desc.keys.getOrElse(throw new IllegalArgumentException(
             "MemoryStoreSink requires table keys")))
       case KafkaSink(server, topic) =>
         graft.engine.Sources
-          .toKafkaRecords(getFeatures(desc), desc.keys.getOrElse(Nil))
+          .toKafkaRecords(read(), desc.keys.getOrElse(Nil))
           .write.format("kafka")
           .option("kafka.bootstrap.servers", server)
           .option("topic", topic)
           .save()
       case JdbcSink(url, table, user, password, mode) =>
-        getFeatures(desc).write.format("jdbc")
+        read().write.format("jdbc")
           .option("url", url).option("dbtable", table)
           .option("user", user).option("password", password)
           .mode(mode).save()
       case BucketedTableSink(table, n, bucketCols, sortCols, path, format) =>
-        var w = getFeatures(desc).write.format(format).mode("overwrite")
+        var w = read().write.format(format).mode("overwrite")
           .bucketBy(n, bucketCols.head, bucketCols.tail: _*)
         if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
         path.foreach(p => w = w.option("path", p))
         w.saveAsTable(table)
       case HiveSink(database, table, format, mode, partCols) =>
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
-        val w = getFeatures(desc).write.format(format).mode(mode)
+        val w = read().write.format(format).mode(mode)
         (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
           .saveAsTable(s"$database.$table")
       case rs: RedisSink =>
         // One SET per (row, feature) under the key_expr-derived physical
         // key, executed per partition through the pluggable client
         // (ref: redis_sink.py + flink table_builder/redis_utils.py:80-107).
-        val df = getFeatures(desc)
+        val df = read()
         val keys = desc.keys.getOrElse(throw new IllegalArgumentException(
           "RedisSink requires table keys"))
         val featureNames = df.columns.toSeq
@@ -113,7 +127,7 @@ final class GraftClient(val spark: SparkSession) {
         // the table's timestamp field (when numeric) the sample timestamp
         // (ref: prometheus_sink.py — the reference pushes each row the
         // same way via the Flink Prometheus reporter).
-        val df = getFeatures(desc)
+        val df = read()
         val keys = desc.keys.getOrElse(Nil)
         val numeric = df.schema.fields.collect {
           case f if !keys.contains(f.name) && !desc.timestampField.contains(f.name) &&

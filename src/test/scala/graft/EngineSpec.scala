@@ -1147,6 +1147,18 @@ class EngineSpec extends SparkSuite {
     assert(snap.count() == 3) // latest row per name
     val alex = snap.filter(org.apache.spark.sql.functions.col("name") === "Alex").collect().head
     assert(alex.getAs[Long]("cost") == 600L)
+
+    // time-bounded materialization: start <= t < end reaches the sink
+    // (ref: feathub_client.py:92-116)
+    def ms(s: String): Long =
+      java.time.LocalDateTime.parse(s.replace(" ", "T"))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val bounded = s"${SparkSuite.tmpDir}/bounded_sink"
+    client.materialize(
+      purchaseSource, FileSink(bounded),
+      startMillis = Some(ms("2022-01-02 00:00:00")),
+      endMillis = Some(ms("2022-01-03 00:00:00")))
+    assert(spark.read.parquet(bounded).count() == 2) // the two Jan-02 rows
   }
 
   test("bucketed tables join without a shuffle") {
