@@ -32,10 +32,24 @@ final class GraftClient(val spark: SparkSession) {
     Registry.register(desc)
     var df = builder.buildWithTime(desc)
     keysDf.foreach(k => df = TemporalJoin.filterByKeys(df, k))
+    if (startMillis.isDefined || endMillis.isDefined)
+      require(desc.timestampField.isDefined,
+        s"Feature ${desc.name} is missing timestamp_field; it cannot be " +
+          "ranged by start/end") // ref: spark_dataframe_builder.py:119-126
     startMillis.foreach(s => df = df.filter(col(EventTime.Col) >= s))
     endMillis.foreach(e => df = df.filter(col(EventTime.Col) < e))
     EventTime.drop(df)
   }
+
+  /** Key-filtered read where the key set is itself a table descriptor —
+    * its output columns become the filter keys
+    * (ref: spark_dataframe_builder.py:75-93 `keys: Union[DataFrame,
+    * TableDescriptor]`).
+    */
+  def getFeatures(
+      desc: TableDescriptor,
+      keysTable: TableDescriptor): DataFrame =
+    getFeatures(desc, Some(builder.build(keysTable)))
 
   /** Offline read by registered name (ref: the reference accepts either a
     * descriptor or a registry name, feathub_client.py:158-187).

@@ -87,6 +87,11 @@ object TemporalJoin {
     * (ref: python/feathub/processors/spark/
     * spark_dataframe_builder.py:136-148). Small key sets broadcast.
     */
-  def filterByKeys(df: DataFrame, keysDf: DataFrame): DataFrame =
+  def filterByKeys(df: DataFrame, keysDf: DataFrame): DataFrame = {
+    val missing = keysDf.columns.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"Given key ${missing.mkString(", ")} not in the fields: " +
+        df.columns.mkString(", ")) // ref: spark_dataframe_builder.py:142-148
     df.join(broadcast(keysDf.dropDuplicates()), keysDf.columns.toSeq, "left_semi")
+  }
 }

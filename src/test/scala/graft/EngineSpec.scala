@@ -1117,6 +1117,19 @@ class EngineSpec extends SparkSuite {
       .map(r => (r.getAs[String]("name"), r.getAs[Long]("cost"))).toSeq
     assert(filtered == Seq(
       ("Alex", 100L), ("Alex", 300L), ("Jack", 500L), ("Alex", 600L)))
+
+    // keys as a table descriptor: its output columns filter the read
+    // (ref: spark_dataframe_builder.py:75-93); unknown key columns raise
+    // (ref: :142-148)
+    val keyTable = DataFrameSource("key_tbl", keys)
+    val viaDesc = client.getFeatures(purchaseSource, keyTable)
+      .orderBy("time").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("cost"))).toSeq
+    assert(viaDesc == filtered)
+    val badKeys = spark.createDataFrame(Seq(Tuple1("x"))).toDF("nope")
+    val e = intercept[IllegalArgumentException](
+      client.getFeatures(purchaseSource, keysDf = Some(badKeys)))
+    assert(e.getMessage.contains("not in the fields"))
   }
 
   test("udf transform over whole row") {

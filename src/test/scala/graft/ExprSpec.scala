@@ -44,6 +44,12 @@ class ExprSpec extends AnyFunSuite {
     assert(Parser.parse(".5") == FloatLit(0.5))
     assertThrows[IllegalArgumentException](Parser.parse("a +"))
     assertThrows[IllegalArgumentException](Parser.parse("`unterminated"))
+    // ref: dsl/tests/test_expr_lexer_rules.py — illegal characters raise;
+    // a backticked reserved word is a plain identifier
+    assertThrows[IllegalArgumentException](Parser.parse("!@#"))
+    assert(Parser.parse("CAST(`integer` AS integer)") ==
+      CastOp(Ident("integer"), graft.types.DInt32, exceptionOnFailure = true))
+    assert(Parser.parse("-0.1") == UminusOp(FloatLit(0.1)))
   }
 
   test("row interpreter: long arithmetic stays exact past 2^53") {
