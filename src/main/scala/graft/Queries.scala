@@ -2,7 +2,7 @@ package graft
 
 import graft.client.{GraftClient, Metrics}
 import graft.engine.{EventTime, TemporalJoin}
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.table._
 import graft.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -963,11 +963,49 @@ object Queries {
       r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rnk FROM s)
       SELECT query_id, rnk::INT AS rank, nbr_id, score FROM r WHERE rnk <= 5"""))
 
+  /** Decontamination sweep: training docs (doc_id >= 25) sharing any
+    * 3-gram shingle with the held-out benchmark set (doc_id < 25). The
+    * benchmark shingle set broadcasts; the corpus shuffles once, on its
+    * own id, for the overlap count.
+    */
+  private val q40 = Q(
+    "q40_decontaminate",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+      Dedup.contaminatedBy(
+        docs.filter(col("doc_id") >= 25), "doc_id", "text",
+        docs.filter(col("doc_id") < 25), "doc_id", "text",
+        n = 3, minOverlap = 2L)
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS s
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) g FROM toks)),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 25)
+      SELECT sh.doc_id AS id, COUNT(*)::BIGINT AS overlap
+      FROM sh JOIN bench ON sh.s = bench.s
+      WHERE sh.doc_id >= 25 GROUP BY 1 HAVING COUNT(*) >= 2"""))
+
+  /** Deterministic stratified sampling by language: md5-bucket selection,
+    * reproducible in any engine with md5 — no rand(), map-only.
+    */
+  private val q41 = Q(
+    "q41_stratified_sample",
+    (spark, dir) =>
+      Sampling.stratifiedSample(
+        pq(spark, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "doc_id",
+        fractions = Map("en" -> 0.5, "de" -> 0.25),
+        default = 0.125),
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+      WHERE substr(md5('|' || lang || '#' || doc_id), 1, 2) <
+        CASE WHEN lang = 'en' THEN '80' WHEN lang = 'de' THEN '40' ELSE '20' END"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
+    q40, q41)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

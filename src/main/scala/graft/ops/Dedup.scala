@@ -89,6 +89,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Training-corpus decontamination: flag corpus documents sharing at
+    * least `minOverlap` distinct n-gram shingles with ANY row of a
+    * benchmark/eval set — the standard train/test contamination sweep run
+    * before training. The benchmark side is evaluation-sized by
+    * definition, so its distinct shingle set broadcasts and the corpus
+    * never shuffles on the join; the only corpus shuffle is the per-doc
+    * overlap count, keyed by the corpus id. Returns (id, overlap).
+    */
+  def contaminatedBy(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      n: Int,
+      minOverlap: Long = 1L): DataFrame = {
+    val docSh = wordShingles(corpus, idCol, textCol, n)
+    val benchSh = wordShingles(benchmark, benchIdCol, benchTextCol, n)
+      .select(col("shingle")).distinct()
+    docSh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** MinHash signature columns `mh_0..mh_{numHashes-1}` per id: the i-th
     * hash is the lexicographic minimum of ROTATE_i(md5(shingle)) over the
     * document's shingle set. One md5 per shingle; the i-th family member is

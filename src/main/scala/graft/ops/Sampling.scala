@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * All selection decides on md5 of a stable key — never `rand()` — so a
+  * sample is reproducible across engines, partitionings, and reruns, and
+  * any row's membership can be audited after the fact. Selection is a pure
+  * column predicate: map-only, no shuffle, fully pushdown-friendly.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, 256) from the first two hex digits of
+    * md5(salt|key). Two lowercase hex digits compare lexicographically in
+    * numeric order, so thresholding works on the raw string in any engine
+    * with md5 — no hex-to-int conversion needed.
+    */
+  private def bucketHex(key: Column, salt: String): Column =
+    substring(md5(concat_ws("|", lit(salt), key)), 1, 2)
+
+  private def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    f"${math.round(fraction * 256).toInt.min(256)}%02x"
+  }
+
+  /** Keep ~`fraction` of rows, decided by md5(salt|key) — deterministic
+    * and stratification-free. Granularity is 1/256.
+    */
+  def sample(df: DataFrame, keyCol: String, fraction: Double, salt: String = ""): DataFrame =
+    df.filter(bucketHex(col(keyCol), salt) < lit(thresholdHex(fraction)))
+
+  /** Stratified deterministic sample: each stratum keeps ~its configured
+    * fraction of rows (`default` for unlisted strata). One codegen'd
+    * predicate over the scan — at 100 TB this is a filter pushed to the
+    * reader, not a job.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      fractions: Map[String, Double],
+      default: Double,
+      salt: String = ""): DataFrame = {
+    val threshold = fractions.foldLeft(lit(thresholdHex(default))) {
+      case (acc, (stratum, frac)) =>
+        when(col(strataCol) === stratum, lit(thresholdHex(frac))).otherwise(acc)
+    }
+    df.filter(bucketHex(concat_ws("#", col(strataCol), col(keyCol)), salt) < threshold)
+  }
+}

@@ -27,6 +27,43 @@ class OpsSpec extends SparkSuite {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("decontamination flags overlap with the benchmark set only") {
+    // benchmark = doc 1; docs 2 and 4 share 3-grams with it, doc 3 and the
+    // German doc 5 share none
+    val bench = docs.filter(col("doc_id") === 1L)
+    val corpus = docs.filter(col("doc_id") =!= 1L)
+    val hit = Dedup.contaminatedBy(corpus, "doc_id", "text", bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("overlap")).toMap
+    assert(hit.keySet == Set(2L, 4L))
+    assert(hit(4L) == 7L) // exact dup shares all 7 shingles
+    assert(hit(2L) == 6L) // near dup differs in the final word
+  }
+
+  test("stratified sample is deterministic, map-only, and near the target rates") {
+    import graft.ops.Sampling
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (0 until 4000).map { i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de")
+    }.toDF("id", "lang")
+    val sampled = Sampling.stratifiedSample(
+      rows, "lang", "id", Map("en" -> 0.5), default = 0.125)
+    // no shuffle: pure filter over the scan
+    assert(sampled.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    assert(math.abs(byLang("en") - 1000L) < 120) // 2000 * 0.5
+    assert(math.abs(byLang("de") - 250L) < 80)   // 2000 * 0.125
+    // reproducible: second evaluation selects the identical rows
+    val a = sampled.collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSample(
+      rows, "lang", "id", Map("en" -> 0.5), default = 0.125)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("ngram jaccard finds the near-dup pair and not the unrelated one") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
