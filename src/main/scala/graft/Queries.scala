@@ -2,7 +2,7 @@ package graft
 
 import graft.client.{GraftClient, Metrics}
 import graft.engine.{EventTime, TemporalJoin}
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Cluster, Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.table._
 import graft.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -1000,12 +1000,116 @@ object Queries {
       WHERE substr(md5('|' || lang || '#' || doc_id), 1, 2) <
         CASE WHEN lang = 'en' THEN '80' WHEN lang = 'de' THEN '40' ELSE '20' END"""))
 
+  /** Shared edge-generation SQL for q42: q21's 3-gram Jaccard pairs at a
+    * 0.5 threshold, as WITH-clause members.
+    */
+  private val jaccardPairCtes =
+    """toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS s
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) g FROM toks)),
+      sz AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+      common AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c FROM sh a
+        JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      pairs AS (SELECT ia, ib FROM common JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+        WHERE ROUND(c::DOUBLE / (x.sz + y.sz - c), 4) >= 0.5)"""
+
+  /** Dedup-cluster resolution: near-dup pairs → connected components →
+    * per-doc cluster id + canonical flag. The Spark side runs alternating
+    * large-star/small-star; the oracle computes the transitive closure with
+    * a recursive CTE — two entirely different algorithms agreeing exactly.
+    */
+  private val q42 = Q(
+    "q42_dedup_clusters",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      Cluster.dedupAssign(docs, "doc_id", pairs, "id_a", "id_b")
+    },
+    Some(s"""WITH RECURSIVE $jaccardPairCtes,
+      sym AS (SELECT ia u, ib v FROM pairs UNION SELECT ib, ia FROM pairs),
+      reach(u, v) AS (SELECT u, v FROM sym
+        UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      lbl AS (SELECT u, MIN(v) mv FROM reach GROUP BY u)
+      SELECT d.doc_id AS id,
+        LEAST(d.doc_id, COALESCE(l.mv, d.doc_id)) AS cluster,
+        d.doc_id = LEAST(d.doc_id, COALESCE(l.mv, d.doc_id)) AS is_canonical
+      FROM documents d LEFT JOIN lbl l ON l.u = d.doc_id"""))
+
+  /** Repetition signals (Gopher-style repetition filters): distinct-token
+    * ratio and top-bigram dominance.
+    */
+  private val q43 = Q(
+    "q43_text_repetition",
+    (spark, dir) =>
+      TextOps.repetitionSignals(pq(spark, dir, "documents"), "text", Seq("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      base AS (SELECT doc_id, len(ws)::BIGINT n_tokens,
+        ROUND(len(list_distinct(ws))::DOUBLE / len(ws), 4) distinct_ratio FROM toks),
+      bg AS (SELECT doc_id, ws[g] || ' ' || ws[g+1] AS bigram
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) g
+          FROM toks WHERE len(ws) >= 2)),
+      cnts AS (SELECT doc_id, bigram, COUNT(*) cnt FROM bg GROUP BY 1, 2),
+      top AS (SELECT doc_id, bigram, cnt, ROW_NUMBER() OVER
+        (PARTITION BY doc_id ORDER BY cnt DESC, bigram DESC) rn FROM cnts)
+      SELECT b.doc_id, b.n_tokens, b.distinct_ratio, t.bigram AS top_bigram,
+        COALESCE(t.cnt, 0)::BIGINT AS top_bigram_cnt,
+        ROUND(COALESCE(t.cnt, 0)::DOUBLE / GREATEST(b.n_tokens - 1, 1), 4) AS top_bigram_ratio
+      FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id AND t.rn = 1"""))
+
+  /** PII scrub over text with deterministically injected emails/phones
+    * (the corpus itself is PII-free word soup; the injection makes the
+    * match counts non-trivial while keeping an exact oracle).
+    */
+  private val q44 = Q(
+    "q44_pii_redact",
+    (spark, dir) => {
+      val d = pq(spark, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          lit("reach "),
+          when(col("doc_id") % 3 > 0, concat(col("source"), lit("@example.com")))
+            .otherwise(lit("nobody")),
+          lit(" or "),
+          when(col("doc_id") % 2 === 0,
+            format_string("555-%03d-%04d", col("doc_id") % 250, col("doc_id") * 7 % 10000))
+            .otherwise(lit("n/a")),
+          lit(" :: "), col("text")).as("pii_text"))
+      TextOps.redactPii(d, "pii_text", Seq("doc_id"))
+        .select(
+          col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("redacted")).as("redacted_md5"))
+    },
+    Some(s"""WITH p AS (SELECT doc_id,
+        'reach ' || CASE WHEN doc_id % 3 > 0 THEN source || '@example.com' ELSE 'nobody' END ||
+        ' or ' || CASE WHEN doc_id % 2 = 0
+          THEN printf('555-%03d-%04d', doc_id % 250, doc_id * 7 % 10000) ELSE 'n/a' END ||
+        ' :: ' || text AS pt FROM documents),
+      r AS (SELECT doc_id, pt,
+        regexp_replace(pt, '${TextOps.EmailPattern}', '<EMAIL>', 'g') ne FROM p)
+      SELECT doc_id,
+        len(regexp_extract_all(pt, '${TextOps.EmailPattern}'))::BIGINT AS n_emails,
+        len(regexp_extract_all(ne, '${TextOps.PhonePattern}'))::BIGINT AS n_phones,
+        md5(regexp_replace(ne, '${TextOps.PhonePattern}', '<PHONE>', 'g')) AS redacted_md5
+      FROM r"""))
+
+  /** Per-language top-5 vocabulary. */
+  private val q45 = Q(
+    "q45_vocab_topk",
+    (spark, dir) =>
+      TextOps.topTokens(pq(spark, dir, "documents"), "text", "lang", 5)
+        .withColumnRenamed("grp", "lang"),
+    Some("""WITH t AS (SELECT lang, unnest(string_split(trim(text), ' ')) token FROM documents),
+      c AS (SELECT lang, token, COUNT(*) cnt FROM t GROUP BY 1, 2),
+      r AS (SELECT lang, token, cnt, ROW_NUMBER() OVER
+        (PARTITION BY lang ORDER BY cnt DESC, token) rnk FROM c)
+      SELECT lang, rnk::INT AS rank, token, cnt FROM r WHERE rnk <= 5"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41)
+    q40, q41, q42, q43, q44, q45)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

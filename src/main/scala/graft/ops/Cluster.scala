@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster resolution: turn near-dup candidate PAIRS (from
+  * [[Dedup.ngramJaccardPairs]], [[Dedup.minhashLshPairs]],
+  * [[Dedup.simhashPairs]] or [[Dedup.embeddingNearDupPairs]]) into per-node
+  * cluster assignments, so a pipeline can keep one canonical document per
+  * connected component instead of reasoning about an edge list.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+  * shuffle-native formulation. Each round is two `groupBy(node) → min` +
+  * re-explode passes; rounds converge in O(log² n) (in practice 2-4 for
+  * dedup graphs, whose components are near-cliques), NOT in O(diameter)
+  * like naive label propagation, and no step ever materializes a neighbor
+  * LIST (high-degree boilerplate nodes stay safe: the per-node state is one
+  * running `min`).
+  */
+object Cluster {
+
+  /** Connected components over an undirected edge list. Returns one row per
+    * distinct node: (id, cluster) where cluster is the smallest node id in
+    * the component (so the canonical "keep" doc of a dedup cluster is the
+    * cluster id itself). Nodes not present in `pairs` are absent — join the
+    * result back to the corpus with a left join + coalesce(cluster, id).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // Canonical directed form: (u, v) with v < u ("points to smaller").
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+
+    // large-star: for every node u, link each strictly-LARGER neighbor to
+    // the minimum of u's neighborhood (incl. u). Computed as a groupBy min
+    // joined back to the symmetric edge list — never a collected list.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      canon(sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    // small-star: with edges pointing to smaller nodes, re-link each node's
+    // smaller neighbors (and u itself) to the minimum of that set.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val relinked = e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+      canon(relinked)
+    }
+
+    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).persist(StorageLevel.MEMORY_AND_DISK)
+      // Star-shaped fixpoint: every edge already points at the component
+      // minimum, i.e. the next round reproduces the same edge set. Cheap
+      // symmetric-difference count on the two persisted sets; at 100 TB
+      // this is the same one-shuffle cost as the round itself and runs
+      // only once per round (typically ≤4 rounds total).
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      val prev = edges
+      edges = next
+      prev.unpersist()
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // Fixpoint edges form stars (node → component min); roots map to themselves.
+    val members = edges.select(col("u").as("id"), col("v").as("cluster"))
+    val roots = edges.select(col("v").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+    val out = members.union(roots).distinct()
+    edges.unpersist()
+    out
+  }
+
+  /** Dedup verdict per corpus row: (id, cluster, is_canonical). Rows in no
+    * pair are their own singleton cluster. `is_canonical` marks the one row
+    * per cluster a dedup pass keeps (the minimum id). The corpus side is
+    * only left-joined on its id — no extra shuffle beyond the join.
+    */
+  def dedupAssign(
+      corpus: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    corpus.select(col(idCol).as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("cluster"), col("id")).as("cluster"))
+      .withColumn("is_canonical", col("id") === col("cluster"))
+  }
+}

@@ -121,4 +121,102 @@ object TextOps {
       i => md5(text.substr(i, lit(k))))
     array_join(slice(array_sort(grams), 1, sketchSize), "|")
   }
+
+  /** Repetition signals (the Gopher-rules repetition family, adapted to
+    * whitespace corpora): distinct-token ratio plus the most frequent word
+    * bigram and the fraction of bigram slots it occupies. Highly repetitive
+    * machine-generated text scores low on the first and high on the last.
+    *
+    * The distinct ratio is a pure column expression; the top bigram is an
+    * explode + two-level aggregation — at 100 TB that is one shuffle keyed
+    * by (doc, bigram) with map-side combine, then a per-doc max carried as
+    * a (count, bigram) struct so no second wide shuffle or window sort is
+    * needed. Ties break to the lexicographically larger bigram (max over
+    * the struct) — deterministic and replicable in SQL.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = df.select(
+      idCols.map(col) ++ Seq(
+        size(toks).cast("long").as("n_tokens"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+          .as("distinct_ratio"),
+        // zip_with over two shifted slices, not per-index element_at —
+        // same reasoning as Dedup.wordShingles (array walk vs interpreted
+        // per-element ordinal resolution).
+        when(size(toks) >= 2,
+          zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>"))
+          .as("bigrams")): _*)
+    val exploded = base.select(
+      idCols.map(col) :+ explode(col("bigrams")).as("bigram"): _*)
+    val top = exploded
+      .groupBy(idCols.map(col) :+ col("bigram"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(idCols.map(col): _*)
+      .agg(max(struct(col("cnt"), col("bigram"))).as("top"))
+      .select(
+        idCols.map(col) ++ Seq(
+          col("top.bigram").as("top_bigram"),
+          col("top.cnt").as("top_bigram_cnt")): _*)
+    base.drop("bigrams")
+      .join(top, idCols, "left")
+      .select(
+        idCols.map(col) ++ Seq(
+          col("n_tokens"),
+          col("distinct_ratio"),
+          col("top_bigram"),
+          coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+          round(coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") /
+            greatest(col("n_tokens") - 1, lit(1L)), 4).as("top_bigram_ratio")): _*)
+  }
+
+  /** RE2-safe PII patterns (no backreferences/lookaround, so the same
+    * pattern string runs identically under Java regex and RE2-family
+    * engines — portability is what makes the redaction auditable with a
+    * SQL oracle).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub: per-doc email/phone match counts plus the text with both
+    * replaced by `<EMAIL>` / `<PHONE>`. Map-only, codegen'd, no UDFs —
+    * the 100 TB shape is a pure projection over the scan. Emails are
+    * replaced before phones so a digit-run inside an address can't be
+    * double-counted.
+    */
+  def redactPii(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    val noEmail = regexp_replace(t, EmailPattern, "<EMAIL>")
+    df.select(
+      idCols.map(col) ++ Seq(
+        size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(noEmail, lit(PhonePattern), lit(0))).cast("long").as("n_phones"),
+        regexp_replace(noEmail, PhonePattern, "<PHONE>").as("redacted")): _*)
+  }
+
+  /** Top-`k` tokens per group (vocabulary extraction): (group, rank, token,
+    * cnt), rank 1 = most frequent, ties to the lexicographically smaller
+    * token. Two aggregations — (group, token) counts with map-side combine,
+    * then a per-group top-k window. The window sorts only the distinct
+    * (group, token) pairs, already two aggregation levels smaller than the
+    * corpus; groups are the partition key, so skew equals vocabulary skew,
+    * not document skew.
+    */
+  def topTokens(df: DataFrame, textCol: String, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col("grp")).orderBy(col("cnt").desc, col("token"))))
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("rank"), col("token"), col("cnt"))
+  }
 }

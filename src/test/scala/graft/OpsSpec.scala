@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Cluster, Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Unit-level checks of the training-data-pipeline operators on small
@@ -62,6 +62,97 @@ class OpsSpec extends SparkSuite {
       rows, "lang", "id", Map("en" -> 0.5), default = 0.125)
       .collect().map(_.getLong(0)).toSet
     assert(a == b)
+  }
+
+  test("connected components resolve chains, cliques, and isolated nodes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // chain 1-2-3-4-5 (diameter > 1 round of naive propagation),
+    // clique {10,11,12}, pair {20,21}; node 30 isolated (absent from pairs)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L) // reversed order on purpose
+    ).toDF("id_a", "id_b")
+    val cc = Cluster.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert((1L to 5L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+    assert(!cc.contains(30L))
+
+    val corpus = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L, 21L, 30L))
+      .toDF("doc_id")
+    val assign = Cluster.dedupAssign(corpus, "doc_id", pairs, "id_a", "id_b")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Boolean]("is_canonical")))).toMap
+    assert(assign(30L) == ((30L, true)))   // singleton keeps itself
+    assert(assign(1L) == ((1L, true)))
+    assert(assign(5L) == ((1L, false)))
+    assert(assign.values.count(_._2) == 4) // one canonical per cluster: 1,10,20,30
+  }
+
+  test("repetition signals: repetitive doc dominated by its top bigram") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq(
+      (1L, "spam ham spam ham spam ham spam ham"),
+      (2L, "all tokens here are fully distinct words"),
+      (3L, "one")
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionSignals(d, "text", Seq("doc_id"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 1: 8 tokens, 2 distinct; bigrams: "spam ham" x4, "ham spam" x3
+    assert(r(1L).getAs[Double]("distinct_ratio") == 0.25)
+    assert(r(1L).getAs[String]("top_bigram") == "spam ham")
+    assert(r(1L).getAs[Long]("top_bigram_cnt") == 4L)
+    assert(r(1L).getAs[Double]("top_bigram_ratio") == 0.5714)
+    // doc 2: all distinct, every bigram count 1, ties to lexicographically
+    // largest bigram
+    assert(r(2L).getAs[Double]("distinct_ratio") == 1.0)
+    assert(r(2L).getAs[Long]("top_bigram_cnt") == 1L)
+    assert(r(2L).getAs[String]("top_bigram") == "tokens here")
+    // doc 3: no bigram at all
+    assert(r(3L).getAs[String]("top_bigram") == null)
+    assert(r(3L).getAs[Long]("top_bigram_cnt") == 0L)
+    assert(r(3L).getAs[Double]("top_bigram_ratio") == 0.0)
+  }
+
+  test("pii redaction counts and replaces emails before phones") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq(
+      (1L, "write to jane.doe+x@mail.example.org or call 555-123-4567 now"),
+      (2L, "digits 555-12-34567 do not match, neither does a@b"),
+      (3L, "two mails a.b@c.io and d_e@f.co plus 111-222-3333 and 999-888-7777")
+    ).toDF("doc_id", "text")
+    val r = TextOps.redactPii(d, "text", Seq("doc_id"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_emails") == 1L && r(1L).getAs[Long]("n_phones") == 1L)
+    assert(r(1L).getAs[String]("redacted") == "write to <EMAIL> or call <PHONE> now")
+    assert(r(2L).getAs[Long]("n_emails") == 0L && r(2L).getAs[Long]("n_phones") == 0L)
+    assert(r(3L).getAs[Long]("n_emails") == 2L && r(3L).getAs[Long]("n_phones") == 2L)
+    assert(r(3L).getAs[String]("redacted") ==
+      "two mails <EMAIL> and <EMAIL> plus <PHONE> and <PHONE>")
+  }
+
+  test("top tokens per group rank by count then token") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq(
+      (1L, "en", "b b b a a c"),
+      (2L, "en", "a"),
+      (3L, "de", "x y")
+    ).toDF("doc_id", "lang", "text")
+    val top = TextOps.topTokens(d, "text", "lang", 2).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Int]("rank")) ->
+        ((r.getAs[String]("token"), r.getAs[Long]("cnt")))).toMap
+    assert(top(("en", 1)) == (("a", 3L))) // a=3 (2+1), b=3; tie → smaller token
+    assert(top(("en", 2)) == (("b", 3L)))
+    assert(top(("de", 1)) == (("x", 1L)))
+    assert(top(("de", 2)) == (("y", 1L)))
+    assert(top.size == 4)
   }
 
   test("ngram jaccard finds the near-dup pair and not the unrelated one") {
