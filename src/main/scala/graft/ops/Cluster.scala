@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-cluster resolution: turn near-dup candidate PAIRS (from
   * [[Dedup.ngramJaccardPairs]], [[Dedup.minhashLshPairs]],
@@ -58,15 +57,23 @@ object Cluster {
       canon(relinked)
     }
 
+    // Each round MUST truncate the logical-plan lineage, not just cache the
+    // data: persist() alone leaves round N's plan embedding rounds 1..N-1,
+    // so Catalyst analysis time and the serialized task binary grow
+    // geometrically with iterations (observed: 9.9 MiB task binaries and
+    // ~170 s for a job that runs in ~4 s with truncation). Eager
+    // localCheckpoint materializes to executor-local storage and restarts
+    // the plan from the checkpointed RDD; on a real cluster with lineage-
+    // loss concerns, set spark.checkpoint.dir and swap for checkpoint().
     var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).persist(StorageLevel.MEMORY_AND_DISK)
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
       // Star-shaped fixpoint: every edge already points at the component
       // minimum, i.e. the next round reproduces the same edge set. Cheap
-      // symmetric-difference count on the two persisted sets; at 100 TB
+      // symmetric-difference count on the two checkpointed sets; at 100 TB
       // this is the same one-shuffle cost as the round itself and runs
       // only once per round (typically ≤4 rounds total).
       converged = next.count() == edges.count() &&
