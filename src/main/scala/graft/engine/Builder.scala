@@ -130,10 +130,22 @@ final class Builder(spark: SparkSession) {
         (keys.map(col) :+ col(EventTime.Col)) ++
           fs.indices.map(i => col(s"__jv_$i")) ++
           (if (needsRightTime) Seq(col(EventTime.Col).as("__rt")) else Nil): _*)
-      df = TemporalJoin.pointInTime(
-        df, right, keys,
+      val joinPairs =
         fs.toSeq.zipWithIndex.map { case (f, i) => (s"__jv_$i", f.name) } ++
-          (if (needsRightTime) Seq(("__rt", "__rt")) else Nil))
+          (if (needsRightTime) Seq(("__rt", "__rt")) else Nil)
+      df =
+        if (df.isStreaming) {
+          // Unbounded as-of join: the Flink temporal-join analogue. The
+          // right table must also be unbounded (declare isBounded=false /
+          // feed a streaming DataFrame) — a bounded snapshot would freeze
+          // versions at job start, which is not point-in-time semantics.
+          require(right.isStreaming,
+            s"streaming view ${v.name} temporal-joins bounded table '$tableName'; " +
+              "declare the right source unbounded so versions keep advancing")
+          graft.streaming.StreamingTemporalJoin(
+            df, right, keys, joinPairs,
+            math.max(maxOutOfOrderness(v.source), maxOutOfOrderness(rightDesc)))
+        } else TemporalJoin.pointInTime(df, right, keys, joinPairs)
       expiry.foreach { validMs =>
         fs.foreach { f =>
           val default = slidingDefault(rightDesc.asInstanceOf[SlidingFeatureView],
@@ -152,7 +164,9 @@ final class Builder(spark: SparkSession) {
       // Window-function plan is not runnable on a stream). Same frame
       // semantics; one groupByKey state per shared key set.
       require(joins.isEmpty,
-        s"streaming DerivedFeatureView ${v.name} does not support join features")
+        s"streaming DerivedFeatureView ${v.name} combines temporal joins and " +
+          "over-windows: that chains two flatMapGroupsWithState operators, " +
+          "which Structured Streaming rejects — split into two views")
       val specs = windows.toSeq.map(f => (f, f.transform.asInstanceOf[OverWindowTransform]))
       val keySets = specs.map(_._2.groupByKeys).distinct
       require(keySets.size == 1,

@@ -32,8 +32,15 @@ object TemporalJoin {
     require(keys.nonEmpty, "point-in-time join requires keys")
     val t = EventTime.Col
 
+    // Join-key equality never matches on NULL (the reference compiles to an
+    // equi-join; SQL `=` is null-rejecting). The window formulation below
+    // would otherwise co-partition NULL-keyed left and right rows and match
+    // them, so NULL-keyed right versions are dropped up front; NULL-keyed
+    // left rows pass through with NULL joined values.
+    val rightNonNull = right.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+
     // One row per (keys, time): deterministic latest version.
-    val packed = right
+    val packed = rightNonNull
       .groupBy((keys :+ t).map(col): _*)
       .agg(max(struct(valueCols.map { case (c, _) => col(c) }: _*)).as("__rvals"))
     val rvalsType = packed.schema("__rvals").dataType

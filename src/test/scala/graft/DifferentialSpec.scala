@@ -170,4 +170,79 @@ class DifferentialSpec extends SparkSuite {
       } finally query.stop()
     }
   }
+
+  test("temporal join: streaming equals batch on randomized inputs") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed + 200)
+      val keys = Seq("a", "b", "c", "d")
+      // left: (k, t) distinct; right: (k, v, t) WITH deliberate duplicate
+      // (k, t) version pairs to exercise the greatest-tuple tie rule
+      val left = rnd.shuffle(
+        (for (k <- keys.take(3); t <- 1 to 30) yield (k, t)).toList
+      ).take(20).map { case (k, t) => (k, t * minute) }
+      val right = (1 to 25).map { _ =>
+        (keys(rnd.nextInt(4)), (rnd.nextInt(90) + 1).toLong,
+          (rnd.nextInt(30) + 1).toLong * minute)
+      }
+
+      def view(leftSrc: TableDescriptor, rightName: String, name: String) =
+        DerivedFeatureView(
+          name, leftSrc,
+          features = Seq(
+            Feature("jv", JoinTransform(rightName, "v"), keys = Some(Seq("k")))),
+          keepSourceFields = true)
+
+      val batchLeft = DataFrameSource(
+        s"djb_l$seed", left.toDF("k", "t_ms"),
+        keys = Some(Seq("k")), timestampField = Some("t_ms"),
+        timestampFormat = "epoch_millis")
+      val batchRight = DataFrameSource(
+        s"djb_r$seed", right.toDF("k", "v", "t_ms"),
+        keys = Some(Seq("k")), timestampField = Some("t_ms"),
+        timestampFormat = "epoch_millis")
+      graft.engine.Registry.register(batchRight)
+      val expected = cl.getFeatures(view(batchLeft, s"djb_r$seed", s"djbv_$seed"))
+        .selectExpr("k", "t_ms", "jv").orderBy("k", "t_ms")
+        .collect().map(_.toSeq.toList).toSeq
+
+      val leftStream = MemoryStream[(String, Long)]
+      val rightStream = MemoryStream[(String, Long, Long)]
+      val streamLeft = DataFrameSource(
+        s"djs_l$seed", leftStream.toDF().toDF("k", "t_ms"),
+        keys = Some(Seq("k")), timestampField = Some("t_ms"),
+        timestampFormat = "epoch_millis")
+      val streamRight = DataFrameSource(
+        s"djs_r$seed", rightStream.toDF().toDF("k", "v", "t_ms"),
+        keys = Some(Seq("k")), timestampField = Some("t_ms"),
+        timestampFormat = "epoch_millis")
+      graft.engine.Registry.register(streamRight)
+      val query = cl.getFeatures(view(streamLeft, s"djs_r$seed", s"djsv_$seed"))
+        .writeStream.format("memory").queryName(s"dj_out_$seed")
+        .outputMode("append").start()
+      try {
+        // chunk BOTH sides on shared strict time boundaries so no row ever
+        // arrives at-or-below the union watermark (which would drop it)
+        val allTimes = (left.map(_._2) ++ right.map(_._3)).distinct
+        val nChunks = rnd.nextInt(3) + 2
+        val cuts = rnd.shuffle(allTimes.toList).take(nChunks - 1).sorted
+        val bounds = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+        bounds.foreach { case (lo, hi) =>
+          val rc = right.filter(r => r._3 > lo && r._3 <= hi)
+          val lc = left.filter(l => l._2 > lo && l._2 <= hi)
+          if (rc.nonEmpty) rightStream.addData(rc: _*)
+          if (lc.nonEmpty) leftStream.addData(lc: _*)
+          query.processAllAvailable()
+        }
+        leftStream.addData(("zz", 10000L * minute)) // drain
+        query.processAllAvailable()
+        val got = spark.sql(
+            s"SELECT k, t_ms, jv FROM dj_out_$seed WHERE k <> 'zz' ORDER BY k, t_ms")
+          .collect().map(_.toSeq.toList).toSeq
+        assert(got == expected, s"seed=$seed")
+      } finally query.stop()
+    }
+  }
 }

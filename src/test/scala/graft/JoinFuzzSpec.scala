@@ -54,4 +54,22 @@ class JoinFuzzSpec extends SparkSuite {
       assert(got == expected.map(e => (e._1, e._2, e._3)), s"seed=$seed")
     }
   }
+
+  test("point-in-time join: NULL keys never match (SQL equi-join semantics)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq((Some("a"), 2000L), (None: Option[String], 2000L))
+      .toDF("k", "t_ms")
+    val right = Seq((Some("a"), 1000L, 10L), (None: Option[String], 1000L, 99L))
+      .toDF("k", "t_ms", "v")
+    val leftDf = EventTime.append(left, Some("t_ms"), "epoch_millis")
+    val rightDf = EventTime.append(right, Some("t_ms"), "epoch_millis")
+      .select(col("k"), col(EventTime.Col), col("v"))
+    val got = TemporalJoin.pointInTime(leftDf, rightDf, Seq("k"), Seq(("v", "pit_v")))
+      .select("k", "pit_v").collect()
+      .map(r => (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    // the NULL-keyed left row must NOT pick up the NULL-keyed right version
+    assert(got == Set((Some("a"), Some(10L)), (None, None)))
+  }
 }

@@ -564,4 +564,109 @@ class StreamingSpec extends SparkSuite {
         """graft_v_count{table="sma",feature_name="v",filter_expr="> 0"} 1"""))
     } finally reports.foreach(_.stop())
   }
+
+  test("streaming temporal join matches the batch F3 golden") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val leftStream = MemoryStream[(String, Long, Long)]
+    val rightStream = MemoryStream[(String, Double, Long)]
+    // generous lateness: each addData block becomes its own microbatch, so
+    // without it the right-side rows would advance the watermark past the
+    // first-day left rows and (correctly) drop them as late
+    val leftSrc = DataFrameSource(
+      "stj_purch", leftStream.toDF().toDF("name", "cost", "t_ms"),
+      keys = Some(Seq("name")), timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis", maxOutOfOrderness = 3.days)
+    val rightSrc = DataFrameSource(
+      "stj_dim", rightStream.toDF().toDF("name", "avg_cost", "t_ms"),
+      keys = Some(Seq("name")), timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis")
+    graft.engine.Registry.register(rightSrc)
+
+    val view = DerivedFeatureView(
+      "stj_join", leftSrc,
+      features = Seq(
+        Feature("avg_cost", JoinTransform("stj_dim", "avg_cost"),
+          keys = Some(Seq("name")))),
+      keepSourceFields = true)
+
+    val cl = new GraftClient(spark)
+    val query = cl.getFeatures(view)
+      .writeStream.format("memory").queryName("stj_out")
+      .outputMode("append").start()
+    try {
+      // F3 fixture: dim versions then purchases, watermark drained by a
+      // far-future sentinel on the left stream
+      rightStream.addData(
+        ("Alex", 100.0, ms("2022-01-01 08:01:00")),
+        ("Emma", 300.0, ms("2022-01-01 08:02:00")),
+        ("Alex", 200.0, ms("2022-01-02 08:03:00")))
+      leftStream.addData(
+        ("Alex", 100L, ms("2022-01-01 08:01:00")), // dim at exactly t visible
+        ("Emma", 400L, ms("2022-01-01 08:02:00")),
+        ("Alex", 300L, ms("2022-01-02 08:03:00")),
+        ("Emma", 200L, ms("2022-01-02 08:04:00")),
+        ("Jack", 500L, ms("2022-01-03 08:05:00")), // no dim row → NULL
+        ("Alex", 600L, ms("2022-01-03 08:06:00")))
+      query.processAllAvailable()
+      leftStream.addData(("zz", 0L, ms("2022-03-01 00:00:00")))
+      query.processAllAvailable()
+
+      val got = spark.sql(
+        "SELECT avg_cost FROM stj_out WHERE name <> 'zz' ORDER BY t_ms")
+        .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+      assert(got == Seq(100.0, 300.0, 200.0, 300.0, null, 200.0))
+    } finally query.stop()
+  }
+
+  test("streaming temporal join: late right version is dropped, state evicts") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val leftStream = MemoryStream[(String, Long)]
+    val rightStream = MemoryStream[(String, Long, Long)]
+    val leftSrc = DataFrameSource(
+      "stjl_l", leftStream.toDF().toDF("k", "t_ms"),
+      keys = Some(Seq("k")), timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis")
+    val rightSrc = DataFrameSource(
+      "stjl_r", rightStream.toDF().toDF("k", "v", "t_ms"),
+      keys = Some(Seq("k")), timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis")
+    graft.engine.Registry.register(rightSrc)
+    val view = DerivedFeatureView(
+      "stjl_join", leftSrc,
+      features = Seq(Feature("v", JoinTransform("stjl_r", "v"), keys = Some(Seq("k")))),
+      keepSourceFields = true)
+
+    val query = new GraftClient(spark).getFeatures(view)
+      .writeStream.format("memory").queryName("stjl_out")
+      .outputMode("append").start()
+    try {
+      val minute = 60000L
+      rightStream.addData(("a", 10L, 1 * minute))
+      leftStream.addData(("a", 5 * minute))
+      query.processAllAvailable()
+      // drain: watermark jumps past 5min, left row emits with v=10
+      leftStream.addData(("zz", 100 * minute))
+      query.processAllAvailable()
+      // a right version at 2min now arrives LATE (watermark ~100min):
+      // dropped, per the Flink late-data rule
+      rightStream.addData(("a", 99L, 2 * minute))
+      query.processAllAvailable()
+      // a fresh left row far ahead still sees the ORIGINAL version only
+      leftStream.addData(("a", 150 * minute))
+      query.processAllAvailable()
+      leftStream.addData(("zz", 500 * minute))
+      query.processAllAvailable()
+
+      val got = spark.sql(
+        "SELECT t_ms, v FROM stjl_out WHERE k = 'a' ORDER BY t_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((5 * minute, 10L), (150 * minute, 10L)))
+    } finally query.stop()
+  }
 }
