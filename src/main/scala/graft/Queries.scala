@@ -1104,12 +1104,65 @@ object Queries {
         (PARTITION BY lang ORDER BY cnt DESC, token) rnk FROM c)
       SELECT lang, rnk::INT AS rank, token, cnt FROM r WHERE rnk <= 5"""))
 
+  /** Segment-level boilerplate dedup: 8-token windows shared by ≥2 docs. */
+  private val q46 = Q(
+    "q46_segment_dedup",
+    (spark, dir) =>
+      TextOps.segmentDedup(pq(spark, dir, "documents"), "text", "doc_id",
+        segTokens = 8, minDocFreq = 2),
+    Some("""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      seg AS (SELECT doc_id, g AS pos, array_to_string(ws[g*8+1:g*8+8], ' ') AS seg
+        FROM (SELECT doc_id, ws,
+            unnest(generate_series(0, GREATEST(CAST(ceil(len(ws) / 8.0) AS INT), 1) - 1)) g
+          FROM toks)),
+      hh AS (SELECT doc_id, pos, seg, md5(seg) h FROM seg),
+      fr AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) c FROM hh GROUP BY 1) WHERE c >= 2),
+      m AS (SELECT hh.*, (fr.h IS NOT NULL) AS is_b FROM hh LEFT JOIN fr ON hh.h = fr.h)
+      SELECT doc_id, COUNT(*)::BIGINT AS n_segments,
+        SUM(CASE WHEN is_b THEN 1 ELSE 0 END)::BIGINT AS n_boilerplate,
+        ROUND(SUM(CASE WHEN is_b THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4) AS boilerplate_ratio,
+        md5(COALESCE(string_agg(CASE WHEN NOT is_b THEN seg END, ' ' ORDER BY pos), ''))
+          AS cleaned_md5
+      FROM m GROUP BY doc_id"""))
+
+  /** Corpus-trained bigram LM scoring (perplexity-filter shape). */
+  private val q47 = Q(
+    "q47_bigram_lm",
+    (spark, dir) =>
+      TextOps.bigramLmScore(pq(spark, dir, "documents"), "text", "doc_id"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      bg AS (SELECT doc_id, ws[g] AS w1, ws[g] || ' ' || ws[g+1] AS bigram
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) g
+          FROM toks WHERE len(ws) >= 2)),
+      cb AS (SELECT bigram, COUNT(*) cb FROM bg GROUP BY 1),
+      cu AS (SELECT w1, COUNT(*) cu FROM bg GROUP BY 1),
+      sc AS (SELECT doc_id,
+          CAST(ROUND(ln(cb.cb::DOUBLE / cu.cu) * 1000000) AS BIGINT) lp
+        FROM bg JOIN cb USING (bigram) JOIN cu USING (w1)),
+      pd AS (SELECT doc_id, COUNT(*) n, SUM(lp) s FROM sc GROUP BY 1)
+      SELECT d.doc_id, COALESCE(pd.n, 0)::BIGINT AS n_bigrams,
+        ROUND(pd.s / 1000000.0 / pd.n, 4) AS avg_logprob,
+        ROUND(exp(-(pd.s / 1000000.0 / pd.n)), 4) AS perplexity
+      FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id"""))
+
+  /** Balanced training mix: at most 40 docs per language, exact counts. */
+  private val q48 = Q(
+    "q48_group_quota",
+    (spark, dir) =>
+      Sampling.groupQuotaSample(
+        pq(spark, dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", quota = 40, salt = "mix1"),
+    Some("""SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY md5('mix1' || '|' || lang || '#' || doc_id), doc_id) rk
+        FROM documents) WHERE rk <= 40"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

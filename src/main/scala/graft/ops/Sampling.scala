@@ -49,4 +49,30 @@ object Sampling {
     }
     df.filter(bucketHex(concat_ws("#", col(strataCol), col(keyCol)), salt) < threshold)
   }
+
+  /** Balanced sample: keep at most `quota` rows PER GROUP (language/source
+    * balancing for a training mix), chosen deterministically — rows rank by
+    * md5(salt|group#key) with the key as tiebreak, and ranks above the
+    * quota drop. Unlike a fraction-based sample this gives exact per-group
+    * counts (min(n_g, quota)).
+    *
+    * 100 TB shape: one shuffle keyed by the group for the rank window; skew
+    * equals group skew, and a group's rows sort by a 32-char hash — if one
+    * group dominates the corpus, pre-filter with [[stratifiedSample]] to
+    * cut its bulk map-side first, then apply the exact quota here.
+    */
+  def groupQuotaSample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      quota: Int,
+      salt: String = ""): DataFrame = {
+    require(quota > 0, s"quota $quota must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val r = md5(concat_ws("|", lit(salt), concat_ws("#", col(groupCol), col(keyCol))))
+    df.withColumn("__rk",
+        row_number().over(Window.partitionBy(col(groupCol)).orderBy(r, col(keyCol))))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
 }

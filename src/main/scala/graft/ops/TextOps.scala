@@ -198,6 +198,106 @@ object TextOps {
         regexp_replace(noEmail, PhonePattern, "<PHONE>").as("redacted")): _*)
   }
 
+  /** Segment-level boilerplate dedup (the CCNet/paragraph-hash recipe at
+    * token-window granularity): each document is cut into consecutive
+    * `segTokens`-token segments; a segment whose md5 appears in at least
+    * `minDocFreq` DISTINCT documents is boilerplate. Output per document:
+    * segment count, boilerplate count/ratio, and the md5 of the cleaned
+    * text (boilerplate segments removed, order preserved).
+    *
+    * 100 TB shape: one shuffle for the (hash → distinct-doc-count)
+    * aggregation (map-side combine over md5 keys, uniformly distributed by
+    * construction); the surviving boilerplate-hash set — the "boilerplate
+    * vocabulary", small by the nature of the threshold — broadcasts back
+    * onto the exploded segments, so the corpus itself shuffles only once
+    * more, keyed by doc id, for reassembly.
+    */
+  def segmentDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      segTokens: Int,
+      minDocFreq: Int): DataFrame = {
+    require(segTokens > 0 && minDocFreq > 1, "segTokens > 0, minDocFreq > 1")
+    val toks = tokens(col(textCol))
+    val nSegs = greatest(ceil(size(toks).cast("double") / segTokens).cast("int"), lit(1))
+    val segs = transform(
+      sequence(lit(0), nSegs - 1),
+      i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+    val base = df
+      .select(col(idCol), posexplode(segs).as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val boiler = base.select(col(idCol), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= minDocFreq)
+      .select(col("h"), lit(true).as("is_b"))
+    base
+      .join(broadcast(boiler), Seq("h"), "left")
+      .withColumn("is_b", coalesce(col("is_b"), lit(false)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("is_b"), 1L).otherwise(0L)).as("n_boilerplate"),
+        // collect_list drops nulls, so only kept segments survive; the
+        // struct sort restores document order before hashing
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(!col("is_b"), struct(col("pos"), col("seg"))))),
+            x => x.getField("seg")),
+          " ")).as("cleaned_md5"))
+      .withColumn("boilerplate_ratio",
+        round(col("n_boilerplate").cast("double") / col("n_segments"), 4))
+      .select(col(idCol), col("n_segments"), col("n_boilerplate"),
+        col("boilerplate_ratio"), col("cleaned_md5"))
+  }
+
+  /** Corpus-trained bigram language-model score per document — the
+    * perplexity-filter shape (CCNet's KenLM step) with the engine itself
+    * as the LM trainer. The model is MLE over the corpus:
+    * P(w2|w1) = C(w1 w2) / C(w1 ·), with C counted over bigram positions,
+    * so every document bigram has positive probability (no smoothing
+    * needed). Per document: bigram count, average log-probability, and
+    * perplexity exp(-avg).
+    *
+    * Determinism contract: each bigram's log-probability is rounded to
+    * integer MICROS before the per-document sum, so the aggregate is exact
+    * integer arithmetic — association order can never flip a rounded
+    * double (the one place a naive avg(ln(..)) differs across engines).
+    *
+    * 100 TB shape: counts are two map-side-combined aggregations keyed by
+    * bigram/w1; scoring re-joins the exploded corpus to the counts on
+    * those same keys — three shuffles total, all on uniformly-hashed text
+    * keys, plus one per-doc aggregation. The count tables are vocabulary-
+    * sized, not corpus-sized.
+    */
+  def bigramLmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val pairs = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bigram"))))
+      .otherwise(array().cast("array<struct<w1:string,bigram:string>>"))
+    val docBg = df.select(col(idCol), explode(pairs).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.bigram").as("bigram"))
+    val cb = docBg.groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val cu = docBg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val perDoc = docBg
+      .join(cb, "bigram")
+      .join(cu, "w1")
+      .withColumn("lp_micro",
+        round(log(col("cb").cast("double") / col("cu")) * 1e6).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("s_micro"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("s_micro") / 1e6 / col("n_bigrams"), 4).as("avg_logprob"),
+        round(exp(-(col("s_micro") / 1e6 / col("n_bigrams"))), 4).as("perplexity"))
+  }
+
   /** Top-`k` tokens per group (vocabulary extraction): (group, rank, token,
     * cnt), rank 1 = most frequent, ties to the lexicographically smaller
     * token. Two aggregations — (group, token) counts with map-side combine,

@@ -608,4 +608,68 @@ class OpsSpec extends SparkSuite {
     assert(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out3))).isEmpty)
   }
+
+  test("segment dedup marks cross-doc repeated windows as boilerplate") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 3-token segments: "cookie notice here" opens docs 1 and 2
+    // (boilerplate at minDocFreq=2); the remainders are unique
+    val d = Seq(
+      (1L, "cookie notice here unique body one"),
+      (2L, "cookie notice here another body text"),
+      (3L, "totally original content third doc")
+    ).toDF("doc_id", "text")
+    val out = TextOps.segmentDedup(d, "text", "doc_id", segTokens = 3, minDocFreq = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("n_boilerplate"),
+          r.getAs[String]("cleaned_md5"))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 1)
+    assert(out(2L)._1 == 2 && out(2L)._2 == 1)
+    assert(out(3L)._1 == 2 && out(3L)._2 == 0)
+    // cleaned text = the non-boilerplate remainder
+    val md5of = (s: String) =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(1L)._3 == md5of("unique body one"))
+    assert(out(3L)._3 == md5of("totally original content third doc"))
+  }
+
+  test("bigram LM scores repeated corpus patterns above one-off ones") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "a b" appears twice among the three "a *" contexts → P = 2/3;
+    // "a c" once → P = 1/3; doc 3's bigrams are all deterministic (P = 1)
+    val d = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x y z")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(d, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Any]("avg_logprob"))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == math.round(math.log(2.0 / 3) * 1e4) / 1e4)
+    assert(out(3L)._1 == 1 && out(3L)._2 == math.round(math.log(1.0 / 3) * 1e4) / 1e4)
+    assert(out(4L)._1 == 2 && out(4L)._2 == 0.0) // ln(1) = 0
+    // a single-token doc has no bigrams and NULL score
+    val single = TextOps.bigramLmScore(
+      Seq((9L, "solo")).toDF("doc_id", "text"), "text", "doc_id").collect().head
+    assert(single.getAs[Long]("n_bigrams") == 0L && single.isNullAt(2))
+  }
+
+  test("group quota sample keeps exactly min(n, quota) rows per group, reproducibly") {
+    import graft.ops.Sampling
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 103).map(i => (i.toLong, "small"))).toDF("id", "grp")
+    val take = Sampling.groupQuotaSample(rows, "grp", "id", quota = 10, salt = "s")
+    val counts = take.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 10L, "small" -> 3L))
+    val again = Sampling.groupQuotaSample(rows, "grp", "id", quota = 10, salt = "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(take.collect().map(_.getLong(0)).toSet == again)
+    // a different salt draws a different subset of the big group
+    val other = Sampling.groupQuotaSample(rows, "grp", "id", quota = 10, salt = "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(again != other)
+  }
 }
