@@ -107,9 +107,54 @@ object ScaleCheck {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Chain-heavy component graph (chains of 100 stress the O(log² n)
+    // round count); replicas are disjoint id ranges, so component COUNT
+    // scales with data while component size stays constant — the dedup-
+    // cluster shape.
+    def clusterTime(df: DataFrame, tag: String): Double = {
+      val n = df.count() / 2
+      val edges = spark.range(n)
+        .select(col("id").as("u"), (col("id") + 1).as("v"))
+        .filter(col("v") % 100 =!= 0)
+      val t0 = System.nanoTime()
+      graft.ops.Cluster.connectedComponents(edges, "u", "v")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Documents replicated with per-replica token salting (every token
+    // prefixed differently per replica) so cross-replica segments/bigrams
+    // stay distinct: boilerplate density and vocabulary both scale the
+    // realistic way (linearly), not quadratically.
+    val doc1 = spark.read.parquet(s"$dir/documents.parquet")
+    val docN = (0 until mult).map { i =>
+      doc1.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text",
+          if (i == 0) col("text")
+          else regexp_replace(col("text"), " ", s" r$i"))
+    }.reduce(_ unionByName _)
+    def segdupTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.TextOps.segmentDedup(df, "text", "doc_id", 8, 2)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def bigramTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.TextOps.bigramLmScore(df, "text", "doc_id")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for ((name, f) <- Seq(
+      ("segdup", segdupTime _), ("bigram_lm", bigramTime _))) {
+      val t1 = f(doc1, s"${name}_1")
+      val tN = f(docN, s"${name}_N")
+      println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
+
     for ((name, f) <- Seq(
       ("sliding", slidingTime _), ("over", overTime _), ("pit", pitTime _),
-      ("lookup", lookupTime _))) {
+      ("lookup", lookupTime _), ("cluster", clusterTime _))) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
