@@ -1157,12 +1157,31 @@ object Queries {
           ORDER BY md5('mix1' || '|' || lang || '#' || doc_id), doc_id) rk
         FROM documents) WHERE rk <= 40"""))
 
+  /** Per-document top-3 TF-IDF keywords. */
+  private val q49 = Q(
+    "q49_tfidf_keywords",
+    (spark, dir) =>
+      TextOps.tfidfKeywords(pq(spark, dir, "documents"), "text", "doc_id", 3),
+    Some("""WITH n AS (SELECT COUNT(*) nd FROM documents),
+      tc AS (SELECT doc_id, token, COUNT(*) tf
+        FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) token FROM documents)
+        GROUP BY 1, 2),
+      df AS (SELECT token,
+          CAST(ROUND(ln((SELECT nd FROM n)::DOUBLE / COUNT(*)) * 1000000) AS BIGINT) idf_micro
+        FROM tc GROUP BY token),
+      sc AS (SELECT doc_id, token, tf, tf * idf_micro AS tfidf_micro,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY tf * idf_micro DESC, token) rnk
+        FROM tc JOIN df USING (token))
+      SELECT doc_id, rnk::INT AS rank, token, tf, tfidf_micro
+      FROM sc WHERE rnk <= 3"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

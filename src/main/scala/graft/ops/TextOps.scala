@@ -298,6 +298,42 @@ object TextOps {
         round(exp(-(col("s_micro") / 1e6 / col("n_bigrams"))), 4).as("perplexity"))
   }
 
+  /** TF-IDF keyword extraction: the `k` highest-scoring tokens per document,
+    * tf-idf = (term count in doc) × ln(N / doc-freq), ties to the
+    * lexicographically smaller token. Same determinism contract as the
+    * bigram LM: the idf factor is rounded to integer MICROS before the
+    * tf multiply, so scores are exact integers (`tfidf_micro`).
+    *
+    * 100 TB shape: per-doc term counts and corpus doc-freqs are two
+    * map-side-combined aggregations keyed by (doc, token) / token; the
+    * doc-freq table is vocabulary-sized and re-joins on the token key; the
+    * final per-doc top-k sorts only each doc's DISTINCT terms. No
+    * collect, no broadcast of anything corpus-sized.
+    */
+  def tfidfKeywords(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // scalar corpus size; over a parquet scan this is the count-star
+    // metadata fast path (row-group stats, no data read)
+    val nDocs = df.count()
+    val termCounts = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = termCounts
+      .groupBy("token")
+      .agg(count(lit(1)).as("df_docs"))
+      .withColumn("idf_micro",
+        round(log(lit(nDocs.toDouble) / col("df_docs")) * 1e6).cast("long"))
+    termCounts
+      .join(docFreq, "token")
+      .withColumn("tfidf_micro", col("tf") * col("idf_micro"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col(idCol))
+          .orderBy(col("tfidf_micro").desc, col("token"))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("tfidf_micro"))
+  }
+
   /** Top-`k` tokens per group (vocabulary extraction): (group, rank, token,
     * cnt), rank 1 = most frequent, ties to the lexicographically smaller
     * token. Two aggregations — (group, token) counts with map-side combine,

@@ -654,6 +654,30 @@ class OpsSpec extends SparkSuite {
     assert(single.getAs[Long]("n_bigrams") == 0L && single.isNullAt(2))
   }
 
+  test("tf-idf keywords rank distinctive terms above ubiquitous ones") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "common" appears in every doc → idf = ln(1) = 0; distinctive terms
+    // appear in exactly one of three docs → idf = ln(3)
+    val d = Seq(
+      (1L, "common zebra zebra apple"),
+      (2L, "common yak"),
+      (3L, "common xray")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfKeywords(d, "text", "doc_id", 2)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getAs[Int]("rank"))
+          .map(r => (r.getAs[String]("token"), r.getAs[Long]("tfidf_micro"))).toSeq
+      }
+    val ln3micro = math.round(math.log(3.0) * 1e6)
+    // doc 1: zebra tf=2 beats apple tf=1; "common" scores 0 and ranks last
+    assert(out(1L) == Seq(("zebra", 2 * ln3micro), ("apple", ln3micro)))
+    assert(out(2L).head == ("yak", ln3micro))
+    assert(out(2L)(1) == ("common", 0L))
+  }
+
   test("group quota sample keeps exactly min(n, quota) rows per group, reproducibly") {
     import graft.ops.Sampling
     val spark2 = spark
