@@ -1176,12 +1176,45 @@ object Queries {
       SELECT doc_id, rnk::INT AS rank, token, tf, tfidf_micro
       FROM sc WHERE rnk <= 3"""))
 
+  /** Integer-micro k-means over embeddings (k=4, one Lloyd round): exact
+    * cross-engine assignments — the oracle unrolls init → assign →
+    * integer-mean update → final assign in SQL.
+    */
+  private val q50 = Q(
+    "q50_kmeans",
+    (spark, dir) =>
+      Cluster.kmeansAssign(
+        pq(spark, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 1),
+    Some("""WITH xm AS (SELECT vec_id, g - 1 AS pos,
+          CAST(ROUND((embedding[g]::DOUBLE + 4.0) * 1000000) AS BIGINT) v
+        FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) g
+          FROM embeddings)),
+      seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 cl
+        FROM embeddings QUALIFY cl < 4),
+      cent0 AS (SELECT s.cl, x.pos, x.v FROM seed s JOIN xm x USING (vec_id)),
+      d1 AS (SELECT x.vec_id, c.cl, SUM((x.v - c.v) * (x.v - c.v)) dist
+        FROM xm x JOIN cent0 c USING (pos) GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d1)
+        WHERE rn = 1),
+      cm AS (SELECT a.cl, x.pos, (2 * SUM(x.v) + COUNT(*)) // (2 * COUNT(*)) v
+        FROM a1 a JOIN xm x USING (vec_id) GROUP BY 1, 2),
+      cent1 AS (SELECT * FROM cm UNION ALL
+        SELECT c0.cl, c0.pos, c0.v FROM cent0 c0
+        WHERE c0.cl NOT IN (SELECT DISTINCT cl FROM cm)),
+      d2 AS (SELECT x.vec_id, c.cl, SUM((x.v - c.v) * (x.v - c.v)) dist
+        FROM xm x JOIN cent1 c USING (pos) GROUP BY 1, 2)
+      SELECT vec_id, cl::INT AS cluster, dist::BIGINT AS dist_micro
+      FROM (SELECT vec_id, cl, dist,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d2)
+      WHERE rn = 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

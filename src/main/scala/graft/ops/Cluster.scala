@@ -93,6 +93,92 @@ object Cluster {
     out
   }
 
+  /** Deterministic Lloyd k-means over an embedding column, in integer
+    * MICRO space: every element is shifted non-negative and rounded to
+    * integer micros up front, so every distance, comparison, and centroid
+    * update is exact integer arithmetic — two engines (or two runs on
+    * different partitionings) produce bit-identical assignments, which
+    * floating-point k-means cannot promise (summation order). Micro
+    * quantization (1e-6 per element) is far below embedding noise.
+    *
+    * Semantics: centroids init as the `k` corpus vectors with the lowest
+    * md5(id) (deterministic pseudo-random seeding), then `iters` rounds of
+    * [assign → integer-mean update] (means round half-up via
+    * (2S+n) div (2n), all values non-negative; clusters that lose every
+    * member keep their previous centroid), and the output is the final
+    * assignment (id, cluster, dist_micro) against the updated centroids.
+    *
+    * Scale shape: per round, one map-only assignment pass (k dot products
+    * per row through the codegen'd [[Similarity.dot]] — exact because all
+    * integer-valued doubles stay below 2^53) plus one (cluster, pos)
+    * aggregation whose result is k×dim rows — collected to the driver like
+    * any model broadcast (bounded by the model size, not the data).
+    */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 1,
+      shift: Double = 4.0): DataFrame = {
+    require(k > 0 && iters >= 0, "k > 0, iters >= 0")
+    import graft.ops.Similarity
+    val micro = df.select(
+      col(idCol).as("id"),
+      transform(col(vecCol),
+        x => round((x.cast("double") + lit(shift)) * 1e6).cast("long")).as("xm"))
+
+    // deterministic seeding: k lowest md5(id); bounded k×dim collect
+    var cents: Array[Array[Long]] = micro
+      .withColumn("r", md5(col("id").cast("string")))
+      .orderBy(col("r"), col("id")).limit(k)
+      .select(col("xm")).collect()
+      .map(_.getSeq[Long](0).toArray)
+
+    def assignCol: org.apache.spark.sql.Column = {
+      // argmin_j Σ(x-c_j)² = argmin_j (Σc_j² - 2·x·c_j); ties → lower j.
+      // All terms are integer-valued doubles < 2^53, so exact.
+      val scored = cents.zipWithIndex.map { case (c, j) =>
+        val c2 = c.map(v => v.toDouble * v).sum
+        struct(
+          (lit(c2) - lit(2.0) * Similarity.dot(
+            transform(col("xm"), _.cast("double")),
+            typedLit(c.map(_.toDouble)))).as("d"),
+          lit(j).as("j"))
+      }
+      least(scored: _*).getField("j")
+    }
+
+    for (_ <- 0 until iters) {
+      val sums = micro
+        .withColumn("cl", assignCol)
+        .select(col("cl"), posexplode(col("xm")).as(Seq("pos", "v")))
+        .groupBy("cl", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty clusters keep old centroid
+      sums.foreach { r =>
+        val (cl, pos, s, n) = (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))
+        next(cl)(pos) = (2 * s + n) / (2 * n) // round-half-up, non-negative
+      }
+      cents = next
+    }
+
+    val distCol = {
+      val perCent = cents.zipWithIndex.map { case (c, j) =>
+        when(col("cluster") === j,
+          aggregate(
+            zip_with(col("xm"), typedLit(c.toSeq), (x, cv) => (x - cv) * (x - cv)),
+            lit(0L), (acc, x) => acc + x))
+      }
+      coalesce(perCent: _*)
+    }
+    micro
+      .withColumn("cluster", assignCol)
+      .withColumn("dist_micro", distCol)
+      .select(col("id").as(idCol), col("cluster"), col("dist_micro"))
+  }
+
   /** Dedup verdict per corpus row: (id, cluster, is_canonical). Rows in no
     * pair are their own singleton cluster. `is_canonical` marks the one row
     * per cluster a dedup pass keeps (the minimum id). The corpus side is

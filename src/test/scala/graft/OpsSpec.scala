@@ -678,6 +678,27 @@ class OpsSpec extends SparkSuite {
     assert(out(2L)(1) == ("common", 0L))
   }
 
+  test("k-means separates well-spaced blobs and is partitioning-invariant") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two tight blobs far apart; k=2 must split them regardless of which
+    // vectors seed the clusters
+    def blob(base: Float, ids: Range) =
+      ids.map(i => (i.toLong, Array(base, base + i * 0.001f, base)))
+    val rows = blob(0.1f, 0 until 10) ++ blob(0.9f, 10 until 20)
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Cluster.kmeansAssign(df, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val c0 = (0 until 10).map(out(_)).toSet
+    val c1 = (10 until 20).map(out(_)).toSet
+    assert(c0.size == 1 && c1.size == 1 && c0 != c1)
+    // identical assignments from a different partitioning (integer
+    // arithmetic has no summation-order sensitivity to hide behind)
+    val out2 = Cluster.kmeansAssign(df.repartition(7), "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == out2)
+  }
+
   test("group quota sample keeps exactly min(n, quota) rows per group, reproducibly") {
     import graft.ops.Sampling
     val spark2 = spark
