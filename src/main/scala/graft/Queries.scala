@@ -1209,12 +1209,31 @@ object Queries {
           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d2)
       WHERE rn = 1"""))
 
+  /** Gopher-style duplicated 5-gram character coverage per document. */
+  private val q51 = Q(
+    "q51_dup_ngram_coverage",
+    (spark, dir) =>
+      TextOps.dupNgramCoverage(pq(spark, dir, "documents"), "text", "doc_id", n = 5),
+    Some("""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      gr AS (SELECT doc_id, g - 1 AS p, array_to_string(ws[g:g+4], ' ') AS gram
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) g
+          FROM toks WHERE len(ws) >= 5)),
+      dup AS (SELECT doc_id, gram FROM gr GROUP BY 1, 2 HAVING COUNT(*) > 1),
+      pos AS (SELECT DISTINCT d.doc_id, o.p + ofs AS pos
+        FROM dup d JOIN gr o USING (doc_id, gram)
+        CROSS JOIN (SELECT unnest(generate_series(0, 4)) ofs)),
+      np AS (SELECT doc_id, COUNT(*) n_dup_pos FROM pos GROUP BY 1)
+      SELECT t.doc_id, len(t.ws)::BIGINT AS n_tokens,
+        COALESCE(np.n_dup_pos, 0)::BIGINT AS n_dup_pos,
+        ROUND(COALESCE(np.n_dup_pos, 0)::DOUBLE / len(t.ws), 4) AS dup_coverage
+      FROM toks t LEFT JOIN np USING (doc_id)"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -28,6 +28,25 @@ object Dedup {
         min(col(idCol)).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Streaming exact dedup: keeps the FIRST-arriving row per content hash
+    * on an unbounded source, with state bounded by the watermark (a
+    * duplicate arriving later than `lateness` after its original may pass —
+    * the standard state-TTL trade every streaming dedup makes; Flink's
+    * deduplicate and Spark's dropDuplicatesWithinWatermark share it).
+    * One shuffle on the hash; state per distinct hash inside the window.
+    */
+  def streamingExactDedup(
+      df: DataFrame,
+      textCol: String,
+      eventTsCol: String,
+      lateness: scala.concurrent.duration.Duration): DataFrame = {
+    require(df.isStreaming, "use exactGroups for batch inputs")
+    df.withColumn("__text_hash", md5(col(textCol)))
+      .withWatermark(eventTsCol, s"${lateness.toMillis} milliseconds")
+      .dropDuplicatesWithinWatermark("__text_hash")
+      .drop("__text_hash")
+  }
+
   /** Distinct word `n`-gram shingles per document: (id, shingle).
     *
     * Built by zipping n shifted slices of the token array — zip_with walks

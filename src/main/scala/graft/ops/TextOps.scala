@@ -174,6 +174,54 @@ object TextOps {
             greatest(col("n_tokens") - 1, lit(1L)), 4).as("top_bigram_ratio")): _*)
   }
 
+  /** Duplicated n-gram coverage (the Gopher/MassiveText repetition rule
+    * family): the fraction of a document's token positions covered by some
+    * `n`-token gram that occurs MORE THAN ONCE in that document.
+    * Overlapping duplicate grams count each position once (true interval
+    * union, computed by exploding each duplicate gram occurrence into its
+    * n positions and de-duplicating).
+    *
+    * 100 TB shape: two shuffles, both keyed by (doc, …) — (doc, gram)
+    * occurrence counts with map-side combine, then distinct (doc, pos) for
+    * the union — plus a per-doc count. Everything is doc-local, so
+    * partition skew equals document-length skew.
+    */
+  def dupNgramCoverage(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"n=$n must be >= 2")
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => struct(i.as("p"), array_join(slice(toks, i + 1, lit(n)), " ").as("g"))))
+      .otherwise(array().cast("array<struct<p:int,g:string>>"))
+    // duplicated-gram set via groupBy (map-side combine), re-joined to the
+    // occurrences on the same (doc, gram) key — co-partitioned, no window
+    // sort — then exploded to covered positions and de-duplicated
+    val gramRows = df.select(col(idCol), explode(grams).as("pg"))
+      .select(col(idCol), col("pg.p").as("p"), col("pg.g").as("g"))
+    val dupGrams = gramRows
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+      .select(col(idCol), col("g"))
+    val dupPos = gramRows
+      .join(dupGrams, Seq(idCol, "g"))
+      .select(col(idCol), explode(sequence(col("p"), col("p") + (n - 1))).as("pos"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_pos"))
+    df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(dupPos, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        round(coalesce(col("n_dup_pos"), lit(0L)).cast("double") / col("n_tokens"), 4)
+          .as("dup_coverage"))
+  }
+
   /** RE2-safe PII patterns (no backreferences/lookaround, so the same
     * pattern string runs identically under Java regex and RE2-family
     * engines — portability is what makes the redaction auditable with a

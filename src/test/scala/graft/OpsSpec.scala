@@ -678,6 +678,23 @@ class OpsSpec extends SparkSuite {
     assert(out(2L)(1) == ("common", 0L))
   }
 
+  test("dup n-gram coverage unions overlapping duplicate spans") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "a b c a b c a b" with n=3: grams "a b c"(×2), "b c a"(×2), "c a b"(×2)
+    // — every position 0..7 is covered → coverage 1.0; a no-repeat doc → 0
+    val d = Seq(
+      (1L, "a b c a b c a b"),
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val out = TextOps.dupNgramCoverage(d, "text", "doc_id", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_pos"),
+          r.getAs[Double]("dup_coverage"))).toMap
+    assert(out(1L) == ((8L, 8L, 1.0)))
+    assert(out(2L) == ((6L, 0L, 0.0)))
+  }
+
   test("k-means separates well-spaced blobs and is partitioning-invariant") {
     val spark2 = spark
     import spark2.implicits._

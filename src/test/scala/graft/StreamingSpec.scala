@@ -565,6 +565,32 @@ class StreamingSpec extends SparkSuite {
     } finally reports.foreach(_.stop())
   }
 
+  test("streaming exact dedup keeps first arrival per content hash") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Long, String, Long)]
+    val df = stream.toDF().toDF("doc_id", "text", "t_ms")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_millis(
+          org.apache.spark.sql.functions.col("t_ms")))
+    val out = graft.ops.Dedup.streamingExactDedup(df, "text", "ts", 10.minutes)
+    val query = out.writeStream.format("memory").queryName("sded_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "same text", 1000L), (2L, "same text", 2000L),
+        (3L, "other text", 3000L))
+      query.processAllAvailable()
+      // duplicate in a later microbatch, still within the watermark window
+      stream.addData((4L, "same text", 4000L))
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM sded_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L))
+    } finally query.stop()
+  }
+
   test("streaming temporal join matches the batch F3 golden") {
     val spark2 = spark
     import spark2.implicits._
