@@ -1139,10 +1139,12 @@ object Queries {
       sc AS (SELECT doc_id,
           CAST(ROUND(ln(cb.cb::DOUBLE / cu.cu) * 1000000) AS BIGINT) lp
         FROM bg JOIN cb USING (bigram) JOIN cu USING (w1)),
-      pd AS (SELECT doc_id, COUNT(*) n, SUM(lp) s FROM sc GROUP BY 1)
+      pd AS (SELECT doc_id, COUNT(*) n, SUM(lp) s,
+          -((-SUM(lp) * 2 + 100 * COUNT(*)) // (200 * COUNT(*))) r4
+        FROM sc GROUP BY 1)
       SELECT d.doc_id, COALESCE(pd.n, 0)::BIGINT AS n_bigrams,
-        ROUND(pd.s / 1000000.0 / pd.n, 4) AS avg_logprob,
-        ROUND(exp(-(pd.s / 1000000.0 / pd.n)), 4) AS perplexity
+        pd.r4 / 10000.0 AS avg_logprob,
+        ROUND(exp(-(pd.r4 / 10000.0)), 4) AS perplexity
       FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id"""))
 
   /** Balanced training mix: at most 40 docs per language, exact counts. */

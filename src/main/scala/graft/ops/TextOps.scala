@@ -337,13 +337,21 @@ object TextOps {
         round(log(col("cb").cast("double") / col("cu")) * 1e6).cast("long"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("s_micro"))
+    // The 4-dp rounding of avg = s/(1e6·n) is ITSELF integer arithmetic:
+    // avg·1e4 = s/(100n), rounded half-away-from-zero via
+    // (2·|s| + 100n) div (200n) on the negated (non-negative) sum — a
+    // double `round()` here hits engine-specific rounding-procedure
+    // disagreements on boundary values (observed at sf0.1). Perplexity
+    // then takes exp of the already-rounded value so both engines
+    // exponentiate the identical double.
+    val r4 = -expr("(-s_micro * 2 + 100 * n_bigrams) div (200 * n_bigrams)")
     df.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .select(
         col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(col("s_micro") / 1e6 / col("n_bigrams"), 4).as("avg_logprob"),
-        round(exp(-(col("s_micro") / 1e6 / col("n_bigrams"))), 4).as("perplexity"))
+        (r4 / 1e4).as("avg_logprob"),
+        round(exp(-(r4 / 1e4)), 4).as("perplexity"))
   }
 
   /** TF-IDF keyword extraction: the `k` highest-scoring tokens per document,
