@@ -121,48 +121,9 @@ object Cluster {
       k: Int,
       iters: Int = 1,
       shift: Double = 4.0): DataFrame = {
-    require(k > 0 && iters >= 0, "k > 0, iters >= 0")
-    import graft.ops.Similarity
-    val micro = df.select(
-      col(idCol).as("id"),
-      transform(col(vecCol),
-        x => round((x.cast("double") + lit(shift)) * 1e6).cast("long")).as("xm"))
-
-    // deterministic seeding: k lowest md5(id); bounded k×dim collect
-    var cents: Array[Array[Long]] = micro
-      .withColumn("r", md5(col("id").cast("string")))
-      .orderBy(col("r"), col("id")).limit(k)
-      .select(col("xm")).collect()
-      .map(_.getSeq[Long](0).toArray)
-
-    def assignCol: org.apache.spark.sql.Column = {
-      // argmin_j Σ(x-c_j)² = argmin_j (Σc_j² - 2·x·c_j); ties → lower j.
-      // All terms are integer-valued doubles < 2^53, so exact.
-      val scored = cents.zipWithIndex.map { case (c, j) =>
-        val c2 = c.map(v => v.toDouble * v).sum
-        struct(
-          (lit(c2) - lit(2.0) * Similarity.dot(
-            transform(col("xm"), _.cast("double")),
-            typedLit(c.map(_.toDouble)))).as("d"),
-          lit(j).as("j"))
-      }
-      least(scored: _*).getField("j")
-    }
-
-    for (_ <- 0 until iters) {
-      val sums = micro
-        .withColumn("cl", assignCol)
-        .select(col("cl"), posexplode(col("xm")).as(Seq("pos", "v")))
-        .groupBy("cl", "pos")
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map(_.clone()) // empty clusters keep old centroid
-      sums.foreach { r =>
-        val (cl, pos, s, n) = (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))
-        next(cl)(pos) = (2 * s + n) / (2 * n) // round-half-up, non-negative
-      }
-      cents = next
-    }
+    val micro = microVecs(df, idCol, vecCol, shift)
+    val cents = trainMicro(micro, k, iters)
+    def assignCol = nearestCol(cents)
 
     val distCol = {
       val perCent = cents.zipWithIndex.map { case (c, j) =>
@@ -177,6 +138,67 @@ object Cluster {
       .withColumn("cluster", assignCol)
       .withColumn("dist_micro", distCol)
       .select(col("id").as(idCol), col("cluster"), col("dist_micro"))
+  }
+
+  /** Trained centroids in the ORIGINAL vector space (micro-space training,
+    * then unshift) — the quantizer feed for [[Similarity.ivfTopK]].
+    */
+  def kmeansCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 1,
+      shift: Double = 4.0): Array[Array[Double]] =
+    trainMicro(microVecs(df, idCol, vecCol, shift), k, iters)
+      .map(_.map(_ / 1e6 - shift))
+
+  private def microVecs(
+      df: DataFrame, idCol: String, vecCol: String, shift: Double): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      transform(col(vecCol),
+        x => round((x.cast("double") + lit(shift)) * 1e6).cast("long")).as("xm"))
+
+  /** argmin_j Σ(x-c_j)² = argmin_j (Σc_j² - 2·x·c_j); ties → lower j.
+    * All terms are integer-valued doubles < 2^53, so exact.
+    */
+  private def nearestCol(cents: Array[Array[Long]]): org.apache.spark.sql.Column = {
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(v => v.toDouble * v).sum
+      struct(
+        (lit(c2) - lit(2.0) * Similarity.dot(
+          transform(col("xm"), _.cast("double")),
+          typedLit(c.map(_.toDouble)))).as("d"),
+        lit(j).as("j"))
+    }
+    least(scored: _*).getField("j")
+  }
+
+  private def trainMicro(micro: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
+    require(k > 0 && iters >= 0, "k > 0, iters >= 0")
+    // deterministic seeding: k lowest md5(id); bounded k×dim collect
+    var cents: Array[Array[Long]] = micro
+      .withColumn("r", md5(col("id").cast("string")))
+      .orderBy(col("r"), col("id")).limit(k)
+      .select(col("xm")).collect()
+      .map(_.getSeq[Long](0).toArray)
+
+    for (_ <- 0 until iters) {
+      val sums = micro
+        .withColumn("cl", nearestCol(cents))
+        .select(col("cl"), posexplode(col("xm")).as(Seq("pos", "v")))
+        .groupBy("cl", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty clusters keep old centroid
+      sums.foreach { r =>
+        val (cl, pos, s, n) = (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))
+        next(cl)(pos) = (2 * s + n) / (2 * n) // round-half-up, non-negative
+      }
+      cents = next
+    }
+    cents
   }
 
   /** Dedup verdict per corpus row: (id, cluster, is_canonical). Rows in no

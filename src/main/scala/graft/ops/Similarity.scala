@@ -204,12 +204,21 @@ object Similarity {
       queryVec: String,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      trainIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    val centroids = corpus
-      .select(col(corpusId).cast("long").as("cid"), col(corpusVec).as("cv"))
-      .orderBy(col("cid")).limit(nlist).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // trainIters > 0 swaps the training-free lowest-id quantizer for
+    // deterministic k-means centroids ([[Cluster.kmeansCentroids]]) —
+    // better-balanced inverted lists, identical plan shape downstream.
+    val centroids =
+      if (trainIters > 0)
+        Cluster.kmeansCentroids(corpus, corpusId, corpusVec, nlist, trainIters)
+          .zipWithIndex
+          .map { case (v, j) => (j.toLong, v.map(_.toFloat)) }
+      else corpus
+        .select(col(corpusId).cast("long").as("cid"), col(corpusVec).as("cv"))
+        .orderBy(col("cid")).limit(nlist).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val centDf = broadcast(spark.createDataFrame(
       centroids.toSeq.map { case (id, v) => (id, v) }).toDF("cent_id", "cent_v"))
 

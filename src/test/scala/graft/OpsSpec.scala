@@ -716,6 +716,30 @@ class OpsSpec extends SparkSuite {
     assert(out == out2)
   }
 
+  test("k-means-trained IVF achieves exact recall on separable blobs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two far-apart blobs; ids 0-9 are ALL in blob A, so the lowest-id
+    // quantizer puts both centroids there — trained centroids land one per
+    // blob, and with nprobe=1 every query probes exactly its own blob,
+    // where all its true neighbors live → results equal brute force
+    def blob(base: Float, ids: Range) =
+      ids.map(i => (i.toLong, Array(base + i * 0.001f, base, base + 0.05f)))
+    val corpus = (blob(0.1f, 0 until 10) ++ blob(0.9f, 10 until 20))
+      .toDF("vec_id", "embedding")
+    val queries = Seq(
+      (100L, Array(0.105f, 0.1f, 0.15f)),
+      (200L, Array(0.905f, 0.9f, 0.95f))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(
+      corpus, queries, "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val trained = Similarity.ivfTopK(
+      corpus, queries, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, nlist = 2, nprobe = 1, trainIters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(trained == exact)
+  }
+
   test("group quota sample keeps exactly min(n, quota) rows per group, reproducibly") {
     import graft.ops.Sampling
     val spark2 = spark
