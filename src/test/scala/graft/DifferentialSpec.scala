@@ -171,6 +171,57 @@ class DifferentialSpec extends SparkSuite {
     }
   }
 
+  test("k-means matches a naive in-memory model on randomized inputs") {
+    val spark2 = spark
+    import spark2.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new Random(seed + 300)
+      val dim = 6
+      val n = 40
+      val rows = (0 until n).map { i =>
+        (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+      }
+      val k = rnd.nextInt(3) + 2
+      val iters = rnd.nextInt(3) + 1
+      val shift = 4.0
+
+      // naive model mirrors the documented contract exactly
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val micro = rows.map { case (id, v) =>
+        id -> v.map(x => math.round((x.toDouble + shift) * 1e6))
+      }.toMap
+      var cents = rows.map(_._1).sortBy(id => (md5hex(id.toString), id))
+        .take(k).map(micro(_).clone()).toArray
+      def nearest(x: Array[Long]): Int =
+        cents.zipWithIndex.map { case (c, j) =>
+          (x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+        }.min._2
+      for (_ <- 0 until iters) {
+        val groups = rows.map(_._1).groupBy(id => nearest(micro(id)))
+        val next = cents.map(_.clone())
+        groups.foreach { case (j, ids) =>
+          val m = ids.size.toLong
+          (0 until dim).foreach { p =>
+            val s = ids.map(micro(_)(p)).sum
+            next(j)(p) = (2 * s + m) / (2 * m)
+          }
+        }
+        cents = next
+      }
+      val expected = rows.map { case (id, _) =>
+        val x = micro(id)
+        val j = nearest(x)
+        (id, j, x.zip(cents(j)).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.toSet
+
+      val got = graft.ops.Cluster.kmeansAssign(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding", k, iters, shift)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == expected, s"seed=$seed k=$k iters=$iters")
+    }
+  }
+
   test("temporal join: streaming equals batch on randomized inputs") {
     val spark2 = spark
     import spark2.implicits._

@@ -647,6 +647,48 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming temporal join: composite keys that concatenate equally stay distinct") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val leftStream = MemoryStream[(String, String, Long)]
+    val rightStream = MemoryStream[(String, String, Long, Long)]
+    val leftSrc = DataFrameSource(
+      "stjc_l", leftStream.toDF().toDF("k1", "k2", "t_ms"),
+      keys = Some(Seq("k1", "k2")), timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis", maxOutOfOrderness = 1.hour)
+    val rightSrc = DataFrameSource(
+      "stjc_r", rightStream.toDF().toDF("k1", "k2", "v", "t_ms"),
+      keys = Some(Seq("k1", "k2")), timestampField = Some("t_ms"),
+      timestampFormat = "epoch_millis")
+    graft.engine.Registry.register(rightSrc)
+    val view = DerivedFeatureView(
+      "stjc_join", leftSrc,
+      features = Seq(Feature("v", JoinTransform("stjc_r", "v"),
+        keys = Some(Seq("k1", "k2")))),
+      keepSourceFields = true)
+
+    val query = new GraftClient(spark).getFeatures(view)
+      .writeStream.format("memory").queryName("stjc_out")
+      .outputMode("append").start()
+    try {
+      val minute = 60000L
+      // ("ab","c") and ("a","bc") concatenate identically — versions must
+      // not leak across; ("a","bc") has no version at all
+      rightStream.addData(("ab", "c", 7L, 1 * minute))
+      leftStream.addData(("ab", "c", 5 * minute), ("a", "bc", 5 * minute))
+      query.processAllAvailable()
+      leftStream.addData(("zz", "zz", 1000 * minute))
+      query.processAllAvailable()
+      val got = spark.sql(
+        "SELECT k1, k2, v FROM stjc_out WHERE k1 <> 'zz' ORDER BY k1")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+      assert(got == Seq(("a", "bc", None), ("ab", "c", Some(7L))))
+    } finally query.stop()
+  }
+
   test("streaming temporal join: late right version is dropped, state evicts") {
     val spark2 = spark
     import spark2.implicits._
