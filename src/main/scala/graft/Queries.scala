@@ -1230,12 +1230,29 @@ object Queries {
         ROUND(COALESCE(np.n_dup_pos, 0)::DOUBLE / len(t.ws), 4) AS dup_coverage
       FROM toks t LEFT JOIN np USING (doc_id)"""))
 
+  /** Training-sequence packing manifest: 256-token sequences per source. */
+  private val q52 = Q(
+    "q52_pack_sequences",
+    (spark, dir) =>
+      TextOps.packSequences(pq(spark, dir, "documents"), "text", "doc_id",
+        "source", seqTokens = 256),
+    Some("""WITH t AS (SELECT source, doc_id,
+          len(string_split(trim(text), ' '))::BIGINT n_tokens FROM documents),
+      c AS (SELECT source, doc_id, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) cum_end FROM t)
+      SELECT source, doc_id, n_tokens,
+        ((cum_end - n_tokens) // 256)::BIGINT AS start_seq,
+        ((cum_end - n_tokens) % 256)::BIGINT AS start_offset,
+        (GREATEST(cum_end - 1, cum_end - n_tokens) // 256)::BIGINT AS end_seq
+      FROM c"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -390,6 +390,43 @@ object TextOps {
       .select(col(idCol), col("rank"), col("token"), col("tf"), col("tfidf_micro"))
   }
 
+  /** Training-sequence packing layout (the GPT-style concat-then-chunk
+    * recipe): documents concatenate in (group, id) order and chop into
+    * fixed `seqTokens`-token sequences; each document's placement is its
+    * starting sequence index and offset within it. Documents straddle
+    * boundaries (`end_seq > start_seq`), exactly like the real
+    * preprocessing — the output is the shuffle-free manifest a loader
+    * needs to materialize packed sequences.
+    *
+    * 100 TB shape: one window cumsum per group (shuffle on the group key,
+    * sort by id) — the packing decision itself; no data movement of the
+    * text. Skew equals group size, so pack per source/shard, not globally.
+    */
+  def packSequences(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      groupCol: String,
+      seqTokens: Int): DataFrame = {
+    require(seqTokens > 0, s"seqTokens $seqTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(
+        col(groupCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .select(
+        col(groupCol), col(idCol), col("n_tokens"),
+        // integer div/mod throughout — a double division truncated back
+        // to long is exact only by luck at large cumsums
+        expr(s"(cum_end - n_tokens) div $seqTokens").as("start_seq"),
+        expr(s"(cum_end - n_tokens) % $seqTokens").as("start_offset"),
+        // last token of the doc lands in this sequence (empty docs stay
+        // where they start)
+        expr(s"greatest(cum_end - 1, cum_end - n_tokens) div $seqTokens").as("end_seq"))
+  }
+
   /** Top-`k` tokens per group (vocabulary extraction): (group, rank, token,
     * cnt), rank 1 = most frequent, ties to the lexicographically smaller
     * token. Two aggregations — (group, token) counts with map-side combine,

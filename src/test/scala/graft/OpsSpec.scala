@@ -716,6 +716,28 @@ class OpsSpec extends SparkSuite {
     assert(out == out2)
   }
 
+  test("sequence packing assigns contiguous spans and straddles boundaries") {
+    val spark2 = spark
+    import spark2.implicits._
+    // budget 4: doc 1 (3 toks) → seq 0 off 0..2; doc 2 (3 toks) → starts
+    // seq 0 off 3, ends seq 1; doc 3 (2 toks) → starts seq 1 off 2, ends
+    // seq 1; other group restarts at seq 0
+    val d = Seq(
+      (1L, "g1", "a b c"),
+      (2L, "g1", "d e f"),
+      (3L, "g1", "g h"),
+      (9L, "g2", "x y z w q")
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.packSequences(d, "text", "doc_id", "source", seqTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("start_seq"), r.getAs[Long]("start_offset"),
+          r.getAs[Long]("end_seq"))).toMap
+    assert(out(1L) == ((0L, 0L, 0L)))
+    assert(out(2L) == ((0L, 3L, 1L)))
+    assert(out(3L) == ((1L, 2L, 1L)))
+    assert(out(9L) == ((0L, 0L, 1L))) // 5 tokens: seq 0 → 1
+  }
+
   test("k-means-trained IVF achieves exact recall on separable blobs") {
     val spark2 = spark
     import spark2.implicits._
