@@ -1247,12 +1247,49 @@ object Queries {
         (GREATEST(cum_end - 1, cum_end - n_tokens) // 256)::BIGINT AS end_seq
       FROM c"""))
 
+  /** ROLLUP corpus statistics over (source, lang). */
+  private val q53 = Q(
+    "q53_corpus_rollup",
+    (spark, dir) =>
+      TextOps.corpusRollup(pq(spark, dir, "documents"), "text", "source", "lang"),
+    Some("""WITH b AS (SELECT source src, lang lng,
+          len(string_split(trim(text), ' '))::BIGINT n_toks,
+          CAST(ROUND(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+            GREATEST(len(text), 1) * 1000000) AS BIGINT) ar_micro
+        FROM documents)
+      SELECT COALESCE(src, '__all__') AS source, COALESCE(lng, '__all__') AS lang,
+        COUNT(*)::BIGINT AS n_docs, SUM(n_toks)::BIGINT AS n_tokens,
+        ((SUM(ar_micro) * 2 + 100 * COUNT(*)) // (200 * COUNT(*)))::BIGINT / 10000.0
+          AS mean_alpha_ratio
+      FROM b GROUP BY ROLLUP (src, lng)"""))
+
+  /** CCNet-style normalization + dedup-key hash. */
+  private val q54 = Q(
+    "q54_normalize_text",
+    (spark, dir) => {
+      val d = pq(spark, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextOps.normalizeText(
+          concat(lit("  The, QUICK brown!  "), col("text"))).as("norm_head"),
+        TextOps.normalizedHash(col("text")).as("norm_hash"))
+        .withColumn("norm_head", substring(col("norm_head"), 1, 24))
+    },
+    Some("""SELECT doc_id,
+        substr(trim(regexp_replace(regexp_replace(
+          lower('  The, QUICK brown!  ' || text),
+          '[.,!?;:''"()\[\]{}]', '', 'g'), ' +', ' ', 'g')), 1, 24) AS norm_head,
+        md5(trim(regexp_replace(regexp_replace(lower(text),
+          '[.,!?;:''"()\[\]{}]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
+    q51, q52, q53, q54)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -222,6 +222,54 @@ object TextOps {
           .as("dup_coverage"))
   }
 
+  /** CCNet-style text normalization for hashing/dedup keys: lowercase,
+    * strip punctuation-class chars, collapse whitespace runs, trim. Pure
+    * codegen'd column expression; the companion `normalizedHash` is the
+    * dedup key the CCNet pipeline hashes after exactly this cleanup (so
+    * case/punctuation variants of one sentence collide).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[.,!?;:'\"()\\[\\]{}]", ""),
+      " +", " "))
+
+  def normalizedHash(text: Column): Column = md5(normalizeText(text))
+
+  /** Corpus rollup statistics: doc count, token sum, and mean quality-proxy
+    * (alpha ratio) at every level of (source, lang) — per pair, per source
+    * subtotal, grand total (`ROLLUP`). The missing-level markers are
+    * `__all__` so the result is engine-portable (NULL markers collide with
+    * genuinely-NULL group values).
+    *
+    * 100 TB shape: Spark expands rollup into one aggregation with a
+    * grouping-id column — a single shuffle with map-side combine, not one
+    * job per level.
+    */
+  def corpusRollup(df: DataFrame, textCol: String, srcCol: String, langCol: String): DataFrame = {
+    val t = col(textCol)
+    // per-row ratio quantized to integer micros (scale-0 rounding of a
+    // double is procedure-stable across engines), then the mean's 4-dp
+    // rounding is pure integer math — same determinism recipe as
+    // [[bigramLmScore]]; a naive round(avg(..), 4) is the boundary class
+    // that bit q47 at sf0.1
+    df.select(
+        col(srcCol).as("src"), col(langCol).as("lng"),
+        size(tokens(t)).cast("long").as("n_toks"),
+        round(length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") /
+          greatest(length(t), lit(1)).cast("double") * 1e6).cast("long").as("ar_micro"))
+      .rollup(col("src"), col("lng"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("ar_micro")).as("s_micro"))
+      .select(
+        coalesce(col("src"), lit("__all__")).as("source"),
+        coalesce(col("lng"), lit("__all__")).as("lang"),
+        col("n_docs"), col("n_tokens"),
+        (expr("(s_micro * 2 + 100 * n_docs) div (200 * n_docs)") / 1e4)
+          .as("mean_alpha_ratio"))
+  }
+
   /** RE2-safe PII patterns (no backreferences/lookaround, so the same
     * pattern string runs identically under Java regex and RE2-family
     * engines — portability is what makes the redaction auditable with a
