@@ -1283,13 +1283,30 @@ object Queries {
           '[.,!?;:''"()\[\]{}]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
       FROM documents"""))
 
+  /** Winnowing fingerprints (k=8 char grams, window 4). */
+  private val q55 = Q(
+    "q55_winnowing",
+    (spark, dir) =>
+      TextOps.winnowingFingerprint(pq(spark, dir, "documents"), "text", "doc_id",
+        k = 8, w = 4)
+        .select(col("doc_id"), md5(col("winnow_fp")).as("fp_md5")),
+    Some("""WITH g AS (SELECT doc_id, list_transform(
+          generate_series(1, GREATEST(len(text) - 7, 1)),
+          i -> md5(substr(text, i, 8))) grams FROM documents),
+      m AS (SELECT doc_id, list_transform(
+          generate_series(1, GREATEST(len(grams) - 3, 1)),
+          i -> list_min(grams[i:i+3])) mins FROM g)
+      SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(mins)), '|')) AS fp_md5
+      FROM m"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54)
+    q51, q52, q53, q54, q55)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -110,6 +110,39 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03): the set
+    * of minimal k-gram hashes over every `w`-gram sliding window. Any
+    * shared substring of length ≥ w+k-1 between two documents guarantees a
+    * shared fingerprint — the positional guarantee the bottom-k
+    * [[shingleSketch]] lacks. Output per doc: sorted distinct selected
+    * hashes, '|'-joined, as column `winnow_fp`. Map-only.
+    *
+    * DataFrame-level on purpose: the gram array must be MATERIALIZED as a
+    * column before the window pass — inlining it as a subexpression makes
+    * the outer lambda re-evaluate all n md5s per window position
+    * (observed: O(n²) → 75 s/500 docs instead of 0.3 s).
+    */
+  def winnowingFingerprint(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      w: Int = 4): DataFrame = {
+    val t = col(textCol)
+    df.select(
+        col(idCol),
+        transform(
+          sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+          i => md5(t.substr(i, lit(k)))).as("__grams"))
+      .select(
+        col(idCol),
+        array_join(
+          array_sort(array_distinct(transform(
+            sequence(lit(1), greatest(size(col("__grams")) - (w - 1), lit(1))),
+            i => array_min(slice(col("__grams"), i, lit(w)))))),
+          "|").as("winnow_fp"))
+  }
+
   /** Bottom-k sketch of character k-gram hashes (a winnowing-style rolling
     * fingerprint): the `sketchSize` smallest md5s of all `k`-char shingles,
     * joined with '|'. Docs sharing most low-order shingle hashes get equal or

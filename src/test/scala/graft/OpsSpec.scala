@@ -716,6 +716,23 @@ class OpsSpec extends SparkSuite {
     assert(out == out2)
   }
 
+  test("winnowing guarantees a shared fingerprint for long shared substrings") {
+    val spark2 = spark
+    import spark2.implicits._
+    // k=8, w=4 → any shared substring of length ≥ 11 must yield at least
+    // one common selected hash (SIGMOD'03 guarantee); doc 3 shares nothing
+    val shared = "identical-run-of-text"
+    val d = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"other beginning $shared different end"),
+      (3L, "completely unrelated content here")
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowingFingerprint(d, "text", "doc_id", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1).split('|').toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
   test("sequence packing assigns contiguous spans and straddles boundaries") {
     val spark2 = spark
     import spark2.implicits._
