@@ -103,12 +103,23 @@ class PlanSpec extends SparkSuite {
     // pure column expressions: whole-stage codegen end to end, no shuffle,
     // no black-box UDF the optimizer can't see through
     Seq("q26_text_tokens", "q27_text_quality", "q28_text_langid_fp",
-      "q29_text_sketch", "q30_multimodal_meta").foreach { name =>
+      "q29_text_sketch", "q30_multimodal_meta", "q41_stratified_sample",
+      "q54_normalize_text", "q55_winnowing").foreach { name =>
       val plan = Queries.all.find(_.name == name).get
         .build(spark, sfDir).queryExecution.executedPlan
       assert(shuffles(plan) == 0, s"$name shuffles:\n$plan")
       assert(!plan.toString.contains("UDF"), s"$name uses a UDF:\n$plan")
     }
+  }
+
+  test("segment dedup joins the boilerplate set back as a broadcast") {
+    // the threshold-pruned boilerplate hash set must broadcast onto the
+    // exploded segments — a sort-merge join there would shuffle the corpus
+    // an extra time
+    val plan = Queries.all.find(_.name == "q46_segment_dedup").get
+      .build(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate join-back is not broadcast:\n$plan")
   }
 
   test("key-filter read stays a broadcast left-semi join") {
