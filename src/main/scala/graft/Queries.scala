@@ -1300,13 +1300,55 @@ object Queries {
         md5(array_to_string(list_sort(list_distinct(mins)), '|')) AS fp_md5
       FROM m"""))
 
+  /** Per-source token-length percentiles. */
+  private val q56 = Q(
+    "q56_length_percentiles",
+    (spark, dir) =>
+      TextOps.lengthPercentiles(pq(spark, dir, "documents"), "text", "source")
+        .withColumnRenamed("grp", "source"),
+    Some("""WITH b AS (SELECT source, len(string_split(trim(text), ' '))::BIGINT n
+        FROM documents)
+      SELECT source, COUNT(*)::BIGINT AS n_docs,
+        quantile_cont(n, 0.5) AS p50_tokens,
+        quantile_cont(n, 0.9) AS p90_tokens,
+        quantile_cont(n, 0.99) AS p99_tokens
+      FROM b GROUP BY source"""))
+
+  /** Gopher quality-rule booleans per document. */
+  private val q57 = Q(
+    "q57_gopher_rules",
+    (spark, dir) =>
+      TextOps.gopherRules(pq(spark, dir, "documents"), "text", Seq("doc_id")),
+    Some(s"""WITH b AS (SELECT doc_id, text, string_split(trim(text), ' ') ws,
+          len(string_split(trim(text), ' '))::DOUBLE nw FROM documents),
+      m AS (SELECT doc_id, nw,
+          (len(text) - (len(ws) - 1))::DOUBLE / nw AS mean_len,
+          len(list_filter(ws, w -> regexp_matches(w, '^[#\\.]+$$')))::DOUBLE / nw AS sym_r,
+          len(list_filter(ws, w -> w LIKE '%...'))::DOUBLE / nw AS ell_r,
+          len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / nw AS alpha_r,
+          len(list_filter(string_split(trim(lower(text)), ' '),
+            w -> w IN (${TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")})))
+            AS n_stop
+        FROM b)
+      SELECT doc_id,
+        (nw >= 50 AND nw <= 100000) AS ok_word_count,
+        (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean_word_len,
+        (sym_r <= 0.1) AS ok_symbol_ratio,
+        (ell_r <= 0.3) AS ok_ellipsis_ratio,
+        (alpha_r >= 0.8) AS ok_alpha_words,
+        (n_stop >= 2) AS ok_stopwords,
+        (nw >= 50 AND nw <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+          AND sym_r <= 0.1 AND ell_r <= 0.3 AND alpha_r >= 0.8 AND n_stop >= 2)
+          AS keep
+      FROM m"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55)
+    q51, q52, q53, q54, q55, q56, q57)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -303,6 +303,56 @@ object TextOps {
           .as("mean_alpha_ratio"))
   }
 
+  /** Per-group document-length percentiles (p50/p90/p99 of whitespace
+    * token counts) — the profiling pass behind length-filter thresholds.
+    * Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    * linear-interpolation definition (rank = 1 + q·(n−1)), so results are
+    * engine-exact on integer inputs. One shuffle keyed by the group with
+    * map-side partial collection.
+    */
+  def lengthPercentiles(df: DataFrame, textCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"), size(tokens(col(textCol))).cast("long").as("n"))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n, 0.5)").as("p50_tokens"),
+        expr("percentile(n, 0.9)").as("p90_tokens"),
+        expr("percentile(n, 0.99)").as("p99_tokens"))
+
+  /** The Gopher document-quality rules (Rae et al. 2021, Table A1 — the
+    * MassiveText filter), as per-rule booleans plus the conjunction:
+    * word-count bounds, mean word length bounds, symbol-to-word ratio,
+    * ellipsis-line ratio stand-in (ellipsis token ratio over word soup),
+    * alphabetic-word ratio, and stopword presence. Map-only, no UDFs;
+    * thresholds are the paper's.
+    */
+  def gopherRules(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks).cast("double")
+    // mean word length: total non-space chars / words, exact rational
+    val meanLen = (length(t) - (size(toks) - 1)).cast("double") / nWords
+    val nSymbol = size(filter(toks, w => w.rlike("^[#\\.]+$"))).cast("double")
+    val nEllipsis = size(filter(toks, w => w.endsWith("..."))).cast("double")
+    val nAlphaWord = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double")
+    val nStop = hitCount(tokens(lower(t)), EnglishStopwords)
+    val rWords = nWords >= 50 && nWords <= 100000
+    val rMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val rSymbol = nSymbol / nWords <= 0.1
+    val rEllipsis = nEllipsis / nWords <= 0.3
+    val rAlpha = nAlphaWord / nWords >= 0.8
+    val rStop = nStop >= 2
+    df.select(
+      idCols.map(col) ++ Seq(
+        rWords.as("ok_word_count"),
+        rMeanLen.as("ok_mean_word_len"),
+        rSymbol.as("ok_symbol_ratio"),
+        rEllipsis.as("ok_ellipsis_ratio"),
+        rAlpha.as("ok_alpha_words"),
+        rStop.as("ok_stopwords"),
+        (rWords && rMeanLen && rSymbol && rEllipsis && rAlpha && rStop).as("keep")): _*)
+  }
+
   /** RE2-safe PII patterns (no backreferences/lookaround, so the same
     * pattern string runs identically under Java regex and RE2-family
     * engines — portability is what makes the redaction auditable with a

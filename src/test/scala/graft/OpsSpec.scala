@@ -716,6 +716,23 @@ class OpsSpec extends SparkSuite {
     assert(out == out2)
   }
 
+  test("gopher rules flag the failing dimension only") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 60 words, stopwords present, mean word length ≈ 4.8 — passes all rules
+    val good = ("the quick brown foxes jumped over several lazy dogs today " * 6).trim
+    val tooShort = "the of just a few words"
+    val symbols = good + " " + (Array.fill(20)("###").mkString(" "))
+    val d = Seq((1L, good), (2L, tooShort), (3L, symbols)).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(d, "text", Seq("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("ok_word_count"), r.getAs[Boolean]("ok_symbol_ratio"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == ((true, true, true)))
+    assert(out(2L)._1 == false && out(2L)._3 == false)
+    assert(out(3L)._2 == false && out(3L)._3 == false)
+  }
+
   test("winnowing guarantees a shared fingerprint for long shared substrings") {
     val spark2 = spark
     import spark2.implicits._
