@@ -33,6 +33,8 @@ import scala.collection.immutable.TreeMap
   * Supported aggs: SUM/COUNT/AVG/MIN/MAX/FIRST_VALUE/LAST_VALUE/
   * VALUE_COUNTS/COLLECT_LIST, each optionally with `limit` (last-N rows,
   * re-aggregated from retained raw pairs like Flink's AggFuncWithLimit).
+  * Same-timestamp ties at the limit cutoff resolve by buffer arrival
+  * order (matching the reference's list-order semantics).
   */
 object StreamingSlidingWindows {
 
