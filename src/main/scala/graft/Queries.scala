@@ -1342,13 +1342,133 @@ object Queries {
           AS keep
       FROM m"""))
 
+  /** Training-mix manifest: token inventory per source, target allotment
+    * under given weights, and the epochs factor a sampler must apply.
+    */
+  private val q58 = Q(
+    "q58_source_mixing",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+        .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+      Sampling.mixingManifest(
+        docs, "source", "n_tokens",
+        weights = Map("src0" -> 0.5, "src1" -> 0.3),
+        defaultWeight = 0.05,
+        unitBudget = 20000L)
+    },
+    Some("""WITH b AS (SELECT source, len(string_split(trim(text), ' '))::BIGINT n
+        FROM documents),
+      g AS (SELECT source, COUNT(*)::BIGINT n_docs, SUM(n)::BIGINT n_units FROM b GROUP BY 1),
+      t AS (SELECT *, ROUND(n_units::DOUBLE / SUM(n_units) OVER (), 4) corpus_share,
+        CASE WHEN source = 'src0' THEN 0.5 WHEN source = 'src1' THEN 0.3 ELSE 0.05 END weight
+        FROM g)
+      SELECT source, n_docs, n_units, corpus_share, weight,
+        CAST(ROUND(20000.0 * weight) AS BIGINT) AS target_units,
+        ROUND(CAST(ROUND(20000.0 * weight) AS BIGINT)::DOUBLE / n_units, 4) AS epochs,
+        CASE WHEN ROUND(CAST(ROUND(20000.0 * weight) AS BIGINT)::DOUBLE / n_units, 4) > 1.0
+          THEN 'upsample' ELSE 'downsample' END AS mode
+      FROM t"""))
+
+  /** Character-entropy noise signal (integer-micro-nat determinism). */
+  private val q59 = Q(
+    "q59_char_entropy",
+    (spark, dir) =>
+      TextOps.charEntropy(pq(spark, dir, "documents"), "text", Seq("doc_id")),
+    Some("""WITH c AS (SELECT doc_id,
+        list_filter(string_split(text, ''), x -> x <> '') cs FROM documents),
+      d AS (SELECT doc_id, cs, len(cs)::DOUBLE n,
+        list_sort(list_distinct(cs)) dist FROM c),
+      t AS (SELECT doc_id, n, len(dist)::BIGINT nd,
+        COALESCE(list_sum(list_transform(dist, ch ->
+          CAST(ROUND(-(len(list_filter(cs, x -> x = ch))::DOUBLE / n) *
+            ln(len(list_filter(cs, x -> x = ch))::DOUBLE / n) * 1000000)
+            AS BIGINT))), 0) s
+        FROM d)
+      SELECT doc_id, n::BIGINT AS n_chars, nd AS n_distinct,
+        ROUND(s::DOUBLE / 1000000.0 / 0.6931471805599453, 4) AS entropy_bits
+      FROM t"""))
+
+  /** End-to-end near-dup removal: q42's clusters applied — surviving
+    * corpus rows with the count of duplicates each absorbed.
+    */
+  private val q60 = Q(
+    "q60_dedup_apply",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      Cluster.dedupApply(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        "doc_id", pairs, "id_a", "id_b")
+    },
+    Some(s"""WITH RECURSIVE $jaccardPairCtes,
+      sym AS (SELECT ia u, ib v FROM pairs UNION SELECT ib, ia FROM pairs),
+      reach(u, v) AS (SELECT u, v FROM sym
+        UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      lbl AS (SELECT u, MIN(v) mv FROM reach GROUP BY u),
+      asg AS (SELECT d.doc_id,
+          LEAST(d.doc_id, COALESCE(l.mv, d.doc_id)) AS cluster
+        FROM documents d LEFT JOIN lbl l ON l.u = d.doc_id),
+      surv AS (SELECT cluster, COUNT(*) - 1 AS n_dropped FROM asg GROUP BY 1)
+      SELECT d.doc_id, d.lang, d.source, d.n_chars, s.n_dropped::BIGINT AS n_dropped
+      FROM documents d JOIN surv s ON d.doc_id = s.cluster"""))
+
+  /** URL provenance decomposition + blocklist flag over deterministically
+    * injected URLs (the corpus has no URL column; the injection exercises
+    * mixed-case schemes, www prefixes, multi-label TLDs, ports, trailing
+    * slashes, query strings, and fragments).
+    */
+  private val q61 = Q(
+    "q61_url_parts",
+    (spark, dir) => {
+      val d = pq(spark, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 9 === 0, lit("HTTP")).otherwise(lit("https")),
+          lit("://"),
+          when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+          col("source"),
+          when(col("doc_id") % 4 === 0, lit(".co.uk")).otherwise(lit(".org")),
+          when(col("doc_id") % 7 === 0, lit(":8080")).otherwise(lit("")),
+          lit("/docs/"), col("doc_id"),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("?q=x")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit("#top")).otherwise(lit(""))).as("url"))
+      TextOps.urlParts(d, "url", Seq("doc_id"))
+        .withColumn("blocked",
+          TextOps.domainBlocked(col("domain"), Seq("src0.org", "src1.org")))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        (CASE WHEN doc_id % 9 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) || source ||
+        (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.org' END) ||
+        (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
+        '/docs/' || doc_id ||
+        (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        (CASE WHEN doc_id % 5 = 0 THEN '?q=x' ELSE '' END) ||
+        (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url FROM documents),
+      x AS (SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) scheme,
+        lower(regexp_replace(
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+          ':[0-9]+$', '')) host,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) path
+        FROM p)
+      SELECT doc_id, scheme, host,
+        regexp_extract(host, '([a-z0-9-]+\.[a-z0-9-]+)$', 1) AS domain,
+        regexp_extract(host, '\.([a-z0-9-]+)$', 1) AS tld,
+        path,
+        scheme || '://' || host || regexp_replace(path, '/$', '') AS norm_url,
+        regexp_extract(host, '([a-z0-9-]+\.[a-z0-9-]+)$', 1)
+          IN ('src0.org', 'src1.org') AS blocked
+      FROM x"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -220,4 +220,31 @@ object Cluster {
         coalesce(col("cluster"), col("id")).as("cluster"))
       .withColumn("is_canonical", col("id") === col("cluster"))
   }
+
+  /** Apply a dedup verdict end-to-end: the surviving corpus (one canonical
+    * row per near-dup cluster, all original columns) annotated with
+    * `n_dropped`, the number of near-duplicates that row absorbed. This is
+    * the operator a pipeline actually runs after candidate generation —
+    * [[dedupAssign]] is the auditable intermediate.
+    *
+    * 100 TB shape: the component edge list is tiny relative to the corpus
+    * (only docs in some pair appear), so the per-cluster size aggregation
+    * runs on the small side; the corpus itself is touched by exactly one
+    * equi-join on its id (survivor verdicts broadcast when they fit).
+    */
+  def dedupApply(
+      corpus: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val assign = dedupAssign(corpus.select(idCol), idCol, pairs, aCol, bCol)
+    val survivors = assign
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__csize"))
+      .select(
+        col("cluster").as(idCol),
+        (col("__csize") - 1).cast("long").as("n_dropped"))
+    corpus.join(survivors, Seq(idCol))
+  }
 }

@@ -75,4 +75,46 @@ object Sampling {
       .filter(col("__rk") <= quota)
       .drop("__rk")
   }
+
+  /** Training-mix manifest (Pile/DoReMi-style static mixing): per source,
+    * the corpus inventory (docs, units, corpus share), the target unit
+    * allotment `round(budget * weight)`, and the `epochs` factor
+    * (target / available) a sampler must apply — >1 means the source
+    * repeats across the mix, <1 means it downsamples. `unitCol` is any
+    * per-row size measure (token count, chars, bytes).
+    *
+    * Determinism: every ratio is a single divide of exact integers, and
+    * `target_units` a single multiply+round — bit-identical across
+    * engines, so ROUND(..,4) cannot straddle a boundary.
+    *
+    * 100 TB shape: one partial-aggregated groupBy on the source column
+    * (cardinality = #sources, tiny); the global-total window runs over the
+    * aggregated frame only, so its single-partition exchange moves
+    * #sources rows regardless of corpus size.
+    */
+  def mixingManifest(
+      df: DataFrame,
+      sourceCol: String,
+      unitCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double,
+      unitBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(unitCol)).cast("long").as("n_units"))
+      .withColumn("corpus_share",
+        round(col("n_units").cast("double") /
+          sum("n_units").over(Window.partitionBy()), 4))
+      .withColumn("weight", weights.foldLeft(lit(defaultWeight)) {
+        case (acc, (s, w)) => when(col("source") === s, lit(w)).otherwise(acc)
+      })
+      .withColumn("target_units",
+        round(lit(unitBudget.toDouble) * col("weight")).cast("long"))
+      .withColumn("epochs",
+        round(col("target_units").cast("double") / col("n_units"), 4))
+      .withColumn("mode",
+        when(col("epochs") > 1.0, lit("upsample")).otherwise(lit("downsample")))
+  }
 }

@@ -268,6 +268,71 @@ object TextOps {
 
   def normalizedHash(text: Column): Column = md5(normalizeText(text))
 
+  /** URL decomposition for provenance filtering: scheme, lowercased host
+    * (port stripped), naive registered domain (last two host labels), tld,
+    * path, and a normalized form (lowercased scheme+host, query/fragment
+    * dropped, trailing slash trimmed) whose hash is the cross-crawl dedup
+    * key. Pure regexp column expressions — map-only, no shuffle; patterns
+    * avoid lookaround so Java regex and RE2-family engines agree.
+    */
+  def urlParts(df: DataFrame, urlCol: String, idCols: Seq[String]): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1), ":[0-9]+$", ""))
+    val path = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    df.select(
+      idCols.map(col) ++ Seq(
+        scheme.as("scheme"),
+        host.as("host"),
+        regexp_extract(host, "([a-z0-9-]+\\.[a-z0-9-]+)$", 1).as("domain"),
+        regexp_extract(host, "\\.([a-z0-9-]+)$", 1).as("tld"),
+        path.as("path"),
+        concat(scheme, lit("://"), host, regexp_replace(path, "/$", ""))
+          .as("norm_url")): _*)
+  }
+
+  /** Domain-blocklist predicate over [[urlParts]]-shaped rows: TRUE when
+    * the registered domain is on the list. Broadcast-friendly by
+    * construction — the list compiles into the predicate itself, so at any
+    * scale this is a pushed-down filter, not a join. For list sizes beyond
+    * what a predicate should hold, broadcast-join a blocklist table on
+    * `domain` instead.
+    */
+  def domainBlocked(domain: Column, blocklist: Seq[String]): Column =
+    domain.isInCollection(blocklist)
+
+  /** Character-level Shannon entropy (bits/char) — the cheap noise/garbage
+    * signal (binary spew and keyboard-mash score far from prose's ~4.1
+    * bits): per document, the distinct characters, and
+    * −Σ p(c)·log p(c) over them. Determinism: each character's term is
+    * quantized to integer micro-nats and the terms summed exactly in
+    * sorted-character order, then converted to bits with a hardcoded ln 2
+    * — the [[bigramLmScore]] recipe, so partial-aggregation order can
+    * never flip the 4-dp rounding.
+    *
+    * 100 TB shape: pure column expressions, map-only, no shuffle. Cost is
+    * O(distinct·len) per document from the per-character count scans —
+    * fine for prose alphabets (≤~100 distinct); for arbitrary binary-ish
+    * columns switch to an explode + two-level aggregation instead.
+    */
+  def charEntropy(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame = {
+    val cs = filter(split(col(textCol), ""), c => c =!= lit(""))
+    val n = size(cs).cast("double")
+    val dist = array_sort(array_distinct(cs))
+    val termMicro = transform(dist, { c =>
+      val p = size(filter(cs, x => x === c)).cast("double") / n
+      round(-p * log(p) * lit(1e6)).cast("long")
+    })
+    df.select(
+      idCols.map(col) ++ Seq(
+        n.cast("long").as("n_chars"),
+        size(dist).cast("long").as("n_distinct"),
+        round(
+          aggregate(termMicro, lit(0L), (a, x) => a + x).cast("double") /
+            1e6 / lit(0.6931471805599453), 4).as("entropy_bits")): _*)
+  }
+
   /** Corpus rollup statistics: doc count, token sum, and mean quality-proxy
     * (alpha ratio) at every level of (source, lang) — per pair, per source
     * subtotal, grand total (`ROLLUP`). The missing-level markers are

@@ -814,4 +814,88 @@ class OpsSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(again != other)
   }
+
+  test("mixing manifest computes inventory, targets, and epochs per source") {
+    import graft.ops.Sampling
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      (1L, "web", 100L), (2L, "web", 300L),
+      (3L, "wiki", 50L), (4L, "code", 150L)).toDF("id", "src", "n_tok")
+    val m = Sampling.mixingManifest(
+        rows, "src", "n_tok", Map("web" -> 0.5, "wiki" -> 0.4),
+        defaultWeight = 0.1, unitBudget = 1000L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(m("web").getAs[Long]("n_docs") == 2L)
+    assert(m("web").getAs[Long]("n_units") == 400L)
+    assert(m("web").getAs[Double]("corpus_share") == 0.6667)
+    assert(m("web").getAs[Long]("target_units") == 500L)
+    assert(m("web").getAs[Double]("epochs") == 1.25)
+    assert(m("web").getAs[String]("mode") == "upsample")
+    assert(m("wiki").getAs[Long]("target_units") == 400L)
+    assert(m("wiki").getAs[Double]("epochs") == 8.0)
+    assert(m("code").getAs[Long]("target_units") == 100L)
+    assert(m("code").getAs[String]("mode") == "downsample")
+  }
+
+  test("char entropy: uniform text maxes out, constant text scores zero") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      (1L, "abcd"),     // 4 distinct, uniform -> exactly 2 bits
+      (2L, "aaaa"),     // 1 distinct -> 0 bits
+      (3L, "aabb"),     // 2 distinct, uniform -> 1 bit
+      (4L, "")          // empty -> 0 chars, 0 bits
+    ).toDF("doc_id", "text")
+    val e = TextOps.charEntropy(rows, "text", Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(e(1L).getAs[Double]("entropy_bits") == 2.0)
+    assert(e(1L).getAs[Long]("n_distinct") == 4L)
+    assert(e(2L).getAs[Double]("entropy_bits") == 0.0)
+    assert(e(3L).getAs[Double]("entropy_bits") == 1.0)
+    assert(e(4L).getAs[Long]("n_chars") == 0L)
+    assert(e(4L).getAs[Double]("entropy_bits") == 0.0)
+  }
+
+  test("dedup apply keeps one canonical row per cluster with drop counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    // pairs: {1,2,4} one cluster; 3 and 5 singletons
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
+    val corpus = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")).toDF("doc_id", "v")
+    val kept = Cluster.dedupApply(corpus, "doc_id", pairs, "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("v"), r.getAs[Long]("n_dropped"))).toMap
+    assert(kept.keySet == Set(1L, 3L, 5L))
+    assert(kept(1L) == ("a", 2L)) // absorbed docs 2 and 4
+    assert(kept(3L) == ("c", 0L))
+    assert(kept(5L) == ("e", 0L))
+  }
+
+  test("url parts decomposes scheme/host/domain/tld/path and normalizes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/a/b/?q=1#frag"),
+      (2L, "http://sub.site.co.uk/page"),
+      (3L, "not a url at all")).toDF("id", "url")
+    val p = TextOps.urlParts(rows, "url", Seq("id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(p(1L).getAs[String]("scheme") == "https")
+    assert(p(1L).getAs[String]("host") == "www.example.com")
+    assert(p(1L).getAs[String]("domain") == "example.com")
+    assert(p(1L).getAs[String]("tld") == "com")
+    assert(p(1L).getAs[String]("path") == "/a/b/")
+    assert(p(1L).getAs[String]("norm_url") == "https://www.example.com/a/b")
+    assert(p(2L).getAs[String]("domain") == "co.uk") // naive last-two-labels
+    assert(p(2L).getAs[String]("tld") == "uk")
+    assert(p(3L).getAs[String]("scheme") == "")
+    assert(p(3L).getAs[String]("host") == "")
+    // blocklist predicate
+    val blocked = TextOps.urlParts(rows, "url", Seq("id"))
+      .withColumn("b", TextOps.domainBlocked(col("domain"), Seq("example.com")))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("b")).toMap
+    assert(blocked == Map(1L -> true, 2L -> false, 3L -> false))
+  }
 }
