@@ -139,7 +139,11 @@ object TextOps {
         array_join(
           array_sort(array_distinct(transform(
             sequence(lit(1), greatest(size(col("__grams")) - (w - 1), lit(1))),
-            i => array_min(slice(col("__grams"), i, lit(w)))))),
+            // min over the w-wide window as a direct least() of w lookups —
+            // no per-position slice allocation; try_element_at so a
+            // shorter-than-w gram list yields NULLs that least() skips
+            i => least(
+              (0 until w).map(d => try_element_at(col("__grams"), i + lit(d))): _*)))),
           "|").as("winnow_fp"))
   }
 

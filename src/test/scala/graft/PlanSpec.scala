@@ -104,7 +104,8 @@ class PlanSpec extends SparkSuite {
     // no black-box UDF the optimizer can't see through
     Seq("q26_text_tokens", "q27_text_quality", "q28_text_langid_fp",
       "q29_text_sketch", "q30_multimodal_meta", "q41_stratified_sample",
-      "q54_normalize_text", "q55_winnowing").foreach { name =>
+      "q54_normalize_text", "q55_winnowing", "q59_char_entropy",
+      "q61_url_parts").foreach { name =>
       val plan = Queries.all.find(_.name == name).get
         .build(spark, sfDir).queryExecution.executedPlan
       assert(shuffles(plan) == 0, s"$name shuffles:\n$plan")
