@@ -2,7 +2,7 @@ package graft
 
 import graft.client.{GraftClient, Metrics}
 import graft.engine.{EventTime, TemporalJoin}
-import graft.ops.{Cluster, Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Cluster, Dedup, Multimodal, Sampling, Sessions, Similarity, Sketch, TextOps}
 import graft.table._
 import graft.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -1462,13 +1462,57 @@ object Queries {
           IN ('src0.org', 'src1.org') AS blocked
       FROM x"""))
 
+  /** KMV distinct-token sketch per source — md5-based, so the sketch
+    * itself (not just the estimate) hash-matches cross-engine.
+    */
+  private val q62 = Q(
+    "q62_distinct_sketch",
+    (spark, dir) => {
+      val toks = pq(spark, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      Sketch.distinctSketch(toks, "source", col("tok"), 64)
+        .withColumnRenamed("grp", "source")
+    },
+    Some("""WITH t AS (SELECT source, unnest(string_split(trim(text), ' ')) tok
+        FROM documents),
+      d AS (SELECT DISTINCT source, md5(tok) h FROM t),
+      r AS (SELECT source, h,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) rn FROM d),
+      g AS (SELECT source, COUNT(*) n_kept,
+        MAX(CASE WHEN rn = 64 THEN h END) kth FROM r WHERE rn <= 64 GROUP BY 1)
+      SELECT source, 64 AS k, n_kept::BIGINT AS n_kept, kth AS kth_hash,
+        CAST(CASE WHEN kth IS NULL THEN n_kept
+          ELSE ROUND(63.0 * 4294967296.0 / (('0x' || substr(kth, 1, 8))::UBIGINT + 1.0))
+          END AS BIGINT) AS est_distinct
+      FROM g"""))
+
+  /** Gap-based sessionization of the event stream (30-min gap). */
+  private val q63 = Q(
+    "q63_sessionize",
+    (spark, dir) => {
+      val ev = pq(spark, dir, "events").select(
+        col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_id"))
+      Sessions.sessionize(ev, "user_id", "ts_ms", "event_id", gapMs = 30 * 60 * 1000L)
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) tm, event_id FROM events),
+      l AS (SELECT user_id, tm, event_id,
+        CASE WHEN tm - LAG(tm) OVER w > 1800000 OR LAG(tm) OVER w IS NULL
+          THEN 1 ELSE 0 END ns
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm, event_id)),
+      s AS (SELECT user_id, tm, SUM(ns) OVER (PARTITION BY user_id
+        ORDER BY tm, event_id ROWS UNBOUNDED PRECEDING) session_idx FROM l)
+      SELECT user_id, session_idx::BIGINT AS session_idx,
+        COUNT(*)::BIGINT AS n_events, MIN(tm) AS start_ms, MAX(tm) AS end_ms,
+        (MAX(tm) - MIN(tm)) AS duration_ms
+      FROM s GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

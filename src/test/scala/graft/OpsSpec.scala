@@ -873,6 +873,44 @@ class OpsSpec extends SparkSuite {
     assert(kept(5L) == ("e", 0L))
   }
 
+  test("kmv sketch: exact under k, within estimator error above k") {
+    import graft.ops.Sketch
+    val spark2 = spark
+    import spark2.implicits._
+    // group "small": 5 distinct values (< k) -> exact; "big": 1000 distinct
+    val rows = ((1 to 5).map(i => ("small", s"v$i")) ++
+      (1 to 3000).map(i => ("big", s"w${i % 1000}"))).toDF("grp", "v")
+    val s = Sketch.distinctSketch(rows, "grp", col("v"), k = 64)
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(s("small").getAs[Long]("n_kept") == 5L)
+    assert(s("small").getAs[Long]("est_distinct") == 5L)
+    assert(s("small").isNullAt(s("small").fieldIndex("kth_hash")))
+    assert(s("big").getAs[Long]("n_kept") == 64L)
+    val est = s("big").getAs[Long]("est_distinct")
+    // KMV relative stderr ~ 1/sqrt(k-2) = 12.7%; allow 3 sigma
+    assert(est > 600 && est < 1400, s"estimate $est far from 1000")
+  }
+
+  test("sessionize splits on gaps and aggregates per session") {
+    import graft.ops.Sessions
+    val spark2 = spark
+    import spark2.implicits._
+    val ev = Seq(
+      (1L, 0L, 10L), (1L, 10000L, 11L), (1L, 20000L, 12L), // session 1
+      (1L, 120000L, 13L),                                  // gap 100s -> session 2
+      (2L, 5000L, 20L)                                     // lone event
+    ).toDF("user_id", "ts_ms", "event_id")
+    val s = Sessions.sessionize(ev, "user_id", "ts_ms", "event_id", gapMs = 30000L)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) -> r).toMap
+    assert(s.keySet == Set((1L, 1L), (1L, 2L), (2L, 1L)))
+    assert(s((1L, 1L)).getAs[Long]("n_events") == 3L)
+    assert(s((1L, 1L)).getAs[Long]("duration_ms") == 20000L)
+    assert(s((1L, 2L)).getAs[Long]("n_events") == 1L)
+    assert(s((1L, 2L)).getAs[Long]("start_ms") == 120000L)
+    assert(s((2L, 1L)).getAs[Long]("duration_ms") == 0L)
+  }
+
   test("url parts decomposes scheme/host/domain/tld/path and normalizes") {
     val spark2 = spark
     import spark2.implicits._

@@ -113,6 +113,12 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("sessionize shares one exchange across lag, cumsum, and final agg") {
+    val plan = Queries.all.find(_.name == "q63_sessionize").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    assert(shuffles(plan) == 1, s"q63 should shuffle exactly once:\n$plan")
+  }
+
   test("segment dedup joins the boilerplate set back as a broadcast") {
     // the threshold-pruned boilerplate hash set must broadcast onto the
     // exploded segments — a sort-merge join there would shuffle the corpus
