@@ -66,10 +66,17 @@ class PlanSpec extends SparkSuite {
     // these see only the post-cache work (the cache itself holds the one
     // source scan + the map-side-combined pre-agg shuffle + the keys
     // repartition, shared by every consumer)
-    def exchanges(p: org.apache.spark.sql.execution.SparkPlan) =
-      p.collect { case e: ShuffleExchangeExec => e }.size
-    def scans(p: org.apache.spark.sql.execution.SparkPlan) =
-      p.collect { case s: FileSourceScanExec => s }.size
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case _: ShuffleExchangeExec => 1
+        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      }.sum
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case _: FileSourceScanExec => 1
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      }.sum
 
     val one = build("one", Seq(2.days))
     val three = build("three", Seq(1.day, 2.days, 7.days))
@@ -82,10 +89,17 @@ class PlanSpec extends SparkSuite {
       s"expected <=2 post-cache exchanges, got ${exchanges(three)}:\n$three")
   }
 
+  /** Count shuffle exchanges, descending into AQE wrappers —
+    * `AdaptiveSparkPlanExec` has no tree children, so a plain `collect`
+    * sees zero nodes of any adaptive plan and every count-based assertion
+    * would pass vacuously.
+    */
   private def shuffles(plan: org.apache.spark.sql.execution.SparkPlan): Int =
     plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }.size
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        shuffles(a.executedPlan)
+    }.sum
 
   test("lookup join never shuffles the fact side") {
     graft.client.MemoryOnlineStore.clear()
