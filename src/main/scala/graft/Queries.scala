@@ -2,7 +2,7 @@ package graft
 
 import graft.client.{GraftClient, Metrics}
 import graft.engine.{EventTime, TemporalJoin}
-import graft.ops.{Cluster, Dedup, Multimodal, Sampling, Sessions, Similarity, Sketch, TextOps}
+import graft.ops.{Cluster, Corpus, Dedup, Multimodal, Sampling, Sessions, Similarity, Sketch, TextOps}
 import graft.table._
 import graft.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -1506,13 +1506,71 @@ object Queries {
         (MAX(tm) - MIN(tm)) AS duration_ms
       FROM s GROUP BY 1, 2"""))
 
+  /** Per-source token-distribution KL divergence vs the whole corpus. */
+  private val q64 = Q(
+    "q64_token_kl",
+    (spark, dir) =>
+      TextOps.tokenKlDivergence(pq(spark, dir, "documents"), "text", "source", 200)
+        .withColumnRenamed("grp", "source"),
+    Some("""WITH t AS (SELECT source, unnest(string_split(trim(text), ' ')) tok
+        FROM documents),
+      cg AS (SELECT source, tok, COUNT(*) c FROM t GROUP BY 1, 2),
+      ct AS (SELECT tok, SUM(c) c FROM cg GROUP BY 1),
+      top AS (SELECT tok FROM ct ORDER BY c DESC, tok LIMIT 200),
+      cgb AS (SELECT source,
+          CASE WHEN top.tok IS NOT NULL THEN cg.tok ELSE '<other>' END b, SUM(c) c
+        FROM cg LEFT JOIN top ON cg.tok = top.tok GROUP BY 1, 2),
+      cb AS (SELECT b, SUM(c) cq FROM cgb GROUP BY 1),
+      ng AS (SELECT source, SUM(c) n FROM cgb GROUP BY 1),
+      nn AS (SELECT SUM(cq) nt FROM cb),
+      s AS (SELECT cgb.source, SUM(CAST(ROUND(
+            (cgb.c::DOUBLE / ng.n) *
+            ln((cgb.c::DOUBLE / ng.n) / (cb.cq::DOUBLE / nn.nt)) * 1000000)
+          AS BIGINT)) s
+        FROM cgb JOIN cb USING (b) JOIN ng USING (source) CROSS JOIN nn GROUP BY 1)
+      SELECT s.source, ng.n::BIGINT AS n_tokens,
+        (CASE WHEN s >= 0 THEN (2*s + 100) // 200
+          ELSE -((-2*s + 100) // 200) END) / 10000.0 AS kl_nats
+      FROM s JOIN ng USING (source)"""))
+
+  /** Cross-crawl corpus diff on simulated snapshots: ids %5==0 exist only
+    * in the new crawl (added), %7==0 only in the old (removed), %3==0 get
+    * a content edit (changed), the rest are unchanged.
+    */
+  private val q65 = Q(
+    "q65_corpus_diff",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+      val old = docs.filter(col("doc_id") % 5 =!= 0)
+      val cur = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" zedit")))
+            .otherwise(col("text")))
+      Corpus.diff(old, cur, "doc_id", "text")
+    },
+    Some("""WITH old AS (SELECT doc_id,
+        md5(trim(regexp_replace(regexp_replace(lower(text),
+          '[.,!?;:''"()\[\]{}]', '', 'g'), ' +', ' ', 'g'))) h FROM documents
+        WHERE doc_id % 5 <> 0),
+      cur AS (SELECT doc_id,
+        md5(trim(regexp_replace(regexp_replace(lower(
+          CASE WHEN doc_id % 3 = 0 THEN text || ' zedit' ELSE text END),
+          '[.,!?;:''"()\[\]{}]', '', 'g'), ' +', ' ', 'g'))) h FROM documents
+        WHERE doc_id % 7 <> 0)
+      SELECT COALESCE(old.doc_id, cur.doc_id) AS id,
+        CASE WHEN old.doc_id IS NULL THEN 'added'
+          WHEN cur.doc_id IS NULL THEN 'removed'
+          WHEN old.h = cur.h THEN 'unchanged'
+          ELSE 'changed' END AS status
+      FROM old FULL OUTER JOIN cur ON old.doc_id = cur.doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

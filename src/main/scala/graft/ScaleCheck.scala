@@ -145,8 +145,25 @@ object ScaleCheck {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def klTime(df: DataFrame, tag: String): Double = {
+      // per-replica sources so the group count scales with the data
+      val t0 = System.nanoTime()
+      graft.ops.TextOps.tokenKlDivergence(df
+          .withColumn("source", concat(col("source"), lit("_"), col("doc_id") % 4)),
+          "text", "source", 200)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sessionTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Sessions.sessionize(
+          df.select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_id")),
+          "user_id", "ts_ms", "event_id", 30 * 60 * 1000L)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     for ((name, f) <- Seq(
-      ("segdup", segdupTime _), ("bigram_lm", bigramTime _))) {
+      ("segdup", segdupTime _), ("bigram_lm", bigramTime _), ("token_kl", klTime _))) {
       val t1 = f(doc1, s"${name}_1")
       val tN = f(docN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
@@ -154,7 +171,8 @@ object ScaleCheck {
 
     for ((name, f) <- Seq(
       ("sliding", slidingTime _), ("over", overTime _), ("pit", pitTime _),
-      ("lookup", lookupTime _), ("cluster", clusterTime _))) {
+      ("lookup", lookupTime _), ("cluster", clusterTime _),
+      ("sessionize", sessionTime _))) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")

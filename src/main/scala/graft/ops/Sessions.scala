@@ -5,8 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Gap-based sessionization of an event stream (batch form): events of one
-  * key belong to the same session while consecutive gaps stay within
-  * `gapMs`; a longer gap opens a new session. The classic
+  * key belong to the same session while consecutive gaps stay within `gapMs`
+  * (inclusive); a strictly larger gap opens a new session — the same
+  * boundary rule as Spark's `session_window`, which merges sessions whose
+  * padded windows touch (events at exactly `gap` apart share a session),
+  * so [[graft.streaming.StreamingSessions]] produces identical sessions
+  * on the same data (asserted by DifferentialSpec). The classic
   * behavioral-feature primitive (session length / depth / recency feed
   * downstream feature views).
   */

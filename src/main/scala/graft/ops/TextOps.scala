@@ -372,6 +372,54 @@ object TextOps {
           .as("mean_alpha_ratio"))
   }
 
+  /** Token-distribution drift per group: KL(P_group ‖ P_corpus) over the
+    * top-V global vocabulary, with all remaining tokens massed into an
+    * `<other>` bucket so both distributions sum to 1 and the truncation is
+    * principled (not a silent drop). The mixing/quality diagnostic that
+    * flags a source whose language diverges from the corpus it feeds.
+    *
+    * Determinism: p, q, and p/q are single divides of exact integers; each
+    * bucket's p·ln(p/q) term is quantized to integer micro-nats and summed
+    * exactly; the 4-dp rounding of the (possibly slightly negative, from
+    * per-term rounding) total is sign-split integer arithmetic — the
+    * [[bigramLmScore]] recipe end to end.
+    *
+    * 100 TB shape: (group, token) counts with map-side combine; the global
+    * vocabulary re-aggregates THOSE counts (never rescans the corpus); the
+    * top-V rank is a distributed TakeOrdered, not a single-partition
+    * window; top-V broadcasts onto the group counts. Everything after the
+    * first count aggregation is vocabulary-sized, not corpus-sized.
+    */
+  def tokenKlDivergence(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      topV: Int): DataFrame = {
+    require(topV > 0, s"topV $topV must be positive")
+    val toks = df.select(
+      col(groupCol).as("grp"), explode(tokens(col(textCol))).as("tok"))
+    val cg = toks.groupBy("grp", "tok").agg(count(lit(1)).as("c"))
+    val ct = cg.groupBy("tok").agg(sum("c").as("c"))
+    val top = ct.orderBy(col("c").desc, col("tok")).limit(topV)
+      .select(col("tok"), lit(true).as("istop"))
+    val cgb = cg.join(broadcast(top), Seq("tok"), "left")
+      .withColumn("b", when(col("istop"), col("tok")).otherwise(lit("<other>")))
+      .groupBy("grp", "b").agg(sum("c").as("c"))
+    val cb = cgb.groupBy("b").agg(sum("c").as("cq"))
+    val ng = cgb.groupBy("grp").agg(sum("c").as("n"))
+    val nn = cb.agg(sum("cq").as("nt"))
+    val s = cgb.join(cb, "b").join(ng, "grp").crossJoin(broadcast(nn))
+      .withColumn("m", round(
+        (col("c") / col("n")) *
+          log((col("c") / col("n")) / (col("cq") / col("nt"))) * 1e6).cast("long"))
+      .groupBy("grp").agg(sum("m").as("s"))
+    s.join(ng, "grp").select(
+      col("grp"),
+      col("n").cast("long").as("n_tokens"),
+      (expr("CASE WHEN s >= 0 THEN (2*s + 100) div 200" +
+        " ELSE -((-2*s + 100) div 200) END") / 1e4).as("kl_nats"))
+  }
+
   /** Per-group document-length percentiles (p50/p90/p99 of whitespace
     * token counts) — the profiling pass behind length-filter thresholds.
     * Spark's exact `percentile` and DuckDB's `quantile_cont` share the

@@ -296,4 +296,53 @@ class DifferentialSpec extends SparkSuite {
       } finally query.stop()
     }
   }
+
+  test("sessionization: streaming session_window equals the batch operator") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed + 300)
+      val rows = randomRows(rnd, 25)
+      val gap = (rnd.nextInt(4) + 2).toLong * minute
+
+      val expected = graft.ops.Sessions.sessionize(
+          rows.toDF("k", "v", "t_ms").selectExpr("k", "t_ms", "v"),
+          "k", "t_ms", "v", gap)
+        .selectExpr("k", "start_ms", "end_ms", "n_events", "duration_ms")
+        .orderBy("k", "start_ms")
+        .collect().map(_.toSeq.toList).toSeq
+
+      val stream = MemoryStream[(String, Long, Long)]
+      val streamed = StreamingSessionsFixture.build(
+        stream.toDF().toDF("k", "v", "t_ms"), gap)
+      val query = streamed.writeStream.format("memory")
+        .queryName(s"sess_out_$seed").outputMode("append").start()
+      try {
+        timeChunks(rnd, rows).foreach { chunk =>
+          stream.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+        stream.addData(("zz", 1L, 10000L * minute)) // drain all sessions
+        query.processAllAvailable()
+        val got = spark.sql(
+            s"SELECT k, start_ms, end_ms, n_events, duration_ms " +
+              s"FROM sess_out_$seed WHERE k <> 'zz' ORDER BY k, start_ms")
+          .collect().map(_.toSeq.toList).toSeq
+        assert(got == expected, s"seed=$seed gap=${gap / minute}m")
+      } finally query.stop()
+    }
+  }
+}
+
+/** Adapter shared by the sessionization differential test: epoch-ms longs
+  * → timestamp column → streaming sessionize → ms longs back.
+  */
+private object StreamingSessionsFixture {
+  def build(df: org.apache.spark.sql.DataFrame, gapMs: Long): org.apache.spark.sql.DataFrame =
+    graft.streaming.StreamingSessions.sessionize(
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(
+        org.apache.spark.sql.functions.col("t_ms"))),
+      "k", "ts", scala.concurrent.duration.Duration(gapMs, "ms"),
+      scala.concurrent.duration.Duration.Zero)
 }

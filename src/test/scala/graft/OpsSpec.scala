@@ -911,6 +911,23 @@ class OpsSpec extends SparkSuite {
     assert(s((2L, 1L)).getAs[Long]("duration_ms") == 0L)
   }
 
+  test("corpus diff classifies added/removed/changed/unchanged") {
+    import graft.ops.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val old = Seq(
+      (1L, "same text"), (2L, "will change"), (3L, "gets removed"),
+      (4L, "Same, TEXT!")).toDF("doc_id", "text")
+    val cur = Seq(
+      (1L, "same text"), (2L, "has changed"), (5L, "brand new"),
+      (4L, "same text")).toDF("doc_id", "text") // 4: normalization-equal
+    val d = Corpus.diff(old, cur, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(d == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
   test("url parts decomposes scheme/host/domain/tld/path and normalizes") {
     val spark2 = spark
     import spark2.implicits._
