@@ -591,6 +591,37 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("map-only text ops run unchanged on an unbounded source") {
+    // stream-batch unification for the pipeline family: every zero-shuffle
+    // operator (quality, gopher, entropy, URL, normalization) is a pure
+    // column projection, so the SAME code plans on a streaming DataFrame
+    // with no watermark, state, or output-mode constraints
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().toDF("doc_id", "text")
+    val out = graft.ops.TextOps.charEntropy(df, "text", Seq("doc_id"))
+      .join(
+        graft.ops.TextOps.gopherRules(df, "text", Seq("doc_id"))
+          .select("doc_id", "keep"), "doc_id")
+    assert(out.isStreaming, "text ops should preserve streaming-ness")
+    val query = graft.ops.TextOps.charEntropy(df, "text", Seq("doc_id"))
+      .writeStream.format("memory").queryName("txt_stream_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "abcd"), (2L, "aaaa"))
+      query.processAllAvailable()
+      stream.addData((3L, "aabb"))
+      query.processAllAvailable()
+      val got = spark.sql(
+          "SELECT doc_id, entropy_bits FROM txt_stream_out ORDER BY doc_id")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == Map(1L -> 2.0, 2L -> 0.0, 3L -> 1.0))
+    } finally query.stop()
+  }
+
   test("streaming temporal join matches the batch F3 golden") {
     val spark2 = spark
     import spark2.implicits._
