@@ -1374,19 +1374,16 @@ object Queries {
     "q59_char_entropy",
     (spark, dir) =>
       TextOps.charEntropy(pq(spark, dir, "documents"), "text", Seq("doc_id")),
-    Some("""WITH c AS (SELECT doc_id,
-        list_filter(string_split(text, ''), x -> x <> '') cs FROM documents),
-      d AS (SELECT doc_id, cs, len(cs)::DOUBLE n,
-        list_sort(list_distinct(cs)) dist FROM c),
-      t AS (SELECT doc_id, n, len(dist)::BIGINT nd,
-        COALESCE(list_sum(list_transform(dist, ch ->
-          CAST(ROUND(-(len(list_filter(cs, x -> x = ch))::DOUBLE / n) *
-            ln(len(list_filter(cs, x -> x = ch))::DOUBLE / n) * 1000000)
-            AS BIGINT))), 0) s
-        FROM d)
-      SELECT doc_id, n::BIGINT AS n_chars, nd AS n_distinct,
-        ROUND(s::DOUBLE / 1000000.0 / 0.6931471805599453, 4) AS entropy_bits
-      FROM t"""))
+    Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) ch
+        FROM documents),
+      g1 AS (SELECT doc_id, ch, COUNT(*) c FROM ch WHERE ch <> '' GROUP BY 1, 2),
+      g2 AS (SELECT doc_id, SUM(c) n, COUNT(*) nd,
+        SUM(CAST(ROUND(c * ln(c) * 1000000) AS BIGINT)) s FROM g1 GROUP BY 1)
+      SELECT d.doc_id, COALESCE(g2.n, 0)::BIGINT AS n_chars,
+        COALESCE(g2.nd, 0)::BIGINT AS n_distinct,
+        COALESCE(ROUND((ln(g2.n) - g2.s::DOUBLE / 1000000.0 / g2.n) /
+          0.6931471805599453, 4), 0.0) AS entropy_bits
+      FROM documents d LEFT JOIN g2 USING (doc_id)"""))
 
   /** End-to-end near-dup removal: q42's clusters applied — surviving
     * corpus rows with the count of duplicates each absorbed.

