@@ -1561,13 +1561,36 @@ object Queries {
           ELSE 'changed' END AS status
       FROM old FULL OUTER JOIN cur ON old.doc_id = cur.doc_id"""))
 
+  /** Int8 embedding quantization with reconstruction-error audit. */
+  private val q66 = Q(
+    "q66_quantize_int8",
+    (spark, dir) =>
+      Similarity.quantizeInt8(pq(spark, dir, "embeddings"), "vec_id", "embedding")
+        .withColumn("q_str", array_join(col("q"), ","))
+        .drop("q"),
+    Some("""WITH b AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      s AS (SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) / 127.0 scale FROM b),
+      qq AS (SELECT vec_id, v, scale,
+        CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+          ELSE list_transform(v, x -> CAST(ROUND(x / scale) AS INT)) END q
+        FROM s),
+      e AS (SELECT vec_id, scale, q,
+        list_sum(list_transform(generate_series(1, len(v)), i ->
+          CAST(ROUND((v[i] - q[i] * scale) * (v[i] - q[i] * scale) * 1e12)
+            AS BIGINT))) ep,
+        len(v) d FROM qq)
+      SELECT vec_id, scale,
+        ROUND(sqrt(ep::DOUBLE / 1e12 / d), 6) AS rmse,
+        array_to_string(q, ',') AS q_str FROM e"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

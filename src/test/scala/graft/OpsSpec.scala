@@ -911,6 +911,22 @@ class OpsSpec extends SparkSuite {
     assert(s((2L, 1L)).getAs[Long]("duration_ms") == 0L)
   }
 
+  test("int8 quantization: exact codes, small rmse, zero-vector safe") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = graft.ops.Similarity.quantizeInt8(rows, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(q(1L).getAs[scala.collection.Seq[Int]]("q").toList == List(127, -64, 32, 0))
+    assert(math.abs(q(1L).getAs[Double]("scale") - 1.0 / 127) < 1e-12)
+    val rmse = q(1L).getAs[Double]("rmse")
+    assert(rmse > 0 && rmse < 1.0 / 127, s"rmse $rmse out of range")
+    assert(q(2L).getAs[scala.collection.Seq[Int]]("q").toList == List(0, 0, 0, 0))
+    assert(q(2L).getAs[Double]("rmse") == 0.0)
+  }
+
   test("corpus diff classifies added/removed/changed/unchanged") {
     import graft.ops.Corpus
     val spark2 = spark
