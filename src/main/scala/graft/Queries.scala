@@ -1378,12 +1378,15 @@ object Queries {
         FROM documents),
       g1 AS (SELECT doc_id, ch, COUNT(*) c FROM ch WHERE ch <> '' GROUP BY 1, 2),
       g2 AS (SELECT doc_id, SUM(c) n, COUNT(*) nd,
-        SUM(CAST(ROUND(c * ln(c) * 1000000) AS BIGINT)) s FROM g1 GROUP BY 1)
-      SELECT d.doc_id, COALESCE(g2.n, 0)::BIGINT AS n_chars,
-        COALESCE(g2.nd, 0)::BIGINT AS n_distinct,
-        COALESCE(ROUND((ln(g2.n) - g2.s::DOUBLE / 1000000.0 / g2.n) /
-          0.6931471805599453, 4), 0.0) AS entropy_bits
-      FROM documents d LEFT JOIN g2 USING (doc_id)"""))
+        SUM(CAST(ROUND(c * ln(c) * 1000000) AS BIGINT)) s FROM g1 GROUP BY 1),
+      g3 AS (SELECT doc_id, n, nd,
+        CAST(ROUND((ln(n) - s::DOUBLE / 1000000.0 / n) /
+          0.6931471805599453 * 1000000) AS BIGINT) em FROM g2)
+      SELECT d.doc_id, COALESCE(g3.n, 0)::BIGINT AS n_chars,
+        COALESCE(g3.nd, 0)::BIGINT AS n_distinct,
+        COALESCE((CASE WHEN em >= 0 THEN (2 * em + 100) // 200
+          ELSE -((-2 * em + 100) // 200) END) / 10000.0, 0.0) AS entropy_bits
+      FROM documents d LEFT JOIN g3 USING (doc_id)"""))
 
   /** End-to-end near-dup removal: q42's clusters applied — surviving
     * corpus rows with the count of duplicates each absorbed.
@@ -1557,7 +1560,7 @@ object Queries {
       SELECT COALESCE(old.doc_id, cur.doc_id) AS id,
         CASE WHEN old.doc_id IS NULL THEN 'added'
           WHEN cur.doc_id IS NULL THEN 'removed'
-          WHEN old.h = cur.h THEN 'unchanged'
+          WHEN old.h IS NOT DISTINCT FROM cur.h THEN 'unchanged'
           ELSE 'changed' END AS status
       FROM old FULL OUTER JOIN cur ON old.doc_id = cur.doc_id"""))
 

@@ -239,12 +239,15 @@ object Cluster {
       aCol: String,
       bCol: String): DataFrame = {
     val assign = dedupAssign(corpus.select(idCol), idCol, pairs, aCol, bCol)
+    // canonical = min id PRESENT IN THE CORPUS, not the component label:
+    // when pairs were computed on a superset (e.g. pre-filter), a cluster
+    // whose labeling minimum was filtered out must still keep one survivor
     val survivors = assign
       .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("__csize"))
-      .select(
-        col("cluster").as(idCol),
-        (col("__csize") - 1).cast("long").as("n_dropped"))
+      .agg(
+        min(col("id")).as(idCol),
+        (count(lit(1)) - 1).cast("long").as("n_dropped"))
+      .drop("cluster")
     corpus.join(survivors, Seq(idCol))
   }
 }

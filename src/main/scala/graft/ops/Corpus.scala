@@ -28,14 +28,21 @@ object Corpus {
       cur: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    def hashed(df: DataFrame, h: String) =
-      df.select(col(idCol).as("id"), TextOps.normalizedHash(col(textCol)).as(h))
-    hashed(old, "h_old").join(hashed(cur, "h_cur"), Seq("id"), "full_outer")
+    // presence is tracked explicitly, NOT via hash nullness — a NULL text
+    // hashes to NULL and would otherwise fake an absent side; comparison
+    // is null-safe so two NULL texts compare unchanged
+    def hashed(df: DataFrame, h: String, p: String) =
+      df.select(
+        col(idCol).as("id"),
+        TextOps.normalizedHash(col(textCol)).as(h),
+        lit(true).as(p))
+    hashed(old, "h_old", "in_old")
+      .join(hashed(cur, "h_cur", "in_cur"), Seq("id"), "full_outer")
       .select(
         col("id"),
-        when(col("h_old").isNull, lit("added"))
-          .when(col("h_cur").isNull, lit("removed"))
-          .when(col("h_old") === col("h_cur"), lit("unchanged"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_cur").isNull, lit("removed"))
+          .when(col("h_old") <=> col("h_cur"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 }

@@ -39,7 +39,11 @@ object Sketch {
       value: Column,
       k: Int): DataFrame = {
     require(k >= 2, s"k $k must be >= 2")
-    val d = df.select(col(groupCol).as("grp"), md5(value).as("h")).distinct()
+    // NULLs are ignored (count-distinct semantics): md5(NULL) = NULL would
+    // otherwise claim a k-slot under Spark's NULLS FIRST ordering while
+    // DuckDB sorts it last — corrupting the k-th hash on both counts
+    val d = df.select(col(groupCol).as("grp"), md5(value).as("h"))
+      .filter(col("h").isNotNull).distinct()
     d.withColumn("rn", row_number().over(Window.partitionBy("grp").orderBy("h")))
       .filter(col("rn") <= k)
       .groupBy("grp")

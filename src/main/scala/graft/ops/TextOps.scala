@@ -335,13 +335,23 @@ object TextOps {
       sum("c").as("n"),
       count(lit(1)).as("nd"),
       sum(round(col("c") * log(col("c")) * 1e6).cast("long")).as("s"))
+    // quantize to integer MICRO-bits first, then 4-dp via sign-split
+    // integer division — a raw round(double, 4) is the cross-engine
+    // rounding-procedure boundary class that bit q47 at sf0.1; a micro-level
+    // boundary only flips the 4-dp value if the micro int also sits exactly
+    // on the division boundary (compound-improbable)
+    val eMicro = round(
+      (log(col("n")) - col("s").cast("double") / 1e6 / col("n")) /
+        lit(0.6931471805599453) * 1e6).cast("long")
     df.select(ids: _*).join(g2, idCols, "left")
+      .withColumn("__em", eMicro)
       .select(ids ++ Seq(
         coalesce(col("n"), lit(0L)).cast("long").as("n_chars"),
         coalesce(col("nd"), lit(0L)).cast("long").as("n_distinct"),
-        coalesce(round(
-          (log(col("n")) - col("s").cast("double") / 1e6 / col("n")) /
-            lit(0.6931471805599453), 4), lit(0.0)).as("entropy_bits")): _*)
+        coalesce(
+          expr("CASE WHEN __em >= 0 THEN (2 * __em + 100) div 200" +
+            " ELSE -((-2 * __em + 100) div 200) END") / 1e4,
+          lit(0.0)).as("entropy_bits")): _*)
   }
 
   /** Corpus rollup statistics: doc count, token sum, and mean quality-proxy

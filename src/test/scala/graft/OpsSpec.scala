@@ -911,6 +911,42 @@ class OpsSpec extends SparkSuite {
     assert(s((2L, 1L)).getAs[Long]("duration_ms") == 0L)
   }
 
+  test("dedup apply survives a cluster whose labeling minimum is filtered out") {
+    val spark2 = spark
+    import spark2.implicits._
+    // pairs computed on a superset: doc 1 linked 2 and 3 but was itself
+    // filtered from the corpus — exactly one of {2,3} must still survive
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val corpus = Seq((2L, "b"), (3L, "c"), (5L, "e")).toDF("doc_id", "v")
+    val kept = Cluster.dedupApply(corpus, "doc_id", pairs, "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dropped")).toMap
+    assert(kept == Map(2L -> 1L, 5L -> 0L))
+  }
+
+  test("corpus diff: NULL texts compare by presence, not hash nullness") {
+    import graft.ops.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val old = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Some("x"))).toDF("doc_id", "text")
+    val cur = Seq((1L, Option.empty[String]), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val d = Corpus.diff(old, cur, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "removed", 3L -> "changed"))
+  }
+
+  test("kmv sketch ignores NULL values") {
+    import graft.ops.Sketch
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(("g", Some("a")), ("g", Some("b")), ("g", None))
+      .toDF("grp", "v")
+    val s = Sketch.distinctSketch(rows, "grp", col("v"), k = 64).collect()
+    assert(s.length == 1 && s.head.getAs[Long]("n_kept") == 2L)
+    assert(s.head.getAs[Long]("est_distinct") == 2L)
+  }
+
   test("int8 quantization: exact codes, small rmse, zero-vector safe") {
     val spark2 = spark
     import spark2.implicits._

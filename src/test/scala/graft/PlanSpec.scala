@@ -67,11 +67,7 @@ class PlanSpec extends SparkSuite {
     // source scan + the map-side-combined pre-agg shuffle + the keys
     // repartition, shared by every consumer)
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int =
-      p.collect {
-        case _: ShuffleExchangeExec => 1
-        case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
-      }.sum
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = shuffles(p)
     def scans(p: org.apache.spark.sql.execution.SparkPlan): Int =
       p.collect {
         case _: FileSourceScanExec => 1

@@ -3,6 +3,7 @@ package graft
 import graft.client.GraftClient
 import graft.table._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 import scala.concurrent.duration._
 
@@ -602,23 +603,22 @@ class StreamingSpec extends SparkSuite {
 
     val stream = MemoryStream[(Long, String)]
     val df = stream.toDF().toDF("doc_id", "text")
-    val out = graft.ops.TextOps.charEntropy(df, "text", Seq("doc_id"))
-      .join(
-        graft.ops.TextOps.gopherRules(df, "text", Seq("doc_id"))
-          .select("doc_id", "keep"), "doc_id")
-    assert(out.isStreaming, "text ops should preserve streaming-ness")
-    val query = graft.ops.TextOps.charEntropy(df, "text", Seq("doc_id"))
+    val gopher = graft.ops.TextOps.gopherRules(df, "text", Seq("doc_id"))
+    assert(gopher.isStreaming, "text ops should preserve streaming-ness")
+    val query = df.select(col("doc_id"),
+        graft.ops.TextOps.normalizeText(col("text")).as("norm"),
+        graft.ops.TextOps.fingerprint(col("text")).as("fp"))
       .writeStream.format("memory").queryName("txt_stream_out")
       .outputMode("append").start()
     try {
-      stream.addData((1L, "abcd"), (2L, "aaaa"))
+      stream.addData((1L, "The QUICK, brown fox!"), (2L, "  a  b  "))
       query.processAllAvailable()
-      stream.addData((3L, "aabb"))
+      stream.addData((3L, "third doc"))
       query.processAllAvailable()
       val got = spark.sql(
-          "SELECT doc_id, entropy_bits FROM txt_stream_out ORDER BY doc_id")
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      assert(got == Map(1L -> 2.0, 2L -> 0.0, 3L -> 1.0))
+          "SELECT doc_id, norm FROM txt_stream_out ORDER BY doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "the quick brown fox", 2L -> "a b", 3L -> "third doc"))
     } finally query.stop()
   }
 
