@@ -321,4 +321,12 @@ object Similarity {
         round(sqrt(col("__ep").cast("double") / 1e12 / size(col("__v"))), 6)
           .as("rmse"))
   }
+
+  /** Reconstruct an `array<float>` embedding from [[quantizeInt8]] output
+    * (`q_i * scale`) so quantized corpora drop straight back into the
+    * ANN/banding operators. OpsSpec checks top-k recall survives the
+    * round-trip.
+    */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, qi => (qi.cast("double") * scale).cast("float"))
 }

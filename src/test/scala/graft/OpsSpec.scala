@@ -963,6 +963,29 @@ class OpsSpec extends SparkSuite {
     assert(q(2L).getAs[Double]("rmse") == 0.0)
   }
 
+  test("ann top-k recall survives the int8 quantization round-trip") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic pseudo-random vectors (no Random: seeds via arithmetic)
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, (0 until 16).map(j =>
+        (((i * 31 + j * 17) % 97) - 48) / 48.0f))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(
+        vecs, vecs.filter(col("vec_id") < 5), "vec_id", "embedding",
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val deq = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.dequantizeInt8(col("q"), col("scale")).as("embedding"))
+    val approx = Similarity.bruteForceTopK(
+        deq, deq.filter(col("vec_id") < 5), "vec_id", "embedding",
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall after int8 round-trip")
+  }
+
   test("corpus diff classifies added/removed/changed/unchanged") {
     import graft.ops.Corpus
     val spark2 = spark
