@@ -1587,13 +1587,47 @@ object Queries {
         ROUND(sqrt(ep::DOUBLE / 1e12 / d), 6) AS rmse,
         array_to_string(q, ',') AS q_str FROM e"""))
 
+  /** Exact-substring decontamination: phrases lifted verbatim from the
+    * first five documents, searched in the rest of the corpus.
+    */
+  private val q67 = Q(
+    "q67_substring_contamination",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+      val phrases = docs.filter(col("doc_id") < 5)
+        .select(substring(col("text"), 11, 30).as("phrase"))
+      // every 7th corpus doc quotes one benchmark doc verbatim (the word
+      // soup has no natural 30-char overlaps, so the injection makes the
+      // flag non-vacuous while both engines build identical inputs)
+      val donors = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("__j"), substring(col("text"), 11, 30).as("__frag"))
+      val corpus = docs.filter(col("doc_id") >= 5)
+        .join(donors, col("doc_id") % 5 === col("__j"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" "), col("__frag")))
+            .otherwise(col("text")).as("text"))
+      Dedup.containsPhrase(corpus, "doc_id", "text", phrases, "phrase")
+    },
+    Some("""WITH p AS (SELECT DISTINCT substr(text, 11, 30) phrase FROM documents
+        WHERE doc_id < 5 AND substr(text, 11, 30) IS NOT NULL
+          AND substr(text, 11, 30) <> ''),
+      c AS (SELECT d.doc_id,
+          CASE WHEN d.doc_id % 7 = 0 THEN d.text || ' ' || substr(j.text, 11, 30)
+            ELSE d.text END AS text
+        FROM documents d JOIN documents j ON j.doc_id = d.doc_id % 5
+        WHERE d.doc_id >= 5),
+      h AS (SELECT c.doc_id id, p.phrase FROM c JOIN p ON contains(c.text, p.phrase))
+      SELECT id, COUNT(*)::BIGINT AS n_hits, MIN(phrase) AS first_phrase
+      FROM h GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -134,6 +134,36 @@ object Dedup {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** Exact-substring decontamination: flag corpus documents containing any
+    * benchmark phrase verbatim — the stricter companion to the n-gram
+    * sweep ([[contaminatedBy]]), catching quoted eval answers that token
+    * shingling can miss across formatting differences. Returns
+    * (id, n_hits, first_phrase) with the lexicographically first matching
+    * phrase as the audit sample.
+    *
+    * 100 TB shape: the phrase set is evaluation-sized, so it broadcasts
+    * and the corpus never shuffles for the scan — the
+    * BroadcastNestedLoopJoin is |corpus|·|phrases| `contains` probes
+    * streamed map-side (each doc scans the broadcast list in place), and
+    * the only corpus shuffle is the per-doc hit count. For phrase sets
+    * beyond broadcast size, pre-block by a shared rare token first.
+    */
+  def containsPhrase(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrases: DataFrame,
+      phraseCol: String): DataFrame = {
+    val p = phrases.select(col(phraseCol).as("__phrase"))
+      .filter(col("__phrase").isNotNull && col("__phrase") =!= "").distinct()
+    corpus.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(broadcast(p), col("__text").contains(col("__phrase")))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_hits"),
+        min(col("__phrase")).as("first_phrase"))
+  }
+
   /** MinHash signature columns `mh_0..mh_{numHashes-1}` per id: the i-th
     * hash is the lexicographic minimum of ROTATE_i(md5(shingle)) over the
     * document's shingle set. One md5 per shingle; the i-th family member is

@@ -986,6 +986,24 @@ class OpsSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall after int8 round-trip")
   }
 
+  test("substring contamination flags verbatim phrase carriers only") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (10L, "prefix the exact eval answer is forty two suffix"),
+      (11L, "the exact eval answer is   forty two"), // whitespace differs
+      (12L, "nothing to see here")).toDF("doc_id", "text")
+    val phrases = Seq(
+      Some("the exact eval answer is forty two"),
+      Some("see here"), None, Some("")).toDF("phrase")
+    val hits = graft.ops.Dedup.containsPhrase(corpus, "doc_id", "text", phrases, "phrase")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[String]("first_phrase")))).toMap
+    assert(hits.keySet == Set(10L, 12L)) // 11 differs in whitespace: no exact hit
+    assert(hits(10L) == ((1L, "the exact eval answer is forty two")))
+    assert(hits(12L) == ((1L, "see here")))
+  }
+
   test("corpus diff classifies added/removed/changed/unchanged") {
     import graft.ops.Corpus
     val spark2 = spark
