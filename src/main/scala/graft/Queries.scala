@@ -1621,13 +1621,75 @@ object Queries {
       SELECT id, COUNT(*)::BIGINT AS n_hits, MIN(phrase) AS first_phrase
       FROM h GROUP BY 1"""))
 
+  /** Session-derived features through the feature engine: sessionized
+    * events become a timestamped source; over-windows compute per-user
+    * trailing session statistics (composition of ops.Sessions with the
+    * feature-store core).
+    */
+  private val q68 = Q(
+    "q68_session_features",
+    (spark, dir) => {
+      val cl = new GraftClient(spark)
+      val ev = pq(spark, dir, "events").select(
+        col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_id"))
+      val sess = Sessions.sessionize(ev, "user_id", "ts_ms", "event_id", 30 * 60 * 1000L)
+      val src = DataFrameSource(
+        "q68_sess", sess, keys = Some(Seq("user_id")),
+        timestampField = Some("end_ms"), timestampFormat = "epoch_millis")
+      cl.getFeatures(DerivedFeatureView(
+        "q68", src,
+        features = Seq(
+          Feature.expr("dur_raw", "duration_ms"),
+          Feature("avg_dur3_raw", OverWindowTransform(
+            "duration_ms", AggFunc.Avg, None, Seq("user_id"), limit = Some(3))),
+          Feature("sess_rank", OverWindowTransform(
+            "duration_ms", AggFunc.Count, None, Seq("user_id")), dtype = Some(DInt64))),
+        keepSourceFields = true))
+        .select(
+          col("user_id"), col("session_idx"), col("n_events"),
+          col("start_ms"), col("end_ms"),
+          round(col("avg_dur3_raw"), 4).as("avg_dur3"),
+          col("sess_rank"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) tm, event_id FROM events),
+      l AS (SELECT user_id, tm, event_id,
+        CASE WHEN tm - LAG(tm) OVER w > 1800000 OR LAG(tm) OVER w IS NULL
+          THEN 1 ELSE 0 END ns
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tm, event_id)),
+      s AS (SELECT user_id, tm, SUM(ns) OVER (PARTITION BY user_id
+        ORDER BY tm, event_id ROWS UNBOUNDED PRECEDING) session_idx FROM l),
+      g AS (SELECT user_id, session_idx::BIGINT session_idx,
+        COUNT(*)::BIGINT n_events, MIN(tm) start_ms, MAX(tm) end_ms,
+        (MAX(tm) - MIN(tm)) duration_ms
+        FROM s GROUP BY 1, 2)
+      SELECT user_id, session_idx, n_events, start_ms, end_ms,
+        ROUND(AVG(duration_ms) OVER (PARTITION BY user_id ORDER BY end_ms
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg_dur3,
+        (COUNT(*) OVER (PARTITION BY user_id ORDER BY end_ms
+          ROWS UNBOUNDED PRECEDING))::BIGINT AS sess_rank
+      FROM g"""))
+
+  /** Per-source percentile-band length filter (p05-p95 keep verdicts). */
+  private val q69 = Q(
+    "q69_length_outliers",
+    (spark, dir) =>
+      TextOps.lengthOutliers(pq(spark, dir, "documents"), "text", "doc_id",
+        "source", 0.05, 0.95),
+    Some("""WITH b AS (SELECT doc_id, source,
+        len(string_split(trim(text), ' '))::BIGINT n_tokens FROM documents),
+      q AS (SELECT source, quantile_cont(n_tokens, 0.05) lo_tokens,
+        quantile_cont(n_tokens, 0.95) hi_tokens FROM b GROUP BY 1)
+      SELECT doc_id, b.source, n_tokens, lo_tokens, hi_tokens,
+        (n_tokens >= lo_tokens AND n_tokens <= hi_tokens) AS keep
+      FROM b JOIN q USING (source)"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -453,6 +453,38 @@ object TextOps {
         expr("percentile(n, 0.9)").as("p90_tokens"),
         expr("percentile(n, 0.99)").as("p99_tokens"))
 
+  /** Percentile-band length filter: keep documents whose token count lies
+    * within their GROUP's [lo, hi] interpolated percentiles — the
+    * data-driven form of fixed length bounds (a length that is normal for
+    * one source can be an outlier for another). Returns every row with its
+    * bounds and the keep verdict, so the filter is auditable.
+    *
+    * 100 TB shape: one groupBy computes the per-group percentile table
+    * (group-cardinality rows), which broadcasts back onto the corpus —
+    * the corpus itself never shuffles.
+    */
+  def lengthOutliers(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      groupCol: String,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad percentile band [$lo, $hi]")
+    val base = df.select(
+      col(idCol), col(groupCol).as("grp"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val bounds = base.groupBy("grp").agg(
+      expr(s"percentile(n_tokens, $lo)").as("lo_tokens"),
+      expr(s"percentile(n_tokens, $hi)").as("hi_tokens"))
+    base.join(broadcast(bounds), "grp")
+      .select(
+        col(idCol), col("grp").as(groupCol), col("n_tokens"),
+        col("lo_tokens"), col("hi_tokens"),
+        (col("n_tokens") >= col("lo_tokens") &&
+          col("n_tokens") <= col("hi_tokens")).as("keep"))
+  }
+
   /** The Gopher document-quality rules (Rae et al. 2021, Table A1 — the
     * MassiveText filter), as per-rule booleans plus the conjunction:
     * word-count bounds, mean word length bounds, symbol-to-word ratio,
