@@ -1683,13 +1683,40 @@ object Queries {
         (n_tokens >= lo_tokens AND n_tokens <= hi_tokens) AS keep
       FROM b JOIN q USING (source)"""))
 
+  /** Semi-structured event properties: JSON extraction at scan time plus a
+    * per-type rollup with exact-integer mean rounding — metadata columns
+    * at corpus scale are JSON strings, and the extraction must stay inside
+    * codegen (get_json_object), not a UDF.
+    */
+  private val q70 = Q(
+    "q70_json_props",
+    (spark, dir) => {
+      val ev = pq(spark, dir, "events")
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      ev.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          max("k").as("max_k"))
+        .withColumn("avg_k",
+          (expr("(2 * sum_k * 10000 + n) div (2 * n)") / 1e4))
+        .drop("sum_k")
+    },
+    Some("""SELECT event_type, COUNT(*)::BIGINT AS n,
+        MAX(json_extract(props, '$.k')::BIGINT) AS max_k,
+        ((2 * SUM(json_extract(props, '$.k')::BIGINT) * 10000 + COUNT(*)) // (2 * COUNT(*))) / 10000.0
+          AS avg_k
+      FROM events GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.
