@@ -148,6 +148,27 @@ class PlanSpec extends SparkSuite {
       s"boilerplate join-back is not broadcast:\n$plan")
   }
 
+  test("partition filters prune hive-layout scans; data filters push down") {
+    // the 100 TB read path: a time/source-partitioned corpus must show the
+    // predicate as a PartitionFilter (directory pruning, no file touched)
+    // and row-level predicates in PushedFilters (parquet row-group pruning)
+    val dir = s"${SparkSuite.tmpDir}/prune_fixture"
+    purchases.write.mode("overwrite").partitionBy("name").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("name") === "Alex")
+      .filter(org.apache.spark.sql.functions.col("cost") > 100L)
+      .select("cost")
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("Alex")),
+      s"partition filter not pruned:\n${scan.partitionFilters}")
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(cost,100)"),
+      s"data filter not pushed:\n${scan.metadata("PushedFilters")}")
+    assert(scan.requiredSchema.fieldNames.toSeq == Seq("cost"),
+      s"column pruning failed: ${scan.requiredSchema.fieldNames.toSeq}")
+  }
+
   test("key-filter read stays a broadcast left-semi join") {
     Registry.clear()
     val plan = Queries.all.find(_.name == "q16_keyfilter_timerange").get
