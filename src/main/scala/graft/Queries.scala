@@ -1710,13 +1710,50 @@ object Queries {
           AS avg_k
       FROM events GROUP BY 1"""))
 
+  /** Incremental near-dup: the "new crawl" (doc_id >= 400) deduped against
+    * the existing corpus (doc_id < 400) plus itself — old↔old pairs never
+    * generated.
+    */
+  private val q71 = Q(
+    "q71_incremental_lsh",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+      Dedup.minhashLshPairsIncremental(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400),
+        "doc_id", "text")
+    },
+    Some {
+      val mins = (0 until 16)
+        .map(i => s"MIN(substr(h, ${i + 1}, 32) || substr(h, 1, $i)) m$i")
+        .mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val cols = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $b band, md5(concat_ws('|', $cols)) bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS s
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) g FROM toks)),
+      hh AS (SELECT doc_id, md5(s) h FROM sh),
+      sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+      bands AS ($bands),
+      onb AS (SELECT a.doc_id id_a, b.doc_id id_b FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < 400 AND b.doc_id >= 400),
+      nnb AS (SELECT a.doc_id id_a, b.doc_id id_b FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id
+        WHERE a.doc_id >= 400 AND b.doc_id >= 400)
+      SELECT DISTINCT id_a, id_b FROM (SELECT * FROM onb UNION ALL SELECT * FROM nnb)"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -227,6 +227,51 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental MinHash+LSH: near-dup candidates for a NEW batch against
+    * an EXISTING corpus plus within the batch itself — daily-crawl dedup
+    * without ever re-pairing the old corpus against itself (the quadratic
+    * bulk a full [[minhashLshPairs]] re-run would redo every day). Returns
+    * (id_a, id_b) with id_a from either side, id_b always from the new
+    * batch (old↔new pairs keep the old id first).
+    *
+    * 100 TB shape: both sides bucket independently (the old side's
+    * signatures are re-derivable or can be persisted columns); the join is
+    * bucket-local with the same `maxBucket` skew cap, and the old↔old
+    * pair space — the bulk of the quadratic work — is never generated.
+    */
+  def minhashLshPairsIncremental(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucket: Long = 10000L): DataFrame = {
+    def buckets(df: DataFrame) = lshBands(
+      minhashSignatures(wordShingles(df, idCol, textCol, shingleLen), numHashes),
+      numHashes, bands)
+    val oldBb = buckets(oldDf)
+    val newBb = buckets(newDf).persist(StorageLevel.MEMORY_AND_DISK)
+    val all = oldBb.select(col("band"), col("bucket"))
+      .unionByName(newBb.select(col("band"), col("bucket")))
+    val hot = all.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val oldCapped = oldBb.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val newCapped = newBb.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val oldNew = oldCapped.as("a").join(
+        newCapped.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val newNew = newCapped.as("a").join(
+        newCapped.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    oldNew.unionByName(newNew).distinct()
+  }
+
   /** 64-bit SimHash as a '0'/'1' bit string (avoids BIGINT sign overflow and
     * stays engine-portable). Bit b of a token = bit (b%4) of hex digit
     * (b/4 + 1) of md5(token); document bit b = majority vote over all token

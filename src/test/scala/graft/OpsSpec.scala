@@ -986,6 +986,22 @@ class OpsSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall after int8 round-trip")
   }
 
+  test("incremental lsh equals full lsh restricted to new-involving pairs") {
+    val old = docs.filter(col("doc_id") <= 2L)
+    val fresh = docs.filter(col("doc_id") >= 3L)
+    def norm(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .map(p => (p._1 min p._2, p._1 max p._2)).toSet
+    val inc = norm(Dedup.minhashLshPairsIncremental(
+      old, fresh, "doc_id", "text").collect())
+    val full = norm(Dedup.minhashLshPairs(docs, "doc_id", "text").collect())
+      .filter(p => p._1 >= 3L || p._2 >= 3L)
+    assert(inc == full)
+    assert(inc.nonEmpty) // docs 1 and 4 are exact dups -> pair must survive
+    // no old-old pair may appear
+    assert(!inc.exists(p => p._1 <= 2L && p._2 <= 2L))
+  }
+
   test("substring contamination flags verbatim phrase carriers only") {
     val spark2 = spark
     import spark2.implicits._
