@@ -577,7 +577,7 @@ object Queries {
       Dedup.minhashLshPairs(pq(spark, dir, "documents"), "doc_id", "text"),
     Some {
       val mins = (0 until 16)
-        .map(i => s"MIN(substr(h, ${i + 1}, 32) || substr(h, 1, $i)) m$i")
+        .map(i => s"MIN(substr(h, ${i + 1}, 15)) m$i")
         .mkString(", ")
       val bands = (0 until 4).map { b =>
         val cols = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
@@ -1319,14 +1319,16 @@ object Queries {
     "q57_gopher_rules",
     (spark, dir) =>
       TextOps.gopherRules(pq(spark, dir, "documents"), "text", Seq("doc_id")),
-    Some(s"""WITH b AS (SELECT doc_id, text, string_split(trim(text), ' ') ws,
-          len(string_split(trim(text), ' '))::DOUBLE nw FROM documents),
+    Some(s"""WITH b AS (SELECT doc_id, text,
+          list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') ws,
+          len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''))::DOUBLE nw
+        FROM documents),
       m AS (SELECT doc_id, nw,
-          (len(text) - (len(ws) - 1))::DOUBLE / nw AS mean_len,
+          len(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / nw AS mean_len,
           len(list_filter(ws, w -> regexp_matches(w, '^[#\\.]+$$')))::DOUBLE / nw AS sym_r,
           len(list_filter(ws, w -> w LIKE '%...'))::DOUBLE / nw AS ell_r,
           len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / nw AS alpha_r,
-          len(list_filter(string_split(trim(lower(text)), ' '),
+          len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> ''),
             w -> w IN (${TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")})))
             AS n_stop
         FROM b)
@@ -1700,15 +1702,25 @@ object Queries {
           count(lit(1)).as("n"),
           sum("k").as("sum_k"),
           max("k").as("max_k"))
+        // sign-split half-up: Spark's `div` truncates toward zero while
+        // DuckDB's `//` floors, so the +n offset trick is only shared for
+        // non-negative numerators — negate, round, re-negate for sums < 0
+        // (the charEntropy/bigramLmScore recipe)
         .withColumn("avg_k",
-          (expr("(2 * sum_k * 10000 + n) div (2 * n)") / 1e4))
+          expr("""CASE WHEN sum_k >= 0
+                  THEN (2 * sum_k * 10000 + n) div (2 * n)
+                  ELSE -((-2 * sum_k * 10000 + n) div (2 * n)) END""") / 1e4)
         .drop("sum_k")
     },
-    Some("""SELECT event_type, COUNT(*)::BIGINT AS n,
-        MAX(json_extract(props, '$.k')::BIGINT) AS max_k,
-        ((2 * SUM(json_extract(props, '$.k')::BIGINT) * 10000 + COUNT(*)) // (2 * COUNT(*))) / 10000.0
-          AS avg_k
-      FROM events GROUP BY 1"""))
+    Some("""WITH g AS (SELECT event_type, COUNT(*)::BIGINT AS n,
+        SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
+        MAX(json_extract(props, '$.k')::BIGINT) AS max_k
+      FROM events GROUP BY 1)
+      SELECT event_type, n, max_k,
+        (CASE WHEN sum_k >= 0
+          THEN (2 * sum_k * 10000 + n) // (2 * n)
+          ELSE -((-2 * sum_k * 10000 + n) // (2 * n)) END) / 10000.0 AS avg_k
+      FROM g"""))
 
   /** Incremental near-dup: the "new crawl" (doc_id >= 400) deduped against
     * the existing corpus (doc_id < 400) plus itself — old↔old pairs never
@@ -1725,7 +1737,7 @@ object Queries {
     },
     Some {
       val mins = (0 until 16)
-        .map(i => s"MIN(substr(h, ${i + 1}, 32) || substr(h, 1, $i)) m$i")
+        .map(i => s"MIN(substr(h, ${i + 1}, 15)) m$i")
         .mkString(", ")
       val bands = (0 until 4).map { b =>
         val cols = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")

@@ -108,11 +108,17 @@ object Cluster {
     * member keep their previous centroid), and the output is the final
     * assignment (id, cluster, dist_micro) against the updated centroids.
     *
-    * Scale shape: per round, one map-only assignment pass (k dot products
-    * per row through the codegen'd [[Similarity.dot]] — exact because all
-    * integer-valued doubles stay below 2^53) plus one (cluster, pos)
-    * aggregation whose result is k×dim rows — collected to the driver like
-    * any model broadcast (bounded by the model size, not the data).
+    * Scale shape: per round, one map-only assignment pass (k exact Long
+    * squared-distances per row) plus one (cluster, pos) aggregation whose
+    * result is k×dim rows — collected to the driver like any model
+    * broadcast (bounded by the model size, not the data).
+    *
+    * Exactness bound: each (x-c)² term is ≤ (2·maxMicro)² ≈ 2.8e14 for
+    * |v|+shift ≤ 8, and the Long sum is exact up to ~2^63/2.8e14 ≈ 3e4
+    * dims — any realistic embedding width. (A double-dot formulation is
+    * NOT used: its per-term products overflow 2^53 above ~70 dims, where
+    * near-equidistant centroids could assign differently than the exact
+    * oracle.)
     */
   def kmeansAssign(
       df: DataFrame,
@@ -123,21 +129,14 @@ object Cluster {
       shift: Double = 4.0): DataFrame = {
     val micro = microVecs(df, idCol, vecCol, shift)
     val cents = trainMicro(micro, k, iters)
-    def assignCol = nearestCol(cents)
-
-    val distCol = {
-      val perCent = cents.zipWithIndex.map { case (c, j) =>
-        when(col("cluster") === j,
-          aggregate(
-            zip_with(col("xm"), typedLit(c.toSeq), (x, cv) => (x - cv) * (x - cv)),
-            lit(0L), (acc, x) => acc + x))
-      }
-      coalesce(perCent: _*)
-    }
+    // one struct per row: distance and argmin come out of the same
+    // least(...) evaluation, so each centroid distance is computed once
     micro
-      .withColumn("cluster", assignCol)
-      .withColumn("dist_micro", distCol)
-      .select(col("id").as(idCol), col("cluster"), col("dist_micro"))
+      .withColumn("__best", nearestStruct(cents))
+      .select(
+        col("id").as(idCol),
+        col("__best.j").as("cluster"),
+        col("__best.d").as("dist_micro"))
   }
 
   /** Trained centroids in the ORIGINAL vector space (micro-space training,
@@ -160,19 +159,22 @@ object Cluster {
       transform(col(vecCol),
         x => round((x.cast("double") + lit(shift)) * 1e6).cast("long")).as("xm"))
 
-  /** argmin_j Σ(x-c_j)² = argmin_j (Σc_j² - 2·x·c_j); ties → lower j.
-    * All terms are integer-valued doubles < 2^53, so exact.
+  /** least-of-structs (Σ(x-c_j)², j): lexicographic struct ordering gives
+    * argmin with ties → lower j. Distances are EXACT Long arithmetic
+    * (zip_with over the micro vectors) — a double Σc² - 2·x·c formulation
+    * loses integer exactness past ~70 dims (per-term products exceed
+    * 2^53), which would let near-equidistant centroids assign differently
+    * than the integer oracle at realistic embedding widths.
     */
-  private def nearestCol(cents: Array[Array[Long]]): org.apache.spark.sql.Column = {
+  private def nearestStruct(cents: Array[Array[Long]]): org.apache.spark.sql.Column = {
     val scored = cents.zipWithIndex.map { case (c, j) =>
-      val c2 = c.map(v => v.toDouble * v).sum
       struct(
-        (lit(c2) - lit(2.0) * Similarity.dot(
-          transform(col("xm"), _.cast("double")),
-          typedLit(c.map(_.toDouble)))).as("d"),
+        aggregate(
+          zip_with(col("xm"), typedLit(c.toSeq), (x, cv) => (x - cv) * (x - cv)),
+          lit(0L), (acc, x) => acc + x).as("d"),
         lit(j).as("j"))
     }
-    least(scored: _*).getField("j")
+    least(scored: _*)
   }
 
   private def trainMicro(micro: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
@@ -186,7 +188,7 @@ object Cluster {
 
     for (_ <- 0 until iters) {
       val sums = micro
-        .withColumn("cl", nearestCol(cents))
+        .withColumn("cl", nearestStruct(cents).getField("j"))
         .select(col("cl"), posexplode(col("xm")).as(Seq("pos", "v")))
         .groupBy("cl", "pos")
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))

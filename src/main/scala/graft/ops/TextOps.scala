@@ -491,17 +491,24 @@ object TextOps {
     * ellipsis-line ratio stand-in (ellipsis token ratio over word soup),
     * alphabetic-word ratio, and stopword presence. Map-only, no UDFs;
     * thresholds are the paper's.
+    *
+    * Words are WHITESPACE-RUN tokens (regex split, empties dropped), not
+    * the single-space [[tokens]] — real crawled text has tabs, newlines
+    * and repeated blanks, and a single-space split counts them as word
+    * characters / phantom words, skewing docs near the 3.0/10.0 mean-len
+    * and 0.8 alpha-ratio thresholds. Mean word length is exactly
+    * Σ len(word) / words, computed codegen-friendly as
+    * non-whitespace-chars / words.
     */
   def gopherRules(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
+    val toks = filter(split(t, "\\s+"), w => w =!= "")
     val nWords = size(toks).cast("double")
-    // mean word length: total non-space chars / words, exact rational
-    val meanLen = (length(t) - (size(toks) - 1)).cast("double") / nWords
+    val meanLen = length(regexp_replace(t, "\\s+", "")).cast("double") / nWords
     val nSymbol = size(filter(toks, w => w.rlike("^[#\\.]+$"))).cast("double")
     val nEllipsis = size(filter(toks, w => w.endsWith("..."))).cast("double")
     val nAlphaWord = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double")
-    val nStop = hitCount(tokens(lower(t)), EnglishStopwords)
+    val nStop = hitCount(filter(split(lower(t), "\\s+"), w => w =!= ""), EnglishStopwords)
     val rWords = nWords >= 50 && nWords <= 100000
     val rMeanLen = meanLen >= 3.0 && meanLen <= 10.0
     val rSymbol = nSymbol / nWords <= 0.1

@@ -51,20 +51,28 @@ object StreamingTemporalJoin {
       rights: TreeMap[Long, List[Any]]) extends Serializable
 
   /** Lexicographic tuple compare with NULL smallest — the ordering Spark's
-    * `max(struct(...))` uses for the batch tie rule.
+    * `max(struct(...))` uses for the batch tie rule. Same-runtime-type
+    * values compare through their own Comparable (longs stay exact — a
+    * doubleValue() detour silently collapses values beyond 2^53;
+    * timestamps/dates/decimals keep their natural order); an unsupported
+    * or mismatched pair fails loudly rather than being declared equal,
+    * which would quietly diverge streaming from the batch plan.
     */
   private def tupleGt(a: List[Any], b: List[Any]): Boolean = {
     val it = a.iterator.zip(b.iterator)
     while (it.hasNext) {
       val (x, y) = it.next()
       val c = (x, y) match {
-        case (null, null)             => 0
-        case (null, _)                => -1
-        case (_, null)                => 1
-        case (p: Number, q: Number)   => java.lang.Double.compare(p.doubleValue(), q.doubleValue())
-        case (p: String, q: String)   => p.compareTo(q)
-        case (p: Boolean, q: Boolean) => p.compareTo(q)
-        case _                        => 0
+        case (null, null) => 0
+        case (null, _)    => -1
+        case (_, null)    => 1
+        case (p: java.lang.Comparable[_], q) if p.getClass == q.getClass =>
+          p.asInstanceOf[java.lang.Comparable[Any]].compareTo(q)
+        case _ =>
+          throw new IllegalArgumentException(
+            s"StreamingTemporalJoin tie-break: unsupported value types " +
+              s"${x.getClass.getName} vs ${y.getClass.getName}; add a typed " +
+              "comparison rather than treating them as equal")
       }
       if (c != 0) return c > 0
     }

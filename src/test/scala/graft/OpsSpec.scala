@@ -271,6 +271,56 @@ class OpsSpec extends SparkSuite {
     assert(srp.size.toDouble / exact.size >= 0.5, s"recall ${srp.size}/${exact.size}")
   }
 
+  test("embeddingNearDupPairs: maxBucket cap drops the degenerate cluster, keeps real pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 10 identical embeddings (one boilerplate cluster — same bucket in
+    // EVERY band) + one genuine near-dup pair elsewhere in the space
+    val boiler = (0L until 10L).map(i => (i, Array(1.0f, 0.5f, -0.25f, 2.0f)))
+    val pairVecs = Seq(
+      (100L, Array(-1.0f, 2.0f, 0.5f, -0.75f)),
+      (101L, Array(-1.0f, 2.01f, 0.5f, -0.74f)))
+    val vecs = (boiler ++ pairVecs).toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDupPairs(
+      vecs, "vec_id", "embedding", 0.9, planes = 8, bands = 4, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the over-cap cluster generates ZERO pairs (cap kills the |cluster|²
+    // blowup; exactGroups is the documented pre-pass for identity clusters)
+    assert(!capped.exists { case (a, b) => a < 100L || b < 100L })
+    // the normal-density pair survives the cap
+    assert(capped == Set((100L, 101L)))
+    // with the cap above the cluster size, the full clique comes back
+    val uncapped = Dedup.embeddingNearDupPairs(
+      vecs, "vec_id", "embedding", 0.9, planes = 8, bands = 4, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count { case (a, b) => a < 100L && b < 100L } == 45) // C(10,2)
+    assert(uncapped.contains((100L, 101L)))
+  }
+
+  test("pair generators leave the SQL cache manager empty (no persist leaks)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // Assert on the returned PLAN, not the global cache manager: suites
+    // share one SparkSession and run in parallel, so a sibling suite's
+    // legitimate cache (e.g. SlidingWindows' partitioning-reuse persist)
+    // must not flake this. A persist leak inside a generator shows up as
+    // an InMemoryRelation pinned in its own plan after cache substitution.
+    def assertClean(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val d = df
+      d.count() // materialize the full pipeline
+      val pinned = d.queryExecution.withCachedData.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }
+      assert(pinned.isEmpty, s"$tag pins ${pinned.size} cached subtrees")
+    }
+    assertClean("jaccard")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5))
+    assertClean("minhashLsh")(Dedup.minhashLshPairs(docs, "doc_id", "text"))
+    assertClean("incrementalLsh")(Dedup.minhashLshPairsIncremental(
+      docs.filter(col("doc_id") <= 3), docs.filter(col("doc_id") > 3), "doc_id", "text"))
+    assertClean("simhash")(Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text")))
+    assertClean("srpNearDup")(Dedup.embeddingNearDupPairs(
+      emb, "vec_id", "embedding", 0.4, planes = 8, bands = 4))
+  }
+
   test("ivf topk: high recall vs brute force on clustered vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
