@@ -1759,13 +1759,45 @@ object Queries {
       SELECT DISTINCT id_a, id_b FROM (SELECT * FROM onb UNION ALL SELECT * FROM nnb)"""
     })
 
+  /** Rotated-table multi-pass SimHash at the guaranteed-recall setting
+    * (maxHamming 3 < 64/16 tables): union of the four per-block equi-joins
+    * — the oracle states it as an OR over block equalities, an entirely
+    * different formulation that must agree pair-for-pair.
+    */
+  private val q72 = Q(
+    "q72_simhash_multipass",
+    (spark, dir) => {
+      val sim = Dedup.simhash(pq(spark, dir, "documents"), "doc_id", "text")
+      Dedup.simhashPairsMultiPass(sim, prefixBits = 16, maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("int"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) tok FROM documents),
+      h AS (SELECT doc_id, md5(tok) h FROM toks),
+      bits AS (SELECT doc_id, g,
+        CASE WHEN ((instr('0123456789abcdef', substr(h, g//4 + 1, 1)) - 1)
+          // CAST(POWER(2, g%4) AS INT)) % 2 = 1 THEN 1 ELSE -1 END w
+        FROM (SELECT doc_id, h, unnest(generate_series(0, 63)) g FROM h)),
+      s AS (SELECT doc_id, g, SUM(w) sw FROM bits GROUP BY 1, 2),
+      sim AS (SELECT doc_id, string_agg(CASE WHEN sw > 0 THEN '1' ELSE '0' END, '' ORDER BY g) AS simhash
+        FROM s GROUP BY doc_id),
+      p AS (SELECT a.doc_id ia, a.simhash sa, b.doc_id ib, b.simhash sb FROM sim a
+        JOIN sim b ON a.doc_id < b.doc_id
+          AND (substr(a.simhash, 1, 16) = substr(b.simhash, 1, 16)
+            OR substr(a.simhash, 17, 16) = substr(b.simhash, 17, 16)
+            OR substr(a.simhash, 33, 16) = substr(b.simhash, 33, 16)
+            OR substr(a.simhash, 49, 16) = substr(b.simhash, 49, 16)))
+      SELECT ia AS id_a, ib AS id_b,
+        len(list_filter(generate_series(1, 64), g -> substr(sa, g::INT, 1) <> substr(sb, g::INT, 1)))::INT AS hamming
+      FROM p
+      WHERE len(list_filter(generate_series(1, 64), g -> substr(sa, g::INT, 1) <> substr(sb, g::INT, 1))) <= 3"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

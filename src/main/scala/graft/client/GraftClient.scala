@@ -91,9 +91,9 @@ final class GraftClient(val spark: SparkSession) {
           readWithTime(),
           desc.keys.getOrElse(throw new IllegalArgumentException(
             "MemoryStoreSink requires table keys")))
-      case KafkaSink(server, topic) =>
+      case KafkaSink(server, topic, vf, vfp) =>
         graft.engine.Sources
-          .toKafkaRecords(read(), desc.keys.getOrElse(Nil))
+          .toKafkaRecords(read(), desc.keys.getOrElse(Nil), vf, vfp)
           .write.format("kafka")
           .option("kafka.bootstrap.servers", server)
           .option("topic", topic)
@@ -179,9 +179,9 @@ final class GraftClient(val spark: SparkSession) {
           .foreachBatch { (batch: DataFrame, _: Long) =>
             MemoryOnlineStore.put(tableName, batch, keys)
           }.start()
-      case KafkaSink(server, topic) =>
+      case KafkaSink(server, topic, vf, vfp) =>
         graft.engine.Sources
-          .toKafkaRecords(EventTime.drop(df), desc.keys.getOrElse(Nil))
+          .toKafkaRecords(EventTime.drop(df), desc.keys.getOrElse(Nil), vf, vfp)
           .writeStream.option("checkpointLocation", checkpointDir)
           .format("kafka")
           .option("kafka.bootstrap.servers", server)

@@ -78,14 +78,59 @@ object Sources {
     decodeKafkaRecords(raw, s)
   }
 
-  /** Decode Kafka-shaped records (binary `value` column of JSON) into the
-    * declared schema — split out so the decode contract is testable without
-    * a broker; it is the exact inverse of [[toKafkaRecords]].
+  /** Decode Kafka-shaped records (binary `value` column) into the declared
+    * schema per the source's `valueFormat` — split out so the decode
+    * contract is testable without a broker; it is the exact inverse of
+    * [[toKafkaRecords]] for each format.
+    *
+    * json/csv decode relationally (`from_json`/`from_csv` — codegen'd, no
+    * UDF); `raw` maps the bare payload onto a single declared column;
+    * `protobuf` crosses the codec boundary via mapPartitions (the
+    * [[Multimodal]]-style pattern: one JVM call per row, schema-typed Row
+    * output, no Python round-trip).
     */
   def decodeKafkaRecords(raw: DataFrame, s: KafkaSource): DataFrame = {
-    val parsed = raw
-      .select(from_json(col("value").cast("string"), s.schema.toSpark).as("__v"))
-      .select(col("__v.*"))
+    val parsed = s.valueFormat match {
+      case "json" =>
+        raw.select(from_json(col("value").cast("string"), s.schema.toSpark).as("__v"))
+          .select(col("__v.*"))
+      case "csv" =>
+        raw.select(from_csv(col("value").cast("string"), s.schema.toSpark,
+            Map.empty[String, String]).as("__v"))
+          .select(col("__v.*"))
+      case "raw" =>
+        // the reference's raw format: the whole payload is one field
+        require(s.schema.fieldNames.size == 1,
+          "raw format requires a single-column schema")
+        val n = s.schema.fieldNames.head
+        raw.select(s.schema.fieldTypes.head match {
+          case graft.types.DBytes => col("value").cast("binary").as(n)
+          case t => col("value").cast("string").cast(t.toSpark).as(n)
+        })
+      case "protobuf" =>
+        import org.apache.spark.sql.{Encoders, Row}
+        val types = s.schema.fieldTypes
+        val nums = ProtoFormat.fieldNumbers(s.schema.fieldNames, s.valueFormatProps)
+        val lenient = ProtoFormat.ignoreParseError(s.valueFormatProps)
+        val outSchema = s.schema.toSpark
+        val nFields = types.size
+        raw.select(col("value").cast("binary").as("value"))
+          .mapPartitions { it =>
+            it.map { r =>
+              val bytes = r.getAs[Array[Byte]](0)
+              try Row.fromSeq(ProtoFormat.decode(bytes, types, nums).toSeq)
+              catch {
+                case e: Exception if lenient =>
+                  Row.fromSeq(Seq.fill(nFields)(null)) // reference: null out bad rows
+                case e: Exception =>
+                  throw new IllegalArgumentException(
+                    s"protobuf decode failed for ${s.name}", e)
+              }
+            }
+          }(Encoders.row(outSchema))
+      case other => throw new IllegalArgumentException(
+        s"Unknown Kafka value format '$other' (json/csv/raw/protobuf)")
+    }
     EventTime.append(parsed, s.timestampField, s.timestampFormat)
   }
 
@@ -132,12 +177,47 @@ object Sources {
       spark.sparkContext.parallelize(data.toList), schema)
   }
 
-  /** Kafka write shape: key = joined key columns, value = JSON row. */
-  def toKafkaRecords(df: DataFrame, keys: Seq[String]): DataFrame = {
+  /** Kafka write shape: key = joined key columns, value = the row encoded
+    * per `valueFormat` (json default; csv via to_csv; protobuf via the
+    * proto3 wire codec, field numbers from schema order or
+    * `protobuf.field_numbers`).
+    */
+  def toKafkaRecords(
+      df: DataFrame,
+      keys: Seq[String],
+      valueFormat: String = "json",
+      valueFormatProps: Map[String, String] = Map.empty): DataFrame = {
     val keyCol =
       if (keys.nonEmpty) concat_ws("|", keys.map(k => col(k).cast("string")): _*)
       else lit(null).cast("string")
-    df.select(keyCol.as("key"), to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
+    val allCols = df.columns.toIndexedSeq
+    valueFormat match {
+      case "json" =>
+        df.select(keyCol.as("key"), to_json(struct(allCols.map(col): _*)).as("value"))
+      case "csv" =>
+        df.select(keyCol.as("key"), to_csv(struct(allCols.map(col): _*)).as("value"))
+      case "raw" =>
+        require(allCols.size == 1, "raw format requires a single-column frame")
+        df.select(keyCol.as("key"), col(allCols.head).cast("string").as("value"))
+      case "protobuf" =>
+        import org.apache.spark.sql.{Encoders, Row}
+        import org.apache.spark.sql.types._
+        val types = df.schema.fields.toSeq.map(f => graft.types.DType.fromSpark(f.dataType))
+        val nums = ProtoFormat.fieldNumbers(allCols, valueFormatProps)
+        val keyIdx = allCols.size // key column appended last, see below
+        val outSchema = StructType(Seq(
+          StructField("key", StringType, nullable = true),
+          StructField("value", BinaryType, nullable = false)))
+        df.withColumn("__key", keyCol)
+          .mapPartitions { it =>
+            it.map { r =>
+              val vals = (0 until keyIdx).map(r.get)
+              Row(r.getString(keyIdx), ProtoFormat.encode(vals, types, nums))
+            }
+          }(Encoders.row(outSchema))
+      case other => throw new IllegalArgumentException(
+        s"Unknown Kafka value format '$other' (json/csv/raw/protobuf)")
+    }
   }
 
   /** Deterministic data generator: sequence fields count from `start`;

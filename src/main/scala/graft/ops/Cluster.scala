@@ -26,37 +26,42 @@ object Cluster {
     * cluster id itself). Nodes not present in `pairs` are absent — join the
     * result back to the corpus with a left join + coalesce(cluster, id).
     */
+  // Canonical directed form: (u, v) with v < u ("points to smaller").
+  private def canon(e: DataFrame): DataFrame =
+    e.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+
+  // large-star: for every node u, link each strictly-LARGER neighbor to
+  // the minimum of u's neighborhood (incl. u). Computed as a groupBy min
+  // joined back to the symmetric edge list — never a collected list.
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+    canon(sym.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v")))
+  }
+
+  // small-star: with edges pointing to smaller nodes, re-link each node's
+  // smaller neighbors (and u itself) to the minimum of that set.
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val relinked = e.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+    canon(relinked)
+  }
+
+  /** One large-star + small-star round over a canonical (u, v>… ) edge
+    * set — exposed for PlanSpec's per-round shuffle lock.
+    */
+  private[graft] def ccRound(e: DataFrame): DataFrame = smallStar(largeStar(e))
+
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
       maxIter: Int = 25): DataFrame = {
-    // Canonical directed form: (u, v) with v < u ("points to smaller").
-    def canon(e: DataFrame): DataFrame =
-      e.filter(col("u") =!= col("v"))
-        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-        .distinct()
-
-    // large-star: for every node u, link each strictly-LARGER neighbor to
-    // the minimum of u's neighborhood (incl. u). Computed as a groupBy min
-    // joined back to the symmetric edge list — never a collected list.
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
-      canon(sym.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")))
-    }
-
-    // small-star: with edges pointing to smaller nodes, re-link each node's
-    // smaller neighbors (and u itself) to the minimum of that set.
-    def smallStar(e: DataFrame): DataFrame = {
-      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val relinked = e.join(mins, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(mins.select(col("u"), col("m").as("v")))
-      canon(relinked)
-    }
-
     // Each round MUST truncate the logical-plan lineage, not just cache the
     // data: persist() alone leaves round N's plan embedding rounds 1..N-1,
     // so Catalyst analysis time and the serialized task binary grow
@@ -70,7 +75,7 @@ object Cluster {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = ccRound(edges).localCheckpoint(true)
       // Star-shaped fixpoint: every edge already points at the component
       // minimum, i.e. the next round reproduces the same edge set. Cheap
       // symmetric-difference count on the two checkpointed sets; at 100 TB

@@ -351,6 +351,40 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
   }
 
+  /** SimHash near-dup pairs with GUARANTEED recall at distance
+    * `maxHamming`: the standard rotated-table scheme runs
+    * `64 / prefixBits` passes of [[simhashPairs]], pass k rotating the
+    * signature left by k·prefixBits so block k becomes the blocking
+    * prefix. A pair within Hamming d < 64/prefixBits has some
+    * prefixBits-bit block containing NO differing bit (pigeonhole over
+    * the blocks), and that block is the prefix of exactly one rotation —
+    * so every qualifying pair is found, which the single-pass variant
+    * cannot promise. Rotation preserves Hamming distance, so each pass
+    * reports the true distance and the union dedups exactly.
+    *
+    * 100 TB shape: t independent bucketed self-joins (t = 4 at the
+    * 16-bit default) — t× the single-pass cost, not a quadratic step;
+    * each pass inherits the prefix-blocked join shape.
+    */
+  def simhashPairsMultiPass(
+      sim: DataFrame,
+      prefixBits: Int = 16,
+      maxHamming: Int = 3): DataFrame = {
+    require(64 % prefixBits == 0, s"prefixBits=$prefixBits must divide 64")
+    val tables = 64 / prefixBits
+    require(maxHamming < tables,
+      s"guaranteed recall needs maxHamming < 64/prefixBits = $tables " +
+        "(pigeonhole: some block must be difference-free)")
+    (0 until tables).map { k =>
+      val rot =
+        if (k == 0) col("simhash")
+        else concat(
+          substring(col("simhash"), k * prefixBits + 1, 64 - k * prefixBits),
+          substring(col("simhash"), 1, k * prefixBits))
+      simhashPairs(sim.select(col("id"), rot.as("simhash")), prefixBits, maxHamming)
+    }.reduce(_.unionByName(_)).distinct()
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ `threshold` (rounded to
     * 6 dp for cross-engine determinism).
     *

@@ -247,9 +247,17 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("score"))
   }
 
-  /** Approximate top-k: rank only within the query's SRP bucket. Recall
-    * improves with fewer planes (bigger buckets) or multi-probe; exactness
-    * is [[bruteForceTopK]]. One shuffle on the bucket key.
+  /** Approximate top-k: rank only within the query's SRP bucket, or — with
+    * `probeBits = 1` — within the query's bucket plus every 1-bit-flip
+    * neighbor bucket (standard multi-probe LSH: a near neighbor that fell
+    * on the far side of ONE hyperplane is recovered without coarsening
+    * `planes` for everyone). Recall improves with fewer planes, and at
+    * fixed planes with multi-probe; exactness is [[bruteForceTopK]].
+    *
+    * One shuffle on the bucket key either way: probing explodes the
+    * BROADCAST query side into planes+1 probe rows — the corpus keeps
+    * exactly one bucket per row, so corpus cost is unchanged and no
+    * candidate can be produced twice (probe buckets are distinct).
     */
   def lshTopK(
       corpus: DataFrame,
@@ -259,16 +267,32 @@ object Similarity {
       queryId: String,
       queryVec: String,
       k: Int,
-      planes: Int = 8): DataFrame = {
+      planes: Int = 8,
+      probeBits: Int = 0): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 1,
+      "probeBits ∈ {0, 1}: deeper probe rings grow combinatorially — " +
+        "lower planes instead")
     val dim = sniffDim(corpus, corpusVec)
     val c = corpus.select(
       col(corpusId).as("nbr_id"), col(corpusVec).as("cv"),
       norm(col(corpusVec)).as("cn"),
       srpBucket(col(corpusVec), planes, dim).as("bk"))
-    val q = queries.select(
+    val q0 = queries.select(
       col(queryId).as("query_id"), col(queryVec).as("qv"),
       norm(col(queryVec)).as("qn"),
       srpBucket(col(queryVec), planes, dim).as("bk"))
+    val q =
+      if (probeBits == 0) q0
+      else {
+        val flips = (0 until planes).map { j =>
+          val flipped = when(substring(col("bk"), j + 1, 1) === "1", "0").otherwise("1")
+          concat(
+            substring(col("bk"), 1, j), flipped,
+            substring(col("bk"), j + 2, planes - j - 1))
+        }
+        q0.select(col("query_id"), col("qv"), col("qn"),
+          explode(array((col("bk") +: flips): _*)).as("bk"))
+      }
     val scored = c.join(broadcast(q), Seq("bk"))
       .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("score",

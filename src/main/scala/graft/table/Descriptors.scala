@@ -366,7 +366,13 @@ final case class KafkaSource(
     startupMode: String = "earliest-offset",
     startupTimestampMillis: Option[Long] = None,
     maxOutOfOrderness: Duration = Duration.Zero,
-    isBounded: Boolean = false) extends TableDescriptor
+    isBounded: Boolean = false,
+    // value payload format ∈ json / csv / raw / protobuf
+    // (ref: feature_tables/sources/kafka_source.py value_format +
+    // docs/content/connectors/formats/*); format props mirror
+    // value_data_format_props (protobuf.field_numbers, ignore_parse_error)
+    valueFormat: String = "json",
+    valueFormatProps: Map[String, String] = Map.empty) extends TableDescriptor
 
 /** Scan of an in-process online-store table (latest-per-key snapshot) —
   * the serving-store read-back path
@@ -467,8 +473,15 @@ final case class FileSink(
 final case class PrintSink(numRows: Int = 20) extends Sink
 case object BlackHoleSink extends Sink
 final case class MemoryStoreSink(tableName: String) extends Sink
-/** Rows JSON-encoded into the value; key columns concatenated into the key. */
-final case class KafkaSink(bootstrapServer: String, topic: String) extends Sink
+/** Rows encoded into the value per `valueFormat` (json default; protobuf
+  * uses the proto3 wire codec with schema-ordered field numbers unless
+  * `valueFormatProps` overrides); key columns concatenated into the key.
+  */
+final case class KafkaSink(
+    bootstrapServer: String,
+    topic: String,
+    valueFormat: String = "json",
+    valueFormatProps: Map[String, String] = Map.empty) extends Sink
 /** JDBC append/overwrite (the reference's MySQLSink, generalized). */
 final case class JdbcSink(url: String, table: String, user: String = "", password: String = "", mode: String = "append") extends Sink
 /** Managed-catalog (Hive) table write (ref: python/feathub/feature_tables/

@@ -114,7 +114,9 @@ object Json {
         ("startup_mode" -> s.startupMode) ~
         ("startup_ts" -> s.startupTimestampMillis) ~
         ("max_ooo_ms" -> durJson(s.maxOutOfOrderness)) ~
-        ("bounded" -> s.isBounded)
+        ("bounded" -> s.isBounded) ~
+        ("value_format" -> s.valueFormat) ~
+        ("value_format_props" -> s.valueFormatProps)
     case s: JdbcSource =>
       ("kind" -> "jdbc_source") ~ ("name" -> s.name) ~ ("url" -> s.url) ~
         ("table" -> s.table) ~ ("user" -> s.user) ~ ("password" -> s.password) ~
@@ -273,7 +275,14 @@ object Json {
         schemaFrom(j \ "schema"), strSeqOpt(j, "keys"),
         strOpt(j, "ts_field"), str(j, "ts_format"), str(j, "startup_mode"),
         longOpt(j, "startup_ts"), durF(j, "max_ooo_ms"),
-        boolF(j, "bounded", dflt = false))
+        boolF(j, "bounded", dflt = false),
+        strOpt(j, "value_format").getOrElse("json"),
+        (j \ "value_format_props") match {
+          case JObject(fs) => fs.collect {
+            case (k, JString(v)) => k -> v
+          }.toMap
+          case _ => Map.empty[String, String]
+        })
     case "jdbc_source" =>
       JdbcSource(
         str(j, "name"), str(j, "url"), str(j, "table"),

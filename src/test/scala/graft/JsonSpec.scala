@@ -39,7 +39,11 @@ class JsonSpec extends AnyFunSuite {
       Schema(Seq("a", "b"), Seq(DString, DVector(DFloat32))),
       keys = Some(Seq("a")), timestampField = Some("b"),
       startupMode = "timestamp", startupTimestampMillis = Some(123L),
-      maxOutOfOrderness = 1.minute, isBounded = true))
+      maxOutOfOrderness = 1.minute, isBounded = true,
+      valueFormat = "protobuf",
+      valueFormatProps = Map(
+        "protobuf.field_numbers" -> "a:2,b:5",
+        "ignore_parse_error" -> "false")))
     roundTrip(JdbcSource("j", "jdbc:mysql://h/db", "tbl", "u", "p",
       keys = Some(Seq("id"))))
   }

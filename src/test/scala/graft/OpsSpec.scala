@@ -182,6 +182,66 @@ class OpsSpec extends SparkSuite {
     assert(pairs == Set((1L, 4L)))
   }
 
+  test("simhash multi-pass: guaranteed recall where single-pass provably misses") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(7)
+    def randSig() = Seq.fill(64)(if (rng.nextBoolean()) '1' else '0').mkString
+    def flip(s: String, bits: Seq[Int]) =
+      bits.foldLeft(s)((acc, b) => acc.updated(b, if (acc(b) == '1') '0' else '1'))
+    val base = randSig()
+    val rows = Seq(
+      (1L, base),
+      // 3 flips spread over blocks 0,1,2: every 16-bit PREFIX differs, so
+      // single-pass prefix blocking cannot pair it with 1 — but block 3 is
+      // untouched, so rotation pass k=3 must find it
+      (2L, flip(base, Seq(5, 25, 45))),
+      (3L, randSig()),
+      (4L, flip(base, Seq(0, 17, 33, 50))) // hamming 4 > maxHamming: excluded
+    ).toDF("id", "simhash")
+    val single = Dedup.simhashPairs(rows, prefixBits = 16, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!single.contains((1L, 2L)), "prefix-blocked single pass should miss the spread pair")
+    val multi = Dedup.simhashPairsMultiPass(rows, prefixBits = 16, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSet
+    assert(multi.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 3))
+    assert(!multi.exists(t => Set(t._1, t._2) == Set(1L, 4L)))
+    // randomized guarantee: EVERY pair within hamming 3 is found
+    val rand = (0L until 40L).map { i =>
+      if (i % 4 == 0) (i, flip(base, Seq((i % 64).toInt, ((i * 7 + 11) % 64).toInt)))
+      else (i, randSig())
+    }.toDF("id", "simhash")
+    val sigs = rand.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      d = sigs(a).zip(sigs(b)).count { case (x, y) => x != y } if d <= 3
+    } yield (a, b)).toSet
+    val found = Dedup.simhashPairsMultiPass(rand, prefixBits = 16, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth, s"multi-pass recall: found ${found.size} of ${truth.size}")
+  }
+
+  test("lshTopK multi-probe improves recall at fixed planes; primary path unchanged") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(
+      emb, queries, "vec_id", "embedding", "vec_id", "embedding", k = 5))
+    val single = pairs(Similarity.lshTopK(
+      emb, queries, "vec_id", "embedding", "vec_id", "embedding", k = 5, planes = 8))
+    val probed = pairs(Similarity.lshTopK(
+      emb, queries, "vec_id", "embedding", "vec_id", "embedding", k = 5, planes = 8,
+      probeBits = 1))
+    // every single-probe candidate survives (the primary bucket is probed too)
+    assert(single.subsetOf(probed) ||
+      // rank-k cutoff can swap a weaker candidate out for a better probed one
+      (single -- probed).forall(p => probed.exists(_._1 == p._1)))
+    val rSingle = single.intersect(exact).size.toDouble / exact.size
+    val rProbed = probed.intersect(exact).size.toDouble / exact.size
+    assert(rProbed > rSingle, s"multi-probe recall $rProbed should beat $rSingle")
+  }
+
   test("langId picks the marker-heavy language") {
     val got = docs.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

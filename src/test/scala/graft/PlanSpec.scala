@@ -97,6 +97,52 @@ class PlanSpec extends SparkSuite {
         shuffles(a.executedPlan)
     }.sum
 
+  test("connected components: bounded per-round shuffles, lineage-truncated result") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val spark2 = spark
+    import spark2.implicits._
+    // one round over a checkpointed canonical edge set: two groupBy-min
+    // aggregations + two canon distincts is the SoCC'14 shape — more means
+    // a regression (e.g. a lost partial agg or a join that stopped
+    // broadcasting its vocabulary-sized min table)
+    val edges = Seq((5L, 1L), (9L, 5L), (7L, 3L), (8L, 7L), (9L, 8L))
+      .toDF("u", "v").localCheckpoint(true)
+    // 7 in the static tree: 2 canon distincts + 2 min-agg exchanges, with
+    // smallStar's min table appearing twice (join + union branch — AQE
+    // reuses the exchange at runtime)
+    val round = graft.ops.Cluster.ccRound(edges)
+    assert(shuffles(round.queryExecution.executedPlan) <= 7,
+      s"ccRound shuffle count grew:\n${round.queryExecution.executedPlan}")
+    assert(round.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }.isEmpty,
+      "a CC round must read only the checkpointed edge set")
+    // checkpoint discipline: the RESULT plan of a multi-round run must not
+    // embed the iteration history (without the eager localCheckpoint each
+    // round's plan nests all previous rounds — measured 70x wall-clock)
+    val chain = (1L until 10L).map(i => (i + 1, i)).toDF("u", "v")
+    val cc = graft.ops.Cluster.connectedComponents(chain, "u", "v")
+    val logicalNodes = cc.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(logicalNodes < 40,
+      s"CC result plan embeds iteration history ($logicalNodes nodes)")
+    assert(cc.collect().map(_.getLong(1)).forall(_ == 1L)) // single component
+  }
+
+  test("banded SRP near-dup: checkpoint feeds all consumers, bounded shuffles") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = Queries.all.find(_.name == "q24_embed_neardup").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    // the banded table (vectors + norms + band buckets) is checkpointed
+    // once: the hot-bucket count, the anti-join, and both self-join sides
+    // all read it back — NO parquet scan may appear downstream (a scan
+    // would mean the SRP signature pass or the base-table join came back)
+    assert(plan.collect { case s: FileSourceScanExec => s }.isEmpty,
+      s"q24 re-scans the base table:\n$plan")
+    // hot-bucket count + self-join sides + final distinct; the skew-cap
+    // anti-join must stay broadcast (never a shuffle)
+    assert(shuffles(plan) <= 4, s"q24 shuffle count grew:\n$plan")
+    assert(plan.toString.contains("LeftAnti"), s"q24 lost the maxBucket cap:\n$plan")
+  }
+
   test("lookup join never shuffles the fact side") {
     graft.client.MemoryOnlineStore.clear()
     Registry.clear()

@@ -86,6 +86,90 @@ class StoreSpec extends SparkSuite {
     assert(got == Seq((1L, "a", 100L), (2L, "b", 200L)))
   }
 
+  test("kafka protobuf format round-trips without a broker") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "alpha", 1.5f, 2.5, true, Array(0.25f, -0.5f, 0f)),
+      (2L, "", 0f, 0.0, false, Array.empty[Float]), // all-default row
+      (3L, "βeta", -1f, 1e300, true, Array(1f))
+    ).toDF("id", "tag", "f", "d", "b", "vec")
+    val records = graft.engine.Sources.toKafkaRecords(
+      df, Seq("id"), valueFormat = "protobuf")
+    assert(records.schema("value").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val src = KafkaSource(
+      "pb_src", "unused:9092", "t",
+      Schema(
+        Seq("id", "tag", "f", "d", "b", "vec"),
+        Seq(DInt64, DString, DFloat32, DFloat64, DBool, DVector(DFloat32))),
+      valueFormat = "protobuf")
+    val got = graft.engine.Sources
+      .decodeKafkaRecords(records.select(col("value")), src)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("tag"), r.getAs[Float]("f"),
+        r.getAs[Double]("d"), r.getAs[Boolean]("b"),
+        r.getAs[Seq[Float]]("vec").toList))
+    assert(got(0) == ((1L, "alpha", 1.5f, 2.5, true, List(0.25f, -0.5f, 0f))))
+    // proto3 defaults come back as defaults (0 / "" / false / empty)
+    assert(got(1) == ((2L, "", 0f, 0.0, false, Nil)))
+    assert(got(2) == ((3L, "βeta", -1f, 1e300, true, List(1f))))
+  }
+
+  test("kafka protobuf: explicit field numbers, unknown-field skip, parse errors") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.engine.ProtoFormat
+    // writer uses sparse explicit numbers; reader only knows a SUBSET of
+    // the fields (id, tag) — the extra field must be skipped by wire type
+    val writerTypes = Seq(DInt64, DString, DFloat64)
+    val writerNums = ProtoFormat.fieldNumbers(
+      Seq("id", "tag", "extra"),
+      Map("protobuf.field_numbers" -> "id:3,tag:10,extra:7"))
+    val payload = ProtoFormat.encode(Seq(42L, "x", 9.5), writerTypes, writerNums)
+    val dec = ProtoFormat.decode(
+      payload, Seq(DInt64, DString),
+      ProtoFormat.fieldNumbers(Seq("id", "tag"),
+        Map("protobuf.field_numbers" -> "id:3,tag:10")))
+    assert(dec.toSeq == Seq(42L, "x"))
+    // ignore_parse_error=true (default) nulls out a malformed row;
+    // false fails the decode
+    val junk = Seq(Array[Byte](0x0a, 0x7f, 0x01)).toDF("value")
+    val lenientSrc = KafkaSource("pb_bad", "unused:9092", "t",
+      Schema(Seq("id"), Seq(DInt64)), valueFormat = "protobuf")
+    val rows = graft.engine.Sources.decodeKafkaRecords(junk, lenientSrc).collect()
+    assert(rows.length == 1 && rows.head.isNullAt(0))
+    val strictSrc = lenientSrc.copy(
+      valueFormatProps = Map("ignore_parse_error" -> "false"))
+    intercept[Exception] {
+      graft.engine.Sources.decodeKafkaRecords(junk, strictSrc).collect()
+    }
+  }
+
+  test("kafka csv and raw formats round-trip without a broker") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, "a", 100L), (2L, "b", 200L)).toDF("id", "tag", "t_ms")
+    val csvSrc = KafkaSource(
+      "kc_src", "unused:9092", "t",
+      Schema(Seq("id", "tag", "t_ms"), Seq(DInt64, DString, DInt64)),
+      valueFormat = "csv")
+    val csvBack = graft.engine.Sources.decodeKafkaRecords(
+      graft.engine.Sources.toKafkaRecords(df, Seq("id"), "csv")
+        .select(col("value").cast("binary").as("value")), csvSrc)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(csvBack == Seq((1L, "a", 100L), (2L, "b", 200L)))
+    val rawSrc = KafkaSource(
+      "kr_src", "unused:9092", "t",
+      Schema(Seq("payload"), Seq(DString)), valueFormat = "raw")
+    val rawBack = graft.engine.Sources.decodeKafkaRecords(
+      graft.engine.Sources.toKafkaRecords(df.select(col("tag")), Nil, "raw")
+        .select(col("value").cast("binary").as("value")), rawSrc)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(rawBack == Seq("a", "b"))
+  }
+
   test("hive sink writes a catalog table a HiveSource reads back") {
     val spark2 = spark
     import spark2.implicits._
