@@ -33,6 +33,19 @@ object Prof {
     val bands = graft.ops.Dedup.lshBands(sigs, 16, 4)
     time("bands")(bands.count())
     time("full q22")(graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text").count())
+    // simhash multipass hotspot: candidate volume vs hamming cost
+    val sim = graft.ops.Dedup.simhash(docs, "doc_id", "text").localCheckpoint(true)
+    time("simhash sigs")(sim.count())
+    val blocks = sim.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(k => struct(lit(k).as("tbl"),
+        substring(col("simhash"), k * 16 + 1, 16).as("blk"))): _*)).as("t"))
+      .select(col("id"), col("simhash"), col("t.tbl").as("tbl"), col("t.blk").as("blk"))
+      .localCheckpoint(true)
+    val cand = blocks.as("a").join(blocks.as("b"),
+      col("a.tbl") === col("b.tbl") && col("a.blk") === col("b.blk") &&
+        col("a.id") < col("b.id"))
+    time("block candidates")(cand.count())
+    time("multipass full")(graft.ops.Dedup.simhashPairsMultiPass(sim).count())
     spark.stop()
   }
 }
