@@ -1791,13 +1791,111 @@ object Queries {
       FROM p
       WHERE len(list_filter(generate_series(1, 64), g -> substr(sa, g::INT, 1) <> substr(sb, g::INT, 1))) <= 3"""))
 
+  /** Near-dup removal keeping the BEST cluster member (longest doc) rather
+    * than the smallest id — the keep-the-highest-quality rule; oracle
+    * re-derives the clusters with the recursive CTE and ranks inside SQL.
+    */
+  private val q73 = Q(
+    "q73_dedup_keep_best",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      Cluster.dedupApplyByScore(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        "doc_id", "n_chars", pairs, "id_a", "id_b")
+    },
+    Some(s"""WITH RECURSIVE $jaccardPairCtes,
+      sym AS (SELECT ia u, ib v FROM pairs UNION SELECT ib, ia FROM pairs),
+      reach(u, v) AS (SELECT u, v FROM sym
+        UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      lbl AS (SELECT u, MIN(v) mv FROM reach GROUP BY u),
+      asg AS (SELECT d.doc_id, d.n_chars,
+          LEAST(d.doc_id, COALESCE(l.mv, d.doc_id)) AS cluster
+        FROM documents d LEFT JOIN lbl l ON l.u = d.doc_id),
+      rk AS (SELECT doc_id, cluster,
+          ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) rn,
+          COUNT(*) OVER (PARTITION BY cluster) - 1 AS n_dropped
+        FROM asg)
+      SELECT d.doc_id, d.lang, d.source, d.n_chars, r.n_dropped::BIGINT AS n_dropped
+      FROM documents d JOIN rk r ON d.doc_id = r.doc_id AND r.rn = 1"""))
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2020): per-language
+    * head/middle/tail from discrete quantile thresholds of a deterministic
+    * md5 sample — the oracle replays the sample predicate and indexes the
+    * sorted sample list with the same max(ceil(p·n), 1) rule. Probabilities
+    * 0.25/0.75 are binary-exact, so ceil can never straddle an engine.
+    */
+  private val q74 = Q(
+    "q74_score_buckets",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+      val thr = Sampling.quantileThresholds(
+        docs, "lang", "n_chars", "doc_id",
+        probs = Seq(0.25, 0.75), sampleFraction = 0.5, salt = "ccnet")
+      Sampling.scoreBuckets(docs, thr, "lang", "n_chars",
+          Seq("head", "middle", "tail"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"))
+    },
+    Some("""WITH s AS (SELECT lang, n_chars FROM documents
+        WHERE substr(md5('ccnet|' || doc_id), 1, 2) < '80'),
+      t AS (SELECT lang, list_sort(list(n_chars)) xs, COUNT(*) n FROM s GROUP BY 1),
+      thr AS (SELECT lang,
+          xs[greatest(ceil(0.25 * n), 1)::INT] t0,
+          xs[greatest(ceil(0.75 * n), 1)::INT] t1 FROM t)
+      SELECT d.doc_id, d.lang, d.n_chars,
+        CASE WHEN d.n_chars <= t.t0 THEN 'head'
+             WHEN d.n_chars <= t.t1 THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM documents d JOIN thr t ON d.lang = t.lang"""))
+
+  /** Temperature-scaled source mixing (alpha = 0.5, the multilingual-LM
+    * flattening): per-language quotas from sqrt-scaled shares in exact
+    * integer micros, rows kept by the md5 rank rule — quota arithmetic and
+    * membership both bit-reproducible in SQL.
+    */
+  private val q75 = Q(
+    "q75_temperature_mix",
+    (spark, dir) =>
+      Sampling.temperatureSample(
+          pq(spark, dir, "documents"), "lang", "doc_id",
+          alpha = 0.5, budget = 300L)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+    Some("""WITH g AS (SELECT lang, COUNT(*) n FROM documents GROUP BY 1),
+      w AS (SELECT lang, n, round(sqrt(n::DOUBLE) * 1e6)::BIGINT wm FROM g),
+      q AS (SELECT lang, n,
+          least(n, round(300.0 * (wm::DOUBLE / (SELECT SUM(wm)::DOUBLE FROM w)))::BIGINT) quota
+        FROM w),
+      r AS (SELECT doc_id, lang, source, n_chars, ROW_NUMBER() OVER
+          (PARTITION BY lang ORDER BY md5('|' || lang || '#' || doc_id), doc_id) rk
+        FROM documents)
+      SELECT r.doc_id, r.lang, r.source, r.n_chars
+      FROM r JOIN q ON r.lang = q.lang WHERE r.rk <= q.quota"""))
+
+  /** Deterministic train/val/test assignment: md5 bucket of the key
+    * against cumulative 4-hex-digit boundaries (0.9/0.05/0.05 →
+    * e666/f333) — map-only, leak-proof under re-runs.
+    */
+  private val q76 = Q(
+    "q76_split_assign",
+    (spark, dir) =>
+      Sampling.splitAssign(
+          pq(spark, dir, "documents"), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "split")
+        .select(col("doc_id"), col("lang"), col("split")),
+    Some("""SELECT doc_id, lang,
+      CASE WHEN substr(md5('split|' || doc_id), 1, 4) < 'e666' THEN 'train'
+           WHEN substr(md5('split|' || doc_id), 1, 4) < 'f333' THEN 'val'
+           ELSE 'test' END AS split
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
+    q73, q74, q75, q76)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

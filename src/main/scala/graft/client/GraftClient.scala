@@ -99,7 +99,11 @@ final class GraftClient(val spark: SparkSession) {
           .option("topic", topic)
           .save()
       case JdbcSink(url, table, user, password, mode) =>
-        read().write.format("jdbc")
+        if (mode == "upsert")
+          graft.engine.JdbcUpsert.upsert(read(), url, table, user, password,
+            desc.keys.getOrElse(throw new IllegalArgumentException(
+              "JdbcSink upsert mode requires table keys")))
+        else read().write.format("jdbc")
           .option("url", url).option("dbtable", table)
           .option("user", user).option("password", password)
           .mode(mode).save()
@@ -188,10 +192,16 @@ final class GraftClient(val spark: SparkSession) {
           .option("topic", topic)
           .start()
       case JdbcSink(url, table, user, password, mode) =>
-        // streaming JDBC goes through foreachBatch (no native jdbc stream sink)
+        // streaming JDBC goes through foreachBatch (no native jdbc stream sink);
+        // upsert is the natural streaming mode — each microbatch lands its
+        // latest values per key (the CDC-style continuously-updated table)
         EventTime.drop(df).writeStream.option("checkpointLocation", checkpointDir)
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write.format("jdbc")
+            if (mode == "upsert")
+              graft.engine.JdbcUpsert.upsert(batch, url, table, user, password,
+                desc.keys.getOrElse(throw new IllegalArgumentException(
+                  "JdbcSink upsert mode requires table keys")))
+            else batch.write.format("jdbc")
               .option("url", url).option("dbtable", table)
               .option("user", user).option("password", password)
               .mode(mode).save()

@@ -1,0 +1,79 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Key-based JDBC upsert — the reference's MySQL sink semantics: its Flink
+  * table declares the feature keys as the PRIMARY KEY
+  * (ref: python/feathub/processors/flink/table_builder/mysql_utils.py:58),
+  * which puts Flink's JDBC connector in upsert mode (INSERT … ON DUPLICATE
+  * KEY UPDATE on the MySQL dialect). Spark's jdbc writer only has
+  * append/overwrite, so the upsert runs as a portable per-partition
+  * UPDATE-then-INSERT inside one transaction per batch — dialect-neutral
+  * SQL92 that works on MySQL, Postgres and Derby alike (the vendor
+  * one-statement forms — ON DUPLICATE KEY / ON CONFLICT / MERGE — are a
+  * dialect swap inside this one function if round-trips ever dominate).
+  *
+  * 100 TB shape: the frame should be the LATEST row per key before it gets
+  * here (GraftClient's online-materialize path already reduces to
+  * latest-per-key); each partition holds one connection and flushes in
+  * `batchSize` transactions, so DB round-trips are 2·rows/batch worst
+  * case, rows/batch when keys mostly exist. Parallelism = partitions;
+  * repartition by key first if the target locks per-row on a hot page.
+  */
+object JdbcUpsert {
+
+  def upsert(
+      df: DataFrame,
+      url: String,
+      table: String,
+      user: String,
+      password: String,
+      keys: Seq[String],
+      batchSize: Int = 500): Unit = {
+    require(keys.nonEmpty, "JDBC upsert requires table keys")
+    val cols = df.columns.toSeq
+    require(keys.forall(cols.contains), s"keys $keys not all present in $cols")
+    val valueCols = cols.filterNot(keys.contains)
+    require(valueCols.nonEmpty, s"upsert needs at least one non-key column in $cols")
+    // identifiers must quote the way Spark's own jdbc writer created the
+    // table (backticks on MySQL, double quotes elsewhere) — use the same
+    // dialect registry the writer uses
+    val q: String => String =
+      org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier
+    val updateSql =
+      s"UPDATE $table SET ${valueCols.map(c => s"${q(c)} = ?").mkString(", ")} " +
+        s"WHERE ${keys.map(k => s"${q(k)} = ?").mkString(" AND ")}"
+    val insertSql =
+      s"INSERT INTO $table (${cols.map(q).mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val colIdx = cols.zipWithIndex.toMap
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val conn = java.sql.DriverManager.getConnection(url, user, password)
+        try {
+          conn.setAutoCommit(false)
+          val upd = conn.prepareStatement(updateSql)
+          val ins = conn.prepareStatement(insertSql)
+          var inTx = 0
+          it.foreach { row =>
+            valueCols.zipWithIndex.foreach { case (c, i) =>
+              upd.setObject(i + 1, row.get(colIdx(c)))
+            }
+            keys.zipWithIndex.foreach { case (k, i) =>
+              upd.setObject(valueCols.size + i + 1, row.get(colIdx(k)))
+            }
+            if (upd.executeUpdate() == 0) {
+              cols.zipWithIndex.foreach { case (c, i) =>
+                ins.setObject(i + 1, row.get(colIdx(c)))
+              }
+              ins.executeUpdate()
+            }
+            inTx += 1
+            if (inTx >= batchSize) { conn.commit(); inTx = 0 }
+          }
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+}

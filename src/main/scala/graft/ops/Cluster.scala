@@ -257,4 +257,37 @@ object Cluster {
       .drop("cluster")
     corpus.join(survivors, Seq(idCol))
   }
+
+  /** [[dedupApply]] keeping the BEST member per near-dup cluster instead
+    * of the smallest id: survivor = max `scoreCol` (min id tie-break) —
+    * the keep-the-longest / keep-the-highest-quality rule real curation
+    * pipelines use, since boilerplate near-dup clusters usually contain
+    * one full document and many truncated copies.
+    *
+    * 100 TB shape: identical to [[dedupApply]] — the rank window runs
+    * over the assign side (only ids that appear in some pair), scores
+    * arrive there via one id equi-join that prunes to (id, score), and
+    * the corpus is touched by exactly one survivor equi-join.
+    */
+  def dedupApplyByScore(
+      corpus: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assign = dedupAssign(corpus.select(idCol), idCol, pairs, aCol, bCol)
+    val scored = assign.join(
+      corpus.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+    val survivors = scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("__score").desc, col("id"))))
+      .withColumn("n_dropped",
+        (count(lit(1)).over(Window.partitionBy(col("cluster"))) - 1).cast("long"))
+      .filter(col("__rk") === 1)
+      .select(col("id").as(idCol), col("n_dropped"))
+    corpus.join(survivors, Seq(idCol))
+  }
 }

@@ -92,6 +92,151 @@ object Sampling {
     * aggregated frame only, so its single-partition exchange moves
     * #sources rows regardless of corpus size.
     */
+  /** Temperature-scaled mixing quotas (the multilingual-LM recipe,
+    * Conneau & Lample 2019 §3.1 / mT5): group g keeps
+    * `quota_g = min(n_g, round(budget · p_g))` rows where
+    * `p_g ∝ n_g^alpha` — alpha < 1 flattens the distribution toward the
+    * tail groups. `alpha = 0.5` (the common default) computes as
+    * `round(sqrt(n)·1e6)` integer micros: sqrt is IEEE correctly-rounded
+    * in every engine, the micro sum is exact integer arithmetic, and the
+    * final share is one divide of the same two exact operands — so the
+    * quota is bit-reproducible cross-engine (general alpha goes through
+    * `pow`, whose last-ulp behavior is libm-specific; still deterministic
+    * per engine, just not oracle-exact).
+    *
+    * 100 TB shape: one map-side-combined groupBy on the group column
+    * (cardinality = #groups); the share normalization windows over the
+    * aggregated frame only.
+    */
+  def temperatureQuotas(
+      df: DataFrame,
+      groupCol: String,
+      alpha: Double,
+      budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha $alpha not in (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val wMicro =
+      if (alpha == 0.5) round(sqrt(col("n").cast("double")) * 1e6).cast("long")
+      else round(pow(col("n").cast("double"), alpha) * 1e6).cast("long")
+    df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w_micro", wMicro)
+      .withColumn("share",
+        col("w_micro").cast("double") / sum("w_micro").over(Window.partitionBy()))
+      .withColumn("quota",
+        least(col("n"), round(lit(budget.toDouble) * col("share")).cast("long")))
+  }
+
+  /** Temperature-scaled deterministic sample: [[temperatureQuotas]] joined
+    * back (broadcast — #groups rows) and rows kept by the same
+    * md5-ranked-within-group rule as [[groupQuotaSample]], so membership
+    * is auditable and the per-group counts are exact.
+    *
+    * 100 TB shape: one rank window keyed by the group (same skew contract
+    * as groupQuotaSample) plus the tiny quota aggregate.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      alpha: Double,
+      budget: Long,
+      salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quotas = temperatureQuotas(df, groupCol, alpha, budget)
+      .select(col("group").as(groupCol), col("quota"))
+    val r = md5(concat_ws("|", lit(salt), concat_ws("#", col(groupCol), col(keyCol))))
+    df.withColumn("__rk",
+        row_number().over(Window.partitionBy(col(groupCol)).orderBy(r, col(keyCol))))
+      .join(broadcast(quotas), Seq(groupCol))
+      .filter(col("__rk") <= col("quota"))
+      .drop("__rk", "quota")
+  }
+
+  /** Deterministic train/validation/test assignment: the md5 bucket of
+    * (salt|key) in [0, 65536) is compared against the cumulative split
+    * boundaries, so every row gets exactly one label, membership is
+    * reproducible and auditable, and co-keyed rows (same document id
+    * across shards/epochs) always land in the same split — the property
+    * that prevents train/test leakage under re-runs. Map-only: adds one
+    * codegen'd column, never shuffles.
+    *
+    * Boundaries are `round(cum_frac · 65536)` on 4 hex digits
+    * (granularity 1/65536 ≈ 0.0015%).
+    */
+  def splitAssign(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $splits")
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 65536)
+    }.tail
+    val bucket = substring(md5(concat_ws("|", lit(salt), col(keyCol))), 1, 4)
+    val label = splits.map(_._1).zip(bounds).init
+      .foldRight(lit(splits.last._1): Column) { case ((name, hi), acc) =>
+        when(bucket < lit(f"${hi.min(65536L)}%04x"), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+
+  /** Per-group discrete quantile thresholds from a deterministic sample —
+    * the CCNet recipe (Wenzek et al. 2020 §4.3): quality buckets come
+    * from quantiles of a bounded SAMPLE, never a corpus-wide sort.
+    * Threshold for probability p is sample element `max(ceil(p·n), 1)`
+    * (1-based) of the group's sorted sample — a discrete pick, no
+    * interpolation, so any engine that sorts and indexes agrees exactly.
+    *
+    * 100 TB shape: the md5 sample predicate pushes to the scan; the
+    * per-group sorted list is bounded by the sample size (size the
+    * fraction so group-sample × value width fits an executor — CCNet
+    * itself uses a few hundred thousand values per language).
+    */
+  def quantileThresholds(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      keyCol: String,
+      probs: Seq[Double],
+      sampleFraction: Double,
+      salt: String = ""): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      s"probs must lie in (0,1), got $probs")
+    val sampled = sample(df, keyCol, sampleFraction, salt)
+    val sorted = sort_array(collect_list(col(scoreCol)))
+    val base = sampled.groupBy(col(groupCol).as("group"))
+      .agg(sorted.as("xs"), count(lit(1)).as("n_sample"))
+    probs.zipWithIndex.foldLeft(base) { case (acc, (p, i)) =>
+      acc.withColumn(s"t$i",
+        element_at(col("xs"), greatest(ceil(lit(p) * col("n_sample")), lit(1)).cast("int")))
+    }.drop("xs")
+  }
+
+  /** Label each row by where its score falls among per-group ascending
+    * `thresholds` (t0 ≤ t1 ≤ …, from [[quantileThresholds]]): label i for
+    * score ≤ t_i, else the last label — CCNet's head/middle/tail with
+    * perplexity-like scores (lower = better). Broadcast join on the
+    * group + one codegen'd CASE; the corpus never shuffles.
+    */
+  def scoreBuckets(
+      df: DataFrame,
+      thresholds: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      labels: Seq[String]): DataFrame = {
+    require(labels.size >= 2, "need at least two bucket labels")
+    val t = thresholds.withColumnRenamed("group", groupCol)
+    val label = labels.init.zipWithIndex
+      .foldRight(lit(labels.last): Column) { case ((name, i), acc) =>
+        when(col(scoreCol) <= col(s"t$i"), lit(name)).otherwise(acc)
+      }
+    df.join(broadcast(t), Seq(groupCol))
+      .withColumn("bucket", label)
+      .drop(("n_sample" +: labels.init.indices.map(i => s"t$i")): _*)
+  }
+
   def mixingManifest(
       df: DataFrame,
       sourceCol: String,

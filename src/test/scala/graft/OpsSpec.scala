@@ -242,6 +242,89 @@ class OpsSpec extends SparkSuite {
     assert(rProbed > rSingle, s"multi-probe recall $rProbed should beat $rSingle")
   }
 
+  test("dedupApplyByScore keeps the best-scoring cluster member") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L), // cluster {1,2,3}: 2 wins on score
+      (4L, 7L), (5L, 7L),              // cluster {4,5}: tie -> smaller id 4
+      (6L, 1L)                         // singleton survives
+    ).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = graft.ops.Cluster
+      .dedupApplyByScore(corpus, "id", "score", pairs, "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_dropped")).toMap
+    assert(got == Map(2L -> 2L, 4L -> 1L, 6L -> 0L))
+  }
+
+  test("temperature quotas flatten toward tail groups and cap at group size") {
+    import graft.ops.Sampling
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 900).map(i => (i.toLong, if (i <= 800) "en" else if (i <= 890) "de" else "fi"))
+      .toDF("id", "lang")
+    val q = Sampling.temperatureQuotas(df, "lang", alpha = 0.5, budget = 300)
+      .collect().map(r => r.getAs[String]("group") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("quota"))).toMap
+    // sqrt weights: en sqrt(800)=28.28, de sqrt(90)=9.49, fi sqrt(10)=3.16
+    // -> en share .69 vs raw .89; fi share .077 vs raw .011 (flattened)
+    assert(q("en")._2 < 800 * 300 / 900) // below proportional allocation
+    assert(q("fi")._2 == 10L)            // capped at group size (epochs > 1)
+    assert(q.values.map(_._2).sum <= 310) // quotas track the budget
+    val kept = Sampling.temperatureSample(df, "lang", "id", 0.5, 300)
+    val counts = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") == q("en")._2 && counts("fi") == 10L)
+    // deterministic: same call, same membership
+    assert(kept.collect().map(_.getAs[Long]("id")).sorted.toSeq ==
+      Sampling.temperatureSample(df, "lang", "id", 0.5, 300)
+        .collect().map(_.getAs[Long]("id")).sorted.toSeq)
+  }
+
+  test("splitAssign partitions every row deterministically near the fractions") {
+    import graft.ops.Sampling
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 2000).map(_.toLong).toDF("id")
+    val got = Sampling.splitAssign(df, "id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val counts = got.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000) // exactly one label per row
+    assert(counts("train") > 1700 && counts("val") > 50 && counts("test") > 50)
+    // re-running never moves a row across splits (leak-proofness)
+    val again = Sampling.splitAssign(df, "id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      again.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // map-only: no exchange in the plan
+    assert(!got.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("quantile thresholds + score buckets: every bucket bound holds") {
+    import graft.ops.Sampling
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", (i % 97).toLong))
+      .toDF("id", "g", "score")
+    val thr = Sampling.quantileThresholds(df, "g", "score", "id",
+      probs = Seq(0.25, 0.75), sampleFraction = 0.5)
+    val t = thr.collect().map(r => r.getAs[String]("group") ->
+      (r.getAs[Long]("t0"), r.getAs[Long]("t1"))).toMap
+    assert(t.keySet == Set("a", "b"))
+    t.values.foreach { case (t0, t1) => assert(t0 <= t1) }
+    val buckets = Sampling.scoreBuckets(df, thr, "g", "score", Seq("head", "middle", "tail"))
+    buckets.collect().foreach { r =>
+      val (g, s, b) = (r.getAs[String]("g"), r.getAs[Long]("score"), r.getAs[String]("bucket"))
+      val (t0, t1) = t(g)
+      b match {
+        case "head"   => assert(s <= t0)
+        case "middle" => assert(s > t0 && s <= t1)
+        case "tail"   => assert(s > t1)
+      }
+    }
+    // thresholds frame stays tiny and the corpus side never shuffles
+    assert(buckets.queryExecution.executedPlan.toString.contains("Broadcast"))
+  }
+
   test("langId picks the marker-heavy language") {
     val got = docs.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -65,6 +65,39 @@ class StoreSpec extends SparkSuite {
     assert(got == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("jdbc sink upsert mode updates existing keys and inserts new ones (Derby)") {
+    // the reference's MySQL sink declares its keys as the Flink table's
+    // PRIMARY KEY (mysql_utils.py:58), i.e. JDBC upsert semantics — here
+    // as the dialect-neutral UPDATE-then-INSERT transaction
+    val spark2 = spark
+    import spark2.implicits._
+    val url = "jdbc:derby:memory:graftupsert;create=true"
+    val cl = new GraftClient(spark)
+    val v1 = Seq((1L, "a", 100L), (2L, "b", 200L)).toDF("id", "tag", "t_ms")
+    cl.materialize(
+      DataFrameSource("up_src1", v1, keys = Some(Seq("id")),
+        timestampField = Some("t_ms"), timestampFormat = "epoch_millis"),
+      JdbcSink(url, "up_tbl", mode = "overwrite")) // create the keyed table
+    val v2 = Seq((2L, "B2", 300L), (3L, "c", 400L)).toDF("id", "tag", "t_ms")
+    cl.materialize(
+      DataFrameSource("up_src2", v2, keys = Some(Seq("id")),
+        timestampField = Some("t_ms"), timestampFormat = "epoch_millis"),
+      JdbcSink(url, "up_tbl", mode = "upsert"))
+    val got = cl.getFeatures(JdbcSource(
+        "up_read", url, "up_tbl", keys = Some(Seq("id")),
+        timestampField = Some("t_ms"), timestampFormat = "epoch_millis"))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("tag"))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B2"), (3L, "c"))) // 1 kept, 2 updated, 3 inserted
+    // upsert without keys is a declaration error, not silent appends
+    intercept[IllegalArgumentException] {
+      cl.materialize(
+        DataFrameSource("up_src3", v2, keys = None,
+          timestampField = Some("t_ms"), timestampFormat = "epoch_millis"),
+        JdbcSink(url, "up_tbl", mode = "upsert"))
+    }
+  }
+
   test("kafka record encode/decode round-trips without a broker") {
     val spark2 = spark
     import spark2.implicits._
