@@ -1888,6 +1888,46 @@ object Queries {
            ELSE 'test' END AS split
       FROM documents"""))
 
+  /** DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    * importance weights of the corpus against a trusted target domain
+    * (source src0), deterministic top-k. The oracle rebuilds both
+    * bag-of-ngram models and the integer-micro log-ratio table in SQL.
+    */
+  private val q77 = Q(
+    "q77_dsir_select",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+      Sampling.dsirSelect(
+          docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text",
+          k = 200)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_grams"), col("w_micro"))
+    },
+    Some("""WITH ct AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      cg AS (SELECT doc_id, unnest(ws) g FROM ct
+        UNION ALL
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] FROM
+          (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) i FROM ct WHERE len(ws) >= 2)),
+      cb AS (SELECT doc_id, substr(md5(g), 1, 3) b FROM cg),
+      tt AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents WHERE source = 'src0'),
+      tg AS (SELECT unnest(ws) g FROM tt
+        UNION ALL
+        SELECT ws[i] || ' ' || ws[i+1] FROM
+          (SELECT ws, unnest(generate_series(1, len(ws) - 1)) i FROM tt WHERE len(ws) >= 2)),
+      tbk AS (SELECT substr(md5(g), 1, 3) b FROM tg),
+      qc AS (SELECT b, COUNT(*) cq FROM cb GROUP BY 1),
+      pc AS (SELECT b, COUNT(*) cp FROM tbk GROUP BY 1),
+      lr AS (SELECT COALESCE(qc.b, pc.b) b,
+          round(ln((COALESCE(cp, 0) + 1)::DOUBLE / ((SELECT COUNT(*) FROM tbk) + 4096)) * 1e6)::BIGINT
+          - round(ln((COALESCE(cq, 0) + 1)::DOUBLE / ((SELECT COUNT(*) FROM cb) + 4096)) * 1e6)::BIGINT AS lr_micro
+        FROM qc FULL JOIN pc ON qc.b = pc.b),
+      w AS (SELECT doc_id, COUNT(*)::BIGINT n_grams, SUM(lr_micro)::BIGINT w_micro
+        FROM cb JOIN lr USING (b) GROUP BY 1)
+      SELECT d.doc_id, d.lang, d.source, w.n_grams, w.w_micro
+      FROM documents d JOIN w ON d.doc_id = w.doc_id
+      ORDER BY w.w_micro DESC, d.doc_id LIMIT 200"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -1895,7 +1935,7 @@ object Queries {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76)
+    q73, q74, q75, q76, q77)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

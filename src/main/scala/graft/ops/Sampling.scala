@@ -237,6 +237,90 @@ object Sampling {
       .drop(("n_sample" +: labels.init.indices.map(i => s"t$i")): _*)
   }
 
+  /** Hashed unigram+bigram bag-of-words buckets for [[dsirWeights]]: the
+    * bucket id is the first `hashDigits` hex chars of md5(gram) — a string
+    * key every md5-capable engine derives identically, no hex→int parsing
+    * — giving 16^hashDigits buckets (DSIR's paper setting is 10k; the
+    * 3-digit default is 4096).
+    */
+  private def gramBuckets(
+      df: DataFrame, idCols: Seq[Column], textCol: String, hashDigits: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val bigrams = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    df.select(idCols :+ explode(concat(toks, bigrams)).as("__gram"): _*)
+      .withColumn("b", substring(md5(col("__gram")), 1, hashDigits))
+      .drop("__gram")
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, Data Selection via
+    * Importance Resampling): fit Laplace-smoothed bag-of-hashed-ngram
+    * models over the TARGET domain (p) and the raw CORPUS (q); a
+    * document's weight is its sum of per-occurrence log p(b)/q(b). Every
+    * per-bucket log is rounded to integer MICROS before any sum (the
+    * bigramLmScore determinism recipe), so document weights are exact
+    * integers — cross-engine and cross-partitioning reproducible.
+    *
+    * 100 TB shape: two gram-keyed count aggregations (bucket tables are
+    * 16^hashDigits rows — model-sized); the corpus re-walks its grams once
+    * against the BROADCAST log-ratio table and sums per doc with map-side
+    * combine. The target set (a trusted domain sample) is assumed
+    * corpus-fraction-sized or smaller; neither side ever collects.
+    */
+  def dsirWeights(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      hashDigits: Int = 3): DataFrame = {
+    require(hashDigits >= 1 && hashDigits <= 6, s"hashDigits $hashDigits not in [1,6]")
+    val nBuckets = math.pow(16, hashDigits).toLong
+    val cb = gramBuckets(corpus, Seq(col(idCol)), textCol, hashDigits)
+    val tb = gramBuckets(target, Seq(lit(1).as("__one")), targetTextCol, hashDigits)
+    val qCounts = cb.groupBy("b").agg(count(lit(1)).as("cq"))
+    val pCounts = tb.groupBy("b").agg(count(lit(1)).as("cp"))
+    // scalar totals: counts of the exploded gram frames (exact integers)
+    val totQ = cb.count()
+    val totP = tb.count()
+    val lr = qCounts.join(pCounts, Seq("b"), "full_outer")
+      .select(
+        col("b"),
+        (round(log((coalesce(col("cp"), lit(0L)) + 1).cast("double") /
+            lit((totP + nBuckets).toDouble)) * 1e6).cast("long") -
+          round(log((coalesce(col("cq"), lit(0L)) + 1).cast("double") /
+            lit((totQ + nBuckets).toDouble)) * 1e6).cast("long")).as("lr_micro"))
+    cb.join(broadcast(lr), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("lr_micro")).as("w_micro"))
+  }
+
+  /** DSIR selection: the `k` highest-weight documents (id tie-break) —
+    * the deterministic top-k variant (the paper's Gumbel perturbation
+    * needs engine-specific log(-log(u)) doubles, which can't hash-match
+    * cross-engine; top-k keeps the estimator's ranking contract exact).
+    * Runs as a distributed TakeOrdered, never a single-partition sort.
+    */
+  def dsirSelect(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      k: Int,
+      hashDigits: Int = 3): DataFrame = {
+    val w = dsirWeights(corpus, idCol, textCol, target, targetTextCol, hashDigits)
+    corpus.join(w, Seq(idCol))
+      .orderBy(col("w_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   def mixingManifest(
       df: DataFrame,
       sourceCol: String,

@@ -325,6 +325,25 @@ class OpsSpec extends SparkSuite {
     assert(buckets.queryExecution.executedPlan.toString.contains("Broadcast"))
   }
 
+  test("dsir weights rank target-domain-like docs first; log-ratio table broadcasts") {
+    import graft.ops.Sampling
+    // target = the German doc; the corpus's other German-ish content should
+    // outrank the English fox sentences
+    val target = docs.filter(col("doc_id") === 5L).select(col("text"))
+    val w = Sampling.dsirWeights(docs, "doc_id", "text", target, "text")
+    val byId = w.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("w_micro")).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(byId(5L) == byId.values.max, s"target doc must self-select: $byId")
+    assert(byId(5L) > byId(1L) && byId(5L) > byId(3L))
+    // exact duplicates of each other score identically (pure function of text)
+    assert(byId(1L) == byId(4L))
+    val sel = Sampling.dsirSelect(docs, "doc_id", "text", target, "text", k = 1)
+    assert(sel.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(5L))
+    assert(w.queryExecution.executedPlan.toString.contains("Broadcast"),
+      "the bucket log-ratio table must broadcast, never shuffle the corpus side")
+  }
+
   test("langId picks the marker-heavy language") {
     val got = docs.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
