@@ -1928,6 +1928,57 @@ object Queries {
       FROM documents d JOIN w ON d.doc_id = w.doc_id
       ORDER BY w.w_micro DESC, d.doc_id LIMIT 200"""))
 
+  /** SemDeDup (Abbas et al. 2023): k-means clusters (q50's unrolled
+    * integer-micro round) restrict the cosine pair space, connected
+    * components resolve semantic-dup groups, one survivor each. The
+    * oracle replays k-means, the within-cluster cosine join, and the
+    * recursive-CTE closure — three independent algorithm replications
+    * agreeing exactly.
+    */
+  private val q78 = Q(
+    "q78_semdedup",
+    (spark, dir) =>
+      Cluster.semDedup(
+        pq(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 1, eps = 0.45),
+    Some("""WITH RECURSIVE xm AS (SELECT vec_id, g - 1 AS pos,
+          CAST(ROUND((embedding[g]::DOUBLE + 4.0) * 1000000) AS BIGINT) v
+        FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) g
+          FROM embeddings)),
+      seed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 cl
+        FROM embeddings QUALIFY cl < 4),
+      cent0 AS (SELECT s.cl, x.pos, x.v FROM seed s JOIN xm x USING (vec_id)),
+      d1 AS (SELECT x.vec_id, c.cl, SUM((x.v - c.v) * (x.v - c.v)) dist
+        FROM xm x JOIN cent0 c USING (pos) GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d1)
+        WHERE rn = 1),
+      cm AS (SELECT a.cl, x.pos, (2 * SUM(x.v) + COUNT(*)) // (2 * COUNT(*)) v
+        FROM a1 a JOIN xm x USING (vec_id) GROUP BY 1, 2),
+      cent1 AS (SELECT * FROM cm UNION ALL
+        SELECT c0.cl, c0.pos, c0.v FROM cent0 c0
+        WHERE c0.cl NOT IN (SELECT DISTINCT cl FROM cm)),
+      d2 AS (SELECT x.vec_id, c.cl, SUM((x.v - c.v) * (x.v - c.v)) dist
+        FROM xm x JOIN cent1 c USING (pos) GROUP BY 1, 2),
+      asg AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d2)
+        WHERE rn = 1),
+      e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      p AS (SELECT a.vec_id ia, b.vec_id ib
+        FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        JOIN e x ON x.vec_id = a.vec_id JOIN e y ON y.vec_id = b.vec_id
+        WHERE ROUND(list_dot_product(x.v, y.v) /
+          (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.45),
+      sym AS (SELECT ia u, ib v FROM p UNION SELECT ib, ia FROM p),
+      reach(u, v) AS (SELECT u, v FROM sym
+        UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      lbl AS (SELECT u, MIN(v) mv FROM reach GROUP BY u),
+      a2 AS (SELECT g.vec_id, g.cl, LEAST(g.vec_id, COALESCE(l.mv, g.vec_id)) c2
+        FROM asg g LEFT JOIN lbl l ON l.u = g.vec_id),
+      surv AS (SELECT c2, MIN(vec_id) vec_id, COUNT(*) - 1 n_dropped FROM a2 GROUP BY 1)
+      SELECT a.vec_id, a.cl::INT AS cluster, s.n_dropped::BIGINT AS n_dropped
+      FROM surv s JOIN a2 a ON a.vec_id = s.vec_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -1935,7 +1986,7 @@ object Queries {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77)
+    q73, q74, q75, q76, q77, q78)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

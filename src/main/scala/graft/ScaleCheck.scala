@@ -162,8 +162,25 @@ object ScaleCheck {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def simhashMpTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.simhashPairsMultiPass(
+          graft.ops.Dedup.simhash(df, "doc_id", "text"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def dsirTime(df: DataFrame, tag: String): Double = {
+      // target = a fixed ~1% slice, so the target model scales with data
+      val t0 = System.nanoTime()
+      graft.ops.Sampling.dsirSelect(
+          df, "doc_id", "text",
+          df.filter(col("doc_id") % 97 === 0), "text", k = 200)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     for ((name, f) <- Seq(
-      ("segdup", segdupTime _), ("bigram_lm", bigramTime _), ("token_kl", klTime _))) {
+      ("segdup", segdupTime _), ("bigram_lm", bigramTime _), ("token_kl", klTime _),
+      ("simhash_mp", simhashMpTime _), ("dsir", dsirTime _))) {
       val t1 = f(doc1, s"${name}_1")
       val tN = f(docN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")

@@ -269,6 +269,49 @@ object Cluster {
     * arrive there via one id equi-join that prunes to (id, score), and
     * the corpus is touched by exactly one survivor equi-join.
     */
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication of an embedding
+    * corpus — k-means cluster the vectors, generate cosine-≥-eps pairs
+    * ONLY within each cluster, connected-component the pair graph, keep
+    * one survivor per semantic-dup group (min id; [[dedupApplyByScore]]
+    * composes the same way for a quality-keeper). Returns surviving
+    * (id, cluster) rows with `n_dropped`.
+    *
+    * The within-cluster restriction is the paper's whole point: the
+    * corpus-wide pair space never materializes — candidates are
+    * Σ|cluster|², controlled by `k` (paper: 50k clusters for LAION) and
+    * hard-capped by `maxCluster` (over-cap clusters skip pair generation
+    * rather than going quadratic — the [[graft.ops.Dedup]] maxBucket
+    * pattern). Cosine is rounded to 6 dp (cross-engine contract); the
+    * clustered frame is checkpointed once and feeds the hot-cluster
+    * count, the cap anti-join and both self-join sides.
+    */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 1,
+      eps: Double = 0.9,
+      maxCluster: Long = 100000L): DataFrame = {
+    val assign = kmeansAssign(corpus, idCol, vecCol, k, iters)
+      .select(col(idCol), col("cluster"))
+    val withC = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(assign.select(col(idCol).as("id"), col("cluster")), Seq("id"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .localCheckpoint(true)
+    val hot = withC.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCluster).select("cluster")
+    val capped = withC.join(broadcast(hot), Seq("cluster"), "left_anti")
+    val cos = round(
+      Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(cos >= eps)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    dedupApply(assign, idCol, pairs, "id_a", "id_b")
+  }
+
   def dedupApplyByScore(
       corpus: DataFrame,
       idCol: String,

@@ -344,6 +344,32 @@ class OpsSpec extends SparkSuite {
       "the bucket log-ratio table must broadcast, never shuffle the corpus side")
   }
 
+  test("semDedup keeps one survivor per semantic-dup group; over-cap clusters skip pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two tight groups far apart, plus a lone vector: group A {1,2,3}
+    // nearly parallel, group B {10,11} nearly parallel, 20 orthogonal-ish
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.01f, 0f, 0f)),
+      (2L, Array(0.99f, 0.02f, 0f, 0f)),
+      (3L, Array(1.01f, 0f, 0.01f, 0f)),
+      (10L, Array(0f, 0f, 1.0f, 0.01f)),
+      (11L, Array(0f, 0.01f, 0.98f, 0f)),
+      (20L, Array(0f, 1.0f, 0f, 0f))
+    ).toDF("id", "vec")
+    val got = graft.ops.Cluster.semDedup(vecs, "id", "vec", k = 3, iters = 2, eps = 0.95)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_dropped")).toMap
+    assert(got(20L) == 0L)                         // the loner survives untouched
+    assert(got.keySet.intersect(Set(1L, 2L, 3L)).size == 1) // one survivor per group
+    assert(got.keySet.intersect(Set(10L, 11L)).size == 1)
+    assert(got.values.sum == 3L)                   // 3 semantic dups absorbed
+    // maxCluster = 1: every cluster is over-cap, so NO pairs generate and
+    // everything survives — the quadratic blowup guard
+    val capped = graft.ops.Cluster.semDedup(vecs, "id", "vec", k = 3, iters = 2,
+      eps = 0.95, maxCluster = 1L)
+    assert(capped.count() == 6L)
+  }
+
   test("langId picks the marker-heavy language") {
     val got = docs.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
