@@ -285,16 +285,25 @@ object Cluster {
     * clustered frame is checkpointed once and feeds the hot-cluster
     * count, the cap anti-join and both self-join sides.
     */
-  def semDedup(
+  /** The clustered frame + pair stage of [[semDedup]], exposed so
+    * PlanSpec can lock the pair plan (the final semDedup plan hides it
+    * behind the CC loop's eager checkpoints). Returns the checkpointed
+    * (id, cluster, v, nrm) frame and the candidate-pair plan over it.
+    */
+  private[graft] def semDedupPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int = 1,
-      eps: Double = 0.9,
-      maxCluster: Long = 100000L): DataFrame = {
+      iters: Int,
+      eps: Double,
+      maxCluster: Long): (DataFrame, DataFrame) = {
     val assign = kmeansAssign(corpus, idCol, vecCol, k, iters)
       .select(col(idCol), col("cluster"))
+    // ONE checkpoint feeds everything downstream — the hot-cluster count,
+    // the cap anti-join, both pair-join sides AND the dedupApply corpus
+    // (otherwise the k-means assignment re-derives from the base table in
+    // every consumer: extra scans + repeated k×dim distance maps)
     val withC = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(assign.select(col(idCol).as("id"), col("cluster")), Seq("id"))
       .withColumn("nrm", Similarity.norm(col("v")))
@@ -309,7 +318,21 @@ object Cluster {
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
       .filter(cos >= eps)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    dedupApply(assign, idCol, pairs, "id_a", "id_b")
+    (withC, pairs)
+  }
+
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 1,
+      eps: Double = 0.9,
+      maxCluster: Long = 100000L): DataFrame = {
+    val (withC, pairs) =
+      semDedupPairs(corpus, idCol, vecCol, k, iters, eps, maxCluster)
+    dedupApply(withC.select(col("id").as(idCol), col("cluster")),
+      idCol, pairs, "id_a", "id_b")
   }
 
   def dedupApplyByScore(

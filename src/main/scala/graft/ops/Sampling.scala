@@ -282,11 +282,16 @@ object Sampling {
     val nBuckets = math.pow(16, hashDigits).toLong
     val cb = gramBuckets(corpus, Seq(col(idCol)), textCol, hashDigits)
     val tb = gramBuckets(target, Seq(lit(1).as("__one")), targetTextCol, hashDigits)
+    // bucket-keyed count tables are 16^hashDigits rows — model-sized; the
+    // gram totals come from summing THEM, so each side's gram explode runs
+    // once here plus once in the scoring join (the inherent two DSIR
+    // passes), never a third time for a count()
     val qCounts = cb.groupBy("b").agg(count(lit(1)).as("cq"))
+      .localCheckpoint(true)
     val pCounts = tb.groupBy("b").agg(count(lit(1)).as("cp"))
-    // scalar totals: counts of the exploded gram frames (exact integers)
-    val totQ = cb.count()
-    val totP = tb.count()
+      .localCheckpoint(true)
+    val totQ = qCounts.agg(coalesce(sum("cq"), lit(0L))).collect()(0).getLong(0)
+    val totP = pCounts.agg(coalesce(sum("cp"), lit(0L))).collect()(0).getLong(0)
     val lr = qCounts.join(pCounts, Seq("b"), "full_outer")
       .select(
         col("b"),

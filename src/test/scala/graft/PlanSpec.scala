@@ -143,6 +143,41 @@ class PlanSpec extends SparkSuite {
     assert(plan.toString.contains("LeftAnti"), s"q24 lost the maxBucket cap:\n$plan")
   }
 
+  test("dsir: log-ratio model broadcasts, no cartesian, corpus shuffles stay bounded") {
+    val plan = Queries.all.find(_.name == "q77_dsir_select").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"), s"q77 went cartesian:\n$plan")
+    assert(s.contains("Broadcast"),
+      s"q77's bucket log-ratio table must broadcast onto the corpus grams:\n$plan")
+    // gram-count aggs + per-doc agg + the corpus-side survivor join + TakeOrdered;
+    // growth here means a corpus-sized side started shuffling for the model join
+    assert(shuffles(plan) <= 8, s"q77 shuffle count grew:\n$plan")
+  }
+
+  test("semdedup: within-cluster equi-join only, cap stays anti-join, no rescans") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the pair stage (the final semDedup plan hides it behind the CC
+    // loop's eager checkpoints): cluster-restricted equi-join, anti-join
+    // cap, and every consumer reading the ONE checkpointed frame
+    val (_, pairs) = graft.ops.Cluster.semDedupPairs(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      "vec_id", "embedding", k = 4, iters = 1, eps = 0.45, maxCluster = 100000L)
+    val pp = pairs.queryExecution.executedPlan
+    val ps = pp.toString
+    assert(!ps.contains("CartesianProduct"),
+      s"semDedup's pair space must stay cluster-restricted:\n$pp")
+    assert(ps.contains("LeftAnti"), s"semDedup lost the maxCluster cap:\n$pp")
+    assert(pp.collect { case sc: FileSourceScanExec => sc }.isEmpty,
+      s"semDedup pair join must read only the checkpointed frame:\n$pp")
+    // the final applied plan stays checkpoint-fed too (no parquet rescans)
+    val plan = Queries.all.find(_.name == "q78_semdedup").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    assert(!plan.toString.contains("CartesianProduct"))
+    assert(plan.collect { case sc: FileSourceScanExec => sc }.isEmpty,
+      s"q78 re-scans the base table past the checkpoint:\n$plan")
+  }
+
   test("lookup join never shuffles the fact side") {
     graft.client.MemoryOnlineStore.clear()
     Registry.clear()
