@@ -395,6 +395,40 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("map-only curation ops run unchanged on an unbounded stream") {
+    // stream-batch unification for the pipeline ops: splitAssign and the
+    // Gopher rules are pure column expressions, so the SAME operator call
+    // works on a streaming frame and agrees row-for-row with batch
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "der hund und die katze"),
+      (3L, "### ### ### ### ###"))
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    val curated = graft.ops.Sampling.splitAssign(
+      graft.ops.TextOps.gopherRules(sdf, "text", Seq("doc_id"))
+        .select(col("doc_id"), col("keep")),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.2), salt = "s")
+    assert(curated.isStreaming, "curation plan must stay unbounded")
+    val query = curated.writeStream.format("memory").queryName("s_curate_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, keep, split FROM s_curate_out")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSet
+      val batch = graft.ops.Sampling.splitAssign(
+        graft.ops.TextOps.gopherRules(rows.toDF("doc_id", "text"), "text", Seq("doc_id"))
+          .select(col("doc_id"), col("keep")),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.2), salt = "s")
+        .collect().map(r => (r.getLong(0), r.getAs[Boolean]("keep"), r.getAs[String]("split"))).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally query.stop()
+  }
+
   test("streaming file source feeds a derived view") {
     val dir = writeTempParquet(purchases, "stream_files")
     val src = FileSource(
