@@ -91,9 +91,9 @@ final class GraftClient(val spark: SparkSession) {
           readWithTime(),
           desc.keys.getOrElse(throw new IllegalArgumentException(
             "MemoryStoreSink requires table keys")))
-      case KafkaSink(server, topic, vf, vfp) =>
+      case KafkaSink(server, topic, vf, vfp, kf, kfp) =>
         graft.engine.Sources
-          .toKafkaRecords(read(), desc.keys.getOrElse(Nil), vf, vfp)
+          .toKafkaRecords(read(), desc.keys.getOrElse(Nil), vf, vfp, kf, kfp)
           .write.format("kafka")
           .option("kafka.bootstrap.servers", server)
           .option("topic", topic)
@@ -183,9 +183,9 @@ final class GraftClient(val spark: SparkSession) {
           .foreachBatch { (batch: DataFrame, _: Long) =>
             MemoryOnlineStore.put(tableName, batch, keys)
           }.start()
-      case KafkaSink(server, topic, vf, vfp) =>
+      case KafkaSink(server, topic, vf, vfp, kf, kfp) =>
         graft.engine.Sources
-          .toKafkaRecords(EventTime.drop(df), desc.keys.getOrElse(Nil), vf, vfp)
+          .toKafkaRecords(EventTime.drop(df), desc.keys.getOrElse(Nil), vf, vfp, kf, kfp)
           .writeStream.option("checkpointLocation", checkpointDir)
           .format("kafka")
           .option("kafka.bootstrap.servers", server)

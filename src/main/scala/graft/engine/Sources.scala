@@ -2,7 +2,7 @@ package graft.engine
 
 import graft.table.{DataGenSource, FileSource, HiveSource, KafkaSource, RandomField, SequenceField}
 import graft.types._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical sources (ref: python/feathub/processors/spark/
@@ -78,58 +78,105 @@ object Sources {
     decodeKafkaRecords(raw, s)
   }
 
-  /** Decode Kafka-shaped records (binary `value` column) into the declared
-    * schema per the source's `valueFormat` — split out so the decode
-    * contract is testable without a broker; it is the exact inverse of
-    * [[toKafkaRecords]] for each format.
-    *
-    * json/csv decode relationally (`from_json`/`from_csv` — codegen'd, no
-    * UDF); `raw` maps the bare payload onto a single declared column;
-    * `protobuf` crosses the codec boundary via mapPartitions (the
-    * [[Multimodal]]-style pattern: one JVM call per row, schema-typed Row
+  /** Decode ONE Kafka payload column (`key` or `value`) into `fieldNames`,
+    * carrying the `keep` columns through. json/csv decode relationally
+    * (`from_json`/`from_csv` — codegen'd, no UDF); `raw` maps the bare
+    * payload onto a single declared column; `protobuf` crosses the codec
+    * boundary via mapPartitions (one JVM call per row, schema-typed Row
     * output, no Python round-trip).
     */
-  def decodeKafkaRecords(raw: DataFrame, s: KafkaSource): DataFrame = {
-    val parsed = s.valueFormat match {
+  private def decodePayload(
+      df: DataFrame,
+      payloadCol: String,
+      format: String,
+      fieldNames: Seq[String],
+      fieldTypes: Seq[graft.types.DType],
+      props: Map[String, String],
+      keep: Seq[String],
+      ctx: String): DataFrame = {
+    val structType = org.apache.spark.sql.types.StructType(
+      fieldNames.zip(fieldTypes).map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t.toSpark, nullable = true)
+      })
+    val keepCols = keep.map(col)
+    format match {
       case "json" =>
-        raw.select(from_json(col("value").cast("string"), s.schema.toSpark).as("__v"))
-          .select(col("__v.*"))
+        df.withColumn("__d", from_json(col(payloadCol).cast("string"), structType))
+          .select(keepCols ++ fieldNames.map(n => col(s"__d.$n").as(n)): _*)
       case "csv" =>
-        raw.select(from_csv(col("value").cast("string"), s.schema.toSpark,
-            Map.empty[String, String]).as("__v"))
-          .select(col("__v.*"))
+        df.withColumn("__d", from_csv(col(payloadCol).cast("string"), structType,
+            Map.empty[String, String]))
+          .select(keepCols ++ fieldNames.map(n => col(s"__d.$n").as(n)): _*)
       case "raw" =>
         // the reference's raw format: the whole payload is one field
-        require(s.schema.fieldNames.size == 1,
-          "raw format requires a single-column schema")
-        val n = s.schema.fieldNames.head
-        raw.select(s.schema.fieldTypes.head match {
-          case graft.types.DBytes => col("value").cast("binary").as(n)
-          case t => col("value").cast("string").cast(t.toSpark).as(n)
-        })
+        require(fieldNames.size == 1,
+          s"raw format requires a single-column payload ($ctx)")
+        df.select(keepCols :+ (fieldTypes.head match {
+          case graft.types.DBytes => col(payloadCol).cast("binary").as(fieldNames.head)
+          case t => col(payloadCol).cast("string").cast(t.toSpark).as(fieldNames.head)
+        }): _*)
       case "protobuf" =>
         import org.apache.spark.sql.{Encoders, Row}
-        val types = s.schema.fieldTypes
-        val nums = ProtoFormat.fieldNumbers(s.schema.fieldNames, s.valueFormatProps)
-        val lenient = ProtoFormat.ignoreParseError(s.valueFormatProps)
-        val outSchema = s.schema.toSpark
-        val nFields = types.size
-        raw.select(col("value").cast("binary").as("value"))
-          .mapPartitions { it =>
-            it.map { r =>
-              val bytes = r.getAs[Array[Byte]](0)
-              try Row.fromSeq(ProtoFormat.decode(bytes, types, nums).toSeq)
+        val nums = ProtoFormat.fieldNumbers(fieldNames, props)
+        val lenient = ProtoFormat.ignoreParseError(props)
+        val nFields = fieldTypes.size
+        val in = df.select(col(payloadCol).cast("binary").as("__p") +: keepCols: _*)
+        val outSchema = org.apache.spark.sql.types.StructType(
+          keep.map(in.schema(_)) ++ structType.fields)
+        in.mapPartitions { it =>
+          it.map { r =>
+            val bytes = r.getAs[Array[Byte]](0)
+            val kept = (1 to keep.size).map(r.get)
+            val decoded =
+              try ProtoFormat.decode(bytes, fieldTypes, nums).toSeq
               catch {
                 case e: Exception if lenient =>
-                  Row.fromSeq(Seq.fill(nFields)(null)) // reference: null out bad rows
+                  Seq.fill[Any](nFields)(null) // reference: null out bad rows
                 case e: Exception =>
                   throw new IllegalArgumentException(
-                    s"protobuf decode failed for ${s.name}", e)
+                    s"protobuf decode failed for $ctx", e)
               }
-            }
-          }(Encoders.row(outSchema))
+            Row.fromSeq(kept ++ decoded)
+          }
+        }(Encoders.row(outSchema))
       case other => throw new IllegalArgumentException(
-        s"Unknown Kafka value format '$other' (json/csv/raw/protobuf)")
+        s"Unknown Kafka format '$other' for $ctx (json/csv/raw/protobuf)")
+    }
+  }
+
+  /** Decode Kafka-shaped records (binary `key`/`value` columns) into the
+    * declared schema — split out so the decode contract is testable
+    * without a broker; it is the exact inverse of [[toKafkaRecords]] for
+    * each format combination.
+    *
+    * With `keyFormat` set, the reference's Flink layout applies
+    * (table_builder/kafka_utils.py:134-135): the key payload carries the
+    * key columns (`key.fields` = keys) and the value payload carries the
+    * REST of the schema (`value.fields-include = EXCEPT_KEY`). With no
+    * `keyFormat` the message is assumed keyless and the value carries
+    * every column (kafka_source.py:54-57).
+    */
+  def decodeKafkaRecords(raw: DataFrame, s: KafkaSource): DataFrame = {
+    val names = s.schema.fieldNames
+    val types = s.schema.fieldTypes
+    val parsed = s.keyFormat match {
+      case None =>
+        decodePayload(raw, "value", s.valueFormat, names, types,
+          s.valueFormatProps, keep = Nil, ctx = s"${s.name}.value")
+      case Some(kf) =>
+        val keys = s.keys.getOrElse(throw new IllegalArgumentException(
+          s"KafkaSource ${s.name} declares key_format but no keys"))
+        require(keys.forall(names.contains),
+          s"keys $keys not all present in schema $names")
+        val byName = names.zip(types).toMap
+        val vNames = names.filterNot(keys.contains)
+        val withV = decodePayload(raw, "value", s.valueFormat,
+          vNames, vNames.map(byName), s.valueFormatProps,
+          keep = Seq("key"), ctx = s"${s.name}.value")
+        decodePayload(withV, "key", kf,
+          keys, keys.map(byName), s.keyFormatProps,
+          keep = vNames, ctx = s"${s.name}.key")
+          .select(names.map(col): _*)
     }
     EventTime.append(parsed, s.timestampField, s.timestampFormat)
   }
@@ -177,46 +224,66 @@ object Sources {
       spark.sparkContext.parallelize(data.toList), schema)
   }
 
-  /** Kafka write shape: key = joined key columns, value = the row encoded
-    * per `valueFormat` (json default; csv via to_csv; protobuf via the
-    * proto3 wire codec, field numbers from schema order or
-    * `protobuf.field_numbers`).
+  /** Encode a subset of `df`'s columns as one Kafka payload column.
+    * json/csv are codegen'd expressions; protobuf wraps the wire codec in
+    * a binary-returning UDF — a codec-boundary crossing by nature, same
+    * class as the decode side's mapPartitions.
+    */
+  private def encodePayload(
+      df: DataFrame,
+      format: String,
+      names: Seq[String],
+      props: Map[String, String],
+      ctx: String): Column = format match {
+    case "json" => to_json(struct(names.map(col): _*))
+    case "csv"  => to_csv(struct(names.map(col): _*))
+    case "raw" =>
+      require(names.size == 1, s"raw format requires a single column ($ctx)")
+      col(names.head).cast("string")
+    case "protobuf" =>
+      import org.apache.spark.sql.Row
+      val types = names.map(n => graft.types.DType.fromSpark(df.schema(n).dataType))
+      val nums = ProtoFormat.fieldNumbers(names, props)
+      val n = names.size
+      val enc = new org.apache.spark.sql.api.java.UDF1[Row, Array[Byte]] {
+        override def call(r: Row): Array[Byte] =
+          ProtoFormat.encode((0 until n).map(r.get), types, nums)
+      }
+      udf(enc, org.apache.spark.sql.types.BinaryType)
+        .apply(struct(names.map(col): _*))
+    case other => throw new IllegalArgumentException(
+      s"Unknown Kafka format '$other' for $ctx (json/csv/raw/protobuf)")
+  }
+
+  /** Kafka write shape, the exact inverse of [[decodeKafkaRecords]]:
+    * with `keyFormat` set, key = the key columns encoded in that format
+    * and value = the REMAINING columns (the reference's `key.fields` +
+    * `value.fields-include = EXCEPT_KEY` layout,
+    * table_builder/kafka_utils.py:215-217); without it, key = "|"-joined
+    * key columns (partitioning only) and value = every column.
     */
   def toKafkaRecords(
       df: DataFrame,
       keys: Seq[String],
       valueFormat: String = "json",
-      valueFormatProps: Map[String, String] = Map.empty): DataFrame = {
-    val keyCol =
-      if (keys.nonEmpty) concat_ws("|", keys.map(k => col(k).cast("string")): _*)
-      else lit(null).cast("string")
+      valueFormatProps: Map[String, String] = Map.empty,
+      keyFormat: Option[String] = None,
+      keyFormatProps: Map[String, String] = Map.empty): DataFrame = {
     val allCols = df.columns.toIndexedSeq
-    valueFormat match {
-      case "json" =>
-        df.select(keyCol.as("key"), to_json(struct(allCols.map(col): _*)).as("value"))
-      case "csv" =>
-        df.select(keyCol.as("key"), to_csv(struct(allCols.map(col): _*)).as("value"))
-      case "raw" =>
-        require(allCols.size == 1, "raw format requires a single-column frame")
-        df.select(keyCol.as("key"), col(allCols.head).cast("string").as("value"))
-      case "protobuf" =>
-        import org.apache.spark.sql.{Encoders, Row}
-        import org.apache.spark.sql.types._
-        val types = df.schema.fields.toSeq.map(f => graft.types.DType.fromSpark(f.dataType))
-        val nums = ProtoFormat.fieldNumbers(allCols, valueFormatProps)
-        val keyIdx = allCols.size // key column appended last, see below
-        val outSchema = StructType(Seq(
-          StructField("key", StringType, nullable = true),
-          StructField("value", BinaryType, nullable = false)))
-        df.withColumn("__key", keyCol)
-          .mapPartitions { it =>
-            it.map { r =>
-              val vals = (0 until keyIdx).map(r.get)
-              Row(r.getString(keyIdx), ProtoFormat.encode(vals, types, nums))
-            }
-          }(Encoders.row(outSchema))
-      case other => throw new IllegalArgumentException(
-        s"Unknown Kafka value format '$other' (json/csv/raw/protobuf)")
+    keyFormat match {
+      case None =>
+        val keyCol =
+          if (keys.nonEmpty) concat_ws("|", keys.map(k => col(k).cast("string")): _*)
+          else lit(null).cast("string")
+        df.select(keyCol.as("key"),
+          encodePayload(df, valueFormat, allCols, valueFormatProps, "value").as("value"))
+      case Some(kf) =>
+        require(keys.nonEmpty, "key_format requires table keys")
+        require(keys.forall(allCols.contains), s"keys $keys not all in $allCols")
+        val vNames = allCols.filterNot(keys.contains)
+        df.select(
+          encodePayload(df, kf, keys, keyFormatProps, "key").as("key"),
+          encodePayload(df, valueFormat, vNames, valueFormatProps, "value").as("value"))
     }
   }
 

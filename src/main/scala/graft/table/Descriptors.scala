@@ -372,7 +372,13 @@ final case class KafkaSource(
     // docs/content/connectors/formats/*); format props mirror
     // value_data_format_props (protobuf.field_numbers, ignore_parse_error)
     valueFormat: String = "json",
-    valueFormatProps: Map[String, String] = Map.empty) extends TableDescriptor
+    valueFormatProps: Map[String, String] = Map.empty,
+    // key_format (kafka_source.py:54-57): when set, the key payload
+    // carries the key columns and the value carries the rest (the Flink
+    // layout key.fields + value.fields-include=EXCEPT_KEY,
+    // table_builder/kafka_utils.py:134-135); None = keyless message
+    keyFormat: Option[String] = None,
+    keyFormatProps: Map[String, String] = Map.empty) extends TableDescriptor
 
 /** Scan of an in-process online-store table (latest-per-key snapshot) —
   * the serving-store read-back path
@@ -481,7 +487,9 @@ final case class KafkaSink(
     bootstrapServer: String,
     topic: String,
     valueFormat: String = "json",
-    valueFormatProps: Map[String, String] = Map.empty) extends Sink
+    valueFormatProps: Map[String, String] = Map.empty,
+    keyFormat: Option[String] = None,
+    keyFormatProps: Map[String, String] = Map.empty) extends Sink
 /** JDBC append/overwrite (the reference's MySQLSink, generalized). */
 final case class JdbcSink(url: String, table: String, user: String = "", password: String = "", mode: String = "append") extends Sink
 /** Managed-catalog (Hive) table write (ref: python/feathub/feature_tables/

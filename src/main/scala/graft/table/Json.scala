@@ -116,7 +116,9 @@ object Json {
         ("max_ooo_ms" -> durJson(s.maxOutOfOrderness)) ~
         ("bounded" -> s.isBounded) ~
         ("value_format" -> s.valueFormat) ~
-        ("value_format_props" -> s.valueFormatProps)
+        ("value_format_props" -> s.valueFormatProps) ~
+        ("key_format" -> s.keyFormat) ~
+        ("key_format_props" -> s.keyFormatProps)
     case s: JdbcSource =>
       ("kind" -> "jdbc_source") ~ ("name" -> s.name) ~ ("url" -> s.url) ~
         ("table" -> s.table) ~ ("user" -> s.user) ~ ("password" -> s.password) ~
@@ -204,6 +206,11 @@ object Json {
     (j \ f) match { case JBool(b) => b; case _ => dflt }
   private def dblF(j: JValue, f: String, dflt: Double): Double =
     (j \ f) match { case JDouble(d) => d; case JInt(n) => n.toDouble; case JLong(n) => n.toDouble; case _ => dflt }
+  private def propsFrom(j: JValue): Map[String, String] =
+    j match {
+      case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
   private def strSeq(j: JValue, f: String): Seq[String] =
     (j \ f) match { case JArray(xs) => xs.collect { case JString(s) => s }; case _ => Nil }
   private def strSeqOpt(j: JValue, f: String): Option[Seq[String]] =
@@ -277,12 +284,9 @@ object Json {
         longOpt(j, "startup_ts"), durF(j, "max_ooo_ms"),
         boolF(j, "bounded", dflt = false),
         strOpt(j, "value_format").getOrElse("json"),
-        (j \ "value_format_props") match {
-          case JObject(fs) => fs.collect {
-            case (k, JString(v)) => k -> v
-          }.toMap
-          case _ => Map.empty[String, String]
-        })
+        propsFrom(j \ "value_format_props"),
+        strOpt(j, "key_format"),
+        propsFrom(j \ "key_format_props"))
     case "jdbc_source" =>
       JdbcSource(
         str(j, "name"), str(j, "url"), str(j, "table"),

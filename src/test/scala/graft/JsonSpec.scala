@@ -43,7 +43,9 @@ class JsonSpec extends AnyFunSuite {
       valueFormat = "protobuf",
       valueFormatProps = Map(
         "protobuf.field_numbers" -> "a:2,b:5",
-        "ignore_parse_error" -> "false")))
+        "ignore_parse_error" -> "false"),
+      keyFormat = Some("csv"),
+      keyFormatProps = Map("ignore_parse_error" -> "true")))
     roundTrip(JdbcSource("j", "jdbc:mysql://h/db", "tbl", "u", "p",
       keys = Some(Seq("id"))))
   }

@@ -179,6 +179,89 @@ class StoreSpec extends SparkSuite {
     }
   }
 
+  test("protobuf codec fuzz: 200 random rows round-trip across all types") {
+    import graft.engine.ProtoFormat
+    val rng = new scala.util.Random(1234)
+    val scalarTypes: Seq[DType] =
+      Seq(DInt32, DInt64, DBool, DFloat32, DFloat64, DString, DBytes)
+    def randValue(t: DType): Any = t match {
+      case DInt32 => rng.nextInt()
+      case DInt64 => rng.nextLong()
+      case DBool => rng.nextBoolean()
+      case DFloat32 => rng.nextFloat() * math.pow(10, rng.nextInt(20) - 10).toFloat
+      case DFloat64 => rng.nextDouble() * math.pow(10, rng.nextInt(200) - 100)
+      case DString => rng.alphanumeric.take(rng.nextInt(30)).mkString + "é☃"
+      case DBytes => Array.fill(rng.nextInt(20))(rng.nextInt().toByte)
+      case DVector(e) => Seq.fill(rng.nextInt(6))(randValue(e))
+      case other => fail(s"unexpected $other")
+    }
+    def proto3Default(t: DType): Any = t match {
+      case DInt32 => 0
+      case DInt64 => 0L
+      case DBool => false
+      case DFloat32 => 0f
+      case DFloat64 => 0d
+      case DString => ""
+      case DBytes => Array.empty[Byte]
+      case DVector(_) => Seq.empty[Any]
+      case other => fail(s"unexpected $other")
+    }
+    def same(t: DType, a: Any, b: Any): Boolean = (t, a, b) match {
+      case (DBytes, x: Array[Byte], y: Array[Byte]) => x.sameElements(y)
+      case (DVector(e), x: Seq[_], y: Seq[_]) =>
+        x.size == y.size && x.zip(y).forall { case (p, q) => same(e, p, q) }
+      case _ => a == b
+    }
+    (1 to 200).foreach { i =>
+      val types = Seq.fill(1 + rng.nextInt(6)) {
+        val base = scalarTypes(rng.nextInt(scalarTypes.size))
+        if (rng.nextInt(3) == 0) DVector(base) else base
+      }
+      val nums = ProtoFormat.fieldNumbers(types.indices.map(j => s"f$j"), Map.empty)
+      val vals = types.map(t => if (rng.nextInt(8) == 0) null else randValue(t))
+      val decoded = ProtoFormat.decode(ProtoFormat.encode(vals, types, nums), types, nums)
+      types.indices.foreach { j =>
+        // proto3 contract: null and default encode to absence, decode to default
+        val expected = if (vals(j) == null) proto3Default(types(j)) else vals(j)
+        assert(same(types(j), decoded(j), expected),
+          s"row $i field $j (${types(j)}): got ${decoded(j)}, want $expected")
+      }
+    }
+  }
+
+  test("kafka key_format: key columns ride the key payload, value carries the rest") {
+    // the reference's Flink layout: key.fields = keys,
+    // value.fields-include = EXCEPT_KEY (table_builder/kafka_utils.py:134-135)
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((7L, "us", "a", 1.5), (8L, "eu", "b", 2.5))
+      .toDF("id", "region", "tag", "score")
+    val schema = Schema(
+      Seq("id", "region", "tag", "score"),
+      Seq(DInt64, DString, DString, DFloat64))
+    for ((kf, vf) <- Seq(("csv", "protobuf"), ("protobuf", "json"), ("json", "csv"))) {
+      val records = graft.engine.Sources.toKafkaRecords(
+        df, Seq("id", "region"), valueFormat = vf, keyFormat = Some(kf))
+      val src = KafkaSource(
+        s"kv_${kf}_$vf", "unused:9092", "t", schema,
+        keys = Some(Seq("id", "region")),
+        valueFormat = vf, keyFormat = Some(kf))
+      val got = graft.engine.Sources
+        .decodeKafkaRecords(
+          records.select(col("key").cast("binary").as("key"),
+            col("value").cast("binary").as("value")), src)
+        .orderBy("id").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("region"),
+          r.getAs[String]("tag"), r.getAs[Double]("score"))).toSeq
+      assert(got == Seq((7L, "us", "a", 1.5), (8L, "eu", "b", 2.5)),
+        s"key=$kf value=$vf round trip")
+    }
+    // key_format without keys is a declaration error
+    intercept[IllegalArgumentException] {
+      graft.engine.Sources.toKafkaRecords(df, Nil, keyFormat = Some("json"))
+    }
+  }
+
   test("kafka csv and raw formats round-trip without a broker") {
     val spark2 = spark
     import spark2.implicits._
