@@ -39,10 +39,15 @@ object TemporalJoin {
     // left rows pass through with NULL joined values.
     val rightNonNull = right.filter(keys.map(col(_).isNotNull).reduce(_ && _))
 
-    // One row per (keys, time): deterministic latest version.
+    // Duplicate (keys, time) right versions resolve to max(struct) — the
+    // deterministic latest-version rule. This used to be a groupBy (a full
+    // extra shuffle of the right side); instead __rvals now participates
+    // in the window sort below, so among equal-(keys, t) right rows the
+    // running `last` lands on the max struct — same semantics, one less
+    // exchange (the right side is shuffled once, by the window itself).
     val packed = rightNonNull
-      .groupBy((keys :+ t).map(col): _*)
-      .agg(max(struct(valueCols.map { case (c, _) => col(c) }: _*)).as("__rvals"))
+      .select(struct(valueCols.map { case (c, _) => col(c) }: _*).as("__rvals") +:
+        (keys :+ t).map(col): _*)
     val rvalsType = packed.schema("__rvals").dataType
 
     val leftCols = left.columns.toSeq
@@ -60,10 +65,12 @@ object TemporalJoin {
     val unioned = leftTagged.select(allCols.map(col): _*).unionByName(rightAligned)
 
     // Right rows sort before left rows at equal time so a right version at
-    // exactly t is visible to a left row at t (right_time <= left_time).
+    // exactly t is visible to a left row at t (right_time <= left_time);
+    // __rvals asc last so the max-struct version of duplicate (keys, t)
+    // right rows is the one the running `last` retains.
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(t).asc, col("__is_left").asc)
+      .orderBy(col(t).asc, col("__is_left").asc, col("__rvals").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     unioned
