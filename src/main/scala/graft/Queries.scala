@@ -1979,6 +1979,31 @@ object Queries {
       SELECT a.vec_id, a.cl::INT AS cluster, s.n_dropped::BIGINT AS n_dropped
       FROM surv s JOIN a2 a ON a.vec_id = s.vec_id"""))
 
+  /** Embedding-space decontamination: corpus vectors within cosine 0.3 of
+    * a held-out pseudo-benchmark slice (vec_id % 101 = 0) — the
+    * paraphrase-robust complement of q40/q67's n-gram checks.
+    */
+  private val q79 = Q(
+    "q79_semantic_decontaminate",
+    (spark, dir) => {
+      val emb = pq(spark, dir, "embeddings")
+      Similarity.semanticContaminatedBy(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 101 === 0), "vec_id", "embedding",
+        threshold = 0.3)
+    },
+    Some("""WITH b AS (SELECT vec_id bench_id, embedding::DOUBLE[] bv FROM embeddings WHERE vec_id % 101 = 0),
+      c AS (SELECT vec_id id, embedding::DOUBLE[] cv FROM embeddings),
+      s AS (SELECT id, bench_id, ROUND(list_dot_product(cv, bv) /
+          (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(bv, bv))), 6) score
+        FROM c, b WHERE id <> bench_id),
+      f AS (SELECT * FROM s WHERE score >= 0.3),
+      r AS (SELECT id, score, bench_id,
+          ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, bench_id DESC) rn,
+          COUNT(*) OVER (PARTITION BY id) n_hits FROM f)
+      SELECT id, score AS best_cosine, bench_id AS best_bench_id, n_hits
+      FROM r WHERE rn = 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -1986,7 +2011,7 @@ object Queries {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78)
+    q73, q74, q75, q76, q77, q78, q79)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

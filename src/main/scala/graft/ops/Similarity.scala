@@ -100,6 +100,42 @@ object Similarity {
     * AQE splits per query key. Norms are precomputed once per row — not per
     * pair — so each pair costs a single array fold.
     */
+  /** Semantic decontamination: flag corpus items whose embedding lands
+    * within cosine `threshold` of ANY held-out benchmark embedding — the
+    * embedding-space complement of the n-gram overlap check
+    * ([[Dedup.contaminatedBy]]), catching paraphrased benchmark leakage
+    * verbatim-match filters miss. Returns flagged ids with the hit count
+    * and the best-matching benchmark item (max cosine, larger bench id on
+    * ties — a deterministic max(struct)).
+    *
+    * 100 TB shape: the benchmark side is evaluation-sized and BROADCASTS;
+    * the corpus streams map-side through |corpus|·|bench| codegen'd
+    * VectorDots and only flagged rows reach the per-id aggregation (one
+    * shuffle of hits, not the corpus).
+    */
+  def semanticContaminatedBy(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      bench: DataFrame,
+      benchId: String,
+      benchVec: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cv"),
+      norm(col(corpusVec)).as("cn"))
+    val b = bench.select(col(benchId).as("bench_id"), col(benchVec).as("bv"),
+      norm(col(benchVec)).as("bn"))
+    c.join(broadcast(b), col("id") =!= col("bench_id"))
+      .withColumn("score", round(dot(col("cv"), col("bv")) / (col("cn") * col("bn")), 6))
+      .filter(col("score") >= threshold)
+      .groupBy(col("id"))
+      .agg(
+        max(struct(col("score"), col("bench_id"))).as("m"),
+        count(lit(1)).as("n_hits"))
+      .select(col("id"), col("m.score").as("best_cosine"),
+        col("m.bench_id").as("best_bench_id"), col("n_hits"))
+  }
+
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -370,6 +370,28 @@ class OpsSpec extends SparkSuite {
     assert(capped.count() == 6L)
   }
 
+  test("semantic decontamination flags near-benchmark vectors only; bench broadcasts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0f, 0f)),    // parallel to bench 100 -> flagged
+      (2L, Array(0.9f, 0.1f, 0f)),  // near bench 100 -> flagged
+      (3L, Array(0f, 0f, 1.0f)),    // orthogonal -> clean
+      (100L, Array(1.0f, 0f, 0f))   // the benchmark row itself: self-match excluded
+    ).toDF("id", "vec")
+    val bench = corpus.filter(col("id") === 100L)
+    val got = graft.ops.Similarity.semanticContaminatedBy(
+        corpus, "id", "vec", bench, "id", "vec", threshold = 0.8)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("best_bench_id"), r.getAs[Long]("n_hits"))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((100L, 1L)) && got(2L) == ((100L, 1L)))
+    val plan = graft.ops.Similarity.semanticContaminatedBy(
+      corpus, "id", "vec", bench, "id", "vec", 0.8).queryExecution.executedPlan
+    assert(plan.toString.contains("Broadcast"),
+      "the benchmark side must broadcast; the corpus must not shuffle for scoring")
+  }
+
   test("langId picks the marker-heavy language") {
     val got = docs.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
