@@ -199,6 +199,19 @@ object ScaleCheck {
     val sN = srpTime(emN, 8 + 4 * log2)
     println(f"srp_neardup  1x=${s1}%6.2fs  ${mult}x=${sN}%6.2fs  ratio=${sN / s1}%.1f " +
       f"(linear=$mult.0; ${8 + 4 * log2} planes at ${mult}x keep bucket size constant)")
+    // SemDeDup's knob is k: clusters stay constant-SIZE as data grows
+    // (the paper runs 50k clusters on LAION), so the within-cluster pair
+    // space grows linearly with the corpus, not quadratically.
+    def semdedupTime(df: DataFrame, k: Int): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Cluster.semDedup(df, "vec_id", "embedding", k = k, iters = 1, eps = 0.45)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sd1 = semdedupTime(em1, 4)
+    val sdN = semdedupTime(emN, 4 * mult)
+    println(f"semdedup     1x=${sd1}%6.2fs  ${mult}x=${sdN}%6.2fs  ratio=${sdN / sd1}%.1f " +
+      f"(linear=$mult.0; k=${4 * mult} at ${mult}x keeps cluster size constant)")
     spark.stop()
   }
 }
