@@ -22,7 +22,12 @@ object Sampling {
 
   private def thresholdHex(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
-    f"${math.round(fraction * 256).toInt.min(256)}%02x"
+    val t = math.round(fraction * 256).toInt.min(256)
+    // 256 must compare above every 2-hex-char bucket. The natural "100"
+    // does NOT ("ff" < "100" is false lexicographically — 'f' > '1');
+    // "g0" does ('g' sorts after every hex digit), keeping fraction=1.0 a
+    // keep-everything predicate instead of silently dropping ~94%.
+    if (t >= 256) "g0" else f"$t%02x"
   }
 
   /** Keep ~`fraction` of rows, decided by md5(salt|key) — deterministic
@@ -175,9 +180,13 @@ object Sampling {
       acc + math.round(f * 65536)
     }.tail
     val bucket = substring(md5(concat_ws("|", lit(salt), col(keyCol))), 1, 4)
+    // a cumulative bound that reaches 65536 (trailing zero-fraction
+    // splits) must sort above every 4-hex-char bucket — "g" does, the
+    // natural "10000" does not (same lexicographic trap as thresholdHex)
     val label = splits.map(_._1).zip(bounds).init
       .foldRight(lit(splits.last._1): Column) { case ((name, hi), acc) =>
-        when(bucket < lit(f"${hi.min(65536L)}%04x"), lit(name)).otherwise(acc)
+        val bound = if (hi >= 65536L) "g" else f"$hi%04x"
+        when(bucket < lit(bound), lit(name)).otherwise(acc)
       }
     df.withColumn("split", label)
   }

@@ -281,6 +281,20 @@ class OpsSpec extends SparkSuite {
         .collect().map(_.getAs[Long]("id")).sorted.toSeq)
   }
 
+  test("fraction 1.0 keeps everything; trailing zero splits get no rows") {
+    import graft.ops.Sampling
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 500).map(_.toLong).toDF("id")
+    // "100" vs 2-hex-char lexicographic trap: 1.0 must be keep-all
+    assert(Sampling.sample(df, "id", 1.0).count() == 500)
+    assert(Sampling.stratifiedSample(df, "id", "id", Map.empty, default = 1.0).count() == 500)
+    // an intermediate cumulative bound of exactly 65536
+    val s = Sampling.splitAssign(df, "id", Seq("train" -> 1.0, "tail" -> 0.0))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s == Map("train" -> 500L))
+  }
+
   test("splitAssign partitions every row deterministically near the fractions") {
     import graft.ops.Sampling
     val spark2 = spark
