@@ -847,7 +847,9 @@ object Queries {
         .filter(col("event_id") < 100)
         .select("event_id", "user_id", "event_type", "value")
         .coalesce(1)
-        .write.mode("overwrite").option("header", "true").csv(tmp)
+        // headerless: a declared schema names the columns (reference CSV
+        // contract — local/file_system_utils.py pd.read_csv(names=...))
+        .write.mode("overwrite").csv(tmp)
       val cl = new GraftClient(spark)
       cl.getFeatures(FileSource(
         "q35_csv", tmp, "csv",

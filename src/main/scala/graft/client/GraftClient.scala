@@ -371,7 +371,15 @@ final class GraftClient(val spark: SparkSession) {
           case ExpressionTransform(e) =>
             row += f.name -> graft.expr.RowInterpreter.eval(e, row)
           case JoinTransform(table, featureExpr) =>
-            val value = MemoryOnlineStore.get(table, row)
+            // the reference references the SOURCE by name and resolves it
+            // to its physical table (nyc_taxi.py "online_store_source.f_x"
+            // with MemoryStoreSource(table_name=...)); an unregistered
+            // name is taken as the store table directly
+            val storeTable = Registry.lookup(table) match {
+              case Some(m: MemoryStoreSource) => m.tableName
+              case _ => table
+            }
+            val value = MemoryOnlineStore.get(storeTable, row)
               .map(found => graft.expr.RowInterpreter.eval(featureExpr, found))
               .orNull
             row += f.name -> value

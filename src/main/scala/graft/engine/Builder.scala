@@ -405,6 +405,8 @@ object Registry {
   def get(name: String): TableDescriptor = tables.synchronized {
     tables.getOrElse(name, throw new NoSuchElementException(s"Table $name not registered"))
   }
+  def lookup(name: String): Option[TableDescriptor] =
+    tables.synchronized { tables.get(name) }
   /** Remove a registered descriptor; false when absent
     * (ref: local_registry.py delete_features / test_registry.py:158-186).
     */

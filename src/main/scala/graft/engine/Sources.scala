@@ -14,13 +14,18 @@ object Sources {
   def read(spark: SparkSession, s: FileSource): DataFrame = {
     if (!s.isBounded) return readStream(spark, s)
     val reader = spark.read.format(s.format)
-    val withHeader =
-      if (s.format == "csv") reader.option("header", "true") else reader
+    // Reference CSV semantics: a DECLARED schema means headerless data —
+    // every line is a record and names come from the schema
+    // (local/file_system_utils.py:43-50 `pd.read_csv(names=...)`); only a
+    // schema-less read treats the first line as the header to infer from.
     val withSchema = s.schema match {
-      case Some(sc) => withHeader.schema(sc.toSpark)
+      case Some(sc) =>
+        (if (s.format == "csv") reader.option("header", "false") else reader)
+          .schema(sc.toSpark)
       case None =>
-        if (s.format == "csv") withHeader.option("inferSchema", "true")
-        else withHeader
+        if (s.format == "csv")
+          reader.option("header", "true").option("inferSchema", "true")
+        else reader
     }
     val df = withSchema.load(s.path)
     EventTime.append(df, s.timestampField, s.timestampFormat)
@@ -33,7 +38,8 @@ object Sources {
     val schema = s.schema.getOrElse(throw new IllegalArgumentException(
       s"streaming FileSource ${s.name} requires an explicit schema"))
     val reader = spark.readStream.format(s.format).schema(schema.toSpark)
-    val df = (if (s.format == "csv") reader.option("header", "true") else reader).load(s.path)
+    // declared schema => headerless csv, same contract as the batch read
+    val df = (if (s.format == "csv") reader.option("header", "false") else reader).load(s.path)
     EventTime.append(df, s.timestampField, s.timestampFormat)
   }
 
