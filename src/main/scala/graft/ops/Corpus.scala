@@ -45,4 +45,49 @@ object Corpus {
           .when(col("h_old") <=> col("h_cur"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** Compaction-aware partitioned write — the small-files control a
+    * 100 TB layout needs. A plain `write.partitionBy(cols)` after a hash
+    * shuffle leaves every partition directory with one file PER SHUFFLE
+    * TASK (tiny files × thousands of tasks), and a `repartition(cols)`
+    * leaves ONE file per directory (a single writer per partition value —
+    * the skewed-partition bottleneck). This sizes files to the data: each
+    * partition value gets `ceil(rows / targetRowsPerFile)` salt buckets,
+    * the frame shuffles once on (partitionCols, salt), and the writer
+    * emits at most that many files per directory.
+    *
+    * The per-partition-value count table collects to the driver — bounded
+    * by the partition-value cardinality (a layout with more distinct
+    * partition values than driver memory is a broken layout, not a
+    * broken writer). `keyCol` salts deterministically (md5), so reruns
+    * produce identical file assignment.
+    */
+  def compactWrite(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      keyCol: String,
+      targetRowsPerFile: Long,
+      format: String = "parquet"): Unit = {
+    require(partitionCols.nonEmpty, "compactWrite requires partition columns")
+    require(targetRowsPerFile > 0, s"targetRowsPerFile $targetRowsPerFile must be positive")
+    val counts = df.groupBy(partitionCols.map(col): _*).count()
+      .withColumn("__nf",
+        ceil(col("count").cast("double") / targetRowsPerFile).cast("int"))
+      .drop("count")
+    val salted = df
+      .join(broadcast(counts), partitionCols)
+      .withColumn("__salt",
+        pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long"),
+          col("__nf").cast("long")))
+      .drop("__nf")
+    salted
+      .repartition((partitionCols :+ "__salt").map(col): _*)
+      .drop("__salt")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .partitionBy(partitionCols: _*)
+      .format(format)
+      .save(path)
+  }
 }

@@ -406,6 +406,30 @@ class OpsSpec extends SparkSuite {
       "the benchmark side must broadcast; the corpus must not shuffle for scoring")
   }
 
+  test("compactWrite sizes files to the data per partition directory") {
+    val spark2 = spark
+    import spark2.implicits._
+    // skewed layout: lang 'en' 900 rows, 'de' 90, 'fi' 10
+    val df = (1 to 1000).map { i =>
+      (i.toLong, if (i <= 900) "en" else if (i <= 990) "de" else "fi", s"doc $i")
+    }.toDF("id", "lang", "text")
+    val out = SparkEnv.scratchDir("graft_compact")
+    graft.ops.Corpus.compactWrite(df, out, Seq("lang"), "id", targetRowsPerFile = 100)
+    def files(dir: String): Int =
+      new java.io.File(s"$out/lang=$dir").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    // ceil(900/100)=9, ceil(90/100)=1, ceil(10/100)=1 — not one file per
+    // shuffle task (32) and not one giant file for the skewed partition
+    assert(files("en") == 9, s"en got ${files("en")} files")
+    assert(files("de") == 1 && files("fi") == 1)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1000)
+    assert(back.columns.toSet == Set("id", "lang", "text"))
+    // deterministic salting: a rerun produces the identical layout
+    graft.ops.Corpus.compactWrite(df, out, Seq("lang"), "id", targetRowsPerFile = 100)
+    assert(files("en") == 9)
+  }
+
   test("langId picks the marker-heavy language") {
     val got = docs.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
