@@ -11,7 +11,10 @@ import org.apache.spark.sql.SparkSession
   * queries 10-60x run-to-run with identical code and data).
   */
 object Bench {
-  private val RerunThresholdSec = 1.0
+  // min-of-2 for everything but the trivial tail: sub-second queries were
+  // single-run and their ±0.3 s host noise dominated round-over-round
+  // comparisons (observed q01 0.85 vs 0.56 on identical code)
+  private val RerunThresholdSec = 0.3
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
