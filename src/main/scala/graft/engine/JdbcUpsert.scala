@@ -47,6 +47,27 @@ object JdbcUpsert {
       s"INSERT INTO $table (${cols.map(q).mkString(", ")}) " +
         s"VALUES (${cols.map(_ => "?").mkString(", ")})"
     val colIdx = cols.zipWithIndex.toMap
+    // NULLs must bind as typed setNull: Derby rejects setObject(i, null)
+    // outright (SQLState XJ021) and other drivers need the type hint —
+    // the same reason Spark's own jdbc writer binds from the row schema
+    val sqlTypes: Map[String, Int] = {
+      import java.sql.Types
+      import org.apache.spark.sql.types._
+      df.schema.fields.map(f => f.name -> (f.dataType match {
+        case LongType => Types.BIGINT
+        case IntegerType => Types.INTEGER
+        case ShortType => Types.SMALLINT
+        case ByteType => Types.TINYINT
+        case DoubleType => Types.DOUBLE
+        case FloatType => Types.REAL
+        case BooleanType => Types.BOOLEAN
+        case _: DecimalType => Types.DECIMAL
+        case TimestampType | TimestampNTZType => Types.TIMESTAMP
+        case DateType => Types.DATE
+        case BinaryType => Types.BINARY
+        case _ => Types.VARCHAR
+      })).toMap
+    }
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val conn = java.sql.DriverManager.getConnection(url, user, password)
@@ -54,18 +75,18 @@ object JdbcUpsert {
           conn.setAutoCommit(false)
           val upd = conn.prepareStatement(updateSql)
           val ins = conn.prepareStatement(insertSql)
+          def bind(st: java.sql.PreparedStatement, i: Int, c: String, row: Row): Unit = {
+            val v = row.get(colIdx(c))
+            if (v == null) st.setNull(i, sqlTypes(c)) else st.setObject(i, v)
+          }
           var inTx = 0
           it.foreach { row =>
-            valueCols.zipWithIndex.foreach { case (c, i) =>
-              upd.setObject(i + 1, row.get(colIdx(c)))
-            }
+            valueCols.zipWithIndex.foreach { case (c, i) => bind(upd, i + 1, c, row) }
             keys.zipWithIndex.foreach { case (k, i) =>
-              upd.setObject(valueCols.size + i + 1, row.get(colIdx(k)))
+              bind(upd, valueCols.size + i + 1, k, row)
             }
             if (upd.executeUpdate() == 0) {
-              cols.zipWithIndex.foreach { case (c, i) =>
-                ins.setObject(i + 1, row.get(colIdx(c)))
-              }
+              cols.zipWithIndex.foreach { case (c, i) => bind(ins, i + 1, c, row) }
               ins.executeUpdate()
             }
             inTx += 1

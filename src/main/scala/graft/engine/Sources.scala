@@ -110,8 +110,11 @@ object Sources {
         df.withColumn("__d", from_json(col(payloadCol).cast("string"), structType))
           .select(keepCols ++ fieldNames.map(n => col(s"__d.$n").as(n)): _*)
       case "csv" =>
-        df.withColumn("__d", from_csv(col(payloadCol).cast("string"), structType,
-            Map.empty[String, String]))
+        // ignore_parse_error (reference generic prop) maps to the parser
+        // mode; remaining props pass through as Spark CSV options
+        val csvOpts = (props - "ignore_parse_error") +
+          ("mode" -> (if (ProtoFormat.ignoreParseError(props)) "PERMISSIVE" else "FAILFAST"))
+        df.withColumn("__d", from_csv(col(payloadCol).cast("string"), structType, csvOpts))
           .select(keepCols ++ fieldNames.map(n => col(s"__d.$n").as(n)): _*)
       case "raw" =>
         // the reference's raw format: the whole payload is one field
@@ -174,6 +177,11 @@ object Sources {
           s"KafkaSource ${s.name} declares key_format but no keys"))
         require(keys.forall(names.contains),
           s"keys $keys not all present in schema $names")
+        // the raw payload columns are carried through the two-pass decode,
+        // so schema fields may not shadow them
+        require(!names.contains("key") && !names.contains("value"),
+          s"KafkaSource ${s.name} with key_format cannot declare schema " +
+            "fields named 'key' or 'value' (they shadow the raw payload columns)")
         val byName = names.zip(types).toMap
         val vNames = names.filterNot(keys.contains)
         val withV = decodePayload(raw, "value", s.valueFormat,
@@ -245,7 +253,12 @@ object Sources {
     case "csv"  => to_csv(struct(names.map(col): _*))
     case "raw" =>
       require(names.size == 1, s"raw format requires a single column ($ctx)")
-      col(names.head).cast("string")
+      // binary passes through untouched — casting bytes to string mangles
+      // any payload that is not valid UTF-8, and the decode side's DBytes
+      // branch expects the original bytes back
+      if (df.schema(names.head).dataType ==
+          org.apache.spark.sql.types.BinaryType) col(names.head)
+      else col(names.head).cast("string")
     case "protobuf" =>
       import org.apache.spark.sql.Row
       val types = names.map(n => graft.types.DType.fromSpark(df.schema(n).dataType))

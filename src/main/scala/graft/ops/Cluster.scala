@@ -228,16 +228,49 @@ object Cluster {
       .withColumn("is_canonical", col("id") === col("cluster"))
   }
 
+  /** Pair participants PRESENT IN THE CORPUS with their component labels:
+    * the CC output covers only ids that appear in some pair (delta-sized),
+    * and the intersection guards the superset case — pairs computed on a
+    * pre-filter corpus may name ids the final corpus no longer has, and a
+    * cluster whose labeling minimum was filtered out must still keep one
+    * survivor. The small CC side broadcasts; the corpus never shuffles.
+    */
+  private def corpusParticipants(
+      corpus: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"))
+      .join(broadcast(connectedComponents(pairs, aCol, bCol)), Seq("id"))
+
+  /** One broadcast LEFT join applies a participant verdict to the corpus:
+    * `verdict` lists every participant id with a non-null `n_dropped` for
+    * survivors; dropped participants carry null and filter out;
+    * non-participants (absent) survive untouched with n_dropped = 0.
+    */
+  private def applyVerdict(
+      corpus: DataFrame,
+      idCol: String,
+      verdict: DataFrame): DataFrame =
+    corpus.join(
+        broadcast(verdict.withColumnRenamed("id", idCol)
+          .withColumn("__part", lit(true))),
+        Seq(idCol), "left")
+      .filter(col("__part").isNull || col("n_dropped").isNotNull)
+      .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
+      .drop("__part")
+
   /** Apply a dedup verdict end-to-end: the surviving corpus (one canonical
     * row per near-dup cluster, all original columns) annotated with
     * `n_dropped`, the number of near-duplicates that row absorbed. This is
     * the operator a pipeline actually runs after candidate generation —
     * [[dedupAssign]] is the auditable intermediate.
     *
-    * 100 TB shape: the component edge list is tiny relative to the corpus
-    * (only docs in some pair appear), so the per-cluster size aggregation
-    * runs on the small side; the corpus itself is touched by exactly one
-    * equi-join on its id (survivor verdicts broadcast when they fit).
+    * 100 TB shape: every aggregation runs over the pair-PARTICIPANT set
+    * (delta-sized — only docs in some pair), never the corpus: the
+    * corpus is touched by exactly two broadcast joins (participant label
+    * pickup + the verdict), with no corpus-wide shuffle or sort.
     */
   def dedupApply(
       corpus: DataFrame,
@@ -245,46 +278,17 @@ object Cluster {
       pairs: DataFrame,
       aCol: String,
       bCol: String): DataFrame = {
-    val assign = dedupAssign(corpus.select(idCol), idCol, pairs, aCol, bCol)
-    // canonical = min id PRESENT IN THE CORPUS, not the component label:
-    // when pairs were computed on a superset (e.g. pre-filter), a cluster
-    // whose labeling minimum was filtered out must still keep one survivor
-    val survivors = assign
-      .groupBy(col("cluster"))
+    val part = corpusParticipants(corpus, idCol, pairs, aCol, bCol)
+    // canonical = min participant id per cluster (see corpusParticipants)
+    val survivors = part.groupBy(col("cluster"))
       .agg(
-        min(col("id")).as(idCol),
+        min(col("id")).as("id"),
         (count(lit(1)) - 1).cast("long").as("n_dropped"))
       .drop("cluster")
-    corpus.join(survivors, Seq(idCol))
+    applyVerdict(corpus, idCol, part.select(col("id"))
+      .join(survivors, Seq("id"), "left"))
   }
 
-  /** [[dedupApply]] keeping the BEST member per near-dup cluster instead
-    * of the smallest id: survivor = max `scoreCol` (min id tie-break) —
-    * the keep-the-longest / keep-the-highest-quality rule real curation
-    * pipelines use, since boilerplate near-dup clusters usually contain
-    * one full document and many truncated copies.
-    *
-    * 100 TB shape: identical to [[dedupApply]] — the rank window runs
-    * over the assign side (only ids that appear in some pair), scores
-    * arrive there via one id equi-join that prunes to (id, score), and
-    * the corpus is touched by exactly one survivor equi-join.
-    */
-  /** SemDeDup (Abbas et al. 2023): semantic deduplication of an embedding
-    * corpus — k-means cluster the vectors, generate cosine-≥-eps pairs
-    * ONLY within each cluster, connected-component the pair graph, keep
-    * one survivor per semantic-dup group (min id; [[dedupApplyByScore]]
-    * composes the same way for a quality-keeper). Returns surviving
-    * (id, cluster) rows with `n_dropped`.
-    *
-    * The within-cluster restriction is the paper's whole point: the
-    * corpus-wide pair space never materializes — candidates are
-    * Σ|cluster|², controlled by `k` (paper: 50k clusters for LAION) and
-    * hard-capped by `maxCluster` (over-cap clusters skip pair generation
-    * rather than going quadratic — the [[graft.ops.Dedup]] maxBucket
-    * pattern). Cosine is rounded to 6 dp (cross-engine contract); the
-    * clustered frame is checkpointed once and feeds the hot-cluster
-    * count, the cap anti-join and both self-join sides.
-    */
   /** The clustered frame + pair stage of [[semDedup]], exposed so
     * PlanSpec can lock the pair plan (the final semDedup plan hides it
     * behind the CC loop's eager checkpoints). Returns the checkpointed
@@ -321,6 +325,22 @@ object Cluster {
     (withC, pairs)
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication of an embedding
+    * corpus — k-means cluster the vectors, generate cosine-≥-eps pairs
+    * ONLY within each cluster, connected-component the pair graph, keep
+    * one survivor per semantic-dup group (min id; [[dedupApplyByScore]]
+    * composes the same way for a quality-keeper). Returns surviving
+    * (id, cluster) rows with `n_dropped`.
+    *
+    * The within-cluster restriction is the paper's whole point: the
+    * corpus-wide pair space never materializes — candidates are
+    * Σ|cluster|², controlled by `k` (paper: 50k clusters for LAION) and
+    * hard-capped by `maxCluster` (over-cap clusters skip pair generation
+    * rather than going quadratic — the [[graft.ops.Dedup]] maxBucket
+    * pattern). Cosine is rounded to 6 dp (cross-engine contract); the
+    * clustered frame is checkpointed once and feeds the hot-cluster
+    * count, the cap anti-join and both self-join sides.
+    */
   def semDedup(
       corpus: DataFrame,
       idCol: String,
@@ -335,6 +355,17 @@ object Cluster {
       idCol, pairs, "id_a", "id_b")
   }
 
+  /** [[dedupApply]] keeping the BEST member per near-dup cluster instead
+    * of the smallest id: survivor = max `scoreCol` (min id tie-break) —
+    * the keep-the-longest / keep-the-highest-quality rule real curation
+    * pipelines use, since boilerplate near-dup clusters usually contain
+    * one full document and many truncated copies.
+    *
+    * 100 TB shape: the rank window runs over the pair-PARTICIPANT set
+    * only (delta-sized); participant scores arrive on that small side via
+    * the same broadcast label pickup, and the corpus is touched by two
+    * broadcast joins — never a corpus-wide shuffle or sort.
+    */
   def dedupApplyByScore(
       corpus: DataFrame,
       idCol: String,
@@ -343,17 +374,16 @@ object Cluster {
       aCol: String,
       bCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assign = dedupAssign(corpus.select(idCol), idCol, pairs, aCol, bCol)
-    val scored = assign.join(
-      corpus.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
-    val survivors = scored
+    val part = corpus.select(col(idCol).as("id"), col(scoreCol).as("__score"))
+      .join(broadcast(connectedComponents(pairs, aCol, bCol)), Seq("id"))
+    val verdict = part
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("cluster"))
           .orderBy(col("__score").desc, col("id"))))
       .withColumn("n_dropped",
-        (count(lit(1)).over(Window.partitionBy(col("cluster"))) - 1).cast("long"))
-      .filter(col("__rk") === 1)
-      .select(col("id").as(idCol), col("n_dropped"))
-    corpus.join(survivors, Seq(idCol))
+        when(col("__rk") === 1,
+          count(lit(1)).over(Window.partitionBy(col("cluster"))) - 1).cast("long"))
+      .select(col("id"), col("n_dropped"))
+    applyVerdict(corpus, idCol, verdict)
   }
 }
