@@ -1992,7 +1992,7 @@ object Queries {
       Similarity.semanticContaminatedBy(
         emb, "vec_id", "embedding",
         emb.filter(col("vec_id") % 101 === 0), "vec_id", "embedding",
-        threshold = 0.3)
+        threshold = 0.3, excludeSameId = true) // bench is a corpus slice
     },
     Some("""WITH b AS (SELECT vec_id bench_id, embedding::DOUBLE[] bv FROM embeddings WHERE vec_id % 101 = 0),
       c AS (SELECT vec_id id, embedding::DOUBLE[] cv FROM embeddings),

@@ -37,14 +37,22 @@ object JdbcUpsert {
     require(valueCols.nonEmpty, s"upsert needs at least one non-key column in $cols")
     // identifiers must quote the way Spark's own jdbc writer created the
     // table (backticks on MySQL, double quotes elsewhere) — use the same
-    // dialect registry the writer uses
+    // dialect registry the writer uses. The table name is trickier: Spark's
+    // writer emits it UNQUOTED in CREATE TABLE, so the DB case-folds plain
+    // names (Derby/Postgres store UP_TBL for "up_tbl") and quoting here
+    // would miss them — so plain `word(.word)*` names stay unquoted to
+    // match the writer, and only parts with special characters get the
+    // dialect quote (which also closes the injection hole).
     val q: String => String =
       org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier
+    val qTable = table.split('.')
+      .map(p => if (p.matches("[A-Za-z_][A-Za-z0-9_]*")) p else q(p))
+      .mkString(".")
     val updateSql =
-      s"UPDATE $table SET ${valueCols.map(c => s"${q(c)} = ?").mkString(", ")} " +
+      s"UPDATE $qTable SET ${valueCols.map(c => s"${q(c)} = ?").mkString(", ")} " +
         s"WHERE ${keys.map(k => s"${q(k)} = ?").mkString(" AND ")}"
     val insertSql =
-      s"INSERT INTO $table (${cols.map(q).mkString(", ")}) " +
+      s"INSERT INTO $qTable (${cols.map(q).mkString(", ")}) " +
         s"VALUES (${cols.map(_ => "?").mkString(", ")})"
     val colIdx = cols.zipWithIndex.toMap
     // NULLs must bind as typed setNull: Derby rejects setObject(i, null)
@@ -81,6 +89,15 @@ object JdbcUpsert {
           }
           var inTx = 0
           it.foreach { row =>
+            // a NULL key never matches `k = ?` (SQL null-rejecting
+            // equality), so the row would take the insert branch on EVERY
+            // run and silently accumulate duplicates — fail loud instead
+            keys.foreach { k =>
+              if (row.get(colIdx(k)) == null)
+                throw new IllegalArgumentException(
+                  s"JDBC upsert key '$k' is NULL in row $row: null keys cannot " +
+                    "match an UPDATE predicate and would duplicate on rerun")
+            }
             valueCols.zipWithIndex.foreach { case (c, i) => bind(upd, i + 1, c, row) }
             keys.zipWithIndex.foreach { case (k, i) =>
               bind(upd, valueCols.size + i + 1, k, row)

@@ -233,7 +233,13 @@ object Cluster {
     * and the intersection guards the superset case — pairs computed on a
     * pre-filter corpus may name ids the final corpus no longer has, and a
     * cluster whose labeling minimum was filtered out must still keep one
-    * survivor. The small CC side broadcasts; the corpus never shuffles.
+    * survivor.
+    *
+    * NO forced broadcast hint here: on a crawl corpus, pair participants
+    * are routinely 30-50% of the corpus, which would blow the driver / the
+    * 8 GB broadcast hard limit. AQE sees the CC output's real runtime size
+    * and picks broadcast-hash when it IS delta-sized, degrading to a
+    * shuffle join (not an OOM) when it isn't.
     */
   private def corpusParticipants(
       corpus: DataFrame,
@@ -242,20 +248,21 @@ object Cluster {
       aCol: String,
       bCol: String): DataFrame =
     corpus.select(col(idCol).as("id"))
-      .join(broadcast(connectedComponents(pairs, aCol, bCol)), Seq("id"))
+      .join(connectedComponents(pairs, aCol, bCol), Seq("id"))
 
-  /** One broadcast LEFT join applies a participant verdict to the corpus:
-    * `verdict` lists every participant id with a non-null `n_dropped` for
-    * survivors; dropped participants carry null and filter out;
-    * non-participants (absent) survive untouched with n_dropped = 0.
+  /** One LEFT join applies a participant verdict to the corpus: `verdict`
+    * lists every participant id with a non-null `n_dropped` for survivors;
+    * dropped participants carry null and filter out; non-participants
+    * (absent) survive untouched with n_dropped = 0. Broadcast is AQE's
+    * call, not a hint — see [[corpusParticipants]].
     */
   private def applyVerdict(
       corpus: DataFrame,
       idCol: String,
       verdict: DataFrame): DataFrame =
     corpus.join(
-        broadcast(verdict.withColumnRenamed("id", idCol)
-          .withColumn("__part", lit(true))),
+        verdict.withColumnRenamed("id", idCol)
+          .withColumn("__part", lit(true)),
         Seq(idCol), "left")
       .filter(col("__part").isNull || col("n_dropped").isNotNull)
       .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
@@ -269,8 +276,10 @@ object Cluster {
     *
     * 100 TB shape: every aggregation runs over the pair-PARTICIPANT set
     * (delta-sized — only docs in some pair), never the corpus: the
-    * corpus is touched by exactly two broadcast joins (participant label
-    * pickup + the verdict), with no corpus-wide shuffle or sort.
+    * corpus is touched by exactly two joins (participant label pickup +
+    * the verdict) whose small side AQE broadcasts when it fits — no
+    * corpus-wide sort, and no forced-broadcast OOM when participants are
+    * a large corpus fraction.
     */
   def dedupApply(
       corpus: DataFrame,
@@ -362,9 +371,10 @@ object Cluster {
     * one full document and many truncated copies.
     *
     * 100 TB shape: the rank window runs over the pair-PARTICIPANT set
-    * only (delta-sized); participant scores arrive on that small side via
-    * the same broadcast label pickup, and the corpus is touched by two
-    * broadcast joins — never a corpus-wide shuffle or sort.
+    * only (delta-sized); the corpus is touched by two joins whose build
+    * side AQE broadcasts when the participant set really is small — no
+    * forced hint, so a 40%-of-corpus participant set degrades to a
+    * shuffle join instead of an 8 GB broadcast failure.
     */
   def dedupApplyByScore(
       corpus: DataFrame,
@@ -375,7 +385,7 @@ object Cluster {
       bCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val part = corpus.select(col(idCol).as("id"), col(scoreCol).as("__score"))
-      .join(broadcast(connectedComponents(pairs, aCol, bCol)), Seq("id"))
+      .join(connectedComponents(pairs, aCol, bCol), Seq("id"))
     val verdict = part
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("cluster"))

@@ -61,6 +61,11 @@ object Corpus {
     * partition values than driver memory is a broken layout, not a
     * broken writer). `keyCol` salts deterministically (md5), so reruns
     * produce identical file assignment.
+    *
+    * NULL partition values are preserved: the count join is null-safe
+    * (`<=>` per partition column), so null-keyed rows land in
+    * `__HIVE_DEFAULT_PARTITION__` exactly as a plain `partitionBy` would,
+    * instead of being silently dropped by a null-rejecting equi-join.
     */
   def compactWrite(
       df: DataFrame,
@@ -71,14 +76,20 @@ object Corpus {
       format: String = "parquet"): Unit = {
     require(partitionCols.nonEmpty, "compactWrite requires partition columns")
     require(targetRowsPerFile > 0, s"targetRowsPerFile $targetRowsPerFile must be positive")
+    val renamed = partitionCols.map(c => c -> s"__pv_$c").toMap
     val counts = df.groupBy(partitionCols.map(col): _*).count()
       .withColumn("__nf",
         ceil(col("count").cast("double") / targetRowsPerFile).cast("int"))
       .drop("count")
+      .select(partitionCols.map(c => col(c).as(renamed(c))) :+ col("__nf"): _*)
+    // null-safe join: rows with NULL partition values keep flowing to the
+    // writer (Hive default partition) rather than vanishing
+    val joinCond = partitionCols.map(c => col(c) <=> col(renamed(c))).reduce(_ && _)
     val salted = df
-      .join(broadcast(counts), partitionCols)
+      .join(broadcast(counts), joinCond)
+      .drop(partitionCols.map(renamed): _*)
       .withColumn("__salt",
-        pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long"),
+        pmod(conv(substring(md5(coalesce(col(keyCol).cast("string"), lit(""))), 1, 8), 16, 10).cast("long"),
           col("__nf").cast("long")))
       .drop("__nf")
     salted

@@ -112,6 +112,13 @@ object Similarity {
     * the corpus streams map-side through |corpus|·|bench| codegen'd
     * VectorDots and only flagged rows reach the per-id aggregation (one
     * shuffle of hits, not the corpus).
+    *
+    * `excludeSameId` (default false): corpus and benchmark ids are usually
+    * INDEPENDENT domains (both often 0-based sequential), so by default
+    * every (corpus, bench) pair is scored — a coincidental id collision
+    * must not skip a comparison. Set it to true ONLY when the bench frame
+    * is a slice of the corpus sharing its id column, to keep each row from
+    * trivially flagging itself at cosine 1.0.
     */
   def semanticContaminatedBy(
       corpus: DataFrame,
@@ -120,12 +127,16 @@ object Similarity {
       bench: DataFrame,
       benchId: String,
       benchVec: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      excludeSameId: Boolean = false): DataFrame = {
     val c = corpus.select(col(corpusId).as("id"), col(corpusVec).as("cv"),
       norm(col(corpusVec)).as("cn"))
     val b = bench.select(col(benchId).as("bench_id"), col(benchVec).as("bv"),
       norm(col(benchVec)).as("bn"))
-    c.join(broadcast(b), col("id") =!= col("bench_id"))
+    val paired =
+      if (excludeSameId) c.join(broadcast(b), col("id") =!= col("bench_id"))
+      else c.crossJoin(broadcast(b))
+    paired
       .withColumn("score", round(dot(col("cv"), col("bv")) / (col("cn") * col("bn")), 6))
       .filter(col("score") >= threshold)
       .groupBy(col("id"))

@@ -395,15 +395,33 @@ class OpsSpec extends SparkSuite {
     ).toDF("id", "vec")
     val bench = corpus.filter(col("id") === 100L)
     val got = graft.ops.Similarity.semanticContaminatedBy(
-        corpus, "id", "vec", bench, "id", "vec", threshold = 0.8)
+        corpus, "id", "vec", bench, "id", "vec", threshold = 0.8,
+        excludeSameId = true)
       .collect().map(r => r.getAs[Long]("id") ->
         (r.getAs[Long]("best_bench_id"), r.getAs[Long]("n_hits"))).toMap
     assert(got.keySet == Set(1L, 2L))
     assert(got(1L) == ((100L, 1L)) && got(2L) == ((100L, 1L)))
     val plan = graft.ops.Similarity.semanticContaminatedBy(
-      corpus, "id", "vec", bench, "id", "vec", 0.8).queryExecution.executedPlan
+      corpus, "id", "vec", bench, "id", "vec", 0.8, excludeSameId = true)
+      .queryExecution.executedPlan
     assert(plan.toString.contains("Broadcast"),
       "the benchmark side must broadcast; the corpus must not shuffle for scoring")
+  }
+
+  test("semantic decontamination default compares coincidentally-equal ids") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Independent id domains: corpus id 0 collides with bench id 0 but they
+    // are different items — the pair must still be scored (default flag).
+    val corpus = Seq((0L, Array(1.0f, 0f, 0f))).toDF("id", "vec")
+    val bench = Seq((0L, Array(0.95f, 0.05f, 0f))).toDF("id", "vec")
+    val got = graft.ops.Similarity.semanticContaminatedBy(
+      corpus, "id", "vec", bench, "id", "vec", threshold = 0.8).collect()
+    assert(got.length == 1 && got(0).getAs[Long]("id") == 0L,
+      "same-id (corpus, bench) pair must be compared by default")
+    val excl = graft.ops.Similarity.semanticContaminatedBy(
+      corpus, "id", "vec", bench, "id", "vec", 0.8, excludeSameId = true)
+    assert(excl.count() == 0L)
   }
 
   test("compactWrite sizes files to the data per partition directory") {
@@ -428,6 +446,20 @@ class OpsSpec extends SparkSuite {
     // deterministic salting: a rerun produces the identical layout
     graft.ops.Corpus.compactWrite(df, out, Seq("lang"), "id", targetRowsPerFile = 100)
     assert(files("en") == 9)
+  }
+
+  test("compactWrite preserves NULL partition values (Hive default partition)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, Some("en"), "a"), (2L, None, "b"), (3L, None, "c")
+    ).toDF("id", "lang", "text")
+    val out = SparkEnv.scratchDir("graft_compact_null")
+    graft.ops.Corpus.compactWrite(df, out, Seq("lang"), "id", targetRowsPerFile = 100)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3, "null-partition rows must not be dropped")
+    assert(back.filter(col("lang").isNull).count() == 2)
+    assert(new java.io.File(s"$out/lang=__HIVE_DEFAULT_PARTITION__").exists())
   }
 
   test("langId picks the marker-heavy language") {

@@ -96,6 +96,18 @@ class StoreSpec extends SparkSuite {
           timestampField = Some("t_ms"), timestampFormat = "epoch_millis"),
         JdbcSink(url, "up_tbl", mode = "upsert"))
     }
+    // a NULL key value fails loud: it can never match `k = ?`, so it would
+    // re-insert (duplicate) on every run
+    val nullKey = Seq((Some(4L), "d", 500L), (None: Option[Long], "e", 600L))
+      .toDF("id", "tag", "t_ms")
+    val ex = intercept[Exception] {
+      graft.engine.JdbcUpsert.upsert(
+        nullKey, url, "up_tbl", "", "", keys = Seq("id"))
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(t =>
+      Option(t.getMessage).exists(_.contains("null keys"))))
   }
 
   test("kafka record encode/decode round-trips without a broker") {
