@@ -61,7 +61,7 @@ object Dedup {
     * whenever the consumer is duplicate-insensitive (minhash `min`); set
     * consumers (Jaccard counts) need the distinct variant.
     */
-  private def wordShinglesRaw(
+  private[graft] def wordShinglesRaw(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val ws = TextOps.tokens(col(textCol))
     val m = greatest(size(ws) - (n - 1), lit(1))
@@ -184,10 +184,16 @@ object Dedup {
     * per-row hash cost is constant in numHashes. The short fixed window
     * matters at scale: equal-length hex strings compare lexicographically
     * = numerically, the hash-aggregate buffer holds 15-byte values
-    * instead of 32-char rotations (measured ~1.5× faster end-to-end), and
-    * partial-agg merge traffic halves. Portable: any engine with
-    * md5 + substr reproduces it bit-for-bit. Duplicate shingles are
-    * harmless (min is idempotent). One shuffle (groupBy id).
+    * instead of 32-char rotations, and partial-agg merge traffic halves.
+    * Cold-JVM A/B ([[graft.BenchMinhash]], one fresh JVM per variant,
+    * min-of-3 on sf0.1 full q22 pipeline, identical 256 candidate pairs):
+    * window 2.13 s vs rotation 3.10 s — 1.46× faster. (Round-5 bench once
+    * showed q22 at 7.4 s vs round-4's 0.57 s: the 0.57 was subsidized by a
+    * since-fixed cross-query persist leak and the 7.4 by shared-host
+    * noise; the bench now clears caches between queries and this A/B is
+    * the controlled measurement.) Portable: any engine with md5 + substr
+    * reproduces it bit-for-bit. Duplicate shingles are harmless (min is
+    * idempotent). One shuffle (groupBy id).
     */
   def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
     require(numHashes <= 18, "15-hex windows over md5 support at most 18 hashes")

@@ -143,6 +143,30 @@ class PlanSpec extends SparkSuite {
     assert(plan.toString.contains("LeftAnti"), s"q24 lost the maxBucket cap:\n$plan")
   }
 
+  test("minhash LSH (q22/q71): no rescans past the checkpoint, bounded shuffles") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // Locks the honest q22 plan the round-5/6 A/B adjudicated
+    // (BenchMinhash): everything downstream of the band-bucket
+    // localCheckpoint is bucket-local — hot-bucket count, broadcast
+    // anti-join cap, self-join sides, final distinct. A parquet scan here
+    // means the shingle+signature pipeline came back; shuffle growth means
+    // a bucket join or the distinct stopped being bucket-local.
+    val q22 = Queries.all.find(_.name == "q22_dedup_minhash_lsh").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    assert(q22.collect { case s: FileSourceScanExec => s }.isEmpty,
+      s"q22 re-scans the base table past the checkpoint:\n$q22")
+    assert(shuffles(q22) <= 4, s"q22 shuffle count grew to ${shuffles(q22)}:\n$q22")
+    assert(q22.toString.contains("LeftAnti"), s"q22 lost the maxBucket cap:\n$q22")
+    // Incremental variant: same locks, and both checkpointed sides feed the
+    // old-new and new-new joins without regenerating signatures.
+    val q71 = Queries.all.find(_.name == "q71_incremental_lsh").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    assert(q71.collect { case s: FileSourceScanExec => s }.isEmpty,
+      s"q71 re-scans a base table past the checkpoints:\n$q71")
+    assert(shuffles(q71) <= 8, s"q71 shuffle count grew to ${shuffles(q71)}:\n$q71")
+    assert(q71.toString.contains("LeftAnti"), s"q71 lost the maxBucket cap:\n$q71")
+  }
+
   test("dsir: log-ratio model broadcasts, no cartesian, corpus shuffles stay bounded") {
     val plan = Queries.all.find(_.name == "q77_dsir_select").get
       .build(spark, sfDir).queryExecution.executedPlan
