@@ -5,6 +5,8 @@ import graft.types._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.concurrent.duration.Duration
+
 /** Physical sources (ref: python/feathub/processors/spark/
   * dataframe_builder/source_sink_utils.py:41-71 and
   * feature_tables/sources/datagen_source.py).
@@ -63,25 +65,48 @@ object Sources {
 
   /** Kafka scan: JSON values decoded with the declared schema
     * (ref: python/feathub/feature_tables/sources/kafka_source.py:25-131 —
-    * startup_mode ∈ earliest-offset/latest-offset/timestamp). Bounded mode
-    * uses Spark's batch Kafka reader, which the reference had to hand-build
-    * for Flink (BoundedKafkaDynamicSource.java).
+    * startup_mode ∈ earliest-offset/latest-offset/group-offsets/timestamp).
+    * Bounded mode uses Spark's batch Kafka reader, which the reference had
+    * to hand-build for Flink (BoundedKafkaDynamicSource.java).
+    * group-offsets — the reference's default — resolves the consumer
+    * group's committed offsets at plan time ([[KafkaOffsets]]) into
+    * `startingOffsets` offsets-JSON, since Spark has no native resume.
     */
   def readKafka(spark: SparkSession, s: KafkaSource): DataFrame = {
-    val opts = Map(
-      "kafka.bootstrap.servers" -> s.bootstrapServer,
-      "subscribe" -> s.topic) ++ (s.startupMode match {
-      case "earliest-offset" => Map("startingOffsets" -> "earliest")
-      case "latest-offset"   => Map("startingOffsets" -> "latest")
-      case "timestamp" => Map("startingTimestamp" ->
-        s.startupTimestampMillis.getOrElse(throw new IllegalArgumentException(
-          "startupMode=timestamp requires startupTimestampMillis")).toString)
-      case other => throw new IllegalArgumentException(s"Unknown startup mode $other")
-    })
+    val opts = kafkaReadOptions(s)
     val raw =
       if (s.isBounded) spark.read.format("kafka").options(opts).load()
       else spark.readStream.format("kafka").options(opts).load()
     decodeKafkaRecords(raw, s)
+  }
+
+  /** The reader option map for a [[KafkaSource]] — split out so startup
+    * modes are assertable without a broker. Consumer properties pass
+    * through with Spark's `kafka.` prefix; the group id (when declared)
+    * rides along as `kafka.group.id` for broker-side attribution.
+    */
+  private[graft] def kafkaReadOptions(s: KafkaSource): Map[String, String] = {
+    val group = s.consumerGroup.map(g => Map("kafka.group.id" -> g))
+      .getOrElse(Map.empty)
+    val extra = s.consumerProps.map { case (k, v) => s"kafka.$k" -> v }
+    Map(
+      "kafka.bootstrap.servers" -> s.bootstrapServer,
+      "subscribe" -> s.topic) ++ group ++ extra ++ (s.startupMode match {
+      case "earliest-offset" => Map("startingOffsets" -> "earliest")
+      case "latest-offset"   => Map("startingOffsets" -> "latest")
+      case "group-offsets" => Map("startingOffsets" ->
+        KafkaOffsets.startingOffsetsJson(
+          s.bootstrapServer,
+          s.consumerGroup.getOrElse(throw new IllegalArgumentException(
+            "startupMode=group-offsets requires consumerGroup")),
+          s.topic))
+      case "timestamp" => Map("startingTimestamp" ->
+        s.startupTimestampMillis.getOrElse(throw new IllegalArgumentException(
+          "startupMode=timestamp requires startupTimestampMillis")).toString)
+      case other => throw new IllegalArgumentException(
+        s"Unknown startup mode $other (expected earliest-offset, " +
+          "latest-offset, group-offsets, or timestamp)")
+    })
   }
 
   /** Decode ONE Kafka payload column (`key` or `value`) into `fieldNames`,
@@ -312,13 +337,24 @@ object Sources {
     * `rand()`, whose output depends on partitioning
     * (ref behavior: python/feathub/processors/spark/dataframe_builder/
     * datagen_utils.py:36-169 uses deterministic per-field seeds).
+    *
+    * Unbounded mode rides Spark's `rate` streaming source: the rate
+    * source's monotonically increasing `value` becomes the row id feeding
+    * the SAME column-synthesis expressions, so a streaming datagen emits
+    * the identical rows a bounded one would, paced at `rowsPerSecond`
+    * (the reference's unbounded generator, datagen_source.py:123-140).
     */
   def generate(spark: SparkSession, s: DataGenSource): DataFrame = {
-    val base = spark.range(s.numberOfRows)
+    val base =
+      if (s.unbounded)
+        spark.readStream.format("rate")
+          .option("rowsPerSecond", s.rowsPerSecond.toString).load()
+          .select(col("value").as("id"))
+      else spark.range(s.numberOfRows)
     val cols = s.fields.map {
       case SequenceField(name, dtype, start, _) =>
         (lit(start) + col("id")).cast(dtype.toSpark).as(name)
-      case RandomField(name, dtype, minimum, maximum, length) =>
+      case RandomField(name, dtype, minimum, maximum, length, maxPast) =>
         // xxhash64 → uniform in [0,1) → scaled; strings from hex digest.
         val h = xxhash64(lit(s.seed), col("id"), lit(name))
         val u = (pmod(h, lit(1000000007L)).cast("double") / lit(1000000007.0))
@@ -326,6 +362,13 @@ object Sources {
           case DString =>
             substring(md5(concat_ws("-", lit(s.seed), col("id"), lit(name))), 1, length).as(name)
           case DBool => (pmod(h, lit(2)) === 0).as(name)
+          case DTimestamp if maxPast > Duration.Zero =>
+            // within max_past of NOW (datagen_source.py:36-53);
+            // current_timestamp is per-query (batch) / per-microbatch
+            // (stream), and the offset within [0, maxPast) stays
+            // deterministic per row id
+            timestamp_millis((unix_millis(current_timestamp()) -
+              (u * lit(maxPast.toMillis.toDouble)).cast("bigint")).cast("bigint")).as(name)
           case DTimestamp =>
             timestamp_millis((lit(minimum) + u * (lit(maximum) - lit(minimum))).cast("bigint")).as(name)
           case _ =>

@@ -192,12 +192,22 @@ final case class DataFrameSource(
 
 /** Deterministic data generator (ref: python/feathub/feature_tables/
   * sources/datagen_source.py:27-232). Fields are either random in
-  * [minimum, maximum] or a sequence [start, end].
+  * [minimum, maximum] or a sequence [start, end]. A timestamp
+  * RandomField with `maxPast` > 0 draws from [now - maxPast, now]
+  * (datagen_source.py:36-53) instead of the [minimum, maximum] range.
   */
 sealed trait GenField { def name: String }
-final case class RandomField(name: String, dtype: DType, minimum: Double = 0, maximum: Double = 1, length: Int = 17) extends GenField
+final case class RandomField(
+    name: String, dtype: DType, minimum: Double = 0, maximum: Double = 1,
+    length: Int = 17, maxPast: Duration = Duration.Zero) extends GenField
 final case class SequenceField(name: String, dtype: DType, start: Long = 0, end: Long = Long.MaxValue) extends GenField
 
+/** `unbounded=true` emits `rowsPerSecond` rows forever through Spark's
+  * `rate` streaming source with the SAME deterministic per-row column
+  * synthesis (the reference's unbounded mode, datagen_source.py:123-140 —
+  * rows_per_second controls the emit rate when no row count is set);
+  * `numberOfRows` is ignored in that mode.
+  */
 final case class DataGenSource(
     name: String,
     numberOfRows: Long,
@@ -205,7 +215,9 @@ final case class DataGenSource(
     seed: Long = 42L,
     keys: Option[Seq[String]] = None,
     timestampField: Option[String] = None,
-    timestampFormat: String = "auto") extends TableDescriptor
+    timestampFormat: String = "auto",
+    rowsPerSecond: Long = 10000L,
+    unbounded: Boolean = false) extends TableDescriptor
 
 /** Derived view: per-row exprs + over windows + PIT joins, row-count
   * preserving (minus filter)
@@ -353,7 +365,18 @@ final case class OnDemandFeatureView(
   * kafka_source.py:25-131). Values are JSON-encoded with the declared
   * schema; bounded mode uses the batch Kafka reader (Spark has this built
   * in — the reference needed a custom BoundedKafkaDynamicSource on Flink).
-  * `startupMode` ∈ earliest-offset / latest-offset / timestamp.
+  * `startupMode` ∈ earliest-offset / latest-offset / group-offsets /
+  * timestamp (the reference DEFAULTS to group-offsets,
+  * kafka_source.py:42,76-79; ours keeps earliest-offset as the default for
+  * API compatibility with existing descriptors but supports all four).
+  * group-offsets resolves the group's committed offsets up front (see
+  * [[graft.engine.KafkaOffsets]]) into Spark `startingOffsets` JSON —
+  * Spark has no native committed-offset resume.
+  *
+  * `partitionDiscoveryIntervalMs` (kafka_source.py:44,89) is accepted for
+  * descriptor parity and IGNORED: Spark's Kafka source re-fetches topic
+  * metadata every micro-batch, so dynamically created partitions are
+  * discovered automatically with no interval to configure.
   */
 final case class KafkaSource(
     name: String,
@@ -378,7 +401,16 @@ final case class KafkaSource(
     // layout key.fields + value.fields-include=EXCEPT_KEY,
     // table_builder/kafka_utils.py:134-135); None = keyless message
     keyFormat: Option[String] = None,
-    keyFormatProps: Map[String, String] = Map.empty) extends TableDescriptor
+    keyFormatProps: Map[String, String] = Map.empty,
+    // consumer group id (kafka_source.py:36,61-62) — required for
+    // startup_mode=group-offsets, otherwise advisory (passed through as
+    // kafka.group.id when set)
+    consumerGroup: Option[String] = None,
+    // extra consumer properties (kafka_source.py:72-73), passed through
+    // with Spark's "kafka." option prefix
+    consumerProps: Map[String, String] = Map.empty,
+    // accepted-and-ignored: Spark discovers partitions per micro-batch
+    partitionDiscoveryIntervalMs: Option[Long] = None) extends TableDescriptor
 
 /** Scan of an in-process online-store table (latest-per-key snapshot) —
   * the serving-store read-back path

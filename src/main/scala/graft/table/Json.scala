@@ -97,15 +97,18 @@ object Json {
       ("kind" -> "datagen_source") ~ ("name" -> s.name) ~
         ("rows" -> s.numberOfRows) ~ ("seed" -> s.seed) ~
         ("fields" -> JArray(s.fields.map {
-          case RandomField(n, t, mn, mx, len) =>
+          case RandomField(n, t, mn, mx, len, mp) =>
             ("gen" -> "random") ~ ("name" -> n) ~ ("dtype" -> dtypeJson(t)) ~
-              ("min" -> mn) ~ ("max" -> mx) ~ ("length" -> len): JValue
+              ("min" -> mn) ~ ("max" -> mx) ~ ("length" -> len) ~
+              ("max_past_ms" -> durJson(mp)): JValue
           case SequenceField(n, t, st, en) =>
             ("gen" -> "sequence") ~ ("name" -> n) ~ ("dtype" -> dtypeJson(t)) ~
               ("start" -> st) ~ ("end" -> en): JValue
         }.toList)) ~
         ("keys" -> s.keys) ~ ("ts_field" -> s.timestampField) ~
-        ("ts_format" -> s.timestampFormat)
+        ("ts_format" -> s.timestampFormat) ~
+        ("rows_per_second" -> s.rowsPerSecond) ~
+        ("unbounded" -> s.unbounded)
     case s: KafkaSource =>
       ("kind" -> "kafka_source") ~ ("name" -> s.name) ~
         ("bootstrap" -> s.bootstrapServer) ~ ("topic" -> s.topic) ~
@@ -118,7 +121,10 @@ object Json {
         ("value_format" -> s.valueFormat) ~
         ("value_format_props" -> s.valueFormatProps) ~
         ("key_format" -> s.keyFormat) ~
-        ("key_format_props" -> s.keyFormatProps)
+        ("key_format_props" -> s.keyFormatProps) ~
+        ("consumer_group" -> s.consumerGroup) ~
+        ("consumer_props" -> s.consumerProps) ~
+        ("partition_discovery_interval_ms" -> s.partitionDiscoveryIntervalMs)
     case s: JdbcSource =>
       ("kind" -> "jdbc_source") ~ ("name" -> s.name) ~ ("url" -> s.url) ~
         ("table" -> s.table) ~ ("user" -> s.user) ~ ("password" -> s.password) ~
@@ -264,7 +270,8 @@ object Json {
           str(fj, "gen") match {
             case "random" => RandomField(
               str(fj, "name"), dtypeFrom(fj \ "dtype"),
-              dblF(fj, "min", 0), dblF(fj, "max", 1), intOpt(fj, "length").getOrElse(17))
+              dblF(fj, "min", 0), dblF(fj, "max", 1), intOpt(fj, "length").getOrElse(17),
+              durF(fj, "max_past_ms"))
             case "sequence" => SequenceField(
               str(fj, "name"), dtypeFrom(fj \ "dtype"),
               longOpt(fj, "start").getOrElse(0L), longOpt(fj, "end").getOrElse(Long.MaxValue))
@@ -275,7 +282,9 @@ object Json {
       DataGenSource(
         str(j, "name"), longOpt(j, "rows").getOrElse(0L), fields,
         longOpt(j, "seed").getOrElse(42L), strSeqOpt(j, "keys"),
-        strOpt(j, "ts_field"), str(j, "ts_format"))
+        strOpt(j, "ts_field"), str(j, "ts_format"),
+        longOpt(j, "rows_per_second").getOrElse(10000L),
+        boolF(j, "unbounded", dflt = false))
     case "kafka_source" =>
       KafkaSource(
         str(j, "name"), str(j, "bootstrap"), str(j, "topic"),
@@ -286,7 +295,10 @@ object Json {
         strOpt(j, "value_format").getOrElse("json"),
         propsFrom(j \ "value_format_props"),
         strOpt(j, "key_format"),
-        propsFrom(j \ "key_format_props"))
+        propsFrom(j \ "key_format_props"),
+        strOpt(j, "consumer_group"),
+        propsFrom(j \ "consumer_props"),
+        longOpt(j, "partition_discovery_interval_ms"))
     case "jdbc_source" =>
       JdbcSource(
         str(j, "name"), str(j, "url"), str(j, "table"),

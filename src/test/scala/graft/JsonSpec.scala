@@ -31,9 +31,11 @@ class JsonSpec extends AnyFunSuite {
       "gen", 1000,
       Seq(
         SequenceField("id", DInt64, 1, 1000),
-        RandomField("x", DFloat64, 0.5, 2.5, 8)),
+        RandomField("x", DFloat64, 0.5, 2.5, 8),
+        RandomField("ev", DTimestamp, maxPast = 2.hours)),
       seed = 7, keys = Some(Seq("id")), timestampField = Some("id"),
-      timestampFormat = "epoch"))
+      timestampFormat = "epoch",
+      rowsPerSecond = 2500L, unbounded = true))
     roundTrip(KafkaSource(
       "k", "broker:9092", "topic",
       Schema(Seq("a", "b"), Seq(DString, DVector(DFloat32))),
@@ -45,7 +47,12 @@ class JsonSpec extends AnyFunSuite {
         "protobuf.field_numbers" -> "a:2,b:5",
         "ignore_parse_error" -> "false"),
       keyFormat = Some("csv"),
-      keyFormatProps = Map("ignore_parse_error" -> "true")))
+      keyFormatProps = Map("ignore_parse_error" -> "true"),
+      consumerGroup = Some("graft-cg"),
+      consumerProps = Map("session.timeout.ms" -> "30000"),
+      // accepted-and-ignored parity field (kafka_source.py:44): Spark
+      // discovers partitions per micro-batch, no interval to configure
+      partitionDiscoveryIntervalMs = Some(300000L)))
     roundTrip(JdbcSource("j", "jdbc:mysql://h/db", "tbl", "u", "p",
       keys = Some(Seq("id"))))
   }

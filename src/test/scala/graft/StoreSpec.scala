@@ -131,6 +131,39 @@ class StoreSpec extends SparkSuite {
     assert(got == Seq((1L, "a", 100L), (2L, "b", 200L)))
   }
 
+  test("kafka group-offsets startup mode maps committed offsets to startingOffsets") {
+    // the reference's DEFAULT startup mode (kafka_source.py:42,76-79):
+    // committed group offsets become Spark startingOffsets offsets-JSON.
+    // The offset fetch is the pluggable KafkaOffsets seam — install a
+    // committed-offset fixture in place of the AdminClient.
+    val prev = graft.engine.KafkaOffsets.setProvider { (bootstrap, group, topic) =>
+      assert(bootstrap == "broker:9092" && group == "cg1" && topic == "clicks")
+      Map(0 -> 42L, 1 -> -2L, 2 -> 7L) // partition 1: nothing committed yet
+    }
+    try {
+      val src = KafkaSource(
+        "go_src", "broker:9092", "clicks",
+        Schema(Seq("id"), Seq(DInt64)),
+        startupMode = "group-offsets", consumerGroup = Some("cg1"),
+        consumerProps = Map("session.timeout.ms" -> "30000"))
+      val opts = graft.engine.Sources.kafkaReadOptions(src)
+      assert(opts("startingOffsets") == """{"clicks":{"0":42,"1":-2,"2":7}}""")
+      assert(opts("kafka.group.id") == "cg1")
+      assert(opts("kafka.session.timeout.ms") == "30000")
+      // without a consumer group the mode is a declaration error
+      val bad = intercept[IllegalArgumentException] {
+        graft.engine.Sources.kafkaReadOptions(
+          src.copy(consumerGroup = None))
+      }
+      assert(bad.getMessage.contains("consumerGroup"))
+      // the unknown-mode error lists all four modes
+      val unknown = intercept[IllegalArgumentException] {
+        graft.engine.Sources.kafkaReadOptions(src.copy(startupMode = "bogus"))
+      }
+      assert(unknown.getMessage.contains("group-offsets"))
+    } finally graft.engine.KafkaOffsets.setProvider(prev)
+  }
+
   test("kafka protobuf format round-trips without a broker") {
     val spark2 = spark
     import spark2.implicits._
