@@ -457,6 +457,63 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("unbounded datagen source feeds a sliding view; rows match batch synthesis") {
+    // the reference's unbounded generator (datagen_source.py:123-140):
+    // rows_per_second paced emission with the same deterministic columns.
+    val gen = DataGenSource(
+      "ub_gen", numberOfRows = 0L,
+      fields = Seq(
+        SequenceField("t_ms", graft.types.DInt64, start = 1640995200000L),
+        RandomField("cost", graft.types.DInt64, 100, 1000)),
+      keys = Some(Seq("cost")),
+      timestampField = Some("t_ms"), timestampFormat = "epoch_millis",
+      rowsPerSecond = 500L, unbounded = true)
+    val cl = new GraftClient(spark)
+    val view = SlidingFeatureView(
+      "ub_slide", gen,
+      features = Seq(Feature(
+        "n", SlidingWindowTransform("cost", AggFunc.Count, 100.millis, 100.millis))))
+    val out = cl.getFeatures(view)
+    assert(out.isStreaming, "unbounded datagen must produce a streaming frame")
+    val query = out.writeStream.format("memory").queryName("ub_out")
+      .outputMode("append").start()
+    try {
+      // rate-source rows arrive on wall-clock; poll until windows close
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        query.processAllAvailable()
+        n = spark.sql("SELECT count(*) FROM ub_out").collect()(0).getLong(0)
+      }
+      assert(n > 0, "no sliding windows closed from the unbounded datagen")
+    } finally query.stop()
+    // determinism: the streamed synthesis is the same function of row id
+    // as the batch generator — batch rows for ids 0..N reproduce it
+    val batch = graft.engine.Sources.generate(
+      spark, gen.copy(unbounded = false, numberOfRows = 3))
+      .orderBy("t_ms").collect()
+    assert(batch.map(_.getAs[Long]("t_ms")).toSeq ==
+      Seq(1640995200000L, 1640995200001L, 1640995200002L))
+    assert(batch.map(_.getAs[Long]("cost")).forall(c => c >= 100 && c <= 1000))
+  }
+
+  test("datagen max_past draws timestamps within max_past of now") {
+    val gen = DataGenSource(
+      "mp_gen", numberOfRows = 200L,
+      fields = Seq(
+        SequenceField("id", graft.types.DInt64),
+        RandomField("ev", graft.types.DTimestamp, maxPast = 1.hour)))
+    val before = System.currentTimeMillis() - 3600000L - 5000L
+    val rows = graft.engine.Sources.generate(spark, gen).collect()
+    val after = System.currentTimeMillis() + 5000L
+    assert(rows.length == 200)
+    val ts = rows.map(_.getAs[java.sql.Timestamp]("ev").getTime)
+    assert(ts.forall(t => t >= before && t <= after),
+      s"timestamps outside [now - max_past, now]: ${ts.min}..${ts.max}")
+    assert(ts.distinct.length > 100, "max_past timestamps should spread over the range")
+  }
+
   test("streaming keyed multi-size windows match the batch engine") {
     val spark2 = spark
     import spark2.implicits._
