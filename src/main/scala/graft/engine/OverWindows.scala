@@ -29,6 +29,24 @@ object OverWindows {
 
   private val t = EventTime.Col
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.engine.OverWindows")
+
+  /** A keyless over-window is a GLOBAL ordered window: Spark (like the
+    * reference, over_window_utils.py:99-125) plans it as a single-partition
+    * sort — the one declarative construct here that cannot scale past one
+    * executor's memory. Parity demands supporting it, but a user should
+    * never hit it on a 100 TB table unknowingly, so every keyless build
+    * warns (see SCALE.md "Keyless over-windows").
+    */
+  private def keylessWindowBase(tr: OverWindowTransform): WindowSpec = {
+    log.warn(
+      s"over-window on '${tr.expr}' has no group_by_keys: Spark plans a " +
+        "GLOBAL single-partition sort, which cannot scale beyond one " +
+        "executor. Declare group_by_keys for any non-trivial input " +
+        "(see SCALE.md, 'Keyless over-windows').")
+    Window.partitionBy()
+  }
+
   def aggColumn(tr: OverWindowTransform, tieBreaks: Seq[String]): Column = {
     val e = SparkCompiler.compile(tr.expr)
     val v = tr.filterExpr match {
@@ -38,7 +56,7 @@ object OverWindows {
     val orderCols = col(t).asc +: tieBreaks.map(c => col(c).asc)
     val base =
       if (tr.groupByKeys.nonEmpty) Window.partitionBy(tr.groupByKeys.map(col): _*)
-      else Window.partitionBy()
+      else keylessWindowBase(tr)
 
     (tr.windowSize, tr.limit) match {
       case (None, None) =>
@@ -132,7 +150,7 @@ object OverWindows {
           case Some(_) =>
             val spec =
               (if (tr.groupByKeys.nonEmpty) Window.partitionBy(tr.groupByKeys.map(col): _*)
-               else Window.partitionBy())
+               else keylessWindowBase(tr))
                 .orderBy(col(t).asc)
                 .rowsBetween(1L - tr.limit.get, Window.currentRow)
             if (tr.aggFunc == AggFunc.RowNumber) collect_list(col(t)).over(spec)
@@ -150,7 +168,7 @@ object OverWindows {
     }.withColumn("__isf", lit(0))
     val base =
       if (tr0.groupByKeys.nonEmpty) Window.partitionBy(tr0.groupByKeys.map(col): _*)
-      else Window.partitionBy()
+      else keylessWindowBase(tr0)
     // carrier sorts before the plain copy at equal time so a matching row
     // sees its own contribution
     val w = base.orderBy(col(t).asc, col("__isf").desc)

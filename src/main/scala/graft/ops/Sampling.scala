@@ -299,8 +299,13 @@ object Sampling {
       .localCheckpoint(true)
     val pCounts = tb.groupBy("b").agg(count(lit(1)).as("cp"))
       .localCheckpoint(true)
-    val totQ = qCounts.agg(coalesce(sum("cq"), lit(0L))).collect()(0).getLong(0)
-    val totP = pCounts.agg(coalesce(sum("cp"), lit(0L))).collect()(0).getLong(0)
+    // both totals in ONE driver round-trip: the two 1-row aggregates of
+    // the checkpointed count tables cross-join into a single job
+    val totals = qCounts.agg(coalesce(sum("cq"), lit(0L)).as("tq"))
+      .crossJoin(pCounts.agg(coalesce(sum("cp"), lit(0L)).as("tp")))
+      .collect()(0)
+    val totQ = totals.getLong(0)
+    val totP = totals.getLong(1)
     val lr = qCounts.join(pCounts, Seq("b"), "full_outer")
       .select(
         col("b"),

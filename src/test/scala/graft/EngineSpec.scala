@@ -92,17 +92,40 @@ class EngineSpec extends SparkSuite {
     assert(got.map(_.getAs[Long]("total_cost")).toSeq == Seq(100L, 400L, 400L, 600L, 500L, 900L))
   }
 
-  test("over window: keyless global window golden") {
+  test("over window: keyless global window golden (and the scale warning fires)") {
     // Ref: test_over_window_transform.py:124-155 — no group keys means one
-    // global trailing 2-day window over all rows.
-    val view = DerivedFeatureView(
-      "v_global_over", purchaseSource,
-      features = Seq(
-        Feature("total_cost", OverWindowTransform("cost", AggFunc.Sum, Some(2.days)))),
-      keepSourceFields = true)
-    val got = client.getFeatures(view).orderBy("time").collect()
-    assert(got.map(_.getAs[Long]("total_cost")).toSeq ==
-      Seq(100L, 500L, 800L, 1000L, 1000L, 1600L))
+    // global trailing 2-day window over all rows. That is a GLOBAL
+    // single-partition sort, so the build must warn (SCALE.md, "Keyless
+    // over-windows") while producing the exact parity output.
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val appender = new AbstractAppender(
+        "keyless-capture", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(event: LogEvent): Unit =
+        captured.add(event.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val logger = ctx.getLogger("graft.engine.OverWindows")
+    logger.addAppender(appender)
+    try {
+      val view = DerivedFeatureView(
+        "v_global_over", purchaseSource,
+        features = Seq(
+          Feature("total_cost", OverWindowTransform("cost", AggFunc.Sum, Some(2.days)))),
+        keepSourceFields = true)
+      val got = client.getFeatures(view).orderBy("time").collect()
+      assert(got.map(_.getAs[Long]("total_cost")).toSeq ==
+        Seq(100L, 500L, 800L, 1000L, 1000L, 1600L))
+      assert(captured.toArray.exists(_.toString.contains("single-partition")),
+        s"keyless over-window build must log the scale warning, got: $captured")
+    } finally {
+      logger.removeAppender(appender)
+      appender.stop()
+    }
   }
 
   test("over window: first/last with window_size AND limit golden") {
