@@ -2006,6 +2006,43 @@ object Queries {
       SELECT id, score AS best_cosine, bench_id AS best_bench_id, n_hits
       FROM r WHERE rn = 1"""))
 
+  /** Fixed-token-window chunking with overlap — the RAG/embedding prep
+    * unit. 40-token chunks, 8-token overlap (stride 32): every token
+    * covered, consecutive chunks share 8 tokens, map-only.
+    */
+  private val q80 = Q(
+    "q80_chunk_docs",
+    (spark, dir) =>
+      TextOps.chunkDocuments(pq(spark, dir, "documents"), "doc_id", "text",
+        chunkTokens = 40, overlapTokens = 8),
+    Some("""WITH t AS (SELECT doc_id AS id,
+        string_split(trim(coalesce(text, '')), ' ') AS toks FROM documents),
+      c AS (SELECT id, toks, len(toks) AS n,
+        CASE WHEN len(toks) <= 40 THEN 1
+             ELSE CAST(ceil((len(toks) - 8) / 32.0) AS BIGINT) END AS nc FROM t),
+      e AS (SELECT id, toks, n, unnest(generate_series(0, nc - 1)) AS i FROM c)
+      SELECT id, i AS chunk_idx,
+        array_to_string(toks[i*32 + 1 : i*32 + 40], ' ') AS chunk_text,
+        LEAST(40, n - i*32)::BIGINT AS n_tokens
+      FROM e"""))
+
+  /** Encoding-quality / mojibake signals — decode-failure replacement
+    * chars, C0 control chars, UTF-8-as-Latin-1 lead sequences, ascii
+    * ratio. Map-only codegen regex counts.
+    */
+  private val q81 = Q(
+    "q81_encoding_quality",
+    (spark, dir) =>
+      TextOps.encodingQuality(pq(spark, dir, "documents"), Seq("doc_id"), "text"),
+    Some("""SELECT doc_id,
+        len(regexp_extract_all(coalesce(text,''), '\x{FFFD}'))::BIGINT AS n_replacement,
+        len(regexp_extract_all(coalesce(text,''), '[\x00-\x08\x0B\x0C\x0E-\x1F]'))::BIGINT AS n_control,
+        len(regexp_extract_all(coalesce(text,''), '[\x{C3}\x{C2}\x{E2}][\x{80}-\x{BF}]'))::BIGINT AS n_mojibake,
+        CASE WHEN length(coalesce(text,'')) = 0 THEN 1.0
+             ELSE round(len(regexp_extract_all(coalesce(text,''), '[\x00-\x7F]')) /
+               CAST(length(coalesce(text,'')) AS DOUBLE), 4) END AS ascii_ratio
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2013,7 +2050,7 @@ object Queries {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

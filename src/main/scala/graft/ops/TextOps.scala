@@ -731,6 +731,65 @@ object TextOps {
         expr(s"greatest(cum_end - 1, cum_end - n_tokens) div $seqTokens").as("end_seq"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the RAG/embedding
+    * prep step that turns documents into retrieval units (and the training
+    * prep that bounds example length before packing). Chunk `i` covers
+    * whitespace tokens `[i·stride, i·stride + chunkTokens)` with
+    * `stride = chunkTokens - overlapTokens`; a document of `n` tokens
+    * yields `max(1, ceil((n - overlapTokens) / stride))` chunks, so every
+    * token is covered and consecutive chunks share `overlapTokens` tokens.
+    * Output: (id, chunk_idx, chunk_text, n_tokens).
+    *
+    * 100 TB shape: map-only — tokens, a `sequence` explode, and an array
+    * slice per chunk; no shuffle, no state. Chunk counts are bounded by
+    * per-doc length, so output size is input size × (1 + overlap ratio).
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens $chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens $overlapTokens must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    val ws = tokens(coalesce(col(textCol), lit("")))
+    val n = size(ws)
+    val nChunks = when(n <= chunkTokens, lit(1L)).otherwise(
+      ceil((n - overlapTokens).cast("double") / stride).cast("long"))
+    df.select(col(idCol).as("id"), ws.as("__ws"), nChunks.as("__nc"))
+      .select(col("id"), col("__ws"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_idx"))
+      .select(
+        col("id"), col("chunk_idx"),
+        array_join(slice(col("__ws"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens.toLong),
+          size(col("__ws")) - col("chunk_idx") * stride).cast("long").as("n_tokens"))
+  }
+
+  /** Encoding-quality signals — the mojibake/garbage detector a crawl
+    * pipeline runs before any language or quality model (cf. CCNet /
+    * ftfy-style cleanup): U+FFFD replacement characters (decode failures),
+    * C0 control characters (binary leakage; tab/newline/CR excluded), and
+    * UTF-8-read-as-Latin-1 mojibake lead bytes (Ã/Â/â followed by a
+    * continuation-range character). `ascii_ratio` rounds per-row (ratio of
+    * code points < 128). Map-only codegen regex counts; no shuffle.
+    */
+  def encodingQuality(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    def cnt(pattern: String): Column =
+      size(regexp_extract_all(t, lit(pattern), lit(0))).cast("long")
+    df.select(
+      idCols.map(col) ++ Seq(
+        cnt("\ufffd").as("n_replacement"),
+        cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("n_control"),
+        cnt("[\u00c3\u00c2\u00e2][\u0080-\u00bf]").as("n_mojibake"),
+        when(length(t) === 0, lit(1.0)).otherwise(
+          round(cnt("[\\x00-\\x7F]").cast("double") / length(t), 4)).as("ascii_ratio")): _*)
+  }
+
   /** Top-`k` tokens per group (vocabulary extraction): (group, rank, token,
     * cnt), rank 1 = most frequent, ties to the lexicographically smaller
     * token. Two aggregations — (group, token) counts with map-side combine,

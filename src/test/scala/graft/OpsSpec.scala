@@ -424,6 +424,52 @@ class OpsSpec extends SparkSuite {
     assert(excl.count() == 0L)
   }
 
+  test("chunkDocuments covers every token with the declared overlap") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than a chunk
+      (3L, null.asInstanceOf[String])                 // null-safe
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.chunkDocuments(df, "doc_id", "text", 4, 1)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens")))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // stride 3: ceil((10-1)/3) = 3 chunks; consecutive chunks share 1 token
+    assert(got.filter(_._1 == 1L) == Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L)))
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0L, "a b", 2L)))
+    assert(got.filter(_._1 == 3L) == Seq((3L, 0L, "", 1L))) // empty-token doc
+    intercept[IllegalArgumentException] {
+      graft.ops.TextOps.chunkDocuments(df, "doc_id", "text", 4, 4)
+    }
+  }
+
+  test("encodingQuality counts replacement, control, and mojibake characters") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "clean ascii text"),
+      (2L, "bad � byte �"),         // 2 replacement chars
+      (3L, "ctl\u0001\u0002 ok\ttab\nnl"), // 2 control (tab/nl excluded)
+      (4L, "cafÃ© mojibake"),       // UTF-8 'é' read as Latin-1: Ã©
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.encodingQuality(df, Seq("doc_id"), "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_replacement"), r.getAs[Long]("n_control"),
+          r.getAs[Long]("n_mojibake"), r.getAs[Double]("ascii_ratio")))).toMap
+    assert(got(1L) == ((0L, 0L, 0L, 1.0)))
+    assert(got(2L)._1 == 2L)
+    assert(got(3L)._2 == 2L)
+    assert(got(4L)._3 == 1L)
+    assert(got(4L)._4 < 1.0)
+    assert(got(5L) == ((0L, 0L, 0L, 1.0)))
+  }
+
   test("compactWrite sizes files to the data per partition directory") {
     val spark2 = spark
     import spark2.implicits._
