@@ -169,6 +169,15 @@ object ScaleCheck {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def minhashTime(df: DataFrame, tag: String): Double = {
+      // the q22 shape: raw shingles → 16 min-aggs → banded buckets →
+      // skew-capped bucket-local self-join (salted replicas keep
+      // cross-replica shingles distinct, so bucket density stays constant)
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.minhashLshPairs(df, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     def dsirTime(df: DataFrame, tag: String): Double = {
       // target = a fixed ~1% slice, so the target model scales with data
       val t0 = System.nanoTime()
@@ -180,7 +189,8 @@ object ScaleCheck {
     }
     for ((name, f) <- Seq(
       ("segdup", segdupTime _), ("bigram_lm", bigramTime _), ("token_kl", klTime _),
-      ("simhash_mp", simhashMpTime _), ("dsir", dsirTime _))) {
+      ("simhash_mp", simhashMpTime _), ("minhash_lsh", minhashTime _),
+      ("dsir", dsirTime _))) {
       val t1 = f(doc1, s"${name}_1")
       val tN = f(docN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
