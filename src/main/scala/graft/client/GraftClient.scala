@@ -91,11 +91,14 @@ final class GraftClient(val spark: SparkSession) {
           readWithTime(),
           desc.keys.getOrElse(throw new IllegalArgumentException(
             "MemoryStoreSink requires table keys")))
-      case KafkaSink(server, topic, vf, vfp, kf, kfp) =>
+      case KafkaSink(server, topic, vf, vfp, kf, kfp, pp, keepTs) =>
+        val payload =
+          graft.engine.Sources.kafkaSinkPayload(read(), desc.timestampField, keepTs)
         graft.engine.Sources
-          .toKafkaRecords(read(), desc.keys.getOrElse(Nil), vf, vfp, kf, kfp)
+          .toKafkaRecords(payload, desc.keys.getOrElse(Nil), vf, vfp, kf, kfp)
           .write.format("kafka")
           .option("kafka.bootstrap.servers", server)
+          .options(pp.map { case (p, v) => s"kafka.$p" -> v })
           .option("topic", topic)
           .save()
       case JdbcSink(url, table, user, password, mode) =>
@@ -183,12 +186,15 @@ final class GraftClient(val spark: SparkSession) {
           .foreachBatch { (batch: DataFrame, _: Long) =>
             MemoryOnlineStore.put(tableName, batch, keys)
           }.start()
-      case KafkaSink(server, topic, vf, vfp, kf, kfp) =>
+      case KafkaSink(server, topic, vf, vfp, kf, kfp, pp, keepTs) =>
+        val payload = graft.engine.Sources.kafkaSinkPayload(
+          EventTime.drop(df), desc.timestampField, keepTs)
         graft.engine.Sources
-          .toKafkaRecords(EventTime.drop(df), desc.keys.getOrElse(Nil), vf, vfp, kf, kfp)
+          .toKafkaRecords(payload, desc.keys.getOrElse(Nil), vf, vfp, kf, kfp)
           .writeStream.option("checkpointLocation", checkpointDir)
           .format("kafka")
           .option("kafka.bootstrap.servers", server)
+          .options(pp.map { case (p, v) => s"kafka.$p" -> v })
           .option("topic", topic)
           .start()
       case JdbcSink(url, table, user, password, mode) =>

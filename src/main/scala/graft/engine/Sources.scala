@@ -80,6 +80,14 @@ object Sources {
     decodeKafkaRecords(raw, s)
   }
 
+  /** Sink-side payload prep: `keep_timestamp_field=false` drops the
+    * table's declared timestamp field before encoding
+    * (ref: feature_tables/sinks/kafka_sink.py:50).
+    */
+  private[graft] def kafkaSinkPayload(
+      df: DataFrame, timestampField: Option[String], keepTs: Boolean): DataFrame =
+    if (keepTs) df else timestampField.map(df.drop(_)).getOrElse(df)
+
   /** The reader option map for a [[KafkaSource]] — split out so startup
     * modes are assertable without a broker. Consumer properties pass
     * through with Spark's `kafka.` prefix; the group id (when declared)

@@ -514,6 +514,9 @@ final case class MemoryStoreSink(tableName: String) extends Sink
 /** Rows encoded into the value per `valueFormat` (json default; protobuf
   * uses the proto3 wire codec with schema-ordered field numbers unless
   * `valueFormatProps` overrides); key columns concatenated into the key.
+  * `producerProps` pass through with Spark's `kafka.` option prefix;
+  * `keepTimestampField=false` drops the table's declared timestamp field
+  * from the payload (ref: feature_tables/sinks/kafka_sink.py:27-50).
   */
 final case class KafkaSink(
     bootstrapServer: String,
@@ -521,7 +524,9 @@ final case class KafkaSink(
     valueFormat: String = "json",
     valueFormatProps: Map[String, String] = Map.empty,
     keyFormat: Option[String] = None,
-    keyFormatProps: Map[String, String] = Map.empty) extends Sink
+    keyFormatProps: Map[String, String] = Map.empty,
+    producerProps: Map[String, String] = Map.empty,
+    keepTimestampField: Boolean = true) extends Sink
 /** JDBC append/overwrite (the reference's MySQLSink, generalized). */
 final case class JdbcSink(url: String, table: String, user: String = "", password: String = "", mode: String = "append") extends Sink
 /** Managed-catalog (Hive) table write (ref: python/feathub/feature_tables/

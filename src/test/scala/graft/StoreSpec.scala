@@ -131,6 +131,19 @@ class StoreSpec extends SparkSuite {
     assert(got == Seq((1L, "a", 100L), (2L, "b", 200L)))
   }
 
+  test("kafka sink keep_timestamp_field=false drops the ts field from the payload") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, "a", 100L)).toDF("id", "tag", "t_ms")
+    val kept = graft.engine.Sources.kafkaSinkPayload(df, Some("t_ms"), keepTs = true)
+    assert(kept.columns.toSeq == Seq("id", "tag", "t_ms"))
+    val dropped = graft.engine.Sources.kafkaSinkPayload(df, Some("t_ms"), keepTs = false)
+    assert(dropped.columns.toSeq == Seq("id", "tag"))
+    // no declared timestamp field: nothing to drop
+    assert(graft.engine.Sources.kafkaSinkPayload(df, None, keepTs = false)
+      .columns.toSeq == Seq("id", "tag", "t_ms"))
+  }
+
   test("kafka group-offsets startup mode maps committed offsets to startingOffsets") {
     // the reference's DEFAULT startup mode (kafka_source.py:42,76-79):
     // committed group offsets become Spark startingOffsets offsets-JSON.
