@@ -20,6 +20,12 @@ final class GraftClient(val spark: SparkSession) {
 
   def registerTable(desc: TableDescriptor): Unit = Registry.register(desc)
 
+  /** Group multiple materializations and execute them as one concurrent
+    * submission (ref: feathub_client.py:132-140 create_materialization_group).
+    */
+  def createMaterializationGroup(): MaterializationGroup =
+    new MaterializationGroup(this)
+
   /** Offline read; optional key-filter and event-time range
     * (ref: python/feathub/processors/spark/
     * spark_dataframe_builder.py:136-148, 360-382).
@@ -63,8 +69,19 @@ final class GraftClient(val spark: SparkSession) {
       desc: TableDescriptor,
       sink: Sink,
       startMillis: Option[Long] = None,
-      endMillis: Option[Long] = None): Unit = {
+      endMillis: Option[Long] = None,
+      allowOverwrite: Option[Boolean] = None): Unit = {
     Registry.register(desc)
+    // allow_overwrite maps to the file write mode exactly as the reference
+    // does (source_sink_utils.py:96-103): true → overwrite, false → error
+    // on existing data. None (direct call, no policy) keeps the sink's own
+    // declared mode — a superset the reference's mode-less FileSystemSink
+    // cannot express.
+    val sinkEff = (sink, allowOverwrite) match {
+      case (f: FileSink, Some(ov)) =>
+        f.copy(mode = if (ov) "overwrite" else "error")
+      case _ => sink
+    }
     // Time-bounded ETL writes: only features with start <= event time < end
     // reach the sink (ref: feathub_client.py:92-116 materialize_features
     // start_datetime/end_datetime).
@@ -75,7 +92,7 @@ final class GraftClient(val spark: SparkSession) {
       endMillis.foreach(e => df = df.filter(col(EventTime.Col) < e))
       df
     }
-    sink match {
+    sinkEff match {
       case FileSink(path, format, mode, partCols) =>
         val w = read().write.format(format).mode(mode)
         (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).save(path)

@@ -29,16 +29,23 @@ final class Builder(spark: SparkSession) {
     * Reusing a name for a DIFFERENT descriptor within one builder is an
     * error, not a silent reuse of the first plan
     * (ref: spark_dataframe_builder.py:156-161).
+    *
+    * Synchronized: a [[graft.client.MaterializationGroup]] submits its
+    * materializations concurrently and they share this memo table; plan
+    * construction is driver-side and cheap, the Spark ACTIONS still
+    * overlap (only plan building serializes).
     */
-  def buildWithTime(desc: TableDescriptor): DataFrame = built.get(desc.name) match {
-    case Some((d0, df)) =>
-      require(d0 == desc,
-        s"Encountered different TableDescriptor with same name '${desc.name}'")
-      df
-    case None =>
-      val df = doBuild(desc)
-      built(desc.name) = (desc, df)
-      df
+  def buildWithTime(desc: TableDescriptor): DataFrame = built.synchronized {
+    built.get(desc.name) match {
+      case Some((d0, df)) =>
+        require(d0 == desc,
+          s"Encountered different TableDescriptor with same name '${desc.name}'")
+        df
+      case None =>
+        val df = doBuild(desc)
+        built(desc.name) = (desc, df)
+        df
+    }
   }
 
   /** Build the user-facing output (metadata columns dropped). */
