@@ -2043,6 +2043,50 @@ object Queries {
                CAST(length(coalesce(text,'')) AS DOUBLE), 4) END AS ascii_ratio
       FROM documents"""))
 
+  /** Product-quantization two-stage ANN top-5: corpus encoded to 4
+    * sub-codes of 16 centroids each (64× smaller than the raw floats),
+    * queries ADC-score the codes via broadcast integer LUTs, then only
+    * the per-query top-20 shortlist fetches raw vectors for an exact
+    * squared-L2 rerank — the corpus never shuffles in either stage.
+    * Oracle replays the encode argmin, LUT sum, and rerank with DuckDB
+    * list ops; distances are micro-quantized BIGINTs, so the compare is
+    * fp-order-proof.
+    */
+  private val q82 = Q(
+    "q82_pq_ann",
+    (spark, dir) => {
+      val emb = pq(spark, dir, "embeddings")
+      Similarity.pqTopK(
+        emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, m = 4, codes = 16, rerank = 20)
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      js AS (SELECT unnest(generate_series(0, 3)) AS j),
+      sub AS (SELECT vec_id, j, v[j*16 + 1 : (j+1)*16] AS sv FROM e CROSS JOIN js),
+      cent AS (SELECT vec_id + 1 AS c, j, sv AS cv FROM sub WHERE vec_id < 16),
+      dists AS (SELECT s.vec_id, s.j, cent.c,
+          list_dot_product(s.sv, s.sv) - 2*list_dot_product(s.sv, cent.cv)
+            + list_dot_product(cent.cv, cent.cv) AS d2
+        FROM sub s JOIN cent ON s.j = cent.j),
+      enc AS (SELECT vec_id AS nbr_id, j, c AS code
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) rn FROM dists)
+        WHERE rn = 1),
+      lut AS (SELECT vec_id AS query_id, j, c, CAST(round(d2 * 1e6) AS BIGINT) AS md
+        FROM dists WHERE vec_id < 10),
+      score AS (SELECT l.query_id, enc.nbr_id, SUM(l.md)::BIGINT AS adc
+        FROM enc JOIN lut l ON enc.j = l.j AND enc.code = l.c
+        WHERE enc.nbr_id <> l.query_id GROUP BY 1, 2),
+      cand AS (SELECT query_id, nbr_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, nbr_id ASC) rnk
+          FROM score) WHERE rnk <= 20),
+      rr AS (SELECT c.query_id, c.nbr_id,
+          CAST(round((list_dot_product(n.v, n.v) - 2*list_dot_product(n.v, q.v)
+            + list_dot_product(q.v, q.v)) * 1e6) AS BIGINT) AS dist
+        FROM cand c JOIN e n ON n.vec_id = c.nbr_id JOIN e q ON q.vec_id = c.query_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, nbr_id ASC) AS rnk FROM rr)
+      SELECT query_id, rnk::INT AS rank, nbr_id, dist FROM r WHERE rnk <= 5"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2050,7 +2094,7 @@ object Queries {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.
