@@ -31,7 +31,14 @@ object Bench {
     // timed query doesn't absorb JVM startup cost.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev aid: SPARK_GRAFT_BENCH_ONLY=q83,q22 times just those queries in a
+    // fresh JVM (cold-cache A/B without paying for the full suite). The
+    // driver never sets it, so round benches always cover everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(o => o.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       // Isolation rule: clear any cached/persisted plans between queries so
       // no query is timed against another query's cache (a leaked persist
       // once made q22 look 13x faster than its honest cost).

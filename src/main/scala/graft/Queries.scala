@@ -2,7 +2,7 @@ package graft
 
 import graft.client.{GraftClient, Metrics}
 import graft.engine.{EventTime, TemporalJoin}
-import graft.ops.{Cluster, Corpus, Dedup, Multimodal, Sampling, Sessions, Similarity, Sketch, TextOps}
+import graft.ops.{Cluster, Corpus, Dedup, Graph, Multimodal, Sampling, Sessions, Similarity, Sketch, TextOps}
 import graft.table._
 import graft.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -2087,6 +2087,53 @@ object Queries {
       r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, nbr_id ASC) AS rnk FROM rr)
       SELECT query_id, rnk::INT AS rank, nbr_id, dist FROM r WHERE rnk <= 5"""))
 
+  /** PageRank SQL replay: unrolled power iterations over the
+    * user→item interaction graph, in the same exact integer micro-unit
+    * arithmetic as [[graft.ops.Graph.pageRank]] (floor division at every
+    * step, all values non-negative, so DuckDB `//` and Spark `div`
+    * agree bit-for-bit).
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val head = """WITH ed AS (SELECT DISTINCT user_id AS src,
+        100000 + json_extract(props, '$.k')::BIGINT AS dst FROM events
+        WHERE user_id IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL),
+      nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+      dg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM ed GROUP BY 1),
+      c AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+      r0 AS (SELECT node, (1000000000000 // c.n) AS r FROM nodes CROSS JOIN c)"""
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s""", r$i AS (SELECT n0.node,
+        ((1000000000000 // c.n) * 15) // 100
+          + (COALESCE(f.s, 0) * 85) // 100
+          + ((d.dm // c.n) * 85) // 100 AS r
+        FROM nodes n0 CROSS JOIN c
+        CROSS JOIN (SELECT COALESCE(SUM(p.r), 0) AS dm FROM $p p
+          WHERE NOT EXISTS (SELECT 1 FROM dg WHERE dg.src = p.node)) d
+        LEFT JOIN (SELECT ed.dst AS node, SUM(p.r // dg.outdeg) AS s
+          FROM ed JOIN $p p ON ed.src = p.node JOIN dg ON dg.src = ed.src
+          GROUP BY 1) f ON f.node = n0.node)"""
+    }.mkString
+    head + iterCtes + s" SELECT node, r AS rank_micro FROM r$iters"
+  }
+
+  /** Link-analysis centrality over the user→item interaction graph
+    * (items offset into their own id space): 5 exact-integer PageRank
+    * iterations — the web-graph authority prior a crawl-curation
+    * pipeline attaches to hosts/pages. One shuffle per iteration;
+    * dangling mass (items have no out-edges here) redistributes
+    * uniformly.
+    */
+  private val q83 = Q(
+    "q83_pagerank",
+    (spark, dir) => {
+      val ev = pq(spark, dir, "events").select(
+        col("user_id"),
+        (get_json_object(col("props"), "$.k").cast("long") + 100000L).as("item"))
+      Graph.pageRank(ev, "user_id", "item", iters = 5)
+    },
+    Some(pageRankOracleSql(5)))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2094,7 +2141,7 @@ object Queries {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.
