@@ -63,8 +63,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","isolation":"clearCache-between-queries","queries":$fullQs,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      (fullJson + "\n").getBytes("UTF-8"))
+    // a filtered dev run must not clobber the full-suite artifact
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (fullJson + "\n").getBytes("UTF-8"))
     // Stdout line must fit a 2,000-char tail with all 79 queries visible:
     // keys shortened to their qNN prefix, values integer milliseconds.
     val qs = results.map { case (k, v) =>

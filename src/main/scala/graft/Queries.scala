@@ -2134,6 +2134,66 @@ object Queries {
     },
     Some(pageRankOracleSql(5)))
 
+  /** GPT-style sequence packing of the documents table: whitespace token
+    * counts, concatenate in doc_id order, split every 512 tokens; emit the
+    * (sequence, doc piece) assembly plan. The oracle replays the prefix
+    * sum with a single global window (fine at oracle scale; the operator
+    * itself uses the bucketed two-level prefix sum — see
+    * [[graft.ops.Corpus.packPieces]]).
+    */
+  private val q84 = Q(
+    "q84_pack_pieces",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      Corpus.packPieces(docs, "doc_id", "n_tok", seqLen = 512L)
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS n
+        FROM documents WHERE doc_id IS NOT NULL),
+      c AS (SELECT doc_id, n,
+        SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t WHERE n > 0),
+      s AS (SELECT doc_id, n, cum - n AS st, cum AS en FROM c),
+      e AS (SELECT doc_id, st, en,
+        unnest(generate_series((st // 512)::BIGINT, ((en - 1) // 512)::BIGINT)) AS seq_id FROM s)
+      SELECT seq_id, doc_id,
+        GREATEST(st, seq_id * 512) - seq_id * 512 AS start_in_seq,
+        GREATEST(st, seq_id * 512) - st AS start_in_doc,
+        LEAST(en, seq_id * 512 + 512) - GREATEST(st, seq_id * 512) AS piece_len
+      FROM e"""))
+
+  /** BM25 ranked retrieval against a 4-term query over the documents
+    * table — integer micro-unit replay of the Okapi formula (idf floored
+    * to micros per term, then exact integer arithmetic throughout; see
+    * [[graft.ops.TextOps.bm25Scores]]).
+    */
+  private val q85 = Q(
+    "q85_bm25",
+    (spark, dir) =>
+      TextOps.bm25Scores(pq(spark, dir, "documents"), "text", "doc_id",
+        Seq("spark", "join", "stream", "window")),
+    Some("""WITH toks AS (SELECT doc_id AS d,
+        unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents),
+      dl AS (SELECT d, COUNT(*)::BIGINT AS dl FROM toks GROUP BY 1),
+      c AS (SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS tot FROM dl),
+      tf AS (SELECT d, tok, COUNT(*)::BIGINT AS tf FROM toks
+        WHERE tok IN ('spark','join','stream','window') GROUP BY 1, 2),
+      idf AS (SELECT tok,
+        FLOOR(LN(1 + (c.n - df + 0.5) / (df + 0.5)) * 1000000)::BIGINT AS idf6
+        FROM (SELECT tok, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1) CROSS JOIN c),
+      s AS (SELECT tf.d, tf.tf, idf.idf6, dl.dl,
+          (250000 + (750000 * dl.dl * 100) // ((c.tot * 100) // c.n))::BIGINT AS norm6
+        FROM tf JOIN idf USING (tok) JOIN dl USING (d) CROSS JOIN c),
+      p AS (SELECT d,
+          ((tf * 2200000 * 1000000 // (tf * 1000000 + (1200000 * norm6) // 1000000))
+            * idf6 // 1000000)::BIGINT AS contrib6
+        FROM s)
+      SELECT d AS doc_id, COUNT(*)::BIGINT AS n_terms_hit,
+        SUM(contrib6)::BIGINT AS score_micro
+      FROM p GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2141,7 +2201,7 @@ object Queries {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot-to-snapshot corpus management: what changed between two
@@ -44,6 +45,72 @@ object Corpus {
           .when(col("in_cur").isNull, lit("removed"))
           .when(col("h_old") <=> col("h_cur"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
+  }
+
+  /** GPT-style sequence packing, global piece-level assembly plan —
+    * complements [[TextOps.packSequences]] (a per-group manifest of start
+    * positions): here documents are concatenated in GLOBAL `idCol` order
+    * into one token stream, split into fixed `seqLen`-token training
+    * sequences, and each boundary-straddling document is exploded into
+    * its per-sequence pieces. One row per (sequence, document piece):
+    * `(seq_id, <idCol>, start_in_seq, start_in_doc, piece_len)` — a
+    * writer reassembles sequence `s` by concatenating its pieces ordered
+    * by `start_in_seq`. Zero-token documents are dropped (they contribute
+    * nothing to the stream).
+    *
+    * 100 TB shape: a global prefix-sum without a global window. Docs are
+    * id-range bucketed (`numBuckets` buckets); the cumulative token count
+    * is a per-bucket window cumsum (parallel across buckets) plus an
+    * exclusive prefix over the `numBuckets`-row bucket-total table — that
+    * tiny table is the only keyless window, bounded by `numBuckets`, and
+    * is broadcast back. One shuffle for the bucket window, one map-side
+    * explode; no driver collect. Output is deterministic: the prefix sum
+    * depends only on the id order, not on partitioning.
+    */
+  def packPieces(
+      df: DataFrame,
+      idCol: String,
+      nTokCol: String,
+      seqLen: Long,
+      numBuckets: Int = 1024): DataFrame = {
+    require(seqLen > 0, s"seqLen $seqLen must be positive")
+    require(numBuckets > 0, s"numBuckets $numBuckets must be positive")
+    val t = df
+      .select(col(idCol).cast("long").as("__id"), col(nTokCol).cast("long").as("__n"))
+      .filter(col("__id").isNotNull && col("__n") > 0)
+    val bounds = t.agg(min("__id").as("lo"), max("__id").as("hi"))
+    val bucketed = t.crossJoin(broadcast(bounds))
+      .withColumn("__w",
+        greatest(lit(1L), expr(s"(hi - lo + $numBuckets) div ${numBuckets}L")))
+      .withColumn("__b", expr("(__id - lo) div __w"))
+      .select("__id", "__n", "__b")
+    val inBucket = bucketed.withColumn("__cum",
+      sum("__n").over(Window.partitionBy("__b").orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // numBuckets-row table: exclusive prefix of bucket totals (the only
+    // keyless window, bounded by numBuckets)
+    val offsets = bucketed.groupBy("__b").agg(sum("__n").as("__bt"))
+      .withColumn("__off",
+        coalesce(sum("__bt").over(Window.orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__off")
+    val spans = inBucket
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("__start", col("__off") + col("__cum") - col("__n"))
+      .withColumn("__end", col("__off") + col("__cum"))
+    spans
+      .select(col("__id"), col("__n"), col("__start"), col("__end"),
+        explode(sequence(
+          expr(s"__start div ${seqLen}L"),
+          expr(s"(__end - 1) div ${seqLen}L"))).as("seq_id"))
+      .withColumn("__sbase", col("seq_id") * seqLen)
+      .select(
+        col("seq_id"),
+        col("__id").as(idCol),
+        (greatest(col("__start"), col("__sbase")) - col("__sbase")).as("start_in_seq"),
+        (greatest(col("__start"), col("__sbase")) - col("__start")).as("start_in_doc"),
+        (least(col("__end"), col("__sbase") + seqLen)
+          - greatest(col("__start"), col("__sbase"))).as("piece_len"))
   }
 
   /** Compaction-aware partitioned write — the small-files control a

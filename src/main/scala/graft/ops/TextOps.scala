@@ -811,4 +811,76 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("grp"), col("rank"), col("token"), col("cnt"))
   }
+
+  /** Okapi BM25 scoring of every document against a fixed query-term set —
+    * the ranked-retrieval primitive a curation pipeline uses to pull
+    * topic- or benchmark-adjacent documents out of a crawl (targeted
+    * selection, retrieval-based decontamination). Standard BM25 with
+    * k1 = `k1X100`/100, b = `bX100`/100 over lowercase whitespace tokens.
+    *
+    * Determinism contract (same recipe as [[bigramLmScore]] /
+    * [[tfidfKeywords]]): the only real-valued step, idf = ln(1 + (N-df+½)/
+    * (df+½)), is floored to integer MICROS per term; everything after — the
+    * length normalization, the tf saturation ratio, the per-term
+    * contribution, the final sum — is exact integer micro-unit arithmetic
+    * with floor division, so scores replay bit-for-bit in any engine and
+    * any aggregation order. Returns `(<idCol>, n_terms_hit, score_micro)`
+    * for documents matching ≥1 query term.
+    *
+    * 100 TB shape: the token explode is filtered to the query vocabulary
+    * BEFORE any shuffle, so only matching postings move — two small
+    * aggregations (tf by (doc, term), df by term), a broadcast of the
+    * ≤|terms|-row idf table, one join with the per-doc length table on the
+    * doc key, and the final per-doc sum. Document lengths are a map-side
+    * combined aggregate of the same scan; nothing corpus-sized is
+    * broadcast or collected.
+    */
+  def bm25Scores(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      terms: Seq[String],
+      k1X100: Int = 120,
+      bX100: Int = 75): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores needs at least one query term")
+    require(k1X100 >= 0 && bX100 >= 0 && bX100 <= 100, "k1 >= 0, b in [0,1]")
+    val M = 1000000L
+    val toks = df.select(
+      col(idCol).as("__doc"),
+      explode(tokens(lower(col(textCol)))).as("__tok"))
+    // per-doc length INCLUDING non-query tokens (the BM25 dl), map-side
+    // combined; docs-count and total length ride the same aggregate
+    val dl = toks.groupBy("__doc").agg(count(lit(1)).as("__dl"))
+    val corpus = dl.agg(
+      count(lit(1)).as("__n"),
+      sum("__dl").as("__tot"))
+    // postings pruned to the query vocabulary before the (doc, term) shuffle
+    val tf = toks.filter(col("__tok").isin(terms: _*))
+      .groupBy("__doc", "__tok")
+      .agg(count(lit(1)).as("__tf"))
+    val idf = tf.groupBy("__tok").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("__idf6",
+        floor(log(lit(1.0) +
+          (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))) * M)
+          .cast("long"))
+      .select("__tok", "__idf6")
+    tf.join(broadcast(idf), Seq("__tok"))
+      .join(dl, Seq("__doc"))
+      .crossJoin(broadcast(corpus.select(expr("__tot * 100 div __n").as("__avgdl100"))))
+      // norm6 = (1 - b + b*dl/avgdl) in micros, exact: b*dl/avgdl =
+      // (b*1e4 * dl*100) div avgdl100
+      .withColumn("__norm6",
+        lit((100L - bX100) * 10000L) +
+          expr(s"(${bX100}L * 10000L * __dl * 100) div __avgdl100"))
+      // denom6 = tf + k1*norm, in micros; tfterm6 = tf*(k1+1)/denom in micros
+      .withColumn("__denom6",
+        col("__tf") * M + expr(s"(${k1X100}L * 10000L * __norm6) div ${M}L"))
+      .withColumn("__contrib6",
+        expr(s"(__tf * ${(k1X100 + 100) * 10000L} * ${M}L div __denom6) * __idf6 div ${M}L"))
+      .groupBy(col("__doc").as(idCol))
+      .agg(
+        count(lit(1)).as("n_terms_hit"),
+        sum("__contrib6").as("score_micro"))
+  }
 }

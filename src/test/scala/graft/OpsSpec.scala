@@ -1490,4 +1490,81 @@ class OpsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("b")).toMap
     assert(blocked == Map(1L -> true, 2L -> false, 3L -> false))
   }
+
+  test("packPieces: pieces tile every sequence exactly, docs fully covered") {
+    val spark2 = spark
+    import spark2.implicits._
+    // token counts chosen to straddle: 7+5=12 crosses the L=8 boundary,
+    // 20 spans seqs 1..3, a zero-token doc (id 4) must vanish
+    val docs = Seq((1L, 7L), (2L, 5L), (3L, 20L), (4L, 0L), (5L, 3L))
+      .toDF("doc_id", "n_tok")
+    val rows = graft.ops.Corpus.packPieces(docs, "doc_id", "n_tok", seqLen = 8L, numBuckets = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(!rows.exists(_._2 == 4L), "zero-token doc must be dropped")
+    // every doc's pieces concatenate to the full doc: sum piece_len == n
+    val byDoc = rows.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    assert(byDoc == Map(1L -> 7L, 2L -> 5L, 3L -> 20L, 5L -> 3L))
+    // per doc, pieces are contiguous in start_in_doc from 0
+    for ((d, ps) <- rows.groupBy(_._2)) {
+      val sorted = ps.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"doc $d first piece starts at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4, s"doc $d gap")
+        case _ =>
+      }
+    }
+    // every sequence except the last is exactly full (stream = 35 tokens,
+    // L=8 -> seqs 0..4, last holds 3)
+    val bySeq = rows.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    assert(bySeq == Map(0L -> 8L, 1L -> 8L, 2L -> 8L, 3L -> 8L, 4L -> 3L))
+    // doc 1 (7 tok) then doc 2 starts at offset 7 of seq 0 and spills 4
+    // tokens into seq 1
+    val d2 = rows.filter(_._2 == 2L).sortBy(_._4).toList
+    assert(d2 == List((0L, 2L, 7L, 0L, 1L), (1L, 2L, 0L, 1L, 4L)))
+  }
+
+  test("bm25Scores matches a scalar integer replay of the Okapi formula") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (1L, "spark streams join fast spark"), // spark tf=2
+      (2L, "the lazy dog sleeps"),           // no query terms
+      (3L, "join join join spark"),          // join tf=3, high saturation
+      (4L, "a long document about many things with one join inside it here")
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25Scores(corpus, "text", "doc_id", Seq("spark", "join"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // scalar replay: same floor-division order as the operator
+    val docs = Map(
+      1L -> Seq("spark", "streams", "join", "fast", "spark"),
+      2L -> Seq("the", "lazy", "dog", "sleeps"),
+      3L -> Seq("join", "join", "join", "spark"),
+      4L -> "a long document about many things with one join inside it here".split(" ").toSeq)
+    val M = 1000000L
+    val n = docs.size.toLong
+    val tot = docs.values.map(_.size.toLong).sum
+    val avgdl100 = tot * 100 / n
+    val dfs = Map("spark" -> 2L, "join" -> 3L)
+    def idf6(df: Long) =
+      math.floor(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * M).toLong
+    def score(id: Long): (Long, Long) = {
+      val toks = docs(id)
+      val dl = toks.size.toLong
+      val hits = Seq("spark", "join")
+        .map(t => t -> toks.count(_ == t).toLong).filter(_._2 > 0)
+      val contribs = hits.map { case (t, tf) =>
+        val norm6 = 250000L + 750000L * dl * 100 / avgdl100
+        val denom6 = tf * M + 1200000L * norm6 / M
+        (tf * 2200000L * M / denom6) * idf6(dfs(t)) / M
+      }
+      (hits.size.toLong, contribs.sum)
+    }
+    assert(got == Map(1L -> score(1L), 3L -> score(3L), 4L -> score(4L)))
+    assert(!got.contains(2L), "doc without query terms must not appear")
+    // saturation sanity: doc 3's join tf=3 beats doc 4's single join
+    assert(got(3L)._2 > got(4L)._2)
+  }
 }

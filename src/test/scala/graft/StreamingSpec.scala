@@ -429,6 +429,73 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup marks event-time duplicates deterministically") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import scala.concurrent.duration._
+
+    val stream = MemoryStream[(Long, String, Long)]
+    val sdf = stream.toDF().toDF("id", "h", "t_ms")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(org.apache.spark.sql.functions.col("t_ms")))
+    val out = graft.streaming.StreamingDedup.markDuplicates(
+      sdf, keyCols = Seq("h"), tsCol = "ts", orderCol = "id",
+      lateness = 10.seconds, horizon = 1.hour)
+    assert(out.isStreaming)
+    val query = out.writeStream.format("memory").queryName("s_dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: id 2 (t=5s) arrives BEFORE id 1 (t=1s) — the event-time
+      // earlier copy must still win once the watermark finalizes them
+      stream.addData((2L, "aaa", 5000L), (1L, "aaa", 1000L), (3L, "bbb", 2000L))
+      query.processAllAvailable()
+      // batch 2: another 'aaa' inside the horizon, plus watermark advance
+      stream.addData((4L, "aaa", 600000L), (9L, "wm", 7200000L))
+      query.processAllAvailable()
+      // batch 3: 'aaa' far beyond the horizon of the last copy (and above
+      // the current watermark) -> fresh; then a final push to flush it
+      stream.addData((5L, "aaa", 9000000L))
+      query.processAllAvailable()
+      stream.addData((9L, "wm2", 99999000L))
+      query.processAllAvailable()
+
+      val got = spark.sql("SELECT id, is_dup FROM s_dedup_out WHERE h = 'aaa' ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toList
+      // 1 first (t=1s), 2 dup (t=5s, same key), 4 dup (within 1h of t=5s),
+      // 5 fresh (9000s - 600s > 1h after sliding refresh)
+      assert(got == List((1L, false), (2L, true), (4L, true), (5L, false)), got.toString)
+      val bbb = spark.sql("SELECT id, is_dup FROM s_dedup_out WHERE h = 'bbb'")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toList
+      assert(bbb == List((3L, false)))
+    } finally query.stop()
+  }
+
+  test("streaming firstSeen keeps only the event-time-first copy") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import scala.concurrent.duration._
+
+    val stream = MemoryStream[(Long, String, Long)]
+    val sdf = stream.toDF().toDF("id", "h", "t_ms")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(org.apache.spark.sql.functions.col("t_ms")))
+    val out = graft.streaming.StreamingDedup.firstSeen(
+      sdf, keyCols = Seq("h"), tsCol = "ts", orderCol = "id",
+      lateness = 5.seconds, horizon = 1.hour)
+    val query = out.writeStream.format("memory").queryName("s_fseen_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((7L, "xx", 3000L), (6L, "xx", 3000L), (8L, "yy", 1000L))
+      query.processAllAvailable()
+      stream.addData((9L, "wm", 7200000L))
+      query.processAllAvailable()
+      // exact event-time tie on 'xx': orderCol total order keeps id 6
+      val got = spark.sql("SELECT id FROM s_fseen_out ORDER BY id")
+        .collect().map(_.getLong(0)).toList
+      assert(got == List(6L, 8L), got.toString)
+    } finally query.stop()
+  }
+
   test("streaming file source feeds a derived view") {
     val dir = writeTempParquet(purchases, "stream_files")
     val src = FileSource(
