@@ -187,28 +187,75 @@ object ScaleCheck {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def pagerankTime(df: DataFrame, tag: String): Double = {
+      // user→item interaction edges; replicas add users (disjoint ids)
+      // against the same item catalog — the "more traffic, same pages"
+      // shape, so item in-degree skew grows with data as it would live
+      val ed = df.select(
+        col("user_id"),
+        (get_json_object(col("props"), "$.k").cast("long") + 100000L).as("item"))
+      val t0 = System.nanoTime()
+      graft.ops.Graph.pageRank(ed, "user_id", "item", iters = 3)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Unsalted doc replicas for the ops with no self-join: duplicate
+    // content is harmless (no pair space), volume is what matters.
+    val docNPlain = (0 until mult).map { i =>
+      doc1.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+    def packTime(df: DataFrame, tag: String): Double = {
+      val withN = df.select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok"))
+      val t0 = System.nanoTime()
+      graft.ops.Corpus.packPieces(withN, "doc_id", "n_tok", seqLen = 512L)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def bm25Time(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.TextOps.bm25Scores(df, "text", "doc_id",
+          Seq("spark", "join", "stream", "window"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Dev aid: SPARK_GRAFT_SCALE_ONLY=pagerank,bm25 restricts the run.
+    val scaleOnly = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = scaleOnly.forall(_.contains(name))
+
     for ((name, f) <- Seq(
       ("segdup", segdupTime _), ("bigram_lm", bigramTime _), ("token_kl", klTime _),
       ("simhash_mp", simhashMpTime _), ("minhash_lsh", minhashTime _),
-      ("dsir", dsirTime _))) {
+      ("dsir", dsirTime _)) if wanted(name)) {
       val t1 = f(doc1, s"${name}_1")
       val tN = f(docN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
 
     for ((name, f) <- Seq(
+      ("pack_pieces", packTime _), ("bm25", bm25Time _)) if wanted(name)) {
+      val t1 = f(doc1, s"${name}_1")
+      val tN = f(docNPlain, s"${name}_N")
+      println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
+
+    for ((name, f) <- Seq(
       ("sliding", slidingTime _), ("over", overTime _), ("pit", pitTime _),
       ("lookup", lookupTime _), ("cluster", clusterTime _),
-      ("sessionize", sessionTime _))) {
+      ("sessionize", sessionTime _), ("pagerank", pagerankTime _)) if wanted(name)) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
     val log2 = 31 - Integer.numberOfLeadingZeros(mult)
-    val s1 = srpTime(em1, 8)
-    val sN = srpTime(emN, 8 + 4 * log2)
-    println(f"srp_neardup  1x=${s1}%6.2fs  ${mult}x=${sN}%6.2fs  ratio=${sN / s1}%.1f " +
-      f"(linear=$mult.0; ${8 + 4 * log2} planes at ${mult}x keep bucket size constant)")
+    if (wanted("srp_neardup")) {
+      val s1 = srpTime(em1, 8)
+      val sN = srpTime(emN, 8 + 4 * log2)
+      println(f"srp_neardup  1x=${s1}%6.2fs  ${mult}x=${sN}%6.2fs  ratio=${sN / s1}%.1f " +
+        f"(linear=$mult.0; ${8 + 4 * log2} planes at ${mult}x keep bucket size constant)")
+    }
     // SemDeDup's knob is k: clusters stay constant-SIZE as data grows
     // (the paper runs 50k clusters on LAION), so the within-cluster pair
     // space grows linearly with the corpus, not quadratically.
@@ -218,10 +265,12 @@ object ScaleCheck {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val sd1 = semdedupTime(em1, 4)
-    val sdN = semdedupTime(emN, 4 * mult)
-    println(f"semdedup     1x=${sd1}%6.2fs  ${mult}x=${sdN}%6.2fs  ratio=${sdN / sd1}%.1f " +
-      f"(linear=$mult.0; k=${4 * mult} at ${mult}x keeps cluster size constant)")
+    if (wanted("semdedup")) {
+      val sd1 = semdedupTime(em1, 4)
+      val sdN = semdedupTime(emN, 4 * mult)
+      println(f"semdedup     1x=${sd1}%6.2fs  ${mult}x=${sdN}%6.2fs  ratio=${sdN / sd1}%.1f " +
+        f"(linear=$mult.0; k=${4 * mult} at ${mult}x keeps cluster size constant)")
+    }
     spark.stop()
   }
 }

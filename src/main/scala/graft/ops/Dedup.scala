@@ -33,6 +33,10 @@ object Dedup {
     * the standard state-TTL trade every streaming dedup makes; Flink's
     * deduplicate and Spark's dropDuplicatesWithinWatermark share it).
     * One shuffle on the hash; state per distinct hash inside the window.
+    * FIRST-ARRIVING is processing-order: which copy survives can differ
+    * across replays. When the curation rule needs the event-time-first
+    * copy (batch parity, replay determinism) or a mark-don't-drop flag,
+    * use [[graft.streaming.StreamingDedup]] instead.
     */
   def streamingExactDedup(
       df: DataFrame,
