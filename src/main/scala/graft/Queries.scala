@@ -2114,7 +2114,7 @@ object Queries {
           FROM ed JOIN $p p ON ed.src = p.node JOIN dg ON dg.src = ed.src
           GROUP BY 1) f ON f.node = n0.node)"""
     }.mkString
-    head + iterCtes + s" SELECT node, r AS rank_micro FROM r$iters"
+    head + iterCtes + s" SELECT node, r::BIGINT AS rank_micro FROM r$iters"
   }
 
   /** Link-analysis centrality over the user→item interaction graph
@@ -2194,6 +2194,79 @@ object Queries {
         SUM(contrib6)::BIGINT AS score_micro
       FROM p GROUP BY 1"""))
 
+  /** TrustRank SQL replay: same unrolled exact-integer recurrence as
+    * [[pageRankOracleSql]], but reset mass and dangling redistribution
+    * concentrate on the seed set (`node % 50 = 0`).
+    */
+  private def trustRankOracleSql(iters: Int): String = {
+    val head = """WITH ed AS (SELECT DISTINCT user_id AS src,
+        100000 + json_extract(props, '$.k')::BIGINT AS dst FROM events
+        WHERE user_id IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL),
+      nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+      dg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM ed GROUP BY 1),
+      c AS (SELECT COUNT(*)::BIGINT AS ns FROM nodes WHERE node % 50 = 0),
+      r0 AS (SELECT node, CASE WHEN node % 50 = 0
+        THEN (1000000000000 // c.ns) ELSE 0 END AS r FROM nodes CROSS JOIN c)"""
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s""", r$i AS (SELECT n0.node,
+        CASE WHEN n0.node % 50 = 0 THEN ((1000000000000 // c.ns) * 15) // 100 ELSE 0 END
+          + (COALESCE(f.s, 0) * 85) // 100
+          + CASE WHEN n0.node % 50 = 0 THEN ((d.dm // c.ns) * 85) // 100 ELSE 0 END AS r
+        FROM nodes n0 CROSS JOIN c
+        CROSS JOIN (SELECT COALESCE(SUM(p.r), 0) AS dm FROM $p p
+          WHERE NOT EXISTS (SELECT 1 FROM dg WHERE dg.src = p.node)) d
+        LEFT JOIN (SELECT ed.dst AS node, SUM(p.r // dg.outdeg) AS s
+          FROM ed JOIN $p p ON ed.src = p.node JOIN dg ON dg.src = ed.src
+          GROUP BY 1) f ON f.node = n0.node)"""
+    }.mkString
+    head + iterCtes + s" SELECT node, r::BIGINT AS rank_micro FROM r$iters"
+  }
+
+  /** TrustRank / personalized PageRank from a seed set (every 50th node):
+    * authority propagates outward from trusted seeds only — the classic
+    * spam-demotion / seed-expansion prior for crawl curation. Same
+    * scale shape as q83.
+    */
+  private val q86 = Q(
+    "q86_trustrank",
+    (spark, dir) => {
+      val ev = pq(spark, dir, "events").select(
+        col("user_id"),
+        (get_json_object(col("props"), "$.k").cast("long") + 100000L).as("item"))
+      val seeds = ev.select(col("user_id").as("n"))
+        .union(ev.select(col("item").as("n")))
+        .filter(col("n") % 50 === 0)
+      Graph.personalizedPageRank(ev, "user_id", "item", seeds, "n", iters = 5)
+    },
+    Some(trustRankOracleSql(5)))
+
+  /** Item-item co-occurrence over the user→item interaction graph:
+    * distinct-user pair counts with the hyperactive-source cap, exact
+    * integer Jaccard. The related-items / co-click projection.
+    */
+  private val q87 = Q(
+    "q87_cooccurrence",
+    (spark, dir) => {
+      val ev = pq(spark, dir, "events").select(
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      Graph.cooccurrence(ev, "user_id", "item", maxPerSrc = 50, minCommon = 3L)
+    },
+    Some("""WITH ed AS (SELECT DISTINCT user_id AS src,
+        json_extract(props, '$.k')::BIGINT AS dst FROM events
+        WHERE user_id IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL),
+      kept AS (SELECT src, dst FROM (
+        SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS k FROM ed)
+        WHERE k <= 50),
+      ic AS (SELECT dst AS item, COUNT(*)::BIGINT AS n FROM kept GROUP BY 1),
+      p AS (SELECT a.dst AS item_a, b.dst AS item_b, COUNT(*)::BIGINT AS n_common
+        FROM kept a JOIN kept b ON a.src = b.src AND a.dst < b.dst
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      SELECT p.item_b, p.item_a, p.n_common, ia.n AS n_a, ib.n AS n_b,
+        (p.n_common * 1000000 // (ia.n + ib.n - p.n_common))::BIGINT AS jaccard_micro
+      FROM p JOIN ic ia ON ia.item = p.item_a JOIN ic ib ON ib.item = p.item_b"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2201,7 +2274,7 @@ object Queries {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph computation over plain edge DataFrames — the
@@ -41,7 +42,39 @@ object Graph {
       srcCol: String,
       dstCol: String,
       iters: Int = 5,
-      resetPct: Int = 15): DataFrame = {
+      resetPct: Int = 15): DataFrame =
+    run(edges0, srcCol, dstCol, iters, resetPct, seeds0 = None, "")
+
+  /** Personalized PageRank / TrustRank (Gyöngyi et al. 2004): identical
+    * recurrence, but the reset mass and the dangling redistribution both
+    * concentrate on the `seeds` node set instead of spreading uniformly —
+    * rank flows outward from trusted seeds, so scores measure proximity
+    * to them. The curation use: propagate authority from a vetted seed
+    * list (curated hosts, benchmark-adjacent pages) over the link graph
+    * and threshold on the result.
+    *
+    * Seeds not present in the graph are ignored; at least one seed must
+    * be a graph node. Nodes unreachable from the seed set get rank 0 —
+    * exactly the isolation TrustRank wants.
+    */
+  def personalizedPageRank(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iters: Int = 5,
+      resetPct: Int = 15): DataFrame =
+    run(edges0, srcCol, dstCol, iters, resetPct, Some(seeds), seedCol)
+
+  private def run(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      resetPct: Int,
+      seeds0: Option[DataFrame],
+      seedCol: String): DataFrame = {
     require(iters >= 1, "iters >= 1")
     require(resetPct >= 0 && resetPct <= 100, "resetPct in [0, 100]")
     val dampPct = 100 - resetPct
@@ -51,18 +84,32 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint()
-    val nodes = edges.select(col("src").as("node"))
+    val allNodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+    // reset distribution: uniform over all nodes (PageRank) or uniform
+    // over the seed rows present in the graph (personalized / TrustRank)
+    val nodes = seeds0 match {
+      case None => allNodes.withColumn("seed", lit(true)).localCheckpoint()
+      case Some(s) =>
+        val seedIds = s.select(col(seedCol).cast("long").as("node"))
+          .filter(col("node").isNotNull).distinct()
+        allNodes.join(broadcast(seedIds.withColumn("seed", lit(true))),
+            Seq("node"), "left")
+          .select(col("node"), coalesce(col("seed"), lit(false)).as("seed"))
+          .localCheckpoint()
+    }
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
 
-    val n = nodes.count()
-    require(n > 0, "graph has no nodes")
-    val init = RankUnit / n
+    val nReset = nodes.filter(col("seed")).count()
+    require(nReset > 0,
+      if (seeds0.isEmpty) "graph has no nodes" else "no seed is a graph node")
+    val init = RankUnit / nReset
     val base = init * resetPct / 100
 
-    var ranks = nodes.withColumn("r", lit(init))
+    var ranks = nodes
+      .withColumn("r", when(col("seed"), lit(init)).otherwise(lit(0L)))
+      .drop("seed")
     for (_ <- 1 to iters) {
       // one-row dangling mass: rank held by nodes with no out-edges
       val dangling = ranks
@@ -79,11 +126,65 @@ object Graph {
         .crossJoin(broadcast(dangling))
         .select(
           col("node"),
-          (lit(base) +
+          (when(col("seed"), lit(base)).otherwise(lit(0L)) +
             expr(s"coalesce(inflow, CAST(0 AS BIGINT)) * $dampPct div 100") +
-            expr(s"(dm div $n) * $dampPct div 100")).as("r"))
+            when(col("seed"), expr(s"(dm div $nReset) * $dampPct div 100"))
+              .otherwise(lit(0L))).as("r"))
         .localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /** Bipartite co-occurrence projection: from (src, dst) interaction
+    * edges, the dst–dst pair graph weighted by how many distinct srcs
+    * touch both — the related-items / co-click primitive (and, over
+    * doc–shingle edges, the generic "co-contained" similarity). Returns
+    * `(item_a, item_b, n_common, n_a, n_b, jaccard_micro)` for unordered
+    * pairs `item_a < item_b` with `n_common >= minCommon`; jaccard is
+    * exact integer micros: `n_common * 1e6 div (n_a + n_b - n_common)`.
+    *
+    * 100 TB shape: the projection's quadratic danger is hyperactive
+    * sources (a src with k dsts yields k² pairs), so srcs above
+    * `maxPerSrc` are dropped BEFORE the pair join — the standard CF cap;
+    * a power user following half the catalog contributes no similarity
+    * signal, only pair-space blowup. What remains is one self-join
+    * co-partitioned on src (a single exchange feeds both sides), a
+    * map-side-combined pair count, and a per-item count table joined
+    * twice (item-cardinality-sized: no forced broadcast — AQE broadcasts
+    * catalog-sized tables and shuffles shingle-sized ones). Raise
+    * `minCommon` to keep the output graph sparse at scale.
+    */
+  def cooccurrence(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxPerSrc: Int = 1000,
+      minCommon: Long = 2L): DataFrame = {
+    require(maxPerSrc >= 2, "maxPerSrc >= 2 (a single-dst src yields no pairs)")
+    val edges = edges0
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val kept = edges
+      .withColumn("__k", count(lit(1)).over(Window.partitionBy("src")))
+      .filter(col("__k") <= maxPerSrc)
+      .select("src", "dst")
+      .localCheckpoint()
+    val itemCounts = kept.groupBy(col("dst").as("item"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("item_a"), col("b.dst").as("item_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    pairs
+      .join(itemCounts.withColumnRenamed("item", "item_a")
+        .withColumnRenamed("n", "n_a"), Seq("item_a"))
+      .join(itemCounts.withColumnRenamed("item", "item_b")
+        .withColumnRenamed("n", "n_b"), Seq("item_b"))
+      .select(
+        col("item_a"), col("item_b"), col("n_common"), col("n_a"), col("n_b"),
+        expr("n_common * 1000000L div (n_a + n_b - n_common)").as("jaccard_micro"))
   }
 }

@@ -71,6 +71,71 @@ class GraphSpec extends SparkSuite {
     assert(base == shuffled)
   }
 
+  test("personalized PageRank: mass flows only from/back to the seed set") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 1→2→3 chain plus isolated pair 5→6; seed = {1}
+    val ed = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("s", "d")
+    val seeds = Seq(Tuple1(1L), Tuple1(99L)).toDF("n") // 99 not in graph: ignored
+    val got = Graph.personalizedPageRank(ed, "s", "d", seeds, "n", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // unreachable-from-seed nodes end at exactly 0
+    assert(got(5L) == 0L && got(6L) == 0L)
+    // the seed holds the reset mass; downstream decays along the chain
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > 0L)
+    // scalar replay of the seeded recurrence
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L)
+    val outdeg = Map(1L -> 1L, 2L -> 1L, 5L -> 1L)
+    val init = Graph.RankUnit / 1 // one seed in graph
+    val base = init * 15 / 100
+    var r = nodes.map(n => n -> (if (n == 1L) init else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val dm = nodes.filterNot(outdeg.contains).map(r).sum
+      val inflow = Map(2L -> r(1L) / 1, 3L -> r(2L) / 1, 6L -> r(5L) / 1)
+      r = nodes.map { n =>
+        n -> ((if (n == 1L) base else 0L) +
+          inflow.getOrElse(n, 0L) * 85 / 100 +
+          (if (n == 1L) (dm / 1) * 85 / 100 else 0L))
+      }.toMap
+    }
+    assert(got == r)
+  }
+
+  test("personalized PageRank requires a seed present in the graph") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ed = Seq((1L, 2L)).toDF("s", "d")
+    val seeds = Seq(Tuple1(42L)).toDF("n")
+    val e = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(ed, "s", "d", seeds, "n", iters = 1)
+    }
+    assert(e.getMessage.contains("no seed is a graph node"))
+  }
+
+  test("cooccurrence counts distinct-src pairs, caps hyperactive srcs, exact jaccard") {
+    val spark2 = spark
+    import spark2.implicits._
+    // users 1,2,3 share items; user 9 touches everything (k=5 > cap 4)
+    // and must not contribute; duplicate (1,10) edge collapses
+    val ed = Seq(
+      (1L, 10L), (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 40L),
+      (9L, 10L), (9L, 20L), (9L, 30L), (9L, 40L), (9L, 50L)
+    ).toDF("u", "it")
+    val got = Graph.cooccurrence(ed, "u", "it", maxPerSrc = 4, minCommon = 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("item_a"), r.getAs[Long]("item_b")) ->
+        (r.getAs[Long]("n_common"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("jaccard_micro"))).toMap
+    // without user 9: n(10)=3, n(20)=3, n(30)=1, n(40)=1
+    // pairs with >=2 common: only (10,20) common={1,2,3}=3
+    assert(got.keySet == Set((10L, 20L)))
+    val (c, na, nb, j) = got((10L, 20L))
+    assert(c == 3L && na == 3L && nb == 3L)
+    assert(j == 3L * 1000000L / (3L + 3L - 3L)) // = 1_000_000 (identical sets)
+  }
+
   test("all-dangling graph degenerates to uniform redistribution") {
     val spark2 = spark
     import spark2.implicits._
