@@ -2267,6 +2267,28 @@ object Queries {
         (p.n_common * 1000000 // (ia.n + ib.n - p.n_common))::BIGINT AS jaccard_micro
       FROM p JOIN ic ia ON ia.item = p.item_a JOIN ic ib ON ib.item = p.item_b"""))
 
+  /** Johnson–Lindenstrauss sign projection of the embedding corpus to 8
+    * components, dumped one row per (vector, component) for exact replay:
+    * the dimensionality-reduction front end for clustering / near-dup /
+    * ANN at scale. Pure map — oracle replays the ±1 md5 weight family and
+    * the sequential fold.
+    */
+  private val q88 = Q(
+    "q88_jl_project",
+    (spark, dir) => {
+      val emb = pq(spark, dir, "embeddings")
+      Similarity.jlProject(emb, "embedding", outDim = 8)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "comp")))
+    },
+    Some {
+      val comp = "ROUND(list_reduce(list_transform(generate_series(1, len(v)), i -> " +
+        "CASE WHEN (instr('0123456789abcdef', substr(md5('jl' || j::VARCHAR || '-' || (i-1)::VARCHAR), 1, 1)) - 1) % 2 = 0 " +
+        "THEN v[i] ELSE -v[i] END), (a,b) -> a+b) / sqrt(8.0), 6)"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        js AS (SELECT unnest(generate_series(0, 7)) j)
+      SELECT vec_id, j::INT AS j, $comp AS comp FROM e CROSS JOIN js"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2274,7 +2296,7 @@ object Queries {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

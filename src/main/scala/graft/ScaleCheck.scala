@@ -220,6 +220,18 @@ object ScaleCheck {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def cooccurTime(df: DataFrame, tag: String): Double = {
+      // replicas add users against the same item catalog: per-src degree
+      // stays constant, so capped pair volume should grow ~linearly
+      val ed = df.select(
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val t0 = System.nanoTime()
+      graft.ops.Graph.cooccurrence(ed, "user_id", "item", maxPerSrc = 50, minCommon = 3L)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Dev aid: SPARK_GRAFT_SCALE_ONLY=pagerank,bm25 restricts the run.
     val scaleOnly = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -244,7 +256,8 @@ object ScaleCheck {
     for ((name, f) <- Seq(
       ("sliding", slidingTime _), ("over", overTime _), ("pit", pitTime _),
       ("lookup", lookupTime _), ("cluster", clusterTime _),
-      ("sessionize", sessionTime _), ("pagerank", pagerankTime _)) if wanted(name)) {
+      ("sessionize", sessionTime _), ("pagerank", pagerankTime _),
+      ("cooccur", cooccurTime _)) if wanted(name)) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")

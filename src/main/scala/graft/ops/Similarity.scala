@@ -76,12 +76,44 @@ object Similarity {
   }
 
   /** Driver-side mirror of the in-plan weight derivation: true iff the
-    * first hex digit of md5("p<plane>-<dim>") is even (→ weight +1).
+    * first hex digit of md5("<prefix><plane>-<dim>") is even (→ weight +1).
     */
-  private def planeParity(plane: Int, i: Int): Boolean = {
+  private def planeParity(plane: Int, i: Int, prefix: String = "p"): Boolean = {
     val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"p$plane-$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(s"$prefix$plane-$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ((d(0) >> 4) & 0xf) % 2 == 0
+  }
+
+  /** Deterministic Johnson–Lindenstrauss sign projection (Achlioptas 2003):
+    * `outDim` components, each `round(Σ_i w(j,i)·v_i / sqrt(outDim), 6)`
+    * with ±1 weights from md5 hex-digit parity of ("jl", component, dim) —
+    * the same stored-model-free recipe as [[srpBucket]], under a distinct
+    * hash family so projections are independent of SRP bucket bits. JL
+    * guarantees pairwise distances survive within (1±ε) for
+    * outDim = O(log n / ε²), which makes this the standard cost lever in
+    * front of clustering / near-dup / brute-force ANN: a 768-d corpus
+    * projected to 64-d cuts every downstream dot product 12×.
+    *
+    * Scale shape: pure map — no shuffle, no model, no collect; weights are
+    * `outDim` literal vectors compiled into codegen'd [[dot]] loops.
+    * Rounding to 6 dp makes components engine-replayable (sequential fold
+    * both sides). Requires a constant embedding dimension (sniffed from the
+    * first row, as elsewhere).
+    */
+  def jlProject(
+      df: DataFrame,
+      vecCol: String,
+      outDim: Int,
+      outCol: String = "proj"): DataFrame = {
+    require(outDim >= 1, "outDim >= 1")
+    val dim = sniffDim(df, vecCol)
+    require(dim > 0, s"cannot sniff embedding dimension of non-empty $vecCol")
+    val scale = math.sqrt(outDim.toDouble)
+    val comps = (0 until outDim).map { j =>
+      val w = typedLit(Array.tabulate(dim)(i => if (planeParity(j, i, "jl")) 1.0 else -1.0))
+      round(dot(col(vecCol), w) / scale, 6)
+    }
+    df.withColumn(outCol, array(comps: _*))
   }
 
   /** Embedding dimensionality sniffed from the first row (one-row job; at

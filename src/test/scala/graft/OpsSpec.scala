@@ -583,6 +583,42 @@ class OpsSpec extends SparkSuite {
     assert(mismatch == 0)
   }
 
+  test("jlProject: scalar replay, linearity on duplicates, norm preservation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val proj = Similarity.jlProject(emb, "embedding", outDim = 8)
+      .select("vec_id", "embedding", "proj").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Float](1), r.getSeq[Double](2))).toMap
+
+    // scalar replay of the md5 ±1 family and the sequential fold
+    def parity(j: Int, i: Int): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl$j-$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((d(0) >> 4) & 0xf) % 2 == 0
+    }
+    val (v0, p0) = proj(proj.keys.min)
+    val expect = (0 until 8).map { j =>
+      var s = 0.0
+      v0.indices.foreach { i =>
+        s += v0(i).toDouble * (if (parity(j, i)) 1.0 else -1.0)
+      }
+      BigDecimal(s / math.sqrt(8.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(p0 == expect)
+
+    // linear map: identical vectors project identically
+    val twin = proj.values.toSeq
+    assert(twin.groupBy(_._1).values.forall(g => g.map(_._2).distinct.size == 1))
+
+    // JL norm concentration at outDim=32: median ||proj||²/||v||² near 1
+    val ratios = Similarity.jlProject(emb, "embedding", outDim = 32)
+      .select(
+        graft.ops.Similarity.dot(col("proj"), col("proj")).as("pn"),
+        graft.ops.Similarity.dot(col("embedding"), col("embedding")).as("vn"))
+      .collect().map(r => r.getDouble(0) / r.getDouble(1)).sorted
+    val median = ratios(ratios.length / 2)
+    assert(median > 0.5 && median < 2.0, s"median norm ratio $median")
+  }
+
   test("banded SRP near-dup pairs are a subset of exact all-pairs with equal scores") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4)
