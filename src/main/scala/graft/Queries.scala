@@ -2289,6 +2289,50 @@ object Queries {
       SELECT vec_id, j::INT AS j, $comp AS comp FROM e CROSS JOIN js"""
     })
 
+  /** Leakage-safe split: near-dup clusters (q42's pair+CC machinery)
+    * hashed as a UNIT into train/val/test, so a duplicate family never
+    * straddles the eval boundary. Oracle replays CC then buckets the
+    * cluster label with q76's md5 recipe.
+    */
+  private val q89 = Q(
+    "q89_leakage_safe_split",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      Sampling.leakageSafeSplit(docs, "doc_id", pairs, "id_a", "id_b",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), salt = "split")
+    },
+    Some(s"""WITH RECURSIVE $jaccardPairCtes,
+      sym AS (SELECT ia u, ib v FROM pairs UNION SELECT ib, ia FROM pairs),
+      reach(u, v) AS (SELECT u, v FROM sym
+        UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      lbl AS (SELECT u, MIN(v) mv FROM reach GROUP BY u),
+      asg AS (SELECT d.doc_id, LEAST(d.doc_id, COALESCE(l.mv, d.doc_id)) AS cluster
+        FROM documents d LEFT JOIN lbl l ON l.u = d.doc_id)
+      SELECT doc_id, cluster,
+        CASE WHEN substr(md5('split|' || cluster), 1, 4) < 'e666' THEN 'train'
+             WHEN substr(md5('split|' || cluster), 1, 4) < 'f333' THEN 'val'
+             ELSE 'test' END AS split
+      FROM asg"""))
+
+  /** Per-domain empirical-Bayes prior over document length: small sources
+    * shrink toward the corpus mean with m=500 pseudo-observations. Exact
+    * integer micros; the oracle replays both floor divisions.
+    */
+  private val q90 = Q(
+    "q90_domain_prior",
+    (spark, dir) =>
+      Corpus.domainPrior(
+        pq(spark, dir, "documents")
+          .select(col("source"), length(col("text")).as("len")),
+        Seq("source"), "len", m = 500L),
+    Some("""WITH g AS (SELECT source, COUNT(*)::BIGINT n, SUM(length(text))::BIGINT s
+        FROM documents GROUP BY 1),
+      t AS (SELECT SUM(n)::BIGINT tn, SUM(s)::BIGINT ts FROM g)
+      SELECT source, n AS n_rows, (s * 1000000 // n)::BIGINT AS mean_micro,
+        ((s * 1000000 + 500 * (ts * 1000000 // tn)) // (n + 500))::BIGINT AS shrunk_micro
+      FROM g CROSS JOIN t"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2296,7 +2340,8 @@ object Queries {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
+    q89, q90)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -12,6 +12,40 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Per-domain empirical-Bayes prior: the shrunk mean of an integer
+    * signal per group — `(Σ_g + m·μ)/(n_g + m)` with the global mean μ as
+    * the prior and `m` pseudo-observations of it. Small domains collapse
+    * toward the corpus mean, big ones keep their own — the standard fix
+    * for trusting a 3-document domain's average quality at face value
+    * when building per-domain curation priors. Exact integer micros
+    * throughout (μ floors to micros first, then the shrunk mean floors),
+    * so any engine replays bit-for-bit. Returns one row per group:
+    * `(groupCols…, n_rows, mean_micro, shrunk_micro)`.
+    *
+    * 100 TB shape: one map-side-combined groupBy to domain-cardinality
+    * rows; the global total is a broadcast one-row aggregate OF THE GROUP
+    * TABLE (no second corpus pass). Output is domain-sized — built to be
+    * broadcast-joined back onto the corpus.
+    */
+  def domainPrior(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      m: Long): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(m >= 0, "m >= 0")
+    val g = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol).cast("long")).as("s"))
+      .localCheckpoint()
+    val tot = g.agg(sum("n").as("tn"), sum("s").as("ts"))
+    g.crossJoin(broadcast(tot))
+      .select(groupCols.map(col) ++ Seq(
+        col("n").as("n_rows"),
+        expr("s * 1000000L div n").as("mean_micro"),
+        expr(s"(s * 1000000L + $m * (ts * 1000000L div tn)) div (n + $m)")
+          .as("shrunk_micro")): _*)
+  }
+
   /** Row-level diff of two snapshots by id: `unchanged` (same id, same
     * normalized text), `changed` (same id, different text), `added` (only
     * in `cur`), `removed` (only in `old`). Content comparison uses

@@ -191,6 +191,30 @@ object Sampling {
     df.withColumn("split", label)
   }
 
+  /** Near-dup-aware split: assign train/val/test by the md5 bucket of the
+    * document's duplicate-CLUSTER label (connected components over the
+    * given near-dup pairs), so an entire duplicate family always lands in
+    * one split — per-document hashing would leak train content into test
+    * through its near-copies, which inflates every eval it touches.
+    * Returns `(idCol, cluster, split)`; singletons are their own cluster.
+    *
+    * 100 TB shape: inherits [[Cluster.dedupAssign]]'s delta-sized CC (only
+    * pair participants iterate) plus [[splitAssign]]'s map-only labeling —
+    * the split adds zero shuffles beyond the cluster join.
+    */
+  def leakageSafeSplit(
+      corpus: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    val assigned = Cluster.dedupAssign(corpus, idCol, pairs, aCol, bCol)
+    splitAssign(assigned, "cluster", splits, salt)
+      .select(col("id").as(idCol), col("cluster"), col("split"))
+  }
+
   /** Per-group discrete quantile thresholds from a deterministic sample —
     * the CCNet recipe (Wenzek et al. 2020 §4.3): quality buckets come
     * from quantiles of a bounded SAMPLE, never a corpus-wide sort.

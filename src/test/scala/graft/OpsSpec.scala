@@ -313,6 +313,52 @@ class OpsSpec extends SparkSuite {
     assert(!got.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("leakageSafeSplit: a duplicate family never straddles the split boundary") {
+    import graft.ops.Sampling
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (1L to 200L).toDF("doc_id")
+    // chains 1-2-3, 10-11, rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Sampling.leakageSafeSplit(docs, "doc_id", pairs, "id_a", "id_b",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 200 && got.map(_._1).distinct.length == 200)
+    // clustered docs share one split label
+    val bySplit = got.map(t => t._1 -> t._3).toMap
+    assert(Set(bySplit(1L), bySplit(2L), bySplit(3L)).size == 1)
+    assert(bySplit(10L) == bySplit(11L))
+    // cluster label = min of the family; singleton = itself
+    val byCluster = got.map(t => t._1 -> t._2).toMap
+    assert(byCluster(3L) == 1L && byCluster(11L) == 10L && byCluster(42L) == 42L)
+    // label equals hashing the cluster directly (composition contract)
+    val direct = Sampling.splitAssign(
+        got.map(t => t._2).distinct.toSeq.toDF("cluster"), "cluster",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.forall(t => direct(t._2) == t._3))
+  }
+
+  test("domainPrior: exact shrinkage toward the global mean, m=0 identity") {
+    import graft.ops.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    // domain a: 4 rows mean 100; domain b: 1 row value 1000
+    val df = Seq(("a", 100L), ("a", 100L), ("a", 100L), ("a", 100L), ("b", 1000L))
+      .toDF("dom", "v")
+    val got = Corpus.domainPrior(df, Seq("dom"), "v", m = 10L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val mu = 1400L * 1000000L / 5L // global mean micros, floored
+    assert(got("a") == ((4L, 100000000L, (400L * 1000000L + 10L * mu) / 14L)))
+    assert(got("b") == ((1L, 1000000000L, (1000L * 1000000L + 10L * mu) / 11L)))
+    // the small outlier domain moved far toward the mean; the big one less
+    assert(math.abs(got("b")._3 - mu) < math.abs(1000000000L - mu) / 2)
+    // m=0 degenerates to the raw mean
+    val id0 = Corpus.domainPrior(df, Seq("dom"), "v", m = 0L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(id0.values.forall(p => p._1 == p._2))
+  }
+
   test("quantile thresholds + score buckets: every bucket bound holds") {
     import graft.ops.Sampling
     val spark2 = spark
