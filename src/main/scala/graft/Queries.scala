@@ -2333,6 +2333,51 @@ object Queries {
         ((s * 1000000 + 500 * (ts * 1000000 // tn)) // (n + 500))::BIGINT AS shrunk_micro
       FROM g CROSS JOIN t"""))
 
+  /** DuckDB replay of the MMR greedy: k unrolled select-one steps, each
+    * an argmax of `λ·rel − (1−λ)·max_sim_to_selected` over the remaining
+    * candidates with ascending-id tie-break. λ and 1−λ are emitted as
+    * Scala doubles (shortest-roundtrip decimal), so both engines compute
+    * with bit-identical constants — `0.3` parsed fresh is NOT `1.0 − 0.7`
+    * in IEEE.
+    */
+  private def mmrOracleSql(k: Int, lambdaPct: Int): String = {
+    val lam = lambdaPct / 100.0
+    val oneMinus = 1.0 - lam
+    def cos(a: String, b: String) =
+      s"ROUND(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+    val head = s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      q AS (SELECT v qv FROM e WHERE vec_id = 0),
+      c AS (SELECT vec_id id, v, ${cos("v", "qv")} rel
+        FROM e, q WHERE vec_id < 60 AND vec_id <> 0),
+      s1 AS (SELECT 1 rank, id, v, rel mmr FROM c ORDER BY rel DESC, id LIMIT 1),
+      sel1 AS (SELECT * FROM s1)"""
+    val steps = (2 to k).map { i =>
+      s""", c$i AS (SELECT c.id, c.v,
+        $lam * c.rel - $oneMinus * (SELECT MAX(${cos("c.v", "s.v")}) FROM sel${i - 1} s) mmr
+        FROM c WHERE c.id NOT IN (SELECT id FROM sel${i - 1})),
+      s$i AS (SELECT $i rank, id, v, mmr FROM c$i ORDER BY mmr DESC, id LIMIT 1),
+      sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)"""
+    }.mkString
+    head + steps + s" SELECT rank::INT AS rank, id AS vec_id, mmr AS mmr_score FROM sel$k"
+  }
+
+  /** Diversity-aware retrieval: MMR top-5 among the first 60 embeddings
+    * against vector 0 as the query — relevance balanced against
+    * redundancy with already-picked items, λ=0.7.
+    */
+  private val q91 = Q(
+    "q91_mmr_diverse",
+    (spark, dir) => {
+      val emb = pq(spark, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      Similarity.mmrSelect(
+        emb.filter(col("vec_id") < 60 && col("vec_id") =!= 0),
+        "vec_id", "embedding", qv, k = 5, lambdaPct = 70)
+    },
+    Some(mmrOracleSql(5, 70)))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2341,7 +2386,7 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
-    q89, q90)
+    q89, q90, q91)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

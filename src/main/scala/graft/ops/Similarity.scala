@@ -132,6 +132,77 @@ object Similarity {
     * AQE splits per query key. Norms are precomputed once per row — not per
     * pair — so each pair costs a single array fold.
     */
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick `k` items maximizing
+    * `λ·rel(item) − (1−λ)·max_{s∈selected} sim(item, s)` — relevance to
+    * the query balanced against redundancy with what's already chosen.
+    * The diversity-aware retrieval / exemplar-picking primitive: top-k
+    * alone returns k paraphrases of the best hit; MMR returns k distinct
+    * ones. Returns `(rank, idCol, mmr_score)` in selection order.
+    *
+    * Determinism: relevance and pairwise similarities are cosines rounded
+    * to 6 dp; the greedy combination is per-row IEEE arithmetic on those
+    * rounded values (engine-identical), ties break on ascending id.
+    *
+    * 100 TB shape: k rounds, each ONE corpus scan + a distributed
+    * `TakeOrdered(1)` — no pair materialization, nothing driver-side but
+    * the k chosen vectors (model-sized, the k-means precedent). The
+    * selected set rides into the scan as literal vectors through codegen'd
+    * [[dot]]; the candidate frame is checkpointed once so rounds don't
+    * recompute lineage.
+    */
+  def mmrSelect(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Double],
+      k: Int,
+      lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(lambdaPct >= 0 && lambdaPct <= 100, "lambdaPct in [0, 100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lam = lambdaPct / 100.0
+    val q = typedLit(queryVec.toArray)
+    val cand = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        round(cosine(col(vecCol), q), 6).as("rel"))
+      .filter(col("id").isNotNull && col("rel").isNotNull)
+      .localCheckpoint()
+    var selected = Vector.empty[(Long, Seq[Double], Double)] // (id, vec, score)
+    while (selected.size < k) {
+      val remaining = cand.filter(!col("id").isin(selected.map(_._1): _*))
+      val scored =
+        if (selected.isEmpty) remaining.select(col("id"), col("rel").as("mmr"))
+        else {
+          val sims = selected.map { case (_, sv, _) =>
+            round(cosine(col("v"), typedLit(sv.toArray)), 6)
+          }
+          val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
+          remaining.select(col("id"),
+            (lit(lam) * col("rel") - lit(1.0 - lam) * maxSim).as("mmr"))
+        }
+      scored.orderBy(col("mmr").desc, col("id").asc).limit(1)
+        .join(cand, Seq("id"))
+        .select(col("id"), col("v").cast("array<double>"), col("mmr"))
+        .as[(Long, Seq[Double], Double)].collect() match {
+        case Array(row) => selected :+= row
+        case _ => return selectedDf(spark, selected, idCol) // corpus exhausted
+      }
+    }
+    selectedDf(spark, selected, idCol)
+  }
+
+  private def selectedDf(
+      spark: org.apache.spark.sql.SparkSession,
+      selected: Vector[(Long, Seq[Double], Double)],
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _, s), i) => (i + 1, id, s) }
+      .toDF("rank", idCol, "mmr_score")
+  }
+
   /** Semantic decontamination: flag corpus items whose embedding lands
     * within cosine `threshold` of ANY held-out benchmark embedding — the
     * embedding-space complement of the n-gram overlap check

@@ -665,6 +665,49 @@ class OpsSpec extends SparkSuite {
     assert(median > 0.5 && median < 2.0, s"median norm ratio $median")
   }
 
+  test("mmrSelect: matches a scalar greedy replay and beats top-k on diversity") {
+    val spark2 = spark
+    import spark2.implicits._
+    // query between two clusters: A (ids 1-4, slightly more relevant)
+    // and B (ids 5-6); plain top-k would return only A near-duplicates
+    val q = Seq(1.0, 1.0, 0.0)
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      1L -> Array(1f, 0.05f, 0.00f), 2L -> Array(1f, 0.06f, 0.01f),
+      3L -> Array(1f, 0.04f, 0.01f), 4L -> Array(1f, 0.05f, 0.02f),
+      5L -> Array(0.05f, 1f, 0.00f), 6L -> Array(0.06f, 1f, 0.01f),
+      7L -> Array(0.0f, 0.0f, 1.0f))
+    val got = Similarity.mmrSelect(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", q,
+        k = 4, lambdaPct = 60)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+
+    // scalar replay: same 6-dp rounding, same greedy, same tie-break
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      a.indices.foreach { i => d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      r6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val cand = vecs.map { case (id, v) => id -> v.map(_.toDouble).toSeq }.toMap
+    val lam = 60 / 100.0
+    var sel = Vector.empty[(Int, Long, Double)]
+    (1 to 4).foreach { step =>
+      val best = cand.keys.toSeq.filterNot(id => sel.exists(_._2 == id)).map { id =>
+        val mmr =
+          if (sel.isEmpty) cos(cand(id), q)
+          else lam * cos(cand(id), q) -
+            (1.0 - lam) * sel.map(s => cos(cand(id), cand(s._2))).max
+        (id, mmr)
+      }.minBy { case (id, m) => (-m, id) }
+      sel :+= ((step, best._1, best._2))
+    }
+    assert(got.toSeq == sel)
+    // diversity: plain top-2 by relevance is two A near-duplicates; MMR's
+    // first two picks must span both clusters
+    val firstTwo = got.take(2).map(_._2).toSet
+    assert(firstTwo.exists(Set(1L, 2L, 3L, 4L)) && firstTwo.exists(Set(5L, 6L)))
+  }
+
   test("banded SRP near-dup pairs are a subset of exact all-pairs with equal scores") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4)
