@@ -2378,6 +2378,35 @@ object Queries {
     },
     Some(mmrOracleSql(5, 70)))
 
+  /** Column profile of the documents table (k=64 so the id column takes
+    * the KMV estimate path while the categoricals stay exact): the
+    * trust-a-new-drop data-quality pass.
+    */
+  private val q92 = Q(
+    "q92_profile",
+    (spark, dir) =>
+      Corpus.profile(
+        pq(spark, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"), k = 64),
+    Some("""WITH s AS (
+        SELECT 'doc_id' AS col_name, doc_id::VARCHAR AS value FROM documents
+        UNION ALL SELECT 'text', text FROM documents
+        UNION ALL SELECT 'lang', lang FROM documents
+        UNION ALL SELECT 'source', source FROM documents
+        UNION ALL SELECT 'n_chars', n_chars::VARCHAR FROM documents),
+      st AS (SELECT col_name, COUNT(*)::BIGINT n_rows, COUNT(value)::BIGINT nn,
+        MIN(value) mn, MAX(value) mx FROM s GROUP BY 1),
+      d AS (SELECT DISTINCT col_name, md5(value) h FROM s WHERE value IS NOT NULL),
+      r AS (SELECT col_name, h, ROW_NUMBER() OVER (PARTITION BY col_name ORDER BY h) rn FROM d),
+      g AS (SELECT col_name, COUNT(*) n_kept,
+        MAX(CASE WHEN rn = 64 THEN h END) kth FROM r WHERE rn <= 64 GROUP BY 1)
+      SELECT st.col_name, st.n_rows, (st.n_rows - st.nn)::BIGINT AS n_null,
+        st.mn AS min_str, st.mx AS max_str,
+        COALESCE(CAST(CASE WHEN g.kth IS NULL THEN g.n_kept
+          ELSE ROUND(63.0 * 4294967296.0 / (('0x' || substr(g.kth, 1, 8))::UBIGINT + 1.0))
+          END AS BIGINT), 0) AS n_distinct_est
+      FROM st LEFT JOIN g ON g.col_name = st.col_name"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2386,7 +2415,7 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
-    q89, q90, q91)
+    q89, q90, q91, q92)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -46,6 +46,43 @@ object Corpus {
           .as("shrunk_micro")): _*)
   }
 
+  /** Column profile of a table — the data-quality pass a pipeline runs
+    * before trusting a new drop: per column, row/null counts,
+    * lexicographic min/max of the string representation, and a KMV
+    * approximate distinct count ([[Sketch.distinctSketch]] — exact below
+    * `k`, cross-engine-replayable above it, unlike HyperLogLog). Returns
+    * one row per column: `(col_name, n_rows, n_null, min_str, max_str,
+    * n_distinct_est)`.
+    *
+    * min/max compare the STRING form (binary collation, both engines) —
+    * numerically-minded consumers should profile a typed min/max
+    * separately; the string form exists so one schema fits every column.
+    *
+    * 100 TB shape: the unpivot is map-side (rows × |cols|, never stored);
+    * the stats agg map-side-combines to |cols| rows and the sketch
+    * shuffles only distinct (col, hash) pairs. Output is |cols| rows.
+    */
+  def profile(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    val stackExpr = s"stack(${cols.size}, " +
+      cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ") +
+      ") as (col_name, value)"
+    val stacked = df.selectExpr(stackExpr)
+    val stats = stacked.groupBy("col_name").agg(
+      count(lit(1)).as("n_rows"),
+      count(col("value")).as("n_nonnull"),
+      min(col("value")).as("min_str"),
+      max(col("value")).as("max_str"))
+    val sk = Sketch.distinctSketch(stacked, "col_name", col("value"), k)
+      .select(col("grp").as("col_name"), col("est_distinct"))
+    stats.join(sk, Seq("col_name"), "left")
+      .select(
+        col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_null"),
+        col("min_str"), col("max_str"),
+        coalesce(col("est_distinct"), lit(0L)).as("n_distinct_est"))
+  }
+
   /** Row-level diff of two snapshots by id: `unchanged` (same id, same
     * normalized text), `changed` (same id, different text), `added` (only
     * in `cur`), `removed` (only in `old`). Content comparison uses

@@ -339,6 +339,27 @@ class OpsSpec extends SparkSuite {
     assert(got.forall(t => direct(t._2) == t._3))
   }
 
+  test("profile: per-column nulls, string min/max, exact-below-k distinct") {
+    import graft.ops.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, Some("b"), Some(10L)), (2L, Some("a"), None),
+      (3L, None, Some(30L)), (4L, Some("a"), Some(10L)))
+      .toDF("id", "s", "v")
+    val got = Corpus.profile(df, Seq("id", "s", "v"), k = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4), r.getLong(5))).toMap
+    assert(got("id") == ((4L, 0L, "1", "4", 4L)))
+    assert(got("s") == ((4L, 1L, "a", "b", 2L)))
+    assert(got("v") == ((4L, 1L, "10", "30", 2L))) // distinct ignores nulls
+    // all-null column profiles without erroring, distinct 0
+    val nulls = Corpus.profile(
+      Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "x"), Seq("x"), k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(nulls.toSeq == Seq((2L, 2L, 0L)))
+  }
+
   test("domainPrior: exact shrinkage toward the global mean, m=0 identity") {
     import graft.ops.Corpus
     val spark2 = spark

@@ -127,6 +127,21 @@ class PlanSpec extends SparkSuite {
     assert(cc.collect().map(_.getLong(1)).forall(_ == 1L)) // single component
   }
 
+  test("cooccurrence: capped pair self-join stays equi-join with bounded shuffles") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = (1L to 40L).flatMap(u => (1L to 5L).map(v => (u, (u + v) % 9)))
+      .toDF("u", "it")
+    val plan = graft.ops.Graph.cooccurrence(edges, "u", "it", maxPerSrc = 4)
+      .queryExecution.executedPlan
+    assert(!plan.toString.contains("CartesianProduct"),
+      s"cooccurrence went cartesian:\n$plan")
+    // distinct + per-src count window + pair self-join/groupBy + two
+    // item-count joins; more exchanges means the src co-partitioning or a
+    // map-side combine was lost
+    assert(shuffles(plan) <= 8, s"cooccurrence shuffle count grew to ${shuffles(plan)}:\n$plan")
+  }
+
   test("banded SRP near-dup: checkpoint feeds all consumers, bounded shuffles") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val plan = Queries.all.find(_.name == "q24_embed_neardup").get
