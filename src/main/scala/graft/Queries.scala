@@ -2407,6 +2407,34 @@ object Queries {
           END AS BIGINT), 0) AS n_distinct_est
       FROM st LEFT JOIN g ON g.col_name = st.col_name"""))
 
+  /** Contrastive triplet mining over the embedding corpus: cluster =
+    * `vec_id % 5` (stand-in for a k-means/domain label), anchors = first
+    * 20 vectors. Oracle replays both per-anchor argmaxes with the
+    * larger-id tie rule.
+    */
+  private val q93 = Q(
+    "q93_mine_triplets",
+    (spark, dir) => {
+      val e = pq(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), (col("vec_id") % 5).as("cl"))
+      Similarity.mineTriplets(
+        e, "vec_id", "embedding", "cl",
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", "cl")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, vec_id % 5 AS cl FROM embeddings),
+      a AS (SELECT vec_id aid, v av, cl acl FROM e WHERE vec_id < 20),
+      s AS (SELECT a.aid, e.vec_id nid, e.cl ncl, a.acl,
+        ROUND(list_dot_product(e.v, a.av) /
+          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(a.av, a.av))), 6) sc
+        FROM e JOIN a ON e.vec_id <> a.aid),
+      p AS (SELECT aid, nid, sc, ROW_NUMBER() OVER
+        (PARTITION BY aid ORDER BY sc DESC, nid DESC) rn FROM s WHERE ncl = acl),
+      n AS (SELECT aid, nid, sc, ROW_NUMBER() OVER
+        (PARTITION BY aid ORDER BY sc DESC, nid DESC) rn FROM s WHERE ncl <> acl)
+      SELECT p.aid AS anchor_id, p.nid AS pos_id, p.sc AS pos_score,
+        n.nid AS neg_id, n.sc AS neg_score
+      FROM p JOIN n ON n.aid = p.aid AND p.rn = 1 AND n.rn = 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2415,7 +2443,7 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
-    q89, q90, q91, q92)
+    q89, q90, q91, q92, q93)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

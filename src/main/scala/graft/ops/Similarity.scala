@@ -274,6 +274,48 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("score"))
   }
 
+  /** Contrastive triplet mining: for each anchor, the nearest SAME-cluster
+    * corpus item (positive) and the nearest OTHER-cluster item (hard
+    * negative — the highest-cosine wrong answer, the example that actually
+    * teaches the boundary). Returns
+    * `(anchor_id, pos_id, pos_score, neg_id, neg_score)`; anchors with an
+    * empty positive or negative pool are dropped (a training triplet needs
+    * both sides). Cosines round to 6 dp; ties pick the larger neighbor id
+    * (max over `(score, id)` structs — the q79 tie rule).
+    *
+    * 100 TB shape: anchors are a training-batch-sized frame and BROADCAST
+    * with their cluster labels; the corpus streams map-side through
+    * codegen'd [[dot]]s and collapses to two max-structs per anchor in one
+    * map-side-combined aggregation — no window, no pair materialization,
+    * one anchor-keyed shuffle of pre-combined partials. For corpus-scale
+    * anchor sets, run per cluster-bucket batches of anchors.
+    */
+  def mineTriplets(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      corpusCluster: String,
+      anchors: DataFrame,
+      anchorId: String,
+      anchorVec: String,
+      anchorCluster: String): DataFrame = {
+    val c = corpus.select(col(corpusId).as("nbr_id"), col(corpusVec).as("cv"),
+      norm(col(corpusVec)).as("cn"), col(corpusCluster).as("ncl"))
+    val a = anchors.select(col(anchorId).as("anchor_id"), col(anchorVec).as("av"),
+      norm(col(anchorVec)).as("an"), col(anchorCluster).as("acl"))
+    c.join(broadcast(a), col("nbr_id") =!= col("anchor_id"))
+      .withColumn("score", round(dot(col("cv"), col("av")) / (col("cn") * col("an")), 6))
+      .groupBy("anchor_id")
+      .agg(
+        max(when(col("ncl") === col("acl"), struct(col("score"), col("nbr_id")))).as("p"),
+        max(when(col("ncl") =!= col("acl"), struct(col("score"), col("nbr_id")))).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(
+        col("anchor_id"),
+        col("p.nbr_id").as("pos_id"), col("p.score").as("pos_score"),
+        col("n.nbr_id").as("neg_id"), col("n.score").as("neg_score"))
+  }
+
   /** Exact all-pairs cosine ≥ `threshold` over a broadcastable table via a
     * partition-wise primitive kernel: one side is collected and broadcast as
     * primitive float arrays with precomputed norms; the pair loop runs in

@@ -729,6 +729,27 @@ class OpsSpec extends SparkSuite {
     assert(firstTwo.exists(Set(1L, 2L, 3L, 4L)) && firstTwo.exists(Set(5L, 6L)))
   }
 
+  test("mineTriplets: nearest same-cluster positive, hardest other-cluster negative") {
+    val spark2 = spark
+    import spark2.implicits._
+    // cluster 0: ids 1-3 around x-axis; cluster 1: ids 4-5 around y-axis;
+    // id 6 is a lone cluster-2 vector (no same-cluster positive → dropped)
+    val vecs = Seq(
+      (1L, Array(1f, 0.00f, 0f), 0), (2L, Array(1f, 0.10f, 0f), 0),
+      (3L, Array(1f, 0.50f, 0f), 0),
+      (4L, Array(0f, 1f, 0.0f), 1), (5L, Array(0.4f, 1f, 0f), 1),
+      (6L, Array(0f, 0f, 1f), 2)
+    ).toDF("vec_id", "embedding", "cl")
+    val anchors = vecs.filter(col("vec_id").isin(1L, 6L))
+    val got = Similarity
+      .mineTriplets(vecs, "vec_id", "embedding", "cl", anchors, "vec_id", "embedding", "cl")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    // anchor 1: positive = id 2 (cos .995 > id 3 .894); hard negative = id 5
+    // (cos .371 > id 4 0 > id 6 0 — but 6 is other-cluster too; 5 wins)
+    assert(got.toSeq == Seq((1L, 2L, 5L)), got.mkString(","))
+    // anchor 6 dropped: no same-cluster peer → no positive side
+  }
+
   test("banded SRP near-dup pairs are a subset of exact all-pairs with equal scores") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4)
