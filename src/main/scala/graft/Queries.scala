@@ -1180,16 +1180,12 @@ object Queries {
       SELECT doc_id, rnk::INT AS rank, token, tf, tfidf_micro
       FROM sc WHERE rnk <= 3"""))
 
-  /** Integer-micro k-means over embeddings (k=4, one Lloyd round): exact
-    * cross-engine assignments — the oracle unrolls init → assign →
-    * integer-mean update → final assign in SQL.
+  /** The q50 k-means unroll (init → assign → integer-mean update → final
+    * distances), shared by q50 and the q95 prototypicality layer: ends at
+    * `d2` = per-(vector, centroid) exact integer-micro squared distances
+    * after one Lloyd round with k=4.
     */
-  private val q50 = Q(
-    "q50_kmeans",
-    (spark, dir) =>
-      Cluster.kmeansAssign(
-        pq(spark, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 1),
-    Some("""WITH xm AS (SELECT vec_id, g - 1 AS pos,
+  private val kmeansOracleCte = """WITH xm AS (SELECT vec_id, g - 1 AS pos,
           CAST(ROUND((embedding[g]::DOUBLE + 4.0) * 1000000) AS BIGINT) v
         FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) g
           FROM embeddings)),
@@ -1207,7 +1203,18 @@ object Queries {
         SELECT c0.cl, c0.pos, c0.v FROM cent0 c0
         WHERE c0.cl NOT IN (SELECT DISTINCT cl FROM cm)),
       d2 AS (SELECT x.vec_id, c.cl, SUM((x.v - c.v) * (x.v - c.v)) dist
-        FROM xm x JOIN cent1 c USING (pos) GROUP BY 1, 2)
+        FROM xm x JOIN cent1 c USING (pos) GROUP BY 1, 2)"""
+
+  /** Integer-micro k-means over embeddings (k=4, one Lloyd round): exact
+    * cross-engine assignments — the oracle unrolls init → assign →
+    * integer-mean update → final assign in SQL.
+    */
+  private val q50 = Q(
+    "q50_kmeans",
+    (spark, dir) =>
+      Cluster.kmeansAssign(
+        pq(spark, dir, "embeddings"), "vec_id", "embedding", k = 4, iters = 1),
+    Some(s"""$kmeansOracleCte
       SELECT vec_id, cl::INT AS cluster, dist::BIGINT AS dist_micro
       FROM (SELECT vec_id, cl, dist,
           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d2)
@@ -2435,6 +2442,79 @@ object Queries {
         n.nid AS neg_id, n.sc AS neg_score
       FROM p JOIN n ON n.aid = p.aid AND p.rn = 1 AND n.rn = 1"""))
 
+  /** SQL replay of [[Corpus.zorderValue]]'s bit interleave: the same
+    * `bits·n` shift/mask terms, spelled with portable `>> & <<` integer
+    * ops (inputs must already be in range — the oracle replays the
+    * interleave, the clamp is a no-op for in-range data).
+    */
+  private def zorderSqlTerms(xs: Seq[String], bits: Int): String = {
+    val n = xs.length
+    (for { i <- 0 until bits; (x, ci) <- xs.zipWithIndex }
+      yield s"((($x >> $i) & 1) << ${i * n + ci})").mkString(" + ")
+  }
+
+  /** Z-order layout value over two bucketized event dimensions: the
+    * map-side expression a storage OPTIMIZE job sorts by. */
+  private val q94 = Q(
+    "q94_zorder_value",
+    (spark, dir) => {
+      val ev = pq(spark, dir, "events")
+      ev.select(
+        col("event_id"),
+        pmod(col("user_id"), lit(256L)).as("zx"),
+        pmod(col("event_id"), lit(256L)).as("zy"),
+        Corpus.zorderValue(
+          Seq(pmod(col("user_id"), lit(256L)), pmod(col("event_id"), lit(256L))),
+          bits = 8).as("zval"))
+    },
+    Some(s"""SELECT event_id, user_id % 256 AS zx, event_id % 256 AS zy,
+      ${zorderSqlTerms(Seq("(user_id % 256)", "(event_id % 256)"), 8)} AS zval
+      FROM events"""))
+
+  /** Prototypicality / outlier flag by centroid distance: q50's k-means
+    * plus a per-cluster farthest-rank window — the farthest 10% of each
+    * cluster flagged (exact integer rank·100 ≤ n·pct rule).
+    */
+  private val q95 = Q(
+    "q95_centroid_outliers",
+    (spark, dir) =>
+      Cluster.outlierByCentroidDist(
+        pq(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 1, outlierPct = 10),
+    Some(s"""$kmeansOracleCte,
+      a2 AS (SELECT vec_id, cl, dist FROM (SELECT vec_id, cl, dist,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn FROM d2)
+        WHERE rn = 1)
+      SELECT vec_id, cl::INT AS cluster, dist::BIGINT AS dist_micro,
+        (COUNT(*) OVER (PARTITION BY cl))::BIGINT AS n_cluster,
+        (ROW_NUMBER() OVER (PARTITION BY cl ORDER BY dist DESC, vec_id))::INT AS rank_far,
+        ROW_NUMBER() OVER (PARTITION BY cl ORDER BY dist DESC, vec_id) * 100
+          <= COUNT(*) OVER (PARTITION BY cl) * 10 AS is_outlier
+      FROM a2"""))
+
+  /** Curation filter cascade with first-fail drop attribution over the
+    * documents table: three named rules applied in order.
+    */
+  private val q96 = Q(
+    "q96_filter_cascade",
+    (spark, dir) =>
+      Corpus.filterCascade(
+        pq(spark, dir, "documents"), Seq("doc_id"),
+        Seq(
+          "too_short" -> (length(col("text")) >= 120),
+          "bad_lang" -> col("lang").isin("en", "de", "es"),
+          "low_diversity" -> (size(array_distinct(split(trim(col("text")), " "))) >= 25))),
+    Some("""SELECT doc_id,
+        CASE
+          WHEN NOT (length(text) >= 120) THEN 'too_short'
+          WHEN NOT (lang IN ('en', 'de', 'es')) THEN 'bad_lang'
+          WHEN NOT (len(list_distinct(string_split(trim(text), ' '))) >= 25)
+            THEN 'low_diversity'
+        END AS drop_reason,
+        (length(text) >= 120 AND lang IN ('en', 'de', 'es')
+          AND len(list_distinct(string_split(trim(text), ' '))) >= 25) AS keep
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2443,7 +2523,7 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
-    q89, q90, q91, q92, q93)
+    q89, q90, q91, q92, q93, q94, q95, q96)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: turn near-dup candidate PAIRS (from
@@ -206,6 +207,41 @@ object Cluster {
       cents = next
     }
     cents
+  }
+
+  /** Prototypicality / outlier scoring by centroid distance (the SSL-
+    * prototypes curation signal, and D4's first stage): k-means-assign
+    * every vector, then rank each cluster's members by distance to their
+    * centroid — `rank_far = 1` is the farthest (least prototypical).
+    * `is_outlier` flags the farthest `outlierPct`% per cluster
+    * (`rank_far·100 ≤ n_cluster·outlierPct`, exact integer arithmetic —
+    * no percentile estimation). Distances are [[kmeansAssign]]'s exact
+    * integer micros, ties broken by id, so the flag replays bit-for-bit
+    * in any engine. Returns
+    * `(id, cluster, dist_micro, n_cluster, rank_far, is_outlier)`.
+    *
+    * 100 TB shape: one window sort per cluster over (id, cluster, dist)
+    * triples — payload never enters the sort, and with corpus-
+    * proportional k (the SemDeDup regime) per-cluster sorts stay small;
+    * the cluster with the most members bounds the critical path, not the
+    * corpus.
+    */
+  def outlierByCentroidDist(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 1,
+      outlierPct: Int = 10): DataFrame = {
+    require(outlierPct >= 0 && outlierPct <= 100, s"outlierPct $outlierPct not in [0,100]")
+    val a = kmeansAssign(df, idCol, vecCol, k, iters)
+    val byFar = Window.partitionBy(col("cluster"))
+      .orderBy(col("dist_micro").desc, col(idCol))
+    a.withColumn("rank_far", row_number().over(byFar))
+      .withColumn("n_cluster",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .withColumn("is_outlier",
+        col("rank_far") * 100 <= col("n_cluster") * outlierPct)
   }
 
   /** Dedup verdict per corpus row: (id, cluster, is_canonical). Rows in no

@@ -239,4 +239,83 @@ object Corpus {
       .format(format)
       .save(path)
   }
+
+  /** Named-predicate filter cascade with drop attribution (the FineWeb /
+    * RefinedWeb curation-report shape): each row gets the name of the
+    * FIRST filter (in declared order) it fails as `drop_reason`
+    * (NULL = kept, `keep` = true). First-fail attribution is what makes
+    * per-filter drop counts sum to the total drop rate — the number a
+    * curation report actually wants — unlike independent per-filter rates
+    * that double-count docs failing several filters.
+    *
+    * 100 TB shape: one `coalesce(when(¬p_i, name_i)…)` codegen expression
+    * — map-only, no shuffle, every predicate evaluated in the same
+    * whole-stage pass over the scan.
+    */
+  def filterCascade(
+      df: DataFrame,
+      idCols: Seq[String],
+      filters: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(filters.nonEmpty, "at least one filter")
+    val reason = coalesce(filters.map { case (n, p) => when(!p, lit(n)) }: _*)
+    df.select(idCols.map(col) :+ reason.as("drop_reason"): _*)
+      .withColumn("keep", col("drop_reason").isNull)
+  }
+
+  /** Per-filter first-fail drop counts over a [[filterCascade]] result —
+    * the one-line-per-filter curation report. Kept rows count under
+    * reason `__kept__`. A single map-side-combined aggregation to
+    * |filters|+1 rows.
+    */
+  def cascadeStats(cascaded: DataFrame): DataFrame =
+    cascaded
+      .groupBy(coalesce(col("drop_reason"), lit("__kept__")).as("reason"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Z-order (Morton) value over `cols`: each column is clamped to
+    * `[0, 2^bits)` and their low `bits` bits are round-robin interleaved
+    * (column 0 owns bit positions `0, n, 2n, …`). Rows close in z-value
+    * are close in EVERY dimension, so sorting storage by z-value gives
+    * min/max file statistics that prune multi-column predicates — the
+    * layout trick behind Delta/Iceberg `OPTIMIZE ZORDER BY`, here as a
+    * plain codegen column expression (`bits·n` shift/mask terms, no UDF,
+    * no shuffle). Callers pre-bucket non-integer dimensions (e.g.
+    * `pmod(hash(c), 2^bits)` or a rank bucket) — interleaving only sees
+    * non-negative integers. `bits·n` must fit a signed long (≤ 62).
+    */
+  def zorderValue(cols: Seq[org.apache.spark.sql.Column], bits: Int): org.apache.spark.sql.Column = {
+    val n = cols.length
+    require(n >= 1, "zorderValue needs at least one column")
+    require(bits >= 1 && n * bits <= 62, s"n*bits = ${n * bits} must be in [1, 62]")
+    val top = (1L << bits) - 1
+    val clamped = cols.map(c => least(greatest(c.cast("long"), lit(0L)), lit(top)))
+    val terms = for {
+      i <- 0 until bits
+      (c, ci) <- clamped.zipWithIndex
+    } yield shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * n + ci)
+    terms.reduce(_ + _)
+  }
+
+  /** Cluster `df` for storage locality: range-partition into `numFiles`
+    * output tasks by the z-value of `cols` and sort within each — one
+    * write produces files whose per-file min/max span a small hyper-box
+    * in every `cols` dimension instead of the full range, so downstream
+    * scans with predicates on ANY of the dimensions skip most files.
+    *
+    * 100 TB shape: the z-value is map-side codegen; the only data
+    * movement is ONE range shuffle (boundary sampling is Spark's
+    * standard RangePartitioner pass). This is exactly the shape of a
+    * table-format OPTIMIZE job, minus the manifest bookkeeping.
+    */
+  def zorderBy(
+      df: DataFrame,
+      cols: Seq[org.apache.spark.sql.Column],
+      bits: Int,
+      numFiles: Int): DataFrame = {
+    require(numFiles >= 1, "numFiles >= 1")
+    df.withColumn("__z", zorderValue(cols, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
 }

@@ -729,6 +729,62 @@ class OpsSpec extends SparkSuite {
     assert(firstTwo.exists(Set(1L, 2L, 3L, 4L)) && firstTwo.exists(Set(5L, 6L)))
   }
 
+  test("outlierByCentroidDist: per-cluster farthest ranks, exact integer pct flag") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Cluster.outlierByCentroidDist(emb, "vec_id", "embedding",
+        k = 3, iters = 1, outlierPct = 20)
+      .collect().map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("dist_micro"),
+        r.getAs[Long]("n_cluster"), r.getAs[Int]("rank_far"), r.getAs[Boolean]("is_outlier")))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (cl, rows) =>
+      val n = rows.length
+      assert(rows.forall(_._3 == n), s"cluster $cl n_cluster mismatch")
+      assert(rows.map(_._4).sorted.toSeq == (1 to n), s"cluster $cl ranks not 1..$n")
+      // ranks are distance-descending: farthest member holds rank 1
+      val byRank = rows.sortBy(_._4).map(_._2)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"cluster $cl rank order")
+      rows.foreach { case (_, _, _, rk, out) =>
+        assert(out == (rk * 100 <= n * 20), s"cluster $cl rank $rk flag")
+      }
+      // exactly floor(n*20/100) members flagged
+      assert(rows.count(_._5) == n * 20 / 100, s"cluster $cl outlier count")
+    }
+  }
+
+  test("zorderValue matches a scalar interleave replay; zorderBy clusters both dims") {
+    import graft.ops.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    def scalarZ(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    // full 32x32 grid, bits=5
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x.toLong, y.toLong)).toDF("x", "y")
+    val got = grid
+      .withColumn("z", Corpus.zorderValue(Seq(col("x"), col("y")), 5))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for (x <- 0L until 32L; y <- 0L until 32L)
+      assert(got((x, y)) == scalarZ(x, y, 5), s"z($x,$y)")
+    // clamp: out-of-range inputs saturate instead of corrupting high bits
+    val clamped = Seq((40L, -3L)).toDF("x", "y")
+      .select(Corpus.zorderValue(Seq(col("x"), col("y")), 5)).head.getLong(0)
+    assert(clamped == scalarZ(31L, 0L, 5))
+
+    // locality: a row-major (y-then-x) layout tiles the grid into 32-wide
+    // strips — a predicate on x prunes NOTHING (every file spans all x).
+    // Z-order tiles into near-square boxes: every file's min/max x-extent
+    // is a fraction of the domain, so x predicates skip most files.
+    def xExtents(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.groupBy(spark_partition_id())
+        .agg((max("x") - min("x") + 1).as("ex"))
+        .collect().map(_.getLong(1)).toSeq
+    val zx = xExtents(Corpus.zorderBy(grid, Seq(col("x"), col("y")), 5, 16))
+    val rx = xExtents(
+      grid.withColumn("__o", col("y") * 32 + col("x"))
+        .repartitionByRange(16, col("__o")).drop("__o"))
+    assert(zx.max * 2 <= rx.max, s"zorder x-extents $zx vs row-major $rx")
+    assert(zx.sum * 2 <= rx.sum, s"zorder x-extent sum ${zx.sum} vs ${rx.sum}")
+  }
+
   test("mineTriplets: nearest same-cluster positive, hardest other-cluster negative") {
     val spark2 = spark
     import spark2.implicits._
