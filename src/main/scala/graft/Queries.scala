@@ -1501,8 +1501,9 @@ object Queries {
   private val q63 = Q(
     "q63_sessionize",
     (spark, dir) => {
-      val ev = pq(spark, dir, "events").select(
-        col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_id"))
+      val raw = pq(spark, dir, "events")
+      val ev = raw.select(
+        col("user_id"), EventTime.epochMillis(raw, "ts").as("ts_ms"), col("event_id"))
       Sessions.sessionize(ev, "user_id", "ts_ms", "event_id", gapMs = 30 * 60 * 1000L)
     },
     Some("""WITH e AS (SELECT user_id, epoch_ms(ts) tm, event_id FROM events),
@@ -1641,8 +1642,9 @@ object Queries {
     "q68_session_features",
     (spark, dir) => {
       val cl = new GraftClient(spark)
-      val ev = pq(spark, dir, "events").select(
-        col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_id"))
+      val raw = pq(spark, dir, "events")
+      val ev = raw.select(
+        col("user_id"), EventTime.epochMillis(raw, "ts").as("ts_ms"), col("event_id"))
       val sess = Sessions.sessionize(ev, "user_id", "ts_ms", "event_id", 30 * 60 * 1000L)
       val src = DataFrameSource(
         "q68_sess", sess, keys = Some(Seq("user_id")),
@@ -2515,6 +2517,203 @@ object Queries {
           AND len(list_distinct(string_split(trim(text), ' '))) >= 25) AS keep
       FROM documents"""))
 
+  /** Exact-substring duplicated-span removal (Lee et al. 2022 apply step):
+    * 8-token sliding windows, corpus-wide occurrence >= 2, merged spans cut
+    * out and the document reassembled. Integer-only — the oracle replays
+    * the interval merge with the same running-max-end window.
+    */
+  private val q97 = Q(
+    "q97_dup_span_removal",
+    (spark, dir) =>
+      Dedup.dupSpanRemoval(pq(spark, dir, "documents"), "doc_id", "text", w = 8),
+    Some("""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') tk FROM documents),
+      w0 AS (SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 8)) p
+        FROM t WHERE len(tk) >= 8),
+      w2 AS (SELECT doc_id, p, md5(array_to_string(tk[p+1:p+8], ' ')) h FROM w0),
+      d AS (SELECT h FROM w2 GROUP BY h HAVING count(*) >= 2),
+      st AS (SELECT doc_id, p FROM w2 JOIN d USING (h)),
+      m AS (SELECT doc_id, p, max(p + 8) OVER (PARTITION BY doc_id ORDER BY p
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prev_end FROM st),
+      agg AS (SELECT doc_id, count(*) n_dup_windows,
+          sum(CASE WHEN prev_end IS NULL OR p > prev_end THEN 1 ELSE 0 END) n_spans,
+          sum(greatest(p + 8 - greatest(coalesce(prev_end, p), p), 0)) n_removed
+        FROM m GROUP BY doc_id),
+      cov AS (SELECT doc_id, unnest(generate_series(p, p + 7)) pos FROM st),
+      tp AS (SELECT doc_id, unnest(tk) tok,
+          unnest(generate_series(0, len(tk) - 1)) pos FROM t),
+      cl AS (SELECT doc_id,
+          array_to_string(list(tok ORDER BY pos), ' ') cleaned_text
+        FROM tp WHERE NOT EXISTS (SELECT 1 FROM cov
+          WHERE cov.doc_id = tp.doc_id AND cov.pos = tp.pos)
+        GROUP BY doc_id)
+      SELECT t.doc_id, len(tk)::BIGINT AS n_tokens,
+        coalesce(n_dup_windows, 0)::BIGINT AS n_dup_windows,
+        coalesce(n_spans, 0)::BIGINT AS n_spans,
+        coalesce(n_removed, 0)::BIGINT AS n_removed,
+        coalesce(cleaned_text, '') AS cleaned_text
+      FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN cl USING (doc_id)"""))
+
+  /** Asymmetric containment pairs (quote/subset detection): 3-gram
+    * distinct-shingle containment, dominant direction >= 0.6.
+    */
+  private val q98 = Q(
+    "q98_containment_pairs",
+    (spark, dir) =>
+      Dedup.containmentPairs(pq(spark, dir, "documents"), "doc_id", "text", 3, 0.6),
+    Some("""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS s
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) g FROM toks)),
+      sz AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+      common AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c FROM sh a
+        JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b,
+        ROUND(c::DOUBLE / x.sz, 4) AS containment_a_in_b,
+        ROUND(c::DOUBLE / y.sz, 4) AS containment_b_in_a,
+        greatest(ROUND(c::DOUBLE / x.sz, 4), ROUND(c::DOUBLE / y.sz, 4)) AS containment
+      FROM common JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      WHERE greatest(ROUND(c::DOUBLE / x.sz, 4), ROUND(c::DOUBLE / y.sz, 4)) >= 0.6"""))
+
+  /** Bootstrap NB quality classifier: seed label = token count >= 55,
+    * top-4096 vocab log-odds model trained and applied in one pipeline.
+    */
+  private val q99 = Q(
+    "q99_nb_quality",
+    (spark, dir) =>
+      TextOps.nbQualityScores(
+        pq(spark, dir, "documents"), "doc_id", "text",
+        seedRule = size(split(trim(col("text")), " ")) >= 55),
+    Some("""WITH d AS (SELECT doc_id, text,
+        len(string_split(trim(text), ' ')) >= 55 AS good FROM documents),
+      p0 AS (SELECT doc_id, good, unnest(string_split(trim(text), ' ')) tok FROM d),
+      p AS (SELECT DISTINCT doc_id, good, tok FROM p0),
+      tot AS (SELECT sum(CASE WHEN good THEN 1 ELSE 0 END) npos,
+        sum(CASE WHEN good THEN 0 ELSE 1 END) nneg FROM d),
+      tc AS (SELECT tok, count(*) df,
+          sum(CASE WHEN good THEN 1 ELSE 0 END) dfpos
+        FROM p GROUP BY tok ORDER BY df DESC, tok LIMIT 4096),
+      w AS (SELECT tok, floor(ln(((dfpos + 1)::DOUBLE / (npos + 2)) /
+          ((df - dfpos + 1)::DOUBLE / (nneg + 2))) * 1000000)::BIGINT w6
+        FROM tc, tot),
+      pr AS (SELECT floor(ln((npos + 1)::DOUBLE / (nneg + 1)) * 1000000)::BIGINT prior6
+        FROM tot),
+      ds AS (SELECT doc_id, count(*) nv, sum(w6) s6 FROM p JOIN w USING (tok)
+        GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(nv, 0)::BIGINT AS n_vocab_tokens,
+        (coalesce(s6, 0) + prior6)::BIGINT AS score_micro,
+        (coalesce(s6, 0) + prior6) > 0 AS quality_pred
+      FROM d LEFT JOIN ds USING (doc_id), pr"""))
+
+  /** Numeric histograms over three lineitem measures: data-driven 20-bin
+    * equi-width, IEEE-exact bucket rule replayed verbatim in the oracle.
+    */
+  private val q100 = Q(
+    "q100_histogram",
+    (spark, dir) =>
+      Corpus.histogram(
+        pq(spark, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), bins = 20),
+    Some("""WITH lf AS (
+        SELECT 'l_quantity' AS col_name, l_quantity::DOUBLE v FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice::DOUBLE FROM lineitem
+        UNION ALL SELECT 'l_discount', l_discount::DOUBLE FROM lineitem),
+      nn AS (SELECT * FROM lf WHERE v IS NOT NULL),
+      r AS (SELECT col_name, min(v) lo, max(v) hi FROM nn GROUP BY 1),
+      b AS (SELECT nn.col_name,
+          CASE WHEN lo = hi THEN 0
+            ELSE least(floor((v - lo) * 20 / (hi - lo))::INT, 19) END bucket,
+          lo, hi
+        FROM nn JOIN r USING (col_name))
+      SELECT col_name, bucket::INT AS bucket,
+        lo + bucket * (hi - lo) / 20 AS bucket_lo,
+        lo + (bucket + 1) * (hi - lo) / 20 AS bucket_hi,
+        count(*)::BIGINT n
+      FROM b GROUP BY col_name, bucket, lo, hi"""))
+
+  /** Deterministic training-order shuffle of documents into 8 shards,
+    * seed "epoch0": md5 order key, broadcast-offset exact global position.
+    */
+  private val q101 = Q(
+    "q101_training_order",
+    (spark, dir) =>
+      Sampling.trainingOrder(
+        pq(spark, dir, "documents").select(col("doc_id")), "doc_id",
+        numShards = 8, seed = "epoch0"),
+    Some("""WITH h AS (SELECT doc_id, md5('epoch0|' || doc_id::VARCHAR) h FROM documents),
+      s AS (SELECT doc_id, h,
+        (('0x' || substr(h, 1, 8))::UBIGINT % 8)::INT shard FROM h),
+      p AS (SELECT doc_id, shard,
+        (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1)::BIGINT pos FROM s),
+      o AS (SELECT shard, count(*) c FROM s GROUP BY 1),
+      off AS (SELECT shard, (sum(c) OVER (ORDER BY shard) - c)::BIGINT offs FROM o)
+      SELECT doc_id, shard, pos, (offs + pos)::BIGINT AS global_pos
+      FROM p JOIN off USING (shard)"""))
+
+  /** Histogram-read quantiles (64 bins, nearest-rank + uniform within-bin
+    * interpolation) over two lineitem measures — the no-sort quantile path.
+    */
+  private val q102 = Q(
+    "q102_hist_quantiles",
+    (spark, dir) =>
+      Corpus.histogramQuantiles(
+        pq(spark, dir, "lineitem"), Seq("l_quantity", "l_extendedprice"),
+        percents = Seq(25, 50, 75, 95), bins = 64),
+    Some("""WITH lf AS (
+        SELECT 'l_quantity' AS col_name, l_quantity::DOUBLE v FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', l_extendedprice::DOUBLE FROM lineitem),
+      nn AS (SELECT * FROM lf WHERE v IS NOT NULL),
+      r0 AS (SELECT col_name, min(v) lo, max(v) hi FROM nn GROUP BY 1),
+      b AS (SELECT nn.col_name,
+          CASE WHEN lo = hi THEN 0
+            ELSE least(floor((v - lo) * 64 / (hi - lo))::INT, 63) END bucket, lo, hi
+        FROM nn JOIN r0 USING (col_name)),
+      h AS (SELECT col_name, bucket,
+          lo + bucket * (hi - lo) / 64 bucket_lo,
+          lo + (bucket + 1) * (hi - lo) / 64 bucket_hi, count(*) n
+        FROM b GROUP BY col_name, bucket, lo, hi),
+      c AS (SELECT *,
+          (sum(n) OVER (PARTITION BY col_name ORDER BY bucket) - n)::BIGINT cum,
+          (sum(n) OVER (PARTITION BY col_name))::BIGINT total FROM h),
+      q AS (SELECT c.*, p."percent" FROM c
+        CROSS JOIN (SELECT unnest([25, 50, 75, 95]) AS "percent") p),
+      f AS (SELECT col_name, "percent", bucket, cum, n, bucket_lo, bucket_hi,
+          floor("percent" * (total - 1) / 100)::BIGINT r FROM q)
+      SELECT col_name, "percent", bucket::INT AS bucket,
+        bucket_lo + (bucket_hi - bucket_lo) * ((r - cum)::DOUBLE + 0.5) / n AS est_value
+      FROM f WHERE r >= cum AND r < cum + n"""))
+
+  /** Label-propagation communities (3 synchronous rounds, count-desc /
+    * label-asc deterministic argmax) over the user–item interaction
+    * graph. The oracle unrolls the three rounds with row_number argmax.
+    */
+  private val q103 = Q(
+    "q103_label_prop",
+    (spark, dir) => {
+      val ev = pq(spark, dir, "events").select(
+        col("user_id"),
+        (get_json_object(col("props"), "$.k").cast("long") + 100000L).as("item"))
+      Graph.labelPropagation(ev, "user_id", "item", iters = 3)
+    },
+    Some {
+      val round = (prev: String, out: String) =>
+        s"""$out AS (SELECT node, label FROM (
+          SELECT e.a node, l.label,
+            ROW_NUMBER() OVER (PARTITION BY e.a
+              ORDER BY count(*) DESC, l.label) rn
+          FROM e JOIN $prev l ON l.node = e.b
+          GROUP BY e.a, l.label) WHERE rn = 1)"""
+      s"""WITH d AS (SELECT user_id a,
+          (json_extract_string(props, '$$.k')::BIGINT + 100000) b
+        FROM events WHERE props IS NOT NULL
+          AND json_extract_string(props, '$$.k') IS NOT NULL),
+      e AS (SELECT DISTINCT a, b FROM
+        (SELECT a, b FROM d UNION ALL SELECT b, a FROM d)),
+      l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+      ${round("l0", "l1")},
+      ${round("l1", "l2")},
+      ${round("l2", "l3")}
+      SELECT node, label FROM l3"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2523,7 +2722,8 @@ object Queries {
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
-    q89, q90, q91, q92, q93, q94, q95, q96)
+    q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
+    q103)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -157,7 +157,7 @@ object ScaleCheck {
     def sessionTime(df: DataFrame, tag: String): Double = {
       val t0 = System.nanoTime()
       graft.ops.Sessions.sessionize(
-          df.select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("event_id")),
+          df.select(col("user_id"), graft.engine.EventTime.epochMillis(df, "ts").as("ts_ms"), col("event_id")),
           "user_id", "ts_ms", "event_id", 30 * 60 * 1000L)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -175,6 +175,15 @@ object ScaleCheck {
       // cross-replica shingles distinct, so bucket density stays constant)
       val t0 = System.nanoTime()
       graft.ops.Dedup.minhashLshPairs(df, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def dupSpanTime(df: DataFrame, tag: String): Double = {
+      // salted replicas keep cross-replica windows distinct, so dup-window
+      // density (and thus span work) scales linearly — the window-hash
+      // count shuffle is the only corpus-wide aggregation
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.dupSpanRemoval(df, "doc_id", "text", w = 8)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
@@ -240,7 +249,7 @@ object ScaleCheck {
     for ((name, f) <- Seq(
       ("segdup", segdupTime _), ("bigram_lm", bigramTime _), ("token_kl", klTime _),
       ("simhash_mp", simhashMpTime _), ("minhash_lsh", minhashTime _),
-      ("dsir", dsirTime _)) if wanted(name)) {
+      ("dsir", dsirTime _), ("dup_span", dupSpanTime _)) if wanted(name)) {
       val t1 = f(doc1, s"${name}_1")
       val tN = f(docN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")

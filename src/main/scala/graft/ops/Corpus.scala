@@ -83,6 +83,87 @@ object Corpus {
         coalesce(col("est_distinct"), lit(0L)).as("n_distinct_est"))
   }
 
+  /** Equi-width numeric histograms with data-driven ranges — the
+    * distribution view a new-drop QA pass puts next to [[profile]]'s
+    * scalar stats (spot a clipped sensor, a bimodal length split, a
+    * default-value spike). One row per (column, non-empty bucket):
+    * `(col_name, bucket, bucket_lo, bucket_hi, n)`.
+    *
+    * Determinism: the bucket rule is pure IEEE-754 double arithmetic in a
+    * fixed operation order — `floor((v-lo)*bins/(hi-lo))` clamped to
+    * bins-1, degenerate lo=hi collapsing to bucket 0 — and IEEE ops are
+    * exactly specified, so (unlike ln/exp, which need the micro-floor
+    * trick) any engine replays the counts bit-for-bit. NULLs are skipped
+    * ([[profile]] already counts them).
+    *
+    * 100 TB shape: a map-side stack/unpivot, one |cols|-row min/max
+    * aggregate broadcast back, and one (column, bucket) count — the
+    * output is at most |cols|·bins rows regardless of input size, and the
+    * corpus shuffles only as map-side-combined partial counts.
+    */
+  def histogram(df: DataFrame, cols: Seq[String], bins: Int = 20): DataFrame = {
+    require(cols.nonEmpty, "at least one column to histogram")
+    require(bins >= 1, s"bins=$bins must be >= 1")
+    val stackExpr = s"stack(${cols.size}, " +
+      cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
+      ") as (col_name, v)"
+    val stacked = df.selectExpr(stackExpr).filter(col("v").isNotNull)
+    val ranges = stacked.groupBy("col_name")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    stacked.join(broadcast(ranges), Seq("col_name"))
+      .withColumn("bucket",
+        when(col("lo") === col("hi"), lit(0))
+          .otherwise(least(
+            floor((col("v") - col("lo")) * bins / (col("hi") - col("lo"))).cast("int"),
+            lit(bins - 1))))
+      .groupBy(col("col_name"), col("bucket"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("col_name"), col("bucket"),
+        (col("lo") + col("bucket") * (col("hi") - col("lo")) / bins).as("bucket_lo"),
+        (col("lo") + (col("bucket") + 1) * (col("hi") - col("lo")) / bins).as("bucket_hi"),
+        col("n"))
+  }
+
+  /** Histogram-based quantile estimates: nearest-rank quantiles read off
+    * [[histogram]]'s equi-width bins with uniform within-bin
+    * interpolation — the at-scale alternative to an exact per-column
+    * quantile (which needs a full sort per column) and to Spark's
+    * percentile_approx (whose sketch merge is not engine-replayable).
+    * Error is bounded by one bin width; `bins` is the knob.
+    *
+    * Rule, all IEEE-754-exact and replayable: global rank
+    * r = floor(p·(N−1)/100); inside the bucket where the cumulative
+    * count first covers r, est = lo + width·(r − cum + 0.5)/n.
+    * Returns (col_name, percent, bucket, est_value).
+    *
+    * 100 TB shape: everything beyond [[histogram]]'s two corpus passes
+    * operates on the ≤|cols|·bins-row histogram — window + join on a
+    * model-sized table, nothing corpus-sized moves again.
+    */
+  def histogramQuantiles(
+      df: DataFrame,
+      cols: Seq[String],
+      percents: Seq[Int],
+      bins: Int = 128): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
+      "percents must be in [0,100]")
+    val hist = histogram(df, cols, bins)
+    val byCol = Window.partitionBy(col("col_name")).orderBy(col("bucket"))
+    val cum = hist
+      .withColumn("cum", (sum(col("n")).over(byCol) - col("n")).cast("long"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(col("col_name"))).cast("long"))
+    val ps = explode(array(percents.map(lit): _*)).as("percent")
+    cum.select(col("col_name"), col("bucket"), col("bucket_lo"), col("bucket_hi"),
+        col("n"), col("cum"), col("total"), ps)
+      .withColumn("r", floor(col("percent") * (col("total") - 1) / 100).cast("long"))
+      .filter(col("r") >= col("cum") && col("r") < col("cum") + col("n"))
+      .select(
+        col("col_name"), col("percent"), col("bucket"),
+        (col("bucket_lo") + (col("bucket_hi") - col("bucket_lo")) *
+          ((col("r") - col("cum")).cast("double") + 0.5) / col("n")).as("est_value"))
+  }
+
   /** Row-level diff of two snapshots by id: `unchanged` (same id, same
     * normalized text), `changed` (same id, different text), `added` (only
     * in `cur`), `removed` (only in `old`). Content comparison uses

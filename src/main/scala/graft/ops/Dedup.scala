@@ -124,6 +124,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: for candidate pairs sharing at
+    * least one shingle, containment(A⊆B) = |S_A ∩ S_B| / |S_A| over
+    * DISTINCT shingle sets. Jaccard ([[ngramJaccardPairs]]) misses the
+    * quote/subset shape — a short document wholly embedded in a much
+    * longer one scores near 0 Jaccard but 1.0 containment — so this is
+    * the operator for quote extraction, page-within-crawl containment,
+    * and super/subset pruning before training. Emits one row per
+    * unordered pair (id_a < id_b) with BOTH directions and the dominant
+    * one pre-computed; `threshold` applies to the dominant direction,
+    * rounded to 4 dp so the verdict replays on any engine.
+    *
+    * Same 100 TB shape as the Jaccard path: inverted-index join through
+    * shared shingles (pair space bounded by co-occurrence), hot shingles
+    * with df > `maxDf` dropped via a broadcast anti-join before any pair
+    * is formed.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Long = 10000L): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, n).localCheckpoint(true)
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("shingle"))
+    val kept = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val common = kept.as("a")
+      .join(kept.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("containment_a_in_b",
+        round(col("common").cast("double") / col("sz_a"), 4))
+      .withColumn("containment_b_in_a",
+        round(col("common").cast("double") / col("sz_b"), 4))
+      .withColumn("containment",
+        greatest(col("containment_a_in_b"), col("containment_b_in_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment_a_in_b"),
+        col("containment_b_in_a"), col("containment"))
+  }
+
   /** Training-corpus decontamination: flag corpus documents sharing at
     * least `minOverlap` distinct n-gram shingles with ANY row of a
     * benchmark/eval set — the standard train/test contamination sweep run
@@ -178,6 +225,95 @@ object Dedup {
       .agg(
         count(lit(1)).as("n_hits"),
         min(col("__phrase")).as("first_phrase"))
+  }
+
+  /** Cross-document duplicated-SPAN removal — the APPLY step of
+    * exact-substring dedup (reference recipe: Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"), at
+    * word-token granularity. Every length-`w` token window whose text
+    * occurs at least `minOcc` times in the whole corpus (all occurrences
+    * counted — within- and cross-document) is marked duplicated; per
+    * document, overlapping duplicated windows are merged into maximal
+    * spans, the covered tokens are cut, and the survivors are reassembled
+    * in order. This is the remove-the-repeated-passage primitive the
+    * flag-only checks ([[contaminatedBy]], [[TextOps.dupNgramCoverage]])
+    * and the fixed-segment cut ([[TextOps.segmentDedup]]) don't give:
+    * sliding windows catch a duplicated passage at ANY alignment, and the
+    * interval merge cuts it exactly once.
+    *
+    * Returns (id, n_tokens, n_dup_windows, n_spans, n_removed,
+    * cleaned_text); cleaned_text is the kept tokens joined with single
+    * spaces (whitespace-normalized, like every tokenized op here). No
+    * floats anywhere, so any engine replays it bit-for-bit.
+    *
+    * 100 TB shape: the window table shuffles once on the window hash
+    * (map-side-combined count, the dup set re-joined co-partitioned on
+    * that same key); everything after is keyed by doc id — the span merge
+    * is a per-document sort window (docs are KB-sized; fine), and the
+    * kept-token anti-join is equi on (id, pos). Lineage is cut with one
+    * eager localCheckpoint because the window table feeds both the count
+    * and the join-back. The suffix-array construction of the paper is a
+    * single-node design; the window-hash formulation is the
+    * shuffle-native equivalent at fixed w.
+    */
+  def dupSpanRemoval(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      minOcc: Long = 2L): DataFrame = {
+    require(w >= 2, s"w=$w must be >= 2")
+    require(minOcc >= 2, s"minOcc=$minOcc must be >= 2")
+    val toks = TextOps.tokens(col(textCol))
+    val grams = when(size(toks) >= w,
+      transform(
+        sequence(lit(0), size(toks) - w),
+        i => struct(i.as("p"), md5(array_join(slice(toks, i + 1, lit(w)), " ")).as("h"))))
+      .otherwise(array().cast("array<struct<p:int,h:string>>"))
+    // consumed twice (occurrence count + join-back): checkpoint so the
+    // tokenize+md5 explode runs once
+    val wins = df.select(col(idCol).as("id"), explode(grams).as("pg"))
+      .select(col("id"), col("pg.p").as("p"), col("pg.h").as("h"))
+      .localCheckpoint(true)
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc).select(col("h"))
+    val starts = wins.join(dup, Seq("h")).select(col("id"), col("p"))
+    // classic interval merge: a window opens a new span iff it starts past
+    // the running max end of everything before it; its fresh coverage is
+    // the part past that running end (exact integers, no span groupBy)
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("p"))
+    val merged = starts
+      .withColumn("prev_end",
+        max(col("p") + w).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("p") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("fresh",
+        greatest(col("p") + w - greatest(coalesce(col("prev_end"), col("p")), col("p")), lit(0)))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_dup_windows"),
+        sum(col("new_span")).as("n_spans"),
+        sum(col("fresh")).cast("long").as("n_removed"))
+    val covered = starts
+      .select(col("id"), explode(sequence(col("p"), col("p") + (w - 1))).as("pos"))
+    val tokPos = df.select(col(idCol).as("id"), posexplode(toks).as(Seq("pos", "tok")))
+    val cleaned = tokPos.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")),
+        " ").as("cleaned_text"))
+    df.select(col(idCol).as("id"), size(toks).cast("long").as("n_tokens"))
+      .join(merged, Seq("id"), "left")
+      .join(cleaned, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
   /** MinHash signature columns `mh_0..mh_{numHashes-1}` per id: the i-th

@@ -135,6 +135,56 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * UNDIRECTED graph of `edges0`: every node starts as its own label
+    * (= node id); each iteration it adopts the most frequent label among
+    * its neighbors, ties broken toward the SMALLEST label — the standard
+    * deterministic LPA variant, here fully engine-replayable because the
+    * argmax rule (count desc, label asc) is a total order. Labels after
+    * `iters` rounds approximate communities; connected components is the
+    * `iters → ∞` degenerate case, LPA at small `iters` finds denser
+    * substructure inside them (the host-cluster / link-farm shape a
+    * crawl-quality pass looks for).
+    *
+    * Returns (node, label). Isolated self-loops keep their own label.
+    *
+    * 100 TB shape: per iteration, one neighbor-message join on the
+    * checkpointed symmetric edge list and TWO map-side-combined
+    * aggregations — (node, label) counts, then the per-node argmax as
+    * `max(struct(cnt, -label))` (an aggregate, NOT a per-node sort
+    * window). Labels are checkpointed each round, so lineage stays flat.
+    * Degree skew lands on the (node, label) count key, which AQE
+    * re-splits; there is no pair space anywhere.
+    */
+  def labelPropagation(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val dir = edges0
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val edges = dir.union(dir.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val counts = edges
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = counts
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("best"))
+        .select(col("node"), (-col("best.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Bipartite co-occurrence projection: from (src, dst) interaction
     * edges, the dst–dst pair graph weighted by how many distinct srcs
     * touch both — the related-items / co-click primitive (and, over

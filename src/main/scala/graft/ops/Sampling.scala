@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -288,6 +289,46 @@ object Sampling {
     df.select(idCols :+ explode(concat(toks, bigrams)).as("__gram"): _*)
       .withColumn("b", substring(md5(col("__gram")), 1, hashDigits))
       .drop("__gram")
+  }
+
+  /** Deterministic training-order shuffle: a reproducible global
+    * permutation of the corpus for training-example ORDER, as
+    * (shard, pos, global_pos). The usual `orderBy(rand())` is
+    * non-deterministic across retries/replays AND a global range sort;
+    * this is neither: order key = md5(seed|id) (any engine replays it),
+    * shard = first-8-hex of the same hash mod `numShards` (one hash
+    * shuffle), pos = shard-local rank, and global_pos = pos + the
+    * broadcast cumulative shard-size offset — the [[graft.ops.Corpus]]
+    * `packPieces` prefix-sum trick, so the total order costs NO global
+    * window / range exchange. Re-running with the same seed reproduces
+    * the epoch exactly; a new seed is a fresh epoch permutation.
+    *
+    * 100 TB shape: one shuffle on the shard key, shard-local sort windows
+    * (shards ≈ parallelism, uniformly hash-filled), a numShards-row
+    * offset table broadcast back. Writers consume (shard, pos) directly
+    * as (file, offset); global_pos is for single-sequence consumers.
+    */
+  def trainingOrder(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      seed: String): DataFrame = {
+    require(numShards >= 1, s"numShards=$numShards must be >= 1")
+    val h = md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
+    val sharded = df.select(col(idCol), h.as("__h"))
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"), lit(numShards.toLong))
+          .cast("int"))
+    val pos = sharded.withColumn("pos",
+      (row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))) - 1).cast("long"))
+    val offsets = sharded.groupBy(col("shard")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        (sum(col("__c")).over(Window.orderBy(col("shard"))) - col("__c")).cast("long"))
+      .select(col("shard"), col("__off"))
+    pos.join(broadcast(offsets), Seq("shard"))
+      .select(col(idCol), col("shard"), col("pos"),
+        (col("__off") + col("pos")).as("global_pos"))
   }
 
   /** DSIR importance weights (Xie et al. 2023, Data Selection via

@@ -812,6 +812,83 @@ object TextOps {
       .select(col("grp"), col("rank"), col("token"), col("cnt"))
   }
 
+  /** Bootstrap quality classifier: a bernoulli naive-Bayes log-odds model
+    * TRAINED IN-ENGINE from rule-labeled seed documents, then applied to
+    * the whole corpus — the structural shape of the fasttext/CCNet quality
+    * classifier step (label a seed set, fit a linear model over token
+    * presence, score everything) with the engine itself as the trainer, so
+    * the pipeline needs no external model artifact. `seedRule` is the
+    * labeling heuristic (any boolean Column over the input row); the model
+    * is Laplace-smoothed per-token presence log-odds over the top-`topV`
+    * document-frequency tokens:
+    *
+    *   w(t)  = ln( ((df_pos+1)/(n_pos+2)) / ((df_neg+1)/(n_neg+2)) )
+    *   prior = ln( (n_pos+1)/(n_neg+1) )
+    *
+    * Determinism contract (same recipe as [[bm25Scores]]): each weight and
+    * the prior are floored to integer MICROS once; the per-document score
+    * is then an exact integer sum over the document's DISTINCT vocab
+    * tokens, so it replays bit-for-bit in any engine and aggregation
+    * order. Returns `(<idCol>, n_vocab_tokens, score_micro, quality_pred)`
+    * with quality_pred = score_micro > 0.
+    *
+    * 100 TB shape: one (doc, token) distinct shuffle, one token-keyed
+    * count aggregation (map-side combined; label counts ride the same
+    * pass as conditional sums), a global top-V TakeOrdered of the
+    * vocabulary-sized count table, the ≤V-row weight table broadcast back
+    * onto the (doc, token) pairs, and one per-doc sum. The corpus
+    * shuffles twice (pairs + per-doc sum), both on uniform keys; the
+    * model never exceeds V rows.
+    */
+  def nbQualityScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seedRule: Column,
+      topV: Int = 4096): DataFrame = {
+    val M = 1000000L
+    val labeled = df.select(
+      col(idCol).as("__doc"),
+      col(textCol).as("__text"),
+      seedRule.cast("boolean").as("__good"))
+    // consumed twice (model counts + scoring join): checkpoint so the
+    // tokenize+distinct pipeline runs once
+    val pairs = labeled
+      .select(col("__doc"), col("__good"), explode(tokens(col("__text"))).as("__tok"))
+      .distinct()
+      .localCheckpoint(true)
+    val totals = labeled.agg(
+      sum(when(col("__good"), 1L).otherwise(0L)).as("__npos"),
+      sum(when(col("__good"), 0L).otherwise(1L)).as("__nneg"))
+    val tokCounts = pairs.groupBy(col("__tok"))
+      .agg(
+        count(lit(1)).as("__df"),
+        sum(when(col("__good"), 1L).otherwise(0L)).as("__dfpos"))
+      .orderBy(col("__df").desc, col("__tok"))
+      .limit(topV)
+    val weights = tokCounts.crossJoin(broadcast(totals))
+      .withColumn("__w6",
+        floor(log(
+          ((col("__dfpos") + 1).cast("double") / (col("__npos") + 2)) /
+            ((col("__df") - col("__dfpos") + 1).cast("double") / (col("__nneg") + 2))) * M)
+          .cast("long"))
+      .select(col("__tok"), col("__w6"))
+    val prior = totals.select(
+      floor(log((col("__npos") + 1).cast("double") / (col("__nneg") + 1)) * M)
+        .cast("long").as("__prior6"))
+    val docScores = pairs.join(broadcast(weights), Seq("__tok"))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_vocab_tokens"), sum(col("__w6")).as("__s6"))
+    labeled.select(col("__doc"))
+      .join(docScores, Seq("__doc"), "left")
+      .crossJoin(broadcast(prior))
+      .select(
+        col("__doc").as(idCol),
+        coalesce(col("n_vocab_tokens"), lit(0L)).as("n_vocab_tokens"),
+        (coalesce(col("__s6"), lit(0L)) + col("__prior6")).as("score_micro"),
+        ((coalesce(col("__s6"), lit(0L)) + col("__prior6")) > 0L).as("quality_pred"))
+  }
+
   /** Okapi BM25 scoring of every document against a fixed query-term set —
     * the ranked-retrieval primitive a curation pipeline uses to pull
     * topic- or benchmark-adjacent documents out of a crawl (targeted

@@ -136,6 +136,21 @@ class GraphSpec extends SparkSuite {
     assert(j == 3L * 1000000L / (3L + 3L - 3L)) // = 1_000_000 (identical sets)
   }
 
+  test("labelPropagation: two triangles separate; bridge doesn't merge them") {
+    val spark2 = spark
+    import spark2.implicits._
+    // triangles {1,2,3} and {10,11,12} joined by one bridge edge 3–10;
+    // hand-replay of the deterministic (count desc, label asc) rule gives
+    // left → 1, right → 3 after three synchronous rounds
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L)).toDF("s", "d")
+    val got = Graph.labelPropagation(e, "s", "d", iters = 3)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(Set(1L, 2L, 3L).map(got) == Set(1L))
+    assert(Set(10L, 11L, 12L).map(got) == Set(3L))
+  }
+
   test("all-dangling graph degenerates to uniform redistribution") {
     val spark2 = spark
     import spark2.implicits._

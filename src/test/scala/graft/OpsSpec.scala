@@ -1285,6 +1285,141 @@ class OpsSpec extends SparkSuite {
     assert(out(3L)._3 == md5of("totally original content third doc"))
   }
 
+  test("histogramQuantiles: within one bin of exact on a known distribution") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 0..999 uniform: exact pth percentile ≈ 10·p; bin width 1000/50 = 20
+    val d = (0L until 1000L).map(_.toDouble).toDF("x")
+    val got = graft.ops.Corpus.histogramQuantiles(
+      d, Seq("x"), percents = Seq(0, 50, 100), bins = 50)
+      .collect().map(r => r.getAs[Int]("percent") -> r.getAs[Double]("est_value")).toMap
+    assert(got.size == 3)
+    assert(math.abs(got(50) - 499.5) <= 20.0)
+    assert(got(0) >= 0.0 && got(0) <= 20.0)
+    assert(got(100) >= 979.0 && got(100) <= 999.0 + 1e-9)
+  }
+
+  test("trainingOrder: exact global permutation, deterministic, epoch-varying") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = (0L until 100L).toDF("id")
+    val out = graft.ops.Sampling.trainingOrder(d, "id", numShards = 4, seed = "e0")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("shard"),
+        r.getAs[Long]("pos"), r.getAs[Long]("global_pos")))
+    assert(out.length == 100)
+    // global_pos is an exact permutation of 0..99
+    assert(out.map(_._4).sorted.toSeq == (0L until 100L))
+    // shard-local positions are dense from 0 per shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length))
+    }
+    // same seed replays identically; a new seed permutes differently
+    val again = graft.ops.Sampling.trainingOrder(d, "id", 4, "e0")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("global_pos"))).toMap
+    assert(out.forall(r => again(r._1) == r._4))
+    val epoch1 = graft.ops.Sampling.trainingOrder(d, "id", 4, "e1")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("global_pos"))).toMap
+    assert(out.count(r => epoch1(r._1) == r._4) < 20)
+  }
+
+  test("histogram: exact equi-width buckets, max clamps, constants collapse") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq[(java.lang.Double, java.lang.Double)](
+      (0.0, 7.0), (2.0, 7.0), (5.0, 7.0), (9.0, 7.0), (10.0, 7.0), (null, 7.0)
+    ).toDF("x", "c")
+    val got = graft.ops.Corpus.histogram(d, Seq("x", "c"), bins = 5)
+      .collect().map(r => (r.getAs[String]("col_name"), r.getAs[Int]("bucket")) ->
+        (r.getAs[Double]("bucket_lo"), r.getAs[Double]("bucket_hi"), r.getAs[Long]("n"))).toMap
+    // x: lo=0 hi=10, width 2; v=10 clamps into bucket 4; null skipped
+    assert(got(("x", 0)) == ((0.0, 2.0, 1L))) // only 0.0 (2.0 → bucket 1)
+    assert(got(("x", 1)) == ((2.0, 4.0, 1L)))
+    assert(got(("x", 4))._3 == 2L) // 9 and clamped 10
+    // constant column: lo=hi → single bucket 0 with all 6 rows
+    assert(got(("c", 0))._3 == 6L)
+    assert(got.keys.count(_._1 == "c") == 1)
+  }
+
+  test("nbQualityScores: scalar log-odds replay, separates seed classes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // seed rule = contains no "spam" token; vocab covers everything
+    val d = Seq(
+      (1L, "good clean prose here"),
+      (2L, "more good clean text"),
+      (3L, "spam spam buy now"),
+      (4L, "unlabeled good clean mix buy")
+    ).toDF("doc_id", "text")
+    val out = TextOps.nbQualityScores(
+      d, "doc_id", "text", seedRule = !col("text").contains("spam"), topV = 100)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_vocab_tokens"), r.getAs[Long]("score_micro"),
+          r.getAs[Boolean]("quality_pred"))).toMap
+    // scalar replay: npos=3 nneg=1, w(t)=ln(((dfpos+1)/5)/((dfneg+1)/3))*1e6
+    val w = (dfp: Long, dfn: Long) =>
+      math.floor(math.log(((dfp + 1).toDouble / 5) / ((dfn + 1).toDouble / 3)) * 1e6).toLong
+    val prior = math.floor(math.log(4.0 / 2) * 1e6).toLong
+    // doc 3: spam(0,1) buy(1,1) now(0,1)
+    val exp3 = w(0, 1) * 2 + w(1, 1) + prior
+    assert(out(3L) == ((3L, exp3, exp3 > 0)))
+    assert(!out(3L)._3) // spam doc predicted bad
+    // doc 1: good(3,0) clean(3,0) prose(1,0) here(1,0)
+    val exp1 = w(3, 0) * 2 + w(1, 0) * 2 + prior
+    assert(out(1L) == ((4L, exp1, true)))
+    assert(out(4L)._3) // mixed doc: 4 clean tokens outweigh one "buy"
+  }
+
+  test("containmentPairs catches a quote Jaccard misses, both directions exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    // doc 2 is doc 1's text embedded in a much longer page: containment of
+    // 1-in-2 is 1.0 while Jaccard is far below the same threshold
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro words here alpha beta gamma delta plus lots of trailing filler tokens end"),
+      (3L, "unrelated text about something else entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    // doc 1 has 2 distinct 3-grams, both inside doc 2
+    assert(r.getAs[Double]("containment_a_in_b") == 1.0)
+    assert(r.getAs[Double]("containment") == 1.0)
+    assert(r.getAs[Double]("containment_b_in_a") < 0.2)
+    // the same pair fails a 0.9 JACCARD gate — the asymmetry is the point
+    assert(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.9).collect().isEmpty)
+  }
+
+  test("dupSpanRemoval merges overlapping dup windows and cuts exact spans") {
+    val spark2 = spark
+    import spark2.implicits._
+    // docs 1/2 share "a b c d e" at DIFFERENT alignments (w=3 windows
+    // "a b c","b c d","c d e" each occur twice); doc 3 is a within-doc
+    // repeat that gets fully removed; doc 4 is shorter than w; doc 6 has
+    // TWO disjoint dup spans separated by unique tokens
+    val d = Seq(
+      (1L, "a b c d e x y z"),
+      (2L, "p q a b c d e"),
+      (3L, "m n m n m n m n"),
+      (4L, "u v"),
+      (5L, "solo unique tokens only here"),
+      (6L, "a b c g1 g2 g3 c d e")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanRemoval(d, "doc_id", "text", w = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Long]("n_spans"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("cleaned_text"))).toMap
+    assert(out(1L) == ((8L, 3L, 1L, 5L, "x y z")))
+    assert(out(2L) == ((7L, 3L, 1L, 5L, "p q")))
+    assert(out(3L) == ((8L, 6L, 1L, 8L, ""))) // fully duplicated → empty
+    assert(out(4L) == ((2L, 0L, 0L, 0L, "u v"))) // shorter than w: untouched
+    assert(out(5L) == ((5L, 0L, 0L, 0L, "solo unique tokens only here")))
+    assert(out(6L) == ((9L, 2L, 2L, 6L, "g1 g2 g3"))) // two disjoint spans
+  }
+
   test("bigram LM scores repeated corpus patterns above one-off ones") {
     val spark2 = spark
     import spark2.implicits._
