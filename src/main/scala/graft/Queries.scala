@@ -2714,6 +2714,66 @@ object Queries {
       SELECT node, label FROM l3"""
     })
 
+  /** Top-100 PMI collocations over documents (min pair count 5); the
+    * oracle replays the three separately-floored logs and the tie-broken
+    * top-k.
+    */
+  private val q104 = Q(
+    "q104_pmi_collocations",
+    (spark, dir) =>
+      TextOps.pmiCollocations(pq(spark, dir, "documents"), "text", minCount = 5L, k = 100),
+    Some("""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') tk FROM documents),
+      u AS (SELECT unnest(tk) w FROM toks),
+      uc AS (SELECT w, count(*) c FROM u GROUP BY 1),
+      n AS (SELECT sum(c) n FROM uc),
+      bg AS (SELECT tk[g] w1, tk[g+1] w2 FROM
+        (SELECT tk, unnest(generate_series(1, len(tk) - 1)) g FROM toks
+         WHERE len(tk) >= 2)),
+      bc0 AS (SELECT w1, w2, count(*) c12 FROM bg GROUP BY 1, 2),
+      nb AS (SELECT sum(c12) nb FROM bc0)
+      SELECT w1, w2, c12 AS n_pair,
+        (floor(ln(c12 / nb.nb::DOUBLE) * 1000000)::BIGINT
+         - floor(ln(u1.c / n.n::DOUBLE) * 1000000)::BIGINT
+         - floor(ln(u2.c / n.n::DOUBLE) * 1000000)::BIGINT) AS pmi_micro
+      FROM bc0
+      JOIN uc u1 ON u1.w = w1 JOIN uc u2 ON u2.w = w2
+      CROSS JOIN nb CROSS JOIN n
+      WHERE c12 >= 5
+      ORDER BY pmi_micro DESC, w1, w2 LIMIT 100"""))
+
+  /** Embedding centroid drift per label between the even-id and odd-id
+    * halves of the embeddings table (two-snapshot stand-in).
+    */
+  private val q105 = Q(
+    "q105_centroid_drift",
+    (spark, dir) => {
+      val em = pq(spark, dir, "embeddings")
+      Similarity.centroidDrift(
+        em.filter(col("vec_id") % 2 === 0), em.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", "label")
+    },
+    Some("""WITH ax AS (SELECT label,
+          unnest(generate_series(0, len(embedding) - 1)) dim,
+          round(unnest(embedding)::DOUBLE * 1000000)::BIGINT m
+        FROM embeddings WHERE vec_id % 2 = 0),
+      an AS (SELECT label, count(*) n_a FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1),
+      ac AS (SELECT label, dim, n_a, floor(sum(m)::DOUBLE / n_a)::BIGINT ca
+        FROM ax JOIN an USING (label) GROUP BY label, dim, n_a),
+      bx AS (SELECT label,
+          unnest(generate_series(0, len(embedding) - 1)) dim,
+          round(unnest(embedding)::DOUBLE * 1000000)::BIGINT m
+        FROM embeddings WHERE vec_id % 2 = 1),
+      bn AS (SELECT label, count(*) n_b FROM embeddings WHERE vec_id % 2 = 1 GROUP BY 1),
+      bc AS (SELECT label, dim, n_b, floor(sum(m)::DOUBLE / n_b)::BIGINT cb
+        FROM bx JOIN bn USING (label) GROUP BY label, dim, n_b)
+      SELECT label, n_a, n_b,
+        CASE WHEN sum(ca*ca) = 0 OR sum(cb*cb) = 0 THEN NULL
+          ELSE round(sum(ca*cb)::DOUBLE /
+            (sqrt(sum(ca*ca)::DOUBLE) * sqrt(sum(cb*cb)::DOUBLE)), 6) END AS centroid_cos,
+        round(sqrt(sum((ca-cb)*(ca-cb))::DOUBLE))::BIGINT AS l2_micro
+      FROM ac JOIN bc USING (label, dim)
+      GROUP BY label, n_a, n_b"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2723,7 +2783,7 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103)
+    q103, q104, q105)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

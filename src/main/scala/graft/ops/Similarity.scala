@@ -707,4 +707,66 @@ object Similarity {
     */
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, qi => (qi.cast("double") * scale).cast("float"))
+
+  /** Per-group embedding centroid drift between two corpus snapshots —
+    * the embedding-space distribution-shift monitor (did this week's
+    * crawl move a domain/label's semantic center?): for every group
+    * present in BOTH frames, the cosine and L2 distance between the two
+    * group centroids, with the group sizes for context. Returns
+    * `(<groupCol>, n_a, n_b, centroid_cos, l2_micro)`.
+    *
+    * Determinism contract: each vector component is micro-rounded once
+    * (round(x·1e6), the [[quantizeInt8]] recipe), component sums are
+    * exact integer arithmetic, and the centroid component is
+    * floor(sum/n) computed through an IEEE double division (double stays
+    * exact below 2^53 — at 1e6-scale micros that is ~9e9 rows per group;
+    * beyond that, pre-shard groups). Cosine divides integer dot/norm
+    * sums under IEEE sqrt (exactly specified, unlike ln) and rounds to
+    * 6 dp; L2 is the micro-rounded root of an integer sum. Every step
+    * replays bit-for-bit in any engine.
+    *
+    * 100 TB shape: each side is one component explode into a
+    * map-side-combined (group, dim) sum — the moved data collapses to
+    * |groups|·dims rows — plus a |groups|-row count; the centroid tables
+    * join on (group, dim) and reduce to one row per group. Nothing
+    * corpus-sized shuffles unreduced, nothing is collected.
+    */
+  def centroidDrift(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      vecCol: String,
+      groupCol: String): DataFrame = {
+    def centroids(df: DataFrame, nName: String): DataFrame = {
+      val comps = df.select(
+        col(groupCol).as("__g"),
+        posexplode(col(vecCol)).as(Seq("dim", "__x")))
+        .select(col("__g"), col("dim"),
+          round(col("__x").cast("double") * 1e6).cast("long").as("__m"))
+      val counts = df.groupBy(col(groupCol).as("__g"))
+        .agg(count(lit(1)).as(nName))
+      comps.groupBy(col("__g"), col("dim"))
+        .agg(sum(col("__m")).as("__s"))
+        .join(counts, Seq("__g"))
+        .select(col("__g"), col("dim"), col(nName),
+          floor(col("__s").cast("double") / col(nName)).cast("long").as("__c"))
+    }
+    val ca = centroids(a, "n_a").withColumnRenamed("__c", "__ca")
+    val cb = centroids(b, "n_b").withColumnRenamed("__c", "__cb")
+    ca.join(cb, Seq("__g", "dim"))
+      .groupBy(col("__g"), col("n_a"), col("n_b"))
+      .agg(
+        sum(col("__ca") * col("__cb")).as("__dot"),
+        sum(col("__ca") * col("__ca")).as("__na2"),
+        sum(col("__cb") * col("__cb")).as("__nb2"),
+        sum((col("__ca") - col("__cb")) * (col("__ca") - col("__cb"))).as("__d2"))
+      .select(
+        col("__g").as(groupCol), col("n_a"), col("n_b"),
+        when(col("__na2") === 0L || col("__nb2") === 0L, lit(null))
+          .otherwise(round(
+            col("__dot").cast("double") /
+              (sqrt(col("__na2").cast("double")) * sqrt(col("__nb2").cast("double"))), 6))
+          .as("centroid_cos"),
+        round(sqrt(col("__d2").cast("double"))).cast("long").as("l2_micro"))
+  }
 }

@@ -812,6 +812,67 @@ object TextOps {
       .select(col("grp"), col("rank"), col("token"), col("cnt"))
   }
 
+  /** PMI collocations: the top-k adjacent-token pairs by pointwise mutual
+    * information, PMI = ln(P(w1w2) / (P(w1)·P(w2))) — the corpus-analysis
+    * primitive behind phrase detection (word2vec's phrase pass), domain
+    * drift checks, and tokenizer-merge candidates. `minCount` suppresses
+    * the classic PMI low-frequency pathology (a pair seen once scores
+    * absurdly high).
+    *
+    * Determinism contract: PMI is computed as the integer combination of
+    * three SEPARATELY micro-floored logs —
+    * floor6(ln(c12/Nb)) − floor6(ln(c1/N)) − floor6(ln(c2/N)) — each a
+    * single IEEE double division of two longs. No c12·N²-style integer
+    * products (which overflow Long at web scale), no compounded double
+    * arithmetic whose ordering could differ across engines; ties in the
+    * final top-k break on (w1, w2).
+    *
+    * 100 TB shape: two map-side-combined count aggregations (bigram and
+    * unigram tables are vocabulary-sized), the unigram table broadcast
+    * onto the bigram table twice, totals as broadcast one-row aggregates
+    * of the count tables (never a third corpus pass), and a global
+    * TakeOrdered for the top-k — nothing corpus-sized moves after the
+    * two counts.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 5L,
+      k: Int = 100): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount >= 1, k >= 1")
+    val M = 1000000L
+    val toks = tokens(col(textCol))
+    val bigrams = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val uc = df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // Nb = ALL bigram positions (the filter must not bias P(w1w2))
+    val bc0 = df.select(explode(bigrams).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val bc = bc0.filter(col("c12") >= minCount)
+    val totals = uc.agg(sum(col("c")).as("n"))
+      .crossJoin(bc0.agg(sum(col("c12")).as("nb")))
+    def floor6(x: Column): Column = floor(log(x) * M).cast("long")
+    bc
+      .join(broadcast(uc.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(uc.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("w1"), col("w2"), col("c12").as("n_pair"),
+        (floor6(col("c12").cast("double") / col("nb")) -
+          floor6(col("c1").cast("double") / col("n")) -
+          floor6(col("c2").cast("double") / col("n"))).as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Bootstrap quality classifier: a bernoulli naive-Bayes log-odds model
     * TRAINED IN-ENGINE from rule-labeled seed documents, then applied to
     * the whole corpus — the structural shape of the fasttext/CCNet quality

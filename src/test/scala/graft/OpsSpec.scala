@@ -1285,6 +1285,50 @@ class OpsSpec extends SparkSuite {
     assert(out(3L)._3 == md5of("totally original content third doc"))
   }
 
+  test("centroidDrift: identical groups cos 1, opposite groups cos -1") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = Seq(
+      (1L, "same", Array(1.0f, 0.0f)), (2L, "same", Array(1.0f, 0.0f)),
+      (3L, "flip", Array(0.0f, 2.0f)), (4L, "only_a", Array(1.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val b = Seq(
+      (5L, "same", Array(1.0f, 0.0f)),
+      (6L, "flip", Array(0.0f, -2.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = graft.ops.Similarity.centroidDrift(a, b, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[String]("label") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Any]("centroid_cos"), r.getAs[Long]("l2_micro"))).toMap
+    assert(got.keySet == Set("same", "flip")) // inner join drops only_a
+    assert(got("same") == ((2L, 1L, 1.0, 0L)))
+    // flip: centroids (0, 2e6) vs (0, -2e6): cos -1, l2 = 4e6 micros
+    assert(got("flip") == ((1L, 1L, -1.0, 4000000L)))
+  }
+
+  test("pmiCollocations: scalar decomposed-log replay, phrase outranks chance") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq(
+      (1L, "new york new york"),
+      (2L, "san francisco san francisco"),
+      (3L, "the the the")
+    ).toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(d, "text", minCount = 1L, k = 10)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        (r.getAs[Long]("n_pair"), r.getAs[Long]("pmi_micro"))).toMap
+    // unigrams: new 2, york 2, san 2, francisco 2, the 3 → N=11; bigrams:
+    // (new,york) 2, (york,new) 1, (san,francisco) 2, (francisco,san) 1,
+    // (the,the) 2 → Nb=8
+    val f6 = (x: Double) => math.floor(math.log(x) * 1e6).toLong
+    val exp = f6(2.0 / 8) - f6(2.0 / 11) - f6(2.0 / 11)
+    assert(got(("new", "york")) == ((2L, exp)))
+    assert(got(("san", "francisco")) == ((2L, exp)))
+    // "the the" pairs a MORE frequent unigram: lower PMI than the phrases
+    assert(got(("the", "the"))._2 < exp)
+    assert(got.size == 5)
+  }
+
   test("histogramQuantiles: within one bin of exact on a known distribution") {
     val spark2 = spark
     import spark2.implicits._
