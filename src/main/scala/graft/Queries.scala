@@ -2774,6 +2774,27 @@ object Queries {
       FROM ac JOIN bc USING (label, dim)
       GROUP BY label, n_a, n_b"""))
 
+  /** Weighted sample without replacement: 20 docs per lang, probability
+    * proportional to n_chars (Efraimidis–Spirakis, md5 uniforms).
+    */
+  private val q106 = Q(
+    "q106_weighted_sample",
+    (spark, dir) =>
+      Sampling.weightedSample(
+        pq(spark, dir, "documents"), "doc_id", "n_chars", "lang",
+        k = 20, salt = "ws0"),
+    Some("""WITH s AS (SELECT lang, doc_id, n_chars,
+        (('0x' || substr(md5('ws0|' || doc_id::VARCHAR), 1, 8))::UBIGINT + 1)::DOUBLE
+          / 4294967296.0 u
+      FROM documents WHERE n_chars > 0),
+      key AS (SELECT lang, doc_id, n_chars,
+        (-floor(ln(u) * 1000000)::BIGINT) * 1000000 // n_chars k
+      FROM s),
+      r AS (SELECT lang, doc_id, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k, doc_id) rank FROM key)
+      SELECT lang, doc_id, n_chars::BIGINT AS weight, rank::INT AS rank
+      FROM r WHERE rank <= 20"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2783,7 +2804,7 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103, q104, q105)
+    q103, q104, q105, q106)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -291,6 +291,51 @@ object Sampling {
       .drop("__gram")
   }
 
+  /** Weighted sampling WITHOUT replacement, k per group, deterministic —
+    * the Efraimidis–Spirakis (2006) exponential-jitter scheme with the
+    * md5-derived uniform replacing `rand()`: u = (first-8-hex(md5(salt|id))
+    * + 1) / 2^32, priority key ∝ −ln(u)/w, keep the k smallest keys per
+    * group. Selection probability tracks the weight (a doc sampled
+    * proportionally to its token count, a domain to its traffic) and the
+    * SAME (salt, id) always draws the same u, so re-runs and engines
+    * agree row-for-row — the weighted companion of [[sample]] /
+    * [[groupQuotaSample]].
+    *
+    * Determinism contract: ln(u) is floored to integer micros ONCE, the
+    * key is the all-integer `(−lnU6 · 1e6) div w` (everything
+    * non-negative, so Spark's truncating div and a flooring replay
+    * agree), and ranking breaks ties on ascending id. The micro floor
+    * coarsens the E-S exponential jitter by < 1e-6 relative — sampling
+    *-theory-irrelevant, replay-essential. Rows with weight <= 0 are
+    * excluded (they have zero mass in E-S).
+    *
+    * 100 TB shape: map-only key computation, then ONE per-group rank
+    * window — the same shape (and cost) as every deterministic top-k
+    * here; groups are the partition key, so skew equals group skew.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      groupCol: String,
+      k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val u = (conv(substring(md5(concat_ws("|", lit(salt), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long") + 1L).cast("double") / 4294967296.0
+    val lnU6 = floor(log(u) * 1e6).cast("long")
+    df.filter(col(weightCol).cast("long") > 0L)
+      .withColumn("__nlnu6", lnU6 * -1L) // >= 0: u <= 1 so ln(u) <= 0
+      .withColumn("__key",
+        expr(s"__nlnu6 * 1000000L div cast(`$weightCol` as bigint)"))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col(groupCol)).orderBy(col("__key"), col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col(idCol), col(weightCol).cast("long").as("weight"),
+        col("rank"))
+  }
+
   /** Deterministic training-order shuffle: a reproducible global
     * permutation of the corpus for training-example ORDER, as
     * (shard, pos, global_pos). The usual `orderBy(rand())` is

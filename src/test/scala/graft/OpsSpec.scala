@@ -1285,6 +1285,30 @@ class OpsSpec extends SparkSuite {
     assert(out(3L)._3 == md5of("totally original content third doc"))
   }
 
+  test("weightedSample: deterministic, k-bounded, weight-proportional-ish") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one heavy doc (w=1000) among 99 light ones (w=1): over 40 salts the
+    // heavy doc must appear in the k=5 sample far more often than any
+    // light doc would by chance
+    val d = (1L to 100L).map(i => (i, "g", if (i == 1L) 1000L else 1L))
+      .toDF("id", "grp", "w")
+    val hits = (0 until 40).count { s =>
+      graft.ops.Sampling.weightedSample(d, "id", "w", "grp", k = 5, salt = s"s$s")
+        .collect().exists(_.getAs[Long]("id") == 1L)
+    }
+    assert(hits >= 35, s"heavy doc sampled only $hits/40 times")
+    // deterministic replay; k bound; zero-weight rows excluded
+    val one = graft.ops.Sampling.weightedSample(d, "id", "w", "grp", 5, "s0")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rank"))).sortBy(_._2)
+    val two = graft.ops.Sampling.weightedSample(d, "id", "w", "grp", 5, "s0")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rank"))).sortBy(_._2)
+    assert(one.toSeq == two.toSeq && one.length == 5)
+    val dz = d.withColumn("w", when(col("id") === 1L, 0L).otherwise(col("w")))
+    assert(!graft.ops.Sampling.weightedSample(dz, "id", "w", "grp", 100, "s0")
+      .collect().exists(_.getAs[Long]("id") == 1L))
+  }
+
   test("centroidDrift: identical groups cos 1, opposite groups cos -1") {
     val spark2 = spark
     import spark2.implicits._
