@@ -345,7 +345,10 @@ object Sampling {
     * shuffle), pos = shard-local rank, and global_pos = pos + the
     * broadcast cumulative shard-size offset — the [[graft.ops.Corpus]]
     * `packPieces` prefix-sum trick, so the total order costs NO global
-    * window / range exchange. Re-running with the same seed reproduces
+    * window / range exchange. Note the resulting total order is
+    * (shard, md5) lexicographic, not the plain md5 order — equally
+    * pseudorandom (both derive from the same hash), and exactly what a
+    * sharded training reader consumes. Re-running with the same seed reproduces
     * the epoch exactly; a new seed is a fresh epoch permutation.
     *
     * 100 TB shape: one shuffle on the shard key, shard-local sort windows

@@ -182,6 +182,32 @@ class PlanSpec extends SparkSuite {
     assert(q71.toString.contains("LeftAnti"), s"q71 lost the maxBucket cap:\n$q71")
   }
 
+  test("dup-span removal: one window-hash count past the checkpoint, bounded shuffles") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = Queries.all.find(_.name == "q97_dup_span_removal").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    // the window table is checkpointed once; the base table is re-read
+    // only for the cheap token/stat projections (2 scans), never for the
+    // window pipeline
+    assert(plan.collect { case s: FileSourceScanExec => s }.length <= 2,
+      s"q97 re-runs the window explode from parquet:\n$plan")
+    // hash count + span window + span agg + covered anti-join + text
+    // reassembly + final joins; growth means a doc-keyed stage started
+    // re-shuffling corpus-sized data
+    assert(shuffles(plan) <= 8, s"q97 shuffle count grew to ${shuffles(plan)}:\n$plan")
+  }
+
+  test("training order: no range partitioning — the total order must not global-sort") {
+    val plan = Queries.all.find(_.name == "q101_training_order").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    // the whole point of the broadcast-offset design: an orderBy-style
+    // rangepartitioning exchange on the corpus would mean the global
+    // position fell back to a global sort. (The numShards-row offset
+    // table's single-partition window is fine and unavoidable.)
+    assert(!plan.toString.toLowerCase.contains("rangepartitioning"),
+      s"q101 global-sorts the corpus:\n$plan")
+  }
+
   test("dsir: log-ratio model broadcasts, no cartesian, corpus shuffles stay bounded") {
     val plan = Queries.all.find(_.name == "q77_dsir_select").get
       .build(spark, sfDir).queryExecution.executedPlan
