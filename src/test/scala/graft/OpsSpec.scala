@@ -1408,6 +1408,74 @@ class OpsSpec extends SparkSuite {
     assert(got.keys.count(_._1 == "c") == 1)
   }
 
+  test("dupSpanRemoval matches a brute-force reference on random corpora") {
+    val spark2 = spark
+    import spark2.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      val docs = (1L to 30L).map { i =>
+        val n = 3 + rnd.nextInt(18)
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val w = 3
+      // brute force: global w-gram counts → dup set → covered union → merge
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val grams = toks.toSeq.flatMap { case (id, tk) =>
+        if (tk.length < w) Nil
+        else (0 to tk.length - w).map(p => (id, p, tk.slice(p, p + w).mkString(" ")))
+      }
+      val dup = grams.groupBy(_._3).filter(_._2.length >= 2).keySet
+      val expected = docs.map { case (id, _) =>
+        val tk = toks(id)
+        val starts = grams.filter(g => g._1 == id && dup(g._3)).map(_._2).sorted
+        val covered = starts.flatMap(p => p until p + w).toSet
+        val spans = starts.foldLeft((0, -1)) { case ((cnt, maxEnd), p) =>
+          (if (p > maxEnd || maxEnd < 0) cnt + 1 else cnt, math.max(maxEnd, p + w))
+        }._1
+        val cleaned = tk.indices.filterNot(covered).map(tk).mkString(" ")
+        id -> ((tk.length.toLong, starts.length.toLong, spans.toLong,
+          covered.size.toLong, cleaned))
+      }.toMap
+      val got = Dedup.dupSpanRemoval(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_windows"),
+            r.getAs[Long]("n_spans"), r.getAs[Long]("n_removed"),
+            r.getAs[String]("cleaned_text"))).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("containmentPairs matches brute-force distinct-set containment") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("p", "q", "r", "s", "t", "u")
+    val docs = (1L to 20L).map { i =>
+      val n = 3 + rnd.nextInt(12)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val n = 2
+    def shingleSet(t: String): Set[String] = {
+      val tk = t.split(" ", -1).toSeq
+      if (tk.length < n) Set(tk.mkString(" "))
+      else (0 to tk.length - n).map(p => tk.slice(p, p + n).mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val expected = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      common = (sets(a) & sets(b)).size if common > 0
+      ca = math.round(common.toDouble / sets(a).size * 10000) / 10000.0
+      cb = math.round(common.toDouble / sets(b).size * 10000) / 10000.0
+      if math.max(ca, cb) >= 0.5
+    } yield (a, b) -> ((ca, cb))).toMap
+    val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+      n = n, threshold = 0.5, maxDf = 100000L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Double]("containment_a_in_b"), r.getAs[Double]("containment_b_in_a"))).toMap
+    assert(got == expected)
+  }
+
   test("nbQualityScores: scalar log-odds replay, separates seed classes") {
     val spark2 = spark
     import spark2.implicits._
