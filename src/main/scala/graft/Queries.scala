@@ -2795,6 +2795,139 @@ object Queries {
       SELECT lang, doc_id, n_chars::BIGINT AS weight, rank::INT AS rank
       FROM r WHERE rank <= 20"""))
 
+  /** Mixed-language detection: segment-level langId (8-token segments)
+    * aggregated per document.
+    */
+  private val q107 = Q(
+    "q107_mixed_language",
+    (spark, dir) =>
+      TextOps.mixedLanguageSignals(pq(spark, dir, "documents"), "doc_id", "text", 8),
+    Some {
+      val markers = TextOps.LangMarkers
+        .map { case (l, ws) => s"('$l', [${ws.map(w => s"'$w'").mkString(",")}])" }
+        .mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      seg AS (SELECT doc_id, g AS pos, array_to_string(ws[g*8+1:g*8+8], ' ') AS seg
+        FROM (SELECT doc_id, ws,
+            unnest(generate_series(0, GREATEST(CAST(ceil(len(ws) / 8.0) AS INT), 1) - 1)) g
+          FROM toks)),
+      sc AS (SELECT doc_id, pos, m.lang mlang,
+          len(list_filter(string_split(lower(trim(seg)), ' '),
+            x -> list_contains(m.words, x))) score
+        FROM seg, (VALUES $markers) m(lang, words)),
+      sl AS (SELECT doc_id, pos, mlang FROM (SELECT doc_id, pos, mlang,
+          ROW_NUMBER() OVER (PARTITION BY doc_id, pos ORDER BY score DESC, mlang DESC) rn
+        FROM sc) WHERE rn = 1),
+      lc AS (SELECT doc_id, mlang, count(*) c FROM sl GROUP BY 1, 2),
+      best AS (SELECT doc_id, mlang, c FROM (SELECT doc_id, mlang, c,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, mlang DESC) rn
+        FROM lc) WHERE rn = 1),
+      agg AS (SELECT doc_id, sum(c)::BIGINT n_segments, count(*)::BIGINT n_langs
+        FROM lc GROUP BY 1)
+      SELECT a.doc_id, a.n_segments, a.n_langs, b.mlang AS majority_lang,
+        ROUND(b.c::DOUBLE / a.n_segments, 4) AS majority_share,
+        a.n_langs > 1 AS is_mixed
+      FROM agg a JOIN best b USING (doc_id)"""
+    })
+
+  /** URL canonicalization for crawl dedup: synthetic URLs with tracking
+    * params, fragments, default ports, unsorted params; emits the
+    * canonical form and its md5 dedup key.
+    */
+  private val q108 = Q(
+    "q108_canonical_url",
+    (spark, dir) => {
+      val d = pq(spark, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 9 === 0, lit("HTTP")).otherwise(lit("https")),
+          lit("://"), col("source"), lit(".org"),
+          when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+          lit("/p/"), col("doc_id"),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          lit("?b=2&a=1"),
+          when(col("doc_id") % 2 === 0, lit("&utm_source=x&ref=tw")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+      d.select(
+        col("doc_id"), col("url"),
+        TextOps.canonicalUrl(col("url")).as("canonical_url"),
+        md5(TextOps.canonicalUrl(col("url"))).as("url_key"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        (CASE WHEN doc_id % 9 = 0 THEN 'HTTP' ELSE 'https' END || '://' ||
+         source || '.org' ||
+         CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+         '/p/' || doc_id ||
+         CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+         '?b=2&a=1' ||
+         CASE WHEN doc_id % 2 = 0 THEN '&utm_source=x&ref=tw' ELSE '' END ||
+         CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) url
+      FROM documents),
+      c AS (SELECT doc_id, url,
+        regexp_replace(url, '#.*$', '') nofrag,
+        regexp_extract(regexp_replace(url, '#.*$', ''),
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) sh
+      FROM d),
+      p AS (SELECT doc_id, url,
+        regexp_replace(lower(sh), ':(80|443)$', '') hostn,
+        substr(nofrag, length(sh) + 1) rest
+      FROM c),
+      q AS (SELECT doc_id, url, hostn,
+        strpos(rest, '?') qp, rest
+      FROM p),
+      parts AS (SELECT doc_id, url, hostn,
+        regexp_replace(CASE WHEN qp > 0 THEN substr(rest, 1, qp - 1) ELSE rest END,
+          '/+$', '') path,
+        CASE WHEN qp > 0 THEN substr(rest, qp + 1) ELSE '' END qs
+      FROM q),
+      canon AS (SELECT doc_id, url,
+        hostn || path ||
+        CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END cu
+      FROM (SELECT *, list_sort(list_filter(string_split(qs, '&'),
+          x -> NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|ref)=') AND x <> '')) kept
+        FROM parts))
+      SELECT doc_id, url, cu AS canonical_url, md5(cu) AS url_key FROM canon"""))
+
+  /** Deterministic negative sampling over the user-item interaction
+    * graph: 5 true negatives per user from md5-proposed catalog draws.
+    * The oracle replays the dense-index construction (q101's shard +
+    * offset SQL), the proposal hashes, the self-hit anti-join, the
+    * collision dedupe, and the keep-first-k.
+    */
+  private val q109 = Q(
+    "q109_negative_sample",
+    (spark, dir) => {
+      val ev = pq(spark, dir, "events").select(
+        col("user_id"),
+        (get_json_object(col("props"), "$.k").cast("long") + 100000L).as("item"))
+      Sampling.negativeSample(ev, "user_id", "item", k = 5, oversample = 4, salt = "neg0")
+    },
+    Some("""WITH inter AS (SELECT DISTINCT user_id u,
+        (json_extract_string(props, '$.k')::BIGINT + 100000) i
+      FROM events WHERE props IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL),
+      cat AS (SELECT DISTINCT i FROM inter),
+      h AS (SELECT i, md5('ns|neg0|' || i::VARCHAR) h FROM cat),
+      s AS (SELECT i, h, (('0x' || substr(h, 1, 8))::UBIGINT % 32)::INT shard FROM h),
+      p AS (SELECT i, shard,
+        (ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, i) - 1)::BIGINT pos FROM s),
+      o AS (SELECT shard, count(*) c FROM s GROUP BY 1),
+      off AS (SELECT shard, (sum(c) OVER (ORDER BY shard) - c)::BIGINT offs FROM o),
+      idx AS (SELECT i AS item, (offs + pos)::BIGINT idx FROM p JOIN off USING (shard)),
+      csize AS (SELECT count(*) c FROM cat),
+      prop AS (SELECT u, j,
+          (('0x' || substr(md5('neg0|' || u::VARCHAR || '|' || j::VARCHAR), 1, 8))::UBIGINT
+            % c)::BIGINT idx
+        FROM (SELECT DISTINCT u FROM inter),
+          (SELECT unnest(generate_series(0, 19)) j), csize),
+      cand AS (SELECT u, j, item FROM prop JOIN idx USING (idx)),
+      neg AS (SELECT u, item, min(j) j FROM cand
+        WHERE NOT EXISTS (SELECT 1 FROM inter
+          WHERE inter.u = cand.u AND inter.i = cand.item)
+        GROUP BY u, item),
+      r AS (SELECT u, item, ROW_NUMBER() OVER (PARTITION BY u ORDER BY j) rank FROM neg)
+      SELECT u AS user_id, item, rank::INT AS rank FROM r WHERE rank <= 5"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2804,7 +2937,7 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103, q104, q105, q106)
+    q103, q104, q105, q106, q107, q108, q109)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -379,6 +379,64 @@ object Sampling {
         (col("__off") + col("pos")).as("global_pos"))
   }
 
+  /** Deterministic negative sampling for implicit-feedback training:
+    * for every user in `interactions`, k items they did NOT interact
+    * with, drawn uniformly from the item catalog by md5 — the
+    * (user, pos, neg) triple generator every two-tower / matrix-
+    * factorization pipeline needs, with none of the usual `rand()`
+    * non-reproducibility. Draw j of user u proposes catalog index
+    * md5(salt|u|j) mod |catalog|; proposals that hit the user's own
+    * interaction set are discarded (true negatives only) and the first
+    * k survivors by draw order are kept. `oversample` controls how many
+    * proposals per kept negative are drawn (heavy users need more);
+    * users whose interaction set eats too many proposals emit fewer
+    * than k rows — raise `oversample` rather than re-drawing, so the
+    * output stays a pure function of (salt, interactions).
+    *
+    * 100 TB shape: the catalog gets a dense 0..C-1 index from
+    * [[trainingOrder]] (hash shards + broadcast offsets — no global
+    * sort); proposals are a map-side explode of k·oversample rows per
+    * user joined to the index (catalog-sized side, AQE broadcasts it
+    * when it fits), the self-hit discard is one (user, item) anti-join
+    * against the interactions themselves, and the keep-first-k is a
+    * per-user rank window. Nothing is collected; no user×catalog cross
+    * join exists anywhere.
+    */
+  def negativeSample(
+      interactions: DataFrame,
+      userCol: String,
+      itemCol: String,
+      k: Int,
+      oversample: Int = 4,
+      salt: String = ""): DataFrame = {
+    require(k >= 1 && oversample >= 1, "k >= 1, oversample >= 1")
+    val m = k * oversample
+    val inter = interactions
+      .select(col(userCol).cast("long").as("__u"), col(itemCol).cast("long").as("__i"))
+      .filter(col("__u").isNotNull && col("__i").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val catalog = inter.select(col("__i")).distinct()
+    val index = trainingOrder(catalog, "__i", numShards = 32, seed = s"ns|$salt")
+      .select(col("__i").as("__item"), col("global_pos").as("__idx"))
+    val catSize = index.agg(count(lit(1)).as("__c"))
+    val proposals = inter.select(col("__u")).distinct()
+      .select(col("__u"), explode(sequence(lit(0), lit(m - 1))).as("__j"))
+      .crossJoin(broadcast(catSize))
+      .withColumn("__idx",
+        pmod(conv(substring(md5(concat_ws("|", lit(salt), col("__u"), col("__j"))), 1, 8),
+          16, 10).cast("long"), col("__c")))
+    proposals
+      .join(index, Seq("__idx"))
+      .join(inter.withColumnRenamed("__i", "__item"), Seq("__u", "__item"), "left_anti")
+      // collision dedupe: two draws proposing the same item keep the first
+      .groupBy(col("__u"), col("__item")).agg(min(col("__j")).as("__j"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("__u")).orderBy(col("__j"))))
+      .filter(col("rank") <= k)
+      .select(col("__u").as(userCol), col("__item").as(itemCol), col("rank"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, Data Selection via
     * Importance Resampling): fit Laplace-smoothed bag-of-hashed-ngram
     * models over the TARGET domain (p) and the raw CORPUS (q); a

@@ -306,6 +306,34 @@ object TextOps {
   def domainBlocked(domain: Column, blocklist: Seq[String]): Column =
     domain.isInCollection(blocklist)
 
+  /** Canonical URL for crawl-frontier / cross-crawl dedup — unlike
+    * [[urlParts]]' `norm_url` (which drops the query entirely, collapsing
+    * `?page=2` into `?page=3`), this KEEPS meaningful query params:
+    * fragment stripped, scheme+host lowercased, default ports (:80/:443)
+    * removed, trailing path slashes trimmed, tracking params
+    * (`utm_*`, `gclid`, `fbclid`, `ref`) dropped, and the surviving
+    * params SORTED so param order can't split one page into two keys.
+    * Pure string/array column expressions (regex + HOF filter/sort) —
+    * map-only, codegen'd, no shuffle; every step replays in any engine
+    * with regex + list functions. Pair with md5 for the dedup key.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val schemeHost = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val hostNorm = regexp_replace(lower(schemeHost), ":(80|443)$", "")
+    val rest = noFrag.substr(length(schemeHost) + 1, length(noFrag))
+    val qpos = instr(rest, "?")
+    val path0 = when(qpos > 0, rest.substr(lit(1), qpos - 1)).otherwise(rest)
+    val path = regexp_replace(path0, "/+$", "")
+    val query0 = when(qpos > 0, rest.substr(qpos + 1, length(rest))).otherwise(lit(""))
+    val kept = array_sort(filter(
+      split(query0, "&"),
+      p => !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)=") && p =!= ""))
+    val qstr = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+    concat(hostNorm, path, qstr)
+  }
+
   /** Character-level Shannon entropy (bits/char) — the cheap noise/garbage
     * signal (binary spew and keyboard-mash score far from prose's ~4.1
     * bits): per document, the distinct characters, and
@@ -810,6 +838,51 @@ object TextOps {
           Window.partitionBy(col("grp")).orderBy(col("cnt").desc, col("token"))))
       .filter(col("rank") <= k)
       .select(col("grp"), col("rank"), col("token"), col("cnt"))
+  }
+
+  /** Mixed-language (code-switch) detection: [[langId]] applied per
+    * fixed-size token segment, aggregated per document — a document whose
+    * segments disagree on language is boilerplate-stitched, machine-
+    * translated-partial, or genuinely code-switched, and every downstream
+    * monolingual filter mis-handles it. Returns
+    * `(<idCol>, n_segments, n_langs, majority_lang, majority_share,
+    * is_mixed)`; majority ties break toward the lexicographically larger
+    * code (the [[langId]] rule, applied to (count, lang) pairs) and the
+    * share is rounded to 4 dp.
+    *
+    * 100 TB shape: one segment explode (map-side), per-(doc, lang) counts
+    * with map-side combine, one per-doc argmax aggregation — two doc-keyed
+    * shuffles, no windows, nothing model-sized to broadcast.
+    */
+  def mixedLanguageSignals(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int): DataFrame = {
+    require(segTokens > 0, s"segTokens=$segTokens must be > 0")
+    val toks = tokens(col(textCol))
+    val nSegs = greatest(ceil(size(toks).cast("double") / segTokens).cast("int"), lit(1))
+    val segs = transform(
+      sequence(lit(0), nSegs - 1),
+      i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+    val counts = df
+      .select(col(idCol), explode(segs).as("__seg"))
+      .withColumn("__lang", langId(col("__seg")))
+      .groupBy(col(idCol), col("__lang"))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("n_segments"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("__c"), col("__lang"))).as("__best"))
+      .select(
+        col(idCol),
+        col("n_segments"),
+        col("n_langs"),
+        col("__best.__lang").as("majority_lang"),
+        round(col("__best.__c").cast("double") / col("n_segments"), 4)
+          .as("majority_share"),
+        (col("n_langs") > 1L).as("is_mixed"))
   }
 
   /** PMI collocations: the top-k adjacent-token pairs by pointwise mutual

@@ -1285,6 +1285,68 @@ class OpsSpec extends SparkSuite {
     assert(out(3L)._3 == md5of("totally original content third doc"))
   }
 
+  test("negativeSample: true negatives only, deterministic, k-bounded") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 10 users x a few interactions over a 50-item catalog
+    val rnd = new scala.util.Random(3)
+    val inter = (for (u <- 1L to 10L; _ <- 1 to 5)
+      yield (u, 100L + rnd.nextInt(50))).distinct.toDF("user_id", "item")
+    val pos = inter.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.ops.Sampling.negativeSample(inter, "user_id", "item",
+      k = 5, oversample = 4, salt = "t")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("item"),
+        r.getAs[Int]("rank")))
+    // no sampled negative is a real interaction; k bound; no dup items
+    assert(got.forall { case (u, i, _) => !pos((u, i)) })
+    val byU = got.groupBy(_._1)
+    assert(byU.values.forall(_.length <= 5))
+    assert(byU.values.forall(rs => rs.map(_._2).distinct.length == rs.length))
+    assert(byU.size == 10) // every user got at least one negative
+    // replay-identical
+    val again = graft.ops.Sampling.negativeSample(inter, "user_id", "item", 5, 4, "t")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("item"),
+        r.getAs[Int]("rank"))).toSet
+    assert(again == got.toSet)
+  }
+
+  test("canonicalUrl: tracking params, order, ports, fragments all collapse") {
+    val spark2 = spark
+    import spark2.implicits._
+    val urls = Seq(
+      "HTTPS://Example.com:443/a/b/?b=2&a=1#sec",
+      "https://example.com/a/b?a=1&utm_source=tw&b=2&ref=x",
+      "https://example.com/other?page=2",
+      "https://example.com/other?page=3",
+      "plain-not-a-url")
+    val got = urls.toDF("u")
+      .select(TextOps.canonicalUrl(col("u")).as("c")).collect().map(_.getString(0))
+    // variants of the same page collapse to one canonical form
+    assert(got(0) == "https://example.com/a/b?a=1&b=2")
+    assert(got(1) == got(0))
+    // meaningful params SURVIVE — pagination stays distinct
+    assert(got(2) == "https://example.com/other?page=2")
+    assert(got(2) != got(3))
+    assert(got(4) == "plain-not-a-url") // schemeless input passes through
+  }
+
+  test("mixedLanguageSignals flags a stitched bilingual doc, not a clean one") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 4-token segments: doc 1 is English + German halves; doc 2 pure English
+    val d = Seq(
+      (1L, "the quick brown fox der hund und die"),
+      (2L, "the quick brown fox with the lazy dog")
+    ).toDF("doc_id", "text")
+    val out = TextOps.mixedLanguageSignals(d, "doc_id", "text", segTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("n_langs"),
+          r.getAs[Boolean]("is_mixed"), r.getAs[Double]("majority_share"))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 2 && out(1L)._3)
+    assert(out(1L)._4 == 0.5)
+    assert(out(2L)._2 == 1 && !out(2L)._3 && out(2L)._4 == 1.0)
+  }
+
   test("weightedSample: deterministic, k-bounded, weight-proportional-ish") {
     val spark2 = spark
     import spark2.implicits._
