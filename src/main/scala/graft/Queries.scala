@@ -2,7 +2,7 @@ package graft
 
 import graft.client.{GraftClient, Metrics}
 import graft.engine.{EventTime, TemporalJoin}
-import graft.ops.{Cluster, Corpus, Dedup, Graph, Multimodal, Sampling, Sessions, Similarity, Sketch, TextOps}
+import graft.ops.{Cluster, Corpus, Decay, Dedup, Graph, Multimodal, Sampling, Sessions, Similarity, Sketch, TextOps}
 import graft.table._
 import graft.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -2928,6 +2928,29 @@ object Queries {
       r AS (SELECT u, item, ROW_NUMBER() OVER (PARTITION BY u ORDER BY j) rank FROM neg)
       SELECT u AS user_id, item, rank::INT AS rank FROM r WHERE rank <= 5"""))
 
+  /** Snapshot half-life decay score per user (1-day half-life, reference
+    * instant 2024-01-31T00:00Z, just past the events table's range).
+    */
+  private val q110 = Q(
+    "q110_snapshot_decay",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val ev = raw.select(
+        col("user_id"), EventTime.epochMillis(raw, "ts").as("ts_ms"), col("value"))
+      Decay.snapshotDecay(ev, Seq("user_id"), "ts_ms", "value",
+        halfLifeMs = 86400000L, refTimeMs = 1706659200000L)
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) tms, value FROM events),
+      w AS (SELECT user_id,
+        floor(pow(2.0, -((1706659200000 - tms)::DOUBLE / 86400000.0)) * 1000000)::BIGINT w6,
+        round(value * 1000000)::BIGINT v6
+      FROM e WHERE 1706659200000 - tms >= 0)
+      SELECT user_id, count(*)::BIGINT AS n_events,
+        sum(w6)::BIGINT AS decayed_count_micro,
+        sum(CASE WHEN v6 < 0 THEN -((-v6) * w6 // 1000000)
+          ELSE v6 * w6 // 1000000 END)::BIGINT AS decayed_sum_micro
+      FROM w GROUP BY user_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2937,7 +2960,7 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103, q104, q105, q106, q107, q108, q109)
+    q103, q104, q105, q106, q107, q108, q109, q110)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

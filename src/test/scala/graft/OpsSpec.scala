@@ -1285,6 +1285,27 @@ class OpsSpec extends SparkSuite {
     assert(out(3L)._3 == md5of("totally original content third doc"))
   }
 
+  test("snapshotDecay: exact half-life weights, sign-split, future events dropped") {
+    val spark2 = spark
+    import spark2.implicits._
+    val hl = 1000L
+    val ref = 10000L
+    val d = Seq(
+      (1L, 10000L, 10.0),  // age 0      → w6 = 1000000
+      (1L, 9000L, 10.0),   // age = hl   → w6 = 500000
+      (1L, 8000L, -10.0),  // age = 2hl  → w6 = 250000, negative value
+      (1L, 10500L, 99.0),  // future: dropped
+      (2L, 10000L, 0.5)
+    ).toDF("user_id", "ts_ms", "value")
+    val got = graft.ops.Decay.snapshotDecay(d, Seq("user_id"), "ts_ms", "value", hl, ref)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("decayed_count_micro"),
+          r.getAs[Long]("decayed_sum_micro"))).toMap
+    // user 1: contributions 10e6·1.0 + 10e6·0.5 − 10e6·0.25 = 12.5e6
+    assert(got(1L) == ((3L, 1750000L, 12500000L)))
+    assert(got(2L) == ((1L, 1000000L, 500000L)))
+  }
+
   test("negativeSample: true negatives only, deterministic, k-bounded") {
     val spark2 = spark
     import spark2.implicits._
