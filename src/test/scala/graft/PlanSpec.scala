@@ -208,6 +208,26 @@ class PlanSpec extends SparkSuite {
       s"q101 global-sorts the corpus:\n$plan")
   }
 
+  test("nb quality: vocab weight table broadcasts, bounded corpus shuffles") {
+    val plan = Queries.all.find(_.name == "q99_nb_quality").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("Broadcast"),
+      s"q99's ≤V-row weight table must broadcast onto the (doc, token) pairs:\n$plan")
+    // pairs distinct + token counts + TakeOrdered + per-doc sum + final join;
+    // growth means the model join started shuffling the corpus side
+    assert(shuffles(plan) <= 6, s"q99 shuffle count grew to ${shuffles(plan)}:\n$plan")
+  }
+
+  test("pmi: unigram/total tables broadcast onto bigrams, bounded shuffles") {
+    val plan = Queries.all.find(_.name == "q104_pmi_collocations").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("Broadcast"),
+      s"q104's vocabulary-sized tables must broadcast:\n$plan")
+    assert(shuffles(plan) <= 6, s"q104 shuffle count grew to ${shuffles(plan)}:\n$plan")
+  }
+
   test("dsir: log-ratio model broadcasts, no cartesian, corpus shuffles stay bounded") {
     val plan = Queries.all.find(_.name == "q77_dsir_select").get
       .build(spark, sfDir).queryExecution.executedPlan
