@@ -2951,6 +2951,47 @@ object Queries {
           ELSE v6 * w6 // 1000000 END)::BIGINT AS decayed_sum_micro
       FROM w GROUP BY user_id"""))
 
+  /** Reciprocal-rank fusion of two retrieval signals (cosine and raw dot)
+    * per query over the embeddings table; top-10 fused per query.
+    */
+  private val q111 = Q(
+    "q111_rank_fusion",
+    (spark, dir) => {
+      val em = pq(spark, dir, "embeddings")
+      val q = em.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = em.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("item"), col("embedding").as("cv"))
+      val pairs = c.crossJoin(broadcast(q))
+      val cand = pairs.select(col("qid"), col("item"), lit("cos").as("method"),
+          round(Similarity.dot(col("cv"), col("qv")) /
+            (Similarity.norm(col("cv")) * Similarity.norm(col("qv"))), 6).as("score"))
+        .unionByName(pairs.select(col("qid"), col("item"), lit("dot").as("method"),
+          round(Similarity.dot(col("cv"), col("qv")), 6).as("score")))
+      Similarity.rrfFuse(cand, "qid", "item", "method", "score", k0 = 60)
+        .filter(col("fused_rank") <= 10)
+    },
+    Some("""WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qv FROM embeddings
+        WHERE vec_id < 5),
+      c AS (SELECT vec_id item, embedding::DOUBLE[] cv FROM embeddings
+        WHERE vec_id >= 5),
+      p AS (SELECT qid, item,
+        ROUND(list_dot_product(cv, qv) /
+          (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) cosv,
+        ROUND(list_dot_product(cv, qv), 6) dotv FROM c, q),
+      cand AS (SELECT qid, item, 'cos' mth, cosv score FROM p
+        UNION ALL SELECT qid, item, 'dot', dotv FROM p),
+      r AS (SELECT qid, item, mth,
+        ROW_NUMBER() OVER (PARTITION BY qid, mth ORDER BY score DESC, item) rr
+        FROM cand),
+      f AS (SELECT qid, item, count(*) n_methods,
+        sum(1000000 // (60 + rr)) rrf FROM r GROUP BY 1, 2),
+      o AS (SELECT qid, item, n_methods, rrf,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, item) fr FROM f)
+      SELECT qid, item, n_methods::BIGINT AS n_methods, rrf::BIGINT AS rrf_micro,
+        fr::INT AS fused_rank
+      FROM o WHERE fr <= 10"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2960,7 +3001,7 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103, q104, q105, q106, q107, q108, q109, q110)
+    q103, q104, q105, q106, q107, q108, q109, q110, q111)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

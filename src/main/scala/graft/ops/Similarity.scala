@@ -708,6 +708,47 @@ object Similarity {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, qi => (qi.cast("double") * scale).cast("float"))
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of multiple candidate
+    * rankings per query — the standard way to ensemble BM25, ANN, and
+    * quality signals into one list without score calibration:
+    * rrf(d) = Σ_methods 1/(k0 + rank_method(d)). Input is the stacked
+    * long form (query, item, method, score); ranks are computed per
+    * (query, method) by (score desc, item asc), each reciprocal is
+    * floored to integer MICROS, and the fused score is their exact
+    * integer sum — engine-replayable, aggregation-order-proof. Returns
+    * (query, item, n_methods, rrf_micro, fused_rank) with fused ties
+    * broken on ascending item.
+    *
+    * 100 TB shape: candidate lists are per-query (retrieval-sized), so
+    * the rank windows partition on (query, method) and the fuse
+    * aggregates on (query, item) — two shuffles over candidate rows
+    * only, never over a corpus; skew equals the largest candidate list.
+    */
+  def rrfFuse(
+      candidates: DataFrame,
+      queryCol: String,
+      itemCol: String,
+      methodCol: String,
+      scoreCol: String,
+      k0: Int = 60): DataFrame = {
+    require(k0 >= 1, s"k0=$k0 must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = candidates.withColumn("__r",
+      row_number().over(
+        Window.partitionBy(col(queryCol), col(methodCol))
+          .orderBy(col(scoreCol).desc, col(itemCol))))
+    ranked
+      .withColumn("__rr6", expr(s"1000000L div (${k0}L + __r)"))
+      .groupBy(col(queryCol), col(itemCol))
+      .agg(
+        count(lit(1)).as("n_methods"),
+        sum(col("__rr6")).as("rrf_micro"))
+      .withColumn("fused_rank",
+        row_number().over(
+          Window.partitionBy(col(queryCol))
+            .orderBy(col("rrf_micro").desc, col(itemCol))))
+  }
+
   /** Per-group embedding centroid drift between two corpus snapshots —
     * the embedding-space distribution-shift monitor (did this week's
     * crawl move a domain/label's semantic center?): for every group

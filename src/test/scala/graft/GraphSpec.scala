@@ -151,6 +151,32 @@ class GraphSpec extends SparkSuite {
     assert(Set(10L, 11L, 12L).map(got) == Set(3L))
   }
 
+  test("labelPropagation matches a scalar synchronous replay on random graphs") {
+    val spark2 = spark
+    import spark2.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = (1 to 60).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // scalar replay of the exact rule: undirected, count desc / label asc
+      val adj = (edges ++ edges.map(_.swap)).distinct
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+      var labels = adj.keys.map(k => k -> k).toMap
+      for (_ <- 1 to 3) {
+        labels = adj.map { case (node, nbrs) =>
+          val counts = nbrs.groupBy(labels).toSeq.map { case (l, xs) => (xs.size, l) }
+          // max count; tie → SMALLEST label
+          val best = counts.sortBy { case (c, l) => (-c, l) }.head._2
+          node -> best
+        }
+      }
+      val got = Graph.labelPropagation(edges.toDF("s", "d"), "s", "d", iters = 3)
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+      assert(got == labels, s"seed=$seed")
+    }
+  }
+
   test("all-dangling graph degenerates to uniform redistribution") {
     val spark2 = spark
     import spark2.implicits._

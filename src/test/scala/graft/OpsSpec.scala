@@ -1285,6 +1285,26 @@ class OpsSpec extends SparkSuite {
     assert(out(3L)._3 == md5of("totally original content third doc"))
   }
 
+  test("rrfFuse: exact reciprocal sums, consensus item outranks split opinions") {
+    val spark2 = spark
+    import spark2.implicits._
+    // method m1 ranks a > b > c; m2 ranks a > c > b → a is the consensus
+    val cand = Seq(
+      ("q1", "a", "m1", 0.9), ("q1", "b", "m1", 0.8), ("q1", "c", "m1", 0.7),
+      ("q1", "a", "m2", 0.95), ("q1", "c", "m2", 0.5), ("q1", "b", "m2", 0.4),
+      ("q1", "only_m1", "m1", 0.01)
+    ).toDF("qid", "item", "method", "score")
+    val got = graft.ops.Similarity.rrfFuse(cand, "qid", "item", "method", "score", k0 = 10)
+      .collect().map(r => r.getAs[String]("item") ->
+        (r.getAs[Long]("n_methods"), r.getAs[Long]("rrf_micro"),
+          r.getAs[Int]("fused_rank"))).toMap
+    val rr = (r: Int) => 1000000L / (10 + r)
+    assert(got("a") == ((2L, rr(1) * 2, 1)))
+    assert(got("b") == ((2L, rr(2) + rr(3), 2))) // ties with c → item asc
+    assert(got("c") == ((2L, rr(3) + rr(2), 3)))
+    assert(got("only_m1") == ((1L, rr(4), 4)))
+  }
+
   test("snapshotDecay: exact half-life weights, sign-split, future events dropped") {
     val spark2 = spark
     import spark2.implicits._
