@@ -2755,15 +2755,17 @@ object Queries {
     Some("""WITH ax AS (SELECT label,
           unnest(generate_series(0, len(embedding) - 1)) dim,
           round(unnest(embedding)::DOUBLE * 1000000)::BIGINT m
-        FROM embeddings WHERE vec_id % 2 = 0),
-      an AS (SELECT label, count(*) n_a FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1),
+        FROM embeddings WHERE vec_id % 2 = 0 AND embedding IS NOT NULL),
+      an AS (SELECT label, count(*) n_a FROM embeddings
+        WHERE vec_id % 2 = 0 AND embedding IS NOT NULL GROUP BY 1),
       ac AS (SELECT label, dim, n_a, floor(sum(m)::DOUBLE / n_a)::BIGINT ca
         FROM ax JOIN an USING (label) GROUP BY label, dim, n_a),
       bx AS (SELECT label,
           unnest(generate_series(0, len(embedding) - 1)) dim,
           round(unnest(embedding)::DOUBLE * 1000000)::BIGINT m
-        FROM embeddings WHERE vec_id % 2 = 1),
-      bn AS (SELECT label, count(*) n_b FROM embeddings WHERE vec_id % 2 = 1 GROUP BY 1),
+        FROM embeddings WHERE vec_id % 2 = 1 AND embedding IS NOT NULL),
+      bn AS (SELECT label, count(*) n_b FROM embeddings
+        WHERE vec_id % 2 = 1 AND embedding IS NOT NULL GROUP BY 1),
       bc AS (SELECT label, dim, n_b, floor(sum(m)::DOUBLE / n_b)::BIGINT cb
         FROM bx JOIN bn USING (label) GROUP BY label, dim, n_b)
       SELECT label, n_a, n_b,

@@ -778,7 +778,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       groupCol: String): DataFrame = {
-    def centroids(df: DataFrame, nName: String): DataFrame = {
+    def centroids(df0: DataFrame, nName: String): DataFrame = {
+      // null vectors carry no components, so they must not inflate the
+      // divisor either
+      val df = df0.filter(col(vecCol).isNotNull)
       val comps = df.select(
         col(groupCol).as("__g"),
         posexplode(col(vecCol)).as(Seq("dim", "__x")))
