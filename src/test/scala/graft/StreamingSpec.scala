@@ -3,7 +3,7 @@ package graft
 import graft.client.GraftClient
 import graft.table._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 import scala.concurrent.duration._
 
@@ -412,6 +412,10 @@ class StreamingSpec extends SparkSuite {
       graft.ops.TextOps.gopherRules(sdf, "text", Seq("doc_id"))
         .select(col("doc_id"), col("keep")),
       "doc_id", Seq("train" -> 0.8, "val" -> 0.2), salt = "s")
+      // canonicalUrl is likewise a pure column expression — verify it
+      // rides the same unbounded plan
+      .withColumn("curl", graft.ops.TextOps.canonicalUrl(
+        concat(lit("HTTPS://Ex.com:443/d/"), col("doc_id"), lit("?b=2&utm_x=1&a=1"))))
     assert(curated.isStreaming, "curation plan must stay unbounded")
     val query = curated.writeStream.format("memory").queryName("s_curate_out")
       .outputMode("append").start()
@@ -420,6 +424,10 @@ class StreamingSpec extends SparkSuite {
       query.processAllAvailable()
       val got = spark.sql("SELECT doc_id, keep, split FROM s_curate_out")
         .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSet
+      val curls = spark.sql("SELECT curl FROM s_curate_out WHERE doc_id = 1")
+        .collect().map(_.getString(0))
+      assert(curls.sameElements(Array("https://ex.com/d/1?a=1&b=2")),
+        s"streamed canonicalUrl wrong: ${curls.toSeq}")
       val batch = graft.ops.Sampling.splitAssign(
         graft.ops.TextOps.gopherRules(rows.toDF("doc_id", "text"), "text", Seq("doc_id"))
           .select(col("doc_id"), col("keep")),
