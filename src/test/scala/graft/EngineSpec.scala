@@ -10,6 +10,30 @@ import scala.concurrent.duration._
 
 class EngineSpec extends SparkSuite {
 
+  test("EventTime: int64-nanos and timestamp columns yield identical event time") {
+    // the driver's testdata flipped events.ts from TIMESTAMP(NANOS)
+    // (read as int64) to TIMESTAMP_MICROS across regenerations; the same
+    // declared source must produce the same __event_time__ under both
+    // physical representations, for append() AND the ad-hoc helper
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val instants = Seq(0L, 1706659165261L, 999L) // epoch ms
+    val asNanos = instants.map(_ * 1000000L).toDF("ts")
+    val asTimestamp = instants.toDF("ms")
+      .select(timestamp_millis(col("ms")).as("ts"))
+    def times(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      EventTime.append(df, Some("ts"), "epoch_nanos")
+        .select(col(EventTime.Col)).collect().map(_.getLong(0)).toSeq.sorted
+    assert(times(asNanos) == instants.sorted)
+    assert(times(asTimestamp) == instants.sorted)
+    def helper(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(EventTime.epochMillis(df, "ts").as("t"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+    assert(helper(asNanos) == instants.sorted)
+    assert(helper(asTimestamp) == instants.sorted)
+  }
+
   private lazy val client = new GraftClient(spark)
 
   private lazy val purchaseSource: FileSource = {
