@@ -2994,6 +2994,28 @@ object Queries {
         fr::INT AS fused_rank
       FROM o WHERE fr <= 10"""))
 
+  /** Hot-key skew report over three lineitem columns (a low-cardinality
+    * flag, a status, and a real join key), top-5 values each.
+    */
+  private val q112 = Q(
+    "q112_skew_report",
+    (spark, dir) =>
+      Corpus.skewReport(
+        pq(spark, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_suppkey"), k = 5),
+    Some("""WITH lf AS (
+        SELECT 'l_returnflag' AS col_name, l_returnflag::VARCHAR AS "value" FROM lineitem
+        UNION ALL SELECT 'l_linestatus', l_linestatus::VARCHAR FROM lineitem
+        UNION ALL SELECT 'l_suppkey', l_suppkey::VARCHAR FROM lineitem),
+      c AS (SELECT col_name, "value", count(*) cnt FROM lf GROUP BY 1, 2),
+      t AS (SELECT col_name, sum(cnt) tot FROM c GROUP BY 1),
+      r AS (SELECT col_name, "value", cnt,
+        ROW_NUMBER() OVER (PARTITION BY col_name
+          ORDER BY cnt DESC, "value" ASC NULLS LAST) rank FROM c)
+      SELECT r.col_name, rank::INT AS rank, "value", cnt::BIGINT AS cnt,
+        ROUND(cnt::DOUBLE / tot, 4) AS share
+      FROM r JOIN t USING (col_name) WHERE rank <= 5"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3003,7 +3025,7 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103, q104, q105, q106, q107, q108, q109, q110, q111)
+    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -164,6 +164,42 @@ object Corpus {
           ((col("r") - col("cum")).cast("double") + 0.5) / col("n")).as("est_value"))
   }
 
+  /** Hot-key skew report: the top-k heaviest values per column with
+    * their corpus share — the before-the-join diagnosis that tells you
+    * which keys need salting, an AQE skew hint, or a broadcast rethink
+    * (completes the drop-QA triad with [[profile]] and [[histogram]]).
+    * Returns `(col_name, rank, value, cnt, share)`; NULL counts as a
+    * value (a null-heavy join key is the classic silent hotspot), ranked
+    * with explicit NULLS LAST tie-breaking so the report replays on any
+    * engine.
+    *
+    * 100 TB shape: map-side stack/unpivot into one map-side-combined
+    * (col, value) count, a |cols|-row total agg broadcast back, and a
+    * per-column top-k window over the already-aggregated count table —
+    * the window sorts distinct values, not rows; output is ≤ cols·k.
+    */
+  def skewReport(df: DataFrame, cols: Seq[String], k: Int = 10): DataFrame = {
+    require(cols.nonEmpty && k >= 1, "at least one column, k >= 1")
+    val stackExpr = s"stack(${cols.size}, " +
+      cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ") +
+      ") as (col_name, value)"
+    val counts = df.selectExpr(stackExpr)
+      .groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val totals = counts.groupBy(col("col_name")).agg(sum(col("cnt")).as("__tot"))
+    counts
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col("col_name"))
+            .orderBy(col("cnt").desc, col("value").asc_nulls_last)))
+      .filter(col("rank") <= k)
+      .join(broadcast(totals), Seq("col_name"))
+      .select(
+        col("col_name"), col("rank"), col("value"), col("cnt"),
+        round(col("cnt").cast("double") / col("__tot"), 4).as("share"))
+  }
+
   /** Row-level diff of two snapshots by id: `unchanged` (same id, same
     * normalized text), `changed` (same id, different text), `added` (only
     * in `cur`), `removed` (only in `old`). Content comparison uses

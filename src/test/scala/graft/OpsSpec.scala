@@ -1285,6 +1285,20 @@ class OpsSpec extends SparkSuite {
     assert(out(3L)._3 == md5of("totally original content third doc"))
   }
 
+  test("skewReport: hot key ranked first with exact share, nulls counted") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = (Seq.fill(6)("hot") ++ Seq("a", "b", "c") ++ Seq(null, null))
+      .map(Tuple1(_)).toDF("key")
+    val got = graft.ops.Corpus.skewReport(d, Seq("key"), k = 3)
+      .collect().map(r => r.getAs[Int]("rank") ->
+        (r.getAs[String]("value"), r.getAs[Long]("cnt"), r.getAs[Double]("share"))).toMap
+    assert(got(1) == (("hot", 6L, 0.5455))) // 6/11
+    assert(got(2) == ((null, 2L, 0.1818))) // nulls are a countable hotspot
+    assert(got(3)._2 == 1L)
+    assert(got.size == 3)
+  }
+
   test("rrfFuse: exact reciprocal sums, consensus item outranks split opinions") {
     val spark2 = spark
     import spark2.implicits._
