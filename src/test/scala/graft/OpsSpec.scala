@@ -164,6 +164,29 @@ class OpsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("prefix-filtered jaccard is lossless: identical pairs to the plain inverted index") {
+    // Randomized parity across thresholds, including ones where the 4-dp
+    // rounding slack matters (t*|S| near-integer shapes) and tiny docs.
+    val rnd = new scala.util.Random(20260814)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "alpha", "beta")
+    val rows = (0L until 60L).map { i =>
+      val len = 1 + rnd.nextInt(12)
+      val base = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // clone-with-small-edit every third doc so near-dups exist
+      val txt = if (i % 3 == 2) base + " " + vocab(rnd.nextInt(vocab.size)) else base
+      (i, txt)
+    }
+    val d = spark.createDataFrame(rows).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.6667, 0.9)) {
+      val plain = Dedup.ngramJaccardPairs(d, "doc_id", "text", 2, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text", 2, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == plain, s"threshold $t: prefix-filtered pairs diverged")
+      assert(plain.nonEmpty || t >= 0.9)
+    }
+  }
+
   test("minhash lsh recovers exact duplicates") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
