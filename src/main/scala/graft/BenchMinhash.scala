@@ -47,24 +47,33 @@ object BenchMinhash {
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup, untimed
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
+    // shared LSH tail (bands, skew cap, bucket-local self-join, distinct)
+    def lshTail(sigs: DataFrame): DataFrame = {
+      val bb = graft.ops.Dedup.lshBands(sigs, NumHashes, Bands).localCheckpoint(true)
+      val hot = bb.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 10000L).select(col("band"), col("bucket"))
+      val capped = bb.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      capped.as("a").join(capped.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    }
+
     def pairs(): DataFrame = variant match {
       case "window" =>
         graft.ops.Dedup.minhashLshPairs(docs, "doc_id", "text",
           shingleLen = 3, numHashes = NumHashes, bands = Bands)
+      case "aggsig" =>
+        // the pre-round-6 production plan: exploded shingle table +
+        // signature groupBy, vs "window"'s map-side per-row fold
+        lshTail(graft.ops.Dedup.minhashSignatures(
+          graft.ops.Dedup.wordShinglesRaw(docs, "doc_id", "text", 3), NumHashes))
       case "rotation" =>
-        // raw (non-distinct) shingles, same as the production window path,
-        // so the A/B isolates the hash family alone
-        val sh = graft.ops.Dedup.wordShinglesRaw(docs, "doc_id", "text", 3)
-        val bb = graft.ops.Dedup.lshBands(
-          rotationSignatures(sh), NumHashes, Bands).localCheckpoint(true)
-        val hot = bb.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
-          .filter(col("n") > 10000L).select(col("band"), col("bucket"))
-        val capped = bb.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-        capped.as("a").join(capped.as("b"),
-            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-              col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-      case other => sys.error(s"unknown variant $other (window|rotation)")
+        // raw (non-distinct) shingles, same shape as aggsig, so the A/B
+        // isolates the hash family alone
+        lshTail(rotationSignatures(
+          graft.ops.Dedup.wordShinglesRaw(docs, "doc_id", "text", 3)))
+      case other => sys.error(s"unknown variant $other (window|aggsig|rotation)")
     }
 
     val times = (1 to 3).map { _ =>

@@ -3036,6 +3036,118 @@ object Queries {
       FROM common JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
       WHERE ROUND(c::DOUBLE / (x.sz + y.sz - c), 4) >= 0.5"""))
 
+  /** Bloom-guarded decontamination: q40's exact sweep with the benchmark
+    * shingle set behind a Bloom filter + shuffle join instead of a full
+    * broadcast — the beyond-broadcast-benchmark path. Oracle is q40's
+    * byte-for-byte: the Bloom prefilter has no false negatives and the
+    * exact join removes its false positives.
+    */
+  private val q114 = Q(
+    "q114_bloom_decontaminate",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+      Dedup.contaminatedByBloom(
+        docs.filter(col("doc_id") >= 25), "doc_id", "text",
+        docs.filter(col("doc_id") < 25), "doc_id", "text",
+        n = 3, minOverlap = 2L)
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS s
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) g FROM toks)),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 25)
+      SELECT sh.doc_id AS id, COUNT(*)::BIGINT AS overlap
+      FROM sh JOIN bench ON sh.s = bench.s
+      WHERE sh.doc_id >= 25 GROUP BY 1 HAVING COUNT(*) >= 2"""))
+
+  /** Temporal leave-last-k holdout split on the events stream: per user,
+    * the latest 3 events (ties by event_id desc) are held out.
+    */
+  private val q115 = Q(
+    "q115_leave_last_k",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      Sampling.leaveLastKSplit(raw, "user_id", "ts", "event_id", k = 3)
+        .select(col("user_id"), col("event_id"),
+          EventTime.epochMillis(raw, "ts").as("ts_ms"), col("value"), col("split"))
+    },
+    Some("""WITH r AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+        FROM events)
+      SELECT user_id, event_id, ts_ms, value,
+        CASE WHEN rn <= 3 THEN 'test' ELSE 'train' END AS split FROM r"""))
+
+  /** Edit-distance-verified near-dup pairs: q22's MinHash+LSH candidates
+    * adjudicated by exact Levenshtein <= 200 (Spark's banded threshold
+    * variant; DuckDB computes the full distance — same verdict).
+    */
+  private val q116 = Q(
+    "q116_edit_verified",
+    (spark, dir) =>
+      Dedup.editVerifiedPairs(pq(spark, dir, "documents"), "doc_id", "text", maxDist = 200),
+    Some {
+      val mins = (0 until 16)
+        .map(i => s"MIN(substr(h, ${i + 1}, 15)) m$i")
+        .mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val cols = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $b band, md5(concat_ws('|', $cols)) bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS s
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) g FROM toks)),
+      hh AS (SELECT doc_id, md5(s) h FROM sh),
+      sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+      bands AS ($bands),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      SELECT c.id_a, c.id_b, levenshtein(x.text, y.text)::BIGINT AS edit_dist
+      FROM cand c JOIN documents x ON x.doc_id = c.id_a
+      JOIN documents y ON y.doc_id = c.id_b
+      WHERE levenshtein(x.text, y.text) <= 200"""
+    })
+
+  /** Per-document OOV rate against the corpus's own top-500 vocabulary. */
+  private val q117 = Q(
+    "q117_oov_rate",
+    (spark, dir) =>
+      TextOps.oovRate(pq(spark, dir, "documents"), Seq("doc_id"), "text", vocabSize = 500),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) token
+        FROM documents),
+      cnt AS (SELECT token, COUNT(*) c FROM tok GROUP BY 1),
+      vocab AS (SELECT token FROM cnt ORDER BY c DESC, token ASC LIMIT 500),
+      j AS (SELECT t.doc_id, v.token IS NOT NULL AS inv
+        FROM tok t LEFT JOIN vocab v ON t.token = v.token)
+      SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+        SUM(CASE WHEN inv THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+        ROUND(SUM(CASE WHEN inv THEN 0 ELSE 1 END)::DOUBLE / COUNT(*), 4) AS oov_ratio
+      FROM j GROUP BY 1"""))
+
+  /** Corpus-overlap estimation between sources from per-source MinHash
+    * signatures — no row-level pair join; the signature table has one row
+    * per source.
+    */
+  private val q118 = Q(
+    "q118_corpus_overlap",
+    (spark, dir) =>
+      Sketch.corpusOverlap(pq(spark, dir, "documents"), "source", "text"),
+    Some {
+      val mins = (0 until 16)
+        .map(i => s"MIN(substr(h, ${i + 1}, 15)) m$i")
+        .mkString(", ")
+      val agree = (0 until 16)
+        .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (SELECT source, string_split(trim(text), ' ') ws FROM documents),
+      sh AS (SELECT source, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS s
+        FROM (SELECT source, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) g FROM toks)),
+      hh AS (SELECT source, md5(s) h FROM sh),
+      sig AS (SELECT source, $mins FROM hh GROUP BY source)
+      SELECT a.source AS grp_a, b.source AS grp_b,
+        ($agree)::BIGINT AS n_agree,
+        ROUND(($agree)::DOUBLE / 16, 4) AS est_jaccard
+      FROM sig a JOIN sig b ON a.source < b.source"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3045,7 +3157,8 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
-    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113)
+    q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
+    q114, q115, q116, q117, q118)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

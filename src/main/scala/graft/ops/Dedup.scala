@@ -65,16 +65,22 @@ object Dedup {
     * whenever the consumer is duplicate-insensitive (minhash `min`); set
     * consumers (Jaccard counts) need the distinct variant.
     */
-  private[graft] def wordShinglesRaw(
-      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val ws = TextOps.tokens(col(textCol))
+  /** The word n-gram ARRAY of one document as a column expression —
+    * shared by the exploding shingle table ([[wordShinglesRaw]]) and the
+    * map-side signature ([[withMinhashSignature]]).
+    */
+  private[graft] def gramArray(textCol: Column, n: Int): Column = {
+    val ws = TextOps.tokens(textCol)
     val m = greatest(size(ws) - (n - 1), lit(1))
     var acc = slice(ws, lit(1), m)
     for (j <- 1 until n)
       acc = zip_with(acc, slice(ws, lit(j + 1), m), (a, b) => concat(a, lit(" "), b))
-    val grams = when(size(ws) >= n, acc).otherwise(array(array_join(ws, " ")))
-    df.select(col(idCol).as("id"), explode(grams).as("shingle"))
+    when(size(ws) >= n, acc).otherwise(array(array_join(ws, " ")))
   }
+
+  private[graft] def wordShinglesRaw(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(gramArray(col(textCol), n)).as("shingle"))
 
   /** All-pairs n-gram Jaccard similarity ≥ `threshold`, computed by joining
     * documents through shared shingles (inverted-index join): only pairs with
@@ -156,13 +162,13 @@ object Dedup {
     *
     * Measured trade (cold JVMs, sf0.1): on the synthetic corpus — near
     * UNIFORM shingle document frequencies — the plain inverted index has
-    * no hot buckets and wins (warm 2.6 s vs 4.8 s; the rank window +
+    * no hot buckets and wins (warm ~2.6 s vs ~5 s; the per-doc sort +
     * array verify dominate). On a ZIPFIAN corpus (ScaleCheck
     * `jaccard_prefix`: 4× sf0.1 = 240k docs, four boilerplate phrases
     * appended so a few shingles reach df ≈ 60k, no df cap) the prefix
-    * variant is **8.2× faster** (12.6 s vs 103.7 s). Real crawl text is
-    * the Zipfian case; prefer this variant there, the plain one on
-    * known-flat distributions.
+    * variant is **8–10× faster** (two runs: 12.6 s vs 103.7 s, 15.8 s vs
+    * 155.1 s). Real crawl text is the Zipfian case; prefer this variant
+    * there, the plain one on known-flat distributions.
     */
   def ngramJaccardPairsPrefix(
       df: DataFrame,
@@ -179,27 +185,36 @@ object Dedup {
     // Rounded-comparison slack: round(j, 4) >= t passes true j >= t - 5e-5.
     val tMicro = math.max(math.round(threshold * 1000000L) - 50L, 0L)
     val dfc = kept.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
-    val prefix = kept.join(dfc, "shingle")
-      .select(col("id"), col("shingle"),
-        row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("sdf"), col("shingle"))).as("rn"),
-        count(lit(1)).over(Window.partitionBy(col("id"))).as("sz"))
-      // min overlap o = ceil(t' * sz) in exact integer math; prefix keeps
-      // positions 1 .. sz - o + 1.
-      .filter(col("rn") <= col("sz") - expr(s"(($tMicro * sz + 999999) DIV 1000000)") + 1)
-      .select(col("id"), col("shingle"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+    // ONE per-doc aggregation builds the rarity-sorted shingle array
+    // (sort_array on (df, shingle) structs = the global order, applied
+    // in-executor per doc — no rank window, no second sets pass): the
+    // prefix is a slice of it and the exact-verify set is the same array.
+    // Checkpointed: consumed by both candidate-join sides and both
+    // verification joins.
+    val sets = kept.join(dfc, "shingle")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("sdf"), col("shingle")))).as("__arr"))
+      .select(col("id"),
+        transform(col("__arr"), x => x.getField("shingle")).as("sset"),
+        size(col("__arr")).as("sz"))
+      // min overlap o = ceil(t' * sz) in exact integer math; the prefix is
+      // positions 1 .. sz - o + 1 of the rarity order.
+      .withColumn("prefix",
+        slice(col("sset"), lit(1),
+          (col("sz") - expr(s"((${tMicro}L * sz + 999999) DIV 1000000)") + 1).cast("int")))
+      .localCheckpoint(true)
+    val pref = sets.select(col("id"), explode(col("prefix")).as("shingle"))
+    val cand = pref.as("a")
+      .join(pref.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sets = kept.groupBy(col("id")).agg(collect_set(col("shingle")).as("sset"))
     cand
-      .join(sets.select(col("id").as("id_a"), col("sset").as("set_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sset").as("set_b")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("sset").as("set_a"), col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sset").as("set_b"), col("sz").as("sz_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("common"),
-        size(col("set_a")).cast("long").as("sz_a"),
-        size(col("set_b")).cast("long").as("sz_b"))
+        col("sz_a").cast("long").as("sz_a"),
+        col("sz_b").cast("long").as("sz_b"))
       .withColumn(
         "jaccard",
         round(col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 4))
@@ -278,6 +293,90 @@ object Dedup {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)
+  }
+
+  /** [[contaminatedBy]] for benchmark sets BEYOND broadcast size: a Bloom
+    * filter over the benchmark's distinct shingles (built once, sized to
+    * the measured cardinality) prunes corpus shingles MAP-SIDE before the
+    * exact shuffle join adjudicates. Identical output to the exact sweep —
+    * Bloom filters have no false negatives, and every surviving candidate
+    * is re-checked by the join — so this trades one extra corpus-side
+    * `mightContain` probe per shingle for shuffling only the ~fpp false
+    * positives plus true hits instead of the whole corpus shingle stream.
+    *
+    * 100 TB shape: [[contaminatedBy]] broadcasts the benchmark shingle
+    * set, which dies when "benchmark" is itself large (a full eval-suite
+    * union, a held-out corpus slice, yesterday's crawl): the broadcast is
+    * 10s of bytes per distinct shingle. The Bloom filter is ~1.2 bytes
+    * per item at 1% fpp — two orders denser — and the exact join it
+    * guards is a plain hash shuffle whose probe side the filter has
+    * already cut to hits+fpp. The corpus never broadcasts, never
+    * collects; only the filter (one compact bitmap) ships to executors.
+    * The one Scala UDF is deliberate: Spark exposes no public codegen
+    * bloom-probe expression, and the probe is a bitwise hash check —
+    * jit-friendly, no serialization inside the loop.
+    */
+  def contaminatedByBloom(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      n: Int,
+      minOverlap: Long = 1L,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    // Checkpointed: consumed twice (cardinality count + bloom build) and
+    // again as the exact join's build side.
+    val benchSh = wordShingles(benchmark, benchIdCol, benchTextCol, n)
+      .select(col("shingle")).distinct().localCheckpoint(true)
+    val m = math.max(benchSh.count(), 1000L)
+    val bf = benchSh.stat.bloomFilter("shingle", m, fpp)
+    val bfBc = spark.sparkContext.broadcast(bf)
+    val might = udf((s: String) => s != null && bfBc.value.mightContainString(s))
+    wordShingles(corpus, idCol, textCol, n)
+      .filter(might(col("shingle")))
+      .join(benchSh, Seq("shingle")) // exact verify: shuffle hash join
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
+  /** Edit-distance-verified near-dup pairs: MinHash+LSH generates
+    * candidates ([[minhashLshPairs]] — bucket-local, skew-capped), exact
+    * Levenshtein adjudicates. The shingle/LSH stage is recall-oriented
+    * and token-order-blind; the edit-distance verdict restores an
+    * order-sensitive, human-auditable criterion ("at most `maxDist`
+    * character edits apart") on the candidate set only — never all pairs.
+    *
+    * 100 TB shape: Levenshtein is O(len_a·len_b) per pair, far too hot to
+    * run on a cross join but cheap on LSH candidates (their count is
+    * bounded by bucket sizes, themselves capped by `maxBucket`). Spark's
+    * three-arg `levenshtein(l, r, threshold)` banded algorithm early-exits
+    * at O(maxDist·len), so the verify cost scales with the threshold,
+    * not the document length squared. Texts join to candidates by id —
+    * two hash joins, no corpus self-join.
+    */
+  def editVerifiedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucket: Long = 10000L): DataFrame = {
+    require(maxDist >= 0, s"maxDist $maxDist must be >= 0")
+    val cand = minhashLshPairs(df, idCol, textCol, shingleLen, numHashes, bands, maxBucket)
+    val t = df.select(col(idCol).as("__eid"), col(textCol).as("__etxt"))
+    cand
+      .join(t.select(col("__eid").as("id_a"), col("__etxt").as("__ta")), "id_a")
+      .join(t.select(col("__eid").as("id_b"), col("__etxt").as("__tb")), "id_b")
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0) // threshold variant returns -1 above maxDist
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 
   /** Exact-substring decontamination: flag corpus documents containing any
@@ -427,6 +526,31 @@ object Dedup {
     withH.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** MAP-SIDE MinHash signature: all of a document's shingles live in its
+    * own row, so the full signature is an array fold — md5 each gram once
+    * into an array, then `array_min` one 15-hex window per slot. ZERO
+    * shuffles and no exploded shingle table, versus
+    * [[minhashSignatures]]'s explode + groupBy. Bit-identical hash family
+    * (min over the same md5 windows), so the two are interchangeable
+    * under any oracle. Appends `mh_0..mh_{n-1}` to `df`'s columns.
+    *
+    * This is also what makes MinHash STREAMABLE: a stateless per-row
+    * signature needs no pre-shuffle aggregation, so band buckets can feed
+    * a single stateful operator ([[graft.streaming.StreamingLsh]]).
+    */
+  def withMinhashSignature(
+      df: DataFrame,
+      textCol: String,
+      shingleLen: Int,
+      numHashes: Int): DataFrame = {
+    require(numHashes <= 18, "15-hex windows over md5 support at most 18 hashes")
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(col("__mh_hh"), h => substring(h, i + 1, 15))).as(s"mh_$i")
+    }
+    df.withColumn("__mh_hh", transform(gramArray(col(textCol), shingleLen), g => md5(g)))
+      .select(df.columns.map(col).toIndexedSeq ++ sigCols: _*)
+  }
+
   /** LSH band buckets from minhash signatures: `bands` buckets per doc, each
     * the md5 of `rowsPerBand` consecutive signature entries. Docs agreeing on
     * any full band land in the same bucket.
@@ -454,11 +578,14 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       maxBucket: Long = 10000L): DataFrame = {
-    // Raw (non-distinct) shingles: min() is duplicate-insensitive, so the
-    // distinct's corpus-wide string shuffle is pure waste here — the only
-    // shuffle left below the signature agg is the groupBy(id) itself,
-    // whose map-side partial state is just 16 running mins per doc.
-    val sigs = minhashSignatures(wordShinglesRaw(df, idCol, textCol, shingleLen), numHashes)
+    // Map-side signatures ([[withMinhashSignature]]): a document's whole
+    // signature folds inside its own row, so the band-bucket table is
+    // produced with ZERO shuffles — no exploded shingle table, no
+    // signature groupBy. (min() is duplicate-insensitive, so skipping the
+    // distinct is correct; the array fold skips even the explode.)
+    val sigs = withMinhashSignature(
+      df.select(col(idCol).as("id"), col(textCol).as("__mht")),
+      "__mht", shingleLen, numHashes).drop("__mht")
     // One checkpoint of the band-bucket table: the shingle+minhash pipeline
     // runs once; the hot-bucket count and both self-join sides all re-read
     // the materialized buckets (eager localCheckpoint, not persist — see
@@ -499,7 +626,9 @@ object Dedup {
       bands: Int = 4,
       maxBucket: Long = 10000L): DataFrame = {
     def buckets(df: DataFrame) = lshBands(
-      minhashSignatures(wordShinglesRaw(df, idCol, textCol, shingleLen), numHashes),
+      withMinhashSignature(
+        df.select(col(idCol).as("id"), col(textCol).as("__mht")),
+        "__mht", shingleLen, numHashes).drop("__mht"),
       numHashes, bands)
     // Both sides checkpoint once: each feeds the hot-bucket count plus one
     // or two join inputs, and the shingle+minhash pass over the LARGE old

@@ -536,4 +536,36 @@ object Sampling {
       .withColumn("mode",
         when(col("epochs") > 1.0, lit("upsample")).otherwise(lit("downsample")))
   }
+
+  /** Temporal leave-last-k holdout split — the standard recsys/sequential
+    * evaluation protocol: per entity, the last `k` events by event time go
+    * to the holdout split, everything earlier trains. Unlike the hashed
+    * [[splitAssign]] (which is time-blind), this split respects causality:
+    * the model never trains on anything later than what it is evaluated
+    * on, per entity. Ties on the timestamp break by `tieCol` DESCENDING
+    * (latest id wins a holdout slot) so the assignment is a pure function
+    * of the data. Entities with ≤ `k` events land entirely in holdout —
+    * filter such cold-start entities beforehand if that is not wanted.
+    *
+    * 100 TB shape: one row_number window partitioned by the entity key —
+    * a single hash shuffle whose partition count scales with entity
+    * cardinality (per-entity event lists sort within partitions). No
+    * global sort, no collect.
+    */
+  def leaveLastKSplit(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      k: Int,
+      trainName: String = "train",
+      holdoutName: String = "test"): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("split",
+        when(col("__rn") <= k, lit(holdoutName)).otherwise(lit(trainName)))
+      .drop("__rn")
+  }
 }

@@ -61,4 +61,54 @@ object Sketch {
               (conv(substring(col("kth_hash"), 1, 8), 16, 10).cast("double") + 1.0)))
           .cast("long").as("est_distinct"))
   }
+
+  /** Pairwise corpus-overlap estimation from per-group MinHash signatures:
+    * estimated n-gram Jaccard between every pair of groups (sources,
+    * snapshots, languages) WITHOUT any row-level pair join — the sketch
+    * answers "how much does source A's text overlap source B's" from
+    * `numHashes` values per group. The per-group signature is the minimum
+    * of each hash over the UNION of the group's shingles (min is
+    * associative, so the group signature IS the signature of the union),
+    * and `P[min_a = min_b] = J(A, B)` gives the estimate as the fraction
+    * of agreeing hash slots — standard MinHash theory (Broder 1997), with
+    * ±1/sqrt(numHashes) error. Output: (grp_a, grp_b, n_agree, est_jaccard)
+    * for grp_a < grp_b.
+    *
+    * Same md5/15-hex-window hash family as [[graft.ops.Dedup
+    * .minhashSignatures]], so any engine with md5 reproduces the sketch —
+    * and the estimate — bit-for-bit.
+    *
+    * 100 TB shape: ONE aggregation shuffle keyed by group (map-side
+    * partial mins; state = numHashes strings per group); the pairwise
+    * compare runs on the |groups|-row signature table — a broadcast
+    * self-join over groups, never over rows. This is the cheap first-pass
+    * a cross-corpus dedup campaign runs to decide WHICH corpus pairs are
+    * worth a full [[graft.ops.Dedup.minhashLshPairsIncremental]] sweep.
+    */
+  def corpusOverlap(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 16): DataFrame = {
+    // Map-side per-DOC signatures fold inside each row; the per-GROUP
+    // signature is then min-of-mins — the only shuffle carries 16 short
+    // strings per document instead of every shingle row.
+    val docSigs = Dedup.withMinhashSignature(
+      df.select(col(groupCol).as("id"), col(textCol).as("__t")),
+      "__t", shingleLen, numHashes).drop("__t")
+    val groupAggs = (0 until numHashes).map(i => min(col(s"mh_$i")).as(s"mh_$i"))
+    val sigs = docSigs.groupBy(col("id")).agg(groupAggs.head, groupAggs.tail: _*)
+    val a = sigs.select(col("id").as("grp_a") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"a_$i")): _*)
+    val b = sigs.select(col("id").as("grp_b") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"b_$i")): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(broadcast(b), col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), agree.as("n_agree"))
+      .withColumn("est_jaccard",
+        round(col("n_agree").cast("double") / numHashes, 4))
+  }
 }

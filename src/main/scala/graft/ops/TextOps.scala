@@ -1094,4 +1094,40 @@ object TextOps {
         count(lit(1)).as("n_terms_hit"),
         sum("__contrib6").as("score_micro"))
   }
+
+  /** Per-document out-of-vocabulary rate against the corpus's own top
+    * `vocabSize` tokens — the pre-tokenizer-training signal for how well a
+    * planned vocabulary covers each document (high OOV → the doc is
+    * noise, another language, or the vocab is too small). Vocabulary
+    * selection is exact and deterministic: global token counts, top
+    * `vocabSize` by (count desc, token asc). Output per doc:
+    * `(ids..., n_tokens, n_oov, oov_ratio)` with the ratio rounded to
+    * 4 dp.
+    *
+    * 100 TB shape: vocabulary = one map-side-combined token-count shuffle
+    * + a TakeOrdered top-k (never a global sort); the vocab table is
+    * `vocabSize` rows by construction, so membership is a BROADCAST join
+    * against the exploded corpus — the corpus's only shuffle is the
+    * per-doc re-aggregation, keyed by the doc id.
+    */
+  def oovRate(
+      df: DataFrame,
+      idCols: Seq[String],
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize $vocabSize must be positive")
+    val tok = df.select(explode(tokens(col(textCol))).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("__in_vocab"))
+    df.select(idCols.map(col) :+ explode(tokens(col(textCol))).as("token"): _*)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(idCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ratio",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+  }
 }

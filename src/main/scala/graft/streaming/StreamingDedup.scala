@@ -41,7 +41,7 @@ object StreamingDedup {
   /** Sortable fixed-width encoding so the orderCol tie-break is a total
     * order for the supported id types (numeric and string).
     */
-  private def orderKey(v: Any): String = v match {
+  private[streaming] def orderKey(v: Any): String = v match {
     case null => "0"
     case n: Byte => orderKey(n.toLong)
     case n: Short => orderKey(n.toLong)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Cluster, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Cluster, Dedup, Multimodal, Sampling, Similarity, Sketch, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Unit-level checks of the training-data-pipeline operators on small
@@ -185,6 +185,74 @@ class OpsSpec extends SparkSuite {
       assert(pref == plain, s"threshold $t: prefix-filtered pairs diverged")
       assert(plain.nonEmpty || t >= 0.9)
     }
+  }
+
+  test("bloom decontamination equals the exact broadcast sweep") {
+    val corpus = docs.filter(col("doc_id") >= 3)
+    val bench = docs.filter(col("doc_id") < 3)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("overlap"))).toSet
+    val exact = pairs(Dedup.contaminatedBy(
+      corpus, "doc_id", "text", bench, "doc_id", "text", n = 3))
+    val bloom = pairs(Dedup.contaminatedByBloom(
+      corpus, "doc_id", "text", bench, "doc_id", "text", n = 3))
+    assert(bloom == exact)
+    assert(exact.contains((4L, 7L))) // doc 4 = exact dup of bench doc 1: all 7 shingles
+  }
+
+  test("edit-verified pairs: distance gates LSH candidates, exact dup is 0") {
+    val byDist = Dedup.editVerifiedPairs(docs, "doc_id", "text", maxDist = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(byDist == Map((1L, 4L) -> 0L)) // only the exact dup survives maxDist=0
+    val wide = Dedup.editVerifiedPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // dog vs cat = 3 substitutions; present iff LSH bucketed them together
+    wide.get((1L, 2L)).foreach(d => assert(d == 3L))
+    assert(wide((1L, 4L)) == 0L)
+  }
+
+  test("leave-last-k split holds out exactly the latest k per entity") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ev = Seq(
+      ("u1", 1L, 10L), ("u1", 2L, 20L), ("u1", 3L, 30L), ("u1", 4L, 40L),
+      ("u2", 5L, 100L), ("u2", 6L, 100L), // tie on ts → event_id desc wins
+      ("u3", 7L, 5L) // fewer than k events → all holdout
+    ).toDF("user_id", "event_id", "ts")
+    val s = Sampling.leaveLastKSplit(ev, "user_id", "ts", "event_id", k = 2)
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("split"))).toMap
+    assert(s(4L) == "test" && s(3L) == "test" && s(2L) == "train" && s(1L) == "train")
+    assert(s(6L) == "test" && s(5L) == "test")
+    assert(s(7L) == "test")
+  }
+
+  test("oov rate: in-vocab doc scores 0, out-of-vocab tokens counted") {
+    val spark2 = spark
+    import spark2.implicits._
+    // vocab of size 3 over this corpus = {a, b, c} (a:3, b:2, c:2 beats d:1 on ties)
+    val d = Seq((1L, "a b c a"), (2L, "a b c"), (3L, "d d c a")).toDF("doc_id", "text")
+    val r = TextOps.oovRate(d, Seq("doc_id"), "text", vocabSize = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"), r.getAs[Double]("oov_ratio")))).toMap
+    assert(r(1L) == ((4L, 0L, 0.0)))
+    assert(r(2L) == ((3L, 0L, 0.0)))
+    assert(r(3L) == ((4L, 2L, 0.5))) // the two d's are OOV
+  }
+
+  test("corpus overlap: identical groups estimate 1.0, disjoint estimate 0.0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq(
+      ("s1", "alpha beta gamma delta epsilon zeta"),
+      ("s2", "alpha beta gamma delta epsilon zeta"), // identical to s1
+      ("s3", "one two three four five six seven")    // disjoint
+    ).toDF("source", "text")
+    val o = Sketch.corpusOverlap(d, "source", "text", shingleLen = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Double]("est_jaccard"))).toMap
+    assert(o(("s1", "s2")) == 1.0)
+    assert(o(("s1", "s3")) == 0.0)
+    assert(o(("s2", "s3")) == 0.0)
   }
 
   test("minhash lsh recovers exact duplicates") {

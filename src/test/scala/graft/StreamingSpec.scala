@@ -504,6 +504,98 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming LSH candidates match batch pairs and honor the horizon") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val texts = Map(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "a completely different sentence about spark engines",
+      4L -> "the quick brown fox jumps over the lazy dog", // exact dup of 1
+      5L -> "der hund und die katze und der vogel")
+
+    val stream = MemoryStream[(Long, String, Long)]
+    val sdf = stream.toDF().toDF("doc_id", "text", "t_ms")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_millis(col("t_ms")))
+    val out = graft.streaming.StreamingLsh.candidatePairs(
+      sdf, "doc_id", "text", "ts",
+      lateness = 5.seconds, horizon = 1.hour)
+    assert(out.isStreaming)
+    val query = out.writeStream.format("memory").queryName("s_lsh_out")
+      .outputMode("append").start()
+    try {
+      // ts ascending with doc_id so batch's id_a<id_b = stream's
+      // earlier-first direction; split across two micro-batches
+      stream.addData((1L, texts(1L), 1000L), (2L, texts(2L), 2000L), (3L, texts(3L), 3000L))
+      query.processAllAvailable()
+      stream.addData((4L, texts(4L), 4000L), (5L, texts(5L), 5000L))
+      query.processAllAvailable()
+      stream.addData((9L, "watermark push", 7200000L)) // flush the horizon
+      query.processAllAvailable()
+      stream.addData((9L, "watermark push two", 14400000L))
+      query.processAllAvailable()
+
+      val got = spark.sql("SELECT id_a, id_b FROM s_lsh_out WHERE id_a < 9 AND id_b < 9")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.ops.Dedup.minhashLshPairs(
+        texts.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(batch.contains((1L, 4L))) // sanity: the exact dup is found
+
+      // pairs within one band repeat only once per band; per-pair band
+      // multiplicity is bounded by the band count
+      val perBand = spark.sql(
+        "SELECT id_a, id_b, COUNT(DISTINCT band) b, COUNT(*) n FROM s_lsh_out " +
+        "WHERE id_a < 9 AND id_b < 9 GROUP BY 1, 2")
+        .collect()
+      perBand.foreach(r => assert(r.getLong(2) == r.getLong(3) && r.getLong(3) <= 4L))
+    } finally query.stop()
+  }
+
+  test("streaming LSH horizon bounds pairing; quarantine caps hot buckets") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val txt = "identical boilerplate text repeated in every copy of this page"
+    val stream = MemoryStream[(Long, String, Long)]
+    val sdf = stream.toDF().toDF("doc_id", "text", "t_ms")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_millis(col("t_ms")))
+    val out = graft.streaming.StreamingLsh.candidatePairs(
+      sdf, "doc_id", "text", "ts",
+      lateness = 1.second, horizon = 10.minutes, maxBucket = 2)
+    val query = out.writeStream.format("memory").queryName("s_lsh_cap")
+      .outputMode("append").start()
+    try {
+      // docs 1,2 pair; doc 3 would make the bucket exceed maxBucket=2 →
+      // quarantined, no pairs for 3. Doc 4 arrives while quarantined →
+      // still nothing.
+      stream.addData((1L, txt, 1000L), (2L, txt, 2000L))
+      query.processAllAvailable()
+      stream.addData((3L, txt, 3000L), (4L, txt, 4000L))
+      query.processAllAvailable()
+      // doc 6: same text but 20 min later — outside the horizon of
+      // everything retained, and past quarantine eviction. Doc 7 right
+      // after it pairs with it (fresh bucket state).
+      stream.addData((6L, txt, 1200000L), (7L, txt, 1201000L))
+      query.processAllAvailable()
+      stream.addData((9L, "watermark push", 7200000L))
+      query.processAllAvailable()
+      stream.addData((9L, "watermark push two", 14400000L))
+      query.processAllAvailable()
+
+      val got = spark.sql(
+        "SELECT DISTINCT id_a, id_b FROM s_lsh_cap WHERE id_a < 9 AND id_b < 9")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L), (6L, 7L)), got.toString)
+    } finally query.stop()
+  }
+
   test("streaming file source feeds a derived view") {
     val dir = writeTempParquet(purchases, "stream_files")
     val src = FileSource(
