@@ -3148,6 +3148,63 @@ object Queries {
       FROM sig a JOIN sig b ON a.source < b.source"""
     })
 
+  /** Perceptual-hash near-dup pairs over image payloads: the aHash bits
+    * (exact-integer thresholding over the stubbed deterministic decode)
+    * feed the existing SimHash prefix-blocked Hamming join. The stub
+    * decode is locality-preserving only for identical payloads (a real
+    * decoder adds resize/re-encode tolerance), so re-uploaded copies are
+    * injected: every doc_id < 20 reappears under id + 1000000.
+    */
+  private val q119 = Q(
+    "q119_phash_neardup",
+    (spark, dir) => {
+      val base = pq(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val reupload = base.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val d = base.unionByName(reupload)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      val ph = Multimodal.perceptualHash(d, "doc_id", "payload")
+      Dedup.simhashPairs(ph, prefixBits = 16, maxHamming = 8)
+        .withColumn("hamming", col("hamming").cast("int"))
+    },
+    Some {
+      val hsel = "CASE WHEN k < 16 THEN h0 WHEN k < 32 THEN h1 WHEN k < 48 THEN h2 ELSE h3 END"
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+      h AS (SELECT doc_id, md5(text || '-p0') h0, md5(text || '-p1') h1,
+        md5(text || '-p2') h2, md5(text || '-p3') h3 FROM docs),
+      px AS (SELECT doc_id, k,
+        (16 * (instr('0123456789abcdef', substr($hsel, (k % 16) * 2 + 1, 1)) - 1)
+           + (instr('0123456789abcdef', substr($hsel, (k % 16) * 2 + 2, 1)) - 1)) p
+        FROM (SELECT doc_id, h0, h1, h2, h3, unnest(generate_series(0, 63)) k FROM h)),
+      s AS (SELECT doc_id, SUM(p) sp FROM px GROUP BY 1),
+      ph AS (SELECT px.doc_id,
+        string_agg(CASE WHEN p * 64 > sp THEN '1' ELSE '0' END, '' ORDER BY k) phash
+        FROM px JOIN s USING (doc_id) GROUP BY px.doc_id),
+      pr AS (SELECT a.doc_id ia, a.phash sa, b.doc_id ib, b.phash sb FROM ph a
+        JOIN ph b ON substr(a.phash, 1, 16) = substr(b.phash, 1, 16) AND a.doc_id < b.doc_id)
+      SELECT ia AS id_a, ib AS id_b,
+        len(list_filter(generate_series(1, 64), g -> substr(sa, g::INT, 1) <> substr(sb, g::INT, 1)))::INT AS hamming
+      FROM pr
+      WHERE len(list_filter(generate_series(1, 64), g -> substr(sa, g::INT, 1) <> substr(sb, g::INT, 1))) <= 8"""
+    })
+
+  /** Packing-efficiency forecast per source at seqLen 2048 over the
+    * n_chars length column.
+    */
+  private val q120 = Q(
+    "q120_packing_efficiency",
+    (spark, dir) =>
+      Corpus.packingEfficiency(pq(spark, dir, "documents"), "source", "n_chars", seqLen = 2048),
+    Some("""SELECT source AS grp, COUNT(*)::BIGINT AS n_docs,
+      SUM(n_chars)::BIGINT AS n_tokens,
+      SUM((n_chars + 2047) // 2048)::BIGINT AS n_seqs_padded,
+      ((SUM(n_chars) + 2047) // 2048)::BIGINT AS n_seqs_packed,
+      ROUND(SUM(n_chars)::DOUBLE / (SUM((n_chars + 2047) // 2048) * 2048), 4) AS util_padded,
+      ROUND(SUM(n_chars)::DOUBLE / (((SUM(n_chars) + 2047) // 2048) * 2048), 4) AS util_packed,
+      (SUM((n_chars + 2047) // 2048) - ((SUM(n_chars) + 2047) // 2048))::BIGINT AS seqs_saved
+      FROM documents GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3158,7 +3215,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118)
+    q114, q115, q116, q117, q118, q119, q120)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -435,4 +435,38 @@ object Corpus {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Packing-efficiency forecast: per group, how much accelerator time
+    * sequence packing ([[packPieces]]) would save over naive
+    * pad-each-document-to-`seqLen` batching. Reports exact-integer
+    * sequence counts under both strategies and the resulting token
+    * utilization (4-dp): `util_padded` = real tokens / slots when every
+    * doc pads to its own ceil(len/seqLen) sequences, `util_packed` = the
+    * same over ceil(total/seqLen) concat-then-split sequences (≈ 1 up to
+    * the final partial sequence). The gap between the two, multiplied by
+    * the training budget, is the packing decision in one table — the
+    * report a pipeline owner reads BEFORE paying for a packing job.
+    *
+    * 100 TB shape: one map-side-combined aggregation keyed by the group;
+    * token counts fold per row (no explode, no shuffle of tokens).
+    */
+  def packingEfficiency(
+      df: DataFrame,
+      groupCol: String,
+      nTokensCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen $seqLen must be positive")
+    val L = seqLen.toLong
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(nTokensCol)).cast("long").as("n_tokens"),
+        sum(expr(s"(`$nTokensCol` + ${L - 1}) DIV $L")).cast("long").as("n_seqs_padded"))
+      .withColumn("n_seqs_packed", expr(s"(n_tokens + ${L - 1}) DIV $L"))
+      .withColumn("util_padded",
+        round(col("n_tokens").cast("double") / (col("n_seqs_padded") * L), 4))
+      .withColumn("util_packed",
+        round(col("n_tokens").cast("double") / (col("n_seqs_packed") * L), 4))
+      .withColumn("seqs_saved", col("n_seqs_padded") - col("n_seqs_packed"))
+  }
 }

@@ -86,6 +86,38 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Perceptual hash (aHash-style) for image payloads: "decode" the
+    * payload to an 8×8 grayscale grid, threshold each pixel against the
+    * grid mean, and emit the 64 bits as a `simhash`-format bit string —
+    * directly consumable by [[graft.ops.Dedup.simhashPairs]] /
+    * [[graft.ops.Dedup.simhashPairsMultiPass]] for prefix-blocked Hamming
+    * near-dup pairs over IMAGES (re-encoded/resized copies land within a
+    * few bits of each other under a real decoder).
+    *
+    * The decode is the documented deterministic STUB (no codecs in this
+    * environment): pixel k is a byte of md5(payload ++ "-p{k/16}") — four
+    * md5s per image, hex pairs as 0..255 intensities. The THRESHOLDING is
+    * the real aHash math and is exact-integer (`pixel·64 > sum` instead of
+    * a float mean), so any engine with md5 reproduces the full hash. Swap
+    * the pixel source for a real resample and nothing downstream changes.
+    * Map-only, pure codegen column expressions; the Hamming pair stage
+    * inherits SimHash's scale guards (prefix blocking, rotation recall).
+    */
+  def perceptualHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val b = col(binCol)
+    // array HOFs keep the expression tree (and its generated code) small:
+    // 4 md5s -> 64-pixel array -> integer sum -> thresholded bit string
+    val hhs = array((0 until 4).map(g => md5(concat(b, encode(lit(s"-p$g"), "UTF-8")))): _*)
+    val px = flatten(transform(hhs, h =>
+      transform(sequence(lit(0), lit(15)),
+        i => conv(h.substr(i * 2 + 1, lit(2)), 16, 10).cast("long"))))
+    df.select(col(idCol).as("id"), px.as("__px"))
+      .withColumn("__sum", aggregate(col("__px"), lit(0L), (acc, x) => acc + x))
+      .select(col("id"),
+        array_join(transform(col("__px"),
+          p => when(p * 64 > col("__sum"), lit("1")).otherwise(lit("0"))), "").as("simhash"))
+  }
+
   /** Frame sampling for "video" payloads: emit every `stride`-th fixed-size
     * chunk as (id, frame_idx, frame_bytes). The chunker is the stub — a real
     * demuxer plugs into the same explode shape. Pure column expressions, so

@@ -255,6 +255,38 @@ class OpsSpec extends SparkSuite {
     assert(o(("s2", "s3")) == 0.0)
   }
 
+  test("perceptual hash: 64 balanced bits, equal payloads collide, hamming 0 via simhashPairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq((1L, "image-bytes-alpha"), (2L, "image-bytes-alpha"), (3L, "other-image"))
+      .toDF("doc_id", "txt")
+      .withColumn("payload", org.apache.spark.sql.functions.encode(col("txt"), "UTF-8"))
+    val ph = graft.ops.Multimodal.perceptualHash(d, "doc_id", "payload")
+    val rows = ph.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.values.forall(h => h.length == 64 && h.forall(c => c == '0' || c == '1')))
+    assert(rows(1L) == rows(2L) && rows(1L) != rows(3L))
+    // aHash thresholds around the mean → neither all-zeros nor all-ones
+    assert(rows.values.forall(h => h.contains('0') && h.contains('1')))
+    val pairs = Dedup.simhashPairs(ph, prefixBits = 16, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toInt))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("packing efficiency: exact sequence counts and utilization") {
+    val spark2 = spark
+    import spark2.implicits._
+    // group a: lengths 10, 10, 5 with seqLen 8 → padded ceil = 2+2+1 = 5,
+    // packed = ceil(25/8) = 4; group b: one doc of 8 → both 1, util 1.0
+    val d = Seq(("a", 10L), ("a", 10L), ("a", 5L), ("b", 8L)).toDF("src", "n")
+    val r = graft.ops.Corpus.packingEfficiency(d, "src", "n", seqLen = 8)
+      .collect().map(x => (x.getString(0), (x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens"),
+        x.getAs[Long]("n_seqs_padded"), x.getAs[Long]("n_seqs_packed"),
+        x.getAs[Double]("util_padded"), x.getAs[Double]("util_packed"),
+        x.getAs[Long]("seqs_saved")))).toMap
+    assert(r("a") == ((3L, 25L, 5L, 4L, 0.625, 0.7813, 1L)))
+    assert(r("b") == ((1L, 8L, 1L, 1L, 1.0, 1.0, 0L)))
+  }
+
   test("minhash lsh recovers exact duplicates") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
