@@ -3205,6 +3205,46 @@ object Queries {
       (SUM((n_chars + 2047) // 2048) - ((SUM(n_chars) + 2047) // 2048))::BIGINT AS seqs_saved
       FROM documents GROUP BY 1"""))
 
+  /** First three BPE merges learned from the corpus — the Spark side runs
+    * the driver-looped merge rounds; the oracle replays all three rounds
+    * as chained CTEs (pair count → top-1 → literal replace), agreeing
+    * because left-to-right non-overlapping replace IS the greedy BPE fold
+    * in both engines.
+    */
+  private val q121 = Q(
+    "q121_bpe_merges",
+    (spark, dir) =>
+      TextOps.bpeMerges(pq(spark, dir, "documents"), "text", rounds = 3),
+    Some {
+      val rounds = 3
+      val sep = "chr(31)"
+      val stages = (1 to rounds).map { r =>
+        val pair =
+          s"""p$r AS (SELECT sy[i] a, sy[i+1] b, SUM(c)::BIGINT cnt
+            FROM (SELECT sy, c, unnest(generate_series(1, len(sy) - 1)) i
+              FROM (SELECT string_split(substr(rep, 2, length(rep) - 2), $sep || $sep) sy, c
+                FROM r$r))
+            GROUP BY 1, 2),
+          t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1)"""
+        val next =
+          if (r == rounds) ""
+          else s""",
+          r${r + 1} AS (SELECT replace(rep, $sep || t$r.a || $sep || $sep || t$r.b || $sep,
+            $sep || t$r.a || t$r.b || $sep) rep, c FROM r$r, t$r)"""
+        pair + next
+      }.mkString(",\n          ")
+      val out = (1 to rounds)
+        .map(r => s"SELECT $r AS round, a AS sym_a, b AS sym_b, cnt FROM t$r")
+        .mkString(" UNION ALL ")
+      s"""WITH wc AS (SELECT w, COUNT(*) c
+          FROM (SELECT unnest(string_split(trim(text), ' ')) w FROM documents)
+          WHERE length(w) > 0 GROUP BY 1),
+        r1 AS (SELECT $sep || array_to_string(string_split(w, ''), $sep || $sep) || $sep AS rep, c
+          FROM wc),
+        $stages
+        $out"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3215,7 +3255,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118, q119, q120)
+    q114, q115, q116, q117, q118, q119, q120, q121)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

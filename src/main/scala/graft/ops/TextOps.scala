@@ -1095,6 +1095,77 @@ object TextOps {
         sum("__contrib6").as("score_micro"))
   }
 
+  /** Distributed BPE merge learning (Sennrich et al. 2016): the first
+    * `rounds` byte-pair merges a BPE tokenizer would learn from this
+    * corpus, computed exactly. Classic formulation: collapse the corpus
+    * to its WORD-FREQUENCY table first (vocabulary-sized, not
+    * corpus-sized — the one explode happens once), represent each word as
+    * delimiter-wrapped symbols (`<US>c<US><US>c<US>...` with U+001F as
+    * the delimiter, initially characters), then per round: count
+    * adjacent symbol pairs
+    * weighted by word frequency, take the globally most frequent pair
+    * (ties: lexicographically smaller pair — fully deterministic), and
+    * merge it everywhere via a single literal string replace. The
+    * left-to-right non-overlapping replace IS the greedy BPE fold
+    * (`a a a` + merge (a,a) → `(aa) a`), and both Spark and any SQL
+    * engine implement replace that way — so the whole procedure replays
+    * engine-for-engine.
+    *
+    * Returns the merge table: (round, sym_a, sym_b, cnt) — the artifact a
+    * tokenizer trainer consumes. The per-round top-1 is a driver-side
+    * collect of ONE row (model-sized, like k-means centroids); everything
+    * else is vocabulary-table work: one explode + count of the corpus up
+    * front, then `rounds` × (map + map-side-combined pair count). The rep
+    * table checkpoints per round so lineage stays flat.
+    *
+    * Assumes U+001F (ASCII unit separator) does not occur in the text —
+    * true of any sanely cleaned corpus (encodingQuality counts C0
+    * controls; strip first if unsure).
+    */
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds $rounds out of [1,64]")
+    val S = "\u001f"
+    val spark = df.sparkSession
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    var rep = words.select(
+      concat(lit(S), array_join(split(col("w"), ""), S + S), lit(S)).as("rep"),
+      col("wc")).localCheckpoint(true)
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val syms = split(col("rep").substr(lit(2), length(col("rep")) - 2), S + S)
+      val top = rep.select(col("wc"), syms.as("sy"))
+        .select(col("wc"),
+          explode(zip_with(col("sy"), slice(col("sy"), lit(2), size(col("sy"))),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("pr"))
+        .filter(col("pr.b").isNotNull)
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, c))
+        rep = rep.select(
+          regexp_replace(col("rep"),
+            java.util.regex.Pattern.quote(S + a + S + S + b + S),
+            java.util.regex.Matcher.quoteReplacement(S + a + b + S)).as("rep"),
+          col("wc")).localCheckpoint(true)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      merges.toList.map(m => org.apache.spark.sql.Row(m._1, m._2, m._3, m._4)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("round", org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("sym_a", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("sym_b", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own top
     * `vocabSize` tokens — the pre-tokenizer-training signal for how well a
     * planned vocabulary covers each document (high OOV → the doc is

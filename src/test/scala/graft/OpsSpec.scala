@@ -287,6 +287,17 @@ class OpsSpec extends SparkSuite {
     assert(r("b") == ((1L, 8L, 1L, 1L, 1.0, 1.0, 0L)))
   }
 
+  test("bpe merges learn the classic low/lower sequence with deterministic ties") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq((1L, "low low low lower"), (2L, "lower newest")).toDF("doc_id", "text")
+    val m = TextOps.bpeMerges(d, "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // pairs (l,o) and (o,w) both count 5 → lexicographic tie-break picks (l,o);
+    // after merging lo then low, (e,r) and (low,e) tie at 2 → (e,r) wins
+    assert(m.toSeq == Seq((1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "e", "r", 2L)), m.toSeq.toString)
+  }
+
   test("minhash lsh recovers exact duplicates") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
