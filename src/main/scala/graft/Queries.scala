@@ -3245,6 +3245,66 @@ object Queries {
         $out"""
     })
 
+  /** Video near-dup via shared frame fingerprints: re-uploads (full copy)
+    * and clips (256-byte prefix — shares the first two sampled frames)
+    * injected over the corpus payloads.
+    */
+  private val q122 = Q(
+    "q122_video_overlap",
+    (spark, dir) => {
+      val base = pq(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val reups = base.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val clips = base.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("substring(text, 1, 256)").as("text"))
+      val d = base.unionByName(reups).unionByName(clips)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      Multimodal.frameOverlapPairs(d, "doc_id", "payload", 64, 2, minShared = 2L)
+    },
+    Some("""WITH docs AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10
+        UNION ALL SELECT doc_id + 2000000, substring(text, 1, 256) FROM documents WHERE doc_id < 15),
+      fr AS (SELECT DISTINCT doc_id, md5(substr(text, (g * 64 + 1)::INT, 64)) fh
+        FROM (SELECT doc_id, text,
+          unnest(generate_series(0, greatest((length(text) // 64) - 1, 0), 2)) g FROM docs)),
+      sz AS (SELECT doc_id, COUNT(*) nf FROM fr GROUP BY 1),
+      cm AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c FROM fr a
+        JOIN fr b ON a.fh = b.fh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT ia AS id_a, ib AS id_b, c::BIGINT AS shared,
+        x.nf::BIGINT AS nf_a, y.nf::BIGINT AS nf_b,
+        ROUND(c::DOUBLE / x.nf, 4) AS overlap_a, ROUND(c::DOUBLE / y.nf, 4) AS overlap_b
+      FROM cm JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+      WHERE c >= 2"""))
+
+  /** Data-quality expectation gate over lineitem: six declarative checks
+    * compiled to one aggregation pass; l_discount and l_linestatus checks
+    * are deliberately violated so both verdicts appear.
+    */
+  private val q123 = Q(
+    "q123_expectations",
+    (spark, dir) =>
+      Corpus.expectations(pq(spark, dir, "lineitem"), Seq(
+        Corpus.Check.NotNull("l_orderkey"),
+        Corpus.Check.InRange("l_quantity", 1, 50),
+        Corpus.Check.InRange("l_discount", 0, 0.05),
+        Corpus.Check.Accepted("l_returnflag", Seq("A", "N", "R")),
+        Corpus.Check.Matches("l_linestatus", "^O$"),
+        Corpus.Check.Unique(Seq("l_orderkey", "l_linenumber")))),
+    Some("""SELECT "check", "column", n_violations, n_violations = 0 AS passed FROM (
+      SELECT 'not_null' AS "check", 'l_orderkey' AS "column",
+        SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_violations FROM lineitem
+      UNION ALL SELECT 'in_range', 'l_quantity',
+        SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+      UNION ALL SELECT 'in_range', 'l_discount',
+        SUM(CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+      UNION ALL SELECT 'accepted', 'l_returnflag',
+        SUM(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+      UNION ALL SELECT 'matches', 'l_linestatus',
+        SUM(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^O$') THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+      UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber',
+        (COUNT(*) - COUNT(DISTINCT concat_ws('|', l_orderkey, l_linenumber)))::BIGINT FROM lineitem)"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3255,7 +3315,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118, q119, q120, q121)
+    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -436,6 +436,70 @@ object Corpus {
       .drop("__z")
   }
 
+  /** A declarative data-quality expectation, compiled by [[expectations]]
+    * into one aggregation pass.
+    */
+  sealed trait Check { def label: String; def column: String }
+  object Check {
+    /** Column must be non-null. */
+    final case class NotNull(column: String) extends Check { val label = "not_null" }
+    /** Numeric column within [lo, hi] (NULLs don't violate — pair with NotNull). */
+    final case class InRange(column: String, lo: Double, hi: Double) extends Check {
+      val label = "in_range"
+    }
+    /** String column fully matches the regex (NULLs don't violate). */
+    final case class Matches(column: String, regex: String) extends Check {
+      val label = "matches"
+    }
+    /** String column drawn from an accepted set (NULLs don't violate). */
+    final case class Accepted(column: String, values: Seq[String]) extends Check {
+      val label = "accepted"
+    }
+    /** Column tuple is unique across the table. NULL components collapse
+      * in the concat_ws key — pair with NotNull on each component.
+      */
+    final case class Unique(columns: Seq[String]) extends Check {
+      val label = "unique"; val column = columns.mkString(",")
+    }
+  }
+
+  /** Data-quality gate over declarative expectations — the contract check
+    * a pipeline runs on every new drop BEFORE it enters curation (the
+    * assert-side companion of [[profile]]/[[histogram]]'s describe-side).
+    * Returns one row per check: `(check, column, n_violations, passed)`.
+    *
+    * 100 TB shape: every check compiles to a conditional count inside ONE
+    * aggregation over the table (uniqueness adds its distinct count to
+    * the same pass), so the full contract costs a single scan + one
+    * map-side-combined shuffle regardless of how many checks it carries;
+    * the output is |checks| rows.
+    */
+  def expectations(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "at least one check")
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      (c match {
+        case Check.NotNull(colName) =>
+          sum(when(col(colName).isNull, 1L).otherwise(0L))
+        case Check.InRange(colName, lo, hi) =>
+          sum(when(col(colName) < lo || col(colName) > hi, 1L).otherwise(0L))
+        case Check.Matches(colName, regex) =>
+          sum(when(col(colName).isNotNull && !col(colName).rlike(regex), 1L).otherwise(0L))
+        case Check.Accepted(colName, values) =>
+          sum(when(col(colName).isNotNull && !col(colName).isin(values: _*), 1L).otherwise(0L))
+        case Check.Unique(cols) =>
+          count(lit(1)) - countDistinct(concat_ws("|", cols.map(col): _*))
+      }).as(s"v$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stack = s"stack(${checks.size}, " + checks.zipWithIndex.map { case (c, i) =>
+      val lbl = c.label.replace("'", "''")
+      val cn = c.column.replace("'", "''")
+      s"'$lbl', '$cn', coalesce(v$i, 0L)"
+    }.mkString(", ") + ") as (check, column, n_violations)"
+    one.selectExpr(stack)
+      .withColumn("passed", col("n_violations") === 0L)
+  }
+
   /** Packing-efficiency forecast: per group, how much accelerator time
     * sequence packing ([[packPieces]]) would save over naive
     * pad-each-document-to-`seqLen` batching. Reports exact-integer

@@ -118,6 +118,52 @@ object Multimodal {
           p => when(p * 64 > col("__sum"), lit("1")).otherwise(lit("0"))), "").as("simhash"))
   }
 
+  /** Video near-dup pairs from shared frame fingerprints: sample frames
+    * ([[sampleFrames]] — a real demuxer plugs into the same seam),
+    * fingerprint each (md5 here; [[perceptualHash]] per frame for
+    * re-encode tolerance under a real decoder), and pair videos sharing
+    * at least `minShared` distinct fingerprints. Catches re-uploads,
+    * clips (a prefix shares all its frames with the original), and
+    * compilations — the multimodal analogue of n-gram containment.
+    * Output per unordered pair: shared count plus both containment
+    * directions (`shared/n_frames` per side, 4 dp).
+    *
+    * 100 TB shape: the same inverted-index discipline as the text
+    * dedups — videos pair only through a shared fingerprint, a
+    * `maxDf` broadcast anti-join drops degenerate fingerprints (black
+    * frames, station idents) before any pair forms, and the self-join is
+    * fingerprint-local. Frame payloads are dropped before the shuffle:
+    * only (id, 32-hex hash) rows move.
+    */
+  def frameOverlapPairs(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      frameBytes: Int,
+      stride: Int,
+      minShared: Long = 1L,
+      maxDf: Long = 10000L): DataFrame = {
+    val fr = sampleFrames(df, idCol, binCol, frameBytes, stride)
+      .select(col("id"), md5(col("frame_bytes")).as("fh"))
+      .distinct()
+      .localCheckpoint(true)
+    val hot = fr.groupBy(col("fh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxDf).select(col("fh"))
+    val kept = fr.join(broadcast(hot), Seq("fh"), "left_anti")
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+    kept.as("a")
+      .join(kept.as("b"), col("a.fh") === col("b.fh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.select(col("id").as("id_a"), col("nf").as("nf_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nf").as("nf_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared"),
+        col("nf_a"), col("nf_b"),
+        round(col("shared").cast("double") / col("nf_a"), 4).as("overlap_a"),
+        round(col("shared").cast("double") / col("nf_b"), 4).as("overlap_b"))
+  }
+
   /** Frame sampling for "video" payloads: emit every `stride`-th fixed-size
     * chunk as (id, frame_idx, frame_bytes). The chunker is the stub — a real
     * demuxer plugs into the same explode shape. Pure column expressions, so

@@ -298,6 +298,45 @@ class OpsSpec extends SparkSuite {
     assert(m.toSeq == Seq((1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "e", "r", 2L)), m.toSeq.toString)
   }
 
+  test("frame overlap: reupload shares everything, clip is contained, unrelated absent") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 4 frames of 4 bytes, stride 1; clip = first half (2 frames)
+    val full = "aaaabbbbccccdddd"
+    val d = Seq((1L, full), (2L, full), (3L, full.substring(0, 8)), (4L, "zzzzyyyyxxxxwwww"))
+      .toDF("doc_id", "txt")
+      .withColumn("payload", org.apache.spark.sql.functions.encode(col("txt"), "UTF-8"))
+    val p = graft.ops.Multimodal.frameOverlapPairs(d, "doc_id", "payload", 4, 1, minShared = 2L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Long]("shared"), r.getAs[Double]("overlap_a"), r.getAs[Double]("overlap_b")))).toMap
+    assert(p((1L, 2L)) == ((4L, 1.0, 1.0)))
+    assert(p((1L, 3L)) == ((2L, 0.5, 1.0))) // clip fully contained in original
+    assert(p((2L, 3L)) == ((2L, 0.5, 1.0)))
+    assert(!p.keySet.exists(k => k._1 == 4L || k._2 == 4L))
+  }
+
+  test("expectations gate: passing and violated checks in one pass") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.Corpus.Check
+    val d = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (2L, "c", 200.0), (4L, null.asInstanceOf[String], 30.0)
+    ).toDF("id", "name", "v")
+    val r = graft.ops.Corpus.expectations(d, Seq(
+      Check.NotNull("name"),       // 1 null
+      Check.InRange("v", 0, 100),  // 200.0 violates
+      Check.Matches("name", "^[ab]$"), // c violates (null skipped)
+      Check.Accepted("name", Seq("a", "b", "c")), // passes
+      Check.Unique(Seq("id"))      // id=2 twice → 1 violation
+    )).collect().map(x => ((x.getString(0), x.getString(1)),
+      (x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(("not_null", "name")) == ((1L, false)))
+    assert(r(("in_range", "v")) == ((1L, false)))
+    assert(r(("matches", "name")) == ((1L, false)))
+    assert(r(("accepted", "name")) == ((0L, true)))
+    assert(r(("unique", "id")) == ((1L, false)))
+  }
+
   test("minhash lsh recovers exact duplicates") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
