@@ -168,7 +168,9 @@ object Dedup {
     * appended so a few shingles reach df ≈ 60k, no df cap) the prefix
     * variant is **8–10× faster** (two runs: 12.6 s vs 103.7 s, 15.8 s vs
     * 155.1 s). Real crawl text is the Zipfian case; prefer this variant
-    * there, the plain one on known-flat distributions.
+    * there, the plain one on known-flat distributions. (The uniform-case
+    * overhead is the per-doc array materialization, not the df join:
+    * `rarityOrder = false` measures the same 5.5 s warm.)
     */
   def ngramJaccardPairsPrefix(
       df: DataFrame,
@@ -176,7 +178,8 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxDf: Long = 10000L): DataFrame = {
+      maxDf: Long = 10000L,
+      rarityOrder: Boolean = true): DataFrame = {
     val sh = wordShingles(df, idCol, textCol, n).localCheckpoint(true)
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
@@ -184,14 +187,24 @@ object Dedup {
     val kept = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     // Rounded-comparison slack: round(j, 4) >= t passes true j >= t - 5e-5.
     val tMicro = math.max(math.round(threshold * 1000000L) - 50L, 0L)
-    val dfc = kept.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+    // Prefix filtering is lossless under ANY global total order; the
+    // df-ascending rarity order is the one that PRUNES well on skewed
+    // corpora, but it costs a corpus-wide join against the df table.
+    // `rarityOrder = false` orders by the shingle string alone — no df
+    // join, one fewer shuffle of the shingle stream — the right call when
+    // the df distribution is known flat (output identical either way).
+    val keyed =
+      if (rarityOrder) {
+        val dfc = kept.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+        kept.join(dfc, "shingle")
+      } else kept.withColumn("sdf", lit(0L))
     // ONE per-doc aggregation builds the rarity-sorted shingle array
     // (sort_array on (df, shingle) structs = the global order, applied
     // in-executor per doc — no rank window, no second sets pass): the
     // prefix is a slice of it and the exact-verify set is the same array.
     // Checkpointed: consumed by both candidate-join sides and both
     // verification joins.
-    val sets = kept.join(dfc, "shingle")
+    val sets = keyed
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("sdf"), col("shingle")))).as("__arr"))
       .select(col("id"),

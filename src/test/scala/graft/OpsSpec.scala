@@ -183,6 +183,9 @@ class OpsSpec extends SparkSuite {
       val pref = Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text", 2, t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(pref == plain, s"threshold $t: prefix-filtered pairs diverged")
+      val flat = Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text", 2, t, rarityOrder = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(flat == plain, s"threshold $t: flat-order prefix pairs diverged")
       assert(plain.nonEmpty || t >= 0.9)
     }
   }
