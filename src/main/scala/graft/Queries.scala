@@ -3305,6 +3305,34 @@ object Queries {
       UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber',
         (COUNT(*) - COUNT(DISTINCT concat_ws('|', l_orderkey, l_linenumber)))::BIGINT FROM lineitem)"""))
 
+  /** KMV as a mergeable typed Aggregator (map-side partial aggregation;
+    * k hashes per group per task cross the wire instead of every distinct
+    * hash row) — same oracle as q62: the two formulations are
+    * output-identical by construction.
+    */
+  private val q124 = Q(
+    "q124_kmv_udaf",
+    (spark, dir) => {
+      val toks = pq(spark, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      toks.groupBy(col("source"))
+        .agg(graft.functions.KmvAgg.kmv(64)(col("tok")).as("s"))
+        .select(col("source"), col("s.k").as("k"), col("s.n_kept").as("n_kept"),
+          col("s.kth_hash").as("kth_hash"), col("s.est_distinct").as("est_distinct"))
+    },
+    Some("""WITH t AS (SELECT source, unnest(string_split(trim(text), ' ')) tok
+        FROM documents),
+      d AS (SELECT DISTINCT source, md5(tok) h FROM t),
+      r AS (SELECT source, h,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) rn FROM d),
+      g AS (SELECT source, COUNT(*) n_kept,
+        MAX(CASE WHEN rn = 64 THEN h END) kth FROM r WHERE rn <= 64 GROUP BY 1)
+      SELECT source, 64 AS k, n_kept::BIGINT AS n_kept, kth AS kth_hash,
+        CAST(CASE WHEN kth IS NULL THEN n_kept
+          ELSE ROUND(63.0 * 4294967296.0 / (('0x' || substr(kth, 1, 8))::UBIGINT + 1.0))
+          END AS BIGINT) AS est_distinct
+      FROM g"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3315,7 +3343,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

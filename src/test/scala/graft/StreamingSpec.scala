@@ -596,6 +596,52 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("kmv aggregator: streaming windowed cardinality equals batch, O(k) state") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{window => fwindow}
+
+    val kmv = graft.functions.KmvAgg.kmv(4)
+    val rows = (0 until 40).map { i =>
+      // window 1 (minute 0-10): 8 distinct values; window 2: 3 distinct
+      if (i < 30) ("w1", s"v${i % 8}", 60000L + (i % 9) * 60000L)
+      else ("w2", s"x${i % 3}", 700000L + (i % 3) * 60000L)
+    }
+    val stream = MemoryStream[(String, String, Long)]
+    val sdf = stream.toDF().toDF("tag", "v", "t_ms")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(col("t_ms")))
+      .withWatermark("ts", "1 second")
+    val out = sdf.groupBy(fwindow(col("ts"), "10 minutes")).agg(kmv(col("v")).as("s"))
+      .select(col("window.start").cast("long").as("w_start"),
+        col("s.n_kept"), col("s.kth_hash"), col("s.est_distinct"))
+    val query = out.writeStream.format("memory").queryName("s_kmv_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.take(20): _*)
+      query.processAllAvailable()
+      stream.addData(rows.drop(20): _*)
+      query.processAllAvailable()
+      stream.addData(("wm", "z", 7200000L)) // push watermark past both windows
+      query.processAllAvailable()
+      stream.addData(("wm2", "z", 14400000L))
+      query.processAllAvailable()
+
+      val got = spark.sql(
+        "SELECT w_start, n_kept, kth_hash, est_distinct FROM s_kmv_out WHERE w_start < 7200")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      val batch = rows.toDF("tag", "v", "t_ms")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(col("t_ms")))
+        .groupBy(fwindow(col("ts"), "10 minutes")).agg(kmv(col("v")).as("s"))
+        .select(col("window.start").cast("long").as("w_start"),
+          col("s.n_kept"), col("s.kth_hash"), col("s.est_distinct"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      // 8 distinct values with k=4 → saturated sketch, estimator engaged
+      assert(got.exists(r => r._2 == 4L && r._3 != null))
+    } finally query.stop()
+  }
+
   test("streaming file source feeds a derived view") {
     val dir = writeTempParquet(purchases, "stream_files")
     val src = FileSource(
