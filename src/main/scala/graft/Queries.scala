@@ -3333,6 +3333,27 @@ object Queries {
           END AS BIGINT) AS est_distinct
       FROM g"""))
 
+  /** Bucketized interval join: follow-on events per user within 30
+    * minutes (strictly after). The oracle is the plain non-equi join —
+    * the bucketed plan must reproduce it exactly, pair for pair.
+    */
+  private val q125 = Q(
+    "q125_interval_join",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val e = raw.select(col("user_id"), col("event_id"),
+        EventTime.epochMillis(raw, "ts").as("ts_ms"))
+      TemporalJoin.intervalJoin(e, e, Seq("user_id"), "ts_ms",
+          lowerMs = 1L, upperMs = 1800000L)
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          col("event_id_r"), col("ts_ms_r"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) tms FROM events)
+      SELECT a.user_id, a.event_id, a.tms AS ts_ms, b.event_id AS event_id_r,
+        b.tms AS ts_ms_r
+      FROM e a JOIN e b ON a.user_id = b.user_id
+        AND b.tms >= a.tms + 1 AND b.tms <= a.tms + 1800000"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3343,7 +3364,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
+    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -108,4 +108,58 @@ object TemporalJoin {
         df.columns.mkString(", ")) // ref: spark_dataframe_builder.py:142-148
     df.join(broadcast(keysDf.dropDuplicates()), keysDf.columns.toSeq, "left_semi")
   }
+
+  /** INTERVAL (range) join: every (left, right) pair sharing `keys` with
+    * `right.ts - left.ts` in `[lowerMs, upperMs]` — the follow-on-events /
+    * label-attribution / co-occurrence-in-time join the point-in-time join
+    * (latest single match) cannot express. Right-side columns (except
+    * keys) come back suffixed `rightSuffix`.
+    *
+    * 100 TB shape: a naive keys-equi + range-filter plan degenerates to a
+    * per-key cross product on hot keys. Here both sides pre-bucket on
+    * `time DIV w` with `w = upperMs - lowerMs`: a left row's admissible
+    * right window has length exactly `w`, so it spans AT MOST TWO buckets
+    * — the left side explodes into those (≤2, deduped) bucket entries,
+    * the join runs on `(keys, bucket)`, and the exact range predicate
+    * prunes in place. Each qualifying pair materializes exactly once (the
+    * right row's bucket is one of the left's two), so there is no
+    * post-join distinct, and candidate volume is bounded by co-bucketed
+    * rows instead of per-key row counts. For unbounded inputs use Spark's
+    * native stream-stream join with a time-range condition — this is the
+    * batch/backfill shape.
+    *
+    * Timestamps must be non-negative epoch millis; bounds may be negative
+    * (both sides shift by a constant before the integer `DIV` so the
+    * truncating division never sees a negative operand). NULL keys never
+    * match (equi-join semantics).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      lowerMs: Long,
+      upperMs: Long,
+      rightSuffix: String = "_r"): DataFrame = {
+    require(upperMs >= lowerMs, s"upperMs $upperMs < lowerMs $lowerMs")
+    require(keys.nonEmpty, "interval join needs at least one key")
+    val w = math.max(upperMs - lowerMs, 1L)
+    // keeps ts + lowerMs + K >= 0 so DIV (truncate-toward-zero) == floor;
+    // 2^41 ms ≈ 70 years of epoch headroom on both sides
+    val K = 1L << 41
+    require(math.abs(lowerMs) < K && math.abs(upperMs) < K,
+      "interval bounds beyond +/-2^41 ms not supported")
+    val rRenamed = right.columns.foldLeft(right) { (d, c) =>
+      if (keys.contains(c)) d else d.withColumnRenamed(c, c + rightSuffix)
+    }
+    val rT = s"$tsCol$rightSuffix"
+    val rB = rRenamed.withColumn("__b", expr(s"((`$rT` + $K) DIV $w)"))
+    val lB = left.withColumn("__b",
+      explode(array_distinct(array(
+        expr(s"((`$tsCol` + $lowerMs + $K) DIV $w)"),
+        expr(s"((`$tsCol` + $upperMs + $K) DIV $w)")))))
+    lB.join(rB, keys :+ "__b")
+      .filter(col(rT) >= col(tsCol) + lowerMs && col(rT) <= col(tsCol) + upperMs)
+      .drop("__b")
+  }
 }

@@ -72,4 +72,34 @@ class JoinFuzzSpec extends SparkSuite {
     // the NULL-keyed left row must NOT pick up the NULL-keyed right version
     assert(got == Set((Some("a"), Some(10L)), (None, None)))
   }
+
+  test("interval join matches the naive non-equi join on randomized inputs") {
+    val spark2 = spark
+    import spark2.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new Random(100 + seed)
+      val keys = Seq("k1", "k2", "k3")
+      val left = (1 to 50).map { i =>
+        (keys(rnd.nextInt(3)), i.toLong, rnd.nextInt(100).toLong * 7)
+      }
+      val right = (1 to 50).map { i =>
+        (keys(rnd.nextInt(3)), 1000L + i, rnd.nextInt(120).toLong * 7)
+      }
+      // windows including negative lower bounds, zero-width, and exact ties
+      val windows = Seq((0L, 0L), (-21L, 21L), (7L, 70L), (-70L, -7L))
+      for ((lo, hi) <- windows) {
+        val l = left.toDF("k", "lid", "t")
+        val r = right.toDF("k", "rid", "t")
+        val got = TemporalJoin.intervalJoin(l, r, Seq("k"), "t", lo, hi)
+          .select("k", "lid", "rid_r")
+          .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+        val expected = (for {
+          (lk, lid, lt) <- left
+          (rk, rid, rt) <- right
+          if lk == rk && rt >= lt + lo && rt <= lt + hi
+        } yield (lk, lid, rid)).toSet
+        assert(got == expected, s"seed $seed window ($lo,$hi): got ${got.size}, expected ${expected.size}")
+      }
+    }
+  }
 }
