@@ -3354,6 +3354,60 @@ object Queries {
       FROM e a JOIN e b ON a.user_id = b.user_id
         AND b.tms >= a.tms + 1 AND b.tms <= a.tms + 1800000"""))
 
+  /** Rank-biased overlap of approximate vs exact ANN rankings: lshTopK
+    * scored against bruteForceTopK per query — the approximation-quality
+    * audit as a first-class query. Weights are driver-floored nano
+    * constants inlined in both engines.
+    */
+  private val q126 = Q(
+    "q126_rbo_ann",
+    (spark, dir) => {
+      val emb = pq(spark, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      val approx = Similarity.lshTopK(
+        emb, qs, "vec_id", "embedding", "vec_id", "embedding", k = 5, planes = 4)
+      Similarity.rankBiasedOverlap(exact, approx, "query_id", "nbr_id", "rank", k = 5)
+    },
+    Some {
+      // identical fp recipe to rankBiasedOverlap's: (1 - p) in DOUBLE is
+      // 0.09999999999999998, not 0.1 — the floored nanos must match
+      val w = (1 to 5).map(d => math.floor((1 - 0.9) * math.pow(0.9, d - 1) * 1e9).toLong)
+      val wCase = "CASE d " + w.zipWithIndex.map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+        .mkString(" ") + " END"
+      s"""WITH bq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv FROM embeddings WHERE vec_id < 10),
+        bc AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] cv FROM embeddings),
+        bs AS (SELECT query_id, nbr_id,
+          ROUND(list_dot_product(cv, qv) /
+            (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS score
+          FROM bc, bq WHERE nbr_id <> query_id),
+        ex AS (SELECT query_id, rnk, nbr_id FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rnk FROM bs)
+          WHERE rnk <= 5),
+        e2 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        bb AS (SELECT vec_id, ${srpBucketSql(4, "v")} bk, v FROM e2),
+        qq AS (SELECT vec_id AS query_id, bk, v qv FROM bb WHERE vec_id < 10),
+        ls AS (SELECT qq.query_id, c.vec_id nbr_id,
+          ROUND(list_dot_product(c.v, qq.qv) /
+            (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(qq.qv, qq.qv))), 6) AS score
+          FROM bb c JOIN qq ON c.bk = qq.bk AND c.vec_id <> qq.query_id),
+        ap AS (SELECT query_id, rnk, nbr_id FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nbr_id) AS rnk FROM ls)
+          WHERE rnk <= 5),
+        mm AS (SELECT ex.query_id qid, GREATEST(ex.rnk, ap.rnk) m
+          FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.nbr_id = ap.nbr_id),
+        xd AS (SELECT qid, d, COUNT(*) x
+          FROM (SELECT qid, unnest(generate_series(m, 5)) d FROM mm) GROUP BY 1, 2),
+        tt AS (SELECT qid, SUM(($wCase * x) // d) rbo,
+          MAX(CASE WHEN d = 5 THEN x END) ok FROM xd GROUP BY 1),
+        qs AS (SELECT DISTINCT query_id qid FROM ex)
+      SELECT qs.qid AS qid, COALESCE(rbo, 0)::BIGINT AS rbo_nano,
+        COALESCE(ok, 0)::BIGINT AS overlap_k,
+        ROUND(COALESCE(ok, 0)::DOUBLE / 5, 4) AS recall_k
+      FROM qs LEFT JOIN tt ON tt.qid = qs.qid"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3364,7 +3418,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
+    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -813,4 +813,56 @@ object Similarity {
           .as("centroid_cos"),
         round(sqrt(col("__d2").cast("double"))).cast("long").as("l2_micro"))
   }
+
+  /** Rank-biased overlap (Webber et al., TOIS 2010) between two top-k
+    * rankings per query — the standard metric for "how close is the
+    * approximate ranking to the exact one", here closing the ANN loop:
+    * score [[lshTopK]] / [[ivfTopK]] / [[pqTopK]] against
+    * [[bruteForceTopK]] as a first-class query instead of an offline
+    * eyeball. RBO@k = Σ_{d=1..k} (1-p)·p^(d-1)·|A_d ∩ B_d|/d where A_d is
+    * the top-d prefix; top-weighted (early agreement counts most), and
+    * well-defined when the lists share only some items.
+    *
+    * Exactness: the geometric weights are floored to integer NANOS once
+    * on the driver and inlined as literals, each term is an exact-integer
+    * `(w_d · X_d) DIV d`, and X_d (overlap at depth d) comes from the
+    * identity "item enters the overlap at depth max(rank_a, rank_b)" — so
+    * any engine replays the metric bit-for-bit. Also emits `overlap_k`
+    * and `recall_k` (= X_k/k, 4 dp).
+    *
+    * 100 TB shape: the join is on (query, item) over two top-k tables —
+    * both already k·|queries| rows, NEVER corpus-sized; the depth explode
+    * is ≤ k rows per matched item. Queries with zero overlap still emit a
+    * row (rbo 0) via the left join back to the query list.
+    */
+  def rankBiasedOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      queryCol: String,
+      itemCol: String,
+      rankCol: String,
+      k: Int,
+      p: Double = 0.9): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k $k out of [1,1000]")
+    require(p > 0 && p < 1, s"p $p out of (0,1)")
+    val w = (1 to k).map(d => math.floor((1 - p) * math.pow(p, d - 1) * 1e9).toLong)
+    def ranks(df: DataFrame, rn: String) = df.select(
+      col(queryCol).as("qid"), col(itemCol).as("item"),
+      col(rankCol).cast("long").as(rn)).filter(col(rn) <= k && col(rn) >= 1)
+    val m = ranks(a, "ra").join(ranks(b, "rb"), Seq("qid", "item"))
+      .select(col("qid"), greatest(col("ra"), col("rb")).as("m"))
+    val agg = m.select(col("qid"), explode(sequence(col("m"), lit(k.toLong))).as("d"))
+      .groupBy(col("qid"), col("d")).agg(count(lit(1)).as("x"))
+      .withColumn("w", element_at(array(w.map(lit): _*), col("d").cast("int")))
+      .withColumn("t", expr("((w * x) DIV d)"))
+      .groupBy(col("qid"))
+      .agg(sum(col("t")).as("rbo_nano"),
+        max(when(col("d") === k, col("x"))).as("overlap_k"))
+    a.select(col(queryCol).as("qid")).distinct()
+      .join(agg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("rbo_nano"), lit(0L)).as("rbo_nano"),
+        coalesce(col("overlap_k"), lit(0L)).as("overlap_k"))
+      .withColumn("recall_k", round(col("overlap_k").cast("double") / k, 4))
+  }
 }

@@ -340,6 +340,25 @@ class OpsSpec extends SparkSuite {
     assert(r(("unique", "id")) == ((1L, false)))
   }
 
+  test("rank-biased overlap: identical, disjoint, and partial rankings") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 10L, 1), (2L, 11L, 2), (2L, 12L, 3),
+      (3L, 10L, 1), (3L, 11L, 2), (3L, 12L, 3)).toDF("qid", "item", "rank")
+    val b = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),       // identical
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),                 // disjoint
+      (3L, 12L, 1), (3L, 11L, 2), (3L, 99L, 3)).toDF("qid", "item", "rank") // partial
+    val r = Similarity.rankBiasedOverlap(a, b, "qid", "item", "rank", k = 3)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // weights (nanos): floor((1-0.9)*0.9^(d-1)*1e9) = 99999999, 89999999, 80999999
+    assert(r(1L) == ((270999997L, 3L, 1.0)))  // sum of all three weights
+    assert(r(2L) == ((0L, 0L, 0.0)))
+    // partial: item 11 at max(2,2)=2, item 12 at max(3,1)=3 →
+    // x = [0,1,2]; (89999999*1)//2 + (80999999*2)//3 = 44999999 + 53999999
+    assert(r(3L) == ((98999998L, 2L, 0.6667)))
+  }
+
   test("minhash lsh recovers exact duplicates") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
