@@ -3408,6 +3408,40 @@ object Queries {
       FROM qs LEFT JOIN tt ON tt.qid = qs.qid"""
     })
 
+  /** Count-min sketch over the token stream (depth 4 × width 512) probed
+    * with the tokens of the first three documents, next to their exact
+    * counts — the never-underestimates property is visible in the output.
+    */
+  private val q127 = Q(
+    "q127_cms_frequency",
+    (spark, dir) => {
+      val toks = pq(spark, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val sketch = Sketch.cmsSketch(toks, col("tok"), depth = 4, width = 512)
+      val probes = toks.filter(col("doc_id") < 3).select(col("tok")).distinct()
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      Sketch.cmsEstimate(sketch, probes, "tok", depth = 4, width = 512)
+        .join(exact.withColumnRenamed("tok", "probe"), Seq("probe"))
+        .select(col("probe").as("token"), col("exact_cnt"), col("cms_est"))
+    },
+    Some {
+      val buckets = (0 until 4).map { d =>
+        s"SELECT $d AS d, ('0x' || substr(md5('cms$d' || '|' || tok), 1, 8))::UBIGINT % 512 AS bucket, tok FROM t"
+      }.mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) tok FROM documents),
+        cells AS ($buckets),
+        sk AS (SELECT d, bucket, COUNT(*) cnt FROM cells GROUP BY 1, 2),
+        probes AS (SELECT DISTINCT tok FROM t WHERE doc_id < 3),
+        pb AS (SELECT p.tok, c.d,
+          ('0x' || substr(md5('cms' || c.d || '|' || p.tok), 1, 8))::UBIGINT % 512 AS bucket
+          FROM probes p, (SELECT unnest(generate_series(0, 3)) d) c),
+        est AS (SELECT pb.tok, MIN(COALESCE(sk.cnt, 0)) e
+          FROM pb LEFT JOIN sk ON sk.d = pb.d AND sk.bucket = pb.bucket GROUP BY 1),
+        ex AS (SELECT tok, COUNT(*) exact_cnt FROM t GROUP BY 1)
+      SELECT est.tok AS token, ex.exact_cnt::BIGINT AS exact_cnt, est.e::BIGINT AS cms_est
+      FROM est JOIN ex ON ex.tok = est.tok"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3418,7 +3452,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126)
+    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -62,6 +62,57 @@ object Sketch {
           .cast("long").as("est_distinct"))
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) of a value stream:
+    * `depth` hash rows × `width` buckets of EXACT additive counts —
+    * frequency estimates for any value in fixed memory, mergeable across
+    * corpora/days by plain cell-wise addition (counts are sums, so the
+    * sketch is order- and partition-independent, and — built on md5 —
+    * reproduces bit-for-bit in any engine). Returns only non-empty cells:
+    * `(d, bucket, cnt)`.
+    *
+    * 100 TB shape: one map-side-combined count keyed by (d, bucket) —
+    * state is at most depth×width cells per task regardless of input
+    * size; the output table is ≤ depth×width rows. NULLs are skipped.
+    */
+  def cmsSketch(df: DataFrame, value: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth $depth out of [1,16]")
+    require(width >= 2, s"width $width must be >= 2")
+    val rows = (0 until depth).map { d =>
+      struct(lit(d).as("d"),
+        pmod(conv(substring(md5(concat_ws("|", lit(s"cms$d"), value)), 1, 8), 16, 10)
+          .cast("long"), lit(width.toLong)).as("bucket"))
+    }
+    df.filter(value.isNotNull)
+      .select(explode(array(rows: _*)).as("c"))
+      .groupBy(col("c.d").as("d"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[cmsSketch]]: for each probe value,
+    * `est = min over d of sketch[d][bucket_d(v)]` (absent cell = 0). The
+    * classic guarantee: never an underestimate, overestimates bounded by
+    * collisions (≈ N·e/width at depth ln(1/δ)). Probe sets are
+    * query-sized, so they explode into depth rows each and join the
+    * sketch table — broadcast-sized by construction.
+    */
+  def cmsEstimate(
+      sketch: DataFrame,
+      probes: DataFrame,
+      probeCol: String,
+      depth: Int,
+      width: Int): DataFrame = {
+    val rows = (0 until depth).map { d =>
+      struct(lit(d).as("d"),
+        pmod(conv(substring(md5(concat_ws("|", lit(s"cms$d"), col(probeCol))), 1, 8), 16, 10)
+          .cast("long"), lit(width.toLong)).as("bucket"))
+    }
+    probes.select(col(probeCol).as("probe"), explode(array(rows: _*)).as("c"))
+      .select(col("probe"), col("c.d").as("d"), col("c.bucket").as("bucket"))
+      .join(sketch, Seq("d", "bucket"), "left")
+      .groupBy(col("probe"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
   /** Pairwise corpus-overlap estimation from per-group MinHash signatures:
     * estimated n-gram Jaccard between every pair of groups (sources,
     * snapshots, languages) WITHOUT any row-level pair join — the sketch

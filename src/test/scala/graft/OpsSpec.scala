@@ -359,6 +359,30 @@ class OpsSpec extends SparkSuite {
     assert(r(3L) == ((98999998L, 2L, 0.6667)))
   }
 
+  test("count-min sketch: never underestimates, cells merge by addition") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vals = (1 to 300).map(i => s"t${i % 40}") // 40 distinct values
+    val d = vals.toDF("v")
+    val sk = Sketch.cmsSketch(d, col("v"), depth = 3, width = 16)
+    val probes = vals.distinct.toDF("v")
+    val est = Sketch.cmsEstimate(sk, probes, "v", depth = 3, width = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (v, c) => assert(est(v) >= c, s"$v est ${est(v)} < exact $c") }
+    // width 16 << 40 values forces collisions → at least one overestimate
+    assert(exact.exists { case (v, c) => est(v) > c })
+
+    // mergeability: sketch(A ++ B) == cell-wise sum of the two sketches
+    val (a, b) = vals.splitAt(120)
+    val merged = Sketch.cmsSketch(a.toDF("v"), col("v"), 3, 16)
+      .unionByName(Sketch.cmsSketch(b.toDF("v"), col("v"), 3, 16))
+      .groupBy("d", "bucket").agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val whole = sk.collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(merged == whole)
+  }
+
   test("minhash lsh recovers exact duplicates") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
