@@ -3442,6 +3442,26 @@ object Queries {
       FROM est JOIN ex ON ex.tok = est.tok"""
     })
 
+  /** Deterministic 15% token dropout: the augmentation decision is
+    * md5(salt|doc|position) — both engines filter on the same indexed
+    * lambda (DuckDB 1-based list_filter index = the op's 1-based
+    * position).
+    */
+  private val q128 = Q(
+    "q128_augment_dropout",
+    (spark, dir) =>
+      TextOps.augmentDropout(pq(spark, dir, "documents"), Seq("doc_id"), "text",
+        dropProb = 0.15, salt = "ep1"),
+    Some {
+      val t = math.floor(0.15 * 65536).toLong // 9830
+      s"""WITH w AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+        k AS (SELECT doc_id, ws, list_filter(ws, (x, i) ->
+          ('0x' || substr(md5('ep1' || '|' || doc_id || '|' || i), 1, 4))::UBIGINT >= $t) kept
+          FROM w)
+      SELECT doc_id, array_to_string(kept, ' ') AS aug_text,
+        len(ws)::BIGINT AS n_tokens, len(kept)::BIGINT AS n_kept FROM k"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3452,7 +3472,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127)
+    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -1166,6 +1166,41 @@ object TextOps {
         org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** Deterministic token-dropout augmentation: each token survives or
+    * drops as a pure function of `(salt, doc id, 1-based position)` — an
+    * md5 bucket in [0, 65536) against `floor(dropProb·65536)` — so the
+    * "random" augmentation replays identically across engines, reruns,
+    * and repartitions, and any augmented example can be audited back to
+    * its decision. Re-salting gives independent augmentation epochs
+    * (`salt = "epoch-2"`) without touching the data. Output:
+    * `(ids..., aug_text, n_tokens, n_kept)`.
+    *
+    * 100 TB shape: map-only — one indexed `filter` HOF per row, no
+    * shuffle, no rand() (Spark's `rand` is partition-seeded and NOT
+    * replay-stable; this is the same md5-decision discipline as
+    * [[graft.ops.Sampling]]).
+    */
+  def augmentDropout(
+      df: DataFrame,
+      idCols: Seq[String],
+      textCol: String,
+      dropProb: Double,
+      salt: String): DataFrame = {
+    require(dropProb >= 0.0 && dropProb < 1.0, s"dropProb $dropProb out of [0,1)")
+    require(idCols.nonEmpty, "augmentDropout needs id columns for the decision key")
+    val thresh = math.floor(dropProb * 65536).toLong
+    val ws = tokens(col(textCol))
+    val keyCols = lit(salt) +: idCols.map(col)
+    val kept = filter(ws, (_, i) =>
+      conv(substring(
+        md5(concat_ws("|", (keyCols :+ (i + 1).cast("string")): _*)), 1, 4), 16, 10)
+        .cast("long") >= thresh)
+    df.select(idCols.map(col) ++ Seq(
+      array_join(kept, " ").as("aug_text"),
+      size(ws).cast("long").as("n_tokens"),
+      size(kept).cast("long").as("n_kept")): _*)
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own top
     * `vocabSize` tokens — the pre-tokenizer-training signal for how well a
     * planned vocabulary covers each document (high OOV → the doc is

@@ -383,6 +383,27 @@ class OpsSpec extends SparkSuite {
     assert(merged == whole)
   }
 
+  test("augment dropout: deterministic replay, salt independence, drop rate in band") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = (1L to 50L).map(i => (i, (1 to 40).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(salt: String) = TextOps.augmentDropout(d, Seq("doc_id"), "text", 0.25, salt)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val a1 = run("s1")
+    assert(a1 == run("s1")) // exact replay
+    val a2 = run("s2")
+    assert(a1 != a2) // a different salt is a different epoch
+    val dropped = a1.values.map { case (_, n, k) => n - k }.sum.toDouble
+    val total = a1.values.map(_._2).sum.toDouble
+    assert(dropped / total > 0.18 && dropped / total < 0.32,
+      s"drop rate ${dropped / total} far from 0.25")
+    // kept tokens preserve order
+    val (txt, _, _) = a1(1L)
+    val idx = txt.split(" ").filter(_.nonEmpty).map(_.drop(1).toInt)
+    assert(idx.sameElements(idx.sorted))
+  }
+
   test("minhash lsh recovers exact duplicates") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

@@ -642,6 +642,47 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming interval join equals the batch bucketized interval join") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import scala.concurrent.duration._
+
+    val lRows = Seq(("u1", 1L, 60000L), ("u1", 2L, 120000L), ("u2", 3L, 60000L),
+      ("u1", 4L, 600000L))
+    val rRows = Seq(("u1", 11L, 90000L), ("u1", 12L, 200000L), ("u2", 13L, 59000L),
+      ("u1", 14L, 660000L), ("u3", 15L, 60000L))
+    val ls = MemoryStream[(String, Long, Long)]
+    val rs = MemoryStream[(String, Long, Long)]
+    def prep(df: org.apache.spark.sql.DataFrame) = df.toDF("user_id", "eid", "t_ms")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(col("t_ms")))
+    val out = graft.streaming.StreamingIntervalJoin.join(
+      prep(ls.toDF()), prep(rs.toDF()), Seq("user_id"), "ts",
+      lowerMs = 1L, upperMs = 120000L, lateness = 1.second)
+    assert(out.isStreaming)
+    val query = out.writeStream.format("memory").queryName("s_ij_out")
+      .outputMode("append").start()
+    try {
+      ls.addData(lRows.take(2): _*); rs.addData(rRows.take(2): _*)
+      query.processAllAvailable()
+      ls.addData(lRows.drop(2): _*); rs.addData(rRows.drop(2): _*)
+      query.processAllAvailable()
+      ls.addData(("wm", 99L, 7200000L)); rs.addData(("wm", 99L, 7200000L))
+      query.processAllAvailable()
+
+      val got = spark.sql("SELECT eid, eid_r FROM s_ij_out WHERE eid < 99")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.engine.TemporalJoin.intervalJoin(
+          lRows.toDF("user_id", "eid", "t_ms"), rRows.toDF("user_id", "eid", "t_ms"),
+          Seq("user_id"), "t_ms", 1L, 120000L)
+        .select(col("eid"), col("eid_r"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.contains((1L, 11L)) && got.contains((4L, 14L)))
+      assert(!got.exists(_._2 == 13L)) // 59s is before u2's left event
+    } finally query.stop()
+  }
+
   test("streaming file source feeds a derived view") {
     val dir = writeTempParquet(purchases, "stream_files")
     val src = FileSource(
