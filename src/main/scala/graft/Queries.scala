@@ -3462,6 +3462,98 @@ object Queries {
         len(ws)::BIGINT AS n_tokens, len(kept)::BIGINT AS n_kept FROM k"""
     })
 
+  /** BPE learn→encode composition: the 3 merges q121 learns, applied back
+    * to the corpus. The oracle replays BOTH halves — the q121 learning
+    * CTE chain, then per-word application of the three learned replaces
+    * in round order — because left-to-right non-overlapping literal
+    * replace is the greedy BPE fold in both engines.
+    */
+  private val q129 = Q(
+    "q129_bpe_encode",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+      TextOps.bpeEncode(docs, Seq("doc_id"), "text", TextOps.bpeMerges(docs, "text", rounds = 3))
+    },
+    Some {
+      val rounds = 3
+      val sep = "chr(31)"
+      val stages = (1 to rounds).map { r =>
+        val pair =
+          s"""p$r AS (SELECT sy[i] a, sy[i+1] b, SUM(c)::BIGINT cnt
+            FROM (SELECT sy, c, unnest(generate_series(1, len(sy) - 1)) i
+              FROM (SELECT string_split(substr(rep, 2, length(rep) - 2), $sep || $sep) sy, c
+                FROM r$r))
+            GROUP BY 1, 2),
+          t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1)"""
+        val next =
+          if (r == rounds) ""
+          else s""",
+          r${r + 1} AS (SELECT replace(rep, $sep || t$r.a || $sep || $sep || t$r.b || $sep,
+            $sep || t$r.a || t$r.b || $sep) rep, c FROM r$r, t$r)"""
+        pair + next
+      }.mkString(",\n          ")
+      val applies = (1 to rounds).map { r =>
+        s"""e$r AS (SELECT doc_id, i, replace(rep, $sep || t$r.a || $sep || $sep || t$r.b || $sep,
+          $sep || t$r.a || t$r.b || $sep) rep FROM e${r - 1}, t$r)"""
+      }.mkString(",\n          ")
+      s"""WITH wc AS (SELECT w, COUNT(*) c
+          FROM (SELECT unnest(string_split(trim(text), ' ')) w FROM documents)
+          WHERE length(w) > 0 GROUP BY 1),
+        r1 AS (SELECT $sep || array_to_string(string_split(w, ''), $sep || $sep) || $sep AS rep, c
+          FROM wc),
+        $stages,
+        dw AS (SELECT doc_id, g i, ws[g] w
+          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) g
+            FROM (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents))
+          WHERE length(ws[g]) > 0),
+        e0 AS (SELECT doc_id, i,
+          $sep || array_to_string(string_split(w, ''), $sep || $sep) || $sep AS rep FROM dw),
+        $applies,
+        sy AS (SELECT doc_id, i,
+          string_split(substr(rep, 2, length(rep) - 2), $sep || $sep) syms FROM e$rounds),
+        agg AS (SELECT doc_id, string_agg(array_to_string(syms, ' '), ' ' ORDER BY i) bpe_text,
+          SUM(len(syms))::BIGINT n FROM sy GROUP BY 1)
+        SELECT d.doc_id, COALESCE(agg.bpe_text, '') AS bpe_text,
+          COALESCE(agg.n, 0)::BIGINT AS n_bpe_tokens
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"""
+    })
+
+  /** Audio near-dup: delta-sign fingerprints over payload windows feeding
+    * the standard prefix-blocked Hamming pair join. Injected: 12
+    * re-uploads (identical payload → Hamming 0) and 8 tail-append
+    * "remixes" (few flipped delta bits near the old tail → small
+    * Hamming). Single-pass content-prefix blocking by design — see the
+    * [[graft.ops.Multimodal.audioFingerprint]] stub caveat.
+    */
+  private val q130 = Q(
+    "q130_audio_neardup",
+    (spark, dir) => {
+      val base = pq(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val reups = base.filter(col("doc_id") < 12)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val remixes = base.filter(col("doc_id") < 8)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" remix")).as("text"))
+      val d = base.unionByName(reups).unionByName(remixes)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      val fp = Multimodal.audioFingerprint(d, "doc_id", "payload", windowBytes = 8)
+      Dedup.simhashPairs(fp, prefixBits = 16, maxHamming = 4)
+        .withColumn("hamming", col("hamming").cast("int"))
+    },
+    Some("""WITH docs AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 12
+        UNION ALL SELECT doc_id + 2000000, text || ' remix' FROM documents WHERE doc_id < 8),
+      en AS (SELECT doc_id, list_transform(generate_series(0, 64), k ->
+          ('0x' || substr(md5(substr(text, (k*8 + 1)::INT, 8)), 1, 8))::BIGINT) e FROM docs),
+      fp AS (SELECT doc_id, array_to_string(list_transform(generate_series(1, 64), i ->
+          CASE WHEN e[i+1] > e[i] THEN '1' ELSE '0' END), '') simhash FROM en),
+      p AS (SELECT a.doc_id ia, a.simhash sa, b.doc_id ib, b.simhash sb FROM fp a
+        JOIN fp b ON substr(a.simhash, 1, 16) = substr(b.simhash, 1, 16) AND a.doc_id < b.doc_id)
+      SELECT ia AS id_a, ib AS id_b,
+        len(list_filter(generate_series(1, 64), g -> substr(sa, g::INT, 1) <> substr(sb, g::INT, 1)))::INT AS hamming
+      FROM p
+      WHERE len(list_filter(generate_series(1, 64), g -> substr(sa, g::INT, 1) <> substr(sb, g::INT, 1))) <= 4"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3472,7 +3564,8 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88,
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128)
+    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
+    q129, q130)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -185,4 +185,53 @@ object Multimodal {
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_bytes")
   }
+
+  /** Chromaprint-style audio fingerprint: 65 successive fixed-size payload
+    * windows → per-window "energy" → 64 DELTA-SIGN bits (bit k = 1 iff
+    * energy(k+1) > energy(k)) emitted in the `simhash` column format, so
+    * the existing prefix-blocked Hamming machinery
+    * ([[graft.ops.Dedup.simhashPairs]]) runs the near-dup pair stage
+    * unchanged — the audio leg of the image/video/audio triad
+    * (aHash / frame-overlap / this).
+    *
+    * The per-window energy is the documented deterministic STUB (no audio
+    * codecs in this environment): `energy = int(md5(window bytes)[0:8])`.
+    * The DELTA-SIGN derivation is the real fingerprint math (Chromaprint
+    * and Shazam-family fingerprints binarize exactly this way: sign of
+    * the energy difference between adjacent frames/bands); swap the
+    * energy source for a real band-filtered decoder and nothing
+    * downstream changes.
+    *
+    * Stub-specific caveat, windows are FIXED-SIZE from the payload start:
+    * payloads shorter than `65·windowBytes` hash empty tail windows to a
+    * shared constant, so tail delta bits are identically 0 across short
+    * payloads. Block on the CONTENT-derived leading bits
+    * (`simhashPairs(prefixBits = 16)`), not the rotated multi-pass
+    * tables — a rotation whose block lands in the constant tail would
+    * put every short payload in one bucket and explode the candidate
+    * space. Under a real decoder (windows spread over the actual track)
+    * the degeneracy disappears and the multi-pass recall guarantee
+    * applies as usual.
+    *
+    * 100 TB shape: map-only — 65 md5s per payload inside whole-stage
+    * codegen, one 64-char string out; payload bytes never shuffle (the
+    * pair stage moves only (id, 64-bit fingerprint) rows).
+    */
+  def audioFingerprint(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      windowBytes: Int = 256): DataFrame = {
+    require(windowBytes >= 1, s"windowBytes $windowBytes must be >= 1")
+    val b = col(binCol)
+    val en = transform(sequence(lit(0), lit(64)), k =>
+      conv(substring(md5(b.substr((k * windowBytes + 1).cast("int"), lit(windowBytes))), 1, 8),
+        16, 10).cast("long"))
+    df.select(col(idCol).as("id"), en.as("__en"))
+      .select(col("id"),
+        array_join(
+          zip_with(slice(col("__en"), 1, 64), slice(col("__en"), 2, 64),
+            (a, b2) => when(b2 > a, lit("1")).otherwise(lit("0"))),
+          "").as("simhash"))
+  }
 }

@@ -1236,4 +1236,52 @@ object TextOps {
       .withColumn("oov_ratio",
         round(col("n_oov").cast("double") / col("n_tokens"), 4))
   }
+
+  /** Apply learned BPE merges ([[bpeMerges]] output: `(round, sym_a,
+    * sym_b, cnt)`) to a corpus — the ENCODE half of the BPE pair: each
+    * word char-splits into the same U+001F-delimited symbol
+    * representation the learner used, then every merge is a literal
+    * left-to-right non-overlapping replace in learned-round order (that
+    * replace IS the greedy BPE fold — identical in any engine, which is
+    * what makes the oracle replay exact). Output per row: ids,
+    * `bpe_text` (all subword symbols joined by single spaces, word order
+    * preserved) and `n_bpe_tokens`.
+    *
+    * 100 TB shape: the merge table is model-sized and collected ONCE into
+    * plan literals — the corpus pass is map-only, no shuffle, no join.
+    * Each merge is one literal `regexp_replace` inside a per-word
+    * transform, so cost is O(merges × doc length) inside whole-stage
+    * codegen. The merge count is capped at 64 (the [[bpeMerges]] learning
+    * bound); a production 32k-merge vocab wants the trie-walk encoder
+    * behind a `mapPartitions` seam instead of a 32k-deep expression tree
+    * — same contract, different engine, and this operator is the oracle
+    * for that one.
+    */
+  def bpeEncode(
+      df: DataFrame,
+      idCols: Seq[String],
+      textCol: String,
+      merges: DataFrame): DataFrame = {
+    val S = "\u001f"
+    val ms = merges.select(col("round"), col("sym_a"), col("sym_b"))
+      .orderBy(col("round").asc)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    require(ms.length <= 64, s"${ms.length} merges > 64: use a trie encoder for real vocabs")
+    val enc: Column => Column = { w =>
+      val rep0 = concat(lit(S), array_join(split(w, ""), S + S), lit(S))
+      val repN = ms.foldLeft(rep0) { case (c, (a, b)) =>
+        regexp_replace(c,
+          lit(java.util.regex.Pattern.quote(S + a + S + S + b + S)),
+          lit(java.util.regex.Matcher.quoteReplacement(S + a + b + S)))
+      }
+      split(repN.substr(lit(2), length(repN) - 2), S + S)
+    }
+    val words = filter(tokens(col(textCol)), w => length(w) > 0)
+    val toks = flatten(transform(words, enc))
+    df.select(idCols.map(col) :+ toks.as("__t"): _*)
+      .select(idCols.map(col) :+
+        array_join(col("__t"), " ").as("bpe_text") :+
+        size(col("__t")).cast("long").as("n_bpe_tokens"): _*)
+  }
 }

@@ -301,6 +301,47 @@ class OpsSpec extends SparkSuite {
     assert(m.toSeq == Seq((1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "e", "r", 2L)), m.toSeq.toString)
   }
 
+  test("bpe encode applies learned merges in round order, word boundaries kept") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq((1L, "low low low lower"), (2L, "lower newest"), (3L, "  ")).toDF("doc_id", "text")
+    // merges learned above: (l,o) → lo, (lo,w) → low, (e,r) → er
+    val e = TextOps.bpeEncode(d, Seq("doc_id"), "text", TextOps.bpeMerges(d, "text", rounds = 3))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(e(1L) == (("low low low low er", 5L)), e(1L).toString)
+    assert(e(2L) == (("low er n e w e s t", 8L)), e(2L).toString)
+    assert(e(3L) == (("", 0L))) // whitespace-only doc keeps its row, zero tokens
+    // zero merges: pure char split
+    val raw = TextOps.bpeEncode(d.filter(col("doc_id") === 2L), Seq("doc_id"), "text",
+      TextOps.bpeMerges(d, "text", rounds = 3).limit(0))
+      .collect().head
+    assert(raw.getString(1) == "l o w e r n e w e s t" && raw.getLong(2) == 11L)
+  }
+
+  test("audio fingerprint: 64 delta bits, re-upload identical, tail edit flips few bits") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = new scala.util.Random(7).alphanumeric.take(300).mkString
+    val d = Seq((1L, base), (2L, base), (3L, base + "xxxx"), (4L, base.reverse))
+      .toDF("doc_id", "txt")
+      .withColumn("payload", org.apache.spark.sql.functions.encode(col("txt"), "UTF-8"))
+    val fp = graft.ops.Multimodal.audioFingerprint(d, "doc_id", "payload", windowBytes = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fp.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(fp(1L) == fp(2L)) // re-upload: identical fingerprint
+    val hamming3 = fp(1L).zip(fp(3L)).count { case (a, b) => a != b }
+    assert(hamming3 >= 1 && hamming3 <= 4, s"tail edit flipped $hamming3 bits")
+    // reversed content diverges well beyond near-dup range in the active region
+    val hamming4 = fp(1L).zip(fp(4L)).count { case (a, b) => a != b }
+    assert(hamming4 > 4, s"unrelated content only $hamming4 bits apart")
+    // pair stage consumes the fingerprint unchanged: only the re-upload survives
+    val pairs = graft.ops.Dedup.simhashPairs(
+        graft.ops.Multimodal.audioFingerprint(d, "doc_id", "payload", windowBytes = 8),
+        prefixBits = 16, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("frame overlap: reupload shares everything, clip is contained, unrelated absent") {
     val spark2 = spark
     import spark2.implicits._
