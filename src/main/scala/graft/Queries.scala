@@ -3554,6 +3554,33 @@ object Queries {
       FROM p
       WHERE len(list_filter(generate_series(1, 64), g -> substr(sa, g::INT, 1) <> substr(sb, g::INT, 1))) <= 4"""))
 
+  /** Nearest-event forward join: each event's NEXT event for the same
+    * user within 30 minutes (strictly after), one row per left event,
+    * unmatched events kept with NULLs. Oracle replays the argmin as a
+    * row_number over the plain range join with the operator's exact
+    * (|Δ|, right ts, right payload) tie order.
+    */
+  private val q131 = Q(
+    "q131_nearest_join",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val e = raw.select(col("user_id"), col("event_id"),
+        EventTime.epochMillis(raw, "ts").as("ts_ms"))
+      TemporalJoin.nearestJoin(e, e, Seq("user_id"), "ts_ms",
+          leftIdCols = Seq("event_id"), lowerMs = 1L, upperMs = 1800000L)
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          col("event_id_r"), col("ts_ms_r"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) tms FROM events),
+      c AS (SELECT a.event_id ia, b.event_id eb, b.tms tb,
+          ROW_NUMBER() OVER (PARTITION BY a.event_id
+            ORDER BY abs(b.tms - a.tms), b.tms, b.event_id) rn
+        FROM e a JOIN e b ON a.user_id = b.user_id
+          AND b.tms >= a.tms + 1 AND b.tms <= a.tms + 1800000)
+      SELECT e.user_id, e.event_id, e.tms AS ts_ms,
+        c.eb AS event_id_r, c.tb AS ts_ms_r
+      FROM e LEFT JOIN (SELECT * FROM c WHERE rn = 1) c ON c.ia = e.event_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3565,7 +3592,7 @@ object Queries {
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130)
+    q129, q130, q131)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -162,4 +162,51 @@ object TemporalJoin {
       .filter(col(rT) >= col(tsCol) + lowerMs && col(rT) <= col(tsCol) + upperMs)
       .drop("__b")
   }
+
+  /** Nearest-event (pandas `merge_asof`-style) join: for each left row,
+    * the SINGLE right row sharing `keys` whose timestamp is closest to
+    * the left's within `[lowerMs, upperMs]` — `(-tol, 0)` = backward
+    * as-of, `(1, tol)` = strictly-after forward join, `(-tol, tol)` =
+    * nearest either side. Left rows with no admissible right row keep
+    * their row with NULL right columns (left-join semantics, like
+    * merge_asof). Right non-key columns come back suffixed.
+    *
+    * Determinism: the winner minimizes `(|Δts|, right ts, right payload)`
+    * lexicographically — equal distances break toward the EARLIER right
+    * row, then toward the smaller payload — so replays, repartitions, and
+    * SQL oracles agree exactly. Right payload columns must be orderable
+    * (no map columns). `leftIdCols` must uniquely identify left rows —
+    * the argmin groups on them, so a duplicated id would silently merge
+    * two left rows' candidate sets.
+    *
+    * 100 TB shape: candidates come from the bucketized [[intervalJoin]]
+    * (≤2 buckets per left row, never a per-key cross product), and the
+    * argmin is ONE `min(struct(...))` aggregation keyed by left id —
+    * map-side combining collapses candidates before the shuffle, so the
+    * exchange carries at most one best-so-far row per (task, left id).
+    * No window over the candidate table, no sort.
+    */
+  def nearestJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      leftIdCols: Seq[String],
+      lowerMs: Long,
+      upperMs: Long,
+      rightSuffix: String = "_r"): DataFrame = {
+    require(leftIdCols.nonEmpty, "nearestJoin needs left row-identity columns")
+    val rT = s"$tsCol$rightSuffix"
+    val cand = intervalJoin(left, right, keys, tsCol, lowerMs, upperMs, rightSuffix)
+    val rightOut = right.columns.filterNot(keys.contains).map(_ + rightSuffix)
+    val payload = rightOut.filterNot(_ == rT)
+    val pick = struct(
+      abs(col(rT) - col(tsCol)).as("__d") +: col(rT).as("__t") +:
+        payload.map(c => col(c).as(c)): _*)
+    val best = cand.groupBy(leftIdCols.map(col): _*).agg(min(pick).as("__best"))
+    left.join(best, leftIdCols, "left")
+      .select(left.columns.map(col) ++
+        rightOut.map(c =>
+          (if (c == rT) col("__best.__t") else col(s"__best.$c")).as(c)): _*)
+  }
 }

@@ -102,4 +102,41 @@ class JoinFuzzSpec extends SparkSuite {
       }
     }
   }
+
+  test("nearest join matches brute-force argmin on randomized inputs") {
+    val spark2 = spark
+    import spark2.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new Random(200 + seed)
+      val keys = Seq("k1", "k2", "k3")
+      // dense duplicate timestamps on both sides force every tie-break leg
+      val left = (1 to 40).map { i =>
+        (keys(rnd.nextInt(3)), i.toLong, rnd.nextInt(15).toLong * 7)
+      }
+      val right = (1 to 40).map { i =>
+        (keys(rnd.nextInt(3)), 1000L + i, rnd.nextInt(15).toLong * 7)
+      }
+      val windows = Seq((-21L, 21L), (1L, 35L), (-35L, -1L), (0L, 0L))
+      for ((lo, hi) <- windows) {
+        val got = TemporalJoin.nearestJoin(
+            left.toDF("k", "lid", "t"), right.toDF("k", "rid", "t"),
+            Seq("k"), "t", leftIdCols = Seq("lid"), lo, hi)
+          .select("lid", "rid_r", "t_r")
+          .collect()
+          .map(x => (x.getLong(0),
+            if (x.isNullAt(1)) None else Some((x.getLong(1), x.getLong(2)))))
+          .toMap
+        val expected = left.map { case (lk, lid, lt) =>
+          val cand = right.filter { case (rk, _, rt) =>
+            rk == lk && rt >= lt + lo && rt <= lt + hi }
+          val best = // (|delta|, right ts, right payload) lexicographic min
+            if (cand.isEmpty) None
+            else Some(cand.minBy { case (_, rid, rt) => (math.abs(rt - lt), rt, rid) })
+              .map { case (_, rid, rt) => (rid, rt) }
+          lid -> best
+        }.toMap
+        assert(got == expected, s"seed $seed window ($lo,$hi)")
+      }
+    }
+  }
 }
