@@ -3581,6 +3581,39 @@ object Queries {
         c.eb AS event_id_r, c.tb AS ts_ms_r
       FROM e LEFT JOIN (SELECT * FROM c WHERE rn = 1) c ON c.ia = e.event_id"""))
 
+  /** CM-inner-product join-size pre-flight: events⋈orders cardinality
+    * estimated from two fixed-memory sketches, exact count alongside —
+    * the never-underestimates guarantee is visible in the output.
+    */
+  private val q132 = Q(
+    "q132_cms_join_size",
+    (spark, dir) => {
+      val ev = pq(spark, dir, "events").select(col("user_id"))
+      val ord = pq(spark, dir, "orders").select(col("o_custkey"))
+      val est = Sketch.cmsJoinSize(
+        Sketch.cmsSketch(ev, col("user_id"), depth = 4, width = 8192),
+        Sketch.cmsSketch(ord, col("o_custkey"), depth = 4, width = 8192),
+        depth = 4)
+      val exact = ev.join(ord, ev("user_id") === ord("o_custkey"))
+        .agg(count(lit(1)).as("exact_join_size"))
+      est.crossJoin(exact)
+    },
+    Some {
+      val bucketsA = (0 until 4).map(d =>
+        s"SELECT $d AS d, ('0x' || substr(md5('cms$d' || '|' || user_id), 1, 8))::UBIGINT % 8192 AS bucket FROM events WHERE user_id IS NOT NULL")
+        .mkString(" UNION ALL ")
+      val bucketsB = (0 until 4).map(d =>
+        s"SELECT $d AS d, ('0x' || substr(md5('cms$d' || '|' || o_custkey), 1, 8))::UBIGINT % 8192 AS bucket FROM orders WHERE o_custkey IS NOT NULL")
+        .mkString(" UNION ALL ")
+      s"""WITH ska AS (SELECT d, bucket, COUNT(*) cnt FROM ($bucketsA) GROUP BY 1, 2),
+        skb AS (SELECT d, bucket, COUNT(*) cnt FROM ($bucketsB) GROUP BY 1, 2),
+        pr AS (SELECT a.d, SUM(a.cnt * b.cnt) s FROM ska a JOIN skb b USING (d, bucket) GROUP BY 1),
+        sp AS (SELECT unnest(generate_series(0, 3)) d),
+        est AS (SELECT MIN(COALESCE(s, 0)) e FROM sp LEFT JOIN pr USING (d)),
+        ex AS (SELECT COUNT(*) c FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+      SELECT est.e::BIGINT AS est_join_size, ex.c::BIGINT AS exact_join_size FROM est, ex"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3592,7 +3625,7 @@ object Queries {
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131)
+    q129, q130, q131, q132)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

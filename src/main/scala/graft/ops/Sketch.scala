@@ -162,4 +162,31 @@ object Sketch {
       .withColumn("est_jaccard",
         round(col("n_agree").cast("double") / numHashes, 4))
   }
+
+  /** Equi-join CARDINALITY estimate from two [[cmsSketch]]es over the
+    * join keys (Cormode & Muthukrishnan 2005 §4.2, the CM inner
+    * product): `|A ⋈ B|` on value v is `Σ_v fA(v)·fB(v)`, and each
+    * sketch depth row overestimates it as `Σ_bucket a[d][w]·b[d][w]`
+    * (collisions only ADD mass), so `min over d` is a never-under
+    * estimate with error ≤ e·|A|·|B|/width at depth ln(1/δ). The
+    * pre-flight a join planner runs before committing a 100 TB shuffle:
+    * two fixed-memory map-only sketch passes answer "is this join going
+    * to explode" without running it — feeding the broadcast / shuffle /
+    * skew-salt strategy choice.
+    *
+    * Both sketches must share `depth` and width (same md5 bucket family
+    * — [[cmsSketch]] guarantees it). The ≤ depth×width-row cell join is
+    * sketch-sized, never data-sized; a depth row with NO overlapping
+    * buckets estimates 0 (the spine join keeps it), correctly forcing
+    * the minimum to 0 — disjoint key sets ARE a zero-row join.
+    */
+  def cmsJoinSize(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth $depth out of [1,16]")
+    val spine = a.sparkSession.range(depth.toLong)
+      .select(col("id").cast("int").as("d"))
+    val prod = a.as("a").join(b.as("b"), Seq("d", "bucket"))
+      .groupBy(col("d")).agg(sum(col("a.cnt") * col("b.cnt")).as("s"))
+    spine.join(prod, Seq("d"), "left")
+      .agg(min(coalesce(col("s"), lit(0L))).as("est_join_size"))
+  }
 }

@@ -424,6 +424,24 @@ class OpsSpec extends SparkSuite {
     assert(merged == whole)
   }
 
+  test("cms join size: exact when collision-free, never under, disjoint is zero") {
+    val spark2 = spark
+    import spark2.implicits._
+    def sk(vs: Seq[String], width: Int) =
+      Sketch.cmsSketch(vs.toDF("v"), col("v"), depth = 3, width = width)
+    def est(a: Seq[String], b: Seq[String], width: Int): Long =
+      Sketch.cmsJoinSize(sk(a, width), sk(b, width), depth = 3)
+        .collect().head.getLong(0)
+    val a = Seq("x", "x", "y", "z")
+    val b = Seq("x", "y", "y", "y", "w")
+    // true join size = 2*1 + 1*3 = 5; wide sketch → no collisions → exact
+    assert(est(a, b, 4096) == 5L)
+    // forced collisions still never underestimate
+    assert(est(a, b, 2) >= 5L)
+    // disjoint key sets: some depth row has zero overlap → estimate 0
+    assert(est(Seq("a", "b"), Seq("c", "d"), 4096) == 0L)
+  }
+
   test("augment dropout: deterministic replay, salt independence, drop rate in band") {
     val spark2 = spark
     import spark2.implicits._
