@@ -3614,6 +3614,44 @@ object Queries {
       SELECT est.e::BIGINT AS est_join_size, ex.c::BIGINT AS exact_join_size FROM est, ex"""
     })
 
+  /** Content-defined chunk dedup: corpus + 10 head-edited copies; CDC
+    * boundaries re-synchronize after the edit, so nearly all of a copy's
+    * chunks hash-match the original (visible as n_shared ≈ n_chunks).
+    * Oracle replays boundary rule, bounds, slicing, and the shared-hash
+    * rollup.
+    */
+  private val q133 = Q(
+    "q133_cdc_chunks",
+    (spark, dir) => {
+      val base = pq(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val edited = base.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("EDITEDTOKEN "), col("text")).as("text"))
+      val ch = TextOps.cdcChunks(base.unionByName(edited), Seq("doc_id"), "text",
+        window = 3, avgChunkTokens = 8)
+      val nd = ch.groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("__nd"))
+      ch.join(nd, "chunk_hash")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+    },
+    Some("""WITH docs AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, 'EDITEDTOKEN ' || text FROM documents WHERE doc_id < 10),
+      t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> length(w) > 0) ws FROM docs),
+      b AS (SELECT doc_id, ws,
+          list_concat(list_filter(generate_series(1, len(ws) - 1), i ->
+            ('0x' || substr(md5(array_to_string(ws[greatest(i - 2, 1):i], ' ')), 1, 4))::UBIGINT < 8192),
+            [len(ws)]) bounds
+        FROM t WHERE len(ws) >= 1),
+      ch AS (SELECT doc_id, md5(array_to_string(
+          ws[(CASE WHEN j = 1 THEN 0 ELSE bounds[j-1] END) + 1:bounds[j]], ' ')) h
+        FROM (SELECT doc_id, ws, bounds, unnest(generate_series(1, len(bounds))) j FROM b)),
+      nd AS (SELECT h, COUNT(DISTINCT doc_id) ndocs FROM ch GROUP BY 1)
+      SELECT c.doc_id, COUNT(*)::BIGINT AS n_chunks,
+        SUM(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+      FROM ch c JOIN nd USING (h) GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3625,7 +3663,7 @@ object Queries {
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132)
+    q129, q130, q131, q132, q133)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

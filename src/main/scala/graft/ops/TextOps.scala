@@ -1284,4 +1284,68 @@ object TextOps {
         array_join(col("__t"), " ").as("bpe_text") :+
         size(col("__t")).cast("long").as("n_bpe_tokens"): _*)
   }
+
+  /** Content-defined chunking (the Gear/FastCDC family's core rule, at
+    * token granularity): a chunk boundary falls AFTER token `i` iff the
+    * md5 of the trailing `window`-token gram lands under
+    * `floor(65536 / avgChunkTokens)` — so boundaries are a pure function
+    * of LOCAL content, and an insertion or edit only redraws the chunks
+    * that contain it while every downstream boundary re-synchronizes
+    * (fixed-size chunking shifts them all — the whole point of CDC
+    * dedup). Expected chunk length ≈ `avgChunkTokens`. One row per
+    * chunk: ids, `chunk_idx` (0-based), `n_tokens`, `chunk_text`,
+    * `chunk_hash`. Deliberately the STATELESS rule — FastCDC's min/max
+    * normalization makes boundaries history-dependent and is layered by
+    * consumers that need bounded chunk sizes.
+    *
+    * 100 TB shape: map-only per document — the boundary flags, bounds
+    * array, and chunk slices are all array HOFs over the token array
+    * (O(doc length), no per-position subquery), and only the chunk rows
+    * leave the operator. Cross-doc chunk dedup downstream is one
+    * hash-keyed aggregation — the sub-document analogue of
+    * [[graft.ops.Dedup.exactGroups]].
+    */
+  def cdcChunks(
+      df: DataFrame,
+      idCols: Seq[String],
+      textCol: String,
+      window: Int = 3,
+      avgChunkTokens: Int = 8): DataFrame = {
+    require(window >= 1, s"window $window must be >= 1")
+    require(avgChunkTokens >= 2 && avgChunkTokens <= 65536,
+      s"avgChunkTokens $avgChunkTokens out of [2, 65536]")
+    val thr = 65536L / avgChunkTokens
+    val ws = filter(tokens(col(textCol)), w => length(w) > 0)
+    // boundary flag for 1-based position i: md5 of the trailing
+    // `window`-gram ending at i, first 4 hex digits as a 16-bit bucket
+    val flag: Column => Column = i => {
+      val start = greatest(i - window + 1, lit(1))
+      conv(substring(md5(array_join(slice(col("__ws"), start, i - start + 1), " ")), 1, 4),
+        16, 10).cast("long") < thr
+    }
+    // sequence(1, n-1) flips to a DESCENDING range when n < 2 — guard
+    val bounds = when(col("__n") >= 2,
+        concat(filter(sequence(lit(1), col("__n") - 1), flag), array(col("__n"))))
+      .when(col("__n") === 1, array(lit(1)))
+      .otherwise(array().cast("array<int>"))
+    // zip_with pads the shorter side with null; an empty bounds array (empty
+    // doc) would pad the leading [0] into one null chunk — filter it out
+    val chunks = filter(
+      zip_with(
+        concat(array(lit(0)), slice(col("__b"), lit(1), greatest(size(col("__b")) - 1, lit(0)))),
+        col("__b"),
+        (p, b) => struct(
+          (b - p).cast("long").as("n_tokens"),
+          array_join(slice(col("__ws"), p + 1, b - p), " ").as("chunk_text"))),
+      c => c.getField("n_tokens").isNotNull)
+    df.select(idCols.map(col) :+ ws.as("__ws"): _*)
+      .withColumn("__n", size(col("__ws")))
+      .withColumn("__b", bounds)
+      .select(idCols.map(col) :+ posexplode(chunks): _*)
+      .select(idCols.map(col) ++ Seq(
+        col("pos").cast("long").as("chunk_idx"),
+        col("col.n_tokens").as("n_tokens"),
+        col("col.chunk_text").as("chunk_text"),
+        md5(col("col.chunk_text")).as("chunk_hash")): _*)
+  }
 }

@@ -442,6 +442,36 @@ class OpsSpec extends SparkSuite {
     assert(est(Seq("a", "b"), Seq("c", "d"), 4096) == 0L)
   }
 
+  test("cdc chunks: tile exactly, re-synchronize after a point edit, degenerate docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    val toks = (1 to 400).map(_ => "w" + rnd.nextInt(5000))
+    val edited = toks.updated(200, "EDITED")
+    val d = Seq((1L, toks.mkString(" ")), (2L, edited.mkString(" ")),
+      (3L, ""), (4L, "solo")).toDF("doc_id", "text")
+    val ch = TextOps.cdcChunks(d, Seq("doc_id"), "text", window = 3, avgChunkTokens = 8)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    // chunks tile doc 1 exactly, in order
+    val tiled = ch(1L).map(_._3).mkString(" ")
+    assert(tiled == toks.mkString(" "))
+    assert(ch(1L).map(_._2).sum == 400L)
+    // point edit: boundaries re-synchronize, so most chunk hashes survive
+    val h1 = ch(1L).map(_._4).toSet
+    val h2 = ch(2L).map(_._4).toSet
+    val shared = (h1 intersect h2).size
+    assert(shared >= h1.size - 3, s"only $shared of ${h1.size} chunks survived a 1-token edit")
+    assert(h1 != h2) // the edited chunk itself differs
+    // empty doc: no chunks; single token: one whole-doc chunk
+    assert(!ch.contains(3L))
+    assert(ch(4L).toSeq == Seq((0L, 1L, "solo", ch(4L).head._4)))
+    // expected chunk length ~ avgChunkTokens: loose band
+    val avg = 400.0 / ch(1L).size
+    assert(avg > 3 && avg < 25, s"mean chunk len $avg")
+  }
+
   test("augment dropout: deterministic replay, salt independence, drop rate in band") {
     val spark2 = spark
     import spark2.implicits._
