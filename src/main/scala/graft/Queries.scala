@@ -2,10 +2,10 @@ package graft
 
 import graft.client.{GraftClient, Metrics}
 import graft.engine.{EventTime, TemporalJoin}
-import graft.ops.{Cluster, Corpus, Decay, Dedup, Graph, Multimodal, Sampling, Sessions, Similarity, Sketch, TextOps}
+import graft.ops.{Chat, Cluster, Corpus, Decay, Dedup, Graph, Multimodal, Sampling, Sessions, Similarity, Sketch, TextOps}
 import graft.table._
 import graft.types._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -3652,6 +3652,152 @@ object Queries {
         SUM(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared
       FROM ch c JOIN nd USING (h) GROUP BY 1"""))
 
+  /** SFT chat-contract validation over synthesized conversations (five
+    * deterministic variants per doc: valid-with-system, valid-bare,
+    * double-user, blank assistant turn, truncated before the reply).
+    * Oracle replays every rule in the same first-violation order.
+    */
+  private val q134 = Q(
+    "q134_chat_checks",
+    (spark, dir) => {
+      def mk(role: String, c: Column) = struct(lit(role).as("role"), c.as("content"))
+      val sys = mk("system", lit("You are helpful"))
+      val base = pq(spark, dir, "documents").select(col("doc_id"),
+          filter(TextOps.tokens(col("text")), w => length(w) > 0).as("ws"))
+        .withColumn("u",
+          array_join(slice(col("ws"), lit(1), least(size(col("ws")), lit(5))), " "))
+        .withColumn("a",
+          array_join(slice(col("ws"), greatest(size(col("ws")) - 4, lit(1)),
+            least(size(col("ws")), lit(5))), " "))
+      val v = pmod(col("doc_id"), lit(5))
+      val msgs = when(v === 0, array(sys, mk("user", col("u")), mk("assistant", col("a"))))
+        .when(v === 1, array(mk("user", col("u")), mk("assistant", col("a"))))
+        .when(v === 2,
+          array(mk("user", col("u")), mk("user", col("u")), mk("assistant", col("a"))))
+        .when(v === 3, array(mk("user", col("u")), mk("assistant", lit(""))))
+        .otherwise(array(sys, mk("user", col("u"))))
+      Chat.chatChecks(base.withColumn("msgs", msgs), Seq("doc_id"), "msgs")
+    },
+    Some("""WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> length(w) > 0) ws FROM documents),
+      p AS (SELECT doc_id, array_to_string(ws[1:least(len(ws), 5)], ' ') u,
+          array_to_string(ws[greatest(len(ws) - 4, 1):len(ws)], ' ') a FROM t),
+      c AS (SELECT doc_id, CASE (doc_id % 5)
+          WHEN 0 THEN [{'role': 'system', 'content': 'You are helpful'}, {'role': 'user', 'content': u}, {'role': 'assistant', 'content': a}]
+          WHEN 1 THEN [{'role': 'user', 'content': u}, {'role': 'assistant', 'content': a}]
+          WHEN 2 THEN [{'role': 'user', 'content': u}, {'role': 'user', 'content': u}, {'role': 'assistant', 'content': a}]
+          WHEN 3 THEN [{'role': 'user', 'content': u}, {'role': 'assistant', 'content': ''}]
+          ELSE [{'role': 'system', 'content': 'You are helpful'}, {'role': 'user', 'content': u}]
+          END msgs FROM p),
+      chk AS (SELECT doc_id, msgs, len(msgs) n,
+          list_transform(msgs, x -> x.role) roles,
+          CASE WHEN msgs[1].role = 'system' THEN msgs[2:] ELSE msgs END body
+        FROM c),
+      flg AS (SELECT *, list_transform(generate_series(1, len(body)), i ->
+          body[i].role <> (CASE WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END)) altflags FROM chk),
+      iss AS (SELECT doc_id, n, msgs,
+        CASE WHEN n = 0 THEN 'empty'
+          WHEN roles[1] NOT IN ('system', 'user') THEN 'bad_first_role'
+          WHEN len(body) = 0 OR list_contains(altflags, true) THEN 'role_alternation'
+          WHEN len(list_filter(msgs, x -> length(trim(x.content)) = 0)) > 0 THEN 'empty_content'
+          WHEN roles[n] <> 'assistant' THEN 'no_assistant_end'
+          END issue FROM flg)
+      SELECT doc_id, n::BIGINT AS n_turns, issue IS NULL AS valid, issue,
+        CASE WHEN issue IS NULL THEN array_to_string(list_transform(msgs, x -> x.role || ': ' || x.content), chr(10)) END AS chat_text
+      FROM iss"""))
+
+  /** HITS SQL replay: unrolled `a ← Eᵀh; h ← E·a` rounds with the same
+    * exact integer L1 normalization (floor division, non-negative) as
+    * [[graft.ops.Graph.hits]].
+    */
+  private def hitsOracleSql(iters: Int): String = {
+    val U = 1000000L
+    val head = s"""WITH ed AS (SELECT DISTINCT user_id AS src,
+        100000 + json_extract(props, '$$.k')::BIGINT AS dst FROM events
+        WHERE user_id IS NOT NULL AND json_extract(props, '$$.k') IS NOT NULL),
+      nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+      h0 AS (SELECT node, $U::BIGINT AS h FROM nodes)"""
+    val iterCtes = (1 to iters).map { i =>
+      s""", ar$i AS (SELECT ed.dst AS node, SUM(p.h) AS ar FROM ed JOIN h${i - 1} p ON ed.src = p.node GROUP BY 1),
+      da$i AS (SELECT greatest(COALESCE(SUM(ar), 0) // $U, 1) AS dn FROM ar$i),
+      a$i AS (SELECT n0.node, COALESCE(ar.ar, 0) // da$i.dn AS a
+        FROM nodes n0 CROSS JOIN da$i LEFT JOIN ar$i ar ON ar.node = n0.node),
+      hr$i AS (SELECT ed.src AS node, SUM(p.a) AS hr FROM ed JOIN a$i p ON ed.dst = p.node GROUP BY 1),
+      dh$i AS (SELECT greatest(COALESCE(SUM(hr), 0) // $U, 1) AS dn FROM hr$i),
+      h$i AS (SELECT n0.node, COALESCE(hr.hr, 0) // dh$i.dn AS h
+        FROM nodes n0 CROSS JOIN dh$i LEFT JOIN hr$i hr ON hr.node = n0.node)"""
+    }.mkString
+    head + iterCtes +
+      s""" SELECT h$iters.node, h$iters.h::BIGINT AS hub_micro, a$iters.a::BIGINT AS auth_micro
+      FROM h$iters JOIN a$iters ON h$iters.node = a$iters.node"""
+  }
+
+  /** HITS hubs/authorities over the same user→item graph as q83 — users
+    * are pure hubs (no in-edges), items pure authorities (no
+    * out-edges), and the iteration makes the scores refine each other.
+    */
+  private val q135 = Q(
+    "q135_hits",
+    (spark, dir) => {
+      val ev = pq(spark, dir, "events").select(
+        col("user_id"),
+        (get_json_object(col("props"), "$.k").cast("long") + 100000L).as("item"))
+      Graph.hits(ev, "user_id", "item", iters = 4)
+    },
+    Some(hitsOracleSql(4)))
+
+  /** LSH candidate-quality audit: MinHash+LSH candidate pairs scored
+    * against the exact Jaccard≥0.5 pair set — recall (missed near-dups)
+    * and precision (wasted verifications) as one auditable row. Both
+    * pipelines are the exact q21/q22 formulations, so the oracle is
+    * their CTEs plus the rollup.
+    */
+  private val q136 = Q(
+    "q136_lsh_audit",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .select(col("id_a"), col("id_b"))
+      val cand = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      val hit = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_cand"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 4).as("recall"),
+          round(col("n_hit").cast("double") / col("n_cand"), 4).as("precision"))
+    },
+    Some {
+      val mins = (0 until 16)
+        .map(i => s"MIN(substr(h, ${i + 1}, 15)) m$i")
+        .mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val cols = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $b band, md5(concat_ws('|', $cols)) bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS s
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) g FROM toks)),
+      sz AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY 1),
+      common AS (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) c FROM sh a
+        JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      ex AS (SELECT ia AS id_a, ib AS id_b
+        FROM common JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+        WHERE ROUND(c::DOUBLE / (x.sz + y.sz - c), 4) >= 0.5),
+      hh AS (SELECT doc_id, md5(s) h FROM sh),
+      sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+      bands AS ($bands),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      hit AS (SELECT ex.id_a, ex.id_b FROM ex JOIN cand USING (id_a, id_b)),
+      ne AS (SELECT COUNT(*)::BIGINT n_exact FROM ex),
+      nc AS (SELECT COUNT(*)::BIGINT n_cand FROM cand),
+      nh AS (SELECT COUNT(*)::BIGINT n_hit FROM hit)
+      SELECT n_exact, n_cand, n_hit,
+        ROUND(n_hit::DOUBLE / n_exact, 4) AS recall,
+        ROUND(n_hit::DOUBLE / n_cand, 4) AS precision
+      FROM ne, nc, nh"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3663,7 +3809,7 @@ object Queries {
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132, q133)
+    q129, q130, q131, q132, q133, q134, q135, q136)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

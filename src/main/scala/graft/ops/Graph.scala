@@ -135,6 +135,68 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
 
+  /** Unit of HITS mass: 1.0 == 1e6 micro-units (smaller than
+    * [[RankUnit]] so per-iteration sums keep Long headroom at
+    * trillion-edge scale: Σ contributions ≤ |E|·1e6).
+    */
+  val HitsUnit: Long = 1000000L
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed edge list —
+    * the complement of [[pageRank]]: a node is a good HUB if it points
+    * at good authorities, a good AUTHORITY if good hubs point at it.
+    * The curation read: authorities ≈ canonical content pages, hubs ≈
+    * link/directory pages (prune-able boilerplate at crawl scale).
+    *
+    * Per iteration: `a ← Eᵀh`, `h ← E·a`, each L1-normalized back to
+    * ~[[HitsUnit]] total mass (classic HITS normalizes in L2; the power
+    * iteration's direction is the same under any norm, and L1 keeps the
+    * arithmetic in exact non-negative integers — floor division at every
+    * step, so Spark `div` and DuckDB `//` agree bit-for-bit and the
+    * result is partitioning/engine independent). Nodes with no in-edges
+    * have authority 0; no out-edges, hub 0.
+    *
+    * 100 TB shape: two contribution shuffles per iteration (group by
+    * dst, group by src) over the checkpointed distinct edge list; the
+    * normalizer is a one-row aggregate broadcast into the update; ranks
+    * checkpoint each round so lineage stays flat.
+    */
+  def hits(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters $iters out of [1,16]")
+    val edges = edges0
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    var h = nodes.withColumn("h", lit(HitsUnit))
+    var a = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      val aRaw = edges.join(h.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum("h").as("ar"))
+      val denomA = aRaw
+        .agg(greatest(expr(s"coalesce(sum(ar), 0) div $HitsUnit"), lit(1L)).as("dn"))
+      a = nodes.join(aRaw, Seq("node"), "left").crossJoin(broadcast(denomA))
+        .select(col("node"), expr("coalesce(ar, CAST(0 AS BIGINT)) div dn").as("a"))
+        .localCheckpoint()
+      val hRaw = edges.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum("a").as("hr"))
+      val denomH = hRaw
+        .agg(greatest(expr(s"coalesce(sum(hr), 0) div $HitsUnit"), lit(1L)).as("dn"))
+      h = nodes.join(hRaw, Seq("node"), "left").crossJoin(broadcast(denomH))
+        .select(col("node"), expr("coalesce(hr, CAST(0 AS BIGINT)) div dn").as("h"))
+        .localCheckpoint()
+    }
+    h.join(a, Seq("node"))
+      .select(col("node"), col("h").as("hub_micro"), col("a").as("auth_micro"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) over the
     * UNDIRECTED graph of `edges0`: every node starts as its own label
     * (= node id); each iteration it adopts the most frequent label among

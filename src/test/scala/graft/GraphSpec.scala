@@ -136,6 +136,42 @@ class GraphSpec extends SparkSuite {
     assert(j == 3L * 1000000L / (3L + 3L - 3L)) // = 1_000_000 (identical sets)
   }
 
+  test("hits: bipartite pointers/pointed split, exact integer fixpoint, scalar replay") {
+    val spark2 = spark
+    import spark2.implicits._
+    // complete bipartite {1,2} → {3,4}: by symmetry the exact-integer
+    // iteration lands on hub 500000 for pointers, authority 500000 for
+    // pointed, zeros crosswise (hand-replayed: dn is 4 then always 2)
+    val bip = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("s", "d")
+    val r = Graph.hits(bip, "s", "d", iters = 3)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((500000L, 0L)) && r(2L) == ((500000L, 0L)))
+    assert(r(3L) == ((0L, 500000L)) && r(4L) == ((0L, 500000L)))
+
+    // irregular graph: compare against a plain-Scala replay of the same
+    // integer recurrence, and check duplicate-edge / partitioning invariance
+    val irregular = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 2L), (1L, 2L))
+    def replayHits(es: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+      val ed = es.distinct
+      val nodes = (ed.map(_._1) ++ ed.map(_._2)).distinct.sorted
+      val U = Graph.HitsUnit
+      var h = nodes.map(_ -> U).toMap
+      var a = nodes.map(_ -> 0L).toMap
+      for (_ <- 1 to iters) {
+        val ar = ed.groupBy(_._2).map { case (d, g) => d -> g.map(e => h(e._1)).sum }
+        val da = math.max(ar.values.sum / U, 1L)
+        a = nodes.map(n => n -> ar.getOrElse(n, 0L) / da).toMap
+        val hr = ed.groupBy(_._1).map { case (s, g) => s -> g.map(e => a(e._2)).sum }
+        val dh = math.max(hr.values.sum / U, 1L)
+        h = nodes.map(n => n -> hr.getOrElse(n, 0L) / dh).toMap
+      }
+      nodes.map(n => n -> ((h(n), a(n)))).toMap
+    }
+    val got = Graph.hits(irregular.toDF("s", "d").repartition(7), "s", "d", iters = 4)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(got == replayHits(irregular, 4), got.toString)
+  }
+
   test("labelPropagation: two triangles separate; bridge doesn't merge them") {
     val spark2 = spark
     import spark2.implicits._

@@ -472,6 +472,38 @@ class OpsSpec extends SparkSuite {
     assert(avg > 3 && avg < 25, s"mean chunk len $avg")
   }
 
+  test("chat checks: every rule fires in first-violation order, valid rows flatten") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cases = Seq(
+      (1L, """[{"role":"system","content":"s"},{"role":"user","content":"q"},{"role":"assistant","content":"a"}]"""),
+      (2L, """[{"role":"user","content":"q"},{"role":"assistant","content":"a"}]"""),
+      (3L, "not json at all"),
+      (4L, """[]"""),
+      (5L, """[{"role":"tool","content":"x"},{"role":"assistant","content":"a"}]"""),
+      (6L, """[{"role":"user","content":"q"},{"role":"user","content":"q2"}]"""),
+      (7L, """[{"role":"system","content":"s"}]"""),
+      (8L, """[{"role":"user","content":"  "},{"role":"assistant","content":"a"}]"""),
+      (9L, """[{"role":"user","content":"q"},{"role":"assistant","content":"a"},{"role":"user","content":"q2"}]"""))
+    val d = cases.toDF("id", "j")
+      .withColumn("msgs", graft.ops.Chat.parseChat(col("j")))
+    val r = graft.ops.Chat.chatChecks(d, Seq("id"), "msgs")
+      .collect()
+      .map(x => (x.getLong(0),
+        (x.getLong(1), x.getBoolean(2),
+          if (x.isNullAt(3)) null else x.getString(3),
+          if (x.isNullAt(4)) null else x.getString(4)))).toMap
+    assert(r(1L) == ((3L, true, null, "system: s\nuser: q\nassistant: a")))
+    assert(r(2L) == ((2L, true, null, "user: q\nassistant: a")))
+    assert(r(3L) == ((0L, false, "not_parsed", null)))
+    assert(r(4L) == ((0L, false, "empty", null)))
+    assert(r(5L) == ((2L, false, "bad_first_role", null)))
+    assert(r(6L) == ((2L, false, "role_alternation", null)))
+    assert(r(7L) == ((1L, false, "role_alternation", null))) // system-only: no body
+    assert(r(8L) == ((2L, false, "empty_content", null)))
+    assert(r(9L) == ((3L, false, "no_assistant_end", null)))
+  }
+
   test("augment dropout: deterministic replay, salt independence, drop rate in band") {
     val spark2 = spark
     import spark2.implicits._
