@@ -3798,6 +3798,69 @@ object Queries {
       FROM ne, nc, nh"""
     })
 
+  /** License-marker detection over the corpus with injected rights
+    * footers: restrictive markers on docs <20, permissive on 20–39, and
+    * one cc-by-nc doc proving restrictive-first precedence.
+    */
+  private val q137 = Q(
+    "q137_license_signals",
+    (spark, dir) => {
+      val d = pq(spark, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") < 20, concat(col("text"), lit(" All Rights Reserved.")))
+          .when(col("doc_id") < 40, concat(col("text"), lit(" Licensed under Creative Commons.")))
+          .when(col("doc_id") === 40, concat(col("text"), lit(" License: CC-BY-NC 4.0")))
+          .otherwise(col("text")).as("text"))
+      TextOps.licenseSignals(d, Seq("doc_id"), "text")
+    },
+    Some(s"""WITH d AS (SELECT doc_id,
+        CASE WHEN doc_id < 20 THEN text || ' All Rights Reserved.'
+          WHEN doc_id < 40 THEN text || ' Licensed under Creative Commons.'
+          WHEN doc_id = 40 THEN text || ' License: CC-BY-NC 4.0'
+          ELSE text END AS text FROM documents)
+      SELECT doc_id,
+        regexp_matches(lower(text), '${TextOps.PermissiveLicensePattern}') AS has_permissive,
+        regexp_matches(lower(text), '${TextOps.RestrictiveLicensePattern}') AS has_restrictive,
+        CASE WHEN regexp_matches(lower(text), '${TextOps.RestrictiveLicensePattern}') THEN 'restricted'
+          WHEN regexp_matches(lower(text), '${TextOps.PermissiveLicensePattern}') THEN 'permissive'
+          ELSE 'none' END AS license_class
+      FROM d"""))
+
+  /** Embedding QA gate with injected failure modes: NULL vector (id 3),
+    * truncated dim (id 5), NaN element (id 7), zero vector (id 11); the
+    * rest emit their micro-rounded L2 norms.
+    */
+  private val q138 = Q(
+    "q138_embedding_checks",
+    (spark, dir) => {
+      val e = pq(spark, dir, "embeddings").select(col("vec_id"),
+        when(col("vec_id") === 3, lit(null).cast("array<float>"))
+          .when(col("vec_id") === 5, slice(col("embedding"), 1, 10))
+          .when(col("vec_id") === 7,
+            concat(array(lit(Float.NaN)), slice(col("embedding"), 2, 63)))
+          .when(col("vec_id") === 11,
+            transform(col("embedding"), _ => lit(0.0f)))
+          .otherwise(col("embedding")).as("embedding"))
+      Similarity.embeddingChecks(e, "vec_id", "embedding", expectedDim = 64)
+        .withColumnRenamed("id", "vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+        CASE WHEN vec_id = 3 THEN NULL
+          WHEN vec_id = 5 THEN embedding[1:10]
+          WHEN vec_id = 7 THEN list_concat(['NaN'::FLOAT], embedding[2:64])
+          WHEN vec_id = 11 THEN list_transform(embedding, x -> 0.0::FLOAT)
+          ELSE embedding END AS v FROM embeddings),
+      chk AS (SELECT vec_id, v,
+        CASE WHEN v IS NULL THEN 'null_vector'
+          WHEN len(v) <> 64 THEN 'bad_dim'
+          WHEN len(list_filter(v, x -> x IS NULL OR isnan(x))) > 0 THEN 'bad_element'
+          WHEN len(list_filter(v, x -> x <> 0.0)) = 0 THEN 'zero_vector'
+          END issue FROM e)
+      SELECT vec_id, COALESCE(len(v), 0)::BIGINT AS dim, issue, issue IS NULL AS valid,
+        CASE WHEN issue IS NULL THEN CAST(round(sqrt(list_reduce(
+          list_prepend(0.0, list_transform(v, x -> x::DOUBLE * x::DOUBLE)),
+          (a, b) -> a + b)) * 1e6) AS BIGINT) END AS l2_micro
+      FROM chk"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3809,7 +3872,7 @@ object Queries {
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132, q133, q134, q135, q136)
+    q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

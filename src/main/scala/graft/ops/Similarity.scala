@@ -865,4 +865,40 @@ object Similarity {
         coalesce(col("overlap_k"), lit(0L)).as("overlap_k"))
       .withColumn("recall_k", round(col("overlap_k").cast("double") / k, 4))
   }
+
+  /** Embedding QA gate: per-row verdicts for the failure modes that
+    * silently poison ANN indexes and centroid math — NULL vectors, wrong
+    * dimensionality, NaN/NULL elements, zero vectors (cosine undefined).
+    * Output: id, `dim`, `issue` (first violation: `null_vector` >
+    * `bad_dim` > `bad_element` > `zero_vector`, NULL when clean),
+    * `valid`, and `l2_micro` (micro-rounded L2 norm, NULL unless valid —
+    * the magnitude profile feeds normalization decisions).
+    *
+    * The norm is the sequential double fold both engines replay
+    * (float→double is exact; x² sums fold left-to-right), rounded once.
+    * Map-only codegen; the rollup a caller adds is one (issue, count)
+    * aggregation.
+    */
+  def embeddingChecks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      expectedDim: Int): DataFrame = {
+    require(expectedDim >= 1, s"expectedDim $expectedDim must be >= 1")
+    val v = col(vecCol)
+    val badElem = exists(v, x => x.isNull || isnan(x))
+    val zero = !exists(v, x => x =!= 0.0f)
+    val sumsq = aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val issue = when(v.isNull, "null_vector")
+      .when(size(v) =!= expectedDim, "bad_dim")
+      .when(badElem, "bad_element")
+      .when(zero, "zero_vector")
+    df.select(
+      col(idCol).as("id"),
+      when(v.isNull, lit(0)).otherwise(size(v)).cast("long").as("dim"),
+      issue.as("issue"),
+      issue.isNull.as("valid"),
+      when(issue.isNull, round(sqrt(sumsq) * 1e6).cast("long")).as("l2_micro"))
+  }
 }

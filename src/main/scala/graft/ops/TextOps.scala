@@ -554,6 +554,34 @@ object TextOps {
         (rWords && rMeanLen && rSymbol && rEllipsis && rAlpha && rStop).as("keep")): _*)
   }
 
+  /** RE2-safe license / rights-marker patterns (word-bounded literal
+    * alternations — no lookaround, so Java regex and RE2 engines agree).
+    * Note `cc-by` also matches inside `cc-by-nc`; [[licenseSignals]]
+    * resolves the class restrictive-first so the verdict is still right.
+    */
+  val PermissiveLicensePattern: String =
+    "\\b(mit license|apache license|bsd license|creative commons|cc-by|public domain|unlicense)\\b"
+  val RestrictiveLicensePattern: String =
+    "\\b(all rights reserved|gnu general public license|gpl(v[0-9])?|proprietary|confidential|do not redistribute|cc-by-nc)\\b"
+
+  /** License-contamination signals: per-document permissive/restrictive
+    * rights-marker hits and a precedence-resolved `license_class`
+    * (`restricted` > `permissive` > `none`) — the filter a
+    * compliance-aware corpus build runs before training on crawled or
+    * code-adjacent text. Map-only codegen regexes over the lowered text;
+    * patterns are RE2-safe so a SQL oracle replays the decisions.
+    */
+  def licenseSignals(df: DataFrame, idCols: Seq[String], textCol: String): DataFrame = {
+    val lt = lower(col(textCol))
+    val perm = lt.rlike(PermissiveLicensePattern)
+    val restr = lt.rlike(RestrictiveLicensePattern)
+    df.select(idCols.map(col) ++ Seq(
+      perm.as("has_permissive"),
+      restr.as("has_restrictive"),
+      when(restr, "restricted").when(perm, "permissive")
+        .otherwise("none").as("license_class")): _*)
+  }
+
   /** RE2-safe PII patterns (no backreferences/lookaround, so the same
     * pattern string runs identically under Java regex and RE2-family
     * engines — portability is what makes the redaction auditable with a

@@ -504,6 +504,51 @@ class OpsSpec extends SparkSuite {
     assert(r(9L) == ((3L, false, "no_assistant_end", null)))
   }
 
+  test("license signals: class precedence, gpl versions, cc-by-nc restrictive") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq(
+      (1L, "Released under the MIT License."),
+      (2L, "Copyright 2024. All Rights Reserved."),
+      (3L, "Creative Commons text ... but also All Rights Reserved"),
+      (4L, "Shared as CC-BY-NC 4.0"),
+      (5L, "plain document, no markers"),
+      (6L, "code under GPLv3 terms"),
+      (7L, "the gplan word must not trigger")).toDF("doc_id", "text")
+    val r = TextOps.licenseSignals(d, Seq("doc_id"), "text")
+      .collect().map(x => (x.getLong(0), (x.getBoolean(1), x.getBoolean(2), x.getString(3)))).toMap
+    assert(r(1L) == ((true, false, "permissive")))
+    assert(r(2L) == ((false, true, "restricted")))
+    assert(r(3L) == ((true, true, "restricted"))) // restrictive wins
+    assert(r(4L) == ((true, true, "restricted"))) // cc-by-nc contains cc-by; class still right
+    assert(r(5L) == ((false, false, "none")))
+    assert(r(6L) == ((false, true, "restricted")))
+    assert(r(7L) == ((false, false, "none"))) // word boundary holds
+  }
+
+  test("embedding checks: verdict precedence and clean-row norms") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq(
+      (1L, Some(Array(3.0f, 4.0f))),
+      (2L, None),
+      (3L, Some(Array(1.0f))),
+      (4L, Some(Array(Float.NaN, 1.0f))),
+      (5L, Some(Array(0.0f, 0.0f))),
+      (6L, Some(Array(0.5f, Float.NaN))) // NaN reported before zero logic
+    ).toDF("vec_id", "v")
+    val r = Similarity.embeddingChecks(d, "vec_id", "v", expectedDim = 2)
+      .collect().map(x => (x.getLong(0),
+        (x.getLong(1), if (x.isNullAt(2)) null else x.getString(2), x.getBoolean(3),
+          if (x.isNullAt(4)) None else Some(x.getLong(4))))).toMap
+    assert(r(1L) == ((2L, null, true, Some(5000000L)))) // |(3,4)| = 5
+    assert(r(2L) == ((0L, "null_vector", false, None)))
+    assert(r(3L) == ((1L, "bad_dim", false, None)))
+    assert(r(4L) == ((2L, "bad_element", false, None)))
+    assert(r(5L) == ((2L, "zero_vector", false, None)))
+    assert(r(6L) == ((2L, "bad_element", false, None)))
+  }
+
   test("augment dropout: deterministic replay, salt independence, drop rate in band") {
     val spark2 = spark
     import spark2.implicits._
