@@ -2,7 +2,7 @@ package graft
 
 import graft.client.{GraftClient, Metrics}
 import graft.engine.{EventTime, TemporalJoin}
-import graft.ops.{Chat, Cluster, Corpus, Decay, Dedup, Graph, Multimodal, Sampling, Sessions, Similarity, Sketch, TextOps}
+import graft.ops.{Chat, Cluster, Corpus, Decay, Dedup, Graph, Multimodal, Sampling, Sessions, Similarity, Sketch, TextOps, TimeSeries}
 import graft.table._
 import graft.types._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -3861,6 +3861,152 @@ object Queries {
           (a, b) -> a + b)) * 1e6) AS BIGINT) END AS l2_micro
       FROM chk"""))
 
+  /** Time-series resampling: the 10k-event stream densified to hourly
+    * per-user buckets with forward-filled sums — gap buckets are visible
+    * as n_events = 0 / NULL sum.
+    */
+  private val q139 = Q(
+    "q139_ts_resample",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val e = raw.select(col("user_id"),
+        EventTime.epochMillis(raw, "ts").as("ts_ms"), col("value"))
+      TimeSeries.resample(e, Seq("user_id"), "ts_ms", "value", 3600000L)
+    },
+    Some("""WITH e AS (SELECT user_id,
+          (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+          floor(value * 1e6)::BIGINT vm
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
+      a AS (SELECT user_id, bucket_ms, COUNT(*)::BIGINT n_events,
+          SUM(vm)::BIGINT sum_micro FROM e GROUP BY 1, 2),
+      sp AS (SELECT user_id, unnest(generate_series(lo, hi, 3600000)) bucket_ms
+        FROM (SELECT user_id, MIN(bucket_ms) lo, MAX(bucket_ms) hi
+              FROM a GROUP BY 1)),
+      j AS (SELECT sp.user_id, sp.bucket_ms,
+          COALESCE(a.n_events, 0)::BIGINT n_events, a.sum_micro
+        FROM sp LEFT JOIN a USING (user_id, bucket_ms))
+      SELECT user_id, bucket_ms, n_events, sum_micro,
+        last_value(sum_micro IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY bucket_ms
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_micro
+      FROM j"""))
+
+  /** PSI drift between pre/post-1998 order snapshots over two numeric
+    * columns — the monitoring statistic every production feature pipeline
+    * recomputes daily; exact-integer pico units hash across engines.
+    */
+  private val q140 = Q(
+    "q140_psi_drift",
+    (spark, dir) => {
+      val o = pq(spark, dir, "orders")
+      val cut = "1998-01-01"
+      Corpus.psi(
+        o.filter(col("o_orderdate") < lit(cut)),
+        o.filter(col("o_orderdate") >= lit(cut)),
+        Seq("o_totalprice", "o_custkey"), bins = 10)
+    },
+    Some("""WITH sref AS (
+        SELECT 'o_totalprice' col_name, o_totalprice::DOUBLE v FROM orders
+          WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+        UNION ALL
+        SELECT 'o_custkey', o_custkey::DOUBLE FROM orders
+          WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_custkey IS NOT NULL),
+      scur AS (
+        SELECT 'o_totalprice' col_name, o_totalprice::DOUBLE v FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+        UNION ALL
+        SELECT 'o_custkey', o_custkey::DOUBLE FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_custkey IS NOT NULL),
+      rg AS (SELECT col_name, MIN(v) lo, MAX(v) hi FROM sref GROUP BY 1),
+      ca AS (SELECT s.col_name,
+          CASE WHEN lo = hi THEN 0
+            ELSE LEAST(GREATEST(floor((v - lo) * 10 / (hi - lo))::INT, 0), 9)
+          END bucket, COUNT(*) c
+        FROM sref s JOIN rg USING (col_name) GROUP BY 1, 2),
+      cb AS (SELECT s.col_name,
+          CASE WHEN lo = hi THEN 0
+            ELSE LEAST(GREATEST(floor((v - lo) * 10 / (hi - lo))::INT, 0), 9)
+          END bucket, COUNT(*) c
+        FROM scur s JOIN rg USING (col_name) GROUP BY 1, 2),
+      sp AS (SELECT col_name, unnest(generate_series(0, 9)) bucket FROM rg),
+      j AS (SELECT sp.col_name, sp.bucket,
+          (COALESCE(ca.c, 0) + 1)::BIGINT ca1, (COALESCE(cb.c, 0) + 1)::BIGINT cb1
+        FROM sp LEFT JOIN ca USING (col_name, bucket)
+                LEFT JOIN cb USING (col_name, bucket)),
+      t AS (SELECT col_name, SUM(ca1)::BIGINT ta, SUM(cb1)::BIGINT tb
+        FROM j GROUP BY 1),
+      g AS (SELECT j.col_name,
+          MAX(ta - 10)::BIGINT n_ref, MAX(tb - 10)::BIGINT n_cur,
+          SUM((ca1 * 1000000 // ta - cb1 * 1000000 // tb) *
+            (floor(ln(ca1) * 1e6)::BIGINT - floor(ln(ta) * 1e6)::BIGINT
+             - floor(ln(cb1) * 1e6)::BIGINT + floor(ln(tb) * 1e6)::BIGINT))::BIGINT psi_pico
+        FROM j JOIN t USING (col_name) GROUP BY 1)
+      SELECT col_name, n_ref, n_cur, psi_pico,
+        psi_pico > 200000000000 AS drifted FROM g"""))
+
+  /** Trailing 24-bucket (24 h) rolling features over the hourly resample:
+    * the lag-feature block models train on, exact-integer end to end.
+    */
+  private val q141 = Q(
+    "q141_ts_rolling",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val e = raw.select(col("user_id"),
+        EventTime.epochMillis(raw, "ts").as("ts_ms"), col("value"))
+      TimeSeries.rolling(
+        TimeSeries.resample(e, Seq("user_id"), "ts_ms", "value", 3600000L),
+        Seq("user_id"), nBuckets = 24)
+    },
+    Some("""WITH e AS (SELECT user_id,
+          (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+          floor(value * 1e6)::BIGINT vm
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
+      a AS (SELECT user_id, bucket_ms, COUNT(*)::BIGINT n_events,
+          SUM(vm)::BIGINT sum_micro FROM e GROUP BY 1, 2),
+      sp AS (SELECT user_id, unnest(generate_series(lo, hi, 3600000)) bucket_ms
+        FROM (SELECT user_id, MIN(bucket_ms) lo, MAX(bucket_ms) hi
+              FROM a GROUP BY 1)),
+      j AS (SELECT sp.user_id, sp.bucket_ms,
+          COALESCE(a.n_events, 0)::BIGINT n_events, a.sum_micro
+        FROM sp LEFT JOIN a USING (user_id, bucket_ms))
+      SELECT user_id, bucket_ms, n_events, sum_micro,
+        last_value(sum_micro IGNORE NULLS) OVER wff AS ffill_micro,
+        (SUM(n_events) OVER wtr)::BIGINT AS roll_n_events,
+        (SUM(sum_micro) OVER wtr)::BIGINT AS roll_sum_micro,
+        MIN(sum_micro) OVER wtr AS roll_min_micro,
+        MAX(sum_micro) OVER wtr AS roll_max_micro,
+        LAG(sum_micro, 1) OVER wlag AS lag1_sum_micro
+      FROM j
+      WINDOW wff AS (PARTITION BY user_id ORDER BY bucket_ms
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wtr AS (PARTITION BY user_id ORDER BY bucket_ms
+          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+        wlag AS (PARTITION BY user_id ORDER BY bucket_ms)"""))
+
+  /** Exact per-language doc-length quantiles (nearest-rank): the
+    * fine-grained-group case where a per-group sort is the RIGHT call
+    * and the answer is a value that actually occurs.
+    */
+  private val q142 = Q(
+    "q142_group_quantiles",
+    (spark, dir) =>
+      Corpus.groupQuantiles(pq(spark, dir, "documents"),
+        Seq("lang"), "n_chars", Seq(0, 25, 50, 75, 90, 99, 100)),
+    Some("""WITH b AS (SELECT lang, n_chars FROM documents
+          WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+      cnt AS (SELECT lang, COUNT(*)::BIGINT n FROM b GROUP BY 1),
+      pr AS (SELECT lang, n,
+          unnest([0, 25, 50, 75, 90, 99, 100]) AS percent FROM cnt),
+      tr AS (SELECT lang, n, percent,
+          floor(percent * (n - 1) / 100)::BIGINT r FROM pr),
+      rk AS (SELECT lang, n_chars,
+          (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) - 1) r
+        FROM b)
+      SELECT tr.lang, tr.percent, tr.n, rk.n_chars AS value
+      FROM tr JOIN rk ON tr.lang = rk.lang AND tr.r = rk.r"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3872,7 +4018,8 @@ object Queries {
     q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102,
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
+    q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
+    q141, q142)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

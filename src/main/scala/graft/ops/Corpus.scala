@@ -164,6 +164,48 @@ object Corpus {
           ((col("r") - col("cum")).cast("double") + 0.5) / col("n")).as("est_value"))
   }
 
+  /** EXACT per-group discrete quantiles (nearest-rank, the
+    * `quantile_disc` convention): for each group and percent p, the
+    * value at sorted rank `floor(p·(n−1)/100)` — no interpolation, no
+    * sketch, so the result is a value that actually occurs and hashes
+    * identically on every engine. Complements [[histogramQuantiles]]
+    * (global, approximate, two corpus passes): use THIS when groups are
+    * fine-grained (per-language, per-source, per-day) so each group's
+    * sort fits a task, and the histogram path for corpus-global
+    * percentiles where a full sort is off the table.
+    *
+    * Returns `(groupCols..., percent, n, value)`.
+    *
+    * 100 TB shape: ONE shuffle by group (the ranking window); target
+    * ranks come from a groups×|percents| table built by a
+    * map-side-combined count and joined back (no forced broadcast —
+    * AQE broadcasts it when it fits, which is whenever the group count
+    * is sane) — the corpus is never multiplied by |percents| and never
+    * moves twice.
+    */
+  def groupQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      percents: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
+      "percents must be in [0,100]")
+    val base = df.filter(col(valueCol).isNotNull &&
+      groupCols.map(col(_).isNotNull).reduce(_ && _))
+    val ranks = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(groupCols.map(col) :+ col("n") :+
+        explode(array(percents.distinct.sorted.map(lit): _*)).as("percent"): _*)
+      .withColumn("__r", floor(col("percent") * (col("n") - 1) / 100).cast("long"))
+    val wg = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    base
+      .withColumn("__r", (row_number().over(wg) - 1).cast("long"))
+      .join(ranks, groupCols :+ "__r")
+      .select(groupCols.map(col) ++
+        Seq(col("percent"), col("n"), col(valueCol).as("value")): _*)
+  }
+
   /** Hot-key skew report: the top-k heaviest values per column with
     * their corpus share — the before-the-join diagnosis that tells you
     * which keys need salting, an AQE skew hint, or a broadcast rethink
@@ -532,5 +574,73 @@ object Corpus {
       .withColumn("util_packed",
         round(col("n_tokens").cast("double") / (col("n_seqs_packed") * L), 4))
       .withColumn("seqs_saved", col("n_seqs_padded") - col("n_seqs_packed"))
+  }
+
+  /** Population Stability Index drift between a REFERENCE snapshot and a
+    * CURRENT snapshot, per numeric column — the standard feature/corpus
+    * monitoring statistic (`psi < 0.1` stable, `0.1–0.2` moderate,
+    * `> 0.2` drifted): `Σ_bins (pRef − pCur)·ln(pRef/pCur)` over
+    * equi-width buckets cut from the REFERENCE's range ([[histogram]]'s
+    * exact bucket rule, with current-side values outside that range
+    * clamped into the edge buckets) and Laplace-smoothed counts
+    * (`+1` per bucket) so empty buckets never hit `ln 0`.
+    *
+    * Exact-integer discipline: proportions are micro-floored integer
+    * divisions and each log is SEPARATELY micro-floored
+    * (`ln(cnt+1)`/`ln(tot)` decomposition — same engine-replayable trick
+    * as pmiCollocations), so `psi_pico` (1e-12 units) compares
+    * bit-for-bit across engines; `drifted` applies the 0.2 threshold to
+    * the integer.
+    *
+    * 100 TB shape: two stack/unpivot count passes (one per snapshot,
+    * map-side combined) against a broadcast |cols|-row range table; all
+    * math after that runs on the ≤ cols·bins-row count table.
+    */
+  def psi(
+      ref: DataFrame,
+      cur: DataFrame,
+      cols: Seq[String],
+      bins: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    require(bins >= 2 && bins <= 1000, s"bins $bins out of [2,1000]")
+    def stacked(df: DataFrame) = df.selectExpr(
+        s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
+          ") as (col_name, v)")
+      .filter(col("v").isNotNull)
+    val ranges = stacked(ref).groupBy("col_name")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .localCheckpoint(true)
+    def counts(df: DataFrame, out: String) = stacked(df)
+      .join(broadcast(ranges), Seq("col_name"))
+      .withColumn("bucket",
+        when(col("lo") === col("hi"), lit(0))
+          .otherwise(least(greatest(
+            floor((col("v") - col("lo")) * bins / (col("hi") - col("lo"))).cast("int"),
+            lit(0)), lit(bins - 1))))
+      .groupBy("col_name", "bucket").agg(count(lit(1)).as(out))
+    val spine = ranges.select(col("col_name"),
+      explode(sequence(lit(0), lit(bins - 1))).as("bucket"))
+    val lnMicro: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      x => floor(log(x.cast("double")) * 1e6).cast("long")
+    val joined = spine
+      .join(counts(ref, "ca"), Seq("col_name", "bucket"), "left")
+      .join(counts(cur, "cb"), Seq("col_name", "bucket"), "left")
+      .select(col("col_name"), col("bucket"),
+        (coalesce(col("ca"), lit(0L)) + 1).as("ca1"),
+        (coalesce(col("cb"), lit(0L)) + 1).as("cb1"))
+    val tot = joined.groupBy("col_name")
+      .agg(sum("ca1").as("ta"), sum("cb1").as("tb"))
+    joined.join(broadcast(tot), Seq("col_name"))
+      .select(col("col_name"),
+        expr("ca1 * 1000000L div ta").as("pa"),
+        expr("cb1 * 1000000L div tb").as("pb"),
+        (lnMicro(col("ca1")) - lnMicro(col("ta")) -
+          lnMicro(col("cb1")) + lnMicro(col("tb"))).as("lr"),
+        (col("ta") - bins).as("n_ref"), (col("tb") - bins).as("n_cur"))
+      .groupBy(col("col_name"))
+      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+        sum((col("pa") - col("pb")) * col("lr")).as("psi_pico"))
+      .withColumn("drifted", col("psi_pico") > 200000000000L)
   }
 }

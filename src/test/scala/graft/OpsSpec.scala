@@ -2584,4 +2584,114 @@ class OpsSpec extends SparkSuite {
     // saturation sanity: doc 3's join tf=3 beats doc 4's single join
     assert(got(3L)._2 > got(4L)._2)
   }
+
+  test("resample densifies gaps, forward-fills sums, floors values once") {
+    import graft.ops.TimeSeries
+    val spark2 = spark
+    import spark2.implicits._
+    // key "a": events in buckets 0, 0, 30 (gap at 10 and 20); key "b": one event
+    val df = Seq(
+      ("a", 1L, 1.25), ("a", 9L, 2.5), ("a", 35L, 4.0),
+      ("b", 12L, -0.5)
+    ).toDF("k", "ts_ms", "v")
+    val out = TimeSeries.resample(df, Seq("k"), "ts_ms", "v", 10L)
+      .orderBy("k", "bucket_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      // bucket 0: two events, floor(1.25e6)+floor(2.5e6) = 3_750_000
+      ("a", 0L, 2L, Some(3750000L), 3750000L),
+      ("a", 10L, 0L, None, 3750000L), // gap: ffill carries bucket 0
+      ("a", 20L, 0L, None, 3750000L),
+      ("a", 30L, 1L, Some(4000000L), 4000000L),
+      ("b", 10L, 1L, Some(-500000L), -500000L)))
+  }
+
+  test("resample drops null keys/ts/values before bucketing") {
+    import graft.ops.TimeSeries
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (Option("a"), Option(1L), Option(1.0)),
+      (None, Option(2L), Option(9.0)),
+      (Option("a"), None, Option(9.0)),
+      (Option("a"), Option(3L), None)
+    ).toDF("k", "ts_ms", "v")
+    val out = TimeSeries.resample(df, Seq("k"), "ts_ms", "v", 10L).collect()
+    assert(out.length == 1 && out(0).getLong(2) == 1L)
+  }
+
+  test("psi: identical snapshots score ~0, a shifted snapshot drifts") {
+    import graft.ops.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val ref = (1 to 1000).map(i => (i % 100).toDouble).toDF("x")
+    val same = Corpus.psi(ref, ref, Seq("x"), bins = 10).collect()(0)
+    assert(same.getAs[Long]("n_ref") == 1000L &&
+      same.getAs[Long]("n_cur") == 1000L)
+    assert(same.getAs[Long]("psi_pico") <= 0L, "identical dists: psi <= 0 " +
+      "(exact zero up to the micro-floor's one-sided rounding)")
+    assert(!same.getAs[Boolean]("drifted"))
+    // current mass concentrated in the ref range's top decile → large PSI
+    val cur = (1 to 1000).map(i => 95.0 + (i % 5)).toDF("x")
+    val drift = Corpus.psi(ref, cur, Seq("x"), bins = 10).collect()(0)
+    assert(drift.getAs[Boolean]("drifted"))
+    assert(drift.getAs[Long]("psi_pico") > 2000000000000L) // >> 0.2
+  }
+
+  test("rolling computes trailing-frame stats over the dense series") {
+    import graft.ops.TimeSeries
+    val spark2 = spark
+    import spark2.implicits._
+    // buckets 0,10,20,30 for key a; bucket 20 is a gap
+    val df = Seq(("a", 1L, 1.0), ("a", 12L, 2.0), ("a", 35L, 4.0))
+      .toDF("k", "ts_ms", "v")
+    val out = TimeSeries.rolling(
+        TimeSeries.resample(df, Seq("k"), "ts_ms", "v", 10L), Seq("k"), 2)
+      .orderBy("bucket_ms")
+      .select("bucket_ms", "roll_n_events", "roll_sum_micro",
+        "roll_min_micro", "roll_max_micro", "lag1_sum_micro")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 1000000L, 1000000L, 1000000L, None),
+      (10L, 2L, 3000000L, 1000000L, 2000000L, Some(1000000L)),
+      // frame = {10, 20-gap}: gap's NULL sum is skipped by sum/min/max
+      (20L, 1L, 2000000L, 2000000L, 2000000L, Some(2000000L)),
+      // frame = {20-gap, 30}
+      (30L, 1L, 4000000L, 4000000L, 4000000L, None)))
+  }
+
+  test("groupQuantiles: nearest-rank values that actually occur") {
+    import graft.ops.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val df = ((1 to 10).map(i => ("a", i.toLong)) ++
+      Seq(("b", 7L), ("b", 99L))).toDF("g", "x")
+    val out = Corpus.groupQuantiles(df, Seq("g"), "x", Seq(0, 50, 100))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // group a: n=10, rank(50) = floor(50*9/100) = 4 → value 5
+    assert(out(("a", 0)) == (10L, 1L))
+    assert(out(("a", 50)) == (10L, 5L))
+    assert(out(("a", 100)) == (10L, 10L))
+    // group b: n=2, rank(50) = floor(50*1/100) = 0 → lower value
+    assert(out(("b", 50)) == (2L, 7L))
+    assert(out(("b", 100)) == (2L, 99L))
+  }
+
+  test("psi clamps out-of-range current values into edge buckets") {
+    import graft.ops.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val ref = (1 to 100).map(_.toDouble).toDF("x")
+    // all current values far outside the ref range, half below, half above
+    val cur = ((1 to 50).map(_ => -1e9) ++ (1 to 50).map(_ => 1e9)).toDF("x")
+    val r = Corpus.psi(ref, cur, Seq("x"), bins = 10).collect()(0)
+    assert(r.getAs[Long]("n_cur") == 100L, "clamped rows must all be counted")
+    assert(r.getAs[Boolean]("drifted"))
+  }
 }
