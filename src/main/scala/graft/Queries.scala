@@ -2,7 +2,7 @@ package graft
 
 import graft.client.{GraftClient, Metrics}
 import graft.engine.{EventTime, TemporalJoin}
-import graft.ops.{Chat, Cluster, Corpus, Decay, Dedup, Graph, Multimodal, Sampling, Sessions, Similarity, Sketch, TextOps, TimeSeries}
+import graft.ops.{Chat, Cluster, Corpus, Decay, Dedup, Eval, Graph, Multimodal, Sampling, SemiStructured, Sessions, Similarity, Sketch, Skew, TextOps, TimeSeries}
 import graft.table._
 import graft.types._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -4007,6 +4007,98 @@ object Queries {
       SELECT tr.lang, tr.percent, tr.n, rk.n_chars AS value
       FROM tr JOIN rk ON tr.lang = rk.lang AND tr.r = rk.r"""))
 
+  /** JSON key discovery on a mixed-shape payload (three schema variants
+    * incl. a JSON-null field): the promotion-planning profile.
+    */
+  private val q143 = Q(
+    "q143_json_key_profile",
+    (spark, dir) => {
+      val o = pq(spark, dir, "orders")
+      val payload = when(col("o_orderkey") % 3 === 0, concat(
+          lit("{\"okey\":"), col("o_orderkey").cast("string"),
+          lit(",\"price_cents\":"),
+          floor(col("o_totalprice") * 100).cast("long").cast("string"),
+          lit("}")))
+        .when(col("o_orderkey") % 3 === 1, concat(
+          lit("{\"okey\":"), col("o_orderkey").cast("string"),
+          lit(",\"priority\":\""), col("o_orderpriority"),
+          lit("\",\"rush\":"), (col("o_orderkey") % 2 === 0).cast("string"),
+          lit("}")))
+        .otherwise(concat(
+          lit("{\"okey\":"), col("o_orderkey").cast("string"),
+          lit(",\"status\":\""), col("o_orderstatus"),
+          lit("\",\"note\":null}")))
+      SemiStructured.jsonKeyProfile(o.select(payload.as("payload")), "payload")
+    },
+    Some("""WITH j AS (SELECT CASE
+          WHEN o_orderkey % 3 = 0 THEN '{"okey":' || o_orderkey
+            || ',"price_cents":' || floor(o_totalprice * 100)::BIGINT || '}'
+          WHEN o_orderkey % 3 = 1 THEN '{"okey":' || o_orderkey
+            || ',"priority":"' || o_orderpriority || '","rush":'
+            || (o_orderkey % 2 = 0) || '}'
+          ELSE '{"okey":' || o_orderkey || ',"status":"' || o_orderstatus
+            || '","note":null}' END payload FROM orders),
+      k AS (SELECT payload, unnest(json_keys(payload)) AS key FROM j),
+      v AS (SELECT key, json_extract_string(payload, '$.' || key) v FROM k),
+      t AS (SELECT COUNT(*)::BIGINT n_rows FROM j),
+      g AS (SELECT key, COUNT(*)::BIGINT n_keys, COUNT(v)::BIGINT n_present,
+          COUNT(CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN 1 END)::BIGINT n_int_like,
+          COUNT(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 1 END)::BIGINT n_num_like,
+          COUNT(CASE WHEN v IN ('true', 'false') THEN 1 END)::BIGINT n_bool_like
+        FROM v GROUP BY 1)
+      SELECT g.*, t.n_rows, n_present * 1000000 // t.n_rows AS share_micro
+      FROM g, t"""))
+
+  /** Salted join: events (big side) to customers with salt 8 — result is
+    * byte-identical to the plain join, which IS the oracle.
+    */
+  private val q144 = Q(
+    "q144_salted_join",
+    (spark, dir) => {
+      val e = pq(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val c = pq(spark, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_name"), col("c_acctbal"))
+      Skew.saltedJoin(e, c, Seq("user_id"), salt = 8)
+        .select("event_id", "user_id", "value", "c_name", "c_acctbal")
+    },
+    Some("""SELECT event_id, user_id, value, c_name, c_acctbal
+      FROM events JOIN customer ON user_id = c_custkey"""))
+
+  /** Per-slice classifier eval: a synthetic parity label scored by the
+    * event value — exact tie-aware AUC plus the threshold confusion row.
+    */
+  private val q145 = Q(
+    "q145_binary_eval",
+    (spark, dir) => {
+      val e = pq(spark, dir, "events").select(col("event_type"),
+        (get_json_object(col("props"), "$.k").cast("long") % 2 === 0)
+          .as("label"),
+        col("value").as("score"))
+      Eval.binaryEval(e, Seq("event_type"), "label", "score", threshold = 250.0)
+    },
+    Some("""WITH b AS (SELECT event_type,
+          (json_extract(props, '$.k')::BIGINT % 2 = 0) AS label, value AS score
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+          AND json_extract(props, '$.k') IS NOT NULL),
+      blk AS (SELECT event_type, score, COUNT(*)::BIGINT c,
+          COUNT(CASE WHEN label THEN 1 END)::BIGINT cp FROM b GROUP BY 1, 2),
+      rk AS (SELECT *, (SUM(c) OVER (PARTITION BY event_type ORDER BY score)
+          - c)::BIGINT cum FROM blk),
+      g AS (SELECT event_type, SUM(c)::BIGINT n, SUM(cp)::BIGINT n_pos,
+          COALESCE(SUM(CASE WHEN score >= 250.0 THEN cp END), 0)::BIGINT tp,
+          COALESCE(SUM(CASE WHEN score >= 250.0 THEN c - cp END), 0)::BIGINT fp,
+          SUM(cp * (2 * cum + c + 1))::BIGINT r2
+        FROM rk GROUP BY 1)
+      SELECT event_type, n, n_pos, (n - n_pos) AS n_neg, tp, fp,
+        (n_pos - tp) AS fn, ((n - n_pos) - fp) AS tn,
+        tp * 1000000 // NULLIF(tp + fp, 0) AS precision_micro,
+        tp * 1000000 // NULLIF(n_pos, 0) AS recall_micro,
+        2 * tp * 1000000 // NULLIF(tp + fp + n_pos, 0) AS f1_micro,
+        (r2 - n_pos * (n_pos + 1)) * 1000000
+          // NULLIF(2 * n_pos * (n - n_pos), 0) AS auc_micro
+      FROM g"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4019,7 +4111,7 @@ object Queries {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
-    q141, q142)
+    q141, q142, q143, q144, q145)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -2683,6 +2683,85 @@ class OpsSpec extends SparkSuite {
     assert(out(("b", 100)) == (2L, 99L))
   }
 
+  test("jsonKeyProfile distinguishes key presence from non-null values") {
+    import graft.ops.SemiStructured
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      """{"a":1,"b":"x","c":true}""",
+      """{"a":-7,"b":"2.5","d":null}""",
+      """{"a":"9"}""",
+      null, // null payload: n_rows only
+      "not json at all" // unparseable: n_rows only
+    ).toDF("payload")
+    val out = SemiStructured.jsonKeyProfile(df, "payload").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b", "c", "d"))
+    val a = out("a")
+    assert(a.getAs[Long]("n_keys") == 3 && a.getAs[Long]("n_present") == 3)
+    // "9" extracts as 9 → int-like; stringiness is invisible post-extraction
+    assert(a.getAs[Long]("n_int_like") == 3 && a.getAs[Long]("n_num_like") == 3)
+    val b = out("b")
+    assert(b.getAs[Long]("n_int_like") == 0 && b.getAs[Long]("n_num_like") == 1)
+    assert(out("c").getAs[Long]("n_bool_like") == 1)
+    val d = out("d")
+    assert(d.getAs[Long]("n_keys") == 1 && d.getAs[Long]("n_present") == 0,
+      "JSON null: key occurs, value absent")
+    assert(a.getAs[Long]("n_rows") == 5)
+    assert(a.getAs[Long]("share_micro") == 600000L)
+  }
+
+  test("saltedJoin equals the plain join, inner and left") {
+    import graft.ops.Skew
+    val spark2 = spark
+    import spark2.implicits._
+    // key 1 is hot on the big side; key 3 has no match
+    val big = ((1 to 50).map(i => (1L, s"r$i")) ++
+      Seq((2L, "x"), (3L, "orphan"))).toDF("k", "payload")
+    val small = Seq((1L, "one"), (2L, "two"), (4L, "unused")).toDF("k", "name")
+    for (jt <- Seq("inner", "left")) {
+      val got = Skew.saltedJoin(big, small, Seq("k"), salt = 4, joinType = jt)
+        .select("k", "payload", "name").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+      val want = big.join(small, Seq("k"), jt)
+        .select("k", "payload", "name").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+      assert(got.toSeq == want.toSeq, s"joinType=$jt")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("k"), salt = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("k"), salt = 1)
+    }
+  }
+
+  test("binaryEval: tie-aware exact AUC and threshold confusion") {
+    import graft.ops.Eval
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      ("g", true, 0.9), ("g", true, 0.7), ("g", false, 0.8), ("g", false, 0.7),
+      ("h", true, 0.5), ("h", true, 0.6) // single-class → AUC undefined
+    ).toDF("grp", "label", "score")
+    val out = Eval.binaryEval(df, Seq("grp"), "label", "score", 0.75)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    // asc ranks: 0.7,0.7 → avg 1.5 (one pos); 0.8 → 3 (neg); 0.9 → 4 (pos)
+    // AUC = (1.5 + 4 − 2·3/2) / (2·2) = 2.5/4 = 0.625
+    assert(g.getAs[Long]("auc_micro") == 625000L)
+    assert(g.getAs[Long]("tp") == 1 && g.getAs[Long]("fp") == 1 &&
+      g.getAs[Long]("fn") == 1 && g.getAs[Long]("tn") == 1)
+    assert(g.getAs[Long]("precision_micro") == 500000L &&
+      g.getAs[Long]("recall_micro") == 500000L &&
+      g.getAs[Long]("f1_micro") == 500000L)
+    val h = out("h")
+    assert(h.getAs[Long]("n_neg") == 0)
+    assert(h.isNullAt(h.fieldIndex("auc_micro")), "one-class AUC must be NULL")
+    assert(h.isNullAt(h.fieldIndex("precision_micro")),
+      "no predicted positives at t=0.75 → precision NULL")
+  }
+
   test("psi clamps out-of-range current values into edge buckets") {
     import graft.ops.Corpus
     val spark2 = spark
