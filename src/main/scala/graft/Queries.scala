@@ -4099,6 +4099,89 @@ object Queries {
           // NULLIF(2 * n_pos * (n - n_pos), 0) AS auc_micro
       FROM g"""))
 
+  /** KMV overlap pre-flight: how much of the customer key space shows up
+    * in the event stream, from one bottom-256 union sketch.
+    */
+  private val q146 = Q(
+    "q146_kmv_overlap",
+    (spark, dir) => Sketch.kmvOverlap(
+      pq(spark, dir, "events"), col("user_id"),
+      pq(spark, dir, "customer"), col("c_custkey"), k = 256),
+    Some("""WITH ha AS (SELECT DISTINCT md5(user_id::VARCHAR) h FROM events
+          WHERE user_id IS NOT NULL),
+      hb AS (SELECT DISTINCT md5(c_custkey::VARCHAR) h FROM customer
+          WHERE c_custkey IS NOT NULL),
+      u AS (SELECT h, MAX(ia)::BIGINT in_a, MAX(ib)::BIGINT in_b FROM (
+          SELECT h, 1 ia, 0 ib FROM ha
+          UNION ALL SELECT h, 0 ia, 1 ib FROM hb) GROUP BY 1),
+      bot AS (SELECT * FROM u ORDER BY h LIMIT 256),
+      agg AS (SELECT COUNT(*)::BIGINT n_kept,
+          COALESCE(SUM(in_a * in_b), 0)::BIGINT n_both, MAX(h) max_h FROM bot),
+      est AS (SELECT n_kept, n_both,
+          CASE WHEN n_kept < 256 THEN n_kept
+            ELSE CAST(round(255 * 4294967296.0 /
+              (('0x' || substr(max_h, 1, 8))::UBIGINT + 1)) AS BIGINT)
+          END est_union FROM agg)
+      SELECT 256 AS k, n_kept, n_both, est_union,
+        COALESCE(CAST(round(n_both::DOUBLE * est_union / NULLIF(n_kept, 0))
+          AS BIGINT), 0) AS est_intersection,
+        COALESCE(n_both * 1000000 // NULLIF(n_kept, 0), 0) AS jaccard_micro
+      FROM est"""))
+
+  /** Robust length outliers per language: median/MAD flags at k=3 —
+    * exact nearest-rank statistics, not a stddev that one megadoc drags.
+    */
+  private val q147 = Q(
+    "q147_mad_outliers",
+    (spark, dir) => Corpus.madOutliers(
+        pq(spark, dir, "documents").select("doc_id", "lang", "n_chars"),
+        Seq("lang"), "n_chars", kMicro = 3000000L)
+      .select("doc_id", "lang", "n_chars", "x_micro", "med_micro",
+        "mad_micro", "dev_micro", "is_outlier"),
+    Some("""WITH b AS (SELECT doc_id, lang, n_chars,
+          floor(n_chars * 1e6)::BIGINT x_micro FROM documents),
+      m1 AS (SELECT lang, COUNT(*)::BIGINT n FROM b GROUP BY 1),
+      r1 AS (SELECT lang, x_micro,
+          (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY x_micro) - 1) r
+        FROM b),
+      med AS (SELECT r1.lang, r1.x_micro med_micro FROM r1 JOIN m1 USING (lang)
+        WHERE r1.r = floor(50 * (n - 1) / 100)::BIGINT),
+      d AS (SELECT b.doc_id, b.lang, b.n_chars, b.x_micro, med.med_micro,
+          abs(b.x_micro - med.med_micro) dev_micro FROM b JOIN med USING (lang)),
+      m2 AS (SELECT lang, COUNT(*)::BIGINT n FROM d GROUP BY 1),
+      r2 AS (SELECT lang, dev_micro,
+          (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY dev_micro) - 1) r
+        FROM d),
+      mad AS (SELECT r2.lang, r2.dev_micro mad_micro FROM r2 JOIN m2 USING (lang)
+        WHERE r2.r = floor(50 * (n - 1) / 100)::BIGINT)
+      SELECT d.doc_id, d.lang, d.n_chars, d.x_micro, d.med_micro,
+        mad.mad_micro, d.dev_micro,
+        (d.dev_micro * 1000000 > 3000000 * mad.mad_micro) AS is_outlier
+      FROM d JOIN mad USING (lang)"""))
+
+  /** Daily retention cohorts over the event stream: first-active-day
+    * cohorts × offsets, integer-micro retention shares.
+    */
+  private val q148 = Q(
+    "q148_retention",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      TimeSeries.retention(
+        raw.select(col("user_id"), EventTime.epochMillis(raw, "ts").as("ts_ms")),
+        "user_id", "ts_ms")
+    },
+    Some("""WITH days AS (SELECT DISTINCT user_id,
+          (epoch_ms(ts) // 86400000) * 86400000 AS day
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      f AS (SELECT user_id, MIN(day) cohort_ms FROM days GROUP BY 1),
+      sz AS (SELECT cohort_ms, COUNT(*)::BIGINT n_cohort FROM f GROUP BY 1),
+      act AS (SELECT f.cohort_ms, (days.day - f.cohort_ms) // 86400000 AS day_offset,
+          COUNT(*)::BIGINT n_active
+        FROM days JOIN f USING (user_id) GROUP BY 1, 2)
+      SELECT act.cohort_ms, act.day_offset, act.n_active, sz.n_cohort,
+        act.n_active * 1000000 // sz.n_cohort AS retention_micro
+      FROM act JOIN sz USING (cohort_ms)"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4111,7 +4194,7 @@ object Queries {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
-    q141, q142, q143, q144, q145)
+    q141, q142, q143, q144, q145, q146, q147, q148)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -206,6 +206,45 @@ object Corpus {
         Seq(col("percent"), col("n"), col(valueCol).as("value")): _*)
   }
 
+  /** Robust per-group outlier flags via median/MAD — the
+    * heavy-tail-safe alternative to mean/stddev z-scores (one 10 GB
+    * document does not drag the threshold the way it drags a mean):
+    * a row is an outlier when `|x − median| > k · MAD`, both statistics
+    * the exact nearest-rank medians of [[groupQuantiles]]. Everything
+    * runs in micro-floored longs (`floor(x·1e6)`), so flags replay
+    * bit-for-bit on any engine; `kMicro` is k in micro units
+    * (3.0 → 3_000_000). A group with MAD = 0 (over half the mass on one
+    * value) flags exactly the rows off that value — the conventional
+    * degenerate-MAD behavior, documented rather than special-cased.
+    *
+    * Appends `(x_micro, med_micro, mad_micro, dev_micro, is_outlier)`.
+    *
+    * 100 TB shape: two [[groupQuantiles]] passes (one over values, one
+    * over deviations — each ONE group shuffle) plus two group-keyed
+    * joins of model-sized median tables back to the corpus; AQE
+    * broadcasts them when the group count is sane.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      kMicro: Long): DataFrame = {
+    require(kMicro >= 0, s"kMicro $kMicro must be >= 0")
+    val base = df.withColumn("x_micro", floor(col(valueCol) * 1e6).cast("long"))
+    val med = groupQuantiles(base, groupCols, "x_micro", Seq(50))
+      .select(groupCols.map(col) :+ col("value").as("med_micro"): _*)
+    val withMed = base.join(med, groupCols)
+      .withColumn("dev_micro", abs(col("x_micro") - col("med_micro")))
+    val mad = groupQuantiles(withMed, groupCols, "dev_micro", Seq(50))
+      .select(groupCols.map(col) :+ col("value").as("mad_micro"): _*)
+    withMed.join(mad, groupCols)
+      // decimal(38,0) keeps the cross-multiplied comparison exact for any
+      // long dev/mad — long·long would overflow past ~9e12-micro values
+      .withColumn("is_outlier",
+        col("dev_micro").cast("decimal(38,0)") * 1000000L >
+          col("mad_micro").cast("decimal(38,0)") * kMicro)
+  }
+
   /** Hot-key skew report: the top-k heaviest values per column with
     * their corpus share — the before-the-join diagnosis that tells you
     * which keys need salting, an AQE skew hint, or a broadcast rethink

@@ -568,4 +568,5 @@ object Sampling {
         when(col("__rn") <= k, lit(holdoutName)).otherwise(lit(trainName)))
       .drop("__rn")
   }
+
 }

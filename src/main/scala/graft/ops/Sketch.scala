@@ -189,4 +189,54 @@ object Sketch {
     spine.join(prod, Seq("d"), "left")
       .agg(min(coalesce(col("s"), lit(0L))).as("est_join_size"))
   }
+
+  /** KMV set-overlap estimate between two key columns (Beyer et al.,
+    * SIGMOD'07): distinct-union, distinct-intersection, and Jaccard from
+    * ONE bottom-k sketch of the hash UNION — the k smallest md5s with
+    * membership flags; `n_both / k` is an unbiased Jaccard estimator and
+    * `est_intersection = round(n_both/k · est_union)`. Exact (not
+    * estimated) whenever the union has < k distinct values. The
+    * pre-flight for "how much does yesterday's crawl overlap today's"
+    * when both sides are too big to join: two map-side distinct passes +
+    * a k-row sort, no cross-corpus shuffle.
+    *
+    * Determinism: md5 ordering, integer counts, and one rounded divide —
+    * hash-identical in any engine. NULL keys are ignored on both sides.
+    *
+    * Returns one row: `(k, n_kept, n_both, est_union, est_intersection,
+    * jaccard_micro)`.
+    *
+    * 100 TB shape: per-side distinct on the hash (map-side combined),
+    * union, global bottom-k via TakeOrdered (k rows cross the wire, not
+    * the corpora). The flags ride the union rows, so membership never
+    * re-joins the inputs.
+    */
+  def kmvOverlap(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k $k must be >= 2")
+    val ha = a.select(md5(aKey.cast("string")).as("h"))
+      .filter(col("h").isNotNull).distinct()
+      .select(col("h"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val hb = b.select(md5(bKey.cast("string")).as("h"))
+      .filter(col("h").isNotNull).distinct()
+      .select(col("h"), lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val union = ha.unionAll(hb).groupBy("h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val bottom = union.orderBy("h").limit(k)
+    bottom.agg(
+        count(lit(1)).as("n_kept"),
+        coalesce(sum(col("in_a") * col("in_b")), lit(0L)).as("n_both"),
+        max(col("h")).as("max_h")) // = the k-th smallest iff n_kept == k
+      .select(lit(k).as("k"), col("n_kept"), col("n_both"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(round(
+            lit((k - 1).toDouble * 4294967296.0) /
+              (conv(substring(col("max_h"), 1, 8), 16, 10).cast("double") + 1.0)))
+          .cast("long").as("est_union"))
+      .withColumn("est_intersection", coalesce(
+        expr("cast(round(cast(n_both as double) * est_union / nullif(n_kept, 0)) as bigint)"),
+        lit(0L)))
+      .withColumn("jaccard_micro",
+        coalesce(expr("n_both * 1000000L div nullif(n_kept, 0)"), lit(0L)))
+  }
 }

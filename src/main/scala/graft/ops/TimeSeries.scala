@@ -93,4 +93,42 @@ object TimeSeries {
       .withColumn("roll_max_micro", max(col("sum_micro")).over(trail))
       .withColumn("lag1_sum_micro", lag(col("sum_micro"), 1).over(byBucket))
   }
+
+  /** Retention cohorts: users grouped by their FIRST active bucket
+    * (cohort), then counted at each later bucket offset —
+    * `(cohort_ms, day_offset, n_active, n_cohort, retention_micro)`,
+    * the curve behind "day-N retention". `bucketMs` defaults to days;
+    * any activity in a bucket counts once (presence, not volume).
+    *
+    * retention_micro is the integer-micro share of the cohort active at
+    * the offset; offset 0 is the cohort itself (retention 1.0 by
+    * construction — kept as the sanity row).
+    *
+    * 100 TB shape: one distinct on (user, bucket) — THE shuffle — then
+    * the first-bucket agg reuses that clustering (map-side combine on
+    * the same key prefix), a user-keyed join, and a cohort-keyed count
+    * whose output is calendar-sized, not user-sized. No count-distinct
+    * at the end: the (user, bucket) grain is already distinct, so the
+    * final count is a plain sum.
+    */
+  def retention(
+      df: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      bucketMs: Long = 86400000L): DataFrame = {
+    require(bucketMs >= 1, s"bucketMs $bucketMs must be >= 1")
+    val days = df
+      .filter(col(userCol).isNotNull && col(tsMsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        expr(s"(`$tsMsCol` div ${bucketMs}L) * ${bucketMs}L").as("__day"))
+      .distinct()
+    val first = days.groupBy("__u").agg(min(col("__day")).as("cohort_ms"))
+    val sizes = first.groupBy("cohort_ms").agg(count(lit(1)).as("n_cohort"))
+    days.join(first, "__u")
+      .withColumn("day_offset", expr(s"(__day - cohort_ms) div ${bucketMs}L"))
+      .groupBy("cohort_ms", "day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_ms")
+      .withColumn("retention_micro", expr("n_active * 1000000L div n_cohort"))
+  }
 }

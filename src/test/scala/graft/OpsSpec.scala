@@ -2762,6 +2762,60 @@ class OpsSpec extends SparkSuite {
       "no predicted positives at t=0.75 → precision NULL")
   }
 
+  test("kmvOverlap: exact under k, sketch agrees with true overlap above") {
+    import graft.ops.Sketch
+    val spark2 = spark
+    import spark2.implicits._
+    val a = (1 to 50).map(_.toLong).toDF("x")
+    val b = (26 to 80).map(_.toLong).toDF("x")
+    // union 80 < k=128 → everything exact
+    val ex = Sketch.kmvOverlap(a, col("x"), b, col("x"), k = 128).collect()(0)
+    assert(ex.getAs[Long]("n_kept") == 80 && ex.getAs[Long]("est_union") == 80)
+    assert(ex.getAs[Long]("n_both") == 25 &&
+      ex.getAs[Long]("est_intersection") == 25)
+    // bigger than k: estimates within 30% of truth (k=256 → ~6% stderr)
+    val a2 = (1L to 4000L).toDF("x")
+    val b2 = (2001L to 6000L).toDF("x")
+    val est = Sketch.kmvOverlap(a2, col("x"), b2, col("x"), k = 256).collect()(0)
+    val u = est.getAs[Long]("est_union").toDouble
+    val i = est.getAs[Long]("est_intersection").toDouble
+    assert(math.abs(u - 6000) / 6000 < 0.3, s"union est $u")
+    assert(math.abs(i - 2000) / 2000 < 0.4, s"intersection est $i")
+  }
+
+  test("madOutliers flags by exact median/MAD, immune to one megavalue") {
+    import graft.ops.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    // 9 values near 10, one at 10000: mean/stddev would mask the outlier
+    val df = (Seq(8.0, 9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 12.0, 10000.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp", "x")
+    val out = Corpus.madOutliers(df, Seq("grp"), "x", kMicro = 3000000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Boolean]("is_outlier")).toMap
+    // median = 10, MAD = 1: only the megavalue exceeds 3·MAD
+    assert(out(9L), "10000 must be flagged")
+    assert((0L to 8L).forall(i => !out(i)), "inliers unflagged")
+  }
+
+  test("retention counts presence once per bucket and sizes cohorts") {
+    import graft.ops.TimeSeries
+    val spark2 = spark
+    import spark2.implicits._
+    // bucket=10: u1 first at 0, active 0 and 20 (twice in 20 — counts once)
+    //            u2 first at 0 only; u3 first at 20
+    val df = Seq((1L, 1L), (1L, 25L), (1L, 27L), (2L, 5L), (3L, 22L))
+      .toDF("u", "ts_ms")
+    val out = TimeSeries.retention(df, "u", "ts_ms", bucketMs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out((0L, 0L)) == (2L, 2L, 1000000L)) // cohort 0: u1,u2 at offset 0
+    assert(out((0L, 2L)) == (1L, 2L, 500000L)) // u1 back on day 2, once
+    assert(out((20L, 0L)) == (1L, 1L, 1000000L)) // u3's own cohort
+    assert(out.size == 3)
+  }
+
   test("psi clamps out-of-range current values into edge buckets") {
     import graft.ops.Corpus
     val spark2 = spark
