@@ -2,7 +2,7 @@ package graft
 
 import graft.client.{GraftClient, Metrics}
 import graft.engine.{EventTime, TemporalJoin}
-import graft.ops.{Chat, Cluster, Corpus, Decay, Dedup, Eval, Graph, Multimodal, Sampling, SemiStructured, Sessions, Similarity, Sketch, Skew, TextOps, TimeSeries}
+import graft.ops.{Chat, Cluster, Corpus, Decay, Dedup, Eval, Features, Graph, Multimodal, Sampling, SemiStructured, Sessions, Similarity, Sketch, Skew, TextOps, TimeSeries}
 import graft.table._
 import graft.types._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -4182,6 +4182,77 @@ object Queries {
         act.n_active * 1000000 // sz.n_cohort AS retention_micro
       FROM act JOIN sz USING (cohort_ms)"""))
 
+  /** Conversion funnel view→click→purchase within 7 days of the first
+    * view, greedy-earliest matching.
+    */
+  private val q149 = Q(
+    "q149_funnel",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      Sessions.funnel(
+        raw.select(col("user_id"),
+          EventTime.epochMillis(raw, "ts").as("ts_ms"), col("event_type")),
+        "user_id", "ts_ms", "event_type",
+        Seq("view", "click", "purchase"), windowMs = Some(604800000L))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) tms, event_type
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      s0 AS (SELECT user_id, MIN(tms) t0 FROM e
+        WHERE event_type = 'view' GROUP BY 1),
+      s1 AS (SELECT e.user_id, s0.t0, MIN(e.tms) t1
+        FROM e JOIN s0 USING (user_id)
+        WHERE e.event_type = 'click' AND e.tms > s0.t0
+          AND e.tms <= s0.t0 + 604800000 GROUP BY 1, 2),
+      s2 AS (SELECT e.user_id, MIN(e.tms) t2
+        FROM e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.tms > s1.t1
+          AND e.tms <= s1.t0 + 604800000 GROUP BY 1)
+      SELECT 0 AS step_idx, 'view' AS step, COUNT(*)::BIGINT n_keys FROM s0
+      UNION ALL SELECT 1, 'click', COUNT(*)::BIGINT FROM s1
+      UNION ALL SELECT 2, 'purchase', COUNT(*)::BIGINT FROM s2"""))
+
+  /** First-order event-type transition matrix with conditional
+    * probabilities — the Markov behavioral fingerprint.
+    */
+  private val q150 = Q(
+    "q150_transitions",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      Sessions.transitions(
+        raw.select(col("user_id"), col("event_id"),
+          EventTime.epochMillis(raw, "ts").as("ts_ms"), col("event_type")),
+        "user_id", "ts_ms", "event_type", "event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) tms, event_type
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL),
+      lp AS (SELECT event_type to_type,
+          LAG(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY tms, event_id) from_type FROM e),
+      p AS (SELECT from_type, to_type, COUNT(*)::BIGINT cnt FROM lp
+        WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT from_type, SUM(cnt)::BIGINT row_total FROM p GROUP BY 1)
+      SELECT p.from_type, p.to_type, p.cnt, t.row_total,
+        p.cnt * 1000000 // t.row_total AS prob_micro
+      FROM p JOIN t USING (from_type)"""))
+
+  /** Smoothed target encoding of event_type by the value target
+    * (m = 100 pseudo-observations) — the serving encoding table.
+    */
+  private val q151 = Q(
+    "q151_target_encode",
+    (spark, dir) => Features.targetEncode(
+      pq(spark, dir, "events"), "event_type", "value", m = 100L),
+    Some("""WITH b AS (SELECT COALESCE(event_type, '__NULL__') category,
+          floor(value * 1e6)::BIGINT tm
+        FROM events WHERE value IS NOT NULL),
+      pc AS (SELECT category, COUNT(*)::BIGINT n, SUM(tm)::BIGINT sum_micro
+        FROM b GROUP BY 1),
+      pr AS (SELECT (SUM(sum_micro) // SUM(n))::BIGINT prior_micro FROM pc)
+      SELECT category, n, sum_micro, pr.prior_micro,
+        ((sum_micro + 100 * pr.prior_micro) // (n + 100))::BIGINT AS enc_micro
+      FROM pc, pr"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4194,7 +4265,7 @@ object Queries {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
-    q141, q142, q143, q144, q145, q146, q147, q148)
+    q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -51,4 +51,87 @@ object Sessions {
         max(col(tsMsCol)).as("end_ms"))
       .withColumn("duration_ms", col("end_ms") - col("start_ms"))
   }
+
+  /** Ordered conversion funnel: how many keys reach each of `steps` IN
+    * ORDER (each step strictly after the previous one's first qualifying
+    * hit, greedy-earliest matching), optionally within `windowMs` of the
+    * step-0 time. Returns `(step_idx, step, n_keys)` — one row per step,
+    * monotonically non-increasing.
+    *
+    * Greedy-earliest is the standard funnel semantics: taking the FIRST
+    * qualifying time at every step maximizes the remaining window, so it
+    * never under-counts a key that any other matching would admit.
+    *
+    * 100 TB shape: each step is a type-filtered scan (predicate pushed to
+    * the reader) aggregated to one row per key, then joined key-to-key —
+    * k−1 co-partitioned joins on the same key, each input already
+    * key-unique (no blow-up), and one final union counted by step. No
+    * per-key event lists are ever collected.
+    */
+  def funnel(
+      df: DataFrame,
+      keyCol: String,
+      tsMsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      windowMs: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, s"duplicate steps in $steps")
+    val base = df.filter(col(keyCol).isNotNull && col(tsMsCol).isNotNull)
+    val s0 = base.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsMsCol)).as("t"))
+      .withColumn("t0", col("t"))
+    val reached = steps.tail.zipWithIndex.scanLeft(s0) {
+      case (prev, (step, _)) =>
+        val hits = base.filter(col(typeCol) === step)
+          .select(col(keyCol), col(tsMsCol).as("__ts"))
+        val inWindow = windowMs
+          .map(w => col("__ts") <= col("t0") + w)
+          .getOrElse(lit(true))
+        hits.join(prev, Seq(keyCol))
+          .filter(col("__ts") > col("t") && inWindow)
+          .groupBy(col(keyCol), col("t0"))
+          .agg(min(col("__ts")).as("t"))
+          .select(col(keyCol), col("t"), col("t0"))
+    }
+    reached.zip(steps).zipWithIndex
+      .map { case ((d, step), i) =>
+        d.select(lit(i).as("step_idx"), lit(step).as("step"), col(keyCol))
+      }
+      .reduce(_ unionAll _)
+      .groupBy("step_idx", "step")
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
+  /** First-order transition matrix of an event stream: per (from, to)
+    * adjacent-type pair, the count and the integer-micro row-conditional
+    * probability `P(to | from)` — the Markov behavioral fingerprint
+    * (bot traffic shows near-deterministic rows, organic traffic
+    * doesn't). Adjacency is per key in (time, tie) order — `tieCol` (a
+    * unique id) makes equal-timestamp ordering deterministic; each key's
+    * first event has no predecessor and feeds no pair.
+    *
+    * 100 TB shape: one (key, time) window shuffle for the lag, then a
+    * map-side-combined count to the types×types table; probabilities
+    * join against per-from totals on that model-sized table only.
+    */
+  def transitions(
+      df: DataFrame,
+      keyCol: String,
+      tsMsCol: String,
+      typeCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsMsCol), col(tieCol))
+    val pairs = df
+      .filter(col(keyCol).isNotNull && col(tsMsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .withColumn("from_type", lag(col(typeCol), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy("from_type").agg(sum("cnt").as("row_total"))
+    pairs.join(totals, "from_type")
+      .withColumn("prob_micro", expr("cnt * 1000000L div row_total"))
+  }
 }

@@ -2816,6 +2816,59 @@ class OpsSpec extends SparkSuite {
     assert(out.size == 3)
   }
 
+  test("funnel: in-order greedy matching with conversion window") {
+    import graft.ops.Sessions
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      // u1 converts fully in order
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "buy"),
+      // u2: buy BEFORE click → stops at click
+      (2L, 10L, "view"), (2L, 15L, "buy"), (2L, 20L, "click"),
+      // u3: click outside the 50ms window from first view
+      (3L, 10L, "view"), (3L, 100L, "click"),
+      // u4 never views: not even step 0
+      (4L, 10L, "click"), (4L, 20L, "buy")
+    ).toDF("u", "ts_ms", "t")
+    val out = Sessions.funnel(df, "u", "ts_ms", "t",
+        Seq("view", "click", "buy"), windowMs = Some(50L))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("view" -> 3L, "click" -> 2L, "buy" -> 1L))
+  }
+
+  test("transitions: per-key adjacency with deterministic tie order") {
+    import graft.ops.Sessions
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 20L, 3L, "c"), // tie: id order
+      (2L, 5L, 4L, "a"), (2L, 9L, 5L, "b"),
+      (3L, 1L, 6L, "z") // singleton key: no pair
+    ).toDF("u", "ts_ms", "eid", "t")
+    val out = Sessions.transitions(df, "u", "ts_ms", "t", "eid")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(4))).toMap
+    assert(out == Map(
+      ("a", "b") -> (2L, 1000000L), // both a's go to b
+      ("b", "c") -> (1L, 1000000L)))
+  }
+
+  test("targetEncode shrinks rare categories toward the global prior") {
+    import graft.ops.Features
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (Seq.fill(100)(("common", 10.0)) ++ Seq(("rare", 1000.0)) ++
+      Seq((null: String, 10.0)))
+      .toDF("cat", "y")
+    val out = Features.targetEncode(df, "cat", "y", m = 50L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("enc_micro")).toMap
+    // prior = (101·10 + 1000)/102 ≈ 19.7; rare(n=1) lands near the prior,
+    // common(n=100) stays near 10
+    assert(out("common") > 10000000L && out("common") < 14000000L)
+    assert(out("rare") > 19000000L && out("rare") < 40000000L)
+    assert(out.contains("__NULL__"), "null category must get its own row")
+  }
+
   test("psi clamps out-of-range current values into edge buckets") {
     import graft.ops.Corpus
     val spark2 = spark
