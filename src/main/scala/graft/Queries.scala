@@ -4253,6 +4253,84 @@ object Queries {
         ((sum_micro + 100 * pr.prior_micro) // (n + 100))::BIGINT AS enc_micro
       FROM pc, pr"""))
 
+  /** χ² + Cramér's V between order status and priority — the
+    * feature-selection screen, integer-replayable by per-cell flooring.
+    */
+  private val q152 = Q(
+    "q152_chi_square",
+    (spark, dir) => Features.chiSquare(
+      pq(spark, dir, "orders"), "o_orderstatus", "o_orderpriority"),
+    Some("""WITH cells AS (SELECT o_orderstatus::VARCHAR a,
+          o_orderpriority::VARCHAR b, COUNT(*)::BIGINT o FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2),
+      ma AS (SELECT a, SUM(o)::BIGINT na FROM cells GROUP BY 1),
+      mb AS (SELECT b, SUM(o)::BIGINT nb FROM cells GROUP BY 1),
+      t AS (SELECT SUM(o)::BIGINT n, COUNT(DISTINCT a)::BIGINT n_a,
+          COUNT(DISTINCT b)::BIGINT n_b FROM cells),
+      terms AS (SELECT n, n_a, n_b,
+          floor(1000000.0 * (o::DOUBLE - e) * (o::DOUBLE - e) / e)::BIGINT term
+        FROM (SELECT COALESCE(cells.o, 0) o, t.n, t.n_a, t.n_b,
+            na::DOUBLE * nb::DOUBLE / t.n::DOUBLE e
+          FROM ma CROSS JOIN mb
+            LEFT JOIN cells USING (a, b), t)),
+      g AS (SELECT n, n_a, n_b, SUM(term)::BIGINT chi2_micro
+        FROM terms GROUP BY 1, 2, 3)
+      SELECT n, n_a, n_b, chi2_micro,
+        floor(1000000.0 * sqrt(chi2_micro::DOUBLE / 1e6
+          / (n::DOUBLE * least(n_a - 1, n_b - 1)::DOUBLE)))::BIGINT
+          AS cramers_v_micro
+      FROM g"""))
+
+  /** Exact-integer mutual information between document language and
+    * source — "how much does knowing the source tell you the language".
+    */
+  private val q153 = Q(
+    "q153_mutual_info",
+    (spark, dir) => Features.mutualInfo(
+      pq(spark, dir, "documents"), "lang", "source"),
+    Some("""WITH cells AS (SELECT lang::VARCHAR a, source::VARCHAR b,
+          COUNT(*)::BIGINT o FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+      ma AS (SELECT a, SUM(o)::BIGINT na FROM cells GROUP BY 1),
+      mb AS (SELECT b, SUM(o)::BIGINT nb FROM cells GROUP BY 1),
+      t AS (SELECT SUM(o)::BIGINT n FROM cells),
+      s AS (SELECT t.n, SUM(o * (floor(ln(o::DOUBLE) * 1e6)::BIGINT
+            + floor(ln(t.n::DOUBLE) * 1e6)::BIGINT
+            - floor(ln(na::DOUBLE) * 1e6)::BIGINT
+            - floor(ln(nb::DOUBLE) * 1e6)::BIGINT))::BIGINT mi_sum
+        FROM cells JOIN ma USING (a) JOIN mb USING (b), t GROUP BY 1)
+      SELECT n, mi_sum, mi_sum // n AS mi_micro FROM s"""))
+
+  /** Calibration curve + Brier score for the parity-label/value-score
+    * synthetic classifier, 10 reliability bins.
+    */
+  private val q154 = Q(
+    "q154_calibration",
+    (spark, dir) => {
+      val e = pq(spark, dir, "events").select(
+        (get_json_object(col("props"), "$.k").cast("long") % 2 === 0)
+          .as("label"),
+        (col("value") / 500.0).as("score"))
+      Eval.calibration(e, "label", "score", bins = 10)
+    },
+    Some("""WITH b AS (SELECT
+          (json_extract(props, '$.k')::BIGINT % 2 = 0) AS lab,
+          value / 500.0 s FROM events
+        WHERE value IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL),
+      r AS (SELECT LEAST(GREATEST(floor(s * 10)::INT, 0), 9) bin,
+          CASE WHEN lab THEN 1 ELSE 0 END y,
+          floor(s * 1e6)::BIGINT sm,
+          floor(1000000.0 * (s - CASE WHEN lab THEN 1.0 ELSE 0.0 END)
+            * (s - CASE WHEN lab THEN 1.0 ELSE 0.0 END))::BIGINT bm
+        FROM b),
+      pb AS (SELECT bin, COUNT(*)::BIGINT n, SUM(y)::BIGINT n_pos,
+          SUM(sm)::BIGINT ssm, SUM(bm)::BIGINT sbm FROM r GROUP BY 1),
+      g AS (SELECT (SUM(sbm) // SUM(n))::BIGINT brier_micro FROM pb)
+      SELECT bin, n, n_pos, (ssm // n)::BIGINT AS avg_score_micro,
+        n_pos * 1000000 // n AS obs_rate_micro, g.brier_micro
+      FROM pb, g"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4265,7 +4343,8 @@ object Queries {
     q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
-    q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151)
+    q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151,
+    q152, q153, q154)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -76,4 +76,50 @@ object Eval {
                div nullif(cast(2 as decimal(38, 0)) * n_pos * n_neg, 0)"""))
       .drop("r2")
   }
+
+  /** Calibration (reliability) table + Brier score for probability
+    * scores in [0, 1]: per equal-width score bin, the count, positives,
+    * mean predicted probability and observed rate — the curve that says
+    * whether "0.9" means 90% — plus the global Brier score
+    * `mean((score − label)²)` on every row. A sharp classifier with a
+    * bent curve needs recalibration before its threshold means anything.
+    *
+    * Integer discipline: scores and squared errors are per-row
+    * micro-floored (fixed double expression tree, each op correctly
+    * rounded) then summed exactly; scores outside [0,1] clamp into the
+    * edge bins. Returns one row per non-empty bin:
+    * `(bin, n, n_pos, avg_score_micro, obs_rate_micro, brier_micro)`
+    * with `brier_micro` the same global value on every row.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(bin); the global
+    * Brier rides a one-row aggregate of the bins crossJoined back.
+    */
+  def calibration(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins $bins out of [2,10000]")
+    val base = df
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(
+        least(greatest(floor(col(scoreCol) * bins), lit(0L)),
+          lit((bins - 1).toLong)).as("bin"),
+        when(col(labelCol) === true, 1L).otherwise(0L).as("y"),
+        floor(col(scoreCol) * 1e6).cast("long").as("sm"),
+        expr(s"""cast(floor(1000000.0 *
+          (cast(`$scoreCol` as double) - (case when `$labelCol` then 1.0d else 0.0d end)) *
+          (cast(`$scoreCol` as double) - (case when `$labelCol` then 1.0d else 0.0d end)))
+          as long)""").as("bm"))
+    val perBin = base.groupBy("bin").agg(
+      count(lit(1)).as("n"), sum("y").as("n_pos"),
+      sum("sm").as("ssm"), sum("bm").as("sbm"))
+    val glob = perBin.agg(
+      expr("sum(sbm) div sum(n)").as("brier_micro"))
+    perBin.crossJoin(broadcast(glob))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("ssm div n").as("avg_score_micro"),
+        expr("n_pos * 1000000L div n").as("obs_rate_micro"),
+        col("brier_micro"))
+  }
 }

@@ -49,4 +49,82 @@ object Features {
       .withColumn("enc_micro",
         expr(s"(sum_micro + ${m}L * prior_micro) div (n + ${m}L)"))
   }
+
+  /** χ² independence test between two categorical columns, plus
+    * Cramér's V — the feature-selection screen for "does this column
+    * carry signal about that one". Returns one row:
+    * `(n, n_a, n_b, chi2_micro, cramers_v_micro)` with `n_a`/`n_b` the
+    * distinct level counts.
+    *
+    * Replayability: the statistic is DEFINED as the integer sum of
+    * per-cell micro-floored terms `floor(1e6 · (o − e)²/e)` with
+    * `e = n_a·n_b/N` computed on one fixed double expression tree —
+    * every per-cell double op is IEEE-correctly-rounded, so any engine
+    * reproduces each term bit-for-bit and the SUM is exact integer
+    * arithmetic (no float accumulation order anywhere). Cramér's V is
+    * one sqrt of that integer — sqrt is correctly rounded too.
+    *
+    * 100 TB shape: one map-side-combined groupBy to the r×c cell table;
+    * margins and the statistic are cell-table math with two one-row
+    * broadcasts. NULL in either column drops the row (documented:
+    * encode NULL upstream if it is a level of interest).
+    */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("a"), col(colB).cast("string").as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ma = cells.groupBy("a").agg(sum("o").as("na"))
+    val mb = cells.groupBy("b").agg(sum("o").as("nb"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("n_a"), countDistinct(col("b")).as("n_b"))
+    // densify to the full r×c spine: UNOBSERVED cells still owe
+    // (0 − e)²/e — dropping them understates χ² (and V) badly
+    val spine = ma.crossJoin(mb)
+    spine.join(cells, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        expr("cast(na as double) * cast(nb as double) / cast(n as double)"))
+      // explicit d*d, not pow(d,2): pow is not guaranteed correctly
+      // rounded; ·, −, / are — the per-cell double is then bit-portable
+      .withColumn("term_micro", expr(
+        """cast(floor(1000000.0 *
+           (cast(o as double) - e) * (cast(o as double) - e) / e) as long)"""))
+      .groupBy("n", "n_a", "n_b")
+      .agg(sum("term_micro").as("chi2_micro"))
+      .withColumn("cramers_v_micro", expr(
+        """cast(floor(1000000.0 * sqrt(cast(chi2_micro as double) / 1e6
+           / (cast(n as double) * cast(least(n_a - 1, n_b - 1) as double)))) as long)"""))
+  }
+
+  /** Mutual information between two categorical columns in EXACT integer
+    * arithmetic: `MI = Σ_cells (n_ab/N)·ln(n_ab·N / (n_a·n_b))` carried
+    * as `Σ n_ab·(ln6(n_ab) + ln6(N) − ln6(n_a) − ln6(n_b))` with each
+    * `ln6(x) = floor(ln(x)·1e6)` of an INTEGER count — the same
+    * engine-replayable decomposition as PMI/PSI, summed exactly and
+    * divided once. Returns `(n, mi_sum, mi_micro)` where
+    * `mi_micro = mi_sum div n` is MI in nats·1e6.
+    *
+    * 100 TB shape: identical to [[chiSquare]] — one groupBy to the cell
+    * table, margins + math on cells only.
+    */
+  def mutualInfo(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("a"), col(colB).cast("string").as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ma = cells.groupBy("a").agg(sum("o").as("na"))
+    val mb = cells.groupBy("b").agg(sum("o").as("nb"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val ln6 = (c: String) => s"cast(floor(ln(cast($c as double)) * 1e6) as long)"
+    cells.join(ma, "a").join(mb, "b").crossJoin(broadcast(tot))
+      .withColumn("cell_sum",
+        expr(s"o * (${ln6("o")} + ${ln6("n")} - ${ln6("na")} - ${ln6("nb")})"))
+      .groupBy("n")
+      .agg(sum("cell_sum").as("mi_sum"))
+      // FLOOR division (Spark div truncates toward zero): mi_sum can dip
+      // slightly negative from the one-sided ln floors, and the oracle's
+      // `//` floors — keep both engines on floor semantics
+      .withColumn("mi_micro", expr(
+        "mi_sum div n - (case when mi_sum % n != 0 and mi_sum < 0 then 1 else 0 end)"))
+  }
 }

@@ -2869,6 +2869,62 @@ class OpsSpec extends SparkSuite {
     assert(out.contains("__NULL__"), "null category must get its own row")
   }
 
+  test("chiSquare: independence scores ~0, determinism scores big") {
+    import graft.ops.Features
+    val spark2 = spark
+    import spark2.implicits._
+    // independent: every (a,b) combo equally likely
+    val ind = (for { a <- 1 to 4; b <- 1 to 4; _ <- 1 to 25 }
+      yield (s"a$a", s"b$b")).toDF("x", "y")
+    val ri = Features.chiSquare(ind, "x", "y").collect()(0)
+    assert(ri.getAs[Long]("n") == 400 && ri.getAs[Long]("n_a") == 4)
+    assert(ri.getAs[Long]("chi2_micro") == 0L)
+    assert(ri.getAs[Long]("cramers_v_micro") == 0L)
+    // deterministic: b fully decided by a → V = 1
+    val det = (for { a <- 1 to 4; _ <- 1 to 25 }
+      yield (s"a$a", s"b$a")).toDF("x", "y")
+    val rd = Features.chiSquare(det, "x", "y").collect()(0)
+    assert(rd.getAs[Long]("cramers_v_micro") == 1000000L)
+    // chi2 = N·min(r-1,c-1) = 100·3 under perfect association
+    assert(rd.getAs[Long]("chi2_micro") == 300000000L)
+  }
+
+  test("mutualInfo: zero for independence, ln(k) for a bijection") {
+    import graft.ops.Features
+    val spark2 = spark
+    import spark2.implicits._
+    val ind = (for { a <- 1 to 4; b <- 1 to 4; _ <- 1 to 5 }
+      yield (s"a$a", s"b$b")).toDF("x", "y")
+    val ri = Features.mutualInfo(ind, "x", "y").collect()(0)
+    assert(math.abs(ri.getAs[Long]("mi_micro")) <= 4L,
+      s"independent MI ~0, got ${ri.getAs[Long]("mi_micro")}")
+    val det = (for { a <- 1 to 4; _ <- 1 to 5 } yield (s"a$a", s"b$a"))
+      .toDF("x", "y")
+    val rd = Features.mutualInfo(det, "x", "y").collect()(0)
+    // MI of a 4-way bijection = ln 4 ≈ 1.386294 nats
+    assert(math.abs(rd.getAs[Long]("mi_micro") - 1386294L) <= 4L)
+  }
+
+  test("calibration: perfect scores give matched bins and Brier 0") {
+    import graft.ops.Eval
+    val spark2 = spark
+    import spark2.implicits._
+    val perfect = (Seq.fill(20)((true, 1.0)) ++ Seq.fill(20)((false, 0.0)))
+      .toDF("label", "score")
+    val rp = Eval.calibration(perfect, "label", "score", bins = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rp.keySet == Set(0L, 9L), "scores 0/1 land in edge bins")
+    assert(rp(9L).getAs[Long]("obs_rate_micro") == 1000000L)
+    assert(rp(0L).getAs[Long]("brier_micro") == 0L)
+    // constant 0.5 on a balanced set: observed rate 0.5, Brier 0.25
+    val half = (Seq.fill(10)((true, 0.5)) ++ Seq.fill(10)((false, 0.5)))
+      .toDF("label", "score")
+    val rh = Eval.calibration(half, "label", "score", bins = 10).collect()(0)
+    assert(rh.getLong(0) == 5L && rh.getAs[Long]("obs_rate_micro") == 500000L)
+    assert(rh.getAs[Long]("brier_micro") == 250000L)
+    assert(rh.getAs[Long]("avg_score_micro") == 500000L)
+  }
+
   test("psi clamps out-of-range current values into edge buckets") {
     import graft.ops.Corpus
     val spark2 = spark
