@@ -4331,6 +4331,92 @@ object Queries {
         n_pos * 1000000 // n AS obs_rate_micro, g.brier_micro
       FROM pb, g"""))
 
+  /** Z-score scaling table over three lineitem measures — exact integer
+    * moments, one correctly-rounded sqrt.
+    */
+  private val q155 = Q(
+    "q155_standardize",
+    (spark, dir) => Features.standardize(pq(spark, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount")),
+    Some("""WITH s AS (SELECT col_name, floor(v * 1e6)::BIGINT xm FROM (
+          SELECT 'l_quantity' col_name, l_quantity::DOUBLE v FROM lineitem
+          UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+        WHERE v IS NOT NULL),
+      g AS (SELECT col_name, COUNT(*)::BIGINT n, SUM(xm::HUGEINT) s1,
+          SUM(xm::HUGEINT * xm) s2 FROM s GROUP BY 1)
+      SELECT col_name, n, (s1 // n)::BIGINT mean_micro,
+        floor(sqrt((n * s2 - s1 * s1)::DOUBLE
+          / (n::DOUBLE * n::DOUBLE)))::BIGINT std_micro
+      FROM g"""))
+
+  /** Pairwise Jensen–Shannon divergence between sources' language
+    * distributions — the mixture-drift comparison statistic.
+    */
+  private val q156 = Q(
+    "q156_jsd_groups",
+    (spark, dir) => Corpus.jsdGroups(
+      pq(spark, dir, "documents"), "source", "lang"),
+    Some("""WITH cells AS (SELECT source::VARCHAR g, lang::VARCHAR val,
+          COUNT(*)::BIGINT c FROM documents
+        WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT g, SUM(c)::BIGINT nt FROM cells GROUP BY 1),
+      pr AS (SELECT a.g grp_a, a.nt n_a, b.g grp_b, b.nt n_b
+        FROM t a CROSS JOIN t b WHERE a.g < b.g),
+      supp AS (SELECT DISTINCT pr.grp_a, pr.grp_b, pr.n_a, pr.n_b, cells.val
+        FROM pr JOIN cells ON cells.g = pr.grp_a OR cells.g = pr.grp_b),
+      wc AS (SELECT supp.*, COALESCE(ca.c, 0) c1, COALESCE(cb.c, 0) c2
+        FROM supp
+          LEFT JOIN cells ca ON ca.g = supp.grp_a AND ca.val = supp.val
+          LEFT JOIN cells cb ON cb.g = supp.grp_b AND cb.val = supp.val),
+      terms AS (SELECT grp_a, grp_b, n_a, n_b,
+          CASE WHEN c1 > 0 THEN c1 * (floor(ln(c1::DOUBLE) * 1e6)::BIGINT
+            + 693147 + floor(ln(n_b::DOUBLE) * 1e6)::BIGINT
+            - floor(ln((c1 * n_b + c2 * n_a)::DOUBLE) * 1e6)::BIGINT)
+            ELSE 0 END kl1,
+          CASE WHEN c2 > 0 THEN c2 * (floor(ln(c2::DOUBLE) * 1e6)::BIGINT
+            + 693147 + floor(ln(n_a::DOUBLE) * 1e6)::BIGINT
+            - floor(ln((c1 * n_b + c2 * n_a)::DOUBLE) * 1e6)::BIGINT)
+            ELSE 0 END kl2
+        FROM wc),
+      g2 AS (SELECT grp_a, grp_b, n_a, n_b, SUM(kl1::HUGEINT) k1,
+          SUM(kl2::HUGEINT) k2 FROM terms GROUP BY 1, 2, 3, 4)
+      SELECT grp_a, grp_b, n_a, n_b,
+        ((k1 * n_b + k2 * n_a) // (2 * n_a::HUGEINT * n_b))::BIGINT jsd_micro
+      FROM g2"""))
+
+  /** Market-basket association rules over (user, day) baskets of event
+    * types: support / confidence / lift, exact integers.
+    */
+  private val q157 = Q(
+    "q157_assoc_rules",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val e = raw.select(col("user_id"), col("event_type"),
+          EventTime.epochMillis(raw, "ts").as("ts_ms"))
+        .withColumn("day", expr("ts_ms div 86400000L"))
+      Sessions.associationRules(e, Seq("user_id", "day"), "event_type",
+        minSupport = 5L)
+    },
+    Some("""WITH it AS (SELECT DISTINCT user_id,
+          epoch_ms(ts) // 86400000 AS day, event_type item FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL),
+      nb AS (SELECT COUNT(*)::BIGINT n_baskets FROM
+        (SELECT DISTINCT user_id, day FROM it)),
+      tot AS (SELECT item, COUNT(*)::BIGINT n_item FROM it GROUP BY 1),
+      pc AS (SELECT a.item item_a, b.item item_b, COUNT(*)::BIGINT n_ab
+        FROM it a JOIN it b ON a.user_id = b.user_id AND a.day = b.day
+          AND a.item <> b.item
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      SELECT item_a, item_b, n_ab, ta.n_item n_a, tb.n_item n_b,
+        nb.n_baskets,
+        n_ab * 1000000 // ta.n_item AS confidence_micro,
+        (n_ab::HUGEINT * nb.n_baskets * 1000000
+          // (ta.n_item::HUGEINT * tb.n_item))::BIGINT AS lift_micro
+      FROM pc JOIN tot ta ON ta.item = pc.item_a
+        JOIN tot tb ON tb.item = pc.item_b, nb"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4344,7 +4430,7 @@ object Queries {
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151,
-    q152, q153, q154)
+    q152, q153, q154, q155, q156, q157)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -127,4 +127,42 @@ object Features {
       .withColumn("mi_micro", expr(
         "mi_sum div n - (case when mi_sum % n != 0 and mi_sum < 0 then 1 else 0 end)"))
   }
+
+  /** Z-score scaling statistics per numeric column: `(col_name, n,
+    * mean_micro, std_micro)` — the model-sized table a trainer joins
+    * back to standardize features (and serving reuses without the
+    * corpus). Population std (÷n, not n−1), reported as 0 for constant
+    * columns.
+    *
+    * Exactness: values are per-row micro-floored, then n·Σx² − (Σx)² is
+    * carried in decimal(38,0) (no long overflow up to ~10¹⁵ rows of
+    * ~10⁶-magnitude values, no float accumulation); the only inexact
+    * steps are one decimal→double cast and one sqrt, both IEEE
+    * correctly rounded, then floored — deterministic on any engine.
+    * mean_micro uses explicit FLOOR division (negative means floor,
+    * not truncate, matching SQL `//`).
+    *
+    * 100 TB shape: one stack/unpivot pass into a map-side-combined
+    * groupBy(col_name) — |cols| rows out, corpus read once.
+    */
+  def standardize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val stacked = df.selectExpr(
+        s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
+          ") as (col_name, v)")
+      .filter(col("v").isNotNull)
+      .withColumn("xm", floor(col("v") * 1e6).cast("long"))
+    stacked.groupBy("col_name")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xm").cast("decimal(38,0)")).as("s1"),
+        sum((col("xm").cast("decimal(38,0)") * col("xm"))).as("s2"))
+      .withColumn("mean_micro", expr(
+        """cast(s1 div n as long) -
+           (case when s1 % n != 0 and s1 < 0 then 1 else 0 end)"""))
+      .withColumn("std_micro", expr(
+        """cast(floor(sqrt(cast(n * s2 - s1 * s1 as double)
+           / (cast(n as double) * cast(n as double)))) as long)"""))
+      .select("col_name", "n", "mean_micro", "std_micro")
+  }
 }

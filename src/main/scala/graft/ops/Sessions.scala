@@ -134,4 +134,55 @@ object Sessions {
     pairs.join(totals, "from_type")
       .withColumn("prob_micro", expr("cnt * 1000000L div row_total"))
   }
+
+  /** Pairwise association rules over baskets (market-basket lite): for
+    * every ordered item pair (a → b) co-occurring in at least
+    * `minSupport` baskets, the exact support / confidence / lift —
+    * `lift > 1` means b is over-represented in a's baskets. A basket is
+    * whatever grain `basketCols` defines (user-day, session, order).
+    *
+    * All integer arithmetic: `confidence_micro = n_ab·1e6 div n_a`,
+    * `lift_micro = n_ab·N·1e6 div (n_a·n_b)` (decimal(38,0) inside, so
+    * no overflow at any corpus size) — hashes across engines.
+    *
+    * 100 TB shape: one distinct to (basket, item) — THE shuffle — then
+    * a basket-local self-join whose blow-up is bounded by per-basket
+    * item counts (baskets are small by construction; cap upstream if a
+    * bot basket isn't), and model-sized rule math. Item totals reuse
+    * the distinct table map-side.
+    */
+  def associationRules(
+      df: DataFrame,
+      basketCols: Seq[String],
+      itemCol: String,
+      minSupport: Long = 1L): DataFrame = {
+    require(basketCols.nonEmpty, "at least one basket column")
+    require(minSupport >= 1, s"minSupport $minSupport must be >= 1")
+    val items = df
+      .filter(col(itemCol).isNotNull &&
+        basketCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(basketCols.map(col) :+ col(itemCol).as("item"): _*)
+      .distinct()
+    val nBaskets = items.select(basketCols.map(col): _*).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemTotals = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairCounts = items.join(
+        items.withColumnRenamed("item", "item_b"), basketCols)
+      .filter(col("item") =!= col("item_b"))
+      .groupBy(col("item").as("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairCounts
+      .join(itemTotals.select(col("item").as("item_a"), col("n_item").as("n_a")),
+        "item_a")
+      .join(itemTotals.select(col("item").as("item_b"), col("n_item").as("n_b")),
+        "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("confidence_micro", expr("n_ab * 1000000L div n_a"))
+      .withColumn("lift_micro", expr(
+        """cast(cast(n_ab as decimal(38,0)) * n_baskets * 1000000
+             div (cast(n_a as decimal(38,0)) * n_b) as long)"""))
+      .select("item_a", "item_b", "n_ab", "n_a", "n_b", "n_baskets",
+        "confidence_micro", "lift_micro")
+  }
 }

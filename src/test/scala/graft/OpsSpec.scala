@@ -2925,6 +2925,64 @@ class OpsSpec extends SparkSuite {
     assert(rh.getAs[Long]("avg_score_micro") == 500000L)
   }
 
+  test("standardize: exact moments, constant column scores std 0") {
+    import graft.ops.Features
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((2.0, 7.5), (4.0, 7.5), (6.0, 7.5), (8.0, 7.5))
+      .toDF("x", "c")
+    val out = Features.standardize(df, Seq("x", "c")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val x = out("x")
+    assert(x.getAs[Long]("n") == 4 && x.getAs[Long]("mean_micro") == 5000000L)
+    // var = (9+1+1+9)/4 = 5 → std = √5 ≈ 2.2360679
+    assert(x.getAs[Long]("std_micro") == 2236067L)
+    assert(out("c").getAs[Long]("std_micro") == 0L)
+    assert(out("c").getAs[Long]("mean_micro") == 7500000L)
+  }
+
+  test("jsdGroups: identical dists ~0, disjoint dists = ln 2") {
+    import graft.ops.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (
+      Seq.fill(30)(("s1", "en")) ++ Seq.fill(10)(("s1", "de")) ++
+      Seq.fill(30)(("s2", "en")) ++ Seq.fill(10)(("s2", "de")) ++ // same dist
+      Seq.fill(40)(("s3", "fr")) // disjoint support
+    ).toDF("src", "lang")
+    val out = Corpus.jsdGroups(df, "src", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("jsd_micro")).toMap
+    assert(math.abs(out(("s1", "s2"))) <= 4L, "identical → ~0")
+    // disjoint supports: JSD = ln 2 = 693147 micro-nats (floor error ≤ 4)
+    assert(math.abs(out(("s1", "s3")) - 693147L) <= 6L)
+    assert(math.abs(out(("s2", "s3")) - 693147L) <= 6L)
+  }
+
+  test("associationRules: exact support/confidence/lift with dedup") {
+    import graft.ops.Sessions
+    val spark2 = spark
+    import spark2.implicits._
+    // 4 baskets; bread+butter together in 2; butter alone in 1; bread in 3
+    // (basket 1 has bread TWICE — presence counts once)
+    val df = Seq(
+      (1L, "bread"), (1L, "bread"), (1L, "butter"),
+      (2L, "bread"), (2L, "butter"),
+      (3L, "bread"),
+      (4L, "butter"), (4L, "jam")
+    ).toDF("basket", "item")
+    val out = Sessions.associationRules(df, Seq("basket"), "item")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Long]("confidence_micro"),
+          r.getAs[Long]("lift_micro"))).toMap
+    // bread→butter: n_ab=2, n_a=3 → conf 2/3; lift = 2·4/(3·3) = 8/9
+    assert(out(("bread", "butter")) == (2L, 666666L, 888888L))
+    // butter→bread: conf 2/3, same lift
+    assert(out(("butter", "bread")) == (2L, 666666L, 888888L))
+    // butter→jam: n_ab=1, n_a=3, n_b=1 → lift = 1·4/(3·1) = 4/3
+    assert(out(("butter", "jam")) == (1L, 333333L, 1333333L))
+  }
+
   test("psi clamps out-of-range current values into edge buckets") {
     import graft.ops.Corpus
     val spark2 = spark
