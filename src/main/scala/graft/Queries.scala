@@ -2,7 +2,7 @@ package graft
 
 import graft.client.{GraftClient, Metrics}
 import graft.engine.{EventTime, TemporalJoin}
-import graft.ops.{Chat, Cluster, Corpus, Decay, Dedup, Eval, Features, Graph, Multimodal, Sampling, SemiStructured, Sessions, Similarity, Sketch, Skew, TextOps, TimeSeries}
+import graft.ops.{Chat, Cluster, Corpus, Decay, Dedup, Entity, Eval, Features, Graph, Multimodal, Privacy, Sampling, SemiStructured, Sessions, Similarity, Sketch, Skew, TextOps, TimeSeries}
 import graft.table._
 import graft.types._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -4417,6 +4417,46 @@ object Queries {
       FROM pc JOIN tot ta ON ta.item = pc.item_a
         JOIN tot tb ON tb.item = pc.item_b, nb"""))
 
+  /** Blocked Levenshtein candidate pairs over part names (block = the
+    * noun, fuzz across adjectives) — character-level entity resolution.
+    */
+  private val q158 = Q(
+    "q158_fuzzy_pairs",
+    (spark, dir) => Entity.fuzzyPairs(
+      pq(spark, dir, "part"), "p_partkey", "p_name",
+      expr("split(p_name, ' ')[1]"), maxDist = 3),
+    Some("""WITH t AS (SELECT p_partkey id, p_name txt,
+          split_part(p_name, ' ', 2) blk FROM part
+        WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL),
+      p AS (SELECT a.id id_a, b.id id_b,
+          levenshtein(a.txt, b.txt) dist,
+          GREATEST(length(a.txt), length(b.txt)) max_len
+        FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id)
+      SELECT id_a, id_b, dist, max_len,
+        (max_len - dist) * 1000000 // max_len AS sim_micro
+      FROM p WHERE dist <= 3"""))
+
+  /** k-anonymity / l-diversity release gate on the event stream's
+    * (event_type, day) quasi-identifier with user_id sensitive.
+    */
+  private val q159 = Q(
+    "q159_k_anonymity",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val e = raw.select(col("event_type"), col("user_id"),
+          EventTime.epochMillis(raw, "ts").as("ts_ms"))
+        .withColumn("day", expr("ts_ms div 86400000L"))
+      Privacy.kAnonymity(e, Seq("event_type", "day"), k = 20L,
+        sensitiveCol = Some("user_id"), l = 15L)
+    },
+    Some("""WITH e AS (SELECT event_type, user_id,
+          epoch_ms(ts) // 86400000 AS day FROM events)
+      SELECT event_type, day, COUNT(*)::BIGINT n,
+        COUNT(DISTINCT user_id)::BIGINT n_distinct_sensitive,
+        COUNT(*) < 20 AS k_violation,
+        COUNT(DISTINCT user_id) < 15 AS l_violation
+      FROM e GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4430,7 +4470,7 @@ object Queries {
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151,
-    q152, q153, q154, q155, q156, q157)
+    q152, q153, q154, q155, q156, q157, q158, q159)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

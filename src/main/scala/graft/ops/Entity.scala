@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: finding rows that NAME the same thing without a
+  * shared key — the character-level complement to the token-set
+  * similarity join (q113) and MinHash families, which miss short strings
+  * where a one-letter typo changes most shingles.
+  */
+object Entity {
+
+  /** Blocked edit-distance candidate pairs: rows sharing `blockCol` are
+    * compared with Levenshtein distance, pairs within `maxDist` survive
+    * with `sim_micro = (max_len − dist)·1e6 / max_len` — the normalized
+    * similarity downstream clustering (connected components / dedupApply)
+    * consumes. Returns `(id_a, id_b, dist, max_len, sim_micro)` with
+    * `id_a < id_b` (each unordered pair once).
+    *
+    * Levenshtein is the exact DP distance in every engine — integer, no
+    * replay caveats; sim_micro is one integer divide.
+    *
+    * 100 TB shape: ONE shuffle on the block key; the pair space is
+    * block-local O(Σ b²), so the block choice is the scale knob (a
+    * phonetic key, a sorted-neighborhood window, a field prefix — pick
+    * one whose largest block is bounded; diagnose with the q112 hot-key
+    * report first). Edit distance runs AFTER the `id_a < id_b` and
+    * block cut, never all-pairs.
+    */
+  def fuzzyPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: Column,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist $maxDist must be >= 0")
+    val t = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("txt"),
+        blockCol.as("blk"))
+      .filter(col("blk").isNotNull)
+    val a = t.select(col("id").as("id_a"), col("txt").as("txt_a"), col("blk"))
+    val b = t.select(col("id").as("id_b"), col("txt").as("txt_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b")))
+      .filter(col("dist") <= maxDist)
+      .withColumn("max_len",
+        greatest(length(col("txt_a")), length(col("txt_b"))))
+      .withColumn("sim_micro",
+        expr("(max_len - dist) * 1000000L div max_len"))
+      .select("id_a", "id_b", "dist", "max_len", "sim_micro")
+  }
+}

@@ -2983,6 +2983,47 @@ class OpsSpec extends SparkSuite {
     assert(out(("butter", "jam")) == (1L, 333333L, 1333333L))
   }
 
+  test("fuzzyPairs: block cut, distance cut, ordered pairs once") {
+    import graft.ops.Entity
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "red widget"), (2L, "rad widget"), // dist 1, same "widget" block
+      (3L, "red gadget"), // other block: never compared
+      (4L, "crimson widget") // same block as 1,2 but dist 6 > max
+    ).toDF("id", "name")
+    val out = Entity.fuzzyPairs(df, "id", "name",
+        expr("split(name, ' ')[1]"), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getAs[Long]("sim_micro"))).toMap
+    assert(out.keySet == Set((1L, 2L)), s"got ${out.keySet}")
+    assert(out((1L, 2L)) == (1, 900000L)) // (10-1)/10
+  }
+
+  test("kAnonymity flags small classes and collapsed sensitive values") {
+    import graft.ops.Privacy
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (
+      (1 to 10).map(i => ("US", "a", s"u$i")) ++ // big class, diverse
+      (1 to 10).map(_ => ("DE", "a", "same")) ++ // big class, 1 sensitive
+      Seq(("FR", "b", "x"), ("FR", "b", "y")) // small class
+    ).toDF("country", "grp", "secret")
+    val out = Privacy.kAnonymity(df, Seq("country", "grp"), k = 5L,
+        sensitiveCol = Some("secret"), l = 2L)
+      .collect().map(r => (r.getString(0),
+        (r.getAs[Long]("n"), r.getAs[Boolean]("k_violation"),
+          r.getAs[Boolean]("l_violation")))).toMap
+    assert(out("US") == (10L, false, false))
+    assert(out("DE") == (10L, false, true), "10 rows, 1 secret → l-violation")
+    assert(out("FR") == (2L, true, false))
+    // k-only scan path: no sensitive column
+    val quick = Privacy.kAnonymity(df, Seq("country", "grp"), k = 5L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(quick("FR").getAs[Boolean]("k_violation"))
+    assert(quick("FR").isNullAt(quick("FR").fieldIndex("l_violation")))
+  }
+
   test("psi clamps out-of-range current values into edge buckets") {
     import graft.ops.Corpus
     val spark2 = spark
