@@ -4457,6 +4457,66 @@ object Queries {
         COUNT(DISTINCT user_id) < 15 AS l_violation
       FROM e GROUP BY 1, 2"""))
 
+  /** Flesch reading-ease over the corpus — regex-count heuristic, one
+    * floored double expression.
+    */
+  private val q160 = Q(
+    "q160_readability",
+    (spark, dir) => TextOps.readability(
+      pq(spark, dir, "documents"), "doc_id", "text"),
+    Some("""WITH c AS (SELECT doc_id,
+          len(regexp_extract_all(text, '\S+'))::BIGINT n_words,
+          GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT n_sentences,
+          len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT n_syllables
+        FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        CASE WHEN n_words > 0 THEN
+          floor(1000000.0 * (206.835
+            - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+            - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE)))::BIGINT
+        END AS flesch_micro
+      FROM c"""))
+
+  /** Hashing-trick sparse encoding of two customer categoricals into 64
+    * signed buckets — the vocabulary-free encoder.
+    */
+  private val q161 = Q(
+    "q161_feature_hash",
+    (spark, dir) => Features.featureHash(
+      pq(spark, dir, "customer"), "c_custkey",
+      Seq("c_mktsegment", "c_nationkey"), dim = 64),
+    Some("""WITH s AS (
+        SELECT c_custkey, 'c_mktsegment' || '|' || c_mktsegment fv
+          FROM customer WHERE c_mktsegment IS NOT NULL
+        UNION ALL
+        SELECT c_custkey, 'c_nationkey' || '|' || c_nationkey
+          FROM customer WHERE c_nationkey IS NOT NULL),
+      h AS (SELECT c_custkey, md5(fv) hh FROM s),
+      b AS (SELECT c_custkey,
+          (('0x' || substr(hh, 1, 8))::UBIGINT % 64)::BIGINT bucket,
+          CASE WHEN ('0x' || substr(hh, 9, 1))::UBIGINT % 2 = 0
+            THEN 1 ELSE -1 END sgn FROM h)
+      SELECT c_custkey, bucket, SUM(sgn)::BIGINT val
+      FROM b GROUP BY 1, 2"""))
+
+  /** Gini concentration of per-source character mass — the one-number
+    * mixture-balance gauge.
+    */
+  private val q162 = Q(
+    "q162_gini",
+    (spark, dir) => Corpus.gini(
+      pq(spark, dir, "documents"), "source", weightCol = Some("n_chars")),
+    Some("""WITH m AS (SELECT source g,
+          SUM(floor(n_chars * 1e6)::BIGINT)::BIGINT x FROM documents
+        WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+      r AS (SELECT g, x, ROW_NUMBER() OVER (ORDER BY x, g) i FROM m),
+      a AS (SELECT COUNT(*)::BIGINT n_groups, SUM(x)::BIGINT total_mass,
+          SUM(i::HUGEINT * x) ixs FROM r)
+      SELECT n_groups, total_mass,
+        ((2 * ixs - (n_groups + 1) * total_mass::HUGEINT) * 1000000
+          // (n_groups::HUGEINT * total_mass))::BIGINT gini_micro
+      FROM a"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4470,7 +4530,7 @@ object Queries {
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151,
-    q152, q153, q154, q155, q156, q157, q158, q159)
+    q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

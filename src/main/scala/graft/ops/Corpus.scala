@@ -309,6 +309,45 @@ object Corpus {
       .select("grp_a", "grp_b", "n_a", "n_b", "jsd_micro")
   }
 
+  /** Gini concentration of per-group mass: 0 = perfectly balanced
+    * corpus, →1 = one group holds everything — the single number behind
+    * "is this mixture dominated by one source". Uses the exact
+    * rank-sum identity `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` over
+    * ascending-sorted group masses (tie order cannot change the sum),
+    * in decimal(38,0) with one floor-division → `gini_micro` hashes on
+    * any engine. Mass is the row count per group, or `sum(weightCol)`
+    * micro-floored when given (token counts, bytes).
+    *
+    * Returns one row: `(n_groups, total_mass, gini_micro)`.
+    *
+    * 100 TB shape: one corpus groupBy to per-group masses; the rank
+    * window and sums run on the GROUP table (model-sized). Meant for
+    * coarse groupings — sources, languages, shards — not per-user.
+    */
+  def gini(
+      df: DataFrame,
+      groupCol: String,
+      weightCol: Option[String] = None): DataFrame = {
+    val masses = weightCol match {
+      case Some(w) => df.filter(col(groupCol).isNotNull && col(w).isNotNull)
+        .groupBy(col(groupCol).as("g"))
+        .agg(sum(floor(col(w) * 1e6).cast("long")).as("x"))
+      case None => df.filter(col(groupCol).isNotNull)
+        .groupBy(col(groupCol).as("g"))
+        .agg(count(lit(1)).as("x"))
+    }
+    masses
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("x"), col("g"))).cast("long"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("x")).as("total_mass"),
+        sum(col("i").cast("decimal(38,0)") * col("x")).as("ixs"))
+      .withColumn("gini_micro", expr(
+        """cast((2 * ixs - (n_groups + 1) * cast(total_mass as decimal(38,0)))
+             * 1000000
+             div (cast(n_groups as decimal(38,0)) * total_mass) as long)"""))
+      .select("n_groups", "total_mass", "gini_micro")
+  }
+
   /** Hot-key skew report: the top-k heaviest values per column with
     * their corpus share — the before-the-join diagnosis that tells you
     * which keys need salting, an AQE skew hint, or a broadcast rethink

@@ -165,4 +165,41 @@ object Features {
            / (cast(n as double) * cast(n as double)))) as long)"""))
       .select("col_name", "n", "mean_micro", "std_micro")
   }
+
+  /** Hashing-trick (feature-hashing) sparse encoding: every
+    * (column, value) pair maps to `bucket = u32(md5(col|value)) mod dim`
+    * with a hash-bit sign, summed per (row, bucket) — the fixed-width,
+    * vocabulary-free encoding for high-cardinality categoricals that
+    * needs NO fitted state (nothing to ship to serving but `dim`).
+    * Returns sparse triples `(idCol, bucket, val)` — the natural shape
+    * for a columnar engine; densify at the trainer if needed. Signs
+    * (Weinberger et al. 2009) make collisions cancel in expectation.
+    * NULL values are skipped (no feature, not a hashed NULL).
+    *
+    * Engine-replayable: bucket and sign both read off the md5 hex.
+    *
+    * 100 TB shape: map-only explode of |cols| entries per row, one
+    * map-side-combined (id, bucket) aggregation.
+    */
+  def featureHash(
+      df: DataFrame,
+      idCol: String,
+      cols: Seq[String],
+      dim: Int): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    require(dim >= 2, s"dim $dim must be >= 2")
+    val stacked = df.select(col(idCol), explode(array(cols.map(c =>
+        when(col(c).isNotNull,
+          concat_ws("|", lit(c), col(c).cast("string")))): _*)).as("fv"))
+      .filter(col("fv").isNotNull)
+    stacked
+      .withColumn("__h", md5(col("fv")))
+      .withColumn("bucket",
+        expr(s"cast(conv(substring(__h, 1, 8), 16, 10) as long) % $dim"))
+      .withColumn("__sign", expr(
+        "case when cast(conv(substring(__h, 9, 1), 16, 10) as int) % 2 = 0 " +
+          "then 1L else -1L end"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__sign")).as("val"))
+  }
 }

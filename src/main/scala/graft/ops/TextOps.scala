@@ -1376,4 +1376,36 @@ object TextOps {
         col("col.chunk_text").as("chunk_text"),
         md5(col("col.chunk_text")).as("chunk_hash")): _*)
   }
+
+  /** Flesch reading-ease per document from three regex counts — words
+    * (`\S+` runs), sentences (`[.!?]+` runs, floor 1), syllables (vowel
+    * groups `[aeiouyAEIOUY]+`, the standard heuristic): `206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words)`. ~90–100 reads
+    * like a children's book, ≤ 30 like an academic paper; a quality
+    * gate alongside the Gopher rules for "is this prose or sludge".
+    *
+    * Returns `(idCol, n_words, n_sentences, n_syllables, flesch_micro)`
+    * — flesch_micro NULL for wordless docs. The counts are integers and
+    * the score is a fixed correctly-rounded double expression floored
+    * once, so rows hash across engines (regex classes this simple
+    * behave identically in RE2 and Java).
+    *
+    * 100 TB shape: map-only codegen column expressions, zero shuffles.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.filter(t.isNotNull)
+      .select(col(idCol),
+        regexp_count(t, lit("\\S+")).cast("long").as("n_words"),
+        greatest(regexp_count(t, lit("[.!?]+")).cast("long"), lit(1L))
+          .as("n_sentences"),
+        regexp_count(t, lit("[aeiouyAEIOUY]+")).cast("long")
+          .as("n_syllables"))
+      .withColumn("flesch_micro", expr(
+        """case when n_words > 0 then
+             cast(floor(1000000.0 * (206.835
+               - 1.015 * (cast(n_words as double) / cast(n_sentences as double))
+               - 84.6 * (cast(n_syllables as double) / cast(n_words as double))))
+             as long) end"""))
+  }
 }

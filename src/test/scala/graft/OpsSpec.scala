@@ -3024,6 +3024,61 @@ class OpsSpec extends SparkSuite {
     assert(quick("FR").isNullAt(quick("FR").fieldIndex("l_violation")))
   }
 
+  test("readability: simple prose scores higher than dense prose") {
+    import graft.ops.TextOps
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "The cat sat. The dog ran. It was fun."),
+      (2L, "Notwithstanding institutional considerations, organizational " +
+        "repercussions necessitate comprehensive reevaluation."),
+      (3L, ""), // wordless → NULL score
+      (4L, "go. go. go.")
+    ).toDF("doc_id", "text")
+    val out = TextOps.readability(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val simple = out(1L).getAs[Long]("flesch_micro")
+    val dense = out(2L).getAs[Long]("flesch_micro")
+    assert(simple > 90000000L, s"simple prose ~100, got $simple")
+    assert(dense < 0L, s"academic sludge goes negative, got $dense")
+    assert(out(3L).isNullAt(out(3L).fieldIndex("flesch_micro")))
+    assert(out(1L).getAs[Long]("n_sentences") == 3)
+    assert(out(4L).getAs[Long]("n_words") == 3)
+  }
+
+  test("featureHash: deterministic signed buckets, nulls skipped") {
+    import graft.ops.Features
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, Option("a"), Option("x")), (2L, Option("a"), None),
+      (3L, Option("a"), Option("x"))).toDF("id", "c1", "c2")
+    val out = Features.featureHash(df, "id", Seq("c1", "c2"), dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val r1 = out.keys.filter(_._1 == 1L).toSet
+    val r3 = out.keys.filter(_._1 == 3L).toSet
+    // same values → same buckets and signs
+    assert(r1.map(_._2) == r3.map(_._2))
+    assert(r1.forall(k => out(k) == out((3L, k._2))))
+    // row 2 hashed only c1 (one entry unless collision-free by construction)
+    assert(out.keys.count(_._1 == 2L) == 1)
+    assert(out.values.forall(v => v.abs >= 1))
+  }
+
+  test("gini: balanced mass ~0, total concentration near 1") {
+    import graft.ops.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val balanced = (1 to 4).flatMap(g => (1 to 25).map(_ => s"g$g")).toDF("g")
+    val rb = Corpus.gini(balanced, "g").collect()(0)
+    assert(rb.getAs[Long]("n_groups") == 4 && rb.getAs[Long]("gini_micro") == 0L)
+    // one group holds 97 of 100 rows
+    val skewed = (Seq.fill(97)("big") ++ Seq("s1", "s2", "s3")).toDF("g")
+    val rs = Corpus.gini(skewed, "g").collect()(0)
+    // exact: masses 1,1,1,97 → G = (2(1+2+3+4·97)−5·100)/(4·100) = 0.72
+    assert(rs.getAs[Long]("gini_micro") == 720000L)
+  }
+
   test("psi clamps out-of-range current values into edge buckets") {
     import graft.ops.Corpus
     val spark2 = spark
