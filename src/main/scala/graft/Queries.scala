@@ -4517,6 +4517,119 @@ object Queries {
           // (n_groups::HUGEINT * total_mass))::BIGINT gini_micro
       FROM a"""))
 
+  /** Lead–lag cross-correlation of hourly click vs purchase counts —
+    * does one series anticipate the other.
+    */
+  private val q163 = Q(
+    "q163_cross_correlation",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val series = raw
+        .select(EventTime.epochMillis(raw, "ts").as("ts_ms"),
+          col("event_type"))
+        .withColumn("bucket_ms", expr("(ts_ms div 3600000L) * 3600000L"))
+        .groupBy("bucket_ms")
+        .agg(count(when(col("event_type") === "click", 1))
+            .cast("double").as("x"),
+          count(when(col("event_type") === "purchase", 1))
+            .cast("double").as("y"))
+      TimeSeries.crossCorrelation(series, "bucket_ms", "x", "y",
+        Seq(-3, -2, -1, 0, 1, 2, 3), everyMs = 3600000L)
+    },
+    Some("""WITH e AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 b,
+          COUNT(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT x,
+          COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      l AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+      p AS (SELECT l.lag, a.x * 1000000 xm, b2.y * 1000000 ym
+        FROM e a CROSS JOIN l
+        JOIN e b2 ON b2.b = a.b + l.lag * 3600000),
+      g AS (SELECT lag, COUNT(*)::BIGINT n, SUM(xm::HUGEINT) sx,
+          SUM(ym::HUGEINT) sy, SUM(xm::HUGEINT * ym) sxy,
+          SUM(xm::HUGEINT * xm) sxx, SUM(ym::HUGEINT * ym) syy
+        FROM p GROUP BY 1)
+      SELECT lag, n,
+        CASE WHEN n > 1 AND n * sxx > sx * sx AND n * syy > sy * sy THEN
+          floor(1000000.0 * (n * sxy - sx * sy)::DOUBLE
+            / sqrt((n * sxx - sx * sx)::DOUBLE
+                   * (n * syy - sy * sy)::DOUBLE))::BIGINT
+        END corr_micro
+      FROM g"""))
+
+  /** CUSUM changepoint per user over the hourly resample — where did
+    * each user's activity level shift.
+    */
+  private val q164 = Q(
+    "q164_cusum_changepoint",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val e = raw.select(col("user_id"),
+        EventTime.epochMillis(raw, "ts").as("ts_ms"), col("value"))
+      TimeSeries.cusumChangepoint(
+        TimeSeries.resample(e, Seq("user_id"), "ts_ms", "value", 3600000L),
+        Seq("user_id"), "bucket_ms", "sum_micro")
+    },
+    Some("""WITH e AS (SELECT user_id,
+          (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+          floor(value * 1e6)::BIGINT vm
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
+      a AS (SELECT user_id, bucket_ms, SUM(vm)::BIGINT sum_micro
+        FROM e GROUP BY 1, 2),
+      sp AS (SELECT user_id, unnest(generate_series(lo, hi, 3600000)) bucket_ms
+        FROM (SELECT user_id, MIN(bucket_ms) lo, MAX(bucket_ms) hi
+              FROM a GROUP BY 1)),
+      j AS (SELECT sp.user_id, sp.bucket_ms,
+          COALESCE(a.sum_micro, 0)::BIGINT v
+        FROM sp LEFT JOIN a USING (user_id, bucket_ms)),
+      st AS (SELECT user_id, COUNT(*)::BIGINT n_buckets,
+          (SUM(v) // COUNT(*))::BIGINT mean_micro FROM j GROUP BY 1),
+      c AS (SELECT j.user_id, j.bucket_ms, st.n_buckets, st.mean_micro,
+          (SUM(j.v - st.mean_micro) OVER (PARTITION BY j.user_id
+            ORDER BY j.bucket_ms
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT cusum
+        FROM j JOIN st USING (user_id)),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY -abs(cusum), bucket_ms) rn FROM c)
+      SELECT user_id, n_buckets, mean_micro, bucket_ms AS change_bucket_ms,
+        cusum AS cusum_at_change
+      FROM r WHERE rn = 1"""))
+
+  /** Pairwise Pearson matrix over three lineitem measures — the numeric
+    * feature-selection screen, one aggregation pass.
+    */
+  private val q165 = Q(
+    "q165_corr_matrix",
+    (spark, dir) => Features.corrMatrix(pq(spark, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount")),
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      val per = pairs.map { case (a, b) =>
+        val both = s"$a IS NOT NULL AND $b IS NOT NULL"
+        val (x, y) = (s"floor($a::DOUBLE * 1e6)::BIGINT",
+          s"floor($b::DOUBLE * 1e6)::BIGINT")
+        s"""SELECT '$a' col_a, '$b' col_b,
+            COUNT(CASE WHEN $both THEN 1 END)::BIGINT n,
+            SUM(CASE WHEN $both THEN ($x)::HUGEINT END) sx,
+            SUM(CASE WHEN $both THEN ($y)::HUGEINT END) sy,
+            SUM(CASE WHEN $both THEN ($x)::HUGEINT * ($y) END) sxy,
+            SUM(CASE WHEN $both THEN ($x)::HUGEINT * ($x) END) sxx,
+            SUM(CASE WHEN $both THEN ($y)::HUGEINT * ($y) END) syy
+          FROM lineitem"""
+      }.mkString(" UNION ALL ")
+      s"""WITH g AS ($per)
+        SELECT col_a, col_b, n,
+          CASE WHEN n > 1 AND n * sxx > sx * sx AND n * syy > sy * sy THEN
+            floor(1000000.0 * (n * sxy - sx * sy)::DOUBLE
+              / sqrt((n * sxx - sx * sx)::DOUBLE
+                     * (n * syy - sy * sy)::DOUBLE))::BIGINT
+          END corr_micro
+        FROM g"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4530,7 +4643,8 @@ object Queries {
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151,
-    q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
+    q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
+    q163, q164, q165)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -202,4 +202,55 @@ object Features {
       .groupBy(col(idCol), col("bucket"))
       .agg(sum(col("__sign")).as("val"))
   }
+
+  /** Pairwise Pearson correlation matrix over numeric columns,
+    * pairwise-complete (each pair uses exactly the rows where BOTH are
+    * non-null). Returns `(col_a, col_b, n, corr_micro)` for each of the
+    * |cols|·(|cols|−1)/2 unordered pairs; NULL corr when either side is
+    * constant or n < 2. The numeric sibling of [[chiSquare]].
+    *
+    * Exactness: per-row micro-floored values, all five moments as
+    * decimal(38,0) conditional sums in ONE aggregation pass over the
+    * corpus; the final Pearson is one fixed correctly-rounded double
+    * expression per pair, floored once.
+    *
+    * 100 TB shape: a single map-side-combined global aggregate
+    * (5·|pairs| running sums per task — fine for feature-screen column
+    * counts); the pair table math is driver-free and |pairs|-sized.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def xm(c: String) = s"cast(floor(cast(`$c` as double) * 1e6) as long)"
+    val aggExprs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      val both = s"`$a` is not null and `$b` is not null"
+      val (x, y) = (xm(a), xm(b))
+      Seq(
+        expr(s"count(case when $both then 1 end)").as(s"n_$k"),
+        expr(s"sum(case when $both then cast($x as decimal(38,0)) end)").as(s"sx_$k"),
+        expr(s"sum(case when $both then cast($y as decimal(38,0)) end)").as(s"sy_$k"),
+        expr(s"sum(case when $both then cast($x as decimal(38,0)) * $y end)").as(s"sxy_$k"),
+        expr(s"sum(case when $both then cast($x as decimal(38,0)) * $x end)").as(s"sxx_$k"),
+        expr(s"sum(case when $both then cast($y as decimal(38,0)) * $y end)").as(s"syy_$k"))
+    }
+    val g = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((a, b), k) =>
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"n_$k").as("n"),
+        expr(
+          s"""case when n_$k > 1 and n_$k * sxx_$k > sx_$k * sx_$k
+                    and n_$k * syy_$k > sy_$k * sy_$k then
+               cast(floor(1000000.0 *
+                 cast(n_$k * sxy_$k - sx_$k * sy_$k as double)
+                 / sqrt(cast(n_$k * sxx_$k - sx_$k * sx_$k as double)
+                        * cast(n_$k * syy_$k - sy_$k * sy_$k as double)))
+               as long) end""").as("corr_micro"))
+    }
+    g.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.n"), col("p.corr_micro"))
+  }
 }

@@ -131,4 +131,99 @@ object TimeSeries {
       .join(sizes, "cohort_ms")
       .withColumn("retention_micro", expr("n_active * 1000000L div n_cohort"))
   }
+
+  /** Lead–lag cross-correlation between two bucketed series: Pearson
+    * corr of `(x_t, y_{t+lag})` for each requested lag (in buckets,
+    * negative = y leads) — "do purchases follow clicks, and by how many
+    * hours". Input must be one row per bucket (a [[resample]] output or
+    * any dense bucketed frame); missing/NULL values drop that pair.
+    *
+    * Returns `(lag, n, corr_micro)` — corr_micro NULL when either side
+    * is constant over the overlap. Moments are micro-floored exact
+    * decimal sums; the final Pearson is one fixed correctly-rounded
+    * double expression, floored.
+    *
+    * 100 TB shape: |lags| shifted self-joins on the bucket key of the
+    * SERIES table (bucket-count-sized, not event-sized) with map-side
+    * combined moment sums.
+    */
+  def crossCorrelation(
+      df: DataFrame,
+      bucketCol: String,
+      xCol: String,
+      yCol: String,
+      lags: Seq[Int],
+      everyMs: Long): DataFrame = {
+    require(lags.nonEmpty, "at least one lag")
+    require(everyMs >= 1, s"everyMs $everyMs must be >= 1")
+    val a = df.filter(col(bucketCol).isNotNull && col(xCol).isNotNull)
+      .select(col(bucketCol).as("__t"),
+        floor(col(xCol) * 1e6).cast("long").as("xm"))
+    val b = df.filter(col(bucketCol).isNotNull && col(yCol).isNotNull)
+      .select(col(bucketCol).as("__ty"),
+        floor(col(yCol) * 1e6).cast("long").as("ym"))
+    val withLag = a
+      .select(col("__t"), col("xm"),
+        explode(array(lags.distinct.sorted.map(lit): _*)).as("lag"))
+      .withColumn("__ty", col("__t") + col("lag") * everyMs)
+      .join(b, "__ty")
+    val dec = (c: String) => col(c).cast("decimal(38,0)")
+    withLag.groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec("xm")).as("sx"), sum(dec("ym")).as("sy"),
+        sum(dec("xm") * col("ym")).as("sxy"),
+        sum(dec("xm") * col("xm")).as("sxx"),
+        sum(dec("ym") * col("ym")).as("syy"))
+      .withColumn("corr_micro", expr(
+        """case when n > 1 and n * sxx > sx * sx and n * syy > sy * sy then
+             cast(floor(1000000.0 * cast(n * sxy - sx * sy as double)
+               / sqrt(cast(n * sxx - sx * sx as double)
+                      * cast(n * syy - sy * sy as double))) as long)
+           end"""))
+      .select("lag", "n", "corr_micro")
+  }
+
+  /** CUSUM changepoint locator per key: the running sum of deviations
+    * from the key's own mean peaks where the level shifts — returns
+    * `(keys..., n_buckets, mean_micro, change_bucket_ms,
+    * cusum_at_change)` with the EARLIEST bucket attaining the maximum
+    * |CUSUM| (deterministic tie rule). NULL values count as 0 (a gap
+    * bucket IS low activity — feed [[resample]] output).
+    *
+    * All integer: the mean is a floor-division, deviations and the
+    * running sum are exact longs — any engine replays the argmax
+    * bit-for-bit. (Detection threshold is the caller's call: compare
+    * `abs(cusum_at_change)` against k·σ·√n from [[graft.ops.Features]]
+    * standardize, or a held-out quantile.)
+    *
+    * 100 TB shape: one stats pass + one key-partitioned window over the
+    * bucket series (span-sized per key), one final per-key argmin-agg —
+    * the same single-shuffle shape as [[rolling]].
+    */
+  def cusumChangepoint(
+      df: DataFrame,
+      keys: Seq[String],
+      bucketCol: String,
+      valueMicroCol: String): DataFrame = {
+    require(keys.nonEmpty, "at least one key")
+    val base = df.select(keys.map(col) :+ col(bucketCol).as("__b") :+
+      coalesce(col(valueMicroCol), lit(0L)).as("__v"): _*)
+    val stats = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets"), sum("__v").as("__s"))
+      .withColumn("mean_micro", expr(
+        """__s div n_buckets -
+           (case when __s % n_buckets != 0 and __s < 0 then 1 else 0 end)"""))
+      .drop("__s")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(stats, keys)
+      .withColumn("cusum", sum(col("__v") - col("mean_micro")).over(w))
+      .groupBy((keys.map(col) :+ col("n_buckets") :+ col("mean_micro")): _*)
+      // earliest bucket attaining max |cusum|: min over (-|c|, bucket, c)
+      .agg(min(struct((-abs(col("cusum"))).as("na"), col("__b"), col("cusum")))
+        .as("m"))
+      .select(keys.map(col) ++ Seq(col("n_buckets"), col("mean_micro"),
+        col("m.__b").as("change_bucket_ms"),
+        col("m.cusum").as("cusum_at_change")): _*)
+  }
 }

@@ -3079,6 +3079,57 @@ class OpsSpec extends SparkSuite {
     assert(rs.getAs[Long]("gini_micro") == 720000L)
   }
 
+  test("crossCorrelation finds the planted lead-lag alignment") {
+    import graft.ops.TimeSeries
+    val spark2 = spark
+    import spark2.implicits._
+    // y is x shifted one bucket later (y_{t+1} = x_t): corr peaks at lag=1
+    val x = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0)
+    val df = x.indices.map { i =>
+      (i.toLong * 10L, x(i), if (i == 0) 0.0 else x(i - 1))
+    }.toDF("b", "x", "y")
+    val out = TimeSeries.crossCorrelation(df, "b", "x", "y",
+        Seq(-1, 0, 1), everyMs = 10L)
+      .collect().map(r => r.getInt(0) ->
+        Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(out(1).get == 1000000L, s"perfect alignment at +1, got ${out(1)}")
+    assert(out(0).get < 900000L && out(-1).get < 900000L)
+  }
+
+  test("cusumChangepoint locates a planted level shift exactly") {
+    import graft.ops.TimeSeries
+    val spark2 = spark
+    import spark2.implicits._
+    // 10 buckets at 0, then 10 at 1000: |CUSUM| peaks at the last
+    // low bucket (mean 500 → cum dev -500·10 = -5000)
+    val df = (0 until 20).map(i =>
+      ("u", i.toLong * 10, if (i < 10) 0L else 1000L)).toDF("k", "b", "v")
+    val r = TimeSeries.cusumChangepoint(df, Seq("k"), "b", "v").collect()(0)
+    assert(r.getAs[Long]("mean_micro") == 500L)
+    assert(r.getAs[Long]("change_bucket_ms") == 90L,
+      s"peak at bucket 90, got ${r.getAs[Long]("change_bucket_ms")}")
+    assert(r.getAs[Long]("cusum_at_change") == -5000L)
+    assert(r.getAs[Long]("n_buckets") == 20L)
+  }
+
+  test("corrMatrix: exact +1/-1 on linear pairs, pairwise-complete n") {
+    import graft.ops.Features
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1.0, Option(2.0), Option(-1.0)),
+      (2.0, Option(4.0), Option(-2.0)),
+      (3.0, None, Option(-3.0)),
+      (4.0, Option(8.0), Option(-4.0))
+    ).toDF("a", "b", "c")
+    val out = Features.corrMatrix(df, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(("a", "b")) == (3L, Some(1000000L))) // b = 2a where present
+    assert(out(("a", "c")) == (4L, Some(-1000000L))) // c = −a
+    assert(out(("b", "c"))._1 == 3L)
+  }
+
   test("psi clamps out-of-range current values into edge buckets") {
     import graft.ops.Corpus
     val spark2 = spark
