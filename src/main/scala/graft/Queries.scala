@@ -4630,6 +4630,70 @@ object Queries {
         FROM g"""
     })
 
+  /** PII audit extraction over documents with injected contact footers —
+    * one row per match, positions included.
+    */
+  private val q166 = Q(
+    "q166_pii_extract",
+    (spark, dir) => {
+      val d = pq(spark, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"),
+              lit(" contact: user"), col("doc_id").cast("string"),
+              lit("@example.com or 555-123-4567 and x555-987-6543")))
+            .otherwise(col("text")).as("text"))
+      TextOps.extractPii(d, "text", Seq("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' contact: user' || doc_id
+            || '@example.com or 555-123-4567 and x555-987-6543'
+          ELSE text END t
+        FROM documents WHERE text IS NOT NULL),
+      em AS (SELECT doc_id,
+          regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+') ms
+        FROM d),
+      ph AS (SELECT doc_id, regexp_extract_all(
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+            '<EMAIL>', 'g'),
+          '[0-9]{3}-[0-9]{3}-[0-9]{4}') ms FROM d),
+      x AS (
+        SELECT doc_id, 'email' kind, unnest(ms) AS match,
+          unnest(generate_series(1, len(ms))) AS pos FROM em
+        UNION ALL
+        SELECT doc_id, 'phone', unnest(ms), unnest(generate_series(1, len(ms)))
+        FROM ph)
+      SELECT doc_id, kind, match, pos::BIGINT pos FROM x"""))
+
+  /** Supplier-ring triangles on the TOP-300 co-occurring supplier pairs
+    * (strength-thresholded backbone — scale-stable where an absolute
+    * count cut is not), per-node triangle membership counts.
+    */
+  private val q167 = Q(
+    "q167_triangles",
+    (spark, dir) => {
+      val li = pq(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("k"))
+        .distinct()
+      val top = li.join(li.withColumnRenamed("k", "k2"), "o")
+        .filter(col("k") < col("k2"))
+        .groupBy("k", "k2").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("k"), col("k2"))
+        .limit(300)
+      Graph.triangles(top, "k", "k2")
+    },
+    Some("""WITH s AS (SELECT DISTINCT l_orderkey o, l_suppkey k
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
+      e AS (SELECT a.k u, b.k v, COUNT(*) cnt FROM s a
+        JOIN s b ON a.o = b.o AND a.k < b.k GROUP BY 1, 2
+        ORDER BY cnt DESC, u, v LIMIT 300),
+      w AS (SELECT e1.u, e1.v AS m, e2.v AS w
+        FROM e e1 JOIN e e2 ON e2.u = e1.v),
+      t AS (SELECT w.u, w.m, w.w FROM w
+        JOIN e e3 ON e3.u = w.u AND e3.v = w.w),
+      x AS (SELECT unnest([u, m, w]) node FROM t)
+      SELECT node, COUNT(*)::BIGINT n_triangles FROM x GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4644,7 +4708,7 @@ object Queries {
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151,
     q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165)
+    q163, q164, q165, q166, q167)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -299,4 +299,43 @@ object Graph {
         col("item_a"), col("item_b"), col("n_common"), col("n_a"), col("n_b"),
         expr("n_common * 1000000L div (n_a + n_b - n_common)").as("jaccard_micro"))
   }
+
+  /** Per-node triangle counts on an undirected graph — the local
+    * clustering signal (tightly-knit supplier rings, collusive account
+    * clusters, community cores). Input edges are canonicalized
+    * (undirected, self-loops dropped, deduped); a node appears in the
+    * output once per graph membership with `n_triangles ≥ 1` (isolated
+    * and triangle-free nodes produce no row — left-join from your node
+    * table if zeros matter).
+    *
+    * Algorithm: order every edge `u < v`, build wedges `u–v–w`
+    * (`u < v < w` by construction, so each triangle is generated exactly
+    * once), close them against the edge list, then explode the three
+    * corners. Cost is Σ_v deg⁺(v)² on the ORDERED graph — the classic
+    * bound that makes this tractable when a hub's edges point mostly
+    * toward higher ids; for skew-heavy graphs cap degrees upstream (the
+    * [[cooccurrence]] maxPerSrc pattern).
+    *
+    * 100 TB shape: two shuffled joins on single vertex keys + one count
+    * — no broadcast of the edge list, no adjacency collection.
+    */
+  def triangles(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges0
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
+      .distinct()
+    val wedges = e.select(col("u"), col("v").as("__mid"))
+      .join(e.select(col("u").as("__mid"), col("v").as("w")), "__mid")
+    val tris = wedges
+      .join(e.select(col("u"), col("v").as("w")), Seq("u", "w"))
+      .select(col("u"), col("__mid").as("v"), col("w"))
+    tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

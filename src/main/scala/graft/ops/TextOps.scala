@@ -606,6 +606,35 @@ object TextOps {
         regexp_replace(noEmail, PhonePattern, "<PHONE>").as("redacted")): _*)
   }
 
+  /** PII audit table — the extraction complement to [[redactPii]]: one
+    * row per match, `(idCols..., kind, match, pos)` with `kind` ∈
+    * email/phone and `pos` the 1-based match index within the doc for
+    * that kind (matches are reported in document order). Redaction
+    * destroys; this AUDITS — the row count per kind is the exposure
+    * report, and the matches themselves feed an allow/deny review.
+    * Emails are extracted from the raw text, phones from the
+    * email-redacted text (same precedence rule as [[redactPii]], so the
+    * two operators always agree on counts).
+    *
+    * 100 TB shape: map-only regexp_extract_all + posexplode — output is
+    * match-sized, no shuffle.
+    */
+  def extractPii(df: DataFrame, textCol: String, idCols: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    val noEmail = regexp_replace(t, EmailPattern, "<EMAIL>")
+    val emails = df.select(idCols.map(col) :+
+      posexplode(regexp_extract_all(t, lit(EmailPattern), lit(0)))
+        .as(Seq("__p", "match")): _*)
+      .withColumn("kind", lit("email"))
+    val phones = df.select(idCols.map(col) :+
+      posexplode(regexp_extract_all(noEmail, lit(PhonePattern), lit(0)))
+        .as(Seq("__p", "match")): _*)
+      .withColumn("kind", lit("phone"))
+    emails.unionAll(phones)
+      .select(idCols.map(col) ++ Seq(col("kind"), col("match"),
+        (col("__p") + 1).cast("long").as("pos")): _*)
+  }
+
   /** Segment-level boilerplate dedup (the CCNet/paragraph-hash recipe at
     * token-window granularity): each document is cut into consecutive
     * `segTokens`-token segments; a segment whose md5 appears in at least

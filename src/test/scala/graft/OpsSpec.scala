@@ -3130,6 +3130,41 @@ class OpsSpec extends SparkSuite {
     assert(out(("b", "c"))._1 == 3L)
   }
 
+  test("extractPii audits matches with per-kind positions, agrees with redact") {
+    import graft.ops.TextOps
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "mail a@b.com then b@c.org call 555-123-4567"),
+      (2L, "clean text"),
+      (3L, "digits 555-111-2222 only")
+    ).toDF("doc_id", "text")
+    val out = TextOps.extractPii(df, "text", Seq("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSet == Set(
+      (1L, "email", "a@b.com", 1L), (1L, "email", "b@c.org", 2L),
+      (1L, "phone", "555-123-4567", 1L),
+      (3L, "phone", "555-111-2222", 1L)))
+    // counts agree with redactPii
+    val red = TextOps.redactPii(df, "text", Seq("doc_id")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(red(1L) == (2L, 1L) && red(2L) == (0L, 0L))
+  }
+
+  test("triangles counts each triangle once per corner, dedups edges") {
+    import graft.ops.Graph
+    val spark2 = spark
+    import spark2.implicits._
+    // K4 on 1..4 (every edge, some reversed/duplicated) + pendant 5
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (4L, 2L), (3L, 4L), (4L, 5L), (5L, 5L)).toDF("a", "b")
+    val out = Graph.triangles(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 has 4 triangles; each vertex sits in C(3,2)=3 of them
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"got $out")
+  }
+
   test("psi clamps out-of-range current values into edge buckets") {
     import graft.ops.Corpus
     val spark2 = spark
