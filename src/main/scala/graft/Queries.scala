@@ -4694,6 +4694,18 @@ object Queries {
       x AS (SELECT unnest([u, m, w]) node FROM t)
       SELECT node, COUNT(*)::BIGINT n_triangles FROM x GROUP BY 1"""))
 
+  /** Order-independent shipping manifest per source — count + content
+    * checksum; equal manifests ⇒ identical rows, any layout.
+    */
+  private val q168 = Q(
+    "q168_manifest",
+    (spark, dir) => Corpus.manifest(pq(spark, dir, "documents"),
+      Seq("source"), Seq("doc_id", "lang", "n_chars")),
+    Some("""SELECT source, COUNT(*)::BIGINT n_rows,
+        SUM(('0x' || substr(md5(concat_ws(chr(31), doc_id::VARCHAR, lang,
+          n_chars::VARCHAR)), 1, 8))::UBIGINT)::BIGINT content_sum
+      FROM documents GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4708,7 +4720,7 @@ object Queries {
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151,
     q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165, q166, q167)
+    q163, q164, q165, q166, q167, q168)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -348,6 +348,34 @@ object Corpus {
       .select("n_groups", "total_mass", "gini_micro")
   }
 
+  /** Shipping manifest per partition-value combination: row count plus
+    * an ORDER-INDEPENDENT content checksum (the sum of each row's
+    * md5-prefix u32 over the declared `hashCols`, unit-separator
+    * joined) — two corpora with equal manifests carry identical rows per
+    * partition regardless of file layout, row order, or engine, which is
+    * exactly what a cross-cluster copy wants to verify without moving
+    * data back.
+    *
+    * NULLs hash as empty fields (concat_ws skips them — a NULL and ''
+    * collide; include an explicit is-null flag column when that matters).
+    *
+    * 100 TB shape: one map-side-combined groupBy over the partition
+    * columns; output is partition-count-sized.
+    */
+  def manifest(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      hashCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty && hashCols.nonEmpty,
+      "need partition and hash columns")
+    val rowHash = expr(
+      s"""cast(conv(substring(md5(concat_ws(char(31),
+         ${hashCols.map(c => s"cast(`$c` as string)").mkString(", ")})), 1, 8),
+         16, 10) as long)""")
+    df.groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(rowHash).as("content_sum"))
+  }
+
   /** Hot-key skew report: the top-k heaviest values per column with
     * their corpus share — the before-the-join diagnosis that tells you
     * which keys need salting, an AQE skew hint, or a broadcast rethink

@@ -3165,6 +3165,24 @@ class OpsSpec extends SparkSuite {
       s"got $out")
   }
 
+  test("manifest checksum is row-order independent and change-sensitive") {
+    import graft.ops.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val a = Seq(("s1", 1L, "x"), ("s1", 2L, "y"), ("s2", 3L, "z"))
+      .toDF("src", "id", "v")
+    val b = Seq(("s2", 3L, "z"), ("s1", 2L, "y"), ("s1", 1L, "x")) // reordered
+      .toDF("src", "id", "v")
+    val c = Seq(("s1", 1L, "x"), ("s1", 2L, "CHANGED"), ("s2", 3L, "z"))
+      .toDF("src", "id", "v")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Corpus.manifest(df, Seq("src"), Seq("id", "v")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(a) == m(b), "row order must not matter")
+    assert(m(a)("s1") != m(c)("s1"), "a changed value must change the sum")
+    assert(m(a)("s2") == m(c)("s2"), "untouched partitions keep their sum")
+  }
+
   test("psi clamps out-of-range current values into edge buckets") {
     import graft.ops.Corpus
     val spark2 = spark
