@@ -4418,15 +4418,18 @@ object Queries {
         JOIN tot tb ON tb.item = pc.item_b, nb"""))
 
   /** Blocked Levenshtein candidate pairs over part names (block = the
-    * noun, fuzz across adjectives) — character-level entity resolution.
+    * noun + the adjective's first letter — the standard initial-letter
+    * recall tradeoff that keeps blocks bounded as parts scale).
     */
   private val q158 = Q(
     "q158_fuzzy_pairs",
     (spark, dir) => Entity.fuzzyPairs(
       pq(spark, dir, "part"), "p_partkey", "p_name",
-      expr("split(p_name, ' ')[1]"), maxDist = 3),
+      expr("concat(split(p_name, ' ')[1], '|', substring(p_name, 1, 1))"),
+      maxDist = 3),
     Some("""WITH t AS (SELECT p_partkey id, p_name txt,
-          split_part(p_name, ' ', 2) blk FROM part
+          split_part(p_name, ' ', 2) || '|' || substr(p_name, 1, 1) blk
+        FROM part
         WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL),
       p AS (SELECT a.id id_a, b.id id_b,
           levenshtein(a.txt, b.txt) dist,

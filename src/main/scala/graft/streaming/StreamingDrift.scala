@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.concurrent.duration.Duration
+
+/** Streaming PSI drift monitor — the production counterpart of
+  * [[graft.ops.Corpus.psi]]: each tumbling window's value distribution
+  * is scored against a STATIC reference histogram (yesterday's snapshot,
+  * the training distribution), emitting one row per closed window. The
+  * batch PSI says "these two snapshots differ"; this says "the live
+  * stream started differing forty minutes ago".
+  */
+object StreamingDrift {
+
+  /** Per-window PSI of `valueCol` against a reference described by
+    * `refLo`/`refHi` (the reference snapshot's observed range) and
+    * `refCounts` (bucket → count), cut by the SAME equi-width rule as
+    * the batch operator: `bins` buckets over [lo, hi], out-of-range
+    * clamps to edge buckets, `lo == hi` degenerates to bucket 0. Same
+    * exact-integer discipline too — +1 Laplace per bucket, micro-floored
+    * integer proportions, separately-floored ln decomposition,
+    * `psi_pico > 0.2e12 ⇒ drifted` — so a window's score equals the
+    * batch [[graft.ops.Corpus.psi]] of (reference, window rows)
+    * bit-for-bit (StreamingSpec asserts the parity).
+    *
+    * The whole score is ONE stateful windowed aggregation: each bucket
+    * is a plan-time conditional counter (hence `bins ≤ 200` — a
+    * monitoring histogram, not a density estimate), and the PSI is an
+    * unrolled exact-integer projection over those counters — unseen
+    * buckets participate through their Laplace +1 like the batch
+    * operator, the reference rides the plan as literals, and there is
+    * no join and no second stateful operator (append-mode-safe by
+    * construction).
+    *
+    * Output (append mode, watermark-closed windows):
+    * `(window_start_ms, window_end_ms, n, psi_pico, drifted)`; empty
+    * windows emit nothing.
+    *
+    * 100 TB shape: one shuffle on the window key; state per open window
+    * is `bins` longs.
+    */
+  def psiVsReference(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      refLo: Double,
+      refHi: Double,
+      refCounts: Map[Int, Long],
+      bins: Int,
+      window: Duration,
+      lateness: Duration): DataFrame = {
+    require(df.isStreaming, "use ops.Corpus.psi for batch inputs")
+    require(bins >= 2 && bins <= 200,
+      s"bins $bins out of [2,200] (one counter column per bin)")
+    require(refCounts.keys.forall(b => b >= 0 && b < bins),
+      "refCounts bucket out of range")
+    val v = col(valueCol).cast("double")
+    val bucket =
+      if (refLo == refHi) lit(0)
+      else least(greatest(
+        floor((v - refLo) * bins / (refHi - refLo)).cast("int"),
+        lit(0)), lit(bins - 1))
+
+    // reference-side constants (plan-time)
+    val lnM = (x: Double) => math.floor(math.log(x) * 1e6).toLong
+    val ca1 = (0 until bins).map(b => refCounts.getOrElse(b, 0L) + 1L)
+    val ta = ca1.sum
+    val lnTa = lnM(ta.toDouble)
+    val pa = ca1.map(_ * 1000000L / ta)
+    val lnCa1 = ca1.map(c => lnM(c.toDouble))
+
+    val counters = (0 until bins).map(b =>
+      count(when(col("__bucket") === b, 1)).as(s"c_$b"))
+    val agged = df
+      .filter(v.isNotNull)
+      .withColumn("__bucket", bucket)
+      .withWatermark(tsCol, s"${lateness.toMillis} milliseconds")
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol),
+        s"${window.toMillis} milliseconds"))
+      .agg(counters.head, counters.tail: _*)
+    val n = (0 until bins).map(b => col(s"c_$b")).reduce(_ + _)
+    val withTotals = agged
+      .withColumn("n", n)
+      .withColumn("tb", col("n") + bins)
+    val lnTb = floor(log(col("tb").cast("double")) * 1e6).cast("long")
+    val psi: Column = (0 until bins).map { b =>
+      val cb1 = col(s"c_$b") + 1L
+      val pb = expr(s"(c_$b + 1L) * 1000000L div tb")
+      val lnCb1 = floor(log(cb1.cast("double")) * 1e6).cast("long")
+      (lit(pa(b)) - pb) * (lit(lnCa1(b)) - lit(lnTa) - lnCb1 + lnTb)
+    }.reduce(_ + _)
+    withTotals
+      .withColumn("psi_pico", psi)
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        unix_millis(col("window.end")).as("window_end_ms"),
+        col("n"), col("psi_pico"),
+        (col("psi_pico") > 200000000000L).as("drifted"))
+  }
+}

@@ -1113,4 +1113,56 @@ class StreamingSpec extends SparkSuite {
       assert(got == Seq((5 * minute, 10L), (150 * minute, 10L)))
     } finally query.stop()
   }
+
+  test("streaming PSI drift equals batch psi per window, flags the shift") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // reference snapshot: uniform over [0, 100)
+    val ref = (0 until 1000).map(i => (i % 100).toDouble).toDF("v")
+    // its histogram under the shared bucket rule (bins=10, range 0..99)
+    val bins = 10
+    val (lo, hi) = (0.0, 99.0)
+    val refCounts = (0 until 1000).map(i => (i % 100).toDouble)
+      .groupBy(x => math.min(math.max(
+        math.floor((x - lo) * bins / (hi - lo)).toInt, 0), bins - 1))
+      .map { case (b, xs) => b -> xs.size.toLong }
+
+    val stream = MemoryStream[(Long, Double)]
+    val df = stream.toDF().toDF("t_ms", "v")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_millis(col("t_ms")))
+    val out = graft.streaming.StreamingDrift.psiVsReference(
+      df, "ts", "v", lo, hi, refCounts, bins,
+      window = 1.minute, lateness = 0.seconds)
+    val query = out.writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    try {
+      val minute = 60000L
+      // window 0: same uniform distribution → PSI ~ 0
+      stream.addData((0 until 200).map(i => (i * 10L, (i % 100).toDouble)): _*)
+      // window 1: everything piled on the top decile → drifted
+      stream.addData((0 until 200).map(i => (minute + i * 10L, 95.0 + (i % 5))): _*)
+      // window 2 watermark pusher (emits nothing itself yet)
+      stream.addData((10 * minute, 50.0))
+      query.processAllAvailable()
+      val got = spark.sql(
+        "SELECT window_start_ms, n, psi_pico, drifted FROM drift_out ORDER BY 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      assert(got.length == 2, s"two closed windows, got ${got.toSeq}")
+      assert(got(0)._2 == 200L && !got(0)._4, s"uniform window drifted? ${got(0)}")
+      assert(got(1)._4, s"shifted window must drift: ${got(1)}")
+
+      // bit-for-bit parity with the batch operator per window
+      val w0 = (0 until 200).map(i => (i % 100).toDouble).toDF("v")
+      val w1 = (0 until 200).map(i => 95.0 + (i % 5)).toDF("v")
+      val batch0 = graft.ops.Corpus.psi(ref, w0, Seq("v"), bins)
+        .collect()(0).getAs[Long]("psi_pico")
+      val batch1 = graft.ops.Corpus.psi(ref, w1, Seq("v"), bins)
+        .collect()(0).getAs[Long]("psi_pico")
+      assert(got(0)._3 == batch0, s"window 0: ${got(0)._3} vs batch $batch0")
+      assert(got(1)._3 == batch1, s"window 1: ${got(1)._3} vs batch $batch1")
+    } finally query.stop()
+  }
 }
