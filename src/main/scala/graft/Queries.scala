@@ -4709,6 +4709,49 @@ object Queries {
           n_chars::VARCHAR)), 1, 8))::UBIGINT)::BIGINT content_sum
       FROM documents GROUP BY 1"""))
 
+  /** Histogram rarity scores for every order over price and customer —
+    * the no-fit anomaly score from two reference passes.
+    */
+  private val q169 = Q(
+    "q169_rarity_score",
+    (spark, dir) => {
+      val o = pq(spark, dir, "orders")
+      Corpus.rarityScore(o, o, "o_orderkey",
+        Seq("o_totalprice", "o_custkey"), bins = 64)
+    },
+    Some("""WITH st AS (SELECT 'o_totalprice' col_name, o_totalprice::DOUBLE v
+          FROM orders WHERE o_totalprice IS NOT NULL
+        UNION ALL SELECT 'o_custkey', o_custkey::DOUBLE FROM orders
+          WHERE o_custkey IS NOT NULL),
+      rg AS (SELECT col_name, MIN(v) lo, MAX(v) hi FROM st GROUP BY 1),
+      cnts AS (SELECT s.col_name,
+          CASE WHEN lo = hi THEN 0 ELSE LEAST(GREATEST(
+            floor((v - lo) * 64 / (hi - lo))::INT, 0), 63) END bucket,
+          COUNT(*)::BIGINT n
+        FROM st s JOIN rg USING (col_name) GROUP BY 1, 2),
+      tot AS (SELECT col_name, SUM(n)::BIGINT nt FROM cnts GROUP BY 1),
+      rowsl AS (SELECT o_orderkey, 'o_totalprice' col_name,
+          o_totalprice::DOUBLE v FROM orders
+        UNION ALL SELECT o_orderkey, 'o_custkey', o_custkey::DOUBLE
+          FROM orders),
+      scored AS (SELECT r.o_orderkey, r.col_name, r.v, tot.nt,
+          CASE WHEN rg.lo = rg.hi THEN 0 ELSE LEAST(GREATEST(
+            floor((r.v - rg.lo) * 64 / (rg.hi - rg.lo))::INT, 0), 63)
+          END bucket
+        FROM rowsl r LEFT JOIN rg USING (col_name)
+          LEFT JOIN tot USING (col_name)),
+      contrib AS (SELECT s.o_orderkey,
+          CASE WHEN s.v IS NULL THEN 0
+            ELSE floor(ln((s.nt + 64)::DOUBLE) * 1e6)::BIGINT
+              - floor(ln((COALESCE(c.n, 0) + 1)::DOUBLE) * 1e6)::BIGINT
+          END ctr,
+          CASE WHEN s.v IS NULL THEN 1 ELSE 0 END miss
+        FROM scored s LEFT JOIN cnts c
+          ON c.col_name = s.col_name AND c.bucket = s.bucket)
+      SELECT o_orderkey, SUM(ctr)::BIGINT surprise_micro,
+        SUM(miss)::BIGINT n_missing
+      FROM contrib GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4723,7 +4766,7 @@ object Queries {
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151,
     q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165, q166, q167, q168)
+    q163, q164, q165, q166, q167, q168, q169)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -348,6 +348,79 @@ object Corpus {
       .select("n_groups", "total_mass", "gini_micro")
   }
 
+  /** Histogram rarity (surprise) score: each row's negative log density
+    * under REF's per-column equi-width histograms, summed across
+    * columns — a cheap, fully-distributed anomaly score ("how unusual
+    * is this row") that needs no model fit beyond two aggregation
+    * passes. Laplace-smoothed (`+1` per bucket) so rows landing in
+    * buckets REF never saw still score (high, as they should);
+    * out-of-range values clamp to edge buckets ([[graft.ops.Corpus.psi]]'s
+    * rule); a NULL contributes nothing but increments `n_missing`.
+    *
+    * `surprise_micro = Σ_cols ln6(N_c + bins) − ln6(n_bucket + 1)` —
+    * exact integers via the usual separately-floored logs; ~ln(corpus)
+    * per fully-unseen column.
+    *
+    * 100 TB shape: REF collapses to a cols×bins model (two map-side
+    * passes) that rides the scoring plan as LITERAL maps — the scored
+    * frame is touched once, map-only, no join, no shuffle.
+    */
+  def rarityScore(
+      ref: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      cols: Seq[String],
+      bins: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    require(bins >= 2 && bins <= 1024, s"bins $bins out of [2,1024]")
+    def stacked(df: DataFrame) = df.selectExpr(
+        s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ") +
+          ") as (col_name, v)")
+      .filter(col("v").isNotNull)
+    val ranges = stacked(ref).groupBy("col_name")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    def bucketOf(c: String, lo: Double, hi: Double) =
+      if (lo == hi) lit(0)
+      else least(greatest(
+        floor((col(c).cast("double") - lo) * bins / (hi - lo)).cast("int"),
+        lit(0)), lit(bins - 1))
+    val counts = stacked(ref)
+      .withColumn("bucket", {
+        // per-column bucket rule replayed on the stacked frame
+        cols.map(c => when(col("col_name") === c, {
+          val (lo, hi) = ranges.getOrElse(c, (0.0, 0.0))
+          if (lo == hi) lit(0)
+          else least(greatest(
+            floor((col("v") - lo) * bins / (hi - lo)).cast("int"),
+            lit(0)), lit(bins - 1))
+        })).reduce(_ otherwise _)
+      })
+      .groupBy("col_name", "bucket").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val totals = cols.map(c =>
+      c -> counts.collect { case ((cn, _), n) if cn == c => n }.sum).toMap
+    val lnM = (x: Double) => math.floor(math.log(x) * 1e6).toLong
+    val perCol = cols.map { c =>
+      val (lo, hi) = ranges.getOrElse(c, (0.0, 0.0))
+      val lnTotal = lnM((totals.getOrElse(c, 0L) + bins).toDouble)
+      val lnByBucket = (0 until bins).map(b =>
+        b -> lnM((counts.getOrElse((c, b), 0L) + 1L).toDouble)).toMap
+      val contribution =
+        if (!ranges.contains(c)) lit(lnM(bins.toDouble)) - lit(0L)
+        else lit(lnTotal) -
+          element_at(typedLit(lnByBucket), bucketOf(c, lo, hi))
+      (when(col(c).isNotNull, contribution).otherwise(lit(0L)),
+        when(col(c).isNull, 1L).otherwise(0L))
+    }
+    score.select(col(idCol),
+      perCol.map(_._1).reduce(_ + _).as("surprise_micro"),
+      perCol.map(_._2).reduce(_ + _).as("n_missing"))
+  }
+
   /** Shipping manifest per partition-value combination: row count plus
     * an ORDER-INDEPENDENT content checksum (the sum of each row's
     * md5-prefix u32 over the declared `hashCols`, unit-separator

@@ -635,6 +635,8 @@ object TextOps {
         (col("__p") + 1).cast("long").as("pos")): _*)
   }
 
+
+
   /** Segment-level boilerplate dedup (the CCNet/paragraph-hash recipe at
     * token-window granularity): each document is cut into consecutive
     * `segTokens`-token segments; a segment whose md5 appears in at least

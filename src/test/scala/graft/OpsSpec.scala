@@ -3183,6 +3183,33 @@ class OpsSpec extends SparkSuite {
     assert(m(a)("s2") == m(c)("s2"), "untouched partitions keep their sum")
   }
 
+  test("rarityScore: rare and unseen rows outscore common ones") {
+    import graft.ops.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    // ref: 99 values at ~10, one at 1000 (its own bucket)
+    val ref = ((1 to 99).map(_ => 10.0) ++ Seq(1000.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    // score: a common row, the rare row, an unseen-range row, a null
+    val sc = Seq((1L, Option(10.0)), (2L, Option(1000.0)),
+      (3L, Option(-1e9)), (4L, None)).toDF("id", "x")
+    val out = Corpus.rarityScore(ref, sc, "id", Seq("x"), bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val (common, rare, unseen, nul) =
+      (out(1L)._1, out(2L)._1, out(3L)._1, out(4L))
+    assert(common < rare, s"common $common !< rare $rare")
+    // documented clamp rule: out-of-range joins the EDGE bucket — here the
+    // dense low bucket, so it scores like a common row, not like an outlier
+    assert(unseen == common, s"clamped row scores its edge bucket: " +
+      s"$unseen vs $common")
+    assert(nul == (0L, 1L), "null contributes nothing, counts missing")
+    // exact replay: common = ln6(110) − ln6(100)
+    def ln6(x: Double) = math.floor(math.log(x) * 1e6).toLong
+    assert(common == ln6(110) - ln6(100))
+    assert(rare == ln6(110) - ln6(2))
+  }
+
   test("psi clamps out-of-range current values into edge buckets") {
     import graft.ops.Corpus
     val spark2 = spark
