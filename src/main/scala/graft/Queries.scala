@@ -2,7 +2,7 @@ package graft
 
 import graft.client.{GraftClient, Metrics}
 import graft.engine.{EventTime, TemporalJoin}
-import graft.ops.{Chat, Cluster, Corpus, Decay, Dedup, Entity, Eval, Features, Graph, Multimodal, Privacy, Sampling, SemiStructured, Sessions, Similarity, Sketch, Skew, TextOps, TimeSeries}
+import graft.ops.{Chat, Cluster, Corpus, Decay, Dedup, Entity, Eval, Features, Graph, Multimodal, Privacy, Sampling, Scd, SemiStructured, Sessions, Similarity, Sketch, Skew, TextOps, TimeSeries}
 import graft.table._
 import graft.types._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -4752,6 +4752,61 @@ object Queries {
         SUM(miss)::BIGINT n_missing
       FROM contrib GROUP BY 1"""))
 
+  /** SCD2 validity intervals of each user's event-type state from the
+    * raw change log.
+    */
+  private val q170 = Q(
+    "q170_scd2_history",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      Scd.scd2FromLog(
+        raw.select(col("user_id"), col("event_id"),
+          EventTime.epochMillis(raw, "ts").as("ts_ms"), col("event_type")),
+        Seq("user_id"), "ts_ms", Seq("event_type"), "event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) tms, event_type
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      d AS (SELECT *, LAG(event_type) OVER w prev,
+          ROW_NUMBER() OVER w rn FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+      ch AS (SELECT user_id, event_id, tms, event_type FROM d
+        WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+      o AS (SELECT user_id, event_type, tms AS valid_from_ms,
+          LEAD(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id)
+            AS valid_to_ms
+        FROM ch)
+      SELECT user_id, event_type, valid_from_ms, valid_to_ms,
+        valid_to_ms IS NULL AS is_current FROM o"""))
+
+  /** Point-in-time dimension snapshot from the SCD2 table — what was
+    * every user's state on 2024-01-16.
+    */
+  private val q171 = Q(
+    "q171_scd2_snapshot",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      Scd.snapshotAt(Scd.scd2FromLog(
+        raw.select(col("user_id"), col("event_id"),
+          EventTime.epochMillis(raw, "ts").as("ts_ms"), col("event_type")),
+        Seq("user_id"), "ts_ms", Seq("event_type"), "event_id"),
+        asOfMs = 1705363200000L)
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) tms, event_type
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      d AS (SELECT *, LAG(event_type) OVER w prev,
+          ROW_NUMBER() OVER w rn FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+      ch AS (SELECT user_id, event_id, tms, event_type FROM d
+        WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+      o AS (SELECT user_id, event_type, tms AS valid_from_ms,
+          LEAD(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id)
+            AS valid_to_ms
+        FROM ch)
+      SELECT user_id, event_type, valid_from_ms, valid_to_ms,
+        valid_to_ms IS NULL AS is_current FROM o
+      WHERE valid_from_ms <= 1705363200000
+        AND (valid_to_ms IS NULL OR valid_to_ms > 1705363200000)"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4766,7 +4821,7 @@ object Queries {
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151,
     q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165, q166, q167, q168, q169)
+    q163, q164, q165, q166, q167, q168, q169, q170, q171)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

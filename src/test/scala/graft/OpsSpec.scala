@@ -3210,6 +3210,36 @@ class OpsSpec extends SparkSuite {
     assert(rare == ln6(110) - ln6(2))
   }
 
+  test("scd2FromLog: change dedup, null-safe tuples, interval closure") {
+    import graft.ops.Scd
+    val spark2 = spark
+    import spark2.implicits._
+    val log = Seq(
+      (1L, 1L, 10L, Option("a")),
+      (1L, 2L, 20L, Option("a")), // no-op repeat
+      (1L, 3L, 30L, Option("b")), // change
+      (1L, 4L, 40L, None), // change to NULL (real change)
+      (1L, 5L, 50L, None), // NULL→NULL: no-op
+      (2L, 6L, 15L, Option("x"))
+    ).toDF("k", "eid", "ts_ms", "v")
+    val scd = Scd.scd2FromLog(log, Seq("k"), "ts_ms", Seq("v"), "eid")
+    val rows = scd.collect().map(r => (r.getLong(0),
+      Option(r.getString(1)), r.getLong(2),
+      Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSet
+    assert(rows == Set(
+      (1L, Some("a"), 10L, Some(30L), false),
+      (1L, Some("b"), 30L, Some(40L), false),
+      (1L, None, 40L, None, true),
+      (2L, Some("x"), 15L, None, true)))
+    // snapshot at t=35: key 1 shows "b", key 2 shows "x"
+    val snap = Scd.snapshotAt(scd, 35L).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(snap == Map(1L -> Some("b"), 2L -> Some("x")))
+    // snapshot before key 2 existed
+    val early = Scd.snapshotAt(scd, 12L).collect().map(_.getLong(0)).toSet
+    assert(early == Set(1L))
+  }
+
   test("psi clamps out-of-range current values into edge buckets") {
     import graft.ops.Corpus
     val spark2 = spark
