@@ -4807,6 +4807,444 @@ object Queries {
       WHERE valid_from_ms <= 1705363200000
         AND (valid_to_ms IS NULL OR valid_to_ms > 1705363200000)"""))
 
+  /** Quantile normalization of per-type event values onto the global
+    * value distribution — exact nearest-rank, distributed global rank
+    * (no single-task window).
+    */
+  private val q172 = Q(
+    "q172_quantile_normalize",
+    (spark, dir) => Features.quantileNormalize(
+      pq(spark, dir, "events"), "event_id", "event_type", "value"),
+    Some("""WITH b AS (SELECT event_id, event_type, value AS v FROM events
+          WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY v, event_id) rg,
+          COUNT(*) OVER (PARTITION BY event_type) ng FROM b),
+      g AS (SELECT v gv, ROW_NUMBER() OVER (ORDER BY v, event_id) pos FROM b),
+      t AS (SELECT COUNT(*)::BIGINT n FROM b)
+      SELECT r.event_id, r.event_type, r.v AS value, g.gv AS norm_value
+      FROM r CROSS JOIN t
+        JOIN g ON g.pos = (r.rg * t.n + r.ng - 1) // r.ng"""))
+
+  /** Serpentine group-balanced k-fold assignment over customers —
+    * GroupKFold without the sequential greedy loop.
+    */
+  private val q173 = Q(
+    "q173_group_folds",
+    (spark, dir) => Sampling.groupFolds(pq(spark, dir, "orders"),
+      "o_custkey", k = 5),
+    Some("""WITH s AS (SELECT o_custkey, COUNT(*)::BIGINT n_rows FROM orders
+          WHERE o_custkey IS NOT NULL GROUP BY 1),
+      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_rows DESC, o_custkey) rn
+        FROM s)
+      SELECT o_custkey, n_rows,
+        (CASE WHEN ((rn - 1) // 5) % 2 = 0 THEN (rn - 1) % 5
+         ELSE 4 - (rn - 1) % 5 END)::BIGINT AS fold
+      FROM r"""))
+
+  /** Split-conformal 90% thresholds per event type (even ids calibrate,
+    * odd ids test) with the empirical coverage audit.
+    */
+  private val q174 = Q(
+    "q174_conformal",
+    (spark, dir) => {
+      val e = pq(spark, dir, "events")
+      Eval.conformalThreshold(
+        e.filter(col("event_id") % 2 === 0),
+        e.filter(col("event_id") % 2 === 1),
+        "event_type", "value", "event_id", alphaPermille = 100)
+    },
+    Some("""WITH b AS (SELECT event_id, event_type, value FROM events
+          WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      cal AS (SELECT * FROM b WHERE event_id % 2 = 0),
+      tst AS (SELECT * FROM b WHERE event_id % 2 = 1),
+      r AS (SELECT event_type, value, event_id,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY value, event_id) rn,
+          COUNT(*) OVER (PARTITION BY event_type) n_cal FROM cal),
+      th AS (SELECT event_type, n_cal,
+          LEAST(((n_cal + 1) * 900 + 999) // 1000, n_cal) q_index,
+          value AS threshold
+        FROM r
+        WHERE rn = LEAST(((n_cal + 1) * 900 + 999) // 1000, n_cal)),
+      cv AS (SELECT t.event_type, COUNT(*)::BIGINT n_test,
+          COUNT(CASE WHEN t.value <= th.threshold THEN 1 END)::BIGINT n_covered
+        FROM tst t JOIN th ON th.event_type = t.event_type GROUP BY 1)
+      SELECT th.event_type, th.n_cal, th.q_index, th.threshold,
+        COALESCE(cv.n_test, 0)::BIGINT AS n_test,
+        COALESCE(cv.n_covered, 0)::BIGINT AS n_covered
+      FROM th LEFT JOIN cv USING (event_type)"""))
+
+  /** Exact balanced range-partition plan for a sorted orders write —
+    * TeraSort boundaries plus the per-partition row audit.
+    */
+  private val q175 = Q(
+    "q175_range_plan",
+    (spark, dir) => Skew.rangePartitionPlan(pq(spark, dir, "orders"),
+      "o_totalprice", "o_orderkey", p = 8),
+    Some("""WITH b AS (SELECT o_totalprice v, o_orderkey k FROM orders
+          WHERE o_totalprice IS NOT NULL),
+      t AS (SELECT COUNT(*)::BIGINT n FROM b),
+      r AS (SELECT v, k, ROW_NUMBER() OVER (ORDER BY v, k) rn FROM b),
+      ids AS (SELECT unnest(generate_series(0, 7))::INT partition_id),
+      bd AS (SELECT (gs.i - 1)::INT partition_id, r.v bv, r.k bk
+        FROM t, (SELECT unnest(generate_series(1, 7)) i) gs
+        JOIN r ON r.rn = (gs.i * t.n + 7) // 8),
+      cnt AS (SELECT LEAST((8 * (r.rn - 1)) // t.n, 7)::INT partition_id,
+          COUNT(*)::BIGINT n_rows
+        FROM r, t GROUP BY 1)
+      SELECT ids.partition_id, bd.bv AS upper_value, bd.bk AS upper_tie,
+        COALESCE(cnt.n_rows, 0)::BIGINT AS n_rows
+      FROM ids LEFT JOIN bd USING (partition_id)
+        LEFT JOIN cnt USING (partition_id)"""))
+
+  /** Exact binary-decay EWMA (α = 1/2, 8 lags) of event values per user
+    * — integer power-of-two weights, no float recurrence.
+    */
+  private val q176 = Q(
+    "q176_ewma",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      TimeSeries.ewmaPow2(
+        raw.select(col("user_id"), col("event_id"),
+          EventTime.epochMillis(raw, "ts").as("ts_ms"), col("value")),
+        "user_id", "ts_ms", "event_id", "value", lookback = 8)
+    },
+    Some {
+      val num = (0 to 8).map { k =>
+        val wgt = 1L << (8 - k)
+        val lagv = if (k == 0) "v" else s"lag(v, $k) OVER w"
+        s"COALESCE($lagv * $wgt, 0)"
+      }.mkString(" + ")
+      val den = (0 to 8).map { k =>
+        val wgt = 1L << (8 - k)
+        val lagv = if (k == 0) "v" else s"lag(v, $k) OVER w"
+        s"CASE WHEN $lagv IS NULL THEN 0 ELSE $wgt END"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ts_ms,
+          floor(value * 1e6)::BIGINT v FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL)
+      SELECT user_id, event_id, ts_ms, v AS v_micro,
+        ($num)::BIGINT AS ewma_num,
+        ($den)::BIGINT AS ewma_den
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)"""
+    })
+
+  /** Per-order anomaly attribution — which measure deviates most from
+    * its global distribution, in integer z-milli.
+    */
+  private val q177 = Q(
+    "q177_anomaly_attrib",
+    (spark, dir) => Eval.anomalyAttribution(
+      pq(spark, dir, "orders"),
+      "o_orderkey", Seq("o_totalprice", "o_custkey")),
+    Some("""WITH s AS (SELECT col_name, floor(v * 1e6)::BIGINT xm FROM (
+          SELECT 'o_totalprice' col_name, o_totalprice::DOUBLE v FROM orders
+          UNION ALL SELECT 'o_custkey', o_custkey::DOUBLE FROM orders)
+        WHERE v IS NOT NULL),
+      g AS (SELECT col_name, COUNT(*)::BIGINT n, SUM(xm::HUGEINT) s1,
+          SUM(xm::HUGEINT * xm) s2 FROM s GROUP BY 1),
+      st AS (SELECT col_name, (s1 // n)::BIGINT mean_micro,
+          GREATEST(floor(sqrt((n * s2 - s1 * s1)::DOUBLE
+            / (n::DOUBLE * n::DOUBLE)))::BIGINT, 1) std_micro
+        FROM g),
+      rz AS (SELECT o_orderkey, col_name,
+          CASE WHEN v IS NULL THEN 0
+            ELSE abs(floor(v * 1e6)::BIGINT - mean_micro) * 1000 // std_micro
+          END z
+        FROM (SELECT o_orderkey, 'o_totalprice' col_name,
+            o_totalprice::DOUBLE v FROM orders
+          UNION ALL SELECT o_orderkey, 'o_custkey', o_custkey::DOUBLE
+            FROM orders) x
+          JOIN st USING (col_name)),
+      pick AS (SELECT o_orderkey, col_name, z, ROW_NUMBER() OVER (
+          PARTITION BY o_orderkey ORDER BY z DESC, col_name DESC) rn FROM rz),
+      ext AS (SELECT o_orderkey,
+          COUNT(CASE WHEN z > 3000 THEN 1 END)::BIGINT n_extreme
+        FROM rz GROUP BY 1)
+      SELECT p.o_orderkey, p.col_name AS top_col, p.z AS top_z_milli,
+        ext.n_extreme
+      FROM pick p JOIN ext USING (o_orderkey) WHERE p.rn = 1"""))
+
+  /** JSON schema drift between two payload snapshots: a key removed, a
+    * key added, a bool re-typed to string, a presence share collapsing.
+    */
+  private val q178 = Q(
+    "q178_schema_drift",
+    (spark, dir) => {
+      val o = pq(spark, dir, "orders")
+      val k = col("o_orderkey")
+      val cents = floor(col("o_totalprice") * 100).cast("long").cast("string")
+      val oldPayload = concat(
+        lit("{\"okey\":"), k.cast("string"),
+        lit(",\"price_cents\":"), cents,
+        lit(",\"flag\":"), (k % 2 === 0).cast("string"),
+        lit(",\"note\":\"n\"}"))
+      val newPayload = when(k % 3 === 0, concat(
+          lit("{\"okey\":"), k.cast("string"),
+          lit(",\"price_cents\":"), cents,
+          lit(",\"flag\":\"y\",\"priority\":\""), col("o_orderpriority"),
+          lit("\"}")))
+        .otherwise(concat(
+          lit("{\"okey\":"), k.cast("string"),
+          lit(",\"flag\":\"n\",\"priority\":\""), col("o_orderpriority"),
+          lit("\"}")))
+      SemiStructured.schemaDrift(
+        o.select(oldPayload.as("payload")),
+        o.select(newPayload.as("payload")), "payload")
+    },
+    Some("""WITH o AS (SELECT '{"okey":' || o_orderkey || ',"price_cents":'
+          || floor(o_totalprice * 100)::BIGINT || ',"flag":'
+          || (o_orderkey % 2 = 0) || ',"note":"n"}' payload FROM orders),
+      nw AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN
+            '{"okey":' || o_orderkey || ',"price_cents":'
+              || floor(o_totalprice * 100)::BIGINT
+              || ',"flag":"y","priority":"' || o_orderpriority || '"}'
+          ELSE '{"okey":' || o_orderkey || ',"flag":"n","priority":"'
+            || o_orderpriority || '"}' END payload FROM orders),
+      vo AS (SELECT key, json_extract_string(payload, '$.' || key) v
+        FROM (SELECT payload, unnest(json_keys(payload)) AS key FROM o) ko),
+      go AS (SELECT key, COUNT(v)::BIGINT n_present,
+          COUNT(CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN 1 END)::BIGINT ni,
+          COUNT(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 1 END)::BIGINT nn,
+          COUNT(CASE WHEN v IN ('true', 'false') THEN 1 END)::BIGINT nb
+        FROM vo GROUP BY 1),
+      po AS (SELECT key, CASE WHEN n_present = 0 THEN 'null'
+            WHEN nb * 2 > n_present THEN 'bool'
+            WHEN ni * 2 > n_present THEN 'int'
+            WHEN nn * 2 > n_present THEN 'num' ELSE 'str' END old_type,
+          n_present * 1000000 // (SELECT COUNT(*) FROM o) old_share_micro
+        FROM go),
+      vn AS (SELECT key, json_extract_string(payload, '$.' || key) v
+        FROM (SELECT payload, unnest(json_keys(payload)) AS key FROM nw) kn),
+      gn AS (SELECT key, COUNT(v)::BIGINT n_present,
+          COUNT(CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN 1 END)::BIGINT ni,
+          COUNT(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 1 END)::BIGINT nn,
+          COUNT(CASE WHEN v IN ('true', 'false') THEN 1 END)::BIGINT nb
+        FROM vn GROUP BY 1),
+      pn AS (SELECT key, CASE WHEN n_present = 0 THEN 'null'
+            WHEN nb * 2 > n_present THEN 'bool'
+            WHEN ni * 2 > n_present THEN 'int'
+            WHEN nn * 2 > n_present THEN 'num' ELSE 'str' END new_type,
+          n_present * 1000000 // (SELECT COUNT(*) FROM nw) new_share_micro
+        FROM gn)
+      SELECT COALESCE(po.key, pn.key) AS key,
+        CASE WHEN po.key IS NULL THEN 'added'
+          WHEN pn.key IS NULL THEN 'removed'
+          WHEN old_type <> new_type THEN 'type_changed'
+          WHEN abs(new_share_micro - old_share_micro) >= 100000
+            THEN 'share_shifted'
+          ELSE 'stable' END AS status,
+        old_type, new_type,
+        old_share_micro::BIGINT old_share_micro,
+        new_share_micro::BIGINT new_share_micro
+      FROM po FULL OUTER JOIN pn ON po.key = pn.key"""))
+
+  /** Purged temporal split: first 70% of events by time train, a 1-hour
+    * embargo gap excluded, the rest test — the leakage guard for lagged
+    * features.
+    */
+  private val q179 = Q(
+    "q179_embargo_split",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      Sampling.temporalEmbargoSplit(
+        raw.select(col("event_id"), col("user_id"),
+          EventTime.epochMillis(raw, "ts").as("ts_ms")),
+        "ts_ms", "event_id", trainPermille = 700, embargoMs = 3600000L)
+    },
+    Some("""WITH b AS (SELECT event_id, user_id, epoch_ms(ts) ts_ms
+          FROM events WHERE ts IS NOT NULL),
+      t AS (SELECT COUNT(*)::BIGINT n FROM b),
+      r AS (SELECT ts_ms, event_id,
+          ROW_NUMBER() OVER (ORDER BY ts_ms, event_id) rn FROM b),
+      c AS (SELECT r.ts_ms cut_ts, r.event_id cut_tie FROM r, t
+        WHERE r.rn = GREATEST(1, t.n * 700 // 1000))
+      SELECT b.event_id, b.user_id, b.ts_ms,
+        CASE WHEN b.ts_ms < c.cut_ts
+            OR (b.ts_ms = c.cut_ts AND b.event_id <= c.cut_tie) THEN 'train'
+          WHEN b.ts_ms > c.cut_ts + 3600000 THEN 'test'
+          ELSE 'embargo' END AS split
+      FROM b, c"""))
+
+  /** Mutual top-1 cosine neighbors on the 300-vector audit sample — the
+    * reciprocity filter over one-way nearest neighbors.
+    */
+  private val q180 = Q(
+    "q180_mutual_nn",
+    (spark, dir) => Similarity.mutualTop1(
+      pq(spark, dir, "embeddings").filter(col("vec_id") < 300),
+      "vec_id", "embedding"),
+    Some("""WITH q AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+          WHERE vec_id < 300),
+      s AS (SELECT a.vec_id qid, b.vec_id nid,
+          ROUND(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))), 6) score
+        FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY score DESC, nid) rn FROM s),
+      nn AS (SELECT qid, nid, score FROM r WHERE rn = 1)
+      SELECT f.qid AS id_a, f.nid AS id_b, f.score AS score
+      FROM nn f JOIN nn r2
+        ON f.qid = r2.nid AND f.nid = r2.qid AND f.qid < f.nid"""))
+
+  /** Theil–Sen robust trend per user over hourly value buckets — the
+    * median pairwise slope, outlier-immune.
+    */
+  private val q181 = Q(
+    "q181_theil_sen",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val buckets = raw
+        .select(col("user_id"),
+          EventTime.epochMillis(raw, "ts").as("ts_ms"), col("value"))
+        .filter(col("user_id").isNotNull && col("ts_ms").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("t", expr("ts_ms div 3600000"))
+        .groupBy("user_id", "t")
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("v"))
+      TimeSeries.theilSen(buckets, "user_id", "t", "v")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) // 3600000 t,
+          floor(value * 1e6)::BIGINT vm FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      p AS (SELECT user_id, t, SUM(vm)::BIGINT v FROM e GROUP BY 1, 2),
+      c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t) rn
+        FROM p),
+      pts AS (SELECT user_id, t, v FROM c WHERE rn <= 256),
+      pr AS (SELECT a.user_id, a.t t1, b.t t2,
+          (b.v - a.v)::DOUBLE / (b.t - a.t)::DOUBLE slope
+        FROM pts a JOIN pts b ON a.user_id = b.user_id AND a.t < b.t),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY slope, t1, t2) rr,
+          COUNT(*) OVER (PARTITION BY user_id) m FROM pr),
+      np AS (SELECT user_id, COUNT(*)::BIGINT n_points FROM pts GROUP BY 1)
+      SELECT r.user_id, np.n_points, r.m AS n_pairs,
+        r.slope AS slope_per_ms
+      FROM r JOIN np USING (user_id) WHERE rr = (m + 1) // 2"""))
+
+  /** Benford first-digit audit of order totals per priority class —
+    * hardcoded log-law expectations, integer shares.
+    */
+  private val q182 = Q(
+    "q182_benford",
+    (spark, dir) => Corpus.benford(pq(spark, dir, "orders"),
+      "o_orderpriority", "o_totalprice"),
+    Some("""WITH b AS (SELECT o_orderpriority g,
+          substr(floor(o_totalprice * 100)::BIGINT::VARCHAR, 1, 1)::INT digit
+        FROM orders WHERE o_orderpriority IS NOT NULL
+          AND o_totalprice IS NOT NULL AND o_totalprice > 0),
+      c AS (SELECT g, digit, COUNT(*)::BIGINT n FROM b
+        WHERE digit >= 1 GROUP BY 1, 2),
+      t AS (SELECT g, SUM(n)::BIGINT n_group FROM c GROUP BY 1),
+      e AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+          (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+          (9, 45757)) v(digit, bm))
+      SELECT c.g AS o_orderpriority, c.digit, c.n, t.n_group,
+        c.n * 1000000 // t.n_group AS share_micro,
+        e.bm::BIGINT AS benford_micro,
+        abs(c.n * 1000000 // t.n_group - e.bm)::BIGINT AS dev_micro
+      FROM c JOIN t USING (g) JOIN e USING (digit)"""))
+
+  /** Blocking-strategy audit over documents: candidate-pair cost and
+    * straggler-block size of two blocking keys, before any matcher runs.
+    */
+  private val q183 = Q(
+    "q183_blocking_audit",
+    (spark, dir) => Entity.blockingAudit(pq(spark, dir, "documents"), Seq(
+      "lang_lenbucket" -> concat(col("lang"), lit("|"),
+        expr("cast(n_chars div 100 as string)")),
+      "md5_prefix3" -> substring(md5(substring(col("text"), 1, 32)), 1, 3))),
+    Some("""WITH s1 AS (SELECT lang || '|' || (n_chars // 100) blk
+          FROM documents),
+      b1 AS (SELECT blk, COUNT(*)::BIGINT b FROM s1
+        WHERE blk IS NOT NULL GROUP BY 1),
+      a1 AS (SELECT 'lang_lenbucket' strategy, SUM(b)::BIGINT n_rows,
+          COUNT(*)::BIGINT n_blocks,
+          SUM(b * (b - 1) // 2)::BIGINT n_candidate_pairs,
+          MAX(b) max_block FROM b1),
+      s2 AS (SELECT substr(md5(substr(text, 1, 32)), 1, 3) blk
+          FROM documents),
+      b2 AS (SELECT blk, COUNT(*)::BIGINT b FROM s2
+        WHERE blk IS NOT NULL GROUP BY 1),
+      a2 AS (SELECT 'md5_prefix3' strategy, SUM(b)::BIGINT n_rows,
+          COUNT(*)::BIGINT n_blocks,
+          SUM(b * (b - 1) // 2)::BIGINT n_candidate_pairs,
+          MAX(b) max_block FROM b2),
+      u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+      SELECT strategy, n_rows, n_blocks, n_candidate_pairs,
+        CASE WHEN n_rows > 1 THEN (n_candidate_pairs::HUGEINT * 1000000
+          // (n_rows::HUGEINT * (n_rows - 1) // 2))::BIGINT END
+          AS reduction_micro,
+        max_block
+      FROM u"""))
+
+  /** Clustering-vs-labels quality: purity and NMI of document sources
+    * against language tags, integer-ln exact.
+    */
+  private val q184 = Q(
+    "q184_cluster_purity",
+    (spark, dir) => Cluster.purityNmi(pq(spark, dir, "documents"),
+      "source", "lang"),
+    Some("""WITH cells AS (SELECT source c, lang l, COUNT(*)::BIGINT o
+          FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+          GROUP BY 1, 2),
+      mc AS (SELECT c, SUM(o)::BIGINT nc, MAX(o)::BIGINT maxc
+        FROM cells GROUP BY 1),
+      ml AS (SELECT l, SUM(o)::BIGINT nl FROM cells GROUP BY 1),
+      t AS (SELECT SUM(o)::BIGINT n FROM cells),
+      mi AS (SELECT SUM(o * (floor(ln(o::DOUBLE) * 1e6)::BIGINT
+            + floor(ln(t.n::DOUBLE) * 1e6)::BIGINT
+            - floor(ln(nc::DOUBLE) * 1e6)::BIGINT
+            - floor(ln(nl::DOUBLE) * 1e6)::BIGINT))::BIGINT mi_sum
+        FROM cells JOIN mc USING (c) JOIN ml USING (l), t),
+      hc AS (SELECT COUNT(*)::BIGINT n_clusters, SUM(maxc)::BIGINT pure_sum,
+          SUM(nc * (floor(ln(t.n::DOUBLE) * 1e6)::BIGINT
+            - floor(ln(nc::DOUBLE) * 1e6)::BIGINT))::BIGINT hc_sum
+        FROM mc, t),
+      hl AS (SELECT COUNT(*)::BIGINT n_labels,
+          SUM(nl * (floor(ln(t.n::DOUBLE) * 1e6)::BIGINT
+            - floor(ln(nl::DOUBLE) * 1e6)::BIGINT))::BIGINT hl_sum
+        FROM ml, t)
+      SELECT t.n, hc.n_clusters, hl.n_labels,
+        pure_sum * 1000000 // t.n AS purity_micro,
+        mi.mi_sum, hc.hc_sum, hl.hl_sum,
+        CASE WHEN GREATEST(hc_sum, hl_sum) > 0
+          THEN GREATEST(mi_sum, 0) * 1000 // GREATEST(hc_sum, hl_sum)
+        END AS nmi_milli
+      FROM t, mi, hc, hl"""))
+
+  /** Hour-of-day seasonal profile of event values per type — exact
+    * integer cell averages and lift against the type's overall mean.
+    */
+  private val q185 = Q(
+    "q185_seasonal",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      TimeSeries.seasonalProfile(
+        raw.select(col("event_type"),
+          EventTime.epochMillis(raw, "ts").as("ts_ms"), col("value")),
+        "event_type", "ts_ms", "value",
+        periodMs = 86400000L, bucketMs = 3600000L)
+    },
+    Some("""WITH e AS (SELECT event_type, epoch_ms(ts) ts_ms,
+          floor(value * 1e6)::BIGINT vm FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL AND epoch_ms(ts) >= 0),
+      c AS (SELECT event_type, (ts_ms // 3600000) % 24 phase,
+          COUNT(*)::BIGINT n, SUM(vm)::BIGINT sum_micro
+        FROM e GROUP BY 1, 2),
+      k AS (SELECT event_type, SUM(n)::BIGINT kn, SUM(sum_micro)::BIGINT ks
+        FROM c GROUP BY 1)
+      SELECT c.event_type, c.phase, c.n, c.sum_micro,
+        sum_micro // n AS avg_micro,
+        CASE WHEN ks > 0 THEN (sum_micro::HUGEINT * kn * 1000
+          // (n::HUGEINT * ks))::BIGINT END AS lift_milli
+      FROM c JOIN k USING (event_type)"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4821,7 +5259,9 @@ object Queries {
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151,
     q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165, q166, q167, q168, q169, q170, q171)
+    q163, q164, q165, q166, q167, q168, q169, q170, q171,
+    q172, q173, q174, q175, q176, q177, q178, q179, q180,
+    q181, q182, q183, q184, q185)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -432,4 +432,61 @@ object Cluster {
       .select(col("id"), col("n_dropped"))
     applyVerdict(corpus, idCol, verdict)
   }
+
+  /** External clustering quality vs a reference labelling: PURITY
+    * (Σ per-cluster majority-label count / n) and NMI from the
+    * cluster×label contingency table — the "did the clustering find the
+    * structure the labels know about" audit (k-means runs vs language
+    * tags, dedup clusters vs domains). Uses the q153 integer-ln recipe:
+    * `MI·n = Σ o·(ln o + ln n − ln n_c − ln n_l)` and entropies
+    * `H·n = Σ n_x·(ln n − ln n_x)` with each ln floored to micro
+    * BEFORE combining, so every engine sums identical integers;
+    * `nmi_milli = mi_sum·1000 div max(hc_sum, hl_sum)` (the max
+    * normalization) is one integer division. Returns ONE row:
+    * `(n, n_clusters, n_labels, purity_micro, mi_sum, hc_sum, hl_sum,
+    * nmi_milli)`; NULL nmi when either marginal entropy is 0 (a single
+    * cluster or single label has no mutual structure to normalize).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy to the contingency
+    * cells (clusters×labels-sized); everything after is arithmetic on
+    * that small table. No corpus re-scan, no window over rows.
+    */
+  def purityNmi(df: DataFrame, clusterCol: String, labelCol: String): DataFrame = {
+    val cells = df
+      .filter(col(clusterCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(clusterCol).as("c"), col(labelCol).as("l"))
+      .agg(count(lit(1)).as("o"))
+    def lnMicro(c: String) = s"floor(ln(cast($c as double)) * 1e6)"
+    val margC = cells.groupBy("c")
+      .agg(sum(col("o")).as("nc"), max(col("o")).as("maxc"))
+    val margL = cells.groupBy("l").agg(sum(col("o")).as("nl"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val mi = cells
+      .join(margC.select(col("c"), col("nc")), "c")
+      .join(margL, "l")
+      .crossJoin(broadcast(tot))
+      .agg(sum(expr(
+        s"o * (${lnMicro("o")} + ${lnMicro("n")} - ${lnMicro("nc")} - ${lnMicro("nl")})"))
+        .cast("long").as("mi_sum"))
+    val hc = margC.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("maxc")).as("pure_sum"),
+        sum(expr(s"nc * (${lnMicro("n")} - ${lnMicro("nc")})"))
+          .cast("long").as("hc_sum"))
+    val hl = margL.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_labels"),
+        sum(expr(s"nl * (${lnMicro("n")} - ${lnMicro("nl")})"))
+          .cast("long").as("hl_sum"))
+    tot.crossJoin(mi).crossJoin(hc).crossJoin(hl)
+      .withColumn("purity_micro", expr("pure_sum * 1000000L div n"))
+      // mi_sum clamps at 0 inside the division: per-term ln flooring can
+      // push a truly-independent table's MI a few micro negative, and
+      // negative integer division rounds differently across engines.
+      .withColumn("nmi_milli",
+        when(greatest(col("hc_sum"), col("hl_sum")) > 0,
+          expr("greatest(mi_sum, 0L) * 1000 div greatest(hc_sum, hl_sum)")))
+      .select(col("n"), col("n_clusters"), col("n_labels"),
+        col("purity_micro"), col("mi_sum"), col("hc_sum"), col("hl_sum"),
+        col("nmi_milli"))
+  }
 }

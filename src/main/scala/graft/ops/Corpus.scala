@@ -886,4 +886,53 @@ object Corpus {
         sum((col("pa") - col("pb")) * col("lr")).as("psi_pico"))
       .withColumn("drifted", col("psi_pico") > 200000000000L)
   }
+
+  /** Benford first-digit literals: floor(log10(1 + 1/d) · 1e6) for
+    * d = 1..9, hardcoded so NO engine's log10 rounding is in the loop.
+    */
+  private val benfordMicro: Map[Int, Long] = Map(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  /** Benford's-law first-digit audit per group: observed share of each
+    * leading significant digit vs the log-law expectation — the
+    * fabricated-numbers / synthetic-leak detector for naturally-spread
+    * magnitudes (prices, populations, file sizes; NOT bounded uniforms
+    * like percentages). The digit reads off `floor(v·100)` cast to a
+    * string (centi-scaling keeps sub-unit values' leading digit), so
+    * extraction is engine-identical; the nine expected shares are
+    * hardcoded micro literals — no runtime log10 anywhere. Rows with
+    * `v ≤ 0` are excluded (no leading significant digit). Returns one
+    * row per (group, digit): `(groupCol, digit, n, n_group, share_micro,
+    * benford_micro, dev_micro)` with `dev_micro = |share − expected|`;
+    * digits a group never produced are absent (share 0 is visible via
+    * the missing row and the group total).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(group, digit) — output
+    * is groups×9-sized; group totals come from a 9-row window over the
+    * cell table, not a second pass.
+    */
+  def benford(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(valueCol) > 0)
+      .withColumn("digit",
+        substring(floor(col(valueCol).cast("double") * 100)
+          .cast("long").cast("string"), 1, 1).cast("int"))
+      .filter(col("digit") >= 1)
+      .groupBy(col(groupCol), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val expected = benfordMicro.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, m)) => when(col("digit") === d, lit(m)).otherwise(acc)
+    }
+    cells
+      .withColumn("n_group",
+        sum(col("n")).over(Window.partitionBy(col(groupCol))))
+      .withColumn("share_micro", expr("n * 1000000L div n_group"))
+      .withColumn("benford_micro", expected)
+      .withColumn("dev_micro", abs(col("share_micro") - col("benford_micro")))
+      .select(col(groupCol), col("digit"), col("n"), col("n_group"),
+        col("share_micro"), col("benford_micro"), col("dev_micro"))
+  }
 }

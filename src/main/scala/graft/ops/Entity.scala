@@ -51,4 +51,53 @@ object Entity {
         expr("(max_len - dist) * 1000000L div max_len"))
       .select("id_a", "id_b", "dist", "max_len", "sim_micro")
   }
+
+  /** Blocking-strategy audit: BEFORE running an expensive pairwise
+    * matcher ([[fuzzyPairs]], LSH verify), measure what each candidate
+    * blocking key would cost — per strategy: block count, candidate
+    * pairs Σ b·(b−1)/2, the reduction ratio vs all n·(n−1)/2 pairs
+    * (micro; 1e6 = no reduction, the all-pairs disaster), and the
+    * biggest block (the straggler task). The strategy table every
+    * entity-resolution run should consult first: a blocking key with a
+    * million-row block is a cartesian bomb no skew cap fully defuses.
+    * NULL block keys are excluded (an unblockable row joins nothing).
+    * Returns one row per strategy: `(strategy, n_rows, n_blocks,
+    * n_candidate_pairs, reduction_micro, max_block)`.
+    *
+    * 100 TB shape: per strategy ONE map-side-combined
+    * groupBy(block) → block-cardinality table → one-row rollup; the
+    * corpus is scanned once per strategy and never pair-expanded —
+    * that is the point.
+    *
+    * Exactness: pair counts can exceed int64 only past ~4.3 billion
+    * rows in ONE block — decimal(38,0) internally, so even that
+    * pathological audit reports rather than overflows.
+    */
+  def blockingAudit(
+      df: DataFrame,
+      strategies: Seq[(String, Column)]): DataFrame = {
+    require(strategies.nonEmpty, "at least one blocking strategy")
+    strategies.map { case (name, keyExpr) =>
+      df.select(keyExpr.as("blk"))
+        .filter(col("blk").isNotNull)
+        .groupBy("blk").agg(count(lit(1)).as("b"))
+        .agg(
+          sum(col("b")).as("n_rows"),
+          count(lit(1)).as("n_blocks"),
+          sum(expr("cast(b as decimal(38,0)) * (b - 1) div 2"))
+            .as("__pairs"),
+          max(col("b")).as("max_block"))
+        .select(
+          lit(name).as("strategy"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          col("n_blocks"),
+          coalesce(col("__pairs"), lit(0)).cast("long")
+            .as("n_candidate_pairs"),
+          expr("""case when n_rows > 1 then
+              cast(__pairs * 1000000 div
+                (cast(n_rows as decimal(38,0)) * (n_rows - 1) div 2) as long)
+            end""").as("reduction_micro"),
+          col("max_block"))
+    }.reduce(_ unionByName _)
+  }
 }

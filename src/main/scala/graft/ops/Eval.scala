@@ -122,4 +122,92 @@ object Eval {
         expr("n_pos * 1000000L div n").as("obs_rate_micro"),
         col("brier_micro"))
   }
+
+  /** Split-conformal prediction thresholds per group, with the empirical
+    * coverage check: from a CALIBRATION set of nonconformity scores the
+    * per-group threshold is the ⌈(n+1)(1−α)⌉-th smallest score (the
+    * finite-sample-valid conformal quantile, clamped to n), and the TEST
+    * set reports how many of its scores fall at or under it — the
+    * distribution-free "is my 90% really 90%?" audit before a model's
+    * uncertainty gates anything. α is passed in permille so the quantile
+    * index is exact integer arithmetic: `idx = ⌈(n+1)·(1000−α)/1000⌉`.
+    * The threshold is a score that actually occurs (nearest-rank with
+    * (score, tie) total order), so output hashes across engines.
+    * Returns `(groupCol, n_cal, q_index, threshold, n_test, n_covered)`.
+    *
+    * 100 TB shape: one window shuffle on the group ranks calibration
+    * scores (per-group sort, no global window); thresholds are
+    * group-cardinality-sized and broadcast onto the test set, which
+    * stays map-only.
+    */
+  def conformalThreshold(
+      cal: DataFrame,
+      test: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      tieCol: String,
+      alphaPermille: Int): DataFrame = {
+    require(alphaPermille > 0 && alphaPermille < 1000,
+      s"alphaPermille $alphaPermille must lie in (0, 1000)")
+    val keep = 1000 - alphaPermille
+    val base = cal.filter(col(scoreCol).isNotNull && col(groupCol).isNotNull)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol), col(tieCol))
+    val ranked = base
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("n_cal", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("q_index",
+        least(expr(s"((n_cal + 1) * $keep + 999) div 1000"), col("n_cal")))
+    val thresholds = ranked.filter(col("__rn") === col("q_index"))
+      .select(col(groupCol), col("n_cal"), col("q_index"),
+        col(scoreCol).as("threshold"))
+    val covered = test.filter(col(scoreCol).isNotNull && col(groupCol).isNotNull)
+      .join(broadcast(thresholds.select(col(groupCol), col("threshold"))), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_test"),
+        count(when(col(scoreCol) <= col("threshold"), 1)).as("n_covered"))
+    thresholds.join(covered, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_cal"), col("q_index"), col("threshold"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+  }
+
+  /** Per-row anomaly ATTRIBUTION: which feature deviates most? Scores
+    * every row's columns by integer z-milli against the global moments
+    * of [[Features.standardize]] (micro-floored values, exact decimal
+    * sums, one correctly-rounded sqrt), then reports the argmax column
+    * with a deterministic tie-break (higher z wins, then column name) —
+    * the "why is this row weird" companion to outlier FLAGGING, which
+    * tells an operator what to look at. `z_milli = |v_micro − mean| ·
+    * 1000 / max(std, 1)` is pure integer arithmetic after the one
+    * sqrt, so results hash across engines. NULL columns score 0 (a
+    * missing value is not a deviation here). Returns `(idCol, top_col,
+    * top_z_milli, n_extreme)` where `n_extreme` counts columns past
+    * 3000 (|z| > 3).
+    *
+    * 100 TB shape: the moments table is |cols|-sized and broadcast;
+    * scoring is one map-only pass of codegen'd integer expressions —
+    * the corpus is read once and never shuffles.
+    */
+  def anomalyAttribution(
+      df: DataFrame,
+      idCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val stats = Features.standardize(df, cols)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), math.max(r.getLong(3), 1L))).toMap
+    val zs = cols.sorted.map { c =>
+      val (mean, std) = stats.getOrElse(c, (0L, 1L))
+      val z = when(col(c).isNotNull,
+          expr(s"abs(cast(floor(cast(`$c` as double) * 1e6) as long) - ${mean}L) * 1000 div ${std}L"))
+        .otherwise(lit(0L))
+      struct(z.as("z"), lit(c).as("col_name"))
+    }
+    df.select(col(idCol), array(zs: _*).as("__zs"))
+      .select(col(idCol),
+        expr("array_max(transform(__zs, s -> struct(s.z, s.col_name)))").as("__top"),
+        expr("size(filter(__zs, s -> s.z > 3000))").cast("long").as("n_extreme"))
+      .select(col(idCol), col("__top.col_name").as("top_col"),
+        col("__top.z").as("top_z_milli"), col("n_extreme"))
+  }
 }

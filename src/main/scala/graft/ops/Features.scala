@@ -253,4 +253,45 @@ object Features {
     g.select(explode(array(rows: _*)).as("p"))
       .select(col("p.col_a"), col("p.col_b"), col("p.n"), col("p.corr_micro"))
   }
+
+  /** Quantile normalization: map every row's score onto the GLOBAL score
+    * distribution by rank, so per-source scores with incompatible scales
+    * (one quality model per crawl, perplexity from different LMs) become
+    * comparable. Row with in-group rank r of n_g maps to the global
+    * sorted value at position ⌈r·N/n_g⌉ — exact nearest-rank, every
+    * normalized value is a value that actually occurs, no interpolation
+    * and no float averaging, so the output hash-matches any engine.
+    * Ordering is totalized by (score, id); NULL scores/groups are
+    * excluded. Returns `(idCol, groupCol, scoreCol, norm_value)`.
+    *
+    * 100 TB shape: one window shuffle on the group for in-group ranks,
+    * one range exchange for the global rank ([[Ranks.globalRank]] — no
+    * single-task window), and one shuffle join on the computed position.
+    * The integer ceiling `(r·N + n_g − 1) div n_g` keeps the position
+    * arithmetic exact in both engines.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(groupCol), col(scoreCol))
+      .filter(col(scoreCol).isNotNull && col(groupCol).isNotNull)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol), col(idCol))
+    val ranked = base
+      .withColumn("__rg", row_number().over(w).cast("long"))
+      .withColumn("__ng", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val global = Ranks.globalRank(
+        base.select(col(scoreCol).as("__gv"), col(idCol).as("__gid")),
+        Seq(col("__gv"), col("__gid")), "__pos")
+      .select(col("__pos"), col("__gv"))
+    val total = base.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("__pos",
+        expr("(__rg * __n + __ng - 1) div __ng"))
+      .join(global, Seq("__pos"))
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        col("__gv").as("norm_value"))
+  }
 }

@@ -569,4 +569,74 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Group-aware k-fold assignment (GroupKFold at scale): every GROUP —
+    * a user, a domain, a dedup cluster — lands wholly in one fold, and
+    * folds come out near-balanced by ROW count without the sequential
+    * greedy bin-packing loop that cannot be distributed. Groups are
+    * ordered by (size desc, group) and dealt out SERPENTINE: fold
+    * `pos` on even passes, `k−1−pos` on odd passes, so each fold
+    * receives one group from every size stratum — the classic
+    * snake-draft guarantee that fold totals differ by at most the
+    * largest group in any stratum. Deterministic: a pure function of
+    * the group sizes. Returns `(groupCol, n_rows, fold)` for joining
+    * back onto the rows.
+    *
+    * 100 TB shape: one map-side-combined groupBy(group) reduces the
+    * corpus to GROUP-cardinality, and the ordering window runs over
+    * that already-aggregated table — the global window here is
+    * groups-sized, never row-sized (SCALE.md's keyless-window rule).
+    */
+  def groupFolds(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k $k must be >= 2")
+    val sizes = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_rows"))
+    val w = Window.orderBy(col("n_rows").desc, col(groupCol))
+    sizes.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("fold",
+        expr(s"""case when ((__rn - 1) div $k) % 2 = 0
+                 then (__rn - 1) % $k
+                 else $k - 1 - (__rn - 1) % $k end"""))
+      .drop("__rn")
+  }
+
+  /** Time-ordered train/test split with a PURGE EMBARGO: train is the
+    * first `trainPermille`/1000 of rows by event time, test is
+    * everything later than `embargoMs` past the train cutoff, and the
+    * embargoed gap between them is labelled and EXCLUDED from both —
+    * the leakage guard for models with lagged/windowed features, where
+    * a test row just after the cutoff still carries training-period
+    * signal in its feature window (the purged split of financial ML).
+    * The cutoff is the exact nearest-rank order statistic of
+    * (ts, tie) — deterministic under any partitioning. Returns the
+    * input plus a `split` column ∈ {train, embargo, test}.
+    *
+    * 100 TB shape: the cutoff ranks only the two sort columns through
+    * [[Ranks.orderStatistics]] (range exchange, column-pruned scan);
+    * labelling is then a broadcast of ONE cutoff row and a map-only
+    * predicate — the corpus itself never shuffles.
+    */
+  def temporalEmbargoSplit(
+      df: DataFrame,
+      tsMsCol: String,
+      tieCol: String,
+      trainPermille: Int,
+      embargoMs: Long): DataFrame = {
+    require(trainPermille > 0 && trainPermille < 1000,
+      s"trainPermille $trainPermille must lie in (0, 1000)")
+    require(embargoMs >= 0, s"embargoMs $embargoMs must be >= 0")
+    val base = df.filter(col(tsMsCol).isNotNull)
+    val n = base.agg(count(lit(1))).head.getLong(0)
+    val pos = math.max(1L, n * trainPermille / 1000L)
+    val cut = Ranks.orderStatistics(base, Seq(tsMsCol, tieCol), Seq(pos))
+      .select(col(tsMsCol).as("__cut_ts"), col(tieCol).as("__cut_tie"))
+    base.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(col(tsMsCol) < col("__cut_ts") ||
+            (col(tsMsCol) === col("__cut_ts") && col(tieCol) <= col("__cut_tie")),
+          lit("train"))
+        .when(col(tsMsCol) > col("__cut_ts") + embargoMs, lit("test"))
+        .otherwise(lit("embargo")))
+      .drop("__cut_ts", "__cut_tie")
+  }
+
 }

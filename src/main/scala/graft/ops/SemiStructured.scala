@@ -46,4 +46,43 @@ object SemiStructured {
       .crossJoin(total)
       .withColumn("share_micro", expr("n_present * 1000000L div n_rows"))
   }
+
+  /** Schema DRIFT between two snapshots of a JSON payload: profile each
+    * side with [[jsonKeyProfile]], then diff — `added` / `removed` keys,
+    * `type_changed` when the dominant inferred type flips (priority
+    * bool > int > num > str on majority-of-present, the deterministic
+    * ladder: every int is also num-like), `share_shifted` when a stable
+    * key's presence share moves ≥ 100000 micro (10 points), else
+    * `stable`. This is the alert that fires BEFORE a pipeline starts
+    * silently writing NULLs because an upstream producer renamed or
+    * re-typed a field. Returns `(key, status, old_type, new_type,
+    * old_share_micro, new_share_micro)`.
+    *
+    * 100 TB shape: each profile is one explode + map-side-combined
+    * groupBy(key) (vocabulary-sized output); the diff is a
+    * full-outer join of two key-cardinality tables — driver-free and
+    * corpus-free.
+    */
+  def schemaDrift(oldDf: DataFrame, newDf: DataFrame, jsonCol: String): DataFrame = {
+    def dom(df: DataFrame, side: String): DataFrame =
+      jsonKeyProfile(df, jsonCol)
+        .withColumn(s"${side}_type",
+          when(col("n_present") === 0, lit("null"))
+            .when(col("n_bool_like") * 2 > col("n_present"), lit("bool"))
+            .when(col("n_int_like") * 2 > col("n_present"), lit("int"))
+            .when(col("n_num_like") * 2 > col("n_present"), lit("num"))
+            .otherwise(lit("str")))
+        .select(col("key"), col(s"${side}_type"),
+          col("share_micro").as(s"${side}_share_micro"))
+    dom(oldDf, "old").join(dom(newDf, "new"), Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("old_type").isNull, lit("added"))
+          .when(col("new_type").isNull, lit("removed"))
+          .when(col("old_type") =!= col("new_type"), lit("type_changed"))
+          .when(abs(col("new_share_micro") - col("old_share_micro")) >= 100000,
+            lit("share_shifted"))
+          .otherwise(lit("stable")))
+      .select("key", "status", "old_type", "new_type",
+        "old_share_micro", "new_share_micro")
+  }
 }

@@ -274,6 +274,33 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("score"))
   }
 
+  /** Mutual nearest-neighbor pairs: the items that pick EACH OTHER as
+    * top-1 cosine neighbor — the reciprocity filter that turns one-way
+    * similarity into high-precision match candidates (the MNN criterion
+    * of translation mining and batch-effect alignment: one-way top-1 is
+    * noisy at hub points, mutuality suppresses exactly those hubs).
+    * Built on [[bruteForceTopK]]'s scoring (6-dp cosine, ties to the
+    * smaller neighbor id), joined against itself on the reversed pair.
+    * Returns `(id_a, id_b, score)` with `id_a < id_b`, one row per
+    * mutual pair.
+    *
+    * Exact-audit shape, like the q167 backbone: run on a capped sample
+    * or one LSH/IVF bucket — the query side broadcasts. For corpus-scale
+    * mutual-NN, feed bucketed candidates through the same reciprocity
+    * join instead.
+    */
+  def mutualTop1(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val nn = bruteForceTopK(df, df, idCol, vecCol, idCol, vecCol, k = 1)
+      .select(col("query_id"), col("nbr_id"), col("score"))
+    nn.alias("f")
+      .join(nn.alias("r"),
+        col("f.query_id") === col("r.nbr_id") &&
+          col("f.nbr_id") === col("r.query_id") &&
+          col("f.query_id") < col("f.nbr_id"))
+      .select(col("f.query_id").as("id_a"), col("f.nbr_id").as("id_b"),
+        col("f.score").as("score"))
+  }
+
   /** Contrastive triplet mining: for each anchor, the nearest SAME-cluster
     * corpus item (positive) and the nearest OTHER-cluster item (hard
     * negative — the highest-cosine wrong answer, the example that actually

@@ -44,4 +44,67 @@ object Skew {
       explode(sequence(lit(0), lit(salt - 1))))
     b.join(s, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Plan a BALANCED range partitioning for a sorted/clustered write:
+    * exact nearest-rank boundaries at global positions ⌈i·N/p⌉
+    * (i = 1..p−1) over the (value, tie) total order, then the audit —
+    * how many rows each planned partition actually receives. This is
+    * the TeraSort/partitioned-write planning primitive with EXACT
+    * boundaries instead of Spark's sampled ones: sampling is fine for
+    * an ad-hoc sort, not for a published table layout that readers
+    * assume balanced (a 2× over-full partition becomes the one straggler
+    * file every downstream scan waits on). Returns one row per
+    * partition: `(partition_id, upper_value, upper_tie, n_rows)` —
+    * `upper_*` NULL for the last (unbounded) partition; a row belongs to
+    * partition i when its (value, tie) is ≤ boundary i and > boundary
+    * i−1.
+    *
+    * 100 TB shape: boundaries rank only the two sort columns
+    * ([[Ranks.orderStatistics]] — range exchange on a pruned scan), the
+    * p−1 boundary rows broadcast, and assignment is one codegen'd
+    * comparison fold per row into a map-side-combined count by
+    * partition id. The corpus never shuffles.
+    */
+  def rangePartitionPlan(
+      df: DataFrame,
+      valueCol: String,
+      tieCol: String,
+      p: Int): DataFrame = {
+    require(p >= 2, s"p $p must be >= 2")
+    val base = df.filter(col(valueCol).isNotNull)
+    val n = base.agg(count(lit(1))).head.getLong(0)
+    val positions = (1 until p).map(i => (i.toLong * n + p - 1) / p)
+      .filter(q => q >= 1 && q <= n).distinct
+    val bounds = Ranks.orderStatistics(base, Seq(valueCol, tieCol), positions)
+      .select(col("position"), col(valueCol).as("bv"), col(tieCol).as("bt"))
+      .orderBy("position")
+      .collect()
+    // foldLeft nests each new `when` OUTSIDE the accumulator, so iterate
+    // largest-boundary-first to make the final expression test the
+    // SMALLEST boundary first (first true when wins).
+    val pid = bounds.zipWithIndex.reverse.foldLeft(lit(bounds.length): org.apache.spark.sql.Column) {
+      case (acc, (b, i)) =>
+        val bv = lit(b.get(1))
+        val bt = lit(b.get(2))
+        when(col(valueCol) < bv ||
+          (col(valueCol) === bv && col(tieCol) <= bt), lit(i)).otherwise(acc)
+    }
+    val counts = base.withColumn("partition_id", pid.cast("int"))
+      .groupBy("partition_id").agg(count(lit(1)).as("n_rows"))
+    val boundRows = bounds.zipWithIndex.map { case (b, i) => (i, b.get(1), b.get(2)) }
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("partition_id", IntegerType, nullable = false),
+      StructField("upper_value", df.schema(valueCol).dataType, nullable = true),
+      StructField("upper_tie", df.schema(tieCol).dataType, nullable = true)))
+    val boundDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        boundRows.map { case (i, v, t) => Row(i, v, t) } :+
+          Row(bounds.length, null, null), 1),
+      schema)
+    boundDf.join(counts, Seq("partition_id"), "left")
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+  }
 }

@@ -226,4 +226,150 @@ object TimeSeries {
         col("m.__b").as("change_bucket_ms"),
         col("m.cusum").as("cusum_at_change")): _*)
   }
+
+  /** Exponentially-weighted moving average with α = 1/2, EXACT: per key,
+    * rows ordered by (ts, tie) smooth as
+    * `ewma_t = Σ_{k=0..L} v_{t−k}·2^{L−k} / Σ 2^{L−k}` — the binary-decay
+    * EWMA truncated at `lookback` lags (weight beyond L is ≤ 2⁻ᴸ of the
+    * head, sub-ppm at the default 16). Powers of two keep every term an
+    * exact integer on micro-floored values: the usual recursive EWMA is
+    * a float recurrence no two engines replay identically; this one is
+    * `lookback+1` integer lags, same answer everywhere. Early rows use
+    * only their available lags (the denominator shrinks — initialization
+    * by renormalization, not by zero-padding). Returns the id/key/ts
+    * columns plus `(v_micro, ewma_num, ewma_den)`; callers divide when a
+    * float is wanted.
+    *
+    * 100 TB shape: ONE window shuffle on the key — all lags share one
+    * (key, ts, tie) sort, and the whole expression is codegen'd integer
+    * arithmetic.
+    */
+  def ewmaPow2(
+      df: DataFrame,
+      keyCol: String,
+      tsMsCol: String,
+      tieCol: String,
+      valueCol: String,
+      lookback: Int = 16): DataFrame = {
+    require(lookback >= 1 && lookback <= 40,
+      s"lookback $lookback must lie in [1, 40]")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsMsCol), col(tieCol))
+    val base = df
+      .filter(col(keyCol).isNotNull && col(tsMsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .withColumn("v_micro",
+        floor(col(valueCol).cast("double") * 1e6).cast("long"))
+    val terms = (0 to lookback).map { k =>
+      val weight = 1L << (lookback - k)
+      (when(lag(col("v_micro"), k).over(w).isNotNull,
+          lag(col("v_micro"), k).over(w) * weight).otherwise(lit(0L)),
+        when(lag(col("v_micro"), k).over(w).isNotNull, lit(weight))
+          .otherwise(lit(0L)))
+    }
+    base
+      .withColumn("ewma_num", terms.map(_._1).reduce(_ + _))
+      .withColumn("ewma_den", terms.map(_._2).reduce(_ + _))
+      .select(col(keyCol), col(tieCol), col(tsMsCol),
+        col("v_micro"), col("ewma_num"), col("ewma_den"))
+  }
+
+  /** Theil–Sen robust trend per key: the MEDIAN of all pairwise slopes
+    * `(v_j − v_i)/(t_j − t_i)` over the key's (time, value) points — the
+    * slope estimator with a 29% breakdown point, immune to the outlier
+    * buckets that wreck least squares (one bad scrape day must not flip
+    * a domain's "is this source growing" call). Points are integer
+    * (t, v_micro) pairs (caller pre-buckets, e.g. [[resample]] output or
+    * an hourly rollup); slopes are one IEEE double division of exact
+    * integers — bit-identical in any engine — and the median is
+    * nearest-rank ⌈m/2⌉ under (slope, t_i, t_j) total order, so a value
+    * that actually occurs. Keys need ≥ 2 points; points per key are
+    * capped at `maxPoints` EARLIEST buckets (deterministic, and it
+    * bounds the O(p²) pair space — 256 points is 32k pairs, fine; an
+    * unbounded key would be quadratic).
+    * Returns `(keyCol, n_points, n_pairs, slope_per_ms)`.
+    *
+    * 100 TB shape: pair generation is a per-key self-join AFTER the
+    * per-key bucket rollup (points-sized, not event-sized) with the
+    * cap applied first; one key shuffle, windows ride the same
+    * partitioning.
+    */
+  def theilSen(
+      df: DataFrame,
+      keyCol: String,
+      tsMsCol: String,
+      valueMicroCol: String,
+      maxPoints: Int = 256): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints $maxPoints must be >= 2")
+    val wCap = Window.partitionBy(col(keyCol)).orderBy(col(tsMsCol))
+    val pts = df
+      .filter(col(keyCol).isNotNull && col(tsMsCol).isNotNull &&
+        col(valueMicroCol).isNotNull)
+      .withColumn("__rn", row_number().over(wCap))
+      .filter(col("__rn") <= maxPoints)
+      .select(col(keyCol), col(tsMsCol).as("__t"), col(valueMicroCol).as("__v"))
+    val pairs = pts.alias("a").join(pts.alias("b"),
+        col(s"a.$keyCol") === col(s"b.$keyCol") && col("a.__t") < col("b.__t"))
+      .select(col(s"a.$keyCol").as(keyCol),
+        col("a.__t").as("t1"), col("b.__t").as("t2"),
+        ((col("b.__v") - col("a.__v")).cast("double") /
+          (col("b.__t") - col("a.__t")).cast("double")).as("slope"))
+    val wRank = Window.partitionBy(col(keyCol))
+      .orderBy(col("slope"), col("t1"), col("t2"))
+    val wAll = Window.partitionBy(col(keyCol))
+    val nPts = pts.groupBy(col(keyCol)).agg(count(lit(1)).as("n_points"))
+    pairs
+      .withColumn("__r", row_number().over(wRank).cast("long"))
+      .withColumn("n_pairs", count(lit(1)).over(wAll))
+      .filter(col("__r") === expr("(n_pairs + 1) div 2"))
+      .join(nPts, Seq(keyCol))
+      .select(col(keyCol), col("n_points"), col("n_pairs"),
+        col("slope").as("slope_per_ms"))
+  }
+
+  /** Seasonal profile: per (key, phase) cell of a cyclic grid — phase =
+    * `(t / bucketMs) mod (periodMs / bucketMs)`, e.g. hour-of-day or
+    * day-of-week — the cell's exact integer average and its LIFT against
+    * the key's overall average in milli (1000 = flat). The
+    * seasonality-aware baseline for anomaly thresholds ("is Tuesday 3am
+    * low, or just Tuesday-3am-normal?") and for phase-stratified
+    * sampling. All arithmetic is integer on micro-floored values; lift
+    * divides scaled integer sums (`cell_sum·n_key·1000 div
+    * (n_cell·key_sum)`), one exact division, no float averaging.
+    * Returns `(keyCol, phase, n, sum_micro, avg_micro, lift_milli)` —
+    * `lift_milli` NULL when the key's total sum is ≤ 0 (lift against a
+    * non-positive base has no meaning).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(key, phase) — output is
+    * keys×phases-sized; the per-key totals derive from the cell table
+    * (phase-cardinality window, not a second corpus pass).
+    */
+  def seasonalProfile(
+      df: DataFrame,
+      keyCol: String,
+      tsMsCol: String,
+      valueCol: String,
+      periodMs: Long,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs > 0 && periodMs > 0 && periodMs % bucketMs == 0,
+      s"periodMs $periodMs must be a positive multiple of bucketMs $bucketMs")
+    val phases = periodMs / bucketMs
+    val cells = df
+      .filter(col(keyCol).isNotNull && col(tsMsCol).isNotNull &&
+        col(valueCol).isNotNull && col(tsMsCol) >= 0)
+      .withColumn("phase", expr(s"(cast(`$tsMsCol` as long) div $bucketMs) % $phases"))
+      .withColumn("__v", floor(col(valueCol).cast("double") * 1e6).cast("long"))
+      .groupBy(col(keyCol), col("phase"))
+      .agg(count(lit(1)).as("n"), sum("__v").as("sum_micro"))
+    val wKey = Window.partitionBy(col(keyCol))
+    cells
+      .withColumn("__kn", sum(col("n")).over(wKey))
+      .withColumn("__ks", sum(col("sum_micro")).over(wKey))
+      .withColumn("avg_micro", expr("sum_micro div n"))
+      .withColumn("lift_milli",
+        when(col("__ks") > 0,
+          expr("cast(cast(sum_micro as decimal(38,0)) * __kn * 1000" +
+            " div (cast(n as decimal(38,0)) * __ks) as long)")))
+      .select(col(keyCol), col("phase"), col("n"), col("sum_micro"),
+        col("avg_micro"), col("lift_milli"))
+  }
 }

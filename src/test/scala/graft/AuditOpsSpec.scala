@@ -1,0 +1,94 @@
+package graft
+
+import graft.ops.{Cluster, Corpus, Entity, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the audit/robust-statistics operator batch:
+  * Theil–Sen trend, Benford first-digit audit, blocking audit,
+  * purity/NMI, seasonal profile.
+  */
+class AuditOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("theilSen takes the median pairwise slope, immune to one outlier point") {
+    // key 1: y = 2t exactly except one wild outlier at t=4 — the median
+    // of the 10 pairwise slopes must stay 2.0 (least squares would not).
+    val pts = Seq(
+      (1L, 0L, 0L), (1L, 1L, 2000000L), (1L, 2L, 4000000L),
+      (1L, 3L, 6000000L), (1L, 4L, 900000000L))
+    val out = TimeSeries.theilSen(pts.toDF("k", "t", "v"), "k", "t", "v")
+      .select("n_points", "n_pairs", "slope_per_ms")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1)
+    val (np, m, slope) = out.head
+    assert(np == 5 && m == 10)
+    assert(slope == 2000000.0, s"median slope $slope")
+  }
+
+  test("theilSen caps points per key deterministically and needs >= 2 points") {
+    val single = Seq((1L, 0L, 5L)).toDF("k", "t", "v")
+    assert(TimeSeries.theilSen(single, "k", "t", "v").count() == 0)
+    val many = (0 until 20).map(i => (1L, i.toLong, i.toLong)).toDF("k", "t", "v")
+    val capped = TimeSeries.theilSen(many, "k", "t", "v", maxPoints = 4)
+      .select("n_points", "n_pairs").as[(Long, Long)].collect().head
+    assert(capped == ((4L, 6L))) // earliest 4 points → C(4,2) pairs
+  }
+
+  test("benford reports exact shares against the hardcoded log-law table") {
+    // 30 values with first digit 1, 10 with first digit 2
+    val rows = Seq.fill(30)(("g", 12.3)) ++ Seq.fill(10)(("g", 250.0))
+    val out = Corpus.benford(rows.toDF("grp", "v"), "grp", "v")
+      .select("digit", "n", "n_group", "share_micro", "benford_micro")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1, 30L, 40L), (2, 10L, 40L)))
+    assert(out(0)._4 == 750000L && out(1)._4 == 250000L)
+    assert(out(0)._5 == 301029L && out(1)._5 == 176091L)
+    // sub-unit values keep their leading significant digit via centi-scaling
+    val small = Corpus.benford(Seq(("g", 0.07)).toDF("grp", "v"), "grp", "v")
+      .select("digit").as[Int].collect()
+    assert(small.toSeq == Seq(7))
+  }
+
+  test("blockingAudit counts candidate pairs and flags the straggler block") {
+    // strategy A: blocks of 3 and 2 → 3+1 pairs; strategy B: one block of 5
+    val df = Seq("x", "x", "x", "y", "y").toDF("b")
+    val out = Entity.blockingAudit(df, Seq(
+      "by_b" -> col("b"),
+      "all_one" -> lit("z")))
+      .select("strategy", "n_rows", "n_blocks", "n_candidate_pairs",
+        "reduction_micro", "max_block")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("by_b") == (("by_b", 5L, 2L, 4L, 400000L, 3L)))
+    assert(out("all_one") == (("all_one", 5L, 1L, 10L, 1000000L, 5L)))
+  }
+
+  test("purityNmi is perfect on aligned labels and ~0 on independent ones") {
+    val aligned = Seq(("c1", "a"), ("c1", "a"), ("c2", "b"), ("c2", "b"))
+    val pa = Cluster.purityNmi(aligned.toDF("c", "l"), "c", "l")
+      .select("purity_micro", "nmi_milli").as[(Long, Long)].collect().head
+    assert(pa._1 == 1000000L)
+    assert(pa._2 >= 995L && pa._2 <= 1000L, s"nmi ${pa._2}")
+    // independent: every (cluster, label) cell equal → MI 0
+    val indep = for (c <- Seq("c1", "c2"); l <- Seq("a", "b")) yield (c, l)
+    val pi = Cluster.purityNmi(indep.toDF("c", "l"), "c", "l")
+      .select("purity_micro", "nmi_milli").as[(Long, Long)].collect().head
+    assert(pi._1 == 500000L)
+    assert(pi._2 == 0L, s"independent nmi ${pi._2}")
+  }
+
+  test("seasonalProfile computes exact per-phase lift on a 2-phase cycle") {
+    // period 2ms, bucket 1ms: even ts → phase 0 (value 10), odd → phase 1 (30)
+    val rows = Seq((0L, 10.0), (1L, 30.0), (2L, 10.0), (3L, 30.0))
+      .map { case (t, v) => ("k", t, v) }
+    val out = TimeSeries.seasonalProfile(
+      rows.toDF("key", "ts", "v"), "key", "ts", "v",
+      periodMs = 2L, bucketMs = 1L)
+      .select("phase", "n", "avg_micro", "lift_milli")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 2L, 10000000L, 500L),   // 10 vs mean 20 → lift 0.5
+      (1L, 2L, 30000000L, 1500L))) // 30 vs mean 20 → lift 1.5
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import graft.ops.{Eval, Features, Ranks, Sampling, SemiStructured, Similarity, Skew, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the global-rank family and the round-6b operator
+  * batch (quantile normalization, group folds, conformal thresholds,
+  * range-partition planning, EWMA, anomaly attribution, schema drift,
+  * embargo split, mutual NN).
+  */
+class RankOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("globalRank matches a single-partition window rank on any partitioning") {
+    val df = spark.range(0, 500).select(
+      (col("id") * 37 % 101).as("v"), col("id"))
+      .repartition(7)
+    val got = Ranks.globalRank(df, Seq(col("v"), col("id")), "r")
+      .select("v", "id", "r").as[(Long, Long, Long)].collect().sortBy(_._2)
+    val exp = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).zipWithIndex
+      .map { case ((v, id), i) => (v, id, i + 1L) }.sortBy(_._2)
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("orderStatistics returns exactly the requested nearest-rank values") {
+    val df = Seq(5L, 1L, 9L, 3L, 7L).toDF("v").withColumn("id", col("v"))
+    val got = Ranks.orderStatistics(df, Seq("v", "id"), Seq(1L, 3L, 5L))
+      .select("position", "v").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 5L, 5L -> 9L))
+  }
+
+  test("quantileNormalize maps a uniform group onto the global distribution") {
+    // group a: values 0..9, group b: values 100..109. Global sorted =
+    // a's then b's; each group of 10 maps rank r to global position 2r.
+    val df = (0 until 10).map(i => (i.toLong, "a", i.toDouble)) ++
+      (0 until 10).map(i => (i + 10L, "b", 100.0 + i))
+    val out = Features.quantileNormalize(
+      df.toDF("id", "grp", "score"), "id", "grp", "score")
+      .select("id", "norm_value").as[(Long, Double)].collect().toMap
+    // rank r in group of 10, N=20 → position 2r → a's rank 5 (value 4)
+    // lands on global position 10 = a's max (9.0)
+    assert(out(4L) == 9.0)
+    // b's rank 10 (value 109) → position 20 → global max 109
+    assert(out(19L) == 109.0)
+    // a's rank 10 (value 9) → position 20 → 109 (the whole-distribution top)
+    assert(out(9L) == 109.0)
+  }
+
+  test("groupFolds deals groups out serpentine and balances row counts") {
+    // 12 groups with sizes 12, 11, ..., 1 over k=3:
+    // pass 1 (sizes 12,11,10) → folds 0,1,2; pass 2 (9,8,7) → 2,1,0; ...
+    val rows = (1 to 12).flatMap(g => Seq.fill(13 - g)(g.toLong))
+    val folds = Sampling.groupFolds(rows.toDF("g"), "g", 3)
+      .select("g", "fold").as[(Long, Long)].collect().toMap
+    assert(folds(1L) == 0 && folds(2L) == 1 && folds(3L) == 2)
+    assert(folds(4L) == 2 && folds(5L) == 1 && folds(6L) == 0)
+    val totals = Sampling.groupFolds(rows.toDF("g"), "g", 3)
+      .groupBy("fold").agg(sum("n_rows").as("t"))
+      .select("t").as[Long].collect().sorted
+    assert(totals.max - totals.min <= 2, s"unbalanced: ${totals.toSeq}")
+  }
+
+  test("conformalThreshold picks the finite-sample quantile index and audits coverage") {
+    // 9 calibration scores 1..9, alpha=10% → idx = ceil(10*0.9) = 9 → threshold 9
+    val cal = (1 to 9).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("grp", "s", "id")
+    val test9 = Seq(("g", 5.0, 100L), ("g", 9.5, 101L)).toDF("grp", "s", "id")
+    val out = Eval.conformalThreshold(cal, test9, "grp", "s", "id", 100)
+      .select("n_cal", "q_index", "threshold", "n_test", "n_covered")
+      .as[(Long, Long, Double, Long, Long)].collect()
+    assert(out.toSeq == Seq((9L, 9L, 9.0, 2L, 1L)))
+  }
+
+  test("rangePartitionPlan boundaries are exact and the audit counts every row once") {
+    val df = spark.range(0, 1000).select(
+      (col("id") * 7919 % 1000).as("v"), col("id"))
+    val plan = Skew.rangePartitionPlan(df.toDF("v", "id"), "v", "id", 4)
+      .select("partition_id", "n_rows").as[(Int, Long)].collect().toMap
+    assert(plan.values.sum == 1000)
+    assert(plan.size == 4)
+    // exact boundaries ⇒ perfectly balanced on distinct values
+    assert(plan.values.forall(n => n == 250), s"plan: $plan")
+  }
+
+  test("ewmaPow2 equals the brute-force truncated binary decay") {
+    val rows = Seq((1L, 10L, 1L, 1.0), (1L, 20L, 2L, 3.0), (1L, 30L, 3L, 2.0))
+    val out = TimeSeries.ewmaPow2(
+      rows.toDF("k", "ts", "id", "v"), "k", "ts", "id", "v", lookback = 2)
+      .orderBy("ts").select("ewma_num", "ewma_den")
+      .as[(Long, Long)].collect().toSeq
+    // L=2: weights 4,2,1 for lags 0,1,2 on micro values 1e6, 3e6, 2e6
+    assert(out == Seq(
+      (4000000L, 4L),                      // 4·1e6 / 4
+      (4L * 3000000 + 2L * 1000000, 6L),   // 4·3e6 + 2·1e6 / 6
+      (4L * 2000000 + 2L * 3000000 + 1000000L, 7L)))
+  }
+
+  test("anomalyAttribution picks the most deviating column deterministically") {
+    // b is wildly off for id 3; a for id 4
+    val df = Seq(
+      (1L, 10.0, 100.0), (2L, 11.0, 101.0), (3L, 10.5, 500.0),
+      (4L, 90.0, 100.5), (5L, 10.2, 100.2)).toDF("id", "a", "b")
+    val out = Eval.anomalyAttribution(df, "id", Seq("a", "b"))
+      .select("id", "top_col").as[(Long, String)].collect().toMap
+    assert(out(3L) == "b")
+    assert(out(4L) == "a")
+  }
+
+  test("schemaDrift labels added/removed/type_changed/share_shifted/stable") {
+    val oldDf = (1 to 10).map(i =>
+      s"""{"id":$i,"gone":"x","b":${i % 2 == 0},"s":$i}""").toDF("p")
+    val newDf = (1 to 10).map { i =>
+      val sPart = if (i <= 3) s""","s":$i""" else ""
+      s"""{"id":$i,"fresh":"y","b":"no"$sPart}"""
+    }.toDF("p")
+    val st = SemiStructured.schemaDrift(oldDf, newDf, "p")
+      .select("key", "status").as[(String, String)].collect().toMap
+    assert(st == Map(
+      "id" -> "stable", "gone" -> "removed", "fresh" -> "added",
+      "b" -> "type_changed", "s" -> "share_shifted"))
+  }
+
+  test("temporalEmbargoSplit purges the embargo window between train and test") {
+    val df = (1 to 10).map(i => (i.toLong, i * 1000L)).toDF("id", "ts")
+    // 70% of 10 → cutoff at rank 7 (ts 7000); embargo 1500ms → test > 8500
+    val out = Sampling.temporalEmbargoSplit(df, "ts", "id", 700, 1500L)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert((1 to 7).forall(i => out(i.toLong) == "train"))
+    assert(out(8L) == "embargo")
+    assert(out(9L) == "test" && out(10L) == "test")
+  }
+
+  test("mutualTop1 keeps only reciprocal nearest-neighbor pairs") {
+    // 1↔2 mutual; 3's NN is 2 but 2's NN is 1 → 3 excluded
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f)),
+      (3L, Array(0.8f, 0.4f))).toDF("id", "v")
+    val out = Similarity.mutualTop1(df, "id", "v")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L)))
+  }
+}
