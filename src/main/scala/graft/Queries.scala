@@ -5245,6 +5245,47 @@ object Queries {
           // (n::HUGEINT * ks))::BIGINT END AS lift_milli
       FROM c JOIN k USING (event_type)"""))
 
+  /** Multi-evidence dedup: clusters over the UNION of content-hash,
+    * head-hash, and tail-hash star edges — the "merge by any
+    * fingerprint" union-find of production crawl dedup.
+    */
+  private val q186 = Q(
+    "q186_multikey_dedup",
+    (spark, dir) => Dedup.multiKeyClusters(
+      pq(spark, dir, "documents"), "doc_id", Seq(
+        "content" -> md5(lower(trim(col("text")))),
+        "head64" -> md5(substring(col("text"), 1, 64)),
+        "tail64" -> md5(expr("right(text, 64)")))),
+    Some("""WITH RECURSIVE
+      k1 AS (SELECT doc_id, md5(lower(trim(text))) kv FROM documents
+        WHERE text IS NOT NULL),
+      r1 AS (SELECT kv, MIN(doc_id) root FROM k1 GROUP BY 1
+        HAVING COUNT(*) BETWEEN 2 AND 1000),
+      p1 AS (SELECT r1.root ia, k1.doc_id ib FROM k1 JOIN r1 USING (kv)
+        WHERE k1.doc_id <> r1.root),
+      k2 AS (SELECT doc_id, md5(substr(text, 1, 64)) kv FROM documents
+        WHERE text IS NOT NULL),
+      r2 AS (SELECT kv, MIN(doc_id) root FROM k2 GROUP BY 1
+        HAVING COUNT(*) BETWEEN 2 AND 1000),
+      p2 AS (SELECT r2.root ia, k2.doc_id ib FROM k2 JOIN r2 USING (kv)
+        WHERE k2.doc_id <> r2.root),
+      k3 AS (SELECT doc_id, md5(right(text, 64)) kv FROM documents
+        WHERE text IS NOT NULL),
+      r3 AS (SELECT kv, MIN(doc_id) root FROM k3 GROUP BY 1
+        HAVING COUNT(*) BETWEEN 2 AND 1000),
+      p3 AS (SELECT r3.root ia, k3.doc_id ib FROM k3 JOIN r3 USING (kv)
+        WHERE k3.doc_id <> r3.root),
+      pairs AS (SELECT * FROM p1 UNION SELECT * FROM p2
+        UNION SELECT * FROM p3),
+      sym AS (SELECT ia u, ib v FROM pairs UNION SELECT ib, ia FROM pairs),
+      reach(u, v) AS (SELECT u, v FROM sym
+        UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      lbl AS (SELECT u, MIN(v) mv FROM reach GROUP BY u)
+      SELECT d.doc_id AS id,
+        LEAST(d.doc_id, COALESCE(l.mv, d.doc_id)) AS cluster,
+        d.doc_id = LEAST(d.doc_id, COALESCE(l.mv, d.doc_id)) AS is_canonical
+      FROM documents d LEFT JOIN lbl l ON l.u = d.doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5261,7 +5302,7 @@ object Queries {
     q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185)
+    q181, q182, q183, q184, q185, q186)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

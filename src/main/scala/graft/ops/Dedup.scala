@@ -854,4 +854,47 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
       .distinct()
   }
+
+  /** Multi-evidence dedup clusters: two rows merge when ANY of several
+    * evidence keys matches — full-content hash OR head hash OR tail hash
+    * OR canonical URL — the union-find shape of production crawl dedup,
+    * where no single fingerprint catches every duplicate family
+    * (truncated mirrors share a head, paginated copies share a tail,
+    * syndicated copies share a URL). Each evidence key contributes STAR
+    * edges only — every sharer links to the bucket's MIN id — so a
+    * k-row bucket costs k−1 edges, never k²/2 pairs; connected
+    * components over the union then merges across evidence types
+    * transitively. Buckets larger than `maxBucket` are dropped as
+    * non-evidence (a hash of the empty string matching 10M rows is a
+    * degenerate key, not a duplicate family — same reasoning as the LSH
+    * skew caps, and it keeps any single evidence value from chaining
+    * the corpus together). NULL key values never match. Output is the
+    * [[Cluster.dedupAssign]] shape: `(id, cluster, is_canonical)` for
+    * every corpus row.
+    *
+    * 100 TB shape: per evidence key ONE map-side-combined
+    * groupBy(value) to bucket roots + one value-keyed join back —
+    * edges are linear in matched rows; CC is the large-star/small-star
+    * loop (O(log² n) rounds). No pair space anywhere.
+    */
+  def multiKeyClusters(
+      df: DataFrame,
+      idCol: String,
+      evidenceKeys: Seq[(String, Column)],
+      maxBucket: Int = 1000): DataFrame = {
+    require(evidenceKeys.nonEmpty, "at least one evidence key")
+    require(maxBucket >= 2, s"maxBucket $maxBucket must be >= 2")
+    val edges = evidenceKeys.map { case (_, keyExpr) =>
+      val keyed = df.select(col(idCol).as("__id"), keyExpr.as("__kv"))
+        .filter(col("__kv").isNotNull)
+      val roots = keyed.groupBy("__kv")
+        .agg(min(col("__id")).as("__root"), count(lit(1)).as("__c"))
+        .filter(col("__c") >= 2 && col("__c") <= maxBucket)
+        .select("__kv", "__root")
+      keyed.join(roots, Seq("__kv"))
+        .filter(col("__id") =!= col("__root"))
+        .select(col("__root").as("id_a"), col("__id").as("id_b"))
+    }.reduce(_ unionByName _).distinct()
+    Cluster.dedupAssign(df, idCol, edges, "id_a", "id_b")
+  }
 }

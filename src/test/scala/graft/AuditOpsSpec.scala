@@ -78,6 +78,24 @@ class AuditOpsSpec extends SparkSuite {
     assert(pi._2 == 0L, s"independent nmi ${pi._2}")
   }
 
+  test("multiKeyClusters merges across evidence types transitively, capped buckets drop out") {
+    import graft.ops.Dedup
+    // 1-2 share key A; 2-3 share key B (different evidence) → {1,2,3} one
+    // cluster. 4 alone. 5,6,7 share an over-common value under maxBucket=2
+    // → no evidence, all singletons.
+    val df = Seq(
+      (1L, "a1", "x1"), (2L, "a1", "b1"), (3L, "zz", "b1"), (4L, "q", "r"),
+      (5L, "hot", "s5"), (6L, "hot", "s6"), (7L, "hot", "s7"))
+      .toDF("id", "k1", "k2")
+    val out = Dedup.multiKeyClusters(df, "id",
+      Seq("k1" -> col("k1"), "k2" -> col("k2")), maxBucket = 2)
+      .select("id", "cluster", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 4L, true),
+      (5L, 5L, true), (6L, 6L, true), (7L, 7L, true)))
+  }
+
   test("seasonalProfile computes exact per-phase lift on a 2-phase cycle") {
     // period 2ms, bucket 1ms: even ts → phase 0 (value 10), odd → phase 1 (30)
     val rows = Seq((0L, 10.0), (1L, 30.0), (2L, 10.0), (3L, 30.0))
