@@ -5286,6 +5286,34 @@ object Queries {
         d.doc_id = LEAST(d.doc_id, COALESCE(l.mv, d.doc_id)) AS is_canonical
       FROM documents d LEFT JOIN lbl l ON l.u = d.doc_id"""))
 
+  /** Sorted-neighborhood candidate pairs over part names (prefix sort
+    * key, window 4) with a Levenshtein verify — the bounded-budget ER
+    * pass that catches matches hash blocking straddles.
+    */
+  private val q187 = Q(
+    "q187_sorted_neighbors",
+    (spark, dir) => {
+      val parts = pq(spark, dir, "part")
+        .select(col("p_partkey"), col("p_name"))
+        .filter(col("p_partkey").isNotNull && col("p_name").isNotNull)
+      val pairs = Entity.sortedNeighborPairs(
+        parts, "p_partkey", lower(substring(col("p_name"), 1, 12)), window = 4)
+      val named = parts.select(col("p_partkey").as("id_a"), col("p_name").as("na"))
+      val namedB = parts.select(col("p_partkey").as("id_b"), col("p_name").as("nb"))
+      pairs.join(named, "id_a").join(namedB, "id_b")
+        .withColumn("dist", levenshtein(col("na"), col("nb")))
+        .filter(col("dist") <= 12)
+        .select("id_a", "id_b", "gap", "dist")
+    },
+    Some("""WITH t AS (SELECT p_partkey id, p_name,
+          lower(substr(p_name, 1, 12)) k FROM part
+        WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL),
+      r AS (SELECT id, p_name, ROW_NUMBER() OVER (ORDER BY k, id) rn FROM t),
+      p AS (SELECT a.id id_a, b.id id_b, (b.rn - a.rn)::INT gap,
+          levenshtein(a.p_name, b.p_name) dist
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3)
+      SELECT id_a, id_b, gap, dist FROM p WHERE dist <= 12"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5302,7 +5330,7 @@ object Queries {
     q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186)
+    q181, q182, q183, q184, q185, q186, q187)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

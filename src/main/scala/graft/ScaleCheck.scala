@@ -262,11 +262,44 @@ object ScaleCheck {
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
 
+    def globalRankTime(df: DataFrame, tag: String): Double = {
+      import graft.engine.EventTime
+      val base = EventTime.append(
+        df.select(col("event_id"), col("value"), col("ts")), Some("ts"), "epoch_nanos")
+        .select(col("event_id"), col("value"))
+      val t0 = System.nanoTime()
+      graft.ops.Ranks.globalRank(base,
+        Seq(col("value"), col("event_id")), "r")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def qnormTime(df: DataFrame, tag: String): Double = {
+      val base = df.select(col("event_id"), col("event_type"), col("value"))
+      val t0 = System.nanoTime()
+      graft.ops.Features.quantileNormalize(base, "event_id", "event_type", "value")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def theilSenTime(df: DataFrame, tag: String): Double = {
+      import graft.engine.EventTime
+      val b = df.select(col("user_id"),
+          EventTime.epochMillis(df, "ts").as("ts_ms"), col("value"))
+        .filter(col("value").isNotNull)
+        .withColumn("t", expr("ts_ms div 3600000"))
+        .groupBy("user_id", "t")
+        .agg(sum(floor(col("value") * 1e6).cast("long")).as("v"))
+      val t0 = System.nanoTime()
+      graft.ops.TimeSeries.theilSen(b, "user_id", "t", "v")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     for ((name, f) <- Seq(
       ("sliding", slidingTime _), ("over", overTime _), ("pit", pitTime _),
       ("lookup", lookupTime _), ("cluster", clusterTime _),
       ("sessionize", sessionTime _), ("pagerank", pagerankTime _),
-      ("cooccur", cooccurTime _)) if wanted(name)) {
+      ("cooccur", cooccurTime _), ("global_rank", globalRankTime _),
+      ("qnorm", qnormTime _), ("theil_sen", theilSenTime _)) if wanted(name)) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")

@@ -73,6 +73,44 @@ object Entity {
     * rows in ONE block — decimal(38,0) internally, so even that
     * pathological audit reports rather than overflows.
     */
+  /** Sorted-neighborhood candidate pairs (Hernández–Stolfo SNM): sort
+    * the corpus by a fuzzy key and pair each row with its next
+    * `window − 1` neighbors in sort order — the classic complement to
+    * hash blocking: blocking misses near-matches that straddle a bucket
+    * boundary, SNM catches anything the sort brings close (typo'd
+    * prefixes, off-by-one lengths), at a GUARANTEED `n·(w−1)` candidate
+    * budget that no skewed bucket can blow. The global order comes from
+    * [[Ranks.globalRank]] (range exchange, no single-task window) and
+    * neighbors join on literal rank offsets — an equi-join on integers,
+    * distributed. Returns `(id_a, id_b, gap)` with `id_a`/`id_b` the
+    * sort-order earlier/later row and `gap` their rank distance
+    * (1 = adjacent). NULL sort keys are excluded.
+    *
+    * 100 TB shape: one range exchange for the rank, one integer
+    * equi-join of the ranked table with its offset explode — pair count
+    * is exactly n·(w−1) by construction, the property that makes SNM
+    * the bounded-cost ER pass. Multi-pass SNM = union over several sort
+    * keys (names, emails reversed, phones), same bound each.
+    */
+  def sortedNeighborPairs(
+      df: DataFrame,
+      idCol: String,
+      sortKey: Column,
+      window: Int): DataFrame = {
+    require(window >= 2, s"window $window must be >= 2")
+    val ranked = Ranks.globalRank(
+      df.select(col(idCol).as("__id"), sortKey.as("__k"))
+        .filter(col("__k").isNotNull),
+      Seq(col("__k"), col("__id")), "__rn")
+    val probes = ranked.select(col("__id").as("id_a"), col("__rn"),
+        explode(sequence(lit(1), lit(window - 1))).as("gap"))
+      .withColumn("__rn2", col("__rn") + col("gap"))
+    probes.join(
+        ranked.select(col("__id").as("id_b"), col("__rn").as("__rn2")),
+        Seq("__rn2"))
+      .select(col("id_a"), col("id_b"), col("gap"))
+  }
+
   def blockingAudit(
       df: DataFrame,
       strategies: Seq[(String, Column)]): DataFrame = {

@@ -65,6 +65,42 @@ object Skew {
     * comparison fold per row into a map-side-combined count by
     * partition id. The corpus never shuffles.
     */
+  /** Exact nearest-rank boundaries at positions ⌈i·N/p⌉, i = 1..p−1,
+    * collected (p−1 rows — model-sized, the k-means precedent).
+    */
+  private def exactBounds(
+      base: DataFrame,
+      valueCol: String,
+      tieCol: String,
+      p: Int): Array[org.apache.spark.sql.Row] = {
+    val n = base.agg(count(lit(1))).head.getLong(0)
+    val positions = (1 until p).map(i => (i.toLong * n + p - 1) / p)
+      .filter(q => q >= 1 && q <= n).distinct
+    Ranks.orderStatistics(base, Seq(valueCol, tieCol), positions)
+      .select(col("position"), col(valueCol).as("bv"), col(tieCol).as("bt"))
+      .orderBy("position")
+      .collect()
+  }
+
+  /** The partition id of each row under collected `bounds`: partition i
+    * when (value, tie) ≤ boundary i and > boundary i−1; everything past
+    * the last boundary lands in partition `bounds.length`.
+    */
+  private def pidExpr(
+      bounds: Array[org.apache.spark.sql.Row],
+      valueCol: String,
+      tieCol: String): org.apache.spark.sql.Column =
+    // foldLeft nests each new `when` OUTSIDE the accumulator, so iterate
+    // largest-boundary-first to make the final expression test the
+    // SMALLEST boundary first (first true when wins).
+    bounds.zipWithIndex.reverse.foldLeft(lit(bounds.length): org.apache.spark.sql.Column) {
+      case (acc, (b, i)) =>
+        val bv = lit(b.get(1))
+        val bt = lit(b.get(2))
+        when(col(valueCol) < bv ||
+          (col(valueCol) === bv && col(tieCol) <= bt), lit(i)).otherwise(acc)
+    }
+
   def rangePartitionPlan(
       df: DataFrame,
       valueCol: String,
@@ -72,24 +108,9 @@ object Skew {
       p: Int): DataFrame = {
     require(p >= 2, s"p $p must be >= 2")
     val base = df.filter(col(valueCol).isNotNull)
-    val n = base.agg(count(lit(1))).head.getLong(0)
-    val positions = (1 until p).map(i => (i.toLong * n + p - 1) / p)
-      .filter(q => q >= 1 && q <= n).distinct
-    val bounds = Ranks.orderStatistics(base, Seq(valueCol, tieCol), positions)
-      .select(col("position"), col(valueCol).as("bv"), col(tieCol).as("bt"))
-      .orderBy("position")
-      .collect()
-    // foldLeft nests each new `when` OUTSIDE the accumulator, so iterate
-    // largest-boundary-first to make the final expression test the
-    // SMALLEST boundary first (first true when wins).
-    val pid = bounds.zipWithIndex.reverse.foldLeft(lit(bounds.length): org.apache.spark.sql.Column) {
-      case (acc, (b, i)) =>
-        val bv = lit(b.get(1))
-        val bt = lit(b.get(2))
-        when(col(valueCol) < bv ||
-          (col(valueCol) === bv && col(tieCol) <= bt), lit(i)).otherwise(acc)
-    }
-    val counts = base.withColumn("partition_id", pid.cast("int"))
+    val bounds = exactBounds(base, valueCol, tieCol, p)
+    val counts = base
+      .withColumn("partition_id", pidExpr(bounds, valueCol, tieCol).cast("int"))
       .groupBy("partition_id").agg(count(lit(1)).as("n_rows"))
     val boundRows = bounds.zipWithIndex.map { case (b, i) => (i, b.get(1), b.get(2)) }
     val spark = df.sparkSession
@@ -106,5 +127,48 @@ object Skew {
       schema)
     boundDf.join(counts, Seq("partition_id"), "left")
       .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+  }
+
+  /** EXECUTE the plan: write `df` as exactly `p` sorted, range-disjoint,
+    * size-balanced files — the clustered table layout downstream scans
+    * range-prune against. Uses [[exactBounds]] + an explicit
+    * pid-identity `Partitioner` (routing is exact, not hash — two pids
+    * must never share a file, or the file's min/max range lies), then a
+    * per-partition sort and one file per partition via
+    * `maxRecordsPerFile`-free single-task writes. Rows with a NULL
+    * value route to partition 0 (Spark's nulls-first order) rather than
+    * silently vanishing — the compactWrite null lesson.
+    *
+    * 100 TB shape: one boundary pass (pruned 2-column rank) + ONE exact
+    * shuffle of the corpus into p balanced tasks, each sorting its own
+    * range — TeraSort's write phase. The balance guarantee is what the
+    * sampled `repartitionByRange` cannot give a published layout.
+    */
+  def plannedRangeWrite(
+      df: DataFrame,
+      valueCol: String,
+      tieCol: String,
+      p: Int,
+      path: String,
+      format: String = "parquet"): Unit = {
+    require(p >= 2, s"p $p must be >= 2")
+    val base = df.filter(col(valueCol).isNotNull)
+    val bounds = exactBounds(base, valueCol, tieCol, p)
+    val assigned = df.withColumn("__pid",
+      when(col(valueCol).isNull, lit(0))
+        .otherwise(pidExpr(bounds, valueCol, tieCol)).cast("int"))
+    val pidIdx = assigned.schema.fieldIndex("__pid")
+    val numParts = bounds.length + 1
+    val routed = assigned.rdd
+      .map(r => (r.getInt(pidIdx), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = numParts
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    df.sparkSession.createDataFrame(routed, assigned.schema)
+      .sortWithinPartitions(col(valueCol), col(tieCol))
+      .drop("__pid")
+      .write.mode("overwrite").format(format).save(path)
   }
 }

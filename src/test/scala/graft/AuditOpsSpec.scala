@@ -50,6 +50,17 @@ class AuditOpsSpec extends SparkSuite {
     assert(small.toSeq == Seq(7))
   }
 
+  test("sortedNeighborPairs pairs each row with its next w-1 sort neighbors, exactly") {
+    // sort by key: ids 3(aa) < 1(ab) < 4(ac) < 2(zz); window 3
+    val df = Seq((1L, "ab"), (2L, "zz"), (3L, "aa"), (4L, "ac")).toDF("id", "k")
+    val out = Entity.sortedNeighborPairs(df, "id", col("k"), window = 3)
+      .select("id_a", "id_b", "gap").as[(Long, Long, Int)].collect().toSet
+    assert(out == Set(
+      (3L, 1L, 1), (3L, 4L, 2), (1L, 4L, 1), (1L, 2L, 2), (4L, 2L, 1)))
+    // candidate budget is exactly n(w-1) - (w-1)w/2 tail loss: 4*2 - 3 = 5
+    assert(out.size == 5)
+  }
+
   test("blockingAudit counts candidate pairs and flags the straggler block") {
     // strategy A: blocks of 3 and 2 → 3+1 pairs; strategy B: one block of 5
     val df = Seq("x", "x", "x", "y", "y").toDF("b")
@@ -94,6 +105,34 @@ class AuditOpsSpec extends SparkSuite {
     assert(out.toSeq == Seq(
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 4L, true),
       (5L, 5L, true), (6L, 6L, true), (7L, 7L, true)))
+  }
+
+  test("plannedRangeWrite produces p sorted, range-disjoint, balanced files") {
+    import graft.ops.Skew
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 1000).map(i => (rnd.nextInt(100000), i.toLong))
+      .toDF("v", "id")
+    val out = s"${SparkSuite.tmpDir}/prw_out"
+    Skew.plannedRangeWrite(df, "v", "id", p = 4, out)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    assert(files.length == 4, s"expected 4 part files, got ${files.length}")
+    val perFile = files.map { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select("v", "id").as[(Int, Long)].collect()
+      assert(rows.sameElements(rows.sortBy(r => (r._1, r._2))),
+        s"${f.getName} not sorted")
+      (rows.length, rows.map(r => (r._1, r._2)).min, rows.map(r => (r._1, r._2)).max)
+    }
+    assert(perFile.map(_._1).sum == 1000)
+    assert(perFile.map(_._1).max - perFile.map(_._1).min <= 1,
+      s"unbalanced: ${perFile.map(_._1).toSeq}")
+    perFile.sliding(2).foreach {
+      case Array((_, _, maxA), (_, minB, _)) =>
+        assert(Ordering[(Int, Long)].lt(maxA, minB),
+          s"file ranges overlap: $maxA !< $minB")
+      case _ =>
+    }
   }
 
   test("seasonalProfile computes exact per-phase lift on a 2-phase cycle") {

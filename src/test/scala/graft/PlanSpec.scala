@@ -197,6 +197,40 @@ class PlanSpec extends SparkSuite {
     assert(shuffles(plan) <= 8, s"q97 shuffle count grew to ${shuffles(plan)}:\n$plan")
   }
 
+  test("embargo split: the corpus side is map-only behind a broadcast cutoff") {
+    val plan = Queries.all.find(_.name == "q179_embargo_split").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    // the whole design: ONE cutoff row broadcasts, labelling is a pure
+    // predicate — any ShuffleExchange here means the corpus started
+    // shuffling for a split label (the rank machinery lives inside the
+    // Ranks LogicalRDD lineage, not this plan)
+    assert(shuffles(plan) == 0,
+      s"q179 shuffles the corpus for a broadcast-cutoff split:\n$plan")
+    assert(plan.toString.contains("Broadcast"),
+      s"q179 lost the broadcast cutoff:\n$plan")
+  }
+
+  test("range-partition plan: assignment is a broadcast-free map fold, bounded shuffles") {
+    val plan = Queries.all.find(_.name == "q175_range_plan").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    // count-by-partition-id (1 shuffle, map-side combined) + the tiny
+    // bound-table join; growth means assignment started shuffling the
+    // corpus instead of folding literal boundaries
+    assert(shuffles(plan) <= 2,
+      s"q175 shuffle count grew to ${shuffles(plan)}:\n$plan")
+  }
+
+  test("conformal thresholds: group-sized threshold table broadcasts onto test") {
+    val plan = Queries.all.find(_.name == "q174_conformal").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    assert(plan.toString.contains("Broadcast"),
+      s"q174 lost the broadcast threshold join:\n$plan")
+    // calibration rank window + coverage agg + final join; the test-side
+    // scan must not shuffle on the group before the broadcast join
+    assert(shuffles(plan) <= 4,
+      s"q174 shuffle count grew to ${shuffles(plan)}:\n$plan")
+  }
+
   test("training order: no range partitioning — the total order must not global-sort") {
     val plan = Queries.all.find(_.name == "q101_training_order").get
       .build(spark, sfDir).queryExecution.executedPlan
