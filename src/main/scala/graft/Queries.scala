@@ -5314,6 +5314,69 @@ object Queries {
         FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3)
       SELECT id_a, id_b, gap, dist FROM p WHERE dist <= 12"""))
 
+  /** Referential-integrity audit: orders→customer (clean FK) and
+    * events.user→customer (dangling users) — the orphan report before a
+    * join-heavy run hides them.
+    */
+  private val q188 = Q(
+    "q188_integrity_audit",
+    (spark, dir) => Corpus.integrityAudit(Seq(
+      ("orders_customer", pq(spark, dir, "orders"), "o_custkey",
+        pq(spark, dir, "customer"), "c_custkey"),
+      ("events_customer", pq(spark, dir, "events"), "user_id",
+        pq(spark, dir, "customer"), "c_custkey"),
+      ("lineitem_orders", pq(spark, dir, "lineitem"), "l_orderkey",
+        pq(spark, dir, "orders"), "o_orderkey"))),
+    Some("""WITH r1 AS (SELECT 'orders_customer' relation,
+          COUNT(*)::BIGINT n_rows, COUNT(o_custkey)::BIGINT n_child,
+          COUNT(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN
+            (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+            THEN 1 END)::BIGINT n_orphans
+        FROM orders),
+      r2 AS (SELECT 'events_customer',
+          COUNT(*)::BIGINT, COUNT(user_id)::BIGINT,
+          COUNT(CASE WHEN user_id IS NOT NULL AND user_id NOT IN
+            (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+            THEN 1 END)::BIGINT
+        FROM events),
+      r3 AS (SELECT 'lineitem_orders',
+          COUNT(*)::BIGINT, COUNT(l_orderkey)::BIGINT,
+          COUNT(CASE WHEN l_orderkey IS NOT NULL AND l_orderkey NOT IN
+            (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+            THEN 1 END)::BIGINT
+        FROM lineitem),
+      u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        UNION ALL SELECT * FROM r3)
+      SELECT relation, n_rows, n_child,
+        (n_rows - n_child)::BIGINT AS n_null_fk, n_orphans,
+        n_orphans * 1000000 // GREATEST(n_child, 1) AS orphan_micro
+      FROM u"""))
+
+  /** Exact two-sample KS statistic between click and view value
+    * distributions — binless drift, integer-exact via the distributed
+    * prefix-sum CDF.
+    */
+  private val q189 = Q(
+    "q189_ks_statistic",
+    (spark, dir) => Eval.ksStatistic(pq(spark, dir, "events"),
+      "event_type", "value", "click", "view"),
+    Some("""WITH c AS (SELECT v, SUM(ca)::BIGINT ca, SUM(cb)::BIGINT cb
+          FROM (SELECT value v, 1 ca, 0 cb FROM events
+              WHERE event_type = 'click' AND value IS NOT NULL
+            UNION ALL SELECT value, 0, 1 FROM events
+              WHERE event_type = 'view' AND value IS NOT NULL) x
+          GROUP BY 1),
+      t AS (SELECT SUM(ca)::BIGINT n_a, SUM(cb)::BIGINT n_b FROM c),
+      w AS (SELECT v, SUM(ca) OVER (ORDER BY v)::BIGINT cuma,
+          SUM(cb) OVER (ORDER BY v)::BIGINT cumb FROM c),
+      d AS (SELECT v, abs(cuma * t.n_b - cumb * t.n_a)::BIGINT dd
+        FROM w, t),
+      m AS (SELECT MAX(dd)::BIGINT d_scaled FROM d)
+      SELECT t.n_a, t.n_b, m.d_scaled,
+        m.d_scaled * 1000000 // GREATEST(t.n_a * t.n_b, 1) AS ks_micro,
+        MAX(CASE WHEN d.dd = m.d_scaled THEN d.v END) AS at_value
+      FROM d, t, m GROUP BY 1, 2, 3, 4"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5330,7 +5393,7 @@ object Queries {
     q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -935,4 +935,43 @@ object Corpus {
       .select(col(groupCol), col("digit"), col("n"), col("n_group"),
         col("share_micro"), col("benford_micro"), col("dev_micro"))
   }
+
+  /** Referential-integrity audit across table relations: for each
+    * declared (child.fk → parent.pk) edge, how many child rows point
+    * nowhere — the orphan count a snapshot pipeline checks BEFORE a
+    * join-heavy training run silently inner-joins those rows away (an
+    * orphan rate that jumps between snapshots is an upstream extract
+    * breaking, and inner joins hide it). NULL FKs are reported
+    * separately (`n_null_fk`) — a nullable FK is a modeling choice, a
+    * dangling one is a defect. Returns one row per relation:
+    * `(relation, n_rows, n_child, n_null_fk, n_orphans, orphan_micro)`
+    * where `n_child` counts non-NULL FKs and `orphan_micro` is the
+    * orphan share of them.
+    *
+    * 100 TB shape: per relation ONE left-anti join of the child's FK
+    * column (pruned scan) against the parent's DISTINCT keys — AQE
+    * broadcasts dimension-sized parents and falls back to a shuffle
+    * for fact-sized ones; counts are one-row aggregates, no row ever
+    * leaves the executors.
+    */
+  def integrityAudit(
+      relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(relations.nonEmpty, "at least one relation")
+    relations.map { case (name, child, fkCol, parent, pkCol) =>
+      val fks = child.select(col(fkCol).as("__fk"))
+      val pks = parent.select(col(pkCol).as("__pk"))
+        .filter(col("__pk").isNotNull).distinct()
+      val totals = fks.agg(
+        count(lit(1)).as("n_rows"), count(col("__fk")).as("n_child"))
+      val orphans = fks.filter(col("__fk").isNotNull)
+        .join(pks, col("__fk") === col("__pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      totals.crossJoin(orphans)
+        .select(lit(name).as("relation"), col("n_rows"), col("n_child"),
+          (col("n_rows") - col("n_child")).as("n_null_fk"),
+          col("n_orphans"),
+          expr("n_orphans * 1000000L div greatest(n_child, 1)")
+            .as("orphan_micro"))
+    }.reduce(_ unionByName _)
+  }
 }

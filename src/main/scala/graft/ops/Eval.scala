@@ -188,6 +188,49 @@ object Eval {
     * scoring is one map-only pass of codegen'd integer expressions —
     * the corpus is read once and never shuffles.
     */
+  /** EXACT two-sample Kolmogorov–Smirnov statistic between two groups'
+    * value distributions — the "did this feature's distribution move"
+    * test with no binning error (PSI needs bins and misses shifts inside
+    * one; KS is binless): `D = max_v |F_a(v) − F_b(v)|`, carried as the
+    * exact integer `d_scaled = max |cum_a·n_b − cum_b·n_a|` so engines
+    * agree bit-for-bit, with `ks_micro = d_scaled·10⁶ / (n_a·n_b)`.
+    * `at_value` is where the gap peaks (largest such value on ties).
+    * Returns ONE row: `(n_a, n_b, d_scaled, ks_micro, at_value)`.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy collapses the corpus
+    * to distinct values with per-group counts (value-cardinality
+    * table); CDFs come from [[Ranks.prefixSum]] (range exchange + two
+    * narrow passes — no single-task window even at 10⁹ distinct
+    * values); the rest is one-row aggregates.
+    */
+  def ksStatistic(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val cells = df
+      .filter(col(valueCol).isNotNull &&
+        (col(groupCol) === groupA || col(groupCol) === groupB))
+      .groupBy(col(valueCol).as("v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val cum = Ranks.prefixSum(cells, Seq(col("v")), Seq("ca", "cb"))
+    val tot = cells.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    val dd = cum.crossJoin(broadcast(tot))
+      .withColumn("dd", abs(col("ca_cum") * col("n_b") - col("cb_cum") * col("n_a")))
+    val maxd = dd.agg(max("dd").as("d_scaled"))
+    dd.crossJoin(broadcast(maxd))
+      .agg(
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("d_scaled")).as("d_scaled"),
+        max(when(col("dd") === col("d_scaled"), col("v"))).as("at_value"))
+      .withColumn("ks_micro",
+        expr("d_scaled * 1000000L div greatest(n_a * n_b, 1)"))
+      .select("n_a", "n_b", "d_scaled", "ks_micro", "at_value")
+  }
+
   def anomalyAttribution(
       df: DataFrame,
       idCol: String,

@@ -53,4 +53,60 @@ object Ranks {
       .withColumnRenamed("__pos", "position")
       .select(col("position") +: sortCols.map(col): _*)
   }
+
+  /** Exact INCLUSIVE prefix sums of Long `valueCols` under the total
+    * order `sortCols` — each row gains `<col>_cum` = the sum of that
+    * column over all rows at or before it. The distributed CDF
+    * primitive (KS statistics, Gini/Lorenz curves, calibration sweeps)
+    * without a single-task global window: range-exchange sort, one
+    * narrow pass for per-partition subtotals (P longs to the driver),
+    * offsets broadcast back, one narrow pass to emit. `sortCols` must
+    * totalize (include a tie column, or pre-aggregate to distinct sort
+    * keys) — with ties the split between "at" and "before" would be
+    * partition-dependent.
+    *
+    * 100 TB shape: ONE range exchange (localCheckpoint'd so both narrow
+    * passes read the same sorted partitions once), driver traffic is
+    * P·|valueCols| longs.
+    */
+  def prefixSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "valueCols required")
+    val sorted = df.orderBy(sortCols: _*).localCheckpoint()
+    val idx = valueCols.map(sorted.schema.fieldIndex)
+    val rdd = sorted.rdd
+    val partials = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val sums = Array.fill(idx.length)(0L)
+      it.foreach { r =>
+        var j = 0
+        while (j < idx.length) {
+          if (!r.isNullAt(idx(j))) sums(j) += r.getLong(idx(j))
+          j += 1
+        }
+      }
+      Iterator((pi, sums))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partials.scanLeft(Array.fill(idx.length)(0L)) { (acc, p) =>
+      acc.zip(p).map { case (a, b) => a + b }
+    }.init
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val outSchema = StructType(sorted.schema.fields ++
+      valueCols.map(c => StructField(s"${c}_cum", LongType, nullable = false)))
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val run = bc.value(pi).clone()
+      it.map { r =>
+        var j = 0
+        while (j < idx.length) {
+          if (!r.isNullAt(idx(j))) run(j) += r.getLong(idx(j))
+          j += 1
+        }
+        // toList COPIES the running array — toSeq would wrap the mutable
+        // buffer and corrupt already-emitted rows on the next update
+        Row.fromSeq(r.toSeq ++ run.toList)
+      }
+    }
+    df.sparkSession.createDataFrame(out, outSchema)
+  }
 }

@@ -30,6 +30,46 @@ class RankOpsSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 3L -> 5L, 5L -> 9L))
   }
 
+  test("prefixSum equals the driver cumsum under any partitioning, copies not views") {
+    val rnd = new scala.util.Random(3)
+    val data = (0 until 500).map(i => (i.toLong, rnd.nextInt(100).toLong))
+    val df = data.toDF("id", "x").repartition(7)
+    val got = Ranks.prefixSum(df, Seq(col("id")), Seq("x"))
+      .select("id", "x_cum").as[(Long, Long)].collect().sortBy(_._1)
+    val exp = data.sortBy(_._1).scanLeft((-1L, 0L)) {
+      case ((_, acc), (id, x)) => (id, acc + x)
+    }.tail
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("ksStatistic is 0 on identical and 1e6 on disjoint distributions") {
+    val same = (1 to 50).flatMap(i =>
+      Seq(("a", i.toDouble), ("b", i.toDouble))).toDF("g", "v")
+    val s0 = Eval.ksStatistic(same, "g", "v", "a", "b")
+      .select("d_scaled", "ks_micro").as[(Long, Long)].collect().head
+    assert(s0 == ((0L, 0L)))
+    val disj = ((1 to 30).map(i => ("a", i.toDouble)) ++
+      (100 to 120).map(i => ("b", i.toDouble))).toDF("g", "v")
+    val s1 = Eval.ksStatistic(disj, "g", "v", "a", "b")
+      .select("n_a", "n_b", "ks_micro", "at_value")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(s1._1 == 30 && s1._2 == 21)
+    assert(s1._3 == 1000000L) // full separation
+    assert(s1._4 == 30.0)     // the gap peaks at a's last value
+  }
+
+  test("integrityAudit counts orphans and null FKs per relation") {
+    import graft.ops.Corpus
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(9L), Some(8L), None)
+      .toDF("fk")
+    val out = Corpus.integrityAudit(Seq(("c_p", child, "fk", parent, "pk")))
+      .select("relation", "n_rows", "n_child", "n_null_fk", "n_orphans",
+        "orphan_micro")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(out == (("c_p", 5L, 4L, 1L, 2L, 500000L)))
+  }
+
   test("quantileNormalize maps a uniform group onto the global distribution") {
     // group a: values 0..9, group b: values 100..109. Global sorted =
     // a's then b's; each group of 10 maps rank r to global position 2r.
