@@ -5377,6 +5377,52 @@ object Queries {
         MAX(CASE WHEN d.dd = m.d_scaled THEN d.v END) AS at_value
       FROM d, t, m GROUP BY 1, 2, 3, 4"""))
 
+  /** Exact-count stratified 70/15/15 split per language — every stratum
+    * hits its proportions exactly, md5-ordered and deterministic.
+    */
+  private val q190 = Q(
+    "q190_stratified_split",
+    (spark, dir) => Sampling.stratifiedExactSplit(
+      pq(spark, dir, "documents"), "lang", "doc_id",
+      Seq(("train", 700), ("dev", 150), ("test", 150)), salt = "s1"),
+    Some("""WITH b AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY md5('s1' || '|' || doc_id), doc_id) rn,
+          COUNT(*) OVER (PARTITION BY lang) ng
+        FROM documents)
+      SELECT doc_id, text, lang, source, n_chars,
+        CASE WHEN rn <= ng * 700 // 1000 THEN 'train'
+          WHEN rn <= ng * 850 // 1000 THEN 'dev'
+          ELSE 'test' END AS split
+      FROM b"""))
+
+  /** k-NN label-noise audit on the 400-vector embedding sample: rows
+    * whose 5 nearest neighbors vote a different label get flagged.
+    */
+  private val q191 = Q(
+    "q191_label_noise",
+    (spark, dir) => Eval.knnLabelAudit(
+      pq(spark, dir, "embeddings").filter(col("vec_id") < 400),
+      "vec_id", "embedding", "label", k = 5),
+    Some("""WITH q AS (SELECT vec_id, label::BIGINT lab,
+          embedding::DOUBLE[] v FROM embeddings
+        WHERE vec_id < 400 AND label IS NOT NULL),
+      s AS (SELECT a.vec_id qid, b.vec_id nid, b.lab nlab,
+          ROUND(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))), 6) score
+        FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY score DESC, nid) rn FROM s),
+      kn AS (SELECT qid, nlab FROM r WHERE rn <= 5),
+      cnt AS (SELECT qid, nlab, COUNT(*)::BIGINT c FROM kn GROUP BY 1, 2),
+      mj AS (SELECT qid, nlab, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY c DESC, nlab) mrn FROM cnt)
+      SELECT q.vec_id AS id, q.lab AS label, mj.nlab AS knn_label,
+        COALESCE(ag.c, 0)::BIGINT AS n_agree,
+        (mj.nlab <> q.lab) AS flagged
+      FROM q JOIN mj ON mj.qid = q.vec_id AND mj.mrn = 1
+        LEFT JOIN cnt ag ON ag.qid = q.vec_id AND ag.nlab = q.lab"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5393,7 +5439,7 @@ object Queries {
     q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -231,6 +231,51 @@ object Eval {
       .select("n_a", "n_b", "d_scaled", "ks_micro", "at_value")
   }
 
+  /** k-NN label-noise audit: flag rows whose k nearest embedding
+    * neighbors vote a DIFFERENT label — the confident-learning-style
+    * screen for mislabeled training data (a "positive" whose 5 nearest
+    * neighbors are all negatives is usually the label that's wrong, not
+    * the geometry). Majority vote with deterministic tie-break (higher
+    * count, then smaller label); 6-dp cosine ranking from
+    * [[Similarity.bruteForceTopK]] (ties to the smaller neighbor id).
+    * Returns `(id, label, knn_label, n_agree, flagged)` — `n_agree`
+    * counts neighbors sharing the row's own label.
+    *
+    * Exact-audit shape like [[Similarity.mutualTop1]]: run on a sample
+    * or per LSH/IVF bucket (the query side broadcasts); at corpus scale
+    * feed bucketed candidates through the same vote.
+    */
+  def knnLabelAudit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val base = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        col(labelCol).cast("long").as("label"))
+      .filter(col("id").isNotNull && col("label").isNotNull)
+    val nn = Similarity.bruteForceTopK(base, base, "id", "v", "id", "v", k)
+    val cnt = nn
+      .join(base.select(col("id").as("nbr_id"), col("label").as("nlab")), "nbr_id")
+      .groupBy(col("query_id"), col("nlab"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("nlab"))
+    val majority = cnt
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("query_id").as("id"), col("nlab").as("knn_label"))
+    base.select("id", "label")
+      .join(majority, "id")
+      // two-key left join: the own-label count row or NULL — a bare id
+      // join + filter would DROP rows with zero agreeing neighbors
+      .join(cnt.select(col("query_id").as("id"), col("nlab").as("label"),
+        col("c")), Seq("id", "label"), "left")
+      .select(col("id"), col("label"), col("knn_label"),
+        coalesce(col("c"), lit(0L)).as("n_agree"),
+        (col("knn_label") =!= col("label")).as("flagged"))
+  }
+
   def anomalyAttribution(
       df: DataFrame,
       idCol: String,

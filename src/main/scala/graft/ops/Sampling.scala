@@ -569,6 +569,45 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** EXACT-count stratified split: within every stratum, rows rank by
+    * md5(salt|key) and cut at exact quantile positions, so each split
+    * receives ⌊n_g·p⌋-exact counts per stratum — unlike [[splitAssign]]'s
+    * hash thresholding, whose per-stratum proportions only hold in
+    * expectation (a 50-row language can land 60/40 on an 80/20 split;
+    * this gives 40/10 every time). Permille fractions keep the cut
+    * arithmetic integer-exact; the last named split takes the remainder.
+    * Still deterministic and key-stable ACROSS RERUNS of the same
+    * stratum content (the md5 order is a pure function of keys), though
+    * — unlike hash thresholding — adding rows to a stratum can move
+    * earlier keys across the cut: exactness and insertion-stability are
+    * a real trade, pick per use case. Returns the input plus `split`.
+    *
+    * 100 TB shape: ONE window shuffle on the stratum (rank + count share
+    * the sort); the label is a pure comparison of rank against
+    * integer cut positions — no second pass, no collect.
+    */
+  def stratifiedExactSplit(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      splits: Seq[(String, Int)],
+      salt: String = ""): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.map(_._2).forall(_ > 0), s"permille weights must be positive: $splits")
+    require(splits.map(_._2).sum == 1000, s"permille weights must sum to 1000: $splits")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat_ws("|", lit(salt), col(keyCol).cast("string"))), col(keyCol))
+    val cumPermille = splits.map(_._2).scanLeft(0)(_ + _).tail // cut points
+    val labelled = df
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__ng", count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+    val label = splits.init.zip(cumPermille).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), acc) =>
+        when(col("__rn") <= expr(s"__ng * $cut div 1000"), lit(name)).otherwise(acc)
+    }
+    labelled.withColumn("split", label).drop("__rn", "__ng")
+  }
+
   /** Group-aware k-fold assignment (GroupKFold at scale): every GROUP —
     * a user, a domain, a dedup cluster — lands wholly in one fold, and
     * folds come out near-balanced by ROW count without the sequential

@@ -70,6 +70,42 @@ class RankOpsSpec extends SparkSuite {
     assert(out == (("c_p", 5L, 4L, 1L, 2L, 500000L)))
   }
 
+  test("stratifiedExactSplit hits exact per-stratum counts every time") {
+    val df = ((1 to 100).map(i => ("big", i.toLong)) ++
+      (1 to 10).map(i => ("small", 1000L + i))).toDF("g", "id")
+    val out = Sampling.stratifiedExactSplit(df, "g", "id",
+      Seq(("train", 800), ("test", 200)))
+    val counts = out.groupBy("g", "split").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(counts == Map(
+      ("big", "train") -> 80L, ("big", "test") -> 20L,
+      ("small", "train") -> 8L, ("small", "test") -> 2L))
+    // deterministic: same call, same assignment
+    val again = Sampling.stratifiedExactSplit(df, "g", "id",
+      Seq(("train", 800), ("test", 200)))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val first = out.select("id", "split").as[(Long, String)].collect().toMap
+    assert(again == first)
+  }
+
+  test("knnLabelAudit flags the row whose neighbors outvote its label") {
+    // three tight clusters of label 0 around (1,0), label 1 around (0,1);
+    // one label-1 point sitting inside the label-0 cluster gets flagged
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.99f, 0.01f), 0),
+      (3L, Array(0.98f, 0.02f), 0), (4L, Array(0.97f, 0.01f), 0),
+      (5L, Array(0.0f, 1.0f), 1), (6L, Array(0.01f, 0.99f), 1),
+      (7L, Array(0.02f, 0.98f), 1),
+      (8L, Array(0.96f, 0.03f), 1)) // mislabeled
+    val out = Eval.knnLabelAudit(pts.toDF("id", "v", "lab"), "id", "v", "lab", k = 3)
+      .select("id", "knn_label", "n_agree", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(8L)._2 == 0L && out(8L)._3 == 0L && out(8L)._4)
+    assert(!out(1L)._4 && !out(5L)._4)
+    assert(out.size == 8)
+  }
+
   test("quantileNormalize maps a uniform group onto the global distribution") {
     // group a: values 0..9, group b: values 100..109. Global sorted =
     // a's then b's; each group of 10 maps rank r to global position 2r.
