@@ -5423,6 +5423,32 @@ object Queries {
       FROM q JOIN mj ON mj.qid = q.vec_id AND mj.mrn = 1
         LEFT JOIN cnt ag ON ag.qid = q.vec_id AND ag.nlab = q.lab"""))
 
+  /** Customer-revenue Lorenz curve in deciles — the inequality shape
+    * behind the q162 Gini scalar.
+    */
+  private val q192 = Q(
+    "q192_lorenz_curve",
+    (spark, dir) => Corpus.lorenzCurve(pq(spark, dir, "orders"),
+      "o_custkey", "o_totalprice", buckets = 10),
+    Some("""WITH h AS (SELECT o_custkey hh,
+          SUM(floor(o_totalprice * 1e6)::BIGINT)::BIGINT w FROM orders
+        WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        GROUP BY 1),
+      r AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w, hh) rn FROM h),
+      t AS (SELECT COUNT(*)::BIGINT n FROM h),
+      c AS (SELECT ((10 * (rn - 1)) // t.n)::INT bucket,
+          COUNT(*)::BIGINT n_holders, SUM(w)::BIGINT weight_micro
+        FROM r, t GROUP BY 1),
+      tot AS (SELECT SUM(weight_micro)::BIGINT tw FROM c)
+      SELECT bucket, n_holders, weight_micro,
+        (SUM(n_holders) OVER wo)::BIGINT AS cum_holders,
+        (SUM(weight_micro) OVER wo)::BIGINT AS cum_weight_micro,
+        ((SUM(weight_micro) OVER wo) * 1000000
+          // GREATEST(tot.tw, 1))::BIGINT AS cum_share_micro
+      FROM c, tot
+      WINDOW wo AS (ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5439,7 +5465,7 @@ object Queries {
     q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

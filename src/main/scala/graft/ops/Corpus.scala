@@ -954,6 +954,51 @@ object Corpus {
     * for fact-sized ones; counts are one-row aggregates, no row ever
     * leaves the executors.
     */
+  /** Lorenz curve of a weight over its holders, in `buckets` equal-count
+    * slices ordered poorest-first: per slice, its exact share of holders
+    * and of total weight, cumulated — "the top decile of customers carry
+    * 62% of revenue", the curve behind the q162 Gini scalar (a report
+    * wants the shape, not just the area). Holder ranks come from
+    * [[Ranks.globalRank]] (no single-task window over holders); the
+    * per-slice cum table is `buckets`-sized, so its tiny ordered window
+    * is post-aggregation (the groupFolds precedent). All integer: micro
+    * weights, exact rank-slice arithmetic `(b·(rank−1)) div n`. Returns
+    * `(bucket, n_holders, weight_micro, cum_holders, cum_weight_micro,
+    * cum_share_micro)`. Negative weights are rejected (a Lorenz curve
+    * over mixed-sign weight is undefined).
+    *
+    * 100 TB shape: one holder-keyed aggregation + one range exchange for
+    * the rank + a buckets-sized rollup. Nothing row-sized past the rank.
+    */
+  def lorenzCurve(
+      df: DataFrame,
+      holderCol: String,
+      valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, s"buckets $buckets must be >= 2")
+    val holders = df
+      .filter(col(holderCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(holderCol).as("__h"))
+      .agg(sum(floor(col(valueCol).cast("double") * 1e6).cast("long")).as("__w"))
+    val ranked = Ranks.globalRank(holders, Seq(col("__w"), col("__h")), "__rn")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    val cells = ranked.crossJoin(broadcast(n))
+      .withColumn("bucket", expr(s"($buckets * (__rn - 1)) div __n").cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_holders"), sum("__w").as("weight_micro"))
+    val neg = cells.filter(col("weight_micro") < 0).limit(1).count()
+    require(neg == 0, "lorenzCurve requires non-negative weights")
+    val wOrd = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_holders", sum(col("n_holders")).over(wOrd))
+      .withColumn("cum_weight_micro", sum(col("weight_micro")).over(wOrd))
+      .withColumn("cum_share_micro", expr(
+        """cast(cast(cum_weight_micro as decimal(38,0)) * 1000000
+           div greatest(sum(weight_micro) over (), 1) as long)"""))
+  }
+
   def integrityAudit(
       relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
     require(relations.nonEmpty, "at least one relation")

@@ -135,6 +135,18 @@ class AuditOpsSpec extends SparkSuite {
     }
   }
 
+  test("lorenzCurve cumulates exact shares poorest-first") {
+    // 4 holders with weights 1,1,1,7 in 2 buckets: poor half holds 20%
+    val df = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 7.0)).toDF("h", "v")
+    val out = Corpus.lorenzCurve(df, "h", "v", buckets = 2)
+      .select("bucket", "n_holders", "cum_holders", "cum_share_micro")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0, 2L, 2L, 200000L), (1, 2L, 4L, 1000000L)))
+    intercept[IllegalArgumentException] {
+      Corpus.lorenzCurve(Seq((1L, -5.0), (2L, 1.0)).toDF("h", "v"), "h", "v", 2)
+    }
+  }
+
   test("seasonalProfile computes exact per-phase lift on a 2-phase cycle") {
     // period 2ms, bucket 1ms: even ts → phase 0 (value 10), odd → phase 1 (30)
     val rows = Seq((0L, 10.0), (1L, 30.0), (2L, 10.0), (3L, 30.0))
