@@ -2168,9 +2168,9 @@ object Queries {
       e AS (SELECT doc_id, st, en,
         unnest(generate_series((st // 512)::BIGINT, ((en - 1) // 512)::BIGINT)) AS seq_id FROM s)
       SELECT seq_id, doc_id,
-        GREATEST(st, seq_id * 512) - seq_id * 512 AS start_in_seq,
-        GREATEST(st, seq_id * 512) - st AS start_in_doc,
-        LEAST(en, seq_id * 512 + 512) - GREATEST(st, seq_id * 512) AS piece_len
+        (GREATEST(st, seq_id * 512) - seq_id * 512)::BIGINT AS start_in_seq,
+        (GREATEST(st, seq_id * 512) - st)::BIGINT AS start_in_doc,
+        (LEAST(en, seq_id * 512 + 512) - GREATEST(st, seq_id * 512))::BIGINT AS piece_len
       FROM e"""))
 
   /** BM25 ranked retrieval against a 4-term query over the documents
