@@ -5369,11 +5369,12 @@ object Queries {
       t AS (SELECT SUM(ca)::BIGINT n_a, SUM(cb)::BIGINT n_b FROM c),
       w AS (SELECT v, SUM(ca) OVER (ORDER BY v)::BIGINT cuma,
           SUM(cb) OVER (ORDER BY v)::BIGINT cumb FROM c),
-      d AS (SELECT v, abs(cuma * t.n_b - cumb * t.n_a)::BIGINT dd
+      d AS (SELECT v, abs(cuma::HUGEINT * t.n_b - cumb::HUGEINT * t.n_a) dd
         FROM w, t),
-      m AS (SELECT MAX(dd)::BIGINT d_scaled FROM d)
-      SELECT t.n_a, t.n_b, m.d_scaled,
-        m.d_scaled * 1000000 // GREATEST(t.n_a * t.n_b, 1) AS ks_micro,
+      m AS (SELECT MAX(dd) d_scaled FROM d)
+      SELECT t.n_a, t.n_b, m.d_scaled::DECIMAL(38,0) AS d_scaled,
+        (m.d_scaled * 1000000 //
+          GREATEST(t.n_a::HUGEINT * t.n_b, 1))::BIGINT AS ks_micro,
         MAX(CASE WHEN d.dd = m.d_scaled THEN d.v END) AS at_value
       FROM d, t, m GROUP BY 1, 2, 3, 4"""))
 

@@ -194,6 +194,8 @@ object Eval {
     * one; KS is binless): `D = max_v |F_a(v) − F_b(v)|`, carried as the
     * exact integer `d_scaled = max |cum_a·n_b − cum_b·n_a|` so engines
     * agree bit-for-bit, with `ks_micro = d_scaled·10⁶ / (n_a·n_b)`.
+    * `d_scaled` is decimal(38,0) — it exceeds int64 past ~3·10⁹ rows
+    * per side, see [[ksFromCells]].
     * `at_value` is where the gap peaks (largest such value on ties).
     * Returns ONE row: `(n_a, n_b, d_scaled, ks_micro, at_value)`.
     *
@@ -216,10 +218,25 @@ object Eval {
       .agg(
         sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    ksFromCells(cells)
+  }
+
+  /** KS core over a pre-aggregated value-cardinality table `(v, ca, cb)`.
+    * Every cross product (`cum_a·n_b`, `d_scaled·10⁶`, `n_a·n_b`) is
+    * carried in decimal(38,0): the int64 route wraps SILENTLY past
+    * ~3·10⁹ rows per side (`n_a·n_b > 2⁶³`) — exactly the corpus scale
+    * the one-pass shape above exists for — so `d_scaled` is emitted as
+    * decimal(38,0) and only the bounded `ks_micro ∈ [0, 10⁶]` returns
+    * to int64. Split out so overflow counts are testable without
+    * materializing 10⁹ rows (EvalOverflowSpec feeds synthetic cells).
+    */
+  private[graft] def ksFromCells(cells: DataFrame): DataFrame = {
     val cum = Ranks.prefixSum(cells, Seq(col("v")), Seq("ca", "cb"))
     val tot = cells.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
     val dd = cum.crossJoin(broadcast(tot))
-      .withColumn("dd", abs(col("ca_cum") * col("n_b") - col("cb_cum") * col("n_a")))
+      .withColumn("dd",
+        abs(col("ca_cum").cast("decimal(38,0)") * col("n_b") -
+          col("cb_cum").cast("decimal(38,0)") * col("n_a")))
     val maxd = dd.agg(max("dd").as("d_scaled"))
     dd.crossJoin(broadcast(maxd))
       .agg(
@@ -227,7 +244,7 @@ object Eval {
         max(col("d_scaled")).as("d_scaled"),
         max(when(col("dd") === col("d_scaled"), col("v"))).as("at_value"))
       .withColumn("ks_micro",
-        expr("d_scaled * 1000000L div greatest(n_a * n_b, 1)"))
+        expr("d_scaled * 1000000 div greatest(cast(n_a as decimal(38,0)) * n_b, 1)"))
       .select("n_a", "n_b", "d_scaled", "ks_micro", "at_value")
   }
 

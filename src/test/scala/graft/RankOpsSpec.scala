@@ -46,7 +46,8 @@ class RankOpsSpec extends SparkSuite {
     val same = (1 to 50).flatMap(i =>
       Seq(("a", i.toDouble), ("b", i.toDouble))).toDF("g", "v")
     val s0 = Eval.ksStatistic(same, "g", "v", "a", "b")
-      .select("d_scaled", "ks_micro").as[(Long, Long)].collect().head
+      .selectExpr("cast(d_scaled as long)", "ks_micro")
+      .as[(Long, Long)].collect().head
     assert(s0 == ((0L, 0L)))
     val disj = ((1 to 30).map(i => ("a", i.toDouble)) ++
       (100 to 120).map(i => ("b", i.toDouble))).toDF("g", "v")
@@ -56,6 +57,23 @@ class RankOpsSpec extends SparkSuite {
     assert(s1._1 == 30 && s1._2 == 21)
     assert(s1._3 == 1000000L) // full separation
     assert(s1._4 == 30.0)     // the gap peaks at a's last value
+  }
+
+  test("ksFromCells survives n_a*n_b > 2^63 (decimal(38,0) products)") {
+    // 6e9 rows per side => n_a*n_b = 3.6e19 > Long.MaxValue; the int64
+    // route wrapped dd silently. Pre-aggregated cells stand in for the
+    // corpus so the overflow is exercised without 1e10 physical rows.
+    val cells = Seq(
+      (1.0, 5000000000L, 1000000000L),
+      (2.0, 1000000000L, 5000000000L)).toDF("v", "ca", "cb")
+    val r = Eval.ksFromCells(cells)
+      .selectExpr("n_a", "n_b", "cast(d_scaled as string) d_scaled",
+        "ks_micro", "at_value")
+      .as[(Long, Long, String, Long, Double)].collect().head
+    assert(r._1 == 6000000000L && r._2 == 6000000000L)
+    assert(r._3 == "24000000000000000000") // |5e9*6e9 - 1e9*6e9| > 2^63
+    assert(r._4 == 666666L) // floor(2.4e19 * 1e6 / 3.6e19)
+    assert(r._5 == 1.0)
   }
 
   test("integrityAudit counts orphans and null FKs per relation") {
