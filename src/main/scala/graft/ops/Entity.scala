@@ -25,20 +25,33 @@ object Entity {
     * phonetic key, a sorted-neighborhood window, a field prefix — pick
     * one whose largest block is bounded; diagnose with the q112 hot-key
     * report first). Edit distance runs AFTER the `id_a < id_b` and
-    * block cut, never all-pairs.
+    * block cut, never all-pairs. Blocks larger than `maxBlock` rows are
+    * DROPPED via a broadcast anti-join before pairing — the same recall
+    * trade as `Dedup`'s `maxDf`: a hot block (empty soundex, a default
+    * value, "unknown") is b²/2 Levenshteins in ONE task and is almost
+    * never a real entity; at most n/maxBlock blocks can exceed the cap,
+    * so the hot set is broadcastable by definition. Pairs inside a
+    * dropped block are not emitted; raise `maxBlock` (or pick a finer
+    * block key — see `blockingAudit`) if those matter.
     */
   def fuzzyPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       blockCol: Column,
-      maxDist: Int): DataFrame = {
+      maxDist: Int,
+      maxBlock: Long = 10000L): DataFrame = {
     require(maxDist >= 0, s"maxDist $maxDist must be >= 0")
-    val t = df
+    require(maxBlock >= 2, s"maxBlock $maxBlock must be >= 2")
+    val t0 = df
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("txt"),
         blockCol.as("blk"))
       .filter(col("blk").isNotNull)
+    val hot = t0.groupBy(col("blk")).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBlock)
+      .select(col("blk"))
+    val t = t0.join(broadcast(hot), Seq("blk"), "left_anti")
     val a = t.select(col("id").as("id_a"), col("txt").as("txt_a"), col("blk"))
     val b = t.select(col("id").as("id_b"), col("txt").as("txt_b"), col("blk"))
     a.join(b, Seq("blk"))

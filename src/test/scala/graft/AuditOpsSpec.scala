@@ -135,6 +135,24 @@ class AuditOpsSpec extends SparkSuite {
     }
   }
 
+  test("fuzzyPairs drops blocks larger than maxBlock before pairing") {
+    // "widget" block: 2 rows, a real near-dup; "common" block: 6 rows of a
+    // default-value hot key — at maxBlock=5 it must vanish entirely (no
+    // pair from it), while the widget pair survives unchanged.
+    val df = (Seq((1L, "red widget"), (2L, "rad widget")) ++
+      (10L to 15L).map(i => (i, s"x$i common"))).toDF("id", "name")
+    def run(cap: Long) = Entity.fuzzyPairs(df, "id", "name",
+        expr("split(name, ' ')[1]"), maxDist = 10, maxBlock = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = run(5L)
+    assert(capped == Set((1L, 2L)), s"hot block leaked pairs: $capped")
+    // default cap keeps both blocks (6 < 10000)
+    assert(run(10000L).size == 1 + 6 * 5 / 2)
+    intercept[IllegalArgumentException] {
+      Entity.fuzzyPairs(df, "id", "name", expr("name"), 1, maxBlock = 1L)
+    }
+  }
+
   test("lorenzCurve cumulates exact shares poorest-first") {
     // 4 holders with weights 1,1,1,7 in 2 buckets: poor half holds 20%
     val df = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 7.0)).toDF("h", "v")

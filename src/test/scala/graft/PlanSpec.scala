@@ -182,6 +182,16 @@ class PlanSpec extends SparkSuite {
     assert(q71.toString.contains("LeftAnti"), s"q71 lost the maxBucket cap:\n$q71")
   }
 
+  test("fuzzy pairs (q158): maxBlock cap is a broadcast anti-join") {
+    val plan = Queries.all.find(_.name == "q158_fuzzy_pairs").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    assert(plan.toString.contains("LeftAnti"),
+      s"q158 lost the maxBlock hot-block cap:\n$plan")
+    // hot-block count + the blk equi-join; the cap itself must stay a
+    // broadcast anti-join, never a shuffled one
+    assert(shuffles(plan) <= 4, s"q158 shuffle count grew:\n$plan")
+  }
+
   test("dup-span removal: one window-hash count past the checkpoint, bounded shuffles") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val plan = Queries.all.find(_.name == "q97_dup_span_removal").get
