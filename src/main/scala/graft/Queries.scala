@@ -4925,7 +4925,7 @@ object Queries {
           floor(value * 1e6)::BIGINT v FROM events
         WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL)
       SELECT user_id, event_id, ts_ms, v AS v_micro,
-        ($num)::BIGINT AS ewma_num,
+        ($num)::DECIMAL(38,0) AS ewma_num,
         ($den)::BIGINT AS ewma_den
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)"""

@@ -238,7 +238,11 @@ object TimeSeries {
     * only their available lags (the denominator shrinks — initialization
     * by renormalization, not by zero-padding). Returns the id/key/ts
     * columns plus `(v_micro, ewma_num, ewma_den)`; callers divide when a
-    * float is wanted.
+    * float is wanted. `ewma_num` is decimal(38,0): with int64 terms,
+    * `v_micro · 2^lookback` wraps SILENTLY past |value| ≈ 8 at the
+    * permitted lookback=40 (the worst case `|v_micro|·2^{L+1}` reaches
+    * ~2·10³¹ for |value| = 10⁸ — far past 2⁶³ but comfortably inside 38
+    * digits); `ewma_den ≤ 2^{L+1}` stays a plain long.
     *
     * 100 TB shape: ONE window shuffle on the key — all lags share one
     * (key, ts, tie) sort, and the whole expression is codegen'd integer
@@ -262,12 +266,14 @@ object TimeSeries {
     val terms = (0 to lookback).map { k =>
       val weight = 1L << (lookback - k)
       (when(lag(col("v_micro"), k).over(w).isNotNull,
-          lag(col("v_micro"), k).over(w) * weight).otherwise(lit(0L)),
+          lag(col("v_micro"), k).over(w).cast("decimal(38,0)") * weight)
+          .otherwise(lit(0L).cast("decimal(38,0)")),
         when(lag(col("v_micro"), k).over(w).isNotNull, lit(weight))
           .otherwise(lit(0L)))
     }
     base
-      .withColumn("ewma_num", terms.map(_._1).reduce(_ + _))
+      .withColumn("ewma_num",
+        terms.map(_._1).reduce(_ + _).cast("decimal(38,0)"))
       .withColumn("ewma_den", terms.map(_._2).reduce(_ + _))
       .select(col(keyCol), col(tieCol), col(tsMsCol),
         col("v_micro"), col("ewma_num"), col("ewma_den"))

@@ -19,7 +19,14 @@ import scala.concurrent.duration.Duration
   * Late rows (at or below the watermark on arrival) are dropped, the
   * same rule every watermark-finalized operator here follows; rows with
   * a NULL value are ignored entirely (they are not part of the batch
-  * lag sequence either).
+  * lag sequence either). While the watermark is still unset (Spark
+  * reports 0) nothing finalizes — rows buffer until a real watermark
+  * passes them, so same-timestamp rows split across microbatches still
+  * smooth in (t, tie) order. Rows at or before the epoch (t ≤ 0) never
+  * reach the operator at all: FlatMapGroupsWithStateExec's
+  * EventTimeTimeout late filter drops eventTime ≤ watermark and the
+  * watermark floor is 0, so the batch-parity contract covers t ≥ 1
+  * (StreamingEwmaSpec pins both sides of the boundary).
   *
   * 100 TB shape: one shuffle on the key; per-key state is the lateness
   * buffer plus exactly `lookback` longs — O(L), horizon-free, so a
@@ -57,7 +64,7 @@ object StreamingEwma {
       schema(keyCol), schema(tieCol),
       StructField("ts_ms", LongType, nullable = false),
       StructField("v_micro", LongType, nullable = false),
-      StructField("ewma_num", LongType, nullable = false),
+      StructField("ewma_num", DecimalType(38, 0), nullable = false),
       StructField("ewma_den", LongType, nullable = false)))
 
     val grouped = withMs.groupByKey { r: Row =>
@@ -85,20 +92,33 @@ object StreamingEwma {
           }
         }
 
-        val (ready, stillPending) = st.pending.partition(_._1 <= watermark)
+        // watermark == 0 means "no watermark computed yet" (Spark never
+        // reports a negative one): finalize NOTHING — finalizing
+        // t <= watermark rows per-arrival-batch here would smooth
+        // same-timestamp rows split across microbatches out of (t, tie)
+        // order. (Today t <= 0 rows are already late-filtered by the
+        // exec before this function, so this guard is defensive — it
+        // keeps ordering correct even if that filter ever relaxes.)
+        val (ready, stillPending) =
+          if (watermark == 0L) (Nil, st.pending)
+          else st.pending.partition(_._1 <= watermark)
         st = st.copy(pending = stillPending)
         val out = ready.sortBy(p => (p._1, p._2)).map { case (_, _, prefix) =>
           val vMicro = prefix(3).asInstanceOf[Long]
           val seq = vMicro :: st.hist // current first, then newest-first lags
-          var num = 0L
+          // BigInt accumulation, emitted as decimal(38,0): v_micro·2^L
+          // wraps int64 past |value| ≈ 8 at lookback=40 — same contract
+          // as the batch operator (TimeSeries.ewmaPow2).
+          var num = BigInt(0)
           var den = 0L
           seq.take(lookback + 1).zipWithIndex.foreach { case (v, k) =>
             val w = 1L << (lookback - k)
-            num += v * w
+            num += BigInt(v) * w
             den += w
           }
           st = st.copy(hist = seq.take(lookback))
-          Row.fromSeq(prefix :+ num :+ den)
+          Row.fromSeq(prefix :+
+            new java.math.BigDecimal(num.bigInteger) :+ den)
         }
 
         if (st.pending.isEmpty && st.hist.isEmpty) {

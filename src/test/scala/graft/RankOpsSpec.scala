@@ -181,13 +181,29 @@ class RankOpsSpec extends SparkSuite {
     val rows = Seq((1L, 10L, 1L, 1.0), (1L, 20L, 2L, 3.0), (1L, 30L, 3L, 2.0))
     val out = TimeSeries.ewmaPow2(
       rows.toDF("k", "ts", "id", "v"), "k", "ts", "id", "v", lookback = 2)
-      .orderBy("ts").select("ewma_num", "ewma_den")
+      .orderBy("ts").selectExpr("cast(ewma_num as long)", "ewma_den")
       .as[(Long, Long)].collect().toSeq
     // L=2: weights 4,2,1 for lags 0,1,2 on micro values 1e6, 3e6, 2e6
     assert(out == Seq(
       (4000000L, 4L),                      // 4·1e6 / 4
       (4L * 3000000 + 2L * 1000000, 6L),   // 4·3e6 + 2·1e6 / 6
       (4L * 2000000 + 2L * 3000000 + 1000000L, 7L)))
+  }
+
+  test("ewmaPow2 at lookback=40 with |value| = 1e8 does not wrap") {
+    // v_micro = ±1e14; the lag-0 weight is 2^40, so the first term alone
+    // is ~1.1e26 — past 2^63. The int64 route wrapped silently here.
+    val rows = Seq((1L, 10L, 1L, 1e8), (1L, 20L, 2L, -1e8))
+    val out = TimeSeries.ewmaPow2(
+      rows.toDF("k", "ts", "id", "v"), "k", "ts", "id", "v", lookback = 40)
+      .orderBy("ts").selectExpr("cast(ewma_num as string)", "ewma_den")
+      .as[(String, Long)].collect().toSeq
+    val v = BigInt(10).pow(14)
+    val exp = Seq(
+      ((v * (BigInt(1) << 40)).toString, 1L << 40),
+      ((-v * (BigInt(1) << 40) + v * (BigInt(1) << 39)).toString,
+        (1L << 40) + (1L << 39)))
+    assert(out == exp)
   }
 
   test("anomalyAttribution picks the most deviating column deterministically") {
