@@ -90,6 +90,17 @@ object Dedup {
     *
     * Threshold is applied to the ROUNDED (4 dp) similarity so the decision
     * is reproducible across engines.
+    *
+    * SELECTION RULE vs [[ngramJaccardPairsPrefix]] (same output, measured
+    * at sf0.1): pick THIS plain inverted index when the shingle document
+    * frequencies are known flat (synthetic/templated corpora — ~2.6 s
+    * warm vs ~5 s, the prefix variant's per-doc array build dominates);
+    * pick the PREFIX variant on anything Zipfian — real crawl text — where
+    * its rarity-ordered prefix prunes hot-shingle buckets 8-10× (12.6 s
+    * vs 103.7 s on the 4× boilerplate-skewed ScaleCheck corpus). Default
+    * to the prefix variant when the distribution is unknown: its worst
+    * case is ~2× this one's best, while this one's worst case is
+    * unbounded bucket blowup capped only by `maxDf` recall loss.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -150,7 +161,9 @@ object Dedup {
     * t` admits true j >= t - 5e-5), so no floating-point ceil can shorten
     * a prefix and drop a pair the rounded comparison would keep:
     * the oracle for this operator is byte-identical to
-    * [[ngramJaccardPairs]]'s.
+    * [[ngramJaccardPairs]]'s. (Shingle identity downstream is a 64-bit
+    * hash — see the inline note; distinct shingles conflate only with
+    * ~m²/2⁶⁵ probability, the MinHash-band-class trade.)
     *
     * 100 TB shape: the rarity order makes hot shingles land in almost no
     * prefix (a shingle shared by many documents is late in the global
@@ -180,7 +193,18 @@ object Dedup {
       threshold: Double,
       maxDf: Long = 10000L,
       rarityOrder: Boolean = true): DataFrame = {
-    val sh = wordShingles(df, idCol, textCol, n).localCheckpoint(true)
+    // Shingle identity is the 64-bit xxhash of the shingle text from here
+    // on: every downstream shuffle — df counts, the prefix explode, the
+    // candidate join, and above all the verify join's `sset` arrays —
+    // ships fixed-width longs instead of n-word strings (a ~4-8× payload
+    // cut at crawl scale). Two distinct shingles conflate with
+    // probability ~m²/2⁶⁵ over m corpus-wide distinct shingles — the
+    // same accepted identity trade as the MinHash band hash. The rarity
+    // order becomes (df, hash); prefix filtering is lossless under ANY
+    // total order, so the output is unchanged.
+    val sh = wordShingles(df, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+      .localCheckpoint(true)
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("shingle"))

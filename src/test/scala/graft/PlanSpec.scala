@@ -182,6 +182,36 @@ class PlanSpec extends SparkSuite {
     assert(q71.toString.contains("LeftAnti"), s"q71 lost the maxBucket cap:\n$q71")
   }
 
+  test("prefix jaccard (q113): hashed-long shingles, no rescans, bounded shuffles") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = Queries.all.find(_.name == "q113_jaccard_prefix").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    // everything downstream of the eager per-doc-set localCheckpoint is
+    // array-of-long land (the maxDf LeftAnti runs upstream of it, inside
+    // the already-materialized segment): a parquet scan here means the
+    // shingle pipeline or the base table came back
+    assert(plan.collect { case s: FileSourceScanExec => s }.isEmpty,
+      s"q113 re-scans the base table past the checkpoints:\n$plan")
+    // the verify join must ship hashed LONG shingle arrays, not strings —
+    // the round-8 payload cut (~4-8x smaller shuffles at crawl scale);
+    // checked on the logical plan (AQE hides the physical subtree)
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val logical = Queries.all.find(_.name == "q113_jaccard_prefix").get
+      .build(spark, sfDir).queryExecution.optimizedPlan
+    val ssets = logical.collect { case r: LogicalRDD => r }
+      .flatMap(_.output).filter(_.name == "sset")
+    assert(ssets.nonEmpty, s"q113 lost the checkpointed per-doc sets:\n$logical")
+    ssets.foreach { a =>
+      assert(a.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }, s"q113 sset is ${a.dataType} — string shingles are back in the verify join")
+    }
+    // prefix self-join sides + candidate distinct + two verify joins
+    assert(shuffles(plan) <= 9, s"q113 shuffle count grew to ${shuffles(plan)}:\n$plan")
+  }
+
   test("fuzzy pairs (q158): maxBlock cap is a broadcast anti-join") {
     val plan = Queries.all.find(_.name == "q158_fuzzy_pairs").get
       .build(spark, sfDir).queryExecution.executedPlan
