@@ -964,11 +964,14 @@ object Corpus {
     * is post-aggregation (the groupFolds precedent). All integer: micro
     * weights, exact rank-slice arithmetic `(b·(rank−1)) div n`. Returns
     * `(bucket, n_holders, weight_micro, cum_holders, cum_weight_micro,
-    * cum_share_micro)`. Negative weights are rejected (a Lorenz curve
-    * over mixed-sign weight is undefined).
+    * cum_share_micro)`. Negative weights are rejected PER HOLDER (a
+    * Lorenz curve over mixed-sign weight is undefined; a negative holder
+    * hiding inside a net-positive bucket is still a contract violation).
     *
-    * 100 TB shape: one holder-keyed aggregation + one range exchange for
-    * the rank + a buckets-sized rollup. Nothing row-sized past the rank.
+    * 100 TB shape: the corpus is scanned once into the checkpointed
+    * holder-cardinality table (which also serves the validation — no
+    * second run of the rank pipeline), then one range exchange for the
+    * rank + a buckets-sized rollup. Nothing row-sized past the rank.
     */
   def lorenzCurve(
       df: DataFrame,
@@ -981,14 +984,21 @@ object Corpus {
       .filter(col(holderCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(holderCol).as("__h"))
       .agg(sum(floor(col(valueCol).cast("double") * 1e6).cast("long")).as("__w"))
+      // ONE corpus pass: the checkpointed holder table (holder-sized, far
+      // smaller than the corpus) feeds both the negative-weight validation
+      // and the rank pipeline. The old eager bucket-level count() re-ran
+      // the whole rank pipeline a second time AND bucket sums could hide a
+      // negative holder inside a net-positive bucket.
+      .localCheckpoint(true)
+    val minw = holders.agg(min("__w")).first()
+    require(minw.isNullAt(0) || minw.getLong(0) >= 0,
+      "lorenzCurve requires non-negative per-holder weights")
     val ranked = Ranks.globalRank(holders, Seq(col("__w"), col("__h")), "__rn")
     val n = ranked.agg(count(lit(1)).as("__n"))
     val cells = ranked.crossJoin(broadcast(n))
       .withColumn("bucket", expr(s"($buckets * (__rn - 1)) div __n").cast("int"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_holders"), sum("__w").as("weight_micro"))
-    val neg = cells.filter(col("weight_micro") < 0).limit(1).count()
-    require(neg == 0, "lorenzCurve requires non-negative weights")
     val wOrd = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cells

@@ -163,6 +163,12 @@ class AuditOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Corpus.lorenzCurve(Seq((1L, -5.0), (2L, 1.0)).toDF("h", "v"), "h", "v", 2)
     }
+    // a negative holder hiding inside a NET-POSITIVE bucket must also be
+    // rejected — the old bucket-sum check let this through
+    intercept[IllegalArgumentException] {
+      Corpus.lorenzCurve(
+        Seq((1L, -5.0), (2L, 20.0), (3L, 30.0)).toDF("h", "v"), "h", "v", 2)
+    }
   }
 
   test("seasonalProfile computes exact per-phase lift on a 2-phase cycle") {
