@@ -23,7 +23,10 @@ object MemoryRedis extends RedisStringStore {
 }
 
 /** Deploy-time client selection: swap the provider to route [[graft.table
-  * .RedisSink]]/[[graft.table.RedisSource]] traffic to a real cluster.
+  * .RedisSink]]/[[graft.table.RedisSource]] traffic to a real cluster —
+  * `RedisClients.provider = RespRedis.provider` binds the shipped
+  * socket-level RESP2 client ([[RespRedisClient]], pooled per executor
+  * JVM); the default stays the in-process [[MemoryRedis]] for local mode.
   */
 object RedisClients {
   @volatile var provider: RedisSink => RedisStringStore = _ => MemoryRedis

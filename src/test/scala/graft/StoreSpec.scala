@@ -410,4 +410,153 @@ class StoreSpec extends SparkSuite {
     // JSON round-trip
     assert(Json.fromJson(Json.toJson(src)) == src)
   }
+
+  test("RESP client: real-protocol sink write + lookup join with auth and db select") {
+    val spark2 = spark
+    import spark2.implicits._
+    val server = new MiniRespServer(requiredPassword = "pw")
+    server.start()
+    val old = RedisClients.provider
+    try {
+      RedisClients.provider = RespRedis.provider
+      val cl = new GraftClient(spark)
+      val data = Seq(
+        ("Alex", 100L, 1.5, 10L),
+        ("Emma", 400L, 2.5, 20L)).toDF("name", "cost", "score", "t_ms")
+      cl.materialize(
+        DataFrameSource("rs_resp", data, keys = Some(Seq("name")),
+          timestampField = Some("t_ms"), timestampFormat = "epoch_millis"),
+        RedisSink(host = "127.0.0.1", port = server.port, username = "u1",
+          password = "pw", dbNum = 2, namespace = "nsr"))
+      // the bytes really crossed a TCP socket as RESP SET commands
+      assert(server.get(2, "nsr:Alex:cost").contains("100"))
+      assert(server.get(2, "nsr:Emma:score").contains("2.5"))
+      assert(server.sawAuth.get == "u1|pw", "AUTH user pass must be sent first")
+      assert(server.sawSelect.get == 2, "SELECT dbNum must follow AUTH")
+
+      val src = RedisSource(
+        "rs_resp_lookup",
+        Schema(Seq("name", "cost", "score"), Seq(DString, DInt64, DFloat64)),
+        keys = Some(Seq("name")), host = "127.0.0.1", port = server.port,
+        username = "u1", password = "pw", dbNum = 2, namespace = "nsr")
+      val left = Seq("Alex", "Nobody").toDF("name")
+      val got = cl.redisLookupJoin(left, src, Seq("cost", "score"))
+        .orderBy("name").collect()
+        .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+      // GET hit parses back; a RESP null bulk ($-1) surfaces as NULL
+      assert(got == Seq(("Alex", Some(100L), Some(1.5)), ("Nobody", None, None)))
+
+      // protocol errors are loud: wrong password -> -ERR -> IOException
+      val bad = new RespRedisClient("127.0.0.1", server.port, "", "wrong", 0)
+      try {
+        assertThrows[java.io.IOException](bad.get("nsr:Alex:cost"))
+      } finally bad.close()
+    } finally {
+      RedisClients.provider = old
+      RespRedis.shutdown()
+      server.stop()
+    }
+  }
+}
+
+/** Minimal in-process RESP2 SERVER for protocol-level client tests: real
+  * TCP sockets, real RESP framing — AUTH / SELECT / SET / GET / PING over
+  * a per-db map. Single-purpose: asserts the shipped [[graft.client
+  * .RespRedisClient]] speaks wire-correct RESP, without a redis binary in
+  * the sandbox.
+  */
+class MiniRespServer(requiredPassword: String) {
+  import java.io.{BufferedInputStream, BufferedOutputStream}
+  import java.net.{ServerSocket, Socket}
+  import java.nio.charset.StandardCharsets.UTF_8
+  import java.util.concurrent.ConcurrentHashMap
+  import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+
+  private val data = new ConcurrentHashMap[String, String]()
+  val sawAuth = new AtomicReference[String]("")
+  val sawSelect = new AtomicInteger(-1)
+  @volatile private var ss: ServerSocket = _
+  @volatile private var running = false
+
+  def port: Int = ss.getLocalPort
+  def get(db: Int, key: String): Option[String] = Option(data.get(s"$db $key"))
+
+  def start(): Unit = {
+    ss = new ServerSocket(0)
+    running = true
+    val t = new Thread(() => {
+      while (running) {
+        try {
+          val c = ss.accept()
+          val h = new Thread(() => handle(c), "mini-resp-conn")
+          h.setDaemon(true); h.start()
+        } catch { case _: java.io.IOException => /* closed */ }
+      }
+    }, "mini-resp-accept")
+    t.setDaemon(true); t.start()
+  }
+
+  def stop(): Unit = { running = false; if (ss != null) ss.close() }
+
+  private def handle(c: Socket): Unit = {
+    val in = new BufferedInputStream(c.getInputStream)
+    val out = new BufferedOutputStream(c.getOutputStream)
+    var db = 0
+    var authed = requiredPassword.isEmpty
+    def line(): String = {
+      val sb = new java.lang.StringBuilder
+      var ch = in.read()
+      while (ch != '\r' && ch >= 0) { sb.append(ch.toChar); ch = in.read() }
+      if (ch < 0) throw new java.io.EOFException
+      in.read() // \n
+      sb.toString
+    }
+    def reply(s: String): Unit = { out.write(s.getBytes(UTF_8)); out.flush() }
+    def bulk(v: String): String =
+      if (v == null) "$-1\r\n"
+      else { val b = v.getBytes(UTF_8); s"$$${b.length}\r\n$v\r\n" }
+    try {
+      while (true) {
+        val head = line()
+        if (!head.startsWith("*")) reply("-ERR expected array\r\n")
+        else {
+          val n = head.drop(1).toInt
+          val args = (0 until n).map { _ =>
+            val l = line() // $len
+            val len = l.drop(1).toInt
+            val buf = new Array[Byte](len)
+            var off = 0
+            while (off < len) {
+              val r = in.read(buf, off, len - off)
+              if (r < 0) throw new java.io.EOFException
+              off += r
+            }
+            in.read(); in.read() // \r\n
+            new String(buf, UTF_8)
+          }
+          args.head.toUpperCase match {
+            case "AUTH" =>
+              val pw = args.last
+              if (pw == requiredPassword) {
+                sawAuth.set(args.tail.mkString("|")); authed = true
+                reply("+OK\r\n")
+              } else reply("-ERR invalid password\r\n")
+            case _ if !authed => reply("-NOAUTH Authentication required.\r\n")
+            case "SELECT" =>
+              db = args(1).toInt; sawSelect.set(db); reply("+OK\r\n")
+            case "SET" =>
+              data.put(s"$db ${args(1)}", args(2)); reply("+OK\r\n")
+            case "GET" =>
+              reply(bulk(data.get(s"$db ${args(1)}")))
+            case "PING" => reply("+PONG\r\n")
+            case other => reply(s"-ERR unknown command '$other'\r\n")
+          }
+        }
+      }
+    } catch {
+      case _: java.io.IOException => // connection closed
+    } finally {
+      try c.close() catch { case _: java.io.IOException => }
+    }
+  }
 }
