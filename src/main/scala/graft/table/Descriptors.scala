@@ -160,6 +160,12 @@ sealed trait TableDescriptor {
   def keys: Option[Seq[String]]
   def timestampField: Option[String]
   def timestampFormat: String
+  /** Recursive bounded twin of this descriptor tree — reference
+    * `get_bounded_view()` parity; see [[Bounded.boundedView]].
+    */
+  def boundedView: TableDescriptor = Bounded.boundedView(this)
+  /** Whether the whole tree is bounded (reference `is_bounded()`). */
+  def isBoundedView: Boolean = Bounded.isBounded(this)
 }
 
 /** Batch/stream file scan (ref: python/feathub/feature_tables/sources/

@@ -1278,6 +1278,31 @@ class EngineSpec extends SparkSuite {
         Feature("s", SlidingWindowTransform("cost", AggFunc.Sum, 2.days, 1.day, Seq("name"))))))
   }
 
+  test("boundedView runs a formerly-streaming view tree in batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    val data = Seq((1L, 10.0, 100L), (2L, 30.0, 200L)).toDF("k", "v", "t_ms")
+    // a streaming-declared file source (requires an explicit schema, as
+    // Spark's streaming file reader does) under a derived view
+    val ufs = FileSource(
+      "bv_stream_src", writeTempParquet(data, "bv_stream_src"), "parquet",
+      schema = Some(Schema(Seq("k", "v", "t_ms"), Seq(DInt64, DFloat64, DInt64))),
+      keys = Some(Seq("k")),
+      timestampField = Some("t_ms"), timestampFormat = "epoch_millis",
+      isBounded = false)
+    val view = DerivedFeatureView(
+      "bv_view", ufs,
+      features = Seq(Feature.expr("v2", "v * 2", Some(DFloat64))),
+      keepSourceFields = true)
+    assert(!view.isBoundedView)
+    // the recursive bounded twin reads the same tree through the BATCH
+    // reader — no hand-copied per-level descriptors
+    val got = client.getFeatures(
+        view.boundedView.asInstanceOf[DerivedFeatureView])
+      .orderBy("k").collect().map(_.getAs[Double]("v2")).toSeq
+    assert(got == Seq(20.0, 60.0))
+  }
+
   test("same-name different-descriptor build is an error, same is memoized") {
     // ref: spark_dataframe_builder.py:156-161 — name reuse must not
     // silently serve the first plan

@@ -88,6 +88,43 @@ class JsonSpec extends AnyFunSuite {
       keepSourceFields = false))
   }
 
+  test("boundedView converts an unbounded descriptor tree recursively") {
+    val ufs = fileSrc.copy(isBounded = false)
+    val inner = DerivedFeatureView(
+      "bv_inner", ufs,
+      features = Seq(Feature.expr("e", "v * 2", Some(DFloat64))),
+      keepSourceFields = true)
+    val outer = SlidingFeatureView(
+      "bv_outer", inner,
+      features = Seq(
+        Feature("s", SlidingWindowTransform(
+          "e", AggFunc.Sum, 7.days, 1.day, Seq("k"))),
+        Feature.expr("t", "GET_WINDOW_TIME()")))
+    assert(!outer.isBoundedView)
+    val b = outer.boundedView
+    assert(b.isBoundedView)
+    // every level was copied; the leaf flipped to bounded
+    val leaf = b.asInstanceOf[SlidingFeatureView]
+      .source.asInstanceOf[DerivedFeatureView]
+      .source.asInstanceOf[FileSource]
+    assert(leaf.isBounded && leaf == fileSrc)
+    // the bounded twin is a plain descriptor: JSON round-trips
+    roundTrip(b)
+    // an already-bounded tree returns itself, no copies
+    assert(b.boundedView eq b)
+    // reference parity: unbounded SqlFeatureView refuses (may not be
+    // batch-safe), as does a streaming DataFrameSource wrapper
+    intercept[IllegalArgumentException] {
+      SqlFeatureView("bv_sql", "SELECT 1", dependencies = Seq(ufs)).boundedView
+    }
+    // unbounded KafkaSource and rate-mode DataGenSource flip to bounded
+    assert(KafkaSource(
+      "bv_k", "b:9092", "t", Schema(Seq("a"), Seq(DString)))
+      .boundedView.asInstanceOf[KafkaSource].isBounded)
+    assert(!DataGenSource("bv_g", 10, Seq(SequenceField("id", DInt64, 1, 10)),
+      unbounded = true).boundedView.asInstanceOf[DataGenSource].unbounded)
+  }
+
   test("feature-attached metrics round-trip") {
     roundTrip(DerivedFeatureView(
       "vm", fileSrc,
