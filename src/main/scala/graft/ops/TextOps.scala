@@ -344,9 +344,10 @@ object TextOps {
     * never flip the 4-dp rounding.
     *
     * 100 TB shape: explode + two-level codegen aggregation. Spark's
-    * higher-order array functions run INTERPRETED per element (a map-only
-    * lambda formulation measured 12 s at sf0.1, a run-length fold 6 s;
-    * this plan ~1 s), while the exploded (id, char) rows collapse to
+    * higher-order array functions run INTERPRETED per element (measured
+    * at sf0.1, cold JVMs: a map-only lambda formulation 12 s, a
+    * run-length fold 6 s, this plan 3.06 s isolated / ~1.2 s in-suite —
+    * bench_full.json q59), while the exploded (id, char) rows collapse to
     * ~alphabet-size per document in the map-side partial agg, so shuffle
     * volume is distinct-chars-per-doc, not corpus characters. The
     * identity H = ln n − (Σ c·ln c)/n lets each character's term round
