@@ -2983,6 +2983,46 @@ class OpsSpec extends SparkSuite {
     assert(out(("butter", "jam")) == (1L, 333333L, 1333333L))
   }
 
+  test("fuzzyPairs matches brute-force blocked levenshtein on random strings") {
+    import graft.ops.Entity
+    import scala.util.Random
+    val spark2 = spark
+    import spark2.implicits._
+    // classic full DP — independent of the engine's banded variant
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val rows = (1L to 60L).map { i =>
+        val len = 1 + rnd.nextInt(12)
+        (i, (0 until len).map(_ => "abcd" (rnd.nextInt(4))).mkString)
+      }
+      val df = rows.toDF("id", "name")
+      for (maxDist <- Seq(0, 1, 3)) {
+        val got = Entity.fuzzyPairs(df, "id", "name",
+            expr("substring(name, 1, 1)"), maxDist)
+          .selectExpr("id_a", "id_b", "cast(dist as long)",
+            "cast(max_len as long)", "sim_micro")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        val exp = (for {
+          a <- rows; b <- rows
+          if a._1 < b._1 && a._2.head == b._2.head
+          d = lev(a._2, b._2) if d <= maxDist
+          ml = math.max(a._2.length, b._2.length)
+        } yield (a._1, b._1, d.toLong, ml.toLong,
+          (ml - d) * 1000000L / ml)).toSet
+        assert(got == exp, s"seed $seed maxDist $maxDist")
+      }
+    }
+  }
+
   test("fuzzyPairs: block cut, distance cut, ordered pairs once") {
     import graft.ops.Entity
     val spark2 = spark
