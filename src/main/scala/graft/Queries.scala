@@ -2,7 +2,7 @@ package graft
 
 import graft.client.{GraftClient, Metrics}
 import graft.engine.{EventTime, TemporalJoin}
-import graft.ops.{Chat, Cluster, Corpus, Decay, Dedup, Entity, Eval, Features, Graph, Multimodal, Privacy, Sampling, Scd, SemiStructured, Sessions, Similarity, Sketch, Skew, TextOps, TimeSeries}
+import graft.ops.{Chat, Cluster, Corpus, Decay, Dedup, Entity, Eval, Features, Graph, Multimodal, Packing, Privacy, Sampling, Scd, SemiStructured, Sessions, Similarity, Sketch, Skew, TextOps, TimeSeries}
 import graft.table._
 import graft.types._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -5450,6 +5450,49 @@ object Queries {
       WINDOW wo AS (ORDER BY bucket
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
 
+  /** Truncation loss at three candidate context lengths over the document
+    * corpus (n_chars as the cost unit): what survives least(n, L).
+    */
+  private val q193 = Q(
+    "q193_truncation_stats",
+    (spark, dir) => Packing.truncationStats(
+      pq(spark, dir, "documents"), "n_chars", Seq(500L, 2000L, 8000L)),
+    Some("""WITH d AS (SELECT n_chars::BIGINT n FROM documents
+          WHERE n_chars IS NOT NULL),
+      l AS (SELECT unnest([500, 2000, 8000])::BIGINT context_len)
+      SELECT context_len, COUNT(*)::BIGINT n_docs,
+        SUM(CASE WHEN n > context_len THEN 1 ELSE 0 END)::BIGINT n_truncated,
+        (SUM(CASE WHEN n > context_len THEN 1 ELSE 0 END)::HUGEINT * 1000000
+          // GREATEST(COUNT(*), 1))::BIGINT trunc_frac_micro,
+        SUM(n)::BIGINT tokens_total,
+        SUM(LEAST(n, context_len))::BIGINT tokens_kept,
+        (SUM(n) - SUM(LEAST(n, context_len)))::BIGINT tokens_lost,
+        (SUM(LEAST(n, context_len))::HUGEINT * 1000000
+          // GREATEST(SUM(n), 1))::BIGINT kept_frac_micro
+      FROM d CROSS JOIN l GROUP BY 1"""))
+
+  /** Concat-and-chunk packing audit at context 2048 chars in the salted
+    * md5 epoch order: per document, its exact chunk span and how many
+    * chunk boundaries cut it.
+    */
+  private val q194 = Q(
+    "q194_packing_audit",
+    (spark, dir) => Packing.packingAudit(
+      pq(spark, dir, "documents"), "doc_id", "n_chars", 2048L, salt = "s1"),
+    Some("""WITH d AS (SELECT doc_id id, n_chars::BIGINT n_cost,
+          md5('s1' || '|' || doc_id) ord
+        FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+      c AS (SELECT id, n_cost,
+          (SUM(n_cost) OVER (ORDER BY ord, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT cum
+        FROM d)
+      SELECT id, n_cost, (cum - n_cost)::BIGINT start_offset,
+        ((cum - n_cost) // 2048)::BIGINT chunk_first,
+        (GREATEST(cum - 1, cum - n_cost) // 2048)::BIGINT chunk_last,
+        (GREATEST(cum - 1, cum - n_cost) // 2048
+          - (cum - n_cost) // 2048)::BIGINT n_splits
+      FROM c"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5466,7 +5509,8 @@ object Queries {
     q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
+    q193, q194)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -153,6 +153,55 @@ class AuditOpsSpec extends SparkSuite {
     }
   }
 
+  test("truncationStats: exact per-limit loss from one corpus pass") {
+    import graft.ops.Packing
+    val df = Seq(1L, 5L, 10L).toDF("n")
+    val out = Packing.truncationStats(df, "n", Seq(4L, 8L))
+      .selectExpr("context_len", "n_docs", "n_truncated",
+        "cast(trunc_frac_micro as long)", "tokens_total", "tokens_kept",
+        "tokens_lost", "cast(kept_frac_micro as long)")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (4L, 3L, 2L, 666666L, 16L, 9L, 7L, 562500L),  // kept 1+4+4
+      (8L, 3L, 1L, 333333L, 16L, 14L, 2L, 875000L))) // kept 1+5+8
+    // a negative cost is an upstream bug: loud at execution, never NaN math
+    val ex = intercept[Exception] {
+      Packing.truncationStats(Seq(3L, -1L).toDF("n"), "n", Seq(4L)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("packingAudit: exact chunk spans in the salted md5 order") {
+    import graft.ops.Packing
+    import java.security.MessageDigest
+    val costs = Map(1L -> 0L, 2L -> 3L, 3L -> 12L, 4L -> 5L,
+      5L -> 10L, 6L -> 7L, 7L -> 1L)
+    val df = costs.toSeq.toDF("doc_id", "n")
+    val got = Packing.packingAudit(df, "doc_id", "n", contextLen = 10L,
+        salt = "sx")
+      .select("id", "n_cost", "start_offset", "chunk_first", "chunk_last",
+        "n_splits")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // brute-force replica: same md5 order, running offsets
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    var off = 0L
+    val exp = costs.keys.toSeq.sortBy(id => (md5hex(s"sx|$id"), id)).map { id =>
+      val n = costs(id)
+      val start = off
+      val last = math.max(start + n - 1, start) / 10
+      off += n
+      (id, n, start, start / 10, last, last - start / 10)
+    }
+    exp.foreach { e => assert(got(e._1) == e, s"doc ${e._1}: ${got(e._1)} vs $e") }
+    // invariants: zero-cost docs never split; offsets tile the corpus
+    assert(got(1L)._6 == 0L)
+    assert(got.values.map(_._2).sum == costs.values.sum)
+  }
+
   test("lorenzCurve cumulates exact shares poorest-first") {
     // 4 holders with weights 1,1,1,7 in 2 buckets: poor half holds 20%
     val df = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 7.0)).toDF("h", "v")
