@@ -255,8 +255,27 @@ object ScaleCheck {
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
 
+    // Blocked ER under a DEFAULT-VALUE hot block whose size scales with
+    // the corpus (every 10th row lands in "unknown"): fine blocks stay
+    // constant-size (doc_id div 20 — disjoint across replicas), so their
+    // pair space is linear; the hot block crosses maxBlock=3000 at 8x
+    // (4000 rows vs 500 at 1x) and must be DROPPED by the broadcast
+    // anti-join — without the cap it alone would be 64x the 1x pair work.
+    def fuzzyTime(df: DataFrame, tag: String): Double = {
+      val named = df.select(col("doc_id"),
+        substring(col("text"), 1, 24).as("nm"),
+        when(pmod(col("doc_id"), lit(10)) === 0, lit("unknown"))
+          .otherwise(expr("doc_id div 20").cast("string")).as("blk"))
+      val t0 = System.nanoTime()
+      graft.ops.Entity.fuzzyPairs(named, "doc_id", "nm", col("blk"),
+          maxDist = 2, maxBlock = 3000L)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     for ((name, f) <- Seq(
-      ("pack_pieces", packTime _), ("bm25", bm25Time _)) if wanted(name)) {
+      ("pack_pieces", packTime _), ("bm25", bm25Time _),
+      ("fuzzy_pairs", fuzzyTime _)) if wanted(name)) {
       val t1 = f(doc1, s"${name}_1")
       val tN = f(docNPlain, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")

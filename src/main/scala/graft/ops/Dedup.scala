@@ -180,7 +180,9 @@ object Dedup {
     * `jaccard_prefix`: 4× sf0.1 = 240k docs, four boilerplate phrases
     * appended so a few shingles reach df ≈ 60k, no df cap) the prefix
     * variant is **8–10× faster** (two runs: 12.6 s vs 103.7 s, 15.8 s vs
-    * 155.1 s). Real crawl text is the Zipfian case; prefer this variant
+    * 155.1 s; round-8 re-measure with int64-hashed shingles on the
+    * regenerated larger-doc corpus: 39.8–56.2 s vs 289.9–361.7 s,
+    * 6.4–7.3×). Real crawl text is the Zipfian case; prefer this variant
     * there, the plain one on known-flat distributions. (The uniform-case
     * overhead is the per-doc array materialization, not the df join:
     * `rarityOrder = false` measures the same 5.5 s warm.)
