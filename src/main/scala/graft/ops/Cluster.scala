@@ -478,13 +478,14 @@ object Cluster {
         sum(expr(s"nl * (${lnMicro("n")} - ${lnMicro("nl")})"))
           .cast("long").as("hl_sum"))
     tot.crossJoin(mi).crossJoin(hc).crossJoin(hl)
-      .withColumn("purity_micro", expr("pure_sum * 1000000L div n"))
+      .withColumn("purity_micro", expr("cast(pure_sum as decimal(38,0)) * 1000000 div n"))
       // mi_sum clamps at 0 inside the division: per-term ln flooring can
       // push a truly-independent table's MI a few micro negative, and
       // negative integer division rounds differently across engines.
       .withColumn("nmi_milli",
         when(greatest(col("hc_sum"), col("hl_sum")) > 0,
-          expr("greatest(mi_sum, 0L) * 1000 div greatest(hc_sum, hl_sum)")))
+          expr("""cast(greatest(mi_sum, 0L) as decimal(38,0)) * 1000
+                  div greatest(hc_sum, hl_sum)""")))
       .select(col("n"), col("n_clusters"), col("n_labels"),
         col("purity_micro"), col("mi_sum"), col("hc_sum"), col("hl_sum"),
         col("nmi_milli"))

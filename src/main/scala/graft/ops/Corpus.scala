@@ -41,8 +41,10 @@ object Corpus {
     g.crossJoin(broadcast(tot))
       .select(groupCols.map(col) ++ Seq(
         col("n").as("n_rows"),
-        expr("s * 1000000L div n").as("mean_micro"),
-        expr(s"(s * 1000000L + $m * (ts * 1000000L div tn)) div (n + $m)")
+        expr("cast(s as decimal(38,0)) * 1000000 div n").as("mean_micro"),
+        expr(s"""(cast(s as decimal(38,0)) * 1000000
+             + $m * (cast(ts as decimal(38,0)) * 1000000 div tn))
+           div (n + $m)""")
           .as("shrunk_micro")): _*)
   }
 
@@ -876,8 +878,8 @@ object Corpus {
       .agg(sum("ca1").as("ta"), sum("cb1").as("tb"))
     joined.join(broadcast(tot), Seq("col_name"))
       .select(col("col_name"),
-        expr("ca1 * 1000000L div ta").as("pa"),
-        expr("cb1 * 1000000L div tb").as("pb"),
+        expr("cast(ca1 as decimal(38,0)) * 1000000 div ta").as("pa"),
+        expr("cast(cb1 as decimal(38,0)) * 1000000 div tb").as("pb"),
         (lnMicro(col("ca1")) - lnMicro(col("ta")) -
           lnMicro(col("cb1")) + lnMicro(col("tb"))).as("lr"),
         (col("ta") - bins).as("n_ref"), (col("tb") - bins).as("n_cur"))
@@ -929,7 +931,7 @@ object Corpus {
     cells
       .withColumn("n_group",
         sum(col("n")).over(Window.partitionBy(col(groupCol))))
-      .withColumn("share_micro", expr("n * 1000000L div n_group"))
+      .withColumn("share_micro", expr("cast(n as decimal(38,0)) * 1000000 div n_group"))
       .withColumn("benford_micro", expected)
       .withColumn("dev_micro", abs(col("share_micro") - col("benford_micro")))
       .select(col(groupCol), col("digit"), col("n"), col("n_group"),
@@ -1025,7 +1027,7 @@ object Corpus {
         .select(lit(name).as("relation"), col("n_rows"), col("n_child"),
           (col("n_rows") - col("n_child")).as("n_null_fk"),
           col("n_orphans"),
-          expr("n_orphans * 1000000L div greatest(n_child, 1)")
+          expr("cast(n_orphans as decimal(38,0)) * 1000000 div greatest(n_child, 1)")
             .as("orphan_micro"))
     }.reduce(_ unionByName _)
   }

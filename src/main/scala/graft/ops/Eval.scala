@@ -66,11 +66,11 @@ object Eval {
       .withColumn("fn", col("n_pos") - col("tp"))
       .withColumn("tn", col("n_neg") - col("fp"))
       .withColumn("precision_micro",
-        expr("tp * 1000000L div nullif(tp + fp, 0)"))
+        expr("cast(tp as decimal(38,0)) * 1000000 div nullif(tp + fp, 0)"))
       .withColumn("recall_micro",
-        expr("tp * 1000000L div nullif(n_pos, 0)"))
+        expr("cast(tp as decimal(38,0)) * 1000000 div nullif(n_pos, 0)"))
       .withColumn("f1_micro",
-        expr("2 * tp * 1000000L div nullif(2 * tp + fp + fn, 0)"))
+        expr("cast(tp as decimal(38,0)) * 2000000 div nullif(2 * tp + fp + fn, 0)"))
       .withColumn("auc_micro",
         expr("""cast(r2 - n_pos * (n_pos + 1) as decimal(38, 0)) * 1000000
                div nullif(cast(2 as decimal(38, 0)) * n_pos * n_neg, 0)"""))
@@ -119,7 +119,7 @@ object Eval {
     perBin.crossJoin(broadcast(glob))
       .select(col("bin"), col("n"), col("n_pos"),
         expr("ssm div n").as("avg_score_micro"),
-        expr("n_pos * 1000000L div n").as("obs_rate_micro"),
+        expr("cast(n_pos as decimal(38,0)) * 1000000 div n").as("obs_rate_micro"),
         col("brier_micro"))
   }
 

@@ -297,7 +297,7 @@ object Graph {
         .withColumnRenamed("n", "n_b"), Seq("item_b"))
       .select(
         col("item_a"), col("item_b"), col("n_common"), col("n_a"), col("n_b"),
-        expr("n_common * 1000000L div (n_a + n_b - n_common)").as("jaccard_micro"))
+        expr("cast(n_common as decimal(38,0)) * 1000000 div (n_a + n_b - n_common)").as("jaccard_micro"))
   }
 
   /** Per-node triangle counts on an undirected graph — the local

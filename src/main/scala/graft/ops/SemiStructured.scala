@@ -51,7 +51,7 @@ object SemiStructured {
         count(when(expr("try_cast(v as double)").isNotNull, 1)).as("n_num_like"),
         count(when(col("v").isin("true", "false"), 1)).as("n_bool_like"))
       .crossJoin(total)
-      .withColumn("share_micro", expr("n_present * 1000000L div n_rows"))
+      .withColumn("share_micro", expr("cast(n_present as decimal(38,0)) * 1000000 div n_rows"))
   }
 
   /** Schema DRIFT between two snapshots of a JSON payload: profile each

@@ -132,7 +132,7 @@ object Sessions {
       .agg(count(lit(1)).as("cnt"))
     val totals = pairs.groupBy("from_type").agg(sum("cnt").as("row_total"))
     pairs.join(totals, "from_type")
-      .withColumn("prob_micro", expr("cnt * 1000000L div row_total"))
+      .withColumn("prob_micro", expr("cast(cnt as decimal(38,0)) * 1000000 div row_total"))
   }
 
   /** Pairwise association rules over baskets (market-basket lite): for
@@ -178,7 +178,7 @@ object Sessions {
       .join(itemTotals.select(col("item").as("item_b"), col("n_item").as("n_b")),
         "item_b")
       .crossJoin(broadcast(nBaskets))
-      .withColumn("confidence_micro", expr("n_ab * 1000000L div n_a"))
+      .withColumn("confidence_micro", expr("cast(n_ab as decimal(38,0)) * 1000000 div n_a"))
       .withColumn("lift_micro", expr(
         """cast(cast(n_ab as decimal(38,0)) * n_baskets * 1000000
              div (cast(n_a as decimal(38,0)) * n_b) as long)"""))

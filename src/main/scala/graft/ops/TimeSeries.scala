@@ -129,7 +129,7 @@ object TimeSeries {
       .groupBy("cohort_ms", "day_offset")
       .agg(count(lit(1)).as("n_active"))
       .join(sizes, "cohort_ms")
-      .withColumn("retention_micro", expr("n_active * 1000000L div n_cohort"))
+      .withColumn("retention_micro", expr("cast(n_active as decimal(38,0)) * 1000000 div n_cohort"))
   }
 
   /** Lead–lag cross-correlation between two bucketed series: Pearson

@@ -66,9 +66,12 @@ object StreamingDrift {
     // reference-side constants (plan-time)
     val lnM = (x: Double) => math.floor(math.log(x) * 1e6).toLong
     val ca1 = (0 until bins).map(b => refCounts.getOrElse(b, 0L) + 1L)
-    val ta = ca1.sum
+    // BigInt: a reference histogram summed over a 100 TB day can push
+    // c * 1e6 past int64 — same silent-wrap class as the batch-side
+    // decimal(38,0) routing in Corpus.driftReport.
+    val ta = ca1.map(BigInt(_)).sum
     val lnTa = lnM(ta.toDouble)
-    val pa = ca1.map(_ * 1000000L / ta)
+    val pa = ca1.map(c => (BigInt(c) * 1000000 / ta).toLong)
     val lnCa1 = ca1.map(c => lnM(c.toDouble))
 
     val counters = (0 until bins).map(b =>
@@ -87,7 +90,7 @@ object StreamingDrift {
     val lnTb = floor(log(col("tb").cast("double")) * 1e6).cast("long")
     val psi: Column = (0 until bins).map { b =>
       val cb1 = col(s"c_$b") + 1L
-      val pb = expr(s"(c_$b + 1L) * 1000000L div tb")
+      val pb = expr(s"cast(c_$b + 1L as decimal(38,0)) * 1000000 div tb")
       val lnCb1 = floor(log(cb1.cast("double")) * 1e6).cast("long")
       (lit(pa(b)) - pb) * (lit(lnCa1(b)) - lit(lnTa) - lnCb1 + lnTb)
     }.reduce(_ + _)
