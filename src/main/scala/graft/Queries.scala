@@ -2,7 +2,7 @@ package graft
 
 import graft.client.{GraftClient, Metrics}
 import graft.engine.{EventTime, TemporalJoin}
-import graft.ops.{Chat, Cluster, Corpus, Decay, Dedup, Entity, Eval, Features, Graph, Multimodal, Packing, Privacy, Sampling, Scd, SemiStructured, Sessions, Similarity, Sketch, Skew, TextOps, TimeSeries}
+import graft.ops.{Chat, Cluster, Corpus, Decay, Dedup, Entity, Eval, Features, Graph, Multimodal, Packing, Privacy, Sampling, Scd, SemiStructured, Sessions, Similarity, Sketch, Skew, Survival, TextOps, TimeSeries}
 import graft.table._
 import graft.types._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -5493,6 +5493,62 @@ object Queries {
           - (cum - n_cost) // 2048)::BIGINT n_splits
       FROM c"""))
 
+  /** Kaplan–Meier churn curve over the event stream: per-user lifespan
+    * (first→last activity, day-floored), churn observed iff the user
+    * went quiet ≥ 30 days before the study end — otherwise right-
+    * censored. The honest counterpart to q148's naive retention.
+    */
+  private val q195 = Q(
+    "q195_km_churn",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val u = raw
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), EventTime.epochMillis(raw, "ts").as("ts_ms"))
+        .groupBy("user_id")
+        .agg(min("ts_ms").as("first_ms"), max("ts_ms").as("last_ms"))
+      val subj = u
+        .crossJoin(broadcast(u.agg(max("last_ms").as("study_end_ms"))))
+        .select(
+          expr("(last_ms - first_ms) div 86400000").as("dur_days"),
+          (col("last_ms") <= col("study_end_ms") - lit(2592000000L))
+            .as("churned"))
+      Survival.kaplanMeier(subj, "dur_days", "churned")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) tms FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      u AS (SELECT user_id, MIN(tms) f, MAX(tms) l FROM e GROUP BY 1),
+      se AS (SELECT MAX(l) m FROM u),
+      s AS (SELECT (l - f) // 86400000 t,
+          (l <= se.m - 2592000000) ev FROM u, se),
+      g AS (SELECT t,
+          COUNT(*) FILTER (WHERE ev)::BIGINT n_event,
+          COUNT(*) FILTER (WHERE NOT ev)::BIGINT n_censored
+        FROM s GROUP BY 1),
+      tot AS (SELECT SUM(n_event + n_censored)::BIGINT n FROM g),
+      w AS (SELECT g.*, tot.n,
+          (SUM(n_event + n_censored) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT cum
+        FROM g, tot),
+      r AS (SELECT t, n_event, n_censored,
+          (n - cum + n_event + n_censored)::BIGINT n_risk FROM w),
+      h AS (SELECT *,
+          (n_event::HUGEINT * 1000000 // n_risk)::BIGINT hazard_micro,
+          CASE WHEN n_event = 0 THEN 0
+            WHEN n_risk > n_event THEN
+              floor(ln((n_risk - n_event)::DOUBLE) * 1e6)::BIGINT
+                - floor(ln(n_risk::DOUBLE) * 1e6)::BIGINT
+            ELSE -1000000000000000 END term
+        FROM r),
+      f AS (SELECT t, n_risk, n_event, n_censored, hazard_micro,
+          (SUM(term) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT lc
+        FROM h)
+      SELECT t, n_risk, n_event, n_censored, hazard_micro,
+        CASE WHEN lc <= -500000000000000 THEN NULL ELSE lc END
+          AS ln_surv_micro
+      FROM f"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5510,7 +5566,7 @@ object Queries {
     q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194)
+    q193, q194, q195)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

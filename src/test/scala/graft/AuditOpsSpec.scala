@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Cluster, Corpus, Entity, TimeSeries}
+import graft.ops.{Cluster, Corpus, Entity, Survival, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Behavior specs for the audit/robust-statistics operator batch:
@@ -218,6 +218,42 @@ class AuditOpsSpec extends SparkSuite {
       Corpus.lorenzCurve(
         Seq((1L, -5.0), (2L, 20.0), (3L, 30.0)).toDF("h", "v"), "h", "v", 2)
     }
+  }
+
+  test("kaplanMeier life table matches the textbook estimator with censoring") {
+    // (duration, event): deaths at t=1 (×2) and t=3, censored at t=2, t=4.
+    // KM: S(1) = 3/5 = 0.6, S(3) = 0.6 · 1/2 = 0.3; censoring only
+    // shrinks n_risk. ln-micro terms floored separately per factor.
+    val df = Seq((1L, true), (1L, true), (2L, false), (3L, true),
+      (4L, false)).toDF("dur", "ev")
+    val lnM = (x: Double) => math.floor(math.log(x) * 1e6).toLong
+    val out = Survival.kaplanMeier(df, "dur", "ev")
+      .select("t", "n_risk", "n_event", "n_censored", "hazard_micro",
+        "ln_surv_micro")
+      .as[(Long, Long, Long, Long, Long, Option[Long])]
+      .collect().sortBy(_._1)
+    val s1 = lnM(3) - lnM(5)
+    val s3 = s1 + (lnM(1) - lnM(2))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 2L, 0L, 400000L, Some(s1)),
+      (2L, 3L, 0L, 1L, 0L, Some(s1)),
+      (3L, 2L, 1L, 0L, 500000L, Some(s3)),
+      (4L, 1L, 0L, 1L, 0L, Some(s3))))
+    // sanity: the ln curve exponentiates back to the textbook S(t)
+    assert(math.abs(math.exp(s1 / 1e6) - 0.6) < 1e-5)
+    assert(math.abs(math.exp(s3 / 1e6) - 0.3) < 1e-5)
+  }
+
+  test("kaplanMeier reports survival exactly 0 as NULL past extinction") {
+    // everyone at risk dies at t=2 → S(2) = 0: ln_surv undefined (NULL),
+    // while t=1's partial survival is still finite
+    val df = Seq((1L, true), (2L, true), (2L, true)).toDF("dur", "ev")
+    val out = Survival.kaplanMeier(df, "dur", "ev")
+      .select("t", "n_risk", "n_event", "ln_surv_micro")
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 3L, 1L), (2L, 2L, 2L)))
+    assert(out(0)._4.isDefined && out(1)._4.isEmpty)
   }
 
   test("seasonalProfile computes exact per-phase lift on a 2-phase cycle") {
