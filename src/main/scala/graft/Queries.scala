@@ -5549,6 +5549,74 @@ object Queries {
           AS ln_surv_micro
       FROM f"""))
 
+  /** Log-rank churn A/B: hash-bucketed experiment arms (user_id parity —
+    * the deterministic arm assignment an experimentation system uses),
+    * same per-user lifespans and 30-day churn rule as q195, compared
+    * with the censoring-aware test. Under a null split χ² should sit
+    * far below the 3841-milli 5% line.
+    */
+  private val q196 = Q(
+    "q196_logrank_churn",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val u = raw
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), EventTime.epochMillis(raw, "ts").as("ts_ms"))
+        .groupBy("user_id")
+        .agg(min("ts_ms").as("first_ms"), max("ts_ms").as("last_ms"))
+      val subj = u
+        .crossJoin(broadcast(u.agg(max("last_ms").as("study_end_ms"))))
+        .select(
+          expr("(last_ms - first_ms) div 86400000").as("dur_days"),
+          (col("last_ms") <= col("study_end_ms") - lit(2592000000L))
+            .as("churned"),
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b").as("cohort"))
+      Survival.logRank(subj, "dur_days", "churned", "cohort")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) tms
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      u AS (SELECT user_id, MIN(tms) f, MAX(tms) l FROM e GROUP BY 1),
+      se AS (SELECT MAX(l) m FROM u),
+      s AS (SELECT (l - f) // 86400000 t, (l <= se.m - 2592000000) ev,
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g
+        FROM u, se),
+      c AS (SELECT t,
+          COUNT(*) FILTER (WHERE g = 'arm_a' AND ev)::BIGINT d_a,
+          COUNT(*) FILTER (WHERE g = 'arm_b' AND ev)::BIGINT d_b,
+          COUNT(*) FILTER (WHERE g = 'arm_a')::BIGINT at_a,
+          COUNT(*) FILTER (WHERE g = 'arm_b')::BIGINT at_b
+        FROM s GROUP BY 1),
+      tot AS (SELECT SUM(at_a)::BIGINT ta, SUM(at_b)::BIGINT tb FROM c),
+      w AS (SELECT c.*, tot.ta, tot.tb,
+          (SUM(at_a) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT ca,
+          (SUM(at_b) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT cb
+        FROM c, tot),
+      r AS (SELECT t, d_a, d_b, ta, tb,
+          (ta - ca + at_a)::BIGINT na, (tb - cb + at_b)::BIGINT nb,
+          (ta - ca + at_a + tb - cb + at_b)::BIGINT nn,
+          (d_a + d_b)::BIGINT d FROM w),
+      p AS (SELECT *,
+          (d::HUGEINT * na * 1000000 // nn) e_a,
+          (d::HUGEINT * nb * 1000000 // nn) e_b,
+          CASE WHEN nn > 1 THEN
+            ((d::HUGEINT * (nn - d) * 1000000 // (nn - 1))
+              * (na::HUGEINT * 1000000 // nn) // 1000000)
+              * (nb::HUGEINT * 1000000 // nn) // 1000000
+          ELSE 0 END v FROM r),
+      agg AS (SELECT SUM(d_a)::BIGINT oa, SUM(d_b)::BIGINT ob,
+          SUM(e_a)::BIGINT ea, SUM(e_b)::BIGINT eb, SUM(v)::BIGINT v,
+          ANY_VALUE(ta) ta, ANY_VALUE(tb) tb FROM p),
+      chi AS (SELECT *, CASE WHEN v <= 0 THEN NULL ELSE
+          (((oa::HUGEINT * 1000000 - ea) * (oa::HUGEINT * 1000000 - ea))
+            // (1000::HUGEINT * v))::BIGINT END chi2_milli FROM agg)
+      SELECT 'arm_a' AS grp, ta AS n_subjects, oa AS n_events,
+        ea AS expected_micro, v AS var_micro, chi2_milli FROM chi
+      UNION ALL
+      SELECT 'arm_b', tb, ob, eb, v, chi2_milli FROM chi"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5566,7 +5634,7 @@ object Queries {
     q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194, q195)
+    q193, q194, q195, q196)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -313,12 +313,29 @@ object ScaleCheck {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def kmTime(df: DataFrame, tag: String): Double = {
+      import graft.engine.EventTime
+      // per-user lifespans (the q195 shape): the groupBy collapse is the
+      // only corpus-wide work; the life table itself is |distinct days|
+      val u = df.filter(col("user_id").isNotNull)
+        .select(col("user_id"), EventTime.epochMillis(df, "ts").as("tm"))
+        .groupBy("user_id").agg(min("tm").as("f"), max("tm").as("l"))
+      val subj = u.crossJoin(broadcast(u.agg(max("l").as("m"))))
+        .select(expr("(l - f) div 86400000").as("dur"),
+          (col("l") <= col("m") - lit(2592000000L)).as("ev"))
+      val t0 = System.nanoTime()
+      graft.ops.Survival.kaplanMeier(subj, "dur", "ev")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     for ((name, f) <- Seq(
       ("sliding", slidingTime _), ("over", overTime _), ("pit", pitTime _),
       ("lookup", lookupTime _), ("cluster", clusterTime _),
       ("sessionize", sessionTime _), ("pagerank", pagerankTime _),
       ("cooccur", cooccurTime _), ("global_rank", globalRankTime _),
-      ("qnorm", qnormTime _), ("theil_sen", theilSenTime _)) if wanted(name)) {
+      ("qnorm", qnormTime _), ("theil_sen", theilSenTime _),
+      ("km", kmTime _)) if wanted(name)) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")

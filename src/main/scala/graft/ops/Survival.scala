@@ -89,4 +89,107 @@ object Survival {
       .select("t", "n_risk", "n_event", "n_censored", "hazard_micro",
         "ln_surv_micro")
   }
+
+  /** Two-sample log-rank test — "did cohort A churn differently from
+    * cohort B?", the survival-curve A/B test that respects censoring
+    * (comparing raw churn rates between arms with different observation
+    * windows is exactly the bias KM exists to remove). Per group:
+    *
+    *   - `n_subjects`, `n_events` — cohort size and observed events O_g
+    *   - `expected_micro` — Σ_t d(t)·n_risk_g(t)·1e6 div N(t), the
+    *     events the group would have seen under H₀ (shared hazard)
+    *   - `var_micro` — Σ_t of the hypergeometric variance
+    *     d(N−d)/(N−1) · (N_A/N) · (N_B/N), staged-floored in micro
+    *   - `chi2_milli` — (O_A − E_A)² / V in milli, computed from the
+    *     lexicographically-first group and repeated on both rows
+    *     (χ² with 1 df; ≥ 3841 rejects H₀ at 5%)
+    *
+    * Exactness: every per-time factor is a decimal(38,0) product with
+    * ONE floor division, summed exactly; the final χ² squares the EXACT
+    * (O_A·1e6 − E_A_micro) — arbitrary-precision on the driver, HUGEINT
+    * in a SQL replay (fits to ~10¹³-subject cohorts) — so only positive
+    * quantities are ever floor-divided and every engine agrees
+    * bit-for-bit, the same staged-floor contract as the KS/PSI family.
+    *
+    * 100 TB shape: one map-side-combined groupBy(duration) collapses
+    * both cohorts in a single pass, one [[Ranks.prefixSum]] range
+    * exchange over the collapsed life table, one scalar aggregate —
+    * driver traffic is the two group labels plus P partials.
+    */
+  def logRank(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      groupCol: String): DataFrame = {
+    val base = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("boolean").as("ev"),
+        col(groupCol).cast("string").as("g"))
+    // ONE corpus scan: collapse to (t, g) cells first; group discovery
+    // and the two-arm pivot both ride the collapsed table
+    val cellsByG = base
+      .groupBy("t", "g")
+      .agg(count(when(col("ev"), 1)).as("d"), count(lit(1)).as("at"))
+      .localCheckpoint()
+    val groups = cellsByG.select("g").distinct().limit(3)
+      .collect().map(_.getString(0)).sorted
+    require(groups.length == 2,
+      s"logRank: exactly 2 groups required, got ${groups.mkString(", ")}")
+    val (ga, gb) = (groups(0), groups(1))
+    val cells = cellsByG
+      .groupBy("t")
+      .agg(
+        sum(when(col("g") === ga, col("d")).otherwise(0L)).as("d_a"),
+        sum(when(col("g") === gb, col("d")).otherwise(0L)).as("d_b"),
+        sum(when(col("g") === ga, col("at")).otherwise(0L)).as("at_a"),
+        sum(when(col("g") === gb, col("at")).otherwise(0L)).as("at_b"))
+      .localCheckpoint()
+    val nTimes = cells.limit(1000001).count()
+    require(nTimes <= 1000000L,
+      s"logRank: > 1e6 distinct durations — bucket $durationCol first")
+    val tot = cells.agg(sum("at_a").as("ta"), sum("at_b").as("tb"))
+      .collect()(0)
+    val (totA, totB) = (tot.getLong(0), tot.getLong(1))
+    val perT = Ranks.prefixSum(cells, Seq(col("t")), Seq("at_a", "at_b"))
+      .withColumn("na", lit(totA) - col("at_a_cum") + col("at_a"))
+      .withColumn("nb", lit(totB) - col("at_b_cum") + col("at_b"))
+      .withColumn("nn", col("na") + col("nb"))
+      .withColumn("d", col("d_a") + col("d_b"))
+      .withColumn("e_a_micro",
+        expr("cast(d as decimal(38,0)) * na * 1000000 div nn"))
+      .withColumn("e_b_micro",
+        expr("cast(d as decimal(38,0)) * nb * 1000000 div nn"))
+      .withColumn("v_micro", expr(
+        """case when nn > 1 then
+             ((cast(d as decimal(38,0)) * (nn - d) * 1000000 div (nn - 1))
+               * (cast(na as decimal(38,0)) * 1000000 div nn) div 1000000)
+               * (cast(nb as decimal(38,0)) * 1000000 div nn) div 1000000
+           else 0 end"""))
+    // micro totals reported in bigint — the house-wide *_micro ceiling
+    // (~9.2e12 whole units); the per-time products already rode decimal
+    val s = perT.agg(
+      sum("d_a").as("o_a"), sum("d_b").as("o_b"),
+      sum("e_a_micro").cast("long").as("ea"),
+      sum("e_b_micro").cast("long").as("eb"),
+      sum("v_micro").cast("long").as("v")).collect()(0)
+    val (oa, ob) = (s.getLong(0), s.getLong(1))
+    val (ea, eb, v) = (s.getLong(2), s.getLong(3), s.getLong(4))
+    // χ²_milli = (O_A·1e6 − E_A_micro)² div (1000·V_micro): the square
+    // is exact (A² only — never a floored negative, so engine BigInt and
+    // SQL HUGEINT floor-division agree), then ONE positive division
+    val chi2Milli: Option[Long] =
+      if (v <= 0L) None
+      else {
+        val a = BigInt(oa) * 1000000 - BigInt(ea)
+        Some(((a * a) / (BigInt(1000) * BigInt(v))).toLong)
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, totA, oa, ea, v, chi2Milli),
+        (gb, totB, ob, eb, v, chi2Milli))
+      .toDF("grp", "n_subjects", "n_events", "expected_micro",
+        "var_micro", "chi2_milli")
+  }
 }

@@ -256,6 +256,36 @@ class AuditOpsSpec extends SparkSuite {
     assert(out(0)._4.isDefined && out(1)._4.isEmpty)
   }
 
+  test("logRank recovers the hand-computed hypergeometric table and chi2") {
+    // A dies at t=1 (both), B dies at t=2 (both):
+    // t=1: N=4, N_A=2, d=2 → E_A = 2·2·1e6//4 = 1e6;
+    //      V = (2·2·1e6//3)·(500000)//1e6·(500000)//1e6 = 333333
+    // t=2: N=N_B=2, d=2 → E_A = 0, E_B = 2e6; V = 0 (N−d = 0)
+    // O_A=2, E_A=1.0, V=0.333333 → χ² = 1/0.333333 = 3.000003 → 3000 milli
+    val df = Seq(("A", 1L, true), ("A", 1L, true),
+      ("B", 2L, true), ("B", 2L, true)).toDF("g", "dur", "ev")
+    val out = Survival.logRank(df, "dur", "ev", "g")
+      .select("grp", "n_subjects", "n_events", "expected_micro",
+        "var_micro", "chi2_milli")
+      .as[(String, Long, Long, Long, Long, Option[Long])]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("A", 2L, 2L, 1000000L, 333333L, Some(3000L)),
+      ("B", 2L, 2L, 3000000L, 333333L, Some(3000L))))
+    // identical survival in both arms → O = E exactly, χ² = 0
+    val same = Seq(("A", 1L, true), ("A", 2L, true), ("A", 3L, false),
+      ("B", 1L, true), ("B", 2L, true), ("B", 3L, false))
+      .toDF("g", "dur", "ev")
+    val s2 = Survival.logRank(same, "dur", "ev", "g")
+      .select("n_events", "expected_micro", "chi2_milli")
+      .as[(Long, Long, Option[Long])].collect()
+    assert(s2.forall(r => r._2 == r._1 * 1000000L && r._3 == Some(0L)))
+    intercept[IllegalArgumentException] {
+      Survival.logRank(Seq(("A", 1L, true)).toDF("g", "dur", "ev"),
+        "dur", "ev", "g")
+    }
+  }
+
   test("seasonalProfile computes exact per-phase lift on a 2-phase cycle") {
     // period 2ms, bucket 1ms: even ts → phase 0 (value 10), odd → phase 1 (30)
     val rows = Seq((0L, 10.0), (1L, 30.0), (2L, 10.0), (3L, 30.0))
