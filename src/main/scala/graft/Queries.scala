@@ -5617,6 +5617,38 @@ object Queries {
       UNION ALL
       SELECT 'arm_b', tb, ob, eb, v, chi2_milli FROM chi"""))
 
+  /** t-closeness release audit on orders: does any (priority, year)
+    * class skew its order-status distribution > 0.1 TVD from the
+    * table's? Completes the k/l/t privacy-gate triple with q159.
+    */
+  private val q197 = Q(
+    "q197_t_closeness",
+    (spark, dir) => Privacy.tCloseness(
+      pq(spark, dir, "orders").select(
+        col("o_orderpriority").as("prio"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderstatus").as("status")),
+      Seq("prio", "yr"), "status", tMicro = 100000L),
+    Some("""WITH b AS (SELECT o_orderpriority prio,
+          year(o_orderdate)::BIGINT yr, o_orderstatus s
+        FROM orders WHERE o_orderstatus IS NOT NULL),
+      cell AS (SELECT prio, yr, s, COUNT(*)::BIGINT n_cs
+        FROM b GROUP BY 1, 2, 3),
+      tot AS (SELECT COUNT(*)::BIGINT n_tot FROM b),
+      g2 AS (SELECT s,
+          (COUNT(*)::HUGEINT * 1000000 // tot.n_tot)::BIGINT q
+        FROM b, tot GROUP BY s, tot.n_tot),
+      qt AS (SELECT SUM(q)::BIGINT qtot FROM g2),
+      cl AS (SELECT prio, yr, SUM(n_cs)::BIGINT n FROM cell GROUP BY 1, 2),
+      t AS (SELECT cell.prio, cell.yr, cl.n,
+          SUM(ABS((cell.n_cs::HUGEINT * 1000000 // cl.n)::BIGINT - g2.q)
+            - g2.q)::BIGINT st
+        FROM cell JOIN cl USING (prio, yr) JOIN g2 USING (s)
+        GROUP BY 1, 2, 3)
+      SELECT prio, yr, n, ((st + qt.qtot) // 2)::BIGINT tvd_micro,
+        ((st + qt.qtot) // 2 > 100000) AS t_violation
+      FROM t, qt"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5634,7 +5666,7 @@ object Queries {
     q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194, q195, q196)
+    q193, q194, q195, q196, q197)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -49,4 +49,59 @@ object Privacy {
         sensitiveCol.map(_ => col("n_distinct_sensitive") < l)
           .getOrElse(lit(null).cast("boolean")))
   }
+
+  /** t-closeness per quasi-identifier class — the distributional member
+    * of the k/l/t release-gate triple: a class can be large (k-anon) and
+    * diverse (l-div) yet still leak if its sensitive-value DISTRIBUTION
+    * differs sharply from the table's (99% of one diagnosis in a class
+    * whose base rate is 1% identifies by membership alone). For a
+    * categorical sensitive column the distance is total variation:
+    * tvd = ½·Σ_s |p_class(s) − p_global(s)|, in floored micro.
+    *
+    * Zero cells cost nothing: values ABSENT from a class contribute
+    * exactly their global share, so Σ_s |p−q| = Σ_{s∈class}(|p−q| − q)
+    * + Σ_all q — the second term is one broadcast scalar, and the plan
+    * never materializes class × value pairs.
+    *
+    * Output per class: `(quasiCols..., n, tvd_micro, t_violation)` with
+    * `t_violation = tvd_micro > tMicro`.
+    *
+    * 100 TB shape: one map-side-combined groupBy(quasi, s), a broadcast
+    * join against the |S|-row global distribution, one rollup on the
+    * SAME quasi key (no second wide shuffle); shares ride decimal(38,0).
+    */
+  def tCloseness(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      tMicro: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(tMicro >= 0 && tMicro <= 1000000L,
+      s"tMicro $tMicro out of [0, 1e6]")
+    val base = df.filter(col(sensitiveCol).isNotNull)
+    val cell = base.groupBy(quasiCols.map(col) :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("n_cs"))
+    val glob = base.groupBy(col(sensitiveCol))
+      .agg(count(lit(1)).as("n_s"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n_tot"))))
+      .withColumn("q_micro",
+        expr("cast(n_s as decimal(38,0)) * 1000000 div n_tot"))
+      .select(col(sensitiveCol), col("q_micro"))
+    val qTot = glob.agg(sum("q_micro").cast("long")).collect()(0).getLong(0)
+    // class totals via a partition window over the COLLAPSED cells (each
+    // class holds ≤ |S| cell rows), so the quasi-key shuffle happens once
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    cell
+      .join(broadcast(glob), Seq(sensitiveCol))
+      .withColumn("__n", sum(col("n_cs")).over(w))
+      .withColumn("__term",
+        abs(expr("cast(cast(n_cs as decimal(38,0)) * 1000000 div __n as long)")
+          - col("q_micro")) - col("q_micro"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max("__n").as("n"), sum("__term").as("__sum_terms"))
+      .withColumn("tvd_micro", expr(s"(__sum_terms + ${qTot}L) div 2"))
+      .withColumn("t_violation", col("tvd_micro") > tMicro)
+      .drop("__sum_terms")
+  }
 }

@@ -3064,6 +3064,25 @@ class OpsSpec extends SparkSuite {
     assert(quick("FR").isNullAt(quick("FR").fieldIndex("l_violation")))
   }
 
+  test("tCloseness measures exact TVD per class, zero cells for free") {
+    import graft.ops.Privacy
+    val spark2 = spark
+    import spark2.implicits._
+    // global secrets: X×4 (q=666666), Y×2 (q=333333). Class A holds only
+    // X → TVD = ½(|1−⅔| + |0−⅓|) = ⅓; Y's share arrives via the global
+    // constant, never materialized as a zero cell. Class B is 50/50 →
+    // TVD = ½(⅙+⅙) = ⅙. Exact floored-micro: 333333 and 166666.
+    val df = Seq(("A", "X"), ("A", "X"),
+      ("B", "X"), ("B", "X"), ("B", "Y"), ("B", "Y"))
+      .toDF("cls", "secret")
+    val out = Privacy.tCloseness(df, Seq("cls"), "secret", tMicro = 300000L)
+      .select("cls", "n", "tvd_micro", "t_violation")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("A", 2L, 333333L, true),
+      ("B", 4L, 166666L, false)))
+  }
+
   test("readability: simple prose scores higher than dense prose") {
     import graft.ops.TextOps
     val spark2 = spark
