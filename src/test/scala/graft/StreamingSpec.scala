@@ -1165,4 +1165,45 @@ class StreamingSpec extends SparkSuite {
       assert(got(1)._3 == batch1, s"window 1: ${got(1)._3} vs batch $batch1")
     } finally query.stop()
   }
+
+  test("streaming heavy hitters: exact threshold counts, batch parity, " +
+      "late rows below watermark dropped") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().toDF("t_ms", "v")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_millis(col("t_ms")))
+    val out = graft.streaming.StreamingHeavyHitters.perWindow(
+      df, "ts", "v", window = 1.minute, lateness = 0.seconds, minCount = 3L)
+    val query = out.writeStream.format("memory").queryName("hh_out")
+      .outputMode("append").start()
+    try {
+      val minute = 60000L
+      // window 0: a×3 (hitter), b×2 (below), split across two batches
+      stream.addData((0L, "a"), (1L, "a"), (2L, "b"))
+      query.processAllAvailable()
+      stream.addData((3L, "a"), (4L, "b"))
+      // window 1: c×4; advance watermark past window 0
+      stream.addData((0 until 4).map(i => (minute + i, "c")): _*)
+      stream.addData((10 * minute, "z"))
+      query.processAllAvailable()
+      // a late window-0 row arrives after the watermark passed — must NOT
+      // resurrect or double-emit the closed window
+      stream.addData((5L, "a"))
+      stream.addData((20 * minute, "z"))
+      query.processAllAvailable()
+      val got = spark.sql(
+        "SELECT window_start_ms, value, cnt FROM hh_out ORDER BY 1, 2")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(got.toSeq == Seq((0L, "a", 3L), (minute, "c", 4L)),
+        s"got ${got.toSeq}")
+      // batch parity on window 0's on-time rows
+      val batch = Seq("a", "a", "b", "a", "b").toDF("v")
+        .groupBy("v").count().filter(col("count") >= 3)
+        .as[(String, Long)].collect().toSeq
+      assert(batch == Seq(("a", 3L)))
+    } finally query.stop()
+  }
 }
