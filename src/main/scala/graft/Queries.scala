@@ -5649,6 +5649,75 @@ object Queries {
         ((st + qt.qtot) // 2 > 100000) AS t_violation
       FROM t, qt"""))
 
+  /** Cumulative gains/lift deciles: events ranked by value as the
+    * score, purchase as the positive — "what share of purchases does
+    * the top-k score slice capture, and at what lift over random?"
+    */
+  private val q198 = Q(
+    "q198_gains_curve",
+    (spark, dir) => Eval.gainsCurve(
+      pq(spark, dir, "events").select(
+        col("event_id"), col("value"),
+        (col("event_type") === "purchase").as("y")),
+      "event_id", "value", "y", buckets = 10),
+    Some("""WITH b AS (SELECT event_id id, floor(value * 1e6)::BIGINT s,
+          (event_type = 'purchase') y
+        FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+          AND event_type IS NOT NULL),
+      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY s DESC, id) rn FROM b),
+      t AS (SELECT COUNT(*)::BIGINT n,
+          COUNT(*) FILTER (WHERE y)::BIGINT npos FROM b),
+      c AS (SELECT ((10 * (rn - 1)) // t.n)::INT bucket,
+          COUNT(*)::BIGINT n, COUNT(*) FILTER (WHERE y)::BIGINT n_pos,
+          ANY_VALUE(t.n) tn, ANY_VALUE(t.npos) tp
+        FROM r, t GROUP BY 1),
+      w AS (SELECT bucket, n, n_pos, tn, tp,
+          (SUM(n) OVER wo)::BIGINT cum_n,
+          (SUM(n_pos) OVER wo)::BIGINT cum_pos
+        FROM c WINDOW wo AS (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT bucket, n, n_pos, cum_n, cum_pos,
+        (cum_pos::HUGEINT * 1000000 // GREATEST(tp, 1))::BIGINT gain_micro,
+        (cum_pos::HUGEINT * tn * 1000
+          // GREATEST(tp::HUGEINT * cum_n, 1))::BIGINT lift_milli
+      FROM w"""))
+
+  /** k-core of the customer–supplier trade graph (bipartite, ids
+    * disambiguated by parity): who survives 4 rounds of parallel
+    * peeling at k=5 — the mutual-support subgraph ring/spam detection
+    * thresholds on. Oracle unrolls the same 4 rounds.
+    */
+  private val q199 = Q(
+    "q199_k_core",
+    (spark, dir) => {
+      val e = pq(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(pq(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cu"),
+          (col("l_suppkey") * 2 + 1).as("su"))
+      Graph.kCore(e, "cu", "su", k = 5, iters = 4)
+    },
+    Some("""WITH e0 AS (SELECT DISTINCT LEAST(c, s) u, GREATEST(c, s) v
+        FROM (SELECT o_custkey * 2 c, l_suppkey * 2 + 1 s
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL)),
+      a0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      k1 AS (SELECT u FROM a0 GROUP BY u HAVING COUNT(*) >= 5),
+      a1 AS (SELECT a.u, a.v FROM a0 a JOIN k1 x ON a.u = x.u
+        JOIN k1 y ON a.v = y.u),
+      k2 AS (SELECT u FROM a1 GROUP BY u HAVING COUNT(*) >= 5),
+      a2 AS (SELECT a.u, a.v FROM a1 a JOIN k2 x ON a.u = x.u
+        JOIN k2 y ON a.v = y.u),
+      k3 AS (SELECT u FROM a2 GROUP BY u HAVING COUNT(*) >= 5),
+      a3 AS (SELECT a.u, a.v FROM a2 a JOIN k3 x ON a.u = x.u
+        JOIN k3 y ON a.v = y.u),
+      k4 AS (SELECT u FROM a3 GROUP BY u HAVING COUNT(*) >= 5),
+      a4 AS (SELECT a.u, a.v FROM a3 a JOIN k4 x ON a.u = x.u
+        JOIN k4 y ON a.v = y.u)
+      SELECT u AS node, COUNT(*)::BIGINT degree,
+        (COUNT(*) >= 5) AS in_core
+      FROM a4 GROUP BY u"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5666,7 +5735,7 @@ object Queries {
     q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194, q195, q196, q197)
+    q193, q194, q195, q196, q197, q198, q199)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

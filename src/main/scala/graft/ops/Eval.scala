@@ -315,4 +315,59 @@ object Eval {
       .select(col(idCol), col("__top.col_name").as("top_col"),
         col("__top.z").as("top_z_milli"), col("n_extreme"))
   }
+
+  /** Cumulative gains / lift curve — the targeting-quality view of a
+    * score that q145's AUC scalar compresses away: rank the population
+    * by score (best first), cut into equal-count buckets, and report
+    * what fraction of all positives the top k buckets capture
+    * (`gain_micro`) and how much better than random that is
+    * (`lift_milli`; 1000 = no better). The curve that answers "if we
+    * can only act on the top decile, what do we get?" — the campaign /
+    * review-queue / labeling-budget question.
+    *
+    * Exact-integer contract: scores floor to micro, rank ties break on
+    * `idCol`, `bucket = B·(rank−1) div n` (equal-count like q192's
+    * Lorenz slices), shares/lifts are decimal(38,0) products with one
+    * floor division.
+    *
+    * 100 TB shape: one [[Ranks.globalRank]] range exchange, one
+    * map-side-combined rollup to B rows; the cumulative window rides
+    * the B-row bucket table.
+    */
+  def gainsCurve(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      labelCol: String,
+      buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, s"buckets $buckets must be >= 2")
+    val base = df
+      .filter(col(idCol).isNotNull && col(scoreCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        floor(col(scoreCol).cast("double") * 1e6).cast("long").as("__s"),
+        col(labelCol).cast("boolean").as("__y"))
+    val ranked = Ranks.globalRank(base,
+      Seq(col("__s").desc, col("__id")), "__rn")
+    val tot = ranked.agg(count(lit(1)).as("__n"),
+      count(when(col("__y"), 1)).as("__npos"))
+    val cells = ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"($buckets * (__rn - 1)) div __n").cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), count(when(col("__y"), 1)).as("n_pos"),
+        max("__n").as("__n"), max("__npos").as("__npos"))
+    val wOrd = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_n", sum(col("n")).over(wOrd))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wOrd))
+      .withColumn("gain_micro", expr(
+        "cast(cast(cum_pos as decimal(38,0)) * 1000000 div greatest(__npos, 1) as long)"))
+      .withColumn("lift_milli", expr(
+        """cast(cast(cum_pos as decimal(38,0)) * __n * 1000
+           div greatest(cast(__npos as decimal(38,0)) * cum_n, 1) as long)"""))
+      .select("bucket", "n", "n_pos", "cum_n", "cum_pos", "gain_micro",
+        "lift_milli")
+  }
 }

@@ -338,4 +338,56 @@ object Graph {
       .groupBy("node")
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core by parallel peeling: each round simultaneously removes every
+    * node whose CURRENT degree is < k, then drops the edges that lost an
+    * endpoint — the dense-subgraph filter behind spam-farm and
+    * engagement-ring detection (a k-core survives only through mutual
+    * support; stars and chains peel away). Undirected: each input edge
+    * counts once per direction, self-loops and duplicate edges ignored.
+    *
+    * Runs EXACTLY `iters` rounds — the fixed-iteration contract of this
+    * file's pageRank, so replays (and the SQL oracle, which unrolls the
+    * same rounds) agree bit-for-bit whether or not the peel has
+    * converged. Output per surviving node: `(node, degree, in_core)`
+    * where `degree` is over the surviving subgraph and `in_core` =
+    * (degree ≥ k) — all true ⇔ converged; rerun with more iters if any
+    * false. Converged output IS the classic k-core regardless of round
+    * count (extra rounds are no-ops).
+    *
+    * 100 TB shape: per round one map-side-combined degree count plus two
+    * semi-joins on the shrinking edge set, localCheckpoint'd per round
+    * (same discipline as connectedComponents' large/small-star loop);
+    * no driver-side data beyond the loop counter.
+    */
+  def kCore(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      iters: Int = 8): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(iters >= 1 && iters <= 64, s"iters $iters out of [1, 64]")
+    val und = edges0
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
+      .distinct()
+    var alive = und
+      .select(col("u"), col("v"))
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val keep = alive.groupBy("u").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("u"))
+      alive = alive
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    alive.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .withColumn("in_core", col("degree") >= k)
+  }
 }

@@ -213,6 +213,29 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("kCore peels chains off a clique; short runs flag non-convergence") {
+    val spark2 = spark
+    import spark2.implicits._
+    // K4 on 1..4 plus a tail 4–5–6: at k=2 the tail peels in two rounds
+    // (6 first, then 5 once it lost 6), leaving the clique at degree 3
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "d")
+    val core = Graph.kCore(edges, "s", "d", k = 2, iters = 3)
+      .select("node", "degree", "in_core")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(core.toSeq == Seq((1L, 3L, true), (2L, 3L, true),
+      (3L, 3L, true), (4L, 3L, true)))
+    // k above the clique's degree: everything peels away
+    assert(Graph.kCore(edges, "s", "d", k = 4, iters = 3).count() == 0)
+    // one round only: 6 is gone but 5 (now degree 1) is still present
+    // and flagged — the in_core=false rows ARE the non-convergence signal
+    val partial = Graph.kCore(edges, "s", "d", k = 2, iters = 1)
+      .select("node", "degree", "in_core")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(partial.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(partial.filter(!_._3).toSeq == Seq((5L, 1L, false)))
+  }
+
   test("all-dangling graph degenerates to uniform redistribution") {
     val spark2 = spark
     import spark2.implicits._

@@ -251,4 +251,26 @@ class RankOpsSpec extends SparkSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 2L)))
   }
+
+  test("gainsCurve: perfect score ordering captures all positives in " +
+      "the top slice at 2x lift") {
+    // scores 4,3,2,1; both positives carry the two highest scores.
+    // halves: top bucket has all positives → gain 1e6, lift 2000 milli;
+    // bottom adds none → gain stays 1e6, lift decays to 1000 (= random)
+    val df = Seq((1L, 4.0, true), (2L, 3.0, true),
+      (3L, 2.0, false), (4L, 1.0, false)).toDF("id", "s", "y")
+    val out = Eval.gainsCurve(df, "id", "s", "y", buckets = 2)
+      .select("bucket", "n", "n_pos", "cum_n", "cum_pos", "gain_micro",
+        "lift_milli")
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0, 2L, 2L, 2L, 2L, 1000000L, 2000L),
+      (1, 2L, 0L, 4L, 2L, 1000000L, 1000L)))
+    // anti-ordered scores: top bucket captures nothing
+    val bad = Eval.gainsCurve(
+      Seq((1L, 4.0, false), (2L, 3.0, false), (3L, 2.0, true),
+        (4L, 1.0, true)).toDF("id", "s", "y"), "id", "s", "y", 2)
+      .select("bucket", "gain_micro").as[(Int, Long)].collect().sortBy(_._1)
+    assert(bad.toSeq == Seq((0, 0L), (1, 1000000L)))
+  }
 }
