@@ -5718,6 +5718,35 @@ object Queries {
         (COUNT(*) >= 5) AS in_core
       FROM a4 GROUP BY u"""))
 
+  /** Out-of-orderness profile of the event stream in arrival order
+    * (event_id): the exact-log2 disorder histogram that sizes a
+    * watermark — read cumulatively it is the late-drop-rate-vs-W curve.
+    */
+  private val q200 = Q(
+    "q200_disorder_profile",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      TimeSeries.disorderProfile(
+        raw.filter(col("event_id").isNotNull && col("ts").isNotNull)
+          .select(col("event_id"),
+            EventTime.epochMillis(raw, "ts").as("ts_ms")),
+        "event_id", "ts_ms")
+    },
+    Some("""WITH b AS (SELECT event_id a, epoch_ms(ts) t FROM events
+          WHERE event_id IS NOT NULL AND ts IS NOT NULL),
+      r AS (SELECT a, t, MAX(t) OVER (ORDER BY a
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pm FROM b),
+      l AS (SELECT CASE WHEN pm IS NULL THEN 0
+          ELSE GREATEST(pm - t, 0) END lt FROM r),
+      h AS (SELECT (CASE WHEN lt = 0 THEN 0
+            ELSE LENGTH(bin(lt)) END)::INT disorder_bucket,
+          COUNT(*)::BIGINT n_events, MAX(lt)::BIGINT max_disorder_ms
+        FROM l GROUP BY 1),
+      tot AS (SELECT COUNT(*)::BIGINT n FROM l)
+      SELECT disorder_bucket, n_events, max_disorder_ms,
+        (n_events::HUGEINT * 1000000 // tot.n)::BIGINT share_micro
+      FROM h, tot"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5735,7 +5764,7 @@ object Queries {
     q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194, q195, q196, q197, q198, q199)
+    q193, q194, q195, q196, q197, q198, q199, q200)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -378,4 +378,68 @@ object TimeSeries {
       .select(col(keyCol), col("phase"), col("n"), col("sum_micro"),
         col("avg_micro"), col("lift_milli"))
   }
+
+  /** Out-of-orderness profile — the histogram that SIZES a watermark:
+    * for each event, its disorder is how far the event-time high-water
+    * mark (max ts among strictly-earlier arrivals) had already passed
+    * it: `max(0, max_{j<i} ts_j − ts_i)`. A watermark of W ms drops
+    * exactly the events whose disorder exceeds W, so this table read
+    * cumulatively IS the late-drop-rate-vs-W curve. Buckets are exact
+    * integer log2: bucket 0 = in-order, else bit-length of the disorder
+    * in ms (bucket b covers [2^(b−1), 2^b)), via binary-string length —
+    * no floating log, replayable in any engine.
+    *
+    * `arrivalCol` must be a unique arrival-order column (an append
+    * sequence, a kafka offset, a monotonic event id).
+    *
+    * Output: `(disorder_bucket, n_events, max_disorder_ms,
+    * share_micro)`, share of ALL events.
+    *
+    * 100 TB shape: one [[Ranks.globalRank]] range exchange by arrival;
+    * the running max splits into a within-block window (blocks of 2^16
+    * rows — bounded partitions) plus a cross-block prefix max over the
+    * block-count-sized table, broadcast back; then one map-side-combined
+    * histogram rollup. No single-task window touches the corpus.
+    */
+  def disorderProfile(
+      df: DataFrame,
+      arrivalCol: String,
+      tsCol: String): DataFrame = {
+    val base = df
+      .filter(col(arrivalCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(arrivalCol).as("__a"), col(tsCol).cast("long").as("__t"))
+    val ranked = Ranks.globalRank(base, Seq(col("__a")), "__rn")
+      .withColumn("__b", expr("(__rn - 1) div 65536"))
+      .localCheckpoint()
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__rn"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockMax = ranked.groupBy("__b").agg(max("__t").as("__bm"))
+    val wBlk = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val priorBlk = blockMax
+      .withColumn("__pbm", max(col("__bm")).over(wBlk))
+      .select(col("__b"), col("__pbm"))
+    val lateness = ranked
+      .join(broadcast(priorBlk), Seq("__b"))
+      .withColumn("__inm", max(col("__t")).over(wIn))
+      .withColumn("__hwm", greatest(
+        coalesce(col("__inm"), lit(Long.MinValue)),
+        coalesce(col("__pbm"), lit(Long.MinValue))))
+      .withColumn("__late",
+        when(col("__hwm") === Long.MinValue, lit(0L))
+          .otherwise(greatest(col("__hwm") - col("__t"), lit(0L))))
+    lateness
+      .withColumn("disorder_bucket",
+        when(col("__late") === 0, lit(0))
+          .otherwise(length(conv(col("__late"), 10, 2))).cast("int"))
+      .groupBy("disorder_bucket")
+      .agg(count(lit(1)).as("n_events"), max("__late").as("max_disorder_ms"))
+      // total from the checkpointed rank table — the (1:1) join and
+      // window pipeline need not run a second time for a row count
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n_tot"))))
+      .withColumn("share_micro",
+        expr("cast(n_events as decimal(38,0)) * 1000000 div __n_tot"))
+      .select("disorder_bucket", "n_events", "max_disorder_ms",
+        "share_micro")
+  }
 }

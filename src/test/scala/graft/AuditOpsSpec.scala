@@ -286,6 +286,41 @@ class AuditOpsSpec extends SparkSuite {
     }
   }
 
+  test("disorderProfile buckets exact log2 lateness vs the running HWM") {
+    // arrivals 1..5, ts 10,5,20,19,30: disorders 0,5,0,1,0 →
+    // bucket 0 ×3; 5 → '101' → bucket 3; 1 → '1' → bucket 1
+    val df = Seq((1L, 10L), (2L, 5L), (3L, 20L), (4L, 19L), (5L, 30L))
+      .toDF("a", "t")
+    val out = TimeSeries.disorderProfile(df, "a", "t")
+      .select("disorder_bucket", "n_events", "max_disorder_ms", "share_micro")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0, 3L, 0L, 600000L), (1, 1L, 1L, 200000L), (3, 1L, 5L, 200000L)))
+  }
+
+  test("disorderProfile block-split running max equals a global window") {
+    // 150k rows cross the 65536-row block boundary twice; varied
+    // perturbation so lateness lands in many buckets, including
+    // cross-block references
+    val big = spark.range(150000).select(col("id").as("a"),
+      (col("id") * 2 - (col("id") % 97) * 3).as("t"))
+    val got = TimeSeries.disorderProfile(big, "a", "t")
+      .select("disorder_bucket", "n_events", "max_disorder_ms")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    // brute force: one global window (fine at test size)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("a"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val brute = big
+      .withColumn("pm", max(col("t")).over(w))
+      .withColumn("lt", when(col("pm").isNull, 0L)
+        .otherwise(greatest(col("pm") - col("t"), lit(0L))))
+      .withColumn("b", when(col("lt") === 0, lit(0))
+        .otherwise(length(conv(col("lt"), 10, 2))).cast("int"))
+      .groupBy("b").agg(count(lit(1)).as("n"), max("lt").as("m"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == brute, s"block-split vs global:\n$got\n$brute")
+  }
+
   test("seasonalProfile computes exact per-phase lift on a 2-phase cycle") {
     // period 2ms, bucket 1ms: even ts → phase 0 (value 10), odd → phase 1 (30)
     val rows = Seq((0L, 10.0), (1L, 30.0), (2L, 10.0), (3L, 30.0))
