@@ -5747,6 +5747,52 @@ object Queries {
         (n_events::HUGEINT * 1000000 // tot.n)::BIGINT share_micro
       FROM h, tot"""))
 
+  /** Exact KNN-Shapley data valuation on the embedding sample: which
+    * training vectors help or hurt a 5-NN classifier on the first-50
+    * validation slice — the data-pruning / mislabel-bounty signal.
+    */
+  private val q201 = Q(
+    "q201_knn_shapley",
+    (spark, dir) => {
+      val em = pq(spark, dir, "embeddings")
+        .filter(col("label").isNotNull)
+      Eval.knnShapley(
+        em.filter(col("vec_id") >= 50 && col("vec_id") < 500),
+        em.filter(col("vec_id") < 50),
+        "vec_id", "embedding", "label", k = 5)
+    },
+    Some("""WITH tr AS (SELECT vec_id tid, label::BIGINT ty,
+          embedding::DOUBLE[] tv FROM embeddings
+        WHERE vec_id >= 50 AND vec_id < 500 AND label IS NOT NULL),
+      va AS (SELECT vec_id vid, label::BIGINT vy,
+          embedding::DOUBLE[] vv FROM embeddings
+        WHERE vec_id < 50 AND label IS NOT NULL),
+      s AS (SELECT vid, vy, tid, ty,
+          ROUND(list_dot_product(tv, vv) /
+            (sqrt(list_dot_product(tv, tv))
+             * sqrt(list_dot_product(vv, vv))), 6) score
+        FROM tr, va WHERE tid <> vid),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+            ORDER BY score DESC, tid) i,
+          COUNT(*) OVER (PARTITION BY vid) n,
+          CASE WHEN ty = vy THEN 1 ELSE 0 END ind
+        FROM s),
+      d AS (SELECT *, LEAD(ind, 1) OVER (PARTITION BY vid
+          ORDER BY score DESC, tid) ind_next FROM r),
+      c AS (SELECT vid, tid, ty, i,
+          CASE WHEN i = n THEN ind * 1000000 // n
+            ELSE (ind - ind_next) * ((LEAST(5, i) * 1000000) // (5 * i))
+          END contrib FROM d),
+      sfx AS (SELECT vid, tid, ty,
+          (SUM(contrib) OVER (PARTITION BY vid ORDER BY i DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+            s_micro FROM c)
+      SELECT tid AS id, MAX(ty)::BIGINT AS label, COUNT(*)::BIGINT n_val,
+        SUM(s_micro)::BIGINT shapley_sum_micro,
+        (CASE WHEN SUM(s_micro) >= 0 THEN SUM(s_micro) // COUNT(*)
+          ELSE -((-SUM(s_micro)) // COUNT(*)) END)::BIGINT shapley_micro
+      FROM sfx GROUP BY tid"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5764,7 +5810,7 @@ object Queries {
     q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194, q195, q196, q197, q198, q199, q200)
+    q193, q194, q195, q196, q197, q198, q199, q200, q201)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -316,6 +316,79 @@ object Eval {
         col("__top.z").as("top_z_milli"), col("n_extreme"))
   }
 
+  /** Exact KNN-Shapley data valuation (Jia et al. 2019, "Efficient
+    * Task-Specific Data Valuation for Nearest Neighbor Algorithms"):
+    * each training point's Shapley value under the K-NN utility has a
+    * closed form — sort training points by distance to a validation
+    * point, then the recurrence
+    * `s_N = 1[y_N = y_v]/N`,
+    * `s_i = s_{i+1} + (1[y_i=y_v] − 1[y_{i+1}=y_v]) · min(K,i)/(K·i)`
+    * telescopes into a SUFFIX SUM over the ranking — which distributes:
+    * one window per validation point, no sampling, no Monte Carlo. The
+    * "which examples help, which hurt" signal behind data pruning and
+    * mislabel bounties, exact instead of approximated.
+    *
+    * Integer contract: cosine ranking like [[knnLabelAudit]] (6-dp
+    * round, ties to smaller train id), each per-rank magnitude
+    * `min(K,i)·1e6 div (K·i)` floors a POSITIVE rational (the ±1 label
+    * indicator multiplies after), so every engine floors identically.
+    * Per train point the final value averages over validation points
+    * with one more positive floor division.
+    *
+    * Audit-sample shape like its siblings (q191, mutualTop1): the
+    * validation side broadcasts and each validation point ranks the
+    * full training side inside one window partition — run on a capped
+    * train sample or one retrieval bucket; the value of a 10¹³-row
+    * corpus is not a per-row question at full cardinality.
+    *
+    * Output per training row: `(id, label, n_val, shapley_sum_micro,
+    * shapley_micro)`.
+    */
+  def knnShapley(
+      train: DataFrame,
+      valSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k $k must be >= 1")
+    def side(df: DataFrame, p: String) = df
+      .filter(col(idCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as(s"${p}_id"), col(vecCol).as(s"${p}_v"),
+        col(labelCol).cast("long").as(s"${p}_y"))
+    val t = side(train, "t")
+    val v = side(valSet, "v")
+    val w = Window.partitionBy(col("v_id"))
+      .orderBy(col("score").desc, col("t_id"))
+    val wAll = Window.partitionBy(col("v_id"))
+    val scored = t.join(broadcast(v), col("t_id") =!= col("v_id"))
+      .withColumn("score", round(
+        Similarity.dot(col("t_v"), col("v_v")) /
+          (Similarity.norm(col("t_v")) * Similarity.norm(col("v_v"))), 6))
+      .withColumn("i", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("ind", when(col("t_y") === col("v_y"), 1L).otherwise(0L))
+      .withColumn("ind_next", lead(col("ind"), 1).over(w))
+      .withColumn("contrib",
+        when(col("i") === col("n"), expr("ind * 1000000 div n"))
+          .otherwise((col("ind") - col("ind_next")) *
+            expr(s"(least($k, i) * 1000000L) div (${k}L * i)")))
+    val wSuffix = Window.partitionBy(col("v_id"))
+      .orderBy(col("i").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("s_micro", sum(col("contrib")).over(wSuffix))
+      .groupBy(col("t_id").as("id"))
+      .agg(max(col("t_y")).as("label"),
+        count(lit(1)).as("n_val"),
+        sum(col("s_micro")).as("shapley_sum_micro"))
+      .withColumn("shapley_micro", expr(
+        """case when shapley_sum_micro >= 0
+             then shapley_sum_micro div n_val
+             else -((-shapley_sum_micro) div n_val) end"""))
+  }
+
   /** Cumulative gains / lift curve — the targeting-quality view of a
     * score that q145's AUC scalar compresses away: rank the population
     * by score (best first), cut into equal-count buckets, and report

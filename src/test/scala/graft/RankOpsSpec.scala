@@ -252,6 +252,28 @@ class RankOpsSpec extends SparkSuite {
     assert(out == Seq((1L, 2L)))
   }
 
+  test("knnShapley matches the closed-form recurrence by hand (k=1)") {
+    // val point (1,0) y=1; train ranked t1 (cos .9988, y=1),
+    // t2 (.8944, y=0), t3 (0, y=1). Recurrence, K=1:
+    //   s3 = 1·1e6 div 3             = 333333
+    //   s2 = s3 + (0−1)·(1e6 div 2)  = −166667
+    //   s1 = s2 + (1−0)·(1e6 div 1)  = 833333
+    // nearest-correct is worth most; the wrong point in between is
+    // negative; Σ ≈ 1e6 = utility(full) − utility(∅).
+    val train = Seq(
+      (1L, Array(1.0f, 0.05f), 1L),
+      (2L, Array(1.0f, 0.5f), 0L),
+      (3L, Array(0.0f, 1.0f), 1L)).toDF("id", "v", "y")
+    val valSet = Seq((100L, Array(1.0f, 0.0f), 1L)).toDF("id", "v", "y")
+    val out = Eval.knnShapley(train, valSet, "id", "v", "y", k = 1)
+      .select("id", "label", "n_val", "shapley_sum_micro", "shapley_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 833333L, 833333L),
+      (2L, 0L, 1L, -166667L, -166667L),
+      (3L, 1L, 1L, 333333L, 333333L)))
+  }
+
   test("gainsCurve: perfect score ordering captures all positives in " +
       "the top slice at 2x lift") {
     // scores 4,3,2,1; both positives carry the two highest scores.
