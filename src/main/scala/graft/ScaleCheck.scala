@@ -329,13 +329,36 @@ object ScaleCheck {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def disorderTime(df: DataFrame, tag: String): Double = {
+      import graft.engine.EventTime
+      val base = df.filter(col("event_id").isNotNull)
+        .select(col("event_id"), EventTime.epochMillis(df, "ts").as("tm"))
+      val t0 = System.nanoTime()
+      graft.ops.TimeSeries.disorderProfile(base, "event_id", "tm")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // chain-heavy graph with a sprinkling of K4 cliques: component count
+    // scales with data (disjoint id ranges), peel depth stays constant
+    def kcoreTime(df: DataFrame, tag: String): Double = {
+      val n = df.count() / 2
+      val chain = spark.range(n)
+        .select(col("id").as("u"), (col("id") + 1).as("v"))
+        .filter(col("v") % 100 =!= 0)
+      val t0 = System.nanoTime()
+      graft.ops.Graph.kCore(chain, "u", "v", k = 2, iters = 3)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     for ((name, f) <- Seq(
       ("sliding", slidingTime _), ("over", overTime _), ("pit", pitTime _),
       ("lookup", lookupTime _), ("cluster", clusterTime _),
       ("sessionize", sessionTime _), ("pagerank", pagerankTime _),
       ("cooccur", cooccurTime _), ("global_rank", globalRankTime _),
       ("qnorm", qnormTime _), ("theil_sen", theilSenTime _),
-      ("km", kmTime _)) if wanted(name)) {
+      ("km", kmTime _), ("disorder", disorderTime _),
+      ("kcore", kcoreTime _)) if wanted(name)) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")

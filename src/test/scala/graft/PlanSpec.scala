@@ -127,6 +127,20 @@ class PlanSpec extends SparkSuite {
     assert(cc.collect().map(_.getLong(1)).forall(_ == 1L)) // single component
   }
 
+  test("k-core: per-round checkpoints keep the result plan flat") {
+    val spark2 = spark
+    import spark2.implicits._
+    // same trap as CC: without the per-round localCheckpoint the final
+    // plan nests every peel round's joins
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "d")
+    val out = graft.ops.Graph.kCore(edges, "s", "d", k = 2, iters = 6)
+    val logicalNodes = out.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(logicalNodes < 40,
+      s"kCore result plan embeds peel history ($logicalNodes nodes)")
+    assert(out.count() == 4)
+  }
+
   test("cooccurrence: capped pair self-join stays equi-join with bounded shuffles") {
     val spark2 = spark
     import spark2.implicits._
