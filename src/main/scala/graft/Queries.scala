@@ -5793,6 +5793,89 @@ object Queries {
           ELSE -((-SUM(s_micro)) // COUNT(*)) END)::BIGINT shapley_micro
       FROM sfx GROUP BY tid"""))
 
+  /** Heaps-law vocabulary-growth audit over documents in salted-md5
+    * order: per equal-count slice, never-seen-before tokens plus the
+    * cumulative vocabulary and type/token-ratio curve.
+    */
+  private val q202 = Q(
+    "q202_vocab_growth",
+    (spark, dir) => TextOps.vocabGrowth(
+      pq(spark, dir, "documents"), "doc_id", "text", buckets = 10,
+      salt = "s1"),
+    Some("""WITH b AS (SELECT doc_id id, text,
+          md5('s1' || '|' || doc_id) ord FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      r AS (SELECT id, text, ROW_NUMBER() OVER (ORDER BY ord, id) rn FROM b),
+      tot AS (SELECT COUNT(*)::BIGINT n FROM b),
+      tk AS (SELECT rn, unnest(string_split(trim(text), ' ')) token FROM r),
+      tk2 AS (SELECT rn, token FROM tk WHERE token <> ''),
+      docb AS (SELECT ((10 * (rn - 1)) // tot.n)::INT bucket,
+          COUNT(*)::BIGINT n_docs FROM r, tot GROUP BY 1),
+      tokb AS (SELECT ((10 * (rn - 1)) // tot.n)::INT bucket,
+          COUNT(*)::BIGINT n_tokens FROM tk2, tot GROUP BY 1),
+      fo AS (SELECT token, MIN(rn) frn FROM tk2 GROUP BY 1),
+      vb AS (SELECT ((10 * (frn - 1)) // tot.n)::INT bucket,
+          COUNT(*)::BIGINT new_vocab FROM fo, tot GROUP BY 1),
+      j AS (SELECT d.bucket, d.n_docs,
+          COALESCE(t.n_tokens, 0)::BIGINT n_tokens,
+          COALESCE(v.new_vocab, 0)::BIGINT new_vocab
+        FROM docb d LEFT JOIN tokb t USING (bucket)
+          LEFT JOIN vb v USING (bucket)),
+      w AS (SELECT bucket, n_docs, n_tokens, new_vocab,
+          (SUM(n_tokens) OVER wo)::BIGINT tokens_cum,
+          (SUM(new_vocab) OVER wo)::BIGINT vocab_cum
+        FROM j WINDOW wo AS (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT bucket, n_docs, n_tokens, new_vocab, tokens_cum, vocab_cum,
+        (vocab_cum::HUGEINT * 1000000
+          // GREATEST(tokens_cum, 1))::BIGINT ttr_micro
+      FROM w"""))
+
+  /** Simhash dedup yield sweep: pairs and first-affected docs per
+    * Hamming distance 0..3 — the removal-budget curve that picks the
+    * threshold q33/q72 assume.
+    */
+  private val q203 = Q(
+    "q203_dedup_yield",
+    (spark, dir) => Dedup.simhashYieldCurve(
+      pq(spark, dir, "documents"), "doc_id", "text",
+      prefixBits = 16, maxHamming = 3),
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) tok FROM documents),
+      h AS (SELECT doc_id, md5(tok) h FROM toks),
+      bits AS (SELECT doc_id, g,
+        CASE WHEN ((instr('0123456789abcdef', substr(h, g//4 + 1, 1)) - 1)
+          // CAST(POWER(2, g%4) AS INT)) % 2 = 1 THEN 1 ELSE -1 END w
+        FROM (SELECT doc_id, h, unnest(generate_series(0, 63)) g FROM h)),
+      s AS (SELECT doc_id, g, SUM(w) sw FROM bits GROUP BY 1, 2),
+      sim AS (SELECT doc_id, string_agg(CASE WHEN sw > 0 THEN '1' ELSE '0' END, '' ORDER BY g) AS simhash
+        FROM s GROUP BY doc_id),
+      p AS (SELECT a.doc_id ia, a.simhash sa, b.doc_id ib, b.simhash sb FROM sim a
+        JOIN sim b ON a.doc_id < b.doc_id
+          AND (substr(a.simhash, 1, 16) = substr(b.simhash, 1, 16)
+            OR substr(a.simhash, 17, 16) = substr(b.simhash, 17, 16)
+            OR substr(a.simhash, 33, 16) = substr(b.simhash, 33, 16)
+            OR substr(a.simhash, 49, 16) = substr(b.simhash, 49, 16))),
+      pr AS (SELECT ia, ib,
+          len(list_filter(generate_series(1, 64),
+            g -> substr(sa, g::INT, 1) <> substr(sb, g::INT, 1)))::INT hamming
+        FROM p
+        WHERE len(list_filter(generate_series(1, 64),
+          g -> substr(sa, g::INT, 1) <> substr(sb, g::INT, 1))) <= 3),
+      fr AS (SELECT unnest(generate_series(0, 3))::INT hamming),
+      pc AS (SELECT hamming, COUNT(*)::BIGINT n_pairs FROM pr GROUP BY 1),
+      dm AS (SELECT id, MIN(hamming)::INT hamming FROM
+          (SELECT ia id, hamming FROM pr
+           UNION ALL SELECT ib, hamming FROM pr) GROUP BY 1),
+      dc AS (SELECT hamming, COUNT(*)::BIGINT n_docs_new FROM dm GROUP BY 1),
+      j AS (SELECT fr.hamming, COALESCE(pc.n_pairs, 0)::BIGINT n_pairs,
+          COALESCE(dc.n_docs_new, 0)::BIGINT n_docs_new
+        FROM fr LEFT JOIN pc USING (hamming) LEFT JOIN dc USING (hamming))
+      SELECT hamming, n_pairs,
+        (SUM(n_pairs) OVER wo)::BIGINT n_pairs_cum, n_docs_new,
+        (SUM(n_docs_new) OVER wo)::BIGINT n_docs_cum
+      FROM j WINDOW wo AS (ORDER BY hamming
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5810,7 +5893,7 @@ object Queries {
     q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194, q195, q196, q197, q198, q199, q200, q201)
+    q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

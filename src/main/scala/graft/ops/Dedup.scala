@@ -811,6 +811,57 @@ object Dedup {
       .distinct()
   }
 
+  /** Dedup yield-vs-threshold sweep — the table that PICKS the simhash
+    * Hamming cutoff instead of guessing it: per distance d, how many
+    * near-dup pairs appear at exactly d, and how many documents become
+    * dedup-affected for the FIRST time (their minimum pair distance is
+    * d). Read cumulatively: `n_docs_cum` at d = documents a dedup at
+    * threshold d would touch — the removal-budget curve; a sharp elbow
+    * marks the natural true-dup/false-positive boundary. Rides the
+    * guaranteed-recall [[simhashPairsMultiPass]] (single-pass blocking
+    * would under-count the very tail the sweep exists to expose).
+    *
+    * Output per d ∈ [0, maxHamming] (zero rows kept): `(hamming,
+    * n_pairs, n_pairs_cum, n_docs_new, n_docs_cum)`.
+    *
+    * 100 TB shape: the pair generation dominates and is the multi-pass
+    * operator's (bucketed, skew-capped); on top ride one checkpoint of
+    * the pair set, two map-side-combined histograms (pair-distance and
+    * min-distance-per-doc), and a window over a ≤ `maxHamming+1`-row
+    * frame.
+    */
+  def simhashYieldCurve(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      prefixBits: Int = 16,
+      maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = simhashPairsMultiPass(simhash(df, idCol, textCol),
+        prefixBits, maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .localCheckpoint()
+    val frame = df.sparkSession.range(0, maxHamming + 1)
+      .select(col("id").cast("int").as("hamming"))
+    val pc = pairs.groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    val dc = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("__id"),
+        col("hamming"))
+      .groupBy("__id").agg(min("hamming").as("hamming"))
+      .groupBy("hamming").agg(count(lit(1)).as("n_docs_new"))
+    val wOrd = Window.orderBy(col("hamming"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frame
+      .join(pc, Seq("hamming"), "left")
+      .join(dc, Seq("hamming"), "left")
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("n_docs_new", coalesce(col("n_docs_new"), lit(0L)))
+      .withColumn("n_pairs_cum", sum(col("n_pairs")).over(wOrd))
+      .withColumn("n_docs_cum", sum(col("n_docs_new")).over(wOrd))
+      .select("hamming", "n_pairs", "n_pairs_cum", "n_docs_new",
+        "n_docs_cum")
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ `threshold` (rounded to
     * 6 dp for cross-engine determinism).
     *

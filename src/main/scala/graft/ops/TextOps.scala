@@ -1440,4 +1440,67 @@ object TextOps {
                - 84.6 * (cast(n_syllables as double) / cast(n_words as double))))
              as long) end"""))
   }
+
+  /** Vocabulary-growth (Heaps-law) audit: walk the corpus in a salted-
+    * md5 document order, cut it into `buckets` equal-count slices, and
+    * report per slice how many NEVER-SEEN-BEFORE tokens appear — plus
+    * the cumulative vocabulary and type/token ratio curve. The corpus-
+    * health read: a healthy corpus grows vocabulary sub-linearly
+    * (Heaps' V ≈ K·nᵝ, β≈0.5); a FLAT tail means content is repeating
+    * (dedup leftovers), a LINEAR tail means noise/IDs are flooding the
+    * vocabulary. The salted order makes the curve a property of the
+    * corpus, not of storage layout, and replays identically anywhere.
+    *
+    * Output per slice: `(bucket, n_docs, n_tokens, new_vocab,
+    * tokens_cum, vocab_cum, ttr_micro)`.
+    *
+    * 100 TB shape: one [[Ranks.globalRank]] range exchange on the md5
+    * order (checkpointed — the explode reads it twice), then two
+    * map-side-combined aggregations over the exploded tokens: per-slice
+    * token totals, and min-first-rank per token (the vocabulary is
+    * token-distinct-sized, its bucket rollup tiny); the cumulative
+    * window rides the `buckets`-row table.
+    */
+  def vocabGrowth(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 10,
+      salt: String = "s1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets $buckets out of [2, 1000]")
+    val base = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .withColumn("__ord",
+        md5(concat(lit(salt), lit("|"), col("__id").cast("string"))))
+    val ranked = Ranks.globalRank(base, Seq(col("__ord"), col("__id")), "__rn")
+      .localCheckpoint()
+    val n = ranked.agg(count(lit(1))).collect()(0).getLong(0)
+    val bucketOf = (c: String) =>
+      expr(s"($buckets * ($c - 1)) div ${n}L").cast("int")
+    val toks = ranked
+      .select(col("__rn"), explode(tokens(col("__t"))).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val docB = ranked.groupBy(bucketOf("__rn").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tokB = toks.groupBy(bucketOf("__rn").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val vocB = toks.groupBy("__tok").agg(min("__rn").as("__frn"))
+      .groupBy(bucketOf("__frn").as("bucket"))
+      .agg(count(lit(1)).as("new_vocab"))
+    val wOrd = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docB
+      .join(tokB, Seq("bucket"), "left")
+      .join(vocB, Seq("bucket"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("new_vocab", coalesce(col("new_vocab"), lit(0L)))
+      .withColumn("tokens_cum", sum(col("n_tokens")).over(wOrd))
+      .withColumn("vocab_cum", sum(col("new_vocab")).over(wOrd))
+      .withColumn("ttr_micro", expr(
+        """cast(cast(vocab_cum as decimal(38,0)) * 1000000
+           div greatest(tokens_cum, 1) as long)"""))
+  }
 }

@@ -3083,6 +3083,46 @@ class OpsSpec extends SparkSuite {
       ("B", 4L, 166666L, false)))
   }
 
+  test("simhashYieldCurve: identical docs land at d=0, frame keeps zero rows") {
+    import graft.ops.Dedup
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark shuffles and joins"))
+      .toDF("id", "t")
+    val out = Dedup.simhashYieldCurve(df, "id", "t", 16, 3)
+      .select("hamming", "n_pairs", "n_pairs_cum", "n_docs_new", "n_docs_cum")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 4, s"frame rows 0..3: ${out.toSeq}")
+    assert(out(0) == ((0, 1L, 1L, 2L, 2L)), s"identical pair at d=0: ${out(0)}")
+    assert(out.last == ((3, 0L, 1L, 0L, 2L)), s"flat cums: ${out.last}")
+  }
+
+  test("vocabGrowth: repetition flattens the tail, novelty keeps it linear") {
+    import graft.ops.TextOps
+    val spark2 = spark
+    import spark2.implicits._
+    // four IDENTICAL docs: whatever the md5 order, the second slice
+    // introduces zero new vocabulary
+    val same = (1L to 4L).map(i => (i, "alpha beta gamma")).toDF("id", "t")
+    val s = TextOps.vocabGrowth(same, "id", "t", buckets = 2)
+      .select("bucket", "n_docs", "n_tokens", "new_vocab", "vocab_cum",
+        "tokens_cum")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(s.map(_._2).toSeq == Seq(2L, 2L))
+    assert(s.toSeq.map(_._4) == Seq(3L, 0L), s"flat tail: $s")
+    assert(s.last._5 == 3L && s.last._6 == 12L)
+    // four fully-novel docs: every slice mints its own tokens
+    val novel = (1L to 4L).map(i => (i, s"w${i}a w${i}b")).toDF("id", "t")
+    val n = TextOps.vocabGrowth(novel, "id", "t", buckets = 2)
+      .select("bucket", "new_vocab", "vocab_cum", "ttr_micro")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(n.map(_._2).toSeq == Seq(4L, 4L), s"linear growth: ${n.toSeq}")
+    assert(n.last._3 == 8L && n.last._4 == 1000000L)
+  }
+
   test("readability: simple prose scores higher than dense prose") {
     import graft.ops.TextOps
     val spark2 = spark
