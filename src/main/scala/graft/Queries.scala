@@ -5876,6 +5876,41 @@ object Queries {
       FROM j WINDOW wo AS (ORDER BY hamming
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
 
+  /** RFM quintile segmentation of customers over their order history —
+    * recency in epoch days, exact micro monetary, codes 111..555.
+    */
+  private val q204 = Q(
+    "q204_rfm_segments",
+    (spark, dir) => Features.rfmSegments(
+      pq(spark, dir, "orders").select(
+        col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).as("day"),
+        col("o_totalprice")),
+      "o_custkey", "day", "o_totalprice", buckets = 5),
+    Some("""WITH b AS (SELECT o_custkey e,
+          (o_orderdate::DATE - DATE '1970-01-01')::BIGINT d, o_totalprice a
+        FROM orders WHERE o_custkey IS NOT NULL
+          AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+      per AS (SELECT e entity, MAX(d)::BIGINT last_active,
+          COUNT(*)::BIGINT n_events,
+          SUM(floor(a * 1e6)::BIGINT)::BIGINT monetary_micro
+        FROM b GROUP BY 1),
+      t AS (SELECT COUNT(*)::BIGINT n FROM per),
+      r AS (SELECT entity, ((5 * (ROW_NUMBER() OVER
+          (ORDER BY last_active, entity) - 1)) // t.n + 1)::INT r_score
+        FROM per, t),
+      f AS (SELECT entity, ((5 * (ROW_NUMBER() OVER
+          (ORDER BY n_events, entity) - 1)) // t.n + 1)::INT f_score
+        FROM per, t),
+      m AS (SELECT entity, ((5 * (ROW_NUMBER() OVER
+          (ORDER BY monetary_micro, entity) - 1)) // t.n + 1)::INT m_score
+        FROM per, t)
+      SELECT per.entity, last_active, n_events, monetary_micro,
+        r_score, f_score, m_score,
+        (r_score * 100 + f_score * 10 + m_score)::INT rfm_code
+      FROM per JOIN r USING (entity) JOIN f USING (entity)
+        JOIN m USING (entity)"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5893,7 +5928,8 @@ object Queries {
     q163, q164, q165, q166, q167, q168, q169, q170, q171,
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
-    q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203)
+    q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
+    q204)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

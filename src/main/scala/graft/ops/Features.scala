@@ -270,6 +270,54 @@ object Features {
     * The integer ceiling `(r·N + n_g − 1) div n_g` keeps the position
     * arithmetic exact in both engines.
     */
+  /** RFM segmentation — the classic behavioral feature triple: per
+    * entity, Recency (last activity), Frequency (event count), Monetary
+    * (exact micro sum), each scored into `buckets` equal-count quantile
+    * bands (1 = lowest … `buckets` = highest, ties broken by entity id),
+    * plus the concatenated `rfm_code` (r·100 + f·10 + m for the default
+    * 5 bands) marketing and churn models key on.
+    *
+    * Equal-count banding matches q192/q198: `score = (B·(rank−1) div n)
+    * + 1` over a [[Ranks.globalRank]] of the ENTITY table — ranks run
+    * over entities, not events, so the three rank exchanges touch only
+    * the collapsed per-entity aggregate (entity-sized, tiny next to the
+    * corpus scan that builds it).
+    *
+    * Output: `(entity, last_active, n_events, monetary_micro, r_score,
+    * f_score, m_score, rfm_code)`.
+    */
+  def rfmSegments(
+      df: DataFrame,
+      entityCol: String,
+      timeCol: String,
+      amountCol: String,
+      buckets: Int = 5): DataFrame = {
+    require(buckets >= 2 && buckets <= 9,
+      s"buckets $buckets out of [2, 9] (rfm_code is one digit per band)")
+    val per = df
+      .filter(col(entityCol).isNotNull && col(timeCol).isNotNull &&
+        col(amountCol).isNotNull)
+      .groupBy(col(entityCol).as("entity"))
+      .agg(max(col(timeCol).cast("long")).as("last_active"),
+        count(lit(1)).as("n_events"),
+        sum(floor(col(amountCol).cast("double") * 1e6).cast("long"))
+          .as("monetary_micro"))
+      .localCheckpoint()
+    val n = per.agg(count(lit(1))).collect()(0).getLong(0)
+    def score(metric: String, out: String) =
+      Ranks.globalRank(per.select(col("entity"), col(metric)),
+          Seq(col(metric), col("entity")), "__rn")
+        .select(col("entity"),
+          (expr(s"($buckets * (__rn - 1)) div ${n}L") + 1).cast("int").as(out))
+    per
+      .join(score("last_active", "r_score"), "entity")
+      .join(score("n_events", "f_score"), "entity")
+      .join(score("monetary_micro", "m_score"), "entity")
+      .withColumn("rfm_code",
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .cast("int"))
+  }
+
   def quantileNormalize(
       df: DataFrame,
       idCol: String,

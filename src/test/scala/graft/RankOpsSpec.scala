@@ -252,6 +252,24 @@ class RankOpsSpec extends SparkSuite {
     assert(out == Seq((1L, 2L)))
   }
 
+  test("rfmSegments: aligned metrics give diagonal quintile codes") {
+    // customer i: i events, last day i*10, total i² dollars → all three
+    // ranks agree, so scores are (i,i,i) and rfm_code = 111·i
+    val rows = for (i <- 1 to 5; j <- 0 until i)
+      yield (i.toLong, (i * 10 - j).toLong, i.toDouble)
+    val out = Features.rfmSegments(rows.toDF("c", "d", "a"), "c", "d", "a", 5)
+      .select("entity", "last_active", "n_events", "monetary_micro",
+        "r_score", "f_score", "m_score", "rfm_code")
+      .as[(Long, Long, Long, Long, Int, Int, Int, Int)]
+      .collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1L to 5L))
+    out.foreach { r =>
+      val i = r._1.toInt
+      assert(r._2 == i * 10 && r._3 == i && r._4 == i.toLong * i * 1000000L, s"$r")
+      assert((r._5, r._6, r._7, r._8) == ((i, i, i, 111 * i)), s"$r")
+    }
+  }
+
   test("knnShapley matches the closed-form recurrence by hand (k=1)") {
     // val point (1,0) y=1; train ranked t1 (cos .9988, y=1),
     // t2 (.8944, y=0), t3 (0, y=1). Recurrence, K=1:

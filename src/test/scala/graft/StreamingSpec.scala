@@ -1206,4 +1206,46 @@ class StreamingSpec extends SparkSuite {
       assert(batch == Seq(("a", 3L)))
     } finally query.stop()
   }
+
+  test("streaming KMV distinct: exact below k, bit-parity with the batch " +
+      "sketch across microbatch splits") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().toDF("t_ms", "v")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_millis(col("t_ms")))
+    val out = graft.streaming.StreamingDistinct.perWindow(
+      df, "ts", "v", window = 1.minute, lateness = 0.seconds, k = 64)
+    val query = out.writeStream.format("memory").queryName("kmv_out")
+      .outputMode("append").start()
+    try {
+      val minute = 60000L
+      // window 0: 30 distinct users over 90 rows, split across batches
+      stream.addData((0 until 45).map(i => (i.toLong, s"u${i % 30}")): _*)
+      query.processAllAvailable()
+      stream.addData((45 until 90).map(i => (i.toLong, s"u${i % 30}")): _*)
+      // window 1: 10 distinct; then a watermark pusher
+      stream.addData((0 until 20).map(i => (minute + i, s"w${i % 10}")): _*)
+      stream.addData((10 * minute, "z"))
+      query.processAllAvailable()
+      val got = spark.sql(
+        """SELECT window_start_ms, n_rows, n_kept, kth_hash, est_distinct
+           FROM kmv_out ORDER BY 1""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getLong(4)))
+      assert(got.length == 2, s"two closed windows: ${got.toSeq}")
+      assert(got(0)._2 == 90L && got(0)._5 == 30L,
+        s"exact below k: ${got(0)}")
+      assert(got(1)._5 == 10L, s"window 1 exact: ${got(1)}")
+      // bit-parity with the batch aggregator over the same rows
+      val batch = (0 until 90).map(i => s"u${i % 30}").toDF("v")
+        .agg(graft.functions.KmvAgg.kmv(64)(col("v")).as("s"))
+        .select(col("s.n_kept"), col("s.kth_hash"), col("s.est_distinct"))
+        .collect()(0)
+      assert(got(0)._3 == batch.getLong(0) && got(0)._4 == batch.getString(1)
+        && got(0)._5 == batch.getLong(2), s"batch parity: ${got(0)} vs $batch")
+    } finally query.stop()
+  }
 }
