@@ -5911,6 +5911,51 @@ object Queries {
       FROM per JOIN r USING (entity) JOIN f USING (entity)
         JOIN m USING (entity)"""))
 
+  /** Foreign-key discovery across the TPC-H core: which column pairs
+    * satisfy ≥95% value containment — should surface l_orderkey ⊆
+    * o_orderkey, o_custkey ⊆ c_custkey, the nationkey FKs, etc.
+    */
+  private val q205 = Q(
+    "q205_fk_discovery",
+    (spark, dir) => Corpus.inclusionDependencies(Seq(
+      ("orders", pq(spark, dir, "orders"), Seq("o_orderkey", "o_custkey")),
+      ("customer", pq(spark, dir, "customer"), Seq("c_custkey", "c_nationkey")),
+      ("nation", pq(spark, dir, "nation"), Seq("n_nationkey")),
+      ("supplier", pq(spark, dir, "supplier"), Seq("s_suppkey", "s_nationkey")),
+      ("lineitem", pq(spark, dir, "lineitem"), Seq("l_orderkey", "l_suppkey")))),
+    Some("""WITH vals AS (
+        SELECT 'orders.o_orderkey' qcol, o_orderkey::VARCHAR v FROM orders WHERE o_orderkey IS NOT NULL
+        UNION ALL SELECT 'orders.o_custkey', o_custkey::VARCHAR FROM orders WHERE o_custkey IS NOT NULL
+        UNION ALL SELECT 'customer.c_custkey', c_custkey::VARCHAR FROM customer WHERE c_custkey IS NOT NULL
+        UNION ALL SELECT 'customer.c_nationkey', c_nationkey::VARCHAR FROM customer WHERE c_nationkey IS NOT NULL
+        UNION ALL SELECT 'nation.n_nationkey', n_nationkey::VARCHAR FROM nation WHERE n_nationkey IS NOT NULL
+        UNION ALL SELECT 'supplier.s_suppkey', s_suppkey::VARCHAR FROM supplier WHERE s_suppkey IS NOT NULL
+        UNION ALL SELECT 'supplier.s_nationkey', s_nationkey::VARCHAR FROM supplier WHERE s_nationkey IS NOT NULL
+        UNION ALL SELECT 'lineitem.l_orderkey', l_orderkey::VARCHAR FROM lineitem WHERE l_orderkey IS NOT NULL
+        UNION ALL SELECT 'lineitem.l_suppkey', l_suppkey::VARCHAR FROM lineitem WHERE l_suppkey IS NOT NULL),
+      d AS (SELECT DISTINCT qcol, v FROM vals),
+      rc AS (
+        SELECT 'orders.o_orderkey' qcol, (SELECT COUNT(*) FROM orders)::BIGINT n
+        UNION ALL SELECT 'orders.o_custkey', (SELECT COUNT(*) FROM orders)
+        UNION ALL SELECT 'customer.c_custkey', (SELECT COUNT(*) FROM customer)
+        UNION ALL SELECT 'customer.c_nationkey', (SELECT COUNT(*) FROM customer)
+        UNION ALL SELECT 'nation.n_nationkey', (SELECT COUNT(*) FROM nation)
+        UNION ALL SELECT 'supplier.s_suppkey', (SELECT COUNT(*) FROM supplier)
+        UNION ALL SELECT 'supplier.s_nationkey', (SELECT COUNT(*) FROM supplier)
+        UNION ALL SELECT 'lineitem.l_orderkey', (SELECT COUNT(*) FROM lineitem)
+        UNION ALL SELECT 'lineitem.l_suppkey', (SELECT COUNT(*) FROM lineitem)),
+      cs AS (SELECT qcol, COUNT(*)::BIGINT nd FROM d GROUP BY 1),
+      m AS (SELECT a.qcol child, b.qcol parent, COUNT(*)::BIGINT n_common
+        FROM d a JOIN d b ON a.v = b.v AND a.qcol <> b.qcol GROUP BY 1, 2)
+      SELECT m.child, m.parent, ca.nd AS n_child_distinct,
+        pa.nd AS n_parent_distinct, m.n_common,
+        (m.n_common::HUGEINT * 1000000 // ca.nd)::BIGINT containment_micro,
+        (pa.nd::HUGEINT * 1000000 // GREATEST(rc.n, 1))::BIGINT parent_unique_micro,
+        (m.n_common::HUGEINT * 1000000 // ca.nd >= 950000) is_candidate
+      FROM m JOIN cs ca ON ca.qcol = m.child
+        JOIN cs pa ON pa.qcol = m.parent
+        JOIN rc ON rc.qcol = m.parent"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5929,7 +5974,7 @@ object Queries {
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204)
+    q204, q205)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -1011,6 +1011,68 @@ object Corpus {
            div greatest(sum(weight_micro) over (), 1) as long)"""))
   }
 
+  /** Inclusion-dependency (foreign-key) discovery — the complement of
+    * [[integrityAudit]]: that op CHECKS relations you declare, this one
+    * FINDS them, Spider/Metanome-style. For every ordered pair of
+    * distinct columns across `relations`, the fraction of the child's
+    * distinct values contained in the parent's: `containment_micro =
+    * n_common·1e6 div n_child_distinct`, plus the parent's uniqueness
+    * (`n_parent_distinct·1e6 div n_parent_rows` — a real FK target is
+    * key-like, ≈1e6). `is_candidate` flags containment ≥ the threshold.
+    * Values compare as strings (cross-type joins are exactly how
+    * undeclared FKs hide).
+    *
+    * 100 TB shape: each table is scanned ONCE and exploded map-side to
+    * `(col, value)` pairs, the per-column distinct is one
+    * map-side-combined shuffle, and the cross-column match is ONE
+    * equi-join on value whose per-value bucket is bounded by the COLUMN
+    * COUNT (a value can appear at most once per column after the
+    * distinct) — schema-sized, never row-skewed. Output is ≤ cols²
+    * rows.
+    */
+  def inclusionDependencies(
+      relations: Seq[(String, DataFrame, Seq[String])],
+      minContainmentMicro: Long = 950000L): DataFrame = {
+    require(relations.nonEmpty, "at least one relation")
+    require(relations.forall(_._3.nonEmpty), "each relation needs columns")
+    val vals = relations.map { case (name, df, cols) =>
+      df.select(explode(array(cols.map(c =>
+          struct(lit(s"$name.$c").as("qcol"),
+            col(c).cast("string").as("v"))): _*)).as("e"))
+        .select(col("e.qcol"), col("e.v"))
+        .filter(col("v").isNotNull)
+    }.reduce(_ unionByName _)
+    val rowCounts = relations.map { case (name, df, cols) =>
+      df.agg(count(lit(1)).as("n"))
+        .select(explode(array(cols.map(c => lit(s"$name.$c")): _*))
+          .as("qcol"), col("n"))
+    }.reduce(_ unionByName _)
+    val distincts = vals.distinct().localCheckpoint()
+    val colStats = distincts.groupBy("qcol")
+      .agg(count(lit(1)).as("n_distinct"))
+      .join(rowCounts, "qcol")
+    val matches = distincts.as("a")
+      .join(distincts.as("b"),
+        col("a.v") === col("b.v") && col("a.qcol") =!= col("b.qcol"))
+      .groupBy(col("a.qcol").as("child"), col("b.qcol").as("parent"))
+      .agg(count(lit(1)).as("n_common"))
+    matches
+      .join(broadcast(colStats.select(col("qcol").as("child"),
+        col("n_distinct").as("n_child_distinct"))), "child")
+      .join(broadcast(colStats.select(col("qcol").as("parent"),
+        col("n_distinct").as("n_parent_distinct"),
+        col("n").as("n_parent_rows"))), "parent")
+      .withColumn("containment_micro", expr(
+        "cast(n_common as decimal(38,0)) * 1000000 div n_child_distinct"))
+      .withColumn("parent_unique_micro", expr(
+        "cast(n_parent_distinct as decimal(38,0)) * 1000000 div greatest(n_parent_rows, 1)"))
+      .withColumn("is_candidate",
+        col("containment_micro") >= minContainmentMicro)
+      .select("child", "parent", "n_child_distinct", "n_parent_distinct",
+        "n_common", "containment_micro", "parent_unique_micro",
+        "is_candidate")
+  }
+
   def integrityAudit(
       relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
     require(relations.nonEmpty, "at least one relation")

@@ -220,6 +220,25 @@ class AuditOpsSpec extends SparkSuite {
     }
   }
 
+  test("inclusionDependencies finds the FK direction, not its reverse") {
+    val child = Seq((1L, "x"), (2L, "y"), (3L, "z"), (1L, "w"))
+      .toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L, 4L, 5L).toDF("pk")
+    val out = Corpus.inclusionDependencies(Seq(
+        ("c", child, Seq("fk")), ("p", parent, Seq("pk"))))
+      .select("child", "parent", "n_child_distinct", "n_parent_distinct",
+        "n_common", "containment_micro", "parent_unique_micro",
+        "is_candidate")
+      .as[(String, String, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // c.fk ⊆ p.pk: 3 of 3 distinct contained, parent is a key
+    assert(out(("c.fk", "p.pk")) ==
+      (("c.fk", "p.pk", 3L, 5L, 3L, 1000000L, 1000000L, true)))
+    // reverse direction: only 3 of 5 parent values appear in the child
+    assert(out(("p.pk", "c.fk")) ==
+      (("p.pk", "c.fk", 5L, 3L, 3L, 600000L, 750000L, false)))
+  }
+
   test("kaplanMeier life table matches the textbook estimator with censoring") {
     // (duration, event): deaths at t=1 (×2) and t=3, censored at t=2, t=4.
     // KM: S(1) = 3/5 = 0.6, S(3) = 0.6 · 1/2 = 0.3; censoring only
