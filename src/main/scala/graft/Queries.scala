@@ -5956,6 +5956,43 @@ object Queries {
         JOIN cs pa ON pa.qcol = m.parent
         JOIN rc ON rc.qcol = m.parent"""))
 
+  /** Annotator consensus over a synthetic labeling stream (item =
+    * event_id mod 300, annotator = user, label = event type): majority,
+    * reliability-weighted re-vote, and the flipped-item queue.
+    */
+  private val q206 = Q(
+    "q206_annotator_consensus",
+    (spark, dir) => Eval.annotatorConsensus(
+      pq(spark, dir, "events").select(
+        pmod(col("event_id"), lit(300)).as("item"),
+        col("user_id"), col("event_type")),
+      "item", "user_id", "event_type"),
+    Some("""WITH b AS (SELECT event_id % 300 item, user_id ann,
+          event_type lab FROM events
+        WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL),
+      mc AS (SELECT item, lab, COUNT(*)::BIGINT c FROM b GROUP BY 1, 2),
+      mj AS (SELECT item, lab majority_label FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+          ORDER BY c DESC, lab) r FROM mc) WHERE r = 1),
+      w AS (SELECT ann,
+          ((COUNT(*) FILTER (WHERE lab = majority_label) + 1)::HUGEINT
+            * 1000000 // (COUNT(*) + 2))::BIGINT w_micro
+        FROM b JOIN mj USING (item) GROUP BY ann),
+      v AS (SELECT item, lab, COUNT(*)::BIGINT votes,
+          SUM(w_micro)::BIGINT wsum
+        FROM b JOIN w USING (ann) GROUP BY 1, 2),
+      t AS (SELECT item, lab, votes, wsum,
+          (SUM(wsum) OVER (PARTITION BY item))::BIGINT wtot,
+          (SUM(votes) OVER (PARTITION BY item))::BIGINT n_ann,
+          ROW_NUMBER() OVER (PARTITION BY item
+            ORDER BY wsum DESC, lab) r FROM v)
+      SELECT t.item, n_ann AS n_annotations, mj.majority_label,
+        t.lab AS consensus_label,
+        (wsum::HUGEINT * 1000000 // wtot)::BIGINT confidence_micro,
+        (t.lab <> mj.majority_label) AS changed
+      FROM t JOIN mj USING (item) WHERE r = 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5974,7 +6011,7 @@ object Queries {
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205)
+    q204, q205, q206)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

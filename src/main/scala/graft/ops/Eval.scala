@@ -316,6 +316,71 @@ object Eval {
         col("__top.z").as("top_z_milli"), col("n_extreme"))
   }
 
+  /** Annotator-consensus labels with one reliability re-vote — the
+    * Dawid–Skene idea cut to its deterministic first step: (1) majority
+    * label per item, (2) each annotator's reliability = Laplace-smoothed
+    * agreement with those majorities `(agree+1)·1e6 div (n+2)`, (3) a
+    * reliability-weighted re-vote. One round is the 80% of EM that
+    * matters (down-weighting the random clicker), and it stays an exact
+    * integer computation — iterate by feeding the output back if wanted.
+    * Ties break to the lexicographically-smaller label in both votes.
+    *
+    * Output per item: `(item, n_annotations, majority_label,
+    * consensus_label, confidence_micro, changed)` where confidence is
+    * the winning weight share of the item's total annotator weight and
+    * `changed` flags items the re-vote flipped — the disagreement queue
+    * a labeling op reviews first.
+    *
+    * 100 TB shape: two item-keyed map-side-combined aggregations plus
+    * an annotator-keyed one; the annotator weight table joins back
+    * broadcast (annotators ≪ annotations).
+    */
+  def annotatorConsensus(
+      df: DataFrame,
+      itemCol: String,
+      annotatorCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(itemCol).isNotNull && col(annotatorCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(itemCol).as("item"), col(annotatorCol).as("ann"),
+        col(labelCol).cast("string").as("lab"))
+      .localCheckpoint()
+    val wMaj = Window.partitionBy(col("item"))
+      .orderBy(col("__c").desc, col("lab"))
+    val majority = base.groupBy("item", "lab")
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__r", row_number().over(wMaj))
+      .filter(col("__r") === 1)
+      .select(col("item"), col("lab").as("majority_label"))
+    val weights = base
+      .join(majority, "item")
+      .groupBy("ann")
+      .agg(count(lit(1)).as("__n"),
+        count(when(col("lab") === col("majority_label"), 1)).as("__agree"))
+      .withColumn("w_micro", expr(
+        "cast(__agree + 1 as decimal(38,0)) * 1000000 div (__n + 2)"))
+      .select(col("ann"), col("w_micro"))
+    val wVote = Window.partitionBy(col("item"))
+      .orderBy(col("__wsum").desc, col("lab"))
+    val wTot = Window.partitionBy(col("item"))
+    base
+      .join(broadcast(weights), "ann")
+      .groupBy("item", "lab")
+      .agg(count(lit(1)).as("__votes"), sum("w_micro").as("__wsum"))
+      .withColumn("__wtot", sum(col("__wsum")).over(wTot))
+      .withColumn("__n_ann", sum(col("__votes")).over(wTot))
+      .withColumn("__r", row_number().over(wVote))
+      .filter(col("__r") === 1)
+      .join(majority, "item")
+      .select(col("item"), col("__n_ann").as("n_annotations"),
+        col("majority_label"), col("lab").as("consensus_label"),
+        expr("cast(cast(__wsum as decimal(38,0)) * 1000000 div __wtot as long)")
+          .as("confidence_micro"),
+        (col("lab") =!= col("majority_label")).as("changed"))
+  }
+
   /** Exact KNN-Shapley data valuation (Jia et al. 2019, "Efficient
     * Task-Specific Data Valuation for Nearest Neighbor Algorithms"):
     * each training point's Shapley value under the K-NN utility has a

@@ -252,6 +252,32 @@ class RankOpsSpec extends SparkSuite {
     assert(out == Seq((1L, 2L)))
   }
 
+  test("annotatorConsensus: reliability re-vote flips a bad majority") {
+    // calibration items 1-4: A,B,E say g; C,D say b → majority g, so
+    // A/B/E earn high weights and C/D low ones. Item 5 has only A (g)
+    // vs C,D (b): raw majority is b, but the weighted re-vote flips to
+    // g — exactly the "two random clickers outvote one expert" fix.
+    val rows =
+      (1 to 4).flatMap(i => Seq((i.toLong, "A", "g"), (i.toLong, "B", "g"),
+        (i.toLong, "E", "g"), (i.toLong, "C", "b"), (i.toLong, "D", "b"))) ++
+      Seq((5L, "A", "g"), (5L, "C", "b"), (5L, "D", "b"))
+    val out = Eval.annotatorConsensus(rows.toDF("item", "ann", "lab"),
+        "item", "ann", "lab")
+      .select("item", "n_annotations", "majority_label", "consensus_label",
+        "confidence_micro", "changed")
+      .as[(Long, Long, String, String, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    (1L to 4L).foreach { i =>
+      val r = out(i)
+      assert(r._3 == "g" && r._4 == "g" && !r._6, s"item $i: $r")
+    }
+    val r5 = out(5L)
+    assert(r5._2 == 3L && r5._3 == "b" && r5._4 == "g" && r5._6, s"$r5")
+    // w_A = (4+1)e6 div 7 = 714285; w_C = w_D = (1+1)e6 div 7 = 285714
+    val conf = (BigInt(714285) * 1000000 / BigInt(714285 + 2 * 285714)).toLong
+    assert(r5._5 == conf, s"confidence ${r5._5} vs $conf")
+  }
+
   test("rfmSegments: aligned metrics give diagonal quintile codes") {
     // customer i: i events, last day i*10, total i² dollars → all three
     // ranks agree, so scores are (i,i,i) and rfm_code = 111·i
