@@ -5993,6 +5993,43 @@ object Queries {
         (t.lab <> mj.majority_label) AS changed
       FROM t JOIN mj USING (item) WHERE r = 1"""))
 
+  /** Medoid per k-means cluster over the embeddings — the exemplar
+    * vector dataset summarization hands a human, chosen by exact
+    * micro-long pairwise L2.
+    */
+  private val q207 = Q(
+    "q207_cluster_medoids",
+    (spark, dir) => {
+      val em = pq(spark, dir, "embeddings")
+      val assign = Cluster.kmeansAssign(em, "vec_id", "embedding",
+        k = 4, iters = 1)
+      Cluster.medoids(
+        em.join(assign.select("vec_id", "cluster"), "vec_id"),
+        "vec_id", "embedding", "cluster")
+    },
+    Some(s"""$kmeansOracleCte,
+      asg AS (SELECT vec_id, cl::INT cl FROM (SELECT vec_id, cl,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn
+        FROM d2) WHERE rn = 1),
+      mv AS (SELECT e.vec_id id, asg.cl,
+          list_transform(e.embedding::DOUBLE[],
+            x -> round((x + 4.0) * 1000000)::BIGINT) xmv
+        FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id),
+      pc AS (SELECT a.cl, a.id,
+          SUM(list_sum(list_transform(list_zip(a.xmv, b.xmv),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))))::HUGEINT AS cost
+        FROM mv a JOIN mv b ON a.cl = b.cl AND a.id <> b.id GROUP BY 1, 2),
+      sz AS (SELECT cl, COUNT(*)::BIGINT n_members, MIN(id) only_id
+        FROM mv GROUP BY 1),
+      md AS (SELECT cl, id, cost, ROW_NUMBER() OVER (PARTITION BY cl
+          ORDER BY cost, id) r FROM pc)
+      SELECT md.cl AS cluster, md.id AS medoid_id, sz.n_members,
+        (md.cost // GREATEST(sz.n_members - 1, 1))::BIGINT avg_dist2
+      FROM md JOIN sz USING (cl) WHERE r = 1
+      UNION ALL
+      SELECT cl, only_id, n_members, 0::BIGINT FROM sz
+      WHERE n_members = 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6011,7 +6048,7 @@ object Queries {
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206)
+    q204, q205, q206, q207)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -85,6 +85,7 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vectorDotFunction)
+    ext.injectFunction(GraftExtensions.vectorL2Function)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }
@@ -98,11 +99,25 @@ object GraftExtensions {
     VectorDot(args.head, args(1))
   }
 
+  private def buildVectorL2(args: Seq[Expression]): Expression = {
+    if (args.length != 2)
+      throw new IllegalArgumentException(
+        s"vector_l2_micro expects 2 arguments, got ${args.length}")
+    graft.functions.VectorL2Micro(args.head, args(1))
+  }
+
   val vectorDotFunction
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       buildVectorDot _)
+
+  val vectorL2Function
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("vector_l2_micro"),
+      new ExpressionInfo(classOf[graft.functions.VectorL2Micro].getName,
+        "vector_l2_micro"),
+      buildVectorL2 _)
 
   /** Attach the same function + rule to an ALREADY-BUILT session (tests,
     * notebooks, `GraftClient` sessions the caller didn't configure):
@@ -112,6 +127,7 @@ object GraftExtensions {
     */
   def register(spark: SparkSession): Unit = {
     GraftBridge.registerTempFunction(spark, "vector_dot", buildVectorDot)
+    GraftBridge.registerTempFunction(spark, "vector_l2_micro", buildVectorL2)
     if (!spark.experimental.extraOptimizations.contains(RewriteHofDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteHofDotProduct

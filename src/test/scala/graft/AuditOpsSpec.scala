@@ -220,6 +220,20 @@ class AuditOpsSpec extends SparkSuite {
     }
   }
 
+  test("medoids pick the central member; singletons are their own medoid") {
+    // cluster 1 on a line: points at x = 0, 1, 10 → the middle point (1)
+    // minimizes summed squared distance; cluster 2 is a singleton
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f), 1), (2L, Array(1.0f, 0.0f), 1),
+      (3L, Array(10.0f, 0.0f), 1), (9L, Array(5.0f, 5.0f), 2))
+      .toDF("id", "v", "c")
+    val out = Cluster.medoids(df, "id", "v", "c")
+      .select("cluster", "medoid_id", "n_members", "avg_dist2")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    // medoid 2: cost = 1² + 9² = 82e12 micro²; avg over (n−1)=2 → 41e12
+    assert(out.toSeq == Seq((1, 2L, 3L, 41000000000000L), (2, 9L, 1L, 0L)))
+  }
+
   test("inclusionDependencies finds the FK direction, not its reverse") {
     val child = Seq((1L, "x"), (2L, "y"), (3L, "z"), (1L, "w"))
       .toDF("fk", "payload")

@@ -30,6 +30,25 @@ class ExtensionsSpec extends SparkSuite {
     assert(n.isNullAt(0) && n.isNullAt(1))
   }
 
+  test("vector_l2_micro SQL function: exact long L2, HOF parity, NULLs") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT vector_l2_micro(array(1L, 5L, -3L), array(4L, 1L, 2L)) AS d")
+      .collect().head.getLong(0)
+    assert(r == 9L + 16L + 25L)
+    // parity with the interpreted HOF formulation it replaces
+    val hof = spark.sql(
+      """SELECT aggregate(zip_with(array(1L, 5L, -3L), array(4L, 1L, 2L),
+           (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v) AS d""")
+      .collect().head.getLong(0)
+    assert(hof == r)
+    val n = spark.sql(
+      """SELECT vector_l2_micro(array(1L), array(1L, 2L)) AS a,
+               vector_l2_micro(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) AS b""")
+      .collect().head
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("optimizer rewrites the double HOF dot product and keeps results identical") {
     GraftExtensions.register(spark)
     // spark.range (not a LocalRelation) so ConvertToLocalRelation can't
