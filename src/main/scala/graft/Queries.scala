@@ -6030,6 +6030,52 @@ object Queries {
       SELECT cl, only_id, n_members, 0::BIGINT FROM sz
       WHERE n_members = 1"""))
 
+  /** Per-cluster silhouette of the k-means assignment — cluster-quality
+    * milli scores plus the mis-assignment count per cluster.
+    */
+  private val q208 = Q(
+    "q208_silhouette",
+    (spark, dir) => {
+      val em = pq(spark, dir, "embeddings")
+      val assign = Cluster.kmeansAssign(em, "vec_id", "embedding",
+        k = 4, iters = 1)
+      Cluster.silhouette(
+        em.join(assign.select("vec_id", "cluster"), "vec_id"),
+        "vec_id", "embedding", "cluster")
+    },
+    Some(s"""$kmeansOracleCte,
+      asg AS (SELECT vec_id, cl::INT cl FROM (SELECT vec_id, cl,
+          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) rn
+        FROM d2) WHERE rn = 1),
+      mv AS (SELECT e.vec_id id, asg.cl,
+          list_transform(e.embedding::DOUBLE[],
+            x -> round((x + 4.0) * 1000000)::BIGINT) xmv
+        FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id),
+      pp AS (SELECT a.id, a.cl, b.cl ocl,
+          list_sum(list_transform(list_zip(a.xmv, b.xmv),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dd
+        FROM mv a JOIN mv b ON a.id <> b.id),
+      pc AS (SELECT id, cl, ocl,
+          (SUM(dd::HUGEINT) // COUNT(*))::BIGINT mean2
+        FROM pp GROUP BY 1, 2, 3),
+      own AS (SELECT id, mean2 a_mean FROM pc WHERE cl = ocl),
+      oth AS (SELECT id, MIN(mean2)::BIGINT b_mean FROM pc
+        WHERE cl <> ocl GROUP BY 1),
+      pts AS (SELECT mv.id, mv.cl,
+          CASE WHEN own.a_mean IS NULL OR oth.b_mean IS NULL THEN 0
+            WHEN oth.b_mean > own.a_mean THEN
+              ((oth.b_mean - own.a_mean)::HUGEINT * 1000 // oth.b_mean)::BIGINT
+            WHEN own.a_mean > oth.b_mean THEN
+              -(((own.a_mean - oth.b_mean)::HUGEINT * 1000 // own.a_mean)::BIGINT)
+            ELSE 0 END s
+        FROM mv LEFT JOIN own ON own.id = mv.id
+          LEFT JOIN oth ON oth.id = mv.id)
+      SELECT cl AS cluster, COUNT(*)::BIGINT n_points,
+        (CASE WHEN SUM(s) >= 0 THEN SUM(s) // COUNT(*)
+          ELSE -((-SUM(s)) // COUNT(*)) END)::BIGINT mean_silhouette_milli,
+        (COUNT(*) FILTER (WHERE s < 0))::BIGINT n_negative
+      FROM pts GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6048,7 +6094,7 @@ object Queries {
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206, q207)
+    q204, q205, q206, q207, q208)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -491,6 +491,74 @@ object Cluster {
         col("nmi_milli"))
   }
 
+  /** Per-cluster silhouette quality — THE standard "are these clusters
+    * real" metric: for each point, `a` = mean squared distance to its
+    * own cluster, `b` = the smallest mean squared distance to any other
+    * cluster, silhouette = (b − a)/max(a, b) ∈ [−1, 1]. Reported per
+    * cluster in exact milli: `(cluster, n_points, mean_silhouette_milli,
+    * n_negative)` — `n_negative` counts points that sit closer to a
+    * foreign cluster than their own (the mis-assignment queue), and a
+    * cluster mean near 0 means its boundary is noise.
+    *
+    * Integer contract: distances are [[kmeansAssign]]'s micro-long L2
+    * via the codegen [[graft.functions.VectorL2Micro]]; per-(point,
+    * cluster) means floor once; the signed ratios sign-split so only
+    * positive quantities are floor-divided (engine-replayable).
+    * Convention: a singleton's own-cluster mean is undefined →
+    * silhouette 0 (scikit-learn's choice).
+    *
+    * 100 TB shape: all-pairs across the clustered SAMPLE — the audit
+    * shape of its siblings (q191, medoids); one pair join on a
+    * non-equi cluster condition stays a broadcast NL join on the
+    * sample. Run on the same capped sample the clustering was fit on.
+    */
+  def silhouette(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      clusterCol: String,
+      shift: Double = 4.0): DataFrame = {
+    val m = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        col(clusterCol).isNotNull)
+      .select(col(clusterCol).as("cl"), col(idCol).as("id"),
+        transform(col(vecCol),
+          x => round((x.cast("double") + lit(shift)) * 1e6).cast("long"))
+          .as("xm"))
+      .localCheckpoint()
+    val perCl = m.as("a")
+      .join(broadcast(m.as("b")), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("a.cl").as("cl"),
+        col("b.cl").as("ocl"),
+        graft.functions.VectorL2Micro(col("a.xm"), col("b.xm")).as("d2"))
+      .groupBy("id", "cl", "ocl")
+      .agg(sum(col("d2").cast("decimal(38,0)")).as("__s"),
+        count(lit(1)).as("__c"))
+      .withColumn("mean2", expr("cast(__s div __c as long)"))
+    val own = perCl.filter(col("cl") === col("ocl"))
+      .select(col("id"), col("mean2").as("a_mean"))
+    val other = perCl.filter(col("cl") =!= col("ocl"))
+      .groupBy("id").agg(min("mean2").as("b_mean"))
+    val pts = m.select("id", "cl")
+      .join(own, Seq("id"), "left")
+      .join(other, Seq("id"), "left")
+      .withColumn("s_milli",
+        when(col("a_mean").isNull || col("b_mean").isNull, lit(0L))
+          .when(col("b_mean") > col("a_mean"), expr(
+            "cast(cast(b_mean - a_mean as decimal(38,0)) * 1000 div b_mean as long)"))
+          .when(col("a_mean") > col("b_mean"), expr(
+            "-cast(cast(a_mean - b_mean as decimal(38,0)) * 1000 div a_mean as long)"))
+          .otherwise(lit(0L)))
+    pts.groupBy(col("cl").as("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        sum("s_milli").as("__sum"),
+        count(when(col("s_milli") < 0, 1)).as("n_negative"))
+      .withColumn("mean_silhouette_milli", expr(
+        """case when __sum >= 0 then __sum div n_points
+           else -((-__sum) div n_points) end"""))
+      .select("cluster", "n_points", "mean_silhouette_milli", "n_negative")
+  }
+
   /** Medoid (exemplar) per cluster: the member minimizing the summed
     * squared distance to every other member — the REAL point a centroid
     * approximates, which is what dataset summarization, cluster naming,

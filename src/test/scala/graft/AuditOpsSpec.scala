@@ -220,6 +220,29 @@ class AuditOpsSpec extends SparkSuite {
     }
   }
 
+  test("silhouette: tight separated clusters near +1, mislabels negative") {
+    // A = {(0,0), (0.1,0)}, B = {(10,0), (10.1,0)}: tight and far →
+    // silhouette ≈ 1000 milli for every point, no negatives
+    val good = Seq(
+      (1L, Array(0.0f, 0.0f), "A"), (2L, Array(0.1f, 0.0f), "A"),
+      (3L, Array(10.0f, 0.0f), "B"), (4L, Array(10.1f, 0.0f), "B"))
+      .toDF("id", "v", "c")
+    val g = Cluster.silhouette(good, "id", "v", "c")
+      .select("cluster", "n_points", "mean_silhouette_milli", "n_negative")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(g.forall(r => r._2 == 2 && r._3 > 990 && r._4 == 0), s"${g.toSeq}")
+    // mislabel a point sitting inside B as A: its a >> b → negative
+    val bad = Seq(
+      (1L, Array(0.0f, 0.0f), "A"), (2L, Array(0.1f, 0.0f), "A"),
+      (5L, Array(10.2f, 0.0f), "A"),
+      (3L, Array(10.0f, 0.0f), "B"), (4L, Array(10.1f, 0.0f), "B"))
+      .toDF("id", "v", "c")
+    val b = Cluster.silhouette(bad, "id", "v", "c")
+      .select("cluster", "n_negative")
+      .as[(String, Long)].collect().toMap
+    assert(b("A") == 1L && b("B") == 0L, s"$b")
+  }
+
   test("medoids pick the central member; singletons are their own medoid") {
     // cluster 1 on a line: points at x = 0, 1, 10 → the middle point (1)
     // minimizes summed squared distance; cluster 2 is a singleton
