@@ -6076,6 +6076,54 @@ object Queries {
         (COUNT(*) FILTER (WHERE s < 0))::BIGINT n_negative
       FROM pts GROUP BY 1"""))
 
+  /** Confusable/invisible-character hygiene audit. The synthetic corpus
+    * is clean, so the query plants deterministic artifacts (a zero-width
+    * space on doc_id≡0 mod 50, a Latin-Cyrillic homoglyph token on
+    * doc_id≡0 mod 77) identically in both engines — the audit must
+    * find exactly those.
+    */
+  private val q209 = Q(
+    "q209_confusable_audit",
+    (spark, dir) => TextOps.confusableAudit(
+      pq(spark, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(50)) === 0, lit("\u200B"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(77)) === 0, lit(" p\u0430yment"))
+            .otherwise(lit(""))).as("text")),
+      "doc_id", "text"),
+    Some("""WITH d AS (SELECT doc_id,
+          text || (CASE WHEN doc_id % 50 = 0 THEN chr(8203) ELSE '' END)
+               || (CASE WHEN doc_id % 77 = 0 THEN ' p' || chr(1072) || 'yment'
+                   ELSE '' END) t
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+      SELECT doc_id,
+        (length(t) - length(regexp_replace(t,
+          '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']',
+          '', 'g')))::BIGINT n_zero_width,
+        (length(t) - length(regexp_replace(t,
+          '[' || chr(8234) || '-' || chr(8238) || chr(8294) || '-'
+              || chr(8297) || ']', '', 'g')))::BIGINT n_bidi,
+        (length(t) - length(regexp_replace(t,
+          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')))::BIGINT n_control,
+        len(list_filter(string_split(trim(t), ' '), w ->
+          regexp_matches(w, '[A-Za-z]')
+          AND regexp_matches(w, '[\x{0400}-\x{04FF}]')))::BIGINT
+          n_mixed_script_tokens,
+        ((length(t) - length(regexp_replace(t,
+            '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']',
+            '', 'g')))
+          + (length(t) - length(regexp_replace(t,
+            '[' || chr(8234) || '-' || chr(8238) || chr(8294) || '-'
+                || chr(8297) || ']', '', 'g')))
+          + (length(t) - length(regexp_replace(t,
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')))
+          + len(list_filter(string_split(trim(t), ' '), w ->
+              regexp_matches(w, '[A-Za-z]')
+              AND regexp_matches(w, '[\x{0400}-\x{04FF}]'))) > 0)
+          AS suspicious
+      FROM d"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6094,7 +6142,7 @@ object Queries {
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206, q207, q208)
+    q204, q205, q206, q207, q208, q209)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

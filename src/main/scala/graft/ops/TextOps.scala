@@ -1441,6 +1441,41 @@ object TextOps {
              as long) end"""))
   }
 
+  /** Confusable / invisible-character audit — the text-hygiene screen
+    * for spoofing and prompt-smuggling artifacts that survive every
+    * other quality filter because they are INVISIBLE: zero-width
+    * characters (ZWSP/ZWNJ/ZWJ/BOM), bidi override controls (the
+    * "Trojan Source" class), C0/C1 control characters, and mixed-script
+    * tokens (Latin+Cyrillic in one word — the classic homoglyph spoof).
+    * Per document: counts of each class plus `suspicious` (any hit).
+    * Pure regex column expressions — map-only, codegen, pushdown-
+    * friendly; counts via length-difference after removal, so no
+    * per-char explode.
+    *
+    * 100 TB shape: embarrassingly parallel scan, no shuffle.
+    */
+  def confusableAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    def nMatches(pattern: String) =
+      (length(t) - length(regexp_replace(t, pattern, ""))).cast("long")
+    df
+      .filter(col(idCol).isNotNull && t.isNotNull)
+      .withColumn("n_zero_width", nMatches("[\\u200B\\u200C\\u200D\\uFEFF]"))
+      .withColumn("n_bidi", nMatches("[\\u202A-\\u202E\\u2066-\\u2069]"))
+      .withColumn("n_control", nMatches("[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F\\u007F]"))
+      .withColumn("n_mixed_script_tokens",
+        size(filter(split(trim(t), " "), w =>
+          w.rlike("[A-Za-z]") && w.rlike("[\\u0400-\\u04FF]"))).cast("long"))
+      .withColumn("suspicious",
+        col("n_zero_width") + col("n_bidi") + col("n_control") +
+          col("n_mixed_script_tokens") > 0)
+      .select(col(idCol), col("n_zero_width"), col("n_bidi"),
+        col("n_control"), col("n_mixed_script_tokens"), col("suspicious"))
+  }
+
   /** Vocabulary-growth (Heaps-law) audit: walk the corpus in a salted-
     * md5 document order, cut it into `buckets` equal-count slices, and
     * report per slice how many NEVER-SEEN-BEFORE tokens appear — plus

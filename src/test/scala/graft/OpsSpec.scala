@@ -3083,6 +3083,26 @@ class OpsSpec extends SparkSuite {
       ("B", 4L, 166666L, false)))
   }
 
+  test("confusableAudit counts invisible and homoglyph artifacts exactly") {
+    import graft.ops.TextOps
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "clean ordinary text"),
+      (2L, "hidden\u200B\u200Bbreak and p\u0430yment token"), // 2 ZWSP + homoglyph
+      (3L, "bidi \u202Eattack\u202C here"), // RLO + PDF, both in the class
+      (4L, "ctrl\u0007bell")).toDF("id", "t")
+    val out = TextOps.confusableAudit(df, "id", "t")
+      .select("id", "n_zero_width", "n_bidi", "n_control",
+        "n_mixed_script_tokens", "suspicious")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 0L, false),
+      (2L, 2L, 0L, 0L, 1L, true),
+      (3L, 0L, 2L, 0L, 0L, true),
+      (4L, 0L, 0L, 1L, 0L, true)))
+  }
+
   test("simhashYieldCurve: identical docs land at d=0, frame keeps zero rows") {
     import graft.ops.Dedup
     val spark2 = spark
