@@ -246,8 +246,18 @@ object ScaleCheck {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def wanted(name: String): Boolean = scaleOnly.forall(_.contains(name))
 
+    def vocabTime(df: DataFrame, tag: String): Double = {
+      // salted replicas mint distinct cross-replica tokens, so vocabulary
+      // scales linearly — the explode + min-first-rank agg is the load
+      val t0 = System.nanoTime()
+      graft.ops.TextOps.vocabGrowth(df, "doc_id", "text", buckets = 10)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     for ((name, f) <- Seq(
       ("segdup", segdupTime _), ("bigram_lm", bigramTime _), ("token_kl", klTime _),
+      ("vocab_growth", vocabTime _),
       ("simhash_mp", simhashMpTime _), ("minhash_lsh", minhashTime _),
       ("dsir", dsirTime _), ("dup_span", dupSpanTime _)) if wanted(name)) {
       val t1 = f(doc1, s"${name}_1")
@@ -313,6 +323,16 @@ object ScaleCheck {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def rfmTime(df: DataFrame, tag: String): Double = {
+      import graft.engine.EventTime
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), EventTime.epochMillis(df, "ts").as("tm"),
+          col("value"))
+      val t0 = System.nanoTime()
+      graft.ops.Features.rfmSegments(base, "user_id", "tm", "value")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     def kmTime(df: DataFrame, tag: String): Double = {
       import graft.engine.EventTime
       // per-user lifespans (the q195 shape): the groupBy collapse is the
@@ -358,7 +378,7 @@ object ScaleCheck {
       ("cooccur", cooccurTime _), ("global_rank", globalRankTime _),
       ("qnorm", qnormTime _), ("theil_sen", theilSenTime _),
       ("km", kmTime _), ("disorder", disorderTime _),
-      ("kcore", kcoreTime _)) if wanted(name)) {
+      ("kcore", kcoreTime _), ("rfm", rfmTime _)) if wanted(name)) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")

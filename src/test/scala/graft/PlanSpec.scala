@@ -127,6 +127,38 @@ class PlanSpec extends SparkSuite {
     assert(cc.collect().map(_.getLong(1)).forall(_ == 1L)) // single component
   }
 
+  test("medoids/silhouette: pair joins broadcast, L2 is the native expression") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 40L).map(i =>
+      (i, Array(i.toFloat, (i % 7).toFloat), (i % 3).toInt)).toDF("id", "v", "c")
+    for (out <- Seq(graft.ops.Cluster.medoids(df, "id", "v", "c"),
+        graft.ops.Cluster.silhouette(df, "id", "v", "c"))) {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian pair join:\n$plan")
+      assert(plan.toLowerCase.contains("vectorl2micro"),
+        s"pair distance fell back off the native expression:\n$plan")
+    }
+  }
+
+  test("vocab growth / fk discovery: checkpointed collapse feeds all consumers") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (1L to 50L).map(i => (i, s"tok$i shared common")).toDF("id", "t")
+    val vg = graft.ops.TextOps.vocabGrowth(docs, "id", "t", buckets = 2)
+    assert(vg.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }.isEmpty,
+      "vocabGrowth result must read only the checkpointed rank table")
+    val fk = graft.ops.Corpus.inclusionDependencies(Seq(
+      ("a", (1L to 20L).toDF("x"), Seq("x")),
+      ("b", (1L to 30L).toDF("y"), Seq("y"))))
+    assert(fk.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }.isEmpty,
+      "fk discovery must read only the checkpointed distinct values")
+    assert(fk.count() == 2)
+  }
+
   test("k-core: per-round checkpoints keep the result plan flat") {
     val spark2 = spark
     import spark2.implicits._
