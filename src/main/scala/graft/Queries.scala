@@ -6124,6 +6124,42 @@ object Queries {
           AS suspicious
       FROM d"""))
 
+  /** One-sided CUSUM drift monitor per user vs a fixed reference mean
+    * of 50 (slack 5, threshold 200) — Page's test in closed window
+    * form; the streaming twin replays it bit-for-bit.
+    */
+  private val q210 = Q(
+    "q210_cusum_monitor",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      TimeSeries.cusumMonitor(
+        raw.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            EventTime.epochMillis(raw, "ts").as("ts_ms"), col("value")),
+        "user_id", "ts_ms", "event_id", "value",
+        refMeanMicro = 50000000L, slackMicro = 5000000L,
+        thresholdMicro = 200000000L)
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ts_ms,
+          floor(value * 1e6)::BIGINT v FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      p AS (SELECT *,
+          (SUM((v - 55000000)::HUGEINT) OVER
+            (PARTITION BY user_id ORDER BY ts_ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) prefix
+        FROM e),
+      m AS (SELECT *,
+          (MIN(prefix) OVER
+            (PARTITION BY user_id ORDER BY ts_ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) runmin
+        FROM p)
+      SELECT user_id, event_id, ts_ms, v AS v_micro,
+        (prefix - LEAST(0::HUGEINT, runmin))::DECIMAL(38,0) AS s_micro,
+        ((prefix - LEAST(0::HUGEINT, runmin)) > 200000000) AS alarmed
+      FROM m"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6142,7 +6178,7 @@ object Queries {
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206, q207, q208, q209)
+    q204, q205, q206, q207, q208, q209, q210)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

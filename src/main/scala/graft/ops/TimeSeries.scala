@@ -379,6 +379,53 @@ object TimeSeries {
         col("avg_micro"), col("lift_milli"))
   }
 
+  /** One-sided CUSUM monitor against a FIXED reference mean — the
+    * production drift alarm (Page's test) whose offline counterpart is
+    * [[cusumChangepoint]]: per key, rows ordered by `(ts, tie)`
+    * accumulate `S_t = max(0, S_{t−1} + (v_t − μ₀ − slack))`; `S`
+    * crossing the threshold alarms. Computed in CLOSED FORM —
+    * `S_t = prefix_t − min(0, running-min prefix)` — so the whole
+    * monitor is one window pass, no recursion; the streaming twin
+    * ([[graft.streaming.StreamingCusum]]) runs the recurrence and is
+    * bit-identical on the same rows (both are exact integer micro).
+    *
+    * Output per row: `(key, tie, ts_ms, v_micro, s_micro, alarmed)`;
+    * `s_micro` is decimal(38,0) (an unbounded drift grows S without
+    * limit — int64 would wrap silently on a 100 TB stream).
+    *
+    * 100 TB shape: ONE window shuffle on the key, codegen arithmetic.
+    */
+  def cusumMonitor(
+      df: DataFrame,
+      keyCol: String,
+      tsMsCol: String,
+      tieCol: String,
+      valueCol: String,
+      refMeanMicro: Long,
+      slackMicro: Long,
+      thresholdMicro: Long): DataFrame = {
+    require(slackMicro >= 0, s"slackMicro $slackMicro must be >= 0")
+    require(thresholdMicro > 0, s"thresholdMicro $thresholdMicro must be > 0")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsMsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .filter(col(keyCol).isNotNull && col(tsMsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .withColumn("v_micro",
+        floor(col(valueCol).cast("double") * 1e6).cast("long"))
+      .withColumn("__d", (col("v_micro") - lit(refMeanMicro) -
+        lit(slackMicro)).cast("decimal(38,0)"))
+      .withColumn("__prefix", sum(col("__d")).over(w))
+      .withColumn("__runmin", min(col("__prefix")).over(w))
+      .withColumn("s_micro",
+        (col("__prefix") - least(lit(0).cast("decimal(38,0)"),
+          col("__runmin"))).cast("decimal(38,0)"))
+      .withColumn("alarmed", col("s_micro") > lit(thresholdMicro))
+      .select(col(keyCol), col(tieCol), col(tsMsCol).as("ts_ms"),
+        col("v_micro"), col("s_micro"), col("alarmed"))
+  }
+
   /** Out-of-orderness profile — the histogram that SIZES a watermark:
     * for each event, its disorder is how far the event-time high-water
     * mark (max ts among strictly-earlier arrivals) had already passed

@@ -220,6 +220,21 @@ class AuditOpsSpec extends SparkSuite {
     }
   }
 
+  test("cusumMonitor: closed form equals Page's recurrence by hand") {
+    // ref 10, slack 0, threshold 5 (micro-scaled): values 10,12,7,13,14
+    // → d = 0,2,-3,3,4; S = max(0, S+d) = 0,2,0,3,7 → alarm on the last
+    val rows = Seq((1L, 1L, 10.0), (1L, 2L, 12.0), (1L, 3L, 7.0),
+      (1L, 4L, 13.0), (1L, 5L, 14.0)).map { case (k, t, v) => (k, t, t, v) }
+    val out = TimeSeries.cusumMonitor(rows.toDF("k", "t", "tie", "v"),
+        "k", "t", "tie", "v", refMeanMicro = 10000000L, slackMicro = 0L,
+        thresholdMicro = 5000000L)
+      .select("ts_ms", "s_micro", "alarmed")
+      .as[(Long, java.math.BigDecimal, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._2.longValueExact()).toSeq ==
+      Seq(0L, 2000000L, 0L, 3000000L, 7000000L))
+    assert(out.map(_._3).toSeq == Seq(false, false, false, false, true))
+  }
+
   test("silhouette: tight separated clusters near +1, mislabels negative") {
     // A = {(0,0), (0.1,0)}, B = {(10,0), (10.1,0)}: tight and far →
     // silhouette ≈ 1000 milli for every point, no negatives

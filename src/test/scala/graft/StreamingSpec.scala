@@ -1207,6 +1207,52 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming CUSUM equals the batch closed form across microbatch cuts") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Double)]
+    val df = stream.toDF().toDF("k", "t_ms", "v")
+      .withColumn("tie", col("t_ms"))
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_millis(col("t_ms")))
+    val out = graft.streaming.StreamingCusum.monitor(
+      df, "k", "ts", "tie", "v", refMeanMicro = 10000000L,
+      slackMicro = 0L, thresholdMicro = 5000000L, lateness = 0.seconds)
+    val query = out.writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      // drifted key 1 and quiet key 2; the batch cut advances the
+      // watermark to 2000, so every later row stays strictly above it
+      // (lateness 0: a row AT the watermark is contractually late)
+      val rows = Seq((1L, 1000L, 10.0), (1L, 2000L, 12.0), (2L, 1000L, 9.0),
+        (2L, 2000L, 10.0),
+        (1L, 3000L, 7.0), (1L, 4000L, 13.0),
+        (1L, 5000L, 14.0), (2L, 3000L, 11.0))
+      stream.addData(rows.take(4): _*)
+      query.processAllAvailable()
+      stream.addData(rows.slice(4, 6): _*)
+      stream.addData(rows.drop(6): _*)
+      stream.addData((9L, 100000L, 10.0)) // watermark pusher
+      query.processAllAvailable()
+      val got = spark.sql(
+        """SELECT k, ts_ms, v_micro, CAST(s_micro AS STRING), alarmed
+           FROM cusum_out WHERE k < 9 ORDER BY k, ts_ms""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getBoolean(4))).toSeq
+      val batch = graft.ops.TimeSeries.cusumMonitor(
+          rows.toDF("k", "ts_ms", "v").withColumn("tie", col("ts_ms")),
+          "k", "ts_ms", "tie", "v", 10000000L, 0L, 5000000L)
+        .selectExpr("k", "ts_ms", "v_micro", "CAST(s_micro AS STRING)",
+          "alarmed")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getBoolean(4))).toSeq
+        .sortBy(t => (t._1, t._2))
+      assert(got == batch, s"parity:\n$got\n$batch")
+      assert(got.exists(_._5), "drifted key must alarm")
+    } finally query.stop()
+  }
+
   test("streaming KMV distinct: exact below k, bit-parity with the batch " +
       "sketch across microbatch splits") {
     val spark2 = spark
