@@ -1048,9 +1048,13 @@ object Corpus {
           .as("qcol"), col("n"))
     }.reduce(_ unionByName _)
     val distincts = vals.distinct().localCheckpoint()
+    // cols-row table, checkpointed: it joins the output TWICE (child and
+    // parent stats) and its lineage carries the per-table counting scans
+    // — without this each table is re-counted once per use
     val colStats = distincts.groupBy("qcol")
       .agg(count(lit(1)).as("n_distinct"))
       .join(rowCounts, "qcol")
+      .localCheckpoint()
     val matches = distincts.as("a")
       .join(distincts.as("b"),
         col("a.v") === col("b.v") && col("a.qcol") =!= col("b.qcol"))

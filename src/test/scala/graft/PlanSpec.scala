@@ -150,13 +150,25 @@ class PlanSpec extends SparkSuite {
     assert(vg.queryExecution.executedPlan.collect {
       case s: FileSourceScanExec => s }.isEmpty,
       "vocabGrowth result must read only the checkpointed rank table")
+    // fk discovery on REAL parquet: the value side (distincts — BOTH
+    // self-join sides — and colStats) must come from the checkpoint, so
+    // the only file scans left are the per-table row-count branch: one
+    // per table, no matter how many columns or join sides read values
     val fk = graft.ops.Corpus.inclusionDependencies(Seq(
-      ("a", (1L to 20L).toDF("x"), Seq("x")),
-      ("b", (1L to 30L).toDF("y"), Seq("y"))))
-    assert(fk.queryExecution.executedPlan.collect {
-      case s: FileSourceScanExec => s }.isEmpty,
-      "fk discovery must read only the checkpointed distinct values")
-    assert(fk.count() == 2)
+      ("nation", spark.read.parquet(s"$sfDir/nation.parquet"),
+        Seq("n_nationkey")),
+      ("supplier", spark.read.parquet(s"$sfDir/supplier.parquet"),
+        Seq("s_suppkey", "s_nationkey"))))
+    // pre-AQE physical plan: a plain tree, so collect sees every scan
+    // once. Both the value distincts and the col-stats table are
+    // checkpointed, so the RESULT plan reads no files at all — each
+    // table was scanned exactly twice total (values + row count), at
+    // checkpoint time
+    val n = fk.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s }.size
+    assert(n == 0,
+      s"fk discovery result plan scanned files $n times — stats and " +
+        "values must ride their checkpoints")
   }
 
   test("k-core: per-round checkpoints keep the result plan flat") {
