@@ -97,6 +97,15 @@ class PlanSpec extends SparkSuite {
         shuffles(a.executedPlan)
     }.sum
 
+  // AdaptiveSparkPlanExec has NO children, so a plain collect over an AQE
+  // plan sees nothing inside — scan assertions must recurse like shuffles()
+  private def fileScans(plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    plan.collect {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => 1
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+    }.sum
+
   test("connected components: bounded per-round shuffles, lineage-truncated result") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val spark2 = spark
@@ -113,8 +122,7 @@ class PlanSpec extends SparkSuite {
     val round = graft.ops.Cluster.ccRound(edges)
     assert(shuffles(round.queryExecution.executedPlan) <= 7,
       s"ccRound shuffle count grew:\n${round.queryExecution.executedPlan}")
-    assert(round.queryExecution.executedPlan.collect {
-      case s: FileSourceScanExec => s }.isEmpty,
+    assert(fileScans(round.queryExecution.executedPlan) == 0,
       "a CC round must read only the checkpointed edge set")
     // checkpoint discipline: the RESULT plan of a multi-round run must not
     // embed the iteration history (without the eager localCheckpoint each
@@ -208,8 +216,7 @@ class PlanSpec extends SparkSuite {
     // once: the hot-bucket count, the anti-join, and both self-join sides
     // all read it back — NO parquet scan may appear downstream (a scan
     // would mean the SRP signature pass or the base-table join came back)
-    assert(plan.collect { case s: FileSourceScanExec => s }.isEmpty,
-      s"q24 re-scans the base table:\n$plan")
+    assert(fileScans(plan) == 0, s"q24 re-scans the base table:\n$plan")
     // hot-bucket count + self-join sides + final distinct; the skew-cap
     // anti-join must stay broadcast (never a shuffle)
     assert(shuffles(plan) <= 4, s"q24 shuffle count grew:\n$plan")
@@ -226,7 +233,7 @@ class PlanSpec extends SparkSuite {
     // a bucket join or the distinct stopped being bucket-local.
     val q22 = Queries.all.find(_.name == "q22_dedup_minhash_lsh").get
       .build(spark, sfDir).queryExecution.executedPlan
-    assert(q22.collect { case s: FileSourceScanExec => s }.isEmpty,
+    assert(fileScans(q22) == 0,
       s"q22 re-scans the base table past the checkpoint:\n$q22")
     assert(shuffles(q22) <= 4, s"q22 shuffle count grew to ${shuffles(q22)}:\n$q22")
     assert(q22.toString.contains("LeftAnti"), s"q22 lost the maxBucket cap:\n$q22")
@@ -234,7 +241,7 @@ class PlanSpec extends SparkSuite {
     // old-new and new-new joins without regenerating signatures.
     val q71 = Queries.all.find(_.name == "q71_incremental_lsh").get
       .build(spark, sfDir).queryExecution.executedPlan
-    assert(q71.collect { case s: FileSourceScanExec => s }.isEmpty,
+    assert(fileScans(q71) == 0,
       s"q71 re-scans a base table past the checkpoints:\n$q71")
     assert(shuffles(q71) <= 8, s"q71 shuffle count grew to ${shuffles(q71)}:\n$q71")
     assert(q71.toString.contains("LeftAnti"), s"q71 lost the maxBucket cap:\n$q71")
@@ -248,7 +255,7 @@ class PlanSpec extends SparkSuite {
     // array-of-long land (the maxDf LeftAnti runs upstream of it, inside
     // the already-materialized segment): a parquet scan here means the
     // shingle pipeline or the base table came back
-    assert(plan.collect { case s: FileSourceScanExec => s }.isEmpty,
+    assert(fileScans(plan) == 0,
       s"q113 re-scans the base table past the checkpoints:\n$plan")
     // the verify join must ship hashed LONG shingle arrays, not strings —
     // the round-8 payload cut (~4-8x smaller shuffles at crawl scale);
