@@ -3,6 +3,7 @@ package graft
 import graft.client.GraftClient
 import graft.table._
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import scala.concurrent.duration._
@@ -293,6 +294,50 @@ class DifferentialSpec extends SparkSuite {
             s"SELECT k, t_ms, jv FROM dj_out_$seed WHERE k <> 'zz' ORDER BY k, t_ms")
           .collect().map(_.toSeq.toList).toSeq
         assert(got == expected, s"seed=$seed")
+      } finally query.stop()
+    }
+  }
+
+  test("CUSUM monitor: streaming recurrence equals batch closed form " +
+      "on randomized inputs") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed + 700)
+      val rows = randomRows(rnd, 25)
+      val ref = (rnd.nextInt(60) + 20).toLong * 1000000L
+      val slack = rnd.nextInt(5).toLong * 1000000L
+      val thr = (rnd.nextInt(80) + 20).toLong * 1000000L
+
+      val expected = graft.ops.TimeSeries.cusumMonitor(
+          rows.toDF("k", "v", "t_ms").withColumn("tie", functions.col("t_ms")),
+          "k", "t_ms", "tie", "v", ref, slack, thr)
+        .selectExpr("k", "ts_ms", "v_micro", "CAST(s_micro AS STRING)",
+          "alarmed")
+        .orderBy("k", "ts_ms")
+        .collect().map(_.toSeq.toList).toSeq
+
+      val stream = MemoryStream[(String, Long, Long)]
+      val streamed = graft.streaming.StreamingCusum.monitor(
+        stream.toDF().toDF("k", "v", "t_ms")
+          .withColumn("tie", functions.col("t_ms"))
+          .withColumn("ts", functions.timestamp_millis(functions.col("t_ms"))),
+        "k", "ts", "tie", "v", ref, slack, thr, Duration.Zero)
+      val query = streamed.writeStream.format("memory")
+        .queryName(s"cusum_diff_$seed").outputMode("append").start()
+      try {
+        timeChunks(rnd, rows).foreach { chunk =>
+          stream.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+        stream.addData(("zz", 1L, 10000L * minute)) // drain
+        query.processAllAvailable()
+        val got = spark.sql(
+            s"""SELECT k, ts_ms, v_micro, CAST(s_micro AS STRING), alarmed
+               FROM cusum_diff_$seed WHERE k <> 'zz' ORDER BY k, ts_ms""")
+          .collect().map(_.toSeq.toList).toSeq
+        assert(got == expected, s"seed=$seed ref=$ref slack=$slack thr=$thr")
       } finally query.stop()
     }
   }
