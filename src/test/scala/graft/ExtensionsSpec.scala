@@ -16,6 +16,10 @@ class ExtensionsSpec extends SparkSuite {
     df.queryExecution.optimizedPlan.expressions
       .exists(_.exists(_.isInstanceOf[VectorDot]))
 
+  private def hasVectorL2(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[graft.functions.VectorL2Micro]))
+
   test("vector_dot SQL function evaluates the native expression") {
     GraftExtensions.register(spark)
     val r = spark.sql(
@@ -62,6 +66,29 @@ class ExtensionsSpec extends SparkSuite {
     assert(hasVectorDot(q), q.queryExecution.optimizedPlan.toString)
     val got = q.orderBy("id").collect().map(_.getDouble(1)).toSeq
     assert(got == Seq(1.0 * 0.5 + 2.0 * -1.0 + 3.0 * 2.0, 0.0))
+  }
+
+  test("optimizer rewrites the long HOF squared-L2 fold; int arrays do not") {
+    GraftExtensions.register(spark)
+    val d = spark.range(2).selectExpr(
+      "id",
+      "CASE WHEN id = 0 THEN array(1L, 5L, -3L) ELSE array(2L, 2L) END AS a",
+      "CASE WHEN id = 0 THEN array(4L, 1L, 2L) ELSE array(2L, 0L) END AS b")
+    val hof = "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, " +
+      "(acc, v) -> acc + v)"
+    val q = d.selectExpr("id", s"$hof AS d2")
+    assert(hasVectorL2(q), q.queryExecution.optimizedPlan.toString)
+    val got = q.orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(9L + 16L + 25L, 4L))
+    // int arrays widen per element — NOT the long-exact pattern; no rewrite
+    val ints = spark.range(1).selectExpr(
+      "array(1, 2) AS a", "array(3, 4) AS b")
+    val qi = ints.selectExpr(s"$hof AS d2")
+    assert(!hasVectorL2(qi), qi.queryExecution.optimizedPlan.toString)
+    // a different lambda (x*y) must not match either
+    val qo = d.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS o")
+    assert(!hasVectorL2(qo), qo.queryExecution.optimizedPlan.toString)
   }
 
   test("float arrays rewrite only under explicit double casts (bit safety)") {
