@@ -247,4 +247,33 @@ class GraphSpec extends SparkSuite {
     val want = replay(Seq((1L, 2L)), 1, 15)
     assert(got == want)
   }
+
+  test("kCore matches an in-memory parallel-peel reference on random graphs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // reference: the same simultaneous-peel rounds over Scala collections
+    def peel(edges: Set[(Long, Long)], k: Int, iters: Int): Map[Long, Long] = {
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      var adj = und.flatMap(e => Seq(e, e.swap))
+      for (_ <- 1 to iters) {
+        val deg = adj.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+        val keep = deg.filter(_._2 >= k).keySet
+        adj = adj.filter(e => keep(e._1) && keep(e._2))
+      }
+      adj.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    }
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed + 40)
+      val n = 30
+      val edges = (1 to 120).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toSet
+      val k = rnd.nextInt(3) + 2
+      val iters = rnd.nextInt(3) + 2
+      val want = peel(edges, k, iters)
+      val got = Graph.kCore(edges.toSeq.toDF("s", "d"), "s", "d", k, iters)
+        .select("node", "degree").as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$seed k=$k iters=$iters")
+    }
+  }
 }
