@@ -6160,6 +6160,58 @@ object Queries {
         ((prefix - LEAST(0::HUGEINT, runmin)) > 200000000) AS alarmed
       FROM m"""))
 
+  /** Spearman rank-correlation matrix over lineitem measures — the
+    * monotonic-association view next to q165's Pearson, on exact
+    * integer midranks.
+    */
+  private val q211 = Q(
+    "q211_spearman",
+    (spark, dir) => Features.spearmanMatrix(
+      pq(spark, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+      "rid", Seq("l_quantity", "l_extendedprice", "l_discount")),
+    Some("""WITH b AS (SELECT l_orderkey * 10 + l_linenumber id,
+          l_quantity::DOUBLE q, l_extendedprice::DOUBLE p,
+          l_discount::DOUBLE d
+        FROM lineitem WHERE l_orderkey IS NOT NULL
+          AND l_linenumber IS NOT NULL AND l_quantity IS NOT NULL
+          AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+      tot AS (SELECT COUNT(*)::BIGINT n FROM b),
+      cq AS (SELECT q v, COUNT(*)::BIGINT c FROM b GROUP BY 1),
+      rq AS (SELECT v, (2 * SUM(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - c + 1)::BIGINT r2 FROM cq),
+      cp AS (SELECT p v, COUNT(*)::BIGINT c FROM b GROUP BY 1),
+      rp AS (SELECT v, (2 * SUM(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - c + 1)::BIGINT r2 FROM cp),
+      cd AS (SELECT d v, COUNT(*)::BIGINT c FROM b GROUP BY 1),
+      rd AS (SELECT v, (2 * SUM(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - c + 1)::BIGINT r2 FROM cd),
+      j AS (SELECT (rq.r2 - tot.n - 1)::HUGEINT aq,
+          (rp.r2 - tot.n - 1)::HUGEINT ap,
+          (rd.r2 - tot.n - 1)::HUGEINT ad
+        FROM b JOIN rq ON b.q = rq.v JOIN rp ON b.p = rp.v
+          JOIN rd ON b.d = rd.v CROSS JOIN tot),
+      s AS (SELECT SUM(aq * ap) qp, SUM(aq * aq) qq, SUM(ap * ap) pp,
+          SUM(aq * ad) qd, SUM(ad * ad) dd, SUM(ap * ad) pd FROM j)
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, tot.n,
+        CASE WHEN qq > 0 AND pp > 0 THEN floor(1000000.0 * qp::DOUBLE
+          / sqrt(qq::DOUBLE * pp::DOUBLE))::BIGINT END AS spearman_micro
+      FROM s, tot
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount', tot.n,
+        CASE WHEN qq > 0 AND dd > 0 THEN floor(1000000.0 * qd::DOUBLE
+          / sqrt(qq::DOUBLE * dd::DOUBLE))::BIGINT END
+      FROM s, tot
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount', tot.n,
+        CASE WHEN pp > 0 AND dd > 0 THEN floor(1000000.0 * pd::DOUBLE
+          / sqrt(pp::DOUBLE * dd::DOUBLE))::BIGINT END
+      FROM s, tot"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6178,7 +6230,7 @@ object Queries {
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206, q207, q208, q209, q210)
+    q204, q205, q206, q207, q208, q209, q210, q211)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

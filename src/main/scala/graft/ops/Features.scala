@@ -254,6 +254,73 @@ object Features {
       .select(col("p.col_a"), col("p.col_b"), col("p.n"), col("p.corr_micro"))
   }
 
+  /** Spearman rank-correlation matrix — the monotonic-association
+    * companion to [[corrMatrix]]'s Pearson: correlations on EXACT ranks,
+    * immune to outliers and monotone transforms (the right default for
+    * heavy-tailed pipeline metrics like doc length vs quality score).
+    * Ranks are standard tie-midranks, kept integer by DOUBLING
+    * (`2·cum − c + 1` off a per-value prefix sum), and centered exactly:
+    * the mean of doubled midranks is n+1 with no remainder, so centered
+    * values, covariances, and variances are all exact integers in
+    * decimal(38,0) — only the final ρ touches a double (one sqrt +
+    * division of exact integers, floored to micro, same contract as
+    * corrMatrix). Listwise-complete: rows null in ANY column are
+    * excluded, so one rank set per column serves every pair.
+    *
+    * Output per pair: `(col_a, col_b, n, spearman_micro)`.
+    *
+    * 100 TB shape: per column one map-side-combined distinct-value
+    * count + a [[Ranks.prefixSum]] range exchange over the DISTINCT
+    * table + one value-keyed join back; then a single scalar aggregate.
+    * Centered-rank products stay inside decimal(38,0) to n ≈ 10¹²
+    * (Σa² ≤ n³).
+    */
+  def spearmanMatrix(
+      df: DataFrame,
+      idCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val base = df
+      .filter((col(idCol).isNotNull +: cols.map(col(_).isNotNull))
+        .reduce(_ && _))
+      .select(col(idCol).as("__id") +:
+        cols.map(c => col(c).cast("double").as(c)): _*)
+      .localCheckpoint()
+    val n = base.count()
+    var joined = base
+    for (c <- cols) {
+      val cnt = base.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+      val ranks = Ranks.prefixSum(cnt, Seq(col(c)), Seq("__c"))
+        .select(col(c),
+          // doubled midrank, centered by the exact mean n+1
+          (expr("2 * __c_cum - __c + 1") - lit(n + 1)).as(s"__a_$c"))
+      joined = joined.join(ranks, Seq(c))
+    }
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggExprs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      Seq(
+        expr(s"sum(cast(`__a_$a` as decimal(38,0)) * `__a_$b`)").as(s"sab_$k"),
+        expr(s"sum(cast(`__a_$a` as decimal(38,0)) * `__a_$a`)").as(s"saa_$k"),
+        expr(s"sum(cast(`__a_$b` as decimal(38,0)) * `__a_$b`)").as(s"sbb_$k"))
+    }
+    val g = joined.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((a, b), k) =>
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"), lit(n).as("n"),
+        expr(
+          s"""case when saa_$k > 0 and sbb_$k > 0 then
+               cast(floor(1000000.0 * cast(sab_$k as double)
+                 / sqrt(cast(saa_$k as double) * cast(sbb_$k as double)))
+               as long) end""").as("spearman_micro"))
+    }
+    g.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.n"),
+        col("p.spearman_micro"))
+  }
+
   /** Quantile normalization: map every row's score onto the GLOBAL score
     * distribution by rank, so per-source scores with incompatible scales
     * (one quality model per crawl, perplexity from different LMs) become

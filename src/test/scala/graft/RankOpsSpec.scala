@@ -252,6 +252,24 @@ class RankOpsSpec extends SparkSuite {
     assert(out == Seq((1L, 2L)))
   }
 
+  test("spearmanMatrix: exact midranks — monotone → 1e6, ties by hand") {
+    // y = x³ is nonlinear but monotone → Spearman exactly +1; z reverses
+    val mono = Seq((1L, 1.0, 1.0, 9.0), (2L, 2.0, 8.0, 4.0),
+      (3L, 3.0, 27.0, 1.0)).toDF("id", "x", "y", "z")
+    val m = Features.spearmanMatrix(mono, "id", Seq("x", "y", "z"))
+      .select("col_a", "col_b", "spearman_micro")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("x", "y")) == 1000000L && m(("x", "z")) == -1000000L)
+    // tie case: x = 1,2,2,3 (doubled midranks 2,5,5,8), y strictly
+    // increasing → centered cov 18, var 18/20 → ρ = 18/√360 → 948683
+    val ties = Seq((1L, 1.0, 1.0), (2L, 2.0, 4.0), (3L, 2.0, 9.0),
+      (4L, 3.0, 16.0)).toDF("id", "x", "y")
+    val t = Features.spearmanMatrix(ties, "id", Seq("x", "y"))
+      .select("n", "spearman_micro").as[(Long, Long)].collect().head
+    assert(t == ((4L, 948683L)), s"$t")
+  }
+
   test("annotatorConsensus: reliability re-vote flips a bad majority") {
     // calibration items 1-4: A,B,E say g; C,D say b → majority g, so
     // A/B/E earn high weights and C/D low ones. Item 5 has only A (g)
