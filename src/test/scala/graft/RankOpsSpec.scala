@@ -270,6 +270,38 @@ class RankOpsSpec extends SparkSuite {
     assert(t == ((4L, 948683L)), s"$t")
   }
 
+  test("spearmanMatrix matches an in-memory midrank reference on random ties") {
+    def refSpearman(xs: Seq[Double], ys: Seq[Double]): Long = {
+      def mid2(v: Seq[Double]): Seq[Long] = {
+        // doubled midranks: 2*start + cnt - 1 per value group
+        val sorted = v.sorted
+        val start = sorted.zipWithIndex.groupBy(_._1)
+          .map { case (x, g) => x -> (g.map(_._2).min + 1).toLong }
+        val cnt = v.groupBy(identity).map { case (x, g) => x -> g.size.toLong }
+        v.map(x => 2 * start(x) + cnt(x) - 1)
+      }
+      val n = xs.size
+      val (ax, ay) = (mid2(xs).map(_ - (n + 1)), mid2(ys).map(_ - (n + 1)))
+      val cov = ax.zip(ay).map { case (a, b) => BigInt(a) * b }.sum
+      val va = ax.map(a => BigInt(a) * a).sum
+      val vb = ay.map(b => BigInt(b) * b).sum
+      math.floor(1e6 * cov.toDouble /
+        math.sqrt(va.toDouble * vb.toDouble)).toLong
+    }
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed + 900)
+      val n = 40
+      // coarse values force plenty of ties
+      val xs = Seq.fill(n)((rnd.nextInt(8) + 1).toDouble)
+      val ys = Seq.fill(n)((rnd.nextInt(6) + 1).toDouble)
+      val df = xs.zip(ys).zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }.toDF("id", "x", "y")
+      val got = Features.spearmanMatrix(df, "id", Seq("x", "y"))
+        .select("spearman_micro").as[Long].collect().head
+      assert(got == refSpearman(xs, ys), s"seed=$seed")
+    }
+  }
+
   test("annotatorConsensus: reliability re-vote flips a bad majority") {
     // calibration items 1-4: A,B,E say g; C,D say b → majority g, so
     // A/B/E earn high weights and C/D low ones. Item 5 has only A (g)
