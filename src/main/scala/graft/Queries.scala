@@ -6212,6 +6212,35 @@ object Queries {
           / sqrt(pp::DOUBLE * dd::DOUBLE))::BIGINT END
       FROM s, tot"""))
 
+  /** One-way ANOVA of order value by priority — η² and F for the
+    * categorical↔numeric association slot (χ²/V is cat↔cat, Spearman/
+    * Pearson num↔num).
+    */
+  private val q212 = Q(
+    "q212_anova_eta",
+    (spark, dir) => Features.anovaEta(
+      pq(spark, dir, "orders"), "o_orderpriority", "o_totalprice"),
+    Some("""WITH b AS (SELECT o_orderpriority c,
+          floor(o_totalprice * 1e6)::BIGINT v FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      g AS (SELECT c, COUNT(*)::BIGINT ng, SUM(v)::HUGEINT sg,
+          SUM(v::HUGEINT * v)::HUGEINT qg FROM b GROUP BY 1),
+      t AS (SELECT SUM(ng)::BIGINT n, COUNT(*)::BIGINT k,
+          SUM(sg)::HUGEINT s, SUM(qg)::HUGEINT q,
+          SUM((sg * sg) // ng)::HUGEINT sb
+        FROM g)
+      SELECT n, k AS n_groups,
+        CASE WHEN k >= 2 AND n > k THEN
+          floor(1000000.0 * (sb::DOUBLE - s::DOUBLE * s::DOUBLE / n)
+            / nullif(q::DOUBLE - s::DOUBLE * s::DOUBLE / n, 0.0))::BIGINT
+        END AS eta2_micro,
+        CASE WHEN k >= 2 AND n > k THEN
+          floor(1000.0 *
+            ((sb::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (k - 1))
+            / nullif((q::DOUBLE - sb::DOUBLE) / (n - k), 0.0))::BIGINT
+        END AS f_milli
+      FROM t"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6230,7 +6259,7 @@ object Queries {
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206, q207, q208, q209, q210, q211)
+    q204, q205, q206, q207, q208, q209, q210, q211, q212)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -254,6 +254,62 @@ object Features {
       .select(col("p.col_a"), col("p.col_b"), col("p.n"), col("p.corr_micro"))
   }
 
+  /** One-way ANOVA relevance of a numeric column to a categorical one —
+    * the categorical↔numeric member of the association family (q152's
+    * χ²/Cramér's V is cat↔cat, q165/q211 are num↔num): between-group vs
+    * within-group variance as η² (variance explained) and the F
+    * statistic. The feature-screening question "does this numeric move
+    * with this category at all?", answered in one pass.
+    *
+    * Exactness: per-group (n, Σv, Σv²) accumulate micro-floored longs in
+    * decimal(38,0) — exact; the sum-of-squares decomposition and the
+    * final ratios are IEEE doubles OF those exact integers (same finish
+    * contract as corrMatrix), floored to micro/milli.
+    *
+    * Output: `(n, n_groups, eta2_micro, f_milli)` — NULL stats when
+    * degenerate (k < 2, n ≤ k, or zero total variance).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(category); everything
+    * after is arithmetic on the k-row group table.
+    */
+  def anovaEta(
+      df: DataFrame,
+      catCol: String,
+      valueCol: String): DataFrame = {
+    val cells = df
+      .filter(col(catCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__v",
+        floor(col(valueCol).cast("double") * 1e6).cast("long"))
+      .groupBy(col(catCol))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("__v").cast("decimal(38,0)")).as("sg"),
+        sum(expr("cast(__v as decimal(38,0)) * __v")).as("qg"))
+    cells.agg(
+        sum("ng").as("n"), count(lit(1)).as("k"),
+        sum("sg").as("s"), sum("qg").as("q"),
+        // per-group ⌊sg²/ng⌋ as an EXACT decimal (a raw double sum would
+        // be association-order-dependent; Spark's floor(double) and
+        // `div` both return silently-wrapping BIGINTs; bare decimal `/`
+        // ROUNDS at the result scale): subtracting the modulus first
+        // makes the division exact with no rounding anywhere. Exact
+        // while each group's |Σv_micro| < 1e19 — the int64-family bound
+        // every *_micro sum in this repo carries.
+        sum(expr("""cast((sg * sg - (sg * sg) % ng) / ng
+                    as decimal(38,0))""")).as("sb_raw"))
+      .select(col("n"), col("k").as("n_groups"),
+        expr("""case when k >= 2 and n > k then
+             cast(floor(1000000.0 *
+               (sb_raw - cast(s as double) * cast(s as double) / n)
+               / nullif(cast(q as double)
+                 - cast(s as double) * cast(s as double) / n, 0.0))
+             as long) end""").as("eta2_micro"),
+        expr("""case when k >= 2 and n > k then
+             cast(floor(1000.0 *
+               ((sb_raw - cast(s as double) * cast(s as double) / n) / (k - 1))
+               / nullif((cast(q as double) - sb_raw) / (n - k), 0.0))
+             as long) end""").as("f_milli"))
+  }
+
   /** Spearman rank-correlation matrix — the monotonic-association
     * companion to [[corrMatrix]]'s Pearson: correlations on EXACT ranks,
     * immune to outliers and monotone transforms (the right default for

@@ -252,6 +252,22 @@ class RankOpsSpec extends SparkSuite {
     assert(out == Seq((1L, 2L)))
   }
 
+  test("anovaEta: hand-computed variance decomposition") {
+    // A: 1,2,3 (mean 2); B: 4,5,6 (mean 5): SSB = 13.5e12 micro²,
+    // SST = 17.5e12, SSW = 4e12 → η² = 0.771428, F = 13.5
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 4.0), ("B", 5.0), ("B", 6.0)).toDF("c", "v")
+    val out = Features.anovaEta(df, "c", "v")
+      .select("n", "n_groups", "eta2_micro", "f_milli")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(out == ((6L, 2L, 771428L, 13500L)), s"$out")
+    // degenerate: a single group yields NULL stats
+    val one = Features.anovaEta(
+      Seq(("A", 1.0), ("A", 2.0)).toDF("c", "v"), "c", "v")
+      .select("eta2_micro").collect().head
+    assert(one.isNullAt(0))
+  }
+
   test("spearmanMatrix: exact midranks — monotone → 1e6, ties by hand") {
     // y = x³ is nonlinear but monotone → Spearman exactly +1; z reverses
     val mono = Seq((1L, 1.0, 1.0, 9.0), (2L, 2.0, 8.0, 4.0),
