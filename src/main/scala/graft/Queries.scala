@@ -6241,6 +6241,35 @@ object Queries {
         END AS f_milli
       FROM t"""))
 
+  /** Kruskal–Wallis H of order value across priorities — the rank-based
+    * (outlier-proof) sibling of q212's ANOVA.
+    */
+  private val q213 = Q(
+    "q213_kruskal_wallis",
+    (spark, dir) => Features.kruskalWallis(
+      pq(spark, dir, "orders"), "o_orderpriority", "o_totalprice"),
+    Some("""WITH b AS (SELECT o_orderpriority g2, o_totalprice::DOUBLE v
+          FROM orders WHERE o_orderpriority IS NOT NULL
+            AND o_totalprice IS NOT NULL),
+      c AS (SELECT v, COUNT(*)::BIGINT c FROM b GROUP BY 1),
+      r AS (SELECT v, (2 * SUM(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - c + 1)::BIGINT r2 FROM c),
+      tt AS (SELECT SUM(c::HUGEINT * c * c - c)::HUGEINT t FROM c),
+      gg AS (SELECT g2, COUNT(*)::BIGINT ng, SUM(r2)::HUGEINT r2g
+        FROM b JOIN r USING (v) GROUP BY 1),
+      s AS (SELECT SUM(ng)::BIGINT n, COUNT(*)::BIGINT k,
+          SUM((r2g * r2g) // ng)::HUGEINT sq4 FROM gg)
+      SELECT n, k AS n_groups, tt.t::DECIMAL(38,0) AS tie_sum,
+        CASE WHEN k >= 2 AND n >= 2
+            AND n::DOUBLE * n * n - n > tt.t::DOUBLE THEN
+          floor(1000.0 *
+            (12.0 * (sq4::DOUBLE / 4.0) / (n::DOUBLE * (n + 1))
+              - 3.0 * (n + 1))
+            / (1.0 - tt.t::DOUBLE
+               / (n::DOUBLE * n * n - n)))::BIGINT END AS h_milli
+      FROM s, tt"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6259,7 +6288,7 @@ object Queries {
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206, q207, q208, q209, q210, q211, q212)
+    q204, q205, q206, q207, q208, q209, q210, q211, q212, q213)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -310,6 +310,65 @@ object Features {
              as long) end""").as("f_milli"))
   }
 
+  /** Kruskal–Wallis H — the rank-based one-way ANOVA, to [[anovaEta]]
+    * what [[spearmanMatrix]] is to Pearson: does the DISTRIBUTION of a
+    * numeric differ across categories, free of normality and outlier
+    * assumptions (compare heavy-tailed doc lengths across sources
+    * without a single huge doc deciding the answer). Tie-corrected:
+    * `H = [12/(n(n+1))·Σ R²g/ng − 3(n+1)] / (1 − Σ(t³−t)/(n³−n))`.
+    *
+    * Integer contract: doubled tie-midranks off a per-value prefix sum
+    * (the q211 recipe) make every group rank-sum an exact decimal;
+    * `⌊R2g²/ng⌋` uses the divisible-numerator division (no silent long
+    * wrap, no decimal rounding); the tie term Σ(t³−t) is exact. Only
+    * the final H touches doubles, floored to milli. Against χ²(k−1):
+    * H ≥ 5991 milli rejects at 5% for 3 groups.
+    *
+    * Output: `(n, n_groups, tie_sum, h_milli)`; NULL H when k < 2 or
+    * every value is identical (C = 0).
+    *
+    * 100 TB shape: one distinct-value count + prefixSum range exchange,
+    * one value-keyed join back, one groupBy(category) — the q211 plan
+    * with a k-row finish.
+    */
+  def kruskalWallis(
+      df: DataFrame,
+      catCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(catCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(catCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .localCheckpoint()
+    val cnt = base.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val ranks = Ranks.prefixSum(cnt, Seq(col("__v")), Seq("__c"))
+      .select(col("__v"), expr("2 * __c_cum - __c + 1").as("__r2"))
+    val ties = cnt.agg(
+      sum(expr("cast(__c as decimal(38,0)) * __c * __c - __c")).as("t"))
+      .collect()(0).getDecimal(0)
+    val g = base.join(ranks, Seq("__v"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("ng"),
+        sum(col("__r2").cast("decimal(38,0)")).as("r2g"))
+    g.agg(
+        sum("ng").as("n"), count(lit(1)).as("k"),
+        sum(expr("""cast((r2g * r2g - (r2g * r2g) % ng) / ng
+                    as decimal(38,0))""")).as("sq4"))
+      .select(col("n"), col("k").as("n_groups"),
+        lit(new java.math.BigDecimal(ties.toBigInteger)).cast("decimal(38,0)")
+          .as("tie_sum"),
+        expr(
+          s"""case when k >= 2 and n >= 2
+                and cast(n as double) * n * n - n
+                    > ${ties.toBigInteger.toString}.0 then
+               cast(floor(1000.0 *
+                 (12.0 * (cast(sq4 as double) / 4.0)
+                    / (cast(n as double) * (n + 1)) - 3.0 * (n + 1))
+                 / (1.0 - ${ties.toBigInteger.toString}.0
+                    / (cast(n as double) * n * n - n)))
+               as long) end""").as("h_milli"))
+  }
+
   /** Spearman rank-correlation matrix — the monotonic-association
     * companion to [[corrMatrix]]'s Pearson: correlations on EXACT ranks,
     * immune to outliers and monotone transforms (the right default for

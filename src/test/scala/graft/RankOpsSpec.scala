@@ -252,6 +252,31 @@ class RankOpsSpec extends SparkSuite {
     assert(out == Seq((1L, 2L)))
   }
 
+  test("kruskalWallis: hand H with and without ties") {
+    // A{1,2} B{3,4}: ranks 1..4, ΣR²g/ng = 29 → H = 12/20·29 − 15 = 2.4;
+    // in IEEE doubles 12·29/20 = 17.399999999999999, so the contractual
+    // floored milli is 2399 — the same value every engine computes
+    val clean = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))
+      .toDF("g", "v")
+    val c = Features.kruskalWallis(clean, "g", "v")
+      .select("n", "n_groups", "h_milli")
+      .as[(Long, Long, Long)].collect().head
+    assert(c == ((4L, 2L, 2399L)), s"$c")
+    // A{1,1} B{2,2}: H0 = 2.4, tie term 12, C = 0.8 → H = 3.0 (2.999…
+    // in doubles → 2999 floored)
+    val tied = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0))
+      .toDF("g", "v")
+    val t = Features.kruskalWallis(tied, "g", "v")
+      .select("tie_sum", "h_milli")
+      .as[(java.math.BigDecimal, Long)].collect().head
+    assert(t._1.longValueExact() == 12L && t._2 == 2999L, s"$t")
+    // all values identical → C = 0 → NULL
+    val flat = Features.kruskalWallis(
+      Seq(("A", 5.0), ("B", 5.0)).toDF("g", "v"), "g", "v")
+      .select("h_milli").collect().head
+    assert(flat.isNullAt(0))
+  }
+
   test("anovaEta: hand-computed variance decomposition") {
     // A: 1,2,3 (mean 2); B: 4,5,6 (mean 5): SSB = 13.5e12 micro²,
     // SST = 17.5e12, SSW = 4e12 → η² = 0.771428, F = 13.5
