@@ -6270,6 +6270,48 @@ object Queries {
                / (n::DOUBLE * n * n - n)))::BIGINT END AS h_milli
       FROM s, tt"""))
 
+  /** Mann–Whitney U on event values between user-parity experiment
+    * arms — exact U and Cliff's delta, tie-corrected z.
+    */
+  private val q214 = Q(
+    "q214_mann_whitney",
+    (spark, dir) => Features.mannWhitney(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b").as("arm"),
+          col("value")),
+      "arm", "value"),
+    Some("""WITH b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'arm_a'
+            ELSE 'arm_b' END g, value::DOUBLE v
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      c AS (SELECT v, COUNT(*)::BIGINT c FROM b GROUP BY 1),
+      r AS (SELECT v, (2 * SUM(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - c + 1)::BIGINT r2 FROM c),
+      tt AS (SELECT SUM(c::HUGEINT * c * c - c)::HUGEINT t FROM c),
+      gg AS (SELECT g, COUNT(*)::BIGINT ng, SUM(r2)::HUGEINT r2g
+        FROM b JOIN r USING (v) GROUP BY 1),
+      a AS (SELECT ng na, r2g r2a FROM gg WHERE g = 'arm_a'),
+      b2 AS (SELECT ng nb, r2g r2b FROM gg WHERE g = 'arm_b'),
+      u AS (SELECT na, nb,
+          (r2a - na::HUGEINT * (na + 1)) u2a,
+          (r2b - nb::HUGEINT * (nb + 1)) u2b FROM a, b2)
+      SELECT 'arm_a' AS grp_a, 'arm_b' AS grp_b, na AS n_a, nb AS n_b,
+        (u2a::DOUBLE / 2) AS u_a, (u2b::DOUBLE / 2) AS u_b,
+        (CASE WHEN u2a - na::HUGEINT * nb >= 0
+          THEN ((u2a - na::HUGEINT * nb) * 1000000 // (na::HUGEINT * nb))
+          ELSE -(((na::HUGEINT * nb - u2a) * 1000000)
+                 // (na::HUGEINT * nb)) END)::BIGINT
+          AS rank_biserial_micro,
+        floor(1000.0 * (u2a::DOUBLE - na::DOUBLE * nb)
+          / sqrt(na::DOUBLE * nb / 12.0
+            * ((na + nb + 1)::DOUBLE
+               - tt.t::DOUBLE / ((na + nb)::DOUBLE * (na + nb - 1)))
+            * 4.0))::BIGINT AS z_milli
+      FROM u, tt"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6288,7 +6330,7 @@ object Queries {
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206, q207, q208, q209, q210, q211, q212, q213)
+    q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -310,6 +310,90 @@ object Features {
              as long) end""").as("f_milli"))
   }
 
+  /** Mann–Whitney U — the two-sample rank test (the A/B workhorse for
+    * skewed metrics: revenue, latency, session length, where a t-test's
+    * mean is one whale away from nonsense). From the shared doubled-
+    * midrank machinery: `U_A = R_A − n_A(n_A+1)/2`, the rank-biserial
+    * effect size `r = 1 − 2U_A/(n_A·n_B)` (how often a random A beats a
+    * random B, rescaled to [−1, 1]), and the tie-corrected normal
+    * z-score.
+    *
+    * Exactness: U and the effect size are EXACT — doubled midranks keep
+    * rank sums integer, and the directional rank-biserial (= Cliff's
+    * delta, positive ⇒ A stochastically larger) is one exact product
+    * with one sign-split floor division; only the z-score touches
+    * doubles (σ² needs the tie-corrected variance), floored to milli.
+    * |z| ≥ 1960 rejects at 5%.
+    *
+    * Output (one row): `(grp_a, grp_b, n_a, n_b, u_a, u_b,
+    * rank_biserial_micro, z_milli)`; groups ordered lexicographically;
+    * exactly two groups required.
+    *
+    * 100 TB shape: the q211/q213 plan — distinct-value prefixSum, one
+    * join back, one two-row group rollup.
+    */
+  def mannWhitney(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .localCheckpoint()
+    val cnt = base.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val ranks = Ranks.prefixSum(cnt, Seq(col("__v")), Seq("__c"))
+      .select(col("__v"), expr("2 * __c_cum - __c + 1").as("__r2"))
+    val ties = cnt.agg(
+        sum(expr("cast(__c as decimal(38,0)) * __c * __c - __c")))
+      .collect()(0).getDecimal(0)
+    val g = base.join(ranks, Seq("__v"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("ng"),
+        sum(col("__r2").cast("decimal(38,0)")).as("r2g"))
+      .orderBy("__g")
+      .collect()
+    require(g.length == 2,
+      s"mannWhitney: exactly 2 groups required, got ${g.length}")
+    val (ga, gb) = (g(0).getString(0), g(1).getString(0))
+    val (na, nb) = (g(0).getLong(1), g(1).getLong(1))
+    // doubled rank sum → R_A = r2a/2 exactly (Σ doubled midranks over
+    // any subset of a full ranking is even iff ... it need not be even;
+    // keep everything DOUBLED: U2 = r2a − n_a(n_a+1) = 2·U_A exactly)
+    val r2a = BigInt(g(0).getDecimal(2).toBigInteger)
+    val r2b = BigInt(g(1).getDecimal(2).toBigInteger)
+    val u2a = r2a - BigInt(na) * (na + 1)
+    val u2b = r2b - BigInt(nb) * (nb + 1)
+    // directional rank-biserial (= Cliff's delta): 2U_A/(n_a·n_b) − 1,
+    // positive ⇒ group A stochastically larger; with doubled U that is
+    // (u2a − n_a·n_b)/(n_a·n_b). Sign-split so only positive values
+    // divide (BigInt truncates toward zero, SQL // floors; on positives
+    // they agree)
+    val rbNum = u2a - BigInt(na) * nb
+    val rbMicro =
+      if (rbNum >= 0) (rbNum * 1000000 / (BigInt(na) * nb)).toLong
+      else -((-rbNum) * 1000000 / (BigInt(na) * nb)).toLong
+    val n = na + nb
+    val tieD = new java.math.BigDecimal(ties.toBigInteger).doubleValue()
+    val zMilli: Option[Long] =
+      if (n < 2 || (n.toDouble * n * n - n) <= tieD) None
+      else {
+        val mu2 = na.toDouble * nb // mean of doubled U = n_a·n_b
+        val sig2x4 = na.toDouble * nb / 12.0 *
+          ((n + 1).toDouble - tieD / (n.toDouble * (n - 1))) * 4.0
+        if (sig2x4 <= 0) None
+        else Some(math.floor(
+          1000.0 * (u2a.toDouble - mu2) / math.sqrt(sig2x4)).toLong)
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, na, nb, u2a.toDouble / 2, u2b.toDouble / 2,
+        rbMicro, zMilli))
+      .toDF("grp_a", "grp_b", "n_a", "n_b", "u_a", "u_b",
+        "rank_biserial_micro", "z_milli")
+  }
+
   /** Kruskal–Wallis H — the rank-based one-way ANOVA, to [[anovaEta]]
     * what [[spearmanMatrix]] is to Pearson: does the DISTRIBUTION of a
     * numeric differ across categories, free of normality and outlier

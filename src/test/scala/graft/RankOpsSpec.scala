@@ -252,6 +252,31 @@ class RankOpsSpec extends SparkSuite {
     assert(out == Seq((1L, 2L)))
   }
 
+  test("mannWhitney: exact U, Cliff's delta, tie-corrected z by hand") {
+    // A{1,2} B{3,4}: A loses every pair → U_A = 0, delta = −1e6;
+    // z = −4/√(20/12·4... ) = −1.54919 → floor milli −1550
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))
+      .toDF("g", "v")
+    val out = Features.mannWhitney(df, "g", "v")
+      .select("grp_a", "grp_b", "n_a", "n_b", "u_a", "u_b",
+        "rank_biserial_micro", "z_milli")
+      .as[(String, String, Long, Long, Double, Double, Long, Option[Long])]
+      .collect().head
+    assert(out == (("A", "B", 2L, 2L, 0.0, 4.0, -1000000L, Some(-1550L))),
+      s"$out")
+    // tied crossing case: A{1,3} B{2,3}: pairs — (1<2),(1<3),(3>2),
+    // (3=3 half) → U_A = 1.5, delta = (3 − 4)/4 = −0.25
+    val t = Features.mannWhitney(
+        Seq(("A", 1.0), ("A", 3.0), ("B", 2.0), ("B", 3.0)).toDF("g", "v"),
+        "g", "v")
+      .select("u_a", "rank_biserial_micro")
+      .as[(Double, Long)].collect().head
+    assert(t == ((1.5, -250000L)), s"$t")
+    intercept[IllegalArgumentException] {
+      Features.mannWhitney(Seq(("A", 1.0)).toDF("g", "v"), "g", "v")
+    }
+  }
+
   test("kruskalWallis: hand H with and without ties") {
     // A{1,2} B{3,4}: ranks 1..4, ΣR²g/ng = 29 → H = 12/20·29 − 15 = 2.4;
     // in IEEE doubles 12·29/20 = 17.399999999999999, so the contractual
