@@ -6312,6 +6312,67 @@ object Queries {
             * 4.0))::BIGINT AS z_milli
       FROM u, tt"""))
 
+  /** Wilcoxon signed-rank on paired per-user metrics: micro-average
+    * view value vs click value for users with both — "does the same
+    * user value views and clicks differently?"
+    */
+  private val q215 = Q(
+    "q215_wilcoxon",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val per = raw
+        .filter(col("user_id").isNotNull && col("value").isNotNull &&
+          col("event_type").isNotNull)
+        .withColumn("__v", floor(col("value") * 1e6).cast("long"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "view", col("__v"))).as("sv"),
+          count(when(col("event_type") === "view", 1)).as("cv"),
+          sum(when(col("event_type") === "click", col("__v"))).as("sc"),
+          count(when(col("event_type") === "click", 1)).as("cc"))
+        .filter(col("cv") > 0 && col("cc") > 0)
+        .select(
+          expr("cast(sv div cv as double) / 1e6").as("a"),
+          expr("cast(sc div cc as double) / 1e6").as("b"))
+      Features.wilcoxonSignedRank(per, "a", "b")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+          floor(value * 1e6)::BIGINT v FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+          AND event_type IS NOT NULL),
+      p AS (SELECT user_id,
+          SUM(CASE WHEN event_type = 'view' THEN v END)::BIGINT sv,
+          COUNT(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT cv,
+          SUM(CASE WHEN event_type = 'click' THEN v END)::BIGINT sc,
+          COUNT(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT cc
+        FROM e GROUP BY 1),
+      d0 AS (SELECT (sv // cv) - (sc // cc) d FROM p
+        WHERE cv > 0 AND cc > 0),
+      nzc AS (SELECT COUNT(*) FILTER (WHERE d = 0)::BIGINT n_zero FROM d0),
+      nz AS (SELECT d, ABS(d) ad FROM d0 WHERE d <> 0),
+      c AS (SELECT ad, COUNT(*)::BIGINT c FROM nz GROUP BY 1),
+      r AS (SELECT ad, (2 * SUM(c) OVER (ORDER BY ad
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - c + 1)::BIGINT r2 FROM c),
+      tt AS (SELECT COALESCE(SUM(c::HUGEINT * c * c - c), 0)::HUGEINT t
+        FROM c),
+      s AS (SELECT COUNT(*)::BIGINT n,
+          COALESCE(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END), 0)::HUGEINT w2p
+        FROM nz JOIN r USING (ad))
+      SELECT s.n AS n_pairs, nzc.n_zero, (w2p::DOUBLE / 2) AS w_plus,
+        (CASE WHEN n = 0 THEN NULL
+          WHEN w2p * 2 - n::HUGEINT * (n + 1) >= 0 THEN
+            ((w2p * 2 - n::HUGEINT * (n + 1)) * 1000000
+              // (n::HUGEINT * (n + 1)))
+          ELSE -(((n::HUGEINT * (n + 1) - w2p * 2) * 1000000)
+                 // (n::HUGEINT * (n + 1))) END)::BIGINT
+          AS rank_biserial_micro,
+        CASE WHEN n > 0 THEN
+          floor(1000.0 * (w2p::DOUBLE - n::DOUBLE * (n + 1) / 2.0)
+            / sqrt(n::DOUBLE * (n + 1) * (2 * n + 1) / 6.0
+                   - tt.t::DOUBLE / 12.0))::BIGINT END AS z_milli
+      FROM s, nzc, tt"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6330,7 +6391,8 @@ object Queries {
     q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
-    q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214)
+    q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
+    q215)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -310,6 +310,77 @@ object Features {
              as long) end""").as("f_milli"))
   }
 
+  /** Wilcoxon signed-rank — the PAIRED slot of the rank-test family
+    * ([[mannWhitney]] compares two independent groups; this compares
+    * two measurements of the SAME unit: before/after a change, metric A
+    * vs metric B per user). Zero differences drop (the standard rule),
+    * |d| gets doubled tie-midranks, and the test reports the positive
+    * rank sum `W+`, the matched-pairs rank-biserial effect
+    * `(W+ − W−)/(W+ + W−)` — EXACT, one sign-split floor division —
+    * and the tie-corrected normal z (doubles, floored milli).
+    *
+    * Output (one row): `(n_pairs, n_zero, w_plus, rank_biserial_micro,
+    * z_milli)`; z NULL when n_pairs = 0 or σ² degenerates.
+    *
+    * 100 TB shape: one map-side pass to differences, the q211
+    * distinct-|d| prefixSum, one join back, one scalar rollup.
+    */
+  def wilcoxonSignedRank(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val base = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .withColumn("__d",
+        floor(col(aCol).cast("double") * 1e6).cast("long") -
+          floor(col(bCol).cast("double") * 1e6).cast("long"))
+      .select(col("__d"))
+      .localCheckpoint()
+    val nZero = base.filter(col("__d") === 0).count()
+    val nz = base.filter(col("__d") =!= 0)
+      .withColumn("__ad", abs(col("__d")))
+    val cnt = nz.groupBy(col("__ad")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val ranks = Ranks.prefixSum(cnt, Seq(col("__ad")), Seq("__c"))
+      .select(col("__ad"), expr("2 * __c_cum - __c + 1").as("__r2"))
+    val ties = cnt.agg(
+        sum(expr("cast(__c as decimal(38,0)) * __c * __c - __c")))
+      .collect()(0)
+    val tieD =
+      if (ties.isNullAt(0)) 0.0
+      else new java.math.BigDecimal(ties.getDecimal(0).toBigInteger)
+        .doubleValue()
+    val s = nz.join(ranks, Seq("__ad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__d") > 0, col("__r2")).otherwise(0L)
+          .cast("decimal(38,0)")).as("w2p"))
+      .collect()(0)
+    val n = s.getLong(0)
+    val w2p = if (n == 0) BigInt(0) else BigInt(s.getDecimal(1).toBigInteger)
+    // W+ + W− = n(n+1)/2 in standard ranks → doubled total = n(n+1)
+    val tot2 = BigInt(n) * (n + 1)
+    val rbNum = w2p * 2 - tot2 // (W+ − W−) doubled
+    val rbMicro: Option[Long] =
+      if (n == 0) None
+      else if (rbNum >= 0) Some((rbNum * 1000000 / tot2).toLong)
+      else Some(-((-rbNum) * 1000000 / tot2).toLong)
+    val zMilli: Option[Long] =
+      if (n == 0) None
+      else {
+        // doubled-scale variance: 4σ² = n(n+1)(2n+1)/6 − Σ(t³−t)/12
+        val sig2x4 = n.toDouble * (n + 1) * (2 * n + 1) / 6.0 - tieD / 12.0
+        if (sig2x4 <= 0) None
+        else Some(math.floor(1000.0 *
+          (w2p.toDouble - n.toDouble * (n + 1) / 2.0) /
+          math.sqrt(sig2x4)).toLong)
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, nZero, w2p.toDouble / 2, rbMicro, zMilli))
+      .toDF("n_pairs", "n_zero", "w_plus", "rank_biserial_micro",
+        "z_milli")
+  }
+
   /** Mann–Whitney U — the two-sample rank test (the A/B workhorse for
     * skewed metrics: revenue, latency, session length, where a t-test's
     * mean is one whale away from nonsense). From the shared doubled-

@@ -252,6 +252,24 @@ class RankOpsSpec extends SparkSuite {
     assert(out == Seq((1L, 2L)))
   }
 
+  test("wilcoxonSignedRank: hand W+, matched-pairs effect, zero drop") {
+    // diffs +3, −1, +2 (plus one zero pair, dropped): |d| ranks 3,1,2 →
+    // W+ = 5, rb = (5−1)/6 = 0.6666, z = 4/√14 → 1069 milli
+    val df = Seq((4.0, 1.0), (2.0, 3.0), (5.0, 3.0), (7.0, 7.0))
+      .toDF("a", "b")
+    val out = Features.wilcoxonSignedRank(df, "a", "b")
+      .select("n_pairs", "n_zero", "w_plus", "rank_biserial_micro",
+        "z_milli")
+      .as[(Long, Long, Double, Option[Long], Option[Long])].collect().head
+    assert(out == ((3L, 1L, 5.0, Some(666666L), Some(1069L))), s"$out")
+    // all-zero diffs: no pairs survive → NULL stats
+    val z = Features.wilcoxonSignedRank(
+      Seq((1.0, 1.0)).toDF("a", "b"), "a", "b")
+      .select("n_pairs", "rank_biserial_micro")
+      .collect().head
+    assert(z.getLong(0) == 0L && z.isNullAt(1))
+  }
+
   test("mannWhitney: exact U, Cliff's delta, tie-corrected z by hand") {
     // A{1,2} B{3,4}: A loses every pair → U_A = 0, delta = −1e6;
     // z = −4/√(20/12·4... ) = −1.54919 → floor milli −1550
