@@ -333,6 +333,17 @@ object ScaleCheck {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def mwTime(df: DataFrame, tag: String): Double = {
+      // the q214 shape: distinct-value prefixSum + join back + 2-row
+      // rollup — the whole rank-stats family rides this plan
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(when(pmod(col("user_id"), lit(2)) === 0, "a")
+          .otherwise("b").as("g"), col("value"))
+      val t0 = System.nanoTime()
+      graft.ops.Features.mannWhitney(base, "g", "value")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     def kmTime(df: DataFrame, tag: String): Double = {
       import graft.engine.EventTime
       // per-user lifespans (the q195 shape): the groupBy collapse is the
@@ -378,7 +389,8 @@ object ScaleCheck {
       ("cooccur", cooccurTime _), ("global_rank", globalRankTime _),
       ("qnorm", qnormTime _), ("theil_sen", theilSenTime _),
       ("km", kmTime _), ("disorder", disorderTime _),
-      ("kcore", kcoreTime _), ("rfm", rfmTime _)) if wanted(name)) {
+      ("kcore", kcoreTime _), ("rfm", rfmTime _),
+      ("mann_whitney", mwTime _)) if wanted(name)) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
