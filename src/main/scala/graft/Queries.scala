@@ -4905,10 +4905,20 @@ object Queries {
     "q176_ewma",
     (spark, dir) => {
       val raw = pq(spark, dir, "events")
+      // The op's decimal(38,0) ewma_num is internal exactness; the query
+      // emits the smoothed value itself — a weighted AVERAGE of int64
+      // micro values, so `ewma_micro = num div den` always fits a long.
+      // Sign-split before div: Spark div truncates, DuckDB // floors.
+      // (No DECIMAL/HUGEINT output columns: the gate's two readers
+      // convert them differently — float64 vs Decimal — and hash-split.)
       TimeSeries.ewmaPow2(
         raw.select(col("user_id"), col("event_id"),
           EventTime.epochMillis(raw, "ts").as("ts_ms"), col("value")),
         "user_id", "ts_ms", "event_id", "value", lookback = 8)
+        .withColumn("ewma_micro", expr(
+          """case when ewma_num >= 0 then ewma_num div ewma_den
+             else -((-ewma_num) div ewma_den) end"""))
+        .drop("ewma_num")
     },
     Some {
       val num = (0 to 8).map { k =>
@@ -4923,12 +4933,16 @@ object Queries {
       }.mkString(" + ")
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ts_ms,
           floor(value * 1e6)::BIGINT v FROM events
-        WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL)
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+      f AS (SELECT user_id, event_id, ts_ms, v,
+          ($num)::BIGINT num, ($den)::BIGINT den
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
       SELECT user_id, event_id, ts_ms, v AS v_micro,
-        ($num)::DECIMAL(38,0) AS ewma_num,
-        ($den)::BIGINT AS ewma_den
-      FROM e
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)"""
+        (CASE WHEN num >= 0 THEN num // den
+          ELSE -((-num) // den) END)::BIGINT AS ewma_micro,
+        den AS ewma_den
+      FROM f"""
     })
 
   /** Per-order anomaly attribution — which measure deviates most from
@@ -5358,8 +5372,12 @@ object Queries {
     */
   private val q189 = Q(
     "q189_ks_statistic",
+    // d_scaled is exact decimal(38,0) inside the op; emitted as DOUBLE
+    // (diagnostic — the statistic ks_micro stays exact int64). DECIMAL
+    // output columns hash-split across the gate's two readers.
     (spark, dir) => Eval.ksStatistic(pq(spark, dir, "events"),
-      "event_type", "value", "click", "view"),
+      "event_type", "value", "click", "view")
+      .withColumn("d_scaled", col("d_scaled").cast("double")),
     Some("""WITH c AS (SELECT v, SUM(ca)::BIGINT ca, SUM(cb)::BIGINT cb
           FROM (SELECT value v, 1 ca, 0 cb FROM events
               WHERE event_type = 'click' AND value IS NOT NULL
@@ -5372,7 +5390,7 @@ object Queries {
       d AS (SELECT v, abs(cuma::HUGEINT * t.n_b - cumb::HUGEINT * t.n_a) dd
         FROM w, t),
       m AS (SELECT MAX(dd) d_scaled FROM d)
-      SELECT t.n_a, t.n_b, m.d_scaled::DECIMAL(38,0) AS d_scaled,
+      SELECT t.n_a, t.n_b, m.d_scaled::DOUBLE AS d_scaled,
         (m.d_scaled * 1000000 //
           GREATEST(t.n_a::HUGEINT * t.n_b, 1))::BIGINT AS ks_micro,
         MAX(CASE WHEN d.dd = m.d_scaled THEN d.v END) AS at_value
@@ -6140,6 +6158,11 @@ object Queries {
         "user_id", "ts_ms", "event_id", "value",
         refMeanMicro = 50000000L, slackMicro = 5000000L,
         thresholdMicro = 200000000L)
+        // Prefix sums stay decimal(38,0) inside the op; the clamped
+        // statistic is bounded by rows_per_key·max|v−ref−slack| and fits
+        // int64 to ~1.6·10¹¹ events per key at these magnitudes. DECIMAL
+        // output columns hash-split across the gate's two readers.
+        .withColumn("s_micro", col("s_micro").cast("long"))
     },
     Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ts_ms,
           floor(value * 1e6)::BIGINT v FROM events
@@ -6156,7 +6179,7 @@ object Queries {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) runmin
         FROM p)
       SELECT user_id, event_id, ts_ms, v AS v_micro,
-        (prefix - LEAST(0::HUGEINT, runmin))::DECIMAL(38,0) AS s_micro,
+        (prefix - LEAST(0::HUGEINT, runmin))::BIGINT AS s_micro,
         ((prefix - LEAST(0::HUGEINT, runmin)) > 200000000) AS alarmed
       FROM m"""))
 
@@ -6246,8 +6269,12 @@ object Queries {
     */
   private val q213 = Q(
     "q213_kruskal_wallis",
+    // tie_sum is exact decimal(38,0) inside the op; emitted as DOUBLE
+    // (diagnostic — the statistic h_milli is already int64). DECIMAL
+    // output columns hash-split across the gate's two readers.
     (spark, dir) => Features.kruskalWallis(
-      pq(spark, dir, "orders"), "o_orderpriority", "o_totalprice"),
+      pq(spark, dir, "orders"), "o_orderpriority", "o_totalprice")
+      .withColumn("tie_sum", col("tie_sum").cast("double")),
     Some("""WITH b AS (SELECT o_orderpriority g2, o_totalprice::DOUBLE v
           FROM orders WHERE o_orderpriority IS NOT NULL
             AND o_totalprice IS NOT NULL),
@@ -6260,7 +6287,7 @@ object Queries {
         FROM b JOIN r USING (v) GROUP BY 1),
       s AS (SELECT SUM(ng)::BIGINT n, COUNT(*)::BIGINT k,
           SUM((r2g * r2g) // ng)::HUGEINT sq4 FROM gg)
-      SELECT n, k AS n_groups, tt.t::DECIMAL(38,0) AS tie_sum,
+      SELECT n, k AS n_groups, tt.t::DOUBLE AS tie_sum,
         CASE WHEN k >= 2 AND n >= 2
             AND n::DOUBLE * n * n - n > tt.t::DOUBLE THEN
           floor(1000.0 *

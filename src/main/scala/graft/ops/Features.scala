@@ -291,9 +291,17 @@ object Features {
         // be association-order-dependent; Spark's floor(double) and
         // `div` both return silently-wrapping BIGINTs; bare decimal `/`
         // ROUNDS at the result scale): subtracting the modulus first
-        // makes the division exact with no rounding anywhere. Exact
-        // while each group's |Σv_micro| < 1e19 — the int64-family bound
-        // every *_micro sum in this repo carries.
+        // makes the division exact with no rounding. TWO headroom
+        // bounds, both null-on-overflow (non-ANSI decimal), which the
+        // k≥2 gate cannot distinguish from a degenerate input:
+        //   product  sg² < 10³⁸           → |sg| < 10¹⁹
+        //   quotient sg²/ng < 10³²        → |sg| < 10¹⁶·√ng
+        // (Spark decimal division of (38,0)/(20,0) adjusts to
+        // decimal(38,6) — six digits go to the forced fractional scale,
+        // so the exact quotient gets 32 integer digits, not 38.) The
+        // quotient bound binds for groups under 10⁶ rows; either way
+        // |Σv_micro| per group must stay below ~10¹⁶·√ng — tighter than
+        // the repo's usual 1e19 int64-family line for small groups.
         sum(expr("""cast((sg * sg - (sg * sg) % ng) / ng
                     as decimal(38,0))""")).as("sb_raw"))
       .select(col("n"), col("k").as("n_groups"),
@@ -479,6 +487,12 @@ object Features {
     * the final H touches doubles, floored to milli. Against χ²(k−1):
     * H ≥ 5991 milli rejects at 5% for 3 groups.
     *
+    * Headroom (see [[anovaEta]]'s quotient note): R2g ≤ 2n², so the
+    * product R2g² stays inside decimal(38,0) to n ≈ 4·10⁹ rows, and the
+    * exact quotient R2g²/ng gets 32 integer digits from Spark's
+    * (38,6)-adjusted decimal division — both overflow to NULL (never a
+    * wrong number), at corpus sizes past ~10⁹ rows of one category.
+    *
     * Output: `(n, n_groups, tie_sum, h_milli)`; NULL H when k < 2 or
     * every value is identical (C = 0).
     *
@@ -498,9 +512,12 @@ object Features {
       .localCheckpoint()
     val ranks = Ranks.prefixSum(cnt, Seq(col("__v")), Seq("__c"))
       .select(col("__v"), expr("2 * __c_cum - __c + 1").as("__r2"))
-    val ties = cnt.agg(
+    val tiesRaw = cnt.agg(
       sum(expr("cast(__c as decimal(38,0)) * __c * __c - __c")).as("t"))
       .collect()(0).getDecimal(0)
+    // Empty input → SUM is NULL; treat as zero ties so the k≥2 gate
+    // below yields the documented degenerate one-row NULL, not an NPE.
+    val ties = if (tiesRaw == null) java.math.BigDecimal.ZERO else tiesRaw
     val g = base.join(ranks, Seq("__v"))
       .groupBy("__g")
       .agg(count(lit(1)).as("ng"),
