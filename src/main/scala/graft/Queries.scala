@@ -4427,10 +4427,16 @@ object Queries {
       pq(spark, dir, "part"), "p_partkey", "p_name",
       expr("concat(split(p_name, ' ')[1], '|', substring(p_name, 1, 1))"),
       maxDist = 3),
-    Some("""WITH t AS (SELECT p_partkey id, p_name txt,
+    // The hot-block anti-join is mirrored STRUCTURALLY (blocks over
+    // maxBlock=10000 rows are dropped on both sides), so the oracle
+    // encodes the operator's semantics rather than relying on no block
+    // crossing the cap at the tested scale factors.
+    Some("""WITH t0 AS (SELECT p_partkey id, p_name txt,
           split_part(p_name, ' ', 2) || '|' || substr(p_name, 1, 1) blk
         FROM part
         WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL),
+      keep AS (SELECT blk FROM t0 GROUP BY 1 HAVING COUNT(*) <= 10000),
+      t AS (SELECT t0.* FROM t0 JOIN keep USING (blk)),
       p AS (SELECT a.id id_a, b.id id_b,
           levenshtein(a.txt, b.txt) dist,
           GREATEST(length(a.txt), length(b.txt)) max_len
@@ -6358,10 +6364,16 @@ object Queries {
           sum(when(col("event_type") === "click", col("__v"))).as("sc"),
           count(when(col("event_type") === "click", 1)).as("cc"))
         .filter(col("cv") > 0 && col("cc") > 0)
+        // Per-user micro averages stay INTEGER end-to-end (no /1e6
+        // round-trip; a 1-ulp double wobble could floor to m−1).
+        // Sign-split before div on both sides: Spark div truncates,
+        // DuckDB // floors — they agree only on non-negative dividends.
         .select(
-          expr("cast(sv div cv as double) / 1e6").as("a"),
-          expr("cast(sc div cc as double) / 1e6").as("b"))
-      Features.wilcoxonSignedRank(per, "a", "b")
+          expr("""case when sv >= 0 then sv div cv
+                  else -((-sv) div cv) end""").as("a_micro"),
+          expr("""case when sc >= 0 then sc div cc
+                  else -((-sc) div cc) end""").as("b_micro"))
+      Features.wilcoxonSignedRankMicro(per, "a_micro", "b_micro")
     },
     Some("""WITH e AS (SELECT user_id, event_type,
           floor(value * 1e6)::BIGINT v FROM events
@@ -6373,8 +6385,10 @@ object Queries {
           SUM(CASE WHEN event_type = 'click' THEN v END)::BIGINT sc,
           COUNT(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT cc
         FROM e GROUP BY 1),
-      d0 AS (SELECT (sv // cv) - (sc // cc) d FROM p
-        WHERE cv > 0 AND cc > 0),
+      d0 AS (SELECT
+          (CASE WHEN sv >= 0 THEN sv // cv ELSE -((-sv) // cv) END)
+          - (CASE WHEN sc >= 0 THEN sc // cc ELSE -((-sc) // cc) END) d
+        FROM p WHERE cv > 0 AND cc > 0),
       nzc AS (SELECT COUNT(*) FILTER (WHERE d = 0)::BIGINT n_zero FROM d0),
       nz AS (SELECT d, ABS(d) ad FROM d0 WHERE d <> 0),
       c AS (SELECT ad, COUNT(*)::BIGINT c FROM nz GROUP BY 1),

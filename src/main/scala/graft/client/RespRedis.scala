@@ -63,11 +63,17 @@ final class RespRedisClient(
 
   /** One command round-trip with a single reconnect-and-retry on a broken
     * connection. Returns the reply payload (`null` for a RESP null bulk).
+    * Only TRANSPORT failures retry: a server `-ERR` reply is a
+    * [[RespErrorException]] and re-raises as-is — re-sending a command
+    * the server already rejected (and executed nothing for) would just
+    * repeat the refusal, and for a command that FAILED AFTER EXECUTING
+    * it would double-apply.
     */
   private def exchange(cmd: Seq[String]): String = {
     ensureConnected()
     try roundTrip(cmd)
     catch {
+      case e: RespErrorException => throw e
       case _: IOException =>
         close()
         ensureConnected()
@@ -125,7 +131,7 @@ final class RespRedisClient(
       case ':' => readLine()
       case '-' =>
         val err = readLine()
-        throw new IOException(s"redis error reply: $err")
+        throw new RespErrorException(s"redis error reply: $err")
       case '$' =>
         val n = readLine().toInt
         if (n < 0) null
@@ -147,21 +153,36 @@ final class RespRedisClient(
   }
 }
 
+/** A RESP `-ERR ...` reply — a SERVER decision, distinct from the
+  * transport IOExceptions that trigger reconnect-retry. Extends
+  * IOException so existing catch-alls still see it as an IO failure.
+  */
+final class RespErrorException(msg: String) extends IOException(msg)
+
 /** JVM-wide connection pool + the deployable provider binding. */
 object RespRedis {
 
   private val pool =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, String, Int), RespRedisClient]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Int, String, String, Int), RespRedisClient]()
 
-  /** One shared connection per (host, port, user, db) per JVM — provider
-    * calls are per-partition, the pool keeps the socket count per
-    * executor at one per endpoint.
+  private def sha256(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(UTF_8)).map("%02x".format(_)).mkString
+
+  /** One shared connection per (host, port, user, password, db) per JVM —
+    * provider calls are per-partition, the pool keeps the socket count
+    * per executor at one per endpoint. The password participates as a
+    * SHA-256 digest (never plaintext in the key): two sinks at the same
+    * endpoint with different credentials must NOT share one
+    * authenticated session — ACL users see different keyspaces.
     */
   def clientFor(s: RedisSink): RespRedisClient = {
     require(s.mode.equalsIgnoreCase("standalone"),
       s"RESP client supports standalone mode, got '${s.mode}' " +
         "(cluster mode needs slot routing — bind a cluster-aware provider)")
-    pool.computeIfAbsent((s.host, s.port, s.username, s.dbNum),
+    pool.computeIfAbsent(
+      (s.host, s.port, s.username, sha256(s.password), s.dbNum),
       _ => new RespRedisClient(s.host, s.port, s.username, s.password, s.dbNum))
   }
 

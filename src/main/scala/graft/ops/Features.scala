@@ -336,12 +336,28 @@ object Features {
   def wilcoxonSignedRank(
       df: DataFrame,
       aCol: String,
-      bCol: String): DataFrame = {
+      bCol: String): DataFrame =
+    wilcoxonSignedRankMicro(
+      df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select(floor(col(aCol).cast("double") * 1e6).cast("long").as("a"),
+          floor(col(bCol).cast("double") * 1e6).cast("long").as("b")),
+      "a", "b")
+
+  /** [[wilcoxonSignedRank]] over values ALREADY in integer micro units —
+    * the entry point for callers whose pairs come out of integer
+    * arithmetic (per-key micro averages, floor-divided sums): no
+    * double round-trip, so a 1-ulp wobble in `x/10⁶·10⁶` can never
+    * floor a paired difference down a unit. The double-typed overload
+    * floors once and delegates here.
+    */
+  def wilcoxonSignedRankMicro(
+      df: DataFrame,
+      aMicroCol: String,
+      bMicroCol: String): DataFrame = {
     val base = df
-      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .filter(col(aMicroCol).isNotNull && col(bMicroCol).isNotNull)
       .withColumn("__d",
-        floor(col(aCol).cast("double") * 1e6).cast("long") -
-          floor(col(bCol).cast("double") * 1e6).cast("long"))
+        col(aMicroCol).cast("long") - col(bMicroCol).cast("long"))
       .select(col("__d"))
       .localCheckpoint()
     val nZero = base.filter(col("__d") === 0).count()

@@ -451,6 +451,26 @@ class StoreSpec extends SparkSuite {
       try {
         assertThrows[java.io.IOException](bad.get("nsr:Alex:cost"))
       } finally bad.close()
+
+      // a server -ERR reply is a RespErrorException and is NOT retried
+      // on a fresh connection (only transport failures reconnect)
+      val ok = new RespRedisClient("127.0.0.1", server.port, "u1", "pw", 0)
+      try {
+        server.gets.set(0)
+        assertThrows[RespErrorException](ok.get("__boom__"))
+        assert(server.gets.get == 1,
+          s"-ERR must not re-send the command (sent ${server.gets.get}x)")
+      } finally ok.close()
+
+      // distinct credentials at one endpoint never share a pooled
+      // session: the password participates in the pool key (hashed)
+      val sinkA = RedisSink(host = "127.0.0.1", port = server.port,
+        username = "u1", password = "pw", dbNum = 2, namespace = "nsr")
+      assert(RespRedis.clientFor(sinkA) eq RespRedis.clientFor(sinkA),
+        "same credentials must pool to the same client")
+      assert(RespRedis.clientFor(sinkA) ne
+          RespRedis.clientFor(sinkA.copy(password = "other-pw")),
+        "different passwords must get separate clients")
     } finally {
       RedisClients.provider = old
       RespRedis.shutdown()
@@ -475,6 +495,7 @@ class MiniRespServer(requiredPassword: String) {
   private val data = new ConcurrentHashMap[String, String]()
   val sawAuth = new AtomicReference[String]("")
   val sawSelect = new AtomicInteger(-1)
+  val gets = new AtomicInteger(0)
   @volatile private var ss: ServerSocket = _
   @volatile private var running = false
 
@@ -547,7 +568,9 @@ class MiniRespServer(requiredPassword: String) {
             case "SET" =>
               data.put(s"$db ${args(1)}", args(2)); reply("+OK\r\n")
             case "GET" =>
-              reply(bulk(data.get(s"$db ${args(1)}")))
+              gets.incrementAndGet()
+              if (args(1) == "__boom__") reply("-ERR boom key rejected\r\n")
+              else reply(bulk(data.get(s"$db ${args(1)}")))
             case "PING" => reply("+PONG\r\n")
             case other => reply(s"-ERR unknown command '$other'\r\n")
           }
