@@ -6414,6 +6414,261 @@ object Queries {
                    - tt.t::DOUBLE / 12.0))::BIGINT END AS z_milli
       FROM s, nzc, tt"""))
 
+  /** Leave-one-out target encoding of order priority against total
+    * price — the leakage-safe row-level encoding (each order's value is
+    * excluded from its own category mean), m = 10 smoothing.
+    */
+  private val q216 = Q(
+    "q216_target_encode_loo",
+    (spark, dir) => Features.targetEncodeLoo(
+      pq(spark, dir, "orders"), "o_orderkey", "o_orderpriority",
+      "o_totalprice", m = 10L),
+    Some("""WITH b AS (SELECT o_orderkey id,
+          COALESCE(o_orderpriority, '__NULL__') category,
+          floor(o_totalprice * 1e6)::BIGINT tm
+        FROM orders WHERE o_totalprice IS NOT NULL
+          AND o_orderkey IS NOT NULL),
+      g AS (SELECT category, COUNT(*)::BIGINT n, SUM(tm)::BIGINT sum_micro
+        FROM b GROUP BY 1),
+      pr AS (SELECT (CASE WHEN SUM(sum_micro) >= 0
+            THEN SUM(sum_micro) // SUM(n)
+            ELSE -((-SUM(sum_micro)) // SUM(n)) END)::BIGINT prior_micro
+        FROM g)
+      SELECT id, category, n,
+        (CASE WHEN n - 1 + 10 = 0 THEN NULL
+          WHEN sum_micro - tm + 10 * prior_micro >= 0
+            THEN (sum_micro - tm + 10 * prior_micro) // (n - 1 + 10)
+          ELSE -((-(sum_micro - tm + 10 * prior_micro)) // (n - 1 + 10))
+          END)::BIGINT AS enc_loo_micro
+      FROM b JOIN g USING (category), pr"""))
+
+  /** Per-label embedding centroid geometry — exact integer centroids,
+    * norm and cosine-to-global-centroid per class.
+    */
+  private val q217 = Q(
+    "q217_class_centroids",
+    (spark, dir) => Similarity.classCentroids(
+      pq(spark, dir, "embeddings"), "vec_id", "embedding", "label"),
+    Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v
+          FROM embeddings WHERE label IS NOT NULL
+            AND embedding IS NOT NULL),
+      js AS (SELECT unnest(generate_series(1, 64)) j),
+      c AS (SELECT label, j - 1 AS dim, COUNT(*)::BIGINT n,
+          SUM(floor(v[j] * 1e6)::BIGINT)::BIGINT s
+        FROM e CROSS JOIN js GROUP BY 1, 2),
+      gg AS (SELECT dim, (CASE WHEN SUM(s) >= 0 THEN SUM(s) // SUM(n)
+            ELSE -((-SUM(s)) // SUM(n)) END)::BIGINT g
+        FROM c GROUP BY 1),
+      m AS (SELECT label, dim, n,
+          (CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END)::BIGINT m
+        FROM c),
+      agg AS (SELECT label, MAX(n)::BIGINT n, SUM(m * m)::BIGINT qa,
+          SUM(m * g)::BIGINT dot, SUM(g * g)::BIGINT qg
+        FROM m JOIN gg USING (dim) GROUP BY 1)
+      SELECT label, n,
+        floor(sqrt(qa::DOUBLE))::BIGINT AS norm_micro,
+        CASE WHEN qa > 0 AND qg > 0 THEN
+          floor(1000000.0 * dot::DOUBLE
+            / (sqrt(qa::DOUBLE) * sqrt(qg::DOUBLE)))::BIGINT
+        END AS cos_global_micro
+      FROM agg"""))
+
+  /** Wald SPRT per user on "value ≥ 50" outcomes over the event stream —
+    * H0 p=0.5 vs H1 p=0.6 at α=β=0.05; all four log literals hardcoded
+    * micro-nats, the walk itself exact integer prefix sums.
+    */
+  private val q218 = Q(
+    "q218_sprt",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      Features.sprtBernoulli(
+        raw.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            EventTime.epochMillis(raw, "ts").as("ts_ms"),
+            (col("value") >= 50.0).as("outcome")),
+        "user_id", "ts_ms", "event_id", "outcome",
+        llrPosMicro = 182321L,   // ⌊1e6·ln(0.6/0.5)⌋
+        llrNegMicro = -223144L,  // ⌊1e6·ln(0.4/0.5)⌋
+        upperMicro = 2944438L,   // ⌊1e6·ln(0.95/0.05)⌋
+        lowerMicro = -2944439L)  // ⌊1e6·ln(0.05/0.95)⌋
+        .withColumnRenamed("key", "user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ts_ms,
+          (value >= 50.0) outcome FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      p AS (SELECT user_id,
+          SUM(CASE WHEN outcome THEN 182321 ELSE -223144 END)
+            OVER w::BIGINT llr,
+          COUNT(*) OVER w::BIGINT step
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      f AS (SELECT user_id, COUNT(*)::BIGINT n_obs,
+          MAX_BY(llr, step) llr_final_micro,
+          MIN(CASE WHEN llr >= 2944438 OR llr <= -2944439
+            THEN step END)::BIGINT n_at_decision
+        FROM p GROUP BY 1)
+      SELECT f.user_id, f.n_obs, f.llr_final_micro,
+        CASE WHEN d.llr >= 2944438 THEN 'accept_h1'
+          WHEN d.llr <= -2944439 THEN 'accept_h0' END AS decision,
+        f.n_at_decision, d.llr AS llr_at_decision_micro
+      FROM f LEFT JOIN p d
+        ON d.user_id = f.user_id AND d.step = f.n_at_decision"""))
+
+  /** NDCG@10 of a deterministic pseudo-score ranking against value
+    * relevance per user — exact integer position-discounted gains on
+    * hardcoded log₂ literals.
+    */
+  private val q219 = Q(
+    "q219_ndcg",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      Eval.ndcgAtK(
+        raw.filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+            col("value").isNotNull)
+          .withColumn("score",
+            md5(concat(lit("s9|"), col("event_id").cast("string")))),
+        "user_id", "event_id", "score", "value", k = 10)
+        .withColumnRenamed("query", "user_id")
+    },
+    Some {
+      val weights = Eval.DcgWeightMicro.take(10).zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, ${w})" }.mkString(", ")
+      s"""WITH b AS (SELECT user_id, event_id,
+          GREATEST(floor(value * 1e6)::BIGINT, 0) rel,
+          md5('s9|' || event_id::VARCHAR) score
+        FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+          AND value IS NOT NULL),
+      w(i, wt) AS (VALUES $weights),
+      r AS (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY score DESC, event_id ASC) rs,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY rel DESC, event_id ASC) ri
+        FROM b),
+      d AS (SELECT r.user_id, r.rel,
+          COALESCE(ws.wt, 0)::BIGINT ws, COALESCE(wi.wt, 0)::BIGINT wi
+        FROM r LEFT JOIN w ws ON ws.i = r.rs
+          LEFT JOIN w wi ON wi.i = r.ri)
+      SELECT user_id, COUNT(*)::BIGINT n_items,
+        SUM(rel * ws)::BIGINT dcg_mm, SUM(rel * wi)::BIGINT idcg_mm,
+        CASE WHEN SUM(rel * wi) > 0 THEN
+          (SUM(rel * ws)::HUGEINT * 1000000 // SUM(rel * wi))::BIGINT
+        END AS ndcg_micro
+      FROM d GROUP BY 1"""
+    })
+
+  /** Reciprocal-rank fusion of two deterministic per-user top-20 event
+    * rankings — k0 = 60, exact integer contributions.
+    */
+  private val q220 = Q(
+    "q220_rrf",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val base = raw
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+        .select(col("user_id"), col("event_id"))
+      def ranking(salt: String): DataFrame = base
+        .withColumn("__s",
+          md5(concat(lit(salt), col("event_id").cast("string"))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("__s").asc, col("event_id").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("user_id"), col("event_id"), col("rank"))
+      Eval.reciprocalRankFusion(
+        ranking("rA|"), ranking("rB|"), "user_id", "event_id", "rank")
+        .withColumnRenamed("query", "user_id")
+        .withColumnRenamed("item", "event_id")
+    },
+    Some("""WITH b AS (SELECT user_id, event_id FROM events
+          WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+      ra AS (SELECT user_id, event_id, rank FROM (SELECT user_id, event_id,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY md5('rA|' || event_id::VARCHAR) ASC, event_id ASC)
+              rank FROM b) t WHERE rank <= 20),
+      rb AS (SELECT user_id, event_id, rank FROM (SELECT user_id, event_id,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY md5('rB|' || event_id::VARCHAR) ASC, event_id ASC)
+              rank FROM b) t WHERE rank <= 20),
+      f AS (SELECT COALESCE(ra.user_id, rb.user_id) user_id,
+          COALESCE(ra.event_id, rb.event_id) event_id,
+          ra.rank rank_a, rb.rank rank_b,
+          (COALESCE(1000000 // (60 + ra.rank), 0)
+            + COALESCE(1000000 // (60 + rb.rank), 0))::BIGINT rrf_micro
+        FROM ra FULL OUTER JOIN rb
+          ON ra.user_id = rb.user_id AND ra.event_id = rb.event_id)
+      SELECT user_id, event_id, rank_a::BIGINT rank_a, rank_b::BIGINT rank_b,
+        rrf_micro,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY rrf_micro DESC, event_id ASC)::INT fused_rank
+      FROM f"""))
+
+  /** Fuzzy train↔eval contamination over an 80/20 doc_id split —
+    * MinHash+LSH candidates across the boundary, exact-Jaccard-verified
+    * at 0.5, best match per contaminated eval doc.
+    */
+  private val q221 = Q(
+    "q221_contamination_fuzzy",
+    (spark, dir) => Dedup.crossSplitContamination(
+      pq(spark, dir, "documents")
+        .withColumn("split",
+          when(pmod(col("doc_id"), lit(10)) < 8, "train").otherwise("eval")),
+      "doc_id", "text", "split", "eval",
+      shingleLen = 3, numHashes = 16, bands = 4, threshold = 0.5),
+    Some("""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws
+          FROM documents),
+      sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS s
+        FROM (SELECT doc_id, ws,
+            unnest(generate_series(1, greatest(len(ws) - 2, 1))) g
+          FROM toks)),
+      hh AS (SELECT doc_id, md5(s) h FROM sh),
+      sig AS (SELECT doc_id, MIN(substr(h, 1, 15)) m0, MIN(substr(h, 2, 15)) m1,
+          MIN(substr(h, 3, 15)) m2, MIN(substr(h, 4, 15)) m3,
+          MIN(substr(h, 5, 15)) m4, MIN(substr(h, 6, 15)) m5,
+          MIN(substr(h, 7, 15)) m6, MIN(substr(h, 8, 15)) m7,
+          MIN(substr(h, 9, 15)) m8, MIN(substr(h, 10, 15)) m9,
+          MIN(substr(h, 11, 15)) m10, MIN(substr(h, 12, 15)) m11,
+          MIN(substr(h, 13, 15)) m12, MIN(substr(h, 14, 15)) m13,
+          MIN(substr(h, 15, 15)) m14, MIN(substr(h, 16, 15)) m15
+        FROM hh GROUP BY doc_id),
+      bands AS (SELECT doc_id, 0 band, md5(concat_ws('|', m0, m1, m2, m3)) bucket
+          FROM sig
+        UNION ALL SELECT doc_id, 1, md5(concat_ws('|', m4, m5, m6, m7)) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(concat_ws('|', m8, m9, m10, m11)) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(concat_ws('|', m12, m13, m14, m15)) FROM sig),
+      keepb AS (SELECT band, bucket FROM bands
+        GROUP BY 1, 2 HAVING COUNT(*) <= 10000),
+      capped AS (SELECT bands.* FROM bands JOIN keepb USING (band, bucket)),
+      cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM capped a
+        JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id),
+      cx AS (SELECT CASE WHEN id_a % 10 >= 8 THEN id_a ELSE id_b END eval_id,
+          CASE WHEN id_a % 10 >= 8 THEN id_b ELSE id_a END other_id
+        FROM cand
+        WHERE (id_a % 10 >= 8) <> (id_b % 10 >= 8)),
+      sz AS (SELECT doc_id, COUNT(*)::BIGINT sz FROM sh GROUP BY 1),
+      common AS (SELECT cx.eval_id, cx.other_id, COUNT(*)::BIGINT common
+        FROM cx JOIN sh sa ON sa.doc_id = cx.eval_id
+          JOIN sh sb ON sb.doc_id = cx.other_id AND sb.s = sa.s
+        GROUP BY 1, 2),
+      v AS (SELECT c.eval_id, c.other_id,
+          round(c.common::DOUBLE / (se.sz + so.sz - c.common), 4) jaccard
+        FROM common c JOIN sz se ON se.doc_id = c.eval_id
+          JOIN sz so ON so.doc_id = c.other_id),
+      flt AS (SELECT * FROM v WHERE jaccard >= 0.5),
+      best AS (SELECT eval_id, jaccard best_jaccard, other_id best_match_id
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id
+            ORDER BY jaccard DESC, other_id ASC) rn FROM flt) t
+        WHERE rn = 1)
+      SELECT f.eval_id, COUNT(*)::BIGINT n_matches,
+        MAX(b.best_jaccard) best_jaccard,
+        MAX(b.best_match_id)::BIGINT best_match_id
+      FROM flt f JOIN best b USING (eval_id)
+      GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6433,7 +6688,7 @@ object Queries {
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
-    q215)
+    q215, q216, q217, q218, q219, q220, q221)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -1097,4 +1097,5 @@ object Corpus {
             .as("orphan_micro"))
     }.reduce(_ unionByName _)
   }
+
 }

@@ -397,6 +397,80 @@ object Dedup {
     * not the document length squared. Texts join to candidates by id —
     * two hash joins, no corpus self-join.
     */
+  /** Fuzzy train↔eval contamination — [[contaminatedBy]] catches VERBATIM
+    * benchmark text in the corpus; this catches the near-duplicates that
+    * survive a paraphrase, whitespace churn, or a truncation: MinHash+LSH
+    * candidates across the split boundary, exact-Jaccard-verified, rolled
+    * up per eval-side document. The split-aware wrapper a "did our
+    * training set eat the test set" audit actually runs — within-split
+    * near-dups (train↔train) are someone else's problem and are filtered
+    * before the expensive verify.
+    *
+    * Output: one row per CONTAMINATED eval document —
+    * `(eval_id, n_matches, best_jaccard, best_match_id)`, best = highest
+    * rounded Jaccard, ties to the smallest matching id. Rounded-4dp
+    * threshold semantics as [[ngramJaccardPairs]].
+    *
+    * 100 TB shape: candidates come from [[minhashLshPairs]] (map-side
+    * signatures, bucket join, `maxBucket` skew cap — never all-pairs);
+    * the verify joins the candidate set to the distinct-shingle table by
+    * doc id (hash joins keyed on id, cost ∝ candidates · shingles/doc);
+    * the cross-split cut happens BEFORE the verify so within-split
+    * candidate mass never ships shingles.
+    */
+  def crossSplitContamination(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitCol: String,
+      evalSplit: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Long = 10000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold $threshold must lie in (0, 1]")
+    val splits = df.select(col(idCol).as("id"), col(splitCol).as("__split"))
+    val cand = minhashLshPairs(df, idCol, textCol, shingleLen, numHashes,
+      bands, maxBucket)
+      .join(splits.select(col("id").as("id_a"), col("__split").as("sp_a")), "id_a")
+      .join(splits.select(col("id").as("id_b"), col("__split").as("sp_b")), "id_b")
+      .filter((col("sp_a") === evalSplit) =!= (col("sp_b") === evalSplit))
+      .select(
+        when(col("sp_a") === evalSplit, col("id_a")).otherwise(col("id_b"))
+          .as("eval_id"),
+        when(col("sp_a") === evalSplit, col("id_b")).otherwise(col("id_a"))
+          .as("other_id"))
+    val sh = wordShingles(df, idCol, textCol, shingleLen).localCheckpoint(true)
+    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val common = cand
+      .join(sh.select(col("id").as("eval_id"), col("shingle")), "eval_id")
+      .join(sh.select(col("id").as("other_id"), col("shingle")),
+        Seq("other_id", "shingle"))
+      .groupBy(col("eval_id"), col("other_id"))
+      .agg(count(lit(1)).as("common"))
+    val verified = common
+      .join(sz.select(col("id").as("eval_id"), col("sz").as("sz_e")), "eval_id")
+      .join(sz.select(col("id").as("other_id"), col("sz").as("sz_o")), "other_id")
+      .withColumn("jaccard", round(
+        col("common").cast("double") /
+          (col("sz_e") + col("sz_o") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      // verified pairs are contamination-sized (small); checkpoint so the
+      // count rollup and the best-match window don't re-run the verify
+      .localCheckpoint(true)
+    val counts = verified.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_matches"))
+    val best = verified
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("eval_id"))
+        .orderBy(col("jaccard").desc, col("other_id").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("eval_id"), col("jaccard").as("best_jaccard"),
+        col("other_id").as("best_match_id"))
+    counts.join(best, "eval_id")
+  }
+
   def editVerifiedPairs(
       df: DataFrame,
       idCol: String,

@@ -508,4 +508,117 @@ object Eval {
       .select("bucket", "n", "n_pos", "cum_n", "cum_pos", "gain_micro",
         "lift_milli")
   }
+
+  /** `⌊10⁶/log₂(i+1)⌋` for ranks 1..20 — the DCG position discounts as
+    * hardcoded micro literals (log-law literal rule: runtime log2 in a
+    * hash contract is not engine-portable; these nine-digit constants
+    * are). Extend the table to raise the maximum k.
+    */
+  val DcgWeightMicro: Seq[Long] = Seq(
+    1000000L, 630929L, 500000L, 430676L, 386852L, 356207L, 333333L,
+    315464L, 301029L, 289064L, 278942L, 270238L, 262649L, 255958L,
+    250000L, 244650L, 239812L, 235408L, 231378L, 227670L)
+
+  /** NDCG@k per query — the ranking-quality yardstick for a retrieval or
+    * reranking stage (RAG chunk ranking, near-dup candidate ordering,
+    * search): how close the SCORE ordering gets to the best possible
+    * ordering of each query's own relevance mass, position-discounted so
+    * rank 1 matters most. Linear gains (`rel`, not `2^rel`), the
+    * convention for graded non-exponential labels.
+    *
+    * EXACT integer contract: relevance micro-floors per row (negatives
+    * clamp to 0 — standard NDCG is over non-negative gains); each
+    * position term is the int64 product `rel_micro · w_micro` (micro²
+    * units, no per-term floor, so `dcg ≤ idcg` holds exactly and
+    * `ndcg_micro ∈ [0, 10⁶]` always); ties break deterministically by
+    * item id on BOTH orderings. Bound: `k · max_rel_micro < 2⁶³/10⁶`
+    * (rel values to ~9·10¹¹ at k=10) — relevance is a label, not a sum,
+    * so corpus size never enters.
+    *
+    * Output: one row per query `(query, n_items, dcg_mm, idcg_mm,
+    * ndcg_micro)` — `*_mm` are the micro²-unit sums; NULL ndcg when the
+    * query has zero relevance mass in its top-k ideal (nothing to rank).
+    *
+    * 100 TB shape: two ROW_NUMBER passes over the SAME (query)-keyed
+    * window sort — Catalyst fuses them into one shuffle+sort per
+    * ordering (two total), each keyed by query id (millions of parallel
+    * groups, no global window); the finish is a map-side-combined
+    * groupBy(query).
+    */
+  def ndcgAtK(
+      df: DataFrame,
+      queryCol: String,
+      itemCol: String,
+      scoreCol: String,
+      relCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= DcgWeightMicro.size,
+      s"k $k must lie in [1, ${DcgWeightMicro.size}] (extend DcgWeightMicro)")
+    val wS = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(itemCol).asc)
+    val wI = Window.partitionBy(col(queryCol))
+      .orderBy(col("__rel").desc, col(itemCol).asc)
+    val weights = array(DcgWeightMicro.map(lit): _*)
+    val base = df
+      .filter(col(queryCol).isNotNull && col(itemCol).isNotNull &&
+        col(scoreCol).isNotNull)
+      .withColumn("__rel",
+        greatest(floor(coalesce(col(relCol).cast("double"), lit(0.0)) * 1e6)
+          .cast("long"), lit(0L)))
+      .withColumn("__rs", row_number().over(wS))
+      .withColumn("__ri", row_number().over(wI))
+      .withColumn("__ws",
+        when(col("__rs") <= k, element_at(weights, col("__rs"))).otherwise(0L))
+      .withColumn("__wi",
+        when(col("__ri") <= k, element_at(weights, col("__ri"))).otherwise(0L))
+    base.groupBy(col(queryCol).as("query"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("__rel") * col("__ws")).as("dcg_mm"),
+        sum(col("__rel") * col("__wi")).as("idcg_mm"))
+      .withColumn("ndcg_micro", expr(
+        """case when idcg_mm > 0 then
+           cast(dcg_mm as decimal(38,0)) * 1000000 div idcg_mm end"""))
+  }
+
+  /** Reciprocal-rank fusion of two rankings of the same candidate space
+    * — the zero-training way to combine retrieval signals (BM25 + dense
+    * cosine, recency + similarity): each list contributes
+    * `⌊10⁶/(k0 + rank)⌋` and absent items contribute nothing, so an
+    * item near the top of EITHER list surfaces. `k0 = 60` is the
+    * published default (Cormack et al.): it caps any single list's
+    * dominance.
+    *
+    * Integer contract: each contribution is one integer division of
+    * literals — exact; the fused order ties break by item id. Items
+    * missing from a list get rank ∞ (no contribution), the standard
+    * convention.
+    *
+    * Output: `(query, item, rank_a, rank_b, rrf_micro, fused_rank)` —
+    * rank_a/rank_b NULL where the item is absent from that list.
+    *
+    * 100 TB shape: one full-outer join on (query, item) of two
+    * already-ranked lists (each query-keyed, usually top-k-bounded so
+    * rows ≈ 2k per query), then one query-keyed ROW_NUMBER window —
+    * every shuffle carries the query key, no global sort.
+    */
+  def reciprocalRankFusion(
+      ranksA: DataFrame,
+      ranksB: DataFrame,
+      queryCol: String,
+      itemCol: String,
+      rankCol: String,
+      k0: Long = 60L): DataFrame = {
+    require(k0 >= 1, s"k0 $k0 must be >= 1")
+    val a = ranksA.select(col(queryCol).as("query"), col(itemCol).as("item"),
+      col(rankCol).cast("long").as("rank_a"))
+    val b = ranksB.select(col(queryCol).as("query"), col(itemCol).as("item"),
+      col(rankCol).cast("long").as("rank_b"))
+    val fused = a.join(b, Seq("query", "item"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 div ($k0 + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($k0 + rank_b)"), lit(0L)))
+    fused.withColumn("fused_rank",
+      row_number().over(Window.partitionBy(col("query"))
+        .orderBy(col("rrf_micro").desc, col("item").asc)))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Encodings that turn raw columns into model features — the last mile
@@ -48,6 +49,133 @@ object Features {
     perCat.crossJoin(broadcast(prior))
       .withColumn("enc_micro",
         expr(s"(sum_micro + ${m}L * prior_micro) div (n + ${m}L)"))
+  }
+
+  /** Leave-one-out target encoding — the LEAKAGE-SAFE row-level variant
+    * of [[targetEncode]]: each row's encoding is built from every OTHER
+    * row of its category, `enc_i = (Σ_cat t − t_i + m·prior)/(n_cat − 1
+    * + m)`, so a row never sees its own label (the classic
+    * memorize-the-target leak that makes full-fit encodings look great
+    * in training and collapse in production; reference's feature views
+    * have no answer to this — it's the train-time companion the
+    * serving-side [[targetEncode]] table needs). Smoothing `m` shrinks
+    * rare categories toward the global prior; singleton categories with
+    * `m = 0` have NO complement and encode NULL (loud, not prior-pretend).
+    *
+    * Exact integers: per-row micro-floored targets, category sums in
+    * int64 (|Σt_micro| per category < 2⁶³, the repo's 10¹³-row micro
+    * bound), one sign-split integer divide per row (div truncates
+    * toward zero in Spark, // floors in DuckDB; they agree on the
+    * non-negative operands the split produces).
+    *
+    * Output: one row per input row — `(id, category, n, enc_loo_micro)`
+    * with `n` the category count (including the row itself).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(category) to a
+    * cardinality-sized table, one broadcast prior row, and one
+    * category-keyed join back to the corpus (AQE broadcasts it when the
+    * cardinality is small); the corpus is read once and never
+    * re-shuffled except on the join key.
+    */
+  def targetEncodeLoo(
+      df: DataFrame,
+      idCol: String,
+      catCol: String,
+      targetCol: String,
+      m: Long): DataFrame = {
+    require(m >= 0, s"smoothing m $m must be >= 0")
+    val base = df.filter(col(targetCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("id"),
+        coalesce(col(catCol).cast("string"), lit("__NULL__")).as("category"),
+        floor(col(targetCol) * 1e6).cast("long").as("tm"))
+    val perCat = base.groupBy("category")
+      .agg(count(lit(1)).as("n"), sum("tm").as("sum_micro"))
+    val prior = perCat.agg(
+      expr("""case when sum(sum_micro) >= 0
+              then sum(sum_micro) div sum(n)
+              else -((-sum(sum_micro)) div sum(n)) end""").as("prior_micro"))
+    base.join(perCat, "category")
+      .crossJoin(broadcast(prior))
+      .withColumn("enc_loo_micro", expr(
+        s"""case when n - 1 + ${m}L = 0 then null
+            when sum_micro - tm + ${m}L * prior_micro >= 0
+            then (sum_micro - tm + ${m}L * prior_micro) div (n - 1 + ${m}L)
+            else -((-(sum_micro - tm + ${m}L * prior_micro))
+                   div (n - 1 + ${m}L)) end"""))
+      .select(col("id"), col("category"), col("n"), col("enc_loo_micro"))
+  }
+
+  /** Sequential probability ratio test (Wald's SPRT) over a Bernoulli
+    * outcome stream per key — the SEQUENTIAL member of the testing
+    * family ([[mannWhitney]]/[[kruskalWallis]] test a frozen sample;
+    * this decides DURING collection, with a guaranteed early stop):
+    * each observation adds its log-likelihood-ratio increment, and the
+    * walk's FIRST crossing of the upper/lower boundary accepts H1 /
+    * accepts H0 at the design error rates. The canary-analysis /
+    * guardrail-metric shape: "stop this experiment arm as soon as the
+    * evidence clears the bar", replayed deterministically over the
+    * event log.
+    *
+    * The caller supplies the four log literals in micro-nats
+    * (`llrPosMicro = ⌊10⁶·ln(p₁/p₀)⌋` etc.) — hardcoded at the call
+    * site per the log-law-literal rule, so NO runtime log sits in the
+    * hash contract; from there everything is exact integer prefix
+    * arithmetic: the walk is a cumulative sum of two literals, and the
+    * crossing step is a filtered MIN. Observations order by
+    * `(tsCol, tieCol)`; the boundary check is `≥ upper` / `≤ lower`
+    * AFTER the step lands (Wald's discrete-overshoot convention).
+    *
+    * Output: one row per key — `(key, n_obs, llr_final_micro, decision,
+    * n_at_decision, llr_at_decision_micro)`; `decision` is `accept_h1`,
+    * `accept_h0`, or NULL while the walk is still inside the
+    * boundaries (`n_at_decision`/`llr_at_decision` NULL with it).
+    *
+    * 100 TB shape: ONE (key)-keyed window sort builds the walk
+    * (millions of parallel keys, no global window), then one map-side-
+    * combined groupBy(key) reduces to the decision row — the stream is
+    * read once.
+    */
+  def sprtBernoulli(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      outcomeCol: String,
+      llrPosMicro: Long,
+      llrNegMicro: Long,
+      upperMicro: Long,
+      lowerMicro: Long): DataFrame = {
+    require(llrPosMicro > 0 && llrNegMicro < 0,
+      s"llr increments ($llrPosMicro, $llrNegMicro) must straddle zero " +
+        "(H1 must gain on successes and lose on failures)")
+    require(upperMicro > 0 && lowerMicro < 0,
+      s"boundaries ($upperMicro, $lowerMicro) must straddle zero")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .withColumn("__step",
+        when(col(outcomeCol).cast("boolean"), lit(llrPosMicro))
+          .otherwise(lit(llrNegMicro)))
+      .withColumn("__llr", sum(col("__step")).over(w))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__crossed",
+        col("__llr") >= upperMicro || col("__llr") <= lowerMicro)
+    walk.groupBy(col(keyCol).as("key"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        max(struct(col("__n"), col("__llr"))).getField("__llr")
+          .as("llr_final_micro"),
+        min(when(col("__crossed"), col("__n"))).as("n_at_decision"),
+        min(when(col("__crossed"), struct(col("__n"), col("__llr"))))
+          .getField("__llr").as("llr_at_decision_micro"))
+      .withColumn("decision",
+        when(col("llr_at_decision_micro") >= upperMicro, "accept_h1")
+          .when(col("llr_at_decision_micro") <= lowerMicro, "accept_h0"))
+      .select("key", "n_obs", "llr_final_micro", "decision",
+        "n_at_decision", "llr_at_decision_micro")
   }
 
   /** χ² independence test between two categorical columns, plus

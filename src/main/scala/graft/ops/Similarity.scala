@@ -928,4 +928,69 @@ object Similarity {
       issue.isNull.as("valid"),
       when(issue.isNull, round(sqrt(sumsq) * 1e6).cast("long")).as("l2_micro"))
   }
+
+  /** Per-class embedding centroid report — the geometry screen for a
+    * labeled embedding corpus (is a class collapsing to the origin? did
+    * this batch's class drift off the corpus mean?): per label, the
+    * exact integer-micro centroid's norm and its cosine to the GLOBAL
+    * centroid. A class whose centroid sits far from the global mean at
+    * high norm is a separated mode; cosine ≈ 1 at low norm is a class
+    * the embedding can't tell from the average — both are findings a
+    * mean-pooling consumer needs before training on the labels.
+    *
+    * Exactness: components micro-floor per row; per-(label, dim) sums
+    * are int64 (10¹³-row micro bound); centroid components are one
+    * sign-split integer divide each (components are SIGNED — div
+    * truncates, // floors, they only agree after the split); dot and
+    * norm² of the integer centroids are exact int64
+    * (dim · (10⁶·max|v|)² < 2⁶³ — fine to |v| ≈ 10³ at dim 1024);
+    * cosine is ONE fixed double expression of those exact integers,
+    * floored to micro.
+    *
+    * Output: one row per label `(label, n, norm_micro,
+    * cos_global_micro)`; cosine NULL for a zero centroid (no
+    * direction).
+    *
+    * 100 TB shape: posexplode fans each row to `dim` cells IN THE MAP
+    * STAGE and the groupBy(label, dim) combines them map-side, so the
+    * one shuffle carries |labels|·dim cells, not corpus·dim; the global
+    * centroid is a dim-row aggregate OF THE CELL TABLE (no second
+    * corpus pass), broadcast-joined back on dim.
+    */
+  def classCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val cells = df
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .withColumn("__c", floor(col("__x").cast("double") * 1e6).cast("long"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum("__c").as("s"))
+      .localCheckpoint()
+    val global = cells.groupBy(col("dim"))
+      .agg(sum("n").as("gn"), sum("s").as("gs"))
+      .withColumn("g", expr(
+        "case when gs >= 0 then gs div gn else -((-gs) div gn) end"))
+      .select(col("dim"), col("g"))
+    val comps = cells
+      .withColumn("m", expr(
+        "case when s >= 0 then s div n else -((-s) div n) end"))
+      .join(broadcast(global), "dim")
+    comps.groupBy(col("label"))
+      .agg(max(col("n")).as("n"),
+        sum(col("m") * col("m")).as("qa"),
+        sum(col("m") * col("g")).as("dot"),
+        sum(col("g") * col("g")).as("qg"))
+      .withColumn("norm_micro",
+        expr("cast(floor(sqrt(cast(qa as double))) as long)"))
+      .withColumn("cos_global_micro", expr(
+        """case when qa > 0 and qg > 0 then
+             cast(floor(1000000.0 * cast(dot as double)
+               / (sqrt(cast(qa as double)) * sqrt(cast(qg as double))))
+             as long) end"""))
+      .select("label", "n", "norm_micro", "cos_global_micro")
+  }
 }

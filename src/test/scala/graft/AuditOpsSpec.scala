@@ -50,6 +50,80 @@ class AuditOpsSpec extends SparkSuite {
     assert(small.toSeq == Seq(7))
   }
 
+  test("sprtBernoulli stops at the first boundary crossing, exactly") {
+    import graft.ops.Features
+    val spark2 = spark
+    import spark2.implicits._
+    // llr +3/-2, boundaries +7/-7. Key A: T T T (3,6,9) crosses up at
+    // step 3; later rows must not move the decision. Key B: F F F F
+    // (-2,-4,-6,-8) crosses down at step 4. Key C: T F (3,1) never
+    // crosses.
+    val rows = Seq(
+      ("A", 1L, true), ("A", 2L, true), ("A", 3L, true), ("A", 4L, false),
+      ("B", 1L, false), ("B", 2L, false), ("B", 3L, false), ("B", 4L, false),
+      ("C", 1L, true), ("C", 2L, false))
+    val out = Features.sprtBernoulli(
+      rows.toDF("k", "t", "o").withColumn("tie", col("t")),
+      "k", "t", "tie", "o",
+      llrPosMicro = 3L, llrNegMicro = -2L, upperMicro = 7L, lowerMicro = -7L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_obs"), r.getAs[Long]("llr_final_micro"),
+          Option(r.getAs[String]("decision")),
+          Option(r.getAs[Any]("n_at_decision")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("llr_at_decision_micro"))
+            .map(_.asInstanceOf[Long]))).toMap
+    assert(out("A") == ((4L, 7L, Some("accept_h1"), Some(3L), Some(9L))))
+    assert(out("B") == ((4L, -8L, Some("accept_h0"), Some(4L), Some(-8L))))
+    assert(out("C") == ((2L, 1L, None, None, None)))
+  }
+
+  test("classCentroids: exact integer centroids, cosine to the global mean") {
+    import graft.ops.Similarity
+    val spark2 = spark
+    import spark2.implicits._
+    // label x: (1,0),(3,0) → centroid (2e6, 0); label y: (0,2) →
+    // centroid (0, 2e6). Global over 3 rows: ((1+3)/3, 2/3) →
+    // (1333333, 666666) micro.
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), "x"), (2L, Seq(3.0f, 0.0f), "x"),
+      (3L, Seq(0.0f, 2.0f), "y"))
+      .toDF("id", "vec", "label")
+    val out = Similarity.classCentroids(df, "id", "vec", "label")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("norm_micro"),
+          r.getAs[Long]("cos_global_micro"))).toMap
+    assert(out("x")._1 == 2L && out("y")._1 == 1L)
+    assert(out("x")._2 == 2000000L && out("y")._2 == 2000000L)
+    val g = (1333333.0, 666666.0)
+    val gn = math.sqrt(g._1 * g._1 + g._2 * g._2)
+    val cx = math.floor(1e6 * (2e6 * g._1) / (2e6 * gn)).toLong
+    val cy = math.floor(1e6 * (2e6 * g._2) / (2e6 * gn)).toLong
+    assert(out("x")._3 == cx && out("y")._3 == cy)
+  }
+
+  test("crossSplitContamination reports only cross-split near-dups") {
+    import graft.ops.Dedup
+    val spark2 = spark
+    import spark2.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, text, "train"),            // near-dup of the eval doc
+      (2L, text + " extra", "train"), // also similar
+      (3L, text, "eval"),
+      (4L, text, "train"),            // train↔train dup: must NOT appear
+      (5L, "totally different words entirely unrelated content here now", "eval"))
+      .toDF("doc_id", "text", "split")
+    val out = Dedup.crossSplitContamination(
+      df, "doc_id", "text", "split", "eval", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("best_jaccard"), r.getLong(3)))
+    assert(out.length == 1, s"only the eval doc may be reported: ${out.toSeq}")
+    val (evalId, n, bj, best) = out.head
+    assert(evalId == 3L && n >= 2)
+    assert(bj == 1.0 && (best == 1L || best == 4L) && best == 1L,
+      s"best must be the identical doc with the smallest id, got $best")
+  }
+
   test("sortedNeighborPairs pairs each row with its next w-1 sort neighbors, exactly") {
     // sort by key: ids 3(aa) < 1(ab) < 4(ac) < 2(zz); window 3
     val df = Seq((1L, "ab"), (2L, "zz"), (3L, "aa"), (4L, "ac")).toDF("id", "k")

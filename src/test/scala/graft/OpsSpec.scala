@@ -3370,4 +3370,80 @@ class OpsSpec extends SparkSuite {
     assert(r.getAs[Long]("n_cur") == 100L, "clamped rows must all be counted")
     assert(r.getAs[Boolean]("drifted"))
   }
+
+  test("targetEncodeLoo excludes each row's own target from its encoding") {
+    import graft.ops.Features
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "b", 10.0))
+      .toDF("id", "cat", "y")
+    // m = 0: pure leave-one-out means; the singleton has no complement
+    val loo = Features.targetEncodeLoo(df, "id", "cat", "y", m = 0L)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[Any]("enc_loo_micro")).map(_.asInstanceOf[Long])).toMap
+    assert(loo(1L).contains(2500000L)) // (2+3)/2
+    assert(loo(2L).contains(2000000L)) // (1+3)/2
+    assert(loo(3L).contains(1500000L)) // (1+2)/2
+    assert(loo(4L).isEmpty, "singleton category with m=0 must encode NULL")
+    // m = 2: the singleton collapses exactly to the prior
+    // prior = (1+2+3+10)/4 = 4 → enc(4) = (0 + 2·4e6)/(0 + 2) = prior
+    val sm = Features.targetEncodeLoo(df, "id", "cat", "y", m = 2L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("enc_loo_micro")).toMap
+    assert(sm(4L) == 4000000L)
+    // and a leaked full-fit mean would be 10 — LOO must not equal it
+    assert(sm(4L) != 10000000L)
+  }
+
+  test("ndcgAtK: perfect ranking scores 1e6, exact worst-case by hand") {
+    import graft.ops.Eval
+    val spark2 = spark
+    import spark2.implicits._
+    // rels 3,2,1; score aligned with rel → perfect; query q2 reversed
+    val df = Seq(
+      ("q1", 1L, 30, 3.0), ("q1", 2L, 20, 2.0), ("q1", 3L, 10, 1.0),
+      ("q2", 1L, 10, 3.0), ("q2", 2L, 20, 2.0), ("q2", 3L, 30, 1.0))
+      .toDF("q", "item", "score", "rel")
+    val out = Eval.ndcgAtK(df, "q", "item", "score", "rel", k = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("dcg_mm"), r.getAs[Long]("idcg_mm"),
+          r.getAs[Long]("ndcg_micro"))).toMap
+    val w = Eval.DcgWeightMicro
+    val ideal = 3000000L * w(0) + 2000000L * w(1) + 1000000L * w(2)
+    assert(out("q1") == ((ideal, ideal, 1000000L)))
+    val worst = 1000000L * w(0) + 2000000L * w(1) + 3000000L * w(2)
+    assert(out("q2")._1 == worst && out("q2")._2 == ideal)
+    assert(out("q2")._3 == worst * 1000000L / ideal)
+  }
+
+  test("ndcgAtK clamps negative relevance and cuts at k") {
+    import graft.ops.Eval
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      ("q", 1L, 30, -5.0), ("q", 2L, 20, 4.0), ("q", 3L, 10, 1.0))
+      .toDF("q", "item", "score", "rel")
+    val r = Eval.ndcgAtK(df, "q", "item", "score", "rel", k = 2).collect()(0)
+    val w = Eval.DcgWeightMicro
+    // actual order: item1(rel 0), item2(rel 4), item3 OUTSIDE k=2
+    assert(r.getAs[Long]("dcg_mm") == 4000000L * w(1))
+    // ideal order: rel 4, rel 1
+    assert(r.getAs[Long]("idcg_mm") == 4000000L * w(0) + 1000000L * w(1))
+  }
+
+  test("reciprocalRankFusion: exact contributions, absent items score one list") {
+    import graft.ops.Eval
+    val spark2 = spark
+    import spark2.implicits._
+    val ra = Seq(("q", "x", 1), ("q", "y", 2)).toDF("q", "item", "rank")
+    val rb = Seq(("q", "x", 2), ("q", "z", 1)).toDF("q", "item", "rank")
+    val out = Eval.reciprocalRankFusion(ra, rb, "q", "item", "rank")
+      .collect().map(r => r.getString(1) ->
+        (r.getAs[Long]("rrf_micro"), r.getAs[Int]("fused_rank"))).toMap
+    // x: 1e6/61 + 1e6/62 = 16393 + 16129
+    assert(out("x") == ((16393L + 16129L, 1)))
+    // z: only list b rank 1 → 16393; y: only list a rank 2 → 16129
+    assert(out("z") == ((16393L, 2)))
+    assert(out("y") == ((16129L, 3)))
+  }
 }

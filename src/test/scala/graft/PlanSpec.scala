@@ -453,6 +453,52 @@ class PlanSpec extends SparkSuite {
       s"boilerplate join-back is not broadcast:\n$plan")
   }
 
+  test("loo target encoding: one category collapse + one keyed join back") {
+    val plan = Queries.all.find(_.name == "q216_target_encode_loo").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    // groupBy(category) + the join back on category + the one-row prior
+    // broadcast; anything past 3 exchanges means the corpus started
+    // re-shuffling for the cardinality-sized encoding table
+    assert(shuffles(plan) <= 3,
+      s"q216 shuffle count grew to ${shuffles(plan)}:\n$plan")
+    assert(plan.toString.contains("Broadcast"),
+      s"q216 lost the broadcast prior:\n$plan")
+  }
+
+  test("sprt: the walk and its decision rollup share one key exchange") {
+    val plan = Queries.all.find(_.name == "q218_sprt").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    // window partitionBy(user) then groupBy(user): the aggregation must
+    // reuse the window's hash partitioning, not add its own exchange
+    assert(shuffles(plan) <= 1,
+      s"q218 must run on ONE user-keyed exchange, got ${shuffles(plan)}:\n$plan")
+  }
+
+  test("ndcg: two keyed window sorts, rollup reuses the partitioning") {
+    val plan = Queries.all.find(_.name == "q219_ndcg").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    // both ROW_NUMBER orderings partition by the query key; the groupBy
+    // rides the same exchange — only the sort differs
+    assert(shuffles(plan) <= 1,
+      s"q219 shuffle count grew to ${shuffles(plan)}:\n$plan")
+  }
+
+  test("fuzzy contamination: bucket cap stays an anti-join, rollup is checkpoint-bounded") {
+    // the final checkpoint truncates lineage, so the cap is asserted on
+    // the candidate generator the op delegates to…
+    val candPlan = graft.ops.Dedup.minhashLshPairs(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan
+    assert(candPlan.toString.contains("LeftAnti"),
+      s"minhashLshPairs lost the maxBucket hot-bucket cap:\n$candPlan")
+    // …and the emitted rollup must stay small: the count aggregate and
+    // the best-match window over the verified-pairs checkpoint
+    val plan = Queries.all.find(_.name == "q221_contamination_fuzzy").get
+      .build(spark, sfDir).queryExecution.executedPlan
+    assert(shuffles(plan) <= 3,
+      s"q221 rollup shuffle count grew to ${shuffles(plan)}:\n$plan")
+  }
+
   test("partition filters prune hive-layout scans; data filters push down") {
     // the 100 TB read path: a time/source-partitioned corpus must show the
     // predicate as a PartitionFilter (directory pruning, no file touched)
