@@ -6560,51 +6560,34 @@ object Queries {
       FROM d GROUP BY 1"""
     })
 
-  /** Reciprocal-rank fusion of two deterministic per-user top-20 event
-    * rankings — k0 = 60, exact integer contributions.
+  /** Hill tail-index of document lengths — top-100 tail, exact floored
+    * log-micro terms, Pareto α in milli.
     */
   private val q220 = Q(
-    "q220_rrf",
-    (spark, dir) => {
-      val raw = pq(spark, dir, "events")
-      val base = raw
-        .filter(col("user_id").isNotNull && col("event_id").isNotNull)
-        .select(col("user_id"), col("event_id"))
-      def ranking(salt: String): DataFrame = base
-        .withColumn("__s",
-          md5(concat(lit(salt), col("event_id").cast("string"))))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("user_id"))
-            .orderBy(col("__s").asc, col("event_id").asc)))
-        .filter(col("rank") <= 20)
-        .select(col("user_id"), col("event_id"), col("rank"))
-      Eval.reciprocalRankFusion(
-        ranking("rA|"), ranking("rB|"), "user_id", "event_id", "rank")
-        .withColumnRenamed("query", "user_id")
-        .withColumnRenamed("item", "event_id")
-    },
-    Some("""WITH b AS (SELECT user_id, event_id FROM events
-          WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
-      ra AS (SELECT user_id, event_id, rank FROM (SELECT user_id, event_id,
-            ROW_NUMBER() OVER (PARTITION BY user_id
-              ORDER BY md5('rA|' || event_id::VARCHAR) ASC, event_id ASC)
-              rank FROM b) t WHERE rank <= 20),
-      rb AS (SELECT user_id, event_id, rank FROM (SELECT user_id, event_id,
-            ROW_NUMBER() OVER (PARTITION BY user_id
-              ORDER BY md5('rB|' || event_id::VARCHAR) ASC, event_id ASC)
-              rank FROM b) t WHERE rank <= 20),
-      f AS (SELECT COALESCE(ra.user_id, rb.user_id) user_id,
-          COALESCE(ra.event_id, rb.event_id) event_id,
-          ra.rank rank_a, rb.rank rank_b,
-          (COALESCE(1000000 // (60 + ra.rank), 0)
-            + COALESCE(1000000 // (60 + rb.rank), 0))::BIGINT rrf_micro
-        FROM ra FULL OUTER JOIN rb
-          ON ra.user_id = rb.user_id AND ra.event_id = rb.event_id)
-      SELECT user_id, event_id, rank_a::BIGINT rank_a, rank_b::BIGINT rank_b,
-        rrf_micro,
-        ROW_NUMBER() OVER (PARTITION BY user_id
-          ORDER BY rrf_micro DESC, event_id ASC)::INT fused_rank
-      FROM f"""))
+    "q220_tail_index",
+    (spark, dir) => Corpus.hillTailIndex(
+      pq(spark, dir, "documents"), "doc_id", "n_chars", k = 100),
+    Some("""WITH pos AS (SELECT doc_id,
+          floor(n_chars * 1e6)::BIGINT v FROM documents
+        WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+          AND floor(n_chars * 1e6) > 0),
+      top AS (SELECT v, ROW_NUMBER() OVER
+          (ORDER BY v DESC, doc_id ASC) rn
+        FROM (SELECT * FROM pos ORDER BY v DESC, doc_id ASC LIMIT 101) t),
+      th AS (SELECT v AS x_threshold_micro FROM top WHERE rn = 101),
+      s AS (SELECT COUNT(*)::BIGINT n_tail,
+          SUM(floor(ln(v::DOUBLE) * 1e6)::BIGINT)::BIGINT lsum
+        FROM top WHERE rn <= 100),
+      n AS (SELECT COUNT(*)::BIGINT n_total FROM pos),
+      h AS (SELECT n.n_total, s.n_tail, th.x_threshold_micro,
+          ((s.lsum - s.n_tail *
+            floor(ln(th.x_threshold_micro::DOUBLE) * 1e6)::BIGINT)
+           // s.n_tail)::BIGINT hill_micro
+        FROM s, th, n)
+      SELECT n_total, n_tail, x_threshold_micro, hill_micro,
+        (CASE WHEN hill_micro > 0
+          THEN 1000000000 // hill_micro END)::BIGINT AS alpha_milli
+      FROM h"""))
 
   /** Fuzzy train↔eval contamination over an 80/20 doc_id split —
     * MinHash+LSH candidates across the boundary, exact-Jaccard-verified
@@ -6669,6 +6652,61 @@ object Queries {
       FROM flt f JOIN best b USING (eval_id)
       GROUP BY 1"""))
 
+  /** Int8 scalar-quantization audit of the embedding corpus — per-dim
+    * min/max grid, half-up integer codes, exact reconstruction error.
+    */
+  private val q222 = Q(
+    "q222_sq8_audit",
+    (spark, dir) => Similarity.sqQuantizeAudit(
+      pq(spark, dir, "embeddings"), "vec_id", "embedding"),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+          WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+      js AS (SELECT unnest(generate_series(1, 64)) j),
+      c AS (SELECT j - 1 AS dim, floor(v[j] * 1e6)::BIGINT c
+        FROM e CROSS JOIN js),
+      b AS (SELECT dim, MIN(c) min_micro, MAX(c) max_micro,
+          (MAX(c) - MIN(c))::BIGINT rng FROM c GROUP BY 1),
+      q AS (SELECT c.dim, c.c, b.min_micro, b.max_micro, b.rng,
+          CASE WHEN b.rng = 0 THEN 0
+            ELSE (2 * 255 * (c.c - b.min_micro) + b.rng)
+              // (2 * b.rng) END AS code
+        FROM c JOIN b USING (dim)),
+      r AS (SELECT dim, c, min_micro, max_micro,
+          CASE WHEN rng = 0 THEN min_micro
+            ELSE min_micro + (2 * code * rng + 255) // (2 * 255)
+            END AS recon
+        FROM q)
+      SELECT dim, COUNT(*)::BIGINT n,
+        MIN(min_micro)::BIGINT min_micro, MAX(max_micro)::BIGINT max_micro,
+        (SUM(abs(c - recon)) // COUNT(*))::BIGINT mean_abs_err_micro,
+        MAX(abs(c - recon))::BIGINT max_abs_err_micro
+      FROM r GROUP BY 1"""))
+
+  /** Mixture plan over document sources — 40/40/20 target weights at a
+    * 10M-token (char-proxy) budget; exact integer allocations and
+    * repeat factors.
+    */
+  private val q223 = Q(
+    "q223_mixture_plan",
+    (spark, dir) => Packing.mixturePlan(
+      pq(spark, dir, "documents"), "source", "n_chars",
+      weights = Seq(("src0", 40L), ("src1", 40L), ("src2", 20L)),
+      tokenBudget = 10000000L),
+    Some("""WITH a AS (SELECT source, COUNT(*)::BIGINT n_docs,
+          SUM(n_chars)::BIGINT tokens_available
+        FROM documents WHERE source IS NOT NULL GROUP BY 1),
+      w(source, w) AS (VALUES ('src0', 40), ('src1', 40), ('src2', 20))
+      SELECT a.source, n_docs, tokens_available,
+        (w * 1000000 // 100)::BIGINT weight_micro,
+        (10000000::HUGEINT * w // 100)::BIGINT tokens_target,
+        ((10000000::HUGEINT * w // 100) * 1000000
+          // GREATEST(tokens_available, 1))::BIGINT sample_rate_micro,
+        ((10000000::HUGEINT * w // 100) * 1000
+          // GREATEST(tokens_available, 1))::BIGINT epochs_milli,
+        LEAST((10000000::HUGEINT * w // 100)::BIGINT, tokens_available)
+          AS tokens_taken_norepeat
+      FROM a JOIN w USING (source)"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6688,7 +6726,7 @@ object Queries {
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
-    q215, q216, q217, q218, q219, q220, q221)
+    q215, q216, q217, q218, q219, q220, q221, q222, q223)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

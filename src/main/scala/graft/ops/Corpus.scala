@@ -1098,4 +1098,63 @@ object Corpus {
     }.reduce(_ unionByName _)
   }
 
+  /** Hill tail-index estimator — how heavy is this distribution's upper
+    * tail: over the k largest positive values,
+    * `hill = (1/k)·Σ ln(x_i/x_{k+1})`, with `α ≈ 1/hill` the Pareto
+    * exponent. α ≤ 1 means the MEAN is infinite (one mega-document per
+    * shard decides every average); α ≤ 2 means the variance is — the
+    * difference between "cap outliers" and "shard by size" as the fix.
+    * The quantitative sequel to [[profile]]'s min/max: max tells you the
+    * tail exists, Hill tells you how fast it keeps growing with corpus
+    * size.
+    *
+    * Determinism: values micro-floor FIRST; each ln term is
+    * `⌊10⁶·ln(v_micro)⌋` of an exact integer — the one-libm-call-per-row
+    * pattern [[psi]] established (the additive ln 10⁶ cancels in the
+    * ratio); the mean and α are integer divisions. Deterministic
+    * tie-break (value desc, id asc). Fewer than k+1 positive values →
+    * EMPTY output (a tail index over nothing would be noise pretending).
+    *
+    * Output (one row): `(n_total, n_tail, x_threshold_micro, hill_micro,
+    * alpha_milli)` — α NULL if hill = 0 (all top-k equal the threshold).
+    *
+    * 100 TB shape: `orderBy(...).limit(k+1)` compiles to
+    * TakeOrderedAndProject — per-partition top-(k+1) then a driver-side
+    * merge of partition tops, k-bounded, NO global sort (PlanSpec locks
+    * the operator); the window that ranks the surviving k+1 rows runs on
+    * a (k+1)-row table.
+    */
+  def hillTailIndex(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 100000, s"k $k out of [2, 100000]")
+    val pos = df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .withColumn("__v", floor(col(valueCol).cast("double") * 1e6).cast("long"))
+      .filter(col("__v") > 0)
+      .select(col(idCol).as("__id"), col("__v"))
+    val tot = pos.agg(count(lit(1)).as("n_total"))
+    val top = pos.orderBy(col("__v").desc, col("__id").asc).limit(k + 1)
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__v").desc, col("__id").asc)))
+    val thr = top.filter(col("__rn") === k + 1)
+      .select(col("__v").as("x_threshold_micro"))
+    top.filter(col("__rn") <= k)
+      .crossJoin(broadcast(thr)) // empty thr (< k+1 values) → empty output
+      .groupBy(col("x_threshold_micro"))
+      .agg(count(lit(1)).as("n_tail"),
+        sum(expr("cast(floor(log(cast(__v as double)) * 1e6) as long)"))
+          .as("__lsum"))
+      .crossJoin(broadcast(tot))
+      .withColumn("hill_micro", expr(
+        """(__lsum - n_tail *
+           cast(floor(log(cast(x_threshold_micro as double)) * 1e6) as long))
+           div n_tail"""))
+      .withColumn("alpha_milli",
+        expr("case when hill_micro > 0 then 1000000000 div hill_micro end"))
+      .select("n_total", "n_tail", "x_threshold_micro", "hill_micro",
+        "alpha_milli")
+  }
 }

@@ -580,45 +580,4 @@ object Eval {
            cast(dcg_mm as decimal(38,0)) * 1000000 div idcg_mm end"""))
   }
 
-  /** Reciprocal-rank fusion of two rankings of the same candidate space
-    * — the zero-training way to combine retrieval signals (BM25 + dense
-    * cosine, recency + similarity): each list contributes
-    * `⌊10⁶/(k0 + rank)⌋` and absent items contribute nothing, so an
-    * item near the top of EITHER list surfaces. `k0 = 60` is the
-    * published default (Cormack et al.): it caps any single list's
-    * dominance.
-    *
-    * Integer contract: each contribution is one integer division of
-    * literals — exact; the fused order ties break by item id. Items
-    * missing from a list get rank ∞ (no contribution), the standard
-    * convention.
-    *
-    * Output: `(query, item, rank_a, rank_b, rrf_micro, fused_rank)` —
-    * rank_a/rank_b NULL where the item is absent from that list.
-    *
-    * 100 TB shape: one full-outer join on (query, item) of two
-    * already-ranked lists (each query-keyed, usually top-k-bounded so
-    * rows ≈ 2k per query), then one query-keyed ROW_NUMBER window —
-    * every shuffle carries the query key, no global sort.
-    */
-  def reciprocalRankFusion(
-      ranksA: DataFrame,
-      ranksB: DataFrame,
-      queryCol: String,
-      itemCol: String,
-      rankCol: String,
-      k0: Long = 60L): DataFrame = {
-    require(k0 >= 1, s"k0 $k0 must be >= 1")
-    val a = ranksA.select(col(queryCol).as("query"), col(itemCol).as("item"),
-      col(rankCol).cast("long").as("rank_a"))
-    val b = ranksB.select(col(queryCol).as("query"), col(itemCol).as("item"),
-      col(rankCol).cast("long").as("rank_b"))
-    val fused = a.join(b, Seq("query", "item"), "full_outer")
-      .withColumn("rrf_micro",
-        coalesce(expr(s"1000000 div ($k0 + rank_a)"), lit(0L)) +
-          coalesce(expr(s"1000000 div ($k0 + rank_b)"), lit(0L)))
-    fused.withColumn("fused_rank",
-      row_number().over(Window.partitionBy(col("query"))
-        .orderBy(col("rrf_micro").desc, col("item").asc)))
-  }
 }

@@ -112,4 +112,69 @@ object Packing {
     when(c < 0, raise_error(format_string(
       s"negative $name in packing audit: %s", c.cast("string"))).cast("long"))
       .otherwise(c.cast("long"))
+
+  /** Dataset-mixture plan: given per-source target WEIGHTS and a total
+    * token budget, how much of each source the sampler should take —
+    * the arithmetic behind every "X% web, Y% code, Z% books" training
+    * mix, made exact and auditable instead of a notebook one-off. Per
+    * source: available token mass, its budget allocation
+    * `⌊budget·w/Σw⌋`, the sampling rate against what exists
+    * (`> 10⁶` ⇒ the source must REPEAT — `epochs_milli` says how many
+    * passes), and the short-fall-aware effective take
+    * `min(allocated, available)` a no-repeat policy would get.
+    *
+    * Exact integers throughout: token counts sum in int64, every rate
+    * is one integer division (all operands non-negative). Unlisted
+    * sources get NO row (they are not part of the mix — emitting
+    * zeros would hide a typo'd source name; join your inventory against
+    * this table to audit). Weights must be positive.
+    *
+    * Output per listed source: `(source, n_docs, tokens_available,
+    * weight_micro, tokens_target, sample_rate_micro, epochs_milli,
+    * tokens_taken_norepeat)`.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(source) over the
+    * corpus; the weight table is a literal handful of rows, broadcast;
+    * everything after is per-source scalar arithmetic.
+    */
+  def mixturePlan(
+      df: DataFrame,
+      sourceCol: String,
+      tokensCol: String,
+      weights: Seq[(String, Long)],
+      tokenBudget: Long): DataFrame = {
+    require(weights.nonEmpty, "at least one (source, weight)")
+    require(weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate sources in $weights")
+    require(tokenBudget > 0, s"tokenBudget $tokenBudget must be > 0")
+    val wSum = weights.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toDF("source", "w")
+    val avail = df
+      .filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nonNegative(col(tokensCol), "token count")).as("tokens_available"))
+    avail.join(broadcast(wdf), "source")
+      // budget·w and target·10⁶ overflow int64 at 10¹³-token budgets —
+      // both products route through decimal(38,0) (div returns long,
+      // and each QUOTIENT is bounded: target ≤ budget, rate/epochs by
+      // the mix's own sanity — a source repeated 10¹⁶ times is a typo)
+      .withColumn("weight_micro", expr(s"w * 1000000 div ${wSum}L"))
+      .withColumn("tokens_target",
+        expr(s"cast(${tokenBudget}L as decimal(38,0)) * w div ${wSum}L"))
+      .withColumn("sample_rate_micro", expr(
+        """cast(tokens_target as decimal(38,0)) * 1000000
+           div greatest(tokens_available, 1)"""))
+      .withColumn("epochs_milli", expr(
+        """cast(tokens_target as decimal(38,0)) * 1000
+           div greatest(tokens_available, 1)"""))
+      .withColumn("tokens_taken_norepeat",
+        least(col("tokens_target"), col("tokens_available")))
+      .select("source", "n_docs", "tokens_available", "weight_micro",
+        "tokens_target", "sample_rate_micro", "epochs_milli",
+        "tokens_taken_norepeat")
+  }
 }

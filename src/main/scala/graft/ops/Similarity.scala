@@ -929,11 +929,73 @@ object Similarity {
       when(issue.isNull, round(sqrt(sumsq) * 1e6).cast("long")).as("l2_micro"))
   }
 
-  /** Per-class embedding centroid report — the geometry screen for a
-    * labeled embedding corpus (is a class collapsing to the origin? did
-    * this batch's class drift off the corpus mean?): per label, the
-    * exact integer-micro centroid's norm and its cosine to the GLOBAL
-    * centroid. A class whose centroid sits far from the global mean at
+  /** Per-DIMENSION affine int8 quantization audit — the third member of
+    * the compression family, deliberately distinct from its siblings:
+    * [[quantizeInt8]] is per-VECTOR symmetric (one scale per row, the
+    * map-only inline shuffle-saver), [[pqTopK]]'s product quantizer is
+    * per-SUBSPACE codebooks; this is the FAISS-SQ8-style corpus-wide
+    * per-dimension min/max grid — the layout a vector store trains once
+    * and applies to every insert. The audit reports how much geometry
+    * that grid loses BEFORE the store is rebuilt at 4 bytes→1 byte: a
+    * dimension whose error dwarfs the others is the outlier dimension
+    * to clip or rotate first (per-vector scaling can't see this — its
+    * scale moves with each row).
+    *
+    * Exact integers: components micro-floor; per-dim min/max are exact;
+    * the code is one half-up integer rounding
+    * `⌊(2·255·(v−min) + range) / (2·range)⌋` and the reconstruction
+    * `min + ⌊(2·code·range + 255) / (2·255)⌋` — every operand
+    * non-negative, so Spark `div` and DuckDB `//` agree with no
+    * sign-split needed. Degenerate dimensions (range 0) reconstruct
+    * exactly and report zero error.
+    *
+    * Output: one row per dimension `(dim, n, min_micro, max_micro,
+    * mean_abs_err_micro, max_abs_err_micro)`.
+    *
+    * 100 TB shape: posexplode + map-side-combined groupBy(dim) collapse
+    * to a dim-row min/max table that BROADCASTS back onto the exploded
+    * stream (dim is tiny by definition); the error pass is map-side
+    * arithmetic + one more dim-keyed combine. Two corpus reads, zero
+    * corpus-sized shuffles.
+    */
+  def sqQuantizeAudit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val cells = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .withColumn("__c", floor(col("__x").cast("double") * 1e6).cast("long"))
+      .select("dim", "__c")
+    val bounds = cells.groupBy(col("dim"))
+      .agg(min("__c").as("min_micro"), max("__c").as("max_micro"))
+      .withColumn("range", col("max_micro") - col("min_micro"))
+    cells.join(broadcast(bounds), "dim")
+      .withColumn("code",
+        expr("""case when range = 0 then 0
+                else (2 * 255 * (__c - min_micro) + range) div (2 * range)
+                end"""))
+      .withColumn("recon",
+        expr("""case when range = 0 then min_micro
+                else min_micro + (2 * code * range + 255) div (2 * 255)
+                end"""))
+      .withColumn("err", abs(col("__c") - col("recon")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(col("min_micro")).as("min_micro"),
+        max(col("max_micro")).as("max_micro"),
+        // err·rows can pass int64 at corpus scale — sum in decimal,
+        // the mean (≤ per-row err) returns to long via div
+        expr("sum(cast(err as decimal(38,0))) div count(1)")
+          .as("mean_abs_err_micro"),
+        max(col("err")).as("max_abs_err_micro"))
+  }
+
+  /** Per-class embedding centroid report — the WITHIN-snapshot member of
+    * the centroid family ([[centroidDrift]] compares a group's centroid
+    * ACROSS two snapshots; this compares each class against its own
+    * corpus's global mean): per label, the exact integer-micro
+    * centroid's norm and its cosine to the GLOBAL centroid. A class whose centroid sits far from the global mean at
     * high norm is a separated mode; cosine ≈ 1 at low norm is a class
     * the embedding can't tell from the average — both are findings a
     * mean-pooling consumer needs before training on the labels.

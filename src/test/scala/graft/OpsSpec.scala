@@ -3431,19 +3431,81 @@ class OpsSpec extends SparkSuite {
     assert(r.getAs[Long]("idcg_mm") == 4000000L * w(0) + 1000000L * w(1))
   }
 
-  test("reciprocalRankFusion: exact contributions, absent items score one list") {
-    import graft.ops.Eval
+  test("sqQuantizeAudit: exact int8 grid codes, degenerate dims error-free") {
+    import graft.ops.Similarity
     val spark2 = spark
     import spark2.implicits._
-    val ra = Seq(("q", "x", 1), ("q", "y", 2)).toDF("q", "item", "rank")
-    val rb = Seq(("q", "x", 2), ("q", "z", 1)).toDF("q", "item", "rank")
-    val out = Eval.reciprocalRankFusion(ra, rb, "q", "item", "rank")
-      .collect().map(r => r.getString(1) ->
-        (r.getAs[Long]("rrf_micro"), r.getAs[Int]("fused_rank"))).toMap
-    // x: 1e6/61 + 1e6/62 = 16393 + 16129
-    assert(out("x") == ((16393L + 16129L, 1)))
-    // z: only list b rank 1 → 16393; y: only list a rank 2 → 16129
-    assert(out("z") == ((16393L, 2)))
-    assert(out("y") == ((16129L, 3)))
+    // dim 0 spans [0, 1]: endpoints reconstruct exactly, the midpoint
+    // lands on code 128 with a hand-computable error; dim 1 is constant
+    val df = Seq(
+      (1L, Seq(0.0f, 2.0f)), (2L, Seq(1.0f, 2.0f)), (3L, Seq(0.5f, 2.0f)))
+      .toDF("id", "vec")
+    val out = Similarity.sqQuantizeAudit(df, "id", "vec")
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("min_micro"),
+          r.getAs[Long]("max_micro"), r.getAs[Long]("mean_abs_err_micro"),
+          r.getAs[Long]("max_abs_err_micro"))).toMap
+    // midpoint: code = (2·255·5e5 + 1e6) div 2e6 = 128,
+    // recon = (2·128·1e6 + 255) div 510 = 501961, err = 1961
+    val midErr = (2L * 128 * 1000000 + 255) / 510 - 500000
+    assert(midErr == 1961L)
+    assert(out(0) == ((3L, 0L, 1000000L, midErr / 3, midErr)))
+    assert(out(1) == ((3L, 2000000L, 2000000L, 0L, 0L)))
+  }
+
+  test("mixturePlan: exact allocations, repeats flagged, unlisted sources absent") {
+    import graft.ops.Packing
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      ("a", 40L), ("a", 30L), ("a", 30L), ("b", 50L), ("zzz", 999L))
+      .toDF("source", "toks")
+    val out = Packing.mixturePlan(df, "source", "toks",
+      weights = Seq(("a", 3L), ("b", 1L)), tokenBudget = 400L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens_available"),
+          r.getAs[Long]("weight_micro"), r.getAs[Long]("tokens_target"),
+          r.getAs[Long]("sample_rate_micro"), r.getAs[Long]("epochs_milli"),
+          r.getAs[Long]("tokens_taken_norepeat"))).toMap
+    // a: 3/4 of 400 = 300 target over 100 available → 3 epochs
+    assert(out("a") == ((3L, 100L, 750000L, 300L, 3000000L, 3000L, 100L)))
+    // b: 100 target over 50 available → 2 epochs
+    assert(out("b") == ((1L, 50L, 250000L, 100L, 2000000L, 2000L, 50L)))
+    assert(!out.contains("zzz"), "unlisted sources must get no row")
+    // negative token counts fail loudly, never clamp
+    val bad = Seq(("a", -1L)).toDF("source", "toks")
+    intercept[Exception] {
+      Packing.mixturePlan(bad, "source", "toks", Seq(("a", 1L)), 10L).collect()
+    }
+  }
+
+  test("hillTailIndex recovers the exact Pareto tail exponent") {
+    import graft.ops.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    // Exact Pareto(α=1) top tail: v_i = 2^(12-i) for i = 1..12 — every
+    // ln-ratio to the threshold is a multiple of ln 2, so the Hill mean
+    // is computable by hand from the same floored-micro terms
+    val vals = (1 to 12).map(i => (i.toLong, math.pow(2.0, 12 - i)))
+    val df = vals.toDF("id", "v")
+    val k = 4
+    val out = Corpus.hillTailIndex(df, "id", "v", k = k).collect()(0)
+    // top 5: 2048, 1024, 512, 256, threshold 128
+    assert(out.getAs[Long]("x_threshold_micro") == 128000000L)
+    val lnM = (x: Double) => math.floor(math.log(x) * 1e6).toLong
+    val expHill = (1 to k).map(i => lnM(math.pow(2.0, 12 - i) * 1e6))
+      .sum / k - lnM(128e6)
+    assert(out.getAs[Long]("hill_micro") == expHill)
+    // α = 1/hill ≈ 1/ (2.5·ln2): exact integer division of the literals
+    assert(out.getAs[Long]("alpha_milli") == 1000000000L / expHill)
+    assert(out.getAs[Long]("n_tail") == k && out.getAs[Long]("n_total") == 12L)
+  }
+
+  test("hillTailIndex: fewer than k+1 positive values yields no row") {
+    import graft.ops.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, 5.0), (2L, 3.0), (3L, -1.0)).toDF("id", "v")
+    assert(Corpus.hillTailIndex(df, "id", "v", k = 2).count() == 0)
   }
 }

@@ -499,6 +499,17 @@ class PlanSpec extends SparkSuite {
       s"q221 rollup shuffle count grew to ${shuffles(plan)}:\n$plan")
   }
 
+  test("hill tail index: top-k is TakeOrdered, never a global sort") {
+    val plan = Queries.all.find(_.name == "q220_tail_index").get
+      .build(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q220 must take the k+1 tail via TakeOrderedAndProject:\n$plan")
+    // the ranking window may only run on the (k+1)-row result — a Sort
+    // with a preceding Exchange over the corpus would be the global sort
+    assert(!plan.contains("rangepartitioning"),
+      s"q220 range-partitions the corpus (global sort):\n$plan")
+  }
+
   test("partition filters prune hive-layout scans; data filters push down") {
     // the 100 TB read path: a time/source-partitioned corpus must show the
     // predicate as a PartitionFilter (directory pruning, no file touched)
