@@ -344,6 +344,32 @@ object ScaleCheck {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def sprtTime(df: DataFrame, tag: String): Double = {
+      // the q218 shape: one user-keyed window prefix sum + same-key
+      // rollup; replicas add users, so walks stay constant-length
+      import graft.engine.EventTime
+      val base = df.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          EventTime.epochMillis(df, "ts").as("ts_ms"),
+          (col("value") >= 50.0).as("o"))
+      val t0 = System.nanoTime()
+      graft.ops.Features.sprtBernoulli(base, "user_id", "ts_ms", "event_id",
+          "o", 182321L, -223144L, 2944438L, -2944439L)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def ndcgTime(df: DataFrame, tag: String): Double = {
+      // the q219 shape: two per-user ROW_NUMBER orderings + rollup
+      val base = df.filter(col("user_id").isNotNull &&
+          col("event_id").isNotNull && col("value").isNotNull)
+        .withColumn("score",
+          md5(concat(lit("s9|"), col("event_id").cast("string"))))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.ndcgAtK(base, "user_id", "event_id", "score", "value", 10)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     def kmTime(df: DataFrame, tag: String): Double = {
       import graft.engine.EventTime
       // per-user lifespans (the q195 shape): the groupBy collapse is the
@@ -390,7 +416,8 @@ object ScaleCheck {
       ("qnorm", qnormTime _), ("theil_sen", theilSenTime _),
       ("km", kmTime _), ("disorder", disorderTime _),
       ("kcore", kcoreTime _), ("rfm", rfmTime _),
-      ("mann_whitney", mwTime _)) if wanted(name)) {
+      ("mann_whitney", mwTime _), ("sprt", sprtTime _),
+      ("ndcg", ndcgTime _)) if wanted(name)) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
