@@ -6707,6 +6707,144 @@ object Queries {
           AS tokens_taken_norepeat
       FROM a JOIN w USING (source)"""))
 
+  /** Binary-relevance retrieval metrics (hit/precision/recall/RR@10) of
+    * the q219 pseudo-score ranking against "is a purchase" relevance —
+    * every ratio a single int64 floor division.
+    */
+  private val q224 = Q(
+    "q224_rank_eval",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      Eval.rankEval(
+        raw.filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+            col("event_type").isNotNull)
+          .withColumn("score",
+            md5(concat(lit("s9|"), col("event_id").cast("string"))))
+          .withColumn("is_rel", col("event_type") === "purchase"),
+        "user_id", "event_id", "score", "is_rel", k = 10)
+        .withColumnRenamed("query", "user_id")
+    },
+    Some("""WITH b AS (SELECT user_id, event_id,
+          (event_type = 'purchase') rel,
+          md5('s9|' || event_id::VARCHAR) score
+        FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+          AND event_type IS NOT NULL),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY score DESC, event_id ASC) rs FROM b),
+      g AS (SELECT user_id, COUNT(*)::BIGINT n_items,
+          COUNT(*) FILTER (WHERE rel)::BIGINT n_rel,
+          COUNT(*) FILTER (WHERE rel AND rs <= 10)::BIGINT hits_at_k,
+          MIN(CASE WHEN rel AND rs <= 10 THEN rs END)::BIGINT fr
+        FROM r GROUP BY 1)
+      SELECT user_id, n_items, n_rel, hits_at_k,
+        (hits_at_k * 1000000 // 10)::BIGINT AS precision_at_k_micro,
+        (CASE WHEN n_rel > 0 THEN hits_at_k * 1000000 // n_rel
+          END)::BIGINT AS recall_at_k_micro,
+        (CASE WHEN fr IS NOT NULL THEN 1000000 // fr ELSE 0 END)::BIGINT
+          AS rr_micro,
+        (CASE WHEN hits_at_k > 0 THEN 1 ELSE 0 END)::BIGINT AS hit_at_k
+      FROM g"""))
+
+  /** Zipf power-law fit of the document token-frequency curve — OLS of
+    * ln(freq) on ln(rank) over the top 1000 terms, exact integer
+    * moments.
+    */
+  private val q225 = Q(
+    "q225_zipf_fit",
+    (spark, dir) => Corpus.zipfFit(
+      pq(spark, dir, "documents"), "text", maxRank = 1000),
+    Some("""WITH t AS (SELECT unnest(string_split(trim(text), ' ')) tok
+          FROM documents WHERE text IS NOT NULL),
+      f AS (SELECT tok, COUNT(*)::BIGINT f FROM t GROUP BY 1),
+      r AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok ASC) rnk
+        FROM f),
+      p AS (SELECT floor(ln(rnk::DOUBLE) * 1e6)::BIGINT x,
+          floor(ln(f::DOUBLE) * 1e6)::BIGINT y
+        FROM r WHERE rnk <= 1000),
+      m AS (SELECT COUNT(*)::BIGINT n, SUM(x::HUGEINT)::HUGEINT sx,
+          SUM(y::HUGEINT)::HUGEINT sy, SUM(x::HUGEINT * y)::HUGEINT sxy,
+          SUM(x::HUGEINT * x)::HUGEINT sxx, SUM(y::HUGEINT * y)::HUGEINT syy
+        FROM p)
+      SELECT (SELECT COUNT(*) FROM f)::BIGINT n_terms, n AS n_points,
+        (CASE WHEN n >= 2 AND n * sxx > sx * sx THEN
+          floor(1000000.0 * (n * sxy - sx * sy)::DOUBLE
+            / (n * sxx - sx * sx)::DOUBLE) END)::BIGINT AS slope_micro,
+        (CASE WHEN n >= 2 AND n * sxx > sx * sx THEN
+          floor((sy::DOUBLE
+              - (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+                * sx::DOUBLE) / n::DOUBLE) END)::BIGINT AS intercept_micro,
+        (CASE WHEN n >= 2 AND n * sxx > sx * sx AND n * syy > sy * sy THEN
+          floor(1000000.0 *
+            ((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE)
+            / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE))
+          END)::BIGINT AS r2_micro
+      FROM m"""))
+
+  /** Per-returnflag OLS of extended price on quantity — slope,
+    * intercept, R² from exact decimal moments, doubles only in the
+    * finish.
+    */
+  private val q226 = Q(
+    "q226_ols_group",
+    (spark, dir) => Features.olsByGroup(
+      pq(spark, dir, "lineitem"), "l_returnflag", "l_quantity",
+      "l_extendedprice"),
+    Some("""WITH b AS (SELECT l_returnflag grp,
+          floor(l_quantity::DOUBLE * 1e6)::BIGINT x,
+          floor(l_extendedprice::DOUBLE * 1e6)::BIGINT y
+        FROM lineitem WHERE l_returnflag IS NOT NULL
+          AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      m AS (SELECT grp, COUNT(*)::BIGINT n, SUM(x::HUGEINT)::HUGEINT sx,
+          SUM(y::HUGEINT)::HUGEINT sy, SUM(x::HUGEINT * y)::HUGEINT sxy,
+          SUM(x::HUGEINT * x)::HUGEINT sxx, SUM(y::HUGEINT * y)::HUGEINT syy
+        FROM b GROUP BY 1)
+      SELECT grp, n,
+        (CASE WHEN n >= 2 AND n * sxx > sx * sx THEN
+          floor(1000000.0 * (n * sxy - sx * sy)::DOUBLE
+            / (n * sxx - sx * sx)::DOUBLE) END)::BIGINT AS slope_micro,
+        (CASE WHEN n >= 2 AND n * sxx > sx * sx THEN
+          floor((sy::DOUBLE
+              - (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+                * sx::DOUBLE) / n::DOUBLE) END)::BIGINT AS intercept_micro,
+        (CASE WHEN n >= 2 AND n * sxx > sx * sx AND n * syy > sy * sy THEN
+          floor(1000000.0 *
+            ((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE)
+            / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE))
+          END)::BIGINT AS r2_micro
+      FROM m"""))
+
+  /** Kendall τ-b between quantity and tax rate — exact concordance from
+    * the ~450-cell contingency table, never the O(n²) row-pair space.
+    */
+  private val q227 = Q(
+    "q227_kendall_tau",
+    (spark, dir) => Features.kendallTauBinned(
+      pq(spark, dir, "lineitem"), "l_quantity", "l_tax"),
+    Some("""WITH b AS (SELECT floor(l_quantity::DOUBLE * 1e6)::BIGINT x,
+          floor(l_tax::DOUBLE * 1e6)::BIGINT y
+        FROM lineitem WHERE l_quantity IS NOT NULL AND l_tax IS NOT NULL),
+      c AS (SELECT x, y, COUNT(*)::BIGINT c FROM b GROUP BY 1, 2),
+      cd AS (SELECT
+          SUM(CASE WHEN b2.y > a.y THEN a.c::HUGEINT * b2.c
+            ELSE 0 END)::HUGEINT cc,
+          SUM(CASE WHEN b2.y < a.y THEN a.c::HUGEINT * b2.c
+            ELSE 0 END)::HUGEINT dd
+        FROM c a JOIN c b2 ON b2.x > a.x),
+      t AS (SELECT SUM(c::HUGEINT)::HUGEINT nn FROM c),
+      txx AS (SELECT SUM(cx * (cx - 1))::HUGEINT tx2 FROM
+        (SELECT SUM(c)::HUGEINT cx FROM c GROUP BY x)),
+      tyy AS (SELECT SUM(cy * (cy - 1))::HUGEINT ty2 FROM
+        (SELECT SUM(c)::HUGEINT cy FROM c GROUP BY y))
+      SELECT nn::BIGINT n, (SELECT COUNT(*) FROM c)::BIGINT n_cells,
+        cc::DOUBLE AS concordant, dd::DOUBLE AS discordant,
+        (CASE WHEN (nn * (nn - 1) - tx2) > 0
+            AND (nn * (nn - 1) - ty2) > 0 THEN
+          floor(1000000.0 * (cc - dd)::DOUBLE
+            / sqrt((nn * (nn - 1) - tx2)::DOUBLE
+                   * (nn * (nn - 1) - ty2)::DOUBLE) * 2.0) END)::BIGINT
+          AS tau_b_micro
+      FROM cd, t, txx, tyy"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6726,7 +6864,8 @@ object Queries {
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
-    q215, q216, q217, q218, q219, q220, q221, q222, q223)
+    q215, q216, q217, q218, q219, q220, q221, q222, q223,
+    q224, q225, q226, q227)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -1157,4 +1157,48 @@ object Corpus {
       .select("n_total", "n_tail", "x_threshold_micro", "hill_micro",
         "alpha_milli")
   }
+
+  /** Zipf power-law fit of the corpus token-frequency curve — OLS of
+    * ln(freq) on ln(rank) over the top `maxRank` terms: the one-row
+    * corpus health check ([[hillTailIndex]] reads the tail of a SIZE
+    * distribution; this reads the head of the VOCABULARY distribution).
+    * A natural-language corpus fits slope ≈ −1 with r² near 1;
+    * boilerplate floods, template spam, or tokenizer damage bend the
+    * curve and show up here before any downstream filter fires.
+    *
+    * Determinism: rank is a TOTAL order (freq desc, token asc) via
+    * [[Ranks.globalRank]]'s range exchange; the fit is
+    * [[Features.olsByGroup]]'s exact-moment contract over ≤ maxRank
+    * points (ln doubles micro-floored per point — the q220 runtime-ln
+    * precedent: correctly-rounded libm doubles of exact integers).
+    *
+    * Output (one row): `(n_terms, n_points, slope_micro,
+    * intercept_micro, r2_micro)` — slope_micro ≈ −1000000 for clean
+    * natural text.
+    *
+    * 100 TB shape: one tokenize pass into a map-side-combined
+    * groupBy(token); the range exchange and the fit run on the
+    * |vocabulary| table only (the corpus is read once), and the OLS
+    * moments are one scalar aggregate over ≤ maxRank rows.
+    */
+  def zipfFit(
+      df: DataFrame,
+      textCol: String,
+      maxRank: Int = 1000): DataFrame = {
+    require(maxRank >= 2, s"maxRank $maxRank must be >= 2")
+    val freq = df.filter(col(textCol).isNotNull)
+      .select(explode(split(trim(col(textCol)), " ")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__f"))
+      .localCheckpoint()
+    val nTerms = freq.count()
+    val points = Ranks
+      .globalRank(freq, Seq(col("__f") * -1, col("__tok")), "__rank")
+      .filter(col("__rank") <= maxRank)
+      .select(expr("ln(cast(__rank as double))").as("x"),
+        expr("ln(cast(__f as double))").as("y"))
+      .withColumn("__g", lit("zipf"))
+    Features.olsByGroup(points, "__g", "x", "y")
+      .select(lit(nTerms).as("n_terms"), col("n").as("n_points"),
+        col("slope_micro"), col("intercept_micro"), col("r2_micro"))
+  }
 }

@@ -580,4 +580,59 @@ object Eval {
            cast(dcg_mm as decimal(38,0)) * 1000000 div idcg_mm end"""))
   }
 
+  /** Set-based retrieval metrics per query — the binary-label siblings
+    * of [[ndcgAtK]] (which needs graded relevance): hit@k, precision@k,
+    * recall@k, and the reciprocal rank of the first relevant item
+    * within the top k (MRR@k's per-query term). The everyday eval row
+    * for a RAG retriever or near-dup candidate generator where labels
+    * are "is relevant / is the true duplicate", not graded gains.
+    *
+    * EXACT integer contract: ranks break ties deterministically by item
+    * id; `precision_at_k_micro = ⌊10⁶·hits/k⌋`,
+    * `recall_at_k_micro = ⌊10⁶·hits/n_rel⌋` (NULL when the query has no
+    * relevant items at all), `rr_micro = ⌊10⁶/first_rel_rank⌋` with 0
+    * when no relevant item lands in the top k — every value a single
+    * int64 floor division, no doubles anywhere.
+    *
+    * Output: one row per query `(query, n_items, n_rel, hits_at_k,
+    * precision_at_k_micro, recall_at_k_micro, rr_micro, hit_at_k)`.
+    *
+    * 100 TB shape: ONE (query)-keyed window sort (millions of parallel
+    * groups, no global ordering) feeding a map-side-combined
+    * groupBy(query) — strictly cheaper than ndcgAtK's two orderings.
+    */
+  def rankEval(
+      df: DataFrame,
+      queryCol: String,
+      itemCol: String,
+      scoreCol: String,
+      relevantCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val wS = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(itemCol).asc)
+    val base = df
+      .filter(col(queryCol).isNotNull && col(itemCol).isNotNull &&
+        col(scoreCol).isNotNull)
+      .withColumn("__rel",
+        coalesce(col(relevantCol).cast("boolean"), lit(false)))
+      .withColumn("__rs", row_number().over(wS))
+    base.groupBy(col(queryCol).as("query"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("__rel"), 1L).otherwise(0L)).as("n_rel"),
+        sum(when(col("__rel") && col("__rs") <= k, 1L).otherwise(0L))
+          .as("hits_at_k"),
+        min(when(col("__rel") && col("__rs") <= k, col("__rs")))
+          .as("__fr"))
+      .withColumn("precision_at_k_micro",
+        expr(s"hits_at_k * 1000000 div ${k}L"))
+      .withColumn("recall_at_k_micro", expr(
+        "case when n_rel > 0 then hits_at_k * 1000000 div n_rel end"))
+      .withColumn("rr_micro", expr(
+        "case when __fr is not null then 1000000 div __fr else 0 end"))
+      .withColumn("hit_at_k",
+        when(col("hits_at_k") > 0, 1L).otherwise(0L))
+      .drop("__fr")
+  }
+
 }

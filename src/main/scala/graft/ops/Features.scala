@@ -840,4 +840,148 @@ object Features {
       .select(col(idCol), col(groupCol), col(scoreCol),
         col("__gv").as("norm_value"))
   }
+
+  /** Per-group simple linear regression (OLS) of y on x — the trend
+    * line every drift dashboard and scaling-law probe fits: slope,
+    * intercept, and R² per group from the five exact moments, one pass.
+    * (The robust sibling is [[graft.ops.TimeSeries]]'s Theil–Sen; this
+    * is the classical least-squares answer with R².)
+    *
+    * Exactness: per-row micro-floored x/y accumulate as decimal(38,0)
+    * (n, Σx, Σy, Σxy, Σx², Σy²) — exact to |Σ| < 10³⁸, i.e. ~10²⁵ rows
+    * of 10⁶-magnitude values per group; the slope/intercept/R² finish
+    * is a FIXED expression tree of IEEE doubles of those exact
+    * integers (same contract as corrMatrix), floored once each.
+    * Degenerate groups (n < 2 or zero x-variance) yield NULL stats.
+    *
+    * `slope_micro` is per-unit (y-micro per x-unit): ⌊10⁶·β̂⌋ where β̂ =
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) on the ORIGINAL units — both sides
+    * micro-scale so the 10⁶ factors cancel in the ratio. `r2_micro`
+    * computes num²/den as doubles OF the exact decimal aggregates
+    * (num² itself would overflow decimal(38,0) past ~10¹⁹, so it never
+    * materializes as a decimal).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(group) carrying six
+    * numbers per group; nothing else.
+    */
+  def olsByGroup(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    df.filter(col(groupCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        floor(col(xCol).cast("double") * 1e6).cast("long").as("__x"),
+        floor(col(yCol).cast("double") * 1e6).cast("long").as("__y"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,0)")).as("sx"),
+        sum(col("__y").cast("decimal(38,0)")).as("sy"),
+        sum(expr("cast(__x as decimal(38,0)) * __y")).as("sxy"),
+        sum(expr("cast(__x as decimal(38,0)) * __x")).as("sxx"),
+        sum(expr("cast(__y as decimal(38,0)) * __y")).as("syy"))
+      .select(col("grp"), col("n"),
+        expr("""case when n >= 2 and n * sxx > sx * sx then
+             cast(floor(1000000.0 *
+               cast(n * sxy - sx * sy as double)
+               / cast(n * sxx - sx * sx as double)) as long) end""")
+          .as("slope_micro"),
+        // intercept in micro units: (Σy − β̂·Σx)/n with β̂ the same
+        // double the slope used (pre-floor), one floored division
+        expr("""case when n >= 2 and n * sxx > sx * sx then
+             cast(floor(
+               (cast(sy as double)
+                - cast(n * sxy - sx * sy as double)
+                  / cast(n * sxx - sx * sx as double)
+                  * cast(sx as double)) / cast(n as double)) as long) end""")
+          .as("intercept_micro"),
+        expr("""case when n >= 2 and n * sxx > sx * sx
+                  and n * syy > sy * sy then
+             cast(floor(1000000.0 *
+               (cast(n * sxy - sx * sy as double)
+                * cast(n * sxy - sx * sy as double))
+               / (cast(n * sxx - sx * sx as double)
+                  * cast(n * syy - sy * sy as double))) as long) end""")
+          .as("r2_micro"))
+  }
+
+  /** Kendall's τ-b between two BOUNDED-CARDINALITY columns — the
+    * concordance rank correlation, computed exactly from the distinct-
+    * value CELL table instead of the O(n²) row-pair space: concordant/
+    * discordant mass is Σ nₐ·n_b over ordered cell pairs, so a corpus
+    * of any row count costs |cells|² cell comparisons. The right tool
+    * for ordinal×ordinal association (quality band vs review score,
+    * priority vs lateness bucket) where Spearman's midranks blur ties.
+    *
+    * REQUIRES bounded distinct (x, y) combinations: `maxCells` (loud
+    * require, default 100k → 10¹⁰ cell comparisons at the cap — size it
+    * to your cluster) makes the all-pairs shape impossible to hit by
+    * accident on a high-cardinality numeric.
+    *
+    * Exactness: C, D, and the tie terms are exact decimal(38,0) sums of
+    * cell-count products (bound: C ≤ n²/2 < 10³⁸ to ~10¹⁹ rows); τ-b =
+    * (C−D)/√((n₀−n₁)(n₀−n₂)) is the one double finish, floored micro.
+    * Counts surface as DOUBLE (exact to 2⁵³ — the gate-safe carrier for
+    * values that outgrow int64 at extreme scale).
+    *
+    * Output (one row): `(n, n_cells, concordant, discordant,
+    * tau_b_micro)`.
+    *
+    * 100 TB shape: one map-side-combined groupBy(x, y) collapses the
+    * corpus to ≤ maxCells rows; the cell×cell inequality join is a
+    * broadcast nested loop over the SMALL cell table only; two scalar
+    * rollups. The corpus is read once.
+    */
+  def kendallTauBinned(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      maxCells: Int = 100000): DataFrame = {
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(floor(col(xCol).cast("double") * 1e6).cast("long").as("__x"),
+        floor(col(yCol).cast("double") * 1e6).cast("long").as("__y"))
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"kendallTauBinned: $nCells distinct (x, y) cells exceed maxCells=" +
+        s"$maxCells — bin the columns first or raise the cap knowingly")
+    val a = cells.select(col("__x").as("xa"), col("__y").as("ya"),
+      col("__c").as("ca"))
+    val b = cells.select(col("__x").as("xb"), col("__y").as("yb"),
+      col("__c").as("cb"))
+    // Each unordered cell pair counted once via the strict xb > xa gate
+    // (equal-x pairs are x-ties, never concordant/discordant).
+    val cd = a.join(broadcast(b), col("xb") > col("xa"))
+      .agg(
+        sum(when(col("yb") > col("ya"),
+          expr("cast(ca as decimal(38,0)) * cb")).otherwise(lit(0))
+          .cast("decimal(38,0)")).as("cc"),
+        sum(when(col("yb") < col("ya"),
+          expr("cast(ca as decimal(38,0)) * cb")).otherwise(lit(0))
+          .cast("decimal(38,0)")).as("dd"))
+    val ties = cells.agg(
+      sum(col("__c").cast("decimal(38,0)")).as("nn"),
+      sum(expr("cast(__c as decimal(38,0)) * (__c - 1)")).as("tpair2"))
+    val tx = cells.groupBy("__x").agg(sum("__c").as("cx"))
+      .agg(sum(expr("cast(cx as decimal(38,0)) * (cx - 1)")).as("tx2"))
+    val ty = cells.groupBy("__y").agg(sum("__c").as("cy"))
+      .agg(sum(expr("cast(cy as decimal(38,0)) * (cy - 1)")).as("ty2"))
+    cd.crossJoin(ties).crossJoin(tx).crossJoin(ty)
+      .select(
+        col("nn").cast("long").as("n"),
+        lit(nCells).as("n_cells"),
+        col("cc").cast("double").as("concordant"),
+        col("dd").cast("double").as("discordant"),
+        // n0 − n1 = (n(n−1) − Σtx(tx−1))/2; doubled throughout so the
+        // halves cancel inside the sqrt product
+        expr("""case when (nn * (nn - 1) - tx2) > 0
+                  and (nn * (nn - 1) - ty2) > 0 then
+             cast(floor(1000000.0 * cast(cc - dd as double)
+               / sqrt(cast(nn * (nn - 1) - tx2 as double)
+                      * cast(nn * (nn - 1) - ty2 as double)) * 2.0)
+               as long) end""").as("tau_b_micro"))
+  }
 }

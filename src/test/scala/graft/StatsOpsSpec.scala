@@ -1,0 +1,120 @@
+package graft
+
+import graft.ops.{Corpus, Eval, Features}
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the round-9 statistics batch: set-based retrieval
+  * metrics, per-group OLS, binned Kendall τ-b, and the Zipf fit.
+  */
+class StatsOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("rankEval: hand metrics at k=2, ties broken by item id") {
+    // query 1: scores rank items (c, a, b); a and b relevant →
+    // top-2 = {c, a}, hits=1, first rel rank 2
+    val df = Seq(
+      (1L, "a", "m", true), (1L, "b", "k", true), (1L, "c", "z", false),
+      // query 2: nothing relevant
+      (2L, "x", "q", false), (2L, "y", "r", false))
+      .toDF("q", "item", "score", "rel").repartition(3)
+    val out = Eval.rankEval(df, "q", "item", "score", "rel", k = 2)
+      .orderBy("query").collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 2L)     // n_items, n_rel
+    assert(r1.getLong(3) == 1L)                            // hits_at_k
+    assert(r1.getLong(4) == 500000L)                       // precision@2
+    assert(r1.getLong(5) == 500000L)                       // recall (1 of 2)
+    assert(r1.getLong(6) == 500000L)                       // rr: first rel at 2
+    assert(r1.getLong(7) == 1L)                            // hit@k
+    val r2 = out(1)
+    assert(r2.getLong(2) == 0L && r2.getLong(3) == 0L)
+    assert(r2.isNullAt(5))                                 // recall NULL: no rel
+    assert(r2.getLong(6) == 0L && r2.getLong(7) == 0L)     // rr 0, no hit
+  }
+
+  test("rankEval: score ties broken ascending by item id") {
+    val df = Seq((1L, "b", "same", true), (1L, "a", "same", false))
+      .toDF("q", "item", "score", "rel")
+    val out = Eval.rankEval(df, "q", "item", "score", "rel", k = 1)
+      .collect()(0)
+    // item a sorts first on the tie → b (relevant) is rank 2, outside k=1
+    assert(out.getLong(3) == 0L && out.getLong(6) == 0L)
+  }
+
+  test("olsByGroup: exact line y = 2x + 3 and a degenerate group") {
+    val line = (1 to 50).map(i => ("g1", i.toDouble, 2.0 * i + 3))
+    val const = (1 to 10).map(_ => ("g2", 5.0, 7.0)) // zero x-variance
+    val out = Features.olsByGroup(
+        (line ++ const).toDF("g", "x", "y").repartition(4), "g", "x", "y")
+      .orderBy("grp").collect()
+    assert(out(0).getLong(2) == 2000000L)   // slope
+    assert(out(0).getLong(3) == 3000000L)   // intercept (micro)
+    assert(out(0).getLong(4) == 1000000L)   // perfect r2
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3) && out(1).isNullAt(4))
+  }
+
+  test("olsByGroup matches a driver-side double OLS on random data") {
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 400).map { i =>
+      val x = rnd.nextInt(1000) / 10.0
+      ("g", x, 3.5 * x - 20 + rnd.nextGaussian() * 15)
+    }
+    val out = Features.olsByGroup(data.toDF("g", "x", "y").repartition(7),
+      "g", "x", "y").collect()(0)
+    val xm = data.map(d => math.floor(d._2 * 1e6).toLong)
+    val ym = data.map(d => math.floor(d._3 * 1e6).toLong)
+    val n = BigInt(xm.size)
+    val (sx, sy) = (xm.map(BigInt(_)).sum, ym.map(BigInt(_)).sum)
+    val sxy = xm.zip(ym).map { case (a, b) => BigInt(a) * b }.sum
+    val sxx = xm.map(a => BigInt(a) * a).sum
+    val num = (n * sxy - sx * sy).toDouble
+    val den = (n * sxx - sx * sx).toDouble
+    assert(out.getLong(2) == math.floor(1e6 * num / den).toLong)
+  }
+
+  test("kendallTauBinned: hand τ-b with ties, counted once per pair") {
+    // x: 1,1,2,3  y: 1,2,2,3 → pairs: (1,2):x-tie; (1,3)C; (1,4)C;
+    // (2,3): y-tie; (2,4)C; (3,4)C → C=4, D=0, n0=6, n1=1, n2=1
+    val df = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (3.0, 3.0))
+      .toDF("x", "y").repartition(3)
+    val out = Features.kendallTauBinned(df, "x", "y").collect()(0)
+    assert(out.getLong(0) == 4L)
+    assert(out.getDouble(2) == 4.0 && out.getDouble(3) == 0.0)
+    // τ-b = 4/√(5·5) = 0.8
+    assert(out.getLong(4) == 800000L)
+  }
+
+  test("kendallTauBinned: perfect inversion is -1, cap fires loudly") {
+    val df = (1 to 20).map(i => (i.toDouble, -i.toDouble)).toDF("x", "y")
+    assert(Features.kendallTauBinned(df, "x", "y")
+      .collect()(0).getLong(4) == -1000000L)
+    val e = intercept[IllegalArgumentException] {
+      Features.kendallTauBinned(df, "x", "y", maxCells = 5)
+    }
+    assert(e.getMessage.contains("maxCells"))
+  }
+
+  test("zipfFit matches a driver-side fit of the same rank/freq points") {
+    val words = Seq.fill(32)("the") ++ Seq.fill(16)("of") ++
+      Seq.fill(8)("and") ++ Seq.fill(4)("to") ++ Seq.fill(2)("in") ++ Seq("a")
+    val rnd = new scala.util.Random(5)
+    val docs = rnd.shuffle(words).grouped(7).map(_.mkString(" ")).toSeq
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val out = Corpus.zipfFit(docs.toDF("doc_id", "text").repartition(3),
+      "text", maxRank = 6).collect()(0)
+    assert(out.getLong(0) == 6L && out.getLong(1) == 6L)
+    // exact doubling at each rank step: slope = ln(freq)/ln(rank) fit;
+    // replicate driver-side on the same floored-micro points
+    val freqs = Seq(32L, 16L, 8L, 4L, 2L, 1L)
+    val xs = freqs.indices.map(i => math.floor(math.log(i + 1.0) * 1e6).toLong)
+    val ys = freqs.map(f => math.floor(math.log(f.toDouble) * 1e6).toLong)
+    val n = BigInt(6)
+    val (sx, sy) = (xs.map(BigInt(_)).sum, ys.map(BigInt(_)).sum)
+    val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+    val sxx = xs.map(a => BigInt(a) * a).sum
+    val exp = math.floor(
+      1e6 * (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble).toLong
+    assert(out.getLong(2) == exp)
+    assert(out.getLong(2) < -1000000L) // steeper than -1: freq halves per rank
+  }
+}
