@@ -6845,6 +6845,104 @@ object Queries {
           AS tau_b_micro
       FROM cd, t, txx, tyy"""))
 
+  /** Poisson-hash bootstrap CI for the mean order price — 200
+    * deterministic replicas, exact nearest-rank 95% bounds.
+    */
+  private val q228 = Q(
+    "q228_bootstrap_ci",
+    (spark, dir) => Eval.bootstrapMeanCI(
+      pq(spark, dir, "orders"), "o_orderkey", "o_totalprice",
+      b = 200, seed = "boot"),
+    Some("""WITH base AS (SELECT o_orderkey::VARCHAR id,
+          floor(o_totalprice * 1e6)::BIGINT vm
+        FROM orders WHERE o_orderkey IS NOT NULL
+          AND o_totalprice IS NOT NULL),
+      reps AS (SELECT unnest(generate_series(0, 199)) rep),
+      u AS (SELECT rep, vm,
+          substr(md5('boot|' || rep::VARCHAR || '|' || id), 1, 8) u
+        FROM base CROSS JOIN reps),
+      w AS (SELECT rep, vm,
+          CASE WHEN u < '5e2d58d8' THEN 0 WHEN u < 'bc5ab1b1' THEN 1
+            WHEN u < 'eb715e1d' THEN 2 WHEN u < 'fb239797' THEN 3
+            WHEN u < 'ff1025f5' THEN 4 WHEN u < 'ffd90f3b' THEN 5
+            WHEN u < 'fffa8b71' THEN 6 WHEN u < 'ffff540c' THEN 7
+            WHEN u < 'ffffed1f' THEN 8 ELSE 9 END w
+        FROM u),
+      rm AS (SELECT rep, COUNT(*)::BIGINT cf, SUM(vm)::HUGEINT sf,
+          SUM(w)::BIGINT c, SUM(w::HUGEINT * vm)::HUGEINT s
+        FROM w GROUP BY 1),
+      means AS (SELECT rep,
+          (CASE WHEN s >= 0 THEN s // c ELSE -((-s) // c) END)::BIGINT m
+        FROM rm WHERE c > 0),
+      nb AS (SELECT COUNT(*)::BIGINT beff FROM means),
+      ranked AS (SELECT m,
+          ROW_NUMBER() OVER (ORDER BY m ASC, rep ASC) rk FROM means),
+      ix AS (SELECT beff, (25 * beff + 999) // 1000 lo,
+          (975 * beff + 999) // 1000 hi FROM nb),
+      mv AS (SELECT SUM(m::HUGEINT) sm, SUM(m::HUGEINT * m) sm2,
+          COUNT(*)::BIGINT k FROM means),
+      f AS (SELECT MAX(cf)::BIGINT n, MAX(sf)::HUGEINT stot FROM rm)
+      SELECT f.n, ix.beff AS b_effective,
+        (CASE WHEN stot >= 0 THEN stot // n
+          ELSE -((-stot) // n) END)::BIGINT AS mean_micro,
+        (SELECT m FROM ranked, ix WHERE rk = ix.lo) AS boot_lo_micro,
+        (SELECT m FROM ranked, ix WHERE rk = ix.hi) AS boot_hi_micro,
+        (CASE WHEN k >= 2 THEN floor(sqrt((k * sm2 - sm * sm)::DOUBLE
+          / (k::DOUBLE * (k - 1)))) END)::BIGINT AS boot_se_micro
+      FROM f, ix, mv"""))
+
+  /** Randomization test for the arm-A vs arm-B mean event value — 200
+    * hash-permuted re-splits, exact cross-multiplied extremity
+    * comparisons, add-one p.
+    */
+  private val q229 = Q(
+    "q229_permutation_test",
+    (spark, dir) => Eval.permutationTestMeans(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b")),
+      "event_id", "arm", "value", b = 200, seed = "perm"),
+    Some("""WITH base AS (SELECT event_id::VARCHAR id,
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g,
+          floor(value * 1e6)::BIGINT vm
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+          AND event_id IS NOT NULL),
+      obs AS (SELECT
+          COUNT(*) FILTER (WHERE g = 'arm_a')::HUGEINT ca,
+          SUM(CASE WHEN g = 'arm_a' THEN vm ELSE 0 END)::HUGEINT sa,
+          COUNT(*) FILTER (WHERE g = 'arm_b')::HUGEINT cb,
+          SUM(CASE WHEN g = 'arm_b' THEN vm ELSE 0 END)::HUGEINT sb
+        FROM base),
+      th AS (SELECT printf('%08x',
+          ((4294967296::HUGEINT * ca) // (ca + cb))::BIGINT) tx FROM obs),
+      reps AS (SELECT unnest(generate_series(0, 199)) rep),
+      r AS (SELECT rep,
+          SUM(CASE WHEN u < tx THEN 1 ELSE 0 END)::HUGEINT cab,
+          SUM(CASE WHEN u < tx THEN vm ELSE 0 END)::HUGEINT sab
+        FROM (SELECT rep, vm,
+            substr(md5('perm|' || rep::VARCHAR || '|' || id), 1, 8) u
+          FROM base CROSS JOIN reps) z, th
+        GROUP BY rep),
+      ext AS (SELECT
+          COUNT(*) FILTER (WHERE cab > 0 AND cab < ca + cb)::BIGINT beff,
+          COUNT(*) FILTER (WHERE cab > 0 AND cab < ca + cb
+            AND abs(sab * (ca + cb - cab) - (sa + sb - sab) * cab)
+                * (ca * cb)
+              >= abs(sa * cb - sb * ca) * (cab * (ca + cb - cab)))::BIGINT
+            n_extreme
+        FROM r, obs)
+      SELECT 'arm_a' AS grp_a, 'arm_b' AS grp_b,
+        ca::BIGINT AS n_a, cb::BIGINT AS n_b,
+        ((CASE WHEN sa >= 0 THEN sa // ca ELSE -((-sa) // ca) END)
+         - (CASE WHEN sb >= 0 THEN sb // cb
+             ELSE -((-sb) // cb) END))::BIGINT AS diff_micro,
+        beff AS b_effective, n_extreme,
+        ((1 + n_extreme)::HUGEINT * 1000000 // (1 + beff))::BIGINT
+          AS p_micro
+      FROM ext, obs"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6865,7 +6963,7 @@ object Queries {
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
-    q224, q225, q226, q227)
+    q224, q225, q226, q227, q228, q229)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -635,4 +635,191 @@ object Eval {
       .drop("__fr")
   }
 
+  /** `⌊cum_P(k)·2³²⌋` for k = 0..8, Poisson(λ=1), as 8-hex-char
+    * literals: a row's bootstrap weight is the first k whose threshold
+    * exceeds the row's u32 hash rendered in hex — a LEXICOGRAPHIC
+    * string compare on fixed-width lowercase hex equals the numeric
+    * compare, so the same md5 prefix decides the weight identically in
+    * any engine with no hex-parsing builtin required. Hashes past the
+    * last threshold (P ≈ 1.1·10⁻⁶) cap at weight 9 — the documented
+    * truncation of the Poisson tail.
+    */
+  val PoissonCumHex32: Seq[String] = Seq(
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5",
+    "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f")
+
+  /** Poisson(1) bootstrap confidence interval for the corpus mean of a
+    * metric — the uncertainty bar every pipeline dashboard needs on
+    * "mean quality score moved 0.3%": is that real or resampling
+    * noise? The classical bootstrap resamples n rows WITH replacement
+    * per replica — undistributable as stated; the Poisson(1)
+    * approximation (each row enters replica r with weight ~Poisson(1),
+    * the large-n limit of Binomial(n, 1/n)) is the standard
+    * shared-nothing form, and hashing (seed, replica, row id) makes
+    * every weight a pure function of the data — deterministic,
+    * engine-replayable, no RNG state.
+    *
+    * Exactness: weights come off [[PoissonCumHex32]] string compares;
+    * replica sums are decimal(38,0) of micro-floored values; replica
+    * means are sign-split floor divisions; the CI bounds are exact
+    * nearest-rank order statistics of the b replica means at the
+    * ceil-division indexes `⌈0.025b⌉`/`⌈0.975b⌉` (integer ceil-div, no
+    * double epsilon deciding an index); only boot_se takes a sqrt.
+    * Replicas with zero effective weight (P ≈ e⁻ⁿ) drop, reported via
+    * b_effective.
+    *
+    * Output (one row): `(n, b_effective, mean_micro, boot_lo_micro,
+    * boot_hi_micro, boot_se_micro)`.
+    *
+    * 100 TB shape: ONE corpus pass — each task explodes its rows ×b and
+    * map-side-combines into ≤b partial rows per task (the full-sample
+    * moments ride the same pass: every replica sees every row, so
+    * count/sum per replica ARE the full-sample values); the shuffle is
+    * b·tasks rows, the driver sees b (sum, count) pairs. `b ≤ 1024`
+    * (loud require) bounds the blowup factor.
+    */
+  def bootstrapMeanCI(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      b: Int = 200,
+      seed: String = "boot"): DataFrame = {
+    require(b >= 2 && b <= 1024, s"b $b must lie in [2, 1024]")
+    val weightCase = PoissonCumHex32.zipWithIndex
+      .map { case (h, k) => s"when __u < '$h' then ${k}L" }
+      .mkString("case ", " ", " else 9L end")
+    val reps = df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__vm"))
+      .withColumn("__rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__u", substring(md5(concat_ws("|",
+        lit(seed), col("__rep").cast("string"), col("__id"))), 1, 8))
+      .withColumn("__w", expr(weightCase))
+      .groupBy("__rep")
+      .agg(count(lit(1)).as("cf"),
+        sum(col("__vm").cast("decimal(38,0)")).as("sf"),
+        sum(col("__w")).as("c"),
+        sum(expr("cast(__w as decimal(38,0)) * __vm")).as("s"))
+      .collect()
+    require(reps.nonEmpty, "bootstrapMeanCI: empty input")
+    def floorDiv(s: BigInt, c: BigInt): Long =
+      (if (s >= 0) s / c else -((-s) / c)).toLong
+    val n = reps(0).getAs[Long]("cf")
+    val sTot = BigInt(reps(0).getAs[java.math.BigDecimal]("sf").toBigInteger)
+    val means = reps.toSeq
+      .map(r => (BigInt(r.getAs[java.math.BigDecimal]("s").toBigInteger),
+        r.getAs[Long]("c")))
+      .filter(_._2 > 0)
+      .map { case (s, c) => floorDiv(s, BigInt(c)) }
+      .sorted
+    val bEff = means.size.toLong
+    val lo = (25 * bEff + 999) / 1000
+    val hi = (975 * bEff + 999) / 1000
+    def at(i: Long): Option[Long] =
+      if (i >= 1 && i <= bEff) Some(means((i - 1).toInt)) else None
+    val se: Option[Long] =
+      if (bEff < 2) None
+      else {
+        val k = BigInt(bEff)
+        val sm = means.map(BigInt(_)).sum
+        val sm2 = means.map(m => BigInt(m) * m).sum
+        Some(math.floor(math.sqrt(
+          (k * sm2 - sm * sm).toDouble / (bEff.toDouble * (bEff - 1)))).toLong)
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, bEff, floorDiv(sTot, BigInt(n)), at(lo), at(hi), se))
+      .toDF("n", "b_effective", "mean_micro", "boot_lo_micro",
+        "boot_hi_micro", "boot_se_micro")
+  }
+
+  /** Randomization (permutation) test for the difference of group means
+    * — the assumption-free significance check behind every A/B metric
+    * diff: re-split the rows into pseudo-arms b times and ask how often
+    * chance alone beats the observed gap. Labels are reassigned by
+    * hashing (seed, replica, row id) against the exact integer
+    * threshold `⌊2³²·n_a/n⌋` (so pseudo-arm A has the original arm's
+    * expected size), making every replica a pure function of the data.
+    *
+    * Exactness end-to-end: the comparison `|d_rep| ≥ |d_obs|` never
+    * divides — cross-multiplied exact integers
+    * `|s_A·c_B − s_B·c_A|·(c_A°·c_B°)` vs the observed mirror, in
+    * BigInt on the b driver-collected replica rows (no overflow at ANY
+    * corpus size; the same comparison in an oracle's int128 is exact to
+    * ~10³⁸). p follows the standard add-one rule ⌊10⁶·(1+n_extreme)/
+    * (1+b_eff)⌋. Degenerate replicas (a pseudo-arm empty, P ≈ 2⁻ⁿ)
+    * drop, reported via b_effective.
+    *
+    * Output (one row): `(grp_a, grp_b, n_a, n_b, diff_micro,
+    * b_effective, n_extreme, p_micro)`; diff_micro is the observed
+    * floored-mean difference, descriptive only — the decision math
+    * uses the exact rationals.
+    *
+    * 100 TB shape: one groupBy(group) pass for the observed moments,
+    * then ONE corpus pass exploding ×b with map-side combine to ≤b
+    * rows per task (same shape as [[bootstrapMeanCI]]); driver traffic
+    * is b (count, sum) pairs. `b ≤ 1024` loud-bounded.
+    */
+  def permutationTestMeans(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      valueCol: String,
+      b: Int = 200,
+      seed: String = "perm"): DataFrame = {
+    require(b >= 2 && b <= 1024, s"b $b must lie in [2, 1024]")
+    val base = df
+      .filter(col(idCol).isNotNull && col(groupCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        col(groupCol).cast("string").as("__g"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__vm"))
+      .localCheckpoint()
+    val obs = base.groupBy("__g")
+      .agg(count(lit(1)).as("c"),
+        sum(col("__vm").cast("decimal(38,0)")).as("s"))
+      .orderBy("__g").collect()
+    require(obs.length == 2,
+      s"permutationTestMeans: exactly 2 groups required, got ${obs.length}")
+    val (ga, gb) = (obs(0).getString(0), obs(1).getString(0))
+    val (ca, cb) = (obs(0).getLong(1), obs(1).getLong(1))
+    val (sa, sb) = (BigInt(obs(0).getDecimal(2).toBigInteger),
+      BigInt(obs(1).getDecimal(2).toBigInteger))
+    val n = ca + cb
+    val thex = f"${(BigInt(4294967296L) * ca / n).toLong}%08x"
+    val reps = base
+      .withColumn("__rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__ina", substring(md5(concat_ws("|",
+        lit(seed), col("__rep").cast("string"), col("__id"))), 1, 8)
+        < lit(thex))
+      .groupBy("__rep")
+      .agg(sum(when(col("__ina"), 1L).otherwise(0L)).as("cab"),
+        sum(when(col("__ina"), col("__vm")).otherwise(0L)
+          .cast("decimal(38,0)")).as("sab"))
+      .collect()
+    val dObsNum = (sa * cb - sb * ca).abs
+    val bn = BigInt(n)
+    var bEff = 0L; var nExtreme = 0L
+    reps.foreach { r =>
+      val cab = BigInt(r.getLong(1))
+      val sab = BigInt(r.getDecimal(2).toBigInteger)
+      if (cab > 0 && cab < bn) {
+        bEff += 1
+        val dRepNum = (sab * (bn - cab) - (sa + sb - sab) * cab).abs
+        if (dRepNum * (BigInt(ca) * cb) >= dObsNum * (cab * (bn - cab)))
+          nExtreme += 1
+      }
+    }
+    def floorDiv(s: BigInt, c: BigInt): Long =
+      (if (s >= 0) s / c else -((-s) / c)).toLong
+    val diff = floorDiv(sa, BigInt(ca)) - floorDiv(sb, BigInt(cb))
+    val p = (BigInt(1 + nExtreme) * 1000000 / BigInt(1 + bEff)).toLong
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, ca, cb, diff, bEff, nExtreme, p))
+      .toDF("grp_a", "grp_b", "n_a", "n_b", "diff_micro", "b_effective",
+        "n_extreme", "p_micro")
+  }
+
 }

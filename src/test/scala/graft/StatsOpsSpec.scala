@@ -94,6 +94,63 @@ class StatsOpsSpec extends SparkSuite {
     assert(e.getMessage.contains("maxCells"))
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("bootstrapMeanCI matches a driver-side replay of the hash weights") {
+    val data = (0 until 300).map(i => (i.toLong, (i % 37).toDouble / 3))
+    val out = Eval.bootstrapMeanCI(
+      data.toDF("id", "v").repartition(5), "id", "v", b = 50, seed = "tb")
+      .collect()(0)
+    // replay: same md5 prefixes against PoissonCumHex32, same floor math
+    val vm = data.map { case (id, v) => (id, math.floor(v * 1e6).toLong) }
+    val means = (0 until 50).flatMap { rep =>
+      var s = BigInt(0); var c = 0L
+      vm.foreach { case (id, m) =>
+        val u = md5hex(s"tb|$rep|$id").substring(0, 8)
+        val w = Eval.PoissonCumHex32.indexWhere(u < _) match {
+          case -1 => 9L
+          case k  => k.toLong
+        }
+        s += BigInt(w) * m; c += w
+      }
+      if (c > 0) Some((s / c).toLong) else None
+    }.sorted
+    val bEff = means.size
+    assert(out.getLong(0) == 300L && out.getLong(1) == bEff.toLong)
+    val lo = ((25 * bEff + 999) / 1000 - 1).max(0)
+    val hi = (975 * bEff + 999) / 1000 - 1
+    assert(out.getLong(3) == means(lo) && out.getLong(4) == means(hi))
+    assert(out.getLong(3) <= out.getLong(2) && out.getLong(2) <= out.getLong(4))
+  }
+
+  test("permutationTestMeans: strong effect is significant, null is not") {
+    val strong = ((0 until 200).map(i => (i.toLong, "a", 100.0 + i % 5)) ++
+      (200 until 400).map(i => (i.toLong, "b", 1.0 + i % 5)))
+      .toDF("id", "g", "v").repartition(4)
+    val s = Eval.permutationTestMeans(strong, "id", "g", "v", b = 100,
+      seed = "pt").collect()(0)
+    assert(s.getString(0) == "a" && s.getString(1) == "b")
+    assert(s.getLong(4) == 99000000L)          // exact mean diff micro
+    assert(s.getLong(7) <= 1000000L / 101 + 1) // p at the add-one floor
+    val nullCase = (0 until 400).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", (i % 7).toDouble))
+      .toDF("id", "g", "v")
+    val p = Eval.permutationTestMeans(nullCase, "id", "g", "v", b = 100,
+      seed = "pt").collect()(0).getLong(7)
+    assert(p > 100000L) // chance-level gap: nowhere near significance
+  }
+
+  test("permutationTestMeans rejects != 2 groups") {
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Eval.permutationTestMeans(df, "id", "g", "v")
+    }
+    assert(e.getMessage.contains("exactly 2 groups"))
+  }
+
   test("zipfFit matches a driver-side fit of the same rank/freq points") {
     val words = Seq.fill(32)("the") ++ Seq.fill(16)("of") ++
       Seq.fill(8)("and") ++ Seq.fill(4)("to") ++ Seq.fill(2)("in") ++ Seq("a")
