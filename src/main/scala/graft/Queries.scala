@@ -2,7 +2,7 @@ package graft
 
 import graft.client.{GraftClient, Metrics}
 import graft.engine.{EventTime, TemporalJoin}
-import graft.ops.{Chat, Cluster, Corpus, Decay, Dedup, Entity, Eval, Features, Graph, Multimodal, Packing, Privacy, Sampling, Scd, SemiStructured, Sessions, Similarity, Sketch, Skew, Survival, TextOps, TimeSeries}
+import graft.ops.{Causal, Chat, Cluster, Corpus, Decay, Dedup, Entity, Eval, Features, Graph, Multimodal, Packing, Preference, Privacy, Sampling, Scd, SemiStructured, Sessions, Similarity, Sketch, Skew, Survival, TextOps, TimeSeries}
 import graft.table._
 import graft.types._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -6943,6 +6943,219 @@ object Queries {
           AS p_micro
       FROM ext, obs"""))
 
+  /** Stratified ATE of experiment arm on event value, stratified by
+    * event type — exact per-stratum arm means, size-weighted combine,
+    * naive gap alongside.
+    */
+  private val q230 = Q(
+    "q230_stratified_ate",
+    (spark, dir) => Causal.stratifiedAte(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("treated", pmod(col("user_id"), lit(2)) === 0),
+      "event_type", "treated", "value"),
+    Some("""WITH b AS (SELECT event_type s, (user_id % 2 = 0) t,
+          floor(value * 1e6)::BIGINT v
+        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND value IS NOT NULL),
+      g AS (SELECT s,
+          COUNT(*) FILTER (WHERE t)::BIGINT nt,
+          SUM(CASE WHEN t THEN v ELSE 0 END)::HUGEINT st,
+          COUNT(*) FILTER (WHERE NOT t)::BIGINT nc,
+          SUM(CASE WHEN NOT t THEN v ELSE 0 END)::HUGEINT sc
+        FROM b GROUP BY 1),
+      d AS (SELECT *, CASE WHEN nt > 0 AND nc > 0 THEN
+          (CASE WHEN st >= 0 THEN st // nt ELSE -((-st) // nt) END)
+          - (CASE WHEN sc >= 0 THEN sc // nc ELSE -((-sc) // nc) END)
+          END diff FROM g),
+      r AS (SELECT COUNT(*)::BIGINT n_strata,
+          COUNT(*) FILTER (WHERE diff IS NOT NULL)::BIGINT n_strata_used,
+          SUM(nt + nc)::BIGINT n,
+          SUM(CASE WHEN diff IS NOT NULL THEN nt + nc ELSE 0 END)::BIGINT
+            n_used,
+          SUM(nt)::BIGINT n_treat, SUM(nc)::BIGINT n_control,
+          SUM(st)::HUGEINT stt, SUM(sc)::HUGEINT sct,
+          SUM(CASE WHEN diff IS NOT NULL THEN (nt + nc)::HUGEINT * diff
+            ELSE 0 END)::HUGEINT wsum
+        FROM d)
+      SELECT n_strata, n_strata_used, n, n_used, n_treat, n_control,
+        (CASE WHEN n_treat > 0 AND n_control > 0 THEN
+          (CASE WHEN stt >= 0 THEN stt // n_treat
+            ELSE -((-stt) // n_treat) END)
+          - (CASE WHEN sct >= 0 THEN sct // n_control
+            ELSE -((-sct) // n_control) END) END)::BIGINT
+          AS naive_diff_micro,
+        (CASE WHEN n_used > 0 THEN
+          (CASE WHEN wsum >= 0 THEN wsum // n_used
+            ELSE -((-wsum) // n_used) END) END)::BIGINT AS ate_micro
+      FROM r"""))
+
+  /** Difference-in-differences of event value across the mid-January
+    * cut, arm-parity cohorts — four exact cell means, pure integer DiD.
+    */
+  private val q231 = Q(
+    "q231_did",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      Causal.diffInDiff(
+        raw.filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .withColumn("treated", pmod(col("user_id"), lit(2)) === 0)
+          .withColumn("post",
+            EventTime.epochMillis(raw, "ts") >= 1705363200000L),
+        "treated", "post", "value")
+    },
+    Some("""WITH b AS (SELECT (user_id % 2 = 0) t,
+          (epoch_ms(ts) >= 1705363200000) p, floor(value * 1e6)::BIGINT v
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      a AS (SELECT
+          COUNT(*) FILTER (WHERE t AND NOT p)::BIGINT n_t0,
+          SUM(CASE WHEN t AND NOT p THEN v ELSE 0 END)::HUGEINT s_t0,
+          COUNT(*) FILTER (WHERE t AND p)::BIGINT n_t1,
+          SUM(CASE WHEN t AND p THEN v ELSE 0 END)::HUGEINT s_t1,
+          COUNT(*) FILTER (WHERE NOT t AND NOT p)::BIGINT n_c0,
+          SUM(CASE WHEN NOT t AND NOT p THEN v ELSE 0 END)::HUGEINT s_c0,
+          COUNT(*) FILTER (WHERE NOT t AND p)::BIGINT n_c1,
+          SUM(CASE WHEN NOT t AND p THEN v ELSE 0 END)::HUGEINT s_c1
+        FROM b),
+      m AS (SELECT n_t0, n_t1, n_c0, n_c1,
+          (CASE WHEN n_t0 > 0 THEN (CASE WHEN s_t0 >= 0 THEN s_t0 // n_t0
+            ELSE -((-s_t0) // n_t0) END) END)::BIGINT mean_t0_micro,
+          (CASE WHEN n_t1 > 0 THEN (CASE WHEN s_t1 >= 0 THEN s_t1 // n_t1
+            ELSE -((-s_t1) // n_t1) END) END)::BIGINT mean_t1_micro,
+          (CASE WHEN n_c0 > 0 THEN (CASE WHEN s_c0 >= 0 THEN s_c0 // n_c0
+            ELSE -((-s_c0) // n_c0) END) END)::BIGINT mean_c0_micro,
+          (CASE WHEN n_c1 > 0 THEN (CASE WHEN s_c1 >= 0 THEN s_c1 // n_c1
+            ELSE -((-s_c1) // n_c1) END) END)::BIGINT mean_c1_micro
+        FROM a)
+      SELECT *,
+        (mean_t1_micro - mean_t0_micro) AS treat_diff_micro,
+        (mean_c1_micro - mean_c0_micro) AS control_diff_micro,
+        ((mean_t1_micro - mean_t0_micro)
+         - (mean_c1_micro - mean_c0_micro)) AS did_micro
+      FROM m"""))
+
+  /** Two-proportion z-test of purchase rate between arms with Wilson
+    * 95% intervals — exact counts, one fixed double tree per statistic.
+    */
+  private val q232 = Q(
+    "q232_two_prop",
+    (spark, dir) => Causal.twoProportionTest(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b"))
+        .withColumn("purchased", col("event_type") === "purchase"),
+      "arm", "purchased"),
+    Some("""WITH b AS (SELECT
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g,
+          (event_type = 'purchase') x
+        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      g AS (SELECT g, COUNT(*)::BIGINT n,
+          COUNT(*) FILTER (WHERE x)::BIGINT x FROM b GROUP BY 1),
+      w AS (SELECT
+          a.n na, a.x xa, c.n nb, c.x xb
+        FROM (SELECT * FROM g WHERE g = 'arm_a') a,
+          (SELECT * FROM g WHERE g = 'arm_b') c)
+      SELECT 'arm_a' AS grp_a, 'arm_b' AS grp_b, na AS n_a, nb AS n_b,
+        xa AS x_a, xb AS x_b,
+        (xa * 1000000 // na)::BIGINT AS p_a_micro,
+        (xb * 1000000 // nb)::BIGINT AS p_b_micro,
+        (xa * 1000000 // na - xb * 1000000 // nb)::BIGINT AS diff_micro,
+        (CASE WHEN ((xa + xb)::DOUBLE / (na + nb))
+              * (1.0 - (xa + xb)::DOUBLE / (na + nb))
+              * (1.0 / na + 1.0 / nb) > 0 THEN
+          floor(1000.0 * (xa::DOUBLE / na - xb::DOUBLE / nb)
+            / sqrt(((xa + xb)::DOUBLE / (na + nb))
+                   * (1.0 - (xa + xb)::DOUBLE / (na + nb))
+                   * (1.0 / na + 1.0 / nb))) END)::BIGINT AS z_milli,
+        floor(1000000.0 * ((xa::DOUBLE / na + (1.96 * 1.96) / (2.0 * na))
+            - 1.96 * sqrt((xa::DOUBLE / na) * (1.0 - xa::DOUBLE / na) / na
+                          + (1.96 * 1.96) / (4.0 * na * na)))
+          / (1.0 + (1.96 * 1.96) / na))::BIGINT AS wilson_lo_a_micro,
+        floor(1000000.0 * ((xa::DOUBLE / na + (1.96 * 1.96) / (2.0 * na))
+            + 1.96 * sqrt((xa::DOUBLE / na) * (1.0 - xa::DOUBLE / na) / na
+                          + (1.96 * 1.96) / (4.0 * na * na)))
+          / (1.0 + (1.96 * 1.96) / na))::BIGINT AS wilson_hi_a_micro,
+        floor(1000000.0 * ((xb::DOUBLE / nb + (1.96 * 1.96) / (2.0 * nb))
+            - 1.96 * sqrt((xb::DOUBLE / nb) * (1.0 - xb::DOUBLE / nb) / nb
+                          + (1.96 * 1.96) / (4.0 * nb * nb)))
+          / (1.0 + (1.96 * 1.96) / nb))::BIGINT AS wilson_lo_b_micro,
+        floor(1000000.0 * ((xb::DOUBLE / nb + (1.96 * 1.96) / (2.0 * nb))
+            + 1.96 * sqrt((xb::DOUBLE / nb) * (1.0 - xb::DOUBLE / nb) / nb
+                          + (1.96 * 1.96) / (4.0 * nb * nb)))
+          / (1.0 + (1.96 * 1.96) / nb))::BIGINT AS wilson_hi_b_micro
+      FROM w"""))
+
+  /** Leave-one-source-out jackknife of mean document length — which
+    * source pulls the corpus statistic, exact floored means.
+    */
+  private val q233 = Q(
+    "q233_jackknife",
+    (spark, dir) => Eval.jackknifeGroups(
+      pq(spark, dir, "documents"), "source", "n_chars")
+      .withColumnRenamed("group", "source"),
+    Some("""WITH g AS (SELECT source, COUNT(*)::BIGINT n_g,
+          SUM(floor(n_chars::DOUBLE * 1e6)::BIGINT)::HUGEINT s
+        FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        GROUP BY 1),
+      t AS (SELECT SUM(n_g)::BIGINT nt, SUM(s)::HUGEINT st FROM g)
+      SELECT source, n_g,
+        (CASE WHEN st >= 0 THEN st // nt
+          ELSE -((-st) // nt) END)::BIGINT AS mean_micro,
+        (CASE WHEN nt > n_g THEN
+          (CASE WHEN st - s >= 0 THEN (st - s) // (nt - n_g)
+            ELSE -((-(st - s)) // (nt - n_g)) END) END)::BIGINT
+          AS mean_excl_micro,
+        ((CASE WHEN st >= 0 THEN st // nt ELSE -((-st) // nt) END)
+         - (CASE WHEN nt > n_g THEN
+             (CASE WHEN st - s >= 0 THEN (st - s) // (nt - n_g)
+               ELSE -((-(st - s)) // (nt - n_g)) END) END))::BIGINT
+          AS influence_micro
+      FROM g, t"""))
+
+  /** Preference-tournament consistency over per-user event-type value
+    * rankings — majority edges, directed 3-cycle count, Kendall ζ.
+    */
+  private val q234 = Q(
+    "q234_preference_cycles",
+    (spark, dir) => Preference.preferenceCycles(
+      pq(spark, dir, "events"), "user_id", "event_type", "value"),
+    Some("""WITH b AS (SELECT user_id r, event_type i,
+          floor(value * 1e6)::BIGINT v
+        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND value IS NOT NULL),
+      m AS (SELECT r, i,
+          (CASE WHEN SUM(v) >= 0 THEN SUM(v) // COUNT(*)
+            ELSE -((-SUM(v)) // COUNT(*)) END)::BIGINT m
+        FROM b GROUP BY 1, 2),
+      votes AS (SELECT a.i ia, c.i ib,
+          SUM(CASE WHEN a.m > c.m THEN 1 ELSE 0 END)::BIGINT vab,
+          SUM(CASE WHEN c.m > a.m THEN 1 ELSE 0 END)::BIGINT vba
+        FROM m a JOIN m c ON a.r = c.r AND a.i < c.i GROUP BY 1, 2),
+      e AS (SELECT CASE WHEN vab > vba THEN ia ELSE ib END src,
+          CASE WHEN vab > vba THEN ib ELSE ia END dst
+        FROM votes WHERE vab <> vba),
+      cyc AS (SELECT COUNT(*)::BIGINT n_cycles FROM e e1
+        JOIN e e2 ON e1.dst = e2.src
+        JOIN e e3 ON e2.dst = e3.src AND e3.dst = e1.src
+          AND e1.src < e2.src AND e1.src < e3.src),
+      k AS (SELECT COUNT(DISTINCT i)::BIGINT k FROM m),
+      nr AS (SELECT COUNT(DISTINCT r)::BIGINT n_raters FROM m),
+      np AS (SELECT COUNT(*)::BIGINT n_pairs FROM votes),
+      ne AS (SELECT COUNT(*)::BIGINT n_edges FROM e),
+      md AS (SELECT k, (CASE WHEN k < 3 THEN 0 WHEN k % 2 = 1
+          THEN k * (k * k - 1) // 24
+          ELSE k * (k * k - 4) // 24 END)::BIGINT maxd FROM k)
+      SELECT nr.n_raters, md.k AS n_items, np.n_pairs AS n_pairs_observed,
+        ne.n_edges, cyc.n_cycles,
+        (CASE WHEN ne.n_edges = md.k * (md.k - 1) // 2 AND md.maxd > 0
+          THEN (md.maxd - cyc.n_cycles) * 1000000 // md.maxd
+          WHEN ne.n_edges = md.k * (md.k - 1) // 2 AND md.k = 2
+          THEN 1000000 END)::BIGINT AS consistence_micro
+      FROM nr, md, np, ne, cyc"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6963,7 +7176,7 @@ object Queries {
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
-    q224, q225, q226, q227, q228, q229)
+    q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

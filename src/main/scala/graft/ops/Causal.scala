@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Causal-inference and experimentation estimators over logged data —
+  * the questions a training-data pipeline's OWNERS ask of it ("did the
+  * new filter change quality, or did the traffic mix change?"), answered
+  * with the same exact-integer determinism contracts as the rest of the
+  * engine. Observational estimators here adjust for ONE measured
+  * confounder structure each (strata; parallel trends); they are not a
+  * substitute for randomization, and the scaladoc of each names its
+  * identification assumption.
+  *
+  * Reference scope: the reference engine ships no causal family — this
+  * is part of the beyond-reference pipeline toolkit (SURVEY.md §2
+  * extension), sibling to the A/B rank tests (Features.mannWhitney) and
+  * the resampling family (Eval.bootstrapMeanCI).
+  */
+object Causal {
+
+  private def floorDivExpr(s: String, c: String): String =
+    s"case when $s >= 0 then $s div $c else -((-($s)) div $c) end"
+
+  /** Stratified average treatment effect — the classic adjustment for a
+    * DISCRETE confounder: within each stratum compare treated vs
+    * control means, then weight the per-stratum gaps by stratum size.
+    * Valid when treatment is as-good-as-random WITHIN strata
+    * (unconfoundedness given the stratum) and every used stratum has
+    * both arms (positivity — strata missing an arm are excluded and
+    * reported).
+    *
+    * Exactness: per-stratum arm sums are decimal(38,0) of micro-floored
+    * outcomes; per-stratum means are sign-split floor divisions (the
+    * documented micro-grid contract); the weighted combine
+    * `Σ n_s·Δ_s / Σ n_s` is one more exact decimal floor division. The
+    * naive (unadjusted) gap rides along so the confounding correction
+    * is visible in the output itself.
+    *
+    * Output (one row): `(n_strata, n_strata_used, n, n_used, n_treat,
+    * n_control, naive_diff_micro, ate_micro)`; NULL ate when no stratum
+    * has both arms.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(stratum) carrying four
+    * numbers per stratum, then a scalar rollup of the stratum table.
+    * No row ever leaves its task before aggregation.
+    */
+  def stratifiedAte(
+      df: DataFrame,
+      strataCol: String,
+      treatCol: String,
+      outcomeCol: String): DataFrame = {
+    val strata = df
+      .filter(col(strataCol).isNotNull && col(treatCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .select(col(strataCol).as("__s"),
+        col(treatCol).cast("boolean").as("__t"),
+        floor(col(outcomeCol).cast("double") * 1e6).cast("long").as("__v"))
+      .groupBy("__s")
+      .agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("__t"), col("__v")).otherwise(0L)
+          .cast("decimal(38,0)")).as("st"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("nc"),
+        sum(when(!col("__t"), col("__v")).otherwise(0L)
+          .cast("decimal(38,0)")).as("sc"))
+      .withColumn("diff", expr(
+        s"""case when nt > 0 and nc > 0 then
+            (${floorDivExpr("st", "nt")}) - (${floorDivExpr("sc", "nc")})
+            end"""))
+    strata.agg(
+        count(lit(1)).as("n_strata"),
+        sum(when(col("diff").isNotNull, 1L).otherwise(0L))
+          .as("n_strata_used"),
+        sum(col("nt") + col("nc")).as("n"),
+        sum(when(col("diff").isNotNull, col("nt") + col("nc"))
+          .otherwise(0L)).as("n_used"),
+        sum("nt").as("n_treat"), sum("nc").as("n_control"),
+        sum("st").as("stt"), sum("sc").as("sct"),
+        sum(when(col("diff").isNotNull,
+          expr("cast(nt + nc as decimal(38,0)) * diff")).otherwise(lit(0))
+          .cast("decimal(38,0)")).as("wsum"))
+      .select(col("n_strata"), col("n_strata_used"), col("n"),
+        col("n_used"), col("n_treat"), col("n_control"),
+        expr(s"""case when n_treat > 0 and n_control > 0 then
+            (${floorDivExpr("stt", "n_treat")})
+            - (${floorDivExpr("sct", "n_control")}) end""")
+          .as("naive_diff_micro"),
+        expr(s"""case when n_used > 0 then
+            cast(${floorDivExpr("wsum", "n_used")} as long) end""")
+          .as("ate_micro"))
+  }
+
+  /** Difference-in-differences on a 2×2 (treated × post-period) design
+    * — the pre-trend-adjusted effect of a change that hit one cohort at
+    * a known time: `(T̄_post − T̄_pre) − (C̄_post − C̄_pre)`. Valid
+    * under parallel trends (absent treatment, both cohorts' means move
+    * together).
+    *
+    * Exactness: four cell (n, Σ) pairs in decimal(38,0); each cell mean
+    * one sign-split floor division; the DiD is pure integer arithmetic
+    * of the four means. NULL when any cell is empty.
+    *
+    * Output (one row): `(n_t0, n_t1, n_c0, n_c1, mean_t0_micro,
+    * mean_t1_micro, mean_c0_micro, mean_c1_micro, treat_diff_micro,
+    * control_diff_micro, did_micro)`.
+    *
+    * 100 TB shape: one global aggregate with eight conditional sums —
+    * a single map-side-combined pass, output is one row.
+    */
+  def diffInDiff(
+      df: DataFrame,
+      treatCol: String,
+      postCol: String,
+      outcomeCol: String): DataFrame = {
+    def cell(t: Boolean, p: Boolean): (String, String) = {
+      val tag = (if (t) "t" else "c") + (if (p) "1" else "0")
+      (s"n_$tag", s"s_$tag")
+    }
+    val base = df
+      .filter(col(treatCol).isNotNull && col(postCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .select(col(treatCol).cast("boolean").as("__t"),
+        col(postCol).cast("boolean").as("__p"),
+        floor(col(outcomeCol).cast("double") * 1e6).cast("long").as("__v"))
+    val aggs = for {
+      t <- Seq(true, false); p <- Seq(false, true)
+      (nName, sName) = cell(t, p)
+      c <- Seq(
+        sum(when(col("__t") === t && col("__p") === p, 1L).otherwise(0L))
+          .as(nName),
+        sum(when(col("__t") === t && col("__p") === p, col("__v"))
+          .otherwise(0L).cast("decimal(38,0)")).as(sName))
+    } yield c
+    def mean(tag: String): String =
+      s"case when n_$tag > 0 then ${floorDivExpr(s"s_$tag", s"n_$tag")} end"
+    base.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_t0"), col("n_t1"), col("n_c0"), col("n_c1"),
+        expr(mean("t0")).as("mean_t0_micro"),
+        expr(mean("t1")).as("mean_t1_micro"),
+        expr(mean("c0")).as("mean_c0_micro"),
+        expr(mean("c1")).as("mean_c1_micro"))
+      .withColumn("treat_diff_micro",
+        col("mean_t1_micro") - col("mean_t0_micro"))
+      .withColumn("control_diff_micro",
+        col("mean_c1_micro") - col("mean_c0_micro"))
+      .withColumn("did_micro",
+        col("treat_diff_micro") - col("control_diff_micro"))
+  }
+
+  /** Two-proportion z-test with per-arm Wilson 95% intervals — the
+    * conversion-rate A/B readout (purchase rate, filter pass rate,
+    * contamination hit rate): exact counts, pooled-variance z, and the
+    * Wilson score interval that behaves at p near 0 or 1 where the
+    * normal interval leaks outside [0, 1].
+    *
+    * Exactness: n and x per arm are exact; rates are sign-free integer
+    * floor divisions to micro; z and the Wilson bounds are FIXED
+    * double expression trees of the exact counts (z literal 1.96,
+    * z² = 1.96·1.96 evaluated in IEEE — identical in any engine),
+    * floored to milli/micro once each. Exactly two groups required,
+    * reported in lexicographic order.
+    *
+    * Output (one row): `(grp_a, grp_b, n_a, n_b, x_a, x_b, p_a_micro,
+    * p_b_micro, diff_micro, z_milli, wilson_lo_a_micro,
+    * wilson_hi_a_micro, wilson_lo_b_micro, wilson_hi_b_micro)`; z NULL
+    * when the pooled variance degenerates (pooled p of 0 or 1).
+    *
+    * 100 TB shape: one map-side-combined groupBy(group) to two rows;
+    * the finish is driver arithmetic on four longs.
+    */
+  def twoProportionTest(
+      df: DataFrame,
+      groupCol: String,
+      successCol: String): DataFrame = {
+    val g = df
+      .filter(col(groupCol).isNotNull && col(successCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(successCol).cast("boolean").as("__x"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__x"), 1L).otherwise(0L)).as("x"))
+      .orderBy("__g").collect()
+    require(g.length == 2,
+      s"twoProportionTest: exactly 2 groups required, got ${g.length}")
+    val (ga, gb) = (g(0).getString(0), g(1).getString(0))
+    val (na, xa) = (g(0).getLong(1), g(0).getLong(2))
+    val (nb, xb) = (g(1).getLong(1), g(1).getLong(2))
+    val (paM, pbM) = (xa * 1000000L / na, xb * 1000000L / nb)
+    // pooled z: (p̂a − p̂b)/√(p̂(1−p̂)(1/na + 1/nb)) — one double tree
+    val pa = xa.toDouble / na
+    val pb = xb.toDouble / nb
+    val pp = (xa + xb).toDouble / (na + nb)
+    val v = pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)
+    val zMilli: Option[Long] =
+      if (v <= 0) None
+      else Some(math.floor(1000.0 * (pa - pb) / math.sqrt(v)).toLong)
+    // Wilson 95%: (p̂ + z²/2n ± z√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    def wilson(x: Long, n: Long): (Long, Long) = {
+      val p = x.toDouble / n
+      val z = 1.96
+      val zz = z * z
+      val center = p + zz / (2.0 * n)
+      val half = z * math.sqrt(p * (1.0 - p) / n + zz / (4.0 * n * n))
+      val den = 1.0 + zz / n
+      (math.floor(1000000.0 * (center - half) / den).toLong,
+        math.floor(1000000.0 * (center + half) / den).toLong)
+    }
+    val (wla, wha) = wilson(xa, na)
+    val (wlb, whb) = wilson(xb, nb)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, na, nb, xa, xb, paM, pbM, paM - pbM, zMilli,
+        wla, wha, wlb, whb))
+      .toDF("grp_a", "grp_b", "n_a", "n_b", "x_a", "x_b", "p_a_micro",
+        "p_b_micro", "diff_micro", "z_milli", "wilson_lo_a_micro",
+        "wilson_hi_a_micro", "wilson_lo_b_micro", "wilson_hi_b_micro")
+  }
+}

@@ -734,6 +734,50 @@ object Eval {
         "boot_hi_micro", "boot_se_micro")
   }
 
+  /** Leave-one-group-out jackknife of the corpus mean — "which source/
+    * domain/shard is MOVING my metric": for every group, the corpus
+    * mean recomputed without it, and the influence (how far that group
+    * pulls the global mean). The group-level sensitivity audit that
+    * catches one bad crawl snapshot dragging a quality average before
+    * anyone samples it.
+    *
+    * Exactness: group (n, Σ) in decimal(38,0) of micro-floored values;
+    * every mean a sign-split floor division; influence is integer
+    * subtraction of two floored means (±1 micro quantization,
+    * documented). NULL mean_excl for a group that IS the whole corpus.
+    *
+    * Output per group: `(group, n_g, mean_micro, mean_excl_micro,
+    * influence_micro)`.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(group); totals come
+    * from a broadcast one-row rollup of the group table, never a
+    * second corpus pass.
+    */
+  def jackknifeGroups(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("group"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__v"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("__v").cast("decimal(38,0)")).as("__s"))
+    val tot = g.agg(sum("n_g").as("__nt"),
+      sum("__s").cast("decimal(38,0)").as("__st"))
+    def fd(s: String, c: String): String =
+      s"case when $s >= 0 then $s div $c else -((-($s)) div $c) end"
+    g.crossJoin(broadcast(tot))
+      .withColumn("mean_micro", expr(fd("__st", "__nt")))
+      .withColumn("mean_excl_micro", expr(
+        s"case when __nt > n_g then ${fd("(__st - __s)", "(__nt - n_g)")} end"))
+      .withColumn("influence_micro",
+        col("mean_micro") - col("mean_excl_micro"))
+      .select("group", "n_g", "mean_micro", "mean_excl_micro",
+        "influence_micro")
+  }
+
   /** Randomization (permutation) test for the difference of group means
     * — the assumption-free significance check behind every A/B metric
     * diff: re-split the rows into pseudo-arms b times and ask how often

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Corpus, Eval, Features}
+import graft.ops.{Causal, Corpus, Eval, Features, Preference}
 import org.apache.spark.sql.functions._
 
 /** Behavior specs for the round-9 statistics batch: set-based retrieval
@@ -92,6 +92,91 @@ class StatsOpsSpec extends SparkSuite {
       Features.kendallTauBinned(df, "x", "y", maxCells = 5)
     }
     assert(e.getMessage.contains("maxCells"))
+  }
+
+  test("stratifiedAte undoes a Simpson sign flip the naive diff shows") {
+    // good stratum mostly control, bad stratum mostly treated — naive
+    // gap is negative although treatment adds +1 inside EVERY stratum
+    val rows =
+      Seq.fill(1)(("s1", true, 10.0)) ++ Seq.fill(10)(("s1", false, 9.0)) ++
+      Seq.fill(10)(("s2", true, 2.0)) ++ Seq.fill(1)(("s2", false, 1.0))
+    val out = Causal.stratifiedAte(
+      rows.toDF("s", "t", "v").repartition(3), "s", "t", "v").collect()(0)
+    assert(out.getLong(0) == 2L && out.getLong(1) == 2L) // strata, used
+    assert(out.getLong(2) == 22L && out.getLong(3) == 22L)
+    assert(out.getLong(6) < 0L)          // naive gap: negative (confounded)
+    assert(out.getLong(7) == 1000000L)   // true per-stratum effect: +1
+  }
+
+  test("stratifiedAte excludes single-arm strata and reports them") {
+    val rows = Seq(("s1", true, 5.0), ("s1", false, 3.0),
+      ("s2", true, 100.0)) // s2 has no control → excluded
+    val out = Causal.stratifiedAte(rows.toDF("s", "t", "v"), "s", "t", "v")
+      .collect()(0)
+    assert(out.getLong(0) == 2L && out.getLong(1) == 1L)
+    assert(out.getLong(3) == 2L)              // n_used excludes s2
+    assert(out.getLong(7) == 2000000L)        // 5 − 3 inside s1
+  }
+
+  test("diffInDiff: hand 2x2") {
+    val rows =
+      Seq.fill(4)((true, false, 10.0)) ++ Seq.fill(2)((true, true, 15.0)) ++
+      Seq.fill(3)((false, false, 1.0)) ++ Seq.fill(5)((false, true, 3.0))
+    val out = Causal.diffInDiff(rows.toDF("t", "p", "v").repartition(2),
+      "t", "p", "v").collect()(0)
+    assert(out.getLong(0) == 4L && out.getLong(1) == 2L)
+    assert(out.getLong(4) == 10000000L && out.getLong(5) == 15000000L)
+    assert(out.getLong(8) == 5000000L)   // treat diff
+    assert(out.getLong(9) == 2000000L)   // control diff
+    assert(out.getLong(10) == 3000000L)  // DiD
+  }
+
+  test("twoProportionTest: exact rates, z near hand value, sane Wilson") {
+    val rows = (0 until 200).map(i => ("a", i < 50)) ++
+      (0 until 200).map(i => ("b", i < 30))
+    val out = Causal.twoProportionTest(
+      rows.toDF("g", "x").repartition(3), "g", "x").collect()(0)
+    assert(out.getLong(2) == 200L && out.getLong(4) == 50L)
+    assert(out.getLong(6) == 250000L && out.getLong(7) == 150000L)
+    assert(out.getLong(8) == 100000L)
+    // hand z = 0.1/√(0.2·0.8·(2/200)) = 2.5 (± an ulp through the floor)
+    assert(math.abs(out.getLong(9) - 2500L) <= 1L)
+    assert(out.getLong(10) < 250000L && 250000L < out.getLong(11))
+    assert(out.getLong(12) < 150000L && 150000L < out.getLong(13))
+    intercept[IllegalArgumentException] {
+      Causal.twoProportionTest(Seq(("a", true)).toDF("g", "x"), "g", "x")
+    }
+  }
+
+  test("jackknifeGroups: hand influence, whole-corpus group NULL excl") {
+    val rows = Seq(("a", 1.0), ("a", 1.0), ("b", 4.0))
+    val out = Eval.jackknifeGroups(rows.toDF("g", "v"), "g", "v")
+      .orderBy("group").collect()
+    assert(out(0).getLong(2) == 2000000L)            // global mean
+    assert(out(0).getLong(3) == 4000000L)            // mean without a
+    assert(out(0).getLong(4) == -2000000L)           // a pulls mean down
+    assert(out(1).getLong(3) == 1000000L && out(1).getLong(4) == 1000000L)
+    val solo = Eval.jackknifeGroups(Seq(("only", 7.0)).toDF("g", "v"),
+      "g", "v").collect()(0)
+    assert(solo.isNullAt(3) && solo.isNullAt(4))
+  }
+
+  test("preferenceCycles: Condorcet cycle scores zeta 0, consensus 1") {
+    // rock-paper-scissors panel: every majority edge exists, one 3-cycle
+    val cyc = Seq(
+      (1L, "A", 3.0), (1L, "B", 2.0), (1L, "C", 1.0),
+      (2L, "A", 1.0), (2L, "B", 3.0), (2L, "C", 2.0),
+      (3L, "A", 2.0), (3L, "B", 1.0), (3L, "C", 3.0))
+    val o1 = Preference.preferenceCycles(
+      cyc.toDF("r", "i", "v").repartition(2), "r", "i", "v").collect()(0)
+    assert(o1.getLong(0) == 3L && o1.getLong(1) == 3L)
+    assert(o1.getLong(2) == 3L && o1.getLong(3) == 3L)
+    assert(o1.getLong(4) == 1L && o1.getLong(5) == 0L)
+    val agree = (1L to 3L).flatMap(r =>
+      Seq((r, "A", 3.0), (r, "B", 2.0), (r, "C", 1.0)))
+    val o2 = Preference.preferenceCycles(agree.toDF("r", "i", "v"),
+      "r", "i", "v").collect()(0)
+    assert(o2.getLong(4) == 0L && o2.getLong(5) == 1000000L)
   }
 
   private def md5hex(s: String): String =
