@@ -7156,6 +7156,127 @@ object Queries {
           THEN 1000000 END)::BIGINT AS consistence_micro
       FROM nr, md, np, ne, cyc"""))
 
+  /** Trimmed/winsorized mean of event value at 1% per side — exact
+    * order-statistic caps off a distinct-value prefix sum.
+    */
+  private val q235 = Q(
+    "q235_robust_mean",
+    (spark, dir) => Features.robustMean(
+      pq(spark, dir, "events"), "value", trimPpm = 10000L),
+    Some("""WITH b AS (SELECT floor(value * 1e6)::BIGINT vm FROM events
+          WHERE value IS NOT NULL),
+      c AS (SELECT vm, COUNT(*)::BIGINT c FROM b GROUP BY 1),
+      p AS (SELECT vm, c, SUM(c) OVER (ORDER BY vm
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT cum
+        FROM c),
+      t AS (SELECT SUM(c)::BIGINT n, SUM(vm::HUGEINT * c)::HUGEINT s
+        FROM c),
+      kk AS (SELECT n, s, (n * 10000) // 1000000 k FROM t),
+      tr AS (SELECT MAX(n)::BIGINT n, MAX(k)::BIGINT trim_k,
+          MAX(s)::HUGEINT s,
+          SUM(vm::HUGEINT * GREATEST(0, LEAST(cum, n - k)
+            - GREATEST(cum - c + 1, k + 1) + 1))::HUGEINT strim,
+          MAX(CASE WHEN cum - c + 1 <= k + 1 AND k + 1 <= cum
+            THEN vm END)::BIGINT lo_cap_micro,
+          MAX(CASE WHEN cum - c + 1 <= n - k AND n - k <= cum
+            THEN vm END)::BIGINT hi_cap_micro
+        FROM p, kk)
+      SELECT n, trim_k,
+        (CASE WHEN s >= 0 THEN s // n
+          ELSE -((-s) // n) END)::BIGINT AS mean_micro,
+        (CASE WHEN n - 2 * trim_k > 0 THEN
+          (CASE WHEN strim >= 0 THEN strim // (n - 2 * trim_k)
+            ELSE -((-strim) // (n - 2 * trim_k)) END) END)::BIGINT
+          AS trimmed_mean_micro,
+        (CASE WHEN n - 2 * trim_k > 0 THEN
+          (CASE WHEN strim + trim_k::HUGEINT * lo_cap_micro
+              + trim_k::HUGEINT * hi_cap_micro >= 0 THEN
+            (strim + trim_k::HUGEINT * lo_cap_micro
+             + trim_k::HUGEINT * hi_cap_micro) // n
+          ELSE -((-(strim + trim_k::HUGEINT * lo_cap_micro
+                    + trim_k::HUGEINT * hi_cap_micro)) // n) END)
+          END)::BIGINT AS winsorized_mean_micro,
+        lo_cap_micro, hi_cap_micro
+      FROM tr"""))
+
+  /** CUPED-adjusted arm gap on event value with the JSON `k` prop as
+    * pre-period covariate — pooled θ, raw vs adjusted diff, ρ².
+    */
+  private val q236 = Q(
+    "q236_cuped",
+    (spark, dir) => Causal.cuped(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b"))
+        .withColumn("k_cov",
+          get_json_object(col("props"), "$.k").cast("double")),
+      "arm", "value", "k_cov"),
+    Some("""WITH b AS (SELECT
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g,
+          floor(value * 1e6)::BIGINT y,
+          floor(json_extract(props, '$.k')::DOUBLE * 1e6)::BIGINT x
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+          AND json_extract(props, '$.k') IS NOT NULL),
+      g AS (SELECT g, COUNT(*)::BIGINT n, SUM(x::HUGEINT)::HUGEINT sx,
+          SUM(y::HUGEINT)::HUGEINT sy, SUM(x::HUGEINT * y)::HUGEINT sxy,
+          SUM(x::HUGEINT * x)::HUGEINT sxx, SUM(y::HUGEINT * y)::HUGEINT syy
+        FROM b GROUP BY 1),
+      w AS (SELECT a.n na, a.sx sxa, a.sy sya, c.n nb, c.sx sxb, c.sy syb,
+          a.n + c.n n, a.sx + c.sx sx, a.sy + c.sy sy,
+          a.sxy + c.sxy sxy, a.sxx + c.sxx sxx, a.syy + c.syy syy
+        FROM (SELECT * FROM g WHERE g = 'arm_a') a,
+          (SELECT * FROM g WHERE g = 'arm_b') c)
+      SELECT 'arm_a' AS grp_a, 'arm_b' AS grp_b,
+        na AS n_a, nb AS n_b,
+        (CASE WHEN n * sxx - sx * sx > 0 THEN
+          floor(1000000.0 * ((n * sxy - sx * sy)::DOUBLE
+            / (n * sxx - sx * sx)::DOUBLE)) END)::BIGINT AS theta_micro,
+        floor(sya::DOUBLE / na - syb::DOUBLE / nb)::BIGINT
+          AS diff_raw_micro,
+        (CASE WHEN n * sxx - sx * sx > 0 THEN
+          floor((sya::DOUBLE / na - syb::DOUBLE / nb)
+            - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE)
+              * (sxa::DOUBLE / na - sxb::DOUBLE / nb)) END)::BIGINT
+          AS diff_cuped_micro,
+        (CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+          floor(1000000.0 *
+            ((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE)
+            / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE))
+          END)::BIGINT AS var_reduction_micro
+      FROM w"""))
+
+  /** Quantile treatment effects of arm on event value at the 10/25/50/
+    * 75/90th percentiles — exact per-arm order statistics, integer QTE.
+    */
+  private val q237 = Q(
+    "q237_qte",
+    (spark, dir) => Causal.quantileTreatmentEffect(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b")),
+      "arm", "value"),
+    Some("""WITH b AS (SELECT
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g,
+          floor(value * 1e6)::BIGINT vm
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      n AS (SELECT g, COUNT(*)::BIGINT n FROM b GROUP BY 1),
+      pc(percent) AS (VALUES (10), (25), (50), (75), (90)),
+      rk AS (SELECT g, percent, n, (percent * (n - 1)) // 100 r
+        FROM n CROSS JOIN pc),
+      o AS (SELECT g, vm,
+          ROW_NUMBER() OVER (PARTITION BY g ORDER BY vm) - 1 rn FROM b),
+      q AS (SELECT rk.g, rk.percent, rk.n, o.vm
+        FROM rk JOIN o ON o.g = rk.g AND o.rn = rk.r)
+      SELECT qa.percent, qa.n AS n_a, qb.n AS n_b,
+        qa.vm AS q_a_micro, qb.vm AS q_b_micro,
+        (qa.vm - qb.vm)::BIGINT AS qte_micro
+      FROM (SELECT * FROM q WHERE g = 'arm_a') qa
+        JOIN (SELECT * FROM q WHERE g = 'arm_b') qb USING (percent)"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7176,7 +7297,8 @@ object Queries {
     q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203,
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
-    q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234)
+    q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
+    q235, q236, q237)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

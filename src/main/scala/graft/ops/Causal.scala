@@ -148,6 +148,129 @@ object Causal {
         col("treat_diff_micro") - col("control_diff_micro"))
   }
 
+  /** CUPED variance reduction (Controlled-experiment Using Pre-Existing
+    * Data) — the industry-standard A/B sensitivity booster: regress the
+    * experiment metric on a pre-period covariate, subtract the
+    * predicted component, and the arm difference keeps its expectation
+    * while shedding ρ² of its variance. This reports θ (the pooled OLS
+    * coefficient), the raw and CUPED-adjusted arm gaps, and the
+    * variance-reduction fraction ρ².
+    *
+    * Exactness: pooled and per-arm moments are decimal(38,0) sums of
+    * micro-floored values (one map-side-combined pass); θ, the two
+    * gaps, and ρ² are FIXED double trees of those exact integers
+    * (corrMatrix finish contract), floored to micro once each. Exactly
+    * two groups required, lexicographic order.
+    *
+    * Output (one row): `(grp_a, grp_b, n_a, n_b, theta_micro,
+    * diff_raw_micro, diff_cuped_micro, var_reduction_micro)`; NULLs
+    * when the covariate is constant (θ undefined).
+    *
+    * 100 TB shape: ONE groupBy(group) pass carrying six moments per
+    * arm (pooled = sum of the two rows, driver-side); no second scan,
+    * no join.
+    */
+  def cuped(
+      df: DataFrame,
+      groupCol: String,
+      metricCol: String,
+      covariateCol: String): DataFrame = {
+    val g = df
+      .filter(col(groupCol).isNotNull && col(metricCol).isNotNull &&
+        col(covariateCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        floor(col(metricCol).cast("double") * 1e6).cast("long").as("__y"),
+        floor(col(covariateCol).cast("double") * 1e6).cast("long").as("__x"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast("decimal(38,0)")).as("sx"),
+        sum(col("__y").cast("decimal(38,0)")).as("sy"),
+        sum(expr("cast(__x as decimal(38,0)) * __y")).as("sxy"),
+        sum(expr("cast(__x as decimal(38,0)) * __x")).as("sxx"),
+        sum(expr("cast(__y as decimal(38,0)) * __y")).as("syy"))
+      .orderBy("__g").collect()
+    require(g.length == 2,
+      s"cuped: exactly 2 groups required, got ${g.length}")
+    def dec(r: org.apache.spark.sql.Row, i: Int): BigInt =
+      BigInt(r.getDecimal(i).toBigInteger)
+    val (ga, gb) = (g(0).getString(0), g(1).getString(0))
+    val (na, nb) = (g(0).getLong(1), g(1).getLong(1))
+    val (sxa, sya) = (dec(g(0), 2), dec(g(0), 3))
+    val (sxb, syb) = (dec(g(1), 2), dec(g(1), 3))
+    val n = BigInt(na + nb)
+    val sx = sxa + sxb; val sy = sya + syb
+    val sxy = dec(g(0), 4) + dec(g(1), 4)
+    val sxx = dec(g(0), 5) + dec(g(1), 5)
+    val syy = dec(g(0), 6) + dec(g(1), 6)
+    val den = n * sxx - sx * sx
+    val rawD = sya.toDouble / na - syb.toDouble / nb
+    val (theta, cupedD, rho2): (Option[Long], Option[Long], Option[Long]) =
+      if (den <= 0) (None, None, None)
+      else {
+        val th = (n * sxy - sx * sy).toDouble / den.toDouble
+        val adj = rawD - th * (sxa.toDouble / na - sxb.toDouble / nb)
+        val denY = n * syy - sy * sy
+        val r2 =
+          if (denY <= 0) None
+          else Some(math.floor(1000000.0 *
+            ((n * sxy - sx * sy).toDouble * (n * sxy - sx * sy).toDouble)
+            / (den.toDouble * denY.toDouble)).toLong)
+        (Some(math.floor(1000000.0 * th).toLong),
+          Some(math.floor(adj).toLong), r2)
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, na, nb, theta,
+        Some(math.floor(rawD).toLong): Option[Long], cupedD, rho2))
+      .toDF("grp_a", "grp_b", "n_a", "n_b", "theta_micro",
+        "diff_raw_micro", "diff_cuped_micro", "var_reduction_micro")
+  }
+
+  /** Quantile treatment effects — the DISTRIBUTIONAL view of an A/B
+    * gap: the per-arm exact nearest-rank quantiles at the requested
+    * percents and their differences. A mean diff of zero can hide a
+    * tail regression (p90 latency up, median down); this is the
+    * one-pass readout that catches it.
+    *
+    * Exactness: values micro-floor per row; each quantile is the exact
+    * order statistic at index `⌊p·(n−1)/100⌋` (the
+    * [[Corpus.groupQuantiles]] contract) of the arm's own sort; QTE is
+    * integer subtraction. Exactly two groups required.
+    *
+    * Output per percent: `(percent, n_a, n_b, q_a_micro, q_b_micro,
+    * qte_micro)`.
+    *
+    * 100 TB shape: [[Corpus.groupQuantiles]]'s per-group window sort —
+    * two arm-keyed sorted groups (each arm parallelized by the range
+    * sort within its window partition; two groups is the floor of
+    * parallelism here, the honest cost of exact quantiles per arm) —
+    * then a |percents|-row self-join.
+    */
+  def quantileTreatmentEffect(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      percents: Seq[Int] = Seq(10, 25, 50, 75, 90)): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__vm"))
+    val grps = base.select("__g").distinct().orderBy("__g")
+      .collect().map(_.getString(0)).toSeq
+    require(grps.length == 2,
+      s"quantileTreatmentEffect: exactly 2 groups required, got " +
+        s"${grps.length}")
+    val q = Corpus.groupQuantiles(base, Seq("__g"), "__vm", percents)
+    val a = q.filter(col("__g") === grps(0))
+      .select(col("percent"), col("n").as("n_a"), col("value").as("q_a_micro"))
+    val b = q.filter(col("__g") === grps(1))
+      .select(col("percent"), col("n").as("n_b"), col("value").as("q_b_micro"))
+    a.join(b, Seq("percent"))
+      .withColumn("qte_micro", col("q_a_micro") - col("q_b_micro"))
+      .select("percent", "n_a", "n_b", "q_a_micro", "q_b_micro",
+        "qte_micro")
+  }
+
   /** Two-proportion z-test with per-arm Wilson 95% intervals — the
     * conversion-rate A/B readout (purchase rate, filter pass rate,
     * contamination hit rate): exact counts, pooled-variance z, and the

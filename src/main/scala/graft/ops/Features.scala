@@ -906,6 +906,74 @@ object Features {
           .as("r2_micro"))
   }
 
+  /** Trimmed and winsorized corpus means — the robust center estimates
+    * a heavy-tailed pipeline metric needs (one 10 GB document moves a
+    * plain mean; it cannot move a 1%-trimmed one): drop the k lowest
+    * and k highest rows (trimmed), or clamp them to the trim-boundary
+    * values (winsorized), k = ⌊n·trimPpm/10⁶⌋.
+    *
+    * EXACT end-to-end: values micro-floor per row; the trim boundaries
+    * are exact order statistics read off a DISTINCT-VALUE prefix sum
+    * (never a row-level global sort); each value's surviving
+    * multiplicity is pure integer interval arithmetic
+    * `min(cum, n−k) − max(cum−c+1, k+1) + 1`; all three means are
+    * sign-split floor divisions of decimal(38,0) sums. NULL trimmed/
+    * winsorized when the trim swallows everything (n ≤ 2k).
+    *
+    * Output (one row): `(n, trim_k, mean_micro, trimmed_mean_micro,
+    * winsorized_mean_micro, lo_cap_micro, hi_cap_micro)` — the caps
+    * are the clamp values, reusable as the corpus' robust clip bounds.
+    *
+    * 100 TB shape: one map-side-combined groupBy(value) collapses the
+    * corpus to its distinct micro values; [[Ranks.prefixSum]]'s range
+    * exchange runs on THAT table; one broadcast of the (n, sum) totals;
+    * one scalar rollup. The corpus is read once.
+    */
+  def robustMean(
+      df: DataFrame,
+      valueCol: String,
+      trimPpm: Long = 10000L): DataFrame = {
+    require(trimPpm >= 0 && trimPpm < 500000,
+      s"trimPpm $trimPpm must lie in [0, 500000) — trimming half from " +
+        "each side leaves nothing")
+    val cnt = df.filter(col(valueCol).isNotNull)
+      .select(floor(col(valueCol).cast("double") * 1e6).cast("long")
+        .as("__vm"))
+      .groupBy("__vm").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val p = Ranks.prefixSum(cnt, Seq(col("__vm")), Seq("__c"))
+    val tot = cnt.agg(sum("__c").as("__n"),
+      sum(expr("cast(__vm as decimal(38,0)) * __c")).as("__s"))
+    def fd(s: String, c: String): String =
+      s"case when $s >= 0 then $s div $c else -((-($s)) div $c) end"
+    p.crossJoin(broadcast(tot))
+      .withColumn("__k", expr(s"__n * $trimPpm div 1000000"))
+      .withColumn("__used", expr(
+        """greatest(0L, least(__c_cum, __n - __k)
+           - greatest(__c_cum - __c + 1, __k + 1) + 1)"""))
+      .agg(
+        max("__n").as("n"), max("__k").as("trim_k"),
+        max("__s").as("s"),
+        sum(expr("cast(__vm as decimal(38,0)) * __used")).as("strim"),
+        max(expr(
+          "case when __c_cum - __c + 1 <= __k + 1 and __k + 1 <= __c_cum " +
+            "then __vm end")).as("lo_cap_micro"),
+        max(expr(
+          "case when __c_cum - __c + 1 <= __n - __k and __n - __k <= " +
+            "__c_cum then __vm end")).as("hi_cap_micro"))
+      .select(col("n"), col("trim_k"),
+        expr(fd("s", "n")).as("mean_micro"),
+        expr(s"""case when n - 2 * trim_k > 0 then
+            ${fd("strim", "(n - 2 * trim_k)")} end""")
+          .as("trimmed_mean_micro"),
+        expr(s"""case when n - 2 * trim_k > 0 then
+            ${fd(
+              "(strim + cast(trim_k as decimal(38,0)) * lo_cap_micro" +
+                " + cast(trim_k as decimal(38,0)) * hi_cap_micro)",
+              "n")} end""").as("winsorized_mean_micro"),
+        col("lo_cap_micro"), col("hi_cap_micro"))
+  }
+
   /** Kendall's τ-b between two BOUNDED-CARDINALITY columns — the
     * concordance rank correlation, computed exactly from the distinct-
     * value CELL table instead of the O(n²) row-pair space: concordant/

@@ -179,6 +179,62 @@ class StatsOpsSpec extends SparkSuite {
     assert(o2.getLong(4) == 0L && o2.getLong(5) == 1000000L)
   }
 
+  test("robustMean: hand trim/winsor at 10%, outlier immunity") {
+    val base = (1 to 10).map(i => i.toDouble)
+    val out = Features.robustMean(base.toDF("v").repartition(3), "v",
+      trimPpm = 100000L).collect()(0)
+    assert(out.getLong(0) == 10L && out.getLong(1) == 1L)
+    assert(out.getLong(2) == 5500000L)                      // mean 5.5
+    assert(out.getLong(3) == 5500000L)                      // trimmed 2..9
+    assert(out.getLong(4) == 5500000L)                      // winsorized
+    assert(out.getLong(5) == 2000000L && out.getLong(6) == 9000000L)
+    // one enormous outlier moves the mean, not the trimmed mean
+    val poisoned = Features.robustMean(
+      (base :+ 1e9).toDF("v"), "v", trimPpm = 100000L).collect()(0)
+    assert(poisoned.getLong(2) > 90000000L)                 // mean blown up
+    assert(poisoned.getLong(3) == 6000000L)                 // trimmed: 2..10
+    intercept[IllegalArgumentException] {
+      Features.robustMean(base.toDF("v"), "v", trimPpm = 500000L)
+    }
+  }
+
+  test("cuped: balanced covariate leaves the gap, exact theta and rho2") {
+    val rows = Seq(("a", 11.0, 1.0), ("a", 13.0, 3.0),
+      ("b", 1.0, 1.0), ("b", 3.0, 3.0))
+    val out = Causal.cuped(rows.toDF("g", "y", "x").repartition(2),
+      "g", "y", "x").collect()(0)
+    assert(out.getLong(2) == 2L && out.getLong(3) == 2L)
+    assert(out.getLong(4) == 1000000L)      // pooled slope exactly 1
+    assert(out.getLong(5) == 10000000L)     // raw gap 10
+    assert(out.getLong(6) == 10000000L)     // balanced X → unchanged
+    // rho2 = 256/6656 of the exact pooled moments
+    assert(out.getLong(7) == math.floor(1e6 * 256.0 / 6656.0).toLong)
+    // constant covariate → theta undefined, raw gap still reported
+    val const = Causal.cuped(Seq(("a", 5.0, 1.0), ("b", 3.0, 1.0))
+      .toDF("g", "y", "x"), "g", "y", "x").collect()(0)
+    assert(const.isNullAt(4) && const.getLong(5) == 2000000L)
+  }
+
+  test("quantileTreatmentEffect: shifted arms show constant QTE") {
+    val rows = (1 to 10).map(i => ("arm_a", i.toDouble)) ++
+      (1 to 10).map(i => ("arm_b", i + 10.0))
+    val out = Causal.quantileTreatmentEffect(
+      rows.toDF("g", "v").repartition(3), "g", "v")
+      .orderBy("percent").collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getLong(1) == 10L && r.getLong(2) == 10L)
+      assert(r.getLong(5) == -10000000L) // uniform −10 shift at every q
+    }
+    // median: index floor(50·9/100) = 4 → values 5 and 15
+    val med = out.find(_.getInt(0) == 50).get
+    assert(med.getLong(3) == 5000000L && med.getLong(4) == 15000000L)
+    intercept[IllegalArgumentException] {
+      Causal.quantileTreatmentEffect(
+        Seq(("a", 1.0)).toDF("g", "v"), "g", "v")
+    }
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
