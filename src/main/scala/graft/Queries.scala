@@ -7277,6 +7277,138 @@ object Queries {
       FROM (SELECT * FROM q WHERE g = 'arm_a') qa
         JOIN (SELECT * FROM q WHERE g = 'arm_b') qb USING (percent)"""))
 
+  /** ICC(1) and the cluster design effect of event values clustered by
+    * user — exact ANOVA moments, one double finish.
+    */
+  private val q238 = Q(
+    "q238_icc",
+    (spark, dir) => Features.icc(
+      pq(spark, dir, "events"), "user_id", "value"),
+    Some("""WITH b AS (SELECT user_id g2, floor(value * 1e6)::BIGINT v
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      c AS (SELECT g2, COUNT(*)::BIGINT ng, SUM(v)::HUGEINT sg,
+          SUM(v::HUGEINT * v)::HUGEINT qg FROM b GROUP BY 1),
+      s AS (SELECT SUM(ng)::BIGINT n, COUNT(*)::BIGINT k,
+          SUM(sg)::HUGEINT s, SUM(qg)::HUGEINT q,
+          SUM((sg * sg) // ng)::HUGEINT sb_raw,
+          SUM(ng::HUGEINT * ng)::HUGEINT sq2 FROM c),
+      r AS (SELECT n, k,
+          (CASE WHEN k >= 2 AND n > k THEN
+            floor(1000.0 * (n::DOUBLE - sq2::DOUBLE / n) / (k - 1))
+            END)::BIGINT n0_milli,
+          (CASE WHEN k >= 2 AND n > k THEN
+            floor(1000000.0 *
+              ((sb_raw::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (k - 1)
+               - (q::DOUBLE - sb_raw::DOUBLE) / (n - k))
+              / nullif((sb_raw::DOUBLE - s::DOUBLE * s::DOUBLE / n)
+                  / (k - 1)
+                + ((n::DOUBLE - sq2::DOUBLE / n) / (k - 1) - 1.0)
+                  * ((q::DOUBLE - sb_raw::DOUBLE) / (n - k)), 0.0))
+            END)::BIGINT icc_micro
+        FROM s)
+      SELECT n, k, n0_milli, icc_micro,
+        (CASE WHEN icc_micro IS NOT NULL THEN
+          floor(1000.0 * (1.0 + (n::DOUBLE / k - 1.0)
+            * (icc_micro::DOUBLE / 1e6))) END)::BIGINT AS deff_milli
+      FROM r"""))
+
+  /** Always-valid mixture SPRT per user on "value ≥ 50" — exact integer
+    * walk core, milli-floored lnΛ, always-valid p off the running max.
+    */
+  private val q239 = Q(
+    "q239_msprt",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      Features.msprt(
+        raw.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            EventTime.epochMillis(raw, "ts").as("ts_ms"),
+            (col("value") >= 50.0).as("outcome")),
+        "user_id", "ts_ms", "event_id", "outcome",
+        p0Micro = 500000L, tau2Micro = 10000L, alphaMicro = 50000L)
+        .withColumnRenamed("key", "user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ts_ms,
+          (value >= 50.0) outcome FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      p AS (SELECT user_id,
+          SUM(CASE WHEN outcome THEN 500000 ELSE -500000 END)
+            OVER w::BIGINT d,
+          COUNT(*) OVER w::BIGINT n
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      l AS (SELECT user_id, n, d,
+          0.5 * ln((500000.0 * 500000.0 / 1e12)
+            / ((500000.0 * 500000.0 / 1e12) + n::DOUBLE * (10000.0 / 1e6)))
+          + (d::DOUBLE / 1e6) * (d::DOUBLE / 1e6) * (10000.0 / 1e6)
+            / (2.0 * (500000.0 * 500000.0 / 1e12)
+               * ((500000.0 * 500000.0 / 1e12)
+                  + n::DOUBLE * (10000.0 / 1e6))) lam
+        FROM p),
+      m AS (SELECT user_id, n, lam,
+          floor(1000.0 * lam)::BIGINT lam_milli FROM l),
+      f AS (SELECT user_id, COUNT(*)::BIGINT n_obs,
+          MAX_BY(lam_milli, n) lnlam_final_milli,
+          MAX(lam_milli)::BIGINT lnlam_max_milli,
+          MAX(lam) lam_max_raw,
+          MIN(CASE WHEN lam_milli >=
+            floor(1000.0 * ln(1000000.0 / 50000.0))::BIGINT
+            THEN n END)::BIGINT n_at_decision
+        FROM m GROUP BY 1)
+      SELECT user_id, n_obs, lnlam_final_milli, lnlam_max_milli,
+        CASE WHEN n_at_decision IS NOT NULL THEN 'reject_h0' END
+          AS decision,
+        n_at_decision,
+        floor(1000000.0 / exp(GREATEST(lam_max_raw, 0.0)))::BIGINT
+          AS avp_micro
+      FROM f"""))
+
+  /** Welch's t-test on event value between arms — exact moments, milli
+    * t and Welch–Satterthwaite df.
+    */
+  private val q240 = Q(
+    "q240_welch_t",
+    (spark, dir) => Causal.welchTTest(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b")),
+      "arm", "value"),
+    Some("""WITH b AS (SELECT
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g,
+          floor(value * 1e6)::BIGINT v
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      g AS (SELECT g, COUNT(*)::BIGINT n, SUM(v)::HUGEINT s,
+          SUM(v::HUGEINT * v)::HUGEINT q FROM b GROUP BY 1),
+      w AS (SELECT a.n na, a.s sa, a.q qa, c.n nb, c.s sb, c.q qb
+        FROM (SELECT * FROM g WHERE g = 'arm_a') a,
+          (SELECT * FROM g WHERE g = 'arm_b') c),
+      v AS (SELECT *,
+          (qa::DOUBLE - sa::DOUBLE * sa::DOUBLE / na) / (na - 1) va,
+          (qb::DOUBLE - sb::DOUBLE * sb::DOUBLE / nb) / (nb - 1) vb
+        FROM w),
+      v2 AS (SELECT *, va / na van, vb / nb vbn FROM v),
+      v3 AS (SELECT *, van + vbn se2 FROM v2)
+      SELECT 'arm_a' AS grp_a, 'arm_b' AS grp_b, na AS n_a, nb AS n_b,
+        (CASE WHEN sa >= 0 THEN sa // na
+          ELSE -((-sa) // na) END)::BIGINT AS mean_a_micro,
+        (CASE WHEN sb >= 0 THEN sb // nb
+          ELSE -((-sb) // nb) END)::BIGINT AS mean_b_micro,
+        ((CASE WHEN sa >= 0 THEN sa // na ELSE -((-sa) // na) END)
+         - (CASE WHEN sb >= 0 THEN sb // nb
+             ELSE -((-sb) // nb) END))::BIGINT AS diff_micro,
+        (CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0 THEN
+          floor(1000.0 * (sa::DOUBLE / na - sb::DOUBLE / nb) / sqrt(se2))
+          END)::BIGINT AS t_milli,
+        (CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0 THEN
+          floor(1000.0 * (se2 * se2 / (van * van / (na - 1)
+            + vbn * vbn / (nb - 1)))) END)::BIGINT AS df_milli
+      FROM v3"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7298,7 +7430,7 @@ object Queries {
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-    q235, q236, q237)
+    q235, q236, q237, q238, q239, q240)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -271,6 +271,74 @@ object Causal {
         "qte_micro")
   }
 
+  /** Welch's t-test — the default parametric two-sample mean test
+    * (unequal variances, unequal sizes; the plain Student t is the
+    * special case nobody's data satisfies). Reports t and the
+    * Welch–Satterthwaite degrees of freedom; |t| ≥ 1.96 rejects at 5%
+    * for any df above ~100. The rank-based sibling is
+    * [[graft.ops.Features.mannWhitney]]; the resampling sibling is
+    * [[graft.ops.Eval.permutationTestMeans]].
+    *
+    * Exactness: per-arm (n, Σ, Σ²) are decimal(38,0) of micro-floored
+    * values; means are sign-split floor divisions (exact); t and df are
+    * one fixed double tree each over the exact moments (sample
+    * variances via `(Σ² − Σ²/n)/(n−1)`), floored to milli. NULL t/df
+    * when either arm has n < 2 or the pooled standard error
+    * degenerates.
+    *
+    * Output (one row): `(grp_a, grp_b, n_a, n_b, mean_a_micro,
+    * mean_b_micro, diff_micro, t_milli, df_milli)`.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(group) to two rows;
+    * driver arithmetic finishes.
+    */
+  def welchTTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__v"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast("decimal(38,0)")).as("s"),
+        sum(expr("cast(__v as decimal(38,0)) * __v")).as("q"))
+      .orderBy("__g").collect()
+    require(g.length == 2,
+      s"welchTTest: exactly 2 groups required, got ${g.length}")
+    def dec(i: Int, j: Int): BigInt = BigInt(g(i).getDecimal(j).toBigInteger)
+    val (ga, gb) = (g(0).getString(0), g(1).getString(0))
+    val (na, nb) = (g(0).getLong(1), g(1).getLong(1))
+    val (sa, sb) = (dec(0, 2), dec(1, 2))
+    val (qa, qb) = (dec(0, 3), dec(1, 3))
+    def floorDiv(s: BigInt, c: Long): Long =
+      (if (s >= 0) s / c else -((-s) / c)).toLong
+    val (meanA, meanB) = (floorDiv(sa, na), floorDiv(sb, nb))
+    val (tMilli, dfMilli): (Option[Long], Option[Long]) =
+      if (na < 2 || nb < 2) (None, None)
+      else {
+        val va = (qa.toDouble - sa.toDouble * sa.toDouble / na) / (na - 1)
+        val vb = (qb.toDouble - sb.toDouble * sb.toDouble / nb) / (nb - 1)
+        val van = va / na
+        val vbn = vb / nb
+        val se2 = van + vbn
+        if (se2 <= 0) (None, None)
+        else {
+          val t = (sa.toDouble / na - sb.toDouble / nb) / math.sqrt(se2)
+          val dfD = se2 * se2 /
+            (van * van / (na - 1) + vbn * vbn / (nb - 1))
+          (Some(math.floor(1000.0 * t).toLong),
+            Some(math.floor(1000.0 * dfD).toLong))
+        }
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, na, nb, meanA, meanB, meanA - meanB, tMilli, dfMilli))
+      .toDF("grp_a", "grp_b", "n_a", "n_b", "mean_a_micro",
+        "mean_b_micro", "diff_micro", "t_milli", "df_milli")
+  }
+
   /** Two-proportion z-test with per-arm Wilson 95% intervals — the
     * conversion-rate A/B readout (purchase rate, filter pass rate,
     * contamination hit rate): exact counts, pooled-variance z, and the

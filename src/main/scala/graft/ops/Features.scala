@@ -105,6 +105,152 @@ object Features {
       .select(col("id"), col("category"), col("n"), col("enc_loo_micro"))
   }
 
+  /** Mixture SPRT (always-valid inference) over a Bernoulli outcome
+    * stream per key — the ALWAYS-VALID member of the sequential family:
+    * where [[sprtBernoulli]] needs a committed alternative p₁, the
+    * mSPRT mixes over alternatives (normal mixture, variance τ²) so
+    * the experimenter may peek at EVERY step and still control type-I
+    * error at α. The modern continuous-monitoring A/B shape
+    * (always-valid p-values), replayed deterministically over the log.
+    *
+    * Statistic at step n (normal approximation, σ² = p₀(1−p₀)):
+    * `lnΛ_n = ½·ln(σ²/(σ²+nτ²)) + (S_n − n·p₀)²·τ² / (2σ²(σ²+nτ²))`
+    * — the cumulative core `D_n = 10⁶·S_n − n·p0Micro` is an EXACT
+    * integer prefix sum; each row's lnΛ is one fixed double tree of
+    * (n, D_n) and the two micro literals, floored to milli
+    * (runtime-ln under the q220 precedent: correctly-rounded libm
+    * doubles of exact integers). Rejection: lnΛ_n ≥ ln(1/α), both
+    * sides compared at the milli floor. The always-valid p-value is
+    * `min(1, 1/max_m≤n Λ_m)`, reported in micro from the running max.
+    *
+    * Output per key: `(key, n_obs, lnlam_final_milli, lnlam_max_milli,
+    * decision, n_at_decision, avp_micro)`; decision `reject_h0` or
+    * NULL (the mSPRT never "accepts" — it monitors).
+    *
+    * 100 TB shape: identical to [[sprtBernoulli]] — one (key)-keyed
+    * window walk, one map-side-combined groupBy(key).
+    */
+  def msprt(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      outcomeCol: String,
+      p0Micro: Long,
+      tau2Micro: Long,
+      alphaMicro: Long = 50000L): DataFrame = {
+    require(p0Micro > 0 && p0Micro < 1000000L,
+      s"p0Micro $p0Micro must lie in (0, 1e6)")
+    require(tau2Micro > 0, s"tau2Micro $tau2Micro must be positive")
+    require(alphaMicro > 0 && alphaMicro < 1000000L,
+      s"alphaMicro $alphaMicro must lie in (0, 1e6)")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // σ² and τ² in natural units as fixed double subtrees of the literals
+    val s2 = s"(${p0Micro}.0 * ${1000000L - p0Micro}.0 / 1e12)"
+    val t2 = s"(${tau2Micro}.0 / 1e6)"
+    val lnlam =
+      s"""0.5 * ln($s2 / ($s2 + cast(__n as double) * $t2))
+         + (cast(__d as double) / 1e6) * (cast(__d as double) / 1e6)
+           * $t2 / (2.0 * $s2 * ($s2 + cast(__n as double) * $t2))"""
+    val walk = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .withColumn("__inc",
+        when(col(outcomeCol).cast("boolean"), lit(1000000L - p0Micro))
+          .otherwise(lit(-p0Micro)))
+      .withColumn("__d", sum(col("__inc")).over(w))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__lam", expr(lnlam))
+      .withColumn("__lam_milli",
+        floor(expr("1000.0 * (" + lnlam + ")")).cast("long"))
+      .withColumn("__crossed", expr(
+        s"__lam_milli >= cast(floor(1000.0 * ln(1000000.0 / " +
+          s"${alphaMicro}.0)) as long)"))
+    walk.groupBy(col(keyCol).as("key"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        max(struct(col("__n"), col("__lam_milli"))).getField("__lam_milli")
+          .as("lnlam_final_milli"),
+        max(col("__lam_milli")).as("lnlam_max_milli"),
+        max(col("__lam")).as("__lam_max_raw"),
+        min(when(col("__crossed"), col("__n"))).as("n_at_decision"))
+      .withColumn("decision",
+        when(col("n_at_decision").isNotNull, "reject_h0"))
+      .withColumn("avp_micro", expr(
+        """cast(floor(1000000.0 /
+           exp(greatest(__lam_max_raw, 0.0))) as long)"""))
+      .select("key", "n_obs", "lnlam_final_milli", "lnlam_max_milli",
+        "decision", "n_at_decision", "avp_micro")
+  }
+
+  /** Intraclass correlation ICC(1) and the cluster design effect — the
+    * number every cluster-randomized experiment and user-clustered
+    * metric needs: how much of the outcome variance lives BETWEEN
+    * clusters (users, sessions, domains), and how much a
+    * cluster-sampled estimate's variance inflates versus i.i.d. rows
+    * (`DEFF = 1 + (m̄ − 1)·ICC`). An ICC of 0.05 at 200 rows per user
+    * means an 11× effective-sample-size haircut — this op is how that
+    * stops being a surprise.
+    *
+    * One-way random-effects ANOVA estimator with unequal cluster sizes:
+    * `ICC = (MSB − MSW)/(MSB + (n₀ − 1)·MSW)` with
+    * `n₀ = (n − Σn_g²/n)/(k − 1)`.
+    *
+    * Exactness: the group moments and both quadratic reductions
+    * (Σ⌊s_g²/n_g⌋ via the divisible-numerator decimal division — the
+    * [[anovaEta]] trick and its documented 10³²-quotient headroom —
+    * and Σn_g² exactly) are decimal(38,0); the finish is one fixed
+    * double tree, floored to micro/milli.
+    *
+    * Output (one row): `(n, k, n0_milli, icc_micro, deff_milli)`;
+    * NULLs when degenerate (k < 2, n ≤ k, or zero variance).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(cluster), then a
+    * scalar rollup of the k-row group table.
+    */
+  def icc(
+      df: DataFrame,
+      clusterCol: String,
+      valueCol: String): DataFrame = {
+    val cells = df
+      .filter(col(clusterCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__v",
+        floor(col(valueCol).cast("double") * 1e6).cast("long"))
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("__v").cast("decimal(38,0)")).as("sg"),
+        sum(expr("cast(__v as decimal(38,0)) * __v")).as("qg"))
+    cells.agg(
+        sum("ng").as("n"), count(lit(1)).as("k"),
+        sum("sg").as("s"), sum("qg").as("q"),
+        sum(expr("""cast((sg * sg - (sg * sg) % ng) / ng
+                    as decimal(38,0))""")).as("sb_raw"),
+        sum(expr("cast(ng as decimal(38,0)) * ng")).as("sq2"))
+      .select(col("n"), col("k"),
+        expr("""case when k >= 2 and n > k then
+             cast(floor(1000.0 * (cast(n as double) - cast(sq2 as double)
+               / n) / (k - 1)) as long) end""").as("n0_milli"),
+        expr("""case when k >= 2 and n > k then
+             cast(floor(1000000.0 *
+               ((cast(sb_raw as double) - cast(s as double)
+                  * cast(s as double) / n) / (k - 1)
+                - (cast(q as double) - cast(sb_raw as double)) / (n - k))
+               / nullif(
+                 (cast(sb_raw as double) - cast(s as double)
+                    * cast(s as double) / n) / (k - 1)
+                 + ((cast(n as double) - cast(sq2 as double) / n) / (k - 1)
+                    - 1.0)
+                   * ((cast(q as double) - cast(sb_raw as double))
+                      / (n - k)), 0.0)) as long) end""").as("icc_micro"))
+      .withColumn("deff_milli", expr(
+        """case when icc_micro is not null then
+           cast(floor(1000.0 * (1.0 + (cast(n as double) / k - 1.0)
+             * (cast(icc_micro as double) / 1e6))) as long) end"""))
+      .select("n", "k", "n0_milli", "icc_micro", "deff_milli")
+  }
+
   /** Sequential probability ratio test (Wald's SPRT) over a Bernoulli
     * outcome stream per key — the SEQUENTIAL member of the testing
     * family ([[mannWhitney]]/[[kruskalWallis]] test a frozen sample;

@@ -235,6 +235,52 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("icc: pure between-cluster variance gives ICC 1 and DEFF m") {
+    val rows = Seq("a" -> 1.0, "b" -> 5.0, "c" -> 9.0)
+      .flatMap { case (g, v) => Seq.fill(3)((g, v)) }
+    val out = Features.icc(rows.toDF("g", "v").repartition(2), "g", "v")
+      .collect()(0)
+    assert(out.getLong(0) == 9L && out.getLong(1) == 3L)
+    assert(out.getLong(2) == 3000L)        // n0 = 3 (balanced)
+    assert(out.getLong(3) == 1000000L)     // ICC = 1
+    assert(out.getLong(4) == 3000L)        // DEFF = 1 + (3-1)*1 = 3
+    // zero total variance → NULL ICC (nullif-guarded)
+    val flat = Features.icc(
+      Seq(("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 2.0)).toDF("g", "v"),
+      "g", "v").collect()(0)
+    assert(flat.isNullAt(3) && flat.isNullAt(4))
+  }
+
+  test("msprt: biased stream rejects, balanced stream keeps p at 1") {
+    val biased = (1 to 60).map(i => (1L, i.toLong, true))
+    val out = Features.msprt(biased.toDF("k", "t", "o").repartition(3),
+      "k", "t", "t", "o", p0Micro = 500000L, tau2Micro = 10000L)
+      .collect()(0)
+    assert(out.getString(4) == "reject_h0")
+    assert(out.getLong(5) <= 60L)                  // crossed within stream
+    assert(out.getLong(6) < 50000L)                // always-valid p < α
+    val balanced = (1 to 60).map(i => (1L, i.toLong, i % 2 == 0))
+    val fair = Features.msprt(balanced.toDF("k", "t", "o"),
+      "k", "t", "t", "o", p0Micro = 500000L, tau2Micro = 10000L)
+      .collect()(0)
+    assert(fair.isNullAt(4) && fair.isNullAt(5))
+    assert(fair.getLong(6) == 1000000L)            // lnΛ never positive
+  }
+
+  test("welchTTest: hand t and Welch-Satterthwaite df") {
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 7.0), ("b", 9.0))
+    val out = Causal.welchTTest(rows.toDF("g", "v").repartition(2),
+      "g", "v").collect()(0)
+    assert(out.getLong(4) == 2000000L && out.getLong(5) == 7000000L)
+    assert(out.getLong(6) == -5000000L)
+    assert(out.getLong(7) == -3873L)   // t = -5/√(5/3) = -3.87298…
+    assert(out.getLong(8) == 2941L)    // df = 50/17 = 2.94117…
+    val single = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val s = Causal.welchTTest(single, "g", "v").collect()(0)
+    assert(s.isNullAt(7) && s.isNullAt(8)) // n_a < 2 → no t
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
