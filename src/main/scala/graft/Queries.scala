@@ -7409,6 +7409,94 @@ object Queries {
             + vbn * vbn / (nb - 1)))) END)::BIGINT AS df_milli
       FROM v3"""))
 
+  /** Exact W₁ (earth mover's) distance between the arms' event-value
+    * distributions — cross-multiplied CDF segments, one floor division.
+    */
+  private val q241 = Q(
+    "q241_wasserstein",
+    (spark, dir) => Eval.wasserstein1d(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b")),
+      "arm", "value"),
+    Some("""WITH b AS (SELECT
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g,
+          floor(value * 1e6)::BIGINT vm
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      c AS (SELECT vm,
+          COUNT(*) FILTER (WHERE g = 'arm_a')::BIGINT ca,
+          COUNT(*) FILTER (WHERE g = 'arm_b')::BIGINT cb
+        FROM b GROUP BY 1),
+      t AS (SELECT SUM(ca)::BIGINT na, SUM(cb)::BIGINT nb,
+          COUNT(*)::BIGINT nv FROM c),
+      p AS (SELECT vm,
+          SUM(ca) OVER w::HUGEINT cca, SUM(cb) OVER w::HUGEINT ccb,
+          LEAD(vm) OVER (ORDER BY vm) vn
+        FROM c WINDOW w AS (ORDER BY vm
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      s AS (SELECT COALESCE(SUM((vn - vm)::HUGEINT
+            * abs(cca * nb - ccb * na)), 0)::HUGEINT num
+        FROM p, t WHERE vn IS NOT NULL)
+      SELECT 'arm_a' AS grp_a, 'arm_b' AS grp_b, na AS n_a, nb AS n_b,
+        nv AS n_values, (num // (na::HUGEINT * nb))::BIGINT AS w1_micro
+      FROM s, t"""))
+
+  /** Bradley–Terry strengths of event types from per-user preference
+    * votes — 3 integer-quantized MM iterations, oracle unrolled.
+    */
+  private val q242 = Q(
+    "q242_bradley_terry",
+    (spark, dir) => Preference.bradleyTerry(
+      pq(spark, dir, "events"), "user_id", "event_type", "value",
+      iters = 3),
+    Some("""WITH b AS (SELECT user_id r, event_type i,
+          floor(value * 1e6)::BIGINT v
+        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND value IS NOT NULL),
+      m AS (SELECT r, i,
+          (CASE WHEN SUM(v) >= 0 THEN SUM(v) // COUNT(*)
+            ELSE -((-SUM(v)) // COUNT(*)) END)::BIGINT m
+        FROM b GROUP BY 1, 2),
+      votes AS (SELECT a.i ia, c.i ib,
+          SUM(CASE WHEN a.m > c.m THEN 1 ELSE 0 END)::BIGINT vab,
+          SUM(CASE WHEN c.m > a.m THEN 1 ELSE 0 END)::BIGINT vba
+        FROM m a JOIN m c ON a.r = c.r AND a.i < c.i GROUP BY 1, 2),
+      dir AS (SELECT ia i, ib j, vab w, (vab + vba)::BIGINT g FROM votes
+          WHERE vab + vba > 0
+        UNION ALL SELECT ib, ia, vba, (vab + vba) FROM votes
+          WHERE vab + vba > 0),
+      wg AS (SELECT i, SUM(w)::HUGEINT wins, SUM(g)::HUGEINT games
+        FROM dir GROUP BY 1),
+      p0 AS (SELECT i, 1000000::HUGEINT pi FROM wg),
+      d1 AS (SELECT dir.i, SUM(dir.g::HUGEINT * 1000000000000
+          // GREATEST(a.pi + b2.pi, 1)) den
+        FROM dir JOIN p0 a ON a.i = dir.i JOIN p0 b2 ON b2.i = dir.j
+        GROUP BY 1),
+      p1 AS (SELECT wg.i, CASE WHEN d1.den > 0
+          THEN wg.wins * 1000000000000 // d1.den ELSE p0.pi END pi
+        FROM wg JOIN d1 ON d1.i = wg.i JOIN p0 ON p0.i = wg.i),
+      d2 AS (SELECT dir.i, SUM(dir.g::HUGEINT * 1000000000000
+          // GREATEST(a.pi + b2.pi, 1)) den
+        FROM dir JOIN p1 a ON a.i = dir.i JOIN p1 b2 ON b2.i = dir.j
+        GROUP BY 1),
+      p2 AS (SELECT wg.i, CASE WHEN d2.den > 0
+          THEN wg.wins * 1000000000000 // d2.den ELSE p1.pi END pi
+        FROM wg JOIN d2 ON d2.i = wg.i JOIN p1 ON p1.i = wg.i),
+      d3 AS (SELECT dir.i, SUM(dir.g::HUGEINT * 1000000000000
+          // GREATEST(a.pi + b2.pi, 1)) den
+        FROM dir JOIN p2 a ON a.i = dir.i JOIN p2 b2 ON b2.i = dir.j
+        GROUP BY 1),
+      p3 AS (SELECT wg.i, CASE WHEN d3.den > 0
+          THEN wg.wins * 1000000000000 // d3.den ELSE p2.pi END pi
+        FROM wg JOIN d3 ON d3.i = wg.i JOIN p2 ON p2.i = wg.i)
+      SELECT wg.i AS item, wg.wins::BIGINT AS wins,
+        wg.games::BIGINT AS games, p3.pi::BIGINT AS bt_micro,
+        ROW_NUMBER() OVER (ORDER BY p3.pi DESC, wg.i ASC)::BIGINT
+          AS bt_rank
+      FROM wg JOIN p3 ON p3.i = wg.i"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7430,7 +7518,7 @@ object Queries {
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-    q235, q236, q237, q238, q239, q240)
+    q235, q236, q237, q238, q239, q240, q241, q242)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -734,6 +734,68 @@ object Eval {
         "boot_hi_micro", "boot_se_micro")
   }
 
+  /** Exact 1-D Wasserstein-1 (earth mover's) distance between two
+    * groups' value distributions — the drift metric that keeps METRIC
+    * units (PSI and KS are dimensionless; W₁ answers "the score
+    * distribution moved by 0.03 points on average"), and the standard
+    * two-sample readout for embedding-scalar and quality-score drift.
+    * `W₁ = ∫|F_a − F_b| dv` over the merged empirical CDFs.
+    *
+    * EXACT end-to-end: per-segment mass is the integer
+    * `(v_next − v)·|cumA·n_b − cumB·n_a|` in decimal(38,0) (the CDF
+    * difference cross-multiplied, never divided), summed exactly, ONE
+    * final floor division by n_a·n_b. Overflow bound: segment span ×
+    * cross-mass < 10³⁸ — comfortable to ~10¹⁴ rows of 10⁶-magnitude
+    * values.
+    *
+    * Output (one row): `(grp_a, grp_b, n_a, n_b, n_values, w1_micro)`.
+    *
+    * 100 TB shape: one map-side-combined groupBy(value) collapses the
+    * corpus to distinct micro values with per-group counts;
+    * [[Ranks.prefixSum]] + [[Ranks.globalRank]] range exchanges run on
+    * THAT table; adjacency is a rank/rank+1 equi-join (no global LEAD
+    * window); one scalar rollup.
+    */
+  def wasserstein1d(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__vm"))
+    val grps = base.select("__g").distinct().orderBy("__g")
+      .collect().map(_.getString(0)).toSeq
+    require(grps.length == 2,
+      s"wasserstein1d: exactly 2 groups required, got ${grps.length}")
+    val cells = base.groupBy("__vm")
+      .agg(sum(when(col("__g") === grps(0), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__g") === grps(1), 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint()
+    val cums = Ranks.prefixSum(cells, Seq(col("__vm")), Seq("ca", "cb"))
+    val ranked = Ranks.globalRank(
+      cells.select("__vm"), Seq(col("__vm")), "__r")
+    val cur = cums.join(ranked, Seq("__vm"))
+    val nxt = ranked.select((col("__r") - 1).as("__r"),
+      col("__vm").as("__vn"))
+    val tot = cells.agg(sum("ca").as("na"), sum("cb").as("nb"),
+      count(lit(1)).as("nv"))
+    cur.join(nxt, Seq("__r"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(expr(
+        """cast(__vn - __vm as decimal(38,0))
+           * abs(cast(ca_cum as decimal(38,0)) * nb
+                 - cast(cb_cum as decimal(38,0)) * na)"""))
+        .as("__num"))
+      .crossJoin(broadcast(tot))
+      .select(lit(grps(0)).as("grp_a"), lit(grps(1)).as("grp_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        col("nv").as("n_values"),
+        expr("""cast(coalesce(__num, 0)
+               div (cast(na as decimal(38,0)) * nb) as long)""")
+          .as("w1_micro"))
+  }
+
   /** Leave-one-group-out jackknife of the corpus mean — "which source/
     * domain/shard is MOVING my metric": for every group, the corpus
     * mean recomputed without it, and the influence (how far that group

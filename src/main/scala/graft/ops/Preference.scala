@@ -42,14 +42,16 @@ object Preference {
     * vote rollup is on ≤ k² rows, broadcast-joined. The triple-join
     * cycle count runs on the ≤ C(k,2)-row EDGE table only.
     */
-  def preferenceCycles(
+  /** Per-rater floored-micro mean score per item — the shared first
+    * stage of the preference family (one map-side-combined
+    * groupBy(rater, item)).
+    */
+  private def raterItemMeans(
       df: DataFrame,
       raterCol: String,
       itemCol: String,
-      valueCol: String,
-      maxItems: Int = 1000): DataFrame = {
-    val means = df
-      .filter(col(raterCol).isNotNull && col(itemCol).isNotNull &&
+      valueCol: String): DataFrame =
+    df.filter(col(raterCol).isNotNull && col(itemCol).isNotNull &&
         col(valueCol).isNotNull)
       .select(col(raterCol).as("__r"), col(itemCol).cast("string").as("__i"),
         floor(col(valueCol).cast("double") * 1e6).cast("long").as("__v"))
@@ -60,18 +62,34 @@ object Preference {
         "case when __s >= 0 then __s div __c else -((-__s) div __c) end"))
       .select("__r", "__i", "__m")
       .localCheckpoint()
+
+  /** Directed strict-preference vote counts per unordered item pair
+    * `(ia < ib, vab, vba)` — per-rater ties abstain. The rater-keyed
+    * self-join is linear in raters × C(k, 2).
+    */
+  private def pairVotes(means: DataFrame): DataFrame = {
+    val a = means.select(col("__r"), col("__i").as("ia"), col("__m").as("ma"))
+    val b = means.select(col("__r"), col("__i").as("ib"), col("__m").as("mb"))
+    a.join(b, Seq("__r")).filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib")
+      .agg(sum(when(col("ma") > col("mb"), 1L).otherwise(0L)).as("vab"),
+        sum(when(col("mb") > col("ma"), 1L).otherwise(0L)).as("vba"))
+      .localCheckpoint()
+  }
+
+  def preferenceCycles(
+      df: DataFrame,
+      raterCol: String,
+      itemCol: String,
+      valueCol: String,
+      maxItems: Int = 1000): DataFrame = {
+    val means = raterItemMeans(df, raterCol, itemCol, valueCol)
     val nItems = means.select("__i").distinct().count()
     require(nItems <= maxItems,
       s"preferenceCycles: $nItems distinct items exceed maxItems=" +
         s"$maxItems — the pair stage is quadratic in items")
     val nRaters = means.select("__r").distinct().count()
-    val a = means.select(col("__r"), col("__i").as("ia"), col("__m").as("ma"))
-    val b = means.select(col("__r"), col("__i").as("ib"), col("__m").as("mb"))
-    val votes = a.join(b, Seq("__r")).filter(col("ia") < col("ib"))
-      .groupBy("ia", "ib")
-      .agg(sum(when(col("ma") > col("mb"), 1L).otherwise(0L)).as("vab"),
-        sum(when(col("mb") > col("ma"), 1L).otherwise(0L)).as("vba"))
-      .localCheckpoint()
+    val votes = pairVotes(means)
     val nPairs = votes.count()
     val edges = votes
       .filter(col("vab") =!= col("vba"))
@@ -107,5 +125,80 @@ object Preference {
     Seq((nRaters, nItems, nPairs, nEdges, nCycles, zeta))
       .toDF("n_raters", "n_items", "n_pairs_observed", "n_edges",
         "n_cycles", "consistence_micro")
+  }
+
+  /** Bradley–Terry item strengths from pairwise preference counts — the
+    * model a reward-model pipeline fits to comparison labels: item i
+    * beats j with probability πᵢ/(πᵢ+πⱼ), fitted by the classical MM
+    * update `πᵢ ← Wᵢ / Σⱼ gᵢⱼ/(πᵢ+πⱼ)`. This runs a FIXED number of MM
+    * iterations (`iters`, default 3) over an INTEGER-QUANTIZED state —
+    * π lives on the micro grid and every update is one exact floor
+    * division — so the whole fit is a pure function of the vote counts,
+    * bit-replayable in any engine (an oracle unrolls the same
+    * iterations in SQL; a float MM would diverge across engines in the
+    * last ulp). Uniform start π⁰ = 10⁶; strengths are reported on that
+    * scale (BT is scale-invariant — compare ratios, not magnitudes).
+    *
+    * Votes derive from per-rater mean scores exactly as
+    * [[preferenceCycles]] (strict preference, ties abstain); an item
+    * whose every game it lost has π → 0 (the MLE boundary; the
+    * `greatest(·, 1)` guard keeps later divisions defined).
+    *
+    * Output per item: `(item, wins, games, bt_micro, bt_rank)` — rank 1
+    * = strongest, ties broken by item id.
+    *
+    * 100 TB shape: the corpus collapses to ≤ C(k, 2) vote rows
+    * (k ≤ maxItems, loud require); the MM loop is driver arithmetic on
+    * that k²-bounded table — the documented driver-bounded-model-
+    * artifact pattern (BPE merges, centroids).
+    */
+  def bradleyTerry(
+      df: DataFrame,
+      raterCol: String,
+      itemCol: String,
+      valueCol: String,
+      iters: Int = 3,
+      maxItems: Int = 100): DataFrame = {
+    require(iters >= 1 && iters <= 100,
+      s"iters $iters must lie in [1, 100]")
+    val means = raterItemMeans(df, raterCol, itemCol, valueCol)
+    val nItems = means.select("__i").distinct().count()
+    require(nItems <= maxItems,
+      s"bradleyTerry: $nItems distinct items exceed maxItems=$maxItems" +
+        " — the pair stage is quadratic in items")
+    val votes = pairVotes(means).collect()
+    // directed view: (i, j, wins_ij, games_ij)
+    val dir = votes.flatMap { r =>
+      val (ia, ib) = (r.getString(0), r.getString(1))
+      val (vab, vba) = (r.getLong(2), r.getLong(3))
+      Seq((ia, ib, vab, vab + vba), (ib, ia, vba, vab + vba))
+    }.filter(_._4 > 0)
+    val items = dir.map(_._1).distinct.sorted
+    val wins = dir.groupBy(_._1).map { case (i, xs) =>
+      (i, xs.map(_._3).sum) }
+    val games = dir.groupBy(_._1).map { case (i, xs) =>
+      (i, xs.map(_._4).sum) }
+    var pi: Map[String, BigInt] =
+      items.map(_ -> BigInt(1000000L)).toMap
+    val tw = BigInt(1000000000000L) // 1e12: micro² numerator scale
+    for (_ <- 1 to iters) {
+      val denom = dir.groupBy(_._1).map { case (i, xs) =>
+        (i, xs.map { case (_, j, _, g) =>
+          BigInt(g) * tw / (pi(i) + pi(j)).max(BigInt(1))
+        }.sum)
+      }
+      pi = items.map { i =>
+        val d = denom.getOrElse(i, BigInt(0))
+        i -> (if (d <= 0) pi(i) else BigInt(wins(i)) * tw / d)
+      }.toMap
+    }
+    val ranked = items
+      .map(i => (i, wins(i), games(i), pi(i).toLong))
+      .sortBy { case (i, _, _, p) => (-p, i) }
+      .zipWithIndex
+      .map { case ((i, w, g, p), r) => (i, w, g, p, (r + 1).toLong) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    ranked.toSeq.toDF("item", "wins", "games", "bt_micro", "bt_rank")
   }
 }

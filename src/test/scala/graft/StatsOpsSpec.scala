@@ -281,6 +281,40 @@ class StatsOpsSpec extends SparkSuite {
     assert(s.isNullAt(7) && s.isNullAt(8)) // n_a < 2 → no t
   }
 
+  test("wasserstein1d: hand distances, unequal sizes, zero on identical") {
+    def w1(rows: Seq[(String, Double)]): Long =
+      Eval.wasserstein1d(rows.toDF("g", "v").repartition(3), "g", "v")
+        .collect()(0).getLong(5)
+    assert(w1(Seq(("a", 0.0), ("a", 0.0), ("b", 1.0), ("b", 1.0)))
+      == 1000000L)
+    assert(w1((1 to 4).map(i => ("a", i.toDouble)) ++
+      (3 to 6).map(i => ("b", i.toDouble))) == 2000000L)
+    assert(w1(Seq(("a", 0.0), ("b", 0.0), ("b", 2.0))) == 1000000L)
+    assert(w1(Seq(("a", 5.0), ("a", 7.0), ("b", 5.0), ("b", 7.0))) == 0L)
+  }
+
+  test("bradleyTerry: consensus ordering, exact first-iteration algebra") {
+    val rows = (1L to 3L).flatMap(r =>
+      Seq((r, "A", 3.0), (r, "B", 2.0), (r, "C", 1.0)))
+    val out = Preference.bradleyTerry(
+        rows.toDF("r", "i", "v").repartition(2), "r", "i", "v", iters = 1)
+      .orderBy("bt_rank").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    assert(out(0).getLong(1) == 6L && out(0).getLong(2) == 6L)
+    // one quantized MM step from uniform: π_A = 6e12/3e6 = 2e6, π_B =
+    // 3e12/3e6 = 1e6, π_C = 0
+    assert(out.map(_.getLong(3)).toSeq == Seq(2000000L, 1000000L, 0L))
+    assert(out.map(_.getLong(4)).toSeq == Seq(1L, 2L, 3L))
+    // more iterations keep the consensus order
+    val o3 = Preference.bradleyTerry(rows.toDF("r", "i", "v"),
+      "r", "i", "v", iters = 3).orderBy("bt_rank").collect()
+    assert(o3.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(rows.toDF("r", "i", "v"), "r", "i", "v",
+        maxItems = 2)
+    }
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
