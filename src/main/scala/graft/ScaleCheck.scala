@@ -408,6 +408,28 @@ object ScaleCheck {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def bootstrapTime(df: DataFrame, tag: String): Double = {
+      // the q228 shape: one corpus pass exploded ×B with map-side combine
+      // to ≤B rows per task — expect ~linear (the ×B factor is constant)
+      val base = df.filter(col("event_id").isNotNull && col("value").isNotNull)
+      val t0 = System.nanoTime()
+      graft.ops.Eval.bootstrapMeanCI(base, "event_id", "value",
+        b = 50, seed = "sc")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def kendallTime(df: DataFrame, tag: String): Double = {
+      // the q227 shape: corpus collapses to a BOUNDED cell table (value
+      // bucket × user bucket ≤ ~2000 cells regardless of rows), so the
+      // cell×cell join is constant work — expect sub-linear
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(floor(col("value")).as("x"),
+          pmod(col("user_id"), lit(20)).cast("double").as("y"))
+      val t0 = System.nanoTime()
+      graft.ops.Features.kendallTauBinned(base, "x", "y")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     for ((name, f) <- Seq(
       ("sliding", slidingTime _), ("over", overTime _), ("pit", pitTime _),
       ("lookup", lookupTime _), ("cluster", clusterTime _),
@@ -417,7 +439,8 @@ object ScaleCheck {
       ("km", kmTime _), ("disorder", disorderTime _),
       ("kcore", kcoreTime _), ("rfm", rfmTime _),
       ("mann_whitney", mwTime _), ("sprt", sprtTime _),
-      ("ndcg", ndcgTime _)) if wanted(name)) {
+      ("ndcg", ndcgTime _), ("bootstrap", bootstrapTime _),
+      ("kendall", kendallTime _)) if wanted(name)) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
