@@ -7497,6 +7497,77 @@ object Queries {
           AS bt_rank
       FROM wg JOIN p3 ON p3.i = wg.i"""))
 
+  /** Top principal component of the centered embedding corpus — 3
+    * integer-quantized power iterations, oracle unrolled; deterministic
+    * sign via the largest-|v| pivot.
+    */
+  private val q243 = Q(
+    "q243_top_pc",
+    (spark, dir) => Similarity.topPrincipalComponent(
+      pq(spark, dir, "embeddings"), "vec_id", "embedding", iters = 3),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] ve
+          FROM embeddings WHERE vec_id IS NOT NULL
+            AND embedding IS NOT NULL),
+      js AS (SELECT unnest(generate_series(1, 64)) j),
+      x AS (SELECT vec_id id, j - 1 dim, floor(ve[j] * 1e6)::BIGINT xm0
+        FROM e CROSS JOIN js),
+      mu AS (SELECT dim, COUNT(*)::BIGINT n,
+          (CASE WHEN SUM(xm0) >= 0 THEN SUM(xm0) // COUNT(*)
+            ELSE -((-SUM(xm0)) // COUNT(*)) END)::BIGINT mean_micro
+        FROM x GROUP BY 1),
+      xc AS (SELECT id, x.dim, (xm0 - mean_micro)::BIGINT xm
+        FROM x JOIN mu USING (dim)),
+      v0 AS (SELECT dim, 1000000::HUGEINT v FROM mu),
+      d1 AS (SELECT id, SUM(xm::HUGEINT * v)::HUGEINT dot
+        FROM xc JOIN v0 USING (dim) GROUP BY 1),
+      d1m AS (SELECT id, (CASE WHEN dot >= 0 THEN dot // 1000000
+          ELSE -((-dot) // 1000000) END)::BIGINT dotmu FROM d1),
+      w1 AS (SELECT dim, SUM(xm::HUGEINT * dotmu)::HUGEINT w
+        FROM xc JOIN d1m USING (id) GROUP BY 1),
+      w1m AS (SELECT dim, (CASE WHEN w >= 0 THEN w // 1000000
+          ELSE -((-w) // 1000000) END)::BIGINT wmu FROM w1),
+      n1 AS (SELECT floor(sqrt(SUM(wmu::HUGEINT * wmu)::DOUBLE))::BIGINT
+          nrm FROM w1m),
+      v1 AS (SELECT dim, (CASE WHEN nrm <= 0 THEN 0
+          WHEN wmu >= 0 THEN (wmu::HUGEINT * 1000000) // nrm
+          ELSE -((-(wmu::HUGEINT * 1000000)) // nrm) END)::HUGEINT v
+        FROM w1m, n1),
+      d2 AS (SELECT id, SUM(xm::HUGEINT * v)::HUGEINT dot
+        FROM xc JOIN v1 USING (dim) GROUP BY 1),
+      d2m AS (SELECT id, (CASE WHEN dot >= 0 THEN dot // 1000000
+          ELSE -((-dot) // 1000000) END)::BIGINT dotmu FROM d2),
+      w2 AS (SELECT dim, SUM(xm::HUGEINT * dotmu)::HUGEINT w
+        FROM xc JOIN d2m USING (id) GROUP BY 1),
+      w2m AS (SELECT dim, (CASE WHEN w >= 0 THEN w // 1000000
+          ELSE -((-w) // 1000000) END)::BIGINT wmu FROM w2),
+      n2 AS (SELECT floor(sqrt(SUM(wmu::HUGEINT * wmu)::DOUBLE))::BIGINT
+          nrm FROM w2m),
+      v2 AS (SELECT dim, (CASE WHEN nrm <= 0 THEN 0
+          WHEN wmu >= 0 THEN (wmu::HUGEINT * 1000000) // nrm
+          ELSE -((-(wmu::HUGEINT * 1000000)) // nrm) END)::HUGEINT v
+        FROM w2m, n2),
+      d3 AS (SELECT id, SUM(xm::HUGEINT * v)::HUGEINT dot
+        FROM xc JOIN v2 USING (dim) GROUP BY 1),
+      d3m AS (SELECT id, (CASE WHEN dot >= 0 THEN dot // 1000000
+          ELSE -((-dot) // 1000000) END)::BIGINT dotmu FROM d3),
+      w3 AS (SELECT dim, SUM(xm::HUGEINT * dotmu)::HUGEINT w
+        FROM xc JOIN d3m USING (id) GROUP BY 1),
+      w3m AS (SELECT dim, (CASE WHEN w >= 0 THEN w // 1000000
+          ELSE -((-w) // 1000000) END)::BIGINT wmu FROM w3),
+      n3 AS (SELECT floor(sqrt(SUM(wmu::HUGEINT * wmu)::DOUBLE))::BIGINT
+          nrm FROM w3m),
+      v3 AS (SELECT dim, (CASE WHEN nrm <= 0 THEN 0
+          WHEN wmu >= 0 THEN (wmu::HUGEINT * 1000000) // nrm
+          ELSE -((-(wmu::HUGEINT * 1000000)) // nrm) END)::HUGEINT v
+        FROM w3m, n3),
+      piv AS (SELECT CASE WHEN (SELECT v FROM v3
+          ORDER BY abs(v) DESC, dim ASC LIMIT 1) < 0
+          THEN -1 ELSE 1 END flip)
+      SELECT mu.dim, mu.n, mu.mean_micro,
+        (v3.v * piv.flip)::BIGINT AS pc_micro,
+        n3.nrm::BIGINT AS score_micro
+      FROM mu JOIN v3 USING (dim), piv, n3"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7518,7 +7589,7 @@ object Queries {
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-    q235, q236, q237, q238, q239, q240, q241, q242)
+    q235, q236, q237, q238, q239, q240, q241, q242, q243)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -1055,4 +1055,101 @@ object Similarity {
              as long) end"""))
       .select("label", "n", "norm_micro", "cos_global_micro")
   }
+
+  /** Top principal component of the (mean-centered) embedding corpus by
+    * power iteration — the dominant direction every embedding-hygiene
+    * recipe needs: all-but-the-top postprocessing removes it, isotropy
+    * audits measure it, drift monitors track it. Runs a FIXED number of
+    * iterations over an INTEGER-QUANTIZED state (the Bradley–Terry
+    * replay contract): v stays a micro unit vector; each iteration is
+    * `dot_i = Σ_d x̃_id·v_d` (exact decimal, floor-rescaled to micro) →
+    * `w_d = Σ_i x̃_id·dot_i` (exact decimal, rescaled) → one double
+    * sqrt for the norm → exact renormalize. Every step is a pure
+    * function of the data, so an oracle unrolls the same iterations.
+    * Sign fixed deterministically: the component with the largest |v|
+    * (tie → lowest dim) is made non-negative.
+    *
+    * Output per dimension: `(dim, n, mean_micro, pc_micro,
+    * score_micro)` — pc is the unit eigenvector in micro;
+    * `score_micro = ⌊‖Σᵢ x̃ᵢ(x̃ᵢ·v̂)‖⌋` (micro² Gram-image norm of the
+    * final unit vector — grows as n·λ, so compare per-corpus, not
+    * across sizes) repeated on every row. Headroom: the rescaled
+    * Gram image must fit int64 — `n·maxdim·|x̃|²_micro/10¹² < 2⁶³`,
+    * i.e. ~10¹¹ rows of unit-range 64-dim embeddings; beyond that,
+    * pre-scale the vectors down (the direction is scale-invariant).
+    *
+    * 100 TB shape: one posexplode pass to (row, dim) cells
+    * (localCheckpoint'd — every iteration reads the SAME materialized
+    * cells); per iteration ONE broadcast join + groupBy(id) and ONE
+    * id-keyed join + groupBy(dim) — 2·iters shuffles of the cell
+    * table, the honest cost of an iterative method; the v/μ tables are
+    * dim-sized broadcasts; driver traffic is one norm scalar per
+    * iteration.
+    */
+  def topPrincipalComponent(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 5,
+      s"iters $iters must lie in [1, 5] — each costs two cell shuffles")
+    def fd(s: String, c: String): String =
+      s"case when $s >= 0 then $s div $c else -((-($s)) div $c) end"
+    val x = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("dim", "__xv")))
+      .withColumn("__xm0", floor(col("__xv").cast("double") * 1e6)
+        .cast("long"))
+      .select("__id", "dim", "__xm0")
+    val mu = x.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__xm0").cast("decimal(38,0)")).as("__s"))
+      .withColumn("mean_micro", expr(fd("__s", "n")))
+      .select("dim", "n", "mean_micro")
+      .localCheckpoint()
+    val xc = x.join(broadcast(mu), Seq("dim"))
+      .withColumn("__xm", col("__xm0") - col("mean_micro"))
+      .select("__id", "dim", "__xm")
+      .localCheckpoint()
+    var v = mu.select(col("dim"), lit(1000000L).as("__v"))
+    var score = 0L
+    for (_ <- 1 to iters) {
+      val dots = xc.join(broadcast(v), Seq("dim"))
+        .groupBy("__id")
+        .agg(sum(expr("cast(__xm as decimal(38,0)) * __v")).as("__dot"))
+        .withColumn("__dotmu",
+          expr(s"cast(${fd("__dot", "1000000")} as long)"))
+        .select("__id", "__dotmu")
+      val w = xc.join(dots, Seq("__id"))
+        .groupBy("dim")
+        .agg(sum(expr("cast(__xm as decimal(38,0)) * __dotmu")).as("__w"))
+        .withColumn("__wmu",
+          expr(s"cast(${fd("__w", "1000000")} as long)"))
+        .select("dim", "__wmu")
+        .localCheckpoint()
+      val normRow = w.agg(sum(expr(
+        "cast(__wmu as decimal(38,0)) * __wmu")).as("q")).collect()(0)
+      val norm =
+        if (normRow.isNullAt(0)) 0L
+        else math.floor(math.sqrt(
+          new java.math.BigDecimal(normRow.getDecimal(0).toBigInteger)
+            .doubleValue())).toLong
+      score = norm
+      v =
+        if (norm <= 0) w.select(col("dim"), lit(0L).as("__v"))
+        else w.select(col("dim"), expr(
+          s"cast(${fd("(cast(__wmu as decimal(38,0)) * 1000000)",
+            norm.toString)} as long)").as("__v"))
+      v = v.localCheckpoint()
+    }
+    // deterministic sign: the largest-|v| component (tie → lowest dim)
+    // points non-negative
+    val pivot = v.orderBy(abs(col("__v")).desc, col("dim").asc)
+      .select("__v").take(1)
+    val flip = if (pivot.nonEmpty && pivot(0).getLong(0) < 0) -1L else 1L
+    mu.join(v, Seq("dim"))
+      .select(col("dim"), col("n"), col("mean_micro"),
+        (col("__v") * flip).as("pc_micro"),
+        lit(score).as("score_micro"))
+  }
 }

@@ -315,6 +315,33 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("topPrincipalComponent recovers an exact dominant direction") {
+    import graft.ops.Similarity
+    // zero-mean points all on the line (1, 2): PC = (1,2)/√5
+    val pts = Seq((1.0, 2.0), (2.0, 4.0), (-1.0, -2.0), (-2.0, -4.0),
+      (0.5, 1.0), (-0.5, -1.0))
+    val df = pts.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, Array(a, b)) }
+      .toDF("vec_id", "embedding").repartition(3)
+    val out = Similarity.topPrincipalComponent(df, "vec_id", "embedding")
+      .orderBy("dim").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getLong(1) == 6L))
+    assert(out.forall(_.getLong(2) == 0L))              // exact zero means
+    val (p0, p1) = (out(0).getLong(3), out(1).getLong(3))
+    assert(math.abs(p0 - 447213L) <= 5L && math.abs(p1 - 894427L) <= 5L)
+    val n2 = p0 * p0 + p1 * p1
+    assert(math.abs(n2 - 1000000000000L) <= 5000000L)   // unit vector
+    // sign convention: dominant component non-negative even when the
+    // natural iteration lands negative
+    val neg = pts.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, Array(a, -b)) }
+      .toDF("vec_id", "embedding")
+    val o2 = Similarity.topPrincipalComponent(neg, "vec_id", "embedding")
+      .orderBy("dim").collect()
+    assert(o2(1).getLong(3) > 0L && o2(0).getLong(3) < 0L)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
