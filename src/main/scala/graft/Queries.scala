@@ -7568,6 +7568,85 @@ object Queries {
         n3.nrm::BIGINT AS score_micro
       FROM mu JOIN v3 USING (dim), piv, n3"""))
 
+  /** Pooled per-user autocorrelation of hourly event-value sums at lags
+    * 1/2/3/6/12/24 h — exact keyed-lag join moments, one Pearson finish
+    * per lag.
+    */
+  private val q244 = Q(
+    "q244_acf",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val hourly = raw
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id"),
+          (EventTime.epochMillis(raw, "ts") / lit(3600000L))
+            .cast("long").as("bucket"),
+          floor(col("value") * 1e6).cast("long").as("__v"))
+        .groupBy("user_id", "bucket")
+        .agg(sum("__v").as("sm"))
+      TimeSeries.acf(hourly, "user_id", "bucket", "sm",
+        lags = Seq(1, 2, 3, 6, 12, 24), everyMs = 1L)
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) // 3600000 b,
+          floor(value * 1e6)::BIGINT v
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      g AS (SELECT user_id k, b, SUM(v)::BIGINT sm FROM e GROUP BY 1, 2),
+      m AS (SELECT k, b, floor(sm::DOUBLE * 1e6)::BIGINT vm FROM g),
+      l(lag) AS (VALUES (1), (2), (3), (6), (12), (24)),
+      p AS (SELECT a.lag, a.vm xm, c.vm ym
+        FROM (SELECT k, b, vm, lag FROM m CROSS JOIN l) a
+        JOIN m c ON c.k = a.k AND c.b = a.b + a.lag),
+      s AS (SELECT lag, COUNT(*)::BIGINT n, SUM(xm::HUGEINT)::HUGEINT sx,
+          SUM(ym::HUGEINT)::HUGEINT sy, SUM(xm::HUGEINT * ym)::HUGEINT sxy,
+          SUM(xm::HUGEINT * xm)::HUGEINT sxx,
+          SUM(ym::HUGEINT * ym)::HUGEINT syy
+        FROM p GROUP BY 1)
+      SELECT lag, n,
+        (CASE WHEN n > 1 AND n * sxx > sx * sx AND n * syy > sy * sy THEN
+          floor(1000000.0 * (n * sxy - sx * sy)::DOUBLE
+            / sqrt((n * sxx - sx * sx)::DOUBLE
+                   * (n * syy - sy * sy)::DOUBLE)) END)::BIGINT
+          AS acf_micro
+      FROM s"""))
+
+  /** Average precision per user of the q224 pseudo-ranking — per-term
+    * floored exact AP, the MAP building block.
+    */
+  private val q245 = Q(
+    "q245_avg_precision",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      Eval.averagePrecision(
+        raw.filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+            col("event_type").isNotNull)
+          .withColumn("score",
+            md5(concat(lit("s9|"), col("event_id").cast("string"))))
+          .withColumn("is_rel", col("event_type") === "purchase"),
+        "user_id", "event_id", "score", "is_rel")
+        .withColumnRenamed("query", "user_id")
+    },
+    Some("""WITH b AS (SELECT user_id, event_id,
+          (event_type = 'purchase') rel,
+          md5('s9|' || event_id::VARCHAR) score
+        FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+          AND event_type IS NOT NULL),
+      r AS (SELECT user_id, rel,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY score DESC, event_id ASC) rs,
+          SUM(CASE WHEN rel THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+            ORDER BY score DESC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT hits,
+          SUM(CASE WHEN rel THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id)::BIGINT nrel
+        FROM b)
+      SELECT user_id, COUNT(*)::BIGINT n_items, MAX(nrel)::BIGINT n_rel,
+        (CASE WHEN MAX(nrel) > 0 THEN
+          SUM(CASE WHEN rel THEN (hits::HUGEINT * 1000000)
+            // (rs::HUGEINT * nrel) ELSE 0 END) END)::BIGINT AS ap_micro
+      FROM r GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7589,7 +7668,7 @@ object Queries {
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-    q235, q236, q237, q238, q239, q240, q241, q242, q243)
+    q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -635,6 +635,56 @@ object Eval {
       .drop("__fr")
   }
 
+  /** Average precision per query — the area-under-PR summary of a
+    * binary-relevance ranking ([[rankEval]] reads one cut k; AP
+    * integrates over every relevant position):
+    * `AP = (1/R)·Σ_{k relevant} hits(k)/k`. The MAP building block for
+    * retriever eval.
+    *
+    * EXACT integer contract: ranks tie-break by item id; each relevant
+    * position contributes the per-term floor
+    * `⌊10⁶·hits(k)/(k·R)⌋` in decimal(38,0) (per-term flooring — the
+    * mutualInfo precedent — makes the sum order-independent exact
+    * integer arithmetic; the total underestimates true AP by < R
+    * micro). NULL when the query has no relevant items.
+    *
+    * Output per query: `(query, n_items, n_rel, ap_micro)`.
+    *
+    * 100 TB shape: ONE query-keyed window ordering (rank + running
+    * hits + per-query R all ride the same sort) feeding a map-side-
+    * combined groupBy(query).
+    */
+  def averagePrecision(
+      df: DataFrame,
+      queryCol: String,
+      itemCol: String,
+      scoreCol: String,
+      relevantCol: String): DataFrame = {
+    val wS = Window.partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(itemCol).asc)
+    val wAll = Window.partitionBy(col(queryCol))
+    val base = df
+      .filter(col(queryCol).isNotNull && col(itemCol).isNotNull &&
+        col(scoreCol).isNotNull)
+      .withColumn("__rel",
+        coalesce(col(relevantCol).cast("boolean"), lit(false)))
+      .withColumn("__rs", row_number().over(wS))
+      .withColumn("__hits", sum(when(col("__rel"), 1L).otherwise(0L))
+        .over(wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__nrel", sum(when(col("__rel"), 1L).otherwise(0L))
+        .over(wAll))
+    base.groupBy(col(queryCol).as("query"))
+      .agg(count(lit(1)).as("n_items"),
+        max("__nrel").as("n_rel"),
+        sum(when(col("__rel"), expr(
+          """cast(__hits as decimal(38,0)) * 1000000
+             div (cast(__rs as decimal(38,0)) * __nrel)"""))
+          .otherwise(0L)).as("__ap"))
+      .withColumn("ap_micro",
+        when(col("n_rel") > 0, col("__ap")).otherwise(lit(null)))
+      .select("query", "n_items", "n_rel", "ap_micro")
+  }
+
   /** `⌊cum_P(k)·2³²⌋` for k = 0..8, Poisson(λ=1), as 8-hex-char
     * literals: a row's bootstrap weight is the first k whose threshold
     * exceeds the row's u32 hash rendered in hex — a LEXICOGRAPHIC

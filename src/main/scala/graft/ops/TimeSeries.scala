@@ -183,6 +183,63 @@ object TimeSeries {
       .select("lag", "n", "corr_micro")
   }
 
+  /** Pooled autocorrelation function — [[crossCorrelation]]'s keyed
+    * self-lag sibling: for each lag ℓ, the Pearson correlation between
+    * a series value and its own value ℓ buckets later, pairs aligned
+    * WITHIN each key and pooled across keys. The seasonality/memory
+    * diagnostic for per-entity metrics (does a user's activity predict
+    * itself a day later?) where one global series would mix entities.
+    *
+    * Exactness: the crossCorrelation contract — micro-floored values,
+    * one (key, bucket+lag) equi-join, five exact decimal(38,0) moments
+    * per lag, one double Pearson finish floored to micro.
+    *
+    * Output per lag: `(lag, n, acf_micro)` — n is the pooled pair
+    * count (shrinks with lag; NULL acf when degenerate).
+    *
+    * 100 TB shape: one |lags|-way explode on the left, ONE equi-join
+    * keyed (key, bucket) — millions of parallel keys, no window —
+    * then a map-side-combined |lags|-row rollup.
+    */
+  def acf(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      lags: Seq[Int],
+      everyMs: Long): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"lags $lags must be non-empty and >= 1")
+    require(everyMs >= 1, s"everyMs $everyMs must be >= 1")
+    val base = df
+      .filter(col(keyCol).isNotNull && col(bucketCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(bucketCol).as("__t"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("vm"))
+    val a = base
+      .select(col("__k"), col("__t"), col("vm").as("xm"),
+        explode(array(lags.distinct.sorted.map(lit): _*)).as("lag"))
+      .withColumn("__t2", col("__t") + col("lag") * everyMs)
+      .drop("__t")
+    val b = base.select(col("__k"), col("__t").as("__t2"),
+      col("vm").as("ym"))
+    val dec = (c: String) => col(c).cast("decimal(38,0)")
+    a.join(b, Seq("__k", "__t2"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec("xm")).as("sx"), sum(dec("ym")).as("sy"),
+        sum(dec("xm") * col("ym")).as("sxy"),
+        sum(dec("xm") * col("xm")).as("sxx"),
+        sum(dec("ym") * col("ym")).as("syy"))
+      .withColumn("acf_micro", expr(
+        """case when n > 1 and n * sxx > sx * sx and n * syy > sy * sy then
+             cast(floor(1000000.0 * cast(n * sxy - sx * sy as double)
+               / sqrt(cast(n * sxx - sx * sx as double)
+                      * cast(n * syy - sy * sy as double))) as long)
+           end"""))
+      .select("lag", "n", "acf_micro")
+  }
+
   /** CUSUM changepoint locator per key: the running sum of deviations
     * from the key's own mean peaks where the level shifts — returns
     * `(keys..., n_buckets, mean_micro, change_bucket_ms,

@@ -342,6 +342,43 @@ class StatsOpsSpec extends SparkSuite {
     assert(o2(1).getLong(3) > 0L && o2(0).getLong(3) < 0L)
   }
 
+  test("acf: exact 1e6 on linear series, pairs aligned within key only") {
+    import graft.ops.TimeSeries
+    // two keys, each v_t = t (+offset): every lag correlates perfectly,
+    // and the per-lag pair count proves no cross-key pairing
+    val rows = for (k <- Seq(1L, 2L); t <- 0L until 10L)
+      yield (k, t, (t + k * 100).toDouble)
+    val out = TimeSeries.acf(rows.toDF("k", "t", "v").repartition(3),
+      "k", "t", "v", lags = Seq(1, 3), everyMs = 1L)
+      .orderBy("lag").collect()
+    assert(out(0).getInt(0) == 1 && out(0).getLong(1) == 18L)
+    assert(out(1).getInt(0) == 3 && out(1).getLong(1) == 14L)
+    assert(out.forall(_.getLong(2) == 1000000L))
+    // anti-correlated at lag 1: alternating high/low
+    val alt = (0L until 20L).map(t => (1L, t, if (t % 2 == 0) 0.0 else 10.0))
+    val a = TimeSeries.acf(alt.toDF("k", "t", "v"), "k", "t", "v",
+      lags = Seq(1), everyMs = 1L).collect()(0)
+    assert(a.getLong(2) < -900000L)
+  }
+
+  test("averagePrecision: hand AP with per-term floors, edge cases") {
+    // ranking by score: a(rel), b(non), c(rel) → terms 1/2 and 2/(3·2)
+    val df = Seq((1L, "a", "z", true), (1L, "b", "y", false),
+      (1L, "c", "x", true),
+      (2L, "p", "q", false)) // no relevant → NULL AP
+      .toDF("q", "item", "score", "rel").repartition(2)
+    val out = Eval.averagePrecision(df, "q", "item", "score", "rel")
+      .orderBy("query").collect()
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 2L)
+    assert(out(0).getLong(3) == 833333L) // 500000 + 333333
+    assert(out(1).isNullAt(3))
+    // perfect ranking with R=2 hits the exact ceiling
+    val perfect = Seq((1L, "a", "z", true), (1L, "b", "y", true),
+      (1L, "c", "x", false)).toDF("q", "item", "score", "rel")
+    assert(Eval.averagePrecision(perfect, "q", "item", "score", "rel")
+      .collect()(0).getLong(3) == 1000000L)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
