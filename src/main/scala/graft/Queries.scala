@@ -7647,6 +7647,48 @@ object Queries {
             // (rs::HUGEINT * nrel) ELSE 0 END) END)::BIGINT AS ap_micro
       FROM r GROUP BY 1"""))
 
+  /** Greedy k-center selection of 4 maximally-diverse embeddings —
+    * deterministic farthest-point rounds, exact integer micro²
+    * distances, covering-radius curve.
+    */
+  private val q246 = Q(
+    "q246_kcenter",
+    (spark, dir) => Similarity.kCenterSelect(
+      pq(spark, dir, "embeddings"), "vec_id", "embedding", k = 4),
+    Some("""WITH e AS (SELECT vec_id id, embedding::DOUBLE[] ve
+          FROM embeddings WHERE vec_id IS NOT NULL
+            AND embedding IS NOT NULL),
+      js AS (SELECT unnest(generate_series(1, 64)) j),
+      x AS (SELECT id, j, floor(ve[j] * 1e6)::BIGINT xm
+        FROM e CROSS JOIN js),
+      c1 AS (SELECT MIN(id) cid FROM e),
+      m1 AS (SELECT x.id,
+          SUM((x.xm - c.xm) * (x.xm - c.xm))::BIGINT mind
+        FROM x JOIN (SELECT x.j, x.xm FROM x, c1 WHERE x.id = c1.cid) c
+          ON c.j = x.j
+        GROUP BY 1),
+      c2 AS (SELECT id cid, mind FROM m1
+        ORDER BY mind DESC, id ASC LIMIT 1),
+      m2 AS (SELECT m1.id, LEAST(m1.mind, d.d2) mind FROM m1 JOIN
+        (SELECT x.id, SUM((x.xm - c.xm) * (x.xm - c.xm))::BIGINT d2
+         FROM x JOIN (SELECT x.j, x.xm FROM x, c2 WHERE x.id = c2.cid) c
+           ON c.j = x.j
+         GROUP BY 1) d USING (id)),
+      c3 AS (SELECT id cid, mind FROM m2
+        ORDER BY mind DESC, id ASC LIMIT 1),
+      m3 AS (SELECT m2.id, LEAST(m2.mind, d.d2) mind FROM m2 JOIN
+        (SELECT x.id, SUM((x.xm - c.xm) * (x.xm - c.xm))::BIGINT d2
+         FROM x JOIN (SELECT x.j, x.xm FROM x, c3 WHERE x.id = c3.cid) c
+           ON c.j = x.j
+         GROUP BY 1) d USING (id)),
+      c4 AS (SELECT id cid, mind FROM m3
+        ORDER BY mind DESC, id ASC LIMIT 1)
+      SELECT 1::BIGINT AS round, cid::BIGINT AS centroid_id,
+        NULL::BIGINT AS radius_mm FROM c1
+      UNION ALL SELECT 2::BIGINT, cid::BIGINT, mind::BIGINT FROM c2
+      UNION ALL SELECT 3::BIGINT, cid::BIGINT, mind::BIGINT FROM c3
+      UNION ALL SELECT 4::BIGINT, cid::BIGINT, mind::BIGINT FROM c4"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7668,7 +7710,7 @@ object Queries {
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-    q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245)
+    q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

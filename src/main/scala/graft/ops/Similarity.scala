@@ -1056,6 +1056,63 @@ object Similarity {
       .select("label", "n", "norm_micro", "cos_global_micro")
   }
 
+  /** Greedy k-center (farthest-point) selection — the diverse-coreset
+    * sampler for data selection: each round picks the point FARTHEST
+    * from everything already chosen, so k rounds cover the embedding
+    * space with the classic 2-approximation of the optimal k-center
+    * cover. The selection a fine-tuning pipeline uses to pick maximally
+    * diverse exemplars, and the radius column is the covering-radius
+    * curve (how much of the space the first r picks already cover).
+    *
+    * Deterministic: the seed is the LOWEST id; every later round breaks
+    * ties (same min-distance) by lowest id; distances are
+    * [[graft.functions.VectorL2Micro]]'s exact integer micro² squared
+    * L2 on floored-micro vectors — a pure function of the data, so an
+    * oracle unrolls the same rounds. Component bound: |x|·10⁶ ≲ 8·10⁶
+    * keeps Σd² inside int64 past 35k dims (the VectorL2Micro bound).
+    *
+    * Output per round: `(round, centroid_id, radius_mm)` — radius_mm
+    * is the selected point's min-distance² to the earlier picks (NULL
+    * for the seed); non-increasing by construction.
+    *
+    * 100 TB shape: k map-only corpus passes (each: one broadcast-
+    * literal distance + `least`, localCheckpoint'd so lineage stays
+    * flat) + k TakeOrdered argmax reductions (per-partition top-1 +
+    * driver merge — no global sort); driver holds k vectors. `k ≤ 64`
+    * loud-bounded.
+    */
+  def kCenterSelect(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 4): DataFrame = {
+    require(k >= 2 && k <= 64, s"k $k must lie in [2, 64]")
+    val m = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * 1e6).cast("long")).as("xm"))
+      .localCheckpoint()
+    val first = m.orderBy("id").take(1)
+    require(first.nonEmpty, "kCenterSelect: empty input")
+    var picks = List[(Long, Long, Option[Long])](
+      (1L, first(0).getLong(0), None))
+    var mind = m.select(col("id"), col("xm"),
+      graft.functions.VectorL2Micro(col("xm"),
+        typedLit(first(0).getSeq[Long](1))).as("mind"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val nxt = mind.orderBy(col("mind").desc, col("id").asc).take(1)(0)
+      picks ::= ((r.toLong, nxt.getLong(0), Some(nxt.getLong(2))))
+      mind = mind.select(col("id"), col("xm"),
+        least(col("mind"), graft.functions.VectorL2Micro(col("xm"),
+          typedLit(nxt.getSeq[Long](1)))).as("mind"))
+        .localCheckpoint()
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    picks.reverse.toDF("round", "centroid_id", "radius_mm")
+  }
+
   /** Top principal component of the (mean-centered) embedding corpus by
     * power iteration — the dominant direction every embedding-hygiene
     * recipe needs: all-but-the-top postprocessing removes it, isotropy

@@ -379,6 +379,20 @@ class StatsOpsSpec extends SparkSuite {
       .collect()(0).getLong(3) == 1000000L)
   }
 
+  test("kCenterSelect: hand farthest-point rounds with id tie-break") {
+    import graft.ops.Similarity
+    val pts = Seq(0L -> 0.0, 1L -> 10.0, 2L -> 1.0, 3L -> 9.0, 4L -> 5.0)
+    val df = pts.map { case (i, v) => (i, Array(v)) }
+      .toDF("vec_id", "embedding").repartition(3)
+    val out = Similarity.kCenterSelect(df, "vec_id", "embedding", k = 4)
+      .orderBy("round").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 4L, 2L))
+    assert(out(0).isNullAt(2))
+    assert(out(1).getLong(2) == 100000000000000L) // 10² in micro²
+    assert(out(2).getLong(2) == 25000000000000L)  // 5²
+    assert(out(3).getLong(2) == 1000000000000L)   // 1² — tie broke to id 2
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
