@@ -7689,6 +7689,93 @@ object Queries {
       UNION ALL SELECT 3::BIGINT, cid::BIGINT, mind::BIGINT FROM c3
       UNION ALL SELECT 4::BIGINT, cid::BIGINT, mind::BIGINT FROM c4"""))
 
+  /** Nelson–Aalen cumulative churn hazard on the q195 lifespans — the
+    * additive hazard curve, per-term-floored prefix sum.
+    */
+  private val q247 = Q(
+    "q247_nelson_aalen",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val u = raw
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), EventTime.epochMillis(raw, "ts").as("ts_ms"))
+        .groupBy("user_id")
+        .agg(min("ts_ms").as("first_ms"), max("ts_ms").as("last_ms"))
+      val subj = u
+        .crossJoin(broadcast(u.agg(max("last_ms").as("study_end_ms"))))
+        .select(
+          expr("(last_ms - first_ms) div 86400000").as("dur_days"),
+          (col("last_ms") <= col("study_end_ms") - lit(2592000000L))
+            .as("churned"))
+      Survival.nelsonAalen(subj, "dur_days", "churned")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) tms FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      u AS (SELECT user_id, MIN(tms) f, MAX(tms) l FROM e GROUP BY 1),
+      se AS (SELECT MAX(l) m FROM u),
+      s AS (SELECT (l - f) // 86400000 t,
+          (l <= se.m - 2592000000) ev FROM u, se),
+      g AS (SELECT t,
+          COUNT(*) FILTER (WHERE ev)::BIGINT n_event,
+          COUNT(*) FILTER (WHERE NOT ev)::BIGINT n_censored
+        FROM s GROUP BY 1),
+      tot AS (SELECT SUM(n_event + n_censored)::BIGINT n FROM g),
+      w AS (SELECT g.*, tot.n,
+          (SUM(n_event + n_censored) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT cum
+        FROM g, tot),
+      r AS (SELECT t, n_event, n_censored,
+          (n - cum + n_event + n_censored)::BIGINT n_risk FROM w),
+      h AS (SELECT *,
+          (n_event::HUGEINT * 1000000 // n_risk)::BIGINT hazard_micro
+        FROM r)
+      SELECT t, n_risk, n_event, n_censored, hazard_micro,
+        (SUM(hazard_micro) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+          AS cum_hazard_micro
+      FROM h"""))
+
+  /** Co-purchase link prediction on the user↔prop-k bipartite graph —
+    * top-20 non-edges by capped-degree Jaccard.
+    */
+  private val q248 = Q(
+    "q248_link_predict",
+    (spark, dir) => Graph.linkPrediction(
+      pq(spark, dir, "events")
+        .filter(col("event_type") === "purchase" &&
+          col("user_id").isNotNull &&
+          get_json_object(col("props"), "$.k").isNotNull)
+        .select(col("user_id").as("src"),
+          (get_json_object(col("props"), "$.k").cast("long") + 100000L)
+            .as("dst")),
+      "src", "dst", k = 20),
+    Some("""WITH ed AS (SELECT DISTINCT
+          LEAST(user_id, 100000 + json_extract(props, '$.k')::BIGINT) u,
+          GREATEST(user_id, 100000 + json_extract(props, '$.k')::BIGINT) v
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+          AND json_extract(props, '$.k') IS NOT NULL
+          AND user_id <> 100000 + json_extract(props, '$.k')::BIGINT),
+      deg AS (SELECT x, COUNT(*)::BIGINT deg FROM
+        (SELECT u x FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1),
+      keep AS (SELECT x FROM deg WHERE deg <= 10000),
+      e2 AS (SELECT u, v FROM ed WHERE u IN (SELECT x FROM keep)
+        AND v IN (SELECT x FROM keep)),
+      deg2 AS (SELECT x, COUNT(*)::BIGINT deg FROM
+        (SELECT u x FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+      nbr AS (SELECT u m, v x FROM e2 UNION ALL SELECT v, u FROM e2),
+      cand AS (SELECT a.x a, b.x b, COUNT(*)::BIGINT cn
+        FROM nbr a JOIN nbr b ON a.m = b.m AND a.x < b.x GROUP BY 1, 2),
+      np AS (SELECT cand.* FROM cand LEFT JOIN e2
+          ON e2.u = cand.a AND e2.v = cand.b
+        WHERE e2.u IS NULL),
+      j AS (SELECT np.a, np.b, np.cn, da.deg deg_a, db.deg deg_b,
+          (np.cn * 1000000 // (da.deg + db.deg - np.cn))::BIGINT
+            jaccard_micro
+        FROM np JOIN deg2 da ON da.x = np.a JOIN deg2 db ON db.x = np.b)
+      SELECT a AS node_a, b AS node_b, cn AS common_neighbors,
+        deg_a AS degree_a, deg_b AS degree_b, jaccard_micro
+      FROM j ORDER BY jaccard_micro DESC, a ASC, b ASC LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7710,7 +7797,7 @@ object Queries {
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-    q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246)
+    q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -90,6 +90,34 @@ object Survival {
         "ln_surv_micro")
   }
 
+  /** Nelson–Aalen cumulative hazard — the additive companion to
+    * [[kaplanMeier]]'s product-limit survival: `H(t) = Σ_{s≤t} d_s/n_s`,
+    * the estimator whose INCREMENTS are directly comparable across
+    * cohorts and whose slope IS the hazard rate (flat = stable churn,
+    * steepening = accelerating). Same life table, same censoring
+    * handling, one more prefix sum.
+    *
+    * Exactness: cum_hazard is the prefix sum of the life table's
+    * per-time `⌊10⁶·d/n⌋` terms — per-term floors (the mutualInfo
+    * precedent), pure integer arithmetic, so the curve replays
+    * bit-for-bit; underestimates true H by < |distinct t| micro.
+    *
+    * Output per distinct duration: `(t, n_risk, n_event, n_censored,
+    * hazard_micro, cum_hazard_micro)`.
+    *
+    * 100 TB shape: [[kaplanMeier]]'s collapse + one more
+    * [[Ranks.prefixSum]] range exchange over the ≤ 10⁶-row life table.
+    */
+  def nelsonAalen(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String): DataFrame =
+    Ranks.prefixSum(kaplanMeier(df, durationCol, eventCol),
+        Seq(col("t")), Seq("hazard_micro"))
+      .withColumnRenamed("hazard_micro_cum", "cum_hazard_micro")
+      .select("t", "n_risk", "n_event", "n_censored", "hazard_micro",
+        "cum_hazard_micro")
+
   /** Two-sample log-rank test — "did cohort A churn differently from
     * cohort B?", the survival-curve A/B test that respects censoring
     * (comparing raw churn rates between arms with different observation

@@ -393,6 +393,37 @@ class StatsOpsSpec extends SparkSuite {
     assert(out(3).getLong(2) == 1000000000000L)   // 1² — tie broke to id 2
   }
 
+  test("nelsonAalen: hand cumulative hazard over the life table") {
+    import graft.ops.Survival
+    val subj = Seq((1L, true), (1L, true), (2L, false), (3L, true))
+      .toDF("dur", "ev").repartition(2)
+    val out = Survival.nelsonAalen(subj, "dur", "ev")
+      .orderBy("t").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+      r.getLong(5))).toSeq == Seq(
+      (1L, 4L, 500000L, 500000L),    // 2 events of 4 at risk
+      (2L, 2L, 0L, 500000L),         // censoring adds no hazard
+      (3L, 1L, 1000000L, 1500000L))) // last subject fails
+  }
+
+  test("linkPrediction: square closes its diagonals; hub cap excludes") {
+    import graft.ops.Graph
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("s", "d").repartition(2)
+    val out = Graph.linkPrediction(sq, "s", "d", k = 5)
+      .orderBy("node_a").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 3L)
+    assert(out(0).getLong(2) == 2L && out(0).getLong(5) == 1000000L)
+    assert(out(1).getLong(0) == 2L && out(1).getLong(1) == 4L)
+    // a hub above maxDegree is excluded → its star yields no candidates
+    val star = (1L to 5L).map(i => (99L, i)).toDF("s", "d")
+    assert(Graph.linkPrediction(star, "s", "d", k = 5, maxDegree = 4L)
+      .count() == 0L)
+    // with the cap lifted the star's leaves all pair up: C(5,2) = 10
+    assert(Graph.linkPrediction(star, "s", "d", k = 100).count() == 10L)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
