@@ -7776,6 +7776,68 @@ object Queries {
         deg_a AS degree_a, deg_b AS degree_b, jaccard_micro
       FROM j ORDER BY jaccard_micro DESC, a ASC, b ASC LIMIT 20"""))
 
+  /** ECE/MCE + Brier of the "prop k predicts purchase" score — the
+    * one-row calibration gate over the q-family reliability curve.
+    */
+  private val q249 = Q(
+    "q249_ece",
+    (spark, dir) => Eval.calibrationError(
+      pq(spark, dir, "events")
+        .filter(col("event_type").isNotNull &&
+          get_json_object(col("props"), "$.k").isNotNull)
+        .withColumn("label", col("event_type") === "purchase")
+        .withColumn("score",
+          get_json_object(col("props"), "$.k").cast("double") / 100.0),
+      "label", "score", bins = 10),
+    Some("""WITH b AS (SELECT
+          LEAST(GREATEST(floor((json_extract(props, '$.k')::DOUBLE / 100.0)
+            * 10), 0), 9)::BIGINT bin,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END y,
+          floor((json_extract(props, '$.k')::DOUBLE / 100.0)
+            * 1e6)::BIGINT sm,
+          floor(1000000.0
+            * ((json_extract(props, '$.k')::DOUBLE / 100.0)
+               - (CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END))
+            * ((json_extract(props, '$.k')::DOUBLE / 100.0)
+               - (CASE WHEN event_type = 'purchase' THEN 1.0
+                  ELSE 0.0 END)))::BIGINT bm
+        FROM events WHERE event_type IS NOT NULL
+          AND json_extract(props, '$.k') IS NOT NULL),
+      p AS (SELECT bin, COUNT(*)::BIGINT n, SUM(y)::BIGINT n_pos,
+          SUM(sm)::HUGEINT ssm, SUM(bm)::HUGEINT sbm FROM b GROUP BY 1),
+      g AS (SELECT (SUM(sbm) // SUM(n))::BIGINT brier_micro FROM p),
+      c AS (SELECT bin, n, (ssm // n)::BIGINT avg_score_micro,
+          (n_pos::HUGEINT * 1000000 // n)::BIGINT obs_rate_micro FROM p)
+      SELECT SUM(n)::BIGINT n, COUNT(*)::BIGINT n_bins_used,
+        (SUM(n::HUGEINT * abs(avg_score_micro - obs_rate_micro))
+          // SUM(n))::BIGINT AS ece_micro,
+        MAX(abs(avg_score_micro - obs_rate_micro))::BIGINT AS mce_micro,
+        MAX(g.brier_micro)::BIGINT AS brier_micro
+      FROM c, g"""))
+
+  /** Corpus unigram entropy and effective vocabulary (perplexity) — the
+    * redundancy early-warning, exact per-type floored log terms.
+    */
+  private val q250 = Q(
+    "q250_unigram_entropy",
+    (spark, dir) => Corpus.unigramEntropy(
+      pq(spark, dir, "documents"), "text"),
+    Some("""WITH t AS (SELECT unnest(string_split(trim(text), ' ')) tok
+          FROM documents WHERE text IS NOT NULL),
+      f AS (SELECT tok, COUNT(*)::BIGINT f FROM t GROUP BY 1),
+      s AS (SELECT SUM(f)::BIGINT n_tokens, COUNT(*)::BIGINT n_types,
+          SUM(f::HUGEINT
+            * floor(ln(f::DOUBLE) * 1e6)::BIGINT)::HUGEINT sf
+        FROM f)
+      SELECT n_tokens, n_types,
+        ((n_tokens::HUGEINT * floor(ln(n_tokens::DOUBLE) * 1e6)::BIGINT
+          - sf) // n_tokens)::BIGINT AS entropy_micro,
+        floor(1000.0 * exp(
+          (((n_tokens::HUGEINT
+             * floor(ln(n_tokens::DOUBLE) * 1e6)::BIGINT - sf)
+            // n_tokens))::DOUBLE / 1e6))::BIGINT AS perplexity_milli
+      FROM s"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7797,7 +7859,7 @@ object Queries {
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-    q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248)
+    q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -1158,6 +1158,43 @@ object Corpus {
         "alpha_milli")
   }
 
+  /** Corpus unigram entropy and perplexity — the information-content
+    * summary of the vocabulary distribution ([[zipfFit]] reads its
+    * SHAPE; this reads its MASS): `H = −Σ p·ln p` in micro-nats and the
+    * effective vocabulary size `e^H` (unigram perplexity). A corpus
+    * flooded with boilerplate collapses toward low entropy long before
+    * a dedup pass names the culprit — this is the one-row early
+    * warning, and the drop in `e^H` IS the redundancy factor.
+    *
+    * Exactness: `H = (N·⌊10⁶·ln N⌋ − Σ_t f_t·⌊10⁶·ln f_t⌋) div N` —
+    * the ln N term factors out exactly, per-type terms floor once
+    * (q220 runtime-ln precedent), sums ride decimal(38,0); only the
+    * final perplexity takes an exp (q239 precedent), floored to milli.
+    *
+    * Output (one row): `(n_tokens, n_types, entropy_micro,
+    * perplexity_milli)`.
+    *
+    * 100 TB shape: one tokenize pass into a map-side-combined
+    * groupBy(token); the rollup runs on the |vocabulary| table.
+    */
+  def unigramEntropy(df: DataFrame, textCol: String): DataFrame = {
+    val freq = df.filter(col(textCol).isNotNull)
+      .select(explode(split(trim(col(textCol)), " ")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__f"))
+    freq.agg(sum("__f").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(expr(
+          """cast(__f as decimal(38,0))
+             * cast(floor(ln(cast(__f as double)) * 1e6) as long)"""))
+          .as("__sf"))
+      .select(col("n_tokens"), col("n_types"),
+        expr("""cast((cast(n_tokens as decimal(38,0))
+             * cast(floor(ln(cast(n_tokens as double)) * 1e6) as long)
+             - __sf) div n_tokens as long)""").as("entropy_micro"))
+      .withColumn("perplexity_milli", expr(
+        """cast(floor(1000.0 * exp(cast(entropy_micro as double) / 1e6))
+           as long)"""))
+  }
+
   /** Zipf power-law fit of the corpus token-frequency curve — OLS of
     * ln(freq) on ln(rank) over the top `maxRank` terms: the one-row
     * corpus health check ([[hillTailIndex]] reads the tail of a SIZE

@@ -123,6 +123,40 @@ object Eval {
         col("brier_micro"))
   }
 
+  /** Expected / maximum calibration error — the one-row summary of
+    * [[calibration]]'s reliability curve: `ECE = Σ_b n_b·|conf_b −
+    * acc_b| / N` (the number quoted in every calibration paper) and the
+    * worst single bin (MCE), with the Brier score alongside. The gate a
+    * quality-classifier's scores pass before anyone thresholds on them.
+    *
+    * Exactness: per-bin confidence and accuracy are [[calibration]]'s
+    * integer micro columns; gaps, the n-weighted sum, and the final
+    * division are exact decimal(38,0) arithmetic — no doubles anywhere
+    * beyond calibration's own per-row Brier terms.
+    *
+    * Output (one row): `(n, n_bins_used, ece_micro, mce_micro,
+    * brier_micro)`.
+    *
+    * 100 TB shape: [[calibration]]'s one groupBy(bin) pass + a
+    * ≤bins-row rollup.
+    */
+  def calibrationError(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int): DataFrame = {
+    calibration(df, labelCol, scoreCol, bins)
+      .withColumn("__gap",
+        abs(col("avg_score_micro") - col("obs_rate_micro")))
+      .agg(sum("n").as("n"), count(lit(1)).as("n_bins_used"),
+        sum(expr("cast(n as decimal(38,0)) * __gap")).as("__w"),
+        max("__gap").as("mce_micro"),
+        max("brier_micro").as("brier_micro"))
+      .select(col("n"), col("n_bins_used"),
+        expr("cast(__w div n as long)").as("ece_micro"),
+        col("mce_micro"), col("brier_micro"))
+  }
+
   /** Split-conformal prediction thresholds per group, with the empirical
     * coverage check: from a CALIBRATION set of nonconformity scores the
     * per-group threshold is the ⌈(n+1)(1−α)⌉-th smallest score (the

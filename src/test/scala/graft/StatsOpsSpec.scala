@@ -424,6 +424,30 @@ class StatsOpsSpec extends SparkSuite {
     assert(Graph.linkPrediction(star, "s", "d", k = 100).count() == 10L)
   }
 
+  test("calibrationError: perfect bin contributes zero, ECE is n-weighted") {
+    // bin 2 (score .2, 2/10 pos): calibrated. bin 9 (.9, 0/10): gap 900000
+    val rows = (0 until 10).map(i => (i < 2, 0.2)) ++
+      (0 until 10).map(_ => (false, 0.9))
+    val out = Eval.calibrationError(
+      rows.toDF("label", "score").repartition(3), "label", "score",
+      bins = 10).collect()(0)
+    assert(out.getLong(0) == 20L && out.getLong(1) == 2L)
+    assert(out.getLong(2) == 450000L)  // (0·10 + 900000·10)/20
+    assert(out.getLong(3) == 900000L)  // MCE = the bad bin
+    assert(out.getLong(4) > 0L)        // Brier rides along
+  }
+
+  test("unigramEntropy: uniform vocabulary is exactly ln(types)") {
+    val words = Seq("aa", "bb", "cc", "dd").flatMap(w => Seq.fill(8)(w))
+    val docs = words.grouped(4).map(_.mkString(" ")).toSeq.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val out = Corpus.unigramEntropy(
+      docs.toDF("id", "text").repartition(3), "text").collect()(0)
+    assert(out.getLong(0) == 32L && out.getLong(1) == 4L)
+    assert(out.getLong(2) == 1386294L)              // ln 4 in micro-nats
+    assert(math.abs(out.getLong(3) - 4000L) <= 2L)  // e^H ≈ 4 types
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
