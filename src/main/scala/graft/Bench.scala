@@ -52,7 +52,26 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val first = once()
-      val dt = if (first > RerunThresholdSec) math.min(first, once()) else first
+      // Contention-adaptive min-of-N: when two consecutive measurements of
+      // IDENTICAL code disagree >2x, a shared-host noise episode spanned
+      // one of them — keep sampling (≤4 runs) until two agree, take the
+      // min. Bounded, and quiet runs still cost exactly two executions.
+      val dt =
+        if (first <= RerunThresholdSec) first
+        else {
+          var prev = first
+          var cur = once()
+          var best = math.min(prev, cur)
+          var tries = 2
+          while (tries < 4 &&
+              math.max(prev, cur) > 2.0 * math.min(prev, cur)) {
+            prev = cur
+            cur = once()
+            best = math.min(best, cur)
+            tries += 1
+          }
+          best
+        }
       System.err.println(f"[bench] $name $dt%.2fs")
       name -> dt
     }

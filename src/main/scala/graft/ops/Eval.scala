@@ -772,10 +772,19 @@ object Eval {
     val weightCase = PoissonCumHex32.zipWithIndex
       .map { case (h, k) => s"when __u < '$h' then ${k}L" }
       .mkString("case ", " ", " else 9L end")
-    val reps = df
+    val base0 = df
       .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         floor(col(valueCol).cast("double") * 1e6).cast("long").as("__vm"))
+    // The ×b explode inherits the SCAN's partitioning: a small input (one
+    // parquet row group) would run the entire replica pass on one task.
+    // Spread first when the scan is narrower than the cluster; at real
+    // scale partitions ≥ parallelism and this is a no-op.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base =
+      if (base0.rdd.getNumPartitions < par) base0.repartition(par)
+      else base0
+    val reps = base
       .withColumn("__rep", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("__u", substring(md5(concat_ws("|",
         lit(seed), col("__rep").cast("string"), col("__id"))), 1, 8))
@@ -959,13 +968,18 @@ object Eval {
       b: Int = 200,
       seed: String = "perm"): DataFrame = {
     require(b >= 2 && b <= 1024, s"b $b must lie in [2, 1024]")
-    val base = df
+    val base0 = df
       .filter(col(idCol).isNotNull && col(groupCol).isNotNull &&
         col(valueCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         col(groupCol).cast("string").as("__g"),
         floor(col(valueCol).cast("double") * 1e6).cast("long").as("__vm"))
-      .localCheckpoint()
+    // pre-explode fan-out, same rationale as bootstrapMeanCI
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base =
+      (if (base0.rdd.getNumPartitions < par) base0.repartition(par)
+       else base0)
+        .localCheckpoint()
     val obs = base.groupBy("__g")
       .agg(count(lit(1)).as("c"),
         sum(col("__vm").cast("decimal(38,0)")).as("s"))
