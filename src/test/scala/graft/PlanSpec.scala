@@ -538,4 +538,35 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       s"key filter is not a broadcast semi join:\n$plan")
   }
+
+  test("rank eval family: one keyed ordering, rollup rides the exchange") {
+    // q224 (and q245) sort once by the query key; rank, running hits and
+    // per-query totals all share that partitioning — a second exchange
+    // means a window spec stopped aligning with the groupBy
+    for (name <- Seq("q224_rank_eval", "q245_avg_precision")) {
+      val plan = Queries.all.find(_.name == name).get
+        .build(spark, sfDir).queryExecution.executedPlan
+      assert(shuffles(plan) <= 1,
+        s"$name shuffle count grew to ${shuffles(plan)}:\n$plan")
+    }
+  }
+
+  test("kendall tau: the cell join stays broadcast, never a cartesian") {
+    val plan = Queries.all.find(_.name == "q227_kendall_tau").get
+      .build(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"kendall cell join lost its broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"kendall went cartesian:\n$plan")
+  }
+
+  test("link prediction: hot-vertex cap and anti-join survive in the plan") {
+    val plan = Queries.all.find(_.name == "q248_link_predict").get
+      .build(spark, sfDir).queryExecution.executedPlan.toString
+    // existing-edge exclusion must stay an anti equi-join
+    assert(plan.contains("LeftAnti"),
+      s"link prediction lost the existing-edge anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"link prediction went cartesian:\n$plan")
+  }
 }
