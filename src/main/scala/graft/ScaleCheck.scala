@@ -430,6 +430,37 @@ object ScaleCheck {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def wassersteinTime(df: DataFrame, tag: String): Double = {
+      // the q241 shape: corpus collapses to its distinct micro values
+      // (FIXED domain here — the realistic drift-metric case), so the
+      // prefix/rank machinery is constant work — expect sub-linear
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(when(pmod(col("user_id"), lit(2)) === 0, "a")
+          .otherwise("b").as("g"), col("value"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.wasserstein1d(base, "g", "value")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def linkPredictTime(df: DataFrame, tag: String): Double = {
+      // bipartite user↔prop-k purchases: replicas add USERS against the
+      // SAME k vocabulary, so hub (k-node) degree grows with data — the
+      // wedge space would grow quadratically; maxDegree=1000 drops the
+      // hubs at 8x (degree ~1500 vs ~180 at 1x), exactly the cap's job.
+      // Without the cap this entry would be ~60x, a data property.
+      val edges = df.filter(col("event_type") === "purchase" &&
+          col("user_id").isNotNull &&
+          get_json_object(col("props"), "$.k").isNotNull)
+        .select(col("user_id").as("src"),
+          (get_json_object(col("props"), "$.k").cast("long") + 100000000L)
+            .as("dst"))
+      val t0 = System.nanoTime()
+      graft.ops.Graph.linkPrediction(edges, "src", "dst", k = 20,
+          maxDegree = 1000L)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     for ((name, f) <- Seq(
       ("sliding", slidingTime _), ("over", overTime _), ("pit", pitTime _),
       ("lookup", lookupTime _), ("cluster", clusterTime _),
@@ -440,7 +471,8 @@ object ScaleCheck {
       ("kcore", kcoreTime _), ("rfm", rfmTime _),
       ("mann_whitney", mwTime _), ("sprt", sprtTime _),
       ("ndcg", ndcgTime _), ("bootstrap", bootstrapTime _),
-      ("kendall", kendallTime _)) if wanted(name)) {
+      ("kendall", kendallTime _), ("wasserstein", wassersteinTime _),
+      ("link_predict", linkPredictTime _)) if wanted(name)) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
