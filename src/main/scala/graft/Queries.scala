@@ -7838,6 +7838,43 @@ object Queries {
             // n_tokens))::DOUBLE / 1e6))::BIGINT AS perplexity_milli
       FROM s"""))
 
+  /** Re-identification risk histogram over (nation, market segment)
+    * quasi-identifiers — class-size distribution, uniqueness rate at
+    * size 1, exact cumulative row shares.
+    */
+  private val q251 = Q(
+    "q251_uniqueness_risk",
+    (spark, dir) => Privacy.uniquenessRisk(
+      pq(spark, dir, "customer")
+        // sign-split truncating band (the house `div`/`//` idiom) so
+        // negative balances band identically in both engines
+        .withColumn("__vm", floor(col("c_acctbal") * 1e6).cast("long"))
+        .withColumn("acct_band", expr(
+          """case when __vm >= 0 then __vm div 500000000
+             else -((-__vm) div 500000000) end"""))
+        .drop("__vm"),
+      Seq("c_nationkey", "c_mktsegment", "acct_band")),
+    Some("""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+          (CASE WHEN floor(c_acctbal * 1e6) >= 0
+            THEN floor(c_acctbal * 1e6)::BIGINT // 500000000
+            ELSE -((-floor(c_acctbal * 1e6))::BIGINT // 500000000)
+            END) AS acct_band,
+          COUNT(*)::BIGINT class_size
+        FROM customer GROUP BY 1, 2, 3),
+      h AS (SELECT class_size, COUNT(*)::BIGINT n_classes,
+          (class_size * COUNT(*))::BIGINT n_rows
+        FROM cls GROUP BY 1),
+      t AS (SELECT SUM(n_rows)::BIGINT n FROM h),
+      p AS (SELECT h.*, t.n,
+          (SUM(n_rows) OVER (ORDER BY class_size
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT cum
+        FROM h, t)
+      SELECT class_size, n_classes, n_rows,
+        (n_rows::HUGEINT * 1000000 // n)::BIGINT AS row_share_micro,
+        cum AS cum_rows,
+        (cum::HUGEINT * 1000000 // n)::BIGINT AS cum_row_share_micro
+      FROM p"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7859,7 +7896,7 @@ object Queries {
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-    q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250)
+    q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

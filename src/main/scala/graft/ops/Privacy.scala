@@ -104,4 +104,43 @@ object Privacy {
       .withColumn("t_violation", col("tvd_micro") > tMicro)
       .drop("__sum_terms")
   }
+
+  /** Re-identification risk profile — the class-SIZE histogram of the
+    * quasi-identifier partition ([[kAnonymity]] lists the violating
+    * classes; this is the one-screen summary a release review reads):
+    * how many equivalence classes have exactly 1, 2, 3… members, what
+    * fraction of ROWS sit in each, and the cumulative share of rows at
+    * or below each size — `cum_rows` at size 1 is the uniqueness rate
+    * (rows re-identifiable by exact quasi match), at k−1 the mass a
+    * k-anonymity gate would have to suppress or generalize.
+    *
+    * Exactness: pure counting; shares are exact integer floor divisions
+    * to micro; the cumulative column is an exact prefix sum over the
+    * ≤ |sizes| histogram rows.
+    *
+    * Output per class size: `(class_size, n_classes, n_rows,
+    * row_share_micro, cum_rows, cum_row_share_micro)`.
+    *
+    * 100 TB shape: one groupBy(quasi) collapse, one groupBy(size)
+    * of the class table, a [[Ranks.prefixSum]] range exchange over the
+    * ≤ |distinct sizes| histogram.
+    */
+  def uniquenessRisk(df: DataFrame, quasiCols: Seq[String]): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    val hist = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy("class_size")
+      .agg(count(lit(1)).as("n_classes"))
+      .withColumn("n_rows", col("class_size") * col("n_classes"))
+      .localCheckpoint()
+    val tot = hist.agg(sum("n_rows").as("__n"))
+    Ranks.prefixSum(hist, Seq(col("class_size")), Seq("n_rows"))
+      .crossJoin(broadcast(tot))
+      .select(col("class_size"), col("n_classes"), col("n_rows"),
+        expr("cast(cast(n_rows as decimal(38,0)) * 1000000 div __n as long)")
+          .as("row_share_micro"),
+        col("n_rows_cum").as("cum_rows"),
+        expr("""cast(cast(n_rows_cum as decimal(38,0)) * 1000000 div __n
+             as long)""").as("cum_row_share_micro"))
+  }
 }

@@ -448,6 +448,23 @@ class StatsOpsSpec extends SparkSuite {
     assert(math.abs(out.getLong(3) - 4000L) <= 2L)  // e^H ≈ 4 types
   }
 
+  test("uniquenessRisk: hand class-size histogram and uniqueness rate") {
+    import graft.ops.Privacy
+    // classes: {a,x}×1 row, {a,y}×1, {b,x}×3 → sizes 1,1,3
+    val rows = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "x"),
+      ("b", "x"))
+    val out = Privacy.uniquenessRisk(
+      rows.toDF("q1", "q2").repartition(2), Seq("q1", "q2"))
+      .orderBy("class_size").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    assert(out(0).getLong(2) == 2L)             // 2 rows in singletons
+    assert(out(0).getLong(3) == 400000L)        // uniqueness rate 40%
+    assert(out(0).getLong(4) == 2L && out(0).getLong(5) == 400000L)
+    assert(out(1).getLong(0) == 3L && out(1).getLong(1) == 1L)
+    assert(out(1).getLong(4) == 5L && out(1).getLong(5) == 1000000L)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
