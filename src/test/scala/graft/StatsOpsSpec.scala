@@ -465,6 +465,50 @@ class StatsOpsSpec extends SparkSuite {
     assert(out(1).getLong(4) == 5L && out(1).getLong(5) == 1000000L)
   }
 
+  test("wasserstein1d matches an in-memory CDF integral on random data") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 600).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      (g, math.floor(rnd.nextGaussian() * 25 +
+        (if (g == "a") 10 else 0)) / 2.0)
+    }
+    val got = Eval.wasserstein1d(rows.toDF("g", "v").repartition(7),
+      "g", "v").collect()(0).getLong(5)
+    // reference: exact integer segment sum over the merged micro values
+    val micro = rows.map { case (g, v) => (g, math.floor(v * 1e6).toLong) }
+    val va = micro.filter(_._1 == "a").map(_._2)
+    val vb = micro.filter(_._1 == "b").map(_._2)
+    val vals = (va ++ vb).distinct.sorted
+    val (na, nb) = (BigInt(va.size), BigInt(vb.size))
+    var num = BigInt(0)
+    for (Seq(v, vn) <- vals.sliding(2) if vals.size > 1) {
+      val ca = BigInt(va.count(_ <= v)); val cb = BigInt(vb.count(_ <= v))
+      num += BigInt(vn - v) * (ca * nb - cb * na).abs
+    }
+    assert(got == (num / (na * nb)).toLong)
+  }
+
+  test("robustMean matches an in-memory trim/winsor on random data") {
+    val rnd = new scala.util.Random(23)
+    val vals = (0 until 500).map(_ =>
+      math.floor(rnd.nextGaussian() * 1000) / 7.0)
+    val out = Features.robustMean(vals.toDF("v").repartition(5), "v",
+      trimPpm = 50000L).collect()(0)
+    val m = vals.map(v => math.floor(v * 1e6).toLong).sorted
+    val n = m.size
+    val k = (n.toLong * 50000L / 1000000L).toInt
+    def fd(s: BigInt, c: Long): Long =
+      (if (s >= 0) s / c else -((-s) / c)).toLong
+    val trimmed = m.slice(k, n - k)
+    assert(out.getLong(1) == k.toLong)
+    assert(out.getLong(2) == fd(m.map(BigInt(_)).sum, n))
+    assert(out.getLong(3) == fd(trimmed.map(BigInt(_)).sum, n - 2L * k))
+    val wins = trimmed.map(BigInt(_)).sum +
+      BigInt(k) * m(k) + BigInt(k) * m(n - k - 1)
+    assert(out.getLong(4) == fd(wins, n))
+    assert(out.getLong(5) == m(k) && out.getLong(6) == m(n - k - 1))
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
