@@ -509,6 +509,73 @@ class StatsOpsSpec extends SparkSuite {
     assert(out.getLong(5) == m(k) && out.getLong(6) == m(n - k - 1))
   }
 
+  test("bradleyTerry ranking agrees with a float MM reference on random votes") {
+    import graft.ops.Preference
+    val rnd = new scala.util.Random(29)
+    // 6 items with distinct true strengths; 40 raters score with noise
+    val truth = Map("A" -> 6.0, "B" -> 5.0, "C" -> 4.0, "D" -> 3.0,
+      "E" -> 2.0, "F" -> 1.0)
+    val rows = for (r <- 1L to 40L; (i, s) <- truth.toSeq)
+      yield (r, i, s + rnd.nextGaussian() * 1.5)
+    val out = Preference.bradleyTerry(rows.toDF("r", "i", "v")
+      .repartition(4), "r", "i", "v", iters = 3)
+      .orderBy("bt_rank").collect()
+    // reference: float MM on the SAME votes (derived once, driver-side)
+    val means = rows.groupBy(t => (t._1, t._2))
+      .map { case ((r, i), xs) =>
+        ((r, i), xs.map(t => math.floor(t._3 * 1e6).toLong).sum / xs.size) }
+    val items = truth.keys.toSeq.sorted
+    val wins = collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    for (r <- 1L to 40L; a <- items; b <- items if a < b) {
+      val (ma, mb) = (means((r, a)), means((r, b)))
+      if (ma > mb) wins((a, b)) += 1 else if (mb > ma) wins((b, a)) += 1
+    }
+    var pi = items.map(_ -> 1.0).toMap
+    for (_ <- 1 to 50) { // float MM to convergence
+      pi = items.map { i =>
+        val w = items.filter(_ != i).map(j => wins((i, j))).sum.toDouble
+        val d = items.filter(_ != i).map { j =>
+          (wins((i, j)) + wins((j, i))).toDouble / (pi(i) + pi(j)) }.sum
+        i -> (if (d > 0) w / d else pi(i))
+      }.toMap
+    }
+    val refOrder = items.sortBy(i => (-pi(i), i))
+    assert(out.map(_.getString(0)).toSeq == refOrder,
+      s"quantized 3-iter MM ranking diverged from converged float MM")
+  }
+
+  test("preferenceCycles count matches Kendall's outdegree formula") {
+    import graft.ops.Preference
+    // random complete tournament on 6 items: d = C(k,3) − Σ C(outdeg,2)
+    val rnd = new scala.util.Random(31)
+    val items = Seq("A", "B", "C", "D", "E", "F")
+    // one rater per pair decides the edge → complete tournament
+    var raterId = 0L
+    val rows = for {
+      i <- items.indices; j <- (i + 1) until items.size
+    } yield {
+      raterId += 1
+      val winnerFirst = rnd.nextBoolean()
+      val (hi, lo) = if (winnerFirst) (items(i), items(j))
+        else (items(j), items(i))
+      Seq((raterId, hi, 2.0), (raterId, lo, 1.0))
+    }
+    val df = rows.flatten.toDF("r", "i", "v").repartition(3)
+    val out = Preference.preferenceCycles(df, "r", "i", "v").collect()(0)
+    assert(out.getLong(3) == 15L) // complete: all C(6,2) edges
+    // outdegree per item from the same coin flips, replayed
+    val rnd2 = new scala.util.Random(31)
+    val outdeg = collection.mutable.Map(items.map(_ -> 0L): _*)
+    for (i <- items.indices; j <- (i + 1) until items.size) {
+      if (rnd2.nextBoolean()) outdeg(items(i)) += 1
+      else outdeg(items(j)) += 1
+    }
+    val expected = 20L - outdeg.values.map(d => d * (d - 1) / 2).sum
+    assert(out.getLong(4) == expected)
+    assert(out.getLong(5) == (8L - expected) * 1000000L / 8L)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
