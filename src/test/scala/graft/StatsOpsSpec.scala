@@ -576,6 +576,56 @@ class StatsOpsSpec extends SparkSuite {
     assert(out.getLong(5) == (8L - expected) * 1000000L / 8L)
   }
 
+  test("kCenterSelect matches an in-memory greedy replay on random vectors") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(37)
+    val pts = (0L until 80L).map(i =>
+      (i, Array.fill(8)(math.floor(rnd.nextGaussian() * 100) / 50.0)))
+    val out = Similarity.kCenterSelect(
+      pts.toDF("vec_id", "embedding").repartition(5),
+      "vec_id", "embedding", k = 6).orderBy("round").collect()
+    // in-memory replay of the exact integer contract
+    val m = pts.map { case (i, v) =>
+      (i, v.map(x => math.floor(x * 1e6).toLong)) }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var sel = List(0L)
+    var mind = m.map { case (i, v) => i -> d2(v, m(0L)) }
+    val expect = collection.mutable.ListBuffer[(Long, Long)]()
+    for (_ <- 2 to 6) {
+      val (nid, nd) = mind.toSeq.maxBy { case (i, d) => (d, -i) }
+      expect += ((nid, nd))
+      sel ::= nid
+      mind = mind.map { case (i, d) => i -> math.min(d, d2(m(i), m(nid))) }
+    }
+    assert(out.drop(1).map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      expect.toSeq)
+    // covering radius is non-increasing
+    val radii = out.drop(1).map(_.getLong(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("topPrincipalComponent aligns with a float power iteration") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(41)
+    // anisotropic cloud: dominant direction u with 10x the variance
+    val u = Array(0.6, 0.8, 0.0, 0.0)
+    val pts = (0L until 300L).map { i =>
+      val a = rnd.nextGaussian() * 10
+      val noise = Array.fill(4)(rnd.nextGaussian())
+      (i, Array.tabulate(4)(j =>
+        math.floor((a * u(j) + noise(j)) * 1e4) / 1e4))
+    }
+    val out = Similarity.topPrincipalComponent(
+      pts.toDF("vec_id", "embedding").repartition(5),
+      "vec_id", "embedding").orderBy("dim").collect()
+    val v = out.map(_.getLong(3).toDouble / 1e6)
+    val cos = v.zip(u).map { case (a, b) => a * b }.sum /
+      math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(cos) > 0.99,
+      s"quantized PC ${v.toSeq} misaligned with the planted direction")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
