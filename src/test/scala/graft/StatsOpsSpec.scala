@@ -626,6 +626,45 @@ class StatsOpsSpec extends SparkSuite {
       s"quantized PC ${v.toSeq} misaligned with the planted direction")
   }
 
+  test("acf matches an in-memory pooled Pearson on random keyed series") {
+    import graft.ops.TimeSeries
+    val rnd = new scala.util.Random(43)
+    val rows = for (k <- 1L to 5L; t <- 0L until 40L)
+      yield (k, t, math.floor(rnd.nextGaussian() * 500) / 9.0)
+    val got = TimeSeries.acf(rows.toDF("k", "t", "v").repartition(4),
+      "k", "t", "v", lags = Seq(2), everyMs = 1L).collect()(0)
+    val m = rows.map { case (k, t, v) =>
+      ((k, t), math.floor(v * 1e6).toLong) }.toMap
+    val pairs = rows.flatMap { case (k, t, _) =>
+      m.get((k, t + 2)).map(y => (m((k, t)), y)) }
+    val n = BigInt(pairs.size)
+    val sx = pairs.map(p => BigInt(p._1)).sum
+    val sy = pairs.map(p => BigInt(p._2)).sum
+    val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+    val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+    val exp = math.floor(1e6 * (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble *
+        (n * syy - sy * sy).toDouble)).toLong
+    assert(got.getLong(1) == pairs.size.toLong && got.getLong(2) == exp)
+  }
+
+  test("bootstrapMeanCI: interval brackets the mean and shrinks with n") {
+    def ci(n: Int): (Long, Long, Long) = {
+      val df = (0 until n).map(i => (i.toLong, (i % 100).toDouble))
+        .toDF("id", "v")
+      val r = Eval.bootstrapMeanCI(df, "id", "v", b = 80, seed = "w")
+        .collect()(0)
+      (r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    val (m1, lo1, hi1) = ci(200)
+    val (m2, lo2, hi2) = ci(3200)
+    assert(lo1 <= m1 && m1 <= hi1 && lo2 <= m2 && m2 <= hi2)
+    // 16x the data → the CI must be markedly tighter (≈4x in theory)
+    assert((hi2 - lo2) * 2 < (hi1 - lo1),
+      s"CI failed to shrink: [$lo1,$hi1] vs [$lo2,$hi2]")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
