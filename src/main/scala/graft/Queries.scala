@@ -7875,6 +7875,77 @@ object Queries {
         (cum::HUGEINT * 1000000 // n)::BIGINT AS cum_row_share_micro
       FROM p"""))
 
+  /** Cohen's κ between the value-heuristic and the prop-k-heuristic
+    * purchase raters — exact integer chance-corrected agreement.
+    */
+  private val q252 = Q(
+    "q252_cohens_kappa",
+    (spark, dir) => Eval.cohensKappa(
+      pq(spark, dir, "events")
+        .filter(col("value").isNotNull &&
+          get_json_object(col("props"), "$.k").isNotNull)
+        .withColumn("rater_a", col("value") >= 50.0)
+        .withColumn("rater_b",
+          get_json_object(col("props"), "$.k").cast("long") >= 50L),
+      "rater_a", "rater_b"),
+    Some("""WITH b AS (SELECT (value >= 50.0)::VARCHAR a,
+          (json_extract(props, '$.k')::BIGINT >= 50)::VARCHAR bb
+        FROM events WHERE value IS NOT NULL
+          AND json_extract(props, '$.k') IS NOT NULL),
+      cells AS (SELECT a, bb, COUNT(*)::BIGINT c FROM b GROUP BY 1, 2),
+      ma AS (SELECT a, SUM(c)::BIGINT na FROM cells GROUP BY 1),
+      mb AS (SELECT bb, SUM(c)::BIGINT nb FROM cells GROUP BY 1),
+      pe AS (SELECT COALESCE(SUM(na::HUGEINT * nb), 0)::HUGEINT s
+        FROM ma JOIN mb ON ma.a = mb.bb),
+      t AS (SELECT SUM(c)::BIGINT n,
+          SUM(CASE WHEN a = bb THEN c ELSE 0 END)::BIGINT n_agree
+        FROM cells)
+      SELECT n, n_agree,
+        (n_agree::HUGEINT * 1000000 // n)::BIGINT AS po_micro,
+        (s * 1000000 // (n::HUGEINT * n))::BIGINT AS pe_micro,
+        (CASE WHEN n::HUGEINT * n - s > 0 THEN
+          (CASE WHEN n_agree::HUGEINT * n - s >= 0 THEN
+            (n_agree::HUGEINT * n - s) * 1000000 // (n::HUGEINT * n - s)
+          ELSE -((s - n_agree::HUGEINT * n) * 1000000
+            // (n::HUGEINT * n - s)) END) END)::BIGINT AS kappa_micro
+      FROM t, pe"""))
+
+  /** McNemar's paired test: value-heuristic vs prop-k-heuristic against
+    * the true purchase label — exact discordant-cell χ².
+    */
+  private val q253 = Q(
+    "q253_mcnemar",
+    (spark, dir) => Eval.mcnemar(
+      pq(spark, dir, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull &&
+          get_json_object(col("props"), "$.k").isNotNull)
+        .withColumn("pred_a", col("value") >= 50.0)
+        .withColumn("pred_b",
+          get_json_object(col("props"), "$.k").cast("long") >= 50L)
+        .withColumn("truth", col("event_type") === "purchase"),
+      "pred_a", "pred_b", "truth"),
+    Some("""WITH b AS (SELECT
+          ((value >= 50.0) = (event_type = 'purchase')) ra,
+          ((json_extract(props, '$.k')::BIGINT >= 50)
+            = (event_type = 'purchase')) rb
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+          AND json_extract(props, '$.k') IS NOT NULL)
+      SELECT COUNT(*)::BIGINT n,
+        COUNT(*) FILTER (WHERE ra AND rb)::BIGINT n_both_right,
+        COUNT(*) FILTER (WHERE ra AND NOT rb)::BIGINT n_a_only,
+        COUNT(*) FILTER (WHERE NOT ra AND rb)::BIGINT n_b_only,
+        COUNT(*) FILTER (WHERE NOT ra AND NOT rb)::BIGINT n_both_wrong,
+        (CASE WHEN COUNT(*) FILTER (WHERE ra AND NOT rb)
+            + COUNT(*) FILTER (WHERE NOT ra AND rb) > 0 THEN
+          (COUNT(*) FILTER (WHERE ra AND NOT rb)
+            - COUNT(*) FILTER (WHERE NOT ra AND rb))::HUGEINT
+          * (COUNT(*) FILTER (WHERE ra AND NOT rb)
+            - COUNT(*) FILTER (WHERE NOT ra AND rb)) * 1000
+          // (COUNT(*) FILTER (WHERE ra AND NOT rb)
+            + COUNT(*) FILTER (WHERE NOT ra AND rb)) END)::BIGINT
+          AS chi2_milli
+      FROM b"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7896,7 +7967,7 @@ object Queries {
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-    q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251)
+    q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -157,6 +157,99 @@ object Eval {
         col("mce_micro"), col("brier_micro"))
   }
 
+  /** Cohen's κ — inter-rater agreement beyond chance between two
+    * categorical label columns (two annotators, two heuristic
+    * classifiers, a model vs a rule): the label-quality gate before
+    * comparison data trains anything. κ = (p_o − p_e)/(1 − p_e)
+    * reduces over the common denominator to the EXACT integer ratio
+    * `(agree·n − Σ_c n_a(c)·n_b(c)) / (n² − Σ_c n_a(c)·n_b(c))` — no
+    * doubles anywhere, one sign-split floor division to micro.
+    *
+    * Output (one row): `(n, n_agree, po_micro, pe_micro, kappa_micro)`;
+    * NULL κ when chance agreement is total (both raters constant).
+    *
+    * 100 TB shape: one map-side-combined groupBy(a, b) to the
+    * confusion cells; marginals and the statistic are cell-table math.
+    */
+  def cohensKappa(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val ma = cells.groupBy("__a").agg(sum("__c").as("na"))
+    val mb = cells.groupBy("__b").agg(sum("__c").as("nb"))
+    val pe = ma.join(mb, col("__a") === col("__b"))
+      .agg(sum(expr("cast(na as decimal(38,0)) * nb")).as("__s"))
+      .select(coalesce(col("__s"), lit(0).cast("decimal(38,0)"))
+        .as("__s"))
+    val agg = cells.agg(sum("__c").as("n"),
+      sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+        .as("n_agree"))
+    agg.crossJoin(broadcast(pe))
+      .select(col("n"), col("n_agree"),
+        expr("cast(n_agree as decimal(38,0)) * 1000000 div n")
+          .as("po_micro"),
+        expr("""cast(__s * 1000000
+             div (cast(n as decimal(38,0)) * n) as long)""")
+          .as("pe_micro"),
+        expr("""case when cast(n as decimal(38,0)) * n - __s > 0 then
+             cast(case when cast(n_agree as decimal(38,0)) * n - __s >= 0
+               then (cast(n_agree as decimal(38,0)) * n - __s) * 1000000
+                 div (cast(n as decimal(38,0)) * n - __s)
+               else -((__s - cast(n_agree as decimal(38,0)) * n) * 1000000
+                 div (cast(n as decimal(38,0)) * n - __s)) end as long)
+             end""").as("kappa_micro"))
+  }
+
+  /** McNemar's test — do two classifiers DISAGREE in a biased way on
+    * the SAME rows? The paired accuracy comparison (two quality
+    * filters, model vs heuristic) where a plain accuracy diff double-
+    * counts the rows both get right: only the discordant cells carry
+    * signal, χ² = (n_a_only − n_b_only)²/(n_a_only + n_b_only) against
+    * χ²(1) — 3841 milli rejects at 5%.
+    *
+    * Fully exact: four conditional counts, the statistic one integer
+    * floor division to milli (the squared difference never leaves
+    * int64 below ~3·10⁹ discordant rows; decimal carries it beyond).
+    *
+    * Output (one row): `(n, n_both_right, n_a_only, n_b_only,
+    * n_both_wrong, chi2_milli)`; NULL χ² when the raters never
+    * disagree.
+    *
+    * 100 TB shape: one global aggregate with four conditional sums.
+    */
+  def mcnemar(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      labelCol: String): DataFrame = {
+    df.filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select((col(aCol).cast("boolean") === col(labelCol).cast("boolean"))
+        .as("__ra"),
+        (col(bCol).cast("boolean") === col(labelCol).cast("boolean"))
+          .as("__rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__ra") && col("__rb"), 1L).otherwise(0L))
+          .as("n_both_right"),
+        sum(when(col("__ra") && !col("__rb"), 1L).otherwise(0L))
+          .as("n_a_only"),
+        sum(when(!col("__ra") && col("__rb"), 1L).otherwise(0L))
+          .as("n_b_only"),
+        sum(when(!col("__ra") && !col("__rb"), 1L).otherwise(0L))
+          .as("n_both_wrong"))
+      .withColumn("chi2_milli", expr(
+        """case when n_a_only + n_b_only > 0 then
+           cast(cast(n_a_only - n_b_only as decimal(38,0))
+             * (n_a_only - n_b_only) * 1000
+             div (n_a_only + n_b_only) as long) end"""))
+  }
+
   /** Split-conformal prediction thresholds per group, with the empirical
     * coverage check: from a CALIBRATION set of nonconformity scores the
     * per-group threshold is the ⌈(n+1)(1−α)⌉-th smallest score (the

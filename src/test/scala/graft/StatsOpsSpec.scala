@@ -665,6 +665,37 @@ class StatsOpsSpec extends SparkSuite {
       s"CI failed to shrink: [$lo1,$hi1] vs [$lo2,$hi2]")
   }
 
+  test("cohensKappa: chance-level is 0, perfect is 1e6, constant NULL") {
+    import spark.implicits._
+    val chance = Seq(("y", "y"), ("y", "n"), ("n", "y"), ("n", "n"))
+      .toDF("a", "b")
+    val c = Eval.cohensKappa(chance, "a", "b").collect()(0)
+    assert(c.getLong(0) == 4L && c.getLong(1) == 2L)
+    assert(c.getLong(2) == 500000L && c.getLong(3) == 500000L)
+    assert(c.getLong(4) == 0L)
+    val perfect = Seq(("y", "y"), ("n", "n"), ("m", "m")).toDF("a", "b")
+    assert(Eval.cohensKappa(perfect, "a", "b").collect()(0)
+      .getLong(4) == 1000000L)
+    val const = Seq(("y", "y"), ("y", "y")).toDF("a", "b")
+    assert(Eval.cohensKappa(const, "a", "b").collect()(0).isNullAt(4))
+  }
+
+  test("mcnemar: hand discordant chi2, no-disagreement NULL") {
+    val rows = Seq.fill(30)((true, true, true)) ++   // both right
+      Seq.fill(8)((true, false, true)) ++            // a only
+      Seq.fill(2)((false, true, true)) ++            // b only
+      Seq.fill(5)((false, false, true))              // both wrong
+    val out = Eval.mcnemar(rows.toDF("a", "b", "y").repartition(3),
+      "a", "b", "y").collect()(0)
+    assert(out.getLong(0) == 45L && out.getLong(1) == 30L)
+    assert(out.getLong(2) == 8L && out.getLong(3) == 2L)
+    assert(out.getLong(4) == 5L)
+    assert(out.getLong(5) == 3600L) // (8−2)²·1000/10
+    val same = Seq((true, true, true), (false, false, true))
+      .toDF("a", "b", "y")
+    assert(Eval.mcnemar(same, "a", "b", "y").collect()(0).isNullAt(5))
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
