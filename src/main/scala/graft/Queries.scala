@@ -2104,7 +2104,7 @@ object Queries {
     */
   private def pageRankOracleSql(iters: Int): String = {
     val head = """WITH ed AS (SELECT DISTINCT user_id AS src,
-        100000 + json_extract(props, '$.k')::BIGINT AS dst FROM events
+        100000000 + json_extract(props, '$.k')::BIGINT AS dst FROM events
         WHERE user_id IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL),
       nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
       dg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM ed GROUP BY 1),
@@ -2138,7 +2138,7 @@ object Queries {
     (spark, dir) => {
       val ev = pq(spark, dir, "events").select(
         col("user_id"),
-        (get_json_object(col("props"), "$.k").cast("long") + 100000L).as("item"))
+        (get_json_object(col("props"), "$.k").cast("long") + 100000000L).as("item"))
       Graph.pageRank(ev, "user_id", "item", iters = 5)
     },
     Some(pageRankOracleSql(5)))
@@ -2209,7 +2209,7 @@ object Queries {
     */
   private def trustRankOracleSql(iters: Int): String = {
     val head = """WITH ed AS (SELECT DISTINCT user_id AS src,
-        100000 + json_extract(props, '$.k')::BIGINT AS dst FROM events
+        100000000 + json_extract(props, '$.k')::BIGINT AS dst FROM events
         WHERE user_id IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL),
       nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
       dg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM ed GROUP BY 1),
@@ -2242,7 +2242,7 @@ object Queries {
     (spark, dir) => {
       val ev = pq(spark, dir, "events").select(
         col("user_id"),
-        (get_json_object(col("props"), "$.k").cast("long") + 100000L).as("item"))
+        (get_json_object(col("props"), "$.k").cast("long") + 100000000L).as("item"))
       val seeds = ev.select(col("user_id").as("n"))
         .union(ev.select(col("item").as("n")))
         .filter(col("n") % 50 === 0)
@@ -2690,7 +2690,7 @@ object Queries {
     (spark, dir) => {
       val ev = pq(spark, dir, "events").select(
         col("user_id"),
-        (get_json_object(col("props"), "$.k").cast("long") + 100000L).as("item"))
+        (get_json_object(col("props"), "$.k").cast("long") + 100000000L).as("item"))
       Graph.labelPropagation(ev, "user_id", "item", iters = 3)
     },
     Some {
@@ -2702,7 +2702,7 @@ object Queries {
           FROM e JOIN $prev l ON l.node = e.b
           GROUP BY e.a, l.label) WHERE rn = 1)"""
       s"""WITH d AS (SELECT user_id a,
-          (json_extract_string(props, '$$.k')::BIGINT + 100000) b
+          (json_extract_string(props, '$$.k')::BIGINT + 100000000) b
         FROM events WHERE props IS NOT NULL
           AND json_extract_string(props, '$$.k') IS NOT NULL),
       e AS (SELECT DISTINCT a, b FROM
@@ -2901,11 +2901,11 @@ object Queries {
     (spark, dir) => {
       val ev = pq(spark, dir, "events").select(
         col("user_id"),
-        (get_json_object(col("props"), "$.k").cast("long") + 100000L).as("item"))
+        (get_json_object(col("props"), "$.k").cast("long") + 100000000L).as("item"))
       Sampling.negativeSample(ev, "user_id", "item", k = 5, oversample = 4, salt = "neg0")
     },
     Some("""WITH inter AS (SELECT DISTINCT user_id u,
-        (json_extract_string(props, '$.k')::BIGINT + 100000) i
+        (json_extract_string(props, '$.k')::BIGINT + 100000000) i
       FROM events WHERE props IS NOT NULL
         AND json_extract_string(props, '$.k') IS NOT NULL),
       cat AS (SELECT DISTINCT i FROM inter),
@@ -3712,7 +3712,7 @@ object Queries {
   private def hitsOracleSql(iters: Int): String = {
     val U = 1000000L
     val head = s"""WITH ed AS (SELECT DISTINCT user_id AS src,
-        100000 + json_extract(props, '$$.k')::BIGINT AS dst FROM events
+        100000000 + json_extract(props, '$$.k')::BIGINT AS dst FROM events
         WHERE user_id IS NOT NULL AND json_extract(props, '$$.k') IS NOT NULL),
       nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
       h0 AS (SELECT node, $U::BIGINT AS h FROM nodes)"""
@@ -3740,7 +3740,7 @@ object Queries {
     (spark, dir) => {
       val ev = pq(spark, dir, "events").select(
         col("user_id"),
-        (get_json_object(col("props"), "$.k").cast("long") + 100000L).as("item"))
+        (get_json_object(col("props"), "$.k").cast("long") + 100000000L).as("item"))
       Graph.hits(ev, "user_id", "item", iters = 4)
     },
     Some(hitsOracleSql(4)))
@@ -7746,15 +7746,15 @@ object Queries {
           col("user_id").isNotNull &&
           get_json_object(col("props"), "$.k").isNotNull)
         .select(col("user_id").as("src"),
-          (get_json_object(col("props"), "$.k").cast("long") + 100000L)
+          (get_json_object(col("props"), "$.k").cast("long") + 100000000L)
             .as("dst")),
       "src", "dst", k = 20),
     Some("""WITH ed AS (SELECT DISTINCT
-          LEAST(user_id, 100000 + json_extract(props, '$.k')::BIGINT) u,
-          GREATEST(user_id, 100000 + json_extract(props, '$.k')::BIGINT) v
+          LEAST(user_id, 100000000 + json_extract(props, '$.k')::BIGINT) u,
+          GREATEST(user_id, 100000000 + json_extract(props, '$.k')::BIGINT) v
         FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
           AND json_extract(props, '$.k') IS NOT NULL
-          AND user_id <> 100000 + json_extract(props, '$.k')::BIGINT),
+          AND user_id <> 100000000 + json_extract(props, '$.k')::BIGINT),
       deg AS (SELECT x, COUNT(*)::BIGINT deg FROM
         (SELECT u x FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1),
       keep AS (SELECT x FROM deg WHERE deg <= 10000),

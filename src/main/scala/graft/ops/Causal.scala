@@ -377,7 +377,11 @@ object Causal {
     val (ga, gb) = (g(0).getString(0), g(1).getString(0))
     val (na, xa) = (g(0).getLong(1), g(0).getLong(2))
     val (nb, xb) = (g(1).getLong(1), g(1).getLong(2))
-    val (paM, pbM) = (xa * 1000000L / na, xb * 1000000L / nb)
+    // micro products through BigInt: x·1e6 would overflow int64 once a
+    // group's success count exceeds ~9.2e12 (well inside 100 TB row counts)
+    val (paM, pbM) =
+      ((BigInt(xa) * 1000000 / BigInt(na)).toLong,
+        (BigInt(xb) * 1000000 / BigInt(nb)).toLong)
     // pooled z: (p̂a − p̂b)/√(p̂(1−p̂)(1/na + 1/nb)) — one double tree
     val pa = xa.toDouble / na
     val pb = xb.toDouble / nb

@@ -28,6 +28,16 @@ import scala.concurrent.duration.Duration
   *
   * 100 TB shape: one shuffle on the key; per-key state is the lateness
   * buffer plus three scalars — horizon-free.
+  *
+  * Watermark sentinel (repo-wide convention, shared with every
+  * flatMapGroupsWithState twin here): `GroupState.getCurrentWatermarkMs`
+  * returns 0 both before the first watermark is computed AND for a
+  * genuine epoch-0 watermark — Spark exposes no third state — so 0 is
+  * treated as "unset": rows buffer but nothing finalizes. The only
+  * stream this distorts is one whose event times start inside the
+  * lateness window of 1970-01-01T00:00:00Z (finalization merely waits
+  * one extra micro-batch); replayed historical data should be shifted
+  * or assigned ingest time, as with any watermark pipeline.
   */
 object StreamingMsprt {
 

@@ -30,7 +30,11 @@ import scala.concurrent.duration.Duration
   * Late rows (at or below the watermark) drop, the standard rule; while
   * the watermark is unset (Spark reports 0) nothing finalizes, so
   * same-timestamp rows split across microbatches still walk in
-  * (t, tie) order.
+  * (t, tie) order. The 0 sentinel is the repo-wide convention — see the
+  * epoch-0 caveat note on [[StreamingMsprt]]: Spark exposes no third
+  * state distinguishing "no watermark yet" from a genuine epoch-0
+  * watermark, so data whose event times start inside the lateness
+  * window of 1970-01-01 waits one extra micro-batch to finalize.
   *
   * 100 TB shape: one shuffle on the key; per-key state is the lateness
   * buffer plus three scalars (llr, step, decided) — horizon-free.
