@@ -11,10 +11,19 @@ import org.apache.spark.sql.types._
   * batch functions (the Scala analogue of `mapInPandas`) so a real codec
   * library can be dropped in per-executor without changing the plan shape.
   *
-  * The decode internals are STUBBED with deterministic fakes (no media codecs
-  * ship in this environment); everything Spark-side — schema, batching,
-  * partitioning, output shape — is real and tested. Swap `fakeDecode*` for a
-  * JNI/FFI codec at deployment.
+  * Decoding runs behind explicit seams. [[perceptualHash]] and
+  * [[audioFingerprint]] each take a decoder parameter: the default is a
+  * deterministic md5 stub (pure column expressions — what the DuckDB
+  * oracle gate can replay), and [[ImageIoDecoder]] / [[WavPcmDecoder]]
+  * are REAL decoders built on the JDK's own codecs (`javax.imageio`,
+  * `javax.sound.sampled`) running partition-wise with the same
+  * downstream hash math — MultimodalDecodeSpec proves the perceptual
+  * properties (re-encode tolerance, volume invariance) on real
+  * PNG/JPEG/WAV fixtures. [[extractFeatures]]'s embedding model and
+  * [[sampleFrames]]'s video demuxer remain deterministic fakes (no
+  * model runtime or video codec ships with the JDK); their Spark-side
+  * schema, batching, partitioning, and output shape are real and
+  * tested.
   *
   * Scale notes: payloads never pass through a shuffle unless the caller
   * repartitions; metadata-only predicates prune before any decode;
@@ -22,6 +31,50 @@ import org.apache.spark.sql.types._
   * binary files as usual.
   */
 object Multimodal {
+
+  /** Decode seam for [[perceptualHash]]: where the 64 pixel intensities
+    * come from. The HASH math (integer aHash thresholding) is identical
+    * for every decoder; only the pixel source changes, so callers can
+    * flip a stub-developed pipeline to real decoding without touching
+    * anything downstream.
+    */
+  sealed trait ImageDecoder
+  /** Deterministic md5-derived "pixels" — the oracle default. Pure column
+    * expressions (whole-stage codegen), reproducible by any engine with
+    * md5, which is what the DuckDB correctness gate needs. Produces
+    * hash-shaped values, NOT image content: use [[ImageIoDecoder]] for
+    * real images.
+    */
+  case object Md5StubImage extends ImageDecoder
+  /** Real decode via `javax.imageio` (PNG/JPEG/BMP/GIF ship with the
+    * JDK — no external codec needed): decode, bilinear-resample to 8x8,
+    * integer BT.601 luma per pixel. Runs partition-wise (decoders are
+    * not expressible as Catalyst columns); payloads that ImageIO cannot
+    * parse yield a NULL simhash. Not oracle-replayable (DuckDB has no
+    * image codec), hence not the default.
+    */
+  case object ImageIoDecoder extends ImageDecoder
+
+  /** Decode seam for [[audioFingerprint]]: where the 65 window energies
+    * come from. The DELTA-SIGN derivation downstream is identical for
+    * every decoder.
+    */
+  sealed trait AudioDecoder
+  /** Deterministic md5-derived window "energies" — the oracle default,
+    * pure column expressions. See [[Md5StubImage]] for the rationale.
+    */
+  case object Md5StubAudio extends AudioDecoder
+  /** Real decode via `javax.sound.sampled` (WAV/PCM and AU/AIFF ship
+    * with the JDK): the signed-PCM samples of the FIRST channel are
+    * split into 65 equal windows spanning the whole track, and each
+    * window's energy is its sum of squared samples. Uniform amplitude
+    * scaling multiplies every energy by the same factor, so the
+    * delta-sign bits are volume-invariant — the property Chromaprint
+    * and Shazam-family fingerprints rely on. Undecodable payloads yield
+    * a NULL simhash. Partition-wise; not oracle-replayable, hence not
+    * the default.
+    */
+  case object WavPcmDecoder extends AudioDecoder
 
   /** Metadata struct carried with every media payload. */
   val MetaType: StructType = StructType(Seq(
@@ -94,28 +147,89 @@ object Multimodal {
     * near-dup pairs over IMAGES (re-encoded/resized copies land within a
     * few bits of each other under a real decoder).
     *
-    * The decode is the documented deterministic STUB (no codecs in this
-    * environment): pixel k is a byte of md5(payload ++ "-p{k/16}") — four
-    * md5s per image, hex pairs as 0..255 intensities. The THRESHOLDING is
-    * the real aHash math and is exact-integer (`pixel·64 > sum` instead of
-    * a float mean), so any engine with md5 reproduces the full hash. Swap
-    * the pixel source for a real resample and nothing downstream changes.
-    * Map-only, pure codegen column expressions; the Hamming pair stage
-    * inherits SimHash's scale guards (prefix blocking, rotation recall).
+    * The pixel source is the [[ImageDecoder]] seam. Default
+    * [[Md5StubImage]]: pixel k is a byte of md5(payload ++ "-p{k/16}") —
+    * four md5s per image, hex pairs as 0..255 intensities, pure codegen
+    * column expressions, oracle-reproducible. [[ImageIoDecoder]] decodes
+    * real PNG/JPEG/BMP/GIF via the JDK's `javax.imageio` and
+    * bilinear-resamples to the same 8×8 grid (MultimodalDecodeSpec: a
+    * PNG and its JPEG re-encode land within Hamming 8; an unrelated
+    * image lands far away). The THRESHOLDING is the real aHash math for
+    * both and is exact-integer (`pixel·64 > sum` instead of a float
+    * mean). The Hamming pair stage downstream inherits SimHash's scale
+    * guards (prefix blocking, rotation recall) either way.
     */
-  def perceptualHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
-    val b = col(binCol)
-    // array HOFs keep the expression tree (and its generated code) small:
-    // 4 md5s -> 64-pixel array -> integer sum -> thresholded bit string
-    val hhs = array((0 until 4).map(g => md5(concat(b, encode(lit(s"-p$g"), "UTF-8")))): _*)
-    val px = flatten(transform(hhs, h =>
-      transform(sequence(lit(0), lit(15)),
-        i => conv(h.substr(i * 2 + 1, lit(2)), 16, 10).cast("long"))))
-    df.select(col(idCol).as("id"), px.as("__px"))
-      .withColumn("__sum", aggregate(col("__px"), lit(0L), (acc, x) => acc + x))
-      .select(col("id"),
-        array_join(transform(col("__px"),
-          p => when(p * 64 > col("__sum"), lit("1")).otherwise(lit("0"))), "").as("simhash"))
+  def perceptualHash(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      decoder: ImageDecoder = Md5StubImage): DataFrame = decoder match {
+    case Md5StubImage =>
+      val b = col(binCol)
+      // array HOFs keep the expression tree (and its generated code) small:
+      // 4 md5s -> 64-pixel array -> integer sum -> thresholded bit string
+      val hhs = array((0 until 4).map(g => md5(concat(b, encode(lit(s"-p$g"), "UTF-8")))): _*)
+      val px = flatten(transform(hhs, h =>
+        transform(sequence(lit(0), lit(15)),
+          i => conv(h.substr(i * 2 + 1, lit(2)), 16, 10).cast("long"))))
+      df.select(col(idCol).as("id"), px.as("__px"))
+        .withColumn("__sum", aggregate(col("__px"), lit(0L), (acc, x) => acc + x))
+        .select(col("id"),
+          array_join(transform(col("__px"),
+            p => when(p * 64 > col("__sum"), lit("1")).otherwise(lit("0"))), "").as("simhash"))
+    case ImageIoDecoder =>
+      val outSchema = StructType(Seq(
+        StructField("id", df.schema(idCol).dataType),
+        StructField("simhash", StringType)))
+      val idIdx = df.schema.fieldIndex(idCol)
+      val binIdx = df.schema.fieldIndex(binCol)
+      df.mapPartitions { it =>
+        it.map { r =>
+          val payload =
+            if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+          Row(r.get(idIdx),
+            if (payload == null) null
+            else decodeToGrid8(payload).map(aHashBits).orNull)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** `javax.imageio` decode + bilinear 8×8 resample + integer BT.601
+    * luma (`(299·R + 587·G + 114·B) / 1000`). None when the payload is
+    * not a decodable image.
+    */
+  private def decodeToGrid8(payload: Array[Byte]): Option[Array[Long]] = {
+    import java.awt.RenderingHints
+    import java.awt.image.BufferedImage
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val small = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 8, 8, null)
+        g.dispose()
+        Some(Array.tabulate(64) { k =>
+          val rgb = small.getRGB(k % 8, k / 8)
+          val (rr, gg, bb) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          (299L * rr + 587L * gg + 114L * bb) / 1000L
+        })
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** The shared exact-integer aHash threshold: bit k = 1 iff
+    * `pixel(k)·64 > Σ pixels` — same math the stub path runs as column
+    * expressions.
+    */
+  private def aHashBits(px: Array[Long]): String = {
+    val sum = px.sum
+    val sb = new java.lang.StringBuilder(64)
+    px.foreach(p => sb.append(if (p * 64 > sum) '1' else '0'))
+    sb.toString
   }
 
   /** Video near-dup pairs from shared frame fingerprints: sample frames
@@ -194,13 +308,17 @@ object Multimodal {
     * unchanged — the audio leg of the image/video/audio triad
     * (aHash / frame-overlap / this).
     *
-    * The per-window energy is the documented deterministic STUB (no audio
-    * codecs in this environment): `energy = int(md5(window bytes)[0:8])`.
-    * The DELTA-SIGN derivation is the real fingerprint math (Chromaprint
-    * and Shazam-family fingerprints binarize exactly this way: sign of
-    * the energy difference between adjacent frames/bands); swap the
-    * energy source for a real band-filtered decoder and nothing
-    * downstream changes.
+    * The per-window energy comes from the [[AudioDecoder]] seam. Default
+    * [[Md5StubAudio]]: `energy = int(md5(window bytes)[0:8])` — pure
+    * column expressions, oracle-reproducible. [[WavPcmDecoder]] decodes
+    * real WAV/AU/AIFF via the JDK's `javax.sound.sampled`, splits the
+    * first channel's signed-PCM samples into 65 equal windows spanning
+    * the track, and uses the sum of squared samples as the energy
+    * (MultimodalDecodeSpec: a tone and its half-amplitude copy produce
+    * identical bits; a different tone does not). The DELTA-SIGN
+    * derivation is the real fingerprint math for both (Chromaprint and
+    * Shazam-family fingerprints binarize exactly this way: sign of the
+    * energy difference between adjacent frames/bands).
     *
     * Stub-specific caveat, windows are FIXED-SIZE from the payload start:
     * payloads shorter than `65·windowBytes` hash empty tail windows to a
@@ -221,17 +339,90 @@ object Multimodal {
       df: DataFrame,
       idCol: String,
       binCol: String,
-      windowBytes: Int = 256): DataFrame = {
-    require(windowBytes >= 1, s"windowBytes $windowBytes must be >= 1")
-    val b = col(binCol)
-    val en = transform(sequence(lit(0), lit(64)), k =>
-      conv(substring(md5(b.substr((k * windowBytes + 1).cast("int"), lit(windowBytes))), 1, 8),
-        16, 10).cast("long"))
-    df.select(col(idCol).as("id"), en.as("__en"))
-      .select(col("id"),
-        array_join(
-          zip_with(slice(col("__en"), 1, 64), slice(col("__en"), 2, 64),
-            (a, b2) => when(b2 > a, lit("1")).otherwise(lit("0"))),
-          "").as("simhash"))
+      windowBytes: Int = 256,
+      decoder: AudioDecoder = Md5StubAudio): DataFrame = decoder match {
+    case Md5StubAudio =>
+      require(windowBytes >= 1, s"windowBytes $windowBytes must be >= 1")
+      val b = col(binCol)
+      val en = transform(sequence(lit(0), lit(64)), k =>
+        conv(substring(md5(b.substr((k * windowBytes + 1).cast("int"), lit(windowBytes))), 1, 8),
+          16, 10).cast("long"))
+      df.select(col(idCol).as("id"), en.as("__en"))
+        .select(col("id"),
+          array_join(
+            zip_with(slice(col("__en"), 1, 64), slice(col("__en"), 2, 64),
+              (a, b2) => when(b2 > a, lit("1")).otherwise(lit("0"))),
+            "").as("simhash"))
+    case WavPcmDecoder =>
+      // windowBytes is a stub-path knob: the real decoder windows by
+      // SAMPLE COUNT over the decoded track, so window size follows the
+      // track length, not a fixed byte stride from the container start.
+      val outSchema = StructType(Seq(
+        StructField("id", df.schema(idCol).dataType),
+        StructField("simhash", StringType)))
+      val idIdx = df.schema.fieldIndex(idCol)
+      val binIdx = df.schema.fieldIndex(binCol)
+      df.mapPartitions { it =>
+        it.map { r =>
+          val payload =
+            if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+          Row(r.get(idIdx),
+            if (payload == null) null
+            else decodePcmEnergies(payload).map(deltaSignBits).orNull)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** `javax.sound.sampled` decode to 65 window energies: first channel's
+    * signed-PCM samples (8/16-bit, either endianness), window k =
+    * samples `[k·n/65, (k+1)·n/65)`, energy = Σ sample² (fits int64:
+    * 2³⁰ per 16-bit sample² × ≤2³³ samples needs BigInt only past ~11 h
+    * of 44.1 kHz audio — summed in Long here, documented bound). None
+    * when the payload is not decodable audio.
+    */
+  private def decodePcmEnergies(payload: Array[Byte]): Option[Array[Long]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val ok = enc == AudioFormat.Encoding.PCM_SIGNED &&
+        (fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8)
+      if (!ok) { in.close(); None }
+      else {
+        val bytes = in.readAllBytes(); in.close()
+        val frame = fmt.getFrameSize
+        val big = fmt.isBigEndian
+        val two = fmt.getSampleSizeInBits == 16
+        val n = bytes.length / frame
+        val samples = Array.tabulate(n) { i =>
+          val o = i * frame // first channel sits at the frame start
+          if (two) {
+            val (b0, b1) = (bytes(o) & 0xff, bytes(o + 1) & 0xff)
+            (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toLong
+          } else bytes(o).toLong
+        }
+        val en = Array.tabulate(65) { k =>
+          val (from, until) = (k.toLong * n / 65, (k + 1).toLong * n / 65)
+          var s = 0L
+          var i = from.toInt
+          while (i < until) { s += samples(i) * samples(i); i += 1 }
+          s
+        }
+        Some(en)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** The shared delta-sign binarization: bit k = 1 iff
+    * `energy(k+1) > energy(k)` — same math the stub path runs as column
+    * expressions.
+    */
+  private def deltaSignBits(en: Array[Long]): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var k = 0
+    while (k < 64) { sb.append(if (en(k + 1) > en(k)) '1' else '0'); k += 1 }
+    sb.toString
   }
 }
