@@ -14,6 +14,16 @@ object Smoke {
     println(s"ENTRY_ROWS=$n")
     df.show(5, truncate = false)
     serve(spark)
+    // When launched with spark.sql.extensions=graft.plans.GraftExtensions
+    // (the documented cluster path — README "Cluster packaging"), prove
+    // the extension actually registered by calling an injected function.
+    if (spark.conf.getOption("spark.sql.extensions")
+        .exists(_.contains("GraftExtensions"))) {
+      val dot = spark.sql(
+        "SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect()(0).getDouble(0)
+      println(s"EXTENSIONS=vector_dot ok ($dot)")
+    }
     spark.stop()
   }
 
