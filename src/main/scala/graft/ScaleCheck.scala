@@ -442,6 +442,46 @@ object ScaleCheck {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def acfTime(df: DataFrame, tag: String): Double = {
+      // hourly per-user series exactly as q244 wires it: replicas add
+      // USERS (disjoint ids), so the series count scales with data while
+      // each series keeps its length — lag self-joins stay per-key local
+      import graft.engine.EventTime
+      val hourly = df
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("user_id"),
+          (EventTime.epochMillis(df, "ts") / lit(3600000L))
+            .cast("long").as("bucket"),
+          floor(col("value") * 1e6).cast("long").as("__v"))
+        .groupBy("user_id", "bucket")
+        .agg(sum("__v").as("sm"))
+      val t0 = System.nanoTime()
+      graft.ops.TimeSeries.acf(hourly, "user_id", "bucket", "sm",
+          lags = Seq(1, 2, 3, 6, 12, 24), everyMs = 1L)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def nelsonAalenTime(df: DataFrame, tag: String): Double = {
+      // per-user durations as q247: subjects scale 8x, the duration
+      // domain (and so the risk-set table) stays constant-size
+      import graft.engine.EventTime
+      val u = df
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), EventTime.epochMillis(df, "ts").as("ts_ms"))
+        .groupBy("user_id")
+        .agg(min("ts_ms").as("first_ms"), max("ts_ms").as("last_ms"))
+      val subj = u
+        .crossJoin(broadcast(u.agg(max("last_ms").as("study_end_ms"))))
+        .select(
+          expr("(last_ms - first_ms) div 86400000").as("dur_days"),
+          (col("last_ms") <= col("study_end_ms") - lit(2592000000L))
+            .as("churned"))
+      val t0 = System.nanoTime()
+      graft.ops.Survival.nelsonAalen(subj, "dur_days", "churned")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     def linkPredictTime(df: DataFrame, tag: String): Double = {
       // bipartite user↔prop-k purchases: replicas add USERS against the
       // SAME k vocabulary, so hub (k-node) degree grows with data — the
@@ -472,7 +512,8 @@ object ScaleCheck {
       ("mann_whitney", mwTime _), ("sprt", sprtTime _),
       ("ndcg", ndcgTime _), ("bootstrap", bootstrapTime _),
       ("kendall", kendallTime _), ("wasserstein", wassersteinTime _),
-      ("link_predict", linkPredictTime _)) if wanted(name)) {
+      ("link_predict", linkPredictTime _), ("acf", acfTime _),
+      ("nelson_aalen", nelsonAalenTime _)) if wanted(name)) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
@@ -523,6 +564,29 @@ object ScaleCheck {
       val sdN = semdedupTime(emN, 4 * mult)
       println(f"semdedup     1x=${sd1}%6.2fs  ${mult}x=${sdN}%6.2fs  ratio=${sdN / sd1}%.1f " +
         f"(linear=$mult.0; k=${4 * mult} at ${mult}x keeps cluster size constant)")
+    }
+    // top-PC and k-center run on the embedding corpus: per-round/iteration
+    // work is one linear scan (matvec / distance update), driver state is
+    // model-sized (a dim-64 vector / k centroids), so both should scale
+    // linearly in corpus size with iteration count held fixed.
+    def topPcTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Similarity.topPrincipalComponent(df, "vec_id", "embedding",
+          iters = 3)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def kcenterTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Similarity.kCenterSelect(df, "vec_id", "embedding", k = 4)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for ((name, f) <- Seq(
+      ("top_pc", topPcTime _), ("kcenter", kcenterTime _)) if wanted(name)) {
+      val t1 = f(em1, s"${name}_1")
+      val tN = f(emN, s"${name}_N")
+      println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
     spark.stop()
   }
