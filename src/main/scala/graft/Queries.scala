@@ -7946,6 +7946,58 @@ object Queries {
           AS chi2_milli
       FROM b"""))
 
+  /** Mergeable bottom-k-by-hash quantile sketch
+    * ([[graft.functions.QuantileSketchAgg]]) per event type — the
+    * streamable complement of q102's exact groupQuantiles. The oracle
+    * replays the md5-driven compaction verbatim: `ORDER BY md5(id)
+    * LIMIT k` is the entire keep/drop rule, so DuckDB rebuilds the
+    * identical sample and nearest-rank quantiles.
+    */
+  private val q254 = Q(
+    "q254_quantile_sketch",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val base = raw
+        .filter(col("event_type").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull)
+        .select(col("event_type"),
+          col("event_id").cast("string").as("__id"),
+          floor(col("value") * 1e6).cast("long").as("__v"))
+      val f = graft.functions.QuantileSketchAgg.qsketch(64, Seq(25, 50, 75, 90))
+      base.groupBy("event_type")
+        .agg(f(col("__id"), col("__v")).as("s"))
+        .select(col("event_type"),
+          col("s.n").as("n"), col("s.m").as("m"),
+          element_at(col("s.q_micro"), 1).as("p25_micro"),
+          element_at(col("s.q_micro"), 2).as("p50_micro"),
+          element_at(col("s.q_micro"), 3).as("p75_micro"),
+          element_at(col("s.q_micro"), 4).as("p90_micro"))
+    },
+    Some("""WITH x AS (SELECT event_type g, md5(event_id::VARCHAR) h,
+          floor(value * 1e6)::BIGINT v
+        FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+          AND value IS NOT NULL),
+      d AS (SELECT g, h, MIN(v) v FROM x GROUP BY 1, 2),
+      tk AS (SELECT g, v,
+          ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) rn FROM d),
+      s AS (SELECT g, v FROM tk WHERE rn <= 64),
+      nn AS (SELECT g, COUNT(*)::BIGINT n FROM x GROUP BY 1),
+      mm AS (SELECT g, COUNT(*)::BIGINT m FROM s GROUP BY 1),
+      rv AS (SELECT g, v,
+          ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) - 1 r FROM s),
+      p(percent) AS (VALUES (25), (50), (75), (90)),
+      t AS (SELECT mm.g, percent, percent * (m - 1) // 100 r
+        FROM mm CROSS JOIN p),
+      q AS (SELECT t.g, t.percent, rv.v qv
+        FROM t JOIN rv ON rv.g = t.g AND rv.r = t.r)
+      SELECT nn.g AS event_type, nn.n AS n, mm.m AS m,
+        MAX(CASE WHEN q.percent = 25 THEN q.qv END)::BIGINT AS p25_micro,
+        MAX(CASE WHEN q.percent = 50 THEN q.qv END)::BIGINT AS p50_micro,
+        MAX(CASE WHEN q.percent = 75 THEN q.qv END)::BIGINT AS p75_micro,
+        MAX(CASE WHEN q.percent = 90 THEN q.qv END)::BIGINT AS p90_micro
+      FROM q JOIN nn ON nn.g = q.g JOIN mm ON mm.g = q.g
+      GROUP BY 1, 2, 3"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7967,7 +8019,8 @@ object Queries {
     q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
-    q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253)
+    q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
+    q254)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.
