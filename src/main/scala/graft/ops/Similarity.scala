@@ -1205,7 +1205,9 @@ object Similarity {
       .select("__v").take(1)
     val flip = if (pivot.nonEmpty && pivot(0).getLong(0) < 0) -1L else 1L
     mu.join(v, Seq("dim"))
-      .select(col("dim"), col("n"), col("mean_micro"),
+      // dim as long: posexplode yields int32, the oracle's generate_series
+      // BIGINT — align the physical type so parquet dtypes match too
+      .select(col("dim").cast("long").as("dim"), col("n"), col("mean_micro"),
         (col("__v") * flip).as("pc_micro"),
         lit(score).as("score_micro"))
   }
