@@ -7998,6 +7998,72 @@ object Queries {
       FROM q JOIN nn ON nn.g = q.g JOIN mm ON mm.g = q.g
       GROUP BY 1, 2, 3"""))
 
+  /** Per-event-type permutation tests (user-parity arms, the q229
+    * machinery distributed per segment) with Benjamini–Hochberg FDR
+    * over the resulting p-values — the many-hypotheses experiment
+    * readout. Everything exact-integer: md5-driven permutations,
+    * cross-multiplied extremeness, and the step-up scan's
+    * `p_i·m ≤ i·α` compare.
+    */
+  private val q255 = Q(
+    "q255_bh_fdr",
+    (spark, dir) => Eval.bhFdr(
+      Eval.permutationTestMeansBySegment(
+        pq(spark, dir, "events")
+          .filter(col("user_id").isNotNull && col("value").isNotNull)
+          .withColumn("arm",
+            when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+              .otherwise("arm_b")),
+        "event_type", "event_id", "arm", "value", b = 200, seed = "perm"),
+      "segment", "p_micro", alphaMicro = 250000L),
+    Some("""WITH base AS (SELECT event_type seg, event_id::VARCHAR id,
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g,
+          floor(value * 1e6)::BIGINT vm
+        FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND value IS NOT NULL AND event_id IS NOT NULL),
+      obs AS (SELECT seg,
+          COUNT(*) FILTER (WHERE g = 'arm_a')::HUGEINT ca,
+          SUM(CASE WHEN g = 'arm_a' THEN vm ELSE 0 END)::HUGEINT sa,
+          COUNT(*) FILTER (WHERE g = 'arm_b')::HUGEINT cb,
+          SUM(CASE WHEN g = 'arm_b' THEN vm ELSE 0 END)::HUGEINT sb
+        FROM base GROUP BY 1 HAVING COUNT(DISTINCT g) = 2),
+      th AS (SELECT seg, printf('%08x',
+          ((4294967296::HUGEINT * ca) // (ca + cb))::BIGINT) tx FROM obs),
+      reps AS (SELECT unnest(generate_series(0, 199)) rep),
+      r AS (SELECT z.seg, z.rep,
+          SUM(CASE WHEN z.u < th.tx THEN 1 ELSE 0 END)::HUGEINT cab,
+          SUM(CASE WHEN z.u < th.tx THEN z.vm ELSE 0 END)::HUGEINT sab
+        FROM (SELECT seg, rep, vm,
+            substr(md5('perm|' || rep::VARCHAR || '|' || id), 1, 8) u
+          FROM base CROSS JOIN reps) z JOIN th ON th.seg = z.seg
+        GROUP BY 1, 2),
+      ext AS (SELECT r.seg,
+          COUNT(*) FILTER (WHERE cab > 0 AND cab < ca + cb)::BIGINT beff,
+          COUNT(*) FILTER (WHERE cab > 0 AND cab < ca + cb
+            AND abs(sab * (ca + cb - cab) - (sa + sb - sab) * cab)
+                * (ca * cb)
+              >= abs(sa * cb - sb * ca) * (cab * (ca + cb - cab)))::BIGINT
+            n_extreme
+        FROM r JOIN obs ON obs.seg = r.seg GROUP BY 1),
+      hyp AS (SELECT obs.seg, ca::BIGINT n_a, cb::BIGINT n_b,
+          ((CASE WHEN sa >= 0 THEN sa // ca ELSE -((-sa) // ca) END)
+           - (CASE WHEN sb >= 0 THEN sb // cb
+               ELSE -((-sb) // cb) END))::BIGINT diff_micro,
+          beff b_effective, n_extreme,
+          ((1 + n_extreme)::HUGEINT * 1000000 // (1 + beff))::BIGINT
+            p_micro
+        FROM ext JOIN obs ON obs.seg = ext.seg),
+      rk AS (SELECT *,
+          ROW_NUMBER() OVER (ORDER BY p_micro, seg)::BIGINT rank,
+          COUNT(*) OVER ()::BIGINT m FROM hyp),
+      ks AS (SELECT COALESCE(MAX(CASE WHEN p_micro * m <= rank * 250000
+          THEN rank END), 0)::BIGINT k FROM rk)
+      SELECT seg AS segment, n_a, n_b, diff_micro, b_effective,
+        n_extreme, p_micro, rank, m,
+        (rank * 250000 // m)::BIGINT AS bh_crit_micro,
+        (rank <= k) AS significant
+      FROM rk, ks"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8020,7 +8086,7 @@ object Queries {
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
     q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254)
+    q254, q255)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

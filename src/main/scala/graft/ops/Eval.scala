@@ -1119,4 +1119,147 @@ object Eval {
         "n_extreme", "p_micro")
   }
 
+  /** Per-segment two-group permutation test — the fully DISTRIBUTED
+    * sibling of [[permutationTestMeans]] for the many-hypotheses shape
+    * (one test per country/source/bucket, then FDR over them via
+    * [[bhFdr]]). Same md5-driven label permutation and exact
+    * cross-multiplied extremeness compare, but nothing segment-sized
+    * ever reaches the driver: observed moments are a groupBy(segment,
+    * group), replicas a groupBy(segment, rep), and the p-value finish a
+    * groupBy(segment) — all map-side combined.
+    *
+    * Segments whose group column does not take exactly 2 values are
+    * dropped STRUCTURALLY (the q158 lesson: a cap or precondition the
+    * operator enforces must be expressible by the oracle, and "has
+    * exactly 2 groups" is one join). Groups are compared lexicographic
+    * (a = min, b = max).
+    *
+    * Exactness bounds (documented headroom, the anovaEta pattern):
+    * per-segment permutation assignment threshold `⌊2³²·n_a/n⌋` is a
+    * decimal(38,0) `div` — exact at any count; the extremeness
+    * cross-multiply needs `Σ|v_micro| · n³ / 4 < 10³⁸` per segment
+    * (value |v| ≤ 100 and n ≤ 10⁹ rows/segment leaves 10⁹ headroom).
+    *
+    * Output per surviving segment: `(segment, n_a, n_b, diff_micro,
+    * b_effective, n_extreme, p_micro)` with the [[permutationTestMeans]]
+    * estimator `p = (1 + #extreme) / (1 + #non-degenerate)`.
+    *
+    * 100 TB shape: one base scan localCheckpoint'd (the ×b explode must
+    * not re-read the source), pre-explode repartition (the round-9
+    * fan-out fix), ONE (segment, rep) shuffle for replicas, model-sized
+    * (segments × b ≤ ~10⁶) tables after that.
+    */
+  def permutationTestMeansBySegment(
+      df: DataFrame,
+      segCol: String,
+      idCol: String,
+      groupCol: String,
+      valueCol: String,
+      b: Int = 200,
+      seed: String = "perm"): DataFrame = {
+    require(b >= 2 && b <= 1024, s"b $b must lie in [2, 1024]")
+    val dec = "decimal(38,0)"
+    val base0 = df
+      .filter(col(segCol).isNotNull && col(idCol).isNotNull &&
+        col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(segCol).cast("string").as("__seg"),
+        col(idCol).cast("string").as("__id"),
+        col(groupCol).cast("string").as("__g"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__vm"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base =
+      (if (base0.rdd.getNumPartitions < par) base0.repartition(par)
+       else base0)
+        .localCheckpoint()
+    val obs = base.groupBy("__seg", "__g")
+      .agg(count(lit(1)).as("c"), sum(col("__vm").cast(dec)).as("s"))
+    val segs = obs.groupBy("__seg")
+      .agg(count(lit(1)).as("__ng"), min("__g").as("__ga"), max("__g").as("__gb"))
+      .filter(col("__ng") === 2)
+      .select("__seg", "__ga", "__gb")
+    val two = obs.join(broadcast(segs), "__seg")
+    val pivoted = two.groupBy("__seg")
+      .agg(max(when(col("__g") === col("__ga"), col("c"))).as("ca"),
+        max(when(col("__g") === col("__ga"), col("s"))).as("sa"),
+        max(when(col("__g") === col("__gb"), col("c"))).as("cb"),
+        max(when(col("__g") === col("__gb"), col("s"))).as("sb"))
+      .withColumn("n", col("ca") + col("cb"))
+      // ⌊2³²·ca/n⌋ via decimal div — 2³²·ca overflows int64 past ~2e9 rows
+      .withColumn("__thex", format_string("%08x",
+        expr(s"CAST(CAST(4294967296 AS $dec) * ca AS $dec) div n")))
+    val reps = base.join(broadcast(pivoted.select("__seg", "__thex")), "__seg")
+      .withColumn("__rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__ina", substring(md5(concat_ws("|",
+        lit(seed), col("__rep").cast("string"), col("__id"))), 1, 8)
+        < col("__thex"))
+      .groupBy("__seg", "__rep")
+      .agg(sum(when(col("__ina"), 1L).otherwise(0L)).as("cab"),
+        sum(when(col("__ina"), col("__vm")).otherwise(0L).cast(dec)).as("sab"))
+    val judged = reps.join(broadcast(pivoted), "__seg")
+      .withColumn("__ok", col("cab") > 0 && col("cab") < col("n"))
+      .withColumn("__ext", col("__ok") &&
+        abs(col("sab") * (col("n") - col("cab")).cast(dec) -
+            (col("sa") + col("sb") - col("sab")) * col("cab").cast(dec)) *
+          (col("ca").cast(dec) * col("cb").cast(dec)) >=
+        abs(col("sa") * col("cb").cast(dec) - col("sb") * col("ca").cast(dec)) *
+          (col("cab").cast(dec) * (col("n") - col("cab")).cast(dec)))
+    judged.groupBy("__seg")
+      .agg(first("ca").as("n_a"), first("cb").as("n_b"),
+        first("sa").as("__sa"), first("sb").as("__sb"),
+        sum(when(col("__ok"), 1L).otherwise(0L)).as("b_effective"),
+        sum(when(col("__ext"), 1L).otherwise(0L)).as("n_extreme"))
+      .select(col("__seg").as("segment"), col("n_a"), col("n_b"),
+        (expr("CASE WHEN __sa >= 0 THEN __sa div n_a ELSE -((-__sa) div n_a) END") -
+          expr("CASE WHEN __sb >= 0 THEN __sb div n_b ELSE -((-__sb) div n_b) END"))
+          .as("diff_micro"),
+        col("b_effective"), col("n_extreme"),
+        expr("(1 + n_extreme) * 1000000 div (1 + b_effective)")
+          .as("p_micro"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR control over a table of hypotheses
+    * with micro-quantized p-values — the multiple-comparisons gate every
+    * many-segment experiment readout needs (m tests at α each yields
+    * ~m·α false positives; BH bounds the FALSE DISCOVERY RATE at α
+    * instead). Exact integer throughout: hypothesis i (1-based rank in
+    * (p, id) order) passes the step-up scan iff `p_i·m ≤ i·α` (the
+    * integer cross-multiplied form of `p_i ≤ (i/m)·α`), and everything
+    * at or below the LARGEST passing rank is significant — including
+    * p-values above their own threshold, the step-up property that
+    * distinguishes BH from naive per-test thresholds.
+    *
+    * Appends to every input row: `(rank, m, bh_crit_micro = ⌊i·α/m⌋,
+    * significant)` — input columns pass through so the per-test
+    * statistics stay attached to the verdicts.
+    *
+    * Overflow headroom: `p_i·m` and `i·α` stay in int64 up to
+    * m ≈ 9.2·10¹² hypotheses.
+    *
+    * 100 TB shape: the hypothesis table is model-sized (one row per
+    * test), but nothing here assumes it: rank is a range-exchange
+    * [[Ranks.globalRank]] (no single-task global window), m and the
+    * winning rank k* are one-row broadcasts.
+    */
+  def bhFdr(
+      df: DataFrame,
+      idCol: String,
+      pMicroCol: String,
+      alphaMicro: Long): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000L,
+      s"alphaMicro $alphaMicro must lie in (0, 1e6)")
+    val base = df.filter(col(idCol).isNotNull && col(pMicroCol).isNotNull)
+    val ranked = Ranks.globalRank(
+      base, Seq(col(pMicroCol).asc, col(idCol).asc), "rank")
+    val m = ranked.agg(count(lit(1)).as("m"))
+    val withM = ranked.crossJoin(broadcast(m))
+      .withColumn("__pass",
+        col(pMicroCol) * col("m") <= col("rank") * lit(alphaMicro))
+    val kstar = withM
+      .agg(coalesce(max(when(col("__pass"), col("rank"))), lit(0L)).as("__k"))
+    withM.crossJoin(broadcast(kstar))
+      .withColumn("bh_crit_micro", expr(s"rank * $alphaMicro div m"))
+      .withColumn("significant", col("rank") <= col("__k"))
+      .drop("__pass", "__k")
+  }
+
 }

@@ -776,4 +776,54 @@ class StatsOpsSpec extends SparkSuite {
     assert(out.getLong(2) == exp)
     assert(out.getLong(2) < -1000000L) // steeper than -1: freq halves per rank
   }
+
+  test("bhFdr: step-up makes an early failing rank significant when a later rank passes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // p = .02, .03, .04 at alpha = .05: rank 1 fails its own threshold
+    // (.02 > .05/3) but rank 3 passes (.04 <= .05), so ALL are discoveries
+    val df = Seq(("h1", 20000L), ("h2", 30000L), ("h3", 40000L))
+      .toDF("hyp", "p_micro")
+    val out = Eval.bhFdr(df, "hyp", "p_micro", alphaMicro = 50000L)
+      .collect().map(r => (r.getAs[String]("hyp"), r.getAs[Long]("rank"),
+        r.getAs[Boolean]("significant"))).sortBy(_._2)
+    assert(out.map(_._3).forall(identity), out.mkString(","))
+    assert(out.map(_._1) sameElements Array("h1", "h2", "h3"))
+  }
+
+  test("bhFdr: nothing passes when every cross-multiply fails; crit column exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(("a", 400000L), ("b", 900000L)).toDF("hyp", "p_micro")
+    val out = Eval.bhFdr(df, "hyp", "p_micro", alphaMicro = 50000L)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("m"),
+        r.getAs[Long]("bh_crit_micro"), r.getAs[Boolean]("significant")))
+      .sortBy(_._1)
+    assert(out.forall(!_._4))
+    assert(out.map(_._3).toSeq == Seq(25000L, 50000L)) // floor(i*alpha/m)
+  }
+
+  test("permutationTestMeansBySegment: shifted segment gets minimal p, null segment large p, non-2-group segments dropped") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    val shifted = (0 until 120).map(i =>
+      ("shifted", s"s$i", if (i % 2 == 0) "a" else "b",
+        (if (i % 2 == 0) 100.0 else 0.0) + rnd.nextDouble()))
+    val nullseg = (0 until 120).map(i =>
+      ("nullseg", s"n$i", if (i % 2 == 0) "a" else "b", rnd.nextDouble()))
+    val oneGroup = (0 until 20).map(i => ("onegrp", s"o$i", "a", 1.0))
+    val df = (shifted ++ nullseg ++ oneGroup).toDF("seg", "id", "g", "v")
+    val out = Eval.permutationTestMeansBySegment(
+        df, "seg", "id", "g", "v", b = 100, seed = "t")
+      .collect().map(r => r.getAs[String]("segment") ->
+        (r.getAs[Long]("p_micro"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("b_effective"))).toMap
+    assert(out.keySet == Set("shifted", "nullseg")) // onegrp dropped
+    assert(out("shifted")._2 == 60L && out("shifted")._3 == 100L)
+    // a 100-unit mean shift is more extreme than any label permutation:
+    // p = (1+0)/(1+100) -> 9900 micro
+    assert(out("shifted")._1 == 9900L, out("shifted")._1.toString)
+    assert(out("nullseg")._1 > 100000L, out("nullseg")._1.toString)
+  }
 }
