@@ -8064,6 +8064,57 @@ object Queries {
         (rank <= k) AS significant
       FROM rk, ks"""))
 
+  /** DSIR importance resampling: select the 100 most English-like
+    * documents from the whole corpus by hashed-unigram log-ratio
+    * against the lang='en' target slice, Gumbel top-k. Exact integer
+    * weights (per-bucket Δ floored once, q220 ln contract), md5-driven
+    * Gumbel noise.
+    */
+  private val q256 = Q(
+    "q256_dsir_select",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+      Corpus.dsirSelect(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text",
+        buckets = 1024, k = 100L, seed = "dsir")
+    },
+    Some("""WITH ttk AS (SELECT
+          (('0x' || substr(md5(tok), 1, 8))::UBIGINT % 1024)::BIGINT b
+        FROM (SELECT unnest(string_split(trim(text), ' ')) tok
+          FROM documents WHERE lang = 'en' AND text IS NOT NULL)
+        WHERE tok <> ''),
+      rtk AS (SELECT doc_id,
+          (('0x' || substr(md5(tok), 1, 8))::UBIGINT % 1024)::BIGINT b
+        FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) tok
+          FROM documents WHERE text IS NOT NULL)
+        WHERE tok <> ''),
+      tc AS (SELECT b, COUNT(*)::BIGINT c FROM ttk GROUP BY 1),
+      rc AS (SELECT b, COUNT(*)::BIGINT c FROM rtk GROUP BY 1),
+      tot AS (SELECT (SELECT COUNT(*) FROM ttk)::BIGINT t_t,
+          (SELECT COUNT(*) FROM rtk)::BIGINT t_r),
+      bs AS (SELECT unnest(generate_series(0, 1023))::BIGINT b),
+      d AS (SELECT bs.b,
+          floor(1e6 * (ln((COALESCE(tc.c, 0) + 1)::DOUBLE)
+            - ln((COALESCE(rc.c, 0) + 1)::DOUBLE)
+            - ln((t_t + 1024)::DOUBLE) + ln((t_r + 1024)::DOUBLE)))::BIGINT dm
+        FROM bs LEFT JOIN tc ON tc.b = bs.b LEFT JOIN rc ON rc.b = bs.b
+        CROSS JOIN tot),
+      lw AS (SELECT rtk.doc_id, SUM(d.dm)::BIGINT lwm
+        FROM rtk JOIN d ON d.b = rtk.b GROUP BY 1),
+      sc AS (SELECT dd.doc_id, COALESCE(lw.lwm, 0)::BIGINT logw_micro,
+          floor(-1e6 * ln(-ln(
+            (('0x' || substr(md5('dsir|' || dd.doc_id::VARCHAR), 1, 8))::UBIGINT
+              + 1)::DOUBLE / 4294967297.0)))::BIGINT gumbel_micro
+        FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) dd
+        LEFT JOIN lw ON lw.doc_id = dd.doc_id),
+      rk AS (SELECT *, logw_micro + gumbel_micro score_micro FROM sc)
+      SELECT doc_id, logw_micro, gumbel_micro, score_micro,
+        ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)::BIGINT
+          AS rank,
+        (ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) <= 100)
+          AS selected
+      FROM rk"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8086,7 +8137,7 @@ object Queries {
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
     q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254, q255)
+    q254, q255, q256)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

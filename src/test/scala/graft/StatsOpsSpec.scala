@@ -826,4 +826,27 @@ class StatsOpsSpec extends SparkSuite {
     assert(out("shifted")._1 == 9900L, out("shifted")._1.toString)
     assert(out("nullseg")._1 > 100000L, out("nullseg")._1.toString)
   }
+
+  test("dsirSelect: strong vocabulary signal beats Gumbel noise; empty docs score zero weight") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two disjoint vocabularies; target speaks only "alpha"
+    val alphaWords = Seq("alpha", "beta", "gamma", "delta")
+    val omegaWords = Seq("omega", "sigma", "tau", "psi")
+    def doc(words: Seq[String], i: Int): String =
+      (0 until 40).map(j => words((i + j) % words.length)).mkString(" ")
+    val corpus = ((0 until 10).map(i => (i.toLong, doc(alphaWords, i))) ++
+      (10 until 20).map(i => (i.toLong, doc(omegaWords, i))) :+
+      (20L, "   ")).toDF("doc_id", "text")
+    val target = (0 until 5).map(i => doc(alphaWords, i)).toDF("text")
+    val out = graft.ops.Corpus.dsirSelect(
+        corpus, "doc_id", "text", target, "text", buckets = 64, k = 10)
+      .collect()
+    val sel = out.filter(_.getAs[Boolean]("selected"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(sel == (0L until 10L).toSet, s"selected $sel")
+    val empty = out.find(_.getAs[Long]("doc_id") == 20L).get
+    assert(empty.getAs[Long]("logw_micro") == 0L)
+    assert(out.length == 21 && out.map(_.getAs[Long]("rank")).toSet == (1L to 21L).toSet)
+  }
 }
