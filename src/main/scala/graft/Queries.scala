@@ -8115,6 +8115,41 @@ object Queries {
           AS selected
       FROM rk"""))
 
+  /** Temperature-flattened training mixture over document languages:
+    * α=0.3 shares of a 100k-token budget with exact largest-remainder
+    * rounding — allocations sum to the budget exactly.
+    */
+  private val q257 = Q(
+    "q257_mixture_alloc",
+    (spark, dir) => Corpus.mixtureAllocation(
+      pq(spark, dir, "documents")
+        .select(col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok")),
+      "lang", "n_tok", alpha = 0.3, budget = 100000L),
+    Some("""WITH rows_ AS (SELECT lang,
+          len(string_split(trim(text), ' '))::BIGINT nt
+        FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+      d AS (SELECT lang AS domain, SUM(nt)::BIGINT n_tokens
+        FROM rows_ WHERE nt > 0 GROUP BY 1),
+      s AS (SELECT domain, n_tokens,
+          floor(1e6 * exp(0.3 * ln(n_tokens::DOUBLE)))::HUGEINT sw FROM d),
+      tot AS (SELECT SUM(sw)::HUGEINT ss FROM s),
+      q AS (SELECT domain, n_tokens, sw,
+          ((100000::HUGEINT * sw) // ss)::BIGINT qq,
+          (100000::HUGEINT * sw - ((100000::HUGEINT * sw) // ss) * ss)
+            rem,
+          ((1000000::HUGEINT * sw) // ss)::BIGINT share_micro
+        FROM s, tot),
+      lf AS (SELECT (100000 - SUM(qq))::BIGINT leftn FROM q),
+      rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, domain) rr
+        FROM q)
+      SELECT domain, n_tokens, share_micro,
+        (qq + CASE WHEN rr <= leftn THEN 1 ELSE 0 END)::BIGINT
+          AS alloc_tokens,
+        ((qq + CASE WHEN rr <= leftn THEN 1 ELSE 0 END) * 1000
+          // n_tokens)::BIGINT AS epochs_milli
+      FROM rk, lf"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8137,7 +8172,7 @@ object Queries {
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
     q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254, q255, q256)
+    q254, q255, q256, q257)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

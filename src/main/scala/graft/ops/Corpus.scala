@@ -1277,6 +1277,70 @@ object Corpus {
     * scoring join; the final rank is a range-exchange
     * [[Ranks.globalRank]] over one row per document.
     */
+  /** Temperature-based training-mixture allocation (the mT5/XLM-R
+    * `p_d ∝ n_d^α` recipe): given per-row token counts and a domain
+    * column, compute each domain's temperature-flattened sampling share
+    * and hand out an exact integer token budget by LARGEST-REMAINDER
+    * rounding — allocations sum to the budget EXACTLY, the property a
+    * downstream sampler actually needs (floor-only shares leave tokens
+    * on the table; independent rounding overshoots).
+    *
+    * Exactness: `s_d = ⌊10⁶·exp(α·ln n_d)⌋` is one fixed double tree of
+    * the exact integer count (q239 runtime exp/ln contract), floored
+    * once; everything after — shares, quotas `⌊B·s_d/S⌋`, remainders
+    * `B·s_d − q_d·S`, the remainder ranking, the `+1` bonuses — is
+    * exact decimal(38,0) integer arithmetic, so the whole allocation
+    * replays in SQL. Bonus ties break by domain ascending.
+    *
+    * Output per domain: `(domain, n_tokens, share_micro, alloc_tokens,
+    * epochs_milli = ⌊1000·alloc/n⌋)` — epochs > 1000 milli flags a
+    * domain the budget forces into repetition.
+    *
+    * Overflow headroom: `B·s_d` ≤ budget·10⁶·n^α stays inside
+    * decimal(38,0) for budgets ≤ 10¹² tokens against corpora ≤ 10¹⁵
+    * tokens at α ≤ 1 (10³³ < 10³⁸).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(domain); the domain
+    * table is model-sized, totals are one-row broadcasts, the remainder
+    * rank a range-exchange [[Ranks.globalRank]].
+    */
+  def mixtureAllocation(
+      df: DataFrame,
+      domainCol: String,
+      tokensCol: String,
+      alpha: Double,
+      budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1.0, s"alpha $alpha must lie in (0, 1]")
+    require(budget >= 1, s"budget $budget must be >= 1")
+    val dec = "decimal(38,0)"
+    val dom = df
+      .filter(col(domainCol).isNotNull && col(tokensCol).isNotNull &&
+        col(tokensCol) > 0)
+      .groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(sum(col(tokensCol).cast("long")).as("n_tokens"))
+      .withColumn("__s",
+        floor(lit(1e6) * exp(lit(alpha) * log(col("n_tokens").cast("double"))))
+          .cast(dec))
+    val tot = dom.agg(sum("__s").cast(dec).as("__stot"),
+      count(lit(1)).as("__nd"))
+    val quota = dom.crossJoin(broadcast(tot))
+      .withColumn("__q", expr(s"CAST(CAST($budget AS $dec) * __s AS $dec) div __stot"))
+      .withColumn("__rem",
+        expr(s"CAST(CAST($budget AS $dec) * __s AS $dec) - CAST(__q AS $dec) * __stot"))
+      .withColumn("share_micro", expr(s"CAST(1000000 AS $dec) * __s div __stot"))
+    val leftover = quota.agg(
+      (lit(budget) - sum("__q")).cast("long").as("__left"))
+    Ranks.globalRank(quota,
+        Seq(col("__rem") * lit(-1), col("domain")), "__rr")
+      .crossJoin(broadcast(leftover))
+      .withColumn("alloc_tokens",
+        (col("__q") + when(col("__rr") <= col("__left"), 1L).otherwise(0L))
+          .cast("long"))
+      .select(col("domain"), col("n_tokens"), col("share_micro"),
+        col("alloc_tokens"),
+        expr("alloc_tokens * 1000 div n_tokens").as("epochs_milli"))
+  }
+
   def dsirSelect(
       corpus: DataFrame,
       idCol: String,

@@ -849,4 +849,26 @@ class StatsOpsSpec extends SparkSuite {
     assert(empty.getAs[Long]("logw_micro") == 0L)
     assert(out.length == 21 && out.map(_.getAs[Long]("rank")).toSet == (1L to 21L).toSet)
   }
+
+  test("mixtureAllocation: allocations sum to the budget exactly; temperature flattens shares") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(("big", 10000L), ("mid", 1000L), ("small", 10L))
+      .flatMap { case (d, n) => Seq((d, n / 2), (d, n - n / 2)) }
+      .toDF("dom", "nt")
+    def run(alpha: Double) = Corpus.mixtureAllocation(df, "dom", "nt", alpha, budget = 999L)
+      .collect().map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("alloc_tokens"), r.getAs[Long]("share_micro"),
+          r.getAs[Long]("epochs_milli"))).toMap
+    val hot = run(1.0)
+    assert(hot.values.map(_._1).sum == 999L)
+    // alpha=1 is proportional: big gets ~10000/11010 of the budget
+    assert(hot("big")._1 == 999L * 10000L / 11010L || hot("big")._1 == 999L * 10000L / 11010L + 1)
+    val flat = run(0.2)
+    assert(flat.values.map(_._1).sum == 999L)
+    // temperature lifts the small domain's share
+    assert(flat("small")._2 > hot("small")._2)
+    // small domain is oversubscribed at alpha=0.2: repetition > 1 epoch
+    assert(flat("small")._3 > 1000L, flat("small")._3.toString)
+  }
 }
