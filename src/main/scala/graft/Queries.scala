@@ -8150,6 +8150,42 @@ object Queries {
           // n_tokens)::BIGINT AS epochs_milli
       FROM rk, lf"""))
 
+  /** Off-policy IPS/SNIPS readout: events as logged bandit rounds with
+    * propensity (k+1)/102 and a target policy that concentrates on
+    * purchase actions — counterfactual value plus the weight/ESS
+    * diagnostics.
+    */
+  private val q258 = Q(
+    "q258_off_policy",
+    (spark, dir) => Eval.offPolicyValue(
+      pq(spark, dir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull &&
+          get_json_object(col("props"), "$.k").isNotNull)
+        .withColumn("p0_micro",
+          expr("(CAST(get_json_object(props, '$.k') AS BIGINT) + 1) " +
+            "* 1000000 div 102"))
+        .withColumn("p1_micro",
+          when(col("event_type") === "purchase", 600000L).otherwise(100000L)),
+      "value", "p0_micro", "p1_micro"),
+    Some("""WITH b AS (SELECT floor(value * 1e6)::BIGINT rm,
+          ((CASE WHEN event_type = 'purchase' THEN 600000
+            ELSE 100000 END)::HUGEINT * 1000000
+           // ((json_extract(props, '$.k')::BIGINT + 1) * 1000000 // 102))
+            w
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+          AND json_extract(props, '$.k') IS NOT NULL
+          AND (json_extract(props, '$.k')::BIGINT + 1) * 1000000 // 102 > 0)
+      SELECT COUNT(*)::BIGINT n,
+        (SUM(rm::HUGEINT * w) // (COUNT(*)::HUGEINT * 1000000))::BIGINT
+          AS ips_micro,
+        (CASE WHEN SUM(w) > 0 THEN SUM(rm::HUGEINT * w) // SUM(w)
+          END)::BIGINT AS snips_micro,
+        MAX(w)::BIGINT AS max_w_micro,
+        (CASE WHEN SUM(w * w) > 0 THEN
+          (SUM(w) * SUM(w) * 1000) // (COUNT(*)::HUGEINT * SUM(w * w))
+          END)::BIGINT AS ess_milli
+      FROM b"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8172,7 +8208,7 @@ object Queries {
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
     q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254, q255, q256, q257)
+    q254, q255, q256, q257, q258)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -1217,6 +1217,72 @@ object Eval {
           .as("p_micro"))
   }
 
+  /** Off-policy evaluation of a target policy from logged bandit data —
+    * IPS (inverse propensity scoring) and SNIPS (self-normalized IPS),
+    * the standard counterfactual "what would the new ranker/policy have
+    * earned" estimators, plus the diagnostics that decide whether to
+    * trust them (max importance weight, effective sample size).
+    *
+    * Per row: importance weight `w = ⌊p_target·10⁶ / p_logged⌋` (one
+    * floor per row, micro units — documented quantization, identical in
+    * any engine). Then, with r in micro:
+    *
+    *  - `ips_micro = Σr·w div (n·10⁶)` — unbiased under correct
+    *    logging propensities, high variance when weights explode;
+    *  - `snips_micro = Σr·w div Σw` — the self-normalized estimator,
+    *    biased O(1/n) but variance-robust (the one people actually
+    *    ship);
+    *  - `max_w_micro` and `ess_milli = ⌊10³·(Σw)² / (n·Σw²)⌋` — an ESS
+    *    share near 1000 means the policies overlap well; near 0 means a
+    *    few rows carry the whole estimate.
+    *
+    * Rows with NULL or non-positive logged propensity are excluded
+    * (they carry no counterfactual information); zero TARGET
+    * probability keeps the row with w = 0 — the target policy never
+    * takes that action, which is evidence, not noise. Integer division
+    * truncates toward zero in BOTH engines (Spark `div` ↔ DuckDB `//`),
+    * so signed rewards mirror exactly; weights themselves are
+    * non-negative, where truncation IS floor.
+    *
+    * Overflow headroom (decimal(38,0) accumulators): w ≤ 10¹²
+    * (p_target/p_logged ≤ 10⁶), so Σr·w, Σw², and (Σw)² stay inside
+    * 10³⁸ for n ≤ ~10⁷ rows at the extreme weight ceiling and n ≤ 10¹³
+    * at w ≤ 10⁶ — weight clipping (standard IPS practice) is the
+    * caller's lever if both bounds bind at once.
+    *
+    * 100 TB shape: ONE map-side-combined global aggregate over four
+    * decimal moments; the finish is arithmetic on one row.
+    */
+  def offPolicyValue(
+      df: DataFrame,
+      rewardCol: String,
+      loggedPropMicroCol: String,
+      targetPropMicroCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(loggedPropMicroCol).isNotNull &&
+        col(loggedPropMicroCol) > 0L &&
+        col(targetPropMicroCol).isNotNull && col(targetPropMicroCol) >= 0L &&
+        col(rewardCol).isNotNull)
+      .select(floor(col(rewardCol).cast("double") * 1e6).cast("long").as("__rm"),
+        expr(s"`$targetPropMicroCol` * 1000000 div `$loggedPropMicroCol`")
+          .as("__w"))
+    base.agg(
+        count(lit(1)).as("n"),
+        sum(col("__w").cast(dec)).as("__sw"),
+        sum((col("__rm").cast(dec) * col("__w").cast(dec))).as("__srw"),
+        sum((col("__w").cast(dec) * col("__w").cast(dec))).as("__sww"),
+        max("__w").as("max_w_micro"))
+      .select(col("n"),
+        expr(s"CAST(__srw div (CAST(n AS $dec) * 1000000) AS BIGINT)")
+          .as("ips_micro"),
+        expr(s"CAST(CASE WHEN __sw > 0 THEN __srw div __sw END AS BIGINT)")
+          .as("snips_micro"),
+        col("max_w_micro"),
+        expr(s"CAST(CASE WHEN __sww > 0 THEN (__sw * __sw * 1000) div " +
+          s"(CAST(n AS $dec) * __sww) END AS BIGINT)").as("ess_milli"))
+  }
+
   /** Benjamini–Hochberg step-up FDR control over a table of hypotheses
     * with micro-quantized p-values — the multiple-comparisons gate every
     * many-segment experiment readout needs (m tests at α each yields

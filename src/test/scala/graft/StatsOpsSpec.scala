@@ -871,4 +871,32 @@ class StatsOpsSpec extends SparkSuite {
     // small domain is oversubscribed at alpha=0.2: repetition > 1 epoch
     assert(flat("small")._3 > 1000L, flat("small")._3.toString)
   }
+
+  test("offPolicyValue: identical policies recover the plain mean with full ESS; zero-target rows weight 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    // p_target == p_logged -> every w = 1e6, IPS = SNIPS = mean(r), ESS = 1000
+    val same = (1 to 8).map(i => (i.toDouble, 250000L, 250000L))
+      .toDF("r", "p0", "p1")
+    val a = Eval.offPolicyValue(same, "r", "p0", "p1").collect()(0)
+    assert(a.getAs[Long]("ips_micro") == 4500000L) // mean of 1..8
+    assert(a.getAs[Long]("snips_micro") == 4500000L)
+    assert(a.getAs[Long]("max_w_micro") == 1000000L)
+    assert(a.getAs[Long]("ess_milli") == 1000L)
+
+    // target never takes half the actions: those rows contribute w=0,
+    // SNIPS renormalizes to the mean of the covered rows
+    val half = ((1 to 4).map(i => (10.0, 500000L, 1000000L)) ++
+      (1 to 4).map(i => (99.0, 500000L, 0L))).toDF("r", "p0", "p1")
+    val b = Eval.offPolicyValue(half, "r", "p0", "p1").collect()(0)
+    assert(b.getAs[Long]("snips_micro") == 10000000L) // the 99s never count
+    // IPS: sum(10*2e6*1e6 micro-products)/ (8*1e6) = 10*2/2 = 10? ->
+    // 4 rows * 10e6 * 2e6 div (8 * 1e6) = 10e6
+    assert(b.getAs[Long]("ips_micro") == 10000000L)
+    // non-positive logged propensity rows are excluded entirely
+    val bad = ((1 to 2).map(_ => (5.0, 300000L, 300000L)) :+ ((7.0, 0L, 300000L)))
+      .toDF("r", "p0", "p1")
+    assert(Eval.offPolicyValue(bad, "r", "p0", "p1").collect()(0)
+      .getAs[Long]("n") == 2L)
+  }
 }
