@@ -8186,6 +8186,47 @@ object Queries {
           END)::BIGINT AS ess_milli
       FROM b"""))
 
+  /** Entropy + recursive (c,l)-diversity over customer classes — the
+    * strong-form privacy gates q251's uniqueness histogram and the
+    * kAnonymity report stop short of. Cross-multiplied entropy compare,
+    * zero divisions.
+    */
+  private val q259 = Q(
+    "q259_l_diversity",
+    (spark, dir) => Privacy.lDiversity(
+      pq(spark, dir, "customer")
+        .withColumn("__vm", floor(col("c_acctbal") * 1e6).cast("long"))
+        .withColumn("acct_band", expr(
+          """case when __vm >= 0 then __vm div 500000000
+             else -((-__vm) div 500000000) end"""))
+        .drop("__vm"),
+      Seq("c_nationkey", "acct_band"), "c_mktsegment", l = 3, c = 2L),
+    Some("""WITH b AS (SELECT c_nationkey,
+          (CASE WHEN floor(c_acctbal * 1e6) >= 0
+            THEN floor(c_acctbal * 1e6)::BIGINT // 500000000
+            ELSE -((-floor(c_acctbal * 1e6)::BIGINT) // 500000000) END)
+            acct_band,
+          c_mktsegment s FROM customer),
+      cells AS (SELECT c_nationkey, acct_band, s, COUNT(*)::BIGINT c
+        FROM b GROUP BY 1, 2, 3),
+      rk AS (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY c_nationkey, acct_band ORDER BY c DESC, s) rnk
+        FROM cells),
+      cls AS (SELECT c_nationkey, acct_band, SUM(c)::BIGINT n,
+          COUNT(*)::BIGINT nd,
+          MAX(CASE WHEN rnk = 1 THEN c END)::BIGINT r1,
+          SUM(CASE WHEN rnk < 3 THEN c ELSE 0 END)::BIGINT topl,
+          SUM(c::HUGEINT * floor(1e6 * ln(c::DOUBLE))::HUGEINT) ent
+        FROM rk GROUP BY 1, 2)
+      SELECT c_nationkey, acct_band, n, nd AS n_distinct_sensitive,
+        r1, (n - topl)::BIGINT AS tail_from_l,
+        ((n::HUGEINT * floor(1e6 * ln(n::DOUBLE))::HUGEINT - ent) // n)
+          ::BIGINT AS entropy_micro,
+        (n::HUGEINT * floor(1e6 * ln(n::DOUBLE))::HUGEINT - ent
+          >= n::HUGEINT * 1098612) AS entropy_l_ok,
+        (r1 < 2 * (n - topl)) AS recursive_cl_ok
+      FROM cls"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8208,7 +8249,7 @@ object Queries {
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
     q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254, q255, q256, q257, q258)
+    q254, q255, q256, q257, q258, q259)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Privacy QA for tables that leave the pipeline — re-identification
@@ -48,6 +49,73 @@ object Privacy {
       .withColumn("l_violation",
         sensitiveCol.map(_ => col("n_distinct_sensitive") < l)
           .getOrElse(lit(null).cast("boolean")))
+  }
+
+  /** Entropy and recursive (c,l)-diversity per quasi-identifier class —
+    * the two STRONG forms of l-diversity (Machanavajjhala et al. 2007)
+    * that distinct-count l-diversity ([[kAnonymity]]'s `l_violation`)
+    * cannot express: a class can hold l distinct sensitive values yet
+    * be 99% one value (probabilistic disclosure). With per-class
+    * sensitive counts r₁ ≥ r₂ ≥ … ≥ r_m over n rows:
+    *
+    *  - '''entropy''': `H = ln n − (Σ rᵢ·ln rᵢ)/n ≥ ln l`. Exact
+    *    contract: each `⌊10⁶·ln rᵢ⌋` floors once per count (runtime-ln,
+    *    q220), the weighted sum is exact integer, and the comparison is
+    *    cross-multiplied — `n·⌊10⁶·ln n⌋ − Σ rᵢ·⌊10⁶·ln rᵢ⌋ ≥
+    *    n·⌊10⁶·ln l⌋` — so no division ever happens.
+    *  - '''recursive (c,l)''': `r₁ < c·(r_l + … + r_m)` — the most
+    *    common value must not dominate what's left after discarding the
+    *    l−1 most common. Pure integer counting.
+    *
+    * Output per class: `(quasiCols…, n, n_distinct_sensitive,
+    * entropy_micro = (n·⌊10⁶·ln n⌋ − Σrᵢ⌊10⁶·ln rᵢ⌋) div n,
+    * entropy_l_ok, r1, tail_from_l, recursive_cl_ok)`. NULL sensitive
+    * values count as a value of their own (they are still a secret
+    * shared by the class).
+    *
+    * 100 TB shape: one map-side-combined groupBy(quasi, sensitive),
+    * then a per-class window rank + rollup on the SAME class key (the
+    * value table per class is sensitive-domain-sized); output is
+    * class-sized. Overflow: Σ rᵢ·⌊10⁶·ln rᵢ⌋ ≤ n·10⁶·ln n — int64-safe
+    * to ~2·10¹¹ rows per class, decimal(38,0) far beyond.
+    */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Int,
+      c: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(l >= 2, s"l $l must be >= 2")
+    require(c >= 1, s"c $c must be >= 1")
+    val dec = "decimal(38,0)"
+    val cells = df
+      .groupBy(quasiCols.map(col) :+
+        col(sensitiveCol).cast("string").as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+      .orderBy(col("__c").desc, col("__s").asc)
+    val lnL6 = math.floor(1e6 * math.log(l.toDouble)).toLong
+    cells
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum("__c").as("n"),
+        count(lit(1)).as("n_distinct_sensitive"),
+        max(when(col("__rk") === 1, col("__c"))).as("r1"),
+        sum(when(col("__rk") < l, col("__c")).otherwise(0L)).as("__topl"),
+        sum((col("__c").cast(dec) *
+          floor(lit(1e6) * log(col("__c").cast("double"))).cast(dec)))
+          .as("__ent"))
+      .withColumn("tail_from_l", col("n") - col("__topl"))
+      .withColumn("entropy_micro", expr(
+        s"CAST((CAST(n AS $dec) * CAST(FLOOR(1e6 * ln(CAST(n AS DOUBLE))) AS $dec)" +
+          s" - __ent) div n AS BIGINT)"))
+      .withColumn("entropy_l_ok", expr(
+        s"CAST(n AS $dec) * CAST(FLOOR(1e6 * ln(CAST(n AS DOUBLE))) AS $dec)" +
+          s" - __ent >= CAST(n AS $dec) * $lnL6"))
+      .withColumn("recursive_cl_ok",
+        col("r1").cast(dec) < lit(c).cast(dec) * col("tail_from_l").cast(dec))
+      .drop("__topl", "__ent")
   }
 
   /** t-closeness per quasi-identifier class — the distributional member

@@ -899,4 +899,28 @@ class StatsOpsSpec extends SparkSuite {
     assert(Eval.offPolicyValue(bad, "r", "p0", "p1").collect()(0)
       .getAs[Long]("n") == 2L)
   }
+
+  test("lDiversity: entropy and recursive gates catch a dominated class that distinct-count l passes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // class A: 98 of "flu" + 1 "cold" + 1 "ok" -> 3 distinct (passes
+    // naive l=3) but dominated; class B: 3 values evenly
+    val rows = (0 until 98).map(_ => ("A", "flu")) ++
+      Seq(("A", "cold"), ("A", "ok")) ++
+      (0 until 30).flatMap(_ => Seq(("B", "flu"), ("B", "cold"), ("B", "ok")))
+    val out = graft.ops.Privacy.lDiversity(
+        rows.toDF("cls", "diag"), Seq("cls"), "diag", l = 3, c = 2L)
+      .collect().map(r => r.getAs[String]("cls") -> r).toMap
+    val a = out("A"); val b = out("B")
+    assert(a.getAs[Long]("n_distinct_sensitive") == 3L) // naive l passes...
+    assert(!a.getAs[Boolean]("entropy_l_ok"))           // ...strong forms do not
+    // recursive (2,3): r1=98 vs 2*(tail after top-2 = 1) -> violation
+    assert(a.getAs[Long]("r1") == 98L && a.getAs[Long]("tail_from_l") == 1L)
+    assert(!a.getAs[Boolean]("recursive_cl_ok"))
+    // even class: entropy = ln 3 exactly at the boundary -> ok; r1=30 < 2*30
+    assert(b.getAs[Boolean]("entropy_l_ok"))
+    assert(b.getAs[Boolean]("recursive_cl_ok"))
+    // entropy_micro of the even class is ln(3) in micro (floored arithmetic)
+    assert(math.abs(b.getAs[Long]("entropy_micro") - 1098612L) <= 1L)
+  }
 }
