@@ -8227,6 +8227,53 @@ object Queries {
         (r1 < 2 * (n - topl)) AS recursive_cl_ok
       FROM cls"""))
 
+  /** Mann–Kendall trend gate over per-type daily value series — the
+    * monotone-drift detector pairing with q148's Theil–Sen slope;
+    * exact integer S and tie-corrected variance, one fixed double tree
+    * for the continuity-corrected z.
+    */
+  private val q260 = Q(
+    "q260_mann_kendall",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val daily = raw
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(raw, "ts"))
+        .withColumn("day", expr("__ms div 86400000"))
+        .withColumn("__v", floor(col("value") * 1e6).cast("long"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum("__v").as("sv"))
+      TimeSeries.mannKendall(daily, "event_type", "day", "sv")
+    },
+    Some("""WITH e AS (SELECT event_type k, epoch_ms(ts) // 86400000 d,
+          floor(value * 1e6)::BIGINT v
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      g AS (SELECT k, d, SUM(v)::BIGINT sv FROM e GROUP BY 1, 2),
+      p AS (SELECT a.k,
+          SUM(CASE WHEN b.sv > a.sv THEN 1 WHEN b.sv < a.sv THEN -1
+            ELSE 0 END)::BIGINT s
+        FROM g a JOIN g b ON b.k = a.k AND b.d > a.d GROUP BY 1),
+      t AS (SELECT k, sv, COUNT(*)::BIGINT tc FROM g GROUP BY 1, 2),
+      v AS (SELECT k, SUM(tc)::BIGINT n,
+          SUM(tc * (tc - 1) * (2 * tc + 5))::BIGINT tsum
+        FROM t GROUP BY 1),
+      j AS (SELECT v.k, n, COALESCE(p.s, 0)::BIGINT s,
+          (n * (n - 1) * (2 * n + 5) - tsum)::BIGINT vs
+        FROM v LEFT JOIN p ON p.k = v.k),
+      z AS (SELECT k, n, s, vs,
+          (CASE WHEN vs > 0 THEN
+            CASE WHEN s > 0 THEN
+              floor(1000.0 * (s - 1) / sqrt(vs::DOUBLE / 18.0))::BIGINT
+            WHEN s < 0 THEN
+              floor(1000.0 * (s + 1) / sqrt(vs::DOUBLE / 18.0))::BIGINT
+            ELSE 0 END END) zm FROM j)
+      SELECT k AS key, n, s AS s_stat, vs AS var_s_x18, zm AS z_milli,
+        (CASE WHEN zm IS NULL THEN NULL
+          ELSE abs(zm) >= 1960 END) AS trending
+      FROM z"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8249,7 +8296,7 @@ object Queries {
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
     q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254, q255, q256, q257, q258, q259)
+    q254, q255, q256, q257, q258, q259, q260)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -546,4 +546,75 @@ object TimeSeries {
       .select("disorder_bucket", "n_events", "max_disorder_ms",
         "share_micro")
   }
+
+  /** Mann–Kendall trend test per key — the nonparametric "is this
+    * series drifting" gate that pairs with the theilSen slope (MK says
+    * WHETHER a monotone trend exists, Theil–Sen says how steep): over a
+    * per-key series of (bucket, value) points,
+    *
+    * {{{ S = Σ_{i<j} sgn(v_j − v_i) }}}
+    *
+    * with the tie-corrected variance `18·Var(S) = n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5)` (t = value-tie group sizes) and the
+    * continuity-corrected normal score `z = (S ∓ 1)/√(Var S)`.
+    *
+    * Exactness: S, n, and `var_s_x18` are pure integers; `z_milli` is
+    * ONE fixed double tree of those integers — `⌊1000·(S∓1)/
+    * √(var_s_x18/18)⌋` — mirrored token-for-token by the oracle
+    * (q220 runtime-sqrt contract). `trending` flags |z| ≥ 1.96 (z_milli
+    * vs the 1960 literal). Input contract: one row per (key, bucket) —
+    * aggregate the raw stream first, as [[acf]]'s callers do.
+    *
+    * Output per key: `(key, n, s_stat, var_s_x18, z_milli, trending)`;
+    * keys with n < 2 or zero variance (all values tied) emit NULL z.
+    *
+    * 100 TB shape: ONE key shuffle; the pair stage is a KEY-LOCAL
+    * self-join (n_k²/2 comparisons per key — millions of parallel
+    * series of thousands of points each, the q244 shape, not one giant
+    * series); ties and moments are map-side-combined groupBys.
+    * Overflow: n(n−1)(2n+5) needs n ≤ ~1.6·10⁶ points per KEY for
+    * int64 — far beyond any bucketed series; the pair join cost n_k²
+    * is the real knob, so bucket coarsely enough that n_k stays in the
+    * thousands.
+    */
+  def mannKendall(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String): DataFrame = {
+    val pts = df
+      .filter(col(keyCol).isNotNull && col(bucketCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        col(bucketCol).cast("long").as("__b"),
+        col(valueCol).cast("long").as("__v"))
+      .localCheckpoint()
+    val a = pts.select(col("__k"), col("__b").as("ba"), col("__v").as("va"))
+    val b = pts.select(col("__k"), col("__b").as("bb"), col("__v").as("vb"))
+    val sTab = a.join(b, Seq("__k")).filter(col("bb") > col("ba"))
+      .groupBy("__k")
+      .agg(sum(signum(col("vb") - col("va")).cast("long")).as("s_stat"))
+    val ties = pts.groupBy("__k", "__v").agg(count(lit(1)).as("__t"))
+      .groupBy("__k")
+      .agg(sum("__t").as("n"),
+        sum(expr("__t * (__t - 1) * (2 * __t + 5)")).as("__tsum"))
+      .withColumn("var_s_x18",
+        expr("n * (n - 1) * (2 * n + 5) - __tsum"))
+    ties.join(sTab, Seq("__k"), "left")
+      .select(col("__k").as("key"), col("n"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        col("var_s_x18"))
+      .withColumn("z_milli", expr(
+        """CASE WHEN var_s_x18 > 0 THEN
+             CASE WHEN s_stat > 0 THEN
+               CAST(FLOOR(1000.0 * (s_stat - 1)
+                 / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0)) AS BIGINT)
+             WHEN s_stat < 0 THEN
+               CAST(FLOOR(1000.0 * (s_stat + 1)
+                 / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0)) AS BIGINT)
+             ELSE 0 END END"""))
+      .withColumn("trending",
+        when(col("z_milli").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col("z_milli")) >= 1960L))
+  }
 }

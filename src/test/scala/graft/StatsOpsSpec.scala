@@ -923,4 +923,30 @@ class StatsOpsSpec extends SparkSuite {
     // entropy_micro of the even class is ln(3) in micro (floored arithmetic)
     assert(math.abs(b.getAs[Long]("entropy_micro") - 1098612L) <= 1L)
   }
+
+  test("mannKendall: monotone series maxes S, constant series NULL z, ties corrected") {
+    val spark2 = spark
+    import spark2.implicits._
+    val inc = (1 to 10).map(i => ("inc", i.toLong, i.toLong * 5))
+    val const = (1 to 10).map(i => ("const", i.toLong, 7L))
+    val tied = Seq(("tied", 1L, 1L), ("tied", 2L, 1L), ("tied", 3L, 2L),
+      ("tied", 4L, 2L), ("tied", 5L, 3L))
+    val out = graft.ops.TimeSeries.mannKendall(
+        (inc ++ const ++ tied).toDF("k", "b", "v"), "k", "b", "v")
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    val i = out("inc")
+    assert(i.getAs[Long]("s_stat") == 45L) // all C(10,2) pairs concordant
+    assert(i.getAs[Long]("var_s_x18") == 10L * 9 * 25) // no ties
+    // z = 44/sqrt(125) = 3.935.. -> milli floor 3935, trending
+    assert(i.getAs[Long]("z_milli") == 3935L && i.getAs[Boolean]("trending"))
+    val c = out("const")
+    assert(c.getAs[Long]("s_stat") == 0L && c.getAs[Long]("var_s_x18") == 0L)
+    assert(c.isNullAt(c.fieldIndex("z_milli")) && c.isNullAt(c.fieldIndex("trending")))
+    val t = out("tied")
+    // S: pairs across tie groups all increasing -> 2*2 + 2*1 + 2*2 + ... enumerate:
+    // values 1,1,2,2,3 in time order; concordant pairs = 2*2+2*1+2*1+... = 8, ties 2
+    assert(t.getAs[Long]("s_stat") == 8L)
+    // 18Var = 5*4*15 - [2*1*9 + 2*1*9 + 1*0*7] = 300 - 36 = 264
+    assert(t.getAs[Long]("var_s_x18") == 264L)
+  }
 }
