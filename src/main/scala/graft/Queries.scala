@@ -8274,6 +8274,55 @@ object Queries {
           ELSE abs(zm) >= 1960 END) AS trending
       FROM z"""))
 
+  /** HyperLogLog distinct users per event type
+    * ([[graft.functions.HllAgg]]) next to the exact count — the oracle
+    * rebuilds all 256 registers with pure hex-string arithmetic and
+    * replays the estimator's double tree.
+    */
+  private val q261 = Q(
+    "q261_hll_distinct",
+    (spark, dir) => pq(spark, dir, "events")
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(graft.functions.HllAgg.hll(col("user_id").cast("string")).as("s"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+      .select(col("event_type"), col("s.n_zero_regs"), col("s.s49"),
+        col("s.est_distinct"), col("exact_distinct")),
+    Some("""WITH u AS (SELECT DISTINCT event_type g, user_id
+        FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      h AS (SELECT g, md5(user_id::VARCHAR) hx FROM u),
+      rr AS (SELECT g, ('0x' || substr(hx, 1, 2))::INT reg,
+          CASE WHEN length(regexp_extract(substr(hx, 3, 12), '^0*')) = 12
+            THEN 49
+            ELSE 4 * length(regexp_extract(substr(hx, 3, 12), '^0*'))
+              + (CASE substr(substr(hx, 3, 12),
+                  length(regexp_extract(substr(hx, 3, 12), '^0*')) + 1, 1)
+                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                WHEN '7' THEN 1 ELSE 0 END) + 1 END rho
+        FROM h),
+      mx AS (SELECT g, reg, MAX(rho)::BIGINT mr FROM rr GROUP BY 1, 2),
+      agg AS (SELECT g, COUNT(*)::BIGINT n_present,
+          SUM(1::BIGINT << (49 - mr))::BIGINT s_present
+        FROM mx GROUP BY 1),
+      st AS (SELECT g, (256 - n_present)::BIGINT vz,
+          (s_present
+            + (256 - n_present) * (1::BIGINT << 49))::BIGINT s49
+        FROM agg),
+      est AS (SELECT g, vz, s49,
+          (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 562949953421312.0
+            / s49::DOUBLE raw
+        FROM st),
+      ex AS (SELECT event_type g, COUNT(DISTINCT user_id)::BIGINT ed
+        FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1)
+      SELECT est.g AS event_type, vz AS n_zero_regs, s49,
+        (CASE WHEN raw <= 640.0 AND vz > 0
+          THEN floor(256.0 * ln(256.0 / vz))
+          ELSE floor(raw) END)::BIGINT AS est_distinct,
+        ex.ed AS exact_distinct
+      FROM est JOIN ex ON ex.g = est.g"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8296,7 +8345,7 @@ object Queries {
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
     q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254, q255, q256, q257, q258, q259, q260)
+    q254, q255, q256, q257, q258, q259, q260, q261)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

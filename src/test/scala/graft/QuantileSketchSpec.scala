@@ -104,4 +104,25 @@ class QuantileSketchSpec extends SparkSuite {
       assert(got.exists(r => r(1) == 30L && r(2) == 8L))
     } finally query.stop()
   }
+
+  test("hll aggregator: partitioning-invariant registers, ~6.5% accuracy, linear-counting small range") {
+    val spark2 = spark
+    import spark2.implicits._
+    val f = graft.functions.HllAgg.hll
+    def est(vals: Seq[String], parts: Int): (Long, Long, Long) = {
+      val r = vals.toDF("v").repartition(parts)
+        .agg(f(col("v")).as("s")).select(col("s.*")).collect()(0)
+      (r.getAs[Long]("n_zero_regs"), r.getAs[Long]("s49"),
+        r.getAs[Long]("est_distinct"))
+    }
+    // duplicates collapse; partitioning/merge shape never changes registers
+    val big = (0 until 20000).map(i => s"u${i % 5000}")
+    val a = est(big, 1)
+    assert(a == est(big.reverse, 13))
+    assert(math.abs(a._3 - 5000L) < 700L, s"estimate ${a._3} off >14%")
+    // tiny set takes the linear-counting branch and lands very close
+    val small = (0 until 40).map(i => s"x$i")
+    val b = est(small, 3)
+    assert(math.abs(b._3 - 40L) <= 4L, s"small-range estimate ${b._3}")
+  }
 }
