@@ -569,4 +569,17 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"),
       s"link prediction went cartesian:\n$plan")
   }
+
+  test("sketch aggregators run with MAP-SIDE partial aggregation") {
+    // the property that makes a typed Aggregator the 100 TB form: each
+    // task ships one fixed-size buffer per group, never the rows
+    val plan254 = Queries.all.find(_.name == "q254_quantile_sketch").get
+      .build(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan254.contains("partial_quantilesketchagg"),
+      s"q254 lost its partial aggregation stage:\n$plan254")
+    val plan261 = Queries.all.find(_.name == "q261_hll_distinct").get
+      .build(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan261.contains("partial_hllagg"),
+      s"q261 lost its partial aggregation stage:\n$plan261")
+  }
 }
