@@ -8064,51 +8064,60 @@ object Queries {
         (rank <= k) AS significant
       FROM rk, ks"""))
 
-  /** DSIR importance resampling: select the 100 most English-like
-    * documents from the whole corpus by hashed-unigram log-ratio
-    * against the lang='en' target slice, Gumbel top-k. Exact integer
-    * weights (per-bucket Δ floored once, q220 ln contract), md5-driven
-    * Gumbel noise.
+  /** DSIR importance RESAMPLING (the paper's Gumbel-top-k sampler, vs
+    * q77's deterministic greedy head): Sampling.dsirWeights' hashed
+    * unigram+bigram log-ratio weights against the lang='en' target
+    * slice, perturbed by md5-driven Gumbel keys and ranked. Disproves
+    * the old "Gumbel can't hash-match cross-engine" note: u is an exact
+    * dyadic rational, the Gumbel one mirrored double tree.
     */
   private val q256 = Q(
-    "q256_dsir_select",
+    "q256_dsir_resample",
     (spark, dir) => {
       val docs = pq(spark, dir, "documents")
-      Corpus.dsirSelect(docs, "doc_id", "text",
+      Sampling.dsirResample(docs, "doc_id", "text",
         docs.filter(col("lang") === "en"), "text",
-        buckets = 1024, k = 100L, seed = "dsir")
+        k = 100, hashDigits = 3, seed = "dsir")
     },
-    Some("""WITH ttk AS (SELECT
-          (('0x' || substr(md5(tok), 1, 8))::UBIGINT % 1024)::BIGINT b
-        FROM (SELECT unnest(string_split(trim(text), ' ')) tok
-          FROM documents WHERE lang = 'en' AND text IS NOT NULL)
-        WHERE tok <> ''),
-      rtk AS (SELECT doc_id,
-          (('0x' || substr(md5(tok), 1, 8))::UBIGINT % 1024)::BIGINT b
-        FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) tok
-          FROM documents WHERE text IS NOT NULL)
-        WHERE tok <> ''),
-      tc AS (SELECT b, COUNT(*)::BIGINT c FROM ttk GROUP BY 1),
-      rc AS (SELECT b, COUNT(*)::BIGINT c FROM rtk GROUP BY 1),
-      tot AS (SELECT (SELECT COUNT(*) FROM ttk)::BIGINT t_t,
-          (SELECT COUNT(*) FROM rtk)::BIGINT t_r),
-      bs AS (SELECT unnest(generate_series(0, 1023))::BIGINT b),
-      d AS (SELECT bs.b,
-          floor(1e6 * (ln((COALESCE(tc.c, 0) + 1)::DOUBLE)
-            - ln((COALESCE(rc.c, 0) + 1)::DOUBLE)
-            - ln((t_t + 1024)::DOUBLE) + ln((t_r + 1024)::DOUBLE)))::BIGINT dm
-        FROM bs LEFT JOIN tc ON tc.b = bs.b LEFT JOIN rc ON rc.b = bs.b
-        CROSS JOIN tot),
-      lw AS (SELECT rtk.doc_id, SUM(d.dm)::BIGINT lwm
-        FROM rtk JOIN d ON d.b = rtk.b GROUP BY 1),
-      sc AS (SELECT dd.doc_id, COALESCE(lw.lwm, 0)::BIGINT logw_micro,
+    Some("""WITH ct AS (SELECT doc_id, string_split(trim(text), ' ') ws
+        FROM documents),
+      cg AS (SELECT doc_id, unnest(ws) g FROM ct
+        UNION ALL
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] FROM
+          (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) i
+            FROM ct WHERE len(ws) >= 2)),
+      cb AS (SELECT doc_id, substr(md5(g), 1, 3) b FROM cg),
+      tt AS (SELECT doc_id, string_split(trim(text), ' ') ws
+        FROM documents WHERE lang = 'en'),
+      tg AS (SELECT unnest(ws) g FROM tt
+        UNION ALL
+        SELECT ws[i] || ' ' || ws[i+1] FROM
+          (SELECT ws, unnest(generate_series(1, len(ws) - 1)) i
+            FROM tt WHERE len(ws) >= 2)),
+      tbk AS (SELECT substr(md5(g), 1, 3) b FROM tg),
+      qc AS (SELECT b, COUNT(*) cq FROM cb GROUP BY 1),
+      pc AS (SELECT b, COUNT(*) cp FROM tbk GROUP BY 1),
+      lr AS (SELECT COALESCE(qc.b, pc.b) b,
+          round(ln((COALESCE(cp, 0) + 1)::DOUBLE
+              / ((SELECT COUNT(*) FROM tbk) + 4096)) * 1e6)::BIGINT
+          - round(ln((COALESCE(cq, 0) + 1)::DOUBLE
+              / ((SELECT COUNT(*) FROM cb) + 4096)) * 1e6)::BIGINT
+            AS lr_micro
+        FROM qc FULL JOIN pc ON qc.b = pc.b),
+      w AS (SELECT doc_id, COUNT(*)::BIGINT n_grams,
+          SUM(lr_micro)::BIGINT w_micro
+        FROM cb JOIN lr USING (b) GROUP BY 1),
+      sc AS (SELECT d.doc_id,
+          COALESCE(w.n_grams, 0)::BIGINT n_grams,
+          COALESCE(w.w_micro, 0)::BIGINT w_micro,
           floor(-1e6 * ln(-ln(
-            (('0x' || substr(md5('dsir|' || dd.doc_id::VARCHAR), 1, 8))::UBIGINT
-              + 1)::DOUBLE / 4294967297.0)))::BIGINT gumbel_micro
-        FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) dd
-        LEFT JOIN lw ON lw.doc_id = dd.doc_id),
-      rk AS (SELECT *, logw_micro + gumbel_micro score_micro FROM sc)
-      SELECT doc_id, logw_micro, gumbel_micro, score_micro,
+            (('0x' || substr(md5('dsir|' || d.doc_id::VARCHAR), 1, 8))
+              ::UBIGINT + 1)::DOUBLE / 4294967297.0)))::BIGINT
+            gumbel_micro
+        FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+        LEFT JOIN w ON w.doc_id = d.doc_id),
+      rk AS (SELECT *, w_micro + gumbel_micro score_micro FROM sc)
+      SELECT doc_id, n_grams, w_micro, gumbel_micro, score_micro,
         ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)::BIGINT
           AS rank,
         (ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) <= 100)

@@ -1239,44 +1239,6 @@ object Corpus {
         col("slope_micro"), col("intercept_micro"), col("r2_micro"))
   }
 
-  /** DSIR-style data selection (Xie et al., "Data Selection for
-    * Language Models via Importance Resampling", NeurIPS 2023): score
-    * every raw-corpus document by how target-like its HASHED-N-GRAM
-    * unigram distribution is, then resample top-k by Gumbel-perturbed
-    * importance — the standard recipe for carving a domain-matched
-    * training subset out of a web-scale crawl without running a model.
-    *
-    * Features: whitespace tokens (the repo's tokenizer contract) hashed
-    * to `buckets` via first-8-hex-of-md5 mod B. Per bucket b, the
-    * log-ratio of add-1-smoothed bucket unigram probabilities
-    *
-    * {{{ Δ_b = ln(ct_b + 1) − ln(cr_b + 1) − ln(T_t + B) + ln(T_r + B) }}}
-    *
-    * (t = target, r = raw corpus) is floored ONCE to micro — a fixed
-    * double tree of exact integer counts, the q220 runtime-ln
-    * contract — so a document's log importance weight
-    * `Σ_b count_b(doc)·Δ_b_micro` is an exact integer sum, order-free.
-    * Resampling is Gumbel top-k (importance resampling without
-    * replacement): `u = (h+1)/(2³²+1)` from md5(seed|id) — strictly
-    * inside (0,1), so the double Gumbel `−ln(−ln u)` is finite — floored
-    * to micro and ADDED to the integer weight; rank by (score desc, id).
-    * Documents with no tokens score weight 0 (they carry no evidence
-    * either way).
-    *
-    * Output per corpus document: `(id, logw_micro, gumbel_micro,
-    * score_micro, rank, selected = rank ≤ k)`.
-    *
-    * Overflow/precision headroom: every ln argument is an exact integer
-    * below 2⁵³ (9·10¹⁵ tokens — beyond a 100 TB text corpus); logw sums
-    * |Δ| ≤ ~ln(T)·10⁶ ≈ 4·10⁷ per token, int64-safe to ~10¹¹ tokens per
-    * DOCUMENT.
-    *
-    * 100 TB shape: two tokenize passes (target is usually tiny; the raw
-    * pass is the unavoidable full scan) → two map-side-combined
-    * groupBy(bucket)s; the Δ table is B rows, BROADCAST to the per-doc
-    * scoring join; the final rank is a range-exchange
-    * [[Ranks.globalRank]] over one row per document.
-    */
   /** Temperature-based training-mixture allocation (the mT5/XLM-R
     * `p_d ∝ n_d^α` recipe): given per-row token counts and a domain
     * column, compute each domain's temperature-flattened sampling share
@@ -1341,55 +1303,4 @@ object Corpus {
         expr("alloc_tokens * 1000 div n_tokens").as("epochs_milli"))
   }
 
-  def dsirSelect(
-      corpus: DataFrame,
-      idCol: String,
-      textCol: String,
-      target: DataFrame,
-      targetTextCol: String,
-      buckets: Int = 1024,
-      k: Long = 100L,
-      seed: String = "dsir"): DataFrame = {
-    require(buckets >= 2 && buckets <= (1 << 20),
-      s"buckets $buckets must lie in [2, 2^20]")
-    require(k >= 1, s"k $k must be >= 1")
-    val spark = corpus.sparkSession
-    def tokBuckets(df: DataFrame, tCol: String, keep: Seq[String]): DataFrame =
-      df.filter(col(tCol).isNotNull)
-        .select(keep.map(col) :+ explode(split(trim(col(tCol)), " ")).as("__tok"): _*)
-        .filter(col("__tok") =!= "")
-        .select(keep.map(col) :+ (conv(substring(md5(col("__tok")), 1, 8), 16, 10)
-          .cast("long") % buckets).as("__b"): _*)
-    val tt = tokBuckets(target, targetTextCol, Nil)
-    val rr = tokBuckets(
-      corpus.select(col(idCol).as("__id"), col(textCol)), textCol, Seq("__id"))
-    val ct = tt.groupBy("__b").agg(count(lit(1)).as("__ct"))
-    val cr = rr.groupBy("__b").agg(count(lit(1)).as("__cr"))
-    val totals = ct.agg(sum("__ct").as("__tt")).crossJoin(
-      cr.agg(sum("__cr").as("__tr")))
-    val delta = spark.range(buckets).select(col("id").as("__b"))
-      .join(ct, Seq("__b"), "left").join(cr, Seq("__b"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("__b"),
-        floor(lit(1e6) * (
-          log(coalesce(col("__ct"), lit(0L)).cast("double") + 1.0) -
-          log(coalesce(col("__cr"), lit(0L)).cast("double") + 1.0) -
-          log(coalesce(col("__tt"), lit(0L)).cast("double") + buckets.toDouble) +
-          log(coalesce(col("__tr"), lit(0L)).cast("double") + buckets.toDouble)))
-          .cast("long").as("__dm"))
-    val lw = rr.join(broadcast(delta), "__b")
-      .groupBy("__id").agg(sum("__dm").as("__lw"))
-    val u = (conv(substring(md5(concat_ws("|",
-      lit(seed), col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") + 1L)
-      .cast("double") / 4294967297.0
-    val scored = corpus.select(col(idCol)).filter(col(idCol).isNotNull)
-      .join(lw.withColumnRenamed("__id", idCol), Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("__lw"), lit(0L)).as("logw_micro"),
-        floor(lit(-1e6) * log(log(u) * -1.0)).cast("long").as("gumbel_micro"))
-      .withColumn("score_micro", col("logw_micro") + col("gumbel_micro"))
-    Ranks.globalRank(scored,
-        Seq(col("score_micro") * -1, col(idCol)), "rank")
-      .withColumn("selected", col("rank") <= k)
-  }
 }

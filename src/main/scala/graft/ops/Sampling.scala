@@ -492,10 +492,15 @@ object Sampling {
   }
 
   /** DSIR selection: the `k` highest-weight documents (id tie-break) —
-    * the deterministic top-k variant (the paper's Gumbel perturbation
-    * needs engine-specific log(-log(u)) doubles, which can't hash-match
-    * cross-engine; top-k keeps the estimator's ranking contract exact).
-    * Runs as a distributed TakeOrdered, never a single-partition sort.
+    * the deterministic GREEDY variant. For the paper's actual
+    * importance-RESAMPLING semantics (Gumbel top-k, which preserves the
+    * softmax sampling distribution instead of always taking the same
+    * head) use [[dsirResample]] — its md5-driven Gumbel keys DO
+    * hash-match cross-engine (q256 proves it tri-scale; an earlier note
+    * here claimed otherwise, but `u = (h+1)/(2³²+1)` is an exact dyadic
+    * rational and `−ln(−ln u)` is one mirrored double tree, the same
+    * q106 Efraimidis–Spirakis contract). Greedy runs as a distributed
+    * TakeOrdered, never a single-partition sort.
     */
   def dsirSelect(
       corpus: DataFrame,
@@ -509,6 +514,57 @@ object Sampling {
     corpus.join(w, Seq(idCol))
       .orderBy(col("w_micro").desc, col(idCol))
       .limit(k)
+  }
+
+  /** DSIR importance RESAMPLING (the paper's sampler, vs
+    * [[dsirSelect]]'s greedy head): Gumbel top-k over the
+    * [[dsirWeights]] log-weights — add an independent Gumbel
+    * `g = −ln(−ln u)` to each document's log-weight and take the k
+    * largest, which draws k documents WITHOUT replacement from the
+    * softmax of the weights (Gumbel-max trick). Greedy always returns
+    * the same extreme head; resampling preserves diversity in the tail
+    * the way the training-data literature intends.
+    *
+    * Determinism contract: `u = (h+1)/(2³²+1)` from md5(seed|id) — an
+    * exact dyadic rational strictly inside (0,1), so the double tree
+    * `⌊−10⁶·ln(−ln u)⌋` is finite and engine-identical (q106's
+    * Efraimidis–Spirakis precedent); the integer `score = w_micro +
+    * gumbel_micro` then ranks by (score desc, id). Documents absent
+    * from [[dsirWeights]] (no grams) carry weight 0 — no evidence
+    * either way.
+    *
+    * Output per corpus document: `(id, n_grams, w_micro, gumbel_micro,
+    * score_micro, rank, selected = rank ≤ k)`.
+    *
+    * 100 TB shape: [[dsirWeights]]'s two gram passes + broadcast
+    * log-ratio join; the Gumbel key is map-only and the global rank a
+    * range-exchange [[Ranks.globalRank]] over one row per document.
+    */
+  def dsirResample(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      k: Int,
+      hashDigits: Int = 3,
+      seed: String = "dsir"): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val w = dsirWeights(corpus, idCol, textCol, target, targetTextCol, hashDigits)
+    val u = (conv(substring(md5(concat_ws("|",
+      lit(seed), col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") + 1L)
+      .cast("double") / 4294967297.0
+    val scored = corpus.select(col(idCol)).filter(col(idCol).isNotNull)
+      .join(w.select(col(idCol), col("n_grams"), col("w_micro")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("w_micro"), lit(0L)).as("w_micro"),
+        floor(lit(-1e6) * log(log(u) * -1.0)).cast("long").as("gumbel_micro"))
+      .withColumn("score_micro", col("w_micro") + col("gumbel_micro"))
+    Ranks.globalRank(scored,
+        Seq(col("score_micro") * -1, col(idCol)), "rank")
+      .withColumn("selected", col("rank") <= k)
   }
 
   def mixingManifest(

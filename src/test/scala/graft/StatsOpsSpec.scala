@@ -827,7 +827,7 @@ class StatsOpsSpec extends SparkSuite {
     assert(out("nullseg")._1 > 100000L, out("nullseg")._1.toString)
   }
 
-  test("dsirSelect: strong vocabulary signal beats Gumbel noise; empty docs score zero weight") {
+  test("dsirResample: strong vocabulary signal beats Gumbel noise; empty docs score zero weight") {
     val spark2 = spark
     import spark2.implicits._
     // two disjoint vocabularies; target speaks only "alpha"
@@ -835,18 +835,21 @@ class StatsOpsSpec extends SparkSuite {
     val omegaWords = Seq("omega", "sigma", "tau", "psi")
     def doc(words: Seq[String], i: Int): String =
       (0 until 40).map(j => words((i + j) % words.length)).mkString(" ")
+    // NULL text = zero grams (empty string carries one '' gram under the
+    // q77 gram contract, so it is NOT the no-evidence case)
     val corpus = ((0 until 10).map(i => (i.toLong, doc(alphaWords, i))) ++
       (10 until 20).map(i => (i.toLong, doc(omegaWords, i))) :+
-      (20L, "   ")).toDF("doc_id", "text")
+      (20L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val target = (0 until 5).map(i => doc(alphaWords, i)).toDF("text")
-    val out = graft.ops.Corpus.dsirSelect(
-        corpus, "doc_id", "text", target, "text", buckets = 64, k = 10)
+    val out = graft.ops.Sampling.dsirResample(
+        corpus, "doc_id", "text", target, "text", k = 10, hashDigits = 2)
       .collect()
     val sel = out.filter(_.getAs[Boolean]("selected"))
       .map(_.getAs[Long]("doc_id")).toSet
     assert(sel == (0L until 10L).toSet, s"selected $sel")
     val empty = out.find(_.getAs[Long]("doc_id") == 20L).get
-    assert(empty.getAs[Long]("logw_micro") == 0L)
+    assert(empty.getAs[Long]("w_micro") == 0L
+      && empty.getAs[Long]("n_grams") == 0L)
     assert(out.length == 21 && out.map(_.getAs[Long]("rank")).toSet == (1L to 21L).toSet)
   }
 
