@@ -582,6 +582,75 @@ object ScaleCheck {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def permSegTime(df: DataFrame, tag: String): Double = {
+      // replicas add USERS; segments (event types) stay 5, so per-segment
+      // row counts scale 8x and the (segment, rep) replica table stays
+      // model-sized — linear is the expectation
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a").otherwise("arm_b"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.permutationTestMeansBySegment(
+          base, "event_type", "event_id", "arm", "value", b = 50, seed = "sc")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def mannKendallTime(df: DataFrame, tag: String): Double = {
+      // per-USER hourly series: keys scale 8x, per-key series length stays
+      // fixed, so the key-local n_k^2 pair join scales linearly
+      import graft.engine.EventTime
+      val hourly = df
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(df, "ts"))
+        .withColumn("b", expr("__ms div 3600000"))
+        .withColumn("__v", floor(col("value") * 1e6).cast("long"))
+        .groupBy("user_id", "b").agg(sum("__v").as("sv"))
+      val t0 = System.nanoTime()
+      graft.ops.TimeSeries.mannKendall(hourly, "user_id", "b", "sv")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def lDiversityTime(df: DataFrame, tag: String): Double = {
+      // quasi = (user band, type): classes scale with users; sensitive =
+      // prop-k value (bounded domain) — groupBy + same-key window
+      val base = df.filter(col("user_id").isNotNull)
+        .withColumn("band", expr("user_id div 100"))
+      val t0 = System.nanoTime()
+      graft.ops.Privacy.lDiversity(base, Seq("band", "event_type"),
+          "value", l = 3, c = 2L)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def hllTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      df.filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(graft.functions.HllAgg.hll(col("user_id").cast("string")).as("s"))
+        .select(col("event_type"), col("s.est_distinct"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def qsketchTime(df: DataFrame, tag: String): Double = {
+      val f = graft.functions.QuantileSketchAgg.qsketch(64, Seq(50, 90))
+      val t0 = System.nanoTime()
+      df.filter(col("event_type").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(f(col("event_id").cast("string"),
+          floor(col("value") * 1e6).cast("long")).as("s"))
+        .select(col("event_type"), col("s.m"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for ((name, f) <- Seq(
+      ("perm_segment", permSegTime _), ("mann_kendall", mannKendallTime _),
+      ("l_diversity", lDiversityTime _), ("hll", hllTime _),
+      ("qsketch", qsketchTime _)) if wanted(name)) {
+      val t1 = f(ev1, s"${name}_1")
+      val tN = f(evN, s"${name}_N")
+      println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
     for ((name, f) <- Seq(
       ("top_pc", topPcTime _), ("kcenter", kcenterTime _)) if wanted(name)) {
       val t1 = f(em1, s"${name}_1")
