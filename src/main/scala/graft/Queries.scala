@@ -8332,6 +8332,76 @@ object Queries {
         ex.ed AS exact_distinct
       FROM est JOIN ex ON ex.g = est.g"""))
 
+  /** Chao1 vocabulary richness + Good–Turing unseen mass over the
+    * document corpus — the "has the crawl converged" gate; pure
+    * counting on the frequency-of-frequencies histogram.
+    */
+  private val q262 = Q(
+    "q262_vocab_coverage",
+    (spark, dir) => Corpus.vocabularyCoverage(
+      pq(spark, dir, "documents"), "text"),
+    Some("""WITH t AS (SELECT unnest(string_split(trim(text), ' ')) tok
+        FROM documents WHERE text IS NOT NULL),
+      ty AS (SELECT tok, COUNT(*)::BIGINT c FROM t WHERE tok <> ''
+        GROUP BY 1),
+      h AS (SELECT c, COUNT(*)::BIGINT f FROM ty GROUP BY 1)
+      SELECT SUM(c * f)::BIGINT AS n_tokens,
+        SUM(f)::BIGINT AS n_types,
+        COALESCE(SUM(CASE WHEN c = 1 THEN f END), 0)::BIGINT AS f1,
+        COALESCE(SUM(CASE WHEN c = 2 THEN f END), 0)::BIGINT AS f2,
+        (SUM(f) + CASE WHEN COALESCE(SUM(CASE WHEN c = 2 THEN f END), 0) > 0
+          THEN (COALESCE(SUM(CASE WHEN c = 1 THEN f END), 0)::HUGEINT
+            * COALESCE(SUM(CASE WHEN c = 1 THEN f END), 0))
+            // (2 * COALESCE(SUM(CASE WHEN c = 2 THEN f END), 0))
+          ELSE (COALESCE(SUM(CASE WHEN c = 1 THEN f END), 0)::HUGEINT
+            * (COALESCE(SUM(CASE WHEN c = 1 THEN f END), 0) - 1)) // 2
+          END)::BIGINT AS chao1_total,
+        (1000000::HUGEINT * COALESCE(SUM(CASE WHEN c = 1 THEN f END), 0)
+          // SUM(c * f))::BIGINT AS gt_unseen_micro
+      FROM h"""))
+
+  /** Cochran's Q over three purchase heuristics — the k-classifier
+    * McNemar; exact integer Q vs the χ²(2) 5% critical value.
+    */
+  private val q263 = Q(
+    "q263_cochran_q",
+    (spark, dir) => Eval.cochransQ(
+      pq(spark, dir, "events")
+        .filter(col("value").isNotNull && col("event_type").isNotNull &&
+          col("user_id").isNotNull &&
+          get_json_object(col("props"), "$.k").isNotNull)
+        .withColumn("pred_a", col("value") >= 50.0)
+        .withColumn("pred_b",
+          get_json_object(col("props"), "$.k").cast("long") >= 50L)
+        .withColumn("pred_c", pmod(col("user_id"), lit(2)) === 0)
+        .withColumn("truth", col("event_type") === "purchase"),
+      "truth", Seq("pred_a", "pred_b", "pred_c")),
+    Some("""WITH b AS (SELECT
+          CASE WHEN (value >= 50.0) = (event_type = 'purchase')
+            THEN 1 ELSE 0 END xa,
+          CASE WHEN (json_extract(props, '$.k')::BIGINT >= 50)
+              = (event_type = 'purchase') THEN 1 ELSE 0 END xb,
+          CASE WHEN (user_id % 2 = 0) = (event_type = 'purchase')
+            THEN 1 ELSE 0 END xc
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+          AND user_id IS NOT NULL
+          AND json_extract(props, '$.k') IS NOT NULL),
+      m AS (SELECT COUNT(*)::BIGINT n,
+          SUM(xa + xb + xc)::HUGEINT t,
+          SUM((xa + xb + xc) * (xa + xb + xc))::HUGEINT l2,
+          SUM(xa)::HUGEINT ga, SUM(xb)::HUGEINT gb, SUM(xc)::HUGEINT gc
+        FROM b)
+      SELECT n, 3::BIGINT AS k, t::BIGINT AS t_total,
+        (ga * ga + gb * gb + gc * gc)::BIGINT AS sum_g2,
+        l2::BIGINT AS sum_l2,
+        (CASE WHEN 3 * t - l2 > 0 THEN
+          1000 * 2 * (3 * (ga * ga + gb * gb + gc * gc) - t * t)
+            // (3 * t - l2) END)::BIGINT AS q_milli,
+        (CASE WHEN 3 * t - l2 > 0 THEN
+          (1000 * 2 * (3 * (ga * ga + gb * gb + gc * gc) - t * t)
+            // (3 * t - l2)) >= 5991 END) AS significant
+      FROM m"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8354,7 +8424,7 @@ object Queries {
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
     q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254, q255, q256, q257, q258, q259, q260, q261)
+    q254, q255, q256, q257, q258, q259, q260, q261, q262, q263)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

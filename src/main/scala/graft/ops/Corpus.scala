@@ -1239,6 +1239,50 @@ object Corpus {
         col("slope_micro"), col("intercept_micro"), col("r2_micro"))
   }
 
+  /** Chao1 vocabulary-richness estimate + Good–Turing unseen mass — the
+    * "how much is still out there" gate for a corpus: observed distinct
+    * types D underestimate the true vocabulary; Chao1 corrects from the
+    * rare tail (`D + f₁²/(2f₂)`, f_k = types seen exactly k times) and
+    * Good–Turing `f₁/N` estimates the probability the NEXT token is an
+    * unseen type. Both drive the "is more crawling worth it" decision —
+    * high unseen mass means the corpus has not converged.
+    *
+    * Exactness: the frequency-of-frequencies histogram is pure
+    * counting; `chao1_extra = f₁² div (2·f₂)` and
+    * `gt_unseen_micro = 10⁶·f₁ div N` are exact integer divisions
+    * (f₂ = 0 uses the bias-corrected form `f₁(f₁−1) div 2` with f₂+1 →
+    * the standard Chao1 correction, mirrored). One row out:
+    * `(n_tokens, n_types, f1, f2, chao1_total, gt_unseen_micro)`.
+    *
+    * Overflow: f₁² needs f₁ ≤ 3·10⁹ in int64 — decimal-cast here, safe
+    * to 10¹⁹ types.
+    *
+    * 100 TB shape: one tokenize pass → map-side groupBy(token) →
+    * groupBy(count) of the TYPE table (vocabulary-sized) → a ≤
+    * |distinct counts|-row rollup. Nothing corpus-sized after the first
+    * aggregation.
+    */
+  def vocabularyCoverage(df: DataFrame, textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val types = df.filter(col(textCol).isNotNull)
+      .select(explode(split(trim(col(textCol)), " ")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val hist = types.groupBy("__c").agg(count(lit(1)).as("__f"))
+    hist.agg(
+        sum(col("__c") * col("__f")).as("n_tokens"),
+        sum("__f").as("n_types"),
+        coalesce(sum(when(col("__c") === 1, col("__f"))), lit(0L)).as("f1"),
+        coalesce(sum(when(col("__c") === 2, col("__f"))), lit(0L)).as("f2"))
+      .select(col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+        expr(s"""n_types + CASE WHEN f2 > 0
+            THEN CAST(CAST(f1 AS $dec) * f1 div (2 * f2) AS BIGINT)
+            ELSE CAST(CAST(f1 AS $dec) * (f1 - 1) div 2 AS BIGINT) END""")
+          .as("chao1_total"),
+        expr(s"CAST(CAST(1000000 AS $dec) * f1 div n_tokens AS BIGINT)")
+          .as("gt_unseen_micro"))
+  }
+
   /** Temperature-based training-mixture allocation (the mT5/XLM-R
     * `p_d ∝ n_d^α` recipe): given per-row token counts and a domain
     * column, compute each domain's temperature-flattened sampling share

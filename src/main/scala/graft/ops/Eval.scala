@@ -1217,6 +1217,67 @@ object Eval {
           .as("p_micro"))
   }
 
+  /** Cochran's Q test — the k-classifier generalization of [[mcnemar]]
+    * (k = 2 reduces to it): do k binary classifiers have the SAME
+    * success rate against the truth, accounting for the pairing on
+    * shared subjects? With x_ij = 1 when classifier j is right on row
+    * i, G_j = Σ_i x_ij, L_i = Σ_j x_ij, T = ΣΣ x:
+    *
+    * {{{ Q = (k−1)·(k·ΣG_j² − T²) / (k·T − ΣL_i²)  ~  χ²(k−1) }}}
+    *
+    * Exact integer throughout: indicators, row sums, column sums, and
+    * the final `q_milli = 1000·num div den` all ride decimal(38,0)
+    * (T² ≤ k²n² — safe past 10¹⁷ rows at k ≤ 10). Rows where any
+    * classifier or the truth is NULL drop (complete-case, the test's
+    * pairing requirement). Degenerate denominator (all rows uniform
+    * across classifiers) emits NULL Q. `significant` compares q_milli
+    * to the caller's χ²(k−1) critical value in milli (default 5991 =
+    * χ²₂ at α 0.05, the k = 3 case).
+    *
+    * Output (one row): `(n, k, t_total, sum_g2, sum_l2, q_milli,
+    * significant)`.
+    *
+    * 100 TB shape: ONE map-side-combined global aggregate (k+2
+    * moments); one-row finish.
+    */
+  def cochransQ(
+      df: DataFrame,
+      truthCol: String,
+      predCols: Seq[String],
+      critMilli: Long = 5991L): DataFrame = {
+    require(predCols.size >= 2, "cochransQ needs >= 2 classifiers")
+    val k = predCols.size
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(truthCol).isNotNull &&
+      predCols.map(col(_).isNotNull).reduce(_ && _))
+    val xs = predCols.zipWithIndex.map { case (p, j) =>
+      when(col(p).cast("boolean") === col(truthCol).cast("boolean"), 1L)
+        .otherwise(0L).as(s"__x$j")
+    }
+    val rows = base.select(xs: _*)
+      .withColumn("__l", (0 until k).map(j => col(s"__x$j")).reduce(_ + _))
+    val aggCols = Seq(
+      count(lit(1)).as("n"),
+      sum(col("__l").cast(dec)).as("__t"),
+      sum((col("__l") * col("__l")).cast(dec)).as("__l2")) ++
+      (0 until k).map(j => sum(col(s"__x$j").cast(dec)).as(s"__g$j"))
+    val agged = rows.agg(aggCols.head, aggCols.tail: _*)
+    val sumG2 = (0 until k)
+      .map(j => s"__g$j * __g$j").mkString(" + ")
+    agged
+      .withColumn("__g2", expr(s"CAST($sumG2 AS $dec)"))
+      .select(col("n"), lit(k.toLong).as("k"),
+        col("__t").cast("long").as("t_total"),
+        col("__g2").cast("long").as("sum_g2"),
+        col("__l2").cast("long").as("sum_l2"),
+        expr(s"""CASE WHEN $k * __t - __l2 > 0 THEN
+            CAST(1000 * (${k - 1}) * ($k * __g2 - __t * __t)
+              div ($k * __t - __l2) AS BIGINT) END""").as("q_milli"))
+      .withColumn("significant",
+        when(col("q_milli").isNull, lit(null).cast("boolean"))
+          .otherwise(col("q_milli") >= critMilli))
+  }
+
   /** Off-policy evaluation of a target policy from logged bandit data —
     * IPS (inverse propensity scoring) and SNIPS (self-normalized IPS),
     * the standard counterfactual "what would the new ranker/policy have

@@ -952,4 +952,40 @@ class StatsOpsSpec extends SparkSuite {
     // 18Var = 5*4*15 - [2*1*9 + 2*1*9 + 1*0*7] = 300 - 36 = 264
     assert(t.getAs[Long]("var_s_x18") == 264L)
   }
+
+  test("vocabularyCoverage: Chao1 corrects from the rare tail; closed vocab converges") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 3 types seen once (f1), 1 type twice (f2), 1 type 5x:
+    // D=5, chao1 = 5 + 9/2 = 9 (floor), GT unseen = 1e6*3/10 = 300000
+    val docs = Seq("a b c", "d d e", "e e e e").toDF("text")
+    val r = graft.ops.Corpus.vocabularyCoverage(docs, "text").collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 10L && r.getAs[Long]("n_types") == 5L)
+    assert(r.getAs[Long]("f1") == 3L && r.getAs[Long]("f2") == 1L)
+    assert(r.getAs[Long]("chao1_total") == 5L + 9L / 2L)
+    assert(r.getAs[Long]("gt_unseen_micro") == 300000L)
+    // every type repeated -> f1 = 0: no correction, zero unseen mass
+    val closed = Seq("x y", "x y", "x y").toDF("text")
+    val c = graft.ops.Corpus.vocabularyCoverage(closed, "text").collect()(0)
+    assert(c.getAs[Long]("chao1_total") == 2L)
+    assert(c.getAs[Long]("gt_unseen_micro") == 0L)
+  }
+
+  test("cochransQ: identical classifiers Q=0; one dissenter on every row is flagged") {
+    val spark2 = spark
+    import spark2.implicits._
+    // truth always true; a and b always right, c always wrong ->
+    // maximal disagreement: Q = (k-1)*(k*sumG2 - T^2)/(k*T - sumL2)
+    // n=12: G=(12,12,0), T=24, L_i=2 -> sumL2=48; Q = 2*(3*288-576)/(72-48)=24
+    val df = (1 to 12).map(_ => (true, true, true, false))
+      .toDF("truth", "a", "b", "c")
+    val r = Eval.cochransQ(df, "truth", Seq("a", "b", "c")).collect()(0)
+    assert(r.getAs[Long]("q_milli") == 24000L && r.getAs[Boolean]("significant"))
+    // all three always right: denominator degenerates -> NULL Q
+    val same = (1 to 8).map(_ => (true, true, true, true))
+      .toDF("truth", "a", "b", "c")
+    val s2 = Eval.cochransQ(same, "truth", Seq("a", "b", "c")).collect()(0)
+    assert(s2.isNullAt(s2.fieldIndex("q_milli")))
+    assert(s2.isNullAt(s2.fieldIndex("significant")))
+  }
 }
