@@ -8402,6 +8402,54 @@ object Queries {
             // (3 * t - l2)) >= 5991 END) AS significant
       FROM m"""))
 
+  /** Jonckheere–Terpstra ordered trend of event value across prop-k
+    * deciles — the monotone-dose alternative Kruskal–Wallis (q225
+    * family) has no power for; exact doubled-U with the mirrored
+    * z tree.
+    */
+  private val q264 = Q(
+    "q264_jonckheere",
+    (spark, dir) => Features.jonckheereTerpstra(
+      pq(spark, dir, "events")
+        .filter(col("value").isNotNull &&
+          get_json_object(col("props"), "$.k").isNotNull)
+        .withColumn("dec10",
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10"))
+        // BIN the continuous value (unit steps): the cell join is the
+        // op's pair stage, and near-unique values would push the cell
+        // table to the maxCells boundary — the kendallTauBinned rule
+        .withColumn("vbin", floor(col("value")).cast("long")),
+      "dec10", "vbin"),
+    Some("""WITH b AS (SELECT json_extract(props, '$.k')::BIGINT // 10 g,
+          floor(floor(value) * 1e6)::BIGINT v
+        FROM events WHERE value IS NOT NULL
+          AND json_extract(props, '$.k') IS NOT NULL),
+      cells AS (SELECT g, v, COUNT(*)::BIGINT c FROM b GROUP BY 1, 2),
+      u AS (SELECT COALESCE(SUM(CASE WHEN bb.v > aa.v
+            THEN 2::HUGEINT * aa.c * bb.c
+          WHEN bb.v = aa.v THEN aa.c::HUGEINT * bb.c
+          ELSE 0 END), 0) u2
+        FROM cells aa JOIN cells bb ON bb.g > aa.g),
+      gs AS (SELECT g, SUM(c)::BIGINT n FROM cells GROUP BY 1),
+      m AS (SELECT COUNT(*)::BIGINT k_groups, SUM(n)::HUGEINT nn,
+          SUM(n::HUGEINT * n) sn2,
+          SUM(n::HUGEINT * n * (2 * n + 3)) sn23
+        FROM gs),
+      f AS (SELECT nn::BIGINT n, k_groups, u2::BIGINT u2,
+          ((nn * nn - sn2) // 2)::BIGINT e2,
+          (nn * nn * (2 * nn + 3) - sn23) vx18
+        FROM u, m)
+      SELECT n, k_groups, u2, e2,
+        (CASE WHEN vx18 > 0 THEN
+          floor(1000.0 * (u2 - e2)
+            / sqrt(vx18::DOUBLE / 18.0))::BIGINT END) AS z_milli,
+        (CASE WHEN vx18 > 0 THEN
+          abs(CASE WHEN vx18 > 0 THEN
+            floor(1000.0 * (u2 - e2)
+              / sqrt(vx18::DOUBLE / 18.0))::BIGINT END) >= 1960
+          END) AS trending
+      FROM f"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8424,7 +8472,7 @@ object Queries {
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
     q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254, q255, q256, q257, q258, q259, q260, q261, q262, q263)
+    q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -125,4 +125,45 @@ class QuantileSketchSpec extends SparkSuite {
     val b = est(small, 3)
     assert(math.abs(b._3 - 40L) <= 4L, s"small-range estimate ${b._3}")
   }
+
+  test("hll aggregator: streaming windowed cardinality equals batch bit-for-bit") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val f = graft.functions.HllAgg.hll
+    val rows = (0 until 40).map { i =>
+      if (i < 30) (s"u${i % 12}", 60000L + (i % 9) * 60000L)
+      else (s"w${i % 4}", 700000L + (i % 3) * 60000L)
+    }
+    val stream = MemoryStream[(String, Long)]
+    val sdf = stream.toDF().toDF("v", "t_ms")
+      .withColumn("ts", timestamp_millis(col("t_ms")))
+      .withWatermark("ts", "1 second")
+    val out = sdf.groupBy(window(col("ts"), "10 minutes")).agg(f(col("v")).as("s"))
+      .select(col("window.start").cast("long").as("w_start"),
+        col("s.n_zero_regs"), col("s.s49"), col("s.est_distinct"))
+    val query = out.writeStream.format("memory").queryName("s_hll_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.take(25): _*)
+      query.processAllAvailable()
+      stream.addData(rows.drop(25): _*)
+      query.processAllAvailable()
+      stream.addData(("wm", 7200000L))
+      query.processAllAvailable()
+      stream.addData(("wm2", 14400000L))
+      query.processAllAvailable()
+      val got = spark.sql(
+        "SELECT w_start, n_zero_regs, s49, est_distinct FROM s_hll_out WHERE w_start < 7200")
+        .collect().map(_.toSeq).toSet
+      val batch = rows.toDF("v", "t_ms")
+        .withColumn("ts", timestamp_millis(col("t_ms")))
+        .groupBy(window(col("ts"), "10 minutes")).agg(f(col("v")).as("s"))
+        .select(col("window.start").cast("long").as("w_start"),
+          col("s.n_zero_regs"), col("s.s49"), col("s.est_distinct"))
+        .collect().map(_.toSeq).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally query.stop()
+  }
 }

@@ -988,4 +988,30 @@ class StatsOpsSpec extends SparkSuite {
     assert(s2.isNullAt(s2.fieldIndex("q_milli")))
     assert(s2.isNullAt(s2.fieldIndex("significant")))
   }
+
+  test("jonckheereTerpstra: monotone dose trend detected, reversed trend negative, flat null") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 3 ordered groups, clearly increasing outcome (disjoint ranges)
+    val inc = (0 until 3).flatMap(g => (0 until 12).map(i =>
+      (g.toLong, (g * 100 + i).toDouble)))
+    val r = Features.jonckheereTerpstra(inc.toDF("g", "v"), "g", "v")
+      .collect()(0)
+    // every cross-group pair concordant: U2 = 2 * 3 * 144 = 864 pairs*? ->
+    // pairs across groups = 3 choose 2 * 144 = 432; doubled = 864
+    assert(r.getAs[Long]("u2") == 864L)
+    assert(r.getAs[Long]("e2") == (36L * 36 - 3 * 144) / 2)
+    assert(r.getAs[Long]("z_milli") > 1960L && r.getAs[Boolean]("trending"))
+    // reversed ordering flips the sign
+    val dec = inc.map { case (g, v) => (2L - g, v) }
+    val d = Features.jonckheereTerpstra(dec.toDF("g", "v"), "g", "v")
+      .collect()(0)
+    assert(d.getAs[Long]("z_milli") < -1960L)
+    // all values tied: U2 == E2 exactly, z = 0
+    val flat = (0 until 3).flatMap(g => (0 until 10).map(_ => (g.toLong, 5.0)))
+    val f = Features.jonckheereTerpstra(flat.toDF("g", "v"), "g", "v")
+      .collect()(0)
+    assert(f.getAs[Long]("u2") == f.getAs[Long]("e2"))
+    assert(f.getAs[Long]("z_milli") == 0L && !f.getAs[Boolean]("trending"))
+  }
 }
