@@ -8191,7 +8191,10 @@ object Queries {
           END)::BIGINT AS snips_micro,
         MAX(w)::BIGINT AS max_w_micro,
         (CASE WHEN SUM(w * w) > 0 THEN
-          (SUM(w) * SUM(w) * 1000) // (COUNT(*)::HUGEINT * SUM(w * w))
+          CASE WHEN SUM(w) <= 300000000000000000 THEN
+            (SUM(w) * SUM(w) * 1000) // (COUNT(*)::HUGEINT * SUM(w * w))
+          ELSE ((SUM(w) // 1000000) * (SUM(w) // 1000000)) //
+            ((COUNT(*)::HUGEINT * SUM(w * w)) // 1000000000000000) END
           END)::BIGINT AS ess_milli
       FROM b"""))
 

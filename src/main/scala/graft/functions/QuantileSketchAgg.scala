@@ -79,17 +79,23 @@ class QuantileSketchAgg(k: Int, percents: Seq[Int])
     else {
       val h = md5hex(in.id)
       val cur = b.entries
-      // fast path: saturated sketch and h beyond the k-th smallest hash
+      // binary search in the h-sorted buffer: lo = first index with
+      // hash >= h (insertion point). The common saturated-miss case
+      // (lo == k) is O(log k) with zero allocation; a hit or insert
+      // pays one O(k) vector patch, never a re-sort.
+      var lo = 0
+      var hi = cur.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cur(mid).h < h) lo = mid + 1 else hi = mid
+      }
       val entries =
-        if (cur.size == k && h > cur.last.h) cur
-        else cur.indexWhere(_.h == h) match {
-          case -1 =>
-            ((cur :+ QsketchEntry(h, in.v)).sortBy(_.h): Seq[QsketchEntry])
-              .take(k)
-          case i if in.v < cur(i).v => // duplicate id: keep the min value
-            cur.updated(i, QsketchEntry(h, in.v))
-          case _ => cur
-        }
+        if (lo < cur.size && cur(lo).h == h) {
+          // duplicate id: keep the min value
+          if (in.v < cur(lo).v) cur.updated(lo, QsketchEntry(h, in.v))
+          else cur
+        } else if (cur.size == k && lo == k) cur // beyond the k smallest
+        else cur.patch(lo, Seq(QsketchEntry(h, in.v)), 0).take(k)
       QsketchBuf(b.n + 1, entries)
     }
   }

@@ -1134,11 +1134,19 @@ object Eval {
     * exactly 2 groups" is one join). Groups are compared lexicographic
     * (a = min, b = max).
     *
-    * Exactness bounds (documented headroom, the anovaEta pattern):
-    * per-segment permutation assignment threshold `⌊2³²·n_a/n⌋` is a
-    * decimal(38,0) `div` — exact at any count; the extremeness
-    * cross-multiply needs `Σ|v_micro| · n³ / 4 < 10³⁸` per segment
-    * (value |v| ≤ 100 and n ≤ 10⁹ rows/segment leaves 10⁹ headroom).
+    * Exactness bounds (ENFORCED, not advisory): per-segment permutation
+    * assignment threshold `⌊2³²·n_a/n⌋` is a decimal(38,0) `div` —
+    * exact at any count; the extremeness cross-multiply reaches
+    * `Σ|v_micro| · n³ / 4` per segment, which must stay under 10³⁸ —
+    * at |v| ≤ 100 (|v_micro| ≤ 10⁸) that is n ≤ ~4.5·10⁷ ROWS PER
+    * SEGMENT, not 10⁹ (decimal overflow would NULL the `__ext`
+    * predicate, silently counting it false and biasing p toward
+    * non-significance; DuckDB's HUGEINT errors instead, breaking
+    * parity). A loud `require` over the model-sized per-segment moments
+    * (`Σ|v_micro|` rides the same obs groupBy) rejects any segment
+    * whose worst-case product nears the ceiling — the maxCells
+    * pattern: shrink segments or rescale values, never overflow
+    * silently.
     *
     * Output per surviving segment: `(segment, n_a, n_b, diff_micro,
     * b_effective, n_extreme, p_micro)` with the [[permutationTestMeans]]
@@ -1172,7 +1180,23 @@ object Eval {
        else base0)
         .localCheckpoint()
     val obs = base.groupBy("__seg", "__g")
-      .agg(count(lit(1)).as("c"), sum(col("__vm").cast(dec)).as("s"))
+      .agg(count(lit(1)).as("c"), sum(col("__vm").cast(dec)).as("s"),
+        sum(abs(col("__vm")).cast(dec)).as("sabs"))
+    // loud decimal(38,0) headroom guard (see scaladoc): the extremeness
+    // cross-multiply is bounded by Σ|v_micro|·n³/4 per segment; compare
+    // in double against a conservative 9·10³⁷ ceiling — obs is
+    // model-sized (one row per segment×group), so this one extra
+    // aggregate costs a groupBy over the already-checkpointed base
+    val worst = obs.groupBy("__seg")
+      .agg(sum("c").as("__n"), sum("sabs").as("__sabs"))
+      .agg(max(col("__sabs").cast("double") *
+        pow(col("__n").cast("double"), 3.0) / 4.0)).head()
+    val worstMag = if (worst.isNullAt(0)) 0.0 else worst.getDouble(0)
+    require(worstMag < 9e37,
+      f"permutationTestMeansBySegment: worst per-segment extremeness " +
+        f"magnitude $worstMag%.3g approaches the decimal(38,0) ceiling " +
+        "(Σ|v_micro|·n³/4 must stay < 1e38 — at |v| <= 100 that is " +
+        "n <= ~4.5e7 rows/segment); split segments or rescale values")
     val segs = obs.groupBy("__seg")
       .agg(count(lit(1)).as("__ng"), min("__g").as("__ga"), max("__g").as("__gb"))
       .filter(col("__ng") === 2)
@@ -1306,10 +1330,13 @@ object Eval {
     * non-negative, where truncation IS floor.
     *
     * Overflow headroom (decimal(38,0) accumulators): w ≤ 10¹²
-    * (p_target/p_logged ≤ 10⁶), so Σr·w, Σw², and (Σw)² stay inside
-    * 10³⁸ for n ≤ ~10⁷ rows at the extreme weight ceiling and n ≤ 10¹³
-    * at w ≤ 10⁶ — weight clipping (standard IPS practice) is the
-    * caller's lever if both bounds bind at once.
+    * (p_target/p_logged ≤ 10⁶), so Σr·w and Σw² stay inside 10³⁸ for
+    * n ≤ ~10⁷ rows at the extreme weight ceiling and n ≤ 10¹³ at
+    * w ≤ 10⁶ — weight clipping (standard IPS practice) is the caller's
+    * lever if both bounds bind at once. The ESS numerator (Σw)²·10³
+    * would leave the ceiling EARLIER (Σw > ~3.2·10¹⁷), so ess_milli
+    * switches to a rescaled exact-integer branch past that point — see
+    * the inline note; no silent NULL at any n the accumulators admit.
     *
     * 100 TB shape: ONE map-side-combined global aggregate over four
     * decimal moments; the finish is arithmetic on one row.
@@ -1340,8 +1367,21 @@ object Eval {
         expr(s"CAST(CASE WHEN __sw > 0 THEN __srw div __sw END AS BIGINT)")
           .as("snips_micro"),
         col("max_w_micro"),
-        expr(s"CAST(CASE WHEN __sww > 0 THEN (__sw * __sw * 1000) div " +
-          s"(CAST(n AS $dec) * __sww) END AS BIGINT)").as("ess_milli"))
+        // ess_milli = ⌊10³·(Σw)²/(n·Σw²)⌋ — the exact form's (Σw)²·10³
+        // numerator leaves decimal(38,0) once Σw > ~3.2·10¹⁷ (n ≈
+        // 3·10¹¹ rows at w ≤ 10⁶), well before the accumulator bounds,
+        // so past 3·10¹⁷ the arithmetic drops to a rescaled branch:
+        // (Σw div 10⁶)² / ((n·Σw²) div 10¹⁵). There Σw² ≥ (Σw)²/n
+        // keeps the rescaled denominator ≥ 9·10¹⁹ (never 0) and both
+        // truncations are < 10⁻¹¹ relative — sub-milli on the 0..1000
+        // scale — and the oracle replays the identical CASE, so parity
+        // is exact either way.
+        expr(s"""CAST(CASE WHEN __sww > 0 THEN
+            CASE WHEN __sw <= 300000000000000000 THEN
+              (__sw * __sw * 1000) div (CAST(n AS $dec) * __sww)
+            ELSE ((__sw div 1000000) * (__sw div 1000000)) div
+              ((CAST(n AS $dec) * __sww) div 1000000000000000) END
+          END AS BIGINT)""").as("ess_milli"))
   }
 
   /** Benjamini–Hochberg step-up FDR control over a table of hypotheses

@@ -218,7 +218,14 @@ object Multimodal {
           (299L * rr + 587L * gg + 114L * bb) / 1000L
         })
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NonFatal, not just IOException: ImageIO plugin readers throw
+      // RuntimeExceptions on adversarial payloads (CMMException for
+      // broken ICC profiles, IndexOutOfBounds/IllegalArgument from
+      // format decoders) — one crawl image must yield the documented
+      // NULL simhash, not kill the task (decodePcmEnergies' contract)
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** The shared exact-integer aHash threshold: bit k = 1 iff

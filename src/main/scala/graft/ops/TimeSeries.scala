@@ -568,20 +568,36 @@ object TimeSeries {
     * Output per key: `(key, n, s_stat, var_s_x18, z_milli, trending)`;
     * keys with n < 2 or zero variance (all values tied) emit NULL z.
     *
+    * INTEGER-INPUT CONTRACT: `valueCol` is cast straight to long
+    * (truncation toward zero), NOT micro-floored like the repo's
+    * continuous-value ops — S depends only on sign comparisons and
+    * ties, and the intended inputs are pre-aggregated integer series
+    * (q260 sums micro-floored values upstream, so its longs arrive
+    * exact). Micro-flooring here would CORRUPT large pre-aggregated
+    * longs instead (v·10⁶ through a double loses exactness past
+    * |v| ≈ 9·10⁹, minting spurious ties). Callers with raw fractional
+    * values must quantize upstream — `floor(value·10⁶)` — or accept
+    * truncation ties.
+    *
     * 100 TB shape: ONE key shuffle; the pair stage is a KEY-LOCAL
     * self-join (n_k²/2 comparisons per key — millions of parallel
     * series of thousands of points each, the q244 shape, not one giant
-    * series); ties and moments are map-side-combined groupBys.
-    * Overflow: n(n−1)(2n+5) needs n ≤ ~1.6·10⁶ points per KEY for
-    * int64 — far beyond any bucketed series; the pair join cost n_k²
-    * is the real knob, so bucket coarsely enough that n_k stays in the
-    * thousands.
+    * series); ties and moments are map-side-combined groupBys. The
+    * quadratic bound is ENFORCED, not advisory: `maxSeriesLen` is a
+    * hard `require` on the longest per-key series (one aggregate over
+    * the already-checkpointed points — the jonckheereTerpstra maxCells
+    * pattern), so an unbinned per-event series fails loudly instead of
+    * detonating a silent n_k² join. Overflow: n(n−1)(2n+5) needs
+    * n ≤ ~1.6·10⁶ points per KEY for int64 — the default cap sits 160×
+    * under it.
     */
   def mannKendall(
       df: DataFrame,
       keyCol: String,
       bucketCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String,
+      maxSeriesLen: Long = 10000L): DataFrame = {
+    require(maxSeriesLen >= 2, s"maxSeriesLen $maxSeriesLen must be >= 2")
     val pts = df
       .filter(col(keyCol).isNotNull && col(bucketCol).isNotNull &&
         col(valueCol).isNotNull)
@@ -589,6 +605,14 @@ object TimeSeries {
         col(bucketCol).cast("long").as("__b"),
         col(valueCol).cast("long").as("__v"))
       .localCheckpoint()
+    val longest = pts.groupBy("__k").agg(count(lit(1)).as("__c"))
+      .agg(max("__c")).head()
+    val longestLen = if (longest.isNullAt(0)) 0L else longest.getLong(0)
+    require(longestLen <= maxSeriesLen,
+      s"mannKendall: longest per-key series has $longestLen points > " +
+        s"maxSeriesLen $maxSeriesLen — the pair stage is n_k² per key; " +
+        "bucket the series coarser (q260 buckets to days) or raise the " +
+        "cap deliberately")
     val a = pts.select(col("__k"), col("__b").as("ba"), col("__v").as("va"))
     val b = pts.select(col("__k"), col("__b").as("bb"), col("__v").as("vb"))
     val sTab = a.join(b, Seq("__k")).filter(col("bb") > col("ba"))

@@ -16,10 +16,12 @@ import scala.concurrent.duration.Duration
   * the same rows — same integer contract, same `(t, tie)` order
   * (StreamingSpec asserts the parity).
   *
-  * Late rows (at or below the watermark) drop; NULL values are ignored;
-  * nothing finalizes until a real watermark exists — the same
+  * Late rows (at or below the watermark) are dropped by Spark's exec
+  * before this function runs, so every pending row has t >= 1 and
+  * finalization is the plain `t <= watermark` partition — the same
   * discipline as [[StreamingEwma]], whose buffering skeleton this
-  * shares.
+  * shares (see [[StreamingMsprt]]'s watermark-mechanics scaladoc).
+  * NULL values are ignored.
   *
   * 100 TB shape: one shuffle on the key; per-key state is the lateness
   * buffer plus ONE accumulator — O(1) beyond the pending rows, kept
@@ -86,9 +88,11 @@ object StreamingCusum {
           }
         }
 
+        // plain t <= watermark finalization — pending rows always have
+        // t >= 1 (Spark's exec drops eventTime <= watermark first), so
+        // no watermark-0 case exists (see [[StreamingMsprt]] scaladoc)
         val (ready, stillPending) =
-          if (watermark == 0L) (Nil, st.pending)
-          else st.pending.partition(_._1 <= watermark)
+          st.pending.partition(_._1 <= watermark)
         st = st.copy(pending = stillPending)
         val out = ready.sortBy(p => (p._1, p._2)).map { case (_, _, prefix) =>
           val vMicro = prefix(3).asInstanceOf[Long]

@@ -19,13 +19,13 @@ import scala.concurrent.duration.Duration
   * Late rows (at or below the watermark on arrival) are dropped, the
   * same rule every watermark-finalized operator here follows; rows with
   * a NULL value are ignored entirely (they are not part of the batch
-  * lag sequence either). While the watermark is still unset (Spark
-  * reports 0) nothing finalizes — rows buffer until a real watermark
-  * passes them, so same-timestamp rows split across microbatches still
-  * smooth in (t, tie) order. Rows at or before the epoch (t ≤ 0) never
+  * lag sequence either). Rows at or before the epoch (t ≤ 0) never
   * reach the operator at all: FlatMapGroupsWithStateExec's
   * EventTimeTimeout late filter drops eventTime ≤ watermark and the
-  * watermark floor is 0, so the batch-parity contract covers t ≥ 1
+  * watermark floor is 0, so every pending row has t ≥ 1, finalization
+  * is the plain `t <= watermark` partition (a watermark-0 special case
+  * would be dead code — see [[StreamingMsprt]]'s watermark-mechanics
+  * scaladoc), and the batch-parity contract covers t ≥ 1
   * (StreamingEwmaSpec pins both sides of the boundary).
   *
   * 100 TB shape: one shuffle on the key; per-key state is the lateness
@@ -92,16 +92,11 @@ object StreamingEwma {
           }
         }
 
-        // watermark == 0 means "no watermark computed yet" (Spark never
-        // reports a negative one): finalize NOTHING — finalizing
-        // t <= watermark rows per-arrival-batch here would smooth
-        // same-timestamp rows split across microbatches out of (t, tie)
-        // order. (Today t <= 0 rows are already late-filtered by the
-        // exec before this function, so this guard is defensive — it
-        // keeps ordering correct even if that filter ever relaxes.)
+        // plain t <= watermark finalization — pending rows always have
+        // t >= 1 (Spark's exec drops eventTime <= watermark first), so
+        // no watermark-0 case exists (see [[StreamingMsprt]] scaladoc)
         val (ready, stillPending) =
-          if (watermark == 0L) (Nil, st.pending)
-          else st.pending.partition(_._1 <= watermark)
+          st.pending.partition(_._1 <= watermark)
         st = st.copy(pending = stillPending)
         val out = ready.sortBy(p => (p._1, p._2)).map { case (_, _, prefix) =>
           val vMicro = prefix(3).asInstanceOf[Long]

@@ -23,21 +23,32 @@ import scala.concurrent.duration.Duration
   * Decided keys collapse to a tombstone exactly like
   * [[StreamingSprt]]: later rows discard on arrival, no second emit,
   * the boolean persists so the test can never silently restart. Late
-  * rows (at or below the watermark) drop; while the watermark is unset
-  * nothing finalizes.
+  * rows (at or below the watermark) drop; pending rows finalize once
+  * `t <= watermark`, including the ambiguous watermark 0 (see below).
   *
   * 100 TB shape: one shuffle on the key; per-key state is the lateness
   * buffer plus three scalars — horizon-free.
   *
-  * Watermark sentinel (repo-wide convention, shared with every
-  * flatMapGroupsWithState twin here): `GroupState.getCurrentWatermarkMs`
-  * returns 0 both before the first watermark is computed AND for a
-  * genuine epoch-0 watermark — Spark exposes no third state — so 0 is
-  * treated as "unset": rows buffer but nothing finalizes. The only
-  * stream this distorts is one whose event times start inside the
-  * lateness window of 1970-01-01T00:00:00Z (finalization merely waits
-  * one extra micro-batch); replayed historical data should be shifted
-  * or assigned ingest time, as with any watermark pipeline.
+  * Watermark mechanics at epoch 0 (shared by every
+  * flatMapGroupsWithState twin here, verified against Spark 4.1.2
+  * bytecode): `GroupState.getCurrentWatermarkMs` returns 0 both before
+  * the first watermark is computed AND for a genuine epoch-0 watermark
+  * — Spark exposes no third state — but the distinction is MOOT inside
+  * this function, because Spark's own exec drops late input before the
+  * function runs with the predicate `eventTime <= watermark`
+  * (WatermarkSupport.watermarkExpression builds a `LessThanOrEqual`;
+  * the watermark floor is 0). A row stamped exactly
+  * 1970-01-01T00:00:00Z (t = 0 ms) is therefore dropped BY SPARK on
+  * arrival in every micro-batch — no GroupState-level code can ever
+  * see it — and every row that does arrive has t >= watermark + 1 >= 1.
+  * Consequently pending rows always satisfy t >= 1, finalization is the
+  * plain unconditional `t <= watermark` partition (the old
+  * `watermark == 0 -> finalize nothing` special case was dead code —
+  * at watermark 0 the partition releases nothing anyway), the
+  * batch-parity contract covers t >= 1 (StreamingMsprtSpec pins both
+  * facts), and rows inside the lateness window of a never-advancing
+  * watermark stay pending — standard watermark semantics, identical to
+  * Spark's own stateful aggregations.
   */
 object StreamingMsprt {
 
@@ -118,9 +129,12 @@ object StreamingMsprt {
           }
         }
 
+        // plain t <= watermark finalization: Spark's exec late-filters
+        // eventTime <= watermark before this function, so pending rows
+        // always have t >= 1 and a watermark-0 special case would be
+        // dead code (see the watermark-mechanics scaladoc)
         val (ready, stillPending) =
-          if (watermark == 0L) (Nil, st.pending)
-          else st.pending.partition(_._1 <= watermark)
+          st.pending.partition(_._1 <= watermark)
         st = st.copy(pending = stillPending)
 
         val out = scala.collection.mutable.ListBuffer.empty[Row]

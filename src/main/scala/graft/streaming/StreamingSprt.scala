@@ -27,14 +27,12 @@ import scala.concurrent.duration.Duration
   * event; it is one boolean plus the key, the smallest state this
   * engine keeps.
   *
-  * Late rows (at or below the watermark) drop, the standard rule; while
-  * the watermark is unset (Spark reports 0) nothing finalizes, so
-  * same-timestamp rows split across microbatches still walk in
-  * (t, tie) order. The 0 sentinel is the repo-wide convention — see the
-  * epoch-0 caveat note on [[StreamingMsprt]]: Spark exposes no third
-  * state distinguishing "no watermark yet" from a genuine epoch-0
-  * watermark, so data whose event times start inside the lateness
-  * window of 1970-01-01 waits one extra micro-batch to finalize.
+  * Late rows (at or below the watermark) are dropped by Spark's exec
+  * BEFORE this function runs (`eventTime <= watermark`, floor 0 — so a
+  * t = 0 ms row never reaches any GroupState code and every arriving
+  * row has t >= 1); pending rows finalize on the plain `t <= watermark`
+  * partition. See [[StreamingMsprt]]'s watermark-mechanics scaladoc for
+  * why no epoch-0 special case exists or is needed.
   *
   * 100 TB shape: one shuffle on the key; per-key state is the lateness
   * buffer plus three scalars (llr, step, decided) — horizon-free.
@@ -107,9 +105,11 @@ object StreamingSprt {
           }
         }
 
+        // plain t <= watermark finalization — pending rows always have
+        // t >= 1 (Spark's exec drops eventTime <= watermark first), so
+        // no watermark-0 case exists (see [[StreamingMsprt]] scaladoc)
         val (ready, stillPending) =
-          if (watermark == 0L) (Nil, st.pending)
-          else st.pending.partition(_._1 <= watermark)
+          st.pending.partition(_._1 <= watermark)
         st = st.copy(pending = stillPending)
 
         val out = scala.collection.mutable.ListBuffer.empty[Row]

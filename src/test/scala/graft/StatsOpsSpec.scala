@@ -827,6 +827,21 @@ class StatsOpsSpec extends SparkSuite {
     assert(out("nullseg")._1 > 100000L, out("nullseg")._1.toString)
   }
 
+  test("permutationTestMeansBySegment: decimal headroom guard fails loudly") {
+    // one segment with 300k rows of |v_micro| ≈ 9.2e18 drives
+    // Σ|v_micro|·n³/4 ≈ 1.9e40, past the decimal(38,0) ceiling — the
+    // require must fire on the model-sized moments BEFORE any ×b explode
+    val big = spark.range(300000).selectExpr(
+      "'s' AS seg", "CAST(id AS STRING) AS id",
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+      "CASE WHEN id % 2 = 0 THEN 9.2e12 ELSE -9.2e12 END AS v")
+    val e = intercept[IllegalArgumentException] {
+      Eval.permutationTestMeansBySegment(big, "seg", "id", "g", "v", b = 2)
+    }
+    assert(e.getMessage.contains("decimal(38,0)") &&
+      e.getMessage.contains("4.5e7"))
+  }
+
   test("dsirResample: strong vocabulary signal beats Gumbel noise; empty docs score zero weight") {
     val spark2 = spark
     import spark2.implicits._
@@ -951,6 +966,25 @@ class StatsOpsSpec extends SparkSuite {
     assert(t.getAs[Long]("s_stat") == 8L)
     // 18Var = 5*4*15 - [2*1*9 + 2*1*9 + 1*0*7] = 300 - 36 = 264
     assert(t.getAs[Long]("var_s_x18") == 264L)
+  }
+
+  test("mannKendall: maxSeriesLen cap fails loudly on an over-long series") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 12 points against a cap of 10: the n_k² pair join must never run —
+    // the require fires on the longest-series aggregate first
+    val long12 = (1 to 12).map(i => ("hot", i.toLong, i.toLong))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.mannKendall(
+        long12.toDF("k", "b", "v"), "k", "b", "v", maxSeriesLen = 10L)
+    }
+    assert(e.getMessage.contains("maxSeriesLen") &&
+      e.getMessage.contains("12"))
+    // at the boundary it runs: 12 points, cap 12
+    val ok = graft.ops.TimeSeries.mannKendall(
+      long12.toDF("k", "b", "v"), "k", "b", "v", maxSeriesLen = 12L)
+      .collect()
+    assert(ok.length == 1 && ok.head.getAs[Long]("s_stat") == 66L)
   }
 
   test("vocabularyCoverage: Chao1 corrects from the rare tail; closed vocab converges") {

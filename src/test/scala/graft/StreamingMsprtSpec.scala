@@ -93,4 +93,41 @@ class StreamingMsprtSpec extends SparkSuite {
       assert(n2 == 1L, "tombstone must suppress any further emits")
     } finally query.stop()
   }
+
+  test("epoch boundary: t <= 0 rows are late-filtered by Spark; t >= 1 walk matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // Twin of StreamingSprtSpec's epoch-boundary pin (see
+    // [[StreamingMsprt]]'s watermark-mechanics scaladoc): t <= 0 rows
+    // are dropped by Spark's exec before the operator, so the streaming
+    // decision equals the batch decision on the t >= 1 rows alone. The
+    // dropped rows are failures that would push the first crossing out.
+    val admitted = (1 to 25).map(i => (1L, 10 + i, i.toLong, true))
+    val dropped = Seq((1L, 1, 0L, false), (1L, 2, -7L, false))
+    val stream = MemoryStream[(Long, Int, Long, Boolean)]
+    val sdf = stream.toDF().toDF("k", "id", "t_ms", "o")
+      .withColumn("ts", timestamp_millis(col("t_ms")))
+    val out = StreamingMsprt.msprt(
+      sdf, "k", "ts", "id", "o", p0, tau2, alpha, lateness = 0.millis)
+    val query = out.writeStream.format("memory").queryName("s_msprt_epoch")
+      .outputMode("append").start()
+    try {
+      stream.addData(dropped ++ admitted: _*)
+      query.processAllAvailable()
+      stream.addData((9L, 90, 1000000L, true)) // advance watermark
+      query.processAllAvailable()
+      val got = spark.sql(
+        """SELECT k, n_at_decision, decision FROM s_msprt_epoch
+           WHERE k = 1""").as[(Long, Long, String)].collect()
+      val exp = Features.msprt(
+        admitted.toDF("k", "id", "t_ms", "o"),
+        "k", "t_ms", "id", "o", p0, tau2, alpha)
+        .filter(col("decision").isNotNull)
+        .select(col("key"), col("n_at_decision"), col("decision"))
+        .as[(Long, Long, String)].collect()
+      assert(exp.length == 1 && exp.head._3 == "reject_h0",
+        s"fixture must reject on the admitted rows alone: ${exp.toSeq}")
+      assert(got.toSeq == exp.toSeq,
+        s"t <= 0 rows must never enter the walk: ${got.toSeq} vs ${exp.toSeq}")
+    } finally query.stop()
+  }
 }

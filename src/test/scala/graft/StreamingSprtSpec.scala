@@ -90,4 +90,46 @@ class StreamingSprtSpec extends SparkSuite {
       assert(got.toSeq == Seq((1L, 3000L, 3L, 9L, "accept_h1")))
     } finally query.stop()
   }
+
+  test("epoch boundary: t <= 0 rows are late-filtered by Spark; t >= 1 walk matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // Pins the watermark-mechanics contract on [[StreamingMsprt]]'s
+    // scaladoc: rows stamped at or before the epoch are removed by
+    // FlatMapGroupsWithStateExec's own late filter (eventTime <=
+    // watermark, floor 0) BEFORE the operator runs — no GroupState-level
+    // sentinel is involved — so the streaming walk equals the batch walk
+    // on the t >= 1 rows only. The t <= 0 rows here are failures that
+    // would flip the decision path if they ever counted.
+    val admitted = Seq((1L, 11L, 1L, true), (1L, 12L, 2L, true),
+      (1L, 13L, 3L, true))
+    val dropped = Seq((1L, 1L, 0L, false), (1L, 2L, -5L, false))
+    val stream = MemoryStream[(Long, Long, Long, Boolean)]
+    val sdf = stream.toDF().toDF("k", "id", "t_ms", "o")
+      .withColumn("ts", timestamp_millis(col("t_ms")))
+    val out = StreamingSprt.sprtBernoulli(
+      sdf, "k", "ts", "id", "o", llrP, llrN, up, lo, lateness = 0.millis)
+    val query = out.writeStream.format("memory").queryName("s_sprt_epoch")
+      .outputMode("append").start()
+    try {
+      stream.addData(dropped ++ admitted: _*)
+      query.processAllAvailable() // watermark 0 during this batch
+      stream.addData((9L, 90L, 100000L, true)) // watermark -> 3, finalizes
+      query.processAllAvailable()
+      val got = spark.sql(
+        """SELECT k, ts_ms, n_at_decision, llr_at_decision_micro, decision
+           FROM s_sprt_epoch WHERE k = 1""")
+        .as[(Long, Long, Long, Long, String)].collect()
+      val exp = Features.sprtBernoulli(
+        admitted.toDF("k", "id", "t_ms", "o"),
+        "k", "t_ms", "id", "o", llrP, llrN, up, lo)
+        .filter(col("decision").isNotNull)
+        .select(col("key"), col("n_at_decision"),
+          col("llr_at_decision_micro"), col("decision"))
+        .as[(Long, Long, Long, String)].collect()
+      assert(exp.toSeq == Seq((1L, 3L, 9L, "accept_h1")),
+        s"fixture must decide on the admitted rows alone: ${exp.toSeq}")
+      assert(got.toSeq == Seq((1L, 3L, 3L, 9L, "accept_h1")),
+        s"t <= 0 rows must never enter the walk: ${got.toSeq}")
+    } finally query.stop()
+  }
 }
