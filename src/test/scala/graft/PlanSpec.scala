@@ -582,4 +582,63 @@ class PlanSpec extends SparkSuite {
     assert(plan261.contains("partial_hllagg"),
       s"q261 lost its partial aggregation stage:\n$plan261")
   }
+
+  test("no inventory query plans a single-partition row-level sort/window") {
+    // The standing 100 TB regression gate, inventory-wide: a Window with
+    // an EMPTY partition spec (or a Sort fed directly by an Exchange
+    // SinglePartition) funnels every row through one task — the plan
+    // shape that works at sf0.1 and dies at 100x. Per-op locks assert it
+    // for hand-picked queries; this sweep asserts it for all 264.
+    //
+    // Benign single-partition shapes NOT flagged: the final stage of a
+    // global aggregate (one pre-aggregated row per upstream partition
+    // crosses the exchange, not the corpus) and broadcast exchanges.
+    //
+    // Allowlist: ops whose keyless window provably runs on a MODEL-SIZED
+    // or CAPPED table (the plan can't tell cardinality; the op's source
+    // can — file:line checked for each). Every corpus-sized ordering in
+    // these queries already rides Ranks.globalRank's range exchange.
+    val allow = Map(
+      "q18_metrics" -> "re-emission window over per-(metric, window-bucket) rows — day buckets, model-sized",
+      "q58_source_mixing" -> "share normalization over the SOURCE group table (Sampling.scala:584)",
+      "q75_temperature_mix" -> "quota window over the language group table (Sampling.scala:131)",
+      "q84_pack_pieces" -> "prefix-sum over the numBuckets bucket table only (Corpus.scala:569, documented keyless-window bound)",
+      "q101_training_order" -> "shard-offset window over numShards rows (Sampling.scala:375)",
+      "q109_negative_sample" -> "trainingOrder's 32-row shard-offset table (Sampling.scala:375)",
+      "q162_gini" -> "rank window over the per-group mass table (Corpus.scala:343)",
+      "q173_group_folds" -> "greedy-packing window over the k-groups table (Sampling.scala:688)",
+      "q192_lorenz_curve" -> "cumulative window over the bucket table; holders ranked by globalRank (Corpus.scala:1004)",
+      "q198_gains_curve" -> "cumulative window over the bucket table; rows ranked by globalRank (Eval.scala:625)",
+      "q200_disorder_profile" -> "histogram rollup over disorder buckets (TimeSeries.scala:521)",
+      "q202_vocab_growth" -> "growth-curve window over checkpoint buckets (TextOps.scala:1528)",
+      "q203_dedup_yield" -> "yield-curve window over maxHamming+1 radius rows (Dedup.scala:926)",
+      "q220_tail_index" -> "rank window over the TakeOrderedAndProject (k+1)-row top table (Corpus.scala:1141)")
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def singlePartExchange(p: SparkPlan): Boolean = p match {
+      case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition
+      case _ => false
+    }
+    def hits(plan: SparkPlan): Seq[String] = plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        Seq("keyless Window")
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+        Seq("keyless WindowGroupLimit")
+      case s: SortExec if singlePartExchange(s.child) =>
+        Seq("Sort over Exchange SinglePartition")
+      case a: AdaptiveSparkPlanExec => hits(a.executedPlan)
+    }.flatten
+    graft.client.MemoryOnlineStore.clear()
+    Registry.clear()
+    val bad = Queries.all.flatMap { q =>
+      val found = hits(q.build(spark, sfDir).queryExecution.executedPlan)
+      if (found.isEmpty || allow.contains(q.name)) None
+      else Some(s"${q.name}: ${found.distinct.mkString(", ")}")
+    }
+    assert(bad.isEmpty,
+      s"single-partition row-level plan shapes found:\n${bad.mkString("\n")}")
+  }
 }
