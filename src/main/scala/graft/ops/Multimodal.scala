@@ -76,6 +76,31 @@ object Multimodal {
     */
   case object WavPcmDecoder extends AudioDecoder
 
+  /** Demux seam for [[sampleFrames]]: how a video payload becomes a
+    * sequence of frame byte-strings. Downstream (fingerprint, overlap
+    * pairs) is identical for every demuxer.
+    */
+  sealed trait FrameDemuxer
+  /** Every `stride`-th fixed-size chunk — the oracle default (pure
+    * column expressions, replayable by any engine with substr). See
+    * [[Md5StubImage]] for the rationale.
+    */
+  case object FixedChunkDemuxer extends FrameDemuxer
+  /** Real motion-JPEG demux: frames are the `FFD8 … FFD9` (SOI…EOI)
+    * spans of the payload — the actual on-wire format of MJPEG streams
+    * (and of IP-camera multipart feeds with the HTTP framing stripped).
+    * Each extracted frame is a complete JPEG, so the SAME
+    * [[ImageIoDecoder]] path fingerprints it downstream. Scan caveat
+    * (documented, standard for MJPEG tooling): a frame carrying an
+    * embedded JPEG thumbnail would split at the inner EOI; camera MJPEG
+    * frames do not embed thumbnails. `frameBytes` is ignored (frame
+    * size is intrinsic); `stride` keeps every stride-th frame.
+    * Partition-wise; not oracle-replayable, hence not the default. The
+    * JDK ships no demuxer for generic containers (MP4/MKV) — those
+    * still need the fixed-chunk stub or an external library.
+    */
+  case object MjpegDemuxer extends FrameDemuxer
+
   /** Metadata struct carried with every media payload. */
   val MetaType: StructType = StructType(Seq(
     StructField("mime", StringType),
@@ -285,26 +310,70 @@ object Multimodal {
         round(col("shared").cast("double") / col("nf_b"), 4).as("overlap_b"))
   }
 
-  /** Frame sampling for "video" payloads: emit every `stride`-th fixed-size
-    * chunk as (id, frame_idx, frame_bytes). The chunker is the stub — a real
-    * demuxer plugs into the same explode shape. Pure column expressions, so
-    * it stays inside whole-stage codegen.
+  /** Frame sampling for "video" payloads: emit every `stride`-th frame
+    * as (id, frame_idx, frame_bytes), where frame_idx counts the EMITTED
+    * frames. The frame source is the [[FrameDemuxer]] seam: default
+    * [[FixedChunkDemuxer]] cuts fixed-size chunks (pure column
+    * expressions — whole-stage codegen, oracle-replayable);
+    * [[MjpegDemuxer]] is a REAL demuxer for motion-JPEG payloads
+    * (SOI/EOI boundary scan, each frame a complete JPEG —
+    * MultimodalDecodeSpec drives a 3-frame fixture through it and
+    * [[perceptualHash]]'s real decoder).
     */
   def sampleFrames(
       df: DataFrame,
       idCol: String,
       binCol: String,
       frameBytes: Int,
-      stride: Int): DataFrame = {
-    val b = col(binCol)
-    val nFrames = floor(octet_length(b) / frameBytes).cast("int")
-    df.select(
-        col(idCol).as("id"),
-        posexplode(transform(
-          sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)),
-          i => b.substr((i * frameBytes + 1).cast("int"), lit(frameBytes)))))
-      .withColumnRenamed("pos", "frame_idx")
-      .withColumnRenamed("col", "frame_bytes")
+      stride: Int,
+      demuxer: FrameDemuxer = FixedChunkDemuxer): DataFrame = demuxer match {
+    case FixedChunkDemuxer =>
+      val b = col(binCol)
+      val nFrames = floor(octet_length(b) / frameBytes).cast("int")
+      df.select(
+          col(idCol).as("id"),
+          posexplode(transform(
+            sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)),
+            i => b.substr((i * frameBytes + 1).cast("int"), lit(frameBytes)))))
+        .withColumnRenamed("pos", "frame_idx")
+        .withColumnRenamed("col", "frame_bytes")
+    case MjpegDemuxer =>
+      require(stride >= 1, s"stride $stride must be >= 1")
+      val outSchema = StructType(Seq(
+        StructField("id", df.schema(idCol).dataType),
+        StructField("frame_idx", IntegerType, nullable = false),
+        StructField("frame_bytes", BinaryType)))
+      val idIdx = df.schema.fieldIndex(idCol)
+      val binIdx = df.schema.fieldIndex(binCol)
+      df.mapPartitions { it =>
+        it.flatMap { r =>
+          val payload =
+            if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+          if (payload == null) Iterator.empty
+          else {
+            // single forward scan: a frame opens at FFD8 and closes at
+            // the next FFD9 (restart markers FFD0-FFD7 and escaped FF00
+            // never match; entropy-coded FF bytes are always escaped)
+            val frames =
+              scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+            var i = 0
+            var start = -1
+            while (i + 1 < payload.length) {
+              val b0 = payload(i) & 0xff
+              val b1 = payload(i + 1) & 0xff
+              if (start < 0 && b0 == 0xff && b1 == 0xd8) { start = i; i += 2 }
+              else if (start >= 0 && b0 == 0xff && b1 == 0xd9) {
+                frames += java.util.Arrays.copyOfRange(payload, start, i + 2)
+                start = -1
+                i += 2
+              } else i += 1
+            }
+            frames.iterator.zipWithIndex.collect {
+              case (f, k) if k % stride == 0 => Row(r.get(idIdx), k / stride, f)
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
   }
 
   /** Chromaprint-style audio fingerprint: 65 successive fixed-size payload

@@ -159,4 +159,55 @@ class MultimodalDecodeSpec extends SparkSuite {
     val h = audioHashes(Seq(1L -> "not audio at all".getBytes, 2L -> null))
     assert(h(1L) == null && h(2L) == null)
   }
+
+  // --- MJPEG demux -----------------------------------------------------
+
+  private def framesOf(payloads: Seq[(Long, Array[Byte])], stride: Int) = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(payloads.map { case (i, p) => Row(i, p) }),
+      schema)
+    Multimodal.sampleFrames(df, "id", "payload", frameBytes = 0,
+        stride = stride, demuxer = Multimodal.MjpegDemuxer)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("frame_idx"),
+        r.getAs[Array[Byte]]("frame_bytes")))
+      .sortBy(t => (t._1, t._2))
+  }
+
+  test("MJPEG demux: 3 concatenated JPEGs split into exact frames; aHash matches the originals") {
+    val j1 = encode(gradientImage(64, 48), "jpg")
+    val j2 = encode(otherImage(64, 48), "jpg")
+    val j3 = encode(gradientImage(48, 64), "jpg")
+    val mjpeg = j1 ++ j2 ++ j3
+    val got = framesOf(Seq(7L -> mjpeg), stride = 1)
+    assert(got.length == 3, s"expected 3 frames, got ${got.length}")
+    assert(got.map(_._2).toSeq == Seq(0, 1, 2))
+    // each demuxed frame is byte-identical to the JPEG that went in —
+    // the frame boundary scan must neither trim nor bleed
+    assert(got(0)._3.sameElements(j1) && got(1)._3.sameElements(j2) &&
+      got(2)._3.sameElements(j3))
+    // and therefore decodes to the SAME aHash as the standalone image,
+    // through the same ImageIoDecoder seam the image leg uses
+    val orig = imageHashes(Seq(1L -> j1, 2L -> j2, 3L -> j3))
+    val fromFrames = imageHashes(
+      got.zipWithIndex.map { case ((_, _, f), i) => (i + 1).toLong -> f })
+    assert(fromFrames == orig)
+    assert(hamming(orig(1L), orig(2L)) > 4,
+      "fixture frames must be visually distinct")
+  }
+
+  test("MJPEG demux: stride keeps every stride-th frame; garbage and NULL payloads yield none") {
+    val j1 = encode(gradientImage(64, 48), "jpg")
+    val j2 = encode(otherImage(64, 48), "jpg")
+    val j3 = encode(gradientImage(48, 64), "jpg")
+    val mjpeg = j1 ++ j2 ++ j3
+    val got = framesOf(Seq(7L -> mjpeg), stride = 2)
+    assert(got.length == 2 && got.map(_._2).toSeq == Seq(0, 1))
+    assert(got(0)._3.sameElements(j1) && got(1)._3.sameElements(j3))
+    val none = framesOf(
+      Seq(1L -> "no jpeg markers here".getBytes, 2L -> null), stride = 1)
+    assert(none.isEmpty)
+  }
 }
