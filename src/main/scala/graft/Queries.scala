@@ -8453,6 +8453,317 @@ object Queries {
           END) AS trending
       FROM f"""))
 
+  /** Two-sample Kolmogorov–Smirnov drift gate between click and purchase
+    * value distributions — exact cross-multiplied CDF gap off one
+    * prefix-sum range exchange; the 1.358·√((n_a+n_b)/(n_a·n_b)) 5%
+    * critical value is one mirrored double tree.
+    */
+  private val q265 = Q(
+    "q265_ks_test",
+    (spark, dir) => Features.ksTestTwoSample(
+      pq(spark, dir, "events")
+        .filter(col("event_type").isin("click", "purchase")),
+      "event_type", "value"),
+    Some("""WITH b AS (SELECT event_type g, value::DOUBLE v FROM events
+          WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+      n AS (SELECT SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::BIGINT na,
+          SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::BIGINT nb FROM b),
+      c AS (SELECT v,
+          SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)::BIGINT ca,
+          SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)::BIGINT cb
+        FROM b GROUP BY 1),
+      cum AS (SELECT v, SUM(ca) OVER (ORDER BY v)::BIGINT cca,
+          SUM(cb) OVER (ORDER BY v)::BIGINT ccb FROM c),
+      m AS (SELECT COALESCE(MAX(ABS(cca::HUGEINT * nb - ccb::HUGEINT * na)),
+          0) mx FROM cum, n),
+      r AS (SELECT na, nb,
+          (mx * 1000000 // (na::HUGEINT * nb))::BIGINT d,
+          floor(1e6 * 1.358 *
+            sqrt((na + nb)::DOUBLE / (na::DOUBLE * nb::DOUBLE)))::BIGINT crit
+        FROM n, m)
+      SELECT 'click' AS grp_a, 'purchase' AS grp_b, na AS n_a, nb AS n_b,
+        d AS d_micro, crit AS crit_micro, d > crit AS significant
+      FROM r"""))
+
+  /** Fleiss' κ over orders with exactly 4 line items — the 4 line
+    * numbers as "raters" voting the line's returnflag; exact integer κ
+    * with the structural r-votes precondition replayed as a HAVING.
+    */
+  private val q266 = Q(
+    "q266_fleiss_kappa",
+    (spark, dir) => Eval.fleissKappa(
+      pq(spark, dir, "lineitem"),
+      "l_orderkey", "l_linenumber", "l_returnflag", r = 4),
+    Some("""WITH votes AS (SELECT l_orderkey::VARCHAR i,
+          l_linenumber::VARCHAR r, MIN(l_returnflag) l
+        FROM lineitem WHERE l_orderkey IS NOT NULL
+          AND l_linenumber IS NOT NULL AND l_returnflag IS NOT NULL
+        GROUP BY 1, 2),
+      kept AS (SELECT i FROM votes GROUP BY i HAVING COUNT(*) = 4),
+      cells AS (SELECT v.i, v.l, COUNT(*)::BIGINT c
+        FROM votes v JOIN kept k ON v.i = k.i GROUP BY 1, 2),
+      ia AS (SELECT COUNT(*)::BIGINT n_items, SUM(s2) s1 FROM
+        (SELECT i, SUM(c::HUGEINT * c) s2 FROM cells GROUP BY 1) t),
+      ca AS (SELECT COUNT(*)::BIGINT n_categories, SUM(cc::HUGEINT * cc) b
+        FROM (SELECT l, SUM(c)::BIGINT cc FROM cells GROUP BY 1) t),
+      f AS (SELECT n_items, 4::BIGINT n_raters, n_categories, s1, b,
+          n_items::HUGEINT * 4 nn, n_items::HUGEINT * 4 * 3 d
+        FROM ia, ca)
+      SELECT n_items, n_raters, n_categories,
+        (CASE WHEN n_items > 0 THEN (s1 - nn) * 1000000 // d
+          END)::BIGINT AS p_bar_micro,
+        (CASE WHEN n_items > 0 THEN b * 1000000 // (nn * nn)
+          END)::BIGINT AS p_e_micro,
+        (CASE WHEN nn * nn - b > 0 THEN
+           CASE WHEN (s1 - nn) * (nn * nn) - b * d >= 0 THEN
+             ((s1 - nn) * (nn * nn) - b * d) * 1000000
+               // (d * (nn * nn - b))
+           ELSE -((b * d - (s1 - nn) * (nn * nn)) * 1000000
+               // (d * (nn * nn - b))) END
+         END)::BIGINT AS kappa_micro
+      FROM f"""))
+
+  /** Chi-square + Cramér's V association between market segment and
+    * nation over customers — observed-cells-only χ² with per-cell
+    * mirrored truncation and the hard maxCells require.
+    */
+  private val q267 = Q(
+    "q267_cramers_v",
+    (spark, dir) => Eval.cramersV(
+      pq(spark, dir, "customer"), "c_mktsegment", "c_nationkey"),
+    Some("""WITH cells AS (SELECT c_mktsegment::VARCHAR a,
+          c_nationkey::VARCHAR b, COUNT(*)::BIGINT o
+        FROM customer WHERE c_mktsegment IS NOT NULL
+          AND c_nationkey IS NOT NULL GROUP BY 1, 2),
+      ra AS (SELECT a, SUM(o)::BIGINT ra FROM cells GROUP BY 1),
+      cb AS (SELECT b, SUM(o)::BIGINT cb FROM cells GROUP BY 1),
+      tot AS (SELECT SUM(o)::BIGINT n, COUNT(DISTINCT a)::BIGINT nr,
+          COUNT(DISTINCT b)::BIGINT nc FROM cells),
+      t AS (SELECT SUM(c.o::HUGEINT * c.o * 1000000 * tot.n
+            // (ra.ra::HUGEINT * cb.cb)) tt,
+          COUNT(*)::BIGINT n_cells
+        FROM cells c JOIN ra ON c.a = ra.a JOIN cb ON c.b = cb.b, tot)
+      SELECT tot.n, tot.nr AS n_rows_cat, tot.nc AS n_cols_cat, t.n_cells,
+        (t.tt - tot.n::HUGEINT * 1000000)::BIGINT AS chi2_micro,
+        (CASE WHEN least(tot.nr, tot.nc) >= 2 AND tot.n > 0 THEN
+          floor(1000.0 * sqrt(
+            ((t.tt - tot.n::HUGEINT * 1000000)::DOUBLE / 1e6)
+            / (tot.n::DOUBLE * (least(tot.nr, tot.nc) - 1))))
+          END)::BIGINT AS v_milli
+      FROM tot, t"""))
+
+  /** Friedman repeated-measures rank test: days as blocks, the 5 event
+    * types as treatments, daily value sums as the measure — the blocked
+    * design Kruskal–Wallis (q213) has no pairing for. Exact integer
+    * Conover form with doubled within-block midranks.
+    */
+  private val q268 = Q(
+    "q268_friedman",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val daily = raw
+        .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(raw, "ts"))
+        .withColumn("day", expr("__ms div 86400000"))
+        .withColumn("__v", floor(col("value") * 1e6).cast("long"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum("__v").as("sv"))
+      Features.friedmanTest(daily, "day", "event_type", "sv")
+    },
+    Some("""WITH e AS (SELECT epoch_ms(ts) // 86400000 blk, event_type t,
+          floor(value * 1e6)::BIGINT v
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      cellv AS (SELECT blk, t, SUM(v)::BIGINT sv FROM e GROUP BY 1, 2),
+      obs AS (SELECT blk::VARCHAR blk, t, MIN(sv::DOUBLE) v
+        FROM cellv GROUP BY 1, 2),
+      kk AS (SELECT COUNT(DISTINCT t)::BIGINT k FROM obs),
+      keptb AS (SELECT blk FROM obs GROUP BY blk
+        HAVING COUNT(*) = (SELECT k FROM kk)),
+      kept AS (SELECT o.blk, o.t, o.v FROM obs o JOIN keptb USING (blk)),
+      cnt AS (SELECT blk, v, COUNT(*)::BIGINT c FROM kept GROUP BY 1, 2),
+      rk AS (SELECT blk, v, (2 * SUM(c) OVER (PARTITION BY blk ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1)
+          ::BIGINT r2 FROM cnt),
+      rws AS (SELECT kept.blk, kept.t, rk.r2 FROM kept
+        JOIN rk ON kept.blk = rk.blk AND kept.v = rk.v),
+      rt AS (SELECT t, SUM(r2)::HUGEINT r2j FROM rws GROUP BY 1),
+      g AS (SELECT COUNT(DISTINCT blk)::BIGINT n,
+          SUM(r2::HUGEINT * r2) a2 FROM rws),
+      nm AS (SELECT SUM((r2j - g.n::HUGEINT * ((SELECT k FROM kk) + 1)) *
+          (r2j - g.n::HUGEINT * ((SELECT k FROM kk) + 1))) s FROM rt, g)
+      SELECT g.n AS n_blocks, (SELECT k FROM kk) AS k_treatments,
+        (CASE WHEN g.a2 - g.n::HUGEINT * (SELECT k FROM kk) *
+            ((SELECT k FROM kk) + 1) * ((SELECT k FROM kk) + 1) > 0 THEN
+          ((SELECT k FROM kk) - 1) * 1000 * nm.s
+            // (g.a2 - g.n::HUGEINT * (SELECT k FROM kk) *
+              ((SELECT k FROM kk) + 1) * ((SELECT k FROM kk) + 1))
+          END)::BIGINT AS chi2_milli,
+        ((CASE WHEN g.a2 - g.n::HUGEINT * (SELECT k FROM kk) *
+            ((SELECT k FROM kk) + 1) * ((SELECT k FROM kk) + 1) > 0 THEN
+          ((SELECT k FROM kk) - 1) * 1000 * nm.s
+            // (g.a2 - g.n::HUGEINT * (SELECT k FROM kk) *
+              ((SELECT k FROM kk) + 1) * ((SELECT k FROM kk) + 1))
+          END) >= 9488) AS significant
+      FROM g, nm"""))
+
+  /** Kendall's W concordance: the 25 nations as raters ranking the 5
+    * market segments by summed account balance — do the cohorts agree
+    * on a segment ordering? Exact integer tie-corrected W.
+    */
+  private val q269 = Q(
+    "q269_kendalls_w",
+    (spark, dir) => Eval.kendallsW(
+      pq(spark, dir, "customer")
+        .withColumn("__vm", floor(col("c_acctbal") * 1e6).cast("long"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(sum("__vm").as("sv")),
+      "c_nationkey", "c_mktsegment", "sv"),
+    Some("""WITH b AS (SELECT c_nationkey r, c_mktsegment i,
+          SUM(floor(c_acctbal * 1e6)::BIGINT)::BIGINT sv
+        FROM customer GROUP BY 1, 2),
+      obs AS (SELECT r::VARCHAR r, i, MIN(sv::DOUBLE) v FROM b
+        GROUP BY 1, 2),
+      mm AS (SELECT COUNT(DISTINCT r)::BIGINT m FROM obs),
+      kepti AS (SELECT i FROM obs GROUP BY i
+        HAVING COUNT(*) = (SELECT m FROM mm)),
+      kept AS (SELECT o.r, o.i, o.v FROM obs o JOIN kepti USING (i)),
+      cnt AS (SELECT r, v, COUNT(*)::BIGINT c FROM kept GROUP BY 1, 2),
+      rk AS (SELECT r, v, (2 * SUM(c) OVER (PARTITION BY r ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1)
+          ::BIGINT r2 FROM cnt),
+      tt AS (SELECT COALESCE(SUM(c::HUGEINT * c * c - c), 0) t FROM cnt),
+      ri AS (SELECT kept.i, SUM(rk.r2)::HUGEINT r2i FROM kept
+        JOIN rk ON kept.r = rk.r AND kept.v = rk.v GROUP BY 1),
+      g AS (SELECT COUNT(*)::BIGINT n, SUM(r2i * r2i) a FROM ri)
+      SELECT g.n AS n_items, (SELECT m FROM mm) AS m_raters,
+        tt.t::BIGINT AS tie_sum,
+        (CASE WHEN (SELECT m FROM mm)::HUGEINT * (SELECT m FROM mm) * g.n *
+            (g.n::HUGEINT * g.n - 1) - (SELECT m FROM mm) * tt.t > 0 THEN
+          CASE WHEN g.a - (SELECT m FROM mm)::HUGEINT * (SELECT m FROM mm) *
+              g.n * (g.n::HUGEINT + 1) * (g.n + 1) >= 0 THEN
+            3000 * (g.a - (SELECT m FROM mm)::HUGEINT * (SELECT m FROM mm) *
+                g.n * (g.n::HUGEINT + 1) * (g.n + 1))
+              // ((SELECT m FROM mm)::HUGEINT * (SELECT m FROM mm) * g.n *
+                (g.n::HUGEINT * g.n - 1) - (SELECT m FROM mm) * tt.t)
+          ELSE -(3000 * ((SELECT m FROM mm)::HUGEINT * (SELECT m FROM mm) *
+                g.n * (g.n::HUGEINT + 1) * (g.n + 1) - g.a)
+              // ((SELECT m FROM mm)::HUGEINT * (SELECT m FROM mm) * g.n *
+                (g.n::HUGEINT * g.n - 1) - (SELECT m FROM mm) * tt.t)) END
+          END)::BIGINT AS w_milli
+      FROM g, tt"""))
+
+  /** Murphy decomposition of the q258 propensity score as a purchase
+    * predictor — reliability (recalibratable miscalibration) vs
+    * resolution (real discrimination) vs the ȳ(1−ȳ) floor; exact
+    * per-bin cross-multiplied integers on calibration's bin table.
+    */
+  private val q270 = Q(
+    "q270_brier_decomp",
+    (spark, dir) => Eval.brierDecomposition(
+      pq(spark, dir, "events")
+        .filter(col("event_type").isNotNull &&
+          get_json_object(col("props"), "$.k").isNotNull)
+        .withColumn("y", col("event_type") === "purchase")
+        // Column-API double literal: in expr() SQL, `102.0` would parse
+        // as DECIMAL(4,1) and the division would round at scale 6 —
+        // off-by-one vs the oracle's IEEE double at floor boundaries
+        .withColumn("p",
+          (get_json_object(col("props"), "$.k").cast("long") + 1) /
+            lit(102.0)),
+      "y", "p", bins = 10),
+    Some("""WITH b0 AS (SELECT (event_type = 'purchase') y,
+          (json_extract(props, '$.k')::BIGINT + 1) / 102.0 p
+        FROM events WHERE event_type IS NOT NULL
+          AND json_extract(props, '$.k') IS NOT NULL),
+      b AS (SELECT least(greatest(floor(p * 10), 0), 9)::BIGINT bin,
+          (CASE WHEN y THEN 1 ELSE 0 END)::BIGINT yy,
+          floor(p * 1e6)::BIGINT sm,
+          floor(1000000.0 * (p - (CASE WHEN y THEN 1.0 ELSE 0.0 END))
+            * (p - (CASE WHEN y THEN 1.0 ELSE 0.0 END)))::BIGINT bm
+        FROM b0),
+      pb AS (SELECT bin, COUNT(*)::BIGINT nb, SUM(yy)::BIGINT pos,
+          SUM(sm)::HUGEINT ssm, SUM(bm)::HUGEINT sbm FROM b GROUP BY 1),
+      t AS (SELECT SUM(nb)::BIGINT n, SUM(pos)::BIGINT p,
+          SUM(sbm)::HUGEINT sb FROM pb),
+      agg AS (SELECT COUNT(*)::BIGINT n_bins_used,
+          SUM((ssm - pos::HUGEINT * 1000000) *
+            (ssm - pos::HUGEINT * 1000000) // nb) rel,
+          SUM((pos::HUGEINT * t.n - nb::HUGEINT * t.p) *
+            (pos::HUGEINT * t.n - nb::HUGEINT * t.p)
+            // (nb::HUGEINT * t.n)) res
+        FROM pb, t)
+      SELECT t.n, agg.n_bins_used,
+        (t.sb // t.n)::BIGINT AS brier_micro,
+        (agg.rel // (t.n::HUGEINT * 1000000))::BIGINT AS reliability_micro,
+        (1000000 * agg.res // (t.n::HUGEINT * t.n))::BIGINT
+          AS resolution_micro,
+        (1000000 * t.p::HUGEINT * (t.n - t.p) // (t.n::HUGEINT * t.n))
+          ::BIGINT AS uncertainty_micro
+      FROM t, agg"""))
+
+  /** Neyman allocation of a 1000-row eval budget across order-status
+    * strata by totalprice spread — weights N_h·S_h, largest-remainder
+    * rounding sums to the budget exactly, remainder rank via the
+    * range-exchange globalRank.
+    */
+  private val q271 = Q(
+    "q271_neyman_alloc",
+    (spark, dir) => Sampling.neymanAllocation(
+      pq(spark, dir, "orders"), "o_orderstatus", "o_totalprice",
+      budget = 1000L),
+    Some("""WITH b AS (SELECT o_orderstatus::VARCHAR s,
+          floor(o_totalprice * 1e6)::BIGINT vm
+        FROM orders WHERE o_orderstatus IS NOT NULL
+          AND o_totalprice IS NOT NULL),
+      g AS (SELECT s, COUNT(*)::BIGINT nh, SUM(vm)::HUGEINT sv,
+          SUM(vm::HUGEINT * vm) sv2 FROM b GROUP BY 1),
+      sm AS (SELECT s, nh, (CASE WHEN nh >= 2 THEN
+            floor(sqrt((nh * sv2 - sv * sv)::DOUBLE
+              / (nh::HUGEINT * (nh - 1))::DOUBLE))::BIGINT
+          ELSE 0 END) s_micro FROM g),
+      w AS (SELECT s, nh, s_micro, nh::HUGEINT * s_micro wt FROM sm),
+      tot AS (SELECT SUM(wt) tw FROM w),
+      q AS (SELECT s, nh, s_micro, wt, (1000 * wt // tot.tw) qb,
+          (1000 * wt - (1000 * wt // tot.tw) * tot.tw) rem FROM w, tot),
+      sp AS (SELECT SUM(qb) spent FROM q),
+      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, s) rk FROM q)
+      SELECT s AS stratum, nh AS n_rows, s_micro, wt::BIGINT AS weight,
+        (qb + (CASE WHEN rk <= 1000 - sp.spent THEN 1 ELSE 0 END))::BIGINT
+          AS quota
+      FROM r, sp"""))
+
+  /** Hellinger distance between the language distributions of two
+    * sources — the categorical drift gate pairing with q265's numeric
+    * KS; per-label mirrored sqrt trees, BC ≤ 10⁶ by Cauchy–Schwarz.
+    */
+  private val q272 = Q(
+    "q272_hellinger",
+    (spark, dir) => Eval.hellingerDistance(
+      pq(spark, dir, "documents")
+        .filter(col("source").isin("src0", "src1")),
+      "source", "lang"),
+    Some("""WITH b AS (SELECT source g, lang l FROM documents
+          WHERE source IN ('src0', 'src1') AND lang IS NOT NULL),
+      n AS (SELECT SUM(CASE WHEN g = 'src0' THEN 1 ELSE 0 END)::BIGINT na,
+          SUM(CASE WHEN g = 'src1' THEN 1 ELSE 0 END)::BIGINT nb FROM b),
+      c AS (SELECT l,
+          SUM(CASE WHEN g = 'src0' THEN 1 ELSE 0 END)::BIGINT ca,
+          SUM(CASE WHEN g = 'src1' THEN 1 ELSE 0 END)::BIGINT cb
+        FROM b GROUP BY 1),
+      agg AS (SELECT COUNT(*)::BIGINT n_labels,
+          COALESCE(SUM(floor(1000000.0 * sqrt(
+            ca::DOUBLE * cb / (na::DOUBLE * nb)))::BIGINT), 0) bc
+        FROM c, n)
+      SELECT 'src0' AS grp_a, 'src1' AS grp_b,
+        n.na AS n_a, n.nb AS n_b, agg.n_labels,
+        agg.bc::BIGINT AS bc_micro,
+        (1000000 - agg.bc)::BIGINT AS h2_micro,
+        floor(1000.0 * sqrt((1000000 - agg.bc)::DOUBLE / 1e6))::BIGINT
+          AS hellinger_milli
+      FROM n, agg"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8475,7 +8786,8 @@ object Queries {
     q215, q216, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
     q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
-    q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264)
+    q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
+    q265, q266, q267, q268, q269, q270, q271, q272)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -1429,4 +1429,357 @@ object Eval {
       .drop("__pass", "__k")
   }
 
+
+  /** Fleiss' κ — inter-rater agreement beyond chance for ANY fixed
+    * number r of raters per item (the multi-annotator generalization of
+    * [[cohensKappa]]): the label-quality gate for crowd/ensemble
+    * annotation pipelines, where each item carries r categorical votes
+    * and "agreement" must be discounted by how often raters would
+    * collide by chance.
+    *
+    * Items are kept STRUCTURALLY only when they carry exactly r votes
+    * after (item, rater) dedup (the q255 precondition style — the
+    * oracle replays it as a HAVING): Fleiss' formula is undefined for
+    * ragged panels. With n kept items, N = n·r total votes,
+    * S1 = Σ_i Σ_c n_ic² and C_c = Σ_i n_ic:
+    *
+    * {{{ P̄  = (S1 − N) / (n·r·(r−1))        (observed agreement)
+    *     P̄e = Σ_c C_c² / N²                 (chance agreement)
+    *     κ  = (A·N² − B·D) / (D·(N² − B))    exact integer form,
+    *          A = S1 − N,  B = Σ_c C_c²,  D = n·r·(r−1) }}}
+    *
+    * everything rides decimal(38,0); κ/P̄/P̄e floor once to micro with
+    * sign-split division (κ < 0 = worse than chance). NULL κ when
+    * N² = B (every vote one category — chance agreement is total).
+    *
+    * Overflow headroom: A·N² ≤ n³·r⁴ < 10³⁸ — n ≤ ~7·10¹¹ items at
+    * r ≤ 5, far past any annotation panel.
+    *
+    * Output (one row): `(n_items, n_raters, n_categories, p_bar_micro,
+    * p_e_micro, kappa_micro)`.
+    *
+    * 100 TB shape: one (item, rater) dedup + per-item vote-count filter
+    * (both map-side combinable), one groupBy(item, label) to the cell
+    * table, then two model-sized rollups (per-item, per-category) and a
+    * one-row finish.
+    */
+  def fleissKappa(
+      df: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String,
+      r: Int): DataFrame = {
+    require(r >= 2, s"fleissKappa needs r >= 2 raters per item, got $r")
+    val dec = "decimal(38,0)"
+    val votes = df
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(itemCol).cast("string").as("__i"),
+        col(raterCol).cast("string").as("__r"),
+        col(labelCol).cast("string").as("__l"))
+      // one vote per (item, rater): conflicting duplicates resolve to the
+      // lexicographically smallest label (deterministic, oracle-mirrored)
+      .groupBy("__i", "__r").agg(min("__l").as("__l"))
+    val kept = votes.groupBy("__i").agg(count(lit(1)).as("__nv"))
+      .filter(col("__nv") === r.toLong).select("__i")
+    val cells = votes.join(kept, "__i")
+      .groupBy("__i", "__l").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val itemAgg = cells.groupBy("__i")
+      .agg(sum(expr(s"cast(__c as $dec) * __c")).as("__s2"))
+      .agg(count(lit(1)).as("n_items"), sum("__s2").as("__s1"))
+    val catAgg = cells.groupBy("__l").agg(sum("__c").as("__cc"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(expr(s"cast(__cc as $dec) * __cc")).as("__b"))
+    itemAgg.crossJoin(broadcast(catAgg))
+      .select(col("n_items"), lit(r.toLong).as("n_raters"),
+        col("n_categories"), col("__s1"), col("__b"),
+        expr(s"cast(n_items as $dec) * $r").as("__nn"),
+        expr(s"cast(n_items as $dec) * $r * ${r - 1}").as("__d"))
+      .select(col("n_items"), col("n_raters"), col("n_categories"),
+        expr("cast(case when n_items > 0 then " +
+          "(__s1 - __nn) * 1000000 div __d end as long)").as("p_bar_micro"),
+        expr("cast(case when n_items > 0 then " +
+          "__b * 1000000 div (__nn * __nn) end as long)").as("p_e_micro"),
+        expr("""cast(case when __nn * __nn - __b > 0 then
+             case when (__s1 - __nn) * (__nn * __nn) - __b * __d >= 0 then
+               ((__s1 - __nn) * (__nn * __nn) - __b * __d) * 1000000
+                 div (__d * (__nn * __nn - __b))
+             else -((__b * __d - (__s1 - __nn) * (__nn * __nn)) * 1000000
+                 div (__d * (__nn * __nn - __b))) end
+             end as long)""").as("kappa_micro"))
+  }
+
+  /** Chi-square test of independence + Cramér's V for two categorical
+    * columns — ARE two metadata facets associated (language × source,
+    * label × annotator cohort), and how strongly on the comparable
+    * 0..1 scale V gives (χ² alone grows with n):
+    *
+    * {{{ χ² = n·(Σ_cells o²/(r·c) − 1),   V = √(χ²/(n·(min(R,C)−1))) }}}
+    *
+    * The o²/(r·c) form needs only OBSERVED cells (empty cells contribute
+    * zero), so the cell table — capped by a hard `maxCells` require, the
+    * jonckheereTerpstra pattern — is the only pair-shaped object.
+    * Exactness: each cell term floors once as `10⁶·n·o² div (r·c)`
+    * (truncation mirrored by the oracle), χ²_micro subtracts 10⁶·n
+    * exactly; V is ONE fixed double tree of the integer χ²_micro
+    * (runtime sqrt, q220 contract) floored to milli.
+    *
+    * Overflow: 10⁶·n·o² ≤ 10⁶·n³ < 10³⁸ for n ≤ ~3·10¹⁰ rows
+    * (decimal(38,0)); beyond that the sums NULL loudly, never wrap.
+    *
+    * Output (one row): `(n, n_rows_cat, n_cols_cat, n_cells,
+    * chi2_micro, v_milli)`; NULL V when min(R,C) < 2.
+    *
+    * 100 TB shape: one map-side-combined groupBy(a, b) to the capped
+    * cell table; marginals and the statistic are cell-table rollups.
+    */
+  def cramersV(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxCells: Long = 100000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint()
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"cramersV: $nCells contingency cells > maxCells $maxCells — bin " +
+        "the facets coarser or raise the cap deliberately")
+    val ra = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+    val cb = cells.groupBy("__b").agg(sum("__o").as("__cb"))
+    val tot = cells.agg(sum("__o").as("n"),
+      countDistinct("__a").as("n_rows_cat"),
+      countDistinct("__b").as("n_cols_cat"))
+    cells.join(broadcast(ra), "__a").join(broadcast(cb), "__b")
+      .crossJoin(broadcast(tot))
+      .agg(first("n").as("n"), first("n_rows_cat").as("n_rows_cat"),
+        first("n_cols_cat").as("n_cols_cat"), count(lit(1)).as("n_cells"),
+        sum(expr(s"cast(__o as $dec) * __o * 1000000 * n " +
+          s"div (cast(__ra as $dec) * __cb)")).as("__t"))
+      .select(col("n"), col("n_rows_cat"), col("n_cols_cat"),
+        col("n_cells"),
+        expr(s"cast(__t - cast(n as $dec) * 1000000 as long)")
+          .as("chi2_micro"),
+        expr("""case when least(n_rows_cat, n_cols_cat) >= 2 and n > 0 then
+             cast(floor(1000.0 * sqrt(
+               (cast(__t - cast(n as decimal(38,0)) * 1000000 as double)
+                  / 1e6)
+               / (cast(n as double) * (least(n_rows_cat, n_cols_cat) - 1))))
+             as long) end""").as("v_milli"))
+  }
+
+  /** Kendall's W — concordance among m rankers over n shared items: do
+    * the judges (LLM evaluators, annotator cohorts, ranking models)
+    * agree on an ORDERING, on the absolute 0..1 scale where 1 is
+    * unanimity and 0 is no association? The m-ranker generalization of
+    * rank correlation, and the ensemble-of-judges health check that
+    * [[fleissKappa]] (categorical votes) cannot give for ordinal
+    * scores.
+    *
+    * One score per (rater, item) after dedup (MIN, deterministic);
+    * items kept STRUCTURALLY only when ALL m raters scored them (m =
+    * global distinct rater count). Within-rater tie-midranks are kept
+    * integer by DOUBLING off a (rater, score) count and a RATER-KEYED
+    * running sum. With R2_i = Σ_raters r2, A = Σ R2_i², and the tie
+    * term T = Σ_raters Σ_groups (t³ − t), the tie-corrected W reduces
+    * to pure integers:
+    *
+    * {{{ W = 3·(A − m²·n·(n+1)²) / (m²·n·(n²−1) − m·T) }}}
+    *
+    * `w_milli` floors once (sign-split: ties-only degenerate
+    * denominators NULL; W itself is ≥ 0 up to floor jitter, but the
+    * division is sign-split anyway for exact parity). Output (one
+    * row): `(n_items, m_raters, tie_sum, w_milli)`; tie_sum rides
+    * int64 (≤ m·n³ — document: n ≤ ~10⁵ items at m ≤ 10³ raters).
+    *
+    * 100 TB shape: one (rater, item) dedup groupBy, one per-item
+    * completeness filter join, one (rater, score) count + rater-keyed
+    * window, then item-sized and one-row rollups.
+    */
+  def kendallsW(
+      df: DataFrame,
+      raterCol: String,
+      itemCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val obs = df
+      .filter(col(raterCol).isNotNull && col(itemCol).isNotNull &&
+        col(scoreCol).isNotNull)
+      .select(col(raterCol).cast("string").as("__r"),
+        col(itemCol).cast("string").as("__i"),
+        col(scoreCol).cast("double").as("__v"))
+      .groupBy("__r", "__i").agg(min("__v").as("__v"))
+      .localCheckpoint()
+    val m = obs.select("__r").distinct().count()
+    require(m >= 2, s"kendallsW needs >= 2 raters, got $m")
+    val keptItems = obs.groupBy("__i").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") === m).select("__i")
+    val kept = obs.join(keptItems, "__i").localCheckpoint()
+    val cnt = kept.groupBy("__r", "__v").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("__r").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = cnt.withColumn("__cum", sum("__c").over(w))
+      .select(col("__r"), col("__v"),
+        (lit(2L) * col("__cum") - col("__c") + 1L).as("__r2"))
+    val ties = cnt
+      .agg(sum(expr(s"cast(__c as $dec) * __c * __c - __c")).as("__t"))
+      .select(coalesce(col("__t"), lit(0).cast(dec)).as("__t"))
+    val ri = kept.join(ranks, Seq("__r", "__v"))
+      .groupBy("__i").agg(sum(col("__r2").cast(dec)).as("__r2i"))
+    ri.agg(count(lit(1)).as("n_items"),
+        sum(expr("__r2i * __r2i")).as("__a"))
+      .crossJoin(broadcast(ties))
+      .select(col("n_items"), lit(m).as("m_raters"),
+        expr("cast(__t as long)").as("tie_sum"),
+        expr(s"""cast(case when
+             cast($m as $dec) * $m * n_items *
+               (cast(n_items as $dec) * n_items - 1) - $m * __t > 0
+           then case when
+               __a - cast($m as $dec) * $m * n_items *
+                 (cast(n_items as $dec) + 1) * (n_items + 1) >= 0
+             then 3000 * (__a - cast($m as $dec) * $m * n_items *
+                 (cast(n_items as $dec) + 1) * (n_items + 1))
+               div (cast($m as $dec) * $m * n_items *
+                 (cast(n_items as $dec) * n_items - 1) - $m * __t)
+             else -(3000 * (cast($m as $dec) * $m * n_items *
+                 (cast(n_items as $dec) + 1) * (n_items + 1) - __a)
+               div (cast($m as $dec) * $m * n_items *
+                 (cast(n_items as $dec) * n_items - 1) - $m * __t)) end
+           end as long)""").as("w_milli"))
+  }
+
+  /** Murphy decomposition of the Brier score — WHY a probability score
+    * is bad: `Brier ≈ REL − RES + UNC` over [[calibration]]'s bins,
+    * where reliability (REL) is the miscalibration penalty a
+    * recalibration could remove, resolution (RES) is the discrimination
+    * the score actually has, and uncertainty (UNC = ȳ(1−ȳ)) is the
+    * floor no model beats. [[calibrationError]] says HOW miscalibrated;
+    * this says whether fixing it is worth anything (high REL + high RES
+    * → recalibrate; low RES → the score is near-useless regardless).
+    *
+    * Exact integer contract (N rows, P positives, per bin b: n_b rows,
+    * pos_b positives, ssm_b = Σ score_micro):
+    *
+    *  - `reliability_micro = (Σ_b ⌊(ssm_b − 10⁶·pos_b)² / n_b⌋)
+    *    div (N·10⁶)` — per-bin floor mirrored by the oracle;
+    *  - `resolution_micro = (10⁶ · Σ_b ⌊(pos_b·N − n_b·P)² / (n_b·N)⌋)
+    *    div N²` — same discipline;
+    *  - `uncertainty_micro = 10⁶·P·(N−P) div N²` — exact.
+    *
+    * The identity holds up to the documented per-row/per-bin flooring
+    * (micro-scale slack), so Brier is emitted alongside, not asserted.
+    *
+    * Overflow: the resolution numerator (pos·N − n·P)² ≤ N⁴ is divided
+    * by n_b·N per bin BEFORE the 10⁶ scale, so terms stay under
+    * 10⁶·N³ < 10³⁸ for N ≤ ~3·10¹⁰ rows (decimal(38,0); NULL loudly
+    * beyond, never wrapped).
+    *
+    * Output (one row): `(n, n_bins_used, brier_micro, reliability_micro,
+    * resolution_micro, uncertainty_micro)`.
+    *
+    * 100 TB shape: [[calibration]]'s one map-side-combined groupBy(bin)
+    * + a ≤bins-row rollup.
+    */
+  def brierDecomposition(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins $bins out of [2,10000]")
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(
+        least(greatest(floor(col(scoreCol) * bins), lit(0L)),
+          lit((bins - 1).toLong)).as("bin"),
+        when(col(labelCol) === true, 1L).otherwise(0L).as("y"),
+        floor(col(scoreCol) * 1e6).cast("long").as("sm"),
+        expr(s"""cast(floor(1000000.0 *
+          (cast(`$scoreCol` as double) - (case when `$labelCol` then 1.0d else 0.0d end)) *
+          (cast(`$scoreCol` as double) - (case when `$labelCol` then 1.0d else 0.0d end)))
+          as long)""").as("bm"))
+    val perBin = base.groupBy("bin").agg(
+      count(lit(1)).as("nb"), sum("y").as("pos"),
+      sum(col("sm").cast(dec)).as("ssm"), sum("bm").as("sbm"))
+      .localCheckpoint()
+    val tot = perBin.agg(sum("nb").as("n"), sum("pos").as("p"),
+      sum("sbm").as("sb"))
+    perBin.crossJoin(broadcast(tot))
+      .agg(first("n").as("n"), count(lit(1)).as("n_bins_used"),
+        first("p").as("__p"), first("sb").as("__sb"),
+        sum(expr(s"""(ssm - cast(pos as $dec) * 1000000) *
+          (ssm - cast(pos as $dec) * 1000000) div nb""")).as("__rel"),
+        sum(expr(s"""(cast(pos as $dec) * n - cast(nb as $dec) * p) *
+          (cast(pos as $dec) * n - cast(nb as $dec) * p)
+          div (cast(nb as $dec) * n)""")).as("__res"))
+      .select(col("n"), col("n_bins_used"),
+        expr("cast(__sb div n as long)").as("brier_micro"),
+        expr(s"cast(__rel div (cast(n as $dec) * 1000000) as long)")
+          .as("reliability_micro"),
+        expr(s"""cast(1000000 * __res div (cast(n as $dec) * n) as long)""")
+          .as("resolution_micro"),
+        expr(s"""cast(1000000 * cast(__p as $dec) * (n - __p)
+          div (cast(n as $dec) * n) as long)""").as("uncertainty_micro"))
+  }
+
+  /** Hellinger distance (via the Bhattacharyya coefficient) between the
+    * LABEL DISTRIBUTIONS of two groups — how far apart two corpus
+    * slices are categorically (language mix of two sources, topic mix
+    * of two snapshots), on the proper-metric 0..1 scale that KL lacks
+    * (symmetric, bounded, defined at zero cells):
+    *
+    * {{{ BC = Σ_label √(p_label · q_label),   H = √(1 − BC) }}}
+    *
+    * Exactness: per label the term `⌊10⁶·√(c₁·c₂/(n₁·n₂))⌋` is ONE
+    * fixed double tree of exact integers (q220 runtime-sqrt contract,
+    * mirrored token-for-token); labels missing from either side
+    * contribute exactly 0. Per-term flooring only LOWERS the sum, and
+    * BC ≤ 10⁶ holds by Cauchy–Schwarz, so `h2_micro = 10⁶ − bc_micro`
+    * never goes negative; `hellinger_milli = ⌊1000·√(h2/10⁶)⌋` is one
+    * more mirrored tree.
+    *
+    * Output (one row): `(grp_a, grp_b, n_a, n_b, n_labels, bc_micro,
+    * h2_micro, hellinger_milli)`; requires exactly 2 groups (the
+    * [[graft.ops.Features.ksTestTwoSample]] precondition — KS for
+    * numeric drift, this for categorical drift).
+    *
+    * 100 TB shape: one map-side-combined groupBy(label) with two
+    * conditional counts; the finish is a label-table rollup. The driver
+    * sees the 2-row group table only.
+    */
+  def hellingerDistance(
+      df: DataFrame,
+      groupCol: String,
+      labelCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(labelCol).cast("string").as("__l"))
+      .localCheckpoint()
+    val g = base.groupBy("__g").agg(count(lit(1)).as("ng"))
+      .orderBy("__g").collect()
+    require(g.length == 2,
+      s"hellingerDistance: exactly 2 groups required, got ${g.length}")
+    val (ga, gb) = (g(0).getString(0), g(1).getString(0))
+    val (na, nb) = (g(0).getLong(1), g(1).getLong(1))
+    base.groupBy("__l")
+      .agg(sum(when(col("__g") === ga, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === gb, 1L).otherwise(0L)).as("__cb"))
+      .agg(count(lit(1)).as("n_labels"),
+        sum(expr(s"""cast(floor(1000000.0 * sqrt(
+          cast(__ca as double) * __cb
+          / (cast($na as double) * $nb))) as long)""")).as("bc_micro"))
+      .select(lit(ga).as("grp_a"), lit(gb).as("grp_b"),
+        lit(na).as("n_a"), lit(nb).as("n_b"), col("n_labels"),
+        coalesce(col("bc_micro"), lit(0L)).as("bc_micro"))
+      .withColumn("h2_micro", lit(1000000L) - col("bc_micro"))
+      .withColumn("hellinger_milli", expr(
+        "cast(floor(1000.0 * sqrt(cast(h2_micro as double) / 1e6)) as long)"))
+  }
 }

@@ -1276,4 +1276,154 @@ object Features {
         when(col("z_milli").isNull, lit(null).cast("boolean"))
           .otherwise(abs(col("z_milli")) >= 1960L))
   }
+
+  /** Two-sample Kolmogorov–Smirnov test — does the whole DISTRIBUTION of
+    * a numeric differ between two groups (not just the location that
+    * [[mannWhitney]] tests): `D = max_v |F_a(v) − F_b(v)|` over the
+    * empirical CDFs, the workhorse drift gate for score/length/quality
+    * distributions between two corpus slices or model versions.
+    *
+    * Exact integer contract: per distinct value, cumulative per-group
+    * counts come off ONE [[Ranks.prefixSum]] range exchange; the CDF gap
+    * is compared via the cross-multiplied integer `|cumA·n_b − cumB·n_a|`
+    * (no per-value division anywhere), and `d_micro = ⌊10⁶·D⌋ =
+    * max_num·10⁶ div (n_a·n_b)` divides once. The 5% rejection uses the
+    * asymptotic critical value `c(0.05)=1.358`: `crit_micro =
+    * ⌊10⁶·1.358·√((n_a+n_b)/(n_a·n_b))⌋` is ONE fixed double tree of
+    * exact integers (q220 runtime-sqrt contract, mirrored
+    * token-for-token by the oracle) and `significant = d_micro >
+    * crit_micro` compares the two floored micros — identical arithmetic
+    * in both engines, so the verdict hash-matches bit-for-bit.
+    *
+    * Output (one row): `(grp_a, grp_b, n_a, n_b, d_micro, crit_micro,
+    * significant)`; groups ordered lexicographically. Requires exactly
+    * 2 groups (the [[mannWhitney]] precondition).
+    *
+    * Overflow: cum·n ≤ n² stays inside int64 to n ≈ 3·10⁹ and the
+    * decimal(38,0) ride is exact far beyond; the ×10⁶ division is done
+    * in decimal.
+    *
+    * 100 TB shape: one distinct-value groupBy (map-side combined), one
+    * prefixSum range exchange over the DISTINCT table, one one-row max —
+    * the q211/q213 plan; the driver sees a 2-row group table and one max
+    * row.
+    */
+  def ksTestTwoSample(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .localCheckpoint()
+    val g = base.groupBy("__g").agg(count(lit(1)).as("ng"))
+      .orderBy("__g").collect()
+    require(g.length == 2,
+      s"ksTestTwoSample: exactly 2 groups required, got ${g.length}")
+    val (ga, gb) = (g(0).getString(0), g(1).getString(0))
+    val (na, nb) = (g(0).getLong(1), g(1).getLong(1))
+    val cnt = base.groupBy(col("__v"))
+      .agg(sum(when(col("__g") === ga, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === gb, 1L).otherwise(0L)).as("__cb"))
+    val cum = Ranks.prefixSum(cnt, Seq(col("__v")), Seq("__ca", "__cb"))
+    val dec = "decimal(38,0)"
+    val maxNum = cum.agg(max(abs(
+        col("__ca_cum").cast(dec) * nb - col("__cb_cum").cast(dec) * na))
+      .as("__m")).collect()(0).getDecimal(0)
+    val dMicro =
+      if (maxNum == null) 0L // empty input: D over nothing is 0
+      else (BigInt(maxNum.toBigInteger) * 1000000 /
+        (BigInt(na) * nb)).toLong
+    // c(0.05)·√((n_a+n_b)/(n_a·n_b)) — one fixed double tree of exact
+    // integers, floored once (mirrored token-for-token by the oracle)
+    val critMicro = math.floor(1e6 * 1.358 *
+      math.sqrt((na + nb).toDouble / (na.toDouble * nb.toDouble))).toLong
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, na, nb, dMicro, critMicro, dMicro > critMicro))
+      .toDF("grp_a", "grp_b", "n_a", "n_b", "d_micro", "crit_micro",
+        "significant")
+  }
+
+  /** Friedman test — the repeated-measures rank ANOVA: do k treatments
+    * differ when every block (subject, day, prompt) sees ALL k of them?
+    * The within-block ranking removes block-level shifts that would
+    * drown [[kruskalWallis]] (which assumes independent groups) — the
+    * right gate for "5 model variants scored on the same prompts" or
+    * "event types compared day by day".
+    *
+    * Blocks are kept STRUCTURALLY only when they carry all k treatments
+    * after (block, treatment) dedup (duplicates resolve to the MIN
+    * value, deterministic and oracle-mirrored); k is the GLOBAL distinct
+    * treatment count. Ranks are within-block tie-midranks kept integer
+    * by DOUBLING (`2·cum − c + 1` off a per-(block, value) count and a
+    * BLOCK-KEYED running sum — no keyless window anywhere). With
+    * R2_j = Σ_blocks r2 and A2 = Σ r2², the tie-corrected statistic
+    * (Conover's form) reduces to pure integers:
+    *
+    * {{{ χ²_F = (k−1) · Σ_j (R2_j − n(k+1))² / (A2 − n·k·(k+1)²) }}}
+    *
+    * `chi2_milli` floors once; NULL when the denominator is 0 (every
+    * block fully tied). `significant` compares against the caller's
+    * χ²(k−1) critical value in milli (default 9488 = χ²₄ at 5%, the
+    * k = 5 case).
+    *
+    * Output (one row): `(n_blocks, k_treatments, chi2_milli,
+    * significant)`.
+    *
+    * Overflow: R2_j ≤ 2nk and A2 ≤ 4nk³ ride decimal(38,0) to
+    * n·k² ≈ 10¹⁸ — unreachable.
+    *
+    * 100 TB shape: one (block, treatment) dedup groupBy, one block-count
+    * filter join, one (block, value) count + block-keyed window (scales
+    * with blocks), then model-sized k-row and one-row rollups.
+    */
+  def friedmanTest(
+      df: DataFrame,
+      blockCol: String,
+      treatmentCol: String,
+      valueCol: String,
+      critMilli: Long = 9488L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val obs = df
+      .filter(col(blockCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(blockCol).cast("string").as("__blk"),
+        col(treatmentCol).cast("string").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .groupBy("__blk", "__t").agg(min("__v").as("__v"))
+      .localCheckpoint()
+    val k = obs.select("__t").distinct().count()
+    require(k >= 2, s"friedmanTest needs >= 2 treatments, got $k")
+    val keptBlocks = obs.groupBy("__blk").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") === k).select("__blk")
+    val kept = obs.join(keptBlocks, "__blk")
+    val cnt = kept.groupBy("__blk", "__v").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("__blk").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = cnt.withColumn("__cum", sum("__c").over(w))
+      .select(col("__blk"), col("__v"),
+        (lit(2L) * col("__cum") - col("__c") + 1L).as("__r2"))
+    val rows = kept.join(ranks, Seq("__blk", "__v"))
+      .select(col("__blk"), col("__t"), col("__r2"))
+      .localCheckpoint()
+    val rt = rows.groupBy("__t")
+      .agg(sum(col("__r2").cast(dec)).as("__r2j"))
+    val glob = rows.agg(countDistinct("__blk").as("n_blocks"),
+      sum(expr(s"cast(__r2 as $dec) * __r2")).as("__a2"))
+    rt.crossJoin(broadcast(glob))
+      .agg(first("n_blocks").as("n_blocks"), first("__a2").as("__a2"),
+        sum(expr(s"(__r2j - cast(n_blocks as $dec) * ${k + 1}) * " +
+          s"(__r2j - cast(n_blocks as $dec) * ${k + 1})")).as("__num"))
+      .select(col("n_blocks"), lit(k).as("k_treatments"),
+        expr(s"""cast(case when
+             __a2 - cast(n_blocks as $dec) * $k * ${(k + 1) * (k + 1)} > 0
+           then ${k - 1} * 1000 * __num div
+             (__a2 - cast(n_blocks as $dec) * $k * ${(k + 1) * (k + 1)})
+           end as long)""").as("chi2_milli"))
+      .withColumn("significant",
+        when(col("chi2_milli").isNull, lit(null).cast("boolean"))
+          .otherwise(col("chi2_milli") >= critMilli))
+  }
 }

@@ -734,4 +734,81 @@ object Sampling {
       .drop("__cut_ts", "__cut_tie")
   }
 
+
+  /** Neyman (optimal) stratified-sample allocation — how many of a
+    * `budget` of sample slots each stratum gets when the goal is the
+    * minimum-variance estimate of the value's mean: `n_h ∝ N_h·S_h`
+    * (stratum size × within-stratum standard deviation), the classic
+    * survey-sampling result that beats proportional allocation exactly
+    * when strata differ in spread — the right way to size eval slices
+    * drawn from heterogeneous corpus segments.
+    *
+    * Exact integer contract: values micro-floor once; the exact
+    * decimal(38,0) moments N·Σv² − (Σv)² and N·(N−1) each cast to
+    * double ONCE (IEEE round-to-nearest of an exact integer — identical
+    * in any engine) and `s_micro = ⌊√(num/den)⌋` is one fixed double
+    * tree (q220 contract; an integer `div` here would overflow
+    * IntegralDivide's int64 result at micro² magnitudes); single-row
+    * strata get s = 0. Weights `w_h = N_h·s_micro` ride decimal(38,0); base
+    * quotas `⌊budget·w_h/Σw⌋` and largest-remainder bonuses (ranked by
+    * exact integer remainder desc, stratum asc, via the range-exchange
+    * [[graft.ops.Ranks.globalRank]] — no keyless window) make the
+    * allocations SUM TO BUDGET EXACTLY. Quotas are the raw Neyman
+    * numbers: a tiny high-variance stratum can be allocated more rows
+    * than it has — the caller clamps and re-runs without saturated
+    * strata (the textbook iterative step), which keeps this op a pure
+    * deterministic function. Requires Σw > 0 (at least one stratum
+    * with spread).
+    *
+    * Output per stratum: `(stratum, n_rows, s_micro, weight, quota)`,
+    * `weight` as int64 (N_h·s_micro < 2⁶³ documented bound — 10¹²
+    * rows at s ≤ 9·10⁶ micro).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(stratum) over three
+    * moments; everything after runs on the model-sized strata table
+    * (globalRank's range exchange included).
+    */
+  def neymanAllocation(
+      df: DataFrame,
+      stratumCol: String,
+      valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget $budget must be >= 0")
+    val dec = "decimal(38,0)"
+    val strata = df
+      .filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(stratumCol).cast("string").as("__s"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__vm"))
+      .groupBy("__s")
+      .agg(count(lit(1)).as("nh"),
+        sum(col("__vm").cast(dec)).as("__sv"),
+        sum(expr(s"cast(__vm as $dec) * __vm")).as("__sv2"))
+      .withColumn("s_micro", expr(s"""case when nh >= 2 then
+          cast(floor(sqrt(
+            cast(cast(nh as $dec) * __sv2 - __sv * __sv as double)
+              / cast(cast(nh as $dec) * (nh - 1) as double))) as long)
+        else 0L end"""))
+      .withColumn("__w", expr(s"cast(nh as $dec) * s_micro"))
+      .localCheckpoint()
+    val tot = strata.agg(sum("__w").as("__tw"))
+    val twRow = tot.collect()(0)
+    require(!twRow.isNullAt(0) &&
+        twRow.getDecimal(0).signum() > 0,
+      "neymanAllocation: every stratum has zero spread (or no strata) — " +
+        "Neyman weights are all zero; sample proportionally instead")
+    val based = strata.crossJoin(broadcast(tot))
+      .withColumn("__qb", expr(s"cast($budget as $dec) * __w div __tw"))
+      .withColumn("__rem", expr(s"cast($budget as $dec) * __w - __qb * __tw"))
+    val spent = based.agg(sum("__qb").as("__spent"))
+    val ranked = Ranks.globalRank(
+      based.crossJoin(broadcast(spent)),
+      Seq(col("__rem").desc, col("__s").asc), "__rk")
+    ranked
+      .withColumn("quota", expr(s"""cast(__qb +
+        (case when __rk <= cast($budget as $dec) - __spent then 1 else 0 end)
+        as long)"""))
+      .select(col("__s").as("stratum"), col("nh").as("n_rows"),
+        col("s_micro"), expr("cast(__w as long)").as("weight"),
+        col("quota"))
+  }
 }

@@ -1048,4 +1048,174 @@ class StatsOpsSpec extends SparkSuite {
     assert(f.getAs[Long]("u2") == f.getAs[Long]("e2"))
     assert(f.getAs[Long]("z_milli") == 0L && !f.getAs[Boolean]("trending"))
   }
+
+  test("ksTestTwoSample: disjoint supports max D, identical samples zero D") {
+    val spark2 = spark
+    import spark2.implicits._
+    val disjoint = (1 to 50).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("b", 1000.0 + i))
+    val d1 = Features.ksTestTwoSample(disjoint.toDF("g", "v"), "g", "v")
+      .collect()(0)
+    assert(d1.getAs[Long]("d_micro") == 1000000L)
+    assert(d1.getAs[Boolean]("significant"))
+    val same = (1 to 50).flatMap(i =>
+      Seq(("a", i.toDouble), ("b", i.toDouble)))
+    val d0 = Features.ksTestTwoSample(same.toDF("g", "v"), "g", "v")
+      .collect()(0)
+    assert(d0.getAs[Long]("d_micro") == 0L)
+    assert(!d0.getAs[Boolean]("significant"))
+    intercept[IllegalArgumentException] {
+      Features.ksTestTwoSample(
+        Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("g", "v"), "g", "v")
+    }
+  }
+
+  test("fleissKappa: unanimity is 1e6, one-category degenerates to NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 10 items x 3 raters, unanimous per item, labels vary across items
+    val unanimous = for (i <- 0 until 10; r <- 0 until 3)
+      yield (s"i$i", s"r$r", s"L${i % 3}")
+    val u = Eval.fleissKappa(
+      unanimous.toDF("i", "r", "l"), "i", "r", "l", r = 3).collect()(0)
+    assert(u.getAs[Long]("n_items") == 10L)
+    assert(u.getAs[Long]("p_bar_micro") == 1000000L)
+    assert(u.getAs[Long]("kappa_micro") == 1000000L)
+    // every vote the same single category: chance agreement total -> NULL
+    val mono = for (i <- 0 until 6; r <- 0 until 3)
+      yield (s"i$i", s"r$r", "only")
+    val m = Eval.fleissKappa(
+      mono.toDF("i", "r", "l"), "i", "r", "l", r = 3).collect()(0)
+    assert(m.isNullAt(m.fieldIndex("kappa_micro")))
+    // items without exactly r votes are dropped structurally
+    val ragged = unanimous :+ (("extra", "r0", "L0"))
+    val g = Eval.fleissKappa(
+      ragged.toDF("i", "r", "l"), "i", "r", "l", r = 3).collect()(0)
+    assert(g.getAs[Long]("n_items") == 10L)
+  }
+
+  test("cramersV: identity mapping V=1000, independence V~0, maxCells loud") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dep = (0 until 300).map(i => (s"c${i % 3}", s"c${i % 3}"))
+    val d = Eval.cramersV(dep.toDF("a", "b"), "a", "b").collect()(0)
+    assert(d.getAs[Long]("v_milli") == 1000L,
+      s"identity must give V=1: ${d}")
+    // independent uniform facets: chi2 exactly 0 on a balanced design
+    val ind = for (i <- 0 until 4; j <- 0 until 5; _ <- 0 until 3)
+      yield (s"a$i", s"b$j")
+    val e = Eval.cramersV(ind.toDF("a", "b"), "a", "b").collect()(0)
+    assert(math.abs(e.getAs[Long]("chi2_micro")) <= 60L, e.toString)
+    val big = intercept[IllegalArgumentException] {
+      Eval.cramersV(
+        (0 until 50).flatMap(i => (0 until 50).map(j => (s"x$i", s"y$j")))
+          .toDF("a", "b"), "a", "b", maxCells = 100L)
+    }
+    assert(big.getMessage.contains("maxCells"))
+  }
+
+  test("friedmanTest: consistent block ordering rejects, constant values NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 12 blocks, 4 treatments, t3 > t2 > t1 > t0 in every block
+    val strong = for (b <- 0 until 12; t <- 0 until 4)
+      yield (s"b$b", s"t$t", t * 10.0 + b * 0.01)
+    val f = Features.friedmanTest(
+      strong.toDF("blk", "t", "v"), "blk", "t", "v", critMilli = 7815L)
+      .collect()(0)
+    // no ties: chi2 = n(k-1) * ... = exactly 12*3 = 36 -> 36000 milli
+    assert(f.getAs[Long]("n_blocks") == 12L &&
+      f.getAs[Long]("k_treatments") == 4L)
+    assert(f.getAs[Long]("chi2_milli") == 36000L, f.toString)
+    assert(f.getAs[Boolean]("significant"))
+    // all values tied within every block: denominator 0 -> NULL
+    val flat = for (b <- 0 until 5; t <- 0 until 4)
+      yield (s"b$b", s"t$t", 7.0)
+    val g = Features.friedmanTest(
+      flat.toDF("blk", "t", "v"), "blk", "t", "v").collect()(0)
+    assert(g.isNullAt(g.fieldIndex("chi2_milli")))
+    // blocks missing a treatment drop structurally
+    val ragged = strong ++ Seq(("extra", "t0", 1.0))
+    val h = Features.friedmanTest(
+      ragged.toDF("blk", "t", "v"), "blk", "t", "v").collect()(0)
+    assert(h.getAs[Long]("n_blocks") == 12L)
+  }
+
+  test("kendallsW: unanimous rankings W=1000, two opposed raters W=0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val unanimous = for (r <- 0 until 5; i <- 0 until 8)
+      yield (s"r$r", s"i$i", i.toDouble)
+    val u = Eval.kendallsW(
+      unanimous.toDF("r", "i", "v"), "r", "i", "v").collect()(0)
+    assert(u.getAs[Long]("n_items") == 8L && u.getAs[Long]("m_raters") == 5L)
+    assert(u.getAs[Long]("w_milli") == 1000L, u.toString)
+    val opposed = (0 until 8).map(i => ("r0", s"i$i", i.toDouble)) ++
+      (0 until 8).map(i => ("r1", s"i$i", (7 - i).toDouble))
+    val o = Eval.kendallsW(
+      opposed.toDF("r", "i", "v"), "r", "i", "v").collect()(0)
+    assert(o.getAs[Long]("w_milli") == 0L, o.toString)
+  }
+
+  test("brierDecomposition: perfect predictor all skill, constant predictor no resolution") {
+    val spark2 = spark
+    import spark2.implicits._
+    val perfect = (0 until 200).map(i => (i % 3 == 0, if (i % 3 == 0) 1.0 else 0.0))
+    val p = Eval.brierDecomposition(
+      perfect.toDF("y", "p"), "y", "p", bins = 10).collect()(0)
+    assert(p.getAs[Long]("brier_micro") == 0L)
+    assert(p.getAs[Long]("reliability_micro") == 0L)
+    // resolution equals uncertainty when the predictor is perfect —
+    // up to the per-bin floor slack, bounded by bins·10⁶/N² (the
+    // truncation happens before the 10⁶ scale-up): 2 bins, N=200 → 50
+    assert(math.abs(p.getAs[Long]("resolution_micro") -
+      p.getAs[Long]("uncertainty_micro")) <= 50L, p.toString)
+    val constant = (0 until 200).map(i => (i % 4 == 0, 0.25))
+    val c = Eval.brierDecomposition(
+      constant.toDF("y", "p"), "y", "p", bins = 10).collect()(0)
+    assert(c.getAs[Long]("resolution_micro") == 0L)
+    assert(c.getAs[Long]("reliability_micro") <= 1L, c.toString)
+    assert(c.getAs[Long]("uncertainty_micro") == 187500L) // 0.25*0.75
+  }
+
+  test("neymanAllocation: quotas sum to budget, spread wins over size") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(5)
+    // "wide": 100 rows spread over [0, 1000); "narrow": 300 rows in [500, 501)
+    val rows = (0 until 100).map(i => ("wide", rnd.nextDouble() * 1000)) ++
+      (0 until 300).map(i => ("narrow", 500.0 + rnd.nextDouble()))
+    val out = graft.ops.Sampling.neymanAllocation(
+        rows.toDF("s", "v"), "s", "v", budget = 97L)
+      .collect().map(r => r.getAs[String]("stratum") -> r).toMap
+    assert(out.values.map(_.getAs[Long]("quota")).sum == 97L)
+    // 3x fewer rows but ~300x the spread: wide must dominate
+    assert(out("wide").getAs[Long]("quota") >
+      out("narrow").getAs[Long]("quota") * 10)
+    val zero = intercept[IllegalArgumentException] {
+      graft.ops.Sampling.neymanAllocation(
+        Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("s", "v"),
+        "s", "v", budget = 10L)
+    }
+    assert(zero.getMessage.contains("zero spread"))
+  }
+
+  test("hellingerDistance: identical mixes ~0, disjoint labels exactly 1") {
+    val spark2 = spark
+    import spark2.implicits._
+    val same = (0 until 120).flatMap(i =>
+      Seq(("a", s"L${i % 4}"), ("b", s"L${i % 4}")))
+    val s0 = Eval.hellingerDistance(same.toDF("g", "l"), "g", "l")
+      .collect()(0)
+    // per-label floors can shave at most 1 micro each off BC
+    assert(s0.getAs[Long]("bc_micro") >= 999996L, s0.toString)
+    assert(s0.getAs[Long]("hellinger_milli") <= 2L)
+    val disjoint = (0 until 60).map(i => ("a", s"X${i % 3}")) ++
+      (0 until 60).map(i => ("b", s"Y${i % 3}"))
+    val s1 = Eval.hellingerDistance(disjoint.toDF("g", "l"), "g", "l")
+      .collect()(0)
+    assert(s1.getAs[Long]("bc_micro") == 0L)
+    assert(s1.getAs[Long]("h2_micro") == 1000000L &&
+      s1.getAs[Long]("hellinger_milli") == 1000L)
+  }
 }
