@@ -8764,6 +8764,102 @@ object Queries {
           AS hellinger_milli
       FROM n, agg"""))
 
+  /** Page's L ordered trend across prop-k quintile "doses", blocked by
+    * day — the blocked counterpart to q264's Jonckheere; exact integer
+    * L2 and chi-square over doubled within-block midranks.
+    */
+  private val q273 = Q(
+    "q273_pages_trend",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val daily = raw
+        .filter(col("ts").isNotNull && col("value").isNotNull &&
+          get_json_object(col("props"), "$.k").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(raw, "ts"))
+        .withColumn("day", expr("__ms div 86400000"))
+        .withColumn("dose", expr(
+          "CAST(get_json_object(props, '$.k') AS BIGINT) div 20"))
+        .withColumn("__v", floor(col("value") * 1e6).cast("long"))
+        .groupBy(col("day"), col("dose"))
+        .agg(sum("__v").as("sv"))
+      Features.pagesTrendTest(daily, "day", "dose", "sv")
+    },
+    Some("""WITH e AS (SELECT epoch_ms(ts) // 86400000 blk,
+          json_extract(props, '$.k')::BIGINT // 20 t,
+          floor(value * 1e6)::BIGINT v
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND json_extract(props, '$.k') IS NOT NULL),
+      cellv AS (SELECT blk, t, SUM(v)::BIGINT sv FROM e GROUP BY 1, 2),
+      obs AS (SELECT blk::VARCHAR blk, t, MIN(sv::DOUBLE) v
+        FROM cellv GROUP BY 1, 2),
+      ks AS (SELECT COUNT(DISTINCT t)::BIGINT k FROM obs),
+      pos AS (SELECT t, ROW_NUMBER() OVER (ORDER BY t)::BIGINT j
+        FROM (SELECT DISTINCT t FROM obs) d),
+      keptb AS (SELECT blk FROM obs GROUP BY 1
+        HAVING COUNT(*) = (SELECT k FROM ks)),
+      kept AS (SELECT o.blk, o.t, o.v FROM obs o JOIN keptb USING (blk)),
+      cnt AS (SELECT blk, v, COUNT(*)::BIGINT c FROM kept GROUP BY 1, 2),
+      rk AS (SELECT blk, v, (2 * SUM(c) OVER (PARTITION BY blk ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1)
+          ::BIGINT r2 FROM cnt),
+      l AS (SELECT COUNT(DISTINCT kept.blk)::BIGINT n,
+          SUM(pos.j::HUGEINT * rk.r2) l2
+        FROM kept JOIN rk ON kept.blk = rk.blk AND kept.v = rk.v
+          JOIN pos ON kept.t = pos.t)
+      SELECT n AS n_blocks, (SELECT k FROM ks) AS k_treatments,
+        l2::BIGINT AS l2,
+        (CASE WHEN n > 0 THEN (6 * l2 - n::HUGEINT * 540) *
+            (6 * l2 - n::HUGEINT * 540) * 1000 // (n::HUGEINT * 3600)
+          END)::BIGINT AS chi2_milli,
+        (CASE WHEN n > 0 THEN
+            CASE WHEN 6 * l2 - n::HUGEINT * 540 > 0 THEN 1
+              WHEN 6 * l2 - n::HUGEINT * 540 < 0 THEN -1 ELSE 0 END
+          END)::BIGINT AS direction,
+        ((CASE WHEN n > 0 THEN (6 * l2 - n::HUGEINT * 540) *
+            (6 * l2 - n::HUGEINT * 540) * 1000 // (n::HUGEINT * 3600)
+          END) >= 3841) AS significant
+      FROM l"""))
+
+  /** Cochran–Armitage trend of purchase rate across prop-k deciles —
+    * the 1-df ordered-dose test for a binary outcome; exact decimal
+    * moments, one mirrored z tree.
+    */
+  private val q274 = Q(
+    "q274_cochran_armitage",
+    (spark, dir) => Causal.cochranArmitage(
+      pq(spark, dir, "events")
+        .filter(col("event_type").isNotNull &&
+          get_json_object(col("props"), "$.k").isNotNull)
+        .withColumn("decile", expr(
+          "CAST(get_json_object(props, '$.k') AS BIGINT) div 10"))
+        .withColumn("purchased", col("event_type") === "purchase"),
+      "decile", "purchased"),
+    Some("""WITH b AS (SELECT json_extract(props, '$.k')::BIGINT // 10 w,
+          (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT y
+        FROM events WHERE event_type IS NOT NULL
+          AND json_extract(props, '$.k') IS NOT NULL),
+      g AS (SELECT w, COUNT(*)::BIGINT n, SUM(y)::BIGINT x
+        FROM b GROUP BY 1),
+      m AS (SELECT SUM(n)::BIGINT n, SUM(x)::BIGINT p,
+          COUNT(*)::BIGINT k, SUM(w::HUGEINT * x) swx,
+          SUM(w::HUGEINT * n) swn, SUM(w::HUGEINT * w * n) sw2n FROM g)
+      SELECT n, p AS n_pos, k AS k_groups,
+        (CASE WHEN p > 0 AND p < n
+            AND n::HUGEINT * sw2n - swn * swn > 0 THEN
+          floor(1000.0 *
+            (n::HUGEINT * swx - p::HUGEINT * swn)::DOUBLE
+            / sqrt((p::HUGEINT * (n - p))::DOUBLE
+              * (n::HUGEINT * sw2n - swn * swn)::DOUBLE / n::DOUBLE))
+          END)::BIGINT AS z_milli,
+        (abs(CASE WHEN p > 0 AND p < n
+            AND n::HUGEINT * sw2n - swn * swn > 0 THEN
+          floor(1000.0 *
+            (n::HUGEINT * swx - p::HUGEINT * swn)::DOUBLE
+            / sqrt((p::HUGEINT * (n - p))::DOUBLE
+              * (n::HUGEINT * sw2n - swn * swn)::DOUBLE / n::DOUBLE))
+          END) >= 1960) AS significant
+      FROM m"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8787,7 +8883,7 @@ object Queries {
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
     q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
-    q265, q266, q267, q268, q269, q270, q271, q272)
+    q265, q266, q267, q268, q269, q270, q271, q272, q273, q274)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

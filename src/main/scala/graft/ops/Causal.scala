@@ -411,4 +411,63 @@ object Causal {
         "p_b_micro", "diff_micro", "z_milli", "wilson_lo_a_micro",
         "wilson_hi_a_micro", "wilson_lo_b_micro", "wilson_hi_b_micro")
   }
+
+  /** Cochran–Armitage trend test — does a BINARY rate trend MONOTONE
+    * across ordered groups (quality-pass rate across source deciles,
+    * purchase rate across propensity buckets)? The two-proportion test
+    * ([[twoProportionZ]]) compares two arms; chi-square association
+    * ignores the ordering; this is the 1-df test FOR the ordering,
+    * with the usual power win when the dose axis is the hypothesis.
+    *
+    * Groups carry their numeric cast as the score w (the dose). With
+    * per-group n_g rows and x_g positives, N = Σn, P = Σx,
+    * Swx = Σ w·x, Swn = Σ w·n, Sw2n = Σ w²·n, and the exact integer
+    * numerator D = N·Swx − P·Swn:
+    *
+    * {{{ z = D / √( P·(N−P)·(N·Sw2n − Swn²) / N ) }}}
+    *
+    * Every moment is exact decimal(38,0); z is ONE fixed double tree
+    * of those integers (q220 runtime-sqrt contract, oracle-mirrored),
+    * floored to milli. `significant` = |z_milli| ≥ 1960. NULL z when
+    * the variance term is 0 (all one outcome, or one group).
+    *
+    * Output (one row): `(n, n_pos, k_groups, z_milli, significant)`.
+    *
+    * Overflow: D ≤ w_max·N² — exact inside decimal(38,0) to
+    * N ≈ 10¹⁸/w_max; no integer division of the N⁵-scale χ² form is
+    * attempted (that ceiling would bind at N ≈ 10⁷).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(group) to k rows,
+    * then a one-row rollup.
+    */
+  def cochranArmitage(
+      df: DataFrame,
+      groupCol: String,
+      outcomeCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = df
+      .filter(col(groupCol).isNotNull && col(outcomeCol).isNotNull)
+      .select(col(groupCol).cast("long").as("__w"),
+        when(col(outcomeCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .groupBy("__w")
+      .agg(count(lit(1)).as("__n"), sum("__y").as("__x"))
+    g.agg(sum("__n").as("n"), sum("__x").as("n_pos"),
+        count(lit(1)).as("k_groups"),
+        sum(expr(s"cast(__w as $dec) * __x")).as("__swx"),
+        sum(expr(s"cast(__w as $dec) * __n")).as("__swn"),
+        sum(expr(s"cast(__w as $dec) * __w * __n")).as("__sw2n"))
+      .select(col("n"), col("n_pos"), col("k_groups"),
+        expr(s"""cast(case when n_pos > 0 and n_pos < n and
+            cast(n as $dec) * __sw2n - __swn * __swn > 0 then
+          floor(1000.0 *
+            cast(cast(n as $dec) * __swx -
+              cast(n_pos as $dec) * __swn as double)
+            / sqrt(cast(cast(n_pos as $dec) * (n - n_pos) as double)
+              * cast(cast(n as $dec) * __sw2n - __swn * __swn as double)
+              / cast(n as double)))
+          end as long)""").as("z_milli"))
+      .withColumn("significant",
+        when(col("z_milli").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col("z_milli")) >= 1960L))
+  }
 }

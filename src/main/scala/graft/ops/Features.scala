@@ -1426,4 +1426,89 @@ object Features {
         when(col("chi2_milli").isNull, lit(null).cast("boolean"))
           .otherwise(col("chi2_milli") >= critMilli))
   }
+
+  /** Page's trend test — the ORDERED-alternative companion to
+    * [[friedmanTest]] exactly as [[jonckheereTerpstra]] is to
+    * [[kruskalWallis]]: within blocks that each see all k treatments,
+    * is the response MONOTONE in the treatment order (dose, decile,
+    * model-size tier)? Friedman asks "any difference"; Page's L asks
+    * "this specific ordering", with far more power when the ordering is
+    * the hypothesis.
+    *
+    * Treatments are ordered by their numeric cast (the dose axis);
+    * blocks are kept structurally complete and within-block tie-
+    * midranks are DOUBLED, both exactly as [[friedmanTest]]. With
+    * position weights j = 1..k and L2 = Σ_j j·R2_j (doubled L):
+    *
+    * {{{ χ²_L(1 df) = (6·L2 − 3·n·k·(k+1)²)² / (n·k²·(k+1)·(k²−1)) }}}
+    *
+    * `chi2_milli` floors once from exact decimal(38,0) integers;
+    * `direction` is the sign of (6·L2 − 3nk(k+1)²) — positive means the
+    * response rises with the treatment order. The variance term is the
+    * classical NO-TIES form (ties deflate it slightly; the midranks
+    * keep L itself honest) — documented, standard practice for Page's
+    * test. NULL when k < 3 or n = 0.
+    *
+    * Output (one row): `(n_blocks, k_treatments, l2, chi2_milli,
+    * direction, significant)` against χ²(1): 3841 milli at 5%.
+    *
+    * Overflow: L2 ≤ 2nk² and the squared numerator ≤ 36·n²k⁶ rides
+    * decimal(38,0) to n·k³ ≈ 10¹⁸ — unreachable.
+    *
+    * 100 TB shape: [[friedmanTest]]'s plan — block-keyed windows, then
+    * k-row and one-row rollups.
+    */
+  def pagesTrendTest(
+      df: DataFrame,
+      blockCol: String,
+      treatmentCol: String,
+      valueCol: String,
+      critMilli: Long = 3841L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val obs = df
+      .filter(col(blockCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(blockCol).cast("string").as("__blk"),
+        col(treatmentCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__v"))
+      .groupBy("__blk", "__t").agg(min("__v").as("__v"))
+      .localCheckpoint()
+    val treatments = obs.select("__t").distinct().orderBy("__t")
+      .collect().map(_.getLong(0))
+    val k = treatments.length
+    require(k >= 3, s"pagesTrendTest needs >= 3 ordered treatments, got $k")
+    val pos = treatments.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) }
+    val posDf = df.sparkSession.createDataFrame(pos).toDF("__t", "__j")
+    val keptBlocks = obs.groupBy("__blk").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") === k.toLong).select("__blk")
+    val kept = obs.join(keptBlocks, "__blk")
+    val cnt = kept.groupBy("__blk", "__v").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("__blk").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = cnt.withColumn("__cum", sum("__c").over(w))
+      .select(col("__blk"), col("__v"),
+        (lit(2L) * col("__cum") - col("__c") + 1L).as("__r2"))
+    kept.join(ranks, Seq("__blk", "__v"))
+      .join(broadcast(posDf), Seq("__t"))
+      .agg(countDistinct("__blk").as("n_blocks"),
+        sum(expr(s"cast(__j as $dec) * __r2")).as("__l2"))
+      .select(col("n_blocks"), lit(k.toLong).as("k_treatments"),
+        expr("cast(__l2 as long)").as("l2"),
+        expr(s"""cast(case when n_blocks > 0 then
+            (6 * __l2 - cast(n_blocks as $dec) * ${3L * k * (k + 1) * (k + 1)})
+            * (6 * __l2 - cast(n_blocks as $dec) * ${3L * k * (k + 1) * (k + 1)})
+            * 1000 div (cast(n_blocks as $dec) *
+              ${k.toLong * k * (k + 1) * (k.toLong * k - 1)})
+          end as long)""").as("chi2_milli"),
+        expr(s"""case when n_blocks > 0 then
+            case when 6 * __l2 - cast(n_blocks as $dec) *
+                ${3L * k * (k + 1) * (k + 1)} > 0 then 1L
+              when 6 * __l2 - cast(n_blocks as $dec) *
+                ${3L * k * (k + 1) * (k + 1)} < 0 then -1L
+              else 0L end
+          end""").as("direction"))
+      .withColumn("significant",
+        when(col("chi2_milli").isNull, lit(null).cast("boolean"))
+          .otherwise(col("chi2_milli") >= critMilli))
+  }
 }

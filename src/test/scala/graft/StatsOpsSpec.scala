@@ -1218,4 +1218,52 @@ class StatsOpsSpec extends SparkSuite {
     assert(s1.getAs[Long]("h2_micro") == 1000000L &&
       s1.getAs[Long]("hellinger_milli") == 1000L)
   }
+
+  test("pagesTrendTest: monotone blocks max L with direction, reversal flips sign") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 10 blocks, 4 doses, response strictly rising with dose everywhere:
+    // L2 is maximal, chi2 = 12n(k-1)... here exactly n*9*... just assert
+    // significance and direction; reversal must mirror the direction
+    val up = for (b <- 0 until 10; t <- 0 until 4)
+      yield (s"b$b", t.toLong, t * 10.0 + b * 0.01)
+    val u = Features.pagesTrendTest(
+      up.toDF("blk", "t", "v"), "blk", "t", "v").collect()(0)
+    assert(u.getAs[Long]("n_blocks") == 10L &&
+      u.getAs[Long]("k_treatments") == 4L)
+    assert(u.getAs[Long]("direction") == 1L)
+    assert(u.getAs[Boolean]("significant"), u.toString)
+    val down = up.map { case (b, t, v) => (b, t, -v) }
+    val d = Features.pagesTrendTest(
+      down.toDF("blk", "t", "v"), "blk", "t", "v").collect()(0)
+    assert(d.getAs[Long]("direction") == -1L)
+    assert(d.getAs[Long]("chi2_milli") == u.getAs[Long]("chi2_milli"))
+    intercept[IllegalArgumentException] {
+      Features.pagesTrendTest(
+        Seq(("b0", 0L, 1.0), ("b0", 1L, 2.0)).toDF("blk", "t", "v"),
+        "blk", "t", "v")
+    }
+  }
+
+  test("cochranArmitage: rising rate positive significant z, flat rate ~0, degenerate NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    // decile w: rate rises 0.1*w — strong positive trend
+    val rising = for (w <- 0L until 10L; i <- 0 until 100)
+      yield (w, i < w * 10)
+    val r = graft.ops.Causal.cochranArmitage(
+      rising.toDF("w", "y"), "w", "y").collect()(0)
+    assert(r.getAs[Long]("k_groups") == 10L)
+    assert(r.getAs[Long]("z_milli") > 1960L && r.getAs[Boolean]("significant"))
+    val flat = for (w <- 0L until 10L; i <- 0 until 100)
+      yield (w, i < 30)
+    val f = graft.ops.Causal.cochranArmitage(
+      flat.toDF("w", "y"), "w", "y").collect()(0)
+    assert(f.getAs[Long]("z_milli") == 0L && !f.getAs[Boolean]("significant"))
+    val allPos = (0L until 5L).flatMap(w => Seq((w, true), (w, true)))
+    val a = graft.ops.Causal.cochranArmitage(
+      allPos.toDF("w", "y"), "w", "y").collect()(0)
+    assert(a.isNullAt(a.fieldIndex("z_milli")) &&
+      a.isNullAt(a.fieldIndex("significant")))
+  }
 }
