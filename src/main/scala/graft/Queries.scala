@@ -8860,6 +8860,331 @@ object Queries {
           END) >= 1960) AS significant
       FROM m"""))
 
+  /** CMH pooled odds ratio + 1-df chi-square of (even-user cohort) ×
+    * (value ≥ 50) stratified by event type — the confounder-adjusted
+    * 2×2; exact per-stratum micro floors, pure-integer chi-square.
+    */
+  private val q275 = Q(
+    "q275_mantel_haenszel",
+    (spark, dir) => Causal.mantelHaenszel(
+      pq(spark, dir, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("treat", pmod(col("user_id"), lit(2)) === 0)
+        .withColumn("hit", col("value") >= 50.0),
+      "event_type", "treat", "hit"),
+    Some("""WITH b AS (SELECT event_type s, (user_id % 2 = 0) t,
+          (value >= 50.0) y FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND value IS NOT NULL),
+      c AS (SELECT s,
+          SUM(CASE WHEN t AND y THEN 1 ELSE 0 END)::BIGINT a,
+          SUM(CASE WHEN t AND NOT y THEN 1 ELSE 0 END)::BIGINT b2,
+          SUM(CASE WHEN NOT t AND y THEN 1 ELSE 0 END)::BIGINT c2,
+          SUM(CASE WHEN NOT t AND NOT y THEN 1 ELSE 0 END)::BIGINT d
+        FROM b GROUP BY 1),
+      e AS (SELECT a, b2, c2, d, (a + b2 + c2 + d)::BIGINT nn,
+          (a + b2 + c2 + d >= 2 AND a + b2 > 0 AND c2 + d > 0
+            AND a + c2 > 0 AND b2 + d > 0) ok FROM c),
+      m AS (SELECT SUM(nn)::BIGINT n, COUNT(*)::BIGINT n_strata,
+          SUM(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT n_strata_used,
+          SUM(a::HUGEINT * d * 1000000 // nn) r,
+          SUM(b2::HUGEINT * c2 * 1000000 // nn) sden,
+          SUM(CASE WHEN ok THEN a::HUGEINT * 1000000
+            - (a + b2)::HUGEINT * (a + c2) * 1000000 // nn
+            ELSE 0::HUGEINT END) dev,
+          SUM(CASE WHEN ok THEN (a + b2)::HUGEINT * (c2 + d) * (a + c2)
+              * (b2 + d) * 1000000 // (nn::HUGEINT * nn * (nn - 1))
+            ELSE 0::HUGEINT END) vr FROM e)
+      SELECT n, n_strata, n_strata_used,
+        (CASE WHEN sden > 0 THEN r * 1000000 // sden END)::BIGINT
+          AS or_mh_micro,
+        (CASE WHEN vr > 0 THEN (dev * dev) // (vr * 1000) END)::BIGINT
+          AS chi2_milli,
+        (CASE WHEN vr > 0 THEN (dev * dev) // (vr * 1000) >= 3841 END)
+          AS significant
+      FROM m"""))
+
+  /** Brown–Forsythe spread-homogeneity F across event types — exact
+    * integer median deviations, anovaEta's decimal rollup.
+    */
+  private val q276 = Q(
+    "q276_brown_forsythe",
+    (spark, dir) => Features.brownForsythe(
+      pq(spark, dir, "events"), "event_type", "value"),
+    Some("""WITH b AS (SELECT event_type g, floor(value * 1e6)::BIGINT v
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      c AS (SELECT g, v, COUNT(*)::BIGINT c FROM b GROUP BY 1, 2),
+      w AS (SELECT g, v, c,
+          SUM(c) OVER (PARTITION BY g ORDER BY v) cum,
+          SUM(c) OVER (PARTITION BY g) n FROM c),
+      m AS (SELECT g,
+          MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+          + MIN(CASE WHEN cum >= n // 2 + 1 THEN v END) m2
+        FROM w GROUP BY 1),
+      z AS (SELECT b.g, abs(2 * b.v - m.m2)::HUGEINT z
+        FROM b JOIN m ON b.g = m.g),
+      cells AS (SELECT g, COUNT(*)::HUGEINT ng, SUM(z) sg, SUM(z * z) qg
+        FROM z GROUP BY 1),
+      r AS (SELECT SUM(ng) n, COUNT(*)::HUGEINT k, SUM(sg) s, SUM(qg) q,
+          SUM((sg * sg - (sg * sg) % ng) // ng) sb FROM cells)
+      SELECT n::BIGINT AS n, k::BIGINT AS n_groups,
+        (CASE WHEN k >= 2 AND n > k THEN floor(1000.0 *
+            ((sb::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+              / (k - 1)::DOUBLE)
+            / nullif((q::DOUBLE - sb::DOUBLE) / (n - k)::DOUBLE, 0.0))
+          END)::BIGINT AS f_milli
+      FROM r"""))
+
+  /** Cronbach's alpha of the 5-event-type "instrument" per user —
+    * complete-case units, min-dedup votes, exact n²-scaled variances.
+    */
+  private val q277 = Q(
+    "q277_cronbach_alpha",
+    (spark, dir) => Eval.cronbachAlpha(
+      pq(spark, dir, "events"), "user_id", "event_type", "value", k = 5),
+    Some("""WITH v AS (SELECT user_id u, event_type i,
+          MIN(floor(value * 1e6)::BIGINT) v FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND value IS NOT NULL GROUP BY 1, 2),
+      units AS (SELECT u, COUNT(*)::BIGINT ni FROM v GROUP BY 1),
+      c AS (SELECT v.* FROM v JOIN units USING (u) WHERE ni = 5),
+      item AS (SELECT SUM(nj * qj - sj * sj) dsum FROM (
+        SELECT i, COUNT(*)::HUGEINT nj, SUM(v::HUGEINT) sj,
+          SUM(v::HUGEINT * v) qj FROM c GROUP BY 1)),
+      tot AS (SELECT COUNT(*)::HUGEINT n_units, SUM(tu) st,
+          SUM(tu * tu) qt FROM (
+        SELECT u, SUM(v::HUGEINT) tu FROM c GROUP BY 1)),
+      d AS (SELECT n_units,
+          (SELECT COUNT(*)::BIGINT FROM units WHERE ni != 5) n_dropped,
+          dsum, n_units * qt - st * st dtot FROM tot, item)
+      SELECT n_units::BIGINT AS n_units, n_dropped,
+        5::BIGINT AS n_items,
+        (CASE WHEN n_units >= 2 AND dtot > 0 THEN
+          CASE WHEN dtot - dsum >= 0 THEN
+            5 * (dtot - dsum) * 1000000 // (4 * dtot)
+          ELSE -(5 * (dsum - dtot) * 1000000 // (4 * dtot)) END
+        END)::BIGINT AS alpha_micro
+      FROM d"""))
+
+  /** Lin's CCC between each user's even-event and odd-event mean score
+    * (two "scorers" of the same unit) — micro means via exact floor
+    * divisions feed the micro entry point; nonneg-value filter keeps
+    * the per-user division sign-free on both engines.
+    */
+  private val q278 = Q(
+    "q278_lin_ccc",
+    (spark, dir) => Features.linCccMicro(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+          col("value").isNotNull && col("value") >= 0.0)
+        .withColumn("__vm", floor(col("value") * 1e6).cast("long"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(pmod(col("event_id"), lit(2)) === 0, col("__vm")))
+            .as("se"),
+          count(when(pmod(col("event_id"), lit(2)) === 0, 1)).as("ne"),
+          sum(when(pmod(col("event_id"), lit(2)) === 1, col("__vm")))
+            .as("so"),
+          count(when(pmod(col("event_id"), lit(2)) === 1, 1)).as("no"))
+        .filter(col("ne") > 0 && col("no") > 0)
+        .select(expr("se div ne").as("x_micro"),
+          expr("so div no").as("y_micro")),
+      "x_micro", "y_micro"),
+    Some("""WITH b AS (SELECT user_id u, event_id,
+          floor(value * 1e6)::BIGINT vm FROM events
+        WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+          AND value IS NOT NULL AND value >= 0.0),
+      p AS (SELECT u,
+          SUM(CASE WHEN event_id % 2 = 0 THEN vm END) se,
+          COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END)::BIGINT ne,
+          SUM(CASE WHEN event_id % 2 = 1 THEN vm END) so,
+          COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END)::BIGINT nodd
+        FROM b GROUP BY 1),
+      xy AS (SELECT se // ne x, so // nodd y FROM p
+        WHERE ne > 0 AND nodd > 0),
+      m AS (SELECT COUNT(*)::HUGEINT n, SUM(x::HUGEINT) sx,
+          SUM(y::HUGEINT) sy, SUM(x::HUGEINT * x) sxx,
+          SUM(y::HUGEINT * y) syy, SUM(x::HUGEINT * y) sxy FROM xy),
+      d AS (SELECT n, sx, sy, sxx, syy, sxy,
+          2 * (n * sxy - sx * sy) num,
+          (n * sxx - sx * sx) + (n * syy - sy * sy)
+            + (sx - sy) * (sx - sy) den FROM m)
+      SELECT n::BIGINT AS n,
+        (CASE WHEN den > 0 THEN
+          CASE WHEN num >= 0 THEN (num * 1000000) // den
+            ELSE -(((-num) * 1000000) // den) END END)::BIGINT
+          AS ccc_micro,
+        (CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+            AND n * syy - sy * sy > 0 THEN
+          floor(1000.0 * (n * sxy - sx * sy)::DOUBLE
+            / sqrt((n * sxx - sx * sx)::DOUBLE
+              * (n * syy - sy * sy)::DOUBLE)) END)::BIGINT AS r_milli
+      FROM d"""))
+
+  /** Ljung–Box whiteness Q over each user's hourly activity series
+    * (lags 1..6) — per-key pairwise-complete autocorrelations, pure
+    * integer pooling.
+    */
+  private val q279 = Q(
+    "q279_ljung_box",
+    (spark, dir) => TimeSeries.ljungBox(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(
+          pq(spark, dir, "events"), "ts"))
+        .withColumn("bucket", expr("__ms div 3600000"))
+        .withColumn("__vm", floor(col("value") * 1e6).cast("long"))
+        .groupBy("user_id", "bucket").agg(sum("__vm").as("sv")),
+      "user_id", "bucket", "sv", maxLag = 6),
+    Some("""WITH h AS (SELECT user_id::VARCHAR k,
+          epoch_ms(ts) // 3600000 t,
+          SUM(floor(value * 1e6)::BIGINT)::BIGINT sv FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL GROUP BY 1, 2),
+      base AS (SELECT k, t, floor(sv::DOUBLE * 1e6)::BIGINT vm FROM h),
+      np AS (SELECT k, COUNT(*)::BIGINT n_buckets FROM base GROUP BY 1),
+      a AS (SELECT k, t + lg t2, vm xm, lg FROM base,
+        (SELECT unnest(generate_series(1, 6)) lg)),
+      j AS (SELECT a.k, a.lg, a.xm, b.vm ym FROM a
+        JOIN base b ON a.k = b.k AND a.t2 = b.t),
+      r AS (SELECT k, lg, COUNT(*)::HUGEINT np,
+          SUM(xm::HUGEINT) sx, SUM(ym::HUGEINT) sy,
+          SUM(xm::HUGEINT * ym) sxy, SUM(xm::HUGEINT * xm) sxx,
+          SUM(ym::HUGEINT * ym) syy FROM j GROUP BY 1, 2),
+      rr AS (SELECT k, lg,
+          (CASE WHEN np > 1 AND np * sxx > sx * sx
+              AND np * syy > sy * sy THEN
+            floor(1000000.0 * (np * sxy - sx * sy)::DOUBLE
+              / sqrt((np * sxx - sx * sx)::DOUBLE
+                * (np * syy - sy * sy)::DOUBLE)) END)::BIGINT r_micro
+        FROM r),
+      q AS (SELECT rr.k, np.n_buckets, COUNT(*)::BIGINT n_lags_used,
+          SUM(rr.r_micro::HUGEINT * rr.r_micro
+            // (np.n_buckets - rr.lg)) tsum
+        FROM rr JOIN np ON rr.k = np.k
+        WHERE rr.r_micro IS NOT NULL AND np.n_buckets > rr.lg
+        GROUP BY 1, 2)
+      SELECT k AS key, n_buckets, n_lags_used,
+        (n_buckets::HUGEINT * (n_buckets + 2) * tsum
+          // 1000000000)::BIGINT AS q_milli
+      FROM q"""))
+
+  /** Wald–Wolfowitz runs test of each user's hourly high/low activity
+    * sequence — clumping vs oscillation, exact integer numerator.
+    */
+  private val q280 = Q(
+    "q280_runs_test",
+    (spark, dir) => TimeSeries.runsTest(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(
+          pq(spark, dir, "events"), "ts"))
+        .withColumn("bucket", expr("__ms div 3600000"))
+        .withColumn("__vm", floor(col("value") * 1e6).cast("long"))
+        .groupBy("user_id", "bucket").agg(sum("__vm").as("sv"))
+        .withColumn("hot", col("sv") >= 50000000L),
+      "user_id", "bucket", "hot"),
+    Some("""WITH h AS (SELECT user_id::VARCHAR k,
+          epoch_ms(ts) // 3600000 t,
+          SUM(floor(value * 1e6)::BIGINT)::BIGINT sv FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL GROUP BY 1, 2),
+      b AS (SELECT k, t, (sv >= 50000000) x FROM h),
+      c AS (SELECT k, x, CASE WHEN lag(x) OVER
+            (PARTITION BY k ORDER BY t) IS DISTINCT FROM x
+          THEN 1 ELSE 0 END chg FROM b),
+      g AS (SELECT k, COUNT(*)::BIGINT n,
+          SUM(CASE WHEN x THEN 1 ELSE 0 END)::BIGINT n_true,
+          SUM(CASE WHEN NOT x THEN 1 ELSE 0 END)::BIGINT n_false,
+          SUM(chg)::BIGINT runs FROM c GROUP BY 1)
+      SELECT k AS key, n, n_true, n_false, runs,
+        (CASE WHEN n_true > 0 AND n_false > 0 AND n >= 2
+            AND 2 * n_true::HUGEINT * n_false
+              * (2 * n_true::HUGEINT * n_false - n) > 0 THEN
+          floor(1000.0 * (runs::HUGEINT * n
+              - 2 * n_true::HUGEINT * n_false - n)::DOUBLE
+            / sqrt((2 * n_true::HUGEINT * n_false
+                * (2 * n_true::HUGEINT * n_false - n))::DOUBLE
+              / (n::DOUBLE - 1.0))) END)::BIGINT AS z_milli,
+        (CASE WHEN n_true > 0 AND n_false > 0 AND n >= 2
+            AND 2 * n_true::HUGEINT * n_false
+              * (2 * n_true::HUGEINT * n_false - n) > 0 THEN
+          floor(1000.0 * (runs::HUGEINT * n
+              - 2 * n_true::HUGEINT * n_false - n)::DOUBLE
+            / sqrt((2 * n_true::HUGEINT * n_false
+                * (2 * n_true::HUGEINT * n_false - n))::DOUBLE
+              / (n::DOUBLE - 1.0))) <= -1960 END) AS clumped
+      FROM g"""))
+
+  /** Bowker symmetry of the user-journey transition matrix (event type →
+    * next event type): is drift between states directional? Capped cell
+    * table, exact per-pair floors.
+    */
+  private val q281 = Q(
+    "q281_bowker",
+    (spark, dir) => {
+      val ev = pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull && col("event_id").isNotNull)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      Eval.bowkerSymmetry(
+        ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull),
+        "event_type", "next_type")
+    },
+    Some("""WITH s AS (SELECT event_type a, lead(event_type) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) b FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL AND event_id IS NOT NULL),
+      cells AS (SELECT a, b, COUNT(*)::BIGINT c FROM s
+        WHERE b IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT SUM(c)::BIGINT n,
+          SUM(CASE WHEN a != b THEN c ELSE 0 END)::BIGINT n_offdiag
+        FROM cells),
+      cats AS (SELECT COUNT(DISTINCT l)::BIGINT n_categories FROM (
+        SELECT a l FROM cells UNION SELECT b FROM cells)),
+      pr AS (SELECT coalesce(c1.c, 0)::BIGINT nij,
+          coalesce(c2.c, 0)::BIGINT nji
+        FROM cells c1 FULL OUTER JOIN cells c2
+          ON c1.a = c2.b AND c1.b = c2.a
+        WHERE coalesce(c1.a, c2.b) < coalesce(c1.b, c2.a)),
+      st AS (SELECT COUNT(*)::BIGINT df_pairs,
+          SUM((nij - nji)::HUGEINT * (nij - nji) * 1000000
+            // (nij + nji)) chi2 FROM pr WHERE nij + nji > 0)
+      SELECT n, n_categories, coalesce(df_pairs, 0) AS df_pairs,
+        n_offdiag, coalesce(chi2, 0)::BIGINT AS chi2_micro
+      FROM tot, cats, st"""))
+
+  /** Church–Gale term burstiness: top-50 most over-dispersed terms
+    * (Fano VMR of per-doc counts, zeros included) with df ≥ 5.
+    */
+  private val q282 = Q(
+    "q282_burstiness",
+    (spark, dir) => Corpus.termBurstiness(
+      pq(spark, dir, "documents"), "doc_id", "text", minDf = 5L, k = 50),
+    Some("""WITH d AS (SELECT doc_id, text FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      nd AS (SELECT COUNT(*)::BIGINT n_docs FROM d),
+      cells AS (SELECT doc_id,
+          unnest(string_split(trim(text), ' ')) term FROM d),
+      pc AS (SELECT doc_id, term, COUNT(*)::BIGINT c FROM cells
+        GROUP BY 1, 2),
+      v AS (SELECT term, COUNT(*)::BIGINT df, SUM(c)::BIGINT cf,
+          SUM(c::HUGEINT * c) sq FROM pc GROUP BY 1),
+      f AS (SELECT term, cf, df, nd.n_docs,
+          ((nd.n_docs::HUGEINT * sq - cf::HUGEINT * cf) * 1000000
+            // (nd.n_docs::HUGEINT * cf))::BIGINT vmr_micro,
+          (cf::HUGEINT * 1000000 // df)::BIGINT repeat_micro
+        FROM v, nd WHERE df >= 5),
+      r AS (SELECT *, ROW_NUMBER() OVER
+          (ORDER BY vmr_micro DESC, term) rnk FROM f)
+      SELECT rnk::BIGINT AS rank, term, cf, df, n_docs, vmr_micro,
+        repeat_micro FROM r WHERE rnk <= 50"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8883,7 +9208,8 @@ object Queries {
     q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234,
     q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
-    q265, q266, q267, q268, q269, q270, q271, q272, q273, q274)
+    q265, q266, q267, q268, q269, q270, q271, q272, q273, q274,
+    q275, q276, q277, q278, q279, q280, q281, q282)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

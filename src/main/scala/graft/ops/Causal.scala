@@ -470,4 +470,87 @@ object Causal {
         when(col("z_milli").isNull, lit(null).cast("boolean"))
           .otherwise(abs(col("z_milli")) >= 1960L))
   }
+
+  /** Cochran–Mantel–Haenszel pooled 2×2 analysis — the stratified
+    * companion to [[twoProportionTest]] and the binary-outcome sibling
+    * of [[stratifiedAte]]: does treatment associate with the outcome
+    * AFTER conditioning on a discrete confounder (source, language,
+    * traffic cohort)? Per stratum s with cells a (treated-positive),
+    * b (treated-negative), c (control-positive), d (control-negative)
+    * and n = a+b+c+d:
+    *
+    *   - MH pooled odds ratio: `Σ⌊10⁶·a·d/n⌋ / Σ⌊10⁶·b·c/n⌋` — each
+    *     stratum term floors ONCE to micro (oracle-replayed), then one
+    *     more sign-free floor division to `or_mh_micro` (NULL when the
+    *     b·c mass is zero).
+    *   - CMH 1-df chi-square (no continuity correction, documented):
+    *     deviations `10⁶·a − ⌊10⁶·r1·c1/n⌋` and variances
+    *     `⌊10⁶·r1·r2·c1·c2 / (n²·(n−1))⌋` sum exactly over strata;
+    *     `chi2_milli = (Σdev)² div (Σvar · 1000)` is pure integer
+    *     (micro²/micro cancels to micro, ÷1000 → milli).
+    *     `significant` = chi2_milli ≥ 3841 (χ²₁ at 0.05).
+    *
+    * Strata with n < 2 (variance undefined) or an empty margin
+    * contribute nothing to the chi-square sums; OR terms use every
+    * stratum with n ≥ 1. `n_strata_used` counts the chi-square
+    * contributors, so a result driven by one usable stratum is visible.
+    *
+    * Overflow: per-stratum products stay ≤ 10⁶·n⁴ inside decimal(38,0)
+    * for n ≤ 10⁸ rows/stratum; (Σdev)² ≤ 10¹²·N² holds to N ≈ 10¹³
+    * total rows. Past either bound Spark decimal NULLs loudly (non-ANSI)
+    * rather than wrapping — same contract as [[cochranArmitage]].
+    *
+    * Output (one row): `(n, n_strata, n_strata_used, or_mh_micro,
+    * chi2_milli, significant)`.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(stratum) carrying four
+    * cell counts, then a one-row rollup of the stratum table — the
+    * [[stratifiedAte]] plan with a different combine.
+    */
+  def mantelHaenszel(
+      df: DataFrame,
+      strataCol: String,
+      treatCol: String,
+      outcomeCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(col(strataCol).isNotNull && col(treatCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .select(col(strataCol).as("__s"),
+        col(treatCol).cast("boolean").as("__t"),
+        col(outcomeCol).cast("boolean").as("__y"))
+      .groupBy("__s")
+      .agg(
+        count(when(col("__t") && col("__y"), 1)).as("a"),
+        count(when(col("__t") && !col("__y"), 1)).as("b"),
+        count(when(!col("__t") && col("__y"), 1)).as("c"),
+        count(when(!col("__t") && !col("__y"), 1)).as("d"))
+      .withColumn("nn", col("a") + col("b") + col("c") + col("d"))
+      // chi-square needs n >= 2 and both margins non-degenerate
+      .withColumn("__ok", col("nn") >= 2 &&
+        col("a") + col("b") > 0 && col("c") + col("d") > 0 &&
+        col("a") + col("c") > 0 && col("b") + col("d") > 0)
+    cells.agg(
+        sum("nn").as("n"), count(lit(1)).as("n_strata"),
+        count(when(col("__ok"), 1)).as("n_strata_used"),
+        sum(expr(s"cast(a as $dec) * d * 1000000 div nn")).as("__r"),
+        sum(expr(s"cast(b as $dec) * c * 1000000 div nn")).as("__sden"),
+        sum(expr(s"""case when __ok then
+            cast(a as $dec) * 1000000 -
+            cast(a + b as $dec) * (a + c) * 1000000 div nn
+          else cast(0 as $dec) end""")).as("__dev"),
+        sum(expr(s"""case when __ok then
+            cast(a + b as $dec) * (c + d) * (a + c) * (b + d) * 1000000
+              div (cast(nn as $dec) * nn * (nn - 1))
+          else cast(0 as $dec) end""")).as("__var"))
+      .select(col("n"), col("n_strata"), col("n_strata_used"),
+        expr("cast(case when __sden > 0 then __r * 1000000 div __sden end " +
+          "as long)").as("or_mh_micro"),
+        expr("""cast(case when __var > 0 then
+            (__dev * __dev) div (__var * 1000) end as long)""")
+          .as("chi2_milli"))
+      .withColumn("significant",
+        when(col("chi2_milli").isNull, lit(null).cast("boolean"))
+          .otherwise(col("chi2_milli") >= 3841L))
+  }
 }

@@ -1347,4 +1347,68 @@ object Corpus {
         expr("alloc_tokens * 1000 div n_tokens").as("epochs_milli"))
   }
 
+  /** Term burstiness — the variance-to-mean (Fano) dispersion of each
+    * term's PER-DOCUMENT count across the whole corpus, zeros included:
+    * a Poisson-scattered term has VMR ≈ 1, a content word that clumps
+    * into the few documents that are ABOUT it runs VMR ≫ 1, and
+    * boilerplate injected uniformly (license headers, nav text) sits
+    * near its frequency-matched Poisson floor. The classic
+    * Church–Gale/Katz diagnostic that frequency alone ([[zipfFit]],
+    * [[unigramEntropy]]) cannot see: two terms with identical cf can be
+    * one topical and one template.
+    *
+    *   {{{ VMR(t) = σ²/μ = (N·Σc_d² − cf²) / (N·cf) }}}
+    *
+    * over the N corpus documents with c_d the term's count in doc d
+    * (zero for absent docs — the algebra needs only the OBSERVED
+    * (doc, term) cells). `repeat_micro = ⌊10⁶·cf/df⌋` rides along (mean
+    * within-doc repetition when present — burstiness' other axis).
+    * All pure integer: one floored division each, oracle-replayed.
+    *
+    * Output: top `k` terms with df ≥ `minDf`, ranked by
+    * (vmr_micro DESC, term ASC) — `(rank, term, cf, df, n_docs,
+    * vmr_micro, repeat_micro)`.
+    *
+    * Overflow: 10⁶·N·Σc² ≤ 10⁶·N·c_max·cf inside decimal(38,0) —
+    * exact past any real corpus (10¹² docs × 10¹² tokens still fits).
+    *
+    * 100 TB shape: one tokenize pass into a map-side-combined
+    * groupBy(doc, term), a term-keyed rollup to the vocabulary table,
+    * then [[Ranks.globalRank]]'s range exchange over the df-filtered
+    * vocab only. The corpus is read once; nothing per-pair, nothing
+    * driver-sized but the k output rows.
+    */
+  def termBurstiness(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Long = 5L,
+      k: Int = 50): DataFrame = {
+    require(minDf >= 1, s"minDf $minDf must be >= 1")
+    require(k >= 1, s"k $k must be >= 1")
+    val dec = "decimal(38,0)"
+    val docs = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .localCheckpoint()
+    val nDocs = docs.count()
+    val cells = docs
+      .select(col("__id"), explode(split(trim(col("__t")), " ")).as("term"))
+      .groupBy("__id", "term").agg(count(lit(1)).as("__c"))
+    val vocab = cells.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum("__c").as("cf"),
+        sum(expr(s"cast(__c as $dec) * __c")).as("__sq"))
+      .filter(col("df") >= minDf)
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("vmr_micro", expr(
+        s"""cast((cast(n_docs as $dec) * __sq - cast(cf as $dec) * cf)
+           * 1000000 div (cast(n_docs as $dec) * cf) as long)"""))
+      .withColumn("repeat_micro",
+        expr(s"cast(cast(cf as $dec) * 1000000 div df as long)"))
+    Ranks.globalRank(vocab,
+        Seq(col("vmr_micro") * -1, col("term")), "rank")
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("term"), col("cf"), col("df"),
+        col("n_docs"), col("vmr_micro"), col("repeat_micro"))
+  }
 }

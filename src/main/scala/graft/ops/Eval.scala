@@ -1782,4 +1782,148 @@ object Eval {
       .withColumn("hellinger_milli", expr(
         "cast(floor(1000.0 * sqrt(cast(h2_micro as double) / 1e6)) as long)"))
   }
+
+  /** Cronbach's alpha — internal consistency of a k-item instrument
+    * (a rubric's k quality dimensions, a judge panel's k prompts): do
+    * the items move together enough to justify summing them into one
+    * score? The reliability gate BEFORE a composite label ships;
+    * [[fleissKappa]] asks the categorical twin, Features.linCcc the
+    * two-rater continuous one.
+    *
+    *   {{{ α = k/(k−1) · (1 − Σ_j σ²_j / σ²_total) }}}
+    *
+    * Mechanics: one value per (unit, item) — duplicates resolve to the
+    * MINIMUM (deterministic, oracle-mirrored); only units with a
+    * COMPLETE item set (exactly k items) enter (the fleissKappa
+    * complete-case rule, counted in `n_dropped`). With micro-floored
+    * values, every variance rides its n²-scaled integer form
+    * `D = n·Σx² − (Σx)²` (exact decimal), the common n² cancels, and
+    *
+    *   {{{ alpha_micro = ⌊10⁶·k·(D_tot − Σ_j D_j) / ((k−1)·D_tot)⌋ }}}
+    *
+    * is one sign-split floor division (α can be negative — items in
+    * opposition). NULL when D_tot = 0 (every unit's total identical)
+    * or fewer than 2 complete units.
+    *
+    * Output (one row): `(n_units, n_dropped, n_items, alpha_micro)`.
+    *
+    * Overflow: |Σx per unit| ≤ k·10⁸ at |v| ≤ 100, D_tot ≤ n²k²10¹⁶ —
+    * 10⁶·k·D_tot inside decimal(38,0) to n·k ≈ 10⁷·√k; item moments
+    * bind later. Loud decimal NULL past the bound, never a wrap.
+    *
+    * 100 TB shape: the (unit, item) dedup groupBy collapses the log
+    * map-side; item moments are a k-row groupBy, unit totals a
+    * units-sized groupBy that immediately rolls up to one row — three
+    * collapsing shuffles, nothing model-sized at the driver.
+    */
+  def cronbachAlpha(
+      df: DataFrame,
+      unitCol: String,
+      itemCol: String,
+      valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"cronbachAlpha needs k >= 2 items, got $k")
+    val dec = "decimal(38,0)"
+    val votes = df
+      .filter(col(unitCol).isNotNull && col(itemCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(unitCol).cast("string").as("__u"),
+        col(itemCol).cast("string").as("__i"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__v"))
+      .groupBy("__u", "__i").agg(min("__v").as("__v"))
+    val units = votes.groupBy("__u").agg(count(lit(1)).as("__ni"))
+      .localCheckpoint()
+    val kept = units.filter(col("__ni") === k.toLong).select("__u")
+    val nDropped = units.filter(col("__ni") =!= k.toLong).count()
+    val complete = votes.join(kept, "__u").localCheckpoint()
+    val itemAgg = complete.groupBy("__i")
+      .agg(count(lit(1)).as("nj"),
+        sum(col("__v").cast(dec)).as("sj"),
+        sum(expr(s"cast(__v as $dec) * __v")).as("qj"))
+      .agg(sum(expr(s"nj * qj - sj * sj")).as("__dsum"))
+    val totAgg = complete.groupBy("__u")
+      .agg(sum(col("__v").cast(dec)).as("tu"))
+      .agg(count(lit(1)).as("n_units"),
+        sum("tu").as("st"), sum(expr("tu * tu")).as("qt"))
+    totAgg.crossJoin(broadcast(itemAgg))
+      .withColumn("__dtot",
+        expr(s"cast(n_units as $dec) * qt - st * st"))
+      .select(col("n_units"), lit(nDropped).as("n_dropped"),
+        lit(k.toLong).as("n_items"),
+        expr(s"""cast(case when n_units >= 2 and __dtot > 0 then
+            case when __dtot - __dsum >= 0 then
+              ${k}L * (__dtot - __dsum) * 1000000
+                div (${k - 1}L * __dtot)
+            else -(${k}L * (__dsum - __dtot) * 1000000
+                div (${k - 1}L * __dtot)) end
+          end as long)""").as("alpha_micro"))
+  }
+
+  /** Bowker's test of symmetry — the k×k generalization of [[mcnemar]]:
+    * when the same items carry an OLD label and a NEW label (model
+    * versions, annotator cohorts, pre/post taxonomy), is the
+    * disagreement DIRECTIONAL? Symmetric confusion means relabeling
+    * noise; an asymmetric cell pair means systematic drift from one
+    * class into another. Statistic:
+    *
+    *   {{{ χ² = Σ_{i<j, n_ij+n_ji>0} (n_ij − n_ji)² / (n_ij + n_ji) }}}
+    *
+    * with df = the number of contributing pairs (reported — the
+    * reference distribution is χ²_df, critical value owned by the
+    * caller since df varies with the observed table).
+    *
+    * Exactness: the confusion collapses to a cell table (hard
+    * `maxCells` require, the [[cramersV]] pattern); each pair term
+    * floors ONCE as `10⁶·(n_ij−n_ji)² div (n_ij+n_ji)` — pure integer,
+    * oracle-replayed. Off-diagonal mass rides along (`n_offdiag`) so a
+    * tiny χ² over a huge agreeing table reads as agreement, not proof
+    * of symmetry.
+    *
+    * Output (one row): `(n, n_categories, df_pairs, n_offdiag,
+    * chi2_micro)`.
+    *
+    * Overflow: 10⁶·(n_ij−n_ji)² ≤ 10⁶·n² — exact inside decimal(38,0)
+    * to n ≈ 3·10¹⁵ rows.
+    *
+    * 100 TB shape: one map-side-combined groupBy(a, b) to ≤ maxCells
+    * rows; the i<j pairing is a self-join of that capped cell table on
+    * the swapped key — cell-table-local, never touches the corpus.
+    */
+  def bowkerSymmetry(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxCells: Long = 100000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"bowkerSymmetry: $nCells observed cells exceeds maxCells=$maxCells" +
+        " — bucket the label columns first")
+    val totals = cells.agg(sum("__c").as("n"),
+      sum(when(col("__a") =!= col("__b"), col("__c")).otherwise(0L))
+        .as("n_offdiag"))
+    val nCats = cells.select(explode(array(col("__a"), col("__b"))))
+      .distinct().count()
+    val swapped = cells.select(col("__b").as("__a"), col("__a").as("__b"),
+      col("__c").as("__cr"))
+    val pairs = cells.join(swapped, Seq("__a", "__b"), "full_outer")
+      .filter(col("__a") < col("__b"))
+      .select(coalesce(col("__c"), lit(0L)).as("nij"),
+        coalesce(col("__cr"), lit(0L)).as("nji"))
+      .filter(col("nij") + col("nji") > 0)
+    val stat = pairs.agg(count(lit(1)).as("df_pairs"),
+      sum(expr(s"""cast(nij - nji as $dec) * (nij - nji) * 1000000
+          div (nij + nji)""")).as("chi2_micro"))
+    totals.crossJoin(broadcast(stat))
+      .select(col("n"), lit(nCats).as("n_categories"),
+        coalesce(col("df_pairs"), lit(0L)).as("df_pairs"),
+        col("n_offdiag"),
+        coalesce(col("chi2_micro"), lit(0L)).cast("long").as("chi2_micro"))
+  }
 }

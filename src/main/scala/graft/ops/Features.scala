@@ -1511,4 +1511,159 @@ object Features {
         when(col("chi2_milli").isNull, lit(null).cast("boolean"))
           .otherwise(col("chi2_milli") >= critMilli))
   }
+
+  /** Brown–Forsythe variance-homogeneity test — the PRECONDITION check
+    * for [[anovaEta]]'s pooled-variance F and the classic robust Levene
+    * variant: do k groups share a spread, judged on absolute deviations
+    * from each group's own MEDIAN (median-centering keeps the test
+    * honest under skew, where mean-centered Levene inflates)? A corpus
+    * pipeline asks this before trusting any pooled σ: per-source score
+    * spreads, per-language length spreads.
+    *
+    * Mechanics, all exact integers until the one final double tree:
+    * values floor to micro; each group's DOUBLED median `m2` comes off
+    * the distinct-value cumulative table (`x_lo + x_hi` at ranks
+    * `(n+1) div 2` and `n div 2 + 1` — integer, no interpolation);
+    * deviations `z = |2v − m2|` stay integral (2-micro units — F is
+    * scale-invariant so the doubling cancels); the one-way F on z
+    * replays [[anovaEta]]'s exact-decimal rollup verbatim (per-group
+    * `⌊S²/n⌋` via modulus subtraction, then the q220 fixed double tree)
+    * to `f_milli = ⌊1000·F⌋`. NULL when k < 2, n ≤ k, or the within
+    * sum degenerates (all groups constant).
+    *
+    * Output (one row): `(n, n_groups, f_milli)`. The F reference
+    * distribution is F(k−1, n−k) — the caller owns the critical value
+    * (dfs vary), same contract as [[anovaEta]].
+    *
+    * Overflow: z ≤ 2·10⁶·|v|; Σz² per group ≤ 4·10¹²·v²·n — inside
+    * decimal(38,0) to n ≈ 10²¹/v², and the anovaEta quotient bound
+    * |Σz| < 10¹⁶·√n_g binds first for small groups (documented there).
+    *
+    * 100 TB shape: the corpus collapses to distinct (group, value)
+    * cells map-side; the median window runs over that bounded cell
+    * table; medians broadcast back (k rows); moments are one more
+    * map-side-combined groupBy. Two passes over the data, nothing
+    * corpus-sized ever shuffles unaggregated.
+    */
+  def brownForsythe(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__v"))
+      .localCheckpoint()
+    val cells = base.groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("__g")
+    val med = cells
+      .withColumn("__cum", sum("__c").over(wCum))
+      .withColumn("__n", sum("__c").over(wAll))
+      .groupBy("__g")
+      .agg(
+        min(when(col("__cum") >= expr("(__n + 1) div 2"), col("__v")))
+          .as("__mlo"),
+        min(when(col("__cum") >= expr("__n div 2 + 1"), col("__v")))
+          .as("__mhi"))
+      .select(col("__g"), (col("__mlo") + col("__mhi")).as("__m2"))
+    val z = base.join(broadcast(med), "__g")
+      .select(col("__g"), abs(col("__v") * 2 - col("__m2")).as("__z"))
+    val dec = "decimal(38,0)"
+    z.groupBy("__g")
+      .agg(count(lit(1)).as("ng"),
+        sum(col("__z").cast(dec)).as("sg"),
+        sum(expr(s"cast(__z as $dec) * __z")).as("qg"))
+      .agg(sum("ng").as("n"), count(lit(1)).as("k"),
+        sum("sg").as("s"), sum("qg").as("q"),
+        sum(expr(s"""cast((sg * sg - (sg * sg) % ng) / ng
+                    as $dec)""")).as("sb_raw"))
+      .select(col("n"), col("k").as("n_groups"),
+        expr("""case when k >= 2 and n > k then
+             cast(floor(1000.0 *
+               ((sb_raw - cast(s as double) * cast(s as double) / n) / (k - 1))
+               / nullif((cast(q as double) - sb_raw) / (n - k), 0.0))
+             as long) end""").as("f_milli"))
+  }
+
+  /** Lin's concordance correlation coefficient — AGREEMENT between two
+    * continuous measurements on the 45° line, not mere correlation:
+    * Pearson r forgives any linear recalibration, CCC penalizes scale
+    * and location shifts too. The question "did the new scorer return
+    * the SAME scores, not just monotonically related ones" is a CCC
+    * question (the continuous twin of [[graft.ops.Eval.fleissKappa]];
+    * [[graft.ops.Eval]]'s ICC covers the exchangeable-rater design).
+    *
+    *   {{{ ccc = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²) }}}
+    *
+    * With micro-floored inputs and exact decimal moments the n²-scaled
+    * identity is pure integers: num = 2(n·Σxy − Σx·Σy), den =
+    * (n·Σx² − (Σx)²) + (n·Σy² − (Σy)²) + (Σx − Σy)² ≥ |num|, so
+    * `ccc_micro = ⌊10⁶·num/den⌋` (sign-split, oracle-mirrored; NULL
+    * when den = 0 — both columns constant). Pearson `r_milli` rides
+    * along as ONE fixed double tree (q220 sqrt contract) so the
+    * location/scale penalty is visible: ccc ≈ r means calibrated,
+    * ccc ≪ r means shifted or rescaled.
+    *
+    * Output (one row): `(n, ccc_micro, r_milli)`.
+    *
+    * Overflow: 10⁶·|num| ≤ 2·10²²·n² at |v| ≤ 100 — exact inside
+    * decimal(38,0) to n ≈ 10⁸ rows (tighter than the int64-family 10¹⁹
+    * line; CCC inputs are typically per-key score AVERAGES — pre-reduce
+    * with a groupBy when the raw pair table is bigger). Past the bound
+    * decimals NULL loudly, never wrap.
+    *
+    * 100 TB shape: ONE map-side-combined scalar aggregate — six decimal
+    * moments, nothing else.
+    */
+  def linCcc(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame =
+    linCccMicro(
+      df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+        .select(floor(col(xCol).cast("double") * 1e6).cast("long").as("x"),
+          floor(col(yCol).cast("double") * 1e6).cast("long").as("y")),
+      "x", "y")
+
+  /** [[linCcc]] over values ALREADY in integer micro units — the entry
+    * point for callers whose pairs come out of integer arithmetic
+    * (floor-divided per-key micro means): no double round-trip, no
+    * second ×10⁶ blow-up of an already-micro input (the
+    * [[wilcoxonSignedRankMicro]] contract). The double-typed overload
+    * floors once and delegates here.
+    */
+  def linCccMicro(
+      df: DataFrame,
+      xMicroCol: String,
+      yMicroCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.filter(col(xMicroCol).isNotNull && col(yMicroCol).isNotNull)
+      .select(col(xMicroCol).cast("long").as("__x"),
+        col(yMicroCol).cast("long").as("__y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(dec)).as("sx"),
+        sum(col("__y").cast(dec)).as("sy"),
+        sum(expr(s"cast(__x as $dec) * __x")).as("sxx"),
+        sum(expr(s"cast(__y as $dec) * __y")).as("syy"),
+        sum(expr(s"cast(__x as $dec) * __y")).as("sxy"))
+      .withColumn("__num",
+        expr(s"2 * (cast(n as $dec) * sxy - sx * sy)"))
+      .withColumn("__den", expr(
+        s"""(cast(n as $dec) * sxx - sx * sx) +
+           (cast(n as $dec) * syy - sy * sy) + (sx - sy) * (sx - sy)"""))
+      .select(col("n"),
+        expr("""cast(case when __den > 0 then
+            case when __num >= 0 then (__num * 1000000) div __den
+              else -((-(__num) * 1000000) div __den) end
+          end as long)""").as("ccc_micro"),
+        expr(s"""cast(case when n > 1
+            and cast(n as $dec) * sxx - sx * sx > 0
+            and cast(n as $dec) * syy - sy * sy > 0 then
+          floor(1000.0 * cast(cast(n as $dec) * sxy - sx * sy as double)
+            / sqrt(cast(cast(n as $dec) * sxx - sx * sx as double)
+              * cast(cast(n as $dec) * syy - sy * sy as double)))
+          end as long)""").as("r_milli"))
+  }
 }

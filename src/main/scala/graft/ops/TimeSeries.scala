@@ -641,4 +641,155 @@ object TimeSeries {
         when(col("z_milli").isNull, lit(null).cast("boolean"))
           .otherwise(abs(col("z_milli")) >= 1960L))
   }
+
+  /** Ljung–Box whiteness statistic per key — is there autocorrelation
+    * LEFT in a series after a model/detrend pass, pooled across the
+    * first `maxLag` lags? The residual-diagnostic companion to [[acf]]
+    * (which reports each lag separately, pooled across keys): a flat
+    * forecast, a drift monitor, or [[ewmaPow2]] residuals should look
+    * white; a significant Q says structure remains.
+    *
+    *   {{{ Q = n·(n+2) · Σ_{l=1..h} r_l² / (n − l) }}}
+    *
+    * with r_l the per-key lag-l Pearson correlation over the PAIRED
+    * points (the [[acf]] pairwise-complete convention — gaps shrink a
+    * lag's pair count, they don't fabricate zeros). Each r floors once
+    * to micro ([[acf]]'s exact-moment double tree per (key, lag));
+    * each Ljung–Box term floors once as `r_micro² div (n − l)`; the
+    * final `q_milli = ⌊n·(n+2)·Σterm / 10⁹⌋` is pure integer. Lags
+    * with no pairs or degenerate variance contribute nothing
+    * (`n_lags_used` reports the contributors; the χ²_h reference
+    * distribution is the caller's — df varies with what was usable).
+    *
+    * Output per key: `(key, n_buckets, n_lags_used, q_milli)`.
+    *
+    * Overflow: Σterm ≤ h·10¹² and n·(n+2)·Σterm rides decimal(38,0) —
+    * exact to n ≈ 10¹² buckets per key, far past the [[acf]]-family
+    * series lengths.
+    *
+    * 100 TB shape: the lag explode is ×h map-side; the pair join is
+    * key-local (the [[acf]] plan with __k kept in the groupBy); keys
+    * scale out, series length stays bounded. No quadratic stage —
+    * lags are a fixed list, so no per-key cap is needed.
+    */
+  def ljungBox(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      maxLag: Int,
+      everyMs: Long = 1L): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 1000,
+      s"maxLag $maxLag must be in [1, 1000]")
+    require(everyMs >= 1, s"everyMs $everyMs must be >= 1")
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(keyCol).isNotNull && col(bucketCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        col(bucketCol).cast("long").as("__t"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("vm"))
+      .localCheckpoint()
+    val nPer = base.groupBy("__k").agg(count(lit(1)).as("n_buckets"))
+    val a = base
+      .select(col("__k"), col("__t"), col("vm").as("xm"),
+        explode(array((1 to maxLag).map(lit): _*)).as("lag"))
+      .withColumn("__t2", col("__t") + col("lag") * everyMs)
+      .drop("__t")
+    val b = base.select(col("__k"), col("__t").as("__t2"),
+      col("vm").as("ym"))
+    val rTab = a.join(b, Seq("__k", "__t2"))
+      .groupBy("__k", "lag")
+      .agg(count(lit(1)).as("np"),
+        sum(col("xm").cast(dec)).as("sx"), sum(col("ym").cast(dec)).as("sy"),
+        sum(expr(s"cast(xm as $dec) * ym")).as("sxy"),
+        sum(expr(s"cast(xm as $dec) * xm")).as("sxx"),
+        sum(expr(s"cast(ym as $dec) * ym")).as("syy"))
+      .withColumn("r_micro", expr(
+        """case when np > 1 and np * sxx > sx * sx and np * syy > sy * sy
+           then cast(floor(1000000.0 * cast(np * sxy - sx * sy as double)
+               / sqrt(cast(np * sxx - sx * sx as double)
+                      * cast(np * syy - sy * sy as double))) as long)
+           end"""))
+      .filter(col("r_micro").isNotNull)
+    rTab.join(nPer, "__k")
+      .filter(col("n_buckets") > col("lag"))
+      .groupBy(col("__k"), col("n_buckets"))
+      .agg(count(lit(1)).as("n_lags_used"),
+        sum(expr(s"cast(r_micro as $dec) * r_micro div " +
+          "(n_buckets - lag)")).as("__tsum"))
+      .select(col("__k").as("key"), col("n_buckets"), col("n_lags_used"),
+        expr(s"""cast(cast(n_buckets as $dec) * (n_buckets + 2) * __tsum
+            div 1000000000 as long)""").as("q_milli"))
+  }
+
+  /** Wald–Wolfowitz runs test per key — is a binary sequence RANDOMLY
+    * ordered in time, or do like outcomes clump (alert storms, batchy
+    * pass/fail streaks, flappy quality gates)? Too FEW runs = positive
+    * clustering; too MANY = oscillation. The sequence view the
+    * marginal-rate tests ([[graft.ops.Causal.twoProportionTest]]) and
+    * the trend tests ([[mannKendall]] — monotone drift, not clumping)
+    * cannot see.
+    *
+    * With n₁ trues, n₂ falses, and R runs (maximal same-value streaks,
+    * counted on the (bucket, tiebreak-free) event-time order — the
+    * caller guarantees distinct buckets per key, same contract as
+    * [[acf]]'s grid):
+    *
+    *   {{{ z = (R·n − 2n₁n₂ − n) / √( 2n₁n₂·(2n₁n₂ − n) / (n−1) ) }}}
+    *
+    * (the μ = 2n₁n₂/n + 1, σ² form cross-multiplied by n so the
+    * numerator is EXACT integer; the denominator is ONE fixed double
+    * tree, q220 sqrt contract, floored to milli). NULL z when either
+    * value is absent (n₁·n₂ = 0) or n < 2.
+    *
+    * Output per key: `(key, n, n_true, n_false, runs, z_milli,
+    * clumped)` — `clumped` = z_milli ≤ −1960 (the one-sided clumping
+    * alarm; the two-sided caller compares |z_milli| itself).
+    *
+    * Overflow: R·n ≤ n², 2n₁n₂ ≤ n²/2 — int64-exact to n ≈ 3·10⁹
+    * points per key; the numerator is computed in decimal(38,0) so
+    * even that bound only costs exactness of the DOUBLE z, never a
+    * wrap.
+    *
+    * 100 TB shape: ONE key shuffle; runs count via a per-key lag
+    * window (linear), moments map-side-combine. No pair stage at all.
+    */
+  def runsTest(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      boolCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(keyCol).isNotNull && col(bucketCol).isNotNull &&
+        col(boolCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        col(bucketCol).cast("long").as("__b"),
+        col(boolCol).cast("boolean").as("__x"))
+    val w = Window.partitionBy("__k").orderBy("__b")
+    base
+      .withColumn("__chg",
+        when(lag(col("__x"), 1).over(w).isNull ||
+          lag(col("__x"), 1).over(w) =!= col("__x"), 1L).otherwise(0L))
+      .groupBy("__k")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__x"), 1)).as("n_true"),
+        count(when(!col("__x"), 1)).as("n_false"),
+        sum("__chg").as("runs"))
+      .select(col("__k").as("key"), col("n"), col("n_true"),
+        col("n_false"), col("runs"),
+        expr(s"""cast(case when n_true > 0 and n_false > 0 and n >= 2
+            and 2 * cast(n_true as $dec) * n_false *
+              (2 * cast(n_true as $dec) * n_false - n) > 0 then
+          floor(1000.0 * cast(cast(runs as $dec) * n -
+              2 * cast(n_true as $dec) * n_false - n as double)
+            / sqrt(cast(2 * cast(n_true as $dec) * n_false *
+                (2 * cast(n_true as $dec) * n_false - n) as double)
+              / (cast(n as double) - 1.0)))
+          end as long)""").as("z_milli"))
+      .withColumn("clumped",
+        when(col("z_milli").isNull, lit(null).cast("boolean"))
+          .otherwise(col("z_milli") <= -1960L))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Causal, Corpus, Eval, Features, Preference}
+import graft.ops.{Causal, Corpus, Eval, Features, Preference, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Behavior specs for the round-9 statistics batch: set-based retrieval
@@ -1265,5 +1265,211 @@ class StatsOpsSpec extends SparkSuite {
       allPos.toDF("w", "y"), "w", "y").collect()(0)
     assert(a.isNullAt(a.fieldIndex("z_milli")) &&
       a.isNullAt(a.fieldIndex("significant")))
+  }
+
+  test("mantelHaenszel: Simpson's-paradox mix nulls out within strata; real effect flags") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Two strata with IDENTICAL within-stratum rates (no conditional
+    // effect) but opposite arm sizes — pooled naive would see an effect;
+    // CMH must not: OR_MH = 1, chi2 ~ 0.
+    val confounded =
+      (0 until 80).map(i => ("s1", true, i < 48)) ++   // treat 60% pos
+      (0 until 20).map(i => ("s1", false, i < 12)) ++  // ctrl  60% pos
+      (0 until 20).map(i => ("s2", true, i < 4)) ++    // treat 20% pos
+      (0 until 80).map(i => ("s2", false, i < 16))     // ctrl  20% pos
+    val r0 = Causal.mantelHaenszel(
+      confounded.toDF("s", "t", "y"), "s", "t", "y").collect()(0)
+    assert(r0.getAs[Long]("n_strata") == 2L &&
+      r0.getAs[Long]("n_strata_used") == 2L)
+    assert(r0.getAs[Long]("or_mh_micro") == 1000000L, r0.toString)
+    assert(r0.getAs[Long]("chi2_milli") == 0L && !r0.getAs[Boolean]("significant"))
+    // Same direction in both strata: strongly significant, OR > 1
+    val effect =
+      (0 until 100).map(i => ("s1", true, i < 80)) ++
+      (0 until 100).map(i => ("s1", false, i < 20)) ++
+      (0 until 100).map(i => ("s2", true, i < 70)) ++
+      (0 until 100).map(i => ("s2", false, i < 10))
+    val r1 = Causal.mantelHaenszel(
+      effect.toDF("s", "t", "y"), "s", "t", "y").collect()(0)
+    assert(r1.getAs[Long]("or_mh_micro") > 4000000L)
+    assert(r1.getAs[Boolean]("significant"), r1.toString)
+    // a one-arm stratum is excluded from the chi-square, counted apart
+    val oneArm = effect ++ (0 until 50).map(i => ("s3", true, i < 25))
+    val r2 = Causal.mantelHaenszel(
+      oneArm.toDF("s", "t", "y"), "s", "t", "y").collect()(0)
+    assert(r2.getAs[Long]("n_strata") == 3L &&
+      r2.getAs[Long]("n_strata_used") == 2L)
+  }
+
+  test("brownForsythe: equal spreads ~0, unequal spreads large, k<2 NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    // identical distributions shifted in LOCATION only: median-centered
+    // deviations are the same multiset per group → between-group SS = 0
+    val shifted = (0 until 100).flatMap(i =>
+      Seq(("a", (i % 11).toDouble), ("b", (i % 11).toDouble + 50.0)))
+    val r0 = Features.brownForsythe(
+      shifted.toDF("g", "v"), "g", "v").collect()(0)
+    assert(r0.getAs[Long]("n_groups") == 2L)
+    assert(r0.getAs[Long]("f_milli") == 0L, r0.toString)
+    // one tight group, one wide group: F must be large
+    val spread = (0 until 100).flatMap(i =>
+      Seq(("tight", (i % 3).toDouble), ("wide", ((i % 21) * 10).toDouble)))
+    val r1 = Features.brownForsythe(
+      spread.toDF("g", "v"), "g", "v").collect()(0)
+    assert(r1.getAs[Long]("f_milli") > 10000L, r1.toString)
+    val single = (0 until 10).map(i => ("only", i.toDouble))
+    val r2 = Features.brownForsythe(
+      single.toDF("g", "v"), "g", "v").collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("f_milli")))
+  }
+
+  test("cronbachAlpha: parallel items ~1, opposing items negative, incomplete drop") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two items = same signal → alpha = 1 (exactly, integer algebra)
+    val parallel = (0 until 30).flatMap(u =>
+      Seq((s"u$u", "i1", (u % 7).toDouble), (s"u$u", "i2", (u % 7).toDouble)))
+    val r0 = Eval.cronbachAlpha(
+      parallel.toDF("u", "i", "v"), "u", "i", "v", k = 2).collect()(0)
+    assert(r0.getAs[Long]("n_units") == 30L &&
+      r0.getAs[Long]("n_dropped") == 0L)
+    assert(r0.getAs[Long]("alpha_micro") == 1000000L, r0.toString)
+    // opposing items (x and -x): totals constant → D_tot = 0 → NULL
+    val opposing = (0 until 30).flatMap(u =>
+      Seq((s"u$u", "i1", (u % 7).toDouble), (s"u$u", "i2", -(u % 7).toDouble)))
+    val r1 = Eval.cronbachAlpha(
+      opposing.toDF("u", "i", "v"), "u", "i", "v", k = 2).collect()(0)
+    assert(r1.isNullAt(r1.fieldIndex("alpha_micro")), r1.toString)
+    // anti-correlated but not degenerate: alpha strictly negative
+    val anti = (0 until 30).flatMap(u =>
+      Seq((s"u$u", "i1", (u % 7).toDouble),
+        (s"u$u", "i2", -2.0 * (u % 7))))
+    val r2 = Eval.cronbachAlpha(
+      anti.toDF("u", "i", "v"), "u", "i", "v", k = 2).collect()(0)
+    assert(r2.getAs[Long]("alpha_micro") < 0L, r2.toString)
+    // a unit missing an item drops and is counted
+    val incomplete = parallel ++ Seq(("uX", "i1", 3.0))
+    val r3 = Eval.cronbachAlpha(
+      incomplete.toDF("u", "i", "v"), "u", "i", "v", k = 2).collect()(0)
+    assert(r3.getAs[Long]("n_units") == 30L &&
+      r3.getAs[Long]("n_dropped") == 1L)
+    intercept[IllegalArgumentException] {
+      Eval.cronbachAlpha(parallel.toDF("u", "i", "v"), "u", "i", "v", k = 1)
+    }
+  }
+
+  test("linCcc: identity 1.0, pure shift keeps r but cuts ccc, constant NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    val xs = (0 until 50).map(i => (i % 11).toDouble)
+    val ident = xs.map(x => (x, x))
+    val r0 = Features.linCcc(ident.toDF("x", "y"), "x", "y").collect()(0)
+    assert(r0.getAs[Long]("ccc_micro") == 1000000L &&
+      r0.getAs[Long]("r_milli") == 1000L)
+    val shift = xs.map(x => (x, x + 20.0))
+    val r1 = Features.linCcc(shift.toDF("x", "y"), "x", "y").collect()(0)
+    assert(r1.getAs[Long]("r_milli") == 1000L)          // correlation blind
+    assert(r1.getAs[Long]("ccc_micro") < 100000L, r1.toString) // agreement not
+    val const = (0 until 20).map(_ => (5.0, 5.0))
+    val r2 = Features.linCcc(const.toDF("x", "y"), "x", "y").collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("ccc_micro")))
+  }
+
+  test("ljungBox: trending series large Q, alternating series small, short keys drop lags") {
+    val spark2 = spark
+    import spark2.implicits._
+    // strong positive autocorrelation: slow sawtooth
+    val trend = (0 until 200).map(t => ("k1", t.toLong, (t / 20).toDouble))
+    // lag-1 anti-correlated alternation: r1 < 0 but Σr²/(n-l) small at
+    // even lags... alternation actually gives large |r| at every lag.
+    // White-ish: small residue pattern with period co-prime to lags
+    val white = (0 until 200).map(t =>
+      ("k2", t.toLong, ((t * 37) % 101).toDouble))
+    val out = TimeSeries.ljungBox(
+      (trend ++ white).toDF("k", "t", "v"), "k", "t", "v", maxLag = 6)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(out("k1").getAs[Long]("n_lags_used") == 6L)
+    assert(out("k1").getAs[Long]("q_milli") >
+      out("k2").getAs[Long]("q_milli") * 5, s"${out("k1")} ${out("k2")}")
+    // a 3-point series can only use lags 1..2
+    val short = Seq(("k3", 0L, 1.0), ("k3", 1L, 5.0), ("k3", 2L, 2.0))
+    val o2 = TimeSeries.ljungBox(
+      short.toDF("k", "t", "v"), "k", "t", "v", maxLag = 6).collect()
+    assert(o2.forall(_.getAs[Long]("n_lags_used") <= 2L))
+  }
+
+  test("runsTest: clumped sequence negative z, alternating positive, one-value NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 50 trues then 50 falses: R = 2, maximal clumping
+    val clumped = (0 until 100).map(t => ("c", t.toLong, t < 50))
+    val rc = TimeSeries.runsTest(
+      clumped.toDF("k", "t", "x"), "k", "t", "x").collect()(0)
+    assert(rc.getAs[Long]("runs") == 2L)
+    assert(rc.getAs[Long]("z_milli") < -5000L && rc.getAs[Boolean]("clumped"))
+    // perfect alternation: R = n, too many runs, z strongly positive
+    val alt = (0 until 100).map(t => ("a", t.toLong, t % 2 == 0))
+    val ra = TimeSeries.runsTest(
+      alt.toDF("k", "t", "x"), "k", "t", "x").collect()(0)
+    assert(ra.getAs[Long]("runs") == 100L)
+    assert(ra.getAs[Long]("z_milli") > 5000L && !ra.getAs[Boolean]("clumped"))
+    val mono = (0 until 20).map(t => ("m", t.toLong, true))
+    val rm = TimeSeries.runsTest(
+      mono.toDF("k", "t", "x"), "k", "t", "x").collect()(0)
+    assert(rm.isNullAt(rm.fieldIndex("z_milli")) &&
+      rm.isNullAt(rm.fieldIndex("clumped")))
+  }
+
+  test("bowkerSymmetry: symmetric zero, directional drift positive, cap trips") {
+    val spark2 = spark
+    import spark2.implicits._
+    val sym = (0 until 30).flatMap(_ => Seq(("a", "b"), ("b", "a"))) ++
+      (0 until 50).map(_ => ("a", "a"))
+    val r0 = Eval.bowkerSymmetry(sym.toDF("x", "y"), "x", "y").collect()(0)
+    assert(r0.getAs[Long]("chi2_micro") == 0L &&
+      r0.getAs[Long]("df_pairs") == 1L)
+    assert(r0.getAs[Long]("n_offdiag") == 60L)
+    // everything flows a -> b, nothing back: (60-0)^2/60 = 60
+    val drift = (0 until 60).map(_ => ("a", "b")) ++
+      (0 until 50).map(_ => ("c", "c"))
+    val r1 = Eval.bowkerSymmetry(drift.toDF("x", "y"), "x", "y").collect()(0)
+    assert(r1.getAs[Long]("chi2_micro") == 60000000L, r1.toString)
+    assert(r1.getAs[Long]("n_categories") == 3L)
+    intercept[IllegalArgumentException] {
+      Eval.bowkerSymmetry(
+        (0 until 40).map(i => (s"a$i", s"b$i")).toDF("x", "y"),
+        "x", "y", maxCells = 10L)
+    }
+  }
+
+  test("termBurstiness: clumped term out-ranks uniform term of equal cf; minDf filters") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 10 docs; "uni" once per doc (cf=10, Poisson-flat); "burst" 10 times
+    // in one doc (cf=10, maximal clumping); "rare" in 2 docs only
+    val docs = (0 until 10).map { d =>
+      val burst = if (d == 0) (" burst" * 10) else ""
+      val rare = if (d < 2) " rare" else ""
+      (d.toLong, s"uni$burst$rare filler$d")
+    }
+    val out = Corpus.termBurstiness(
+      docs.toDF("id", "text"), "id", "text", minDf = 2L, k = 20)
+      .collect().map(r => r.getAs[String]("term") -> r).toMap
+    assert(!out.contains("filler0") && !out.contains("burst")) // df < minDf
+    assert(out.contains("uni") && out.contains("rare"))
+    // minDf=1 keeps the clumped term so dispersion compares directly
+    val out1 = Corpus.termBurstiness(
+      docs.toDF("id", "text"), "id", "text", minDf = 1L, k = 20)
+      .collect().map(r => r.getAs[String]("term") -> r).toMap
+    assert(out1("burst").getAs[Long]("cf") == 10L &&
+      out1("uni").getAs[Long]("cf") == 10L)
+    // uniform: every doc exactly 1 → variance 0 → VMR 0
+    assert(out1("uni").getAs[Long]("vmr_micro") == 0L)
+    assert(out1("burst").getAs[Long]("vmr_micro") > 8000000L)
+    assert(out1("burst").getAs[Long]("repeat_micro") == 10000000L)
+    assert(out1("burst").getAs[Long]("rank") <
+      out1("uni").getAs[Long]("rank"))
   }
 }
