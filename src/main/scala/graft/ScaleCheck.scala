@@ -657,6 +657,217 @@ object ScaleCheck {
       val tN = f(emN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
+
+    // ---- round-11 statistics batch (q265–q282): every op collapses the
+    // corpus map-side to a model-sized table (cells, strata, vocabulary,
+    // per-key series), so all should scale ~linearly or better. Replicas
+    // add USERS/event-ids (disjoint), categories stay fixed — the
+    // realistic "more traffic, same schema" shape.
+    def ksTestTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(when(pmod(col("user_id"), lit(2)) === 0, "a")
+          .otherwise("b").as("g"), col("value"))
+      val t0 = System.nanoTime()
+      graft.ops.Features.ksTestTwoSample(base, "g", "value")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def fleissTime(df: DataFrame, tag: String): Double = {
+      // items scale with event_ids; 4 raters per item via id arithmetic
+      val base = df.filter(col("event_id").isNotNull && col("value").isNotNull)
+        .select(expr("event_id div 4").as("item"),
+          pmod(col("event_id"), lit(4)).as("rater"),
+          floor(col("value") / 25.0).cast("long").as("label"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.fleissKappa(base, "item", "rater", "label", r = 4)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def cramersVTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("event_type").isNotNull && col("value").isNotNull)
+        .withColumn("dec", floor(col("value") / 10.0).cast("long"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.cramersV(base, "event_type", "dec")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def friedmanTime(df: DataFrame, tag: String): Double = {
+      // blocks = users (scale with data), treatments = 5 event types
+      val base = df.filter(col("user_id").isNotNull &&
+        col("event_type").isNotNull && col("value").isNotNull)
+      val t0 = System.nanoTime()
+      graft.ops.Features.friedmanTest(base, "user_id", "event_type", "value")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def kendallsWTime(df: DataFrame, tag: String): Double = {
+      // raters = 5 event types, items = user buckets (scale with data)
+      val base = df.filter(col("user_id").isNotNull &&
+          col("event_type").isNotNull && col("value").isNotNull)
+        .withColumn("item", expr("user_id div 10"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.kendallsW(base, "event_type", "item", "value")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def brierTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("value").isNotNull && col("user_id").isNotNull)
+        .select((col("value") / 100.0).as("score"),
+          (pmod(col("user_id"), lit(3)) === 0).as("y"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.brierDecomposition(base, "y", "score", bins = 20)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def neymanTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("event_type").isNotNull && col("value").isNotNull)
+      val t0 = System.nanoTime()
+      graft.ops.Sampling.neymanAllocation(base, "event_type", "value",
+          budget = 10000L)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def hellingerTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(when(pmod(col("user_id"), lit(2)) === 0, "a")
+          .otherwise("b").as("g"),
+          floor(col("value") / 5.0).cast("long").as("l"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.hellingerDistance(base, "g", "l")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def pagesTrendTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull &&
+          col("event_type").isNotNull && col("value").isNotNull)
+        .withColumn("dose", length(col("event_type")).cast("long"))
+      val t0 = System.nanoTime()
+      graft.ops.Features.pagesTrendTest(base, "user_id", "dose", "value")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def caTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("value").isNotNull && col("user_id").isNotNull)
+        .select(floor(col("value") / 10.0).cast("long").as("decile"),
+          (pmod(col("user_id"), lit(3)) === 0).as("y"))
+      val t0 = System.nanoTime()
+      graft.ops.Causal.cochranArmitage(base, "decile", "y")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def mhTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("event_type").isNotNull &&
+          col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("t", pmod(col("user_id"), lit(2)) === 0)
+        .withColumn("y", col("value") >= 50.0)
+      val t0 = System.nanoTime()
+      graft.ops.Causal.mantelHaenszel(base, "event_type", "t", "y")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def bfTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("event_type").isNotNull && col("value").isNotNull)
+      val t0 = System.nanoTime()
+      graft.ops.Features.brownForsythe(base, "event_type", "value")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def cronbachTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull &&
+        col("event_type").isNotNull && col("value").isNotNull)
+      val t0 = System.nanoTime()
+      graft.ops.Eval.cronbachAlpha(base, "user_id", "event_type", "value",
+          k = 5)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def linCccTime(df: DataFrame, tag: String): Double = {
+      // the q278 shape: per-user exact micro means of two event halves
+      val per = df.filter(col("user_id").isNotNull &&
+          col("event_id").isNotNull && col("value").isNotNull &&
+          col("value") >= 0.0)
+        .withColumn("__vm", floor(col("value") * 1e6).cast("long"))
+        .groupBy("user_id")
+        .agg(sum(when(pmod(col("event_id"), lit(2)) === 0, col("__vm")))
+            .as("se"),
+          count(when(pmod(col("event_id"), lit(2)) === 0, 1)).as("ne"),
+          sum(when(pmod(col("event_id"), lit(2)) === 1, col("__vm")))
+            .as("so"),
+          count(when(pmod(col("event_id"), lit(2)) === 1, 1)).as("no"))
+        .filter(col("ne") > 0 && col("no") > 0)
+        .select(expr("se div ne").as("x"), expr("so div no").as("y"))
+      val t0 = System.nanoTime()
+      graft.ops.Features.linCccMicro(per, "x", "y")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def ljungBoxTime(df: DataFrame, tag: String): Double = {
+      // per-user hourly series: keys scale, series length stays fixed
+      import graft.engine.EventTime
+      val hourly = df.filter(col("user_id").isNotNull &&
+          col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(df, "ts"))
+        .withColumn("b", expr("__ms div 3600000"))
+        .withColumn("__vm", floor(col("value") * 1e6).cast("long"))
+        .groupBy("user_id", "b").agg(sum("__vm").as("sv"))
+      val t0 = System.nanoTime()
+      graft.ops.TimeSeries.ljungBox(hourly, "user_id", "b", "sv", maxLag = 6)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def runsTime(df: DataFrame, tag: String): Double = {
+      import graft.engine.EventTime
+      val hourly = df.filter(col("user_id").isNotNull &&
+          col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(df, "ts"))
+        .withColumn("b", expr("__ms div 3600000"))
+        .withColumn("__vm", floor(col("value") * 1e6).cast("long"))
+        .groupBy("user_id", "b").agg(sum("__vm").as("sv"))
+        .withColumn("hot", col("sv") >= 50000000L)
+      val t0 = System.nanoTime()
+      graft.ops.TimeSeries.runsTest(hourly, "user_id", "b", "hot")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def bowkerTime(df: DataFrame, tag: String): Double = {
+      import org.apache.spark.sql.expressions.Window
+      val ev = df.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = ev
+        .withColumn("nx", lead(col("event_type"), 1).over(w))
+        .filter(col("nx").isNotNull)
+      val t0 = System.nanoTime()
+      graft.ops.Eval.bowkerSymmetry(pairs, "event_type", "nx")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for ((name, f) <- Seq(
+      ("ks_test", ksTestTime _), ("fleiss_kappa", fleissTime _),
+      ("cramers_v", cramersVTime _), ("friedman", friedmanTime _),
+      ("kendalls_w", kendallsWTime _), ("brier", brierTime _),
+      ("neyman", neymanTime _), ("hellinger", hellingerTime _),
+      ("pages_trend", pagesTrendTime _), ("cochran_armitage", caTime _),
+      ("mantel_haenszel", mhTime _), ("brown_forsythe", bfTime _),
+      ("cronbach", cronbachTime _), ("lin_ccc", linCccTime _),
+      ("ljung_box", ljungBoxTime _), ("runs_test", runsTime _),
+      ("bowker", bowkerTime _)) if wanted(name)) {
+      val t1 = f(ev1, s"${name}_1")
+      val tN = f(evN, s"${name}_N")
+      println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
+    def burstinessTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Corpus.termBurstiness(df, "doc_id", "text",
+          minDf = 5L, k = 50)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (wanted("burstiness")) {
+      val t1 = burstinessTime(doc1, "burstiness_1")
+      val tN = burstinessTime(docNPlain, "burstiness_N")
+      println(f"burstiness   1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
     spark.stop()
   }
 }
