@@ -9185,6 +9185,180 @@ object Queries {
       SELECT rnk::BIGINT AS rank, term, cf, df, n_docs, vmr_micro,
         repeat_micro FROM r WHERE rnk <= 50"""))
 
+  /** Cohen's d / Hedges' g standardized effect between the user-parity
+    * arms — the magnitude readout next to q240's significance.
+    */
+  private val q283 = Q(
+    "q283_cohens_d",
+    (spark, dir) => Causal.cohensD(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b")),
+      "arm", "value"),
+    Some("""WITH b AS (SELECT
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g,
+          floor(value * 1e6)::BIGINT v
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      g AS (SELECT g, COUNT(*)::BIGINT n, SUM(v)::HUGEINT s,
+          SUM(v::HUGEINT * v)::HUGEINT q FROM b GROUP BY 1),
+      w AS (SELECT a.n na, a.s sa, a.q qa, c.n nb, c.s sb, c.q qb
+        FROM (SELECT * FROM g WHERE g = 'arm_a') a,
+          (SELECT * FROM g WHERE g = 'arm_b') c),
+      v AS (SELECT *,
+          (qa::DOUBLE - sa::DOUBLE * sa::DOUBLE / na) ssa,
+          (qb::DOUBLE - sb::DOUBLE * sb::DOUBLE / nb) ssb FROM w),
+      v2 AS (SELECT *, (ssa + ssb) / (na + nb - 2) sp2 FROM v),
+      v3 AS (SELECT *,
+          (CASE WHEN na >= 2 AND nb >= 2 AND sp2 > 0 THEN
+            floor(1000.0 * (sa::DOUBLE / na - sb::DOUBLE / nb)
+              / sqrt(sp2)) END)::BIGINT dm,
+          (CASE WHEN na >= 2 AND nb >= 2 AND sp2 > 0 THEN
+            floor(1000.0 * ((sa::DOUBLE / na - sb::DOUBLE / nb)
+              / sqrt(sp2)) * (4.0 * (na + nb - 2) - 4.0)
+              / (4.0 * (na + nb - 2) - 1.0)) END)::BIGINT gm
+        FROM v2)
+      SELECT 'arm_a' AS grp_a, 'arm_b' AS grp_b, na AS n_a, nb AS n_b,
+        (CASE WHEN sa >= 0 THEN sa // na
+          ELSE -((-sa) // na) END)::BIGINT AS mean_a_micro,
+        (CASE WHEN sb >= 0 THEN sb // nb
+          ELSE -((-sb) // nb) END)::BIGINT AS mean_b_micro,
+        ((CASE WHEN sa >= 0 THEN sa // na ELSE -((-sa) // na) END)
+         - (CASE WHEN sb >= 0 THEN sb // nb
+             ELSE -((-sb) // nb) END))::BIGINT AS diff_micro,
+        dm AS d_milli, gm AS g_milli,
+        (CASE WHEN dm IS NULL THEN NULL
+          WHEN abs(dm) < 200 THEN 'negligible'
+          WHEN abs(dm) < 500 THEN 'small'
+          WHEN abs(dm) < 800 THEN 'medium'
+          ELSE 'large' END) AS magnitude
+      FROM v3"""))
+
+  /** Krippendorff's alpha over the naturally-incomplete (user ×
+    * event-type) rating matrix — variable raters per unit, the case
+    * Fleiss (q266) drops.
+    */
+  private val q284 = Q(
+    "q284_krippendorff",
+    (spark, dir) => Eval.krippendorffAlpha(
+      pq(spark, dir, "events")
+        .filter(col("value").isNotNull && col("value") >= 0.0)
+        .withColumn("label", floor(col("value") / 25.0).cast("long")),
+      "user_id", "event_type", "label"),
+    Some("""WITH votes AS (SELECT user_id::VARCHAR u, event_type r,
+          MIN((floor(value / 25.0)::BIGINT)::VARCHAR) l FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND value IS NOT NULL AND value >= 0.0 GROUP BY 1, 2),
+      cells AS (SELECT u, l, COUNT(*)::BIGINT c FROM votes GROUP BY 1, 2),
+      units AS (SELECT u, SUM(c)::BIGINT m,
+          SUM(c::HUGEINT * (c - 1)) agree FROM cells GROUP BY 1),
+      drp AS (SELECT COUNT(*)::BIGINT n_dropped FROM units WHERE m < 2),
+      ua AS (SELECT COUNT(*)::BIGINT n_units,
+          SUM((m::HUGEINT * (m - 1) - agree) * 1000000 // (m - 1)) s
+        FROM units WHERE m >= 2),
+      la AS (SELECT COUNT(*)::BIGINT n_labels, SUM(nc)::HUGEINT n,
+          SUM(nc::HUGEINT * nc) nc2 FROM (
+        SELECT l, SUM(c)::BIGINT nc FROM cells
+        JOIN (SELECT u FROM units WHERE m >= 2) k USING (u) GROUP BY 1))
+      SELECT n_units, n_dropped, n::BIGINT AS n_values, n_labels,
+        (CASE WHEN n_units > 0 AND n * n - nc2 > 0 THEN
+          1000000 - (n - 1) * s // (n * n - nc2) END)::BIGINT
+          AS alpha_micro
+      FROM ua, la, drp"""))
+
+  /** Cox–Stuart sign trend over each user's hourly activity series —
+    * the n/2-pair monotone-drift alarm next to q260's full Mann–Kendall.
+    */
+  private val q285 = Q(
+    "q285_cox_stuart",
+    (spark, dir) => TimeSeries.coxStuart(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(
+          pq(spark, dir, "events"), "ts"))
+        .withColumn("bucket", expr("__ms div 3600000"))
+        .withColumn("__vm", floor(col("value") * 1e6).cast("long"))
+        .groupBy("user_id", "bucket").agg(sum("__vm").as("sv")),
+      "user_id", "bucket", "sv"),
+    Some("""WITH h AS (SELECT user_id::VARCHAR k,
+          epoch_ms(ts) // 3600000 t,
+          SUM(floor(value * 1e6)::BIGINT)::BIGINT sv FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT k, sv, ROW_NUMBER() OVER
+            (PARTITION BY k ORDER BY t) rn,
+          COUNT(*) OVER (PARTITION BY k) n FROM h),
+      a AS (SELECT k, n, rn, sv va FROM r WHERE rn <= n // 2),
+      b AS (SELECT k, rn - (n - n // 2) rn2, sv vb FROM r),
+      j AS (SELECT a.k, a.n, a.va, b.vb FROM a
+        JOIN b ON a.k = b.k AND a.rn = b.rn2),
+      g AS (SELECT k, n, COUNT(*)::BIGINT n_pairs,
+          SUM(CASE WHEN vb > va THEN 1 ELSE 0 END)::BIGINT n_rise,
+          SUM(CASE WHEN vb < va THEN 1 ELSE 0 END)::BIGINT n_fall
+        FROM j GROUP BY 1, 2)
+      SELECT k AS key, n, n_pairs, n_rise, n_fall,
+        (CASE WHEN n_rise + n_fall > 0 THEN
+          floor(1000.0 * (n_rise::DOUBLE - n_fall)
+            / sqrt((n_rise + n_fall)::DOUBLE)) END)::BIGINT AS z_milli,
+        (CASE WHEN n_rise + n_fall > 0 THEN
+          abs(floor(1000.0 * (n_rise::DOUBLE - n_fall)
+            / sqrt((n_rise + n_fall)::DOUBLE))) >= 1960 END)
+          AS trending
+      FROM g"""))
+
+  /** Kish design effect / effective sample size of the per-type value
+    * weights — the weighted-sampling health audit.
+    */
+  private val q286 = Q(
+    "q286_design_effect",
+    (spark, dir) => Sampling.designEffect(
+      pq(spark, dir, "events"), "event_type", "value"),
+    Some("""WITH b AS (SELECT event_type stratum,
+          floor(value * 1e6)::BIGINT w FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      g AS (SELECT stratum,
+          COUNT(CASE WHEN w > 0 THEN 1 END)::BIGINT n,
+          COUNT(CASE WHEN w <= 0 THEN 1 END)::BIGINT n_nonpos,
+          SUM(CASE WHEN w > 0 THEN w::HUGEINT ELSE 0::HUGEINT END) sw,
+          SUM(CASE WHEN w > 0 THEN w::HUGEINT * w
+            ELSE 0::HUGEINT END) sw2,
+          MAX(CASE WHEN w > 0 THEN w END)::BIGINT wmax
+        FROM b GROUP BY 1)
+      SELECT stratum, n, n_nonpos, sw::BIGINT AS sum_w_micro,
+        (CASE WHEN sw > 0 THEN n::HUGEINT * sw2 * 1000000 // (sw * sw)
+          END)::BIGINT AS deff_micro,
+        (CASE WHEN sw2 > 0 THEN sw * sw * 1000 // sw2 END)::BIGINT
+          AS ess_milli,
+        (CASE WHEN sw > 0 THEN wmax::HUGEINT * 1000000 // sw
+          END)::BIGINT AS max_w_share_micro
+      FROM g"""))
+
+  /** Grubbs extreme-deviation audit: top-20 event values by exact
+    * integer deviation, z against the fitted normal.
+    */
+  private val q287 = Q(
+    "q287_grubbs",
+    (spark, dir) => Features.grubbsOutliers(
+      pq(spark, dir, "events")
+        .filter(col("event_id").isNotNull),
+      "event_id", "value", k = 20),
+    Some("""WITH b AS (SELECT event_id id, floor(value * 1e6)::BIGINT v
+        FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+      s AS (SELECT COUNT(*)::BIGINT n, SUM(v)::HUGEINT s,
+          SUM(v::HUGEINT * v)::HUGEINT q FROM b),
+      d AS (SELECT id, v value_micro, abs(v::HUGEINT * n - s) dev,
+          n, s, q FROM b, s),
+      r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY dev DESC, id) rnk
+        FROM d)
+      SELECT rnk::BIGINT AS rank, id, value_micro,
+        (CASE WHEN n >= 3 AND q::DOUBLE - s::DOUBLE * s::DOUBLE / n > 0
+          THEN floor(1000.0 * dev::DOUBLE / (n::DOUBLE
+            * sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE / n) / (n - 1))))
+          END)::BIGINT AS z_milli, n
+      FROM r WHERE rnk <= 20"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -9209,7 +9383,8 @@ object Queries {
     q235, q236, q237, q238, q239, q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253,
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274,
-    q275, q276, q277, q278, q279, q280, q281, q282)
+    q275, q276, q277, q278, q279, q280, q281, q282,
+    q283, q284, q285, q286, q287)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -856,6 +856,64 @@ object ScaleCheck {
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
+    def cohensDTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "a").otherwise("b"))
+      val t0 = System.nanoTime()
+      graft.ops.Causal.cohensD(base, "arm", "value")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def krippendorffTime(df: DataFrame, tag: String): Double = {
+      // units = users (scale), raters = event types (variable per unit)
+      val base = df.filter(col("user_id").isNotNull &&
+          col("event_type").isNotNull && col("value").isNotNull &&
+          col("value") >= 0.0)
+        .withColumn("label", floor(col("value") / 25.0).cast("long"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.krippendorffAlpha(base, "user_id", "event_type",
+          "label")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def coxStuartTime(df: DataFrame, tag: String): Double = {
+      import graft.engine.EventTime
+      val hourly = df.filter(col("user_id").isNotNull &&
+          col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(df, "ts"))
+        .withColumn("b", expr("__ms div 3600000"))
+        .withColumn("__vm", floor(col("value") * 1e6).cast("long"))
+        .groupBy("user_id", "b").agg(sum("__vm").as("sv"))
+      val t0 = System.nanoTime()
+      graft.ops.TimeSeries.coxStuart(hourly, "user_id", "b", "sv")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def designEffectTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("event_type").isNotNull &&
+        col("value").isNotNull)
+      val t0 = System.nanoTime()
+      graft.ops.Sampling.designEffect(base, "event_type", "value")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def grubbsTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("event_id").isNotNull &&
+        col("value").isNotNull)
+      val t0 = System.nanoTime()
+      graft.ops.Features.grubbsOutliers(base, "event_id", "value", k = 20)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for ((name, f) <- Seq(
+      ("cohens_d", cohensDTime _), ("krippendorff", krippendorffTime _),
+      ("cox_stuart", coxStuartTime _),
+      ("design_effect", designEffectTime _),
+      ("grubbs", grubbsTime _)) if wanted(name)) {
+      val t1 = f(ev1, s"${name}_1")
+      val tN = f(evN, s"${name}_N")
+      println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
     def burstinessTime(df: DataFrame, tag: String): Double = {
       val t0 = System.nanoTime()
       graft.ops.Corpus.termBurstiness(df, "doc_id", "text",

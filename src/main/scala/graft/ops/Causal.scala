@@ -553,4 +553,84 @@ object Causal {
         when(col("chi2_milli").isNull, lit(null).cast("boolean"))
           .otherwise(col("chi2_milli") >= 3841L))
   }
+
+  /** Cohen's d / Hedges' g standardized effect size — the magnitude
+    * companion to [[welchTTest]]'s significance: with corpus-scale n,
+    * everything is "significant"; d says whether the gap MATTERS
+    * (0.2 small / 0.5 medium / 0.8 large, the usual benchmarks).
+    * Pooled-SD form:
+    *
+    *   {{{ d = (x̄₁ − x̄₂) / s_p,   s_p² = ((n₁−1)s₁² + (n₂−1)s₂²)/(n₁+n₂−2) }}}
+    *
+    * with Hedges' small-sample correction `g = d·(4·df−4)/(4·df−1)`
+    * (df = n₁+n₂−2) — the exact rational J-approximation, so g is the
+    * number to report below a few hundred rows per arm and
+    * asymptotically equals d.
+    *
+    * Exactness: per-arm (n, Σ, Σ²) exact decimal moments of
+    * micro-floored values ([[welchTTest]]'s contract); means sign-split
+    * floor divisions; d and g are each ONE fixed double tree over the
+    * exact integers, floored to milli. NULL when either arm has n < 2
+    * or the pooled variance degenerates. Exactly two groups, reported
+    * in lexicographic order; `magnitude` labels |d| by the 200/500/800
+    * milli benchmarks (integer compares, no extra float).
+    *
+    * Output (one row): `(grp_a, grp_b, n_a, n_b, mean_a_micro,
+    * mean_b_micro, diff_micro, d_milli, g_milli, magnitude)`.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(group) to two rows;
+    * driver arithmetic finishes (the [[welchTTest]] plan).
+    */
+  def cohensD(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val g = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__v"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast("decimal(38,0)")).as("s"),
+        sum(expr("cast(__v as decimal(38,0)) * __v")).as("q"))
+      .orderBy("__g").collect()
+    require(g.length == 2,
+      s"cohensD: exactly 2 groups required, got ${g.length}")
+    def dec(i: Int, j: Int): BigInt = BigInt(g(i).getDecimal(j).toBigInteger)
+    val (ga, gb) = (g(0).getString(0), g(1).getString(0))
+    val (na, nb) = (g(0).getLong(1), g(1).getLong(1))
+    val (sa, sb) = (dec(0, 2), dec(1, 2))
+    val (qa, qb) = (dec(0, 3), dec(1, 3))
+    def floorDiv(s: BigInt, c: Long): Long =
+      (if (s >= 0) s / c else -((-s) / c)).toLong
+    val (meanA, meanB) = (floorDiv(sa, na), floorDiv(sb, nb))
+    val (dMilli, gMilli): (Option[Long], Option[Long]) =
+      if (na < 2 || nb < 2) (None, None)
+      else {
+        val df2 = na + nb - 2
+        val ssA = qa.toDouble - sa.toDouble * sa.toDouble / na
+        val ssB = qb.toDouble - sb.toDouble * sb.toDouble / nb
+        val sp2 = (ssA + ssB) / df2
+        if (sp2 <= 0) (None, None)
+        else {
+          val d = (sa.toDouble / na - sb.toDouble / nb) / math.sqrt(sp2)
+          val gv = d * (4.0 * df2 - 4.0) / (4.0 * df2 - 1.0)
+          (Some(math.floor(1000.0 * d).toLong),
+            Some(math.floor(1000.0 * gv).toLong))
+        }
+      }
+    val magnitude: Option[String] = dMilli.map { dm =>
+      val a = math.abs(dm)
+      if (a < 200) "negligible"
+      else if (a < 500) "small"
+      else if (a < 800) "medium"
+      else "large"
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, na, nb, meanA, meanB, meanA - meanB, dMilli, gMilli,
+        magnitude))
+      .toDF("grp_a", "grp_b", "n_a", "n_b", "mean_a_micro",
+        "mean_b_micro", "diff_micro", "d_milli", "g_milli", "magnitude")
+  }
 }

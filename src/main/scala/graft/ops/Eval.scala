@@ -1926,4 +1926,76 @@ object Eval {
         col("n_offdiag"),
         coalesce(col("chi2_micro"), lit(0L)).cast("long").as("chi2_micro"))
   }
+
+  /** Krippendorff's alpha (nominal) — inter-rater reliability that
+    * [[fleissKappa]] cannot give you on REAL annotation logs: Fleiss
+    * demands exactly r raters per item (incomplete items drop); alpha
+    * takes whatever arrived — 2 ratings here, 7 there — and weights
+    * each unit's disagreement by its own pair count. The default
+    * reliability statistic for crowdsourced label audits.
+    *
+    * Per kept unit u (≥ 2 ratings after (unit, rater) min-dedup) with
+    * m_u ratings and m_uc per label, the disagreeing ordered pairs are
+    * `d_u = m_u(m_u−1) − Σ_c m_uc(m_uc−1)`, and with label totals n_c
+    * over kept units (n = Σ n_c):
+    *
+    *   {{{ α = 1 − (n−1) · Σ_u d_u/(m_u−1) / (n² − Σ_c n_c²) }}}
+    *
+    * Exactness: each unit's coincidence term floors ONCE as
+    * `⌊10⁶·d_u/(m_u−1)⌋` (nonneg, truncation = floor, oracle-replayed;
+    * underestimates Σ by < n_units micro); the final
+    * `alpha_micro = 10⁶ − (n−1)·S div (n²−Σn_c²)` is one more integer
+    * division (α < 0 — worse than chance — survives as a negative
+    * result of the subtraction, no signed division). NULL when every
+    * kept rating is one label (D_e = 0) or nothing is kept.
+    *
+    * Output (one row): `(n_units, n_dropped, n_values, n_labels,
+    * alpha_micro)` — n_values = total kept ratings.
+    *
+    * Overflow: (n−1)·S ≤ 10⁶·n² inside decimal(38,0) to n ≈ 10¹⁶
+    * ratings.
+    *
+    * 100 TB shape: (unit, rater) dedup groupBy → (unit, label) cell
+    * groupBy → unit-keyed rollup + label-keyed rollup, one one-row
+    * broadcast join — every table after the first collapse is
+    * units/labels-sized.
+    */
+  def krippendorffAlpha(
+      df: DataFrame,
+      unitCol: String,
+      raterCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val votes = df
+      .filter(col(unitCol).isNotNull && col(raterCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(unitCol).cast("string").as("__u"),
+        col(raterCol).cast("string").as("__r"),
+        col(labelCol).cast("string").as("__l"))
+      .groupBy("__u", "__r").agg(min("__l").as("__l"))
+    val cells = votes.groupBy("__u", "__l").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val units = cells.groupBy("__u")
+      .agg(sum("__c").as("__m"),
+        sum(expr(s"cast(__c as $dec) * (__c - 1)")).as("__agree"))
+      .localCheckpoint()
+    val nDropped = units.filter(col("__m") < 2).count()
+    val kept = units.filter(col("__m") >= 2)
+    val unitAgg = kept.agg(
+      count(lit(1)).as("n_units"),
+      sum(expr(s"""(cast(__m as $dec) * (__m - 1) - __agree) * 1000000
+          div (__m - 1)""")).as("__s"))
+    val labelAgg = cells
+      .join(kept.select("__u"), "__u")
+      .groupBy("__l").agg(sum("__c").as("__nc"))
+      .agg(count(lit(1)).as("n_labels"),
+        sum(col("__nc").cast(dec)).as("__n"),
+        sum(expr(s"cast(__nc as $dec) * __nc")).as("__nc2"))
+    unitAgg.crossJoin(broadcast(labelAgg))
+      .select(col("n_units"), lit(nDropped).as("n_dropped"),
+        expr("cast(__n as long)").as("n_values"), col("n_labels"),
+        expr("""cast(case when n_units > 0 and __n * __n - __nc2 > 0 then
+            1000000 - (__n - 1) * __s div (__n * __n - __nc2)
+          end as long)""").as("alpha_micro"))
+  }
 }

@@ -1666,4 +1666,59 @@ object Features {
               * cast(cast(n as $dec) * syy - sy * sy as double)))
           end as long)""").as("r_milli"))
   }
+
+  /** Grubbs-style extreme-deviation audit — the top-k most extreme
+    * values by |x − x̄|/s, the parametric cousin of the q147 MAD
+    * screen: MAD asks "is this far from the bulk", Grubbs' G asks "is
+    * the single most extreme point consistent with the fitted normal"
+    * (compare `z_milli` of rank 1 against the Grubbs critical value for
+    * the cohort's n — caller-owned, it needs a t-quantile). Run it on
+    * any score column before trusting min/max-normalizations.
+    *
+    * Determinism: the ranking never touches a double — rows order by
+    * the EXACT integer deviation `|10⁶·x·n − Σ|` (then id), a
+    * [[Ranks.globalRank]] range exchange, so rank 1 is THE Grubbs
+    * candidate bit-for-bit. z_milli is one fixed double tree of the
+    * exact moments per emitted row (k rows, not corpus rows); NULL
+    * when n < 3 or the variance degenerates.
+    *
+    * Output: top `k` rows `(rank, id, value_micro, z_milli, n)`.
+    *
+    * Overflow: |10⁶·x|·n inside decimal(38,0) to n·|x| ≈ 10³² — loud
+    * NULL past it.
+    *
+    * 100 TB shape: ONE map-side-combined scalar moment pass, a one-row
+    * broadcast back, the globalRank range exchange, and a k-row
+    * result. Nothing pair-shaped, nothing corpus-sized at the driver.
+    */
+  def grubbsOutliers(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).as("id"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long")
+          .as("value_micro"))
+      .localCheckpoint()
+    val stats = base.agg(count(lit(1)).as("n"),
+      sum(col("value_micro").cast(dec)).as("__s"),
+      sum(expr(s"cast(value_micro as $dec) * value_micro")).as("__q"))
+    val devd = base.crossJoin(broadcast(stats))
+      .withColumn("__dev",
+        expr(s"abs(cast(value_micro as $dec) * n - __s)"))
+    Ranks.globalRank(devd, Seq(col("__dev").desc, col("id")), "rank")
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("id"), col("value_micro"),
+        expr("""cast(case when n >= 3
+            and cast(__q as double) - cast(__s as double) * __s / n > 0
+          then floor(1000.0 * cast(__dev as double) / (cast(n as double)
+            * sqrt((cast(__q as double) - cast(__s as double) * __s / n)
+              / (n - 1))))
+          end as long)""").as("z_milli"),
+        col("n"))
+  }
 }

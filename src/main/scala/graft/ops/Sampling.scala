@@ -811,4 +811,62 @@ object Sampling {
         col("s_micro"), expr("cast(__w as long)").as("weight"),
         col("quota"))
   }
+
+  /** Kish design effect per stratum — the price of unequal weights: a
+    * weighted sample of n rows carries the information of only
+    * `ess = (Σw)²/Σw²` unweighted rows, and `deff = n·Σw²/(Σw)² ≥ 1`
+    * says how much variance the weighting inflates. The audit to run
+    * AFTER any importance-weighted selection ([[dsirWeights]],
+    * [[neymanAllocation]], mixture reweighting): deff creeping past ~2
+    * means a few huge weights dominate and the effective corpus is a
+    * fraction of its row count. The off-policy twin lives in
+    * [[graft.ops.Eval.offPolicyValue]]'s ESS diagnostic; this is the
+    * per-stratum designed-sampling view.
+    *
+    * Exactness: weights floor once to micro (w > 0 rows only — zero or
+    * negative weights are excluded and counted); Σw and Σw² are exact
+    * decimals; `deff_micro = ⌊10⁶·n·Σw²/(Σw)²⌋` and
+    * `ess_milli = ⌊10³·(Σw)²/Σw²⌋` are one floor division each
+    * (nonneg, truncation = floor). `max_w_share_micro` rides along
+    * (largest single weight over Σw) — the "one row IS the stratum"
+    * alarm deff alone can hide at large n.
+    *
+    * Output per stratum: `(stratum, n, n_nonpos, sum_w_micro,
+    * deff_micro, ess_milli, max_w_share_micro)`.
+    *
+    * Overflow: 10⁶·n·Σw² ≤ 10¹⁸·n²·w²_max inside decimal(38,0) to
+    * n·w_max ≈ 10¹⁰ — loud decimal NULL past it.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(stratum) carrying
+    * four moments; output is strata-sized.
+    */
+  def designEffect(
+      df: DataFrame,
+      stratumCol: String,
+      weightCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.filter(col(stratumCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        floor(col(weightCol).cast("double") * 1e6).cast("long").as("__w"))
+      .groupBy("stratum")
+      .agg(count(when(col("__w") > 0, 1)).as("n"),
+        count(when(col("__w") <= 0, 1)).as("n_nonpos"),
+        sum(when(col("__w") > 0, col("__w")).otherwise(0L).cast(dec))
+          .as("__sw"),
+        sum(expr(s"""case when __w > 0
+          then cast(__w as $dec) * __w else cast(0 as $dec) end"""))
+          .as("__sw2"),
+        max(when(col("__w") > 0, col("__w"))).as("__wmax"))
+      .select(col("stratum"), col("n"), col("n_nonpos"),
+        expr("cast(__sw as long)").as("sum_w_micro"),
+        expr(s"""cast(case when __sw > 0 then
+            cast(n as $dec) * __sw2 * 1000000 div (__sw * __sw)
+          end as long)""").as("deff_micro"),
+        expr("""cast(case when __sw2 > 0 then
+            __sw * __sw * 1000 div __sw2
+          end as long)""").as("ess_milli"),
+        expr("""cast(case when __sw > 0 then
+            cast(__wmax as decimal(38,0)) * 1000000 div __sw
+          end as long)""").as("max_w_share_micro"))
+  }
 }

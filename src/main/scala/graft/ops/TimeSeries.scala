@@ -792,4 +792,66 @@ object TimeSeries {
         when(col("z_milli").isNull, lit(null).cast("boolean"))
           .otherwise(col("z_milli") <= -1960L))
   }
+
+  /** Cox–Stuart sign trend test per key — the assumption-free trend
+    * check that needs NOTHING but signs: pair each point in the first
+    * half of the series with its counterpart one half-length later
+    * (odd middles drop) and count how often the later value is larger.
+    * Where [[mannKendall]] ranks all n² pairs, Cox–Stuart reads n/2
+    * pairs — the cheap first-pass monotone-drift alarm for millions of
+    * key series, robust to any monotone transform of the values.
+    *
+    * With `p` rises and `q` falls (ties drop), the statistic is the
+    * binomial sign z (no continuity correction, documented):
+    *
+    *   {{{ z = (p − q) / √(p + q) }}}
+    *
+    * Exactness: p, q, n exact integers; z is ONE fixed double tree
+    * floored to milli; `trending` = |z_milli| ≥ 1960. NULL z when no
+    * untied pair exists.
+    *
+    * Output per key: `(key, n, n_pairs, n_rise, n_fall, z_milli,
+    * trending)` — n_pairs = ⌊n/2⌋ (before tie drops).
+    *
+    * 100 TB shape: ONE key shuffle (rank window), then a KEY-LOCAL
+    * rank-offset equi-join of the two halves (n/2 pairs — linear, no
+    * cap needed) and a map-side-combined rollup.
+    */
+  def coxStuart(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(keyCol).isNotNull && col(bucketCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        col(bucketCol).cast("long").as("__b"),
+        col(valueCol).cast("long").as("__v"))
+    val w = Window.partitionBy("__k").orderBy("__b")
+    val ranked = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__k")))
+      .localCheckpoint()
+    val a = ranked.filter(col("__rn") <= expr("__n div 2"))
+      .select(col("__k"), col("__n"), col("__rn"), col("__v").as("va"))
+    val b = ranked
+      .select(col("__k"),
+        (col("__rn") - (col("__n") - expr("__n div 2"))).as("__rn"),
+        col("__v").as("vb"))
+    a.join(b, Seq("__k", "__rn"))
+      .groupBy("__k", "__n")
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("vb") > col("va"), 1)).as("n_rise"),
+        count(when(col("vb") < col("va"), 1)).as("n_fall"))
+      .select(col("__k").as("key"), col("__n").as("n"), col("n_pairs"),
+        col("n_rise"), col("n_fall"),
+        expr("""cast(case when n_rise + n_fall > 0 then
+            floor(1000.0 * (cast(n_rise as double) - n_fall)
+              / sqrt(cast(n_rise + n_fall as double)))
+          end as long)""").as("z_milli"))
+      .withColumn("trending",
+        when(col("z_milli").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col("z_milli")) >= 1960L))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Causal, Corpus, Eval, Features, Preference, TimeSeries}
+import graft.ops.{Causal, Corpus, Eval, Features, Preference, Sampling, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Behavior specs for the round-9 statistics batch: set-based retrieval
@@ -1442,6 +1442,132 @@ class StatsOpsSpec extends SparkSuite {
         (0 until 40).map(i => (s"a$i", s"b$i")).toDF("x", "y"),
         "x", "y", maxCells = 10L)
     }
+  }
+
+  test("cohensD: one-SD shift is large, tiny shift negligible, constant arms NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    // arm_a alternates 0/1 (sd ~0.5), arm_b is arm_a + 1 -> d ~ 2
+    val big = (0 until 200).map(i => ("arm_a", (i % 2).toDouble)) ++
+      (0 until 200).map(i => ("arm_b", (i % 2) + 1.0))
+    val r0 = Causal.cohensD(big.toDF("g", "v"), "g", "v").collect()(0)
+    assert(r0.getAs[Long]("diff_micro") == -1000000L)
+    assert(math.abs(r0.getAs[Long]("d_milli") + 2000L) < 20L, r0.toString)
+    assert(r0.getAs[String]("magnitude") == "large")
+    // Hedges g shrinks |d| toward 0 (correction < 1)
+    assert(math.abs(r0.getAs[Long]("g_milli")) <
+      math.abs(r0.getAs[Long]("d_milli")))
+    val tiny = (0 until 200).map(i => ("arm_a", (i % 2).toDouble)) ++
+      (0 until 200).map(i => ("arm_b", (i % 2) + 0.05))
+    val r1 = Causal.cohensD(tiny.toDF("g", "v"), "g", "v").collect()(0)
+    assert(r1.getAs[String]("magnitude") == "negligible")
+    val const = Seq(("arm_a", 5.0), ("arm_a", 5.0), ("arm_b", 5.0),
+      ("arm_b", 5.0))
+    val r2 = Causal.cohensD(const.toDF("g", "v"), "g", "v").collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("d_milli")) &&
+      r2.isNullAt(r2.fieldIndex("magnitude")))
+    intercept[IllegalArgumentException] {
+      Causal.cohensD(Seq(("only", 1.0)).toDF("g", "v"), "g", "v")
+    }
+  }
+
+  test("krippendorffAlpha: perfect agreement 1e6, systematic disagreement negative, singletons drop") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 10 units, 2-4 raters each, all agreeing; labels vary across units
+    val perfect = (0 until 10).flatMap { u =>
+      (0 until 2 + u % 3).map(r => (s"u$u", s"r$r", s"L${u % 3}"))
+    }
+    val r0 = Eval.krippendorffAlpha(
+      perfect.toDF("u", "r", "l"), "u", "r", "l").collect()(0)
+    assert(r0.getAs[Long]("n_units") == 10L &&
+      r0.getAs[Long]("n_dropped") == 0L)
+    assert(r0.getAs[Long]("alpha_micro") == 1000000L, r0.toString)
+    // every unit = {a, b}: hand value 1e6 - (n-1)*S/(n^2 - sum nc^2)
+    // = 1e6 - 19*2e7/200 = -900000
+    val opposed = (0 until 10).flatMap(u =>
+      Seq((s"u$u", "r0", "a"), (s"u$u", "r1", "b")))
+    val r1 = Eval.krippendorffAlpha(
+      opposed.toDF("u", "r", "l"), "u", "r", "l").collect()(0)
+    assert(r1.getAs[Long]("alpha_micro") == -900000L, r1.toString)
+    // a single-rating unit is excluded and counted
+    val withSingleton = perfect ++ Seq(("uX", "r0", "L9"))
+    val r2 = Eval.krippendorffAlpha(
+      withSingleton.toDF("u", "r", "l"), "u", "r", "l").collect()(0)
+    assert(r2.getAs[Long]("n_units") == 10L &&
+      r2.getAs[Long]("n_dropped") == 1L)
+    // one label everywhere: D_e = 0 -> NULL
+    val oneLabel = (0 until 5).flatMap(u =>
+      Seq((s"u$u", "r0", "same"), (s"u$u", "r1", "same")))
+    val r3 = Eval.krippendorffAlpha(
+      oneLabel.toDF("u", "r", "l"), "u", "r", "l").collect()(0)
+    assert(r3.isNullAt(r3.fieldIndex("alpha_micro")))
+  }
+
+  test("coxStuart: monotone rise all pairs up, fall mirrors, flat NULL, odd middle drops") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rise = (0 until 10).map(t => ("k", t.toLong, t.toLong * 10))
+    val r0 = TimeSeries.coxStuart(
+      rise.toDF("k", "t", "v"), "k", "t", "v").collect()(0)
+    assert(r0.getAs[Long]("n_pairs") == 5L &&
+      r0.getAs[Long]("n_rise") == 5L && r0.getAs[Long]("n_fall") == 0L)
+    assert(r0.getAs[Long]("z_milli") == 2236L &&    // 5/sqrt(5)
+      r0.getAs[Boolean]("trending"))
+    val fall = rise.map { case (k, t, v) => (k, t, -v) }
+    val r1 = TimeSeries.coxStuart(
+      fall.toDF("k", "t", "v"), "k", "t", "v").collect()(0)
+    assert(r1.getAs[Long]("z_milli") == -2237L)    // floor(-2236.07)
+    val flat = (0 until 10).map(t => ("k", t.toLong, 7L))
+    val r2 = TimeSeries.coxStuart(
+      flat.toDF("k", "t", "v"), "k", "t", "v").collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("z_milli")) &&
+      r2.isNullAt(r2.fieldIndex("trending")))
+    // odd length: 11 points -> 5 pairs, middle (rank 6) unused
+    val odd = (0 until 11).map(t => ("k", t.toLong, t.toLong))
+    val r3 = TimeSeries.coxStuart(
+      odd.toDF("k", "t", "v"), "k", "t", "v").collect()(0)
+    assert(r3.getAs[Long]("n") == 11L && r3.getAs[Long]("n_pairs") == 5L)
+  }
+
+  test("designEffect: equal weights deff 1e6 / ess n*1000, dominant weight inflates, nonpos counted") {
+    val spark2 = spark
+    import spark2.implicits._
+    val equal = (0 until 40).map(i => ("s1", 2.5))
+    val r0 = Sampling.designEffect(
+      equal.toDF("s", "w"), "s", "w").collect()(0)
+    assert(r0.getAs[Long]("deff_micro") == 1000000L &&
+      r0.getAs[Long]("ess_milli") == 40000L)
+    // weights 1,1,1,1,96: deff = 5*9220e12*1e6/(100e6)^2 = 4.61e6
+    val skewed = Seq(1.0, 1.0, 1.0, 1.0, 96.0).map(w => ("s2", w))
+    val r1 = Sampling.designEffect(
+      skewed.toDF("s", "w"), "s", "w").collect()(0)
+    assert(r1.getAs[Long]("deff_micro") == 4610000L, r1.toString)
+    assert(r1.getAs[Long]("max_w_share_micro") == 960000L)
+    assert(r1.getAs[Long]("ess_milli") == 1084L)    // 100^2*1000/9220
+    val withBad = skewed ++ Seq(("s2", 0.0), ("s2", -3.0))
+    val r2 = Sampling.designEffect(
+      withBad.toDF("s", "w"), "s", "w").collect()(0)
+    assert(r2.getAs[Long]("n") == 5L && r2.getAs[Long]("n_nonpos") == 2L)
+    assert(r2.getAs[Long]("deff_micro") == 4610000L) // nonpos excluded
+  }
+
+  test("grubbsOutliers: planted outlier is rank 1 with the max z; ties break by id") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = ((0 until 100).map(i => (i.toLong, (i % 10).toDouble)) :+
+      (999L, 500.0)).toDF("id", "v")
+    val out = Features.grubbsOutliers(df, "id", "v", k = 5)
+      .orderBy("rank").collect()
+    assert(out.length == 5)
+    assert(out(0).getAs[Long]("id") == 999L &&
+      out(0).getAs[Long]("rank") == 1L)
+    assert(out(0).getAs[Long]("z_milli") > 5000L, out(0).toString)
+    assert(out(0).getAs[Long]("z_milli") >= out(1).getAs[Long]("z_milli"))
+    // equal deviations (v=0 rows) rank by ascending id
+    val zeroIds = out.filter(_.getAs[Long]("value_micro") == 0L)
+      .map(_.getAs[Long]("id"))
+    assert(zeroIds.sameElements(zeroIds.sorted))
   }
 
   test("termBurstiness: clumped term out-ranks uniform term of equal cf; minDf filters") {
