@@ -9359,6 +9359,69 @@ object Queries {
           END)::BIGINT AS z_milli, n
       FROM r WHERE rnk <= 20"""))
 
+  /** Mood's median test of the per-type value locations — the
+    * one-bit-rank k-group location check beside q213's Kruskal–Wallis.
+    */
+  private val q288 = Q(
+    "q288_moods_median",
+    (spark, dir) => Features.moodsMedian(
+      pq(spark, dir, "events"), "event_type", "value"),
+    Some("""WITH b AS (SELECT event_type g, floor(value * 1e6)::BIGINT v
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      c AS (SELECT v, COUNT(*)::BIGINT c FROM b GROUP BY 1),
+      w AS (SELECT v, SUM(c) OVER (ORDER BY v) cum,
+          (SELECT SUM(c) FROM c) n FROM c),
+      m AS (SELECT MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+          + MIN(CASE WHEN cum >= n // 2 + 1 THEN v END) m2 FROM w),
+      cells AS (SELECT g, COUNT(*)::BIGINT ng,
+          COUNT(CASE WHEN 2 * b.v > m.m2 THEN 1 END)::BIGINT oa
+        FROM b, m GROUP BY 1),
+      c2 AS (SELECT g, ng, oa, (ng - oa)::BIGINT ob FROM cells),
+      t AS (SELECT SUM(ng)::BIGINT n, COUNT(*)::BIGINT k,
+          SUM(oa)::BIGINT n_above, SUM(ob)::BIGINT nb FROM c2),
+      s AS (SELECT t.n, t.k, t.n_above, t.nb,
+          SUM(CASE WHEN t.n_above > 0 AND t.nb > 0 THEN
+            t.n::HUGEINT * oa * oa * 1000000
+              // (ng::HUGEINT * t.n_above)
+            + t.n::HUGEINT * ob * ob * 1000000
+              // (ng::HUGEINT * t.nb) END) sm
+        FROM c2, t GROUP BY 1, 2, 3, 4)
+      SELECT n, k AS n_groups, n_above,
+        (CASE WHEN k >= 2 AND n_above > 0 AND nb > 0 THEN
+          sm - n::HUGEINT * 1000000 END)::BIGINT AS chi2_micro
+      FROM s"""))
+
+  /** Durbin–Watson residual autocorrelation per user's hourly series —
+    * the one-number lag-1 readout beside q279's pooled Ljung–Box.
+    */
+  private val q289 = Q(
+    "q289_durbin_watson",
+    (spark, dir) => TimeSeries.durbinWatson(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(
+          pq(spark, dir, "events"), "ts"))
+        .withColumn("bucket", expr("__ms div 3600000"))
+        .withColumn("__vm", floor(col("value") * 1e6).cast("long"))
+        .groupBy("user_id", "bucket").agg(sum("__vm").as("sv")),
+      "user_id", "bucket", "sv"),
+    Some("""WITH h AS (SELECT user_id::VARCHAR k,
+          epoch_ms(ts) // 3600000 t,
+          SUM(floor(value * 1e6)::BIGINT)::BIGINT sv FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL GROUP BY 1, 2),
+      b AS (SELECT k, t, floor(sv::DOUBLE * 1e6)::BIGINT vm FROM h),
+      d AS (SELECT k, vm, vm - lag(vm) OVER
+          (PARTITION BY k ORDER BY t) dd FROM b),
+      g AS (SELECT k, COUNT(*)::BIGINT n_buckets,
+          SUM(dd::HUGEINT * dd) num, SUM(vm::HUGEINT * vm) den
+        FROM d GROUP BY 1)
+      SELECT k AS key, n_buckets,
+        (CASE WHEN n_buckets >= 2 AND den > 0 THEN num * 1000 // den
+          END)::BIGINT AS dw_milli
+      FROM g"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -9384,7 +9447,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274,
     q275, q276, q277, q278, q279, q280, q281, q282,
-    q283, q284, q285, q286, q287)
+    q283, q284, q285, q286, q287, q288, q289)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

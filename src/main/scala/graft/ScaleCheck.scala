@@ -905,11 +905,33 @@ object ScaleCheck {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def moodsTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("event_type").isNotNull &&
+        col("value").isNotNull)
+      val t0 = System.nanoTime()
+      graft.ops.Features.moodsMedian(base, "event_type", "value")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def dwTime(df: DataFrame, tag: String): Double = {
+      import graft.engine.EventTime
+      val hourly = df.filter(col("user_id").isNotNull &&
+          col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(df, "ts"))
+        .withColumn("b", expr("__ms div 3600000"))
+        .withColumn("__vm", floor(col("value") * 1e6).cast("long"))
+        .groupBy("user_id", "b").agg(sum("__vm").as("sv"))
+      val t0 = System.nanoTime()
+      graft.ops.TimeSeries.durbinWatson(hourly, "user_id", "b", "sv")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     for ((name, f) <- Seq(
       ("cohens_d", cohensDTime _), ("krippendorff", krippendorffTime _),
       ("cox_stuart", coxStuartTime _),
       ("design_effect", designEffectTime _),
-      ("grubbs", grubbsTime _)) if wanted(name)) {
+      ("grubbs", grubbsTime _), ("moods_median", moodsTime _),
+      ("durbin_watson", dwTime _)) if wanted(name)) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")

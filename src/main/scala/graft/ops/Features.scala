@@ -1691,6 +1691,75 @@ object Features {
     * broadcast back, the globalRank range exchange, and a k-row
     * result. Nothing pair-shaped, nothing corpus-sized at the driver.
     */
+  /** Mood's median test — do k groups share a MEDIAN, asked with
+    * nothing but counts: classify every row as above the GLOBAL median
+    * or not, then chi-square the k×2 table. Cruder than
+    * [[kruskalWallis]] (it bins ranks to one bit) but immune to
+    * anything monotone and meaningful when distributions differ in
+    * shape so much that rank sums mislead; the location complement of
+    * [[brownForsythe]]'s spread test.
+    *
+    * Mechanics: the global DOUBLED median `m2` comes off the
+    * distinct-value prefix table ([[brownForsythe]]'s recipe, one
+    * [[Ranks.prefixSum]] range exchange — no keyed window needed);
+    * ties with the median count NOT-above (documented, the
+    * conservative convention). The chi-square uses [[graft.ops.Eval]]
+    * cramersV's observed-cell identity `χ² = n·(Σ o²/(r·c) − 1)` with
+    * each cell term floored once as `10⁶·n·o² div (n_g·c_side)` — pure
+    * integer, oracle-replayed. NULL when k < 2 or either side is
+    * empty (all values equal the median).
+    *
+    * Output (one row): `(n, n_groups, n_above, chi2_micro)` — the
+    * reference distribution is χ²(k−1), critical value caller-owned.
+    *
+    * Overflow: 10⁶·n·o² ≤ 10⁶·n³ inside decimal(38,0) to n ≈ 3·10¹⁰.
+    *
+    * 100 TB shape: one distinct-value collapse + prefixSum range
+    * exchange for the median, a one-row broadcast back, ONE map-side
+    * groupBy(group) of the bit, a k-row rollup.
+    */
+  def moodsMedian(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__v"))
+      .localCheckpoint()
+    val cnt = base.groupBy("__v").agg(count(lit(1)).as("__c"))
+    val cum = Ranks.prefixSum(cnt, Seq(col("__v")), Seq("__c"))
+    val med = cum
+      .crossJoin(broadcast(cum.agg(sum("__c").as("__n"))))
+      .agg(
+        min(when(col("__c_cum") >= expr("(__n + 1) div 2"), col("__v")))
+          .as("__mlo"),
+        min(when(col("__c_cum") >= expr("__n div 2 + 1"), col("__v")))
+          .as("__mhi"))
+      .select((col("__mlo") + col("__mhi")).as("__m2"))
+    val cells = base.crossJoin(broadcast(med))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("ng"),
+        count(when(col("__v") * 2 > col("__m2"), 1)).as("oa"))
+      .withColumn("ob", col("ng") - col("oa"))
+    cells.agg(
+        sum("ng").as("n"), count(lit(1)).as("k"),
+        sum("oa").as("n_above"), sum("ob").as("__nb"))
+      .crossJoin(broadcast(cells.select("__g", "ng", "oa", "ob")))
+      .groupBy("n", "k", "n_above", "__nb")
+      .agg(sum(expr(s"""case when n_above > 0 and __nb > 0 then
+            cast(n as $dec) * oa * oa * 1000000
+              div (cast(ng as $dec) * n_above)
+            + cast(n as $dec) * ob * ob * 1000000
+              div (cast(ng as $dec) * __nb)
+          end""")).as("__s"))
+      .select(col("n"), col("k").as("n_groups"), col("n_above"),
+        expr("""cast(case when k >= 2 and n_above > 0 and __nb > 0 then
+            __s - cast(n as decimal(38,0)) * 1000000
+          end as long)""").as("chi2_micro"))
+  }
+
   def grubbsOutliers(
       df: DataFrame,
       idCol: String,

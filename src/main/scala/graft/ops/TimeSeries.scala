@@ -817,6 +817,55 @@ object TimeSeries {
     * rank-offset equi-join of the two halves (n/2 pairs — linear, no
     * cap needed) and a map-side-combined rollup.
     */
+  /** Durbin–Watson statistic per key — THE residual autocorrelation
+    * one-liner: `DW = Σ(e_t − e_{t−1})² / Σ e_t²`, ~2 for white
+    * residuals, → 0 under positive lag-1 autocorrelation, → 4 under
+    * negative. The cheap single-number companion to [[ljungBox]]'s
+    * pooled multi-lag Q: run DW per fitted key series (e.g.
+    * [[graft.ops.Features.olsByGroup]] residuals) before believing the
+    * fit's standard errors.
+    *
+    * Exactness: residuals floor once to micro; numerator (lag-window
+    * differences squared) and denominator are exact decimal sums;
+    * `dw_milli = ⌊10³·num/den⌋` is one nonneg floor division,
+    * oracle-replayed. NULL when n < 2 or every residual is zero.
+    * Consecutive-bucket gaps are treated as adjacent (the standard
+    * regularly-spaced assumption — resample first if the grid has
+    * holes, as [[acf]]'s contract notes).
+    *
+    * Output per key: `(key, n_buckets, dw_milli)`.
+    *
+    * Overflow: Σdiff² ≤ 4·10¹²·v²·n inside decimal(38,0) — past any
+    * real per-key series.
+    *
+    * 100 TB shape: ONE key shuffle — a lag window and a map-side
+    * rollup, nothing else.
+    */
+  def durbinWatson(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(keyCol).isNotNull && col(bucketCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        col(bucketCol).cast("long").as("__b"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__v"))
+    val w = Window.partitionBy("__k").orderBy("__b")
+    base
+      .withColumn("__d", col("__v") - lag(col("__v"), 1).over(w))
+      .groupBy("__k")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr(s"cast(__d as $dec) * __d")).as("__num"),
+        sum(expr(s"cast(__v as $dec) * __v")).as("__den"))
+      .select(col("__k").as("key"), col("n_buckets"),
+        expr("""cast(case when n_buckets >= 2 and __den > 0 then
+            __num * 1000 div __den
+          end as long)""").as("dw_milli"))
+  }
+
   def coxStuart(
       df: DataFrame,
       keyCol: String,

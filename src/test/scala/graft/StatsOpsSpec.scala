@@ -1570,6 +1570,50 @@ class StatsOpsSpec extends SparkSuite {
     assert(zeroIds.sameElements(zeroIds.sorted))
   }
 
+  test("moodsMedian: perfect separation chi2=n, proportional groups exactly 0, degenerate NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    // g2 entirely above g1: chi-square = n exactly (and the integer
+    // algebra is exact here: 4 cells of 1e6*200*100^2/(100*100))
+    val sep = (0 until 100).map(_ => ("g1", 0.0)) ++
+      (0 until 100).map(_ => ("g2", 10.0))
+    val r0 = Features.moodsMedian(sep.toDF("g", "v"), "g", "v").collect()(0)
+    assert(r0.getAs[Long]("n_above") == 100L)
+    assert(r0.getAs[Long]("chi2_micro") == 200000000L, r0.toString)
+    // identical distributions: every cell equals its expectation -> 0
+    val same = (0 until 2).flatMap(g =>
+      (0 until 100).map(i => (s"g$g", (i % 10).toDouble)))
+    val r1 = Features.moodsMedian(same.toDF("g", "v"), "g", "v").collect()(0)
+    assert(r1.getAs[Long]("chi2_micro") == 0L, r1.toString)
+    // all values identical: nobody above the median -> NULL
+    val const = (0 until 40).map(i => (s"g${i % 2}", 5.0))
+    val r2 = Features.moodsMedian(const.toDF("g", "v"), "g", "v").collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("chi2_micro")))
+    val single = (0 until 10).map(i => ("only", i.toDouble))
+    val r3 = Features.moodsMedian(
+      single.toDF("g", "v"), "g", "v").collect()(0)
+    assert(r3.isNullAt(r3.fieldIndex("chi2_micro")))
+  }
+
+  test("durbinWatson: alternation ~4, constant 0, zero series NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    // +a/-a alternation: num = (n-1)*4a^2, den = n*a^2 -> 3.96 at n=100
+    val alt = (0 until 100).map(t =>
+      ("k", t.toLong, if (t % 2 == 0) 3.0 else -3.0))
+    val r0 = TimeSeries.durbinWatson(
+      alt.toDF("k", "t", "v"), "k", "t", "v").collect()(0)
+    assert(r0.getAs[Long]("dw_milli") == 3960L, r0.toString)
+    val const = (0 until 50).map(t => ("k", t.toLong, 7.0))
+    val r1 = TimeSeries.durbinWatson(
+      const.toDF("k", "t", "v"), "k", "t", "v").collect()(0)
+    assert(r1.getAs[Long]("dw_milli") == 0L)
+    val zero = (0 until 50).map(t => ("k", t.toLong, 0.0))
+    val r2 = TimeSeries.durbinWatson(
+      zero.toDF("k", "t", "v"), "k", "t", "v").collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("dw_milli")))
+  }
+
   test("termBurstiness: clumped term out-ranks uniform term of equal cf; minDf filters") {
     val spark2 = spark
     import spark2.implicits._
