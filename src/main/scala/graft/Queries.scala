@@ -9422,6 +9422,46 @@ object Queries {
           END)::BIGINT AS dw_milli
       FROM g"""))
 
+  /** Two-sample Cramér–von Mises drift criterion between the user-parity
+    * arms — the integrated-square member beside q265's KS and q241's W₁.
+    */
+  private val q290 = Q(
+    "q290_cvm",
+    (spark, dir) => Features.cramerVonMises(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b")),
+      "arm", "value"),
+    Some("""WITH b AS (SELECT
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g,
+          floor(value * 1e6)::BIGINT v
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      t AS (SELECT
+          COUNT(CASE WHEN g = 'arm_a' THEN 1 END)::BIGINT na,
+          COUNT(CASE WHEN g = 'arm_b' THEN 1 END)::BIGINT nb FROM b),
+      c AS (SELECT v,
+          COUNT(CASE WHEN g = 'arm_a' THEN 1 END)::BIGINT c1,
+          COUNT(CASE WHEN g = 'arm_b' THEN 1 END)::BIGINT c2
+        FROM b GROUP BY 1),
+      p AS (SELECT v, c1, c2, SUM(c1) OVER (ORDER BY v) cum1,
+          SUM(c2) OVER (ORDER BY v) cum2 FROM c),
+      u AS (SELECT SUM((c1 + c2)::HUGEINT
+          * (t.nb::HUGEINT * cum1 - t.na::HUGEINT * cum2)
+          * (t.nb::HUGEINT * cum1 - t.na::HUGEINT * cum2)) uu
+        FROM p, t)
+      SELECT 'arm_a' AS grp_a, 'arm_b' AS grp_b, t.na AS n_a,
+        t.nb AS n_b,
+        (CASE WHEN t.na > 0 AND t.nb > 0 THEN
+          floor(1e6 * uu::DOUBLE / ((t.na + t.nb)::DOUBLE
+            * (t.na + t.nb) * t.na * t.nb)) END)::BIGINT AS t_micro,
+        (CASE WHEN t.na > 0 AND t.nb > 0 THEN
+          floor(1e6 * uu::DOUBLE / ((t.na + t.nb)::DOUBLE
+            * (t.na + t.nb) * t.na * t.nb)) >= 461000 END)
+          AS significant
+      FROM u, t"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -9447,7 +9487,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274,
     q275, q276, q277, q278, q279, q280, q281, q282,
-    q283, q284, q285, q286, q287, q288, q289)
+    q283, q284, q285, q286, q287, q288, q289, q290)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

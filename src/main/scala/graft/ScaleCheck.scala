@@ -926,12 +926,20 @@ object ScaleCheck {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def cvmTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(when(pmod(col("user_id"), lit(2)) === 0, "a")
+          .otherwise("b").as("g"), col("value"))
+      val t0 = System.nanoTime()
+      graft.ops.Features.cramerVonMises(base, "g", "value")
+      (System.nanoTime() - t0) / 1e9
+    }
     for ((name, f) <- Seq(
       ("cohens_d", cohensDTime _), ("krippendorff", krippendorffTime _),
       ("cox_stuart", coxStuartTime _),
       ("design_effect", designEffectTime _),
       ("grubbs", grubbsTime _), ("moods_median", moodsTime _),
-      ("durbin_watson", dwTime _)) if wanted(name)) {
+      ("durbin_watson", dwTime _), ("cvm", cvmTime _)) if wanted(name)) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")

@@ -1692,6 +1692,76 @@ object Features {
     * broadcast back, the globalRank range exchange, and a k-row
     * result. Nothing pair-shaped, nothing corpus-sized at the driver.
     */
+  /** Two-sample Cramér–von Mises criterion — the INTEGRATED-SQUARE
+    * member of the drift-test family: [[ksTestTwoSample]] reads the
+    * single worst ECDF gap (sharp against local shifts, blind to many
+    * small ones), [[graft.ops.Eval.wasserstein1d]] reads transport
+    * mass; CvM squares the gap at EVERY pooled point, catching broad
+    * low-amplitude drift KS misses. Anderson's two-sample form:
+    *
+    *   {{{ T = n₁n₂/N² · Σ_{pooled z} (F₁(z) − F₂(z))² }}}
+    *
+    * Exactness: with distinct-value counts (c₁, c₂) and prefix sums,
+    * each pooled point contributes `(n₂·cum₁ − n₁·cum₂)²` EXACTLY —
+    * the whole sum `U = Σ_v (c₁+c₂)·dev²` is one exact decimal, no
+    * per-term floors (the cleanest member of the family); T is ONE
+    * fixed double tree `⌊10⁶·U/(N²·n₁·n₂)⌋` (q220 contract).
+    * `significant` = t_micro ≥ 461000, the asymptotic 5% point of the
+    * CvM limiting distribution.
+    *
+    * Output (one row): `(grp_a, grp_b, n_a, n_b, t_micro,
+    * significant)`; exactly two groups required, lexicographic order.
+    *
+    * Overflow: dev² ≤ (n₁n₂)² and U ≤ N⁵/16 — exact inside
+    * decimal(38,0) to N ≈ 5·10⁷ pooled rows, enforced by a loud
+    * `require` (the permutation-test precedent: sample or pre-bucket
+    * past it; a drift gate does not need more).
+    *
+    * 100 TB shape: one distinct-value collapse (map-side combine), one
+    * [[Ranks.prefixSum]] range exchange over the distinct table, one
+    * scalar rollup. The corpus is read once.
+    */
+  def cramerVonMises(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      maxRows: Long = 50000000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__v"))
+      .localCheckpoint()
+    val grps = base.groupBy("__g").agg(count(lit(1)).as("__n"))
+      .orderBy("__g").collect()
+    require(grps.length == 2,
+      s"cramerVonMises: exactly 2 groups required, got ${grps.length}")
+    val (ga, gb) = (grps(0).getString(0), grps(1).getString(0))
+    val (na, nb) = (grps(0).getLong(1), grps(1).getLong(1))
+    require(na + nb <= maxRows,
+      s"cramerVonMises: ${na + nb} pooled rows > maxRows=$maxRows — " +
+        "U = Σ(c₁+c₂)·dev² grows as N⁵; sample or pre-bucket first")
+    val cnt = base.groupBy("__v")
+      .agg(count(when(col("__g") === ga, 1)).as("__c1"),
+        count(when(col("__g") === gb, 1)).as("__c2"))
+    val u = Ranks.prefixSum(cnt, Seq(col("__v")), Seq("__c1", "__c2"))
+      .agg(sum(expr(s"""cast(__c1 + __c2 as $dec) *
+          (cast(${nb}L as $dec) * __c1_cum - cast(${na}L as $dec) * __c2_cum) *
+          (cast(${nb}L as $dec) * __c1_cum - cast(${na}L as $dec) * __c2_cum)"""))
+        .as("__u"))
+      .collect()(0).getDecimal(0)
+    val n = na + nb
+    val tMicro: Option[Long] =
+      if (u == null || na == 0L || nb == 0L) None
+      else Some(math.floor(1e6 * new java.math.BigDecimal(u.toBigInteger)
+        .doubleValue() /
+        (n.toDouble * n * na * nb)).toLong)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, na, nb, tMicro, tMicro.map(_ >= 461000L)))
+      .toDF("grp_a", "grp_b", "n_a", "n_b", "t_micro", "significant")
+  }
+
   /** Mood's median test — do k groups share a MEDIAN, asked with
     * nothing but counts: classify every row as above the GLOBAL median
     * or not, then chi-square the k×2 table. Cruder than

@@ -1614,6 +1614,32 @@ class StatsOpsSpec extends SparkSuite {
     assert(r2.isNullAt(r2.fieldIndex("dw_milli")))
   }
 
+  test("cramerVonMises: disjoint arms significant, identical arms ~0, caps and 2-group require loud") {
+    val spark2 = spark
+    import spark2.implicits._
+    // disjoint supports: F1 and F2 never overlap -> T near its max
+    val disjoint = (0 until 100).map(i => ("arm_a", (i % 10).toDouble)) ++
+      (0 until 100).map(i => ("arm_b", (i % 10) + 100.0))
+    val r0 = Features.cramerVonMises(
+      disjoint.toDF("g", "v"), "g", "v").collect()(0)
+    assert(r0.getAs[Long]("t_micro") > 461000L &&
+      r0.getAs[Boolean]("significant"), r0.toString)
+    // identical distributions: every pooled gap is 0 -> T = 0 exactly
+    val same = (0 until 2).flatMap(a =>
+      (0 until 100).map(i => (s"arm_$a", (i % 10).toDouble)))
+    val r1 = Features.cramerVonMises(
+      same.toDF("g", "v"), "g", "v").collect()(0)
+    assert(r1.getAs[Long]("t_micro") == 0L && !r1.getAs[Boolean]("significant"))
+    intercept[IllegalArgumentException] {
+      Features.cramerVonMises(
+        Seq(("only", 1.0)).toDF("g", "v"), "g", "v")
+    }
+    intercept[IllegalArgumentException] {
+      Features.cramerVonMises(disjoint.toDF("g", "v"), "g", "v",
+        maxRows = 10L)
+    }
+  }
+
   test("termBurstiness: clumped term out-ranks uniform term of equal cf; minDf filters") {
     val spark2 = spark
     import spark2.implicits._
