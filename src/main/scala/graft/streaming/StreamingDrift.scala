@@ -102,4 +102,99 @@ object StreamingDrift {
         col("n"), col("psi_pico"),
         (col("psi_pico") > 200000000000L).as("drifted"))
   }
+
+  /** Streaming binned-KS drift monitor — the cumulative companion to
+    * [[psiVsReference]] on the SAME reference histogram: PSI sums
+    * per-bucket log-ratio mass (sensitive to reshuffling anywhere), KS
+    * reads the worst CUMULATIVE gap (sensitive to location/scale shifts
+    * that move mass across a boundary, and it carries a proper
+    * sample-size-aware significance gate where PSI's 0.2 is a
+    * convention). Same bucket rule, same one-stateful-aggregation plan:
+    * per-window bucket counters, then an unrolled exact-integer
+    * cumulative scan — `dd_b = |cumRef_b·n − cum_b·n_ref|` in
+    * decimal(38,0), `ks_micro = ⌊10⁶·max dd / (n_ref·n)⌋` — the same
+    * cross-multiplied arithmetic as [[graft.ops.Eval]]'s ksFromCells
+    * core, which a window's score equals bit-for-bit when fed the same
+    * bucket cells (StreamingSpec asserts it). No join, no second
+    * stateful operator, append-mode-safe.
+    *
+    * `at_bucket` is the SMALLEST bucket attaining the max gap (the
+    * first crossing; the batch core reports the largest observed cell
+    * instead — documented difference, the D value itself is identical).
+    * `drifted` compares against the asymptotic two-sample 5% critical
+    * value `1.358·√((n_ref+n)/(n_ref·n))` computed per window — the
+    * piece PSI cannot give: a quiet window with 40 rows will not flag
+    * on noise.
+    *
+    * Output (append mode, watermark-closed windows):
+    * `(window_start_ms, window_end_ms, n, ks_micro, at_bucket,
+    * crit_micro, drifted)`; empty windows emit nothing.
+    *
+    * 100 TB shape: one shuffle on the window key; state per open window
+    * is `bins` longs; the reference rides the plan as literals.
+    */
+  def ksVsReference(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      refLo: Double,
+      refHi: Double,
+      refCounts: Map[Int, Long],
+      bins: Int,
+      window: Duration,
+      lateness: Duration): DataFrame = {
+    require(df.isStreaming, "use ops.Eval.ksStatistic for batch inputs")
+    require(bins >= 2 && bins <= 200,
+      s"bins $bins out of [2,200] (one counter column per bin)")
+    require(refCounts.keys.forall(b => b >= 0 && b < bins),
+      "refCounts bucket out of range")
+    require(refCounts.values.forall(_ >= 0), "negative reference count")
+    val nRef = refCounts.values.sum
+    require(nRef > 0, "empty reference histogram")
+    val cumRef = (0 until bins)
+      .scanLeft(0L)((a, b) => a + refCounts.getOrElse(b, 0L)).tail
+    val v = col(valueCol).cast("double")
+    val bucket =
+      if (refLo == refHi) lit(0)
+      else least(greatest(
+        floor((v - refLo) * bins / (refHi - refLo)).cast("int"),
+        lit(0)), lit(bins - 1))
+    val counters = (0 until bins).map(b =>
+      count(when(col("__bucket") === b, 1)).as(s"c_$b"))
+    val agged = df
+      .filter(v.isNotNull)
+      .withColumn("__bucket", bucket)
+      .withWatermark(tsCol, s"${lateness.toMillis} milliseconds")
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol),
+        s"${window.toMillis} milliseconds"))
+      .agg(counters.head, counters.tail: _*)
+    val withCums = (0 until bins).foldLeft(agged) { (d, b) =>
+      d.withColumn(s"cum_$b",
+        if (b == 0) col("c_0") else col(s"cum_${b - 1}") + col(s"c_$b"))
+    }
+    val withN = withCums.withColumn("n", col(s"cum_${bins - 1}"))
+    val withDds = (0 until bins).foldLeft(withN) { (d, b) =>
+      d.withColumn(s"dd_$b",
+        abs(lit(cumRef(b)).cast("decimal(38,0)") * col("n") -
+          col(s"cum_$b").cast("decimal(38,0)") * lit(nRef)))
+    }
+    withDds
+      .withColumn("__d",
+        (0 until bins).map(b => col(s"dd_$b")).reduce(greatest(_, _)))
+      .withColumn("at_bucket", coalesce(
+        (0 until bins).map(b =>
+          when(col(s"dd_$b") === col("__d"), lit(b))): _*))
+      .withColumn("ks_micro", expr(
+        s"""cast(__d * 1000000
+           div (cast(${nRef}L as decimal(38,0)) * n) as long)"""))
+      .withColumn("crit_micro",
+        floor(lit(1358000.0) * sqrt((lit(nRef.toDouble) + col("n")) /
+          (lit(nRef.toDouble) * col("n")))).cast("long"))
+      .withColumn("drifted", col("ks_micro") >= col("crit_micro"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        unix_millis(col("window.end")).as("window_end_ms"),
+        col("n"), col("ks_micro"), col("at_bucket"), col("crit_micro"),
+        col("drifted"))
+  }
 }

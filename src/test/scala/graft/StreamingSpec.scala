@@ -1166,6 +1166,70 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming binned KS equals ksFromCells per window, size-aware gate flags only the shift") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val bins = 10
+    val (lo, hi) = (0.0, 99.0)
+    def bk(x: Double): Int = math.min(math.max(
+      math.floor((x - lo) * bins / (hi - lo)).toInt, 0), bins - 1)
+    val refVals = (0 until 1000).map(i => (i % 100).toDouble)
+    val refCounts = refVals.groupBy(bk).map { case (b, xs) =>
+      b -> xs.size.toLong
+    }
+
+    val stream = MemoryStream[(Long, Double)]
+    val df = stream.toDF().toDF("t_ms", "v")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_millis(col("t_ms")))
+    val out = graft.streaming.StreamingDrift.ksVsReference(
+      df, "ts", "v", lo, hi, refCounts, bins,
+      window = 1.minute, lateness = 0.seconds)
+    val query = out.writeStream.format("memory").queryName("ksdrift_out")
+      .outputMode("append").start()
+    try {
+      val minute = 60000L
+      val w0Vals = (0 until 200).map(i => (i % 100).toDouble) // uniform
+      val w1Vals = (0 until 200).map(i => 60.0 + (i % 40))    // shifted up
+      stream.addData(w0Vals.zipWithIndex.map { case (x, i) =>
+        (i * 10L, x)
+      }: _*)
+      stream.addData(w1Vals.zipWithIndex.map { case (x, i) =>
+        (minute + i * 10L, x)
+      }: _*)
+      stream.addData((10 * minute, 50.0))
+      query.processAllAvailable()
+      val got = spark.sql(
+        """SELECT window_start_ms, n, ks_micro, at_bucket, crit_micro,
+           drifted FROM ksdrift_out ORDER BY 1""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getLong(4), r.getBoolean(5)))
+      assert(got.length == 2, s"two closed windows, got ${got.toSeq}")
+      assert(!got(0)._6, s"uniform window flagged: ${got(0)}")
+      assert(got(1)._6, s"shifted window must flag: ${got(1)}")
+
+      // bit-for-bit D parity with the batch KS core on the same cells
+      def batchKs(cur: Seq[Double]): Long = {
+        val cc = cur.groupBy(bk).map { case (b, xs) => b -> xs.size.toLong }
+        val cells = (0 until bins)
+          .filter(b => refCounts.getOrElse(b, 0L) + cc.getOrElse(b, 0L) > 0)
+          .map(b => (b.toLong, refCounts.getOrElse(b, 0L),
+            cc.getOrElse(b, 0L)))
+        graft.ops.Eval.ksFromCells(cells.toDF("v", "ca", "cb"))
+          .collect()(0).getAs[Long]("ks_micro")
+      }
+      assert(got(0)._3 == batchKs(w0Vals),
+        s"window 0: ${got(0)._3} vs batch ${batchKs(w0Vals)}")
+      assert(got(1)._3 == batchKs(w1Vals),
+        s"window 1: ${got(1)._3} vs batch ${batchKs(w1Vals)}")
+      // the shifted window's first max-gap crossing sits at the shift
+      // boundary (mass missing below bucket 6)
+      assert(got(1)._4 == 5, s"at_bucket: ${got(1)}")
+    } finally query.stop()
+  }
+
   test("streaming heavy hitters: exact threshold counts, batch parity, " +
       "late rows below watermark dropped") {
     val spark2 = spark
