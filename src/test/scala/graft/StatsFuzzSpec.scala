@@ -138,6 +138,204 @@ class StatsFuzzSpec extends SparkSuite {
     }
   }
 
+  test("mantelHaenszel matches a per-stratum BigInt reference on random 2x2 tables") {
+    val rnd = new Random(416)
+    for (_ <- 0 until 10) {
+      val nStrata = 1 + rnd.nextInt(5)
+      val rows = (0 until nStrata).flatMap { s =>
+        (0 until 2 + rnd.nextInt(60)).map(_ =>
+          (s"s$s", rnd.nextBoolean(), rnd.nextInt(100) < 30 + s * 10))
+      }
+      val r = graft.ops.Causal.mantelHaenszel(
+        rows.toDF("s", "t", "y"), "s", "t", "y").collect()(0)
+      var (rr, sden, dev, vr) = (BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+      var (nStrataUsed, nTot) = (0L, 0L)
+      rows.groupBy(_._1).foreach { case (_, rs) =>
+        val a = rs.count(x => x._2 && x._3).toLong
+        val b = rs.count(x => x._2 && !x._3).toLong
+        val c = rs.count(x => !x._2 && x._3).toLong
+        val d = rs.count(x => !x._2 && !x._3).toLong
+        val nn = a + b + c + d
+        nTot += nn
+        rr += BigInt(a) * d * 1000000 / nn
+        sden += BigInt(b) * c * 1000000 / nn
+        val ok = nn >= 2 && a + b > 0 && c + d > 0 && a + c > 0 && b + d > 0
+        if (ok) {
+          nStrataUsed += 1
+          dev += BigInt(a) * 1000000 - BigInt(a + b) * (a + c) * 1000000 / nn
+          vr += BigInt(a + b) * (c + d) * (a + c) * (b + d) * 1000000 /
+            (BigInt(nn) * nn * (nn - 1))
+        }
+      }
+      assert(r.getAs[Long]("n") == nTot &&
+        r.getAs[Long]("n_strata_used") == nStrataUsed, r.toString)
+      if (sden > 0)
+        assert(BigInt(r.getAs[Long]("or_mh_micro")) == rr * 1000000 / sden,
+          r.toString)
+      else assert(r.isNullAt(r.fieldIndex("or_mh_micro")))
+      if (vr > 0)
+        assert(BigInt(r.getAs[Long]("chi2_milli")) ==
+          (dev * dev) / (vr * 1000), r.toString)
+      else assert(r.isNullAt(r.fieldIndex("chi2_milli")))
+    }
+  }
+
+  test("moodsMedian matches a sorted-median BigInt reference on random groups") {
+    val rnd = new Random(417)
+    for (_ <- 0 until 10) {
+      val k = 2 + rnd.nextInt(4)
+      val rows = (0 until k).flatMap { g =>
+        (0 until 5 + rnd.nextInt(50)).map(_ =>
+          (s"g$g", rnd.nextInt(15).toDouble + g * 0.5))
+      }
+      val r = Features.moodsMedian(
+        rows.toDF("g", "v"), "g", "v").collect()(0)
+      val vs = rows.map(x => math.floor(x._2 * 1e6).toLong).sorted
+      val n = vs.length
+      val m2 = vs((n + 1) / 2 - 1) + vs(n / 2)
+      val cells = rows.groupBy(_._1).map { case (_, rs) =>
+        val ng = rs.size.toLong
+        val oa = rs.count(x => math.floor(x._2 * 1e6).toLong * 2 > m2).toLong
+        (ng, oa, ng - oa)
+      }
+      val nA = cells.map(_._2).sum
+      val nB = cells.map(_._3).sum
+      assert(r.getAs[Long]("n_above") == nA, r.toString)
+      if (k >= 2 && nA > 0 && nB > 0) {
+        val s = cells.map { case (ng, oa, ob) =>
+          BigInt(n) * oa * oa * 1000000 / (BigInt(ng) * nA) +
+            BigInt(n) * ob * ob * 1000000 / (BigInt(ng) * nB)
+        }.sum
+        assert(BigInt(r.getAs[Long]("chi2_micro")) ==
+          s - BigInt(n) * 1000000, r.toString)
+      } else assert(r.isNullAt(r.fieldIndex("chi2_micro")))
+    }
+  }
+
+  test("brownForsythe matches a sorted-median moment reference on random groups") {
+    val rnd = new Random(418)
+    for (_ <- 0 until 10) {
+      val k = 2 + rnd.nextInt(4)
+      val rows = (0 until k).flatMap { g =>
+        (0 until 4 + rnd.nextInt(40)).map(_ =>
+          (s"g$g", (rnd.nextInt(2001) - 1000) / 10.0 * (g + 1)))
+      }
+      val r = Features.brownForsythe(
+        rows.toDF("g", "v"), "g", "v").collect()(0)
+      val cells = rows.groupBy(_._1).map { case (_, rs) =>
+        val vs = rs.map(x => math.floor(x._2 * 1e6).toLong).sorted
+        val ng = vs.length
+        val m2 = vs((ng + 1) / 2 - 1) + vs(ng / 2)
+        val zs = rs.map(x =>
+          BigInt((math.floor(x._2 * 1e6).toLong * 2 - m2).abs))
+        (BigInt(ng), zs.sum, zs.map(z => z * z).sum)
+      }
+      val n = cells.map(_._1).sum
+      val s = cells.map(_._2).sum
+      val q = cells.map(_._3).sum
+      val sbRaw = cells.map { case (ng, sg, _) =>
+        (sg * sg - (sg * sg) % ng) / ng
+      }.sum
+      if (k >= 2 && n > k) {
+        val within = (q.toDouble - sbRaw.toDouble) / (n.toLong - k)
+        if (within != 0.0) {
+          val f = ((sbRaw.toDouble - s.toDouble * s.toDouble / n.toLong) /
+            (k - 1)) / within
+          assert(r.getAs[Long]("f_milli") == floorMilli(f),
+            s"$r want ${floorMilli(f)}")
+        } else assert(r.isNullAt(r.fieldIndex("f_milli")))
+      } else assert(r.isNullAt(r.fieldIndex("f_milli")))
+    }
+  }
+
+  test("cronbachAlpha matches a BigInt variance reference on random rating matrices") {
+    val rnd = new Random(419)
+    for (_ <- 0 until 10) {
+      val k = 2 + rnd.nextInt(4)
+      val nUnits = 3 + rnd.nextInt(30)
+      // complete units plus some incomplete stragglers
+      val complete = (0 until nUnits).flatMap { u =>
+        val base = rnd.nextInt(9)
+        (0 until k).map(i => (s"u$u", s"i$i", (base + rnd.nextInt(4)).toDouble))
+      }
+      val stragglers = (0 until rnd.nextInt(4)).flatMap(u =>
+        (0 until 1 + rnd.nextInt(k - 1)).map(i =>
+          (s"x$u", s"i$i", rnd.nextInt(9).toDouble)))
+      val r = graft.ops.Eval.cronbachAlpha(
+        (complete ++ stragglers).toDF("u", "i", "v"), "u", "i", "v", k)
+        .collect()(0)
+      assert(r.getAs[Long]("n_units") == nUnits.toLong)
+      val byUnit = complete.groupBy(_._1).view.mapValues(
+        _.map(x => BigInt(math.floor(x._3 * 1e6).toLong)))
+      val totals = byUnit.values.map(_.sum).toSeq
+      val dTot = BigInt(nUnits) * totals.map(t => t * t).sum -
+        totals.sum * totals.sum
+      val dSum = complete.groupBy(_._2).values.map { rs =>
+        val vs = rs.map(x => BigInt(math.floor(x._3 * 1e6).toLong))
+        BigInt(vs.size) * vs.map(v => v * v).sum - vs.sum * vs.sum
+      }.sum
+      if (nUnits >= 2 && dTot > 0) {
+        val num = BigInt(k) * (dTot - dSum) * 1000000
+        val den = BigInt(k - 1) * dTot
+        val want = if (num >= 0) num / den else -((-num) / den)
+        assert(BigInt(r.getAs[Long]("alpha_micro")) == want, r.toString)
+      } else assert(r.isNullAt(r.fieldIndex("alpha_micro")))
+    }
+  }
+
+  test("krippendorffAlpha matches a coincidence reference on random incomplete matrices") {
+    val rnd = new Random(420)
+    for (_ <- 0 until 10) {
+      val rows = (0 until 4 + rnd.nextInt(25)).flatMap { u =>
+        val m = 1 + rnd.nextInt(5)
+        (0 until m).map(rr => (s"u$u", s"r$rr", s"L${rnd.nextInt(3)}"))
+      }
+      val r = graft.ops.Eval.krippendorffAlpha(
+        rows.toDF("u", "r", "l"), "u", "r", "l").collect()(0)
+      val units = rows.groupBy(_._1).view.mapValues(
+        _.groupBy(_._3).view.mapValues(_.size.toLong).toMap).toMap
+      val kept = units.filter(_._2.values.sum >= 2)
+      assert(r.getAs[Long]("n_units") == kept.size.toLong &&
+        r.getAs[Long]("n_dropped") == (units.size - kept.size).toLong)
+      val s = kept.values.map { cs =>
+        val m = cs.values.sum
+        val agree = cs.values.map(c => BigInt(c) * (c - 1)).sum
+        (BigInt(m) * (m - 1) - agree) * 1000000 / (m - 1)
+      }.sum
+      val ncs = kept.values.flatten
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).values.toSeq
+      val n = BigInt(ncs.sum)
+      val nc2 = ncs.map(c => BigInt(c) * c).sum
+      if (kept.nonEmpty && n * n - nc2 > 0) {
+        val want = BigInt(1000000) - (n - 1) * s / (n * n - nc2)
+        assert(BigInt(r.getAs[Long]("alpha_micro")) == want, r.toString)
+      } else assert(r.isNullAt(r.fieldIndex("alpha_micro")))
+    }
+  }
+
+  test("bowkerSymmetry matches a pair-fold reference on random confusion tables") {
+    val rnd = new Random(421)
+    for (_ <- 0 until 10) {
+      val labels = (0 until 3 + rnd.nextInt(4)).map(i => s"L$i")
+      val rows = (0 until 30 + rnd.nextInt(200)).map { _ =>
+        (labels(rnd.nextInt(labels.size)), labels(rnd.nextInt(labels.size)))
+      }
+      val r = graft.ops.Eval.bowkerSymmetry(
+        rows.toDF("a", "b"), "a", "b").collect()(0)
+      val cnt = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val pairs = for {
+        i <- labels; j <- labels if i < j
+        nij = cnt.getOrElse((i, j), 0L); nji = cnt.getOrElse((j, i), 0L)
+        if nij + nji > 0
+      } yield BigInt(nij - nji) * (nij - nji) * 1000000 / (nij + nji)
+      assert(r.getAs[Long]("n") == rows.size.toLong)
+      assert(r.getAs[Long]("df_pairs") == pairs.size.toLong, r.toString)
+      assert(BigInt(r.getAs[Long]("chi2_micro")) == pairs.sum, r.toString)
+      assert(r.getAs[Long]("n_offdiag") ==
+        rows.count(x => x._1 != x._2).toLong)
+    }
+  }
+
   test("linCccMicro matches a BigInt-moment reference on random pairs") {
     val rnd = new Random(415)
     for (_ <- 0 until 10) {
