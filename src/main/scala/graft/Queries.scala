@@ -9462,6 +9462,91 @@ object Queries {
           AS significant
       FROM u, t"""))
 
+  /** TOST equivalence of the user-parity arms within δ = 5.0 — the
+    * "nothing moved more than δ" release gate beside q240's Welch.
+    */
+  private val q291 = Q(
+    "q291_tost_equivalence",
+    (spark, dir) => Causal.tostEquivalence(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b")),
+      "arm", "value", deltaMicro = 5000000L),
+    Some("""WITH b AS (SELECT
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g,
+          floor(value * 1e6)::BIGINT v
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      g AS (SELECT g, COUNT(*)::BIGINT n, SUM(v)::HUGEINT s,
+          SUM(v::HUGEINT * v)::HUGEINT q FROM b GROUP BY 1),
+      w AS (SELECT a.n na, a.s sa, a.q qa, c.n nb, c.s sb, c.q qb
+        FROM (SELECT * FROM g WHERE g = 'arm_a') a,
+          (SELECT * FROM g WHERE g = 'arm_b') c),
+      v AS (SELECT *,
+          (qa::DOUBLE - sa::DOUBLE * sa::DOUBLE / na) / (na - 1) va,
+          (qb::DOUBLE - sb::DOUBLE * sb::DOUBLE / nb) / (nb - 1) vb
+        FROM w),
+      v2 AS (SELECT *, va / na + vb / nb se2,
+          sa::DOUBLE / na - sb::DOUBLE / nb d FROM v),
+      v3 AS (SELECT *,
+          (CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0 THEN
+            floor(1000.0 * (d + 5000000) / sqrt(se2)) END)::BIGINT zl,
+          (CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0 THEN
+            floor(1000.0 * (5000000 - d) / sqrt(se2)) END)::BIGINT zu
+        FROM v2)
+      SELECT 'arm_a' AS grp_a, 'arm_b' AS grp_b, na AS n_a, nb AS n_b,
+        ((CASE WHEN sa >= 0 THEN sa // na ELSE -((-sa) // na) END)
+         - (CASE WHEN sb >= 0 THEN sb // nb
+             ELSE -((-sb) // nb) END))::BIGINT AS diff_micro,
+        5000000::BIGINT AS delta_micro,
+        zl AS z_lower_milli, zu AS z_upper_milli,
+        (CASE WHEN zl IS NOT NULL THEN LEAST(zl, zu) >= 1645 END)
+          AS equivalent
+      FROM v3"""))
+
+  /** Poisson rate-ratio test of error rates per exposure hour between
+    * the user-parity arms — incidents per machine-time, not per trial.
+    */
+  private val q292 = Q(
+    "q292_rate_ratio",
+    (spark, dir) => Causal.rateRatioTest(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .withColumn("t_ms", EventTime.epochMillis(
+          pq(spark, dir, "events"), "ts"))
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b"))
+        .withColumn("is_err", col("event_type") === "error"),
+      "arm", "t_ms", "is_err"),
+    Some("""WITH b AS (SELECT
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g,
+          epoch_ms(ts) tm, (event_type = 'error') e FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL),
+      g AS (SELECT g, SUM(CASE WHEN e THEN 1 ELSE 0 END)::BIGINT x,
+          (MAX(tm) - MIN(tm))::BIGINT t FROM b GROUP BY 1),
+      w AS (SELECT a.x xa, a.t ta, c.x xb, c.t tb
+        FROM (SELECT * FROM g WHERE g = 'arm_a') a,
+          (SELECT * FROM g WHERE g = 'arm_b') c)
+      SELECT 'arm_a' AS grp_a, 'arm_b' AS grp_b,
+        xa AS n_events_a, xb AS n_events_b,
+        ta AS exposure_ms_a, tb AS exposure_ms_b,
+        (xa::HUGEINT * 3600000 * 1000000 // ta)::BIGINT AS rate_a_micro,
+        (xb::HUGEINT * 3600000 * 1000000 // tb)::BIGINT AS rate_b_micro,
+        (CASE WHEN xb > 0 THEN
+          xa::HUGEINT * tb * 1000000 // (xb::HUGEINT * ta) END)::BIGINT
+          AS rate_ratio_micro,
+        (CASE WHEN xa > 0 AND xb > 0 THEN
+          floor(1000.0 * (ln(xa::DOUBLE / ta) - ln(xb::DOUBLE / tb))
+            / sqrt(1.0 / xa + 1.0 / xb)) END)::BIGINT AS z_milli,
+        (CASE WHEN xa > 0 AND xb > 0 THEN
+          abs(floor(1000.0 * (ln(xa::DOUBLE / ta) - ln(xb::DOUBLE / tb))
+            / sqrt(1.0 / xa + 1.0 / xb))) >= 1960 END) AS significant
+      FROM w"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -9487,7 +9572,7 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274,
     q275, q276, q277, q278, q279, q280, q281, q282,
-    q283, q284, q285, q286, q287, q288, q289, q290)
+    q283, q284, q285, q286, q287, q288, q289, q290, q291, q292)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

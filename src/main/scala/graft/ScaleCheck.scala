@@ -926,6 +926,26 @@ object ScaleCheck {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def tostTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "a").otherwise("b"))
+      val t0 = System.nanoTime()
+      graft.ops.Causal.tostEquivalence(base, "arm", "value", 5000000L)
+      (System.nanoTime() - t0) / 1e9
+    }
+    def rateRatioTime(df: DataFrame, tag: String): Double = {
+      import graft.engine.EventTime
+      val base = df.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .withColumn("t_ms", EventTime.epochMillis(df, "ts"))
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "a").otherwise("b"))
+        .withColumn("e", col("event_type") === "error")
+      val t0 = System.nanoTime()
+      graft.ops.Causal.rateRatioTest(base, "arm", "t_ms", "e")
+      (System.nanoTime() - t0) / 1e9
+    }
     def cvmTime(df: DataFrame, tag: String): Double = {
       val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
         .select(when(pmod(col("user_id"), lit(2)) === 0, "a")
@@ -939,7 +959,8 @@ object ScaleCheck {
       ("cox_stuart", coxStuartTime _),
       ("design_effect", designEffectTime _),
       ("grubbs", grubbsTime _), ("moods_median", moodsTime _),
-      ("durbin_watson", dwTime _), ("cvm", cvmTime _)) if wanted(name)) {
+      ("durbin_watson", dwTime _), ("cvm", cvmTime _),
+      ("tost", tostTime _), ("rate_ratio", rateRatioTime _)) if wanted(name)) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-12s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")

@@ -633,4 +633,153 @@ object Causal {
       .toDF("grp_a", "grp_b", "n_a", "n_b", "mean_a_micro",
         "mean_b_micro", "diff_micro", "d_milli", "g_milli", "magnitude")
   }
+
+  /** TOST equivalence test — the question [[welchTTest]] CANNOT answer:
+    * not "did the new pipeline change quality" but "is it the SAME
+    * within a margin I chose". Failing to reject H₀ is not evidence of
+    * equivalence (underpowered tests never reject); TOST inverts the
+    * burden with two one-sided Welch tests against ±δ:
+    *
+    *   {{{ z_lower = (x̄₁−x̄₂ + δ)/se,   z_upper = (δ − (x̄₁−x̄₂))/se }}}
+    *
+    * and declares equivalence only when BOTH exceed 1.645 (both
+    * one-sided 5% tests reject their "differs by at least δ" null).
+    * The release gate for "swap the scorer, nothing may move more than
+    * δ".
+    *
+    * Exactness: the [[welchTTest]] moment contract (exact decimal
+    * per-arm n/Σ/Σ², sign-split micro means); `δ` arrives as
+    * `deltaMicro` so the z numerators are EXACT integers; each z is one
+    * fixed double tree over them, floored to milli. NULL when either
+    * arm has n < 2 or the pooled standard error degenerates (a
+    * zero-variance pair is decided by the exact diff alone —
+    * `equivalent` still reports |diff| ≤ δ in that case? No: it stays
+    * NULL; equivalence needs a variance estimate, and a degenerate se
+    * means the normal approximation has no meaning).
+    *
+    * Output (one row): `(grp_a, grp_b, n_a, n_b, diff_micro,
+    * delta_micro, z_lower_milli, z_upper_milli, equivalent)`.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(group) to two rows;
+    * driver arithmetic finishes (the [[welchTTest]] plan).
+    */
+  def tostEquivalence(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      deltaMicro: Long): DataFrame = {
+    require(deltaMicro > 0, s"deltaMicro $deltaMicro must be > 0")
+    val g = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__v"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast("decimal(38,0)")).as("s"),
+        sum(expr("cast(__v as decimal(38,0)) * __v")).as("q"))
+      .orderBy("__g").collect()
+    require(g.length == 2,
+      s"tostEquivalence: exactly 2 groups required, got ${g.length}")
+    def dec(i: Int, j: Int): BigInt = BigInt(g(i).getDecimal(j).toBigInteger)
+    val (ga, gb) = (g(0).getString(0), g(1).getString(0))
+    val (na, nb) = (g(0).getLong(1), g(1).getLong(1))
+    val (sa, sb) = (dec(0, 2), dec(1, 2))
+    val (qa, qb) = (dec(0, 3), dec(1, 3))
+    def floorDiv(s: BigInt, c: Long): Long =
+      (if (s >= 0) s / c else -((-s) / c)).toLong
+    val diffMicro = floorDiv(sa, na) - floorDiv(sb, nb)
+    val zs: Option[(Long, Long)] =
+      if (na < 2 || nb < 2) None
+      else {
+        val va = (qa.toDouble - sa.toDouble * sa.toDouble / na) / (na - 1)
+        val vb = (qb.toDouble - sb.toDouble * sb.toDouble / nb) / (nb - 1)
+        val se2 = va / na + vb / nb // micro² units
+        if (se2 <= 0) None
+        else {
+          val se = math.sqrt(se2)
+          val d = sa.toDouble / na - sb.toDouble / nb // micro units
+          (Some((
+            math.floor(1000.0 * (d + deltaMicro) / se).toLong,
+            math.floor(1000.0 * (deltaMicro - d) / se).toLong)))
+        }
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, na, nb, diffMicro, deltaMicro, zs.map(_._1),
+        zs.map(_._2), zs.map(z => math.min(z._1, z._2) >= 1645L)))
+      .toDF("grp_a", "grp_b", "n_a", "n_b", "diff_micro", "delta_micro",
+        "z_lower_milli", "z_upper_milli", "equivalent")
+  }
+
+  /** Poisson rate-ratio test — incident rates per EXPOSURE, the slot
+    * [[twoProportionTest]]'s per-trial rates cannot fill: errors per
+    * machine-hour, crawler faults per GB, alerts per day of traffic.
+    * Each arm contributes x events over an exposure window T (here the
+    * arm's observed event-time span); under H₀ the counts are Poisson
+    * with a common rate and
+    *
+    *   {{{ z = ln( (x₁/T₁) / (x₂/T₂) ) / √(1/x₁ + 1/x₂) }}}
+    *
+    * (the standard log-rate-ratio normal approximation).
+    *
+    * Exactness: event counts and millisecond exposures are exact
+    * integers; per-hour rates `⌊3.6·10⁹·x/T⌋` and the rate ratio
+    * `⌊10⁶·x₁·T₂/(x₂·T₁)⌋` are exact integer floor divisions
+    * (nonneg); z is ONE fixed double tree floored to milli.
+    * `significant` = |z_milli| ≥ 1960. NULL z when either count is 0
+    * (the log diverges — report the exact counts and let the caller
+    * use an exact binomial gate at that extreme).
+    *
+    * Output (one row): `(grp_a, grp_b, n_events_a, n_events_b,
+    * exposure_ms_a, exposure_ms_b, rate_a_micro, rate_b_micro,
+    * rate_ratio_micro, z_milli, significant)` — rates in events/hour
+    * micro.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(group) carrying a
+    * count and two timestamp extremes; driver arithmetic finishes.
+    */
+  def rateRatioTest(
+      df: DataFrame,
+      groupCol: String,
+      tsMsCol: String,
+      eventCol: String): DataFrame = {
+    val g = df
+      .filter(col(groupCol).isNotNull && col(tsMsCol).isNotNull &&
+        col(eventCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(
+        count(when(col(eventCol).cast("boolean"), 1)).as("x"),
+        min(col(tsMsCol).cast("long")).as("t0"),
+        max(col(tsMsCol).cast("long")).as("t1"))
+      .orderBy("__g").collect()
+    require(g.length == 2,
+      s"rateRatioTest: exactly 2 groups required, got ${g.length}")
+    val (ga, gb) = (g(0).getString(0), g(1).getString(0))
+    val (xa, xb) = (g(0).getLong(1), g(1).getLong(1))
+    val (ta, tb) = (g(0).getLong(3) - g(0).getLong(2),
+      g(1).getLong(3) - g(1).getLong(2))
+    require(ta > 0 && tb > 0,
+      s"rateRatioTest: degenerate exposure (spans $ta ms / $tb ms) — " +
+        "each arm needs events at more than one timestamp")
+    def ratePerHourMicro(x: Long, t: Long): Long =
+      (BigInt(x) * 3600000L * 1000000L / t).toLong
+    val rr: Option[Long] =
+      if (xb == 0L || ta == 0L) None
+      else Some((BigInt(xa) * tb * 1000000L / (BigInt(xb) * ta)).toLong)
+    val zMilli: Option[Long] =
+      if (xa == 0L || xb == 0L) None
+      else {
+        val lnRr = math.log(xa.toDouble / ta) - math.log(xb.toDouble / tb)
+        val se = math.sqrt(1.0 / xa + 1.0 / xb)
+        Some(math.floor(1000.0 * lnRr / se).toLong)
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, xa, xb, ta, tb,
+        ratePerHourMicro(xa, ta), ratePerHourMicro(xb, tb), rr, zMilli,
+        zMilli.map(z => math.abs(z) >= 1960L)))
+      .toDF("grp_a", "grp_b", "n_events_a", "n_events_b",
+        "exposure_ms_a", "exposure_ms_b", "rate_a_micro", "rate_b_micro",
+        "rate_ratio_micro", "z_milli", "significant")
+  }
 }

@@ -1640,6 +1640,67 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("tostEquivalence: identical arms equivalent, delta-exceeding shift not, degenerate NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = (0 until 100).map(i => (10.0 + i % 2))
+    val same = base.map(("arm_a", _)) ++ base.map(("arm_b", _))
+    val r0 = Causal.tostEquivalence(
+      same.toDF("g", "v"), "g", "v", deltaMicro = 2000000L).collect()(0)
+    assert(r0.getAs[Long]("diff_micro") == 0L)
+    assert(r0.getAs[Boolean]("equivalent"), r0.toString)
+    assert(r0.getAs[Long]("z_lower_milli") ==
+      r0.getAs[Long]("z_upper_milli"))    // symmetric at zero diff
+    // arm_b shifted by 5 > delta=2: the upper test must fail
+    val shifted = base.map(("arm_a", _)) ++ base.map(x => ("arm_b", x + 5.0))
+    val r1 = Causal.tostEquivalence(
+      shifted.toDF("g", "v"), "g", "v", deltaMicro = 2000000L).collect()(0)
+    assert(r1.getAs[Long]("diff_micro") == -5000000L)
+    assert(r1.getAs[Long]("z_lower_milli") < 0L &&    // (d + 2) < 0 at d = -5
+      !r1.getAs[Boolean]("equivalent"), r1.toString)
+    // but a generous delta=10 declares the same shift equivalent
+    val r2 = Causal.tostEquivalence(
+      shifted.toDF("g", "v"), "g", "v", deltaMicro = 10000000L).collect()(0)
+    assert(r2.getAs[Boolean]("equivalent"), r2.toString)
+    val const = Seq(("arm_a", 5.0), ("arm_a", 5.0), ("arm_b", 5.0),
+      ("arm_b", 5.0))
+    val r3 = Causal.tostEquivalence(
+      const.toDF("g", "v"), "g", "v", deltaMicro = 1000000L).collect()(0)
+    assert(r3.isNullAt(r3.fieldIndex("equivalent")))
+    intercept[IllegalArgumentException] {
+      Causal.tostEquivalence(same.toDF("g", "v"), "g", "v", 0L)
+    }
+  }
+
+  test("rateRatioTest: exact 2x ratio, hand z, zero-count NULL, degenerate exposure loud") {
+    val spark2 = spark
+    import spark2.implicits._
+    // both arms span exactly 1000 ms; 100 vs 50 events
+    val a = Seq(("arm_a", 0L, false), ("arm_a", 1000L, false)) ++
+      (0 until 100).map(_ => ("arm_a", 500L, true))
+    val b = Seq(("arm_b", 0L, false), ("arm_b", 1000L, false)) ++
+      (0 until 50).map(_ => ("arm_b", 500L, true))
+    val r0 = Causal.rateRatioTest(
+      (a ++ b).toDF("g", "t", "e"), "g", "t", "e").collect()(0)
+    assert(r0.getAs[Long]("n_events_a") == 100L &&
+      r0.getAs[Long]("n_events_b") == 50L)
+    assert(r0.getAs[Long]("exposure_ms_a") == 1000L)
+    assert(r0.getAs[Long]("rate_ratio_micro") == 2000000L, r0.toString)
+    // z = ln 2 / sqrt(1/100 + 1/50) = 4.0019 -> 4001 milli
+    assert(r0.getAs[Long]("z_milli") == 4001L, r0.toString)
+    assert(r0.getAs[Boolean]("significant"))
+    // zero-count arm: exact counts reported, z NULL
+    val b0 = Seq(("arm_b", 0L, false), ("arm_b", 1000L, false))
+    val r1 = Causal.rateRatioTest(
+      (a ++ b0).toDF("g", "t", "e"), "g", "t", "e").collect()(0)
+    assert(r1.getAs[Long]("n_events_b") == 0L &&
+      r1.isNullAt(r1.fieldIndex("z_milli")))
+    intercept[IllegalArgumentException] {
+      Causal.rateRatioTest(
+        (a ++ Seq(("arm_b", 7L, true))).toDF("g", "t", "e"), "g", "t", "e")
+    }
+  }
+
   test("termBurstiness: clumped term out-ranks uniform term of equal cf; minDf filters") {
     val spark2 = spark
     import spark2.implicits._
