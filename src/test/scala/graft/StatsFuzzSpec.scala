@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Features, TimeSeries}
+import graft.ops.{Causal, Features, TimeSeries}
 import org.apache.spark.sql.Row
 
 import scala.util.Random
@@ -333,6 +333,89 @@ class StatsFuzzSpec extends SparkSuite {
       assert(BigInt(r.getAs[Long]("chi2_micro")) == pairs.sum, r.toString)
       assert(r.getAs[Long]("n_offdiag") ==
         rows.count(x => x._1 != x._2).toLong)
+    }
+  }
+
+  test("cohensD and tostEquivalence match a welch-moment reference on random arms") {
+    val rnd = new Random(422)
+    for (_ <- 0 until 10) {
+      val na = 3 + rnd.nextInt(60)
+      val nb = 3 + rnd.nextInt(60)
+      val shift = rnd.nextInt(9) - 4
+      val rows = (0 until na).map(_ =>
+        ("arm_a", (rnd.nextInt(201) - 100) / 10.0)) ++
+        (0 until nb).map(_ =>
+          ("arm_b", (rnd.nextInt(201) - 100) / 10.0 + shift))
+      val deltaMicro = (1 + rnd.nextInt(5)) * 1000000L
+      val d = Causal.cohensD(rows.toDF("g", "v"), "g", "v").collect()(0)
+      val t = Causal.tostEquivalence(
+        rows.toDF("g", "v"), "g", "v", deltaMicro).collect()(0)
+      def mom(g: String) = {
+        val vs = rows.filter(_._1 == g)
+          .map(x => BigInt(math.floor(x._2 * 1e6).toLong))
+        (vs.size.toLong, vs.sum, vs.map(v => v * v).sum)
+      }
+      val (n1, s1, q1) = mom("arm_a")
+      val (n2, s2, q2) = mom("arm_b")
+      def fd(s: BigInt, c: Long) =
+        (if (s >= 0) s / c else -((-s) / c)).toLong
+      val diff = fd(s1, n1) - fd(s2, n2)
+      assert(d.getAs[Long]("diff_micro") == diff &&
+        t.getAs[Long]("diff_micro") == diff)
+      val df2 = n1 + n2 - 2
+      val ss1 = q1.toDouble - s1.toDouble * s1.toDouble / n1
+      val ss2 = q2.toDouble - s2.toDouble * s2.toDouble / n2
+      val sp2 = (ss1 + ss2) / df2
+      val dm = s1.toDouble / n1 - s2.toDouble / n2
+      if (sp2 > 0) {
+        val dd = dm / math.sqrt(sp2)
+        assert(d.getAs[Long]("d_milli") == floorMilli(dd), d.toString)
+        assert(d.getAs[Long]("g_milli") ==
+          floorMilli(dd * (4.0 * df2 - 4.0) / (4.0 * df2 - 1.0)))
+      }
+      val v1 = ss1 / (n1 - 1)
+      val v2 = ss2 / (n2 - 1)
+      val se2 = v1 / n1 + v2 / n2
+      if (se2 > 0) {
+        val se = math.sqrt(se2)
+        val zl = floorMilli((dm + deltaMicro) / se)
+        val zu = floorMilli((deltaMicro - dm) / se)
+        assert(t.getAs[Long]("z_lower_milli") == zl &&
+          t.getAs[Long]("z_upper_milli") == zu, t.toString)
+        assert(t.getAs[Boolean]("equivalent") == (math.min(zl, zu) >= 1645L))
+      }
+    }
+  }
+
+  test("rateRatioTest matches an exact count/exposure reference on random streams") {
+    val rnd = new Random(423)
+    for (_ <- 0 until 10) {
+      val rows = Seq("arm_a", "arm_b").flatMap { g =>
+        val n = 5 + rnd.nextInt(80)
+        // distinct-ish timestamps guarantee a positive span
+        (0 until n).map(i =>
+          (g, i * 100L + rnd.nextInt(50), rnd.nextInt(4) == 0))
+      }
+      val r = Causal.rateRatioTest(
+        rows.toDF("g", "t", "e"), "g", "t", "e").collect()(0)
+      def arm(g: String) = {
+        val rs = rows.filter(_._1 == g)
+        (rs.count(_._3).toLong, rs.map(_._2).max - rs.map(_._2).min)
+      }
+      val (xa, ta) = arm("arm_a")
+      val (xb, tb) = arm("arm_b")
+      assert(r.getAs[Long]("n_events_a") == xa &&
+        r.getAs[Long]("exposure_ms_b") == tb)
+      assert(r.getAs[Long]("rate_a_micro") ==
+        (BigInt(xa) * 3600000L * 1000000L / ta).toLong)
+      if (xb > 0)
+        assert(r.getAs[Long]("rate_ratio_micro") ==
+          (BigInt(xa) * tb * 1000000L / (BigInt(xb) * ta)).toLong)
+      if (xa > 0 && xb > 0) {
+        val z = (math.log(xa.toDouble / ta) - math.log(xb.toDouble / tb)) /
+          math.sqrt(1.0 / xa + 1.0 / xb)
+        assert(r.getAs[Long]("z_milli") == floorMilli(z), r.toString)
+      } else assert(r.isNullAt(r.fieldIndex("z_milli")))
     }
   }
 
