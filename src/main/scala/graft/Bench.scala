@@ -47,8 +47,16 @@ import org.apache.spark.sql.SparkSession
   *     this is the STEADY-contention detector the spread signal cannot
   *     be (consecutive runs under steady squeeze agree at the inflated
   *     time; r10's q228 measured 48.3s twice against a 3.7s fresh-JVM
-  *     truth and was flagged by nothing). A query still >3x prior after
-  *     requeue lands in `prior_exceeded` AND `contended`. If the MEDIAN
+  *     truth and was flagged by nothing). The REQUEUE trigger is
+  *     tiered (r11 blind band: ten sub-second queries drifted
+  *     2.2-2.95x in two consecutive-execution clusters, under the flat
+  *     3x): queries with a sub-second prior requeue at a 2x ratio
+  *     normalized by the pass-1 median prior ratio (so an honestly
+  *     uniformly-slower run doesn't mass-requeue, while a clustered
+  *     episode riding on top of the run median still trips); larger
+  *     priors keep the flat 3x. FLAGGING stays at the hard 3x. A query
+  *     still >3x prior after requeue lands in `prior_exceeded` AND
+  *     `contended`. If the MEDIAN
   *     accepted/prior ratio across all queries with a >=0.3s prior
   *     exceeds 2x, the whole artifact is stamped
   *     `"globally_contended":true` — identical code does not get
@@ -89,6 +97,18 @@ object Bench {
   // sub-0.6s measurements are never flagged (absolute noise floor)
   private val PriorRatchetFactor = 3.0
   private val PriorRatchetFloorSec = 0.6
+  // REQUEUE tier for sub-second priors (the r11 blind band): ten
+  // sub-second queries drifted 2.2-2.95x in two consecutive-execution
+  // clusters and sat under the flat 3x trigger. A requeue of a
+  // sub-second query costs under a second, and JIT/ambient noise
+  // concentrates exactly there — so requeue (not flag) at 2x. The
+  // per-query ratio is first normalized by the PASS-1 median prior
+  // ratio so a run that is honestly, uniformly ~1.3x slower does not
+  // mass-requeue its sub-second tail; a clustered local episode rides
+  // ON TOP of the run median and still trips.
+  private val SubSecondPriorSec = 1.0
+  private val SubSecondRequeueFactor = 2.0
+  private val SubSecondRequeueFloorSec = 0.25
   // median accepted/prior ratio above this stamps the whole artifact
   // globally_contended (priors below 0.3s are too noisy to vote)
   private val GlobalRatioLimit = 2.0
@@ -288,15 +308,46 @@ object Bench {
         f"hot pass-1 probes cpu ${probeLog.count(_ > hotMs)}/${probeLog.length} " +
         f"io ${ioProbeLog.count(_ > ioHotMs)}/${ioProbeLog.length}")
 
+    // Pass-1 median prior ratio: the run's honest ambient drift. The
+    // requeue trigger normalizes each query's ratio by it before
+    // thresholding, so a uniformly-slower run doesn't mass-requeue and a
+    // clustered local episode (which rides ON TOP of the median) still
+    // trips. Clamped to >=1.0 — a faster-than-prior run must not inflate
+    // ratios and over-requeue.
+    val pass1Ratios = pass1.flatMap { case (n, _, t, _, _) =>
+      prior.get(n).filter(_ >= GlobalRatioMinPriorSec).map(t / _)
+    }
+    val pass1MedianRatio =
+      if (pass1Ratios.isEmpty) 1.0 else math.max(1.0, median(pass1Ratios.toSeq))
+    System.err.println(
+      f"[bench] pass-1 median prior ratio $pass1MedianRatio%.3f " +
+        f"(${pass1Ratios.length} voting queries)")
+    // Tiered requeue trigger (see SubSecondPriorSec): sub-second priors
+    // requeue at a normalized 2x (cheap re-measurement, noise-prone
+    // band); larger priors keep the flat 3x ratchet. FLAGGING
+    // (prior_exceeded/contended) stays at the hard 3x — a 2-3x
+    // sub-second residue after requeue can be honest JIT/ambient noise
+    // and must not stamp the artifact.
+    def requeuePrior(name: String, t: Double): Boolean =
+      prior.get(name).exists { p =>
+        val norm = t / pass1MedianRatio
+        if (p < SubSecondPriorSec)
+          norm > SubSecondRequeueFactor * p && t > SubSecondRequeueFloorSec
+        else
+          (norm > PriorRatchetFactor * p && t > PriorRatchetFloorSec) ||
+            exceedsPrior(name, t)
+      }
+
     // Pass 2: requeue queries whose window overlapped a hot probe (either
     // flavor), whose own spread stayed unresolved, or whose time exceeds
-    // 3x the committed prior (steady contention the probes+spread can
-    // miss) — each re-measurement bracketed by its own probe pairs.
+    // its tiered prior-ratchet trigger (steady contention the
+    // probes+spread can miss) — each re-measurement bracketed by its own
+    // probe pairs.
     val requeued = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Boolean)]
     val priorExceeded = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = pass1.map { case (name, fn, t1, suspect1, block) =>
       val windowHot = pairHot(blockProbes(block)) || pairHot(blockProbes(block + 1))
-      if (!windowHot && !suspect1 && !exceedsPrior(name, t1)) name -> (t1, false)
+      if (!windowHot && !suspect1 && !requeuePrior(name, t1)) name -> (t1, false)
       else {
         val rb = loggedProbePair()
         val (t2, suspect2) = measure(name, fn)
@@ -345,7 +396,7 @@ object Bench {
     val contendedJson = contendedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val priorExceededJson = priorExceeded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","isolation":"clearCache-between-queries","noise_probe_ms":$probesJson,"io_probe_ms":$ioProbesJson,"probe_median_ms":${math.round(probeMedianMs)},"io_probe_median_ms":${math.round(ioMedianMs)},"hot_probe_ms":${math.round(hotMs)},"io_hot_probe_ms":${math.round(ioHotMs)},"prior_file":"$priorPath","prior_queries":${prior.size},"median_prior_ratio":${f"$medianPriorRatio%.3f"},"globally_contended":$globallyContended,"prior_exceeded":$priorExceededJson,"requeued":$requeueJson,"contended":$contendedJson,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","isolation":"clearCache-between-queries","noise_probe_ms":$probesJson,"io_probe_ms":$ioProbesJson,"probe_median_ms":${math.round(probeMedianMs)},"io_probe_median_ms":${math.round(ioMedianMs)},"hot_probe_ms":${math.round(hotMs)},"io_hot_probe_ms":${math.round(ioHotMs)},"prior_file":"$priorPath","prior_queries":${prior.size},"median_prior_ratio":${f"$medianPriorRatio%.3f"},"pass1_median_ratio":${f"$pass1MedianRatio%.3f"},"globally_contended":$globallyContended,"prior_exceeded":$priorExceededJson,"requeued":$requeueJson,"contended":$contendedJson,"queries":$fullQs,"sf":"$sfDir"}"""
     // a filtered dev run must not clobber the full-suite artifact — it
     // writes bench_subset.json instead (stress_bench.sh bootstraps its
     // quiet probe baseline from one)

@@ -9060,16 +9060,17 @@ object Queries {
               / sqrt((np * sxx - sx * sx)::DOUBLE
                 * (np * syy - sy * sy)::DOUBLE)) END)::BIGINT r_micro
         FROM r),
-      q AS (SELECT rr.k, np.n_buckets, COUNT(*)::BIGINT n_lags_used,
+      q AS (SELECT rr.k, COUNT(*)::BIGINT n_lags_used,
           SUM(rr.r_micro::HUGEINT * rr.r_micro
             // (np.n_buckets - rr.lg)) tsum
         FROM rr JOIN np ON rr.k = np.k
         WHERE rr.r_micro IS NOT NULL AND np.n_buckets > rr.lg
-        GROUP BY 1, 2)
-      SELECT k AS key, n_buckets, n_lags_used,
-        (n_buckets::HUGEINT * (n_buckets + 2) * tsum
+        GROUP BY 1)
+      SELECT np.k AS key, np.n_buckets,
+        COALESCE(q.n_lags_used, 0)::BIGINT AS n_lags_used,
+        (np.n_buckets::HUGEINT * (np.n_buckets + 2) * q.tsum
           // 1000000000)::BIGINT AS q_milli
-      FROM q"""))
+      FROM np LEFT JOIN q ON np.k = q.k"""))
 
   /** Wald–Wolfowitz runs test of each user's hourly high/low activity
     * sequence — clumping vs oscillation, exact integer numerator.
@@ -9547,6 +9548,56 @@ object Queries {
             / sqrt(1.0 / xa + 1.0 / xb))) >= 1960 END) AS significant
       FROM w"""))
 
+  /** Unrolled k-core oracle: `n` peel rounds over the canonicalized
+    * undirected edge set `body` (must select columns u, v), plus the
+    * global `converged` fact (all survivors ≥ k ⇔ the peel reached its
+    * fixed point within n rounds). Rounds past the fixed point are
+    * no-ops on both engines, so the unrolled SQL stays exact even when
+    * the Spark side early-exits.
+    */
+  private def kCoreOracle(n: Int, k: Int, body: String): String = {
+    // each round references the prior CTE three times (FROM + two
+    // semi-join sides); without MATERIALIZED DuckDB inlines the
+    // expansion 3^n times and dies on file handles past ~4 rounds
+    val sb = new StringBuilder
+    sb.append(s"""WITH e0 AS MATERIALIZED ($body),
+      a0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)""")
+    for (i <- 1 to n) sb.append(s""",
+      k$i AS (SELECT u FROM a${i - 1} GROUP BY u HAVING COUNT(*) >= $k),
+      a$i AS MATERIALIZED (SELECT a.u, a.v FROM a${i - 1} a JOIN k$i x ON a.u = x.u
+        JOIN k$i y ON a.v = y.u)""")
+    sb.append(s""",
+      core AS (SELECT u AS node, COUNT(*)::BIGINT degree,
+        (COUNT(*) >= $k) AS in_core FROM a$n GROUP BY u)
+      SELECT node, degree, in_core,
+        (SELECT COALESCE(bool_and(in_core), true) FROM core) AS converged
+      FROM core""")
+    sb.toString
+  }
+
+  /** k-core with the round-12 provably-exact early exit and the honest
+    * `converged` column: 8 permitted peel rounds on the customer—supplier
+    * trade graph — the loop breaks at the first stable round (edge count
+    * unchanged ⇒ fixed point), the oracle replays all 8 (no-ops past the
+    * fixed point), and `converged` reports the all-survivors-≥-k global
+    * fact via a broadcast one-row rollup.
+    */
+  private val q293 = Q(
+    "q293_k_core_converged",
+    (spark, dir) => {
+      val e = pq(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(pq(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cu"),
+          (col("l_suppkey") * 2 + 1).as("su"))
+      Graph.kCore(e, "cu", "su", k = 5, iters = 8, emitConverged = true)
+    },
+    Some(kCoreOracle(8, 5,
+      """SELECT DISTINCT LEAST(c, s) u, GREATEST(c, s) v
+        FROM (SELECT o_custkey * 2 c, l_suppkey * 2 + 1 s
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL)""")))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -9572,7 +9623,8 @@ object Queries {
     q254, q255, q256, q257, q258, q259, q260, q261, q262, q263, q264,
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274,
     q275, q276, q277, q278, q279, q280, q281, q282,
-    q283, q284, q285, q286, q287, q288, q289, q290, q291, q292)
+    q283, q284, q285, q286, q287, q288, q289, q290, q291, q292,
+    q293)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

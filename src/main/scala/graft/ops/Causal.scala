@@ -764,7 +764,7 @@ object Causal {
     def ratePerHourMicro(x: Long, t: Long): Long =
       (BigInt(x) * 3600000L * 1000000L / t).toLong
     val rr: Option[Long] =
-      if (xb == 0L || ta == 0L) None
+      if (xb == 0L) None
       else Some((BigInt(xa) * tb * 1000000L / (BigInt(xb) * ta)).toLong)
     val zMilli: Option[Long] =
       if (xa == 0L || xb == 0L) None

@@ -1795,7 +1795,13 @@ object Eval {
     * Mechanics: one value per (unit, item) — duplicates resolve to the
     * MINIMUM (deterministic, oracle-mirrored); only units with a
     * COMPLETE item set (exactly k items) enter (the fleissKappa
-    * complete-case rule, counted in `n_dropped`). With micro-floored
+    * complete-case rule, counted in `n_dropped`). The item universe is
+    * PINNED: pass the k labels via `items` (ratings outside the set
+    * are dropped first), or leave it empty and the op requires the
+    * observed distinct-item count to be exactly k — without the pin,
+    * units covering different k-subsets of a larger label space would
+    * all look "complete" while the ΣD_j/D_tot algebra silently
+    * decoheres. With micro-floored
     * values, every variance rides its n²-scaled integer form
     * `D = n·Σx² − (Σx)²` (exact decimal), the common n² cancels, and
     *
@@ -1821,16 +1827,36 @@ object Eval {
       unitCol: String,
       itemCol: String,
       valueCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      items: Seq[String] = Nil): DataFrame = {
     require(k >= 2, s"cronbachAlpha needs k >= 2 items, got $k")
+    require(items.isEmpty || items.distinct.length == k,
+      s"cronbachAlpha: explicit item set must carry exactly k=$k " +
+        s"distinct labels, got ${items.distinct.length}")
     val dec = "decimal(38,0)"
-    val votes = df
+    val raw = df
       .filter(col(unitCol).isNotNull && col(itemCol).isNotNull &&
         col(valueCol).isNotNull)
       .select(col(unitCol).cast("string").as("__u"),
         col(itemCol).cast("string").as("__i"),
         floor(col(valueCol).cast("double") * 1e6).cast("long").as("__v"))
+    val scoped =
+      if (items.nonEmpty) raw.filter(col("__i").isin(items: _*))
+      else raw
+    val votes = scoped
       .groupBy("__u", "__i").agg(min("__v").as("__v"))
+      .localCheckpoint()
+    if (items.isEmpty) {
+      // "exactly k ratings" only proves a COMPLETE unit when the item
+      // universe itself has exactly k labels; with extras, units
+      // covering different k-subsets would all pass and the item
+      // variances would no longer line up with the unit totals.
+      val nItems = votes.select("__i").distinct().count()
+      require(nItems == k.toLong,
+        s"cronbachAlpha: observed item universe has $nItems distinct " +
+          s"labels but k=$k — pass the k item labels via `items` to " +
+          "pin the universe (completeness is judged against it)")
+    }
     val units = votes.groupBy("__u").agg(count(lit(1)).as("__ni"))
       .localCheckpoint()
     val kept = units.filter(col("__ni") === k.toLong).select("__u")

@@ -1668,30 +1668,6 @@ object Features {
           end as long)""").as("r_milli"))
   }
 
-  /** Grubbs-style extreme-deviation audit — the top-k most extreme
-    * values by |x − x̄|/s, the parametric cousin of the q147 MAD
-    * screen: MAD asks "is this far from the bulk", Grubbs' G asks "is
-    * the single most extreme point consistent with the fitted normal"
-    * (compare `z_milli` of rank 1 against the Grubbs critical value for
-    * the cohort's n — caller-owned, it needs a t-quantile). Run it on
-    * any score column before trusting min/max-normalizations.
-    *
-    * Determinism: the ranking never touches a double — rows order by
-    * the EXACT integer deviation `|10⁶·x·n − Σ|` (then id), a
-    * [[Ranks.globalRank]] range exchange, so rank 1 is THE Grubbs
-    * candidate bit-for-bit. z_milli is one fixed double tree of the
-    * exact moments per emitted row (k rows, not corpus rows); NULL
-    * when n < 3 or the variance degenerates.
-    *
-    * Output: top `k` rows `(rank, id, value_micro, z_milli, n)`.
-    *
-    * Overflow: |10⁶·x|·n inside decimal(38,0) to n·|x| ≈ 10³² — loud
-    * NULL past it.
-    *
-    * 100 TB shape: ONE map-side-combined scalar moment pass, a one-row
-    * broadcast back, the globalRank range exchange, and a k-row
-    * result. Nothing pair-shaped, nothing corpus-sized at the driver.
-    */
   /** Two-sample Cramér–von Mises criterion — the INTEGRATED-SQUARE
     * member of the drift-test family: [[ksTestTwoSample]] reads the
     * single worst ECDF gap (sharp against local shifts, blind to many
@@ -1831,6 +1807,30 @@ object Features {
           end as long)""").as("chi2_micro"))
   }
 
+  /** Grubbs-style extreme-deviation audit — the top-k most extreme
+    * values by |x − x̄|/s, the parametric cousin of the q147 MAD
+    * screen: MAD asks "is this far from the bulk", Grubbs' G asks "is
+    * the single most extreme point consistent with the fitted normal"
+    * (compare `z_milli` of rank 1 against the Grubbs critical value for
+    * the cohort's n — caller-owned, it needs a t-quantile). Run it on
+    * any score column before trusting min/max-normalizations.
+    *
+    * Determinism: the ranking never touches a double — rows order by
+    * the EXACT integer deviation `|10⁶·x·n − Σ|` (then id), a
+    * [[Ranks.globalRank]] range exchange, so rank 1 is THE Grubbs
+    * candidate bit-for-bit. z_milli is one fixed double tree of the
+    * exact moments per emitted row (k rows, not corpus rows); NULL
+    * when n < 3 or the variance degenerates.
+    *
+    * Output: top `k` rows `(rank, id, value_micro, z_milli, n)`.
+    *
+    * Overflow: |10⁶·x|·n inside decimal(38,0) to n·|x| ≈ 10³² — loud
+    * NULL past it.
+    *
+    * 100 TB shape: ONE map-side-combined scalar moment pass, a one-row
+    * broadcast back, the globalRank range exchange, and a k-row
+    * result. Nothing pair-shaped, nothing corpus-sized at the driver.
+    */
   def grubbsOutliers(
       df: DataFrame,
       idCol: String,

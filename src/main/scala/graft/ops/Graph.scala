@@ -346,26 +346,36 @@ object Graph {
     * support; stars and chains peel away). Undirected: each input edge
     * counts once per direction, self-loops and duplicate edges ignored.
     *
-    * Runs EXACTLY `iters` rounds — the fixed-iteration contract of this
-    * file's pageRank, so replays (and the SQL oracle, which unrolls the
-    * same rounds) agree bit-for-bit whether or not the peel has
-    * converged. Output per surviving node: `(node, degree, in_core)`
-    * where `degree` is over the surviving subgraph and `in_core` =
-    * (degree ≥ k) — all true ⇔ converged; rerun with more iters if any
-    * false. Converged output IS the classic k-core regardless of round
-    * count (extra rounds are no-ops).
+    * Runs AT MOST `iters` rounds with a provably-exact early exit: the
+    * peel is monotone and deterministic, so a round that removes NO
+    * edge is a fixed point (degrees unchanged ⇒ every later round is a
+    * no-op) — the loop tracks the alive-edge count (one cheap `count()`
+    * on the frame it just localCheckpoint'd) and breaks there, skipping
+    * the remaining rounds' 3 shuffles + checkpoint while producing
+    * BIT-IDENTICAL output to the unrolled fixed-`iters` contract (which
+    * the SQL oracle still replays round-for-round). Output per
+    * surviving node: `(node, degree, in_core)` where `degree` is over
+    * the surviving subgraph and `in_core` = (degree ≥ k) — all true ⇔
+    * converged; rerun with more iters if any false. With
+    * `emitConverged` a fourth column `converged` (same value on every
+    * row) reports that global fact honestly: `true` when a stable round
+    * was OBSERVED or every survivor's degree ≥ k (the two are
+    * equivalent at the fixed point; the latter catches a peel that
+    * converged exactly on its last permitted round). Computed via a
+    * broadcast one-row rollup — never a single-partition window.
     *
     * 100 TB shape: per round one map-side-combined degree count plus two
     * semi-joins on the shrinking edge set, localCheckpoint'd per round
     * (same discipline as connectedComponents' large/small-star loop);
-    * no driver-side data beyond the loop counter.
+    * driver-side state is the loop counter and one edge count per round.
     */
   def kCore(
       edges0: DataFrame,
       srcCol: String,
       dstCol: String,
       k: Int,
-      iters: Int = 8): DataFrame = {
+      iters: Int = 8,
+      emitConverged: Boolean = false): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
     require(iters >= 1 && iters <= 64, s"iters $iters out of [1, 64]")
     val und = edges0
@@ -377,7 +387,11 @@ object Graph {
       .select(col("u"), col("v"))
       .union(und.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    var prevEdges = alive.count()
+    var stable = prevEdges == 0L
+    var round = 0
+    while (round < iters && !stable) {
+      round += 1
       val keep = alive.groupBy("u").agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select(col("u"))
       alive = alive
@@ -385,10 +399,25 @@ object Graph {
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint()
+      val cur = alive.count()
+      if (cur == prevEdges) stable = true
+      prevEdges = cur
     }
-    alive.groupBy(col("u").as("node"))
+    val core = alive.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("degree"))
       .withColumn("in_core", col("degree") >= k)
+    if (!emitConverged) core
+    else if (stable) core.withColumn("converged", lit(true))
+    else {
+      // ran out of rounds without observing a stable round — convergence
+      // may still have landed exactly on the last one; all-degrees-≥-k is
+      // the equivalent global fact, one broadcast row
+      val conv = core.agg(
+        coalesce(min(col("in_core").cast("int")), lit(1)).as("__c"))
+      core.crossJoin(broadcast(conv))
+        .withColumn("converged", col("__c") === 1)
+        .drop("__c")
+    }
   }
 
   /** Common-neighbor / Jaccard link prediction — the top-k NON-edges

@@ -1311,11 +1311,11 @@ object TextOps {
     * plan literals — the corpus pass is map-only, no shuffle, no join.
     * Each merge is one literal `regexp_replace` inside a per-word
     * transform, so cost is O(merges × doc length) inside whole-stage
-    * codegen. The merge count is capped at 64 (the [[bpeMerges]] learning
-    * bound); a production 32k-merge vocab wants the trie-walk encoder
-    * behind a `mapPartitions` seam instead of a 32k-deep expression tree
-    * — same contract, different engine, and this operator is the oracle
-    * for that one.
+    * codegen. The merge count is capped at 64: past that an expression
+    * tree stops being an engine — [[bpeEncodeLarge]] is the production
+    * twin for real 32k–100k vocabs (broadcast rank map + min-rank merge
+    * loop, same contract), and THIS operator is its cross-engine parity
+    * oracle.
     */
   def bpeEncode(
       df: DataFrame,
@@ -1340,6 +1340,105 @@ object TextOps {
     val words = filter(tokens(col(textCol)), w => length(w) > 0)
     val toks = flatten(transform(words, enc))
     df.select(idCols.map(col) :+ toks.as("__t"): _*)
+      .select(idCols.map(col) :+
+        array_join(col("__t"), " ").as("bpe_text") :+
+        size(col("__t")).cast("long").as("n_bpe_tokens"): _*)
+  }
+
+  /** Large-vocab BPE encode — the production twin of [[bpeEncode]] that
+    * lifts the 64-merge expression-tree cap to real 32k–100k tokenizer
+    * vocabs. Same contract (ids, `bpe_text`, `n_bpe_tokens`), different
+    * engine: the merge table becomes ONE broadcast `(sym_a, sym_b) →
+    * rank` hash map and each word folds via the standard min-rank merge
+    * loop (the GPT-2 `bpe()` algorithm): repeatedly find the
+    * lowest-rank adjacent symbol pair present and merge ALL its
+    * occurrences left-to-right non-overlapping, until no ranked pair
+    * remains. Per-word cost is O(len²) hash lookups — INDEPENDENT of
+    * vocab size, where the literal-replace path pays O(merges · len)
+    * and dies as an expression tree past ~64 merges.
+    *
+    * Why min-rank and not a longest-match trie: longest-match is
+    * WordPiece semantics, a DIFFERENT tokenizer — it diverges from
+    * merge-order BPE on e.g. merges [(a,b),(b,c)] over "abc". The
+    * min-rank loop reproduces [[bpeEncode]]'s round-order literal
+    * replace exactly on any table where a merge's operands cannot be
+    * re-created by a LATER merge — true of tables learned by
+    * [[bpeMerges]] (a symbol is born exactly once, at its own round)
+    * and of every published tokenizer vocab; OpsSpec asserts the parity
+    * on learned tables. [[bpeEncode]] (≤ 64 merges) stays the
+    * cross-engine oracle: this path's per-word loop is not SQL-
+    * expressible, so its correctness rides the parity property, q129's
+    * oracle, and the synthetic-vocab property tests.
+    *
+    * 100 TB shape: map-only — no shuffle, no join; the model is one
+    * broadcast of ~merges·32 B (a 100k vocab ≈ 3 MB, the k-means-
+    * centroid pattern), and the corpus pass is one codegen'd projection
+    * around a single Scala UDF call per row (the whole-array fold —
+    * same seam discipline as [[graft.ops.Dedup]]'s Bloom membership).
+    */
+  def bpeEncodeLarge(
+      df: DataFrame,
+      idCols: Seq[String],
+      textCol: String,
+      merges: DataFrame,
+      maxMerges: Int = 262144): DataFrame = {
+    val ms = merges.select(col("round"), col("sym_a"), col("sym_b"))
+      .orderBy(col("round").asc)
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    require(ms.length <= maxMerges,
+      s"${ms.length} merges > maxMerges $maxMerges")
+    val pairByRank = ms
+    val ranks: Map[(String, String), Int] =
+      ms.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val bc = df.sparkSession.sparkContext.broadcast((pairByRank, ranks))
+    def encodeWord(w: String): Seq[String] = {
+      // code-point split — mirrors Spark's split(w, ""), which keeps
+      // surrogate pairs whole (Java regex zero-width match advances by
+      // code point)
+      var syms = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < w.length) {
+          val n = Character.charCount(w.codePointAt(i))
+          out += w.substring(i, i + n)
+          i += n
+        }
+        out
+      }
+      val (byRank, rk) = bc.value
+      var done = syms.length < 2
+      while (!done) {
+        var best = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = rk.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < best) best = r
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          val (a, b) = byRank(best)
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+              merged += a + b; j += 2
+            } else { merged += syms(j); j += 1 }
+          }
+          syms = merged
+          if (syms.length < 2) done = true
+        }
+      }
+      syms.toSeq
+    }
+    val enc = udf { ws: Seq[String] =>
+      if (ws == null) Seq.empty[String]
+      else ws.iterator.filter(w => w != null && w.nonEmpty)
+        .flatMap(encodeWord).toSeq
+    }
+    val words = filter(tokens(col(textCol)), w => length(w) > 0)
+    df.select(idCols.map(col) :+ enc(words).as("__t"): _*)
       .select(idCols.map(col) :+
         array_join(col("__t"), " ").as("bpe_text") :+
         size(col("__t")).cast("long").as("n_bpe_tokens"): _*)

@@ -660,6 +660,9 @@ object TimeSeries {
     * with no pairs or degenerate variance contribute nothing
     * (`n_lags_used` reports the contributors; the χ²_h reference
     * distribution is the caller's — df varies with what was usable).
+    * A key where EVERY lag is unusable still emits its diagnostic row
+    * as `(key, n_buckets, 0, NULL)` — a vanished key would read as
+    * "not monitored" rather than "inconclusive".
     *
     * Output per key: `(key, n_buckets, n_lags_used, q_milli)`.
     *
@@ -712,13 +715,15 @@ object TimeSeries {
                       * cast(np * syy - sy * sy as double))) as long)
            end"""))
       .filter(col("r_micro").isNotNull)
-    rTab.join(nPer, "__k")
+    val perKey = rTab.join(nPer, "__k")
       .filter(col("n_buckets") > col("lag"))
-      .groupBy(col("__k"), col("n_buckets"))
+      .groupBy(col("__k"))
       .agg(count(lit(1)).as("n_lags_used"),
         sum(expr(s"cast(r_micro as $dec) * r_micro div " +
           "(n_buckets - lag)")).as("__tsum"))
-      .select(col("__k").as("key"), col("n_buckets"), col("n_lags_used"),
+    nPer.join(perKey, Seq("__k"), "left")
+      .select(col("__k").as("key"), col("n_buckets"),
+        coalesce(col("n_lags_used"), lit(0L)).as("n_lags_used"),
         expr(s"""cast(cast(n_buckets as $dec) * (n_buckets + 2) * __tsum
             div 1000000000 as long)""").as("q_milli"))
   }
@@ -793,30 +798,6 @@ object TimeSeries {
           .otherwise(col("z_milli") <= -1960L))
   }
 
-  /** Cox–Stuart sign trend test per key — the assumption-free trend
-    * check that needs NOTHING but signs: pair each point in the first
-    * half of the series with its counterpart one half-length later
-    * (odd middles drop) and count how often the later value is larger.
-    * Where [[mannKendall]] ranks all n² pairs, Cox–Stuart reads n/2
-    * pairs — the cheap first-pass monotone-drift alarm for millions of
-    * key series, robust to any monotone transform of the values.
-    *
-    * With `p` rises and `q` falls (ties drop), the statistic is the
-    * binomial sign z (no continuity correction, documented):
-    *
-    *   {{{ z = (p − q) / √(p + q) }}}
-    *
-    * Exactness: p, q, n exact integers; z is ONE fixed double tree
-    * floored to milli; `trending` = |z_milli| ≥ 1960. NULL z when no
-    * untied pair exists.
-    *
-    * Output per key: `(key, n, n_pairs, n_rise, n_fall, z_milli,
-    * trending)` — n_pairs = ⌊n/2⌋ (before tie drops).
-    *
-    * 100 TB shape: ONE key shuffle (rank window), then a KEY-LOCAL
-    * rank-offset equi-join of the two halves (n/2 pairs — linear, no
-    * cap needed) and a map-side-combined rollup.
-    */
   /** Durbin–Watson statistic per key — THE residual autocorrelation
     * one-liner: `DW = Σ(e_t − e_{t−1})² / Σ e_t²`, ~2 for white
     * residuals, → 0 under positive lag-1 autocorrelation, → 4 under
@@ -866,6 +847,30 @@ object TimeSeries {
           end as long)""").as("dw_milli"))
   }
 
+  /** Cox–Stuart sign trend test per key — the assumption-free trend
+    * check that needs NOTHING but signs: pair each point in the first
+    * half of the series with its counterpart one half-length later
+    * (odd middles drop) and count how often the later value is larger.
+    * Where [[mannKendall]] ranks all n² pairs, Cox–Stuart reads n/2
+    * pairs — the cheap first-pass monotone-drift alarm for millions of
+    * key series, robust to any monotone transform of the values.
+    *
+    * With `p` rises and `q` falls (ties drop), the statistic is the
+    * binomial sign z (no continuity correction, documented):
+    *
+    *   {{{ z = (p − q) / √(p + q) }}}
+    *
+    * Exactness: p, q, n exact integers; z is ONE fixed double tree
+    * floored to milli; `trending` = |z_milli| ≥ 1960. NULL z when no
+    * untied pair exists.
+    *
+    * Output per key: `(key, n, n_pairs, n_rise, n_fall, z_milli,
+    * trending)` — n_pairs = ⌊n/2⌋ (before tie drops).
+    *
+    * 100 TB shape: ONE key shuffle (rank window), then a KEY-LOCAL
+    * rank-offset equi-join of the two halves (n/2 pairs — linear, no
+    * cap needed) and a map-side-combined rollup.
+    */
   def coxStuart(
       df: DataFrame,
       keyCol: String,

@@ -52,6 +52,12 @@ import scala.concurrent.duration.Duration
   */
 object StreamingMsprt {
 
+  /** `GroupState.getCurrentWatermarkMs` returns 0 until the FIRST
+    * watermark advance — rows seen then are pre-watermark admissions,
+    * not late data, so the admission guard must let them through.
+    */
+  private val NoWatermarkYet = 0L
+
   final case class MsprtState(
       pending: List[(Long, String, Boolean)], // (tMs, tieKey, outcome)
       d: Long,
@@ -121,7 +127,8 @@ object StreamingMsprt {
           if (!r.isNullAt(keyIdx) && !r.isNullAt(outIdx) && !r.isNullAt(tIdx)) {
             if (st.key == null) st = st.copy(key = r.get(keyIdx))
             val t = r.getLong(tIdx)
-            if (!st.decided && (t > watermark || watermark == 0L)) {
+            if (!st.decided &&
+                (t > watermark || watermark == NoWatermarkYet)) {
               st = st.copy(pending = (t,
                 StreamingDedup.orderKey(r.get(tieIdx)),
                 r.get(outIdx).asInstanceOf[Boolean]) :: st.pending)

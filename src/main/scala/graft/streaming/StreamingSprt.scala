@@ -39,6 +39,12 @@ import scala.concurrent.duration.Duration
   */
 object StreamingSprt {
 
+  /** `GroupState.getCurrentWatermarkMs` returns 0 until the FIRST
+    * watermark advance — rows seen then are pre-watermark admissions,
+    * not late data, so the admission guard must let them through.
+    */
+  private val NoWatermarkYet = 0L
+
   final case class SprtState(
       pending: List[(Long, String, Boolean)], // (tMs, tieKey, outcome)
       llr: Long,
@@ -97,7 +103,8 @@ object StreamingSprt {
             if (st.key == null) st = st.copy(key = r.get(keyIdx))
             val t = r.getLong(tIdx)
             // decided keys discard on arrival — the test is over
-            if (!st.decided && (t > watermark || watermark == 0L)) {
+            if (!st.decided &&
+                (t > watermark || watermark == NoWatermarkYet)) {
               st = st.copy(pending = (t,
                 StreamingDedup.orderKey(r.get(tieIdx)),
                 r.get(outIdx).asInstanceOf[Boolean]) :: st.pending)

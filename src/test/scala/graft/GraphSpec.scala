@@ -236,6 +236,39 @@ class GraphSpec extends SparkSuite {
     assert(partial.filter(!_._3).toSeq == Seq((5L, 1L, false)))
   }
 
+  test("kCore early exit is output-identical and converged reports honestly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "d")
+    // the peel converges in 2 rounds; a 64-round budget must early-exit
+    // to the SAME rows as the tight 3-round run (bit-identical contract)
+    def rows(iters: Int) = Graph.kCore(edges, "s", "d", k = 2, iters = iters)
+      .select("node", "degree", "in_core")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(rows(64) == rows(3))
+    // converged=true on the stable-round path (early exit observed)
+    val conv = Graph.kCore(edges, "s", "d", k = 2, iters = 64,
+        emitConverged = true)
+      .select("node", "converged").as[(Long, Boolean)].collect()
+    assert(conv.nonEmpty && conv.forall(_._2))
+    // one round is NOT enough (node 5 still degree-1): converged=false
+    // via the all-survivors->=k fallback, computed not assumed
+    val unconv = Graph.kCore(edges, "s", "d", k = 2, iters = 1,
+        emitConverged = true)
+      .select("node", "converged").as[(Long, Boolean)].collect()
+    assert(unconv.nonEmpty && unconv.forall(!_._2))
+    // convergence landing EXACTLY on the last permitted round still
+    // reports true (the fallback's equivalent global fact)
+    val exact2 = Graph.kCore(edges, "s", "d", k = 2, iters = 2,
+        emitConverged = true)
+      .select("node", "converged").as[(Long, Boolean)].collect()
+    assert(exact2.nonEmpty && exact2.forall(_._2))
+    // fully-peeled graph: empty output either way, no crash
+    assert(Graph.kCore(edges, "s", "d", k = 4, iters = 8,
+      emitConverged = true).count() == 0)
+  }
+
   test("all-dangling graph degenerates to uniform redistribution") {
     val spark2 = spark
     import spark2.implicits._

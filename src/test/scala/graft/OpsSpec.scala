@@ -318,6 +318,64 @@ class OpsSpec extends SparkSuite {
     assert(raw.getString(1) == "l o w e r n e w e s t" && raw.getLong(2) == 11L)
   }
 
+  test("bpeEncodeLarge matches the literal-replace oracle on learned tables") {
+    val spark2 = spark
+    import spark2.implicits._
+    // randomized parity: learn merges from random corpora, encode every
+    // doc both ways — the min-rank loop must reproduce the round-order
+    // literal replace bit-for-bit on any learned table
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 90)
+      val alphabet = "abcde"
+      def word() = (1 to (rnd.nextInt(6) + 1))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val docs = (1L to 12L).map(i =>
+        (i, (1 to (rnd.nextInt(8) + 1)).map(_ => word()).mkString(" ")))
+        .toDF("doc_id", "text")
+      val merges = TextOps.bpeMerges(docs, "text", rounds = rnd.nextInt(10) + 3)
+      val small = TextOps.bpeEncode(docs, Seq("doc_id"), "text", merges)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      val large = TextOps.bpeEncodeLarge(docs, Seq("doc_id"), "text", merges)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(large == small, s"seed=$seed")
+    }
+  }
+
+  test("bpeEncodeLarge handles a real-scale synthetic vocab past the 64-merge cap") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 4,000 merges: chains x->xa, xa->xaa, ... for 40 seed letters — a
+    // vocab two orders past the expression-tree cap. Each merge's left
+    // operand is created by the previous round (the learned-table
+    // property), so the min-rank semantics are exact.
+    val seeds = (0 until 40).map(i =>
+      ('a' + i % 26).toChar.toString + (if (i < 26) "" else (i / 26).toString))
+    val merges = seeds.zipWithIndex.flatMap { case (s0, si) =>
+      // seed symbol is multi-char for i>=26: first merge builds it
+      val base = s0.toList.map(_.toString)
+      val startSym = base.head
+      val chain = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var cur = startSym
+      base.tail.foreach { c => chain += ((cur, c)); cur = cur + c }
+      (1 to 100).foreach { _ => chain += ((cur, "z")); cur = cur + "z" }
+      chain.zipWithIndex.map { case ((a, b), j) => (si * 1000 + j, a, b, 1L) }
+    }.toDF("round", "sym_a", "sym_b", "cnt")
+    assert(merges.count() > 4000)
+    val docs = Seq(
+      (1L, "a" + "z" * 100),            // fully merged: ONE token
+      (2L, "a" + "z" * 100 + " b" + "z" * 50), // one full + one partial chain
+      (3L, "q q q")).toDF("doc_id", "text")    // unranked symbols untouched
+    val got = TextOps.bpeEncodeLarge(docs, Seq("doc_id"), "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) == (("a" + "z" * 100, 1L)), got(1L)._2.toString)
+    assert(got(2L)._2 == 2L, got(2L).toString)
+    assert(got(3L) == (("q q q", 3L)))
+    // the literal-replace path must refuse this table loudly
+    intercept[IllegalArgumentException] {
+      TextOps.bpeEncode(docs, Seq("doc_id"), "text", merges)
+    }
+  }
+
   test("audio fingerprint: 64 delta bits, re-upload identical, tail edit flips few bits") {
     val spark2 = spark
     import spark2.implicits._
