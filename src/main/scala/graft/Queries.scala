@@ -3474,8 +3474,16 @@ object Queries {
       val docs = pq(spark, dir, "documents")
       TextOps.bpeEncode(docs, Seq("doc_id"), "text", TextOps.bpeMerges(docs, "text", rounds = 3))
     },
-    Some {
-      val rounds = 3
+    Some(bpeEncodeOracleSql(3)))
+
+  /** DuckDB replay of learn-then-encode BPE at `rounds` merges: learn
+    * the merge table from the word-frequency table (one top-1 per
+    * round), then apply the rounds to every word in order. Shared by
+    * q129 (literal-replace engine path) and q306 (the large-vocab
+    * min-rank encoder — parity-locked to the literal path on learned
+    * tables, so the SAME oracle gates both).
+    */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
       val sep = "chr(31)"
       val stages = (1 to rounds).map { r =>
         val pair =
@@ -3516,7 +3524,7 @@ object Queries {
         SELECT d.doc_id, COALESCE(agg.bpe_text, '') AS bpe_text,
           COALESCE(agg.n, 0)::BIGINT AS n_bpe_tokens
         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"""
-    })
+  }
 
   /** Audio near-dup: delta-sign fingerprints over payload windows feeding
     * the standard prefix-blocked Hamming pair join. Injected: 12
@@ -9598,6 +9606,545 @@ object Queries {
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL)""")))
 
+  /** Degree assortativity of the customer—supplier trade graph — do
+    * high-degree traders link to each other? Exact integer moments over
+    * both edge directions, r_milli double tree.
+    */
+  private val q294 = Q(
+    "q294_assortativity",
+    (spark, dir) => {
+      val e = pq(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(pq(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cu"),
+          (col("l_suppkey") * 2 + 1).as("su"))
+      Graph.degreeAssortativity(e, "cu", "su")
+    },
+    Some("""WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT LEAST(c, s) u, GREATEST(c, s) v
+        FROM (SELECT o_custkey * 2 c, l_suppkey * 2 + 1 s
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL)),
+      deg AS MATERIALIZED (SELECT x, COUNT(*)::BIGINT deg FROM
+        (SELECT u x FROM e0 UNION ALL SELECT v x FROM e0) GROUP BY 1),
+      pr AS (SELECT du.deg dx, dv.deg dy FROM e0
+          JOIN deg du ON e0.u = du.x JOIN deg dv ON e0.v = dv.x
+        UNION ALL
+        SELECT dv.deg dx, du.deg dy FROM e0
+          JOIN deg du ON e0.u = du.x JOIN deg dv ON e0.v = dv.x),
+      mo AS (SELECT COUNT(*)::HUGEINT np, SUM(dx::HUGEINT) sx,
+          SUM(dy::HUGEINT) sy, SUM(dx::HUGEINT * dy) sxy,
+          SUM(dx::HUGEINT * dx) sxx, SUM(dy::HUGEINT * dy) syy FROM pr)
+      SELECT (SELECT COUNT(*) FROM deg)::BIGINT AS n_nodes,
+        (SELECT COUNT(*) FROM e0)::BIGINT AS n_edges,
+        (CASE WHEN np > 1 AND np * sxx - sx * sx > 0
+            AND np * syy - sy * sy > 0 THEN
+          floor(1000.0 * (np * sxy - sx * sy)::DOUBLE
+            / sqrt((np * sxx - sx * sx)::DOUBLE
+              * (np * syy - sy * sy)::DOUBLE)) END)::BIGINT AS r_milli
+      FROM mo"""))
+
+  /** Newman modularity of the nation partition over the trade graph —
+    * does trade cluster within nations? Exact integer
+    * `⌊10⁶·Σ(4m·m_c − D_c²)/(4m²)⌋`, sign-split.
+    */
+  private val q295 = Q(
+    "q295_modularity",
+    (spark, dir) => {
+      val e = pq(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(pq(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cu"),
+          (col("l_suppkey") * 2 + 1).as("su"))
+      val labels = pq(spark, dir, "customer")
+          .select((col("c_custkey") * 2).as("node"),
+            col("c_nationkey").cast("string").as("nat"))
+        .unionByName(pq(spark, dir, "supplier")
+          .select((col("s_suppkey") * 2 + 1).as("node"),
+            col("s_nationkey").cast("string").as("nat")))
+      Graph.modularity(e, "cu", "su", labels, "node", "nat")
+    },
+    Some("""WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT LEAST(c, s) u, GREATEST(c, s) v
+        FROM (SELECT o_custkey * 2 c, l_suppkey * 2 + 1 s
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL)),
+      lab AS MATERIALIZED (SELECT x, MIN(c) c FROM (
+          SELECT c_custkey * 2 x, c_nationkey::VARCHAR c FROM customer
+          UNION ALL
+          SELECT s_suppkey * 2 + 1 x, s_nationkey::VARCHAR c FROM supplier)
+        GROUP BY 1),
+      deg AS MATERIALIZED (SELECT x, COUNT(*)::BIGINT deg FROM
+        (SELECT u x FROM e0 UNION ALL SELECT v x FROM e0) GROUP BY 1),
+      dl AS (SELECT deg.x, deg.deg, lab.c FROM deg
+        LEFT JOIN lab ON deg.x = lab.x),
+      cd AS (SELECT c, SUM(deg::HUGEINT) dc FROM dl
+        WHERE c IS NOT NULL GROUP BY 1),
+      intra AS (SELECT lu.c, COUNT(*)::BIGINT mc FROM e0
+        JOIN lab lu ON e0.u = lu.x JOIN lab lv ON e0.v = lv.x
+        WHERE lu.c = lv.c GROUP BY 1),
+      comm AS (SELECT cd.c, cd.dc, COALESCE(intra.mc, 0) mc
+        FROM cd LEFT JOIN intra ON cd.c = intra.c),
+      mm AS (SELECT (SELECT COUNT(*) FROM e0)::HUGEINT m),
+      num AS (SELECT SUM(4 * mm.m * mc::HUGEINT - dc * dc) nu FROM comm, mm)
+      SELECT (SELECT COUNT(*) FROM deg)::BIGINT AS n_nodes,
+        (SELECT m FROM mm)::BIGINT AS n_edges,
+        (SELECT COUNT(*) FROM comm)::BIGINT AS n_communities,
+        (SELECT COUNT(*) FROM dl WHERE c IS NULL)::BIGINT AS n_unlabeled,
+        (CASE WHEN (SELECT m FROM mm) > 0 THEN
+          CASE WHEN nu >= 0 THEN nu * 1000000 // (4 * (SELECT m FROM mm) * (SELECT m FROM mm))
+          ELSE -((-nu) * 1000000 // (4 * (SELECT m FROM mm) * (SELECT m FROM mm))) END
+         END)::BIGINT AS q_micro
+      FROM num"""))
+
+  /** Yule's K vocabulary-repetitiveness characteristic per document
+    * source — size-invariant, pure integer (Σtf² rollup).
+    */
+  private val q296 = Q(
+    "q296_yules_k",
+    (spark, dir) => Corpus.yulesK(
+      pq(spark, dir, "documents"), "source", "text"),
+    Some("""WITH t AS (SELECT source::VARCHAR grp,
+          unnest(string_split(trim(text), ' ')) term FROM documents
+        WHERE source IS NOT NULL AND text IS NOT NULL),
+      tf AS (SELECT grp, term, COUNT(*)::BIGINT tf FROM t
+        WHERE length(term) > 0 GROUP BY 1, 2),
+      r AS (SELECT grp, COUNT(*)::BIGINT n_types, SUM(tf)::BIGINT n_tokens,
+          SUM(tf::HUGEINT * tf) s2 FROM tf GROUP BY 1)
+      SELECT grp, n_tokens, n_types,
+        ((s2 - n_tokens) * 10000000000
+          // (n_tokens::HUGEINT * n_tokens))::BIGINT AS k_micro
+      FROM r"""))
+
+  /** Kuiper two-sample test of the hour-of-day distribution between the
+    * user-parity arms — the cyclic drift gate KS can miss at the cut
+    * point; D⁺ + D⁻ as cross-multiplied integers off one prefix pass.
+    */
+  private val q297 = Q(
+    "q297_kuiper",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      Features.kuiperTwoSample(
+        raw.filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .withColumn("arm",
+            when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+              .otherwise("arm_b"))
+          .withColumn("__ms", EventTime.epochMillis(raw, "ts"))
+          .withColumn("hod", expr("(__ms div 3600000) % 24")),
+        "arm", "hod")
+    },
+    Some("""WITH b AS (SELECT
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g,
+          ((epoch_ms(ts) // 3600000) % 24)::DOUBLE v FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      n AS (SELECT
+          SUM(CASE WHEN g = 'arm_a' THEN 1 ELSE 0 END)::BIGINT na,
+          SUM(CASE WHEN g = 'arm_b' THEN 1 ELSE 0 END)::BIGINT nb FROM b),
+      c AS (SELECT v,
+          SUM(CASE WHEN g = 'arm_a' THEN 1 ELSE 0 END)::BIGINT ca,
+          SUM(CASE WHEN g = 'arm_b' THEN 1 ELSE 0 END)::BIGINT cb
+        FROM b GROUP BY 1),
+      cum AS (SELECT v,
+          SUM(ca) OVER (ORDER BY v) cca, SUM(cb) OVER (ORDER BY v) ccb
+        FROM c),
+      mx AS (SELECT
+          MAX(cca::HUGEINT * n.nb - ccb::HUGEINT * n.na) mp,
+          MAX(ccb::HUGEINT * n.na - cca::HUGEINT * n.nb) mn
+        FROM cum, n)
+      SELECT 'arm_a' AS grp_a, 'arm_b' AS grp_b, n.na AS n_a, n.nb AS n_b,
+        ((mx.mp + mx.mn) * 1000000 // (n.na::HUGEINT * n.nb))::BIGINT
+          AS v_micro,
+        floor(1e6 * 1.747 * sqrt((n.na + n.nb)::DOUBLE
+          / (n.na::DOUBLE * n.nb)))::BIGINT AS crit_micro,
+        ((mx.mp + mx.mn) * 1000000 // (n.na::HUGEINT * n.nb))
+          > floor(1e6 * 1.747 * sqrt((n.na + n.nb)::DOUBLE
+            / (n.na::DOUBLE * n.nb))) AS significant
+      FROM mx, n"""))
+
+  /** Energy distance between the user-parity arms' value
+    * distributions — all three mean-distance components off ONE prefix
+    * pass, no pair stage.
+    */
+  private val q298 = Q(
+    "q298_energy_distance",
+    (spark, dir) => Features.energyDistance(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b")),
+      "arm", "value"),
+    Some("""WITH b AS (SELECT
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g,
+          floor(value * 1e6)::BIGINT vm FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      n AS (SELECT SUM(CASE WHEN g = 'arm_a' THEN 1 ELSE 0 END)::BIGINT na,
+          SUM(CASE WHEN g = 'arm_b' THEN 1 ELSE 0 END)::BIGINT nb FROM b),
+      c AS (SELECT vm, SUM(CASE WHEN g = 'arm_a' THEN 1 ELSE 0 END)::BIGINT ca,
+          SUM(CASE WHEN g = 'arm_b' THEN 1 ELSE 0 END)::BIGINT cb
+        FROM b GROUP BY 1),
+      cum AS (SELECT vm, ca, cb,
+          SUM(ca) OVER w cca, SUM(cb) OVER w ccb,
+          SUM(vm * ca) OVER w csa, SUM(vm * cb) OVER w csb
+        FROM c WINDOW w AS (ORDER BY vm
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      t AS (SELECT SUM(vm * ca)::HUGEINT tsa, SUM(vm * cb)::HUGEINT tsb FROM c),
+      s AS (SELECT
+          SUM(ca::HUGEINT * (vm::HUGEINT * (ccb - cb)
+            - (csb::HUGEINT - vm::HUGEINT * cb)
+            + (t.tsb - csb) - vm::HUGEINT * (n.nb - ccb))) sab,
+          SUM(ca::HUGEINT * (vm::HUGEINT * (cca - ca)
+            - (csa::HUGEINT - vm::HUGEINT * ca)
+            + (t.tsa - csa) - vm::HUGEINT * (n.na - cca))) saa,
+          SUM(cb::HUGEINT * (vm::HUGEINT * (ccb - cb)
+            - (csb::HUGEINT - vm::HUGEINT * cb)
+            + (t.tsb - csb) - vm::HUGEINT * (n.nb - ccb))) sbb
+        FROM cum, t, n),
+      m AS (SELECT (s.sab // (n.na::HUGEINT * n.nb)) mab,
+          (s.saa // (n.na::HUGEINT * n.na)) maa,
+          (s.sbb // (n.nb::HUGEINT * n.nb)) mbb FROM s, n)
+      SELECT 'arm_a' AS grp_a, 'arm_b' AS grp_b, n.na AS n_a, n.nb AS n_b,
+        mab::BIGINT AS m_ab_micro, maa::BIGINT AS m_aa_micro,
+        mbb::BIGINT AS m_bb_micro,
+        (2 * mab - maa - mbb)::BIGINT AS e2_micro
+      FROM m, n"""))
+
+  /** Page–Hinkley mean-shift alarm over each event type's hourly value
+    * series — running-mean deviation cumulated per key, exact integer
+    * alarm bucket.
+    */
+  private val q299 = Q(
+    "q299_page_hinkley",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      TimeSeries.pageHinkley(
+        raw.filter(col("event_type").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .withColumn("__ms", EventTime.epochMillis(raw, "ts"))
+          .withColumn("b", expr("__ms div 3600000"))
+          .withColumn("__vm", floor(col("value") * 1e6).cast("long"))
+          .groupBy("event_type", "b").agg(sum("__vm").as("sv")),
+        "event_type", "b", "sv", lambdaMicro = 100000000000L)
+    },
+    Some("""WITH h AS (SELECT event_type::VARCHAR k,
+          epoch_ms(ts) // 3600000 b,
+          SUM(floor(value * 1e6)::BIGINT)::BIGINT sv FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL GROUP BY 1, 2),
+      base AS (SELECT k, b, floor(sv::DOUBLE * 1e6)::BIGINT vm FROM h),
+      r1 AS (SELECT k, b, vm,
+          SUM(vm::HUGEINT) OVER w s, COUNT(*) OVER w t
+        FROM base WINDOW w AS (PARTITION BY k ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      r2 AS (SELECT k, b, vm, s, t,
+          (CASE WHEN s >= 0 THEN s // t ELSE -((-s) // t) END) mean
+        FROM r1),
+      r3 AS (SELECT k, b,
+          SUM(vm::HUGEINT - mean) OVER w m
+        FROM r2 WINDOW w AS (PARTITION BY k ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      r4 AS (SELECT k, b, m - MIN(m) OVER w exc
+        FROM r3 WINDOW w AS (PARTITION BY k ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT k AS key, COUNT(*)::BIGINT n_buckets,
+        MAX(exc)::BIGINT AS ph_micro,
+        MIN(CASE WHEN exc > 100000000000 THEN b END)::BIGINT AS alarm_bucket,
+        (MIN(CASE WHEN exc > 100000000000 THEN b END) IS NOT NULL) AS alarmed
+      FROM r4 GROUP BY 1"""))
+
+  /** Hodges–Lehmann shift between the user-parity arms — the robust
+    * median-of-pairwise-differences effect size, computed over the
+    * capped distinct-value cell product and one prefix pass.
+    */
+  private val q300 = Q(
+    "q300_hodges_lehmann",
+    (spark, dir) => Features.hodgesLehmannShift(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b"))
+        // deci-bucket the continuous metric: the distinct-cell product
+        // is then bounded by the value RANGE, not the row count
+        .withColumn("v10", floor(col("value") * 10) / 10.0),
+      "arm", "v10"),
+    Some("""WITH b AS (SELECT
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g,
+          floor((floor(value * 10) / 10) * 1e6)::BIGINT vm FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      n AS (SELECT SUM(CASE WHEN g = 'arm_a' THEN 1 ELSE 0 END)::BIGINT na,
+          SUM(CASE WHEN g = 'arm_b' THEN 1 ELSE 0 END)::BIGINT nb FROM b),
+      va AS (SELECT vm av, COUNT(*)::BIGINT ca FROM b
+        WHERE g = 'arm_a' GROUP BY 1),
+      vb AS (SELECT vm bv, COUNT(*)::BIGINT cb FROM b
+        WHERE g = 'arm_b' GROUP BY 1),
+      df AS (SELECT av - bv dv, SUM(ca * cb)::BIGINT w
+        FROM va, vb GROUP BY 1),
+      cw AS (SELECT dv, SUM(w) OVER (ORDER BY dv
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) c FROM df)
+      SELECT 'arm_a' AS grp_a, 'arm_b' AS grp_b, n.na AS n_a, n.nb AS n_b,
+        (n.na * n.nb)::BIGINT AS n_pairs,
+        (SELECT MIN(dv) FROM cw
+          WHERE c >= (n.na * n.nb + 1) // 2)::BIGINT AS hl_micro
+      FROM n"""))
+
+  /** Anderson–Darling tail-weighted drift test between the arms —
+    * Pettitt's rank form off one prefix pass + map-side rank explode,
+    * (value, a-first) pooled-order convention.
+    */
+  private val q301 = Q(
+    "q301_anderson_darling",
+    (spark, dir) => Features.andersonDarlingTwoSample(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b")),
+      "arm", "value"),
+    Some("""WITH b AS (SELECT
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g,
+          floor(value * 1e6)::BIGINT vm FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      n AS (SELECT SUM(CASE WHEN g = 'arm_a' THEN 1 ELSE 0 END)::BIGINT na,
+          SUM(CASE WHEN g = 'arm_b' THEN 1 ELSE 0 END)::BIGINT nb FROM b),
+      c AS (SELECT vm,
+          SUM(CASE WHEN g = 'arm_a' THEN 1 ELSE 0 END)::BIGINT ca,
+          SUM(CASE WHEN g = 'arm_b' THEN 1 ELSE 0 END)::BIGINT cb
+        FROM b GROUP BY 1),
+      cum AS (SELECT vm, ca, cb,
+          SUM(ca) OVER w cca, SUM(cb) OVER w ccb
+        FROM c WINDOW w AS (ORDER BY vm
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      ar AS (SELECT unnest(generate_series(1, ca)) j, cca, ca, ccb, cb
+        FROM cum WHERE ca > 0),
+      a2 AS (SELECT (cca - ca + ccb - cb) + j i, (cca - ca) + j m FROM ar),
+      br AS (SELECT unnest(generate_series(1, cb)) j, cca, ccb, cb
+        FROM cum WHERE cb > 0),
+      b2 AS (SELECT (cca + ccb - cb) + j i, cca m FROM br),
+      r AS (SELECT * FROM a2 UNION ALL SELECT * FROM b2),
+      t AS (SELECT SUM(
+          (m::HUGEINT * (n.na + n.nb) - n.na * i)
+          * (m::HUGEINT * (n.na + n.nb) - n.na * i) * 1000000
+          // (i::HUGEINT * (n.na + n.nb - i))) s
+        FROM r, n WHERE r.i < n.na + n.nb)
+      SELECT 'arm_a' AS grp_a, 'arm_b' AS grp_b, n.na AS n_a, n.nb AS n_b,
+        (t.s // (n.na::HUGEINT * n.nb))::BIGINT AS ad_micro,
+        (t.s // (n.na::HUGEINT * n.nb)) > 2492000 AS significant
+      FROM t, n"""))
+
+  /** Seasonal strength of each event type's hourly series over the
+    * 24-hour cycle — the ANOVA R² of hour-of-day phase means, exact
+    * integer with one floor per phase.
+    */
+  private val q302 = Q(
+    "q302_seasonal_strength",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      TimeSeries.seasonalStrength(
+        raw.filter(col("event_type").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .withColumn("__ms", EventTime.epochMillis(raw, "ts"))
+          .withColumn("b", expr("__ms div 3600000"))
+          .withColumn("__vm", floor(col("value") * 1e6).cast("long"))
+          .groupBy("event_type", "b").agg(sum("__vm").as("sv")),
+        "event_type", "b", "sv", period = 24)
+    },
+    Some("""WITH h AS (SELECT event_type::VARCHAR k,
+          epoch_ms(ts) // 3600000 b,
+          SUM(floor(value * 1e6)::BIGINT)::BIGINT sv FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL GROUP BY 1, 2),
+      base AS (SELECT k, b % 24 p, floor(sv::DOUBLE * 1e6)::BIGINT v FROM h),
+      ph AS (SELECT k, p, COUNT(*)::BIGINT np, SUM(v::HUGEINT) sp,
+          SUM(v::HUGEINT * v) qp FROM base GROUP BY 1, 2),
+      r AS (SELECT k, COUNT(*)::BIGINT n_phases, SUM(np)::BIGINT n_buckets,
+          SUM(sp) s, SUM(qp) q, SUM(sp * sp // np) w FROM ph GROUP BY 1),
+      f AS (SELECT k, n_buckets, n_phases,
+          q - (s * s // n_buckets) t, w - (s * s // n_buckets) num FROM r)
+      SELECT k AS key, n_buckets, n_phases,
+        (CASE WHEN t > 0 THEN
+          CASE WHEN num >= 0 THEN num * 1000000 // t
+          ELSE -((-num) * 1000000 // t) END END)::BIGINT AS strength_micro
+      FROM f"""))
+
+  /** Seasonal (Hirsch–Slack) Mann–Kendall per event type over daily
+    * sums with a weekly cycle — each weekday compared only with itself
+    * across weeks, S and Var pooled.
+    */
+  private val q303 = Q(
+    "q303_seasonal_mk",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      TimeSeries.seasonalMannKendall(
+        raw.filter(col("event_type").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .withColumn("__ms", EventTime.epochMillis(raw, "ts"))
+          .withColumn("day", expr("__ms div 86400000"))
+          .withColumn("__v", floor(col("value") * 1e6).cast("long"))
+          .groupBy("event_type", "day").agg(sum("__v").as("sv")),
+        "event_type", "day", "sv", period = 7)
+    },
+    Some("""WITH e AS (SELECT event_type::VARCHAR k,
+          epoch_ms(ts) // 86400000 d, floor(value * 1e6)::BIGINT v
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      g AS (SELECT k, d, SUM(v)::BIGINT sv FROM e GROUP BY 1, 2),
+      gp AS (SELECT k, d % 7 p, d, sv FROM g),
+      pr AS (SELECT a.k, a.p,
+          SUM(CASE WHEN b.sv > a.sv THEN 1 WHEN b.sv < a.sv THEN -1
+            ELSE 0 END)::BIGINT s
+        FROM gp a JOIN gp b ON b.k = a.k AND b.p = a.p AND b.d > a.d
+        GROUP BY 1, 2),
+      t AS (SELECT k, p, sv, COUNT(*)::BIGINT tc FROM gp GROUP BY 1, 2, 3),
+      v AS (SELECT k, p, SUM(tc)::BIGINT n,
+          SUM(tc * (tc - 1) * (2 * tc + 5))::BIGINT tsum FROM t GROUP BY 1, 2),
+      j AS (SELECT v.k, v.p, n, COALESCE(pr.s, 0)::BIGINT s,
+          (n * (n - 1) * (2 * n + 5) - tsum)::BIGINT vs
+        FROM v LEFT JOIN pr ON pr.k = v.k AND pr.p = v.p),
+      agg AS (SELECT k, SUM(n)::BIGINT n, COUNT(*)::BIGINT n_phases,
+          SUM(s)::BIGINT s, SUM(vs)::BIGINT vs FROM j GROUP BY 1),
+      z AS (SELECT k, n, n_phases, s, vs,
+          (CASE WHEN vs > 0 THEN
+            CASE WHEN s > 0 THEN
+              floor(1000.0 * (s - 1) / sqrt(vs::DOUBLE / 18.0))::BIGINT
+            WHEN s < 0 THEN
+              floor(1000.0 * (s + 1) / sqrt(vs::DOUBLE / 18.0))::BIGINT
+            ELSE 0 END END) zm FROM agg)
+      SELECT k AS key, n, n_phases, s AS s_stat, vs AS var_s_x18,
+        zm AS z_milli,
+        (CASE WHEN zm IS NULL THEN NULL
+          ELSE abs(zm) >= 1960 END) AS trending
+      FROM z"""))
+
+  /** Partial correlation of per-user activity volume and total value,
+    * controlling for active-day span — the continuous confounding
+    * check; all three r's off one exact moment pass.
+    */
+  private val q304 = Q(
+    "q304_partial_corr",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      Features.partialCorrelation(
+        raw.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .withColumn("__ms", EventTime.epochMillis(raw, "ts"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("double").as("nx"),
+            (sum(floor(col("value") * 1e6).cast("long")) / 1e6).as("sy"),
+            ((max("__ms") - min("__ms")) / lit(86400000.0)).as("zd")),
+        "nx", "sy", "zd")
+    },
+    Some("""WITH u AS (SELECT user_id,
+          COUNT(*)::DOUBLE nx,
+          (SUM(floor(value * 1e6)::BIGINT)::DOUBLE / 1e6) sy,
+          ((MAX(epoch_ms(ts)) - MIN(epoch_ms(ts)))::DOUBLE / 86400000.0) zd
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL GROUP BY 1),
+      b AS (SELECT floor(nx * 1e6)::BIGINT x, floor(sy * 1e6)::BIGINT y,
+          floor(zd * 1e6)::BIGINT z FROM u),
+      m AS (SELECT COUNT(*)::HUGEINT n, SUM(x::HUGEINT) sx,
+          SUM(y::HUGEINT) sy, SUM(z::HUGEINT) sz,
+          SUM(x::HUGEINT * x) sxx, SUM(y::HUGEINT * y) syy,
+          SUM(z::HUGEINT * z) szz, SUM(x::HUGEINT * y) sxy,
+          SUM(x::HUGEINT * z) sxz, SUM(y::HUGEINT * z) syz FROM b),
+      d AS (SELECT n, n * sxx - sx * sx dxx, n * syy - sy * sy dyy,
+          n * szz - sz * sz dzz, n * sxy - sx * sy dxy,
+          n * sxz - sx * sz dxz, n * syz - sy * sz dyz FROM m),
+      r AS (SELECT n, dxx, dyy, dzz,
+          dxy::DOUBLE / sqrt(dxx::DOUBLE * dyy::DOUBLE) rxy,
+          dxz::DOUBLE / sqrt(dxx::DOUBLE * dzz::DOUBLE) rxz,
+          dyz::DOUBLE / sqrt(dyy::DOUBLE * dzz::DOUBLE) ryz FROM d)
+      SELECT n::BIGINT AS n,
+        (CASE WHEN dxx > 0 AND dyy > 0 THEN floor(1000.0 * rxy) END)::BIGINT
+          AS r_xy_milli,
+        (CASE WHEN dxx > 0 AND dzz > 0 THEN floor(1000.0 * rxz) END)::BIGINT
+          AS r_xz_milli,
+        (CASE WHEN dyy > 0 AND dzz > 0 THEN floor(1000.0 * ryz) END)::BIGINT
+          AS r_yz_milli,
+        (CASE WHEN dxx > 0 AND dyy > 0 AND dzz > 0
+            AND (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0 THEN
+          floor(1000.0 * (rxy - rxz * ryz)
+            / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))) END)::BIGINT
+          AS partial_r_milli
+      FROM r"""))
+
+  /** Chow structural-break F per event type: did the daily
+    * day-index → mean-value regression change between the first and
+    * second half of the window (split at day 19738)?
+    */
+  private val q305 = Q(
+    "q305_chow_test",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      Features.chowTest(
+        raw.filter(col("event_type").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .withColumn("__ms", EventTime.epochMillis(raw, "ts"))
+          .withColumn("day", expr("__ms div 86400000"))
+          .withColumn("__vm", floor(col("value") * 1e6).cast("long"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("cnt"), sum("__vm").as("sv"))
+          .withColumn("xd", (col("day") - lit(19723L)).cast("double"))
+          .withColumn("yv", (col("sv") / lit(1e6)) / col("cnt"))
+          .withColumn("post", col("day") >= 19738L),
+        "event_type", "xd", "yv", "post")
+    },
+    Some("""WITH g AS (SELECT event_type::VARCHAR k,
+          epoch_ms(ts) // 86400000 d, COUNT(*)::BIGINT cnt,
+          SUM(floor(value * 1e6)::BIGINT)::BIGINT sv FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL GROUP BY 1, 2),
+      b AS (SELECT k, (d >= 19738) post,
+          floor((d - 19723)::DOUBLE * 1e6)::BIGINT x,
+          floor(((sv::DOUBLE / 1e6) / cnt) * 1e6)::BIGINT y FROM g),
+      m AS (SELECT k, post, COUNT(*)::HUGEINT n, SUM(x::HUGEINT) sx,
+          SUM(y::HUGEINT) sy, SUM(x::HUGEINT * x) sxx,
+          SUM(y::HUGEINT * y) syy, SUM(x::HUGEINT * y) sxy
+        FROM b GROUP BY 1, 2),
+      pl AS (SELECT k, SUM(n) n, SUM(sx) sx, SUM(sy) sy, SUM(sxx) sxx,
+          SUM(syy) syy, SUM(sxy) sxy FROM m GROUP BY 1),
+      s AS (SELECT pl.k,
+          a.n an, bb.n bn,
+          (CASE WHEN pl.n >= 3 AND pl.n * pl.sxx - pl.sx * pl.sx > 0 THEN
+            ((pl.n * pl.syy - pl.sy * pl.sy)::DOUBLE
+             - (pl.n * pl.sxy - pl.sx * pl.sy)::DOUBLE
+               * (pl.n * pl.sxy - pl.sx * pl.sy)::DOUBLE
+               / (pl.n * pl.sxx - pl.sx * pl.sx)::DOUBLE)
+            / pl.n::DOUBLE END) sp,
+          (CASE WHEN a.n >= 3 AND a.n * a.sxx - a.sx * a.sx > 0 THEN
+            ((a.n * a.syy - a.sy * a.sy)::DOUBLE
+             - (a.n * a.sxy - a.sx * a.sy)::DOUBLE
+               * (a.n * a.sxy - a.sx * a.sy)::DOUBLE
+               / (a.n * a.sxx - a.sx * a.sx)::DOUBLE)
+            / a.n::DOUBLE END) s1,
+          (CASE WHEN bb.n >= 3 AND bb.n * bb.sxx - bb.sx * bb.sx > 0 THEN
+            ((bb.n * bb.syy - bb.sy * bb.sy)::DOUBLE
+             - (bb.n * bb.sxy - bb.sx * bb.sy)::DOUBLE
+               * (bb.n * bb.sxy - bb.sx * bb.sy)::DOUBLE
+               / (bb.n * bb.sxx - bb.sx * bb.sx)::DOUBLE)
+            / bb.n::DOUBLE END) s2
+        FROM pl JOIN m a ON a.k = pl.k AND NOT a.post
+          JOIN m bb ON bb.k = pl.k AND bb.post)
+      SELECT k AS key, an::BIGINT AS n_pre, bn::BIGINT AS n_post,
+        (CASE WHEN sp IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
+            AND s1 + s2 > 0 THEN
+          floor(1000.0 * ((sp - s1 - s2) / 2.0)
+            / ((s1 + s2) / (an + bn - 4))) END)::BIGINT AS f_milli
+      FROM s"""))
+
+  /** Large-vocab BPE encoder over the SAME 3-round learned table as
+    * q129 — the min-rank loop is parity-locked to the literal-replace
+    * path on learned tables, so q129's oracle gates this engine too.
+    */
+  private val q306 = Q(
+    "q306_bpe_encode_large",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+      TextOps.bpeEncodeLarge(docs, Seq("doc_id"), "text",
+        TextOps.bpeMerges(docs, "text", rounds = 3))
+    },
+    Some(bpeEncodeOracleSql(3)))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -9624,7 +10171,8 @@ object Queries {
     q265, q266, q267, q268, q269, q270, q271, q272, q273, q274,
     q275, q276, q277, q278, q279, q280, q281, q282,
     q283, q284, q285, q286, q287, q288, q289, q290, q291, q292,
-    q293)
+    q293, q294, q295, q296, q297, q298, q299, q300, q301,
+    q302, q303, q304, q305, q306)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -977,6 +977,177 @@ object ScaleCheck {
       val tN = burstinessTime(docNPlain, "burstiness_N")
       println(f"burstiness   1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
+    // Round-12 batch: graph one-number audits on the user→item edge
+    // shape (replicas add users against the same catalog, so degree
+    // skew grows with data as live traffic would)
+    def userItemEdges(df: DataFrame) = df
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        (get_json_object(col("props"), "$.k").cast("long") + 100000L).as("item"))
+    def assortTime(df: DataFrame, tag: String): Double = {
+      val ed = userItemEdges(df)
+      val t0 = System.nanoTime()
+      graft.ops.Graph.degreeAssortativity(ed, "user_id", "item")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def modularityTime(df: DataFrame, tag: String): Double = {
+      val ed = userItemEdges(df)
+      val lab = ed.select(col("user_id").as("node"))
+        .unionByName(ed.select(col("item").as("node")))
+        .distinct()
+        .withColumn("lab", (col("node") % 7).cast("string"))
+      val t0 = System.nanoTime()
+      graft.ops.Graph.modularity(ed, "user_id", "item", lab, "node", "lab")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def kuiperTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "a").otherwise("b"))
+      val t0 = System.nanoTime()
+      graft.ops.Features.kuiperTwoSample(base, "arm", "value")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def energyTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "a").otherwise("b"))
+      val t0 = System.nanoTime()
+      graft.ops.Features.energyDistance(base, "arm", "value")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def hlTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "a").otherwise("b"))
+        .withColumn("v10", floor(col("value") * 10) / 10.0)
+      val t0 = System.nanoTime()
+      graft.ops.Features.hodgesLehmannShift(base, "arm", "v10")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def adTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "a").otherwise("b"))
+      val t0 = System.nanoTime()
+      graft.ops.Features.andersonDarlingTwoSample(base, "arm", "value")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def phTime(df: DataFrame, tag: String): Double = {
+      import graft.engine.EventTime
+      val hourly = df.filter(col("event_type").isNotNull &&
+          col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(df, "ts"))
+        .withColumn("b", expr("__ms div 3600000"))
+        .withColumn("__vm", floor(col("value") * 1e6).cast("long"))
+        .groupBy("event_type", "b").agg(sum("__vm").as("sv"))
+      val t0 = System.nanoTime()
+      graft.ops.TimeSeries.pageHinkley(hourly, "event_type", "b", "sv",
+          lambdaMicro = 100000000000L)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for ((name, f) <- Seq(
+      ("assortativity", assortTime _), ("modularity", modularityTime _),
+      ("kuiper", kuiperTime _), ("energy_dist", energyTime _),
+      ("hodges_lehmann", hlTime _), ("anderson_darling", adTime _),
+      ("page_hinkley", phTime _)) if wanted(name)) {
+      val t1 = f(ev1, s"${name}_1")
+      val tN = f(evN, s"${name}_N")
+      println(f"$name%-16s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
+    def seasonalStrengthTime(df: DataFrame, tag: String): Double = {
+      import graft.engine.EventTime
+      // keys scale with replicas (user bucket in the key) so per-key
+      // mass stays bounded — replicas onto 5 fixed types would blow the
+      // documented decimal headroom of the double-scaled sums instead
+      val hourly = df.filter(col("event_type").isNotNull &&
+          col("user_id").isNotNull &&
+          col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("k", concat(col("event_type"), lit("_"),
+          (col("user_id") % 64).cast("string")))
+        .withColumn("__ms", EventTime.epochMillis(df, "ts"))
+        .withColumn("b", expr("__ms div 3600000"))
+        .withColumn("__vm", floor(col("value") * 1e6).cast("long"))
+        .groupBy("k", "b").agg(sum("__vm").as("sv"))
+      val t0 = System.nanoTime()
+      graft.ops.TimeSeries.seasonalStrength(hourly, "k", "b", "sv",
+          period = 24)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def seasonalMkTime(df: DataFrame, tag: String): Double = {
+      import graft.engine.EventTime
+      // key by (type, user bucket) so keys scale with replicas while
+      // each (key, phase) series stays weeks-sized
+      val daily = df.filter(col("event_type").isNotNull &&
+          col("user_id").isNotNull &&
+          col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("k", concat(col("event_type"), lit("_"),
+          (col("user_id") % 64).cast("string")))
+        .withColumn("__ms", EventTime.epochMillis(df, "ts"))
+        .withColumn("day", expr("__ms div 86400000"))
+        .withColumn("__v", floor(col("value") * 1e6).cast("long"))
+        .groupBy("k", "day").agg(sum("__v").as("sv"))
+      val t0 = System.nanoTime()
+      graft.ops.TimeSeries.seasonalMannKendall(daily, "k", "day", "sv",
+          period = 7)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def partialCorrTime(df: DataFrame, tag: String): Double = {
+      import graft.engine.EventTime
+      val u = df.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(df, "ts"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("double").as("nx"),
+          (sum(floor(col("value") * 1e6).cast("long")) / 1e6).as("sy"),
+          ((max("__ms") - min("__ms")) / lit(86400000.0)).as("zd"))
+      val t0 = System.nanoTime()
+      graft.ops.Features.partialCorrelation(u, "nx", "sy", "zd")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def chowTime(df: DataFrame, tag: String): Double = {
+      import graft.engine.EventTime
+      val daily = df.filter(col("event_type").isNotNull &&
+          col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(df, "ts"))
+        .withColumn("day", expr("__ms div 86400000"))
+        .withColumn("__vm", floor(col("value") * 1e6).cast("long"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"), sum("__vm").as("sv"))
+        .withColumn("xd", (col("day") - lit(19723L)).cast("double"))
+        .withColumn("yv", (col("sv") / lit(1e6)) / col("cnt"))
+        .withColumn("post", col("day") >= 19738L)
+      val t0 = System.nanoTime()
+      graft.ops.Features.chowTest(daily, "event_type", "xd", "yv", "post")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for ((name, f) <- Seq(
+      ("seasonal_str", seasonalStrengthTime _),
+      ("seasonal_mk", seasonalMkTime _),
+      ("partial_corr", partialCorrTime _), ("chow", chowTime _))
+        if wanted(name)) {
+      val t1 = f(ev1, s"${name}_1")
+      val tN = f(evN, s"${name}_N")
+      println(f"$name%-16s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
+    def yulesKTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Corpus.yulesK(df, "source", "text")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (wanted("yules_k")) {
+      val t1 = yulesKTime(doc1, "yules_k_1")
+      val tN = yulesKTime(docNPlain, "yules_k_N")
+      println(f"yules_k          1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
     spark.stop()
   }
 }

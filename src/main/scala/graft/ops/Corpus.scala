@@ -1411,4 +1411,49 @@ object Corpus {
       .select(col("rank"), col("term"), col("cf"), col("df"),
         col("n_docs"), col("vmr_micro"), col("repeat_micro"))
   }
+
+  /** Yule's K per corpus slice — the size-invariant vocabulary-
+    * repetitiveness characteristic (Yule 1944): the chance that two
+    * randomly drawn tokens are the same type, scaled by 10⁴. Template
+    * sludge and model-generated loops run HIGH K (few types recycled);
+    * rich prose sits low. Unlike type-token ratio K does not collapse
+    * as the slice grows, so slices of different sizes compare honestly —
+    * the repetitiveness axis the frequency-shape diagnostics
+    * ([[termBurstiness]], zipf fit) don't measure.
+    *
+    *   {{{ K = 10⁴ · (Σ_t tf_t² − N) / N² }}}
+    *
+    * (N tokens, tf the type's count in the slice; Σtf² ≥ N always, so
+    * the single ⌊·10⁶⌋ floor division is nonneg-safe unguarded on both
+    * engines). Emitted as `k_micro` = ⌊10⁴·10⁶·(Σtf²−N)/N²⌋.
+    *
+    * Output per group: `(grp, n_tokens, n_types, k_micro)`; empty
+    * slices produce no row (nothing was sampled, not K = 0).
+    *
+    * Overflow: 10¹⁰·Σtf² ≤ 10¹⁰·N² rides decimal(38,0) to N ≈ 3·10¹³
+    * tokens per slice — loud decimal NULL past it.
+    *
+    * 100 TB shape: one tokenize pass into a map-side-combined
+    * groupBy(group, term), then a group-keyed rollup — the vocabulary
+    * table is the only intermediate, nothing pair-shaped, nothing at
+    * the driver.
+    */
+  def yulesK(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        explode(split(trim(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("grp", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_types"),
+        sum("tf").as("n_tokens"),
+        sum(expr(s"cast(tf as $dec) * tf")).as("__s2"))
+      .select(col("grp"), col("n_tokens"), col("n_types"),
+        expr(s"""cast((__s2 - n_tokens) * 10000000000
+          div (cast(n_tokens as $dec) * n_tokens) as long)""").as("k_micro"))
+  }
 }

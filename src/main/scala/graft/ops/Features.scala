@@ -1346,6 +1346,472 @@ object Features {
         "significant")
   }
 
+  /** Two-sample Kuiper test — the CYCLIC-safe sibling of
+    * [[ksTestTwoSample]]: `V = D⁺ + D⁻` (largest ECDF excess in each
+    * direction) instead of the single largest gap, which makes the
+    * statistic invariant to where a circular variable is cut. THE drift
+    * gate for hour-of-day / day-of-week / phase-like columns, where a
+    * pure rotation of the same distribution can hide from KS near the
+    * cut point but never from V; on ordinary scalars it doubles as a
+    * tail-sensitive KS variant.
+    *
+    * Same exact-integer machinery as KS: one [[Ranks.prefixSum]] range
+    * exchange over the distinct pooled values, both directed gaps as
+    * cross-multiplied integers (`max(cumA·n_b − cumB·n_a)` and its
+    * negation — each max includes the final row's 0, so both are ≥ 0
+    * without clamping), and `v_micro = (max⁺ + max⁻)·10⁶ div (n_a·n_b)`
+    * divides once. The 5% critical value uses Kuiper's asymptotic
+    * constant 1.747: `crit_micro = ⌊10⁶·1.747·√((n_a+n_b)/(n_a·n_b))⌋`,
+    * one fixed double tree (q220 contract), mirrored by the oracle.
+    *
+    * Output (one row): `(grp_a, grp_b, n_a, n_b, v_micro, crit_micro,
+    * significant)`; exactly 2 groups required.
+    *
+    * Overflow / 100 TB shape: identical to [[ksTestTwoSample]] — the
+    * distinct-value table is the only shuffle-sized intermediate.
+    */
+  def kuiperTwoSample(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .localCheckpoint()
+    val g = base.groupBy("__g").agg(count(lit(1)).as("ng"))
+      .orderBy("__g").collect()
+    require(g.length == 2,
+      s"kuiperTwoSample: exactly 2 groups required, got ${g.length}")
+    val (ga, gb) = (g(0).getString(0), g(1).getString(0))
+    val (na, nb) = (g(0).getLong(1), g(1).getLong(1))
+    val cnt = base.groupBy(col("__v"))
+      .agg(sum(when(col("__g") === ga, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === gb, 1L).otherwise(0L)).as("__cb"))
+    val cum = Ranks.prefixSum(cnt, Seq(col("__v")), Seq("__ca", "__cb"))
+    val dec = "decimal(38,0)"
+    val mx = cum.agg(
+        max(expr(s"cast(__ca_cum as $dec) * $nb - cast(__cb_cum as $dec) * $na")).as("__p"),
+        max(expr(s"cast(__cb_cum as $dec) * $na - cast(__ca_cum as $dec) * $nb")).as("__n"))
+      .collect()(0)
+    val vMicro =
+      if (mx.isNullAt(0)) 0L
+      else ((BigInt(mx.getDecimal(0).toBigInteger) +
+        BigInt(mx.getDecimal(1).toBigInteger)) * 1000000 /
+        (BigInt(na) * nb)).toLong
+    val critMicro = math.floor(1e6 * 1.747 *
+      math.sqrt((na + nb).toDouble / (na.toDouble * nb.toDouble))).toLong
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, na, nb, vMicro, critMicro, vMicro > critMicro))
+      .toDF("grp_a", "grp_b", "n_a", "n_b", "v_micro", "crit_micro",
+        "significant")
+  }
+
+  /** Two-sample energy distance (Székely–Rizzo) — the distribution gap
+    * as TRANSPORT-FLAVORED geometry: `E² = 2·E|X−Y| − E|X−X'| −
+    * E|Y−Y'|`, zero iff the distributions coincide, sensitive to EVERY
+    * kind of difference at once (location, scale, shape) where
+    * [[ksTestTwoSample]] reads one worst gap and
+    * [[graft.ops.Eval.wasserstein1d]] reads signed transport mass. The
+    * V-statistic form (diagonal included, each ordered pair once) —
+    * the version whose three mean-distance components are themselves
+    * interpretable and ride along in the output.
+    *
+    * Exact: values micro-floor once; each pairwise-distance SUM is
+    * computed WITHOUT pairs via one [[Ranks.prefixSum]] pass over the
+    * distinct-value table — at value v, `Σ_{y<v}(v−y) = v·cnt_below −
+    * sum_below` and symmetrically above, so Σ|x−y| folds from prefix
+    * counts and prefix value-sums in decimal. The three means floor
+    * once each (`m_ab = ⌊S_ab/(n_a·n_b)⌋`, already micro — the sums
+    * fold micro values) and `e2_micro =
+    * 2·m_ab − m_aa − m_bb` combines the floored components — documented
+    * convention, replayed by the oracle, so E² can read up to 2 micro
+    * below true zero on identical samples.
+    *
+    * Output (one row): `(grp_a, grp_b, n_a, n_b, m_ab_micro,
+    * m_aa_micro, m_bb_micro, e2_micro)`; exactly 2 groups.
+    *
+    * Overflow: prefix value-sums ride int64 — requires
+    * Σ|v·10⁶| < 2⁶³ per group (|v| ≤ 10³ holds to ~10⁹ rows/side);
+    * the per-row contributions and totals are decimal(38,0), loud NULL
+    * past the bound, never a wrap.
+    *
+    * 100 TB shape: one distinct-value groupBy (map-side combined), ONE
+    * prefixSum range exchange, a map-only contribution projection, one
+    * one-row rollup. Nothing pair-shaped anywhere — the O(n²) sums
+    * collapse through the sorted prefix identity.
+    */
+  def energyDistance(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__vm"))
+      .localCheckpoint()
+    val g = base.groupBy("__g").agg(count(lit(1)).as("ng"))
+      .orderBy("__g").collect()
+    require(g.length == 2,
+      s"energyDistance: exactly 2 groups required, got ${g.length}")
+    val (ga, gb) = (g(0).getString(0), g(1).getString(0))
+    val (na, nb) = (g(0).getLong(1), g(1).getLong(1))
+    val cnt = base.groupBy(col("__vm"))
+      .agg(sum(when(col("__g") === ga, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === gb, 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__sa", col("__vm") * col("__ca"))
+      .withColumn("__sb", col("__vm") * col("__cb"))
+    val cum = Ranks.prefixSum(cnt, Seq(col("__vm")), Seq("__ca", "__cb", "__sa", "__sb"))
+    val dec = "decimal(38,0)"
+    val tot = cnt.agg(sum("__sa").as("ta"), sum("__sb").as("tb")).collect()(0)
+    val (totSa, totSb) = (tot.getLong(0), tot.getLong(1))
+    // Σ_{y≠v}|v−y| against group G folds from G's prefix tables:
+    // below = v·cntBelow − sumBelow, above = sumAbove − v·cntAbove
+    def against(cSide: String, cG: String, sG: String, nG: Long, totS: Long) =
+      expr(s"""cast($cSide as $dec) * (
+          cast(__vm as $dec) * (${cG}_cum - $cG) - (cast(${sG}_cum as $dec) - cast(__vm as $dec) * $cG)
+          + (cast(${totS}L as $dec) - ${sG}_cum) - cast(__vm as $dec) * (${nG}L - ${cG}_cum))""")
+    val sums = cum.agg(
+        sum(against("__ca", "__cb", "__sb", nb, totSb)).as("sab"),
+        sum(against("__ca", "__ca", "__sa", na, totSa)).as("saa"),
+        sum(against("__cb", "__cb", "__sb", nb, totSb)).as("sbb"))
+      .collect()(0)
+    def bi(i: Int): BigInt =
+      if (sums.isNullAt(i)) BigInt(0) else BigInt(sums.getDecimal(i).toBigInteger)
+    // the pairwise sums are ALREADY in micro units (they fold micro
+    // values) — the mean divides by the pair count only
+    val mAb = (bi(0) / (BigInt(na) * nb)).toLong
+    val mAa = (bi(1) / (BigInt(na) * na)).toLong
+    val mBb = (bi(2) / (BigInt(nb) * nb)).toLong
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, na, nb, mAb, mAa, mBb, 2 * mAb - mAa - mBb))
+      .toDF("grp_a", "grp_b", "n_a", "n_b", "m_ab_micro", "m_aa_micro",
+        "m_bb_micro", "e2_micro")
+  }
+
+  /** Hodges–Lehmann shift estimator — the EFFECT SIZE the rank tests
+    * leave out: [[mannWhitney]] says whether group a sits above group
+    * b; HL says BY HOW MUCH, as the median of all n_a·n_b pairwise
+    * differences (a − b). Outlier-proof where the mean difference
+    * ([[graft.ops.Causal.cohensD]]'s numerator) is one bad row from
+    * nonsense; the canonical robust "how big is the shift" companion
+    * number to report next to the U test's verdict.
+    *
+    * Never materializes row pairs: both groups collapse to their
+    * DISTINCT micro-value tables (multiplicity-weighted), the
+    * difference table is the distinct×distinct broadcast join (hard
+    * `maxCells` require on the product — the [[kendallTauBinned]]
+    * pattern; CONTINUOUS metrics must be bucketed first, e.g.
+    * `floor(x·10)/10`, which bounds the cell product by the bucketed
+    * range² regardless of row count — HL of the bucketed metric is the
+    * estimator actually replayed), and the median comes off one
+    * [[Ranks.prefixSum]] pass: the LOWER
+    * median (the ⌈K/2⌉-th smallest of K = n_a·n_b weighted diffs —
+    * deterministic convention, oracle-mirrored, no averaging of
+    * middles so the result stays an exact observed difference).
+    *
+    * Output (one row): `(grp_a, grp_b, n_a, n_b, n_pairs, hl_micro)`;
+    * exactly 2 groups.
+    *
+    * Overflow: weights ca·cb ≤ n²  and cumulative weights ≤ n_a·n_b
+    * ride int64 to ~3·10⁹ rows per side; diffs are micro longs.
+    *
+    * 100 TB shape: two map-side-combined distinct-value groupBys, one
+    * BROADCAST nested-loop join of the two (cells-sized, capped) value
+    * tables, a diff groupBy, one prefixSum range exchange over the
+    * capped diff table, one filtered one-row min. The corpus is
+    * touched exactly twice (once per group), never paired.
+    */
+  def hodgesLehmannShift(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      maxCells: Long = 10000000L): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__vm"))
+      .localCheckpoint()
+    val g = base.groupBy("__g").agg(count(lit(1)).as("ng"))
+      .orderBy("__g").collect()
+    require(g.length == 2,
+      s"hodgesLehmannShift: exactly 2 groups required, got ${g.length}")
+    val (ga, gb) = (g(0).getString(0), g(1).getString(0))
+    val (na, nb) = (g(0).getLong(1), g(1).getLong(1))
+    val va = base.filter(col("__g") === ga)
+      .groupBy(col("__vm").as("__a")).agg(count(lit(1)).as("__ca"))
+      .localCheckpoint()
+    val vb = base.filter(col("__g") === gb)
+      .groupBy(col("__vm").as("__b")).agg(count(lit(1)).as("__cb"))
+      .localCheckpoint()
+    val (da, db) = (va.count(), vb.count())
+    require(da * db <= maxCells,
+      s"hodgesLehmannShift: $da x $db distinct-value cells exceed " +
+        s"maxCells=$maxCells — bucket the metric (coarser micro floor) " +
+        "or raise the cap")
+    val diffs = va.crossJoin(broadcast(vb))
+      .select((col("__a") - col("__b")).as("__d"),
+        (col("__ca") * col("__cb")).as("__w"))
+      .groupBy("__d").agg(sum("__w").as("__w"))
+    val cum = Ranks.prefixSum(diffs, Seq(col("__d")), Seq("__w"))
+    val target = (na * nb + 1) / 2
+    val hl = cum.filter(col("__w_cum") >= target)
+      .agg(min("__d")).collect()(0).getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, na, nb, na * nb, hl))
+      .toDF("grp_a", "grp_b", "n_a", "n_b", "n_pairs", "hl_micro")
+  }
+
+  /** First-order partial correlation — the correlation between x and y
+    * with a CONFOUNDER z regressed out of both sides:
+    *
+    *   {{{ r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²)) }}}
+    *
+    * THE one-number confounding check before believing a metric
+    * correlation: engagement and error rate both track traffic volume;
+    * partial out volume and the "relationship" often vanishes. Pairs
+    * with [[graft.ops.Causal]]'s stratified tools (Mantel–Haenszel for
+    * categorical strata; this is the continuous-covariate analogue).
+    *
+    * Exactness: all three Pearson r's come from ONE pass of exact
+    * decimal micro moments (n, Σ, Σ², all three cross-products); the
+    * combination is ONE fixed correctly-rounded double tree (each r as
+    * `num/√(den_a·den_b)`, then the displayed formula), floored to
+    * milli — mirrored token-for-token by the oracle (q220 contract).
+    * NULL when any marginal is degenerate or either (1 − r²) factor
+    * underflows to ≤ 0 (perfect collinearity with z).
+    *
+    * Output (one row): `(n, r_xy_milli, r_xz_milli, r_yz_milli,
+    * partial_r_milli)`.
+    *
+    * Overflow: n·Σab ≤ n²·10¹²·v² rides decimal(38,0) to n·|v| ≈ 10¹³.
+    *
+    * 100 TB shape: ONE map-side-combined moment rollup to a single
+    * row. Nothing else.
+    */
+  def partialCorrelation(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      zCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(zCol).isNotNull)
+      .select(floor(col(xCol).cast("double") * 1e6).cast("long").as("__x"),
+        floor(col(yCol).cast("double") * 1e6).cast("long").as("__y"),
+        floor(col(zCol).cast("double") * 1e6).cast("long").as("__z"))
+    val m = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast(dec)).as("sx"), sum(col("__y").cast(dec)).as("sy"),
+      sum(col("__z").cast(dec)).as("sz"),
+      sum(expr(s"cast(__x as $dec) * __x")).as("sxx"),
+      sum(expr(s"cast(__y as $dec) * __y")).as("syy"),
+      sum(expr(s"cast(__z as $dec) * __z")).as("szz"),
+      sum(expr(s"cast(__x as $dec) * __y")).as("sxy"),
+      sum(expr(s"cast(__x as $dec) * __z")).as("sxz"),
+      sum(expr(s"cast(__y as $dec) * __z")).as("syz"))
+    // exact centered moments, then the one double tree
+    m.withColumn("dxx", expr(s"cast(n as $dec) * sxx - sx * sx"))
+      .withColumn("dyy", expr(s"cast(n as $dec) * syy - sy * sy"))
+      .withColumn("dzz", expr(s"cast(n as $dec) * szz - sz * sz"))
+      .withColumn("dxy", expr(s"cast(n as $dec) * sxy - sx * sy"))
+      .withColumn("dxz", expr(s"cast(n as $dec) * sxz - sx * sz"))
+      .withColumn("dyz", expr(s"cast(n as $dec) * syz - sy * sz"))
+      .withColumn("rxy", expr(
+        "cast(dxy as double) / sqrt(cast(dxx as double) * cast(dyy as double))"))
+      .withColumn("rxz", expr(
+        "cast(dxz as double) / sqrt(cast(dxx as double) * cast(dzz as double))"))
+      .withColumn("ryz", expr(
+        "cast(dyz as double) / sqrt(cast(dyy as double) * cast(dzz as double))"))
+      .select(col("n"),
+        expr("""cast(case when dxx > 0 and dyy > 0 then
+            floor(1000.0 * rxy) end as long)""").as("r_xy_milli"),
+        expr("""cast(case when dxx > 0 and dzz > 0 then
+            floor(1000.0 * rxz) end as long)""").as("r_xz_milli"),
+        expr("""cast(case when dyy > 0 and dzz > 0 then
+            floor(1000.0 * ryz) end as long)""").as("r_yz_milli"),
+        expr("""cast(case when dxx > 0 and dyy > 0 and dzz > 0
+              and (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0 then
+            floor(1000.0 * (rxy - rxz * ryz)
+              / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)))
+          end as long)""").as("partial_r_milli"))
+  }
+
+  /** Chow structural-break test per key — did the x→y regression CHANGE
+    * between two regimes (pre/post a deploy, a policy flag, a detected
+    * [[graft.ops.TimeSeries.pageHinkley]] alarm bucket)? Fits the
+    * [[olsByGroup]] line separately per regime and pooled, and compares
+    * residual mass:
+    *
+    *   {{{ F = ((SSR_p − SSR_1 − SSR_2) / 2) / ((SSR_1 + SSR_2) / (n − 4)) }}}
+    *
+    * (2 parameters per line). Each SSR is the exact-moment form
+    * `SSR = (D_yy − D_xy²/D_xx) / n` — a fixed double tree over the
+    * exact decimal centered moments (division-first: the naive
+    * `D_yy·D_xx` product overflows decimal(38,0) at ordinary metric
+    * scales), so the whole F floors once to milli (q220 contract).
+    * NULL when either regime has < 3 points or a degenerate x
+    * (vertical line), or SSR_1 + SSR_2 = 0 (both regimes fit
+    * perfectly — F undefined, the caller sees the NULL and the
+    * per-regime ns). Keys present in only ONE regime produce no row
+    * (Chow needs both sides). The caller owns the F(2, n−4) critical
+    * value (df varies).
+    *
+    * Output per key: `(key, n_pre, n_post, f_milli)`.
+    *
+    * 100 TB shape: one (key, regime) map-side-combined moment groupBy,
+    * a key-keyed 2-row pivot join, map-only F — two collapsing
+    * shuffles.
+    */
+  def chowTest(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String,
+      postCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(keyCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull && col(postCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        col(postCol).cast("boolean").as("__post"),
+        floor(col(xCol).cast("double") * 1e6).cast("long").as("__x"),
+        floor(col(yCol).cast("double") * 1e6).cast("long").as("__y"))
+    val m = base.groupBy("__k", "__post").agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast(dec)).as("sx"), sum(col("__y").cast(dec)).as("sy"),
+      sum(expr(s"cast(__x as $dec) * __x")).as("sxx"),
+      sum(expr(s"cast(__y as $dec) * __y")).as("syy"),
+      sum(expr(s"cast(__x as $dec) * __y")).as("sxy"))
+    // pooled moments are the sums of the two regimes' raw moments
+    val pooled = m.groupBy("__k").agg(
+      sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+      sum("sxx").as("sxx"), sum("syy").as("syy"), sum("sxy").as("sxy"))
+    // SSR = (D_yy − D_xy²/D_xx)/n as a double tree over the EXACT
+    // decimal centered moments (D_yy·D_xx would overflow decimal(38,0)
+    // for ordinary metric scales; the division-first form never forms
+    // the product)
+    def ssr(p: String) = expr(
+      s"""case when ${p}n >= 3
+           and cast(${p}n as $dec) * ${p}sxx - ${p}sx * ${p}sx > 0 then
+         (cast(cast(${p}n as $dec) * ${p}syy - ${p}sy * ${p}sy as double)
+          - cast(cast(${p}n as $dec) * ${p}sxy - ${p}sx * ${p}sy as double)
+            * cast(cast(${p}n as $dec) * ${p}sxy - ${p}sx * ${p}sy as double)
+            / cast(cast(${p}n as $dec) * ${p}sxx - ${p}sx * ${p}sx as double))
+         / cast(${p}n as double) end""")
+    val pre = m.filter(!col("__post"))
+      .select(col("__k") +: m.columns.filter(c => c != "__k" && c != "__post")
+        .map(c => col(c).as(s"a_$c")): _*)
+    val post = m.filter(col("__post"))
+      .select(col("__k") +: m.columns.filter(c => c != "__k" && c != "__post")
+        .map(c => col(c).as(s"b_$c")): _*)
+    pooled.join(pre, Seq("__k")).join(post, Seq("__k"))
+      .withColumn("__ssrp", ssr(""))
+      .withColumn("__ssr1", ssr("a_"))
+      .withColumn("__ssr2", ssr("b_"))
+      .select(col("__k").as("key"), col("a_n").as("n_pre"),
+        col("b_n").as("n_post"),
+        expr("""cast(case when __ssrp is not null and __ssr1 is not null
+              and __ssr2 is not null and __ssr1 + __ssr2 > 0 then
+            floor(1000.0 * ((__ssrp - __ssr1 - __ssr2) / 2.0)
+              / ((__ssr1 + __ssr2) / (n - 4)))
+          end as long)""").as("f_milli"))
+  }
+
+  /** Two-sample Anderson–Darling statistic (Pettitt's rank form) — the
+    * TAIL-WEIGHTED member of the drift family: [[ksTestTwoSample]]
+    * reads the single worst ECDF gap (dominated by the middle, where
+    * ECDFs move most), [[cramerVonMises]] integrates the squared gap
+    * uniformly; AD divides each gap by `i(N−i)`, so discrepancies in
+    * the DISTRIBUTION TAILS — exactly where score cutoffs, outlier
+    * gates, and safety thresholds live — count the most:
+    *
+    *   {{{ A² = (1/(n_a·n_b)) Σ_{i=1}^{N−1} (M_i·N − n_a·i)² / (i·(N−i)) }}}
+    *
+    * with M_i = how many of the first i pooled observations belong to
+    * group a. Ties order deterministically by (value, group-a-first) —
+    * the documented pooled-order convention the oracle mirrors (the
+    * classic statistic assumes continuous data; this convention makes
+    * the discrete replay exact and engine-independent).
+    *
+    * Exact integer: values micro-floor once; M_i and i come off ONE
+    * [[Ranks.prefixSum]] pass over the distinct-value cells, expanded
+    * to per-rank rows MAP-SIDE (each cell knows its starting pooled
+    * index and starting M, and within a cell both advance linearly);
+    * each term floors once (`u²·10⁶ div (i·(N−i))`, nonneg) and
+    * `ad_micro = ⌊Σterms/(n_a·n_b)⌋` divides once more. `significant`
+    * compares against the asymptotic 5% critical value A² = 2.492
+    * (documented approximation — no small-sample correction).
+    *
+    * Output (one row): `(grp_a, grp_b, n_a, n_b, ad_micro,
+    * significant)`; exactly 2 groups.
+    *
+    * Overflow: u² ≤ N⁴ so u²·10⁶ rides decimal(38,0) to N ≈ 10⁸ pooled
+    * rows — loud decimal NULL past it, never a wrap (the require
+    * documents the bound).
+    *
+    * 100 TB shape: one distinct-value groupBy, one prefixSum range
+    * exchange over the distinct table, a map-only explode back to N
+    * per-rank rows (the corpus's own size — no pair stage), one one-row
+    * rollup.
+    */
+  def andersonDarlingTwoSample(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__vm"))
+      .localCheckpoint()
+    val g = base.groupBy("__g").agg(count(lit(1)).as("ng"))
+      .orderBy("__g").collect()
+    require(g.length == 2,
+      s"andersonDarlingTwoSample: exactly 2 groups required, got ${g.length}")
+    val (ga, gb) = (g(0).getString(0), g(1).getString(0))
+    val (na, nb) = (g(0).getLong(1), g(1).getLong(1))
+    val nTot = na + nb
+    require(nTot <= 100000000L,
+      s"andersonDarlingTwoSample: $nTot pooled rows exceed the exact " +
+        "u^2*1e6 decimal(38,0) headroom (~1e8) — sample first")
+    val cnt = base.groupBy(col("__vm"))
+      .agg(sum(when(col("__g") === ga, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === gb, 1L).otherwise(0L)).as("__cb"))
+    val cum = Ranks.prefixSum(cnt, Seq(col("__vm")), Seq("__ca", "__cb"))
+    val dec = "decimal(38,0)"
+    // within a value's run: the a-rows first (M advances with i), then
+    // the b-rows (M constant at the value's inclusive a-prefix)
+    val aRows = cum.filter(col("__ca") > 0)
+      .select(explode(expr("sequence(1L, __ca)")).as("__j"),
+        (col("__ca_cum") - col("__ca") + col("__cb_cum") - col("__cb")).as("__i0"),
+        (col("__ca_cum") - col("__ca")).as("__m0"))
+      .select((col("__i0") + col("__j")).as("i"),
+        (col("__m0") + col("__j")).as("m"))
+    val bRows = cum.filter(col("__cb") > 0)
+      .select(explode(expr("sequence(1L, __cb)")).as("__j"),
+        (col("__ca_cum") + col("__cb_cum") - col("__cb")).as("__i0"),
+        col("__ca_cum").as("m"))
+      .select((col("__i0") + col("__j")).as("i"), col("m"))
+    val total = aRows.unionByName(bRows)
+      .filter(col("i") < nTot)
+      .select(expr(
+        s"""cast((cast(m as $dec) * $nTot - ${na}L * i)
+           * (cast(m as $dec) * $nTot - ${na}L * i) * 1000000
+           div (cast(i as $dec) * (${nTot}L - i)) as $dec)""").as("__t"))
+      .agg(sum("__t")).collect()(0)
+    val adMicro =
+      if (total.isNullAt(0)) 0L
+      else (BigInt(total.getDecimal(0).toBigInteger) / (BigInt(na) * nb)).toLong
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, na, nb, adMicro, adMicro > 2492000L))
+      .toDF("grp_a", "grp_b", "n_a", "n_b", "ad_micro", "significant")
+  }
+
   /** Friedman test — the repeated-measures rank ANOVA: do k treatments
     * differ when every block (subject, day, prompt) sees ALL k of them?
     * The within-block ranking removes block-level shifts that would

@@ -489,4 +489,143 @@ object Graph {
         col("cn").as("common_neighbors"), col("deg_a").as("degree_a"),
         col("deg_b").as("degree_b"), col("jaccard_micro"))
   }
+
+  /** Degree assortativity — the Pearson correlation of endpoint degrees
+    * over every undirected edge, Newman's one-number answer to "do hubs
+    * link to hubs?" Positive = social-network-like core (dense rings —
+    * the engagement-farm signature concentrates here); negative =
+    * hub-and-spoke (the shape of healthy web/crawl graphs). Reading it
+    * BEFORE trusting PageRank-family priors is standard: a strongly
+    * assortative subgraph inflates its own centrality.
+    *
+    * Edges canonicalize like [[kCore]] (undirected, self-loops and
+    * duplicates dropped); every edge contributes its (deg_u, deg_v)
+    * pair ONCE IN EACH DIRECTION (the standard symmetric convention, so
+    * the correlation is well-defined without an arbitrary endpoint
+    * order). r is the [[graft.ops.Features.linCcc]] r_milli double
+    * tree over exact integer moments — cross-multiplied, one floor.
+    * NULL when degenerate (every degree equal, or < 2 edges).
+    *
+    * Output (one row): `(n_nodes, n_edges, r_milli)`.
+    *
+    * Overflow: with 2m directed pairs and degrees ≤ n, moments ride
+    * decimal(38,0) to m·n² ≈ 10³⁸ — loud NULL past it, never a wrap.
+    *
+    * 100 TB shape: one degree groupBy (map-side combined), two
+    * broadcast-eligible equi-joins of the edge list against the degree
+    * table (shuffle joins at web scale — each keyed by a single vertex
+    * id), one map-side-combined one-row moment rollup. Nothing
+    * pair-shaped beyond the edges that already exist.
+    */
+  def degreeAssortativity(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val und = edges0
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("x"))
+      .unionByName(und.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+    val pairs = und.select(col("u"), col("v"))
+      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .join(deg.select(col("x").as("u"), col("deg").as("dx")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("deg").as("dy")), Seq("v"))
+    val nNodes = deg.count()
+    val nEdges = und.count()
+    pairs.agg(
+        count(lit(1)).as("np"),
+        sum(col("dx").cast(dec)).as("sx"), sum(col("dy").cast(dec)).as("sy"),
+        sum(expr(s"cast(dx as $dec) * dy")).as("sxy"),
+        sum(expr(s"cast(dx as $dec) * dx")).as("sxx"),
+        sum(expr(s"cast(dy as $dec) * dy")).as("syy"))
+      .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+        expr(s"""cast(case when np > 1
+            and cast(np as $dec) * sxx - sx * sx > 0
+            and cast(np as $dec) * syy - sy * sy > 0 then
+          floor(1000.0 * cast(cast(np as $dec) * sxy - sx * sy as double)
+            / sqrt(cast(cast(np as $dec) * sxx - sx * sx as double)
+              * cast(cast(np as $dec) * syy - sy * sy as double)))
+          end as long)""").as("r_milli"))
+  }
+
+  /** Newman modularity of a GIVEN node partition — the one-number
+    * quality score for community labels ([[labelPropagation]] output, a
+    * dedup clustering, a topic assignment): how much intra-community
+    * edge mass exceeds what a degree-preserving random rewiring would
+    * produce. Q ≈ 0 means the labels explain nothing; Q ≳ 0.3 is
+    * conventional "real structure". The audit that belongs NEXT TO
+    * every LPA run — a partition nobody scored is a partition nobody
+    * can trust.
+    *
+    *   {{{ Q = Σ_c [ m_c/m − (D_c / 2m)² ] }}}
+    *
+    * (m undirected edges, m_c intra-community edges, D_c total degree
+    * of community c). Exact integer: `q_micro = ⌊10⁶·Σ_c(4m·m_c −
+    * D_c²) / (4m²)⌋` — one sign-split floor division of decimal
+    * sums (Q can be negative). Unlabeled endpoints form no community
+    * and contribute only degree mass; `n_unlabeled` reports them.
+    *
+    * Output (one row): `(n_nodes, n_edges, n_communities, n_unlabeled,
+    * q_micro)`; NULL q when the graph has no edges.
+    *
+    * Overflow: D_c ≤ 2m so 4m·m_c − D_c² rides decimal(38,0) to
+    * m ≈ 10¹⁸ edges.
+    *
+    * 100 TB shape: one degree groupBy, one broadcast-or-shuffle join of
+    * degrees against the label table keyed by node, one label groupBy
+    * (→ community-sized), one both-endpoint label join of the edge list
+    * (two vertex-keyed joins), one one-row rollup. Everything after the
+    * joins is community-table-sized.
+    */
+  def modularity(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      nodeCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val und = edges0
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val lab = labels
+      .filter(col(nodeCol).isNotNull)
+      .select(col(nodeCol).cast("long").as("x"),
+        col(labelCol).cast("string").as("c"))
+      .groupBy("x").agg(min("c").as("c")) // one label per node, deterministic
+    val deg = und.select(col("u").as("x"))
+      .unionByName(und.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+    val degLab = deg.join(lab, Seq("x"), "left")
+    val nNodes = deg.count()
+    val nUnlabeled = degLab.filter(col("c").isNull).count()
+    val commDeg = degLab.filter(col("c").isNotNull)
+      .groupBy("c").agg(sum(col("deg").cast(dec)).as("dc"))
+    val intra = und
+      .join(lab.select(col("x").as("u"), col("c").as("cu")), Seq("u"))
+      .join(lab.select(col("x").as("v"), col("c").as("cv")), Seq("v"))
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("c")).agg(count(lit(1)).as("mc"))
+    val m = und.count()
+    val comm = commDeg.join(intra, Seq("c"), "left")
+      .select(col("c"), col("dc"), coalesce(col("mc"), lit(0L)).as("mc"))
+      .localCheckpoint()
+    val nComm = comm.count()
+    comm.agg(sum(expr(s"4 * ${m}L * cast(mc as $dec) - dc * dc")).as("__num"))
+      .select(lit(nNodes).as("n_nodes"), lit(m).as("n_edges"),
+        lit(nComm).as("n_communities"), lit(nUnlabeled).as("n_unlabeled"),
+        expr(s"""cast(case when ${m}L > 0 then
+            case when __num >= 0 then
+              __num * 1000000 div (4 * ${m}L * ${m}L)
+            else -((-(__num) * 1000000) div (4 * ${m}L * ${m}L)) end
+          end as long)""").as("q_micro"))
+  }
 }

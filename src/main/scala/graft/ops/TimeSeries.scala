@@ -847,6 +847,219 @@ object TimeSeries {
           end as long)""").as("dw_milli"))
   }
 
+  /** Page–Hinkley change detector per key — the classic SEQUENTIAL
+    * mean-shift alarm, replayed over a batch series: where [[cusum]]
+    * tracks deviation from a FIXED reference, Page–Hinkley tracks
+    * deviation from the series' own RUNNING mean, so it needs no
+    * calibration pass and flags the point where a level shift begins.
+    * The batch twin of the streaming drift monitors: run it over
+    * yesterday's per-key series to find which keys shifted and WHEN.
+    *
+    * Mechanics (upward-shift form): per key in bucket order,
+    *
+    *   {{{ m_t = Σ_{i≤t} (x_i − x̄_i − δ),   PH_t = m_t − min_{s≤t} m_s }}}
+    *
+    * with x̄_i the INCLUSIVE running mean; the alarm fires at the first
+    * bucket where PH_t > λ. Exact integer: values micro-floor once;
+    * the running mean is one sign-split truncating division per row
+    * (documented — both engines truncate toward zero), every other step
+    * is exact decimal sums, so the alarm bucket replays bit-for-bit.
+    * Caller guarantees distinct buckets per key (the [[acf]] grid
+    * contract — pre-aggregate first).
+    *
+    * Output per key: `(key, n_buckets, ph_micro, alarm_bucket,
+    * alarmed)` — `ph_micro` = max excursion, `alarm_bucket` the first
+    * bucket whose excursion exceeds `lambdaMicro` (NULL = no alarm).
+    *
+    * Overflow: |m_t| ≤ n·(|v|·10⁶ + δ) rides decimal(38,0) — exact to
+    * n·|v| ≈ 10³⁰ per key.
+    *
+    * 100 TB shape: ONE key shuffle; three stacked key-local window
+    * passes over the same sort (running sum/count, running cumsum,
+    * running min) and a map-side-combined rollup. Keys scale out;
+    * nothing crosses keys.
+    */
+  def pageHinkley(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      lambdaMicro: Long,
+      deltaMicro: Long = 0L): DataFrame = {
+    require(lambdaMicro > 0, s"lambdaMicro $lambdaMicro must be positive")
+    require(deltaMicro >= 0, s"deltaMicro $deltaMicro must be >= 0")
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy("__k").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(keyCol).isNotNull && col(bucketCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        col(bucketCol).cast("long").as("__b"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__vm"))
+      .withColumn("__s", sum(col("__vm").cast(dec)).over(w))
+      .withColumn("__t", count(lit(1)).over(w))
+      .withColumn("__mean", expr(
+        """case when __s >= 0 then __s div __t
+           else -((-__s) div __t) end"""))
+      .withColumn("__term",
+        expr(s"cast(__vm as $dec) - __mean - $deltaMicro"))
+      .withColumn("__m", sum(col("__term")).over(w))
+      .withColumn("__minm", min(col("__m")).over(w))
+      .withColumn("__exc", col("__m") - col("__minm"))
+      .groupBy(col("__k").as("key"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("__exc")).cast("long").as("ph_micro"),
+        min(when(col("__exc") > lit(lambdaMicro), col("__b")))
+          .as("alarm_bucket"))
+      .withColumn("alarmed", col("alarm_bucket").isNotNull)
+  }
+
+  /** Seasonal strength per key — the one-number "is this series
+    * seasonal" companion to [[seasonalProfile]] (which gives the
+    * per-phase baseline but no verdict): the fraction of variance the
+    * phase means explain, the classic one-way-ANOVA R² with phases as
+    * groups:
+    *
+    *   {{{ strength = 1 − SS_within / SS_total }}}
+    *
+    * ≈ 0 for a phase-blind series, → 1 when the cycle dominates. Gate
+    * resampling/detrending decisions on it before trusting [[acf]]'s
+    * lag peaks (a strong trend also inflates seasonal-lag ACF; this
+    * statistic isolates the phase-mean component).
+    *
+    * Exactness: values micro-floor once; with Σx² exact decimal and
+    * per-phase `W_p = ⌊(Σx_p)²/n_p⌋` (one nonneg floor per phase,
+    * documented — Cauchy–Schwarz puts ΣW_p within P units of the exact
+    * value), `ss_w = Σx² − ΣW_p`, `ss_t = Σx² − ⌊(Σx)²/n⌋`, and
+    * `strength_micro = (ss_t − ss_w)·10⁶ div ss_t` — floors can land
+    * it a few micro outside [0, 10⁶]; NULL when ss_t ≤ 0 (constant
+    * series).
+    *
+    * Output per key: `(key, n_buckets, n_phases, strength_micro)`.
+    *
+    * Overflow: (Σx_p)² ≤ n²·10¹²·v² rides decimal(38,0) to
+    * n·|v| ≈ 10¹³ per key; additionally Σx per key must fit int64
+    * (the hi/rem split that keeps ⌊(Σx)²/n⌋ exact divides a LONG —
+    * n·10⁶·|v| < 9·10¹⁸).
+    *
+    * 100 TB shape: one (key, phase) map-side-combined groupBy, a
+    * key-keyed rollup — two collapsing shuffles, nothing else.
+    */
+  def seasonalStrength(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      period: Int): DataFrame = {
+    require(period >= 2, s"period $period must be >= 2")
+    val dec = "decimal(38,0)"
+    df.filter(col(keyCol).isNotNull && col(bucketCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        pmod(col(bucketCol).cast("long"), lit(period.toLong)).as("__p"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__v"))
+      .groupBy("__k", "__p")
+      .agg(count(lit(1)).as("np"),
+        sum(col("__v").cast(dec)).as("sp"),
+        sum(expr(s"cast(__v as $dec) * __v")).as("qp"))
+      // ⌊sp²/np⌋ exactly WITHOUT an oversized integral divide (Spark's
+      // `div` yields a LONG quotient, and sp²/np can pass 2⁶³): with
+      // hi = sp div np (fits long whenever sp does) and rem = sp−hi·np
+      // (|rem| < np), sp² = np·(hi²np + 2·hi·rem) + rem², so
+      // ⌊sp²/np⌋ = hi²·np + 2·hi·rem + ⌊rem²/np⌋ — every divide is
+      // long-sized, every product decimal-exact
+      .withColumn("__hi", expr("sp div np"))
+      .withColumn("__rem", expr(s"cast(sp - cast(__hi as $dec) * np as long)"))
+      .withColumn("__wterm", expr(
+        s"""cast(__hi as $dec) * __hi * np + 2 * cast(__hi as $dec) * __rem
+           + (__rem * __rem div np)"""))
+      .groupBy("__k")
+      .agg(count(lit(1)).as("n_phases"),
+        sum("np").as("n_buckets"),
+        sum("sp").as("__s"), sum("qp").as("__q"),
+        sum("__wterm").as("__w"))
+      .withColumn("__hi2", expr("__s div n_buckets"))
+      .withColumn("__rem2",
+        expr(s"cast(__s - cast(__hi2 as $dec) * n_buckets as long)"))
+      .withColumn("__sq", expr(
+        s"""cast(__hi2 as $dec) * __hi2 * n_buckets
+           + 2 * cast(__hi2 as $dec) * __rem2
+           + (__rem2 * __rem2 div n_buckets)"""))
+      .withColumn("__t", expr("__q - __sq"))
+      .withColumn("__num", expr("__w - __sq"))
+      .select(col("__k").as("key"), col("n_buckets"), col("n_phases"),
+        expr("""cast(case when __t > 0 then
+            case when __num >= 0 then __num * 1000000 div __t
+            else -((-__num) * 1000000 div __t) end
+          end as long)""").as("strength_micro"))
+  }
+
+  /** Seasonal (Hirsch–Slack) Mann–Kendall per key — the trend test
+    * that a cycle cannot fool: [[mannKendall]] over a seasonal series
+    * reads the within-cycle swings as disagreeing pairs and washes the
+    * trend out (or worse, an incomplete last cycle mints a fake one);
+    * the seasonal form compares each phase ONLY with itself across
+    * cycles (Januaries with Januaries), then pools:
+    *
+    *   {{{ S = Σ_p S_p,   Var = Σ_p Var_p,   z = (S ∓ 1)/√Var }}}
+    *
+    * Implemented BY composition: the per-(key, phase) statistics are
+    * [[mannKendall]]'s own (U+001F-joined composite key — same
+    * delimiter contract as the BPE symbol encoding; keys containing
+    * U+001F are rejected loudly), summed per key, with the same
+    * continuity-corrected z_milli double tree and the same
+    * INTEGER-INPUT CONTRACT and `maxSeriesLen` cap (now per (key,
+    * phase) series — each phase's pair stage is (n/P)² per key).
+    *
+    * Output per key: `(key, n, n_phases, s_stat, var_s_x18, z_milli,
+    * trending)`; NULL z when every phase is degenerate.
+    *
+    * 100 TB shape: [[mannKendall]]'s one-key-shuffle plan on the finer
+    * (key, phase) key — MORE parallel, smaller quadratic blocks — plus
+    * one collapsing rollup to keys.
+    */
+  def seasonalMannKendall(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      period: Int,
+      maxSeriesLen: Long = 10000L): DataFrame = {
+    require(period >= 2, s"period $period must be >= 2")
+    val S = "\u001f"
+    val base = df.filter(col(keyCol).isNotNull && col(bucketCol).isNotNull &&
+        col(valueCol).isNotNull)
+    val composite = base
+      .withColumn("__ck", concat(col(keyCol).cast("string"), lit(S),
+        pmod(col(bucketCol).cast("long"), lit(period.toLong)).cast("string")))
+    val badKey = composite.filter(col(keyCol).cast("string").contains(S))
+    require(badKey.isEmpty,
+      "seasonalMannKendall: key values must not contain U+001F " +
+        "(the phase delimiter)")
+    val perPhase = mannKendall(composite, "__ck", bucketCol, valueCol,
+      maxSeriesLen)
+    perPhase
+      .withColumn("__k", substring_index(col("key"), S, 1))
+      .groupBy(col("__k"))
+      .agg(sum("n").as("n"), count(lit(1)).as("n_phases"),
+        sum("s_stat").as("s_stat"),
+        sum("var_s_x18").as("var_s_x18"))
+      .select(col("__k").as("key"), col("n"), col("n_phases"),
+        col("s_stat"), col("var_s_x18"))
+      .withColumn("z_milli", expr(
+        """CASE WHEN var_s_x18 > 0 THEN
+             CASE WHEN s_stat > 0 THEN
+               CAST(FLOOR(1000.0 * (s_stat - 1)
+                 / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0)) AS BIGINT)
+             WHEN s_stat < 0 THEN
+               CAST(FLOOR(1000.0 * (s_stat + 1)
+                 / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0)) AS BIGINT)
+             ELSE 0 END END"""))
+      .withColumn("trending",
+        when(col("z_milli").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col("z_milli")) >= 1960L))
+  }
+
   /** Cox–Stuart sign trend test per key — the assumption-free trend
     * check that needs NOTHING but signs: pair each point in the first
     * half of the series with its counterpart one half-length later

@@ -281,6 +281,69 @@ class GraphSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("degreeAssortativity: star is -1000, regular ring degenerate, random matches scalar") {
+    val spark2 = spark
+    import spark2.implicits._
+    // star K1,3: every edge joins deg-3 to deg-1 — perfect anticorrelation
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    val rs = Graph.degreeAssortativity(star, "s", "d").collect()(0)
+    assert((rs.getLong(0), rs.getLong(1), rs.getLong(2)) == ((4L, 3L, -1000L)))
+    // 4-cycle: every degree 2 — zero variance, NULL by contract
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    assert(Graph.degreeAssortativity(ring, "s", "d").collect()(0).isNullAt(2))
+    // random graphs vs a plain-Scala Pearson over the same directed pairs
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 70)
+      val edges = (1 to 60).map(_ =>
+        (rnd.nextInt(20).toLong + 1, rnd.nextInt(20).toLong + 1)).toSet
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val pairs = und.toSeq.flatMap(e =>
+        Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+      val np = pairs.size.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val want =
+        if (np * sxx - sx * sx <= 0 || np * syy - sy * sy <= 0) null
+        else java.lang.Long.valueOf(math.floor(1000.0 * (np * sxy - sx * sy) /
+          math.sqrt((np * sxx - sx * sx).toDouble * (np * syy - sy * sy))).toLong)
+      val got = Graph.degreeAssortativity(
+        edges.toSeq.toDF("s", "d"), "s", "d").collect()(0)
+      val gotR = if (got.isNullAt(2)) null else java.lang.Long.valueOf(got.getLong(2))
+      assert(gotR == want, s"seed=$seed")
+    }
+  }
+
+  test("modularity: two clean triangles score 1/2; an unlabeled node is reported") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tri2 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("s", "d")
+    val labAll = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"), (6L, "B"))
+      .toDF("node", "lab")
+    val r = Graph.modularity(tri2, "s", "d", labAll, "node", "lab").collect()(0)
+    // m=6, each community m_c=3, D_c=6: Q = 2*(3/6 - (6/12)^2) = 1/2
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((6L, 6L, 2L, 0L, 500000L)), r.toString)
+    // drop node 6's label: B keeps only edge (4,5); D_B=4, m_B=1 ->
+    // Q = (4*6*3-36 + 4*6*1-16)/144 = 44/144
+    val labPart = labAll.filter(col("node") =!= 6L)
+    val p = Graph.modularity(tri2, "s", "d", labPart, "node", "lab").collect()(0)
+    assert((p.getLong(2), p.getLong(3), p.getLong(4)) == ((2L, 1L, 305555L)), p.toString)
+    // single community = everything intra: Q = m/m - 1 = 0 exactly
+    val labOne = labAll.select(col("node"), lit("X").as("lab"))
+    assert(Graph.modularity(tri2, "s", "d", labOne, "node", "lab")
+      .collect()(0).getLong(4) == 0L)
+    // edgeless graph: NULL q
+    val none = tri2.limit(0)
+    assert(Graph.modularity(none, "s", "d", labAll, "node", "lab")
+      .collect()(0).isNullAt(4))
+  }
+
   test("kCore matches an in-memory parallel-peel reference on random graphs") {
     val spark2 = spark
     import spark2.implicits._

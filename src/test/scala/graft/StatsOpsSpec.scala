@@ -1729,4 +1729,292 @@ class StatsOpsSpec extends SparkSuite {
     assert(out1("burst").getAs[Long]("rank") <
       out1("uni").getAs[Long]("rank"))
   }
+
+  test("kuiper: identical arms 0, disjoint arms 1e6, rotation seen where KS shrinks") {
+    def kuip(a: Seq[Double], b: Seq[Double]) = Features.kuiperTwoSample(
+      (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v"), "g", "v")
+      .collect()(0)
+    val same = kuip(Seq(1, 2, 3), Seq(1, 2, 3))
+    assert(same.getAs[Long]("v_micro") == 0L && !same.getAs[Boolean]("significant"))
+    val disj = kuip(Seq(1, 2), Seq(3, 4))
+    assert(disj.getAs[Long]("v_micro") == 1000000L)
+    // wrap-around shape (the cyclic case): b brackets a, so the ECDF
+    // gap runs NEGATIVE first (+1/2 for b at v=1) then POSITIVE (+1/2
+    // for a at v=3) — KS sees only the worse half, V adds both
+    val ha = Seq[Double](2, 3)
+    val hb = Seq[Double](1, 4)
+    val v = kuip(ha, hb)
+    val ks = Features.ksTestTwoSample(
+      (ha.map(("a", _)) ++ hb.map(("b", _))).toDF("g", "v"), "g", "v")
+      .collect()(0)
+    assert(v.getAs[Long]("v_micro") == 2 * ks.getAs[Long]("d_micro"), v.toString)
+  }
+
+  test("energyDistance: identical arms exactly 0, point masses exact, brute parity") {
+    def en(a: Seq[Double], b: Seq[Double]) = Features.energyDistance(
+      (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v"), "g", "v")
+      .collect()(0)
+    val same = en(Seq(1, 2, 5), Seq(1, 2, 5))
+    assert(same.getAs[Long]("e2_micro") == 0L, same.toString)
+    // point masses at 0 and 10: E|X-Y|=10, within-terms 0
+    val pm = en(Seq(0, 0), Seq(10, 10))
+    assert(pm.getAs[Long]("m_ab_micro") == 10000000L &&
+      pm.getAs[Long]("m_aa_micro") == 0L &&
+      pm.getAs[Long]("e2_micro") == 20000000L)
+    // brute-force parity on random data (micro ints, ordered pairs)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 50)
+      val a = Seq.fill(rnd.nextInt(20) + 5)(rnd.nextInt(200) / 10.0 - 5.0)
+      val b = Seq.fill(rnd.nextInt(20) + 5)(rnd.nextInt(200) / 10.0 - 5.0)
+      def mic(x: Double) = math.floor(x * 1e6).toLong
+      def sAbs(x: Seq[Double], y: Seq[Double]) =
+        (for (i <- x; j <- y) yield math.abs(mic(i) - mic(j))).map(BigInt(_)).sum
+      val mab = (sAbs(a, b) / (BigInt(a.size) * b.size)).toLong
+      val maa = (sAbs(a, a) / (BigInt(a.size) * a.size)).toLong
+      val mbb = (sAbs(b, b) / (BigInt(b.size) * b.size)).toLong
+      val got = en(a, b)
+      assert(got.getAs[Long]("m_ab_micro") == mab &&
+        got.getAs[Long]("m_aa_micro") == maa &&
+        got.getAs[Long]("m_bb_micro") == mbb &&
+        got.getAs[Long]("e2_micro") == 2 * mab - maa - mbb, s"seed=$seed")
+    }
+  }
+
+  test("hodgesLehmann: hand medians, lower-median convention, cap loud") {
+    def hl(a: Seq[Double], b: Seq[Double]) = Features.hodgesLehmannShift(
+      (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v"), "g", "v")
+      .collect()(0)
+    // diffs {1,2,3} -> median 2
+    assert(hl(Seq(1, 2, 3), Seq(0)).getAs[Long]("hl_micro") == 2000000L)
+    // even count: diffs {1,3} -> LOWER median 1
+    assert(hl(Seq(1, 3), Seq(0)).getAs[Long]("hl_micro") == 1000000L)
+    // pure shift: HL recovers it exactly
+    assert(hl(Seq(1, 2, 3, 4), Seq(0.5, 1.5, 2.5, 3.5))
+      .getAs[Long]("hl_micro") == 500000L)
+    // brute parity on random data
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 60)
+      val a = Seq.fill(rnd.nextInt(15) + 3)(rnd.nextInt(100) / 10.0)
+      val b = Seq.fill(rnd.nextInt(15) + 3)(rnd.nextInt(100) / 10.0)
+      def mic(x: Double) = math.floor(x * 1e6).toLong
+      val diffs = (for (i <- a; j <- b) yield mic(i) - mic(j)).sorted
+      val want = diffs((diffs.size + 1) / 2 - 1)
+      assert(hl(a, b).getAs[Long]("hl_micro") == want, s"seed=$seed")
+    }
+    intercept[IllegalArgumentException] {
+      Features.hodgesLehmannShift(
+        (Seq.tabulate(40)(i => ("a", i / 7.0)) ++
+          Seq.tabulate(40)(i => ("b", i / 11.0))).toDF("g", "v"),
+        "g", "v", maxCells = 100L)
+    }
+  }
+
+  test("andersonDarling: hand value on disjoint arms, brute parity with a-first ties") {
+    def ad(a: Seq[Double], b: Seq[Double]) = Features.andersonDarlingTwoSample(
+      (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v"), "g", "v")
+      .collect()(0)
+    // {1,2} vs {3,4}: term sum 6,666,666 over i=1..3 -> ad 1,666,666
+    assert(ad(Seq(1, 2), Seq(3, 4)).getAs[Long]("ad_micro") == 1666666L)
+    // brute parity: replay Pettitt's sum with the (value, a-first) order
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 80)
+      val a = Seq.fill(rnd.nextInt(20) + 5)(rnd.nextInt(30) / 2.0)
+      val b = Seq.fill(rnd.nextInt(20) + 5)(rnd.nextInt(30) / 2.0)
+      def mic(x: Double) = math.floor(x * 1e6).toLong
+      val pooled = (a.map(x => (mic(x), 0)) ++ b.map(x => (mic(x), 1)))
+        .sortBy(identity)
+      val na = a.size.toLong; val nT = pooled.size.toLong
+      var m = 0L; var s = BigInt(0)
+      pooled.zipWithIndex.dropRight(1).foreach { case ((_, grp), idx) =>
+        val i = idx + 1L
+        if (grp == 0) m += 1
+        val u = BigInt(m * nT - na * i)
+        s += u * u * 1000000 / (BigInt(i) * (nT - i))
+      }
+      val want = (s / (BigInt(na) * (nT - na))).toLong
+      assert(ad(a, b).getAs[Long]("ad_micro") == want, s"seed=$seed")
+    }
+  }
+
+  test("pageHinkley: level shift alarms at the shift, flat series does not") {
+    def ph(vals: Seq[Double], lambda: Long) = TimeSeries.pageHinkley(
+      vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+        .toDF("k", "b", "v"), "k", "b", "v", lambdaMicro = lambda)
+      .collect()(0)
+    val flat = ph(Seq.fill(10)(5.0), 1000000L)
+    assert(flat.getAs[Long]("ph_micro") == 0L && !flat.getAs[Boolean]("alarmed"))
+    // jump from 0 to 10 at bucket 5: excursion grows ~ (10 - mean)·steps
+    val jump = ph(Seq(0, 0, 0, 0, 0, 10, 10, 10, 10, 10).map(_.toDouble), 8000000L)
+    assert(jump.getAs[Boolean]("alarmed") &&
+      jump.getAs[Long]("alarm_bucket") >= 5L, jump.toString)
+    // scalar replay of the exact integer recurrence
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 30)
+      val vals = Seq.fill(rnd.nextInt(30) + 5)(rnd.nextInt(400) / 10.0 - 20.0)
+      def mic(x: Double) = math.floor(x * 1e6).toLong
+      var s = BigInt(0); var mcum = BigInt(0); var minm = BigInt(0)
+      var phMax = BigInt(0)
+      vals.zipWithIndex.foreach { case (v, i) =>
+        s += mic(v)
+        val t = i + 1
+        val mean = if (s >= 0) s / t else -((-s) / t)
+        mcum += BigInt(mic(v)) - mean
+        if (mcum < minm) minm = mcum
+        val exc = mcum - minm
+        if (exc > phMax) phMax = exc
+      }
+      assert(ph(vals, Long.MaxValue / 2).getAs[Long]("ph_micro") == phMax.toLong,
+        s"seed=$seed")
+    }
+  }
+
+  test("seasonalStrength: perfect cycle 1e6, phase-blind 0, constant NULL") {
+    def ss(vals: Seq[Double], period: Int) = TimeSeries.seasonalStrength(
+      vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+        .toDF("k", "b", "v"), "k", "b", "v", period)
+      .collect()(0)
+    // alternating 0/10: phase means explain everything
+    val perfect = ss(Seq(0, 10, 0, 10, 0, 10).map(_.toDouble), 2)
+    assert(perfect.getAs[Long]("strength_micro") == 1000000L, perfect.toString)
+    // same multiset in every phase: within == total, strength 0
+    val blind = ss(Seq(0, 0, 10, 10).map(_.toDouble), 2)
+    assert(blind.getAs[Long]("strength_micro") == 0L, blind.toString)
+    // constant series: no variance to explain
+    assert(ss(Seq.fill(8)(3.0), 4).isNullAt(3))
+    // scalar replay (exact hi/rem floor arithmetic) on random series
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 20)
+      val period = rnd.nextInt(4) + 2
+      val vals = Seq.fill(rnd.nextInt(30) + period * 2)(rnd.nextInt(200) / 10.0)
+      def mic(x: Double) = math.floor(x * 1e6).toLong
+      val byPhase = vals.zipWithIndex.groupBy(_._2 % period)
+      val q = vals.map(v => BigInt(mic(v)) * mic(v)).sum
+      val s = vals.map(v => BigInt(mic(v))).sum
+      val n = vals.size
+      val w = byPhase.values.map { vs =>
+        val sp = vs.map(p => BigInt(mic(p._1))).sum
+        sp * sp / vs.size
+      }.sum
+      val t = q - s * s / n
+      val num = w - s * s / n
+      val want: Any =
+        if (t <= 0) null
+        else if (num >= 0) (num * 1000000 / t).toLong
+        else -((-num) * 1000000 / t).toLong
+      val got = ss(vals, period)
+      val gotV: Any = if (got.isNullAt(3)) null else got.getLong(3)
+      assert(gotV == want, s"seed=$seed")
+    }
+  }
+
+  test("seasonalMannKendall: within-phase trend pools, delimiter key rejected") {
+    // phase-coded seasonal series with a trend INSIDE each phase:
+    // v = 100·phase + cycle — every within-phase pair concordant
+    val period = 3
+    val cycles = 5
+    val rows = for (c <- 0 until cycles; p <- 0 until period)
+      yield ("k", (c * period + p).toLong, (100 * p + c).toDouble)
+    val out = TimeSeries.seasonalMannKendall(
+      rows.toDF("k", "b", "v"), "k", "b", "v", period)
+      .collect()(0)
+    // S = 3 phases × C(5,2) = 30, no ties: Var = 3·(5·4·15)/18 units
+    assert(out.getAs[Long]("n") == 15L && out.getAs[Long]("n_phases") == 3L)
+    assert(out.getAs[Long]("s_stat") == 30L, out.toString)
+    assert(out.getAs[Long]("var_s_x18") == 3L * 5 * 4 * 15, out.toString)
+    assert(out.getAs[Boolean]("trending"), out.toString)
+    // the composite-key delimiter must be rejected in key values
+    intercept[IllegalArgumentException] {
+      TimeSeries.seasonalMannKendall(
+        Seq(("badkey", 1L, 1.0)).toDF("k", "b", "v"),
+        "k", "b", "v", period = 2).collect()
+    }
+  }
+
+  test("partialCorrelation: collinear NULL, confounder removal, scalar replay") {
+    def pc(rows: Seq[(Double, Double, Double)]) = Features.partialCorrelation(
+      rows.toDF("x", "y", "z"), "x", "y", "z").collect()(0)
+    // x == z exactly: (1 - rxz²) = 0 -> partial NULL, marginals intact
+    val coll = pc(Seq((1, 1, 1), (2, 3, 2), (3, 2, 3), (4, 5, 4)))
+    assert(coll.getAs[Long]("r_xz_milli") == 1000L && coll.isNullAt(4))
+    // x and y both driven by z, no residual link: partial ~ 0 while
+    // the raw correlation is strong
+    val conf = pc(Seq(
+      (1.0, 1.1, 1.0), (2.0, 1.9, 2.0), (3.0, 3.1, 3.0), (4.0, 3.9, 4.0),
+      (1.1, 0.9, 1.0), (2.1, 2.1, 2.0), (2.9, 2.9, 3.0), (3.9, 4.1, 4.0)))
+    assert(conf.getAs[Long]("r_xy_milli") > 900L)
+    assert(math.abs(conf.getAs[Long]("partial_r_milli")) < 600L, conf.toString)
+    // scalar replay of the exact double tree
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 10)
+      val rows = Seq.fill(rnd.nextInt(30) + 10)(
+        (rnd.nextInt(100) / 10.0, rnd.nextInt(100) / 10.0, rnd.nextInt(100) / 10.0))
+      def mic(v: Double) = math.floor(v * 1e6).toLong
+      val xs = rows.map(r => mic(r._1)); val ys = rows.map(r => mic(r._2))
+      val zs = rows.map(r => mic(r._3))
+      val n = rows.size
+      def d(a: Seq[Long], b: Seq[Long]) =
+        BigInt(n) * a.zip(b).map(p => BigInt(p._1) * p._2).sum -
+          a.map(BigInt(_)).sum * b.map(BigInt(_)).sum
+      val (dxx, dyy, dzz) = (d(xs, xs), d(ys, ys), d(zs, zs))
+      val (dxy, dxz, dyz) = (d(xs, ys), d(xs, zs), d(ys, zs))
+      val rxy = dxy.toDouble / math.sqrt(dxx.toDouble * dyy.toDouble)
+      val rxz = dxz.toDouble / math.sqrt(dxx.toDouble * dzz.toDouble)
+      val ryz = dyz.toDouble / math.sqrt(dyy.toDouble * dzz.toDouble)
+      val want: Any =
+        if (dxx <= 0 || dyy <= 0 || dzz <= 0 ||
+          (1.0 - rxz * rxz) * (1.0 - ryz * ryz) <= 0) null
+        else math.floor(1000.0 * (rxy - rxz * ryz) /
+          math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))).toLong
+      val got = pc(rows)
+      val gotV: Any = if (got.isNullAt(4)) null else got.getLong(4)
+      assert(gotV == want, s"seed=$seed")
+    }
+  }
+
+  test("chowTest: stable line low F, slope flip high F, perfect fits NULL") {
+    def chow(rows: Seq[(String, Double, Double, Boolean)]) = Features.chowTest(
+      rows.toDF("k", "x", "y", "post"), "k", "x", "y", "post")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rnd = new scala.util.Random(7)
+    def noisy(f: Double => Double, xs: Seq[Double]) =
+      xs.map(x => (x, f(x) + rnd.nextInt(11) / 100.0 - 0.05))
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val stable =
+      noisy(x => 2 * x, xs).map { case (x, y) => ("stable", x, y, false) } ++
+      noisy(x => 2 * x, xs).map { case (x, y) => ("stable", x, y, true) }
+    val break0 =
+      noisy(x => 2 * x, xs).map { case (x, y) => ("brk", x, y, false) } ++
+      noisy(x => -2 * x + 20, xs).map { case (x, y) => ("brk", x, y, true) }
+    val out = chow(stable ++ break0)
+    val fStable = out("stable").getAs[Long]("f_milli")
+    val fBreak = out("brk").getAs[Long]("f_milli")
+    assert(out("brk").getAs[Long]("n_pre") == 5L &&
+      out("brk").getAs[Long]("n_post") == 5L)
+    assert(fBreak > 10 * math.max(fStable, 1L), s"stable=$fStable brk=$fBreak")
+    // perfect fits on both sides: SSR_1 + SSR_2 = 0 -> NULL by contract
+    val perfect = Seq.tabulate(4)(i => ("p", i.toDouble, 2.0 * i, false)) ++
+      Seq.tabulate(4)(i => ("p", i.toDouble, 5.0 * i, true))
+    assert(chow(perfect)("p").isNullAt(3))
+    // a key present in one regime only produces no row
+    val only = Seq.tabulate(4)(i => ("solo", i.toDouble, 1.0 * i, false))
+    assert(!chow(only ++ stable).contains("solo"))
+  }
+
+  test("yulesK: hand K, size invariance under replication") {
+    val d = Seq((1L, "s1", "a a b")).toDF("id", "src", "text")
+    val r = Corpus.yulesK(d, "src", "text").collect()(0)
+    // tf {a:2, b:1}, N=3, S2=5: K_micro = 2e10/9
+    assert((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+      r.getAs[Long]("k_micro")) == ((3L, 2L, 2222222222L)), r.toString)
+    // exact replication multiplies every tf by m: K is invariant up to
+    // the -N term: with m=10, K = (500-30)e10/900
+    val rep = Seq.tabulate(10)(i => (i.toLong, "s1", "a a b"))
+      .toDF("id", "src", "text")
+    val k10 = Corpus.yulesK(rep, "src", "text").collect()(0).getAs[Long]("k_micro")
+    assert(k10 == (BigInt(470) * 10000000000L / 900).toLong, k10.toString)
+    // empty slice produces no row
+    assert(Corpus.yulesK(
+      Seq((1L, "s1", "  ")).toDF("id", "src", "text"), "src", "text")
+      .count() == 0L)
+  }
 }
