@@ -10145,6 +10145,63 @@ object Queries {
     },
     Some(bpeEncodeOracleSql(3)))
 
+  /** Chapman capture–recapture estimate of the total user population
+    * from the first-half vs second-half observation windows — the
+    * detector-audit primitive, pure integers.
+    */
+  private val q307 = Q(
+    "q307_capture_recapture",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      val base = raw.filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(raw, "ts"))
+        .withColumn("__day", expr("__ms div 86400000"))
+      Dedup.captureRecapture(
+        base.filter(col("__day") < 19738L), "user_id",
+        base.filter(col("__day") >= 19738L), "user_id")
+    },
+    Some("""WITH e AS (SELECT user_id::VARCHAR id,
+          epoch_ms(ts) // 86400000 d FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      a AS (SELECT DISTINCT id FROM e WHERE d < 19738),
+      b AS (SELECT DISTINCT id FROM e WHERE d >= 19738),
+      c AS (SELECT (SELECT COUNT(*) FROM a)::BIGINT na,
+          (SELECT COUNT(*) FROM b)::BIGINT nb,
+          (SELECT COUNT(*) FROM a JOIN b USING (id))::BIGINT m)
+      SELECT na AS n_a, nb AS n_b, m AS n_both,
+        ((na + 1)::HUGEINT * (nb + 1) // (m + 1) - 1)::BIGINT
+          AS chapman_est,
+        (CASE WHEN nb > 0 THEN m * 1000000 // nb END)::BIGINT
+          AS recall_a_micro,
+        (CASE WHEN na > 0 THEN m * 1000000 // na END)::BIGINT
+          AS recall_b_micro
+      FROM c"""))
+
+  /** Hill tail index of the per-user activity-count distribution
+    * (k = 10) — how Pareto-heavy is user activity; sizes the skew caps.
+    */
+  private val q308 = Q(
+    "q308_hill_tail",
+    (spark, dir) => Features.hillTailIndex(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt")),
+      "cnt", k = 10),
+    Some("""WITH c AS (SELECT COUNT(*)::BIGINT cnt FROM events
+        WHERE user_id IS NOT NULL GROUP BY user_id),
+      b AS (SELECT floor(cnt::DOUBLE * 1e6)::BIGINT v FROM c WHERE cnt > 0),
+      n AS (SELECT COUNT(*)::BIGINT n FROM b),
+      top AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) r FROM b
+        QUALIFY r <= 11),
+      xk AS (SELECT v xk1 FROM top WHERE r = 11),
+      t AS (SELECT SUM(floor(1e6 * ln(top.v::DOUBLE / xk.xk1))::BIGINT)::BIGINT s
+        FROM top, xk WHERE top.r <= 10)
+      SELECT n.n, 10::BIGINT AS k, xk.xk1 AS xk_micro,
+        t.s AS sum_ln_micro,
+        (CASE WHEN t.s > 0 THEN 10::BIGINT * 1000000000 // t.s END)::BIGINT
+          AS alpha_milli
+      FROM n, xk, t"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -10172,7 +10229,7 @@ object Queries {
     q275, q276, q277, q278, q279, q280, q281, q282,
     q283, q284, q285, q286, q287, q288, q289, q290, q291, q292,
     q293, q294, q295, q296, q297, q298, q299, q300, q301,
-    q302, q303, q304, q305, q306)
+    q302, q303, q304, q305, q306, q307, q308)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

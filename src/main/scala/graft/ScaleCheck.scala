@@ -1137,6 +1137,32 @@ object ScaleCheck {
       val tN = f(evN, s"${name}_N")
       println(f"$name%-16s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
+    def captureRecaptureTime(df: DataFrame, tag: String): Double = {
+      import graft.engine.EventTime
+      val base = df.filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("__ms", EventTime.epochMillis(df, "ts"))
+        .withColumn("__day", expr("__ms div 86400000"))
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.captureRecapture(
+          base.filter(col("__day") < 19738L), "user_id",
+          base.filter(col("__day") >= 19738L), "user_id")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def hillTailTime(df: DataFrame, tag: String): Double = {
+      val counts = df.filter(col("user_id").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      val t0 = System.nanoTime()
+      graft.ops.Features.hillTailIndex(counts, "cnt", k = 10)
+      (System.nanoTime() - t0) / 1e9
+    }
+    for ((name, f) <- Seq(
+      ("capture_recap", captureRecaptureTime _),
+      ("hill_tail", hillTailTime _)) if wanted(name)) {
+      val t1 = f(ev1, s"${name}_1")
+      val tN = f(evN, s"${name}_N")
+      println(f"$name%-16s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
     def yulesKTime(df: DataFrame, tag: String): Double = {
       val t0 = System.nanoTime()
       graft.ops.Corpus.yulesK(df, "source", "text")

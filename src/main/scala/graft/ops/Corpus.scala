@@ -1456,4 +1456,5 @@ object Corpus {
         expr(s"""cast((__s2 - n_tokens) * 10000000000
           div (cast(n_tokens as $dec) * n_tokens) as long)""").as("k_micro"))
   }
+
 }

@@ -1048,4 +1048,52 @@ object Dedup {
     }.reduce(_ unionByName _).distinct()
     Cluster.dedupAssign(df, idCol, edges, "id_a", "id_b")
   }
+
+  /** Chapman capture–recapture estimate — how big is the population
+    * NEITHER pass saw? Run two independent detectors over the same
+    * corpus (two LSH band configs, two quality screens, two crawl
+    * snapshots — or first-half vs second-half observation windows) and
+    * the overlap of their finds estimates the total:
+    *
+    *   {{{ N̂ = ⌊(n_a+1)(n_b+1)/(n_both+1)⌋ − 1 }}}
+    *
+    * (Chapman's bias-corrected Lincoln–Petersen — defined even at zero
+    * overlap). The honest answer to "how many duplicates/PII hits/bad
+    * docs did we MISS": a detector audit without ground truth. Also
+    * emits each pass's estimated recall under the independence
+    * assumption (`recall_a = n_both/n_b`: the fraction of B's finds A
+    * also caught). Independence is the caller's burden — two passes
+    * sharing a blocking key overlap MORE than independence predicts
+    * and the estimate reads low (documented, inherent to the method).
+    *
+    * Pure integers: counts and one floor division each. Output (one
+    * row): `(n_a, n_b, n_both, chapman_est, recall_a_micro,
+    * recall_b_micro)` — recalls NULL when the other side is empty.
+    *
+    * 100 TB shape: two distinct groupBys and one left-semi join on the
+    * id — three collapsing shuffles, one-row output.
+    */
+  def captureRecapture(
+      a: DataFrame,
+      idColA: String,
+      b: DataFrame,
+      idColB: String): DataFrame = {
+    val da = a.filter(col(idColA).isNotNull)
+      .select(col(idColA).cast("string").as("__id")).distinct()
+      .localCheckpoint()
+    val db = b.filter(col(idColB).isNotNull)
+      .select(col(idColB).cast("string").as("__id")).distinct()
+      .localCheckpoint()
+    val na = da.count()
+    val nb = db.count()
+    val nBoth = da.join(db, Seq("__id"), "left_semi").count()
+    val chapman = (BigInt(na + 1) * (nb + 1) / (nBoth + 1) - 1).toLong
+    val recallA = if (nb == 0) None else Some(nBoth * 1000000L / nb)
+    val recallB = if (na == 0) None else Some(nBoth * 1000000L / na)
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((na, nb, nBoth, chapman, recallA, recallB))
+      .toDF("n_a", "n_b", "n_both", "chapman_est",
+        "recall_a_micro", "recall_b_micro")
+  }
 }

@@ -1722,6 +1722,57 @@ object Features {
           end as long)""").as("f_milli"))
   }
 
+  /** Hill tail-index estimator — HOW heavy is a heavy tail? Over the
+    * top k+1 order statistics of a positive metric (degrees, doc
+    * lengths, per-user event counts, bucket sizes):
+    *
+    *   {{{ α̂ = k / Σ_{i=1..k} ln(x_(i) / x_(k+1)) }}}
+    *
+    * α ≈ 1–2 means wild Pareto mass (a hub/boilerplate cluster WILL
+    * dominate any quadratic stage — size `maxBucket`-style caps from
+    * this number); α > 3 means tame tails where means behave. The
+    * quantitative companion to this repo's skew guards.
+    *
+    * Determinism: the top-(k+1) VALUE multiset is order-unambiguous
+    * (ties don't change it); each term floors once
+    * (`⌊10⁶·ln(x_micro/x_{k+1,micro})⌋`, one division then one ln —
+    * oracle-mirrored token for token), the term sum is exact, and
+    * `alpha_milli = k·10⁹ div Σterms` is pure integer. NULL alpha when
+    * the top k+1 values are all equal (zero tail information).
+    *
+    * Output (one row): `(n, k, xk_micro, sum_ln_micro, alpha_milli)`.
+    *
+    * 100 TB shape: one TakeOrdered top-(k+1) (never a global sort), a
+    * k-row driver fold (model-sized, the k-means-centroid pattern),
+    * one-row output.
+    */
+  def hillTailIndex(
+      df: DataFrame,
+      valueCol: String,
+      k: Int = 100): DataFrame = {
+    require(k >= 2 && k <= 100000, s"k $k out of [2, 100000]")
+    val base = df
+      .filter(col(valueCol).isNotNull && col(valueCol).cast("double") > 0)
+      .select(floor(col(valueCol).cast("double") * 1e6).cast("long").as("__v"))
+      .filter(col("__v") > 0)
+      .localCheckpoint()
+    val n = base.count()
+    require(n > k,
+      s"hillTailIndex: need more than k=$k positive rows, got $n")
+    val top = base.orderBy(col("__v").desc).limit(k + 1)
+      .collect().map(_.getLong(0))
+    val xk1 = top.last
+    val sumLn = top.take(k).map(x =>
+      math.floor(1e6 * math.log(x.toDouble / xk1.toDouble)).toLong).sum
+    val alpha =
+      if (sumLn <= 0L) None
+      else Some(k.toLong * 1000000000L / sumLn)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, k.toLong, xk1, sumLn, alpha))
+      .toDF("n", "k", "xk_micro", "sum_ln_micro", "alpha_milli")
+  }
+
   /** Two-sample Anderson–Darling statistic (Pettitt's rank form) — the
     * TAIL-WEIGHTED member of the drift family: [[ksTestTwoSample]]
     * reads the single worst ECDF gap (dominated by the middle, where

@@ -2000,6 +2000,45 @@ class StatsOpsSpec extends SparkSuite {
     assert(!chow(only ++ stable).contains("solo"))
   }
 
+  test("captureRecapture: hand Chapman values, zero overlap defined") {
+    def cr(a: Seq[Long], b: Seq[Long]) = graft.ops.Dedup.captureRecapture(
+      a.toDF("id"), "id", b.toDF("id"), "id").collect()(0)
+    val r = cr(1L to 50L, 26L to 75L)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((50L, 50L, 25L)))
+    assert(r.getLong(3) == 51L * 51 / 26 - 1, r.toString) // = 99
+    assert(r.getLong(4) == 500000L && r.getLong(5) == 500000L)
+    // zero overlap: Chapman stays defined (the +1 correction)
+    assert(cr(Seq(1L, 2L), Seq(3L, 4L)).getLong(3) == 8L)
+    // duplicates collapse before counting
+    assert(cr(Seq(1L, 1L, 2L), Seq(2L, 2L)).getLong(0) == 2L)
+  }
+
+  test("hillTailIndex: scalar replay, equal-tail NULL, short input loud") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 40)
+      // Pareto-ish sample via inverse transform on a deterministic grid
+      val vals = (1 to 80).map(i =>
+        math.pow(1.0 - (i - 0.5) / 80.0, -1.0 / (1.0 + seed)) * 10.0)
+      val k = 10
+      def mic(x: Double) = math.floor(x * 1e6).toLong
+      val top = vals.map(mic).sorted.reverse.take(k + 1)
+      val xk1 = top.last
+      val want = top.take(k).map(x =>
+        math.floor(1e6 * math.log(x.toDouble / xk1.toDouble)).toLong).sum
+      val got = Features.hillTailIndex(vals.toDF("v"), "v", k = k)
+        .collect()(0)
+      assert(got.getLong(3) == want, s"seed=$seed")
+      assert(got.getLong(4) == 10L * 1000000000L / want, s"seed=$seed")
+    }
+    // all-equal tail: zero information, NULL alpha
+    val eq = Features.hillTailIndex(
+      Seq.fill(20)(5.0).toDF("v"), "v", k = 5).collect()(0)
+    assert(eq.getLong(3) == 0L && eq.isNullAt(4))
+    intercept[IllegalArgumentException] {
+      Features.hillTailIndex(Seq(1.0, 2.0).toDF("v"), "v", k = 5)
+    }
+  }
+
   test("yulesK: hand K, size invariance under replication") {
     val d = Seq((1L, "s1", "a a b")).toDF("id", "src", "text")
     val r = Corpus.yulesK(d, "src", "text").collect()(0)

@@ -437,6 +437,54 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming Page-Hinkley matches the batch recurrence row for row") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import scala.concurrent.duration._
+
+    val rnd = new scala.util.Random(11)
+    val rows = for (k <- Seq("a", "b"); i <- 1 to 40) yield {
+      val base = if (k == "a" && i > 20) 30.0 else 5.0 // 'a' shifts mid-way
+      (k, i.toLong, 1000L * i, base + rnd.nextInt(100) / 50.0)
+    }
+    val lambda = 40000000L
+
+    val stream = MemoryStream[(String, Long, Long, Double)]
+    val sdf = stream.toDF().toDF("k", "id", "t_ms", "v")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(col("t_ms")))
+    val out = graft.streaming.StreamingPageHinkley.monitor(
+      sdf, keyCol = "k", tsCol = "ts", tieCol = "id", valueCol = "v",
+      lambdaMicro = lambda, lateness = 5.seconds)
+    val query = out.writeStream.format("memory").queryName("s_ph_out")
+      .outputMode("append").start()
+    try {
+      // feed in global event-time order: the watermark advances with
+      // the chunks, so no key's early rows arrive already-late
+      rows.sortBy(_._3).grouped(25).foreach { chunk =>
+        stream.addData(chunk: _*); query.processAllAvailable()
+      }
+      stream.addData(("wm", 999L, 7200000L, 0.0)); query.processAllAvailable()
+      stream.addData(("wm", 998L, 14400000L, 0.0)); query.processAllAvailable()
+
+      val got = spark.sql(
+        """SELECT k, CAST(MAX(ph_micro) AS BIGINT) ph,
+             MIN(CASE WHEN alarmed THEN ts_ms END) first_alarm
+           FROM s_ph_out WHERE k != 'wm' GROUP BY k""")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      val batch = graft.ops.TimeSeries.pageHinkley(
+        rows.toDF("k", "id", "t_ms", "v").select(
+          col("k"), col("t_ms"), col("v")),
+        "k", "t_ms", "v", lambdaMicro = lambda)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("ph_micro"),
+            if (r.isNullAt(3)) -1L else r.getAs[Long]("alarm_bucket"))).toMap
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got("a")._2 > 0L && got("b")._2 == -1L, got.toString)
+    } finally query.stop()
+  }
+
   test("streaming dedup marks event-time duplicates deterministically") {
     val spark2 = spark
     import spark2.implicits._
