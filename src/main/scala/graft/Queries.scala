@@ -10202,6 +10202,52 @@ object Queries {
           AS alpha_milli
       FROM n, xk, t"""))
 
+  /** Standardized-mean-difference balance check of the value covariate
+    * between the user-parity arms within each event-type stratum — the
+    * pre-flight every stratified effect estimate owes its reader.
+    */
+  private val q309 = Q(
+    "q309_covariate_balance",
+    (spark, dir) => Causal.covariateBalance(
+      pq(spark, dir, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull &&
+          col("value").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b")),
+      "event_type", "arm", "value"),
+    Some("""WITH b AS (SELECT event_type::VARCHAR s,
+          CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END g,
+          floor(value * 1e6)::BIGINT v FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND value IS NOT NULL),
+      m AS (SELECT s, g, COUNT(*)::BIGINT n, SUM(v::HUGEINT) sv,
+          SUM(v::HUGEINT * v) qv FROM b GROUP BY 1, 2),
+      j AS (SELECT a.s, a.n an, a.sv asv, a.qv aqv,
+          c.n bn, c.sv bsv, c.qv bqv
+        FROM (SELECT * FROM m WHERE g = 'arm_a') a
+        JOIN (SELECT * FROM m WHERE g = 'arm_b') c ON a.s = c.s),
+      r AS (SELECT s, an, bn, asv, bsv,
+          (CASE WHEN an >= 2 AND bn >= 2 AND
+              (aqv::DOUBLE - asv::DOUBLE * asv::DOUBLE / an) / (an - 1)
+              + (bqv::DOUBLE - bsv::DOUBLE * bsv::DOUBLE / bn) / (bn - 1)
+                > 0 THEN
+            floor(1000.0 * (asv::DOUBLE / an - bsv::DOUBLE / bn)
+              / sqrt((
+                (aqv::DOUBLE - asv::DOUBLE * asv::DOUBLE / an) / (an - 1)
+                + (bqv::DOUBLE - bsv::DOUBLE * bsv::DOUBLE / bn)
+                  / (bn - 1)) / 2.0)) END)::BIGINT smd
+        FROM j)
+      SELECT s AS stratum, an AS n_a, bn AS n_b,
+        (CASE WHEN asv >= 0 THEN asv // an
+          ELSE -((-asv) // an) END)::BIGINT AS mean_a_micro,
+        (CASE WHEN bsv >= 0 THEN bsv // bn
+          ELSE -((-bsv) // bn) END)::BIGINT AS mean_b_micro,
+        smd AS smd_milli,
+        (CASE WHEN smd IS NULL THEN NULL
+          ELSE abs(smd) < 100 END) AS balanced
+      FROM r"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -10229,7 +10275,7 @@ object Queries {
     q275, q276, q277, q278, q279, q280, q281, q282,
     q283, q284, q285, q286, q287, q288, q289, q290, q291, q292,
     q293, q294, q295, q296, q297, q298, q299, q300, q301,
-    q302, q303, q304, q305, q306, q307, q308)
+    q302, q303, q304, q305, q306, q307, q308, q309)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

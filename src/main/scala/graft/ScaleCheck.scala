@@ -1156,9 +1156,20 @@ object ScaleCheck {
       graft.ops.Features.hillTailIndex(counts, "cnt", k = 10)
       (System.nanoTime() - t0) / 1e9
     }
+    def covBalanceTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("event_type").isNotNull &&
+          col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2)) === 0, "a").otherwise("b"))
+      val t0 = System.nanoTime()
+      graft.ops.Causal.covariateBalance(base, "event_type", "arm", "value")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     for ((name, f) <- Seq(
       ("capture_recap", captureRecaptureTime _),
-      ("hill_tail", hillTailTime _)) if wanted(name)) {
+      ("hill_tail", hillTailTime _),
+      ("cov_balance", covBalanceTime _)) if wanted(name)) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-16s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")

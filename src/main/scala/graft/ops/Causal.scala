@@ -782,4 +782,82 @@ object Causal {
         "exposure_ms_a", "exposure_ms_b", "rate_a_micro", "rate_b_micro",
         "rate_ratio_micro", "z_milli", "significant")
   }
+
+  /** Covariate balance (standardized mean difference) per stratum —
+    * the pre-flight check every [[stratifiedAte]] / matched analysis
+    * owes its reader: within each stratum, how far apart do the two
+    * arms sit on a covariate, in pooled-SD units?
+    *
+    *   {{{ SMD = (x̄_a − x̄_b) / √((s²_a + s²_b)/2) }}}
+    *
+    * |SMD| < 0.1 is the conventional "balanced" bar (`balanced`
+    * column compares |smd_milli| < 100). An imbalanced stratum means
+    * the within-stratum comparison is NOT as-good-as-random on this
+    * covariate — fix the stratification before reading the effect.
+    *
+    * Exactness: micro-floored values, exact decimal moments per
+    * (stratum, arm); the SMD is ONE fixed double tree (means and
+    * sample variances as single divisions of exact integers — q220
+    * contract), floored to milli. NULL when either arm has < 2 rows
+    * or the pooled variance degenerates; strata missing an arm
+    * entirely produce no row (nothing to compare).
+    *
+    * Output per stratum: `(stratum, n_a, n_b, mean_a_micro,
+    * mean_b_micro, smd_milli, balanced)`; arms ordered
+    * lexicographically, exactly 2 required.
+    *
+    * 100 TB shape: one (stratum, arm) map-side-combined moment
+    * groupBy, a stratum-keyed 2-row pivot join, map-only SMD — the
+    * [[Features.chowTest]] plan.
+    */
+  def covariateBalance(
+      df: DataFrame,
+      strataCol: String,
+      armCol: String,
+      covariateCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(strataCol).isNotNull && col(armCol).isNotNull &&
+        col(covariateCol).isNotNull)
+      .select(col(strataCol).cast("string").as("__s"),
+        col(armCol).cast("string").as("__g"),
+        floor(col(covariateCol).cast("double") * 1e6).cast("long").as("__v"))
+      .localCheckpoint()
+    val arms = base.select("__g").distinct().orderBy("__g")
+      .collect().map(_.getString(0))
+    require(arms.length == 2,
+      s"covariateBalance: exactly 2 arms required, got ${arms.length}")
+    val (ga, gb) = (arms(0), arms(1))
+    val m = base.groupBy("__s", "__g").agg(
+      count(lit(1)).as("n"),
+      sum(col("__v").cast(dec)).as("sv"),
+      sum(expr(s"cast(__v as $dec) * __v")).as("qv"))
+    def side(g: String, p: String) = m.filter(col("__g") === g)
+      .select(col("__s"), col("n").as(s"${p}n"), col("sv").as(s"${p}s"),
+        col("qv").as(s"${p}q"))
+    side(ga, "a_").join(side(gb, "b_"), Seq("__s"))
+      .withColumn("smd_milli", expr(
+        s"""cast(case when a_n >= 2 and b_n >= 2 and
+            (cast(a_q as double) - cast(a_s as double) * cast(a_s as double) / a_n)
+              / (a_n - 1)
+            + (cast(b_q as double) - cast(b_s as double) * cast(b_s as double) / b_n)
+              / (b_n - 1) > 0 then
+          floor(1000.0 *
+            (cast(a_s as double) / a_n - cast(b_s as double) / b_n)
+            / sqrt((
+              (cast(a_q as double) - cast(a_s as double) * cast(a_s as double) / a_n)
+                / (a_n - 1)
+              + (cast(b_q as double) - cast(b_s as double) * cast(b_s as double) / b_n)
+                / (b_n - 1)) / 2.0))
+          end as long)"""))
+      .select(col("__s").as("stratum"), col("a_n").as("n_a"),
+        col("b_n").as("n_b"),
+        expr(s"cast(${floorDivExpr("a_s", "a_n")} as long)")
+          .as("mean_a_micro"),
+        expr(s"cast(${floorDivExpr("b_s", "b_n")} as long)")
+          .as("mean_b_micro"),
+        col("smd_milli"),
+        when(col("smd_milli").isNull, lit(null).cast("boolean"))
+          .otherwise(abs(col("smd_milli")) < 100L).as("balanced"))
+  }
 }

@@ -2013,6 +2013,53 @@ class StatsOpsSpec extends SparkSuite {
     assert(cr(Seq(1L, 1L, 2L), Seq(2L, 2L)).getLong(0) == 2L)
   }
 
+  test("covariateBalance: balanced arms pass, shifted stratum flagged, scalar replay") {
+    def cb(rows: Seq[(String, String, Double)]) = Causal.covariateBalance(
+      rows.toDF("s", "g", "v"), "s", "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // stratum "ok": identical arms; stratum "bad": arm a shifted +10
+    val rows =
+      (1 to 20).flatMap(i => Seq(
+        ("ok", "a", i / 2.0), ("ok", "b", i / 2.0),
+        ("bad", "a", i / 2.0 + 10.0), ("bad", "b", i / 2.0)))
+    val out = cb(rows)
+    assert(out("ok").getAs[Long]("smd_milli") == 0L &&
+      out("ok").getAs[Boolean]("balanced"))
+    assert(math.abs(out("bad").getAs[Long]("smd_milli")) > 1000L &&
+      !out("bad").getAs[Boolean]("balanced"))
+    // degenerate variance (both arms constant): NULL smd, NULL balanced
+    val const = cb((1 to 5).flatMap(_ => Seq(("c", "a", 2.0), ("c", "b", 5.0))))
+    assert(const("c").isNullAt(5) && const("c").isNullAt(6))
+    // a stratum missing an arm produces no row
+    assert(!cb(rows ++ Seq(("solo", "a", 1.0), ("solo", "a", 2.0)))
+      .contains("solo"))
+    // scalar replay of the double tree
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rs = Seq.fill(40)(("s1",
+        if (rnd.nextBoolean()) "a" else "b", rnd.nextInt(100) / 10.0))
+      val byArm = rs.groupBy(_._2)
+      if (byArm.size == 2 && byArm.values.forall(_.size >= 2)) {
+        def mic(v: Double) = math.floor(v * 1e6).toLong
+        def mom(g: String) = {
+          val vs = byArm(g).map(r => mic(r._3))
+          (vs.size.toLong, vs.map(BigInt(_)).sum,
+            vs.map(v => BigInt(v) * v).sum)
+        }
+        val (an, as_, aq) = mom("a"); val (bn, bs, bq) = mom("b")
+        val va = (aq.toDouble - as_.toDouble * as_.toDouble / an) / (an - 1)
+        val vb = (bq.toDouble - bs.toDouble * bs.toDouble / bn) / (bn - 1)
+        val want: Any =
+          if (va + vb <= 0) null
+          else math.floor(1000.0 * (as_.toDouble / an - bs.toDouble / bn) /
+            math.sqrt((va + vb) / 2.0)).toLong
+        val got = cb(rs)("s1")
+        val gotV: Any = if (got.isNullAt(5)) null else got.getLong(5)
+        assert(gotV == want, s"seed=$seed")
+      }
+    }
+  }
+
   test("hillTailIndex: scalar replay, equal-tail NULL, short input loud") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed + 40)

@@ -485,6 +485,69 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming seasonal anomaly scores against strictly-earlier phase history") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import scala.concurrent.duration._
+
+    // phase = (t/1000) % 3; phases carry distinct baselines 10/20/30
+    // with small deterministic jitter; one planted spike in phase 1
+    val rows = (0 until 36).map { i =>
+      val t = 1000L * (i + 1)
+      val phase = ((i + 1) % 3)
+      val v =
+        if (i == 28) 95.0 // planted anomaly (phase (29 % 3) = 2)
+        else 10.0 * (phase + 1) + (i % 5) * 0.3
+      ("k", i.toLong, t, v)
+    }
+    val stream = MemoryStream[(String, Long, Long, Double)]
+    val sdf = stream.toDF().toDF("k", "id", "t_ms", "v")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(col("t_ms")))
+    val out = graft.streaming.StreamingSeasonal.monitor(
+      sdf, keyCol = "k", tsCol = "ts", tieCol = "id", valueCol = "v",
+      period = 3, bucketMs = 1000L, zThresholdMilli = 4000L,
+      lateness = 2.seconds)
+    val query = out.writeStream.format("memory").queryName("s_seas_out")
+      .outputMode("append").start()
+    try {
+      rows.grouped(12).foreach { c => stream.addData(c: _*); query.processAllAvailable() }
+      stream.addData(("wm", 999L, 7200000L, 0.0)); query.processAllAvailable()
+      stream.addData(("wm", 998L, 14400000L, 0.0)); query.processAllAvailable()
+
+      val got = spark.sql(
+        """SELECT id, phase, n_prior, z_milli, anomalous FROM s_seas_out
+           WHERE k = 'k' ORDER BY ts_ms""")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
+          if (r.isNullAt(4)) null else java.lang.Boolean.valueOf(r.getBoolean(4))))
+      // scalar replay: same pre-update integer moments per phase
+      var ph = Map.empty[Int, (Long, BigInt, BigInt)]
+      val want = rows.map { case (_, id, t, v) =>
+        val phase = ((t / 1000) % 3).toInt
+        val vm = math.floor(v * 1e6).toLong
+        val (n, s, q) = ph.getOrElse(phase, (0L, BigInt(0), BigInt(0)))
+        val z: java.lang.Long =
+          if (n < 2) null
+          else {
+            val varN2 = BigInt(n) * q - s * s
+            if (varN2 <= 0) null
+            else java.lang.Long.valueOf(math.floor(1000.0 *
+              (BigInt(n) * vm - s).toDouble /
+              math.sqrt((BigInt(n) * varN2).toDouble / (n - 1).toDouble)).toLong)
+          }
+        ph = ph.updated(phase, (n + 1, s + vm, q + BigInt(vm) * vm))
+        (id, phase, n, z,
+          if (z == null) null
+          else java.lang.Boolean.valueOf(math.abs(z) >= 4000L))
+      }
+      assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+      // exactly the planted spike alarms
+      val alarms = got.filter(g => g._5 != null && g._5.booleanValue()).map(_._1)
+      assert(alarms.toSeq == Seq(28L), alarms.toSeq.toString)
+    } finally query.stop()
+  }
+
   test("streaming dedup marks event-time duplicates deterministically") {
     val spark2 = spark
     import spark2.implicits._

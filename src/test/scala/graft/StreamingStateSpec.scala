@@ -126,6 +126,39 @@ class StreamingStateSpec extends SparkSuite {
     assert(s8.finalRows <= 8, s"$s8")
   }
 
+  test("seasonal monitor state is O(period), independent of row rate") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def run(mult: Int, tag: String): StateStats = {
+      val stream = MemoryStream[(String, Long, Long, Double)]
+      val sdf = stream.toDF().toDF("k", "id", "t_ms", "v")
+        .withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_millis(org.apache.spark.sql.functions.col("t_ms")))
+      val out = graft.streaming.StreamingSeasonal.monitor(
+        sdf, "k", "ts", "id", "v", period = 24, bucketMs = 1000L,
+        zThresholdMilli = 4000L, lateness = 2.seconds)
+      // fixed 200-row chunks: the pending buffer (batch-sized by
+      // construction) stays constant, so the measurement isolates the
+      // phase-moment state the claim is about
+      val rows = (1 until 400).flatMap(i => (0 until mult).map(j =>
+        ("k", i * 100L + j, 1000L * i, 10.0 + (i % 24))))
+      val chunks: Seq[() => Unit] = rows.grouped(200).map(c => () => {
+        stream.addData(c: _*); ()
+      }).toSeq
+      measure(out, s"seas_state_$tag")(chunks ++ Seq[() => Unit](
+        () => { stream.addData(("wm", 9L, 7200000L, 0.0)); () },
+        () => { stream.addData(("wm", 8L, 14400000L, 0.0)); () }): _*)
+    }
+    val s1 = run(1, "m1")
+    val s8 = run(8, "m8")
+    info(s"seasonal 1x: $s1  8x: $s8")
+    // 2 keys (k + wm sentinel) either way; phase moments are fixed-size
+    assert(s8.peakRows <= s1.peakRows + 1, s"$s1 vs $s8")
+    assert(s8.peakBytes.toDouble <= 3.0 * s1.peakBytes, s"$s1 vs $s8")
+  }
+
   test("dedup state is per-key O(1) settled and horizon-evicted") {
     val spark2 = spark
     import spark2.implicits._
