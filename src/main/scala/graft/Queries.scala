@@ -10248,6 +10248,69 @@ object Queries {
           ELSE abs(smd) < 100 END) AS balanced
       FROM r"""))
 
+  /** Pairwise cosine of label centroids over the embeddings table —
+    * the corpus-slice similarity map; exact integer sum vectors, one
+    * double tree per pair.
+    */
+  private val q310 = Q(
+    "q310_centroid_matrix",
+    (spark, dir) => Similarity.centroidCosineMatrix(
+      pq(spark, dir, "embeddings"), "label", "embedding"),
+    Some("""WITH ax AS (SELECT label::VARCHAR g,
+          unnest(generate_series(0, len(embedding) - 1)) d,
+          round(unnest(embedding)::DOUBLE * 1000000)::BIGINT m
+        FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+      s AS (SELECT g, d, SUM(m)::BIGINT sv FROM ax GROUP BY 1, 2),
+      n AS (SELECT label::VARCHAR g, COUNT(*)::BIGINT n FROM embeddings
+        WHERE label IS NOT NULL AND embedding IS NOT NULL GROUP BY 1),
+      p AS (SELECT a.g ga, b.g gb, SUM(a.sv::HUGEINT * b.sv) dot
+        FROM s a JOIN s b ON a.d = b.d AND a.g < b.g GROUP BY 1, 2),
+      nn AS (SELECT g, SUM(sv::HUGEINT * sv) n2 FROM s GROUP BY 1)
+      SELECT p.ga AS grp_a, p.gb AS grp_b, na.n AS n_a, nb.n AS n_b,
+        (CASE WHEN a2.n2 > 0 AND b2.n2 > 0 THEN
+          floor(1000.0 * p.dot::DOUBLE
+            / sqrt(a2.n2::DOUBLE * b2.n2::DOUBLE)) END)::BIGINT
+          AS cos_milli
+      FROM p JOIN n na ON na.g = p.ga JOIN n nb ON nb.g = p.gb
+        JOIN nn a2 ON a2.g = p.ga JOIN nn b2 ON b2.g = p.gb"""))
+
+  /** Diagonal-Mahalanobis joint-outlier audit over (n_chars, n_tokens)
+    * of the documents table — top-20 rows by exact integer Σ⌊10⁶·z²⌋.
+    */
+  private val q311 = Q(
+    "q311_multivariate_outliers",
+    (spark, dir) => Features.multivariateOutliers(
+      pq(spark, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+        .withColumn("n_tokens",
+          size(split(trim(col("text")), " ")).cast("double")),
+      "doc_id", Seq("n_chars", "n_tokens"), k = 20),
+    Some("""WITH b AS (SELECT doc_id,
+          floor(n_chars::DOUBLE * 1e6)::BIGINT v0,
+          floor(len(string_split(trim(text), ' '))::DOUBLE * 1e6)::BIGINT v1
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+          AND n_chars IS NOT NULL),
+      m AS (SELECT COUNT(*)::HUGEINT n, SUM(v0::HUGEINT) s0,
+          SUM(v0::HUGEINT * v0) q0, SUM(v1::HUGEINT) s1,
+          SUM(v1::HUGEINT * v1) q1 FROM b),
+      sc AS (SELECT doc_id, n,
+          (CASE WHEN n >= 2 AND n * q0 - s0 * s0 > 0 THEN
+            floor(1000000.0 * ((n * v0 - s0) * (n * v0 - s0))::DOUBLE
+              / (n::DOUBLE * (n * q0 - s0 * s0)::DOUBLE
+                / (n::DOUBLE - 1.0))) ELSE 0 END)
+          + (CASE WHEN n >= 2 AND n * q1 - s1 * s1 > 0 THEN
+            floor(1000000.0 * ((n * v1 - s1) * (n * v1 - s1))::DOUBLE
+              / (n::DOUBLE * (n * q1 - s1 * s1)::DOUBLE
+                / (n::DOUBLE - 1.0))) ELSE 0 END) score,
+          (CASE WHEN n * q0 - s0 * s0 > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN n * q1 - s1 * s1 > 0 THEN 1 ELSE 0 END) used
+        FROM b, m),
+      r AS (SELECT doc_id, score, used, n,
+          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) rk FROM sc)
+      SELECT rk AS rank, doc_id AS id, score::BIGINT AS score_micro,
+        used::BIGINT AS n_cols_used, n::BIGINT AS n
+      FROM r WHERE rk <= 20"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -10275,7 +10338,7 @@ object Queries {
     q275, q276, q277, q278, q279, q280, q281, q282,
     q283, q284, q285, q286, q287, q288, q289, q290, q291, q292,
     q293, q294, q295, q296, q297, q298, q299, q300, q301,
-    q302, q303, q304, q305, q306, q307, q308, q309)
+    q302, q303, q304, q305, q306, q307, q308, q309, q310, q311)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

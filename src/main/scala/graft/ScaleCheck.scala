@@ -1166,10 +1166,21 @@ object ScaleCheck {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    def mvOutTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("event_id").isNotNull &&
+          col("value").isNotNull && col("user_id").isNotNull)
+        .withColumn("u100", (col("user_id") % 100).cast("double"))
+      val t0 = System.nanoTime()
+      graft.ops.Features.multivariateOutliers(base, "event_id",
+          Seq("value", "u100"), k = 20)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     for ((name, f) <- Seq(
       ("capture_recap", captureRecaptureTime _),
       ("hill_tail", hillTailTime _),
-      ("cov_balance", covBalanceTime _)) if wanted(name)) {
+      ("cov_balance", covBalanceTime _),
+      ("mv_outliers", mvOutTime _)) if wanted(name)) {
       val t1 = f(ev1, s"${name}_1")
       val tN = f(evN, s"${name}_N")
       println(f"$name%-16s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
@@ -1184,6 +1195,17 @@ object ScaleCheck {
       val t1 = yulesKTime(doc1, "yules_k_1")
       val tN = yulesKTime(docNPlain, "yules_k_N")
       println(f"yules_k          1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
+    def centroidMatrixTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Similarity.centroidCosineMatrix(df, "label", "embedding")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (wanted("centroid_matrix")) {
+      val t1 = centroidMatrixTime(em1, "cm_1")
+      val tN = centroidMatrixTime(emN, "cm_N")
+      println(f"centroid_matrix  1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
     spark.stop()
   }

@@ -1722,6 +1722,76 @@ object Features {
           end as long)""").as("f_milli"))
   }
 
+  /** Multivariate (diagonal-Mahalanobis) outlier audit — the top-k rows
+    * most extreme JOINTLY across several metric columns: a row can sit
+    * inside every marginal's comfortable range and still be wildly
+    * atypical in combination (long doc + tiny vocabulary + perfect
+    * quality score). The k-column generalization of [[grubbsOutliers]];
+    * the diagonal form (per-column z², no cross-covariance) is the
+    * standard first-pass screen — it needs only marginal moments, so it
+    * stays one collapsing pass at any scale.
+    *
+    * Exactness: values micro-floor once; each column's z² uses the
+    * n-scaled exact form `(n·v − S)² / (n·(n·Q − S²)/(n−1))` — one
+    * double tree per column from exact decimal moments — and the score
+    * is `Σ_c ⌊10⁶·z_c²⌋`, an EXACT integer (per-term floor, documented)
+    * so the (score DESC, id ASC) ranking is bit-deterministic and
+    * oracle-replayable. Degenerate columns (zero variance) contribute
+    * 0 to every row (no information, not infinity).
+    *
+    * Output: top `k` rows `(rank, id, score_micro, n_cols_used, n)`.
+    *
+    * 100 TB shape: ONE map-side-combined moment pass (one row, 3·k
+    * numbers), broadcast back, a map-only score projection, one
+    * [[Ranks.globalRank]] range exchange, k output rows.
+    */
+  def multivariateOutliers(
+      df: DataFrame,
+      idCol: String,
+      valueCols: Seq[String],
+      k: Int = 20): DataFrame = {
+    require(valueCols.nonEmpty, "multivariateOutliers needs value columns")
+    require(k >= 1, s"k $k must be >= 1")
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(idCol).isNotNull &&
+        valueCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(col(idCol).as("id") +: valueCols.zipWithIndex.map {
+        case (c, i) =>
+          floor(col(c).cast("double") * 1e6).cast("long").as(s"__v$i")
+      }: _*)
+      .localCheckpoint()
+    val momAggs = valueCols.indices.flatMap { i =>
+      Seq(sum(col(s"__v$i").cast(dec)).as(s"s$i"),
+        sum(expr(s"cast(__v$i as $dec) * __v$i")).as(s"q$i"))
+    }
+    val mom = base.agg(count(lit(1)).as("n"), momAggs: _*)
+    val scored = base.crossJoin(broadcast(mom))
+    val termExprs = valueCols.indices.map { i =>
+      // ⌊10⁶·z²⌋ per column; zero-variance columns contribute 0
+      s"""case when n >= 2 and cast(n as $dec) * q$i - s$i * s$i > 0 then
+           cast(floor(1000000.0 *
+             cast((cast(n as $dec) * __v$i - s$i)
+               * (cast(n as $dec) * __v$i - s$i) as double)
+             / (cast(n as double)
+                * cast(cast(n as $dec) * q$i - s$i * s$i as double)
+                / (cast(n as double) - 1.0))) as long)
+         else 0L end"""
+    }
+    val usedExprs = valueCols.indices.map { i =>
+      s"case when cast(n as $dec) * q$i - s$i * s$i > 0 then 1 else 0 end"
+    }
+    val withScore = scored
+      .withColumn("score_micro", expr(termExprs.mkString(" + ")))
+      .withColumn("n_cols_used", expr(usedExprs.mkString(" + ")).cast("long"))
+    Ranks.globalRank(
+        withScore.select(col("id"), col("score_micro"), col("n_cols_used"), col("n")),
+        Seq(col("score_micro") * -1, col("id")), "rank")
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("id"), col("score_micro"),
+        col("n_cols_used"), col("n"))
+  }
+
   /** Hill tail-index estimator — HOW heavy is a heavy tail? Over the
     * top k+1 order statistics of a positive metric (degrees, doc
     * lengths, per-user event counts, bucket sizes):

@@ -1211,4 +1211,86 @@ object Similarity {
         (col("__v") * flip).as("pc_micro"),
         lit(score).as("score_micro"))
   }
+
+  /** Pairwise cosine matrix of group centroids — the corpus-slice
+    * similarity map: which labels / sources / clusters sit in the same
+    * region of embedding space? The between-slice companion to
+    * [[centroidDrift]] (same slice across time) and [[classCentroids]]
+    * (the centroids themselves): read it before merging taxonomy
+    * labels, choosing contrastive negatives, or trusting a per-source
+    * balance that two near-identical sources quietly break.
+    *
+    * Exactness: cosine is SCALE-INVARIANT, so each group is represented
+    * by its exact integer micro SUM vector (no per-dimension mean
+    * floor — `cos(Σa, Σb) = cos(ā, b̄)` identically) and each pair's
+    * cosine is one fixed double tree (`dot/√(‖a‖²·‖b‖²)` of BigInt
+    * exact products), floored to milli. NULL for a zero-vector side.
+    *
+    * Output: one row per unordered pair `(grp_a < grp_b, n_a, n_b,
+    * cos_milli)`.
+    *
+    * Overflow: Σ components in int64 to ~10¹² vectors per group at
+    * |x| ≤ 100; pair products ride BigInt on the driver.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(group, dim) — the
+    * corpus's only shuffle; the (groups × dim) sum table (hard
+    * `maxGroups` require) collects to the driver like a k-means
+    * centroid table and the k² pairing is model-sized arithmetic.
+    */
+  def centroidCosineMatrix(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      maxGroups: Int = 1000): DataFrame = {
+    require(maxGroups >= 2, s"maxGroups $maxGroups must be >= 2")
+    val sums = df
+      .filter(col(groupCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .select(col("__g"), col("__d"),
+        round(col("__x").cast("double") * 1e6).cast("long").as("__m"))
+      .groupBy("__g", "__d").agg(sum("__m").as("__s"))
+      .localCheckpoint()
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(vecCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.size <= maxGroups,
+      s"centroidCosineMatrix: ${counts.size} groups exceed maxGroups=" +
+        s"$maxGroups — the pair matrix is groups², bucket the label first")
+    val vecs: Map[String, Map[Int, Long]] = sums.collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      }
+    val gs = counts.keys.toSeq.sorted
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Long, Option[Long])]
+    var i = 0
+    while (i < gs.length) {
+      var j = i + 1
+      while (j < gs.length) {
+        val ga = gs(i); val gb = gs(j)
+        val va: Map[Int, Long] = vecs.getOrElse(ga, Map.empty)
+        val vb: Map[Int, Long] = vecs.getOrElse(gb, Map.empty)
+        var dot = BigInt(0); var na2 = BigInt(0); var nb2 = BigInt(0)
+        (va.keySet ++ vb.keySet).foreach { d =>
+          dot += BigInt(va.getOrElse(d, 0L)) * BigInt(vb.getOrElse(d, 0L))
+        }
+        va.values.foreach(v => na2 += BigInt(v) * BigInt(v))
+        vb.values.foreach(v => nb2 += BigInt(v) * BigInt(v))
+        val cos: Option[Long] =
+          if (na2 == 0 || nb2 == 0) None
+          else Some(math.floor(1000.0 * dot.toDouble /
+            math.sqrt(na2.toDouble * nb2.toDouble)).toLong)
+        out += ((ga, gb, counts(ga), counts(gb), cos))
+        j += 1
+      }
+      i += 1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("grp_a", "grp_b", "n_a", "n_b", "cos_milli")
+  }
 }

@@ -2060,6 +2060,64 @@ class StatsOpsSpec extends SparkSuite {
     }
   }
 
+  test("centroidCosineMatrix: orthogonal 0, 45-degree 707, zero vector NULL") {
+    def ccm(rows: Seq[(Long, String, Seq[Double])]) =
+      graft.ops.Similarity.centroidCosineMatrix(
+        rows.toDF("id", "g", "vec"), "g", "vec")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)))).toMap
+    val out = ccm(Seq(
+      (1L, "x", Seq(1.0, 0.0)), (2L, "x", Seq(1.0, 0.0)),
+      (3L, "y", Seq(0.0, 1.0)),
+      (4L, "d", Seq(1.0, 1.0)),
+      (5L, "z", Seq(0.0, 0.0))))
+    assert(out(("x", "y")) == 0L)
+    assert(out(("d", "x")) >= 706L && out(("d", "x")) <= 708L)
+    assert(out(("x", "z")) == null) // zero-vector side
+    // centroid = sum direction: scaling one group's counts changes nothing
+    val scaled = ccm(Seq(
+      (1L, "x", Seq(1.0, 0.0)),
+      (3L, "y", Seq(1.0, 2.0)), (4L, "y", Seq(1.0, 2.0)), (5L, "y", Seq(1.0, 2.0))))
+    val one = ccm(Seq((1L, "x", Seq(1.0, 0.0)), (3L, "y", Seq(1.0, 2.0))))
+    assert(scaled(("x", "y")) == one(("x", "y")))
+    // cap is loud
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.centroidCosineMatrix(
+        (1 to 9).map(i => (i.toLong, s"g$i", Seq(1.0))).toDF("id", "g", "vec"),
+        "g", "vec", maxGroups = 4)
+    }
+  }
+
+  test("multivariateOutliers: joint outlier outranks marginal ones, scalar replay") {
+    // columns correlated ~y=x; row 99 is marginally ordinary in each
+    // column but jointly extreme enough to top the diagonal score? No —
+    // diagonal z² cannot see correlation; assert instead that the row
+    // extreme in BOTH columns beats rows extreme in one
+    val rows = (1 to 50).map(i => (i.toLong, (i % 10).toDouble, ((i + 3) % 10).toDouble)) ++
+      Seq((98L, 40.0, 5.0), (99L, 40.0, 40.0))
+    val spark2 = spark
+    import spark2.implicits._
+    val out = Features.multivariateOutliers(
+      rows.toDF("id", "a", "b"), "id", Seq("a", "b"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.head._2 == 99L, out.toSeq.toString) // both-column outlier first
+    assert(out(1)._2 == 98L, out.toSeq.toString)
+    // scalar replay of the exact per-term-floored score for the top row
+    def mic(x: Double) = math.floor(x * 1e6).toLong
+    val n = rows.size.toLong
+    def colScore(sel: ((Long, Double, Double)) => Double, v: Double): Long = {
+      val vs = rows.map(r => BigInt(mic(sel(r))))
+      val s = vs.sum; val q = rows.map(r => BigInt(mic(sel(r))) * mic(sel(r))).sum
+      val d = BigInt(n) * q - s * s
+      if (d <= 0) 0L
+      else math.floor(1000000.0 *
+        ((BigInt(n) * mic(v) - s) * (BigInt(n) * mic(v) - s)).toDouble /
+        (n.toDouble * d.toDouble / (n - 1).toDouble)).toLong
+    }
+    val want99 = colScore(_._2, 40.0) + colScore(_._3, 40.0)
+    assert(out.head._3 == want99, s"${out.head._3} != $want99")
+  }
+
   test("hillTailIndex: scalar replay, equal-tail NULL, short input loud") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed + 40)
