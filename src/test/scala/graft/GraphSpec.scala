@@ -344,6 +344,43 @@ class GraphSpec extends SparkSuite {
       .collect()(0).isNullAt(4))
   }
 
+  test("modularity matches a scalar replay on random graphs and partitions") {
+    val spark2 = spark
+    import spark2.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed + 110)
+      val nNodes = 16
+      val edges = (1 to 50).map(_ =>
+        (rnd.nextInt(nNodes).toLong + 1, rnd.nextInt(nNodes).toLong + 1)).toSet
+      val nComm = rnd.nextInt(3) + 2
+      val labels = (1L to nNodes.toLong).map(n => n -> s"c${rnd.nextInt(nComm)}").toMap
+      // scalar replay of the exact integer formula
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      val m = und.size.toLong
+      val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val dc = deg.groupBy { case (n, _) => labels(n) }
+        .map { case (c, ds) => c -> ds.values.sum }
+      val mc = und.toSeq.filter(e => labels(e._1) == labels(e._2))
+        .groupBy(e => labels(e._1)).map { case (c, es) => c -> es.size.toLong }
+      val num = dc.toSeq.map { case (c, d) =>
+        BigInt(4) * BigInt(m) * BigInt(mc.getOrElse(c, 0L)) -
+          BigInt(d) * BigInt(d)
+      }.sum
+      val want: Any =
+        if (m == 0) null
+        else if (num >= 0) (num * 1000000 / (4 * BigInt(m) * m)).toLong
+        else -((-num) * 1000000 / (4 * BigInt(m) * m)).toLong
+      val got = Graph.modularity(
+        edges.toSeq.toDF("s", "d"), "s", "d",
+        labels.toSeq.toDF("node", "lab"), "node", "lab").collect()(0)
+      val gotQ: Any = if (got.isNullAt(4)) null else got.getLong(4)
+      assert(gotQ == want, s"seed=$seed")
+      assert(got.getLong(2) == dc.size.toLong, s"seed=$seed communities")
+    }
+  }
+
   test("kCore matches an in-memory parallel-peel reference on random graphs") {
     val spark2 = spark
     import spark2.implicits._
