@@ -2380,7 +2380,7 @@ object Queries {
       val emb = pq(spark, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
-        .head.getSeq[Double](0)
+        .head().getSeq[Double](0)
       Similarity.mmrSelect(
         emb.filter(col("vec_id") < 60 && col("vec_id") =!= 0),
         "vec_id", "embedding", qv, k = 5, lambdaPct = 70)

@@ -30,7 +30,7 @@ object Ranks {
     require(sortCols.nonEmpty, "sortCols required")
     val sorted = df.orderBy(sortCols: _*)
     val schema = StructType(sorted.schema.fields :+ StructField(rankCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ (i + 1L))
     }
     df.sparkSession.createDataFrame(rdd, schema)

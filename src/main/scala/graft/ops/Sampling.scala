@@ -720,7 +720,7 @@ object Sampling {
       s"trainPermille $trainPermille must lie in (0, 1000)")
     require(embargoMs >= 0, s"embargoMs $embargoMs must be >= 0")
     val base = df.filter(col(tsMsCol).isNotNull)
-    val n = base.agg(count(lit(1))).head.getLong(0)
+    val n = base.agg(count(lit(1))).head().getLong(0)
     val pos = math.max(1L, n * trainPermille / 1000L)
     val cut = Ranks.orderStatistics(base, Seq(tsMsCol, tieCol), Seq(pos))
       .select(col(tsMsCol).as("__cut_ts"), col(tieCol).as("__cut_tie"))
