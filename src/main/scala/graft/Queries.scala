@@ -10259,10 +10259,12 @@ object Queries {
     Some("""WITH ax AS (SELECT label::VARCHAR g,
           unnest(generate_series(0, len(embedding) - 1)) d,
           round(unnest(embedding)::DOUBLE * 1000000)::BIGINT m
-        FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+          AND len(embedding) > 0),
       s AS (SELECT g, d, SUM(m)::BIGINT sv FROM ax GROUP BY 1, 2),
       n AS (SELECT label::VARCHAR g, COUNT(*)::BIGINT n FROM embeddings
-        WHERE label IS NOT NULL AND embedding IS NOT NULL GROUP BY 1),
+        WHERE label IS NOT NULL AND embedding IS NOT NULL
+          AND len(embedding) > 0 GROUP BY 1),
       p AS (SELECT a.g ga, b.g gb, SUM(a.sv::HUGEINT * b.sv) dot
         FROM s a JOIN s b ON a.d = b.d AND a.g < b.g GROUP BY 1, 2),
       nn AS (SELECT g, SUM(sv::HUGEINT * sv) n2 FROM s GROUP BY 1)

@@ -573,14 +573,22 @@ object Graph {
     * Output (one row): `(n_nodes, n_edges, n_communities, n_unlabeled,
     * q_micro)`; NULL q when the graph has no edges.
     *
-    * Overflow: D_c ≤ 2m so 4m·m_c − D_c² rides decimal(38,0) to
-    * m ≈ 10¹⁸ edges.
+    * Overflow: D_c ≤ 2m so D_c² — and ΣD_c² ≤ (ΣD_c)² = 4m² — rides
+    * decimal(38,0) to m ≈ 10¹⁸ edges; the ·10⁶ scaling and the final
+    * ratio run on driver-side BigInt from the two collected agg rows,
+    * so they add NO further wall (the DuckDB oracle's HUGEINT tree
+    * scales the numerator by 10⁶ in-engine and walls earlier, at
+    * m ≈ 1.5·10¹⁵ — academic at any real graph size).
     *
     * 100 TB shape: one degree groupBy, one broadcast-or-shuffle join of
     * degrees against the label table keyed by node, one label groupBy
     * (→ community-sized), one both-endpoint label join of the edge list
     * (two vertex-keyed joins), one one-row rollup. Everything after the
-    * joins is community-table-sized.
+    * joins is community-table-sized, and the whole op launches exactly
+    * TWO driver actions — one fused agg over the node table
+    * (n_nodes, n_unlabeled, Σdeg = 2m) and one fused agg over the
+    * community table (n_communities, Σm_c, ΣD_c²) — instead of a count
+    * per statistic.
     */
   def modularity(
       edges0: DataFrame,
@@ -605,8 +613,15 @@ object Graph {
       .unionByName(und.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("deg"))
     val degLab = deg.join(lab, Seq("x"), "left")
-    val nNodes = deg.count()
-    val nUnlabeled = degLab.filter(col("c").isNull).count()
+    // fused action 1: node-side stats in ONE pass (Σdeg = 2m, so the
+    // separate edge count is free)
+    val nodeRow = degLab.agg(
+      count(lit(1)).as("nn"),
+      count(when(col("c").isNull, lit(1))).as("nu"),
+      coalesce(sum(col("deg")), lit(0L)).as("sd")).head()
+    val nNodes = nodeRow.getLong(0)
+    val nUnlabeled = nodeRow.getLong(1)
+    val m = nodeRow.getLong(2) / 2
     val commDeg = degLab.filter(col("c").isNotNull)
       .groupBy("c").agg(sum(col("deg").cast(dec)).as("dc"))
     val intra = und
@@ -614,18 +629,28 @@ object Graph {
       .join(lab.select(col("x").as("v"), col("c").as("cv")), Seq("v"))
       .filter(col("cu") === col("cv"))
       .groupBy(col("cu").as("c")).agg(count(lit(1)).as("mc"))
-    val m = und.count()
     val comm = commDeg.join(intra, Seq("c"), "left")
       .select(col("c"), col("dc"), coalesce(col("mc"), lit(0L)).as("mc"))
-      .localCheckpoint()
-    val nComm = comm.count()
-    comm.agg(sum(expr(s"4 * ${m}L * cast(mc as $dec) - dc * dc")).as("__num"))
-      .select(lit(nNodes).as("n_nodes"), lit(m).as("n_edges"),
-        lit(nComm).as("n_communities"), lit(nUnlabeled).as("n_unlabeled"),
-        expr(s"""cast(case when ${m}L > 0 then
-            case when __num >= 0 then
-              __num * 1000000 div (4 * ${m}L * ${m}L)
-            else -((-(__num) * 1000000) div (4 * ${m}L * ${m}L)) end
-          end as long)""").as("q_micro"))
+    // fused action 2: community-side stats in ONE pass — Σm_c and ΣD_c²
+    // are independent of m, so the numerator 4m·Σm_c − ΣD_c² assembles
+    // exactly on the driver (BigInt, no decimal ·10⁶ wall)
+    val commRow = comm.agg(
+      count(lit(1)).as("nc"),
+      sum(col("mc").cast(dec)).as("smc"),
+      sum(expr(s"dc * dc")).as("sdc2")).head()
+    val nComm = commRow.getLong(0)
+    val q: Option[Long] =
+      if (m > 0 && !commRow.isNullAt(1) && !commRow.isNullAt(2)) {
+        val sMc = BigInt(commRow.getDecimal(1).toBigInteger)
+        val sDc2 = BigInt(commRow.getDecimal(2).toBigInteger)
+        val num = 4 * BigInt(m) * sMc - sDc2
+        // BigInt `/` truncates toward zero — identical to the oracle's
+        // sign-split HUGEINT `//` tree
+        Some(((num * 1000000) / (4 * BigInt(m) * BigInt(m))).toLong)
+      } else None
+    val spark = edges0.sparkSession
+    spark.range(1).select(lit(nNodes).as("n_nodes"), lit(m).as("n_edges"),
+      lit(nComm).as("n_communities"), lit(nUnlabeled).as("n_unlabeled"),
+      q.map(lit(_)).getOrElse(lit(null)).cast("long").as("q_micro"))
   }
 }

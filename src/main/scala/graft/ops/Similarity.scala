@@ -1223,19 +1223,28 @@ object Similarity {
     * Exactness: cosine is SCALE-INVARIANT, so each group is represented
     * by its exact integer micro SUM vector (no per-dimension mean
     * floor — `cos(Σa, Σb) = cos(ā, b̄)` identically) and each pair's
-    * cosine is one fixed double tree (`dot/√(‖a‖²·‖b‖²)` of BigInt
-    * exact products), floored to milli. NULL for a zero-vector side.
+    * cosine is one fixed double tree (`dot/√(‖a‖²·‖b‖²)` of exact
+    * decimal(38,0) products), floored to milli. NULL for a zero-vector
+    * side. Rows with EMPTY (zero-length) vectors are dropped up front —
+    * they carry no embedding, so they belong in neither the sums nor
+    * the counts (a group whose rows are all empty vanishes from the
+    * matrix entirely).
     *
     * Output: one row per unordered pair `(grp_a < grp_b, n_a, n_b,
     * cos_milli)`.
     *
     * Overflow: Σ components in int64 to ~10¹² vectors per group at
-    * |x| ≤ 100; pair products ride BigInt on the driver.
+    * |x| ≤ 100; pair products and their dim-sums ride decimal(38,0) —
+    * loud-NULL past ~10¹⁰ vectors per group at dim 10³ (DuckDB HUGEINT
+    * hits the same wall at the same magnitude).
     *
     * 100 TB shape: ONE map-side-combined groupBy(group, dim) — the
     * corpus's only shuffle; the (groups × dim) sum table (hard
-    * `maxGroups` require) collects to the driver like a k-means
-    * centroid table and the k² pairing is model-sized arithmetic.
+    * `maxGroups` require) is centroid-model-sized, and the k² pairing
+    * is a BROADCAST self-join of that table on the dim key — all 32
+    * cores share the groups²·dim multiply instead of one driver
+    * thread, and nothing larger than the pair matrix ever leaves the
+    * executors.
     */
   def centroidCosineMatrix(
       df: DataFrame,
@@ -1243,54 +1252,48 @@ object Similarity {
       vecCol: String,
       maxGroups: Int = 1000): DataFrame = {
     require(maxGroups >= 2, s"maxGroups $maxGroups must be >= 2")
-    val sums = df
-      .filter(col(groupCol).isNotNull && col(vecCol).isNotNull)
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(groupCol).isNotNull && col(vecCol).isNotNull &&
+      size(col(vecCol)) > 0)
+    val counts = base
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val nGroups = counts.count()
+    require(nGroups <= maxGroups,
+      s"centroidCosineMatrix: $nGroups groups exceed maxGroups=" +
+        s"$maxGroups — the pair matrix is groups², bucket the label first")
+    val sums = base
       .select(col(groupCol).cast("string").as("__g"),
         posexplode(col(vecCol)).as(Seq("__d", "__x")))
       .select(col("__g"), col("__d"),
         round(col("__x").cast("double") * 1e6).cast("long").as("__m"))
       .groupBy("__g", "__d").agg(sum("__m").as("__s"))
       .localCheckpoint()
-    val counts = df
-      .filter(col(groupCol).isNotNull && col(vecCol).isNotNull)
-      .groupBy(col(groupCol).cast("string").as("__g"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(counts.size <= maxGroups,
-      s"centroidCosineMatrix: ${counts.size} groups exceed maxGroups=" +
-        s"$maxGroups — the pair matrix is groups², bucket the label first")
-    val vecs: Map[String, Map[Int, Long]] = sums.collect()
-      .groupBy(_.getString(0))
-      .map { case (g, rows) =>
-        g -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
-      }
-    val gs = counts.keys.toSeq.sorted
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, Long, Long, Option[Long])]
-    var i = 0
-    while (i < gs.length) {
-      var j = i + 1
-      while (j < gs.length) {
-        val ga = gs(i); val gb = gs(j)
-        val va: Map[Int, Long] = vecs.getOrElse(ga, Map.empty)
-        val vb: Map[Int, Long] = vecs.getOrElse(gb, Map.empty)
-        var dot = BigInt(0); var na2 = BigInt(0); var nb2 = BigInt(0)
-        (va.keySet ++ vb.keySet).foreach { d =>
-          dot += BigInt(va.getOrElse(d, 0L)) * BigInt(vb.getOrElse(d, 0L))
-        }
-        va.values.foreach(v => na2 += BigInt(v) * BigInt(v))
-        vb.values.foreach(v => nb2 += BigInt(v) * BigInt(v))
-        val cos: Option[Long] =
-          if (na2 == 0 || nb2 == 0) None
-          else Some(math.floor(1000.0 * dot.toDouble /
-            math.sqrt(na2.toDouble * nb2.toDouble)).toLong)
-        out += ((ga, gb, counts(ga), counts(gb), cos))
-        j += 1
-      }
-      i += 1
-    }
-    val spark = df.sparkSession
-    import spark.implicits._
-    out.toSeq.toDF("grp_a", "grp_b", "n_a", "n_b", "cos_milli")
+    // every surviving group has dim 0 (vectors are non-empty), so the
+    // inner dim-join reaches every unordered pair
+    val dots = sums.select(col("__g").as("ga"), col("__d").as("__da"),
+        col("__s").cast(dec).as("__sa"))
+      .join(broadcast(sums.select(col("__g").as("gb"), col("__d").as("__db"),
+        col("__s").cast(dec).as("__sb"))),
+        col("__da") === col("__db") && col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(sum(col("__sa") * col("__sb")).as("__dot"))
+    val norms = sums.groupBy("__g")
+      .agg(sum(col("__s").cast(dec) * col("__s").cast(dec)).as("__n2"))
+    dots
+      .join(broadcast(counts.select(col("__g").as("ga"), col("__n").as("n_a"))),
+        Seq("ga"))
+      .join(broadcast(counts.select(col("__g").as("gb"), col("__n").as("n_b"))),
+        Seq("gb"))
+      .join(broadcast(norms.select(col("__g").as("ga"), col("__n2").as("__a2"))),
+        Seq("ga"))
+      .join(broadcast(norms.select(col("__g").as("gb"), col("__n2").as("__b2"))),
+        Seq("gb"))
+      .select(col("ga").as("grp_a"), col("gb").as("grp_b"),
+        col("n_a"), col("n_b"),
+        when(col("__a2") > 0 && col("__b2") > 0,
+          floor(lit(1000.0) * col("__dot").cast("double") /
+            sqrt(col("__a2").cast("double") * col("__b2").cast("double"))))
+          .cast("long").as("cos_milli"))
   }
 }

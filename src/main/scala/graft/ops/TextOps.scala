@@ -1355,7 +1355,12 @@ object TextOps {
     * occurrences left-to-right non-overlapping, until no ranked pair
     * remains. Per-word cost is O(len²) hash lookups — INDEPENDENT of
     * vocab size, where the literal-replace path pays O(merges · len)
-    * and dies as an expression tree past ~64 merges.
+    * and dies as an expression tree past ~64 merges. Because that cost
+    * is quadratic in the UNBROKEN token length, words over
+    * `maxWordLen` code points are pre-segmented into maxWordLen-sized
+    * chunks first (the byte-level pre-tokenization convention), so a
+    * single pathological blob costs O(len · maxWordLen) total instead
+    * of pinning a task for minutes.
     *
     * Why min-rank and not a longest-match trie: longest-match is
     * WordPiece semantics, a DIFFERENT tokenizer — it diverges from
@@ -1381,7 +1386,9 @@ object TextOps {
       idCols: Seq[String],
       textCol: String,
       merges: DataFrame,
-      maxMerges: Int = 262144): DataFrame = {
+      maxMerges: Int = 262144,
+      maxWordLen: Int = 16384): DataFrame = {
+    require(maxWordLen >= 2, s"maxWordLen $maxWordLen must be >= 2")
     val ms = merges.select(col("round"), col("sym_a"), col("sym_b"))
       .orderBy(col("round").asc)
       .collect()
@@ -1432,10 +1439,34 @@ object TextOps {
       }
       syms.toSeq
     }
+    // Pathological-token guard: the min-rank loop is O(L²) per unbroken
+    // whitespace-free token, so one multi-megabyte run (minified JS,
+    // base64 blob, CJK span) would pin an executor core for minutes.
+    // Pre-segment any word longer than maxWordLen CODE POINTS into
+    // maxWordLen-sized chunks before merging — the same move real
+    // byte-level tokenizers make with their pre-tokenization regex
+    // (merges never cross a pre-segment boundary). Real-language words
+    // sit orders of magnitude under the default, so ordinary corpora
+    // (and q306's oracle) are byte-identical; only the pathological
+    // tail changes, from unbounded to O(L/maxWordLen · maxWordLen²).
+    def preSegment(w: String): Seq[String] = {
+      if (w.codePointCount(0, w.length) <= maxWordLen) Seq(w)
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < w.length) {
+          val j = w.offsetByCodePoints(i,
+            math.min(maxWordLen, w.codePointCount(i, w.length)))
+          out += w.substring(i, j)
+          i = j
+        }
+        out.toSeq
+      }
+    }
     val enc = udf { ws: Seq[String] =>
       if (ws == null) Seq.empty[String]
       else ws.iterator.filter(w => w != null && w.nonEmpty)
-        .flatMap(encodeWord).toSeq
+        .flatMap(preSegment).flatMap(encodeWord).toSeq
     }
     val words = filter(tokens(col(textCol)), w => length(w) > 0)
     df.select(idCols.map(col) :+ enc(words).as("__t"): _*)

@@ -33,6 +33,15 @@ import scala.concurrent.duration.Duration
   */
 object StreamingDedup {
 
+  /** `GroupState.getCurrentWatermarkMs` returns 0 until the FIRST
+    * watermark advance — rows seen then are pre-watermark admissions,
+    * not late data, so every admission guard must let them through
+    * (`t > watermark || watermark == NoWatermarkYet`). Shared by every
+    * stateful operator in this package so the watermark-zero semantics
+    * stay discoverable in one place.
+    */
+  private[streaming] val NoWatermarkYet = 0L
+
   /** (lastSeenMs, pendingRows as (tMs, orderKey, row values)). */
   final case class DedupState(
       lastSeen: Option[Long],
@@ -98,7 +107,7 @@ object StreamingDedup {
         // buffer arrivals; rows at or below the watermark are late → dropped
         rows.foreach { r =>
           val t = r.getLong(tIdx)
-          if (t > watermark || watermark == 0L) {
+          if (t > watermark || watermark == NoWatermarkYet) {
             st = st.copy(pending =
               (t, orderKey(if (r.isNullAt(ordIdx)) null else r.get(ordIdx)),
                 r.toSeq.toList.take(schema.length)) :: st.pending)

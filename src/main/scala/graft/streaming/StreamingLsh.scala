@@ -115,7 +115,7 @@ object StreamingLsh {
         // buffer arrivals; rows at or below the watermark are late → dropped
         rows.foreach { r =>
           val t = r.getLong(1)
-          if (t > watermark || watermark == 0L) {
+          if (t > watermark || watermark == StreamingDedup.NoWatermarkYet) {
             st = st.copy(pending =
               (t, StreamingDedup.orderKey(if (r.isNullAt(0)) null else r.get(0)),
                 r.get(0)) :: st.pending)

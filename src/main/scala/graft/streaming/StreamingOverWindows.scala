@@ -219,7 +219,7 @@ object StreamingOverWindows {
         rows.foreach { r =>
           if (st.keyVals.isEmpty) st = st.copy(keyVals = keyIdx.map(r.get).toList)
           val t = r.getLong(tIdx)
-          if (t > watermark || watermark == 0L) {
+          if (t > watermark || watermark == StreamingDedup.NoWatermarkYet) {
             st = st.copy(
               seq = st.seq + 1,
               pending = (t, st.seq, r.toSeq.toList) :: st.pending)

@@ -85,7 +85,7 @@ object StreamingSeasonal {
         rows.foreach { r =>
           if (!r.isNullAt(keyIdx) && !r.isNullAt(valIdx) && !r.isNullAt(tIdx)) {
             val t = r.getLong(tIdx)
-            if (t > watermark || watermark == 0L) {
+            if (t > watermark || watermark == StreamingDedup.NoWatermarkYet) {
               val vMicro = math.floor(
                 r.get(valIdx).asInstanceOf[Number].doubleValue() * 1e6).toLong
               st = st.copy(pending = (t,

@@ -39,11 +39,10 @@ import scala.concurrent.duration.Duration
   */
 object StreamingSprt {
 
-  /** `GroupState.getCurrentWatermarkMs` returns 0 until the FIRST
-    * watermark advance — rows seen then are pre-watermark admissions,
-    * not late data, so the admission guard must let them through.
+  /** Shared pre-watermark admission sentinel — see
+    * [[StreamingDedup.NoWatermarkYet]].
     */
-  private val NoWatermarkYet = 0L
+  private val NoWatermarkYet = StreamingDedup.NoWatermarkYet
 
   final case class SprtState(
       pending: List[(Long, String, Boolean)], // (tMs, tieKey, outcome)

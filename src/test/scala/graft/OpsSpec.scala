@@ -376,6 +376,35 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("bpeEncodeLarge: a 200k-char unbroken token completes in bounded time") {
+    val spark2 = spark
+    import spark2.implicits._
+    val merges = Seq((0, "a", "b", 1L)).toDF("round", "sym_a", "sym_b", "cnt")
+    // one pathological whitespace-free blob — without the maxWordLen
+    // pre-segmentation the min-rank loop would scan O(L²) = 4·10¹⁰
+    val blob = "ab" * 100000
+    val docs = Seq((1L, blob)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val r = TextOps.bpeEncodeLarge(docs, Seq("doc_id"), "text", merges)
+      .collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    // default maxWordLen (16384) is even, so every chunk is whole "ab"
+    // pairs and the token count is exactly L/2 — the guard changes cost,
+    // not the answer, for boundary-aligned content
+    assert(r.getLong(2) == 100000L, r.getLong(2).toString)
+    assert(secs < 60.0, s"pathological token took ${secs}s")
+    // boundary contract: merges never cross a pre-segment boundary —
+    // "aaa" with merges [(a,a),(aa,a)] is ONE token unchunked but TWO
+    // at maxWordLen=2 (the byte-level pre-tokenization convention)
+    val chain = Seq((0, "a", "a", 1L), (1, "aa", "a", 1L))
+      .toDF("round", "sym_a", "sym_b", "cnt")
+    val tri = Seq((1L, "aaa")).toDF("doc_id", "text")
+    assert(TextOps.bpeEncodeLarge(tri, Seq("doc_id"), "text", chain)
+      .collect().head.getLong(2) == 1L)
+    assert(TextOps.bpeEncodeLarge(tri, Seq("doc_id"), "text", chain,
+      maxWordLen = 2).collect().head.getLong(2) == 2L)
+  }
+
   test("audio fingerprint: 64 delta bits, re-upload identical, tail edit flips few bits") {
     val spark2 = spark
     import spark2.implicits._

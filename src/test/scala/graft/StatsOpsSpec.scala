@@ -2086,6 +2086,20 @@ class StatsOpsSpec extends SparkSuite {
         (1 to 9).map(i => (i.toLong, s"g$i", Seq(1.0))).toDF("id", "g", "vec"),
         "g", "vec", maxGroups = 4)
     }
+    // EMPTY (zero-length) vectors carry no embedding: a group whose rows
+    // are all empty vanishes from the matrix, and an empty row inside a
+    // live group counts toward neither n nor the sum — mirrors the
+    // oracle's len(embedding) > 0 filter
+    val emp = ccm(Seq(
+      (1L, "x", Seq(1.0, 0.0)), (2L, "x", Seq.empty[Double]),
+      (3L, "y", Seq(0.0, 1.0)),
+      (4L, "e", Seq.empty[Double])))
+    assert(emp.keySet == Set(("x", "y")))
+    val empRows = graft.ops.Similarity.centroidCosineMatrix(
+      Seq((1L, "x", Seq(1.0, 0.0)), (2L, "x", Seq.empty[Double]),
+        (3L, "y", Seq(0.0, 1.0))).toDF("id", "g", "vec"), "g", "vec")
+      .collect()
+    assert(empRows.length == 1 && empRows.head.getLong(2) == 1L) // n_a excludes the empty row
   }
 
   test("multivariateOutliers: joint outlier outranks marginal ones, scalar replay") {
