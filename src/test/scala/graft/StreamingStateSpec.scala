@@ -159,6 +159,101 @@ class StreamingStateSpec extends SparkSuite {
     assert(s8.peakBytes.toDouble <= 3.0 * s1.peakBytes, s"$s1 vs $s8")
   }
 
+  test("cusum monitor state is O(1) per key, independent of row rate") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def run(mult: Int, tag: String): StateStats = {
+      val stream = MemoryStream[(String, Long, Long, Double)]
+      val sdf = stream.toDF().toDF("k", "id", "t_ms", "v")
+        .withColumn("ts", timestamp_millis(col("t_ms")))
+      val out = graft.streaming.StreamingCusum.monitor(
+        sdf, "k", "ts", "id", "v", refMeanMicro = 10000000L,
+        slackMicro = 500000L, thresholdMicro = 1000000000L,
+        lateness = 2.seconds)
+      // fixed 200-row chunks: pending is batch-sized by construction, so
+      // the measurement isolates the per-key scalar state (n, s, hi, lo)
+      val rows = (1 until 400).flatMap(i => (0 until mult).map(j =>
+        ("k", i * 100L + j, 1000L * i, 10.0 + (i % 5))))
+      val chunks: Seq[() => Unit] = rows.grouped(200).map(c => () => {
+        stream.addData(c: _*); ()
+      }).toSeq
+      measure(out, s"cusum_state_$tag")(chunks ++ Seq[() => Unit](
+        () => { stream.addData(("wm", 9L, 7200000L, 0.0)); () },
+        () => { stream.addData(("wm", 8L, 14400000L, 0.0)); () }): _*)
+    }
+    val s1 = run(1, "m1")
+    val s8 = run(8, "m8")
+    info(s"cusum 1x: $s1  8x: $s8")
+    // 2 keys (k + wm sentinel) either way; per-key state is 4 scalars
+    assert(s8.peakRows <= s1.peakRows + 1, s"$s1 vs $s8")
+    assert(s8.peakBytes.toDouble <= 3.0 * s1.peakBytes, s"$s1 vs $s8")
+  }
+
+  test("page-hinkley monitor state is O(1) per key, independent of row rate") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def run(mult: Int, tag: String): StateStats = {
+      val stream = MemoryStream[(String, Long, Long, Double)]
+      val sdf = stream.toDF().toDF("k", "id", "t_ms", "v")
+        .withColumn("ts", timestamp_millis(col("t_ms")))
+      val out = graft.streaming.StreamingPageHinkley.monitor(
+        sdf, "k", "ts", "id", "v", lambdaMicro = 1000000000L,
+        lateness = 2.seconds)
+      val rows = (1 until 400).flatMap(i => (0 until mult).map(j =>
+        ("k", i * 100L + j, 1000L * i, 10.0 + (i % 7))))
+      val chunks: Seq[() => Unit] = rows.grouped(200).map(c => () => {
+        stream.addData(c: _*); ()
+      }).toSeq
+      measure(out, s"ph_state_$tag")(chunks ++ Seq[() => Unit](
+        () => { stream.addData(("wm", 9L, 7200000L, 0.0)); () },
+        () => { stream.addData(("wm", 8L, 14400000L, 0.0)); () }): _*)
+    }
+    val s1 = run(1, "m1")
+    val s8 = run(8, "m8")
+    info(s"page-hinkley 1x: $s1  8x: $s8")
+    // per-key state is (n, s, m, minM) BigInt scalars whose BYTE size
+    // grows only logarithmically with the folded mass — far from 8x
+    assert(s8.peakRows <= s1.peakRows + 1, s"$s1 vs $s8")
+    assert(s8.peakBytes.toDouble <= 3.0 * s1.peakBytes, s"$s1 vs $s8")
+  }
+
+  test("drift-window state is O(bins) per open window, independent of row rate") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // psiVsReference is a plain windowed agg — state per open window is
+    // `bins` counter longs, so 8x the rows through the same event-time
+    // span must leave both the state-row count (open windows) and the
+    // bytes ~flat; ksVsReference shares the identical agg skeleton
+    def run(mult: Int, tag: String): StateStats = {
+      val stream = MemoryStream[(Long, Long, Double)]
+      val sdf = stream.toDF().toDF("id", "t_ms", "v")
+        .withColumn("ts", timestamp_millis(col("t_ms")))
+      val out = graft.streaming.StreamingDrift.psiVsReference(
+        sdf, "ts", "v", refLo = 0.0, refHi = 10.0,
+        refCounts = (0 until 10).map(b => b -> 100L).toMap, bins = 10,
+        window = 1.minute, lateness = 2.seconds)
+      val rows = (1 until 600).flatMap(i => (0 until mult).map(j =>
+        (i * 1000L + j, 1000L * i, (i % 50) / 5.0)))
+      val chunks: Seq[() => Unit] = rows.grouped(200).map(c => () => {
+        stream.addData(c: _*); ()
+      }).toSeq
+      measure(out, s"drift_state_$tag")(chunks ++ Seq[() => Unit](
+        () => { stream.addData((999990L, 7200000L, 0.0)); () },
+        () => { stream.addData((999991L, 14400000L, 0.0)); () }): _*)
+    }
+    val s1 = run(1, "m1")
+    val s8 = run(8, "m8")
+    info(s"drift 1x: $s1  8x: $s8")
+    assert(s8.peakRows <= s1.peakRows + 2, s"$s1 vs $s8")
+    assert(s8.peakBytes.toDouble <= 3.0 * s1.peakBytes, s"$s1 vs $s8")
+  }
+
   test("dedup state is per-key O(1) settled and horizon-evicted") {
     val spark2 = spark
     import spark2.implicits._
