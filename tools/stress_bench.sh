@@ -9,6 +9,14 @@
 #                                     # (priors divided by 5): the run
 #                                     # must stamp globally_contended
 #                                     # instead of accepting
+#   tools/stress_bench.sh ambient     # offline replay proof of the r13
+#                                     # ambient normalization: the
+#                                     # (r11, r12) committed pair must
+#                                     # read ~1.00 normalized (machine
+#                                     # drift, not contention), while a
+#                                     # uniformly-5x pair (queries AND
+#                                     # probes scaled) must still stamp
+#                                     # globally_contended (the cap)
 #
 # Both print the one-line artifact summary; inspect "contended"/
 # "prior_exceeded"/"globally_contended" in the output.
@@ -84,8 +92,32 @@ EOF
       SPARK_GRAFT_BENCH_ONLY=q158,q78_,q60_,q73_,q21_ \
       tools/run.sh graft.Bench
     ;;
+  ambient)
+    # NOTE: the live `global` scenario above keeps the fake prior's probe
+    # medians UNCHANGED, so its probe_ratio reads ~1.0 and the r13
+    # normalization does not alter that proof. This scenario covers the
+    # two new cases: genuine machine drift (probes and queries move
+    # together, mildly) must normalize to ~1.00, and a whole-host squeeze
+    # (probes and queries move together, 5x) must blow through the
+    # AmbientRatioCap and still flag.
+    git show 6b117e4:bench_prior.json > /tmp/ambient_r11.json
+    git show 89e9006:bench_full.json > /tmp/ambient_r12.json
+    echo "=== (r11, r12) committed pair: drift, must read ~1.00 normalized ==="
+    python3 tools/replay_sentinel.py /tmp/ambient_r11.json /tmp/ambient_r12.json | head -4
+    python3 - <<'EOF'
+import json
+d = json.load(open('/tmp/ambient_r12.json'))
+d['queries'] = {k: v * 5 for k, v in d['queries'].items()}
+d['probe_median_ms'] *= 5
+d['io_probe_median_ms'] *= 5
+d.pop('requeued', None); d.pop('sentinel_audit', None)
+json.dump(d, open('/tmp/ambient_5x.json', 'w'))
+EOF
+    echo "=== uniformly-5x pair: squeeze, must stamp globally_contended ==="
+    python3 tools/replay_sentinel.py /tmp/ambient_r12.json /tmp/ambient_5x.json | head -4
+    ;;
   *)
-    echo "usage: tools/stress_bench.sh {writeback|global}" >&2
+    echo "usage: tools/stress_bench.sh {writeback|global|ambient}" >&2
     exit 1
     ;;
 esac
