@@ -10313,6 +10313,120 @@ object Queries {
         used::BIGINT AS n_cols_used, n::BIGINT AS n
       FROM r WHERE rk <= 20"""))
 
+  /** Dunn's post-hoc pairwise rank test across order priorities — the
+    * which-pair companion to q213's one-row Kruskal–Wallis H; pooled
+    * tie-midranks, exact gap numerators, one double tree per pair.
+    */
+  private val q312 = Q(
+    "q312_dunn_posthoc",
+    (spark, dir) => Features.dunnPosthoc(
+      pq(spark, dir, "orders"), "o_orderpriority", "o_totalprice"),
+    Some("""WITH b AS (SELECT o_orderpriority g, o_totalprice::DOUBLE v
+          FROM orders WHERE o_orderpriority IS NOT NULL
+            AND o_totalprice IS NOT NULL),
+      c AS (SELECT v, COUNT(*)::BIGINT c FROM b GROUP BY 1),
+      r AS (SELECT v, (2 * SUM(c) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - c + 1)::BIGINT r2 FROM c),
+      tt AS (SELECT COALESCE(SUM(c::HUGEINT * c * c - c), 0)::HUGEINT t
+        FROM c),
+      gg AS (SELECT g, COUNT(*)::BIGINT ng, SUM(r2)::HUGEINT r2g
+        FROM b JOIN r USING (v) GROUP BY 1),
+      s AS (SELECT SUM(ng)::BIGINT n FROM gg)
+      SELECT a.g AS grp_a, bb.g AS grp_b, a.ng AS n_a, bb.ng AS n_b,
+        ((a.r2g * 500) // a.ng)::BIGINT AS mean_rank_a_milli,
+        ((bb.r2g * 500) // bb.ng)::BIGINT AS mean_rank_b_milli,
+        (CASE WHEN s.n >= 2 AND s.n::DOUBLE * (s.n + 1) / 12.0
+              - tt.t::DOUBLE / (12.0 * (s.n - 1)) > 0 THEN
+          floor(1000.0 *
+            ((a.r2g * bb.ng - bb.r2g * a.ng)::DOUBLE
+              / (2.0 * a.ng * bb.ng))
+            / sqrt((s.n::DOUBLE * (s.n + 1) / 12.0
+                - tt.t::DOUBLE / (12.0 * (s.n - 1)))
+              * (a.ng::DOUBLE + bb.ng) / (a.ng::DOUBLE * bb.ng)))
+          END)::BIGINT AS z_milli
+      FROM gg a JOIN gg bb ON a.g < bb.g, s, tt"""))
+
+  /** HHI source concentration inside each language slice of the
+    * documents table — pure integer, no doubles.
+    */
+  private val q313 = Q(
+    "q313_hhi_concentration",
+    (spark, dir) => Corpus.hhiConcentration(
+      pq(spark, dir, "documents"), "lang", "source"),
+    Some("""WITH cc AS (SELECT lang::VARCHAR grp, source::VARCHAR c,
+          COUNT(*)::BIGINT nc FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+      g AS (SELECT grp, SUM(nc)::BIGINT n, COUNT(*)::BIGINT k,
+          SUM(nc::HUGEINT * nc)::HUGEINT sq FROM cc GROUP BY 1)
+      SELECT grp, n, k,
+        ((sq * 1000000) // (n::HUGEINT * n))::BIGINT AS hhi_micro,
+        (CASE WHEN k >= 2 THEN
+          ((k * sq - n::HUGEINT * n) * 1000000)
+            // (n::HUGEINT * n * (k - 1)) END)::BIGINT AS hhi_norm_micro
+      FROM g"""))
+
+  /** Isotonic (PAVA) recalibration map of the q154 reliability curve —
+    * minimax over exact integer segment rates, monotone by
+    * construction.
+    */
+  private val q314 = Q(
+    "q314_isotonic_calibration",
+    (spark, dir) => {
+      val e = pq(spark, dir, "events").select(
+        (get_json_object(col("props"), "$.k").cast("long") % 2 === 0)
+          .as("label"),
+        (col("value") / 500.0).as("score"))
+      Eval.isotonicCalibration(e, "label", "score", bins = 12)
+    },
+    Some("""WITH b AS (SELECT
+          (json_extract(props, '$.k')::BIGINT % 2 = 0) AS lab,
+          value / 500.0 s FROM events
+        WHERE value IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL),
+      r AS (SELECT LEAST(GREATEST(floor(s * 12)::BIGINT, 0), 11) bin,
+          CASE WHEN lab THEN 1 ELSE 0 END y FROM b),
+      pb AS (SELECT bin, COUNT(*)::BIGINT n, SUM(y)::BIGINT n_pos
+        FROM r GROUP BY 1),
+      cand AS (SELECT a.bin ab, c.bin bb,
+          (SUM(x.n_pos)::HUGEINT * 1000000 // SUM(x.n)) cv
+        FROM pb a JOIN pb c ON a.bin <= c.bin
+          JOIN pb x ON x.bin BETWEEN a.bin AND c.bin
+        GROUP BY 1, 2),
+      mn AS (SELECT cand.ab, i.bin ib, MIN(cv) m
+        FROM cand JOIN pb i ON cand.ab <= i.bin AND cand.bb >= i.bin
+        GROUP BY 1, 2),
+      iso AS (SELECT ib bin, MAX(m)::BIGINT iso FROM mn GROUP BY 1)
+      SELECT pb.bin, pb.n, pb.n_pos,
+        (pb.n_pos::HUGEINT * 1000000 // pb.n)::BIGINT AS obs_rate_micro,
+        iso.iso AS iso_micro
+      FROM pb JOIN iso USING (bin)"""))
+
+  /** Poisson overdispersion of per-user event counts by event type —
+    * pure integer VMR and chi-square dispersion statistic.
+    */
+  private val q315 = Q(
+    "q315_dispersion_index",
+    (spark, dir) => Features.dispersionIndex(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).cast("double").as("cnt")),
+      "event_type", "cnt"),
+    Some("""WITH c AS (SELECT event_type::VARCHAR grp, user_id,
+          COUNT(*)::BIGINT v FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+      g AS (SELECT grp, COUNT(*)::BIGINT n, SUM(v::HUGEINT)::HUGEINT s,
+          SUM(v::HUGEINT * v)::HUGEINT q FROM c GROUP BY 1)
+      SELECT grp, n,
+        (CASE WHEN s >= 0 THEN (s * 1000000) // n
+          ELSE -(((-s) * 1000000) // n) END)::BIGINT AS mean_micro,
+        (CASE WHEN n >= 2 AND s > 0 THEN
+          ((n * q - s * s) * 1000000) // ((n - 1) * s) END)::BIGINT
+          AS vmr_micro,
+        (CASE WHEN n >= 2 AND s > 0 THEN
+          ((n * q - s * s) * 1000) // s END)::BIGINT AS stat_milli
+      FROM g"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -10340,7 +10454,8 @@ object Queries {
     q275, q276, q277, q278, q279, q280, q281, q282,
     q283, q284, q285, q286, q287, q288, q289, q290, q291, q292,
     q293, q294, q295, q296, q297, q298, q299, q300, q301,
-    q302, q303, q304, q305, q306, q307, q308, q309, q310, q311)
+    q302, q303, q304, q305, q306, q307, q308, q309, q310, q311,
+    q312, q313, q314, q315)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -1207,6 +1207,48 @@ object ScaleCheck {
       val tN = centroidMatrixTime(emN, "cm_N")
       println(f"centroid_matrix  1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
+    def dunnTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Features.dunnPosthoc(df, "event_type", "value")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def dispersionTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val t0 = System.nanoTime()
+      graft.ops.Features.dispersionIndex(base, "event_type", "cnt")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def isotonicTime(df: DataFrame, tag: String): Double = {
+      val base = df.select((col("user_id") % 2 === 0).as("label"),
+        (col("value") / 500.0).as("score"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.isotonicCalibration(base, "label", "score", bins = 12)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for ((name, f) <- Seq(
+      ("dunn_posthoc", dunnTime _),
+      ("dispersion", dispersionTime _),
+      ("isotonic", isotonicTime _)) if wanted(name)) {
+      val t1 = f(ev1, s"${name}_1")
+      val tN = f(evN, s"${name}_N")
+      println(f"$name%-16s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
+    def hhiTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Corpus.hhiConcentration(df, "lang", "source")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (wanted("hhi")) {
+      val t1 = hhiTime(doc1, "hhi_1")
+      val tN = hhiTime(docNPlain, "hhi_N")
+      println(f"hhi              1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
     spark.stop()
   }
 }

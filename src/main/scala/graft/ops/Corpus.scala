@@ -326,6 +326,54 @@ object Corpus {
     * window and sums run on the GROUP table (model-sized). Meant for
     * coarse groupings — sources, languages, shards — not per-user.
     */
+  /** Herfindahl–Hirschman concentration of a categorical WITHIN each
+    * group — the antitrust index pointed at corpus composition: per
+    * language (or label, or shard), how concentrated are the sources?
+    * `HHI = Σ_c (n_c/n)²` — 1/k for a perfectly balanced mix, 1.0 for
+    * a single-source monoculture; the normalized form
+    * `(HHI − 1/k)/(1 − 1/k)` rescales to [0, 1] independent of k. The
+    * companion to [[gini]] (inequality of group MASSES) for the
+    * two-level question "inside each slice, who dominates?" — a slice
+    * one source quietly owns is a slice whose quality, license, and
+    * dedup properties are that source's, whatever the corpus-level mix
+    * says.
+    *
+    * Exactness: pure integer — `hhi_micro = Σn_c²·10⁶ div n²` and
+    * `hhi_norm_micro = (k·Σn_c² − n²)·10⁶ div (n²·(k−1))`, both
+    * nonneg (Cauchy–Schwarz gives k·Σn_c² ≥ n²), no doubles anywhere.
+    * Norm NULL when k = 1 (undefined — and HHI already reads 10⁶).
+    *
+    * Output per group: `(grp, n, k, hhi_micro, hhi_norm_micro)`.
+    *
+    * Overflow: k·Σn_c²·10⁶ ≤ k·n²·10⁶ rides decimal(38,0) to
+    * n ≈ 10¹⁶/√k rows per group — loud-NULL past it.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(group, category) —
+    * the corpus's only shuffle — then a groupBy(group) over the
+    * (groups × categories) table. No row-level state anywhere.
+    */
+  def hhiConcentration(
+      df: DataFrame,
+      groupCol: String,
+      catCol: String): DataFrame = {
+    val cc = df
+      .filter(col(groupCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("grp"),
+        col(catCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__nc"))
+    cc.groupBy("grp")
+      .agg(sum("__nc").as("n"), count(lit(1)).as("k"),
+        sum(expr("cast(__nc as decimal(38,0)) * __nc")).as("__sq"))
+      .select(col("grp"), col("n"), col("k"),
+        expr("""cast(__sq * 1000000
+               div (cast(n as decimal(38,0)) * n) as long)""")
+          .as("hhi_micro"),
+        expr("""cast(case when k >= 2 then
+            (k * __sq - cast(n as decimal(38,0)) * n) * 1000000
+              div (cast(n as decimal(38,0)) * n * (k - 1)) end as long)""")
+          .as("hhi_norm_micro"))
+  }
+
   def gini(
       df: DataFrame,
       groupCol: String,

@@ -157,6 +157,72 @@ object Eval {
         col("mce_micro"), col("brier_micro"))
   }
 
+  /** Isotonic (PAVA) calibration of [[calibration]]'s reliability
+    * curve — the standard post-hoc recalibration map: the best
+    * MONOTONE fit of observed positive rate to the score bins, via the
+    * minimax identity `iso_i = max_{a≤i} min_{b≥i} rate(a..b)` (equal
+    * to the pool-adjacent-violators solution for weighted squared
+    * loss). Where [[calibrationError]] says HOW miscalibrated the
+    * scores are, this emits the mapping that FIXES them — apply
+    * `score-bin → iso` as a lookup and the bent curve straightens.
+    *
+    * Integer contract: segment rates are exact positive integer
+    * divisions `Σpos(a..b)·10⁶ div Σn(a..b)` (BigInt — no overflow at
+    * any corpus size) and the min/max lattice over those integers is
+    * exact, so the result is deterministic on both engines; it is the
+    * true PAVA fit up to the micro floor (exact whenever no two
+    * segment rates collide within 10⁻⁶). Monotonicity holds by
+    * construction of the minimax regardless of flooring.
+    *
+    * Output per non-empty bin: `(bin, n, n_pos, obs_rate_micro,
+    * iso_micro)` with iso non-decreasing in bin.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(bin) over the corpus;
+    * the ≤bins-row table collects to the driver (k-means-centroid
+    * pattern) and the O(bins³) minimax is model-sized arithmetic
+    * (hard `bins ≤ 200` require).
+    */
+  def isotonicCalibration(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 200,
+      s"bins $bins out of [2,200] (the minimax is bins³ driver work)")
+    val base = df
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(
+        least(greatest(floor(col(scoreCol) * bins), lit(0L)),
+          lit((bins - 1).toLong)).as("bin"),
+        when(col(labelCol) === true, 1L).otherwise(0L).as("y"))
+    val perBin = base.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+      .orderBy("bin")
+      .collect()
+    val b = perBin.length
+    val ns = perBin.map(_.getLong(1))
+    val ps = perBin.map(_.getLong(2))
+    // prefix sums over the PRESENT bins in bin order (empty bins are
+    // absent on both engines; contiguity in the present-bin index is
+    // exactly the oracle's BETWEEN over present bins)
+    val cn = ns.scanLeft(0L)(_ + _)
+    val cp = ps.scanLeft(0L)(_ + _)
+    def cand(a: Int, bb: Int): BigInt =
+      BigInt(cp(bb + 1) - cp(a)) * 1000000 / BigInt(cn(bb + 1) - cn(a))
+    val iso = (0 until b).map { i =>
+      (0 to i).map { a =>
+        (i until b).map(bb => cand(a, bb)).min
+      }.max.toLong
+    }
+    val out = (0 until b).map { i =>
+      (perBin(i).getLong(0), ns(i), ps(i),
+        (BigInt(ps(i)) * 1000000 / BigInt(ns(i))).toLong, iso(i))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toDF("bin", "n", "n_pos", "obs_rate_micro", "iso_micro")
+  }
+
   /** Cohen's κ — inter-rater agreement beyond chance between two
     * categorical label columns (two annotators, two heuristic
     * classifiers, a model vs a rule): the label-quality gate before

@@ -831,6 +831,138 @@ object Features {
                as long) end""").as("h_milli"))
   }
 
+  /** Dunn's post-hoc test — WHICH groups differ, once [[kruskalWallis]]
+    * says SOME do: every unordered pair's standardized mean-rank gap
+    * `z = (R̄_i − R̄_j) / √[(N(N+1)/12 − Σ(t³−t)/(12(N−1)))·(1/n_i +
+    * 1/n_j)]` on the POOLED tie-midranks (Dunn 1964, tie-corrected).
+    * The pairwise companion q213's one-row H cannot be: H rejects "all
+    * equal" without naming a pair, and running Mann–Whitney per pair
+    * re-ranks each subset — Dunn keeps the pooled ranking, which is
+    * the statistic with the documented normal null. Compare |z|
+    * against the Bonferroni-adjusted two-sided normal critical value
+    * for k(k−1)/2 comparisons (callers hold the α policy: 1960 milli
+    * unadjusted 5%, ≈2807 for 10 comparisons).
+    *
+    * Integer contract: doubled tie-midranks off the q211 prefix sum
+    * make each group's rank sum an exact decimal; the gap numerator
+    * `R2_i·n_j − R2_j·n_i` and tie sum Σ(t³−t) are exact; one fixed
+    * double tree per pair for z (floored to milli); mean ranks are
+    * exact positive milli divisions (`R2·500 div n`).
+    *
+    * Output per pair (`grp_a < grp_b` as strings): `(grp_a, grp_b,
+    * n_a, n_b, mean_rank_a_milli, mean_rank_b_milli, z_milli)`;
+    * z NULL when every pooled value is tied (zero rank variance).
+    *
+    * Overflow: R2 ≤ 2N so the gap numerator R2·n rides decimal(38,0)
+    * to N ≈ 10¹⁸/max(n_g); the tie sum shares q213's bound.
+    *
+    * 100 TB shape: exactly the q213 plan (distinct-value count +
+    * [[Ranks.prefixSum]] range exchange + one groupBy(category)) plus
+    * a k²-row broadcast self-join of the k-row group table — hard
+    * `maxGroups` require before the pairing.
+    */
+  def dunnPosthoc(
+      df: DataFrame,
+      catCol: String,
+      valueCol: String,
+      maxGroups: Int = 100): DataFrame = {
+    require(maxGroups >= 2, s"maxGroups $maxGroups must be >= 2")
+    val base = df
+      .filter(col(catCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(catCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .localCheckpoint()
+    val cnt = base.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val ranks = Ranks.prefixSum(cnt, Seq(col("__v")), Seq("__c"))
+      .select(col("__v"), expr("2 * __c_cum - __c + 1").as("__r2"))
+    val tiesRaw = cnt.agg(
+      sum(expr("cast(__c as decimal(38,0)) * __c * __c - __c")).as("t"))
+      .collect()(0).getDecimal(0)
+    val ties = if (tiesRaw == null) java.math.BigDecimal.ZERO else tiesRaw
+    val g = base.join(ranks, Seq("__v"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("ng"),
+        sum(col("__r2").cast("decimal(38,0)")).as("r2g"))
+      .localCheckpoint()
+    val k = g.count()
+    require(k <= maxGroups,
+      s"dunnPosthoc: $k groups exceed maxGroups=$maxGroups — the pair " +
+        "matrix is groups², bucket the category first")
+    val nRow = g.agg(sum("ng")).collect()(0)
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    val t = ties.toBigInteger.toString
+    val a = g.select(col("__g").as("grp_a"), col("ng").as("n_a"),
+      col("r2g").as("__ra"))
+    val b = g.select(col("__g").as("grp_b"), col("ng").as("n_b"),
+      col("r2g").as("__rb"))
+    a.join(broadcast(b), col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        expr("cast(__ra * 500 div n_a as long)").as("mean_rank_a_milli"),
+        expr("cast(__rb * 500 div n_b as long)").as("mean_rank_b_milli"),
+        expr(
+          s"""case when ${n}L >= 2
+                and cast(${n}L as double) * (${n}L + 1) / 12.0
+                    - $t.0 / (12.0 * (${n}L - 1)) > 0 then
+              cast(floor(1000.0 *
+                (cast(__ra * n_b - __rb * n_a as double)
+                  / (2.0 * n_a * n_b))
+                / sqrt((cast(${n}L as double) * (${n}L + 1) / 12.0
+                    - $t.0 / (12.0 * (${n}L - 1)))
+                  * (cast(n_a as double) + n_b)
+                  / (cast(n_a as double) * n_b)))
+              as long) end""").as("z_milli"))
+  }
+
+  /** Poisson overdispersion (variance-to-mean) index per group — the
+    * count-data sanity gate: a Poisson-ish count column has VMR ≈ 1;
+    * VMR ≫ 1 (clumping: bot bursts, retry storms, hot users) means
+    * every "events per user look uniform" assumption downstream is
+    * wrong, and VMR ≪ 1 means the counts were capped or deduped.
+    * The dispersion statistic `(n−1)·s²/x̄` is the classic chi-square
+    * test of the Poisson null (compare against χ²(n−1)).
+    *
+    * Integer contract: values floor to integers per row (this is a
+    * COUNT-column audit); n·Σv² − (Σv)² ≥ 0 is exact decimal, and both
+    * outputs are exact positive integer divisions — no doubles at all:
+    * `vmr_micro = (nΣv²−(Σv)²)·10⁶ div ((n−1)·Σv)`,
+    * `stat_milli = (nΣv²−(Σv)²)·10³ div Σv`. NULL when n < 2 or
+    * Σv ≤ 0 (mean must be positive for VMR to mean anything).
+    *
+    * Output per group: `(grp, n, mean_micro, vmr_micro, stat_milli)`.
+    *
+    * Overflow: n·Σv²·10⁶ rides decimal(38,0) — loud-NULL past
+    * n²·v̄²·10⁶ ≈ 10³⁸, i.e. n ≈ 10¹³ rows per group at values ≤ 10³.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(group); three moment
+    * sums per group, k-row output. Composes with an upstream count
+    * aggregation (events → per-user counts → dispersion per type) for
+    * two shuffles total.
+    */
+  def dispersionIndex(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        floor(col(valueCol).cast("double")).cast("long").as("__v"))
+    base.groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast("decimal(38,0)")).as("__s"),
+        sum(expr("cast(__v as decimal(38,0)) * __v")).as("__q"))
+      .select(col("grp"), col("n"),
+        expr("""cast(case when __s >= 0 then __s * 1000000 div n
+                else -((-(__s)) * 1000000 div n) end as long)""")
+          .as("mean_micro"),
+        expr("""cast(case when n >= 2 and __s > 0 then
+            (n * __q - __s * __s) * 1000000 div ((n - 1) * __s)
+          end as long)""").as("vmr_micro"),
+        expr("""cast(case when n >= 2 and __s > 0 then
+            (n * __q - __s * __s) * 1000 div __s
+          end as long)""").as("stat_milli"))
+  }
+
   /** Spearman rank-correlation matrix — the monotonic-association
     * companion to [[corrMatrix]]'s Pearson: correlations on EXACT ranks,
     * immune to outliers and monotone transforms (the right default for

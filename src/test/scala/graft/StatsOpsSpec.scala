@@ -2175,4 +2175,92 @@ class StatsOpsSpec extends SparkSuite {
       Seq((1L, "s1", "  ")).toDF("id", "src", "text"), "src", "text")
       .count() == 0L)
   }
+
+  test("dunnPosthoc: scalar replay on pooled midranks, tied input NULL, loud cap") {
+    // groups a={1,2}, b={2,3}, c={10}: pooled sorted (1,2,2,3,10) with
+    // midranks (1, 2.5, 2.5, 4, 5) → doubled (2,5,5,8,10)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0), ("c", 10.0))
+      .toDF("g", "v")
+    val out = Features.dunnPosthoc(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 3)
+    val ab = out(("a", "b"))
+    // mean ranks: a = (1+2.5)/2 = 1.75, b = (2.5+4)/2 = 3.25
+    assert(ab.getLong(4) == 1750L && ab.getLong(5) == 3250L, ab.toString)
+    // scalar replay: N=5, T=2^3-2=6,
+    // V12 = N(N+1)/12 - T/(12(N-1)) = 2.5 - 0.125 = 2.375
+    // z_ab = (1.75-3.25)/sqrt(2.375*(1/2+1/2)) = -0.97333...
+    val zAb = math.floor(1000.0 * -1.5 / math.sqrt(2.375)).toLong
+    assert(ab.getLong(6) == zAb, s"${ab.getLong(6)} vs $zAb")
+    val ac = out(("a", "c"))
+    // z_ac = (1.75-5)/sqrt(2.375*(1/2+1)) = -3.25/sqrt(3.5625)
+    val zAc = math.floor(1000.0 * -3.25 / math.sqrt(2.375 * 1.5)).toLong
+    assert(ac.getLong(6) == zAc, s"${ac.getLong(6)} vs $zAc")
+    // all values tied → zero rank variance → NULL z, mean ranks equal
+    val tied = Features.dunnPosthoc(
+      Seq(("a", 7.0), ("a", 7.0), ("b", 7.0)).toDF("g", "v"), "g", "v")
+      .collect()(0)
+    assert(tied.isNullAt(6) && tied.getLong(4) == tied.getLong(5))
+    // cap is loud
+    intercept[IllegalArgumentException] {
+      Features.dunnPosthoc(
+        (1 to 9).map(i => (s"g$i", i.toDouble)).toDF("g", "v"),
+        "g", "v", maxGroups = 4)
+    }
+  }
+
+  test("hhiConcentration: balanced 1/k, monoculture 1, norm rescale") {
+    val df = Seq(
+      ("en", "s1"), ("en", "s1"), ("en", "s2"), ("en", "s2"), // balanced 2-way
+      ("fr", "s1"), ("fr", "s1"), ("fr", "s1"),               // monoculture
+      ("de", "s1"), ("de", "s1"), ("de", "s1"), ("de", "s2")) // 3:1 split
+      .toDF("lang", "src")
+    val out = Corpus.hhiConcentration(df, "lang", "src")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en") // HHI = (4+4)/16 = 0.5; norm = (2*8-16)/(16*1) = 0
+    assert(en.getLong(1) == 4L && en.getLong(2) == 2L)
+    assert(en.getLong(3) == 500000L && en.getLong(4) == 0L, en.toString)
+    val fr = out("fr") // k=1: HHI = 1, norm undefined
+    assert(fr.getLong(3) == 1000000L && fr.isNullAt(4), fr.toString)
+    val de = out("de") // HHI = (9+1)/16 = 0.625; norm = (20-16)/16 = 0.25
+    assert(de.getLong(3) == 625000L && de.getLong(4) == 250000L, de.toString)
+  }
+
+  test("isotonicCalibration: PAVA pools the violating bins, stays monotone") {
+    // bins 0..3 with rates 0.2, 0.5, 0.3, 0.8 over 10 rows each:
+    // PAVA pools bins 1,2 → (5+3)/20 = 0.4
+    val rows = Seq(
+      (0, 2), (1, 5), (2, 3), (3, 8)).flatMap { case (b, pos) =>
+      (0 until 10).map(i => (i < pos, (b + 0.5) / 4.0))
+    }
+    val out = Eval.isotonicCalibration(
+      rows.toDF("label", "score"), "label", "score", bins = 4)
+      .orderBy("bin").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getLong(3)).toSeq ==
+      Seq(200000L, 500000L, 300000L, 800000L)) // observed rates
+    assert(out.map(_.getLong(4)).toSeq ==
+      Seq(200000L, 400000L, 400000L, 800000L)) // isotonic fit
+    // already-monotone input is a fixed point
+    val mono = Seq((0, 1), (1, 5), (2, 9)).flatMap { case (b, pos) =>
+      (0 until 10).map(i => (i < pos, (b + 0.5) / 3.0))
+    }
+    val fix = Eval.isotonicCalibration(
+      mono.toDF("label", "score"), "label", "score", bins = 3)
+      .orderBy("bin").collect()
+    assert(fix.forall(r => r.getLong(3) == r.getLong(4)), fix.mkString(","))
+  }
+
+  test("dispersionIndex: hand VMR, constant counts 0, degenerate NULL") {
+    val df = Seq(("a", 0.0), ("a", 4.0), ("b", 3.0), ("b", 3.0), ("c", 1.0))
+      .toDF("g", "v")
+    val out = Features.dispersionIndex(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a") // n=2 s=4 q=16: var = (32-16)/2 = 8, mean 2, VMR 4
+    assert(a.getLong(2) == 2000000L && a.getLong(3) == 4000000L &&
+      a.getLong(4) == 4000L, a.toString)
+    val b = out("b") // constant → VMR 0, stat 0
+    assert(b.getLong(3) == 0L && b.getLong(4) == 0L, b.toString)
+    assert(out("c").isNullAt(3)) // n < 2 → NULL
+  }
 }
