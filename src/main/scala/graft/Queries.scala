@@ -10427,6 +10427,111 @@ object Queries {
           ((n * q - s * s) * 1000) // s END)::BIGINT AS stat_milli
       FROM g"""))
 
+  /** Linear-weighted Cohen's κ between two derived ordinal ratings of
+    * events — exact confusion cells, exact marginal cross product, one
+    * sign-split integer division; no doubles.
+    */
+  private val q316 = Q(
+    "q316_weighted_kappa",
+    (spark, dir) => {
+      val e = pq(spark, dir, "events")
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .select(
+          least(greatest(floor(col("value") / 100.0), lit(0L)), lit(5L))
+            .as("ra"),
+          least(greatest(
+            floor((col("value") + pmod(col("user_id"), lit(50L))) / 100.0),
+            lit(0L)), lit(5L)).as("rb"))
+      Eval.weightedKappa(e, "ra", "rb")
+    },
+    Some("""WITH b AS (SELECT
+          LEAST(GREATEST(floor(value / 100)::BIGINT, 0), 5) ra,
+          LEAST(GREATEST(floor((value + user_id % 50) / 100)::BIGINT, 0), 5) rb
+        FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      cells AS (SELECT ra a, rb bc, COUNT(*)::BIGINT c FROM b GROUP BY 1, 2),
+      ma AS (SELECT a, SUM(c)::BIGINT na FROM cells GROUP BY 1),
+      mb AS (SELECT bc, SUM(c)::BIGINT nb FROM cells GROUP BY 1),
+      o AS (SELECT SUM(c)::BIGINT n,
+          SUM(c::HUGEINT * abs(a - bc))::HUGEINT ow FROM cells),
+      e AS (SELECT SUM(na::HUGEINT * nb * abs(a - bc))::HUGEINT ew
+        FROM ma, mb)
+      SELECT o.n, (SELECT COUNT(*) FROM ma)::BIGINT AS k_a,
+        (SELECT COUNT(*) FROM mb)::BIGINT AS k_b,
+        (ow * 1000000 // n)::BIGINT AS obs_mean_w_micro,
+        (ew * 1000000 // (n::HUGEINT * n))::BIGINT AS exp_mean_w_micro,
+        (CASE WHEN ew > 0 THEN
+          CASE WHEN ew - ow * n >= 0 THEN (ew - ow * n) * 1000000 // ew
+          ELSE -(((ow * n - ew) * 1000000) // ew) END END)::BIGINT
+          AS kappa_w_micro
+      FROM o, e"""))
+
+  /** Gwet's AC1 between event_type and a value-gated copy — the
+    * prevalence-robust agreement companion to q252's Cohen κ; pure
+    * integer through the 4n²(k−1) common denominator.
+    */
+  private val q317 = Q(
+    "q317_gwet_ac1",
+    (spark, dir) => {
+      val e = pq(spark, dir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type").as("ra"),
+          when(col("value") > 250, col("event_type")).otherwise(lit("other"))
+            .as("rb"))
+      Eval.gwetAc1(e, "ra", "rb")
+    },
+    Some("""WITH b AS (SELECT event_type::VARCHAR ra,
+          (CASE WHEN value > 250 THEN event_type ELSE 'other' END)::VARCHAR rb
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      cells AS (SELECT ra, rb, COUNT(*)::BIGINT c FROM b GROUP BY 1, 2),
+      m AS (SELECT v, SUM(c)::HUGEINT mv FROM (SELECT ra v, c FROM cells
+          UNION ALL SELECT rb v, c FROM cells) GROUP BY 1),
+      t AS (SELECT SUM(c)::HUGEINT n,
+          SUM(CASE WHEN ra = rb THEN c ELSE 0 END)::HUGEINT agree FROM cells),
+      kk AS (SELECT COUNT(*)::BIGINT k FROM m),
+      s AS (SELECT SUM(mv * (2 * t.n - mv))::HUGEINT sv FROM m, t)
+      SELECT t.n::BIGINT AS n, kk.k, t.agree::BIGINT AS n_agree,
+        (CASE WHEN t.n > 0 THEN t.agree * 1000000 // t.n END)::BIGINT
+          AS po_micro,
+        (CASE WHEN kk.k >= 2 AND 4 * t.n * t.n * (kk.k - 1) > 0 THEN
+          s.sv * 1000000 // (4 * t.n * t.n * (kk.k - 1)) END)::BIGINT
+          AS pe_micro,
+        (CASE WHEN kk.k >= 2 AND 4 * t.n * t.n * (kk.k - 1) - s.sv > 0 THEN
+          CASE WHEN t.agree * 4 * t.n * (kk.k - 1) - s.sv >= 0 THEN
+            (t.agree * 4 * t.n * (kk.k - 1) - s.sv) * 1000000
+              // (4 * t.n * t.n * (kk.k - 1) - s.sv)
+          ELSE -((s.sv - t.agree * 4 * t.n * (kk.k - 1)) * 1000000
+              // (4 * t.n * t.n * (kk.k - 1) - s.sv)) END
+         END)::BIGINT AS ac1_micro
+      FROM t, kk, s"""))
+
+  /** Cohen's h effect size between user-parity arms' high-value rates —
+    * the sample-size-free magnitude q232's z cannot be.
+    */
+  private val q318 = Q(
+    "q318_cohens_h",
+    (spark, dir) => Causal.cohensH(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(
+          when(pmod(col("user_id"), lit(2)) === 0, "arm_a")
+            .otherwise("arm_b").as("arm"),
+          (col("value") > 250).as("succ")),
+      "arm", "succ"),
+    Some("""WITH b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'arm_a'
+            ELSE 'arm_b' END g, (value > 250) x FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      g AS (SELECT g, COUNT(*)::BIGINT n,
+          SUM(CASE WHEN x THEN 1 ELSE 0 END)::BIGINT x FROM b GROUP BY 1),
+      a AS (SELECT * FROM g ORDER BY g LIMIT 1),
+      bb AS (SELECT * FROM g ORDER BY g DESC LIMIT 1)
+      SELECT a.g AS grp_a, bb.g AS grp_b, a.n AS n_a, bb.n AS n_b,
+        a.x AS x_a, bb.x AS x_b,
+        (a.x::HUGEINT * 1000000 // a.n)::BIGINT AS p_a_micro,
+        (bb.x::HUGEINT * 1000000 // bb.n)::BIGINT AS p_b_micro,
+        floor(1000.0 * (2.0 * asin(sqrt(a.x::DOUBLE / a.n))
+          - 2.0 * asin(sqrt(bb.x::DOUBLE / bb.n))))::BIGINT AS h_milli
+      FROM a, bb"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -10455,7 +10560,7 @@ object Queries {
     q283, q284, q285, q286, q287, q288, q289, q290, q291, q292,
     q293, q294, q295, q296, q297, q298, q299, q300, q301,
     q302, q303, q304, q305, q306, q307, q308, q309, q310, q311,
-    q312, q313, q314, q315)
+    q312, q313, q314, q315, q316, q317, q318)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

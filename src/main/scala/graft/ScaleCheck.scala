@@ -1238,6 +1238,43 @@ object ScaleCheck {
       val tN = f(evN, s"${name}_N")
       println(f"$name%-16s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
+    def weightedKappaTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("value").isNotNull && col("user_id").isNotNull)
+        .select(
+          least(greatest(floor(col("value") / 100.0), lit(0L)), lit(5L)).as("ra"),
+          least(greatest(floor((col("value") + pmod(col("user_id"), lit(50L))) / 100.0),
+            lit(0L)), lit(5L)).as("rb"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.weightedKappa(base, "ra", "rb")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def gwetTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type").as("ra"),
+          when(col("value") > 250, col("event_type")).otherwise(lit("other")).as("rb"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.gwetAc1(base, "ra", "rb")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def cohensHTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(when(pmod(col("user_id"), lit(2)) === 0, "a").otherwise("b").as("arm"),
+          (col("value") > 250).as("s"))
+      val t0 = System.nanoTime()
+      graft.ops.Causal.cohensH(base, "arm", "s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for ((name, f) <- Seq(
+      ("weighted_kappa", weightedKappaTime _),
+      ("gwet_ac1", gwetTime _),
+      ("cohens_h", cohensHTime _)) if wanted(name)) {
+      val t1 = f(ev1, s"${name}_1")
+      val tN = f(evN, s"${name}_N")
+      println(f"$name%-16s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
     def hhiTime(df: DataFrame, tag: String): Double = {
       val t0 = System.nanoTime()
       graft.ops.Corpus.hhiConcentration(df, "lang", "source")

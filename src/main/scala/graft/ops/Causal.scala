@@ -412,6 +412,57 @@ object Causal {
         "wilson_hi_a_micro", "wilson_lo_b_micro", "wilson_hi_b_micro")
   }
 
+  /** Cohen's h — the EFFECT SIZE for two proportions, the number
+    * [[twoProportionTest]]'s z deliberately is not: z grows with √n,
+    * so at corpus scale everything is "significant"; h = 2·asin(√p̂_a)
+    * − 2·asin(√p̂_b) is sample-size-free (0.2/0.5/0.8 small/medium/
+    * large by Cohen's convention) and is what decides whether a
+    * statistically-detectable rate difference is worth acting on.
+    * The arcsine transform equalizes the variance of proportions, so
+    * one h threshold means the same thing at p = 0.05 as at p = 0.5.
+    *
+    * Exactness: counts are exact; rates are exact micro divisions;
+    * h is ONE fixed double tree of the exact counts
+    * (`2·asin(√(x/n))` per arm, subtraction, floor to milli) —
+    * identical in any IEEE engine. Exactly two groups required,
+    * reported in lexicographic order.
+    *
+    * Output (one row): `(grp_a, grp_b, n_a, n_b, x_a, x_b, p_a_micro,
+    * p_b_micro, h_milli)`.
+    *
+    * 100 TB shape: one map-side-combined groupBy(group) to two rows;
+    * the finish is driver arithmetic on four longs.
+    */
+  def cohensH(
+      df: DataFrame,
+      groupCol: String,
+      successCol: String): DataFrame = {
+    val g = df
+      .filter(col(groupCol).isNotNull && col(successCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(successCol).cast("boolean").as("__x"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__x"), 1L).otherwise(0L)).as("x"))
+      .orderBy("__g").collect()
+    require(g.length == 2,
+      s"cohensH: exactly 2 groups required, got ${g.length}")
+    val (ga, gb) = (g(0).getString(0), g(1).getString(0))
+    val (na, xa) = (g(0).getLong(1), g(0).getLong(2))
+    val (nb, xb) = (g(1).getLong(1), g(1).getLong(2))
+    val (paM, pbM) =
+      ((BigInt(xa) * 1000000 / BigInt(na)).toLong,
+        (BigInt(xb) * 1000000 / BigInt(nb)).toLong)
+    val h = 2.0 * math.asin(math.sqrt(xa.toDouble / na)) -
+      2.0 * math.asin(math.sqrt(xb.toDouble / nb))
+    val hMilli = math.floor(1000.0 * h).toLong
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, na, nb, xa, xb, paM, pbM, hMilli))
+      .toDF("grp_a", "grp_b", "n_a", "n_b", "x_a", "x_b",
+        "p_a_micro", "p_b_micro", "h_milli")
+  }
+
   /** Cochran–Armitage trend test — does a BINARY rate trend MONOTONE
     * across ordered groups (quality-pass rate across source deciles,
     * purchase rate across propensity buckets)? The two-proportion test

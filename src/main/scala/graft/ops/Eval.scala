@@ -272,6 +272,133 @@ object Eval {
              end""").as("kappa_micro"))
   }
 
+  /** Weighted Cohen's κ (linear weights) — inter-rater agreement for
+    * ORDINAL labels, where [[cohensKappa]]'s all-or-nothing cell
+    * credit is wrong: two annotators scoring a document 4 vs 5 agree
+    * far more than 1 vs 5, and nominal κ charges both the same. With
+    * disagreement weight `|i − j|`, κ_w = 1 − E_obs[|i−j|] /
+    * E_chance[|i−j|] — the standard linear-weighted kappa, the
+    * annotation-QA gate for rating scales (quality 1–5, toxicity
+    * 0–3).
+    *
+    * Fully exact: observed weight `Σ n_ij·|i−j|` and the chance term
+    * `Σ n_a(i)·n_b(j)·|i−j|` (marginal cross product) are exact
+    * decimal sums; κ_w reduces over the common denominator to the
+    * integer ratio `(E_num − obs·n)/E_num`, one sign-split floor
+    * division to micro — no doubles anywhere.
+    *
+    * Output (one row): `(n, k_a, k_b, obs_mean_w_micro,
+    * exp_mean_w_micro, kappa_w_micro)`; κ NULL when the chance weight
+    * is zero (both raters constant at the same value).
+    *
+    * Overflow: E_num ≤ n²·range·10⁶ rides decimal(38,0) to n ≈ 10¹⁴
+    * at a 10³-wide scale — loud-NULL past it.
+    *
+    * 100 TB shape: one map-side-combined groupBy(a, b) to the
+    * confusion cells; marginals and their cross product are
+    * category-table-sized (hard `maxCategories` require — the cross
+    * product is k_a·k_b).
+    */
+  def weightedKappa(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxCategories: Int = 1000): DataFrame = {
+    require(maxCategories >= 2, s"maxCategories $maxCategories must be >= 2")
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("long").as("__a"),
+        col(bCol).cast("long").as("__b"))
+      .groupBy("__a", "__b")
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val ma = cells.groupBy("__a").agg(sum("__c").as("na")).localCheckpoint()
+    val mb = cells.groupBy("__b").agg(sum("__c").as("nb")).localCheckpoint()
+    val kA = ma.count(); val kB = mb.count()
+    require(kA <= maxCategories && kB <= maxCategories,
+      s"weightedKappa: $kA x $kB categories exceed maxCategories=" +
+        s"$maxCategories — the chance term is a marginal cross product")
+    val obs = cells.agg(sum("__c").as("n"),
+      sum(expr("cast(__c as decimal(38,0)) * abs(__a - __b)")).as("__o"))
+    val ex = ma.crossJoin(broadcast(mb))
+      .agg(sum(expr("cast(na as decimal(38,0)) * nb * abs(__a - __b)"))
+        .as("__e"))
+    obs.crossJoin(broadcast(ex))
+      .select(col("n"), lit(kA).as("k_a"), lit(kB).as("k_b"),
+        expr("cast(__o * 1000000 div n as long)").as("obs_mean_w_micro"),
+        expr("""cast(__e * 1000000 div (cast(n as decimal(38,0)) * n)
+             as long)""").as("exp_mean_w_micro"),
+        expr("""case when __e > 0 then
+             cast(case when __e - __o * n >= 0
+               then (__e - __o * n) * 1000000 div __e
+               else -((__o * n - __e) * 1000000 div __e) end as long)
+             end""").as("kappa_w_micro"))
+  }
+
+  /** Gwet's AC1 — chance-corrected agreement that stays honest under
+    * PREVALENCE skew, the known kappa paradox: when 95% of documents
+    * are "fine", two raters agreeing 95% of the time score κ ≈ 0
+    * (chance under independence absorbs everything) even though they
+    * are plainly reliable. AC1's chance term models random rating of
+    * only the UNCLEAR fraction — `p_e = Σ_c π_c(1−π_c)/(k−1)` with
+    * π_c the pooled marginal — and stays near the intuition where κ
+    * collapses. Read κ and AC1 together: both high → trust the
+    * labels; κ low + AC1 high → prevalence artifact, not rater noise.
+    *
+    * Fully exact: with m_c = n_a(c)+n_b(c), multiplying (p_o −
+    * p_e)/(1 − p_e) through by 4n²(k−1) gives the integer ratio
+    * `(agree·4n(k−1) − S)/(4n²(k−1) − S)`, S = Σ m_c(2n − m_c) — one
+    * sign-split floor division to micro, no doubles.
+    *
+    * Output (one row): `(n, k, n_agree, po_micro, pe_micro,
+    * ac1_micro)`; AC1 NULL when k < 2 or the denominator degenerates.
+    *
+    * 100 TB shape: one map-side-combined groupBy(a, b) to the cells;
+    * the pooled marginal and S are category-table math; the finish is
+    * driver BigInt on three exact scalars.
+    */
+  def gwetAc1(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val m = cells.select(col("__a").as("__v"), col("__c"))
+      .unionByName(cells.select(col("__b").as("__v"), col("__c")))
+      .groupBy("__v").agg(sum("__c").as("m"))
+      .localCheckpoint()
+    val k = m.count()
+    val t = cells.agg(
+      coalesce(sum("__c"), lit(0L)).as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__c"))
+        .otherwise(0L)), lit(0L)).as("agree")).head()
+    val n = t.getLong(0); val agree = t.getLong(1)
+    val sRow = m.agg(
+      sum(expr(s"cast(m as decimal(38,0)) * (2 * ${n}L - m)")).as("s"))
+      .head()
+    val s = if (sRow.isNullAt(0)) BigInt(0)
+      else BigInt(sRow.getDecimal(0).toBigInteger)
+    val po: Option[Long] =
+      if (n > 0) Some((BigInt(agree) * 1000000 / BigInt(n)).toLong) else None
+    val den = 4 * BigInt(n) * BigInt(n) * BigInt(k - 1)
+    val pe: Option[Long] =
+      if (k >= 2 && den > 0) Some((s * 1000000 / den).toLong) else None
+    val ac1: Option[Long] =
+      if (k >= 2 && den - s > 0) {
+        val num = BigInt(agree) * 4 * BigInt(n) * BigInt(k - 1) - s
+        // BigInt `/` truncates toward zero = the oracle's sign-split `//`
+        Some((num * 1000000 / (den - s)).toLong)
+      } else None
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, k, agree, po, pe, ac1))
+      .toDF("n", "k", "n_agree", "po_micro", "pe_micro", "ac1_micro")
+  }
+
   /** McNemar's test — do two classifiers DISAGREE in a biased way on
     * the SAME rows? The paired accuracy comparison (two quality
     * filters, model vs heuristic) where a plain accuracy diff double-

@@ -2251,6 +2251,59 @@ class StatsOpsSpec extends SparkSuite {
     assert(fix.forall(r => r.getLong(3) == r.getLong(4)), fix.mkString(","))
   }
 
+  test("weightedKappa: perfect 1e6, perfect disagreement -1e6, ordinal credit, NULL chance") {
+    def wk(pairs: Seq[(Long, Long)]) =
+      Eval.weightedKappa(pairs.toDF("a", "b"), "a", "b").collect()(0)
+    // perfect agreement on a 2-point scale
+    val p = wk(Seq((0L, 0L), (0L, 0L), (1L, 1L), (1L, 1L)))
+    assert(p.getLong(3) == 0L && p.getLong(5) == 1000000L, p.toString)
+    // perfect disagreement on a 2-point scale: kappa_w = -1
+    assert(wk(Seq((0L, 1L), (1L, 0L))).getLong(5) == -1000000L)
+    // ordinal credit: a (4 vs 5) disagreement scores HIGHER than (1 vs 5)
+    // against the same marginal structure
+    val near = wk(Seq((4L, 5L), (5L, 4L), (1L, 1L), (2L, 2L))).getLong(5)
+    val far = wk(Seq((1L, 5L), (5L, 1L), (1L, 1L), (2L, 2L))).getLong(5)
+    assert(near > far, s"$near vs $far")
+    // both raters constant at the same value: chance weight 0 -> NULL
+    assert(wk(Seq((3L, 3L), (3L, 3L))).isNullAt(5))
+    // cap is loud
+    intercept[IllegalArgumentException] {
+      Eval.weightedKappa(
+        (1L to 9L).map(i => (i, i)).toDF("a", "b"), "a", "b",
+        maxCategories = 4)
+    }
+  }
+
+  test("gwetAc1: BigInt replay on the prevalence-skew case, k=1 NULL") {
+    // 95 (y,y) + 1 (n,n) + 2 (y,n) + 2 (n,y): the kappa-paradox shape
+    val rows = Seq.fill(95)(("y", "y")) ++ Seq(("n", "n")) ++
+      Seq.fill(2)(("y", "n")) ++ Seq.fill(2)(("n", "y"))
+    val r = Eval.gwetAc1(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(r.getLong(0) == 100L && r.getLong(1) == 2L && r.getLong(2) == 96L)
+    assert(r.getLong(3) == 960000L) // p_o = 0.96
+    // replay: m_y = 97+97 = 194, m_n = 6, S = 194*6 + 6*194 = 2328,
+    // den = 4*100^2*1 = 40000 -> pe = 2328e6/40000 = 58200
+    assert(r.getLong(4) == 58200L, r.toString)
+    val ac1 = (BigInt(96 * 4 * 100) - 2328) * 1000000 / (40000 - 2328)
+    assert(r.getLong(5) == ac1.toLong, s"${r.getLong(5)} vs $ac1")
+    // one category only -> k = 1 -> NULL pe and ac1
+    val one = Eval.gwetAc1(
+      Seq(("y", "y"), ("y", "y")).toDF("a", "b"), "a", "b").collect()(0)
+    assert(one.getLong(1) == 1L && one.isNullAt(4) && one.isNullAt(5))
+  }
+
+  test("cohensH: hand pi/2 case, two-group require is loud") {
+    val rows = (1 to 10).map(i => ("arm_a", i <= 5)) ++
+      (1 to 10).map(_ => ("arm_b", false))
+    val r = Causal.cohensH(rows.toDF("arm", "s"), "arm", "s").collect()(0)
+    // h = 2*asin(sqrt(0.5)) - 2*asin(0) = pi/2 -> floor(1000*1.5707) = 1570
+    assert(r.getLong(8) == 1570L, r.toString)
+    assert(r.getLong(6) == 500000L && r.getLong(7) == 0L)
+    intercept[IllegalArgumentException] {
+      Causal.cohensH(Seq(("only", true)).toDF("arm", "s"), "arm", "s")
+    }
+  }
+
   test("dispersionIndex: hand VMR, constant counts 0, degenerate NULL") {
     val df = Seq(("a", 0.0), ("a", 4.0), ("b", 3.0), ("b", 3.0), ("c", 1.0))
       .toDF("g", "v")
