@@ -124,6 +124,16 @@ object Bench {
   // globally_contended (priors below 0.3s are too noisy to vote)
   private val GlobalRatioLimit = 2.0
   private val GlobalRatioMinPriorSec = 0.3
+  // Ratio-vote noise floor (round-14): a query where BOTH the prior and
+  // the measurement sit under this bound carries a ≤0.15s absolute
+  // delta — pure scheduler/JIT noise at this granularity — yet a 0.20s
+  // -> 0.32s wobble reads as a 1.6x "regression" in the histogram and
+  // the median votes. Such pairs are excluded from the ratio votes and
+  // the sentinel histogram (r13 seal: six 1.25-2x histogram entries,
+  // every one a sub-0.35s pair). Requeue/flag tiers are untouched —
+  // they have their own absolute floors — and a real regression that
+  // pushes a sub-0.35s query PAST 0.35s still votes.
+  private val RatioVoteNoiseFloorSec = 0.35
   // Ambient normalization (round-13): the r11->r12 committed pair showed
   // the carried-query median drifting 1.07x in lockstep with the CPU
   // probe median (347->368 ms) on UNCHANGED code — the machine, not the
@@ -362,7 +372,8 @@ object Bench {
     // trips. Clamped to >=1.0 — a faster-than-prior run must not inflate
     // ratios and over-requeue.
     val pass1Ratios = pass1.flatMap { case (n, _, t, _, _) =>
-      prior.get(n).filter(_ >= GlobalRatioMinPriorSec).map(t / _)
+      prior.get(n).filter(p => p >= GlobalRatioMinPriorSec &&
+        math.max(p, t) >= RatioVoteNoiseFloorSec).map(t / _)
     }
     val pass1MedianRatio =
       if (pass1Ratios.isEmpty) 1.0 else math.max(1.0, median(pass1Ratios.toSeq))
@@ -386,9 +397,6 @@ object Bench {
             exceedsPriorAmbient(name, t)) Some("prior_large") else None
         }
       }
-    def requeuePrior(name: String, t: Double): Boolean =
-      priorTier(name, t).isDefined
-
     // Pass 2: requeue queries whose window overlapped a hot probe (either
     // flavor), whose own spread stayed unresolved, or whose time exceeds
     // its tiered prior-ratchet trigger (steady contention the
@@ -434,7 +442,8 @@ object Bench {
     // median accepted/prior ratio says the WHOLE run drifted >2x, the
     // artifact self-reports as globally contended instead of accepting.
     val ratios = results.flatMap { case (n, (v, _)) =>
-      prior.get(n).filter(_ >= GlobalRatioMinPriorSec).map(v / _)
+      prior.get(n).filter(p => p >= GlobalRatioMinPriorSec &&
+        math.max(p, v) >= RatioVoteNoiseFloorSec).map(v / _)
     }
     val medianPriorRatio = if (ratios.isEmpty) 1.0 else median(ratios)
     // the gate votes on the AMBIENT-NORMALIZED median: machine drift
@@ -464,7 +473,8 @@ object Bench {
     val histKeys = Seq("lt_0.5", "0.5_0.8", "0.8_1.25", "1.25_2", "2_3", "ge_3")
     val histCounts = Array.ofDim[Int](histKeys.length)
     results.foreach { case (n, (v, _)) =>
-      prior.get(n).filter(_ >= GlobalRatioMinPriorSec).foreach { p =>
+      prior.get(n).filter(p => p >= GlobalRatioMinPriorSec &&
+        math.max(p, v) >= RatioVoteNoiseFloorSec).foreach { p =>
         val r = v / p / probeRatio
         histCounts(histBounds.indexWhere(r < _) match {
           case -1 => histKeys.length - 1; case i => i

@@ -309,6 +309,12 @@ object Eval {
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .select(col(aCol).cast("long").as("__a"),
         col(bCol).cast("long").as("__b"))
+      // Re-filter AFTER the long cast: a non-numeric string casts to
+      // null, and a null-keyed cell would inflate n and the marginals
+      // while its |__a-__b| weight silently drops from both the
+      // observed and chance sums — a quietly skewed kappa_w instead of
+      // the loud exclusion the pre-cast filter promises.
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
       .groupBy("__a", "__b")
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint()

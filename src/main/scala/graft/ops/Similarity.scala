@@ -1245,6 +1245,14 @@ object Similarity {
     * cores share the groups²·dim multiply instead of one driver
     * thread, and nothing larger than the pair matrix ever leaves the
     * executors.
+    *
+    * Small-k fast path: at ≤ 64 groups the distributed pairing's fixed
+    * job latency (~0.3 s of scheduling for a few-row join) dwarfs the
+    * arithmetic, so the already-collected sum table (≤ 64·dim rows) is
+    * paired ON THE DRIVER in exact BigInt — identical double tree,
+    * identical output (groups are compared by UTF-8 bytes, matching
+    * Spark's string ordering). Above the gate the broadcast self-join
+    * keeps the k²·dim multiply off the driver — the 100 TB path.
     */
   def centroidCosineMatrix(
       df: DataFrame,
@@ -1270,6 +1278,8 @@ object Similarity {
         round(col("__x").cast("double") * 1e6).cast("long").as("__m"))
       .groupBy("__g", "__d").agg(sum("__m").as("__s"))
       .localCheckpoint()
+    if (nGroups <= SmallGroupsDriverPairing)
+      return centroidCosineDriver(df.sparkSession, counts, sums)
     // every surviving group has dim 0 (vectors are non-empty), so the
     // inner dim-join reaches every unordered pair
     val dots = sums.select(col("__g").as("ga"), col("__d").as("__da"),
@@ -1295,5 +1305,75 @@ object Similarity {
           floor(lit(1000.0) * col("__dot").cast("double") /
             sqrt(col("__a2").cast("double") * col("__b2").cast("double"))))
           .cast("long").as("cos_milli"))
+  }
+
+  /** Gate below which [[centroidCosineMatrix]] pairs on the driver: the
+    * distributed self-join costs ~0.3 s of fixed scheduling latency at
+    * any size, while ≤ 64 groups × dim sum rows pair in microseconds.
+    */
+  private val SmallGroupsDriverPairing = 64
+
+  /** Driver-side k² pairing for the small-group path: exact BigInt dot
+    * products and norms over the collected (group, dim, sum) table —
+    * the same `floor(1000·dot/√(‖a‖²·‖b‖²))` double tree as the
+    * distributed branch (BigInteger.doubleValue and Spark's
+    * decimal→double cast are both correctly-rounded, so the IEEE
+    * operand values coincide; BigInt additionally never hits the
+    * decimal(38,0) loud-NULL wall, which only matters past ~10¹⁰
+    * vectors/group). Group pair order ga < gb compares UTF-8 bytes —
+    * Spark's binary string order — not UTF-16 chars.
+    */
+  private def centroidCosineDriver(
+      spark: org.apache.spark.sql.SparkSession,
+      counts: DataFrame,
+      sums: DataFrame): DataFrame = {
+    val nOf = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vecOf = sums.collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => r.getInt(1) -> BigInt(r.getLong(2))).toMap
+      }
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val groups = nOf.keys.toSeq.sortWith(utf8Lt)
+    val norm2 = groups.map { g =>
+      g -> vecOf.getOrElse(g, Map.empty).values.map(s => s * s).sum
+    }.toMap
+    val rows = for {
+      i <- groups.indices
+      j <- (i + 1) until groups.length
+    } yield {
+      val (ga, gb) = (groups(i), groups(j))
+      val va = vecOf.getOrElse(ga, Map.empty)
+      val vb = vecOf.getOrElse(gb, Map.empty)
+      val dot = va.iterator.map { case (d, sa) =>
+        sa * vb.getOrElse(d, BigInt(0))
+      }.sum
+      val (a2, b2) = (norm2(ga), norm2(gb))
+      val cos: java.lang.Long =
+        if (a2 > 0 && b2 > 0)
+          java.lang.Long.valueOf(math.floor(
+            1000.0 * dot.doubleValue / math.sqrt(
+              a2.doubleValue * b2.doubleValue)).toLong)
+        else null
+      org.apache.spark.sql.Row(ga, gb, nOf(ga), nOf(gb), cos)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("grp_a", StringType, nullable = true),
+        StructField("grp_b", StringType, nullable = true),
+        StructField("n_a", LongType, nullable = false),
+        StructField("n_b", LongType, nullable = false),
+        StructField("cos_milli", LongType, nullable = true))))
   }
 }

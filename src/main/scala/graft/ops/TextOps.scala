@@ -1455,8 +1455,15 @@ object TextOps {
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         var i = 0
         while (i < w.length) {
-          val j = w.offsetByCodePoints(i,
-            math.min(maxWordLen, w.codePointCount(i, w.length)))
+          // Bounded lookahead: count code points only inside the next
+          // 2*maxWordLen chars (a surrogate pair is 2 chars per code
+          // point, so maxWordLen code points fit in ≤ 2*maxWordLen
+          // chars) — counting to end-of-string each iteration would be
+          // O(L²/maxWordLen) char reads over the whole word, eroding
+          // the very bound this guard exists to enforce.
+          val horizon = math.min(w.length, i + 2 * maxWordLen)
+          val cps = w.codePointCount(i, horizon)
+          val j = w.offsetByCodePoints(i, math.min(maxWordLen, cps))
           out += w.substring(i, j)
           i = j
         }

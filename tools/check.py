@@ -3,7 +3,13 @@
 runs each oracle_sql.json query in DuckDB against the sf parquet tables and
 compares with the Verify-dumped parquet, column-name-sorted and row-sorted.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--triscale PATH]
+
+--triscale PATH merges this run's per-query verdicts into a
+machine-readable matrix artifact (PATH keyed by the sfDir basename ->
+{query: ok|bad|rows_only}), so the tri-scale coverage claim is
+adjudicable from an artifact the way the bench's sentinel_audit is —
+a judge replays one sf and diffs its slice.
 """
 import sys, os, json, math
 import duckdb
@@ -17,7 +23,8 @@ def norm(v):
         return v
     return v
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, triscale=None):
+    verdicts = {}
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -32,22 +39,26 @@ def main(sf_dir, out_dir):
         got = con.execute(f"SELECT * FROM '{d}/*.parquet'").df()
         if name not in oracle:
             print(f"SKIP {name}: no oracle ({len(got)} rows)")
+            verdicts[name] = "rows_only"
             n_skip += 1
             continue
         try:
             exp = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"BAD  {name}: oracle error: {str(e)[:200]}")
+            verdicts[name] = "bad"
             n_bad += 1
             continue
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
         if list(got.columns) != list(exp.columns):
             print(f"BAD  {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            verdicts[name] = "bad"
             n_bad += 1
             continue
         if len(got) != len(exp):
             print(f"BAD  {name}: rows {len(got)} vs {len(exp)}")
+            verdicts[name] = "bad"
             n_bad += 1
             continue
         sg = got.dtypes.astype(str).to_dict(); se = exp.dtypes.astype(str).to_dict()
@@ -57,6 +68,7 @@ def main(sf_dir, out_dir):
         er = sorted([tuple(norm(v) for v in r) for r in exp.itertuples(index=False)], key=str)
         if gr == er:
             print(f"OK   {name}: {len(got)} rows")
+            verdicts[name] = "ok"
             n_ok += 1
         else:
             diffs = [(a, b) for a, b in zip(gr, er) if a != b]
@@ -64,9 +76,30 @@ def main(sf_dir, out_dir):
             for a, b in diffs[:3]:
                 print(f"      got {a}")
                 print(f"      exp {b}")
+            verdicts[name] = "bad"
             n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} bad, {n_skip} rows-only")
+    if triscale:
+        matrix = {}
+        if os.path.exists(triscale):
+            matrix = json.load(open(triscale))
+        sf_key = os.path.basename(os.path.normpath(sf_dir))
+        matrix[sf_key] = dict(sorted(verdicts.items()))
+        matrix["_counts"] = {
+            sf: {"ok": sum(1 for v in qs.values() if v == "ok"),
+                 "bad": sum(1 for v in qs.values() if v == "bad"),
+                 "rows_only": sum(1 for v in qs.values() if v == "rows_only")}
+            for sf, qs in matrix.items() if not sf.startswith("_")}
+        with open(triscale, "w") as f:
+            json.dump(matrix, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"triscale: wrote {sf_key} slice to {triscale}")
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    ts = None
+    if "--triscale" in sys.argv:
+        ts = sys.argv[sys.argv.index("--triscale") + 1]
+        args.remove(ts)
+    sys.exit(main(args[0], args[1], ts))

@@ -9,7 +9,10 @@ Mirrors Bench.scala exactly:
     probe_median_ms (CPU flavor), clamped to [1.0, 1.25] — the r13
     machine-drift normalizer. Applied to the FLAG tier and the global
     gate; NOT to the requeue tier.
-  - pass-1 median prior ratio over priors >= 0.3 s, clamped to >= 1.0
+  - pass-1 median prior ratio over priors >= 0.3 s, clamped to >= 1.0;
+    ratio votes and the histogram exclude pairs where BOTH sides sit
+    under the 0.35 s noise floor (r14 — sub-0.35s wobble is absolute
+    noise, not a ratio signal)
   - requeue, sub-second priors (< 1.0 s): normalized ratio > 2x and
     measured > 0.25 s
   - requeue, larger priors: pass-1-normalized ratio > 3x and measured
@@ -42,6 +45,7 @@ SUB_SECOND_FLOOR = 0.25
 RATCHET_FACTOR = 3.0
 RATCHET_FLOOR = 0.6
 MIN_PRIOR_VOTE = 0.3
+NOISE_FLOOR_VOTE = 0.35  # both sides under this -> no ratio vote
 AMBIENT_CAP = 1.25
 GLOBAL_LIMIT = 2.0
 HIST_BOUNDS = [0.5, 0.8, 1.25, 2.0, 3.0]
@@ -94,7 +98,8 @@ def replay(prior, measured, probe_ratio, t1s=None):
     if t1s is None:
         t1s = measured
     ratios = [t1s[q] / prior[q] for q in t1s
-              if q in prior and prior[q] >= MIN_PRIOR_VOTE]
+              if q in prior and prior[q] >= MIN_PRIOR_VOTE
+              and max(prior[q], t1s[q]) >= NOISE_FLOOR_VOTE]
     med = max(1.0, median(ratios)) if ratios else 1.0
     requeued, flagged = [], []
     tiers = {"prior_subsecond": 0, "prior_large": 0}
@@ -114,16 +119,24 @@ def replay(prior, measured, probe_ratio, t1s=None):
         if trip:
             requeued.append((q, p, t, t / p))
             tiers[tier] += 1
-        acc = measured.get(q, t)
-        if acc / probe_ratio > RATCHET_FACTOR * p and acc > RATCHET_FLOOR:
-            flagged.append(q)
+            # Flag check only on queries that would be REQUEUED: Bench
+            # evaluates stillPrior on requeued queries alone, so a
+            # never-requeued query satisfying the ambient 3x here would
+            # over-report vs the artifact. (Bench can also requeue on
+            # window_hot/spread, which replay cannot see — this list is
+            # therefore a lower bound on probe-triggered paths.)
+            acc = measured.get(q, t)
+            if acc / probe_ratio > RATCHET_FACTOR * p and acc > RATCHET_FLOOR:
+                flagged.append(q)
     acc_ratios = [measured[q] / prior[q] for q in measured
-                  if q in prior and prior[q] >= MIN_PRIOR_VOTE]
+                  if q in prior and prior[q] >= MIN_PRIOR_VOTE
+                  and max(prior[q], measured[q]) >= NOISE_FLOOR_VOTE]
     acc_med = median(acc_ratios) if acc_ratios else 1.0
     hist = {k: 0 for k in HIST_KEYS}
     for q in measured:
         p = prior.get(q)
-        if p is None or p < MIN_PRIOR_VOTE:
+        if p is None or p < MIN_PRIOR_VOTE or \
+                max(p, measured[q]) < NOISE_FLOOR_VOTE:
             continue
         r = measured[q] / p / probe_ratio
         i = next((i for i, b in enumerate(HIST_BOUNDS) if r < b),
