@@ -1286,6 +1286,122 @@ object ScaleCheck {
       val tN = hhiTime(docNPlain, "hhi_N")
       println(f"hhi              1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
+
+    // ---- Round-14: the heavy dedup/similarity family's remaining q-shapes
+    // (q55 winnowing, q98 containment, q60 dedup_apply, q73 keep_best,
+    // q136 lsh_audit), added so the 64x tier covers the whole family.
+    // Salted docN protocol: cross-replica shingles distinct, dfs flat,
+    // pair density constant — pure volume scaling.
+    def winnowTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.TextOps.winnowingFingerprint(df, "text", "doc_id", k = 8, w = 4)
+        .select(col("doc_id"), md5(col("winnow_fp")).as("fp_md5"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def containTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.containmentPairs(df, "doc_id", "text", 3, 0.6)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def dedupApplyTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      val pairs = graft.ops.Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5)
+      graft.ops.Cluster.dedupApply(
+          df.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+          "doc_id", pairs, "id_a", "id_b")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def keepBestTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      val pairs = graft.ops.Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5)
+      graft.ops.Cluster.dedupApplyByScore(
+          df.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+          "doc_id", "n_chars", pairs, "id_a", "id_b")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def lshAuditTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      val exact = graft.ops.Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5)
+        .select(col("id_a"), col("id_b"))
+      val cand = graft.ops.Dedup.minhashLshPairs(df, "doc_id", "text")
+      val hit = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for ((name, f) <- Seq(
+      ("winnowing", winnowTime _), ("containment", containTime _),
+      ("dedup_apply", dedupApplyTime _), ("keep_best", keepBestTime _),
+      ("lsh_audit", lshAuditTime _)) if wanted(name)) {
+      val t1 = f(doc1, s"${name}_1")
+      val tN = f(docN, s"${name}_N")
+      println(f"$name%-16s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
+
+    // ---- Round-14 CAP-ONSET stress (built for mult=64): the pair-stage
+    // hard caps (maxBucket / maxDf) have green 8x ratios, but 8x never
+    // pushes a hot key PAST a cap — these entries make one key's mass grow
+    // WITH the corpus so the cap's active regime is actually observed:
+    //   capped(Nx)   — the hot key crosses the cap and is DROPPED; time
+    //                  must stay ~linear vs capped(1x),
+    //   uncapped(Nx) — the same key is KEPT; time measures the quadratic
+    //                  onset the cap exists to prevent,
+    //   at-cap(Nx)   — a key sized just UNDER the default cap is kept;
+    //                  time bounds the worst single-bucket straggler the
+    //                  DEFAULT allows (the cap-adequacy number).
+    // Base corpus is salted docN (flat dfs), so the hot key is the ONLY
+    // quadratic term and the A/B difference isolates it.
+    if (wanted("minhash_capstress")) {
+      val hotText = "the quick brown fox jumps over the lazy dog while the " +
+        "cat watches from the window and the birds sing in the garden today"
+      def withHot(df: DataFrame, every: Int) = df.withColumn("text",
+        when(pmod(col("doc_id") % 10000000L, lit(every)) === 0, lit(hotText))
+          .otherwise(col("text")))
+      def t(maxBucket: Long, df: DataFrame): Double = {
+        val t0 = System.nanoTime()
+        graft.ops.Dedup.minhashLshPairs(df, "doc_id", "text",
+            maxBucket = maxBucket)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // doc_id%25==0 in every replica: 200 identical docs at 1x, 200*mult
+      // at Nx — one bucket per band crossing maxBucket=10000 at mult>=51
+      val c1 = t(10000L, withHot(doc1, 25))
+      val cN = t(10000L, withHot(docN, 25))
+      val uN = t(1000000000L, withHot(docN, 25))
+      // %34: 148/replica -> 9472 at 64x, just under the default cap
+      val aN = t(10000L, withHot(docN, 34))
+      println(f"minhash_capstress capped 1x=${c1}%6.2fs ${mult}x=${cN}%6.2fs " +
+        f"(ratio ${cN / c1}%.1f, linear=$mult.0); uncapped ${mult}x=${uN}%6.2fs " +
+        f"(onset ${uN / cN}%.1fx over capped); at-cap-bucket ${mult}x=${aN}%6.2fs")
+    }
+    if (wanted("jaccard_capstress")) {
+      // one fixed 3-word tail per 20th doc: ~1 hot shingle whose df grows
+      // with the corpus (250 at 1x, 250*mult at Nx — past maxDf=10000 at
+      // mult>=41); boundary shingles stay per-doc-distinct on salted text
+      def withHot(df: DataFrame) = df.withColumn("text",
+        when(pmod(col("doc_id") % 10000000L, lit(20)) === 0,
+          concat(col("text"), lit(" zq alpha beta gamma")))
+          .otherwise(col("text")))
+      def t(maxDf: Long, df: DataFrame): Double = {
+        val t0 = System.nanoTime()
+        graft.ops.Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5, maxDf)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val c1 = t(10000L, withHot(doc1))
+      val cN = t(10000L, withHot(docN))
+      val uN = t(1000000000L, withHot(docN))
+      println(f"jaccard_capstress capped 1x=${c1}%6.2fs ${mult}x=${cN}%6.2fs " +
+        f"(ratio ${cN / c1}%.1f, linear=$mult.0); uncapped ${mult}x=${uN}%6.2fs " +
+        f"(onset ${uN / cN}%.1fx over capped)")
+    }
     spark.stop()
   }
 }
