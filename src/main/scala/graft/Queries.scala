@@ -10532,6 +10532,210 @@ object Queries {
           - 2.0 * asin(sqrt(bb.x::DOUBLE / bb.n))))::BIGINT AS h_milli
       FROM a, bb"""))
 
+  /** Scott's π on the q316 ordinal-rater pair — the pooled-marginal leg
+    * of the agreement triad (κ per-rater, AC1 unclear-fraction).
+    */
+  private val q319 = Q(
+    "q319_scotts_pi",
+    (spark, dir) => Eval.scottsPi(
+      pq(spark, dir, "events")
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .select(
+          least(greatest(floor(col("value") / 100.0), lit(0L)), lit(5L))
+            .as("ra"),
+          least(greatest(
+            floor((col("value") + pmod(col("user_id"), lit(50L))) / 100.0),
+            lit(0L)), lit(5L)).as("rb")),
+      "ra", "rb"),
+    Some("""WITH b AS (SELECT
+          LEAST(GREATEST(floor(value / 100.0), 0), 5)::BIGINT ra,
+          LEAST(GREATEST(floor((value + user_id % 50) / 100.0), 0), 5)
+            ::BIGINT rb
+        FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      cells AS (SELECT ra, rb, COUNT(*)::BIGINT c FROM b GROUP BY 1, 2),
+      m AS (SELECT v, SUM(c)::HUGEINT mv FROM (SELECT ra v, c FROM cells
+          UNION ALL SELECT rb v, c FROM cells) GROUP BY 1),
+      t AS (SELECT SUM(c)::HUGEINT n,
+          SUM(CASE WHEN ra = rb THEN c ELSE 0 END)::HUGEINT agree
+        FROM cells),
+      s AS (SELECT SUM(mv * mv)::HUGEINT sv FROM m)
+      SELECT t.n::BIGINT AS n, t.agree::BIGINT AS n_agree,
+        (CASE WHEN t.n > 0 THEN t.agree * 1000000 // t.n END)::BIGINT
+          AS po_micro,
+        (CASE WHEN t.n > 0 THEN s.sv * 1000000 // (4 * t.n * t.n) END)
+          ::BIGINT AS pe_micro,
+        (CASE WHEN 4 * t.n * t.n - s.sv > 0 THEN
+          CASE WHEN 4 * t.n * t.agree - s.sv >= 0 THEN
+            (4 * t.n * t.agree - s.sv) * 1000000
+              // (4 * t.n * t.n - s.sv)
+          ELSE -((s.sv - 4 * t.n * t.agree) * 1000000
+              // (4 * t.n * t.n - s.sv)) END
+         END)::BIGINT AS pi_micro
+      FROM t, s"""))
+
+  /** Goodman–Kruskal λ: does event_type predict the value band's mode?
+    * Pure integer proportional-reduction-in-error, both directions +
+    * symmetric.
+    */
+  private val q320 = Q(
+    "q320_gk_lambda",
+    (spark, dir) => Eval.gkLambda(
+      pq(spark, dir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type").as("a"),
+          least(greatest(floor(col("value") / 100.0), lit(0L)), lit(5L))
+            .as("b")),
+      "a", "b"),
+    Some("""WITH b AS (SELECT event_type::VARCHAR a,
+          LEAST(GREATEST(floor(value / 100.0), 0), 5)::BIGINT bb
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      cells AS (SELECT a, bb, COUNT(*)::BIGINT c FROM b GROUP BY 1, 2),
+      t AS (SELECT SUM(c)::HUGEINT n FROM cells),
+      rm AS (SELECT SUM(mx)::HUGEINT s FROM
+        (SELECT a, MAX(c) mx FROM cells GROUP BY 1)),
+      cm AS (SELECT SUM(mx)::HUGEINT s FROM
+        (SELECT bb, MAX(c) mx FROM cells GROUP BY 1)),
+      cmm AS (SELECT MAX(m)::HUGEINT m FROM
+        (SELECT bb, SUM(c) m FROM cells GROUP BY 1)),
+      rmm AS (SELECT MAX(m)::HUGEINT m FROM
+        (SELECT a, SUM(c) m FROM cells GROUP BY 1))
+      SELECT t.n::BIGINT AS n, rm.s::BIGINT AS sum_rowmax,
+        cm.s::BIGINT AS sum_colmax, cmm.m::BIGINT AS max_col_marginal,
+        rmm.m::BIGINT AS max_row_marginal,
+        (CASE WHEN t.n - cmm.m > 0 THEN
+          (rm.s - cmm.m) * 1000000 // (t.n - cmm.m) END)::BIGINT
+          AS lambda_b_given_a_micro,
+        (CASE WHEN t.n - rmm.m > 0 THEN
+          (cm.s - rmm.m) * 1000000 // (t.n - rmm.m) END)::BIGINT
+          AS lambda_a_given_b_micro,
+        (CASE WHEN 2 * t.n - cmm.m - rmm.m > 0 THEN
+          (rm.s + cm.s - cmm.m - rmm.m) * 1000000
+            // (2 * t.n - cmm.m - rmm.m) END)::BIGINT
+          AS lambda_sym_micro
+      FROM t, rm, cm, cmm, rmm"""))
+
+  /** Theil's U between documents.lang and documents.source — how much
+    * of the source mix does knowing the language resolve, and vice
+    * versa (asymmetric by design).
+    */
+  private val q321 = Q(
+    "q321_theils_u",
+    (spark, dir) => Eval.theilsU(
+      pq(spark, dir, "documents"), "lang", "source"),
+    Some("""WITH b AS (SELECT lang::VARCHAR a, source::VARCHAR bb
+        FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+      cells AS (SELECT a, bb, COUNT(*)::BIGINT c FROM b GROUP BY 1, 2),
+      t AS (SELECT SUM(c)::BIGINT n FROM cells),
+      ma AS (SELECT a, SUM(c)::BIGINT na FROM cells GROUP BY 1),
+      mb AS (SELECT bb, SUM(c)::BIGINT nb FROM cells GROUP BY 1),
+      ha AS (SELECT SUM(CAST(ROUND(1e6 * na * (ln(t.n::DOUBLE)
+          - ln(na::DOUBLE)) / t.n) AS BIGINT))::BIGINT h FROM ma, t),
+      hb AS (SELECT SUM(CAST(ROUND(1e6 * nb * (ln(t.n::DOUBLE)
+          - ln(nb::DOUBLE)) / t.n) AS BIGINT))::BIGINT h FROM mb, t),
+      hba AS (SELECT SUM(CAST(ROUND(1e6 * c * (ln(ma.na::DOUBLE)
+          - ln(c::DOUBLE)) / t.n) AS BIGINT))::BIGINT h
+        FROM cells JOIN ma USING(a), t),
+      hab AS (SELECT SUM(CAST(ROUND(1e6 * c * (ln(mb.nb::DOUBLE)
+          - ln(c::DOUBLE)) / t.n) AS BIGINT))::BIGINT h
+        FROM cells JOIN mb USING(bb), t)
+      SELECT t.n AS n, ha.h AS h_a_micro, hb.h AS h_b_micro,
+        hba.h AS h_b_given_a_micro, hab.h AS h_a_given_b_micro,
+        (CASE WHEN hb.h > 0 THEN
+          GREATEST(hb.h - hba.h, 0)::HUGEINT * 1000000 // hb.h END)
+          ::BIGINT AS u_b_given_a_micro,
+        (CASE WHEN ha.h > 0 THEN
+          GREATEST(ha.h - hab.h, 0)::HUGEINT * 1000000 // ha.h END)
+          ::BIGINT AS u_a_given_b_micro
+      FROM t, ha, hb, hba, hab"""))
+
+  /** Youden-J optimal threshold for "value predicts the user-parity
+    * class" over a 20-bin score sweep.
+    */
+  private val q322 = Q(
+    "q322_youden_j",
+    (spark, dir) => Eval.youdenJ(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select((pmod(col("user_id"), lit(3)) === 0).as("y"),
+          (col("value") / 500.0).as("score")),
+      "y", "score", bins = 20),
+    Some("""WITH b AS (SELECT (user_id % 3 = 0) y,
+          LEAST(GREATEST(floor((value / 500.0) * 20), 0), 19)::BIGINT bin
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      pb AS (SELECT bin, SUM(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT pos,
+          SUM(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT neg
+        FROM b GROUP BY 1),
+      t AS (SELECT SUM(pos)::BIGINT p, SUM(neg)::BIGINT ng FROM pb),
+      c AS (SELECT bin, SUM(pos) OVER (ORDER BY bin DESC)::BIGINT tp,
+          SUM(neg) OVER (ORDER BY bin DESC)::BIGINT fp FROM pb),
+      j AS (SELECT c.bin, c.tp, c.fp,
+          (c.tp * 1000000 // t.p)::BIGINT tpr,
+          (c.fp * 1000000 // t.ng)::BIGINT fpr FROM c, t)
+      SELECT (t.p + t.ng)::BIGINT AS n, t.p AS n_pos, t.ng AS n_neg,
+        j.bin AS best_bin, j.tp AS tp, j.fp AS fp,
+        j.tpr AS tpr_micro, j.fpr AS fpr_micro,
+        (j.tpr - j.fpr)::BIGINT AS j_micro
+      FROM j, t ORDER BY (j.tpr - j.fpr) DESC, j.bin ASC LIMIT 1"""))
+
+  /** Calinski–Harabasz validity of the embedding labels — are the
+    * label groups geometrically real clusters?
+    */
+  private val q323 = Q(
+    "q323_calinski_harabasz",
+    (spark, dir) => Similarity.calinskiHarabasz(
+      pq(spark, dir, "embeddings"), "label", "embedding"),
+    Some("""WITH b AS (SELECT label::VARCHAR g, embedding e
+        FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+          AND len(embedding) > 0),
+      x AS (SELECT g, unnest(generate_series(0, len(e) - 1)) d,
+          round(unnest(e)::DOUBLE * 1e6)::BIGINT m FROM b),
+      pd AS (SELECT g, d, SUM(m)::HUGEINT s, SUM(m::HUGEINT * m) q
+        FROM x GROUP BY 1, 2),
+      cnt AS (SELECT g, COUNT(*)::HUGEINT ng FROM b GROUP BY 1),
+      pg AS (SELECT pd.g, SUM(pd.s * pd.s) qg, SUM(pd.q) tg
+        FROM pd GROUP BY 1),
+      agg AS (SELECT SUM(cnt.ng)::HUGEINT n, COUNT(*)::HUGEINT k,
+          SUM(pg.tg) t, SUM(pg.qg // cnt.ng) sqg
+        FROM pg JOIN cnt ON cnt.g = pg.g),
+      qt AS (SELECT SUM(sd * sd)::HUGEINT q FROM
+        (SELECT d, SUM(s) sd FROM pd GROUP BY 1))
+      SELECT agg.n::BIGINT AS n, agg.k::BIGINT AS k,
+        (CASE WHEN agg.k >= 2 AND agg.n > agg.k
+            AND agg.t - agg.sqg > 0 THEN
+          1000 * GREATEST(agg.sqg - qt.q // agg.n, 0) * (agg.n - agg.k)
+            // ((agg.t - agg.sqg) * (agg.k - 1)) END)::BIGINT AS ch_milli
+      FROM agg, qt"""))
+
+  /** Spiegelhalter's z for "value/500 as a probability of the
+    * user-parity class" — the no-binning calibration test next to
+    * q275's binned Brier decomposition.
+    */
+  private val q324 = Q(
+    "q324_spiegelhalter_z",
+    (spark, dir) => Eval.spiegelhalterZ(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select((pmod(col("user_id"), lit(3)) === 0).as("y"),
+          (col("value") / 500.0).as("score")),
+      "y", "score"),
+    Some("""WITH b AS (SELECT
+          (CASE WHEN user_id % 3 = 0 THEN 1000000 ELSE 0 END)::BIGINT y,
+          LEAST(GREATEST(floor((value / 500.0) * 1000000), 0), 1000000)
+            ::BIGINT p
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      t AS (SELECT COUNT(*)::BIGINT n,
+          SUM((y - p)::HUGEINT * (1000000 - 2 * p)) num,
+          SUM(p::HUGEINT * (1000000 - p) * (1000000 - 2 * p)
+            * (1000000 - 2 * p)) den
+        FROM b)
+      SELECT n,
+        (CASE WHEN num >= 0 THEN num // 1000000
+          ELSE -((-num) // 1000000) END)::BIGINT AS num_micro,
+        (CASE WHEN den > 0 THEN
+          floor(1000.0 * num::DOUBLE / sqrt(den::DOUBLE)) END)::BIGINT
+          AS z_milli
+      FROM t"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -10560,7 +10764,8 @@ object Queries {
     q283, q284, q285, q286, q287, q288, q289, q290, q291, q292,
     q293, q294, q295, q296, q297, q298, q299, q300, q301,
     q302, q303, q304, q305, q306, q307, q308, q309, q310, q311,
-    q312, q313, q314, q315, q316, q317, q318)
+    q312, q313, q314, q315, q316, q317, q318,
+    q319, q320, q321, q322, q323, q324)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -1287,6 +1287,76 @@ object ScaleCheck {
       println(f"hhi              1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
 
+    // Round-14 batch (q319–q324): all collapse the corpus map-side to a
+    // cell/bin/centroid model table; replicas add users/event-ids, the
+    // label domains stay fixed — linear or better expected.
+    def scottsPiTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("value").isNotNull && col("user_id").isNotNull)
+        .select(
+          least(greatest(floor(col("value") / 100.0), lit(0L)), lit(5L)).as("ra"),
+          least(greatest(floor((col("value") + pmod(col("user_id"), lit(50L))) / 100.0),
+            lit(0L)), lit(5L)).as("rb"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.scottsPi(base, "ra", "rb")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def gkLambdaTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type").as("a"),
+          least(greatest(floor(col("value") / 100.0), lit(0L)), lit(5L)).as("b"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.gkLambda(base, "a", "b")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def theilsUTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type").as("a"),
+          pmod(col("user_id"), lit(20)).as("b"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.theilsU(base, "a", "b")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def youdenTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select((pmod(col("user_id"), lit(3)) === 0).as("y"),
+          (col("value") / 500.0).as("score"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.youdenJ(base, "y", "score", bins = 20)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def spiegelhalterTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select((pmod(col("user_id"), lit(3)) === 0).as("y"),
+          (col("value") / 500.0).as("score"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.spiegelhalterZ(base, "y", "score")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for ((name, f) <- Seq(
+      ("scotts_pi", scottsPiTime _), ("gk_lambda", gkLambdaTime _),
+      ("theils_u", theilsUTime _), ("youden_j", youdenTime _),
+      ("spiegelhalter", spiegelhalterTime _)) if wanted(name)) {
+      val t1 = f(ev1, s"${name}_1")
+      val tN = f(evN, s"${name}_N")
+      println(f"$name%-16s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
+    def chTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Similarity.calinskiHarabasz(df, "label", "embedding")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (wanted("calinski")) {
+      val t1 = chTime(em1, "ch_1")
+      val tN = chTime(emN, "ch_N")
+      println(f"calinski         1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
+
     // ---- Round-14: the heavy dedup/similarity family's remaining q-shapes
     // (q55 winnowing, q98 containment, q60 dedup_apply, q73 keep_best,
     // q136 lsh_audit), added so the 64x tier covers the whole family.

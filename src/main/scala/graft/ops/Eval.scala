@@ -405,6 +405,309 @@ object Eval {
       .toDF("n", "k", "n_agree", "po_micro", "pe_micro", "ac1_micro")
   }
 
+  /** Scott's π — chance-corrected agreement whose chance term uses the
+    * POOLED marginal (both raters assumed to draw from one shared
+    * label distribution), the third leg of the agreement triad next
+    * to Cohen's κ (per-rater marginals) and Gwet's AC1 (unclear-
+    * fraction chance): κ ≈ π → the raters share a prevalence; κ ≫ π →
+    * their marginals diverge and κ's per-rater chance is flattering
+    * one of them. π is also the two-rater case of Fleiss' κ
+    * ([[fleissKappa]]), so it reconciles pairwise and panel audits.
+    *
+    * Fully exact: with m_c = n_a(c)+n_b(c), multiplying (p_o − p_e)/
+    * (1 − p_e) through by 4n² gives the integer ratio
+    * `(4n·agree − Σm_c²)/(4n² − Σm_c²)` — one sign-split floor
+    * division to micro, no doubles.
+    *
+    * Output (one row): `(n, n_agree, po_micro, pe_micro, pi_micro)`;
+    * π NULL when the chance term degenerates (4n² = Σm²: both raters
+    * constant at one shared label).
+    *
+    * Overflow: Σm² ≤ 4n² rides decimal(38,0) to n ≈ 10¹⁸.
+    *
+    * 100 TB shape: one map-side-combined groupBy(a, b) to the
+    * confusion cells; the pooled marginal and Σm² are label-table
+    * math; the finish is driver BigInt on three exact scalars.
+    */
+  def scottsPi(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val m = cells.select(col("__a").as("__v"), col("__c"))
+      .unionByName(cells.select(col("__b").as("__v"), col("__c")))
+      .groupBy("__v").agg(sum("__c").as("m"))
+    val t = cells.agg(
+      coalesce(sum("__c"), lit(0L)).as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__c"))
+        .otherwise(0L)), lit(0L)).as("agree")).head()
+    val n = t.getLong(0); val agree = t.getLong(1)
+    val sRow = m.agg(
+      sum(expr("cast(m as decimal(38,0)) * m")).as("s")).head()
+    val s = if (sRow.isNullAt(0)) BigInt(0)
+      else BigInt(sRow.getDecimal(0).toBigInteger)
+    val den = 4 * BigInt(n) * BigInt(n)
+    val po: Option[Long] =
+      if (n > 0) Some((BigInt(agree) * 1000000 / BigInt(n)).toLong) else None
+    val pe: Option[Long] =
+      if (n > 0) Some((s * 1000000 / den).toLong) else None
+    val pi: Option[Long] =
+      if (den - s > 0) {
+        val num = 4 * BigInt(n) * BigInt(agree) - s
+        // BigInt `/` truncates toward zero = the oracle's sign-split `//`
+        Some((num * 1000000 / (den - s)).toLong)
+      } else None
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, agree, po, pe, pi))
+      .toDF("n", "n_agree", "po_micro", "pe_micro", "pi_micro")
+  }
+
+  /** Goodman–Kruskal λ — proportional-reduction-in-error association
+    * between two CATEGORICAL columns: how much better do you predict
+    * column b knowing column a than from b's mode alone? The
+    * categorical companion to correlation for pipeline audits —
+    * "does source predict language", "does the heuristic label
+    * predict the model label" — where χ²/Cramér's V ([[cramersV]])
+    * measures departure-from-independence but not predictive value.
+    * λ = 0 ⇔ a is useless for predicting b's mode; λ = 1 ⇔ a
+    * determines b.
+    *
+    * Fully exact and PURELY integer: λ_b|a = (Σ_a max_b n_ab −
+    * max_c n_·c)/(n − max_c n_·c), the mirrored λ_a|b, and the
+    * symmetric λ (sum of both numerators over both denominators) are
+    * count arithmetic with one floor division to micro each.
+    *
+    * Output (one row): `(n, sum_rowmax, sum_colmax, max_col_marginal,
+    * max_row_marginal, lambda_b_given_a_micro, lambda_a_given_b_micro,
+    * lambda_sym_micro)`; a λ is NULL when its denominator is zero
+    * (the predicted column is constant).
+    *
+    * 100 TB shape: one map-side-combined groupBy(a, b) to the cells;
+    * row/column maxima and marginals are cell-table aggregations —
+    * nothing after the first shuffle touches the corpus.
+    */
+  def gkLambda(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val t = cells.agg(coalesce(sum("__c"), lit(0L)).as("n")).head()
+    val n = t.getLong(0)
+    val rowMax = cells.groupBy("__a").agg(max("__c").as("mx"))
+      .agg(coalesce(sum("mx"), lit(0L)).as("s")).head().getLong(0)
+    val colMax = cells.groupBy("__b").agg(max("__c").as("mx"))
+      .agg(coalesce(sum("mx"), lit(0L)).as("s")).head().getLong(0)
+    val colMarginalMax = cells.groupBy("__b").agg(sum("__c").as("m"))
+      .agg(coalesce(max("m"), lit(0L)).as("m")).head().getLong(0)
+    val rowMarginalMax = cells.groupBy("__a").agg(sum("__c").as("m"))
+      .agg(coalesce(max("m"), lit(0L)).as("m")).head().getLong(0)
+    // Σ_a max_b n_ab >= max_c Σ_a n_ac, so numerators are provably
+    // non-negative — the floor division needs no sign split.
+    def lam(num: Long, den: Long): Option[Long] =
+      if (den > 0) Some((BigInt(num) * 1000000 / BigInt(den)).toLong)
+      else None
+    val lBA = lam(rowMax - colMarginalMax, n - colMarginalMax)
+    val lAB = lam(colMax - rowMarginalMax, n - rowMarginalMax)
+    val lS = lam(rowMax + colMax - colMarginalMax - rowMarginalMax,
+      2 * n - colMarginalMax - rowMarginalMax)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, rowMax, colMax, colMarginalMax, rowMarginalMax, lBA, lAB, lS))
+      .toDF("n", "sum_rowmax", "sum_colmax", "max_col_marginal",
+        "max_row_marginal", "lambda_b_given_a_micro",
+        "lambda_a_given_b_micro", "lambda_sym_micro")
+  }
+
+  /** Theil's U (uncertainty coefficient) — the ASYMMETRIC, entropy-
+    * based categorical association [[gkLambda]]'s mode arithmetic
+    * cannot see (λ is exactly 0 whenever no row flips b's mode, even
+    * under strong probabilistic dependence): U(b|a) = (H(b) −
+    * H(b|a))/H(b), the fraction of b's entropy that knowing a
+    * removes. Directional by design — "source predicts language"
+    * and "language predicts source" are different numbers.
+    *
+    * Determinism: every entropy is a SUM over label cells of
+    * per-cell ROUND(1e6 · c·(ln(N) − ln(c))/n) BIGINT terms (the
+    * q64/q69 ln-term convention) — runtime ln is engine-portable
+    * (q220 precedent) and the integer per-term floor makes the sum
+    * order-independent, so the result replays bit-identically on any
+    * engine. U is then one integer floor division of micro entropies.
+    *
+    * Output (one row): `(n, h_a_micro, h_b_micro, h_b_given_a_micro,
+    * h_a_given_b_micro, u_b_given_a_micro, u_a_given_b_micro)`;
+    * a U is NULL when the predicted column's entropy is zero.
+    *
+    * 100 TB shape: one map-side-combined groupBy(a, b) to the cells;
+    * both marginals re-aggregate the cells; the conditional-entropy
+    * terms join cells to a marginal — all label-table-sized.
+    */
+  def theilsU(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val n = cells.agg(coalesce(sum("__c"), lit(0L))).head().getLong(0)
+    if (n == 0L) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq((0L, 0L, 0L, 0L, 0L, None: Option[Long], None: Option[Long]))
+        .toDF("n", "h_a_micro", "h_b_micro", "h_b_given_a_micro",
+          "h_a_given_b_micro", "u_b_given_a_micro", "u_a_given_b_micro")
+    }
+    // per-cell micro term of H: round(1e6 * c * (ln(total) - ln(c)) / n);
+    // `total` = n for marginal entropies, the conditioning marginal for
+    // conditional ones
+    def hTerm(c: Column, total: Column): Column =
+      round(lit(1e6) * c.cast("double") *
+        (log(total.cast("double")) - log(c.cast("double"))) / lit(n.toDouble))
+        .cast("long")
+    val ma = cells.groupBy("__a").agg(sum("__c").as("na")).localCheckpoint()
+    val mb = cells.groupBy("__b").agg(sum("__c").as("nb")).localCheckpoint()
+    val hA = ma.agg(coalesce(sum(hTerm(col("na"), lit(n))), lit(0L)))
+      .head().getLong(0)
+    val hB = mb.agg(coalesce(sum(hTerm(col("nb"), lit(n))), lit(0L)))
+      .head().getLong(0)
+    val hBgA = cells.join(ma, "__a")
+      .agg(coalesce(sum(hTerm(col("__c"), col("na"))), lit(0L)))
+      .head().getLong(0)
+    val hAgB = cells.join(mb, "__b")
+      .agg(coalesce(sum(hTerm(col("__c"), col("nb"))), lit(0L)))
+      .head().getLong(0)
+    // H(b|a) <= H(b) in exact math; the per-cell micro rounding can
+    // leave a few-micro negative residue on independent columns, so U
+    // clamps at 0 (mirrored GREATEST in the oracle) rather than
+    // splitting signs on noise.
+    def u(h: Long, hCond: Long): Option[Long] =
+      if (h > 0)
+        Some((BigInt(math.max(0L, h - hCond)) * 1000000 / BigInt(h)).toLong)
+      else None
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, hA, hB, hBgA, hAgB, u(hB, hBgA), u(hA, hAgB)))
+      .toDF("n", "h_a_micro", "h_b_micro", "h_b_given_a_micro",
+        "h_a_given_b_micro", "u_b_given_a_micro", "u_a_given_b_micro")
+  }
+
+  /** Youden's J over a binned score sweep — the optimal-threshold
+    * audit for a binary quality/toxicity/contamination score:
+    * J(t) = TPR(t) − FPR(t), maximized over thresholds, is the
+    * balanced-accuracy headroom of the score and the threshold to
+    * deploy it at (the ROC point farthest above chance). Reported
+    * on `bins` equal score buckets — thresholds between buckets —
+    * so the sweep is exact for the binned score.
+    *
+    * Fully exact: per-bin (pos, neg) counts; cumulative tp/fp from
+    * the top bin down; J_micro(b) = tp·10⁶ div P − fp·10⁶ div N.
+    * The winner is the highest-J bin, ties → LOWEST threshold bin
+    * (deterministic, favors recall).
+    *
+    * Output (one row): `(n, n_pos, n_neg, best_bin, tp, fp,
+    * tpr_micro, fpr_micro, j_micro)`; null-free by the require
+    * below (both classes must appear).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(bin) collapses the
+    * corpus to ≤ `bins` rows; the cumulative sweep is a window over
+    * that bounded table (`require(bins <= 10000)` keeps it
+    * single-partition-safe by construction).
+    */
+  def youdenJ(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int = 100): DataFrame = {
+    require(bins >= 2 && bins <= 10000,
+      s"youdenJ: bins=$bins out of [2, 10000] — the sweep table is " +
+        "bins-sized and single-partition by design")
+    val base = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(labelCol).cast("boolean").as("__y"),
+        least(greatest(floor(col(scoreCol).cast("double") * bins), lit(0L)),
+          lit(bins - 1L)).as("__b"))
+    val perBin = base.groupBy("__b").agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("pos"),
+      sum(when(col("__y"), 0L).otherwise(1L)).as("neg"))
+      .localCheckpoint()
+    val t = perBin.agg(
+      coalesce(sum("pos"), lit(0L)).as("p"),
+      coalesce(sum("neg"), lit(0L)).as("ng")).head()
+    val totPos = t.getLong(0); val totNeg = t.getLong(1)
+    require(totPos > 0 && totNeg > 0,
+      s"youdenJ: needs both classes (pos=$totPos neg=$totNeg)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBin
+      .withColumn("tp", sum("pos").over(w))
+      .withColumn("fp", sum("neg").over(w))
+      .withColumn("tpr_micro", expr(s"tp * 1000000 div ${totPos}L"))
+      .withColumn("fpr_micro", expr(s"fp * 1000000 div ${totNeg}L"))
+      .withColumn("j_micro", col("tpr_micro") - col("fpr_micro"))
+      .orderBy(col("j_micro").desc, col("__b").asc)
+      .limit(1)
+      .select(lit(totPos + totNeg).as("n"), lit(totPos).as("n_pos"),
+        lit(totNeg).as("n_neg"), col("__b").as("best_bin"),
+        col("tp"), col("fp"), col("tpr_micro"), col("fpr_micro"),
+        col("j_micro"))
+  }
+
+  /** Spiegelhalter's z — calibration test for probabilistic scores
+    * whose null is "the score IS the true probability": z near 0 →
+    * the Brier score equals its expectation under perfect
+    * calibration; |z| > 1.96 → mis-calibration at 5%. The binned
+    * reliability diagram ([[brierDecomposition]], [[isotonicCalibration]])
+    * shows WHERE calibration fails; this is the single-number test of
+    * WHETHER, with no binning choice to argue about.
+    *
+    * Fully exact sums: with P = floor(p·10⁶) and Y = y·10⁶,
+    * numerator Σ (Y−P)(10⁶−2P) and variance Σ P(10⁶−P)(10⁶−2P)² are
+    * decimal(38,0)-exact integer aggregates (per-row |term| ≤ 10¹²
+    * and 2.5·10²³ — overflow-loud past ~10¹⁴ rows); z_milli is one
+    * double tree floor(1000·num/√den), NULL when the variance is 0
+    * (all scores at 0, ½, or 1).
+    *
+    * 100 TB shape: ONE map-side-combined global aggregate — two
+    * decimal sums over the corpus, scalar finish.
+    */
+  def spiegelhalterZ(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String): DataFrame = {
+    val M = 1000000L
+    val base = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(
+        when(col(labelCol).cast("boolean"), lit(M)).otherwise(lit(0L))
+          .as("__y"),
+        least(greatest(floor(col(scoreCol).cast("double") * M), lit(0L)),
+          lit(M)).as("__p"))
+    base.agg(
+      count(lit(1)).as("n"),
+      sum(expr(s"cast(__y - __p as decimal(38,0)) * (${M}L - 2 * __p)"))
+        .as("__num"),
+      sum(expr(s"cast(__p as decimal(38,0)) * (${M}L - __p) * " +
+        s"(${M}L - 2 * __p) * (${M}L - 2 * __p)")).as("__den"))
+      .select(col("n"),
+        expr("cast(__num div 1000000 as long)").as("num_micro"),
+        when(col("__den") > 0,
+          floor(lit(1000.0) * col("__num").cast("double") /
+            sqrt(col("__den").cast("double"))))
+          .cast("long").as("z_milli"))
+  }
+
   /** McNemar's test — do two classifiers DISAGREE in a biased way on
     * the SAME rows? The paired accuracy comparison (two quality
     * filters, model vs heuristic) where a plain accuracy diff double-

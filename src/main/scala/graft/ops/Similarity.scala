@@ -1307,6 +1307,93 @@ object Similarity {
           .cast("long").as("cos_milli"))
   }
 
+  /** Calinski–Harabasz index — cluster-validity ratio of between- to
+    * within-cluster dispersion, `CH = (B/(k−1)) / (W/(n−k))`: the
+    * one-number "are these labels/clusters geometrically real" audit
+    * over an embedding column, complementing silhouette (per-point,
+    * pair-based) with a centroid-based statistic that needs only ONE
+    * corpus pass — the cheap first check before paying for medoids.
+    * Higher = tighter, better-separated clusters.
+    *
+    * Exactness: with micro components m = round(x·10⁶), total sum of
+    * squares T = Σ m², per-group quadratic Q_g = Σ_d S_gd² (S_gd the
+    * exact per-group per-dim sum) and total Q = Σ_d S_d²:
+    * W = T − Σ_g floor(Q_g/n_g), B = Σ_g floor(Q_g/n_g) − floor(Q/n)
+    * — each floor is one integer division on non-negative exact
+    * decimals (the documented micro²-floor; at micro scale the slack
+    * is ≤ k parts in 10¹²) — and CH_milli is one integer ratio
+    * `1000·B·(n−k) div (W·(k−1))`, no doubles anywhere.
+    *
+    * Output (one row): `(n, k, ch_milli)`; NULL when k < 2, n ≤ k, or
+    * W = 0 (every point at its centroid).
+    *
+    * Overflow: Q_g ≤ (n·10⁸)²·dim rides decimal(38,0) to ~10¹³ rows
+    * at dim 10³ and |x| ≤ 100; the driver finish is BigInt.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(group, dim) carrying
+    * (Σm, Σm², count) — the corpus's only shuffle; everything after
+    * is the (groups × dim) model table (hard `maxGroups` require),
+    * reduced to ≤ maxGroups driver rows.
+    */
+  def calinskiHarabasz(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      maxGroups: Int = 10000): DataFrame = {
+    require(maxGroups >= 2, s"maxGroups $maxGroups must be >= 2")
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(groupCol).isNotNull && col(vecCol).isNotNull &&
+      size(col(vecCol)) > 0)
+    val perDim = base
+      .select(col(groupCol).cast("string").as("__g"),
+        posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .select(col("__g"), col("__d"),
+        round(col("__x").cast("double") * 1e6).cast("long").as("__m"))
+      .groupBy("__g", "__d")
+      .agg(sum("__m").as("__s"),
+        sum(expr(s"cast(__m as $dec) * __m")).as("__q"),
+        count(lit(1)).as("__c"))
+      .localCheckpoint()
+    // per-group: n_g (rows, not dim entries — dim 0 counts rows), Q_g,
+    // and the within-group square sum
+    val perGroup = perDim.groupBy("__g").agg(
+      max(when(col("__d") === 0, col("__c"))).as("ng"),
+      sum(expr(s"cast(__s as $dec) * __s")).as("qg"),
+      sum("__q").as("tg"))
+    val rows = perGroup.collect()
+    require(rows.length <= maxGroups,
+      s"calinskiHarabasz: ${rows.length} groups exceed maxGroups=" +
+        s"$maxGroups — the driver finish is groups-sized")
+    val k = rows.length.toLong
+    var n = BigInt(0); var t = BigInt(0); var sumQg = BigInt(0)
+    rows.foreach { r =>
+      n += r.getLong(1)
+      t += BigInt(r.getDecimal(3).toBigInteger)
+      val qg = BigInt(r.getDecimal(2).toBigInteger)
+      sumQg += qg / r.getLong(1)
+    }
+    // total per-dim sums re-derived distributed (groups × dim is model-
+    // sized): Σ_d (Σ_g S_gd)²
+    val qTotRow = perDim.groupBy("__d").agg(sum("__s").as("sd"))
+      .agg(sum(expr(s"cast(sd as $dec) * sd")).as("q")).head()
+    val qTot = if (qTotRow.isNullAt(0)) BigInt(0)
+      else BigInt(qTotRow.getDecimal(0).toBigInteger)
+    val ch: Option[Long] =
+      if (k >= 2 && n > k) {
+        // B >= 0 in exact math (between-SS); the per-group floors can
+        // leave a residue as low as -k when all centroids coincide —
+        // clamp at 0 (mirrored GREATEST in the oracle) so the division
+        // never needs a sign split.
+        val b = (sumQg - qTot / n).max(BigInt(0))
+        val w = t - sumQg
+        if (w > 0) Some((BigInt(1000) * b * (n - k) / (w * (k - 1))).toLong)
+        else None
+      } else None
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n.toLong, k, ch)).toDF("n", "k", "ch_milli")
+  }
+
   /** Gate below which [[centroidCosineMatrix]] pairs on the driver: the
     * distributed self-join costs ~0.3 s of fixed scheduling latency at
     * any size, while ≤ 64 groups × dim sum rows pair in microseconds.

@@ -612,7 +612,8 @@ class PlanSpec extends SparkSuite {
       "q200_disorder_profile" -> "histogram rollup over disorder buckets (TimeSeries.scala:521)",
       "q202_vocab_growth" -> "growth-curve window over checkpoint buckets (TextOps.scala:1528)",
       "q203_dedup_yield" -> "yield-curve window over maxHamming+1 radius rows (Dedup.scala:926)",
-      "q220_tail_index" -> "rank window over the TakeOrderedAndProject (k+1)-row top table (Corpus.scala:1141)")
+      "q220_tail_index" -> "rank window over the TakeOrderedAndProject (k+1)-row top table (Corpus.scala:1141)",
+      "q322_youden_j" -> "cumulative tp/fp sweep over the <=bins bin table (Eval.scala youdenJ, require(bins <= 10000))")
     import org.apache.spark.sql.execution.{SortExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -2316,4 +2316,115 @@ class StatsOpsSpec extends SparkSuite {
     assert(b.getLong(3) == 0L && b.getLong(4) == 0L, b.toString)
     assert(out("c").isNullAt(3)) // n < 2 → NULL
   }
+
+  test("scottsPi: perfect 1e6, prevalence-skew replay, constant NULL") {
+    def sp(rows: Seq[(String, String)]) =
+      Eval.scottsPi(rows.toDF("a", "b"), "a", "b").collect()(0)
+    // perfect agreement over 2 categories
+    val p = sp(Seq(("y", "y"), ("y", "y"), ("n", "n")))
+    assert(p.getLong(4) == 1000000L, p.toString)
+    // the gwetAc1 test's kappa-paradox table: m_y=194, m_n=6,
+    // S = 194^2 + 6^2 = 37672, den = 4*100^2 = 40000
+    // pe = 37672e6/40000 = 941800
+    // pi = (4*100*96 - 37672)e6 / (40000 - 37672) = 728e6/2328 = 312714
+    val r = sp(Seq.fill(95)(("y", "y")) ++ Seq(("n", "n")) ++
+      Seq.fill(2)(("y", "n")) ++ Seq.fill(2)(("n", "y")))
+    assert(r.getLong(0) == 100L && r.getLong(1) == 96L)
+    assert(r.getLong(2) == 960000L && r.getLong(3) == 941800L, r.toString)
+    assert(r.getLong(4) == 312714L, r.toString)
+    // both raters constant at one shared label: 4n^2 = Σm^2 → NULL
+    assert(sp(Seq(("y", "y"), ("y", "y"))).isNullAt(4))
+  }
+
+  test("gkLambda: hand 2x2 replay, constant predicted column NULL") {
+    // cells x0:30 x1:10 y0:10 y1:50 — classic PRE table
+    val rows = Seq.fill(30)(("x", 0L)) ++ Seq.fill(10)(("x", 1L)) ++
+      Seq.fill(10)(("y", 0L)) ++ Seq.fill(50)(("y", 1L))
+    val r = Eval.gkLambda(rows.toDF("a", "b"), "a", "b").collect()(0)
+    // Σ_a max_b = 30+50 = 80; max col marginal = 60 (b=1)
+    // λ_b|a = (80-60)/(100-60) = 0.5; mirrored λ_a|b = (80-60)/(100-60)
+    assert(r.getLong(0) == 100L && r.getLong(1) == 80L &&
+      r.getLong(2) == 80L && r.getLong(3) == 60L && r.getLong(4) == 60L,
+      r.toString)
+    assert(r.getLong(5) == 500000L && r.getLong(6) == 500000L &&
+      r.getLong(7) == 500000L, r.toString)
+    // predicted column constant → denominator 0 → NULL (that direction)
+    val c = Eval.gkLambda(
+      Seq(("x", 0L), ("y", 0L)).toDF("a", "b"), "a", "b").collect()(0)
+    assert(c.isNullAt(5) && !c.isNullAt(6), c.toString)
+  }
+
+  test("theilsU: determination 1e6, independence ~0 (clamped), constant NULL") {
+    // b determined by a (and vice versa): both U = 1
+    val det = Eval.theilsU(
+      Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"), ("a2", "b2"))
+        .toDF("a", "b"), "a", "b").collect()(0)
+    assert(det.getLong(5) == 1000000L && det.getLong(6) == 1000000L,
+      det.toString)
+    // exact independence: H(b|a) = H(b) up to per-cell rounding → U ~ 0
+    val ind = Eval.theilsU(
+      (for { a <- Seq("a1", "a2"); b <- Seq("b1", "b2") } yield (a, b))
+        .toDF("a", "b"), "a", "b").collect()(0)
+    assert(ind.getLong(5) <= 10L && ind.getLong(6) <= 10L, ind.toString)
+    // constant predicted column: H(b) = 0 → NULL that direction
+    val c = Eval.theilsU(
+      Seq(("a1", "b1"), ("a2", "b1")).toDF("a", "b"), "a", "b").collect()(0)
+    assert(c.isNullAt(5) && !c.isNullAt(6), c.toString)
+  }
+
+  test("youdenJ: separable J=1e6 at the top bin, anti-score J=0, one class loud") {
+    val sep = (1 to 5).map(_ => (true, 0.95)) ++
+      (1 to 5).map(_ => (false, 0.15))
+    val r = Eval.youdenJ(sep.toDF("y", "s"), "y", "s", bins = 10).collect()(0)
+    assert(r.getLong(0) == 10L && r.getLong(1) == 5L && r.getLong(2) == 5L)
+    assert(r.getLong(3) == 9L && r.getLong(4) == 5L && r.getLong(5) == 0L)
+    assert(r.getLong(8) == 1000000L, r.toString)
+    // anti-predictive score: best achievable J is 0 (threshold at bottom)
+    val anti = (1 to 5).map(_ => (true, 0.15)) ++
+      (1 to 5).map(_ => (false, 0.95))
+    val a = Eval.youdenJ(anti.toDF("y", "s"), "y", "s", bins = 10).collect()(0)
+    assert(a.getLong(8) == 0L && a.getLong(3) == 1L, a.toString)
+    intercept[IllegalArgumentException] {
+      Eval.youdenJ(Seq((true, 0.5)).toDF("y", "s"), "y", "s")
+    }
+  }
+
+  test("calinskiHarabasz: hand two-cluster replay, W=0 and k=1 NULL") {
+    // a: (0,0),(0,2); b: (10,10),(10,12) — exact micro arithmetic:
+    // T = 448e12, ΣQg/ng = 444e12, W = 4e12; qTot/n = 244e12, B = 200e12
+    // CH = (B/1)/(W/2) = 100 → ch_milli = 100000
+    val df = Seq(
+      ("a", Seq(0.0, 0.0)), ("a", Seq(0.0, 2.0)),
+      ("b", Seq(10.0, 10.0)), ("b", Seq(10.0, 12.0)))
+      .toDF("g", "v")
+    val r = graft.ops.Similarity.calinskiHarabasz(df, "g", "v").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L, r.toString)
+    assert(r.getLong(2) == 100000L, r.toString)
+    // every point at its centroid → W = 0 → NULL
+    val w0 = Seq(("a", Seq(0.0)), ("a", Seq(0.0)),
+      ("b", Seq(1.0)), ("b", Seq(1.0))).toDF("g", "v")
+    assert(graft.ops.Similarity.calinskiHarabasz(w0, "g", "v")
+      .collect()(0).isNullAt(2))
+    // one group → NULL
+    val k1 = Seq(("a", Seq(0.0)), ("a", Seq(1.0))).toDF("g", "v")
+    assert(graft.ops.Similarity.calinskiHarabasz(k1, "g", "v")
+      .collect()(0).isNullAt(2))
+  }
+
+  test("spiegelhalterZ: calibrated z=0, over-confident replay, p=1/2 NULL") {
+    // p = 0.25, one of four positive: perfectly calibrated → num = 0
+    val cal = Seq((true, 0.25), (false, 0.25), (false, 0.25), (false, 0.25))
+    val r = Eval.spiegelhalterZ(cal.toDF("y", "p"), "y", "p").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 0L && r.getLong(2) == 0L,
+      r.toString)
+    // p = 0.1 but ALL positive: num = 5*(9e5*8e5) = 3.6e12,
+    // den = 5*(1e5*9e5*8e5*8e5) = 2.88e23 → z = 6.7082 → 6708 milli
+    val over = (1 to 5).map(_ => (true, 0.1))
+    val o = Eval.spiegelhalterZ(over.toDF("y", "p"), "y", "p").collect()(0)
+    assert(o.getLong(1) == 3600000L && o.getLong(2) == 6708L, o.toString)
+    // all scores exactly 1/2: (1-2p) = 0 → variance 0 → NULL
+    val half = Seq((true, 0.5), (false, 0.5))
+    assert(Eval.spiegelhalterZ(half.toDF("y", "p"), "y", "p")
+      .collect()(0).isNullAt(2))
+  }
 }
