@@ -49,10 +49,14 @@ object StreamBench {
       * (each drained with processAllAvailable). Returns (rows, wall s,
       * batches).
       */
+    // fresh checkpoint root per PROCESS: reusing a prior run's committed
+    // offsets against a new (empty) MemoryStream makes the source slice
+    // negative ranges and the query dies with an internal error
+    val ckRoot = java.nio.file.Files.createTempDirectory("sb_ck").toString
     def drive(out: DataFrame, name: String, warmup: () => Long,
         chunks: Seq[() => Long]): (Long, Double, Long) = {
       val query = out.writeStream.format("noop")
-        .option("checkpointLocation", s"${SparkEnv.localDir}/sb_$name")
+        .option("checkpointLocation", s"$ckRoot/sb_$name")
         .outputMode("append").start()
       try {
         warmup(); query.processAllAvailable()

@@ -101,6 +101,13 @@ object Dedup {
     * to the prefix variant when the distribution is unknown: its worst
     * case is ~2× this one's best, while this one's worst case is
     * unbounded bucket blowup capped only by `maxDf` recall loss.
+    *
+    * The `maxDf` onset is measured (ScaleCheck `jaccard_capstress`, 64×
+    * sf0.1: a fixed shingle tail reaching df 16k): capped runs stay
+    * linear (36.5 s at 64×); uncapped, the two hot shingles alone push
+    * ~2.6·10⁸ candidate pairs through the common-count aggregation —
+    * 261 s, 7.2× over capped, quadratic in the hot df. At crawl scale
+    * an uncapped hot shingle is non-terminating, not slow.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -682,6 +689,19 @@ object Dedup {
   /** MinHash+LSH candidate pairs: distinct (id_a < id_b) sharing at least one
     * band bucket. Shuffles on (band, bucket); `maxBucket` caps pathological
     * buckets (identical boilerplate docs) the same way `maxDf` caps shingles.
+    *
+    * The cap is an ABSOLUTE per-bucket work bound, independent of corpus
+    * size: a kept bucket of B rows generates B²/2 pairs in one task per
+    * band. Measured at the default (ScaleCheck `minhash_capstress`, 64×
+    * sf0.1): a bucket crossing the cap is dropped and the run stays
+    * linear (12.8 s); the same corpus UNCAPPED pays 180.5 s (14×) for one
+    * 12.8k bucket, and a bucket just UNDER the cap (9,472 rows — the
+    * worst the default admits) costs ~108 s of straggler time (~1.8·10⁸
+    * pairs ≈ 100 s of one core). Tuning rule this pins: maxBucket=10000
+    * is the recall-first default (boilerplate families up to 10k docs
+    * still pair); drop to ~2000 (≈2 s worst bucket) when p99 task
+    * latency matters more than recall on boilerplate-heavy corpora —
+    * work scales with the SQUARE of the cap.
     */
   def minhashLshPairs(
       df: DataFrame,
