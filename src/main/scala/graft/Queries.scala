@@ -10736,6 +10736,124 @@ object Queries {
           AS z_milli
       FROM t"""))
 
+  /** MCC of "value > 200" predicting the user-parity class — the
+    * imbalance-honest single number next to q322's threshold sweep.
+    */
+  private val q325 = Q(
+    "q325_mcc",
+    (spark, dir) => Eval.matthewsCorrelation(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select((pmod(col("user_id"), lit(3)) === 0).as("y"),
+          (col("value") > 200).as("p")),
+      "y", "p"),
+    Some("""WITH b AS (SELECT (user_id % 3 = 0) y, (value > 200) p
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      t AS (SELECT COUNT(*)::BIGINT n,
+          SUM(CASE WHEN y AND p THEN 1 ELSE 0 END)::BIGINT tp,
+          SUM(CASE WHEN NOT y AND p THEN 1 ELSE 0 END)::BIGINT fp,
+          SUM(CASE WHEN y AND NOT p THEN 1 ELSE 0 END)::BIGINT fn,
+          SUM(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END)::BIGINT tn
+        FROM b)
+      SELECT n, tp, fp, fn, tn,
+        (CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+            AND tn + fn > 0 THEN
+          floor(1000.0 * (tp::HUGEINT * tn - fp::HUGEINT * fn)::DOUBLE
+            / sqrt(((tp + fp)::HUGEINT * (tp + fn) * (tn + fp)
+              * (tn + fn))::DOUBLE)) END)::BIGINT AS mcc_milli
+      FROM t"""))
+
+  /** Log-loss of value/500 as a probability of the user-parity class —
+    * the proper-scoring-rule companion to q324's calibration z.
+    */
+  private val q326 = Q(
+    "q326_log_loss",
+    (spark, dir) => Eval.logLoss(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select((pmod(col("user_id"), lit(3)) === 0).as("y"),
+          (col("value") / 500.0).as("score")),
+      "y", "score"),
+    Some("""WITH b AS (SELECT (user_id % 3 = 0) y,
+          LEAST(GREATEST(floor((value / 500.0) * 1000000), 0), 1000000)
+            ::BIGINT p
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      q AS (SELECT y, LEAST(GREATEST(
+          CASE WHEN y THEN p ELSE 1000000 - p END, 1), 999999)::BIGINT q
+        FROM b),
+      t AS (SELECT COUNT(*)::BIGINT n,
+          SUM(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT n_pos,
+          SUM(CAST(ROUND(-1e6 * ln(q / 1000000.0)) AS BIGINT))::BIGINT s
+        FROM q)
+      SELECT n, n_pos,
+        (CASE WHEN n > 0 THEN s // n END)::BIGINT AS mean_logloss_micro
+      FROM t"""))
+
+  /** Good–Turing smoothing profile of the documents token stream —
+    * r* table for r 1..10 plus the unseen-mass constant.
+    */
+  private val q327 = Q(
+    "q327_good_turing_profile",
+    (spark, dir) => Corpus.goodTuring(
+      pq(spark, dir, "documents"), "text", maxR = 10),
+    Some("""WITH tf AS (SELECT term, COUNT(*)::BIGINT tf FROM
+          (SELECT unnest(string_split(trim(text), ' ')) term
+           FROM documents WHERE text IS NOT NULL)
+        WHERE length(term) > 0 GROUP BY 1),
+      tot AS (SELECT SUM(tf)::BIGINT n, COUNT(*)::BIGINT v FROM tf),
+      f AS (SELECT tf r, COUNT(*)::BIGINT f FROM tf
+        WHERE tf <= 11 GROUP BY 1),
+      u AS (SELECT COALESCE((SELECT f FROM f WHERE r = 1), 0)::HUGEINT f1),
+      rs AS (SELECT unnest(generate_series(1, 10)) r)
+      SELECT rs.r::BIGINT AS r, COALESCE(fr.f, 0)::BIGINT AS f_r,
+        COALESCE(fn.f, 0)::BIGINT AS f_next,
+        (CASE WHEN COALESCE(fr.f, 0) > 0 THEN
+          (rs.r + 1)::HUGEINT * COALESCE(fn.f, 0) * 1000000 // fr.f END)
+          ::BIGINT AS r_star_micro,
+        tot.n AS n_tokens, tot.v AS n_types,
+        (CASE WHEN tot.n > 0 THEN u.f1 * 1000000 // tot.n END)::BIGINT
+          AS unseen_mass_micro
+      FROM rs LEFT JOIN f fr ON fr.r = rs.r
+        LEFT JOIN f fn ON fn.r = rs.r + 1, tot, u"""))
+
+  /** MAP@10 on the q219 ranking shape (md5 scores, value>=50 relevance)
+    * — every-relevant-item ranking quality next to NDCG's graded gain.
+    */
+  private val q328 = Q(
+    "q328_map_at_k",
+    (spark, dir) => {
+      val raw = pq(spark, dir, "events")
+      Eval.meanAveragePrecision(
+        raw.filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+            col("value").isNotNull)
+          .withColumn("score",
+            md5(concat(lit("s9|"), col("event_id").cast("string"))))
+          .withColumn("rel", col("value") >= 50.0),
+        "user_id", "event_id", "score", "rel", k = 10)
+    },
+    Some("""WITH b AS (SELECT user_id, event_id, (value >= 50.0) rel,
+          md5('s9|' || event_id::VARCHAR) score
+        FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+          AND value IS NOT NULL),
+      r AS (SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY score DESC, event_id ASC) pos,
+          SUM(CASE WHEN rel THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+            ORDER BY score DESC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) hits
+        FROM b),
+      pq AS (SELECT user_id,
+          SUM(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT nrel,
+          SUM(CASE WHEN rel AND pos <= 10
+            THEN hits * 1000000 // pos ELSE 0 END)::BIGINT tsum
+        FROM r GROUP BY 1),
+      ap AS (SELECT (tsum // LEAST(nrel, 10))::BIGINT ap FROM pq
+        WHERE nrel > 0)
+      SELECT COUNT(*)::BIGINT AS n_queries,
+        (CASE WHEN COUNT(*) > 0 THEN SUM(ap) // COUNT(*) END)::BIGINT
+          AS map_micro
+      FROM ap"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -10765,7 +10883,8 @@ object Queries {
     q293, q294, q295, q296, q297, q298, q299, q300, q301,
     q302, q303, q304, q305, q306, q307, q308, q309, q310, q311,
     q312, q313, q314, q315, q316, q317, q318,
-    q319, q320, q321, q322, q323, q324)
+    q319, q320, q321, q322, q323, q324,
+    q325, q326, q327, q328)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -1356,6 +1356,57 @@ object ScaleCheck {
       val tN = chTime(emN, "ch_N")
       println(f"calinski         1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
+    // Second round-14 batch (q325–q328): one-aggregate classifier
+    // metrics, the token freq-of-freq profile, and the per-query-window
+    // MAP rollup.
+    def mccTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select((pmod(col("user_id"), lit(3)) === 0).as("y"),
+          (col("value") > 200).as("p"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.matthewsCorrelation(base, "y", "p")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def logLossTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select((pmod(col("user_id"), lit(3)) === 0).as("y"),
+          (col("value") / 500.0).as("score"))
+      val t0 = System.nanoTime()
+      graft.ops.Eval.logLoss(base, "y", "score")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def mapTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("user_id").isNotNull &&
+          col("event_id").isNotNull && col("value").isNotNull)
+        .withColumn("score",
+          md5(concat(lit("s9|"), col("event_id").cast("string"))))
+        .withColumn("rel", col("value") >= 50.0)
+      val t0 = System.nanoTime()
+      graft.ops.Eval.meanAveragePrecision(base, "user_id", "event_id",
+          "score", "rel", k = 10)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    for ((name, f) <- Seq(
+      ("mcc", mccTime _), ("log_loss", logLossTime _),
+      ("map_at_k", mapTime _)) if wanted(name)) {
+      val t1 = f(ev1, s"${name}_1")
+      val tN = f(evN, s"${name}_N")
+      println(f"$name%-16s 1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
+    def gtTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Corpus.goodTuring(df, "text", maxR = 10)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (wanted("good_turing")) {
+      val t1 = gtTime(doc1, "gt_1")
+      val tN = gtTime(docN, "gt_N")
+      println(f"good_turing      1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
 
     // ---- Round-14: the heavy dedup/similarity family's remaining q-shapes
     // (q55 winnowing, q98 containment, q60 dedup_apply, q73 keep_best,

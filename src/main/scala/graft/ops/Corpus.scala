@@ -1505,4 +1505,58 @@ object Corpus {
           div (cast(n_tokens as $dec) * n_tokens) as long)""").as("k_micro"))
   }
 
+  /** Good–Turing smoothing PROFILE — the per-r adjusted counts
+    * r* = (r+1)·f_{r+1}/f_r (Good 1953) that [[vocabularyCoverage]]'s
+    * single unseen-mass number does not give: the low-count correction
+    * table behind Katz backoff and held-out count estimation, and the
+    * long-tail health check when comparing two crawls (a corpus whose
+    * r* sits far below r at small r is dominated by hapax noise).
+    * Unseen mass = f₁/N repeats vocabularyCoverage's number so the
+    * profile is self-contained.
+    *
+    * Fully exact and purely integer: all quantities are counts; the
+    * two ratios are one floor division each to micro. One row per
+    * r ∈ [1, maxR] with `(r, f_r, f_next, r_star_micro)` — NULL r*
+    * where f_r = 0 — plus the constant corpus columns `(n_tokens,
+    * n_types, unseen_mass_micro)` repeated for self-containedness.
+    *
+    * 100 TB shape: explode → ONE map-side-combined token count (the
+    * corpus's only big shuffle, the yulesK scan), then a count-of-
+    * counts aggregation restricted to r ≤ maxR+1 (the f-table is
+    * ≤ maxR+1 rows); the finish is driver arithmetic on that table.
+    */
+  def goodTuring(
+      df: DataFrame,
+      textCol: String,
+      maxR: Int = 10): DataFrame = {
+    require(maxR >= 1 && maxR <= 1000, s"maxR=$maxR out of [1, 1000]")
+    val tf = df.filter(col(textCol).isNotNull)
+      .select(explode(split(trim(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val tot = tf.agg(
+      coalesce(sum("tf"), lit(0L)).as("n"),
+      count(lit(1)).as("v")).head()
+    val n = tot.getLong(0); val v = tot.getLong(1)
+    val fOf = tf.filter(col("tf") <= (maxR + 1).toLong)
+      .groupBy("tf").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f1 = fOf.getOrElse(1L, 0L)
+    val unseen: Option[Long] =
+      if (n > 0) Some((BigInt(f1) * 1000000 / BigInt(n)).toLong) else None
+    val rows = (1 to maxR).map { r =>
+      val fr = fOf.getOrElse(r.toLong, 0L)
+      val fn = fOf.getOrElse(r.toLong + 1, 0L)
+      val rStar: Option[Long] =
+        if (fr > 0)
+          Some((BigInt(r + 1) * fn * 1000000 / BigInt(fr)).toLong)
+        else None
+      (r.toLong, fr, fn, rStar, n, v, unseen)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("r", "f_r", "f_next", "r_star_micro",
+      "n_tokens", "n_types", "unseen_mass_micro")
+  }
 }

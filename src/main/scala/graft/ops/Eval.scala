@@ -708,6 +708,145 @@ object Eval {
           .cast("long").as("z_milli"))
   }
 
+  /** Matthews correlation coefficient — the single-number binary-
+    * classifier quality that stays honest under class imbalance
+    * (accuracy and F1 both inflate when one class dominates; MCC is
+    * the full-confusion-matrix correlation and only rewards getting
+    * BOTH classes right): the go/no-go gate for a quality/toxicity/
+    * contamination filter before it prunes a corpus.
+    *
+    * Fully exact sums: the four confusion counts are one aggregate;
+    * MCC_milli = floor(1000·(tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)
+    * (tn+fn))) — exact decimal products under one double-tree sqrt.
+    * NULL when any marginal is empty (a constant predictor has no
+    * correlation).
+    *
+    * 100 TB shape: ONE map-side-combined global aggregate.
+    */
+  def matthewsCorrelation(
+      df: DataFrame,
+      labelCol: String,
+      predCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.filter(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .select(col(labelCol).cast("boolean").as("__y"),
+        col(predCol).cast("boolean").as("__p"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__y") && col("__p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("__y") && col("__p"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("__y") && !col("__p"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("__y") && !col("__p"), 1L).otherwise(0L)).as("tn"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0 && col("tp") + col("fn") > 0 &&
+          col("tn") + col("fp") > 0 && col("tn") + col("fn") > 0,
+          floor(lit(1000.0) *
+            expr(s"cast(cast(tp as $dec) * tn - cast(fp as $dec) * fn" +
+              " as double)") /
+            sqrt(expr(s"cast(cast(tp + fp as $dec) * (tp + fn) * " +
+              s"(tn + fp) * (tn + fn) as double)"))))
+          .cast("long").as("mcc_milli"))
+  }
+
+  /** Log-loss (binary cross-entropy) of a probability score against a
+    * binary label — the proper scoring rule that punishes confident
+    * wrongness the way accuracy cannot; with [[brierDecomposition]]
+    * and [[spiegelhalterZ]] it completes the calibration battery
+    * (Brier = quadratic rule, log-loss = the one that matches how
+    * LMs are trained and perplexity is read).
+    *
+    * Determinism: the score floors to micro P and clips to
+    * [1, 10⁶−1] micro (the standard eps-clip, else one p=0 row is
+    * −∞); each row contributes ROUND(−10⁶·ln(q/10⁶)) with q the
+    * probability ASSIGNED TO THE TRUE OUTCOME — an exact BIGINT
+    * term (q64 ln-term convention), so the corpus sum is order-
+    * independent and engine-portable. Mean = one floor division.
+    *
+    * Output (one row): `(n, n_pos, mean_logloss_micro)` — nats·10⁶.
+    *
+    * Overflow: per-term ≤ ln(10⁶)·10⁶ ≈ 1.4·10⁷ — int64 to ~6·10¹¹
+    * rows.
+    *
+    * 100 TB shape: ONE map-side-combined global aggregate.
+    */
+  def logLoss(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String): DataFrame = {
+    val M = 1000000L
+    val base = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(labelCol).cast("boolean").as("__y"),
+        least(greatest(floor(col(scoreCol).cast("double") * M), lit(0L)),
+          lit(M)).as("__p"))
+      .withColumn("__q",
+        least(greatest(when(col("__y"), col("__p")).otherwise(lit(M) - col("__p")),
+          lit(1L)), lit(M - 1L)))
+      .withColumn("__t",
+        round(lit(-1e6) * log(col("__q").cast("double") / lit(1e6)))
+          .cast("long"))
+    base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+      sum("__t").as("__s"))
+      .select(col("n"), col("n_pos"),
+        expr("case when n > 0 then __s div n end").as("mean_logloss_micro"))
+  }
+
+  /** Mean average precision at k — the ranking-eval workhorse next to
+    * [[ndcgAtK]] (graded) and [[rankEval]] (set metrics): AP rewards
+    * ranking EVERY relevant item high, not just the first (MRR) or
+    * the count in the top k (P@k). Per query, AP@k = (Σ over relevant
+    * hits at position ≤ k of precision@that-position) / min(R, k)
+    * with R the query's total relevant count; MAP is the mean over
+    * queries that have at least one relevant item (the TREC
+    * convention — an all-negative query defines no ranking quality).
+    *
+    * Fully exact: positions and hit-prefix counts come from one
+    * query-keyed ordering (score DESC, item ASC — the q219 tie rule);
+    * each hit contributes `hits·10⁶ div pos`, AP divides by
+    * min(R, k), MAP by the query count — integer floor divisions all
+    * the way down (documented per-term floor; slack ≤ k micro).
+    *
+    * Output (one row): `(n_queries, map_micro)`; NULL MAP when no
+    * query has a relevant item.
+    *
+    * 100 TB shape: ONE query-keyed window partitioning carries both
+    * ROW_NUMBER and the hit prefix count, then a map-side-combined
+    * two-level rollup — queries scale out, per-query lists stay
+    * local.
+    */
+  def meanAveragePrecision(
+      df: DataFrame,
+      queryCol: String,
+      itemCol: String,
+      scoreCol: String,
+      relevantCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(col(queryCol).isNotNull && col(itemCol).isNotNull &&
+        col(scoreCol).isNotNull && col(relevantCol).isNotNull)
+      .select(col(queryCol).as("__q"), col(itemCol).as("__i"),
+        col(scoreCol).as("__s"), col(relevantCol).cast("boolean").as("__r"))
+    val w = Window.partitionBy("__q").orderBy(col("__s").desc, col("__i").asc)
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perQuery = base
+      .withColumn("__pos", row_number().over(w))
+      .withColumn("__hits", sum(when(col("__r"), 1L).otherwise(0L)).over(wr))
+      .groupBy("__q")
+      .agg(
+        sum(when(col("__r"), 1L).otherwise(0L)).as("__nrel"),
+        sum(when(col("__r") && col("__pos") <= k,
+          expr("__hits * 1000000 div __pos")).otherwise(0L)).as("__tsum"))
+      .filter(col("__nrel") > 0)
+      .select(expr(s"__tsum div least(__nrel, ${k}L)").as("__ap"))
+    perQuery.agg(count(lit(1)).as("n_queries"),
+        sum("__ap").as("__aps"))
+      .select(col("n_queries"),
+        expr("case when n_queries > 0 then __aps div n_queries end")
+          .as("map_micro"))
+  }
+
   /** McNemar's test — do two classifiers DISAGREE in a biased way on
     * the SAME rows? The paired accuracy comparison (two quality
     * filters, model vs heuristic) where a plain accuracy diff double-

@@ -2427,4 +2427,69 @@ class StatsOpsSpec extends SparkSuite {
     assert(Eval.spiegelhalterZ(half.toDF("y", "p"), "y", "p")
       .collect()(0).isNullAt(2))
   }
+
+  test("matthewsCorrelation: hand 7/15 replay, perfect 1000, constant NULL") {
+    // tp=4 tn=2 fp=1 fn=1: num 4*2-1*1=7, den sqrt(5*5*3*3)=15
+    val rows = Seq.fill(4)((true, true)) ++ Seq((false, true)) ++
+      Seq((true, false)) ++ Seq.fill(2)((false, false))
+    val r = Eval.matthewsCorrelation(rows.toDF("y", "p"), "y", "p")
+      .collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 1L &&
+      r.getLong(3) == 1L && r.getLong(4) == 2L, r.toString)
+    assert(r.getLong(5) == math.floor(1000.0 * 7 / 15).toLong, r.toString)
+    val perfect = Seq((true, true), (false, false))
+    assert(Eval.matthewsCorrelation(perfect.toDF("y", "p"), "y", "p")
+      .collect()(0).getLong(5) == 1000L)
+    // constant predictor: a marginal is 0 → NULL
+    val const = Seq((true, true), (false, true))
+    assert(Eval.matthewsCorrelation(const.toDF("y", "p"), "y", "p")
+      .collect()(0).isNullAt(5))
+  }
+
+  test("logLoss: ln2 at p=1/2, eps-clip at p=0, n_pos") {
+    val even = Seq((true, 0.5), (false, 0.5))
+    val r = Eval.logLoss(even.toDF("y", "p"), "y", "p").collect()(0)
+    // both rows: round(1e6*ln 2) = 693147
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L &&
+      r.getLong(2) == 693147L, r.toString)
+    // y=true at p=0 clips to 1 micro: round(1e6*ln(1e6)) = 13815511
+    val clip = Eval.logLoss(Seq((true, 0.0)).toDF("y", "p"), "y", "p")
+      .collect()(0)
+    assert(clip.getLong(2) == 13815511L, clip.toString)
+  }
+
+  test("goodTuring: hand a3 b2 c1 profile, unseen f1/N") {
+    val df = Seq(("a a a b b c")).toDF("text")
+    val out = graft.ops.Corpus.goodTuring(df, "text", maxR = 4)
+      .orderBy("r").collect()
+    assert(out.length == 4)
+    // N=6 V=3 f1=f2=f3=1: unseen = 1e6/6 = 166666
+    assert(out.forall(r => r.getLong(4) == 6L && r.getLong(5) == 3L &&
+      r.getLong(6) == 166666L), out.mkString(","))
+    // r=1: r* = 2*f2/f1 = 2e6; r=2: 3*f3/f2 = 3e6; r=3: f4=0 → 0;
+    // r=4: f4=0 → NULL
+    assert(out(0).getLong(1) == 1L && out(0).getLong(3) == 2000000L)
+    assert(out(1).getLong(3) == 3000000L)
+    assert(out(2).getLong(2) == 0L && out(2).getLong(3) == 0L)
+    assert(out(3).getLong(1) == 0L && out(3).isNullAt(3))
+  }
+
+  test("meanAveragePrecision: hand AP, k cutoff, all-negative query dropped") {
+    // query 1 ranked z>y>x>w: rel at pos 1 and 3 → AP = (1 + 2/3)/2
+    val rows = Seq(
+      (1L, 1L, "z", true), (1L, 2L, "y", false),
+      (1L, 3L, "x", true), (1L, 4L, "w", false),
+      // query 2: nothing relevant → dropped from the mean
+      (2L, 5L, "q", false))
+    val r = Eval.meanAveragePrecision(
+      rows.toDF("q", "i", "s", "rel"), "q", "i", "s", "rel", k = 10)
+      .collect()(0)
+    assert(r.getLong(0) == 1L, r.toString)
+    assert(r.getLong(1) == (1000000L + 2000000L / 3) / 2, r.toString)
+    // k=1: only the pos-1 hit counts, denominator min(2,1)=1 → 1e6
+    val k1 = Eval.meanAveragePrecision(
+      rows.toDF("q", "i", "s", "rel"), "q", "i", "s", "rel", k = 1)
+      .collect()(0)
+    assert(k1.getLong(1) == 1000000L, k1.toString)
+  }
 }
