@@ -10854,6 +10854,77 @@ object Queries {
           AS map_micro
       FROM ap"""))
 
+  /** Corpus next-token predictability: Theil's U of (prev → next)
+    * token pairs over documents — the sequential-structure audit
+    * behind the per-doc bigram LM score.
+    */
+  private val q329 = Q(
+    "q329_bigram_cond_entropy",
+    (spark, dir) => TextOps.bigramConditionalEntropy(
+      pq(spark, dir, "documents"), "text"),
+    Some("""WITH ws AS (SELECT list_filter(string_split(trim(text), ' '),
+          w -> length(w) > 0) ws
+        FROM documents WHERE text IS NOT NULL),
+      cells AS (SELECT w1, w2, COUNT(*)::BIGINT c FROM
+        (SELECT ws[g] w1, ws[g + 1] w2 FROM
+          (SELECT ws, unnest(generate_series(1, len(ws) - 1)) g FROM ws))
+        GROUP BY 1, 2),
+      t AS (SELECT COALESCE(SUM(c), 0)::BIGINT n,
+          COUNT(*)::BIGINT nt FROM cells),
+      m1 AS (SELECT w1, SUM(c)::BIGINT c1 FROM cells GROUP BY 1),
+      p AS (SELECT COUNT(*)::BIGINT np FROM m1),
+      hn AS (SELECT SUM(CAST(ROUND(1e6 * c2 * (ln(t.n::DOUBLE)
+          - ln(c2::DOUBLE)) / t.n) AS BIGINT))::BIGINT h FROM
+        (SELECT w2, SUM(c)::BIGINT c2 FROM cells GROUP BY 1), t),
+      hc AS (SELECT SUM(CAST(ROUND(1e6 * c * (ln(c1::DOUBLE)
+          - ln(c::DOUBLE)) / t.n) AS BIGINT))::BIGINT h
+        FROM cells JOIN m1 USING (w1), t)
+      SELECT t.n AS n_bigrams, p.np AS n_prev_types,
+        t.nt AS n_bigram_types, hn.h AS h_next_micro,
+        hc.h AS h_cond_micro,
+        (CASE WHEN hn.h > 0 THEN
+          GREATEST(hn.h - hc.h, 0)::HUGEINT * 1000000 // hn.h END)
+          ::BIGINT AS predictability_u_micro
+      FROM t, p, hn, hc"""))
+
+  /** Bartlett variance-homogeneity χ² across event types — the
+    * normal-theory companion to q277's Brown–Forsythe (disagreement
+    * between the two is the heavy-tail diagnostic).
+    */
+  private val q330 = Q(
+    "q330_bartlett",
+    (spark, dir) => Features.bartlett(
+      pq(spark, dir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull),
+      "event_type", "value"),
+    Some("""WITH b AS (SELECT event_type::VARCHAR g,
+          floor(value * 1e6)::BIGINT v
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      gg AS (SELECT g, COUNT(*)::BIGINT ng, SUM(v::HUGEINT) sg,
+          SUM(v::HUGEINT * v) qg FROM b GROUP BY 1),
+      gv AS (SELECT g, ng, ng * qg - sg * sg AS vv FROM gg),
+      u AS (SELECT * FROM gv WHERE ng >= 2 AND vv > 0),
+      tot AS (SELECT COALESCE(SUM(ng), 0)::HUGEINT n,
+          COUNT(*)::HUGEINT k,
+          (SELECT COUNT(*) FROM gv)::BIGINT total_groups FROM u),
+      s AS (SELECT SUM((ng - 1) * CAST(ROUND(1e6 *
+            ln(vv::DOUBLE / (ng::DOUBLE * (ng - 1)))) AS BIGINT))
+            ::HUGEINT lnsum,
+          SUM(vv // ng)::HUGEINT pooled,
+          SUM(1000000000000 // (ng - 1))::HUGEINT recips FROM u)
+      SELECT tot.n::BIGINT AS n, tot.k::BIGINT AS n_groups,
+        (tot.total_groups - tot.k)::BIGINT AS n_dropped,
+        GREATEST(tot.k - 1, 0)::BIGINT AS df,
+        (CASE WHEN tot.k >= 2 AND tot.n > tot.k THEN
+          floor(1000.0 * (((tot.n - tot.k) * CAST(ROUND(1e6 *
+              ln(s.pooled::DOUBLE / (tot.n - tot.k)::DOUBLE)) AS BIGINT)
+            - s.lnsum)::DOUBLE / 1e6)
+            / (1.0 + (s.recips - 1000000000000
+                // (tot.n - tot.k))::DOUBLE / 1e12
+              / (3.0 * (tot.k - 1)::DOUBLE)))
+         END)::BIGINT AS chi2_milli
+      FROM tot, s"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -10884,7 +10955,7 @@ object Queries {
     q302, q303, q304, q305, q306, q307, q308, q309, q310, q311,
     q312, q313, q314, q315, q316, q317, q318,
     q319, q320, q321, q322, q323, q324,
-    q325, q326, q327, q328)
+    q325, q326, q327, q328, q329, q330)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

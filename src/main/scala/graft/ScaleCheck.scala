@@ -1407,6 +1407,31 @@ object ScaleCheck {
       val tN = gtTime(docN, "gt_N")
       println(f"good_turing      1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
     }
+    def bigramEntTime(df: DataFrame, tag: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.TextOps.bigramConditionalEntropy(df, "text")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (wanted("bigram_entropy")) {
+      // salted replicas mint distinct cross-replica bigrams, so the cell
+      // table scales linearly — the explode+count is the load
+      val t1 = bigramEntTime(doc1, "be_1")
+      val tN = bigramEntTime(docN, "be_N")
+      println(f"bigram_entropy   1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
+    def bartlettTime(df: DataFrame, tag: String): Double = {
+      val base = df.filter(col("event_type").isNotNull && col("value").isNotNull)
+      val t0 = System.nanoTime()
+      graft.ops.Features.bartlett(base, "event_type", "value")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (wanted("bartlett")) {
+      val t1 = bartlettTime(ev1, "bt_1")
+      val tN = bartlettTime(evN, "bt_N")
+      println(f"bartlett         1x=${t1}%6.2fs  ${mult}x=${tN}%6.2fs  ratio=${tN / t1}%.1f (linear=$mult.0)")
+    }
 
     // ---- Round-14: the heavy dedup/similarity family's remaining q-shapes
     // (q55 winnowing, q98 containment, q60 dedup_apply, q73 keep_best,

@@ -2306,6 +2306,90 @@ object Features {
              as long) end""").as("f_milli"))
   }
 
+  /** Bartlett's test of variance homogeneity — the classic
+    * normal-theory χ² that [[brownForsythe]]'s robust F complements:
+    * read both; Bartlett is the more powerful test when the groups
+    * are near-normal and the more misleading one under heavy tails
+    * (its known kurtosis sensitivity — a disagreement between the
+    * two IS the heavy-tail diagnostic). χ²(k−1) = [(N−k)·ln S_p² −
+    * Σ(n_i−1)·ln S_i²] / C with the standard small-sample correction
+    * C = 1 + (Σ1/(n_i−1) − 1/(N−k))/(3(k−1)).
+    *
+    * Determinism: per-group variance numerators V_i = n_i·Σv² −
+    * (Σv)² are exact decimals of micro values; each ln enters as ONE
+    * rounded micro term (t_i = ROUND(10⁶·ln(V_i/(n_i(n_i−1))))) and
+    * each reciprocal as one pico term (10¹² div (n_i−1), exact
+    * integer division) — so both cross-group sums are integer and
+    * order-independent; the common micro² scale cancels exactly
+    * because Σ(n_i−1) = N−k. Pooled variance uses per-group
+    * w_i = V_i div n_i (≤ k micro² slack, documented).
+    *
+    * Output (one row): `(n, n_groups, n_dropped, df, chi2_milli)`;
+    * NULL when fewer than 2 usable groups (a group needs n ≥ 2 and
+    * nonzero spread — constant groups are DROPPED and counted, as ln 0
+    * is the statistic saying "infinitely unequal", which callers
+    * should read from n_dropped instead of an overflow).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(group) carrying
+    * three moments; the finish is driver arithmetic on the ≤maxGroups
+    * group table (hard require).
+    */
+  def bartlett(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      maxGroups: Int = 10000): DataFrame = {
+    require(maxGroups >= 2, s"maxGroups $maxGroups must be >= 2")
+    val dec = "decimal(38,0)"
+    val g = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        floor(col(valueCol).cast("double") * 1e6).cast("long").as("__v"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("ng"),
+        sum(col("__v").cast(dec)).as("sg"),
+        sum(expr(s"cast(__v as $dec) * __v")).as("qg"))
+      .collect()
+    require(g.length <= maxGroups,
+      s"bartlett: ${g.length} groups exceed maxGroups=$maxGroups")
+    val rows = g.map { r =>
+      val ng = r.getLong(1)
+      val v = BigInt(ng) * BigInt(r.getDecimal(3).toBigInteger) -
+        BigInt(r.getDecimal(2).toBigInteger).pow(2)
+      (ng, v)
+    }
+    val usable = rows.filter { case (ng, v) => ng >= 2 && v > 0 }
+    val nDropped = rows.length - usable.length
+    val n = usable.map(_._1).sum
+    val k = usable.length.toLong
+    val out: Option[Long] =
+      if (k >= 2 && n > k) {
+        // half-away-from-zero, the oracle's ROUND (Scala math.round is
+        // half-toward-+inf and would differ on exact negative halves)
+        def rnd(x: Double): Long =
+          if (x >= 0) math.floor(x + 0.5).toLong
+          else -math.floor(-x + 0.5).toLong
+        // per-group micro ln terms and pico reciprocals: integer sums
+        val lnSum = usable.map { case (ng, v) =>
+          val s2 = v.doubleValue / (ng.toDouble * (ng - 1))
+          (ng - 1) * rnd(1e6 * math.log(s2))
+        }.sum
+        val pooled = usable.map { case (ng, v) => v / ng }.sum
+        val sp2 = pooled.doubleValue / (n - k)
+        val lnP = (n - k) * rnd(1e6 * math.log(sp2))
+        val recipSum = usable.map { case (ng, _) =>
+          1000000000000L / (ng - 1)
+        }.sum
+        val recipP = 1000000000000L / (n - k)
+        val c = 1.0 + (recipSum - recipP).toDouble / 1e12 / (3.0 * (k - 1))
+        Some(math.floor(1000.0 * ((lnP - lnSum).toDouble / 1e6) / c).toLong)
+      } else None
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, k, nDropped.toLong, math.max(k - 1, 0L), out))
+      .toDF("n", "n_groups", "n_dropped", "df", "chi2_milli")
+  }
+
   /** Lin's concordance correlation coefficient — AGREEMENT between two
     * continuous measurements on the 45° line, not mere correlation:
     * Pearson r forgives any linear recalibration, CCC penalizes scale

@@ -1675,4 +1675,75 @@ object TextOps {
         """cast(cast(vocab_cum as decimal(38,0)) * 1000000
            div greatest(tokens_cum, 1) as long)"""))
   }
+
+  /** Corpus bigram conditional entropy H(next | prev) and the
+    * predictability share U = (H(next) − H(next|prev))/H(next) — how
+    * much of the next-token uncertainty the previous token already
+    * resolves. The one-number sequential-structure audit behind the
+    * per-doc [[bigramLmScore]]: shuffled/templated/generated text sits
+    * at the extremes (near 0 = no sequential structure; near 1 =
+    * boilerplate), and a corpus whose U drifts between crawls changed
+    * its mix. Theil's U over the (prev, next) pair table, at token
+    * scale.
+    *
+    * Determinism: every entropy is a sum of per-cell
+    * ROUND(10⁶·c·(ln(total) − ln(c))/N) BIGINT terms (the q64/q321
+    * ln-term convention) — order-independent, engine-portable; U is
+    * one integer division, clamped at 0 against rounding residue.
+    *
+    * Output (one row): `(n_bigrams, n_prev_types, n_bigram_types,
+    * h_next_micro, h_cond_micro, predictability_u_micro)`; U NULL
+    * when H(next) = 0.
+    *
+    * 100 TB shape: one bigram explode → map-side-combined count (the
+    * corpus's big shuffle); the marginals re-aggregate the bigram
+    * table and the term sums ride it — everything after the first
+    * count is vocabulary-sized (bigram types, not tokens), and only
+    * scalars reach the driver.
+    */
+  def bigramConditionalEntropy(
+      df: DataFrame,
+      textCol: String): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(filter(split(trim(col(textCol)), " "),
+        w => length(w) > 0).as("__ws"))
+    val cells = toks
+      .select(
+        slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 1, lit(0)))
+          .as("__a"),
+        slice(col("__ws"), lit(2), greatest(size(col("__ws")) - 1, lit(0)))
+          .as("__b"))
+      .select(explode(arrays_zip(col("__a"), col("__b"))).as("__p"))
+      .select(col("__p.__a").as("__w1"), col("__p.__b").as("__w2"))
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val tot = cells.agg(coalesce(sum("__c"), lit(0L)).as("n"),
+      count(lit(1)).as("types")).head()
+    val n = tot.getLong(0); val nTypes = tot.getLong(1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (n == 0L)
+      return Seq((0L, 0L, 0L, 0L, 0L, None: Option[Long]))
+        .toDF("n_bigrams", "n_prev_types", "n_bigram_types",
+          "h_next_micro", "h_cond_micro", "predictability_u_micro")
+    def hTerm(c: Column, total: Column): Column =
+      round(lit(1e6) * c.cast("double") *
+        (log(total.cast("double")) - log(c.cast("double"))) / lit(n.toDouble))
+        .cast("long")
+    val m1 = cells.groupBy("__w1").agg(sum("__c").as("c1")).localCheckpoint(true)
+    val nPrev = m1.count()
+    val hNext = cells.groupBy("__w2").agg(sum("__c").as("c2"))
+      .agg(coalesce(sum(hTerm(col("c2"), lit(n))), lit(0L))).head().getLong(0)
+    val hCond = cells.join(m1, "__w1")
+      .agg(coalesce(sum(hTerm(col("__c"), col("c1"))), lit(0L)))
+      .head().getLong(0)
+    val u: Option[Long] =
+      if (hNext > 0)
+        Some((BigInt(math.max(0L, hNext - hCond)) * 1000000 /
+          BigInt(hNext)).toLong)
+      else None
+    Seq((n, nPrev, nTypes, hNext, hCond, u))
+      .toDF("n_bigrams", "n_prev_types", "n_bigram_types",
+        "h_next_micro", "h_cond_micro", "predictability_u_micro")
+  }
 }

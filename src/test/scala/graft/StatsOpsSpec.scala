@@ -2492,4 +2492,49 @@ class StatsOpsSpec extends SparkSuite {
       .collect()(0)
     assert(k1.getLong(1) == 1000000L, k1.toString)
   }
+
+  test("bigramConditionalEntropy: hand cells, determinism U=1e6, constant-next NULL") {
+    import graft.ops.TextOps
+    // "a b a b a c": bigrams ab:2 ba:2 ac:1 — n=5, 3 types, 2 prev types
+    val r = TextOps.bigramConditionalEntropy(
+      Seq("a b a b a c").toDF("text"), "text").collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L && r.getLong(2) == 3L,
+      r.toString)
+    assert(r.getLong(4) > 0L && r.getLong(4) < r.getLong(3), r.toString)
+    // fully determined next token: H(next|prev)=0 → U = 1e6
+    val det = TextOps.bigramConditionalEntropy(
+      Seq("a b a b a b").toDF("text"), "text").collect()(0)
+    assert(det.getLong(4) == 0L && det.getLong(5) == 1000000L, det.toString)
+    // constant next marginal: H(next)=0 → NULL
+    val const = TextOps.bigramConditionalEntropy(
+      Seq("a a a a").toDF("text"), "text").collect()(0)
+    assert(const.isNullAt(5), const.toString)
+  }
+
+  test("bartlett: equal variances 0, hand unequal replay, drops and NULLs") {
+    import graft.ops.Features
+    // two groups with IDENTICAL spread: chi2 exactly 0
+    val eq = Seq(("a", 0.0), ("a", 2.0), ("b", 10.0), ("b", 12.0))
+    val r = Features.bartlett(eq.toDF("g", "v"), "g", "v").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L &&
+      r.getLong(3) == 1L && r.getLong(4) == 0L, r.toString)
+    // a constant group is dropped and counted, the stat unchanged
+    val drop = eq ++ Seq(("c", 5.0), ("c", 5.0))
+    val d = Features.bartlett(drop.toDF("g", "v"), "g", "v").collect()(0)
+    assert(d.getLong(1) == 2L && d.getLong(2) == 1L && d.getLong(4) == 0L,
+      d.toString)
+    // unequal spread: replay the documented term-by-term arithmetic
+    val uneq = Seq(("a", 0.0), ("a", 2.0), ("b", 0.0), ("b", 20.0))
+    val u = Features.bartlett(uneq.toDF("g", "v"), "g", "v").collect()(0)
+    def rnd(x: Double) = math.floor(x + 0.5).toLong // positive args here
+    val lnSum = rnd(1e6 * math.log(2e12)) + rnd(1e6 * math.log(2e14))
+    val lnP = 2 * rnd(1e6 * math.log((2e12 + 2e14) / 2))
+    val c = 1.0 + (2 * 1000000000000L - 500000000000L).toDouble / 1e12 / 3.0
+    val want = math.floor(1000.0 * ((lnP - lnSum).toDouble / 1e6) / c).toLong
+    assert(u.getLong(4) == want && want > 1000L, s"${u.getLong(4)} vs $want")
+    // one usable group → NULL
+    val one = Features.bartlett(
+      Seq(("a", 0.0), ("a", 1.0)).toDF("g", "v"), "g", "v").collect()(0)
+    assert(one.isNullAt(4), one.toString)
+  }
 }
