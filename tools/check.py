@@ -84,7 +84,12 @@ def main(sf_dir, out_dir, triscale=None):
         if os.path.exists(triscale):
             matrix = json.load(open(triscale))
         sf_key = os.path.basename(os.path.normpath(sf_dir))
-        matrix[sf_key] = dict(sorted(verdicts.items()))
+        # merge per QUERY, not per slice: a dev-loop subset run must
+        # update only the queries it checked, never wipe the rest of a
+        # previously-recorded full slice
+        merged = dict(matrix.get(sf_key, {}))
+        merged.update(verdicts)
+        matrix[sf_key] = dict(sorted(merged.items()))
         matrix["_counts"] = {
             sf: {"ok": sum(1 for v in qs.values() if v == "ok"),
                  "bad": sum(1 for v in qs.values() if v == "bad"),
