@@ -10800,7 +10800,8 @@ object Queries {
           (SELECT unnest(string_split(trim(text), ' ')) term
            FROM documents WHERE text IS NOT NULL)
         WHERE length(term) > 0 GROUP BY 1),
-      tot AS (SELECT SUM(tf)::BIGINT n, COUNT(*)::BIGINT v FROM tf),
+      tot AS (SELECT COALESCE(SUM(tf), 0)::BIGINT n, COUNT(*)::BIGINT v
+        FROM tf),
       f AS (SELECT tf r, COUNT(*)::BIGINT f FROM tf
         WHERE tf <= 11 GROUP BY 1),
       u AS (SELECT COALESCE((SELECT f FROM f WHERE r = 1), 0)::HUGEINT f1),

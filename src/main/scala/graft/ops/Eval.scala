@@ -636,7 +636,15 @@ object Eval {
         "bins-sized and single-partition by design")
     val base = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
       .select(col(labelCol).cast("boolean").as("__y"),
-        least(greatest(floor(col(scoreCol).cast("double") * bins), lit(0L)),
+        col(scoreCol).cast("double").as("__s"))
+      // Re-filter AFTER the casts (weightedKappa convention): a garbage
+      // label casts to null and would count as a NEGATIVE in the per-bin
+      // neg sum; a garbage score casts to null and — because Spark's
+      // greatest() IGNORES nulls — would clip to bin 0 instead of
+      // dropping. Both silently skew the sweep; exclusion must be loud.
+      .filter(col("__y").isNotNull && col("__s").isNotNull)
+      .select(col("__y"),
+        least(greatest(floor(col("__s") * bins), lit(0L)),
           lit(bins - 1L)).as("__b"))
     val perBin = base.groupBy("__b").agg(
       sum(when(col("__y"), 1L).otherwise(0L)).as("pos"),
@@ -689,10 +697,16 @@ object Eval {
       scoreCol: String): DataFrame = {
     val M = 1000000L
     val base = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(labelCol).cast("boolean").as("__yb"),
+        col(scoreCol).cast("double").as("__s"))
+      // Re-filter AFTER the casts (weightedKappa convention): a garbage
+      // label casts to null, the when() below treats null as false, and
+      // the row silently lands in the y=0 branch; a garbage score casts
+      // to null and greatest() (null-ignoring) would clip it to p=0.
+      .filter(col("__yb").isNotNull && col("__s").isNotNull)
       .select(
-        when(col(labelCol).cast("boolean"), lit(M)).otherwise(lit(0L))
-          .as("__y"),
-        least(greatest(floor(col(scoreCol).cast("double") * M), lit(0L)),
+        when(col("__yb"), lit(M)).otherwise(lit(0L)).as("__y"),
+        least(greatest(floor(col("__s") * M), lit(0L)),
           lit(M)).as("__p"))
     base.agg(
       count(lit(1)).as("n"),
@@ -731,6 +745,11 @@ object Eval {
     df.filter(col(labelCol).isNotNull && col(predCol).isNotNull)
       .select(col(labelCol).cast("boolean").as("__y"),
         col(predCol).cast("boolean").as("__p"))
+      // Re-filter AFTER the casts (weightedKappa convention): a garbage
+      // label/pred casts to null, falls out of all four when() confusion
+      // cells, yet still counts in n — so n != tp+fp+fn+tn and the MCC
+      // denominator quietly shrinks. Exclusion must be loud, not skew.
+      .filter(col("__y").isNotNull && col("__p").isNotNull)
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("__y") && col("__p"), 1L).otherwise(0L)).as("tp"),
@@ -776,7 +795,15 @@ object Eval {
     val M = 1000000L
     val base = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
       .select(col(labelCol).cast("boolean").as("__y"),
-        least(greatest(floor(col(scoreCol).cast("double") * M), lit(0L)),
+        col(scoreCol).cast("double").as("__s"))
+      // Re-filter AFTER the casts (weightedKappa convention): a garbage
+      // label casts to null, when(__y) treats it as false, and the row
+      // silently scores the y=0 branch; a garbage score casts to null
+      // and greatest() (null-ignoring) would clip it to p=0 — a maximal
+      // -ln(eps) penalty fabricated from unparseable input.
+      .filter(col("__y").isNotNull && col("__s").isNotNull)
+      .select(col("__y"),
+        least(greatest(floor(col("__s") * M), lit(0L)),
           lit(M)).as("__p"))
       .withColumn("__q",
         least(greatest(when(col("__y"), col("__p")).otherwise(lit(M) - col("__p")),

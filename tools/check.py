@@ -102,9 +102,10 @@ def main(sf_dir, out_dir, triscale=None):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    ts = None
-    if "--triscale" in sys.argv:
-        ts = sys.argv[sys.argv.index("--triscale") + 1]
-        args.remove(ts)
-    sys.exit(main(args[0], args[1], ts))
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--triscale", default=None, metavar="PATH")
+    ns = ap.parse_args()
+    sys.exit(main(ns.sf_dir, ns.out_dir, ns.triscale))
