@@ -120,6 +120,19 @@ object Bench {
   private val SubSecondPriorSec = 1.0
   private val SubSecondRequeueFactor = 2.0
   private val SubSecondRequeueFloorSec = 0.25
+  // REQUEUE tier for HEAVY priors (round 15; the r14 driver episode):
+  // five multi-second queries sat at 2.2-2.8x under localized co-tenant
+  // heat — under the flat 3x trigger yet far over the driver's 2x
+  // global gate, so one noisy window could turn a driver-read artifact
+  // red with zero code change. A requeue of a multi-second query costs
+  // seconds and protects the hard gate, so requeue (not flag) when a
+  // >=2s prior reads over a normalized 1.5x; the 2-3x histogram band is
+  // structurally unreachable for heavy priors in an accepted artifact
+  // unless pass 2 ALSO read hot (then it's flagged contended anyway).
+  // Priors in [1,2)s keep the flat 3x ratchet: their absolute excess is
+  // bounded (<3s) and each extra requeue costs more than it protects.
+  private val HeavyPriorSec = 2.0
+  private val HeavyRequeueFactor = 1.5
   // median accepted/prior ratio above this stamps the whole artifact
   // globally_contended (priors below 0.3s are too noisy to vote)
   private val GlobalRatioLimit = 2.0
@@ -392,6 +405,8 @@ object Bench {
         if (p < SubSecondPriorSec) {
           if (norm > SubSecondRequeueFactor * p && t > SubSecondRequeueFloorSec)
             Some("prior_subsecond") else None
+        } else if (p >= HeavyPriorSec && norm > HeavyRequeueFactor * p) {
+          Some("prior_heavy")
         } else {
           if ((norm > PriorRatchetFactor * p && t > PriorRatchetFloorSec) ||
             exceedsPriorAmbient(name, t)) Some("prior_large") else None
@@ -481,7 +496,8 @@ object Bench {
         }) += 1
       }
     }
-    val tierKeys = Seq("window_hot", "spread", "prior_subsecond", "prior_large")
+    val tierKeys = Seq("window_hot", "spread", "prior_subsecond",
+      "prior_heavy", "prior_large")
     val tierCounts = tierKeys.map(k =>
       "\"" + k + "\":" + requeueReasons.values.count(_.contains(k)))
       .mkString("{", ",", "}")

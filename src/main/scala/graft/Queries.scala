@@ -10926,6 +10926,114 @@ object Queries {
          END)::BIGINT AS chi2_milli
       FROM tot, s"""))
 
+  /** Star salvage of over-cap LSH buckets, end-to-end on an injected
+    * boilerplate family (the ScaleCheck `minhash_capstress` shape at
+    * oracle scale): every 5th doc's text becomes one fixed string, so
+    * each of the 4 bands holds ONE bucket with the whole family — far
+    * over maxBucket=50 — and the round-15 salvage must star the family
+    * through its min-id representative instead of silently dropping it
+    * (the pre-salvage behavior: ZERO pairs from the corpus's
+    * most-duplicated content). The rollup proves full-family linkage
+    * without an iterative CC oracle: family members bucket ONLY into hot
+    * buckets, so every family pair goes through the rep — n_star must
+    * equal n_fam − 1, one audited hot bucket per band, rep = family min
+    * id. n_pairs counts the whole candidate set (star + full-density
+    * under-cap pairs), pinning that salvage ADDS to the under-cap output
+    * rather than replacing it.
+    */
+  private val q331 = Q(
+    "q331_lsh_star_salvage",
+    (spark, dir) => {
+      val boiler = "terms of service apply to every page of this mirror archive"
+      val docs = pq(spark, dir, "documents")
+      val injected = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(boiler))
+          .otherwise(col("text")).as("text"))
+        .localCheckpoint(true)
+      val pairs = Dedup.minhashLshPairs(injected, "doc_id", "text",
+          maxBucket = 50L).localCheckpoint(true)
+      val fam = injected.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .agg(count(lit(1)).as("n_fam"), min(col("doc_id")).as("rep"))
+      val audit = Dedup.minhashLshOverCapBuckets(injected, "doc_id", "text",
+        maxBucket = 50L)
+      fam
+        .crossJoin(audit.agg(count(lit(1)).as("n_hot_buckets")))
+        .crossJoin(pairs.crossJoin(fam.select(col("rep").as("__r")))
+          .filter(col("id_a") === col("__r"))
+          .agg(count(lit(1)).as("n_star")))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+        .select(col("n_fam"), col("rep"), col("n_hot_buckets"),
+          col("n_star"), col("n_pairs"))
+    },
+    Some {
+      val mins = (0 until 16)
+        .map(i => s"MIN(substr(h, ${i + 1}, 15)) m$i")
+        .mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val cols = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $b band, md5(concat_ws('|', $cols)) bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN
+          'terms of service apply to every page of this mirror archive'
+          ELSE text END AS text FROM documents),
+      toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM d),
+      sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS s
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) g FROM toks)),
+      hh AS (SELECT doc_id, md5(s) h FROM sh),
+      sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+      bands AS ($bands),
+      cnt AS (SELECT band, bucket, COUNT(*) n, MIN(doc_id) rep
+        FROM bands GROUP BY 1, 2),
+      hot AS (SELECT * FROM cnt WHERE n > 50),
+      kept AS (SELECT b.doc_id, b.band, b.bucket FROM bands b
+        WHERE NOT EXISTS (SELECT 1 FROM hot h
+          WHERE h.band = b.band AND h.bucket = b.bucket)),
+      fullp AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM kept a
+        JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id),
+      star AS (SELECT DISTINCT h.rep id_a, b.doc_id id_b FROM bands b
+        JOIN hot h ON h.band = b.band AND h.bucket = b.bucket
+        WHERE b.doc_id <> h.rep),
+      pairs AS (SELECT id_a, id_b FROM fullp UNION
+        SELECT id_a, id_b FROM star),
+      fam AS (SELECT COUNT(*)::BIGINT n_fam, MIN(doc_id)::BIGINT rep
+        FROM d WHERE doc_id % 5 = 0),
+      nh AS (SELECT COUNT(*)::BIGINT n_hot_buckets FROM hot),
+      ns AS (SELECT COUNT(*)::BIGINT n_star FROM pairs, fam
+        WHERE id_a = fam.rep),
+      np AS (SELECT COUNT(*)::BIGINT n_pairs FROM pairs)
+      SELECT fam.n_fam, fam.rep, nh.n_hot_buckets, ns.n_star, np.n_pairs
+      FROM fam, nh, ns, np"""
+    })
+
+  /** The `maxDf` audit side channel ([[Dedup.hotShingles]]) on an
+    * injected boilerplate tail (the `jaccard_capstress` shape at oracle
+    * scale): every 4th doc gains a fixed 4-word suffix, making its two
+    * interior shingles hot (df = ~n/4 ≫ maxDf=50) while tail-boundary
+    * shingles stay per-doc-rare. Output is the dropped-shingle table the
+    * no-silent-caps rule requires — what a production run materializes
+    * next to the pair output to see exactly which recall the skew cap
+    * traded away.
+    */
+  private val q332 = Q(
+    "q332_hot_shingle_audit",
+    (spark, dir) => {
+      val docs = pq(spark, dir, "documents")
+      val injected = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(col("text"), lit(" zq alpha beta gamma")))
+          .otherwise(col("text")).as("text"))
+      Dedup.hotShingles(injected, "doc_id", "text", 3, maxDf = 50L)
+    },
+    Some("""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN
+          text || ' zq alpha beta gamma' ELSE text END AS text
+        FROM documents),
+      toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM d),
+      sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS s
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) g FROM toks))
+      SELECT s AS shingle, COUNT(*)::BIGINT AS df FROM sh
+      GROUP BY 1 HAVING COUNT(*) > 50"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -10956,7 +11064,7 @@ object Queries {
     q302, q303, q304, q305, q306, q307, q308, q309, q310, q311,
     q312, q313, q314, q315, q316, q317, q318,
     q319, q320, q321, q322, q323, q324,
-    q325, q326, q327, q328, q329, q330)
+    q325, q326, q327, q328, q329, q330, q331, q332)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

@@ -1494,8 +1494,9 @@ object ScaleCheck {
     // hard caps (maxBucket / maxDf) have green 8x ratios, but 8x never
     // pushes a hot key PAST a cap — these entries make one key's mass grow
     // WITH the corpus so the cap's active regime is actually observed:
-    //   capped(Nx)   — the hot key crosses the cap and is DROPPED; time
-    //                  must stay ~linear vs capped(1x),
+    //   capped(Nx)   — the hot key crosses the cap and is STAR-SALVAGED
+    //                  (round 15; pre-salvage it was dropped outright);
+    //                  time must stay ~linear vs capped(1x),
     //   uncapped(Nx) — the same key is KEPT; time measures the quadratic
     //                  onset the cap exists to prevent,
     //   at-cap(Nx)   — a key sized just UNDER the default cap is kept;
@@ -1526,6 +1527,33 @@ object ScaleCheck {
       println(f"minhash_capstress capped 1x=${c1}%6.2fs ${mult}x=${cN}%6.2fs " +
         f"(ratio ${cN / c1}%.1f, linear=$mult.0); uncapped ${mult}x=${uN}%6.2fs " +
         f"(onset ${uN / cN}%.1fx over capped); at-cap-bucket ${mult}x=${aN}%6.2fs")
+    }
+    // Round-15 SALVAGE proof at the cap-onset scale: the same over-cap
+    // family that pre-salvage yielded ZERO pairs must now come back fully
+    // star-linked — every family member in exactly one pair with the
+    // min-id representative (famN−1 pairs, both ends ≡0 mod 25) — while
+    // the capped runtime above stays linear. Correctness companion to the
+    // minhash_capstress timing row; replays the q331 contract at 64×.
+    if (wanted("minhash_capsalvage")) {
+      val hotText = "the quick brown fox jumps over the lazy dog while the " +
+        "cat watches from the window and the birds sing in the garden today"
+      val hotN = docN.withColumn("text",
+        when(pmod(col("doc_id") % 10000000L, lit(25)) === 0, lit(hotText))
+          .otherwise(col("text")))
+      val famN = hotN.filter(pmod(col("doc_id") % 10000000L, lit(25)) === 0)
+        .count()
+      val t0 = System.nanoTime()
+      val pairs = graft.ops.Dedup.minhashLshPairs(hotN, "doc_id", "text",
+        maxBucket = 10000L)
+      val famPairs = pairs.filter(
+        pmod(col("id_a") % 10000000L, lit(25)) === 0 &&
+          pmod(col("id_b") % 10000000L, lit(25)) === 0).count()
+      val tS = (System.nanoTime() - t0) / 1e9
+      val audited = graft.ops.Dedup.minhashLshOverCapBuckets(
+        hotN, "doc_id", "text", maxBucket = 10000L).count()
+      println(f"minhash_capsalvage fam=$famN pairs=$famPairs " +
+        f"(expect fam-1=${famN - 1}) hot_buckets=$audited t=${tS}%6.2fs " +
+        (if (famPairs == famN - 1) "OK" else "MISMATCH"))
     }
     if (wanted("jaccard_capstress")) {
       // one fixed 3-word tail per 20th doc: ~1 hot shingle whose df grows

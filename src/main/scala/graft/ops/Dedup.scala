@@ -148,6 +148,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Audit side channel for the `maxDf` shingle cap shared by
+    * [[ngramJaccardPairs]] / [[ngramJaccardPairsPrefix]] /
+    * [[containmentPairs]] — the no-silent-caps rule applied to the
+    * inverted-index family: one row per shingle whose document frequency
+    * exceeded `maxDf` (and was therefore excluded from candidate
+    * generation), with its df. Empty output = no recall was traded for
+    * skew safety. The loss here is MILDER than an LSH bucket drop — a
+    * pair sharing a dropped stopword shingle can still surface through
+    * any rarer shared shingle, and the Jaccard DENOMINATOR is unaffected
+    * (sizes count kept shingles on both sides symmetrically) — but a
+    * boilerplate family whose ONLY shared shingles are all hot does
+    * vanish, and this table is how that becomes visible.
+    *
+    * 100 TB shape: one map-side-combined groupBy over the exploded
+    * shingle table; output bounded by |shingle rows|/maxDf.
+    */
+  def hotShingles(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxDf: Long = 10000L): DataFrame =
+    wordShingles(df, idCol, textCol, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("shingle"), col("df"))
+
   /** [[ngramJaccardPairs]] with All-Pairs / PPJoin-style PREFIX FILTERING
     * (Bayardo et al. "Scaling Up All Pairs Similarity Search", WWW'07;
     * Xiao et al. "Efficient Similarity Joins for Near Duplicate
@@ -693,15 +720,31 @@ object Dedup {
     * The cap is an ABSOLUTE per-bucket work bound, independent of corpus
     * size: a kept bucket of B rows generates B²/2 pairs in one task per
     * band. Measured at the default (ScaleCheck `minhash_capstress`, 64×
-    * sf0.1): a bucket crossing the cap is dropped and the run stays
-    * linear (12.8 s); the same corpus UNCAPPED pays 180.5 s (14×) for one
+    * sf0.1): a bucket crossing the cap is star-salvaged and the run stays
+    * linear; the same corpus UNCAPPED pays 180.5 s (14×) for one
     * 12.8k bucket, and a bucket just UNDER the cap (9,472 rows — the
     * worst the default admits) costs ~108 s of straggler time (~1.8·10⁸
     * pairs ≈ 100 s of one core). Tuning rule this pins: maxBucket=10000
-    * is the recall-first default (boilerplate families up to 10k docs
-    * still pair); drop to ~2000 (≈2 s worst bucket) when p99 task
-    * latency matters more than recall on boilerplate-heavy corpora —
-    * work scales with the SQUARE of the cap.
+    * keeps B²/2 candidate density for families up to 10k docs; drop to
+    * ~2000 (≈2 s worst bucket) when p99 task latency matters more —
+    * within-bucket pair work scales with the SQUARE of the cap.
+    *
+    * OVER-CAP buckets are STAR-SALVAGED, not dropped (round 15; the 64×
+    * cap-onset measurement showed a >10k identical-doc family — the
+    * most-duplicated content in a real crawl — yielded ZERO pairs under
+    * the old left-anti drop): every member of an over-cap bucket pairs
+    * with the bucket's MIN id (the same star-edge shape as
+    * [[multiKeyClusters]]), B−1 pairs instead of B²/2, linear in the
+    * family. Connected-component dedup (dedupApply/fuzzyDedup) then
+    * still groups the whole family through the representative, and the
+    * downstream exact-similarity verify screens collision-driven false
+    * positives exactly as it does for full pairs. What IS lost over the
+    * cap: within-family candidate pairs that don't involve the
+    * representative — irrelevant for CC clustering, but if you need the
+    * dense pair set, raise `maxBucket`. [[minhashLshOverCapBuckets]] is
+    * the audit side channel (band, bucket, n, rep) for every bucket that
+    * took this path — materialize it next to the pairs so salvage recall
+    * loss is observable, never silent.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -724,17 +767,60 @@ object Dedup {
     // the materialized buckets (eager localCheckpoint, not persist — see
     // ngramJaccardPairs for the leak rationale).
     val bb = lshBands(sigs, numHashes, bands).localCheckpoint(true)
+    // The over-cap set has at most |rows·bands|/maxBucket buckets —
+    // broadcastable by construction; checkpointed because it feeds the
+    // anti-join, the semi-join and (via hotRows) the rep table.
     val hot = bb.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
       .select(col("band"), col("bucket"))
+      .localCheckpoint(true)
     val capped = bb.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    capped.as("a")
+    val full = capped.as("a")
       .join(
         capped.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // Star salvage (see scaladoc): each over-cap bucket member pairs with
+    // the bucket's min id — B−1 pairs per bucket, linear, rep < id by
+    // construction so the id_a < id_b contract holds without a sort.
+    val hotRows = bb.join(broadcast(hot), Seq("band", "bucket"), "left_semi")
+    val reps = hotRows.groupBy(col("band"), col("bucket"))
+      .agg(min(col("id")).as("rep"))
+    val star = hotRows.join(broadcast(reps), Seq("band", "bucket"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    full.unionByName(star).distinct()
+  }
+
+  /** Audit side channel for [[minhashLshPairs]]'s star salvage — the
+    * repo-wide no-silent-caps rule: one row per (band, bucket) whose
+    * membership exceeded `maxBucket`, with the member count `n` and the
+    * min-id representative `rep` the salvage starred through. Empty
+    * output = every bucket got full B²/2 candidate density. Materialize
+    * this next to the pairs in a production run; a non-empty result is
+    * the signal to either raise `maxBucket` (if the dense within-family
+    * pair set matters) or accept star connectivity.
+    *
+    * 100 TB shape: one map-side-combined groupBy over the band-bucket
+    * table; output bounded by |rows·bands|/maxBucket rows.
+    */
+  def minhashLshOverCapBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucket: Long = 10000L): DataFrame = {
+    val sigs = withMinhashSignature(
+      df.select(col(idCol).as("id"), col(textCol).as("__mht")),
+      "__mht", shingleLen, numHashes).drop("__mht")
+    lshBands(sigs, numHashes, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("rep"))
+      .filter(col("n") > maxBucket)
+      .select(col("band"), col("bucket"), col("n"), col("rep"))
   }
 
   /** Incremental MinHash+LSH: near-dup candidates for a NEW batch against
@@ -777,6 +863,7 @@ object Dedup {
     val hot = all.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
       .select(col("band"), col("bucket"))
+      .localCheckpoint(true)
     val oldCapped = oldBb.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val newCapped = newBb.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val oldNew = oldCapped.as("a").join(
@@ -788,7 +875,32 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    oldNew.unionByName(newNew).distinct()
+    // Star salvage of over-cap buckets ([[minhashLshPairs]] scaladoc; the
+    // over-cap family is EXACTLY the daily boilerplate flood this
+    // incremental path exists for). Representative = min id over BOTH
+    // sides (min of (id, is_new) structs — a same-id re-crawl ties to
+    // the old copy); every member pairs with it EXCEPT old↔old pairs,
+    // which this op's contract never emits (old-corpus dedup already
+    // ran). Orientation per the contract: old id first when mixed,
+    // min-first (rep < id) when both new.
+    val hotMembers = oldBb.join(broadcast(hot), Seq("band", "bucket"), "left_semi")
+      .withColumn("is_new", lit(false))
+      .unionByName(
+        newBb.join(broadcast(hot), Seq("band", "bucket"), "left_semi")
+          .withColumn("is_new", lit(true)))
+    val reps = hotMembers.groupBy(col("band"), col("bucket"))
+      .agg(min(struct(col("id"), col("is_new"))).as("r"))
+      .select(col("band"), col("bucket"),
+        col("r.id").as("rep"), col("r.is_new").as("rep_new"))
+    val star = hotMembers.join(broadcast(reps), Seq("band", "bucket"))
+      .filter(col("id") =!= col("rep"))
+      .filter(col("is_new") || col("rep_new"))
+      .select(
+        when(!col("is_new") && col("rep_new"), col("id")).otherwise(col("rep"))
+          .as("id_a"),
+        when(!col("is_new") && col("rep_new"), col("rep")).otherwise(col("id"))
+          .as("id_b"))
+    oldNew.unionByName(newNew).unionByName(star).distinct()
   }
 
   /** 64-bit SimHash as a '0'/'1' bit string (avoids BIGINT sign overflow and
@@ -978,11 +1090,16 @@ object Dedup {
     * cluster of identical boilerplate embeddings lands in ONE bucket of
     * EVERY band (the `planes` knob tunes density, not degenerate
     * identity), and without the cap that bucket's self-join is
-    * |cluster|² pairs before the cosine filter ever runs. Buckets over
-    * the cap are dropped via a broadcast anti-join (the over-cap set has
-    * at most |rows·bands|/maxBucket members — broadcastable by
-    * construction); pre-collapse exact duplicates with [[exactGroups]]
-    * if those clusters must still be linked.
+    * |cluster|² pairs before the cosine filter ever runs. Over-cap
+    * buckets are STAR-SALVAGED ([[minhashLshPairs]] scaladoc): each
+    * member is scored against the bucket's min-id representative only —
+    * B−1 cosine evaluations instead of B²/2 — and the ≥ `threshold`
+    * filter still applies to every emitted pair, so the output contract
+    * (all pairs carry a true cosine ≥ threshold) is preserved; what's
+    * lost over the cap is member↔member pairs not through the
+    * representative, which CC-style grouping downstream doesn't need.
+    * The over-cap set has at most |rows·bands|/maxBucket buckets —
+    * broadcastable by construction.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -1014,8 +1131,9 @@ object Dedup {
     val hot = banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
       .select(col("band"), col("bucket"))
+      .localCheckpoint(true)
     val capped = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    capped.as("a")
+    val full = capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -1023,7 +1141,23 @@ object Dedup {
         round(Similarity.dot(col("a.v"), col("b.v")) / (col("a.nm") * col("b.nm")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
-      .distinct()
+    // Star salvage (see scaladoc): members of over-cap buckets score
+    // against the bucket's min-id representative only — linear — and the
+    // threshold filter still gates every emitted pair. min(struct(...))
+    // carries the representative's vector+norm out of the same aggregate
+    // (struct ordering compares id first; v/nm ride along).
+    val hotRows = banded.join(broadcast(hot), Seq("band", "bucket"), "left_semi")
+    val reps = hotRows.groupBy(col("band"), col("bucket"))
+      .agg(min(struct(col("id"), col("v"), col("nm"))).as("r"))
+      .select(col("band"), col("bucket"),
+        col("r.id").as("rid"), col("r.v").as("rv"), col("r.nm").as("rnm"))
+    val star = hotRows.join(broadcast(reps), Seq("band", "bucket"))
+      .filter(col("id") =!= col("rid"))
+      .withColumn("cosine",
+        round(Similarity.dot(col("v"), col("rv")) / (col("nm") * col("rnm")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("rid").as("id_a"), col("id").as("id_b"), col("cosine"))
+    full.unionByName(star).distinct()
   }
 
   /** Multi-evidence dedup clusters: two rows merge when ANY of several

@@ -1313,7 +1313,7 @@ class OpsSpec extends SparkSuite {
     assert(srp.size.toDouble / exact.size >= 0.5, s"recall ${srp.size}/${exact.size}")
   }
 
-  test("embeddingNearDupPairs: maxBucket cap drops the degenerate cluster, keeps real pairs") {
+  test("embeddingNearDupPairs: maxBucket cap star-salvages the degenerate cluster, keeps real pairs") {
     val spark2 = spark
     import spark2.implicits._
     // 10 identical embeddings (one boilerplate cluster — same bucket in
@@ -1326,17 +1326,85 @@ class OpsSpec extends SparkSuite {
     val capped = Dedup.embeddingNearDupPairs(
       vecs, "vec_id", "embedding", 0.9, planes = 8, bands = 4, maxBucket = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // the over-cap cluster generates ZERO pairs (cap kills the |cluster|²
-    // blowup; exactGroups is the documented pre-pass for identity clusters)
-    assert(!capped.exists { case (a, b) => a < 100L || b < 100L })
+    // the over-cap cluster is star-salvaged, not dropped (round 15): B−1
+    // pairs through the min-id representative instead of the C(10,2)=45
+    // clique — the family stays one connected component at linear cost
+    assert(capped.filter { case (a, b) => a < 100L && b < 100L } ==
+      (1L until 10L).map(i => (0L, i)).toSet)
     // the normal-density pair survives the cap
-    assert(capped == Set((100L, 101L)))
+    assert(capped.contains((100L, 101L)))
+    assert(capped.size == 10)
     // with the cap above the cluster size, the full clique comes back
     val uncapped = Dedup.embeddingNearDupPairs(
       vecs, "vec_id", "embedding", 0.9, planes = 8, bands = 4, maxBucket = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.count { case (a, b) => a < 100L && b < 100L } == 45) // C(10,2)
     assert(uncapped.contains((100L, 101L)))
+  }
+
+  test("minhashLshPairs: over-cap bucket is star-salvaged through the min-id rep") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 8 identical docs (every band's bucket holds all 8 — over maxBucket=5)
+    // + one normal near-dup pair that must keep full pair density
+    val fam = (0L until 8L).map(i => (i, "aa bb cc dd ee ff gg hh ii jj"))
+    val other = Seq(
+      (100L, "xx yy zz ww vv uu tt ss rr qq"),
+      (101L, "xx yy zz ww vv uu tt ss rr qq"))
+    val df = (fam ++ other).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", maxBucket = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // family: exactly the B−1 star edges (rep = min id 0), NOT C(8,2)=28
+    assert(pairs.filter { case (a, b) => a < 100L && b < 100L } ==
+      (1L until 8L).map(i => (0L, i)).toSet)
+    // under-cap docs keep full candidate density
+    assert(pairs.contains((100L, 101L)))
+    // audit side channel: every band reports the one over-cap bucket
+    val audit = Dedup.minhashLshOverCapBuckets(df, "doc_id", "text", maxBucket = 5L)
+      .collect().map(r => (r.getAs[Int]("band"), r.getAs[Long]("n"), r.getAs[Long]("rep")))
+    assert(audit.length == 4 && audit.forall { case (_, n, rep) => n == 8L && rep == 0L })
+    assert(audit.map(_._1).toSet == Set(0, 1, 2, 3))
+    // raising the cap restores the clique and empties the audit
+    val unc = Dedup.minhashLshPairs(df, "doc_id", "text", maxBucket = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unc.count { case (a, b) => a < 100L && b < 100L } == 28)
+    assert(Dedup.minhashLshOverCapBuckets(df, "doc_id", "text", maxBucket = 100L)
+      .count() == 0L)
+  }
+
+  test("minhashLshPairsIncremental: star salvage keeps contract orientation, no old-old pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val boiler = "aa bb cc dd ee ff gg hh ii jj"
+    // hot family spans both sides: old ids 0-3, new ids 10-13 (8 members
+    // > maxBucket=5); plus one normal old↔new near-dup pair
+    val oldDf = ((0L until 4L).map(i => (i, boiler)) :+
+      (100L, "xx yy zz ww vv uu tt ss rr qq")).toDF("doc_id", "text")
+    val newDf = ((10L until 14L).map(i => (i, boiler)) :+
+      (101L, "xx yy zz ww vv uu tt ss rr qq")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairsIncremental(
+        oldDf, newDf, "doc_id", "text", maxBucket = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rep = global min id 0 (old): stars to the NEW members only —
+    // old↔old pairs are outside this op's contract
+    assert(pairs.filter { case (a, b) => a < 100L && b < 100L } ==
+      (10L until 14L).map(i => (0L, i)).toSet)
+    assert(pairs.contains((100L, 101L)))
+    // id_b is always from the new batch
+    assert(pairs.forall { case (_, b) => b >= 10L })
+  }
+
+  test("hotShingles audit reports the over-df shingle family") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the jaccard_capstress shape: a fixed 3-word tail on every doc makes
+    // its shingle hot; per-doc-distinct leading text stays under maxDf
+    val df = (0L until 6L).map(i => (i, s"u$i v$i w$i zq alpha beta"))
+      .toDF("doc_id", "text")
+    val hot = Dedup.hotShingles(df, "doc_id", "text", 3, maxDf = 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(hot == Map("zq alpha beta" -> 6L))
+    assert(Dedup.hotShingles(df, "doc_id", "text", 3, maxDf = 10L).count() == 0L)
   }
 
   test("pair generators leave the SQL cache manager empty (no persist leaks)") {

@@ -42,6 +42,8 @@ import sys
 SUB_SECOND_PRIOR = 1.0
 SUB_SECOND_FACTOR = 2.0
 SUB_SECOND_FLOOR = 0.25
+HEAVY_PRIOR = 2.0   # round 15: >=2s priors requeue at a normalized 1.5x
+HEAVY_FACTOR = 1.5
 RATCHET_FACTOR = 3.0
 RATCHET_FLOOR = 0.6
 MIN_PRIOR_VOTE = 0.3
@@ -102,7 +104,7 @@ def replay(prior, measured, probe_ratio, t1s=None):
               and max(prior[q], t1s[q]) >= NOISE_FLOOR_VOTE]
     med = max(1.0, median(ratios)) if ratios else 1.0
     requeued, flagged = [], []
-    tiers = {"prior_subsecond": 0, "prior_large": 0}
+    tiers = {"prior_subsecond": 0, "prior_heavy": 0, "prior_large": 0}
     for q, t in sorted(t1s.items()):
         p = prior.get(q)
         if p is None or p <= 0:
@@ -112,6 +114,11 @@ def replay(prior, measured, probe_ratio, t1s=None):
         if p < SUB_SECOND_PRIOR:
             trip = norm > SUB_SECOND_FACTOR * p and t > SUB_SECOND_FLOOR
             tier = "prior_subsecond"
+        elif p >= HEAVY_PRIOR and norm > HEAVY_FACTOR * p:
+            # round 15: a hot co-tenant window must never leave a
+            # multi-second query at 2-3x in an accepted artifact
+            trip = True
+            tier = "prior_heavy"
         else:
             trip = (norm > RATCHET_FACTOR * p and t > RATCHET_FLOOR) or \
                    (amb > RATCHET_FACTOR * p and t > RATCHET_FLOOR)
@@ -170,8 +177,9 @@ def verify(meas_d, rep, raw_ratio, probe_ratio):
     check("median_prior_ratio_normalized",
           audit["median_prior_ratio_normalized"],
           rep["accepted_median_norm"], exact=False)
-    for t in ("prior_subsecond", "prior_large"):
-        check(f"tier_counts.{t}", audit["tier_counts"][t], rep["tiers"][t])
+    for t in ("prior_subsecond", "prior_heavy", "prior_large"):
+        check(f"tier_counts.{t}", audit["tier_counts"].get(t, 0),
+              rep["tiers"][t])
     # window_hot/spread depend on probe timing: recorded, not recomputed —
     # cross-check them against the artifact's own requeue_reasons
     reasons = audit.get("requeue_reasons", {})
