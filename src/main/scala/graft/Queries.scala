@@ -10949,13 +10949,14 @@ object Queries {
       val injected = docs.select(col("doc_id"),
         when(pmod(col("doc_id"), lit(5)) === 0, lit(boiler))
           .otherwise(col("text")).as("text"))
+      // ONE band-bucket pass feeds pairs AND the audit (the production
+      // pattern the audit scaladoc prescribes)
+      val bb = Dedup.minhashBandBuckets(injected, "doc_id", "text", 3, 16, 4)
+      val pairs = Dedup.minhashLshPairsFromBuckets(bb, maxBucket = 50L)
         .localCheckpoint(true)
-      val pairs = Dedup.minhashLshPairs(injected, "doc_id", "text",
-          maxBucket = 50L).localCheckpoint(true)
       val fam = injected.filter(pmod(col("doc_id"), lit(5)) === 0)
         .agg(count(lit(1)).as("n_fam"), min(col("doc_id")).as("rep"))
-      val audit = Dedup.minhashLshOverCapBuckets(injected, "doc_id", "text",
-        maxBucket = 50L)
+      val audit = Dedup.overCapBucketsFromBuckets(bb, maxBucket = 50L)
       fam
         .crossJoin(audit.agg(count(lit(1)).as("n_hot_buckets")))
         .crossJoin(pairs.crossJoin(fam.select(col("rep").as("__r")))
@@ -11034,6 +11035,267 @@ object Queries {
       SELECT s AS shingle, COUNT(*)::BIGINT AS df FROM sh
       GROUP BY 1 HAVING COUNT(*) > 50"""))
 
+  /** Cluster-level proof of the star salvage (q331's companion): the
+    * injected over-cap family must come out of the FULL dedup pipeline —
+    * LSH candidates → connected components → survivor assignment — as
+    * ONE cluster absorbing n_fam−1 duplicates, which is exactly what the
+    * pre-salvage drop made impossible (the family produced zero pairs,
+    * so every boilerplate copy survived as its own "cluster"). Oracle
+    * recomputes the salvaged pair set and closes it with a recursive
+    * CTE (two different CC algorithms agreeing exactly, the q42
+    * convention).
+    */
+  private val q333 = Q(
+    "q333_salvage_clusters",
+    (spark, dir) => {
+      val boiler = "terms of service apply to every page of this mirror archive"
+      val docs = pq(spark, dir, "documents")
+      val injected = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(boiler))
+          .otherwise(col("text")).as("text"))
+      val pairs = Dedup.minhashLshPairs(injected, "doc_id", "text",
+        maxBucket = 50L)
+      Cluster.dedupApply(docs.select("doc_id", "lang"), "doc_id",
+        pairs, "id_a", "id_b")
+    },
+    Some {
+      val mins = (0 until 16)
+        .map(i => s"MIN(substr(h, ${i + 1}, 15)) m$i")
+        .mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val cols = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $b band, md5(concat_ws('|', $cols)) bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH RECURSIVE d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN
+          'terms of service apply to every page of this mirror archive'
+          ELSE text END AS text FROM documents),
+      toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM d),
+      sh AS (SELECT DISTINCT doc_id, concat_ws(' ', ws[g], ws[g+1], ws[g+2]) AS s
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) g FROM toks)),
+      hh AS (SELECT doc_id, md5(s) h FROM sh),
+      sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id),
+      bands AS ($bands),
+      cnt AS (SELECT band, bucket, COUNT(*) n, MIN(doc_id) rep
+        FROM bands GROUP BY 1, 2),
+      hot AS (SELECT * FROM cnt WHERE n > 50),
+      kept AS (SELECT b.doc_id, b.band, b.bucket FROM bands b
+        WHERE NOT EXISTS (SELECT 1 FROM hot h
+          WHERE h.band = b.band AND h.bucket = b.bucket)),
+      fullp AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM kept a
+        JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id),
+      star AS (SELECT DISTINCT h.rep id_a, b.doc_id id_b FROM bands b
+        JOIN hot h ON h.band = b.band AND h.bucket = b.bucket
+        WHERE b.doc_id <> h.rep),
+      pairs AS (SELECT id_a, id_b FROM fullp UNION
+        SELECT id_a, id_b FROM star),
+      sym AS (SELECT id_a u, id_b v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(u, v) AS (SELECT u, v FROM sym
+        UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      lbl AS (SELECT u, MIN(v) mv FROM reach GROUP BY u),
+      asg AS (SELECT dd.doc_id,
+          LEAST(dd.doc_id, COALESCE(l.mv, dd.doc_id)) AS cluster
+        FROM documents dd LEFT JOIN lbl l ON l.u = dd.doc_id),
+      surv AS (SELECT cluster, COUNT(*) - 1 AS n_dropped FROM asg GROUP BY 1)
+      SELECT dd.doc_id, dd.lang, s.n_dropped::BIGINT AS n_dropped
+      FROM documents dd JOIN surv s ON dd.doc_id = s.cluster"""
+    })
+
+  /** Davies–Bouldin over the labelled embedding clusters — the
+    * worst-neighbor-overlap validity index next to q323's variance
+    * ratio and q84's silhouette.
+    */
+  private val q334 = Q(
+    "q334_davies_bouldin",
+    (spark, dir) => Similarity.daviesBouldin(
+      pq(spark, dir, "embeddings"), "label", "embedding"),
+    Some("""WITH b AS (SELECT vec_id, label::VARCHAR g, embedding e
+        FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+          AND len(embedding) > 0),
+      m AS (SELECT vec_id, g, unnest(generate_series(0, len(e) - 1)) d,
+          round(unnest(e)::DOUBLE * 1e6)::BIGINT v FROM b),
+      pd AS (SELECT g, d, SUM(v)::HUGEINT s, COUNT(*) c FROM m GROUP BY 1, 2),
+      cnt AS (SELECT g, MAX(CASE WHEN d = 0 THEN c END)::HUGEINT ng
+        FROM pd GROUP BY 1),
+      ms AS (SELECT m.vec_id, m.g,
+          SUM((cnt.ng * m.v - pd.s) * (cnt.ng * m.v - pd.s)) ssq
+        FROM m JOIN pd ON pd.g = m.g AND pd.d = m.d
+        JOIN cnt ON cnt.g = m.g GROUP BY 1, 2),
+      dm AS (SELECT ms.g, CAST(ROUND(sqrt(ssq::DOUBLE) / cnt.ng) AS BIGINT) t
+        FROM ms JOIN cnt ON cnt.g = ms.g),
+      si AS (SELECT dm.g, SUM(t) // cnt.ng si
+        FROM dm JOIN cnt ON cnt.g = dm.g GROUP BY dm.g, cnt.ng),
+      pr AS (SELECT a.g ga, b.g gb, CAST(ROUND(
+            sqrt(SUM((cb.ng * a.s - ca.ng * b.s) *
+                     (cb.ng * a.s - ca.ng * b.s))::DOUBLE)
+            / (ca.ng * cb.ng)) AS BIGINT) mm
+        FROM pd a JOIN pd b ON a.d = b.d AND a.g <> b.g
+        JOIN cnt ca ON ca.g = a.g JOIN cnt cb ON cb.g = b.g
+        GROUP BY a.g, b.g, ca.ng, cb.ng),
+      r AS (SELECT pr.ga, MAX((sa.si + sb.si) * 1000 // pr.mm) rmax
+        FROM pr JOIN si sa ON sa.g = pr.ga JOIN si sb ON sb.g = pr.gb
+        WHERE pr.mm > 0 GROUP BY 1),
+      agg AS (SELECT COUNT(*) kc, COALESCE(SUM(rmax), 0) sr FROM r),
+      tot AS (SELECT COALESCE(SUM(ng), 0)::BIGINT n, COUNT(*)::BIGINT k
+        FROM cnt)
+      SELECT tot.n, tot.k,
+        (CASE WHEN tot.k >= 2 AND agg.kc > 0 THEN agg.sr // agg.kc
+         END)::BIGINT AS db_milli
+      FROM tot, agg"""))
+
+  /** Adjusted Rand between the two real categorical partitions of the
+    * corpus (language vs source) — pair-counting agreement, chance-
+    * corrected; the q104-family association tests measure dependence,
+    * ARI measures partition REPRODUCTION.
+    */
+  private val q335 = Q(
+    "q335_adjusted_rand",
+    (spark, dir) => Cluster.adjustedRand(
+      pq(spark, dir, "documents"), "lang", "source"),
+    Some("""WITH c AS (SELECT lang c, source l FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL),
+      cells AS (SELECT c, l, COUNT(*)::BIGINT o FROM c GROUP BY 1, 2),
+      sab AS (SELECT COALESCE(SUM(o), 0)::BIGINT n,
+          COALESCE(SUM(o::HUGEINT * (o - 1) // 2), 0)::HUGEINT sp FROM cells),
+      sa AS (SELECT COUNT(*)::BIGINT n_clusters,
+          COALESCE(SUM(ac::HUGEINT * (ac - 1) // 2), 0)::HUGEINT s FROM
+        (SELECT c, SUM(o) ac FROM cells GROUP BY 1)),
+      sb AS (SELECT COUNT(*)::BIGINT n_labels,
+          COALESCE(SUM(bl::HUGEINT * (bl - 1) // 2), 0)::HUGEINT s FROM
+        (SELECT l, SUM(o) bl FROM cells GROUP BY 1)),
+      f AS (SELECT sab.n, sa.n_clusters, sb.n_labels, sab.sp, sa.s sa2,
+          sb.s sb2, (sab.n::HUGEINT * (sab.n - 1) // 2) t
+        FROM sab, sa, sb),
+      g AS (SELECT *, 2 * (sp * t - sa2 * sb2) num,
+          (sa2 + sb2) * t - 2 * sa2 * sb2 den FROM f)
+      SELECT n, n_clusters, n_labels, sp::BIGINT AS s_pairs,
+        sa2::BIGINT AS s_a, sb2::BIGINT AS s_b,
+        (CASE WHEN den > 0 THEN
+          CASE WHEN num >= 0 THEN 1000 * num // den
+               ELSE -((1000 * (-num)) // den) END
+         END)::BIGINT AS ari_milli
+      FROM g"""))
+
+  /** BCubed of exact-duplicate families (md5(text) groups) against the
+    * source column — the per-item dedup-cluster quality readout: does a
+    * family stay within one source (precision) and does a source's
+    * duplicated content land in one family (recall)?
+    */
+  private val q336 = Q(
+    "q336_bcubed",
+    (spark, dir) => Cluster.bcubed(
+      pq(spark, dir, "documents")
+        .select(md5(col("text")).as("fam"), col("source")),
+      "fam", "source"),
+    Some("""WITH c AS (SELECT md5(text) c, source l FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL),
+      cells AS (SELECT c, l, COUNT(*)::BIGINT o FROM c GROUP BY 1, 2),
+      mc AS (SELECT c, SUM(o) nc FROM cells GROUP BY 1),
+      ml AS (SELECT l, SUM(o) nl FROM cells GROUP BY 1),
+      t AS (SELECT COALESCE(SUM(o), 0)::BIGINT n,
+          COALESCE(SUM((o::HUGEINT * o * 1000000) // nc), 0)::HUGEINT pt,
+          COALESCE(SUM((o::HUGEINT * o * 1000000) // nl), 0)::HUGEINT rt
+        FROM cells JOIN mc USING (c) JOIN ml USING (l)),
+      pr AS (SELECT t.n,
+          (SELECT COUNT(*) FROM mc)::BIGINT n_clusters,
+          (SELECT COUNT(*) FROM ml)::BIGINT n_labels,
+          (CASE WHEN t.n > 0 THEN pt // t.n END)::BIGINT p,
+          (CASE WHEN t.n > 0 THEN rt // t.n END)::BIGINT r
+        FROM t)
+      SELECT n, n_clusters, n_labels, p AS bcubed_p_micro,
+        r AS bcubed_r_micro,
+        (CASE WHEN p + r > 0 THEN (2 * p::HUGEINT * r) // (p + r)
+         END)::BIGINT AS bcubed_f_micro
+      FROM pr"""))
+
+  /** Hosmer–Lemeshow on the q324/q326 score shape — the binned
+    * goodness-of-fit test completing the calibration battery
+    * (reliability diagram q275, Spiegelhalter z q324, log-loss q326).
+    */
+  private val q337 = Q(
+    "q337_hosmer_lemeshow",
+    (spark, dir) => Eval.hosmerLemeshow(
+      pq(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select((pmod(col("user_id"), lit(3)) === 0).as("y"),
+          (col("value") / 500.0).as("score")),
+      "y", "score"),
+    Some("""WITH b AS (SELECT (user_id % 3 = 0) y,
+          LEAST(GREATEST(floor((value / 500.0) * 1000000), 0), 1000000)
+            ::BIGINT p
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      bb AS (SELECT y, p, LEAST(p * 10 // 1000000, 9)::BIGINT bin FROM b),
+      g AS (SELECT bin, COUNT(*)::BIGINT nb,
+          SUM(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT o,
+          SUM(p)::BIGINT e FROM bb GROUP BY 1),
+      t AS (SELECT *, (e > 0 AND e < nb * 1000000) usable,
+          CAST(ROUND((o * 1000000 - e)::DOUBLE * (o * 1000000 - e)::DOUBLE
+            * nb::DOUBLE * 1e6 / e::DOUBLE
+            / (nb * 1000000 - e)::DOUBLE) AS BIGINT) term FROM g),
+      agg AS (SELECT COALESCE(SUM(nb), 0)::BIGINT n,
+          COALESCE(SUM(CASE WHEN usable THEN 1 ELSE 0 END), 0)::BIGINT kept,
+          COALESCE(SUM(CASE WHEN NOT usable THEN 1 ELSE 0 END), 0)::BIGINT dropped,
+          SUM(CASE WHEN usable THEN term END)::BIGINT s FROM t)
+      SELECT n, kept AS n_bins_kept, dropped AS n_dropped_bins,
+        (CASE WHEN kept > 0 THEN GREATEST(kept - 2, 1) END)::BIGINT AS df,
+        (CASE WHEN kept > 0 THEN s // 1000 END)::BIGINT AS chi2_milli
+      FROM agg"""))
+
+  /** Matryoshka truncation audit: brute-force cosine top-10 with the
+    * full 64-dim embedding vs the first-32-dims prefix — per-query
+    * overlap is the recall the dimension cut trades away (the modern
+    * "can I store half the vector" capacity decision, measured instead
+    * of guessed). Composes [[Similarity.bruteForceTopK]] at two widths;
+    * exact because both sides rank on 6-dp-rounded cosine with the
+    * same id tiebreak.
+    */
+  private val q338 = Q(
+    "q338_matryoshka_audit",
+    (spark, dir) => {
+      val emb = pq(spark, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 50)
+      def topk(d: DataFrame, q: DataFrame) = Similarity.bruteForceTopK(
+        d, q, "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      val half = topk(
+        emb.withColumn("embedding", slice(col("embedding"), 1, 32)),
+        qs.withColumn("embedding", slice(col("embedding"), 1, 32)))
+      val full = topk(emb, qs)
+      full.join(half, Seq("query_id", "nbr_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_common"))
+        .join(full.groupBy("query_id").agg(count(lit(1)).as("__k")),
+          Seq("query_id"), "right")
+        .select(col("query_id"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          expr("coalesce(n_common, 0L) * 1000000 div __k").as("recall_micro"))
+        .distinct()
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] qv,
+          (embedding[1:32])::DOUBLE[] qh FROM embeddings WHERE vec_id < 50),
+      c AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] cv,
+          (embedding[1:32])::DOUBLE[] ch FROM embeddings),
+      sf AS (SELECT query_id, nbr_id,
+          ROUND(list_dot_product(cv, qv) /
+            (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6) AS score
+        FROM c, q WHERE nbr_id <> query_id),
+      rf AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score DESC, nbr_id) rnk FROM sf),
+      tf AS (SELECT query_id, nbr_id FROM rf WHERE rnk <= 10),
+      sh AS (SELECT query_id, nbr_id,
+          ROUND(list_dot_product(ch, qh) /
+            (sqrt(list_dot_product(ch, ch)) * sqrt(list_dot_product(qh, qh))), 6) AS score
+        FROM c, q WHERE nbr_id <> query_id),
+      rh AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score DESC, nbr_id) rnk FROM sh),
+      th AS (SELECT query_id, nbr_id FROM rh WHERE rnk <= 10),
+      kk AS (SELECT query_id, COUNT(*) k FROM tf GROUP BY 1),
+      ov AS (SELECT tf.query_id, COUNT(*) n_common FROM tf
+        JOIN th ON th.query_id = tf.query_id AND th.nbr_id = tf.nbr_id
+        GROUP BY 1)
+      SELECT kk.query_id, COALESCE(ov.n_common, 0)::BIGINT AS n_common,
+        (COALESCE(ov.n_common, 0) * 1000000 // kk.k)::BIGINT AS recall_micro
+      FROM kk LEFT JOIN ov ON ov.query_id = kk.query_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19,
@@ -11064,7 +11326,8 @@ object Queries {
     q302, q303, q304, q305, q306, q307, q308, q309, q310, q311,
     q312, q313, q314, q315, q316, q317, q318,
     q319, q320, q321, q322, q323, q324,
-    q325, q326, q327, q328, q329, q330, q331, q332)
+    q325, q326, q327, q328, q329, q330, q331, q332,
+    q333, q334, q335, q336, q337, q338)
 
   /** Flagship end-to-end pipeline on sf0.001: expression + over-window +
     * point-in-time self-join + filter, through the full client path.

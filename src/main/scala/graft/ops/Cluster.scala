@@ -491,6 +491,130 @@ object Cluster {
         col("nmi_milli"))
   }
 
+  /** Adjusted Rand Index — the PAIR-COUNTING external clustering
+    * agreement that [[purityNmi]]'s information-theoretic view
+    * complements: the fraction of point PAIRS on which two partitions
+    * agree (same-cluster vs split), corrected for the agreement two
+    * random partitions of the same sizes would get — 0 ≈ chance,
+    * 1 = identical partitions, negative = worse than chance. The
+    * standard score for "did this dedup/clustering run reproduce the
+    * reference grouping", robust to label permutation by construction.
+    *
+    * Fully exact: with cells n_cg, sizes a_c, b_g and T = C(N,2),
+    * Sab = Σ C(n_cg,2), Sa = Σ C(a_c,2), Sb = Σ C(b_g,2):
+    * ARI = (Sab − Sa·Sb/T) / (½(Sa+Sb) − Sa·Sb/T). Scaled by 2T:
+    * num = 2·(Sab·T − Sa·Sb), den = (Sa+Sb)·T − 2·Sa·Sb — exact
+    * decimal(38,0) products. ari_milli = 1000·num div den with the
+    * division sign-split (ARI is legitimately negative; Spark `div`
+    * truncates toward zero, DuckDB `//` floors — only identical when
+    * split). Overflow-loud: Sab·T ~ N⁴/8 passes decimal(38,0) to
+    * ~3·10⁹ rows; beyond that the decimal sum NULLs loudly rather
+    * than wrapping.
+    *
+    * Output (one row): `(n, n_clusters, n_labels, s_pairs, s_a, s_b,
+    * ari_milli)`; NULL ari when den = 0 (both partitions all
+    * singletons, or each a single block — no pair structure to
+    * compare).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy to the contingency
+    * cells; every later aggregate is cells/marginal-table-sized.
+    */
+  def adjustedRand(
+      df: DataFrame,
+      clusterCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(col(clusterCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(clusterCol).as("c"), col(labelCol).as("l"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    def c2(x: String) = s"cast(cast($x as $dec) * ($x - 1) div 2 as $dec)"
+    val sab = cells.agg(
+      coalesce(sum("o"), lit(0L)).as("n"),
+      coalesce(sum(expr(c2("o"))), lit(0).cast(dec)).as("s_pairs"))
+    val sa = cells.groupBy("c").agg(sum("o").as("ac"))
+      .agg(count(lit(1)).as("n_clusters"),
+        coalesce(sum(expr(c2("ac"))), lit(0).cast(dec)).as("s_a"))
+    val sb = cells.groupBy("l").agg(sum("o").as("bl"))
+      .agg(count(lit(1)).as("n_labels"),
+        coalesce(sum(expr(c2("bl"))), lit(0).cast(dec)).as("s_b"))
+    sab.crossJoin(sa).crossJoin(sb)
+      .withColumn("__t", expr(s"cast(cast(n as $dec) * (n - 1) div 2 as $dec)"))
+      .withColumn("__num", expr("2 * (s_pairs * __t - s_a * s_b)"))
+      .withColumn("__den", expr("(s_a + s_b) * __t - 2 * s_a * s_b"))
+      .select(col("n"), col("n_clusters"), col("n_labels"),
+        col("s_pairs").cast("long").as("s_pairs"),
+        col("s_a").cast("long").as("s_a"),
+        col("s_b").cast("long").as("s_b"),
+        when(col("__den") > 0,
+          expr("""case when __num >= 0 then 1000 * __num div __den
+                  else -(1000 * (-__num) div __den) end""").cast("long"))
+          .as("ari_milli"))
+  }
+
+  /** BCubed precision/recall — the per-ITEM external dedup-cluster
+    * evaluation (Bagga & Baldwin '98; Amigó et al. '09 showed it is
+    * the only common cluster metric satisfying all four formal
+    * constraints): for each item, precision = the fraction of its
+    * cluster that shares its gold label, recall = the fraction of its
+    * gold family found in its cluster; scores average over ITEMS, so
+    * — unlike [[purityNmi]]'s set-level view or [[adjustedRand]]'s
+    * pair counting — a giant wrongly-merged cluster is punished in
+    * proportion to the items it pollutes. The standard score for
+    * "how good are these dedup families" against a labelled sample.
+    *
+    * Fully exact: P = (1/N)·Σ_cells o²/n_c and R = (1/N)·Σ_cells
+    * o²/n_l collapse the per-item averages to cell arithmetic
+    * (each of the o items in cell (c,l) contributes o/n_c and o/n_l).
+    * Per-cell micro terms (o²·10⁶) div n_c — integer, order-
+    * independent — then div N; f_micro = 2·P·R div (P+R) from the
+    * two integers. Per-cell flooring slack ≤ 1 micro per cell,
+    * mirrored exactly in the oracle.
+    *
+    * Output (one row): `(n, n_clusters, n_labels, bcubed_p_micro,
+    * bcubed_r_micro, bcubed_f_micro)`; NULL f when P+R = 0 (empty
+    * input).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy to the cells; two
+    * marginal joins on the cell table; scalar finish.
+    */
+  def bcubed(
+      df: DataFrame,
+      clusterCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(col(clusterCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(clusterCol).as("c"), col(labelCol).as("l"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val mc = cells.groupBy("c").agg(sum("o").as("nc"))
+    val ml = cells.groupBy("l").agg(sum("o").as("nl"))
+    val terms = cells.join(mc, "c").join(ml, "l")
+      .agg(
+        coalesce(sum("o"), lit(0L)).as("n"),
+        coalesce(sum(expr(
+            s"cast(cast(o as $dec) * o * 1000000 div nc as $dec)")),
+          lit(0).cast(dec)).as("__pt"),
+        coalesce(sum(expr(
+            s"cast(cast(o as $dec) * o * 1000000 div nl as $dec)")),
+          lit(0).cast(dec)).as("__rt"))
+    terms
+      .crossJoin(mc.agg(count(lit(1)).as("n_clusters")))
+      .crossJoin(ml.agg(count(lit(1)).as("n_labels")))
+      .withColumn("bcubed_p_micro",
+        when(col("n") > 0, expr("__pt div n")).cast("long"))
+      .withColumn("bcubed_r_micro",
+        when(col("n") > 0, expr("__rt div n")).cast("long"))
+      .select(col("n"), col("n_clusters"), col("n_labels"),
+        col("bcubed_p_micro"), col("bcubed_r_micro"),
+        when(col("bcubed_p_micro") + col("bcubed_r_micro") > 0,
+          expr("""2 * cast(bcubed_p_micro as decimal(38,0)) * bcubed_r_micro
+                  div (bcubed_p_micro + bcubed_r_micro)""").cast("long"))
+          .as("bcubed_f_micro"))
+  }
+
   /** Per-cluster silhouette quality — THE standard "are these clusters
     * real" metric: for each point, `a` = mean squared distance to its
     * own cluster, `b` = the smallest mean squared distance to any other

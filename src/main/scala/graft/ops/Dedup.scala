@@ -746,14 +746,18 @@ object Dedup {
     * took this path — materialize it next to the pairs so salvage recall
     * loss is observable, never silent.
     */
-  def minhashLshPairs(
+  /** The checkpointed (id, band, bucket) table both [[minhashLshPairs]]
+    * and [[minhashLshOverCapBuckets]] run on — exposed (package-private)
+    * so a pipeline materializing pairs AND the over-cap audit pays the
+    * shingle+minhash pass once ([[graft.Queries]] q331 does this).
+    */
+  private[graft] def minhashBandBuckets(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingleLen: Int = 3,
-      numHashes: Int = 16,
-      bands: Int = 4,
-      maxBucket: Long = 10000L): DataFrame = {
+      shingleLen: Int,
+      numHashes: Int,
+      bands: Int): DataFrame = {
     // Map-side signatures ([[withMinhashSignature]]): a document's whole
     // signature folds inside its own row, so the band-bucket table is
     // produced with ZERO shuffles — no exploded shingle table, no
@@ -766,7 +770,24 @@ object Dedup {
     // runs once; the hot-bucket count and both self-join sides all re-read
     // the materialized buckets (eager localCheckpoint, not persist — see
     // ngramJaccardPairs for the leak rationale).
-    val bb = lshBands(sigs, numHashes, bands).localCheckpoint(true)
+    lshBands(sigs, numHashes, bands).localCheckpoint(true)
+  }
+
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucket: Long = 10000L): DataFrame = {
+    val bb = minhashBandBuckets(df, idCol, textCol, shingleLen, numHashes, bands)
+    minhashLshPairsFromBuckets(bb, maxBucket)
+  }
+
+  private[graft] def minhashLshPairsFromBuckets(
+      bb: DataFrame,
+      maxBucket: Long): DataFrame = {
     // The over-cap set has at most |rows·bands|/maxBucket buckets —
     // broadcastable by construction; checkpointed because it feeds the
     // anti-join, the semi-join and (via hotRows) the rep table.
@@ -812,16 +833,18 @@ object Dedup {
       shingleLen: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      maxBucket: Long = 10000L): DataFrame = {
-    val sigs = withMinhashSignature(
-      df.select(col(idCol).as("id"), col(textCol).as("__mht")),
-      "__mht", shingleLen, numHashes).drop("__mht")
-    lshBands(sigs, numHashes, bands)
-      .groupBy(col("band"), col("bucket"))
+      maxBucket: Long = 10000L): DataFrame =
+    overCapBucketsFromBuckets(
+      minhashBandBuckets(df, idCol, textCol, shingleLen, numHashes, bands),
+      maxBucket)
+
+  private[graft] def overCapBucketsFromBuckets(
+      bb: DataFrame,
+      maxBucket: Long): DataFrame =
+    bb.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("id")).as("rep"))
       .filter(col("n") > maxBucket)
       .select(col("band"), col("bucket"), col("n"), col("rep"))
-  }
 
   /** Incremental MinHash+LSH: near-dup candidates for a NEW batch against
     * an EXISTING corpus plus within the batch itself — daily-crawl dedup

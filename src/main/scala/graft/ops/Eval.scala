@@ -442,15 +442,18 @@ object Eval {
     val m = cells.select(col("__a").as("__v"), col("__c"))
       .unionByName(cells.select(col("__b").as("__v"), col("__c")))
       .groupBy("__v").agg(sum("__c").as("m"))
+    // ONE driver action for both scalar aggregates (round 15, the
+    // theilsU convention): cross-joined single-row aggregates, one job.
     val t = cells.agg(
       coalesce(sum("__c"), lit(0L)).as("n"),
       coalesce(sum(when(col("__a") === col("__b"), col("__c"))
-        .otherwise(0L)), lit(0L)).as("agree")).head()
+        .otherwise(0L)), lit(0L)).as("agree"))
+      .crossJoin(m.agg(
+        sum(expr("cast(m as decimal(38,0)) * m")).as("s")))
+      .head()
     val n = t.getLong(0); val agree = t.getLong(1)
-    val sRow = m.agg(
-      sum(expr("cast(m as decimal(38,0)) * m")).as("s")).head()
-    val s = if (sRow.isNullAt(0)) BigInt(0)
-      else BigInt(sRow.getDecimal(0).toBigInteger)
+    val s = if (t.isNullAt(2)) BigInt(0)
+      else BigInt(t.getDecimal(2).toBigInteger)
     val den = 4 * BigInt(n) * BigInt(n)
     val po: Option[Long] =
       if (n > 0) Some((BigInt(agree) * 1000000 / BigInt(n)).toLong) else None
@@ -502,16 +505,25 @@ object Eval {
         col(bCol).cast("string").as("__b"))
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint()
-    val t = cells.agg(coalesce(sum("__c"), lit(0L)).as("n")).head()
+    // ONE driver action for all five scalar aggregates (round 15, the
+    // theilsU convention): cross-joined single-row aggregates off the
+    // checkpointed cell table — one job's fixed latency, values
+    // bit-identical to the previous five sequential .head()s.
+    val t = cells.agg(coalesce(sum("__c"), lit(0L)).as("n"))
+      .crossJoin(cells.groupBy("__a").agg(max("__c").as("mx"))
+        .agg(coalesce(sum("mx"), lit(0L)).as("rowmax")))
+      .crossJoin(cells.groupBy("__b").agg(max("__c").as("mx"))
+        .agg(coalesce(sum("mx"), lit(0L)).as("colmax")))
+      .crossJoin(cells.groupBy("__b").agg(sum("__c").as("m"))
+        .agg(coalesce(max("m"), lit(0L)).as("colmm")))
+      .crossJoin(cells.groupBy("__a").agg(sum("__c").as("m"))
+        .agg(coalesce(max("m"), lit(0L)).as("rowmm")))
+      .head()
     val n = t.getLong(0)
-    val rowMax = cells.groupBy("__a").agg(max("__c").as("mx"))
-      .agg(coalesce(sum("mx"), lit(0L)).as("s")).head().getLong(0)
-    val colMax = cells.groupBy("__b").agg(max("__c").as("mx"))
-      .agg(coalesce(sum("mx"), lit(0L)).as("s")).head().getLong(0)
-    val colMarginalMax = cells.groupBy("__b").agg(sum("__c").as("m"))
-      .agg(coalesce(max("m"), lit(0L)).as("m")).head().getLong(0)
-    val rowMarginalMax = cells.groupBy("__a").agg(sum("__c").as("m"))
-      .agg(coalesce(max("m"), lit(0L)).as("m")).head().getLong(0)
+    val rowMax = t.getLong(1)
+    val colMax = t.getLong(2)
+    val colMarginalMax = t.getLong(3)
+    val rowMarginalMax = t.getLong(4)
     // Σ_a max_b n_ab >= max_c Σ_a n_ac, so numerators are provably
     // non-negative — the floor division needs no sign split.
     def lam(num: Long, den: Long): Option[Long] =
@@ -579,16 +591,21 @@ object Eval {
         .cast("long")
     val ma = cells.groupBy("__a").agg(sum("__c").as("na")).localCheckpoint()
     val mb = cells.groupBy("__b").agg(sum("__c").as("nb")).localCheckpoint()
-    val hA = ma.agg(coalesce(sum(hTerm(col("na"), lit(n))), lit(0L)))
-      .head().getLong(0)
-    val hB = mb.agg(coalesce(sum(hTerm(col("nb"), lit(n))), lit(0L)))
-      .head().getLong(0)
-    val hBgA = cells.join(ma, "__a")
-      .agg(coalesce(sum(hTerm(col("__c"), col("na"))), lit(0L)))
-      .head().getLong(0)
-    val hAgB = cells.join(mb, "__b")
-      .agg(coalesce(sum(hTerm(col("__c"), col("nb"))), lit(0L)))
-      .head().getLong(0)
+    // ONE driver action for all four entropy sums (round 15): the four
+    // single-row aggregates cross-join into one row, so the driver pays
+    // one job's fixed latency instead of four sequentially — the cell
+    // table and both marginals are checkpointed, so each aggregate is a
+    // cheap re-read, and the values are bit-identical to the previous
+    // four .head()s.
+    val hRow = ma.agg(coalesce(sum(hTerm(col("na"), lit(n))), lit(0L)).as("ha"))
+      .crossJoin(mb.agg(coalesce(sum(hTerm(col("nb"), lit(n))), lit(0L)).as("hb")))
+      .crossJoin(cells.join(ma, "__a")
+        .agg(coalesce(sum(hTerm(col("__c"), col("na"))), lit(0L)).as("hbga")))
+      .crossJoin(cells.join(mb, "__b")
+        .agg(coalesce(sum(hTerm(col("__c"), col("nb"))), lit(0L)).as("hagb")))
+      .head()
+    val hA = hRow.getLong(0); val hB = hRow.getLong(1)
+    val hBgA = hRow.getLong(2); val hAgB = hRow.getLong(3)
     // H(b|a) <= H(b) in exact math; the per-cell micro rounding can
     // leave a few-micro negative residue on independent columns, so U
     // clamps at 0 (mirrored GREATEST in the oracle) rather than
@@ -635,13 +652,16 @@ object Eval {
       s"youdenJ: bins=$bins out of [2, 10000] — the sweep table is " +
         "bins-sized and single-partition by design")
     val base = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
-      .select(col(labelCol).cast("boolean").as("__y"),
-        col(scoreCol).cast("double").as("__s"))
+      .select(expr(s"try_cast(`$labelCol` as boolean)").as("__y"),
+        expr(s"try_cast(`$scoreCol` as double)").as("__s"))
       // Re-filter AFTER the casts (weightedKappa convention): a garbage
       // label casts to null and would count as a NEGATIVE in the per-bin
       // neg sum; a garbage score casts to null and — because Spark's
       // greatest() IGNORES nulls — would clip to bin 0 instead of
       // dropping. Both silently skew the sweep; exclusion must be loud.
+      // try_cast, not cast: under ANSI (Spark 4 default) a plain cast
+      // THROWS on malformed input — try_cast + this filter gives the
+      // same deterministic exclusion under either ANSI setting.
       .filter(col("__y").isNotNull && col("__s").isNotNull)
       .select(col("__y"),
         least(greatest(floor(col("__s") * bins), lit(0L)),
@@ -697,12 +717,13 @@ object Eval {
       scoreCol: String): DataFrame = {
     val M = 1000000L
     val base = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
-      .select(col(labelCol).cast("boolean").as("__yb"),
-        col(scoreCol).cast("double").as("__s"))
+      .select(expr(s"try_cast(`$labelCol` as boolean)").as("__yb"),
+        expr(s"try_cast(`$scoreCol` as double)").as("__s"))
       // Re-filter AFTER the casts (weightedKappa convention): a garbage
       // label casts to null, the when() below treats null as false, and
       // the row silently lands in the y=0 branch; a garbage score casts
       // to null and greatest() (null-ignoring) would clip it to p=0.
+      // try_cast so ANSI sessions exclude instead of throwing (youdenJ).
       .filter(col("__yb").isNotNull && col("__s").isNotNull)
       .select(
         when(col("__yb"), lit(M)).otherwise(lit(0L)).as("__y"),
@@ -743,12 +764,13 @@ object Eval {
       predCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     df.filter(col(labelCol).isNotNull && col(predCol).isNotNull)
-      .select(col(labelCol).cast("boolean").as("__y"),
-        col(predCol).cast("boolean").as("__p"))
+      .select(expr(s"try_cast(`$labelCol` as boolean)").as("__y"),
+        expr(s"try_cast(`$predCol` as boolean)").as("__p"))
       // Re-filter AFTER the casts (weightedKappa convention): a garbage
       // label/pred casts to null, falls out of all four when() confusion
       // cells, yet still counts in n — so n != tp+fp+fn+tn and the MCC
       // denominator quietly shrinks. Exclusion must be loud, not skew.
+      // try_cast so ANSI sessions exclude instead of throwing (youdenJ).
       .filter(col("__y").isNotNull && col("__p").isNotNull)
       .agg(
         count(lit(1)).as("n"),
@@ -794,13 +816,14 @@ object Eval {
       scoreCol: String): DataFrame = {
     val M = 1000000L
     val base = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
-      .select(col(labelCol).cast("boolean").as("__y"),
-        col(scoreCol).cast("double").as("__s"))
+      .select(expr(s"try_cast(`$labelCol` as boolean)").as("__y"),
+        expr(s"try_cast(`$scoreCol` as double)").as("__s"))
       // Re-filter AFTER the casts (weightedKappa convention): a garbage
       // label casts to null, when(__y) treats it as false, and the row
       // silently scores the y=0 branch; a garbage score casts to null
       // and greatest() (null-ignoring) would clip it to p=0 — a maximal
       // -ln(eps) penalty fabricated from unparseable input.
+      // try_cast so ANSI sessions exclude instead of throwing (youdenJ).
       .filter(col("__y").isNotNull && col("__s").isNotNull)
       .select(col("__y"),
         least(greatest(floor(col("__s") * M), lit(0L)),
@@ -817,6 +840,85 @@ object Eval {
       sum("__t").as("__s"))
       .select(col("n"), col("n_pos"),
         expr("case when n > 0 then __s div n end").as("mean_logloss_micro"))
+  }
+
+  /** Hosmer–Lemeshow goodness-of-fit — the TEST companion to the
+    * reliability diagram ([[brierDecomposition]]) and the no-binning z
+    * ([[spiegelhalterZ]]): partition the score range into `bins` equal
+    * intervals, compare observed vs expected positives per bin,
+    * χ² = Σ_bins (O−E)²/(E·(1−E/n_b)). Large χ² on many dof localizes
+    * WHERE a quality/toxicity score's probabilities are off — the
+    * deployment gate "can I treat this score as a probability" before
+    * thresholding a corpus with it.
+    *
+    * Fixed-width bins, not equal-frequency deciles: decile edges are
+    * order statistics whose cross-engine determinism would need the
+    * full quantile machinery, while fixed-cut bins keep every count a
+    * plain aggregate (the standard HL caveat about sparse bins applies
+    * — bins with E=0 or E=n_b are excluded and counted in `n_dropped_bins`).
+    *
+    * Exact contract: per-bin O (positives), n_b, and E_micro = Σ p_micro
+    * are integer aggregates; each kept bin contributes ONE rounded
+    * micro term of χ² (the q64 convention), a pinned double tree over
+    * exact integers: t_b = ROUND(Δ·Δ·n_b·10⁶/E_micro/(n_b·10⁶−E_micro))
+    * with Δ = O·10⁶−E_micro — so the cross-bin sum is order-independent
+    * integer arithmetic.
+    *
+    * Output (one row): `(n, n_bins_kept, n_dropped_bins, df,
+    * chi2_milli)` with df = kept − 2 clamped at 1 (the classic g−2);
+    * chi2 NULL when no bin is usable.
+    *
+    * 100 TB shape: ONE map-side-combined groupBy(bin) to ≤ `bins`
+    * rows; scalar finish (`require(bins <= 10000)`).
+    */
+  def hosmerLemeshow(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 10000,
+      s"hosmerLemeshow: bins=$bins out of [2, 10000]")
+    val M = 1000000L
+    val base = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(expr(s"try_cast(`$labelCol` as boolean)").as("__y"),
+        expr(s"try_cast(`$scoreCol` as double)").as("__s"))
+      // post-cast re-filter (weightedKappa convention; see youdenJ)
+      .filter(col("__y").isNotNull && col("__s").isNotNull)
+      .select(col("__y"),
+        least(greatest(floor(col("__s") * M), lit(0L)), lit(M)).as("__p"))
+      .withColumn("__b",
+        least(expr(s"__p * $bins div ${M}L"), lit(bins - 1L)))
+    val perBin = base.groupBy("__b").agg(
+      count(lit(1)).as("nb"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("o"),
+      sum("__p").as("e_micro"))
+    // per-bin rounded micro term of χ², one pinned double tree:
+    // ((((Δd·Δd)·nb)·10⁶)/E)/(n·10⁶−E) with every operand an exact
+    // integer cast to double once — both engines replay the identical
+    // IEEE sequence (all per-bin integers fit long far past 10¹² rows)
+    val kept = perBin
+      .withColumn("__usable",
+        col("e_micro") > 0 && col("e_micro") < expr(s"nb * ${M}L"))
+      .withColumn("__t", when(col("__usable"), expr(
+        s"""cast(round(
+              cast(o * $M - e_micro as double) *
+              cast(o * $M - e_micro as double) *
+              cast(nb as double) * 1e6 /
+              cast(e_micro as double) /
+              cast(nb * $M - e_micro as double))
+            as long)""")))
+    kept.agg(
+      coalesce(sum("nb"), lit(0L)).as("n"),
+      coalesce(sum(when(col("__usable"), 1L).otherwise(0L)), lit(0L))
+        .as("n_bins_kept"),
+      coalesce(sum(when(!col("__usable"), 1L).otherwise(0L)), lit(0L))
+        .as("n_dropped_bins"),
+      sum("__t").as("__chi2"))
+      .select(col("n"), col("n_bins_kept"), col("n_dropped_bins"),
+        when(col("n_bins_kept") > 0,
+          greatest(col("n_bins_kept") - 2, lit(1L))).as("df"),
+        when(col("n_bins_kept") > 0,
+          expr("__chi2 div 1000")).as("chi2_milli"))
   }
 
   /** Mean average precision at k — the ranking-eval workhorse next to

@@ -1394,6 +1394,122 @@ object Similarity {
     Seq((n.toLong, k, ch)).toDF("n", "k", "ch_milli")
   }
 
+  /** Davies–Bouldin index — the third leg of the internal cluster-
+    * validity battery next to [[calinskiHarabasz]] (variance ratio) and
+    * [[Cluster.silhouette]] (per-point margins): DB = mean over
+    * clusters of max_j (S_i + S_j)/M_ij with S the mean member-to-
+    * centroid distance and M the centroid separation — LOWER is
+    * better; the max picks each cluster's worst neighbor, so DB reads
+    * as "how badly does the most-confusable pair overlap, on
+    * average". The number to watch when choosing k for [[semDedup]] /
+    * [[Cluster.kmeansAssign]] cluster counts.
+    *
+    * Exact-integer contract: elements floor to micro X. Member
+    * distance to its centroid avoids rational centroids by scaling:
+    * ssq_m = Σ_d (n_g·X_md − S_gd)² (exact decimal), and each member
+    * contributes ONE rounded micro term D_m = ROUND(√ssq_m / n_g)
+    * (q64 ln-term convention — the per-member rounding makes the
+    * per-group sum order-independent; √ of a correctly-rounded
+    * decimal→double is engine-portable, q323 precedent). S_i_micro =
+    * (Σ D_m) div n_i. Centroid separation likewise scaled:
+    * M_ij_micro = ROUND(√(Σ_d (n_j·S_id − n_i·S_jd)²) / (n_i·n_j)),
+    * computed on the driver over the collected k×dim sum table
+    * (model-sized; `maxGroups` bounds the k² pairing). R and DB are
+    * integer floor divisions; pairs with M_ij = 0 (coincident
+    * centroids) are excluded from the max, and a cluster with no
+    * valid pair contributes nothing — db_milli is NULL when k < 2 or
+    * no cluster has a separated neighbor.
+    *
+    * Output (one row): `(n, k, db_milli)`.
+    *
+    * 100 TB shape: one posexplode + map-side-combined groupBy(g, d)
+    * to the k×dim sum table; ONE broadcast join back for the member
+    * distance terms (corpus-sized map pass, no second shuffle beyond
+    * the per-group sum); k² finish on the driver.
+    */
+  def daviesBouldin(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      maxGroups: Int = 256): DataFrame = {
+    require(maxGroups >= 2, s"maxGroups $maxGroups must be >= 2")
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(groupCol).isNotNull && col(vecCol).isNotNull &&
+      size(col(vecCol)) > 0)
+      .select(col(groupCol).cast("string").as("__g"), col(vecCol).as("__v"))
+      .localCheckpoint()
+    val perDim = base
+      .select(col("__g"), posexplode(col("__v")).as(Seq("__d", "__x")))
+      .select(col("__g"), col("__d"),
+        round(col("__x").cast("double") * 1e6).cast("long").as("__m"))
+      .groupBy("__g", "__d")
+      .agg(sum("__m").as("__s"), count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val dims = perDim.groupBy("__g")
+      .agg(max(when(col("__d") === 0, col("__c"))).as("ng"),
+        // dim sums as a dense array, dim order pinned by array_sort on
+        // the (d, s) struct — model-sized per group
+        expr("transform(array_sort(collect_list(struct(__d, __s))), e -> e.__s)")
+          .as("sv"))
+      .localCheckpoint()
+    val grpRows = dims.collect()
+    require(grpRows.length <= maxGroups,
+      s"daviesBouldin: ${grpRows.length} groups exceed maxGroups=$maxGroups " +
+        "— the finish pairs k² centroids on the driver")
+    val k = grpRows.length
+    // per-member rounded distance terms, summed per group (one map pass:
+    // group sums broadcast back onto the checkpointed base)
+    val withSums = base.join(
+      broadcast(dims.select(col("__g"), col("ng"), col("sv"))), "__g")
+    val ssqExpr =
+      s"""aggregate(
+            zip_with(__v, sv, (x, s) ->
+              cast(cast(ng as $dec) * cast(round(cast(x as double) * 1e6) as long) - s
+                   as $dec) *
+              (cast(ng as $dec) * cast(round(cast(x as double) * 1e6) as long) - s)),
+            cast(0 as $dec), (acc, t) -> acc + t)"""
+    val sPerGroup = withSums
+      .select(col("__g"), col("ng"),
+        expr(s"cast(round(sqrt(cast($ssqExpr as double)) / ng) as long)")
+          .as("__dm"))
+      .groupBy("__g")
+      .agg(expr("sum(__dm) div max(ng)").as("si"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver k² pairing over exact BigInt dim sums
+    val groups = grpRows.map { r =>
+      (r.getString(0), r.getLong(1),
+        r.getSeq[Long](2).map(BigInt(_)).toArray)
+    }
+    val nTot = groups.map(_._2).sum
+    var rMaxSum = BigInt(0); var contributing = 0
+    groups.foreach { case (gi, ni, svi) =>
+      var best = BigInt(-1)
+      groups.foreach { case (gj, nj, svj) =>
+        if (gi != gj) {
+          var ssq = BigInt(0)
+          var d = 0
+          while (d < svi.length) {
+            val t = BigInt(nj) * svi(d) - BigInt(ni) * svj(d)
+            ssq += t * t
+            d += 1
+          }
+          val m = math.round(math.sqrt(ssq.doubleValue) / (ni.toDouble * nj))
+          if (m > 0) {
+            val r = BigInt(sPerGroup(gi) + sPerGroup(gj)) * 1000 / m
+            if (r > best) best = r
+          }
+        }
+      }
+      if (best >= 0) { rMaxSum += best; contributing += 1 }
+    }
+    val db: Option[Long] =
+      if (k >= 2 && contributing > 0) Some((rMaxSum / contributing).toLong)
+      else None
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nTot, k.toLong, db)).toDF("n", "k", "db_milli")
+  }
+
   /** Gate below which [[centroidCosineMatrix]] pairs on the driver: the
     * distributed self-join costs ~0.3 s of fixed scheduling latency at
     * any size, while ≤ 64 groups × dim sum rows pair in microseconds.

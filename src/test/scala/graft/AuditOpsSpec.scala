@@ -163,6 +163,43 @@ class AuditOpsSpec extends SparkSuite {
     assert(pi._2 == 0L, s"independent nmi ${pi._2}")
   }
 
+  test("adjustedRand: identical 1000, hand -111 replay, degenerate NULL") {
+    val same = Seq(("c1", "a"), ("c1", "a"), ("c2", "b"))
+    val r1 = Cluster.adjustedRand(same.toDF("c", "l"), "c", "l")
+      .select("ari_milli").as[Long].collect().head
+    assert(r1 == 1000L)
+    // classic 2x2: cells (A,X)=2 (A,Y)=1 (B,X)=1 (B,Y)=2; T=15, Sab=2,
+    // Sa=Sb=6 -> num=2*(30-36)=-12, den=180-72=108 -> trunc(-12000/108)=-111
+    val cross = Seq(("A", "X"), ("A", "X"), ("A", "Y"),
+      ("B", "X"), ("B", "Y"), ("B", "Y"))
+    val r2 = Cluster.adjustedRand(cross.toDF("c", "l"), "c", "l").collect()(0)
+    assert(r2.getLong(0) == 6L && r2.getLong(3) == 2L &&
+      r2.getLong(4) == 6L && r2.getLong(5) == 6L, r2.toString)
+    assert(r2.getLong(6) == -111L, r2.toString)
+    // all singletons on both sides: no pair structure -> den 0 -> NULL
+    val single = Seq(("c1", "a"), ("c2", "b"))
+    assert(Cluster.adjustedRand(single.toDF("c", "l"), "c", "l")
+      .collect()(0).isNullAt(6))
+  }
+
+  test("bcubed: hand 5/9-precision replay, perfect 1.0") {
+    // one cluster {x,x,y}: P = (4/3+1/3)/3 = 5/9, R = 1
+    val df = Seq(("c1", "x"), ("c1", "x"), ("c1", "y")).toDF("c", "l")
+    val r = Cluster.bcubed(df, "c", "l").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L && r.getLong(2) == 2L,
+      r.toString)
+    val p = (BigInt(4000000) / 3 + BigInt(1000000) / 3) / 3
+    assert(r.getLong(3) == p.toLong, r.toString)
+    assert(r.getLong(4) == 1000000L, r.toString)
+    val f = BigInt(2) * p * 1000000 / (p + 1000000)
+    assert(r.getLong(5) == f.toLong, r.toString)
+    // perfect partition match
+    val perfect = Seq(("c1", "x"), ("c1", "x"), ("c2", "y"))
+    val rp = Cluster.bcubed(perfect.toDF("c", "l"), "c", "l").collect()(0)
+    assert(rp.getLong(3) == 1000000L && rp.getLong(4) == 1000000L &&
+      rp.getLong(5) == 1000000L, rp.toString)
+  }
+
   test("multiKeyClusters merges across evidence types transitively, capped buckets drop out") {
     import graft.ops.Dedup
     // 1-2 share key A; 2-3 share key B (different evidence) → {1,2,3} one

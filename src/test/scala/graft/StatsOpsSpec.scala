@@ -2537,4 +2537,43 @@ class StatsOpsSpec extends SparkSuite {
       Seq(("a", 0.0), ("a", 1.0)).toDF("g", "v"), "g", "v").collect()(0)
     assert(one.isNullAt(4), one.toString)
   }
+
+  test("daviesBouldin: hand two-cluster replay, coincident-centroid NULL") {
+    // a: {0, 2} (centroid 1, S=1.0); b: {10, 12} (centroid 11, S=1.0);
+    // M = 10 -> R both ways = (1e6+1e6)*1000/1e7 = 200 milli, DB = 200
+    val df = Seq(
+      ("a", Seq(0.0)), ("a", Seq(2.0)),
+      ("b", Seq(10.0)), ("b", Seq(12.0))).toDF("g", "v")
+    val r = graft.ops.Similarity.daviesBouldin(df, "g", "v").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L, r.toString)
+    assert(r.getLong(2) == 200L, r.toString)
+    // coincident centroids: every pair has M=0 -> no valid neighbor -> NULL
+    val co = Seq(("a", Seq(0.0)), ("a", Seq(2.0)),
+      ("b", Seq(0.0)), ("b", Seq(2.0))).toDF("g", "v")
+    assert(graft.ops.Similarity.daviesBouldin(co, "g", "v")
+      .collect()(0).isNullAt(2))
+    // one group -> NULL
+    val k1 = Seq(("a", Seq(0.0)), ("a", Seq(1.0))).toDF("g", "v")
+    assert(graft.ops.Similarity.daviesBouldin(k1, "g", "v")
+      .collect()(0).isNullAt(2))
+  }
+
+  test("hosmerLemeshow: hand 2-bin replay, loud garbage-label exclusion") {
+    // scores 0.25/0.75, 2 bins: per-bin chi2 term = 0.1111 exactly ->
+    // chi2_milli 222 (micro terms 111111 + 111111, div 1000)
+    val rows = Seq((true, 0.25), (false, 0.25), (false, 0.25),
+      (true, 0.75), (true, 0.75), (false, 0.75))
+    val r = Eval.hosmerLemeshow(rows.toDF("y", "s"), "y", "s", bins = 2)
+      .collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L && r.getLong(2) == 0L,
+      r.toString)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 222L, r.toString)
+    // a garbage string label/score must be EXCLUDED, not counted as y=0
+    // or clipped to p=0 (the round-15 post-cast re-filter contract)
+    val dirty = rows.map { case (y, sc) => (y.toString, sc.toString) } ++
+      Seq(("not-a-bool", "0.75"), ("true", "junk"))
+    val d = Eval.hosmerLemeshow(dirty.toDF("y", "s"), "y", "s", bins = 2)
+      .collect()(0)
+    assert(d.getLong(0) == 6L && d.getLong(4) == 222L, d.toString)
+  }
 }
