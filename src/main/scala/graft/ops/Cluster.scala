@@ -78,12 +78,16 @@ object Cluster {
     while (!converged && it < maxIter) {
       val next = ccRound(edges).localCheckpoint(true)
       // Star-shaped fixpoint: every edge already points at the component
-      // minimum, i.e. the next round reproduces the same edge set. Cheap
-      // symmetric-difference count on the two checkpointed sets; at 100 TB
-      // this is the same one-shuffle cost as the round itself and runs
-      // only once per round (typically ≤4 rounds total).
+      // minimum, i.e. the next round reproduces the same edge set. The
+      // count compare is near-free on the two checkpointed sets and
+      // short-circuits every non-final round; only a count-equal round
+      // pays the set compare — and since both sides are canon()-distinct
+      // by construction, a LEFT ANTI probe is exactly except() minus
+      // except's two redundant per-side distincts (2 shuffles instead of
+      // 4, and isEmpty stops at the first surviving row). Equivalence:
+      // |next| = |edges| and next ⊆ edges ⟹ next = edges.
       converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       val prev = edges
       edges = next
       prev.unpersist()

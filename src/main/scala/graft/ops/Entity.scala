@@ -54,7 +54,16 @@ object Entity {
     val t = t0.join(broadcast(hot), Seq("blk"), "left_anti")
     val a = t.select(col("id").as("id_a"), col("txt").as("txt_a"), col("blk"))
     val b = t.select(col("id").as("id_b"), col("txt").as("txt_b"), col("blk"))
-    a.join(b, Seq("blk"))
+    // The scaladoc's "ONE shuffle on the block key" is the contract: force
+    // the shuffled hash join so the pair generation + Levenshtein verify
+    // run in a REDUCE stage distributed over hash(blk). Left to the
+    // planner, a small input side turns this into a broadcast join whose
+    // pair DP work all lands inside the (often single-task) scan stage —
+    // measured 5.8 s single-core vs distributed at bench scale. At crawl
+    // scale both sides exceed the broadcast threshold and the planner
+    // picks a shuffle join anyway; the hint only pins SHJ over SMJ (blocks
+    // are maxBlock-capped, so per-partition hash builds are bounded).
+    a.join(b.hint("shuffle_hash"), Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       // exact prefilter: dist >= |len_a - len_b|, so length-incompatible
       // pairs never run the DP at all — this cheap cut (and id_a < id_b)

@@ -177,14 +177,21 @@ object Graph {
       .localCheckpoint()
     var h = nodes.withColumn("h", lit(HitsUnit))
     var a = nodes.withColumn("a", lit(0L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val aRaw = edges.join(h.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum("h").as("ar"))
       val denomA = aRaw
         .agg(greatest(expr(s"coalesce(sum(ar), 0) div $HitsUnit"), lit(1L)).as("dn"))
       a = nodes.join(aRaw, Seq("node"), "left").crossJoin(broadcast(denomA))
         .select(col("node"), expr("coalesce(ar, CAST(0 AS BIGINT)) div dn").as("a"))
-        .localCheckpoint()
+      // ONE checkpoint barrier per iteration, not two (round 15): the
+      // h-update's plan embeds the a-half-step, so materializing h runs
+      // both halves in one pass while lineage still resets each iteration
+      // (every plan reaches back only to the previous h checkpoint). The
+      // a-frame is checkpointed only on the LAST iteration, where the
+      // final join would otherwise recompute its half-step once more.
+      // Dataflow (and ranks) unchanged.
+      if (i == iters) a = a.localCheckpoint()
       val hRaw = edges.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum("a").as("hr"))
       val denomH = hRaw
