@@ -29,8 +29,20 @@ object JobProf {
     val jobs = new AtomicInteger; val stages = new AtomicInteger
     val tasks = new AtomicInteger; val taskMs = new AtomicLong
     val gcMs = new AtomicLong; val serMs = new AtomicLong
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val verbose = sys.env.contains("SPARK_GRAFT_PROF_JOBS")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = jobStarts.get(j.jobId)
+        if (verbose && t0 != 0)
+          System.err.println(f"    job ${j.jobId}%3d ${(j.time - t0) / 1e3}%6.2fs")
+      }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobStarts.put(j.jobId, j.time)
+        if (verbose)
+          System.err.println(s"    job ${j.jobId} start: ${j.stageInfos.map(_.name).mkString(" | ").take(150)}")
+        jobs.incrementAndGet()
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()

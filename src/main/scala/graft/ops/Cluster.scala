@@ -366,8 +366,13 @@ object Cluster {
     val capped = withC.join(broadcast(hot), Seq("cluster"), "left_anti")
     val cos = round(
       Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+    // Cluster-local SHUFFLE join, pinned (round 15; the q24/q22 pattern):
+    // a broadcast pick runs every within-cluster cosine inside the
+    // checkpointed frame's partition layout — at bench scale a single
+    // task; the hint exchanges on the cluster key so per-cluster pair
+    // work (bounded by maxCluster) lands one task per cluster.
     val pairs = capped.as("a")
-      .join(capped.as("b"),
+      .join(capped.as("b").hint("shuffle_hash"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
       .filter(cos >= eps)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -653,6 +658,13 @@ object Cluster {
         transform(col(vecCol),
           x => round((x.cast("double") + lit(shift)) * 1e6).cast("long"))
           .as("xm"))
+      // spread the NL-join STREAM side before the checkpoint (round 15):
+      // the clustered sample usually arrives as a handful of scan
+      // partitions, and the broadcast-NL all-pairs pass below inherits
+      // that layout — one task computing every n² distance at bench
+      // scale. One round-robin exchange of the (sample-sized, by this
+      // op's contract) frame buys full-core streaming.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint()
     val perCl = m.as("a")
       .join(broadcast(m.as("b")), col("a.id") =!= col("b.id"))
@@ -722,7 +734,7 @@ object Cluster {
     val sizes = m.groupBy("cl")
       .agg(count(lit(1)).as("n_members"), min("id").as("__only"))
     val costs = m.as("a")
-      .join(m.as("b"),
+      .join(m.as("b").hint("shuffle_hash"),
         col("a.cl") === col("b.cl") && col("a.id") =!= col("b.id"))
       .select(col("a.cl").as("cl"), col("a.id").as("id"),
         // native codegen exact long L2 (HOF lambdas interpret per element

@@ -128,10 +128,15 @@ object Dedup {
     // Hot-shingle guard as a broadcast anti-join: the set of shingles with
     // df > maxDf has at most |rows|/maxDf members — broadcastable by
     // definition — so this costs one aggregation instead of a full
-    // shuffle+sort window over every shingle row.
+    // shuffle+sort window over every shingle row. Checkpointed (round 15):
+    // `kept` is consumed four times (sizes + both self-join sides + the
+    // pair agg input), and each consumer would otherwise re-run the
+    // full-table hot aggregation — AQE exchange reuse is not guaranteed
+    // across post-checkpoint replicas.
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("shingle"))
+      .localCheckpoint(true)
     val kept = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = kept.as("a")
@@ -796,9 +801,18 @@ object Dedup {
       .select(col("band"), col("bucket"))
       .localCheckpoint(true)
     val capped = bb.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    // The scaladoc's contract is a BUCKET-LOCAL shuffle join; pin it
+    // (round 15). Left to size estimates the planner broadcasts one side,
+    // which parks the whole B²/2 pair generation inside the stream side's
+    // (often single-partition, scan-derived) map stage — measured as a
+    // multi-second single task at bench scale. The hint exchanges both
+    // sides on (band, bucket), so per-bucket pair work distributes and the
+    // maxBucket cap bounds each task; at crawl scale both sides exceed the
+    // broadcast threshold and a shuffle join is what the planner picks
+    // anyway — the hint just prefers hash over sort-merge.
     val full = capped.as("a")
       .join(
-        capped.as("b"),
+        capped.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -1156,8 +1170,14 @@ object Dedup {
       .select(col("band"), col("bucket"))
       .localCheckpoint(true)
     val capped = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    // Bucket-local SHUFFLE join, pinned (round 15) — same reasoning as
+    // [[minhashLshPairsFromBuckets]]: a broadcast pick runs every
+    // candidate cosine inside the banded table's single scan-derived
+    // partition (measured 4 s in one task at bench scale); the hint
+    // spreads buckets across reduce tasks and is what a crawl-scale
+    // planner does regardless.
     val full = capped.as("a")
-      .join(capped.as("b"),
+      .join(capped.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .withColumn("cosine",
