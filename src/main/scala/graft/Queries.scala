@@ -725,7 +725,9 @@ object Queries {
   private val q29 = Q(
     "q29_text_sketch",
     (spark, dir) =>
-      pq(spark, dir, "documents").select(
+      // Par.spread: per-character md5 map — full-width when the scan
+      // arrives under-partitioned (no-op on well-split inputs)
+      graft.ops.Par.spread(pq(spark, dir, "documents")).select(
         col("doc_id"),
         TextOps.shingleSketch(col("text"), 8, 4).as("sketch")),
     Some("""WITH g AS (SELECT doc_id, md5(substr(text, gg::INT, 8)) AS h

@@ -80,7 +80,12 @@ object Dedup {
 
   private[graft] def wordShinglesRaw(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(gramArray(col(textCol), n)).as("shingle"))
+    // Par.spread: the tokenize+shingle explode is the family's hottest
+    // map stage and inherits the scan's split count — spread it to the
+    // cluster's width when the input arrives under-partitioned (no-op on
+    // well-split inputs; see Par.spread's scaladoc).
+    Par.spread(df)
+      .select(col(idCol).as("id"), explode(gramArray(col(textCol), n)).as("shingle"))
 
   /** All-pairs n-gram Jaccard similarity ≥ `threshold`, computed by joining
     * documents through shared shingles (inverted-index join): only pairs with
@@ -136,7 +141,6 @@ object Dedup {
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("shingle"))
-      .localCheckpoint(true)
     val kept = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = kept.as("a")
@@ -606,7 +610,7 @@ object Dedup {
       .otherwise(array().cast("array<struct<p:int,h:string>>"))
     // consumed twice (occurrence count + join-back): checkpoint so the
     // tokenize+md5 explode runs once
-    val wins = df.select(col(idCol).as("id"), explode(grams).as("pg"))
+    val wins = Par.spread(df).select(col(idCol).as("id"), explode(grams).as("pg"))
       .select(col("id"), col("pg.p").as("p"), col("pg.h").as("h"))
       .localCheckpoint(true)
     val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("occ"))
@@ -769,7 +773,7 @@ object Dedup {
     // signature groupBy. (min() is duplicate-insensitive, so skipping the
     // distinct is correct; the array fold skips even the explode.)
     val sigs = withMinhashSignature(
-      df.select(col(idCol).as("id"), col(textCol).as("__mht")),
+      Par.spread(df.select(col(idCol).as("id"), col(textCol).as("__mht"))),
       "__mht", shingleLen, numHashes).drop("__mht")
     // One checkpoint of the band-bucket table: the shingle+minhash pipeline
     // runs once; the hot-bucket count and both self-join sides all re-read
@@ -883,7 +887,7 @@ object Dedup {
       maxBucket: Long = 10000L): DataFrame = {
     def buckets(df: DataFrame) = lshBands(
       withMinhashSignature(
-        df.select(col(idCol).as("id"), col(textCol).as("__mht")),
+        Par.spread(df.select(col(idCol).as("id"), col(textCol).as("__mht"))),
         "__mht", shingleLen, numHashes).drop("__mht"),
       numHashes, bands)
     // Both sides checkpoint once: each feeds the hot-bucket count plus one
@@ -947,7 +951,7 @@ object Dedup {
     * single groupBy — one shuffle.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(
+    val toks = Par.spread(df).select(
       col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h", md5(col("tok")))

@@ -129,7 +129,9 @@ object TextOps {
       k: Int = 8,
       w: Int = 4): DataFrame = {
     val t = col(textCol)
-    df.select(
+    // Par.spread: one md5 per character position — the heaviest per-row
+    // map in TextOps; spread an under-partitioned input to cluster width
+    Par.spread(df).select(
         col(idCol),
         transform(
           sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
