@@ -286,7 +286,7 @@ object Sampling {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    df.select(idCols :+ explode(concat(toks, bigrams)).as("__gram"): _*)
+    Par.spread(df).select(idCols :+ explode(concat(toks, bigrams)).as("__gram"): _*)
       .withColumn("b", substring(md5(col("__gram")), 1, hashDigits))
       .drop("__gram")
   }

@@ -36,7 +36,9 @@ object SemiStructured {
     // their raw JSON — the same strings get_json_object would return, at
     // 1/(keys+1) the parse cost; q178 measured 6.7s -> 4.0s at sf0.1,
     // cold session — the rest is payload construction, not parsing)
-    val keyed = df
+    // Par.spread: one from_json + rlike/try_cast battery per (row, key)
+    // — spread an under-partitioned input (no-op on well-split scans)
+    val keyed = graft.ops.Par.spread(df)
       .select(explode(from_json(col(jsonCol),
           org.apache.spark.sql.types.MapType(
             org.apache.spark.sql.types.StringType,

@@ -240,7 +240,7 @@ object TextOps {
     // duplicated-gram set via groupBy (map-side combine), re-joined to the
     // occurrences on the same (doc, gram) key — co-partitioned, no window
     // sort — then exploded to covered positions and de-duplicated
-    val gramRows = df.select(col(idCol), explode(grams).as("pg"))
+    val gramRows = Par.spread(df).select(col(idCol), explode(grams).as("pg"))
       .select(col(idCol), col("pg.p").as("p"), col("pg.g").as("g"))
     val dupGrams = gramRows
       .groupBy(col(idCol), col("g"))
