@@ -46,21 +46,30 @@ object TimeSeries {
       .withColumn("__vm", floor(col(valueCol) * 1e6).cast("long"))
       .groupBy(keys.map(col) :+ col("bucket_ms"): _*)
       .agg(count(lit(1)).as("n_events"), sum("__vm").as("sum_micro"))
-    // Pin the spine's parallelism BEFORE the explode (round 15): the
-    // per-key (lo, hi) table is keys-sized — tiny relative to the grid it
-    // fans out into — so AQE's byte-based coalescing packs it into one or
-    // two partitions and the `span/everyMs`-fold explode + the downstream
-    // ffill window then run nearly single-task (AQE cannot see through a
-    // Generate's fan-out; measured 4.0 s → parallel at bench scale). An
-    // explicit partition count stops AQE from coalescing this exchange;
-    // hash(keys) is exactly the distribution the ffill window needs, so
-    // no further exchange follows. defaultParallelism spine partitions is
-    // right at any scale — the grid is the big thing, not the key table.
+    // Pin the spine's parallelism BEFORE the explode (round 16 — the
+    // round-15 attempt placed a repartition(par, keys) ABOVE the spine
+    // aggregate, where the child already provided hashpartitioning(keys)
+    // and the planner pruned it as redundant; AQE's byte-based coalescing
+    // then packed the keys-sized exchange into 1-2 partitions and the
+    // `span/everyMs`-fold explode + join probe + ffill window all ran
+    // nearly single-task, since AQE cannot see through a Generate's
+    // fan-out). The fix places the user repartition BELOW the spine
+    // aggregate, on the (keys, bucket) rollup: its child is partitioned
+    // hash(keys, bucket_ms) — different expressions, so nothing prunes
+    // it — and a REPARTITION_BY_NUM exchange is one AQE may never
+    // coalesce. It REPLACES the ENSURE_REQUIREMENTS exchange the spine
+    // agg needed anyway (same exchange count, observed-bucket-sized
+    // bytes), and hash(keys) at `par` partitions is exactly the
+    // distribution the spine agg, the ffill window and the left join's
+    // probe side all want — everything from here to the window runs at
+    // `par` tasks with no further exchange. defaultParallelism spine
+    // partitions is right at any scale — the grid is the big thing, not
+    // the key table.
     val par = df.sparkSession.sparkContext.defaultParallelism
     val spine = agg
+      .repartition(par, keys.map(col): _*)
       .groupBy(keys.map(col): _*)
       .agg(min("bucket_ms").as("__lo"), max("bucket_ms").as("__hi"))
-      .repartition(par, keys.map(col): _*)
       .select(keys.map(col) :+
         explode(sequence(col("__lo"), col("__hi"), lit(everyMs))).as("bucket_ms"): _*)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket_ms"))
