@@ -3637,8 +3637,11 @@ object Queries {
       val edited = base.filter(col("doc_id") < 10)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(lit("EDITEDTOKEN "), col("text")).as("text"))
+      // Checkpointed (round 16): the chunk table feeds both the shared-hash
+      // rollup and the join side — without it the tokenize + per-position
+      // md5 chunking pass runs twice.
       val ch = TextOps.cdcChunks(base.unionByName(edited), Seq("doc_id"), "text",
-        window = 3, avgChunkTokens = 8)
+        window = 3, avgChunkTokens = 8).localCheckpoint(true)
       val nd = ch.groupBy(col("chunk_hash"))
         .agg(countDistinct(col("doc_id")).as("__nd"))
       ch.join(nd, "chunk_hash")
@@ -3765,6 +3768,11 @@ object Queries {
     "q136_lsh_audit",
     (spark, dir) => {
       val docs = pq(spark, dir, "documents")
+      // NOTE (round 16): checkpointing exact/cand here was A/B'd and
+      // reverted — AQE exchange reuse already dedupes the heavy pair
+      // pipelines across their two consumers (the query is genuinely
+      // CPU-bound: ~107 s of task time at sf0.1 ≈ wall × 32 cores), and
+      // the eager barriers only added jobs.
       val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
         .select(col("id_a"), col("id_b"))
       val cand = Dedup.minhashLshPairs(docs, "doc_id", "text")

@@ -143,10 +143,14 @@ object Sketch {
       shingleLen: Int = 3,
       numHashes: Int = 16): DataFrame = {
     // Map-side per-DOC signatures fold inside each row; the per-GROUP
-    // signature is then min-of-mins — the only shuffle carries 16 short
-    // strings per document instead of every shingle row.
+    // signature is then min-of-mins — the only data shuffle carries 16
+    // short strings per document instead of every shingle row. Par.spread
+    // (round 16, §2.5): the per-row shingle+md5 fold is the op's whole
+    // cost and inherits the scan's partition count — the same guard every
+    // other withMinhashSignature caller already applies; no-op on
+    // well-split production scans.
     val docSigs = Dedup.withMinhashSignature(
-      df.select(col(groupCol).as("id"), col(textCol).as("__t")),
+      Par.spread(df.select(col(groupCol).as("id"), col(textCol).as("__t"))),
       "__t", shingleLen, numHashes).drop("__t")
     val groupAggs = (0 until numHashes).map(i => min(col(s"mh_$i")).as(s"mh_$i"))
     val sigs = docSigs.groupBy(col("id")).agg(groupAggs.head, groupAggs.tail: _*)

@@ -1537,7 +1537,12 @@ object TextOps {
           (b - p).cast("long").as("n_tokens"),
           array_join(slice(col("__ws"), p + 1, b - p), " ").as("chunk_text"))),
       c => c.getField("n_tokens").isNotNull)
-    df.select(idCols.map(col) :+ ws.as("__ws"): _*)
+    // Par.spread (round 16, §2.5): tokenize + one md5 per token position
+    // is the op's whole cost, and the map stage inherits the scan's
+    // partition count (a handful of row groups at bench scale ran the
+    // entire corpus walk on a few cores). Spread the RAW rows so the
+    // tokenizer runs wide too. No-op on well-split production scans.
+    Par.spread(df).select(idCols.map(col) :+ ws.as("__ws"): _*)
       .withColumn("__n", size(col("__ws")))
       .withColumn("__b", bounds)
       .select(idCols.map(col) :+ posexplode(chunks): _*)
