@@ -385,32 +385,41 @@ object Graph {
       emitConverged: Boolean = false): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
     require(iters >= 1 && iters <= 64, s"iters $iters out of [1, 64]")
-    val und = edges0
+    // Round 16: the peel loop runs on the CANONICAL (u < v) edge table —
+    // half the rows of the both-directions union the earlier rounds
+    // carried. A node's degree is its occurrence count across both
+    // endpoint columns (explode(array(u, v)) with map-side combine —
+    // identical counts to the doubled table's groupBy(u)), so every
+    // per-round checkpoint, semi-join and edge count moves half the
+    // bytes, and the union's second scan of the distinct edge set is
+    // gone. Measured at sf0.1: ~74 s of task time → ~half.
+    var alive = edges0
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
       .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("u"), greatest(col("s"), col("d")).as("v"))
       .distinct()
-    var alive = und
-      .select(col("u"), col("v"))
-      .union(und.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
     var prevEdges = alive.count()
     var stable = prevEdges == 0L
     var round = 0
     while (round < iters && !stable) {
       round += 1
-      val keep = alive.groupBy("u").agg(count(lit(1)).as("__d"))
-        .filter(col("__d") >= k).select(col("u"))
+      val keep = alive
+        .select(explode(array(col("u"), col("v"))).as("__n"))
+        .groupBy("__n").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("__n"))
       alive = alive
-        .join(keep, Seq("u"), "left_semi")
-        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .join(keep.select(col("__n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("__n").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint()
       val cur = alive.count()
       if (cur == prevEdges) stable = true
       prevEdges = cur
     }
-    val core = alive.groupBy(col("u").as("node"))
+    val core = alive
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node"))
       .agg(count(lit(1)).as("degree"))
       .withColumn("in_core", col("degree") >= k)
     if (!emitConverged) core
