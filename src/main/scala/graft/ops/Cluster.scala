@@ -73,10 +73,15 @@ object Cluster {
     // loss concerns, set spark.checkpoint.dir and swap for checkpoint().
     var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
       .localCheckpoint(true)
+    // One count job per round, not two (round 16): a round's |next|
+    // becomes the next round's |edges| — carrying it in a driver var
+    // drops the re-count of the already-counted checkpointed set.
+    var edgeCount = edges.count()
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val next = ccRound(edges).localCheckpoint(true)
+      val nextCount = next.count()
       // Star-shaped fixpoint: every edge already points at the component
       // minimum, i.e. the next round reproduces the same edge set. The
       // count compare is near-free on the two checkpointed sets and
@@ -86,10 +91,11 @@ object Cluster {
       // except's two redundant per-side distincts (2 shuffles instead of
       // 4, and isEmpty stops at the first surviving row). Equivalence:
       // |next| = |edges| and next ⊆ edges ⟹ next = edges.
-      converged = next.count() == edges.count() &&
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       val prev = edges
       edges = next
+      edgeCount = nextCount
       prev.unpersist()
       it += 1
     }

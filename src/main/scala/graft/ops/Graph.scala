@@ -547,18 +547,28 @@ object Graph {
     val deg = und.select(col("u").as("x"))
       .unionByName(und.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("deg"))
-    val pairs = und.select(col("u"), col("v"))
-      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
+    // Round 16: the moment sums are SYMMETRIC under edge reversal —
+    // aggregating the both-directions union doubles every join and sum
+    // for values derivable from the canonical table exactly:
+    // np = 2n, sx = sy = Σ(dx+dy), sxy = 2·Σdx·dy, sxx = syy =
+    // Σ(dx²+dy²). All exact integer decimal sums, so the mirrored
+    // moments are bit-identical to the doubled table's and the final
+    // double tree below is untouched.
+    val pairs = und
       .join(deg.select(col("x").as("u"), col("deg").as("dx")), Seq("u"))
       .join(deg.select(col("x").as("v"), col("deg").as("dy")), Seq("v"))
     val nNodes = deg.count()
     val nEdges = und.count()
     pairs.agg(
-        count(lit(1)).as("np"),
-        sum(col("dx").cast(dec)).as("sx"), sum(col("dy").cast(dec)).as("sy"),
-        sum(expr(s"cast(dx as $dec) * dy")).as("sxy"),
-        sum(expr(s"cast(dx as $dec) * dx")).as("sxx"),
-        sum(expr(s"cast(dy as $dec) * dy")).as("syy"))
+        count(lit(1)).as("__n"),
+        sum(expr(s"cast(dx as $dec) + dy")).as("__a"),
+        sum(expr(s"cast(dx as $dec) * dy")).as("__b"),
+        sum(expr(s"cast(dx as $dec) * dx + cast(dy as $dec) * dy")).as("__c"))
+      .select(
+        (col("__n") * 2).as("np"),
+        col("__a").as("sx"), col("__a").as("sy"),
+        (col("__b") * 2).cast(dec).as("sxy"),
+        col("__c").as("sxx"), col("__c").as("syy"))
       .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
         expr(s"""cast(case when np > 1
             and cast(np as $dec) * sxx - sx * sx > 0
